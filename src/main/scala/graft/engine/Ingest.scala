@@ -1,0 +1,87 @@
+package graft.engine
+
+import graft.core.{LogLine, TimestampParser, TimestampParsers}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+
+/** Text → Boom ingest: the Spark-native equivalent of the reference's
+  * `convert2bm.pg` pipeline (pig/TextToBoomConverter.java).
+  *
+  * Per input partition (the reference's unit was one Pig task), the parser is
+  * auto-detected from the first line (TextToBoomConverter.java:54-80:
+  * RFC5424 first, then RFC3164), `createTime` is the first line's timestamp,
+  * and lines that fail to parse carry the previous line's timestamp — all
+  * per-partition sequential state, so it runs as `mapPartitions` rather than a
+  * window function (the loop is genuinely stateful on arbitrary input order,
+  * and stays narrow/shuffle-free).
+  *
+  * Block assignment (blockNumber roll on new-second/1000-lines,
+  * TextToBoomConverter.java:94-103) is done by the boom writer's `ingest`
+  * mode, keeping this transform free of writer bookkeeping.
+  */
+object Ingest {
+
+  /** Parse raw text lines into [[LogLine]]s (block metadata minted at write). */
+  def parse(
+      lines: Dataset[String],
+      parserName: Option[String] = None,
+      nowMs: () => Long = () => System.currentTimeMillis()): Dataset[LogLine] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    lines.mapPartitions { it =>
+      var parser: TimestampParser =
+        parserName.map(TimestampParsers.forName(_, nowMs)).orNull
+      var lastTs = 0L
+      var createTime = -1L
+      var blockNumber = 0L
+      var lastSecond = -1L
+      var linesInBlock = 0
+      var lineNo = 0L
+      it.map { raw =>
+        if (parser == null) {
+          parser = TimestampParsers.detect(raw, nowMs)
+            .getOrElse(new graft.core.Rfc5424TimestampParser)
+        }
+        val (tsStr, rest) = parser.splitLine(raw)
+        val ts = Option(tsStr).flatMap(parser.tryParse).getOrElse(lastTs)
+        lastTs = ts
+        if (createTime < 0) createTime = ts
+        val second = ts / 1000L
+        if (second != lastSecond || linesInBlock >= 1000) {
+          if (lastSecond >= 0) blockNumber += 1
+          lastSecond = second
+          linesInBlock = 0
+          lineNo = 0L
+        }
+        linesInBlock += 1
+        lineNo += 1
+        LogLine(ts, rest, 0, createTime, blockNumber, lineNo)
+      }
+    }
+  }
+
+  /** Full ingest: read text files, parse, write Boom into the catalog layout. */
+  def textToBoom(
+      spark: SparkSession,
+      inputPath: String,
+      outputDir: String,
+      parserName: Option[String] = None): Unit = {
+    import spark.implicits._
+    val parsed = parse(spark.read.textFile(inputPath), parserName)
+    write(parsed.toDF(), outputDir)
+  }
+
+  /** Write LogLine rows as Boom files (ingest mode — metadata minted). */
+  def write(df: DataFrame, outputDir: String, mode: SaveMode = SaveMode.Append): Unit =
+    df.select("timestamp", "message", "eventId", "createTime", "blockNumber", "lineNumber")
+      .sortWithinPartitions("timestamp")
+      .write.format("boom").option("boomMode", "ingest").mode(mode).save(outputDir)
+
+  /** Rewrite existing log lines preserving block metadata (ReBoom — the
+    * filter/archive path, boom/ReBoomWriter.java:71-90).
+    */
+  def reboom(df: DataFrame, outputDir: String, mode: SaveMode = SaveMode.Append): Unit =
+    df.select("timestamp", "message", "eventId", "createTime", "blockNumber", "lineNumber")
+      .sortWithinPartitions("timestamp", "createTime", "blockNumber", "lineNumber")
+      .write.format("boom").option("boomMode", "reboom").mode(mode).save(outputDir)
+}

@@ -1,0 +1,85 @@
+package graft.engine
+
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+/** Resolves the reference's HDFS directory "catalog" into concrete input
+  * paths — partition pruning by directory name.
+  *
+  * Layout (fs/PathInfo.java:21-86):
+  * {{{
+  *   <root>/service/<dc>/<service>/logs/<yyyyMMdd>/<hh>/<component>/
+  *       incoming/<id>/<file>  data/<file>  archive/<file>  working/<id>/incoming/<file>
+  * }}}
+  *
+  * A `[start, end)` millisecond range expands to the hour directories it
+  * covers (fs/FileManager.java:66-100), each globbed for the four readable
+  * lifecycle branches (FileManager.java:39-40, 103-123). `_*` and `*.tmp`
+  * entries are skipped by the boom reader itself.
+  */
+object LogCatalog {
+  private val dateFmt = DateTimeFormatter.ofPattern("yyyyMMdd").withZone(ZoneOffset.UTC)
+  private val hourFmt = DateTimeFormatter.ofPattern("HH").withZone(ZoneOffset.UTC)
+
+  /** Readable branches within an hour/component partition (FileManager.java:39-40). */
+  val Branches: Seq[String] = Seq("incoming/*/*", "data/*", "archive/*", "working/*/incoming/*")
+
+  /** All (yyyyMMdd, hh) partitions intersecting `[startMs, endMs)`.
+    * Fails fast on absurd ranges instead of materializing millions of hour
+    * directories (an unbounded query must use explicit paths).
+    */
+  def hoursInRange(startMs: Long, endMs: Long): Seq[(String, String)] = {
+    val hours = endMs / 3600000L - startMs / 3600000L
+    require(hours >= 0 && hours <= 24L * 366 * 50,
+      s"time range [$startMs, $endMs) spans $hours hours — too wide for " +
+        "directory-based partition resolution; narrow the range or query explicit paths")
+    val out = ArrayBuffer[(String, String)]()
+    var t = (startMs / 3600000L) * 3600000L
+    while (t < endMs) {
+      val i = Instant.ofEpochMilli(t)
+      out += ((dateFmt.format(i), hourFmt.format(i)))
+      t += 3600000L
+    }
+    out.toSeq
+  }
+
+  /** Directory-glob patterns for one query, before existence checks. */
+  def globPatterns(
+      root: String,
+      dc: String,
+      service: String,
+      component: String,
+      startMs: Long,
+      endMs: Long): Seq[String] =
+    for {
+      (date, hour) <- hoursInRange(startMs, endMs)
+      branch <- Branches
+    } yield s"$root/service/$dc/$service/logs/$date/$hour/$component/$branch"
+
+  /** Concrete existing file paths for the query. */
+  def resolve(
+      conf: Configuration,
+      root: String,
+      dc: String,
+      service: String,
+      component: String,
+      startMs: Long,
+      endMs: Long): Seq[String] = {
+    val patterns = globPatterns(root, dc, service, component, startMs, endMs)
+    val out = ArrayBuffer[String]()
+    patterns.foreach { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      Option(fs.globStatus(path)).getOrElse(Array.empty).foreach { s =>
+        val n = s.getPath.getName
+        if (!n.startsWith("_") && !n.endsWith(".tmp")) out += s.getPath.toString
+      }
+    }
+    out.toSeq.distinct
+  }
+}

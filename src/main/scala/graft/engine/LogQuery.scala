@@ -1,0 +1,108 @@
+package graft.engine
+
+import graft.boom.BoomDataSource
+import graft.core.LogLine
+import graft.functions.functions.format_log_date
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The whole query pipeline of the reference's four CLI tools as ONE declarative
+  * Spark plan — scan → time filter → content predicate → date-format projection
+  * → global sort → single output column — replacing the reference's two-stage
+  * MapReduce-scan + Pig-sort architecture (logtools/LogTools.java:196-510,
+  * pig/formatAndSort.pg).
+  *
+  * {{{
+  * LogQuery(root = "/srv", dc = "99", service = "svc", component = "comp")
+  *   .range(startMs, endMs)
+  *   .where(Search("needle", caseInsensitive = true))
+  *   .formatted(spark)          // ordered Dataset of final formatted lines
+  * }}}
+  *
+  * Catalyst handles what the reference hand-built: the time filter and
+  * substring predicates push into the boom scan (block skip + during-decode
+  * test), the final `orderBy` is a range-partitioned sort (Pig's sampled
+  * ORDER BY), and everything before it is shuffle-free narrow work.
+  */
+case class LogQuery(
+    root: String = "",
+    dc: String = "*",
+    service: String = "*",
+    component: String = "*",
+    startMs: Long = Long.MinValue,
+    endMs: Long = Long.MaxValue,
+    predicate: LogPredicate = MatchAll,
+    dateFormat: String = "RFC5424",
+    paths: Seq[String] = Nil) {
+
+  def range(start: Long, end: Long): LogQuery = copy(startMs = start, endMs = end)
+  def where(p: LogPredicate): LogQuery = copy(predicate = p)
+  def withDateFormat(f: String): LogQuery = copy(dateFormat = f)
+  /** Bypass the catalog and read explicit files/dirs. */
+  def fromPaths(ps: Seq[String]): LogQuery = copy(paths = ps)
+
+  def resolvePaths(spark: SparkSession): Seq[String] = {
+    if (paths.nonEmpty) return paths
+    require(startMs != Long.MinValue && endMs != Long.MaxValue,
+      "catalog-based queries need a bounded time range: call .range(startMs, endMs) " +
+        "or read explicit paths with .fromPaths(...)")
+    LogCatalog.resolve(
+      spark.sessionState.newHadoopConf(), root, dc, service, component, startMs, endMs)
+  }
+
+  /** The filtered log-line table (time range + content predicate applied). */
+  def lines(spark: SparkSession): Dataset[LogLine] = {
+    import spark.implicits._
+    val inputs = resolvePaths(spark)
+    if (inputs.isEmpty) {
+      spark.emptyDataset[LogLine]
+    } else {
+      var df = spark.read.format("boom").load(inputs: _*)
+      if (startMs != Long.MinValue) df = df.filter(col("timestamp") >= startMs)
+      if (endMs != Long.MaxValue) df = df.filter(col("timestamp") < endMs)
+      df.filter(predicate.toColumn(col("message"))).as[LogLine]
+    }
+  }
+
+  /** Pig formatAndSort stage (pig/formatAndSort.pg:24-47): quarantine rows
+    * with null sort keys, project `CONCAT(DateFormatter(time), ' ', message)`,
+    * drop null-formatted rows, ORDER BY the canonical key, keep only the
+    * formatted column.
+    */
+  def formatted(spark: SparkSession): Dataset[String] = {
+    import spark.implicits._
+    LogQuery.formatAndSort(lines(spark).toDF(), dateFormat).as[String]
+  }
+
+  /** Formatted lines collected to the driver — the `logcat`-to-stdout path.
+    * Streams partitions in order; never materializes the whole result.
+    */
+  def printTo(spark: SparkSession, out: String => Unit): Long = {
+    var n = 0L
+    formatted(spark).toLocalIterator().forEachRemaining { s => out(s); n += 1 }
+    n
+  }
+}
+
+object LogQuery {
+  /** The sort-and-format stage as a standalone transformation (usable on any
+    * DataFrame with the LogLine columns).
+    */
+  def formatAndSort(df: DataFrame, dateFormat: String = "RFC5424"): DataFrame = {
+    val sortCols = Seq("timestamp", "createTime", "blockNumber", "lineNumber")
+    val good = sortCols.map(col(_).isNotNull).reduce(_ && _)
+    df.filter(good)
+      .withColumn("formatted",
+        concat(format_log_date(col("timestamp"), dateFormat), lit(" "), col("message")))
+      .filter(col("formatted").isNotNull)
+      .orderBy(sortCols.map(col): _*)
+      .select("formatted")
+  }
+
+  /** Rows with null sort keys — the Pig `bad_data` split (formatAndSort.pg:24-38). */
+  def badData(df: DataFrame): DataFrame = {
+    val sortCols = Seq("timestamp", "createTime", "blockNumber", "lineNumber")
+    df.filter(sortCols.map(col(_).isNull).reduce(_ || _))
+  }
+}

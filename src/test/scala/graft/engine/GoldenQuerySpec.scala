@@ -1,0 +1,92 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths}
+
+import scala.io.Source
+import scala.util.Using
+
+import graft.SparkTestBase
+
+/** End-to-end golden tests replaying the reference's own test matrix
+  * (testcases/logsearch/logsearch.test.script.sh) against its shipped Boom
+  * fixture and golden output files — the complete pipeline: catalog
+  * resolution → boom scan → predicate → date format → global sort.
+  */
+class GoldenQuerySpec extends SparkTestBase {
+
+  private val refBase = "/root/reference/testcases/logsearch"
+  private val startMs = 1330423200000L // Feb 28, 2012 10:00 UTC
+  private val endMs = 1330426800000L   // Feb 28, 2012 11:00 UTC
+
+  /** The fixture tree lacks the /service/<dc> prefix the catalog expects
+    * (the reference's test script uploads it to /service/99/...); recreate
+    * that layout with a symlink under target/.
+    */
+  private lazy val fixtureRoot: String = {
+    val root = Paths.get("target/golden-fixture").toAbsolutePath
+    val dcDir = root.resolve("service/99")
+    Files.createDirectories(dcDir)
+    val link = dcDir.resolve("logsearch-testservice")
+    if (!Files.exists(link)) {
+      Files.createSymbolicLink(link, Paths.get(s"$refBase/logsearch-testservice"))
+    }
+    root.toString
+  }
+
+  private def golden(name: String): Seq[String] =
+    Using.resource(Source.fromFile(s"$refBase/reference-files/$name")("UTF-8"))(_.getLines().toSeq)
+
+  private def run(p: LogPredicate): Seq[String] =
+    LogQuery(root = fixtureRoot, dc = "99", service = "logsearch-testservice",
+      component = "logsearch-test")
+      .range(startMs, endMs)
+      .where(p)
+      .formatted(spark)
+      .collect()
+      .toSeq
+
+  test("logcat golden") {
+    assert(run(MatchAll) === golden("logcat-reference.txt"))
+  }
+
+  test("logsearch golden (25 searches, logsearch.test.script.sh:48-72)") {
+    val searches = Seq(
+      ("test", false), ("TEST", false),
+      ("ä", false), ("Ä", false), ("ä", true),
+      ("fenêtre", false), ("FENÊTRE", false), ("feNêtRe", true),
+      ("человек", false), ("ЧЕЛОВЕК", false), ("ЧЕЛовЕК", true),
+      ("رجل", false), ("رجل", true),
+      ("αβγδε", false), ("ΑΒΓΔΕ", false), ("αβγΔΕ", true),
+      ("#!A", false), ("#!a", true),
+      ("^X", false), ("^x", true),
+      ("3.14159265358979", false), ("1.602E-19", false),
+      ("1.602x10^-19", false), ("123,456,789.00", false),
+      ("2012-02-28T10:00:01Z", false))
+    val out = searches.flatMap { case (term, ci) => run(Search(term, ci)) }
+    assert(out === golden("logsearch-reference.txt"))
+  }
+
+  test("loggrep golden (5 regexes, logsearch.test.script.sh:100-104)") {
+    val greps = Seq(
+      ("^THIS IS A TEST MESSAGE", true),
+      ("^This", false),
+      ("c?n", false),
+      ("c*n", false),
+      ("αβγδε|человек|fenêtre|ä|رجل", false))
+    val out = greps.flatMap { case (re, ci) => run(Grep(re, ci)) }
+    assert(out === golden("loggrep-reference.txt"))
+  }
+
+  test("logmultisearch golden (OR/AND × case, logsearch.test.script.sh:116-119)") {
+    def terms(f: String): Seq[String] =
+      LogPredicate.termsFromText(Files.readString(Paths.get(s"$refBase/$f")))
+    val or = terms("logmultisearch-strings-OR.txt")
+    val and = terms("logmultisearch-strings-AND.txt")
+    val out =
+      run(MultiSearch(or, matchAll = false, caseInsensitive = false)) ++
+      run(MultiSearch(or, matchAll = false, caseInsensitive = true)) ++
+      run(MultiSearch(and, matchAll = true, caseInsensitive = false)) ++
+      run(MultiSearch(and, matchAll = true, caseInsensitive = true))
+    assert(out === golden("logmultisearch-reference.txt"))
+  }
+}
