@@ -1,0 +1,156 @@
+package graft.ops
+
+import graft.functions.TextFunctions.simhash64
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for 100 TB-scale corpora. Every pipeline here is
+  * shaped as: narrow per-row signature → ONE shuffle on a blocking key →
+  * within-bucket candidate pairs → narrow verification. No cross join ever
+  * touches the full corpus; the only quadratic work is inside hash buckets,
+  * which stay small under any reasonable signature scheme, and skewed buckets
+  * are handled by AQE.
+  */
+object Dedup {
+
+  /** Exact text dedup via content hash: one groupBy on a 128-bit hash of the
+    * text (hashing first keeps the shuffle narrow — 16 bytes/row instead of
+    * the document body).
+    */
+  def exactByText(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__h", md5(col(textCol).cast("binary")))
+      .groupBy(col("__h").as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Surviving rows after exact text dedup (keep-first-by-id). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol).cast("binary"))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** (id, sh) with sh = distinct shingle hashes, built as staged projections. */
+  private[ops] def shingleHashSets(
+      df: DataFrame, idCol: String, textCol: String, shingleK: Int): DataFrame =
+    df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("id"), TextAnalysis.shinglesFromTokens(col("toks"), shingleK).as("sstr"))
+      .select(col("id"), TextAnalysis.shingleHashesFromShingles(col("sstr")).as("sh"))
+
+  /** MinHash signature: `numHashes` permutation-minima over the distinct
+    * shingle hashes. Pure expression pipeline — each signature position is
+    * `min_s xxhash64(s, seed_i)`, all codegen'd, no UDF.
+    */
+  def minhashSignature(shingleHashes: Column, numHashes: Int = 64): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingleHashes, h => xxhash64(h, lit(i))))
+    }: _*)
+
+  /** LSH band keys: hash `rowsPerBand`-sized signature slices. Two documents
+    * land in the same bucket for band b iff that band of their signatures
+    * matches exactly — the standard banding construction.
+    */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",", slice(signature, b * rowsPerBand + 1, rowsPerBand)))
+          .as("key"))
+    }: _*)
+
+  /** Near-duplicate candidate pairs by MinHash + LSH.
+    *
+    * @return (id_a, id_b, est_jaccard) with id_a < id_b, est_jaccard =
+    *         matching-signature-position fraction, filtered to ≥ `threshold`.
+    */
+  def minhashDupePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    // Staged projections: tokens → shingles → shingle hashes → signature.
+    // Each stage references the previous MATERIALIZED column, so the 64
+    // signature positions share one shingle computation instead of each
+    // re-deriving it (CollapseProject keeps non-cheap projections apart).
+    val sigs = shingleHashSets(df, idCol, textCol, shingleK)
+      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+    val banded = sigs
+      .select(col("id"), col("sig"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
+
+    val a = banded.select(col("band"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / numHashes).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** SimHash near-dup candidate pairs: 64-bit signatures, blocked on 4×16-bit
+    * sub-signatures (any pair within Hamming distance 3 must agree on at least
+    * one block — pigeonhole), verified by exact Hamming distance.
+    */
+  def simhashDupePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      simhash64(TextAnalysis.tokens(col(textCol))).as("sig"))
+    val blocked = sigs.select(col("id"), col("sig"),
+      explode(array((0 until 4).map { blk =>
+        struct(lit(blk).as("blk"),
+          shiftright(col("sig"), blk * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.blk"), col("bk.key"))
+    val a = blocked.select(col("blk"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = blocked.select(col("blk"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("blk", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Exact n-gram Jaccard similarity pairs, LSH-blocked (the verification
+    * stage of minhash dedup): joins candidate pairs back to their distinct
+    * shingle-hash sets and computes true |∩|/|∪|.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val sets = shingleHashSets(df, idCol, textCol, shingleK)
+    val candidates = minhashDupePairs(df, idCol, textCol, shingleK,
+      numHashes = 64, bands = 16, threshold = math.max(0.0, threshold - 0.2))
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ threshold, blocked by random-
+    * hyperplane LSH (see [[Similarity.hyperplaneBuckets]]).
+    */
+  def embeddingDupePairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      planes: Int = 12,
+      seed: Long = 42L): DataFrame =
+    Similarity.cosinePairsLsh(df, idCol, vecCol, threshold, planes, seed)
+}

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization, language
+  * ID, quality scoring, fingerprinting. All pure `Column` compositions
+  * (codegen'd, shuffle-free, scale-independent) — each runs as a narrow
+  * map over the documents table no matter the data size.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, lowercased, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Simple whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count approximation: letter runs, digit runs, punctuation
+    * runs and contractions count separately (the standard GPT-2-style pretoken
+    * split, approximated as a regex count).
+    */
+  def subwordCountApprox(text: Column): Column =
+    size(filter(
+      split(text, "(?=\\s)|(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})|(?<=[\\p{L}\\p{N}])(?=\\p{P})|(?<=\\p{P})(?=[\\p{L}\\p{N}])"),
+      t => length(trim(t)) > 0))
+
+  /** Stopword profiles for the language-ID heuristic (top function words;
+    * public-knowledge lists).
+    */
+  val StopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "un", "une", "pour", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "un", "una", "para", "en"),
+    "ru" -> Seq("и", "в", "не", "на", "что", "это", "с", "по", "как", "из"))
+
+  /** Per-language stopword-hit score columns. */
+  def langScores(text: Column): Map[String, Column] = {
+    val toks = tokens(text)
+    StopwordProfiles.map { case (lang, words) =>
+      lang -> size(array_intersect(toks, array(words.map(lit): _*)))
+    }
+  }
+
+  /** Heuristic language guess: argmax stopword hits, `und` (undetermined) when
+    * nothing matches. Ties break deterministically by (score, language-code).
+    */
+  def langId(text: Column): Column = {
+    val scored = langScores(text).toSeq.sortBy(_._1).map { case (lang, score) =>
+      struct(score.as("score"), lit(lang).as("lang"))
+    }
+    when(greatest(scored: _*).getField("score") > 0,
+      greatest(scored: _*).getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality metrics struct: character/token counts, type-token ratio,
+    * alpha/punct/digit character fractions, mean token length, stopword
+    * fraction — the usual cheap pre-training quality filters.
+    */
+  def qualityMetrics(text: Column): Column = {
+    val toks = tokens(text)
+    val nChars = length(text)
+    val nTokens = size(toks)
+    val nAlpha = length(regexp_replace(text, "[^\\p{L}]", ""))
+    val nDigit = length(regexp_replace(text, "[^0-9]", ""))
+    val nPunct = length(regexp_replace(text, "[^\\p{Punct}]", ""))
+    val nUniq = size(array_distinct(toks))
+    val enStops = array(StopwordProfiles("en").map(lit): _*)
+    val nStop = size(array_intersect(toks, enStops))
+    struct(
+      nChars.as("n_chars"),
+      nTokens.as("n_tokens"),
+      nUniq.as("n_uniq_tokens"),
+      round(nUniq.cast("double") / greatest(nTokens, lit(1)), 4).as("type_token_ratio"),
+      round(nAlpha.cast("double") / greatest(nChars, lit(1)), 4).as("alpha_frac"),
+      round(nDigit.cast("double") / greatest(nChars, lit(1)), 4).as("digit_frac"),
+      round(nPunct.cast("double") / greatest(nChars, lit(1)), 4).as("punct_frac"),
+      round(nChars.cast("double") / greatest(nTokens, lit(1)), 2).as("mean_token_len"),
+      (nStop > 0).as("has_en_stopwords"))
+  }
+
+  /** Overall [0,1] quality score from the metrics (weights are heuristic). */
+  def qualityScore(text: Column): Column = {
+    val m = qualityMetrics(text)
+    round(
+      least(lit(1.0), m.getField("alpha_frac") * 0.5
+        + m.getField("type_token_ratio") * 0.3
+        + when(m.getField("has_en_stopwords"), 0.2).otherwise(0.0)), 4)
+  }
+
+  /** Word k-shingles over an already-materialized token-array column.
+    *
+    * IMPORTANT staging note: pass an *attribute* (a selected column), not the
+    * `tokens(text)` expression — inlining a non-trivial expression here makes
+    * every shingle re-derive it (Catalyst doesn't CSE inside higher-order
+    * lambdas). See [[Dedup.minhashDupePairs]] for the staged pattern.
+    */
+  def shinglesFromTokens(toks: Column, k: Int = 3): Column =
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+
+  /** Word k-shingles of the text (small-expression convenience; for hot paths
+    * stage via [[shinglesFromTokens]]).
+    */
+  def shingles(text: Column, k: Int = 3): Column =
+    shinglesFromTokens(tokens(text), k)
+
+  /** Distinct 64-bit shingle hashes — the input to minhash. */
+  def shingleHashes(text: Column, k: Int = 3): Column =
+    array_distinct(transform(shingles(text, k), s => xxhash64(s)))
+
+  /** Distinct shingle hashes from a materialized shingle-strings column. */
+  def shingleHashesFromShingles(shingleStrs: Column): Column =
+    array_distinct(transform(shingleStrs, s => xxhash64(s)))
+
+  /** Rolling-content fingerprint: stable 64-bit hash of the token stream
+    * (whitespace-normalization-invariant, unlike hashing the raw text).
+    */
+  def fingerprint(text: Column): Column = xxhash64(concat_ws(" ", tokens(text)))
+}

@@ -1,0 +1,164 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions.simhash64
+
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog while the " +
+    "morning sun rises slowly over the quiet green valley below"
+  private lazy val docs = Seq(
+    (1L, base),
+    (2L, base),                               // exact dup of 1
+    (3L, base.replace("jumps", "leaps")),     // near dup: 1-word edit in 21 tokens
+    (4L, "completely different content about spark engines"),
+    (5L, "spark engines are completely different content about")) // shares shingles with 4
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps first id per content") {
+    val kept = Dedup.exactDedup(docs, "doc_id", "text").select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 3L, 4L, 5L))
+  }
+
+  test("exactByText counts copies") {
+    val m = Dedup.exactByText(docs, "doc_id", "text")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(m(1L) === 2L)
+    assert(m(3L) === 1L)
+  }
+
+  test("minhash finds exact and near duplicates") {
+    val pairs = Dedup.minhashDupePairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))           // identical → est_jaccard 1.0
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // 1-word edit
+    assert(!pairs.exists(p => p._2 == 4L && p._1 <= 3L))
+  }
+
+  test("simhash hamming 0 for identical docs, small for near dups") {
+    val sigs = docs.select($"doc_id", simhash64(TextAnalysis.tokens($"text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) < 16)
+    val pairs = Dedup.simhashDupePairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard verification is exact") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),   // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.95f, 0.05f)), // close to 2
+    (4L, Array(-1.0f, 0.0f, 0.0f)))  // opposite of 0
+    .toDF("vec_id", "embedding")
+
+  test("cosine expression") {
+    val c = vecs.where($"vec_id" === 0)
+      .crossJoin(vecs.where($"vec_id" === 4).select($"embedding".as("e2")))
+      .select(Similarity.cosine($"embedding", $"e2")).as[Double].head()
+    assert(math.abs(c + 1.0) < 1e-6)
+  }
+
+  test("brute-force top-k ranks by cosine") {
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      vecs.where($"vec_id" === 0), "vec_id", "embedding", k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(top.head === 1L) // most similar first
+  }
+
+  test("lsh top-k finds the near neighbor") {
+    val top = Similarity.lshTopK(vecs, "vec_id", "embedding",
+      vecs.where($"vec_id" === 0), "vec_id", "embedding", k = 2, planes = 4, probes = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(top.contains(1L))
+  }
+
+  test("cosine pairs via lsh finds identical vectors") {
+    val dup = vecs.unionByName(
+      vecs.where($"vec_id" === 0).withColumn("vec_id", lit(100L)))
+    val pairs = Similarity.cosinePairsLsh(dup, "vec_id", "embedding", 0.999, planes = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 100L)))
+  }
+}
+
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("langId picks the stopword-matching language") {
+    val df = Seq(
+      (1L, "the cat and the dog in a house"),
+      (2L, "der Hund und die Katze ist nicht hier"),
+      (3L, "le chat et la fenêtre est dans un jardin"),
+      (4L, "xyzzy qwerty asdf")).toDF("id", "text")
+    val got = df.select($"id", TextAnalysis.langId($"text")).as[(Long, String)].collect().toMap
+    assert(got(1L) === "en")
+    assert(got(2L) === "de")
+    assert(got(3L) === "fr")
+    assert(got(4L) === "und")
+  }
+
+  test("token counting and quality metrics") {
+    val df = Seq((1L, "Hello world  foo")).toDF("id", "text")
+    assert(df.select(TextAnalysis.tokenCount($"text")).as[Int].head() === 3)
+    val m = df.select(TextAnalysis.qualityMetrics($"text").as("m")).select("m.*")
+    val row = m.head()
+    assert(row.getAs[Int]("n_tokens") === 3)
+    assert(row.getAs[Int]("n_uniq_tokens") === 3)
+  }
+
+  test("fingerprint is whitespace-normalization invariant") {
+    val df = Seq((1L, "a b  c"), (2L, "a b c"), (3L, "a b d")).toDF("id", "text")
+    val fps = df.select($"id", TextAnalysis.fingerprint($"text")).as[(Long, Long)].collect().toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+  }
+
+  test("shingles") {
+    val df = Seq((1L, "a b c d")).toDF("id", "text")
+    val sh = df.select(TextAnalysis.shingles($"text", 3)).as[Seq[String]].head()
+    assert(sh === Seq("a b c", "b c d"))
+    val short = Seq((1L, "a b")).toDF("id", "text")
+      .select(TextAnalysis.shingles($"text", 3)).as[Seq[String]].head()
+    assert(short === Seq("a b"))
+  }
+}
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("feature extraction preserves ids and emits fixed-dim vectors") {
+    val media = Multimodal.syntheticMedia(spark, 20)
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.count() === 20)
+    val row = feats.orderBy("media_id").head()
+    assert(row.getAs[Seq[Float]]("features").size === Multimodal.featureDim)
+    // Deterministic: same input → same features
+    val f1 = Multimodal.extractFeatures(media).orderBy("media_id")
+      .select("features").as[Seq[Float]].head()
+    val f2 = Multimodal.extractFeatures(media).orderBy("media_id")
+      .select("features").as[Seq[Float]].head()
+    assert(f1 === f2)
+  }
+
+  test("frame sampling explodes video durations") {
+    val media = Multimodal.syntheticMedia(spark, 20)
+    val frames = Multimodal.sampleFrames(media, everyMs = 1000L)
+    val perVideo = frames.groupBy("media_id").count().select("count").as[Long].collect()
+    assert(perVideo.nonEmpty && perVideo.forall(_ === 5L)) // 5000ms / 1000ms
+  }
+}
