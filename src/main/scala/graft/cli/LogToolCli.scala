@@ -1,0 +1,194 @@
+package graft.cli
+
+import java.nio.file.{Files, Paths}
+import java.time.format.DateTimeFormatter
+import java.time.{LocalDate, LocalDateTime, ZoneOffset}
+import java.util.Locale
+
+import graft.engine._
+
+import org.apache.spark.sql.SparkSession
+
+/** Argument-compatible command-line front-ends for the reference's four query
+  * tools (logtools/logcat.java, loggrep.java, logsearch.java,
+  * logmultisearch.java):
+  *
+  * {{{
+  *   logcat         -dc=99 -svc=svc -comp=comp -start='Feb 28, 2012 10:00' -end=...
+  *   loggrep        ... -regex=R [--i]
+  *   logsearch      ... -string=S [--i]
+  *   logmultisearch ... -strings=FILE [--i] [--a]
+  * }}}
+  *
+  * Shared conventions replicated (LogTools.java): argument order independent;
+  * stdout by default with results between `;#### DATA RESULTS ####` markers,
+  * `;`-prefixed status lines on stderr; `--out=DIR` writes files instead;
+  * `--dateFormat=` (RFC822 | RFC822_SEC_UTC | RFC3164 | RFC5424 | pattern);
+  * times accepted as 13-digit epoch millis or common date strings
+  * (LogTools.parseDate shelled out to date(1); we parse with java.time);
+  * `--silent` suppresses status; exit 1 on failure. `--v --r --l --log`
+  * are accepted no-ops (sort-mode selection is meaningless under Spark —
+  * SURVEY.md §2.5 O3).
+  *
+  * The catalog root defaults to `/` (i.e. paths like `/service/<dc>/...`) and
+  * can be overridden with `--root=` or `GRAFT_LOG_ROOT`.
+  *
+  * NOTE: on hosts with a POSIX locale, run under `LANG=C.UTF-8` (or any UTF-8
+  * locale) — JVM argv decoding (`sun.jnu.encoding`) is fixed before `-D`
+  * flags apply, and non-ASCII search terms arrive mangled otherwise.
+  */
+object LogToolCli {
+
+  case class Args(
+      dc: String = null, svc: String = null, comp: String = null,
+      startMs: Long = Long.MinValue, endMs: Long = Long.MaxValue,
+      string: String = null, regex: String = null, strings: String = null,
+      caseInsensitive: Boolean = false, matchAll: Boolean = false,
+      out: String = null, dateFormat: String = "RFC5424",
+      root: String = sys.env.getOrElse("GRAFT_LOG_ROOT", ""),
+      silent: Boolean = false)
+
+  def parseArgs(argv: Array[String], tool: String): Args = {
+    var a = Args()
+    argv.foreach {
+      case "--i" => a = a.copy(caseInsensitive = true)
+      case "--a" => a = a.copy(matchAll = true)
+      case "--silent" => a = a.copy(silent = true)
+      case "--v" | "--r" | "--l" | "--log" => () // accepted no-ops
+      case s if s.startsWith("-dc=") => a = a.copy(dc = s.drop(4))
+      case s if s.startsWith("-svc=") => a = a.copy(svc = s.drop(5))
+      case s if s.startsWith("-comp=") => a = a.copy(comp = s.drop(6))
+      case s if s.startsWith("-start=") => a = a.copy(startMs = parseDate(s.drop(7)))
+      case s if s.startsWith("-end=") => a = a.copy(endMs = parseDate(s.drop(5)))
+      case s if s.startsWith("-string=") => a = a.copy(string = s.drop(8))
+      case s if s.startsWith("-regex=") => a = a.copy(regex = s.drop(7))
+      case s if s.startsWith("-strings=") => a = a.copy(strings = s.drop(9))
+      case s if s.startsWith("--out=") => a = a.copy(out = s.drop(6))
+      case s if s.startsWith("--dateFormat=") => a = a.copy(dateFormat = s.drop(13))
+      case s if s.startsWith("--root=") => a = a.copy(root = s.drop(7))
+      case s if s.startsWith("-D") => () // hadoop-style conf passthrough: ignored
+      case other => die(s"$tool: unrecognized argument: $other")
+    }
+    if (a.dc == null || a.svc == null || a.comp == null) {
+      die(s"$tool: -dc, -svc and -comp are required")
+    }
+    if (a.startMs == Long.MinValue || a.endMs == Long.MaxValue) {
+      die(s"$tool: -start and -end are required")
+    }
+    if (a.startMs >= a.endMs) die(s"$tool: start must be before end")
+    a
+  }
+
+  /** 13-digit epoch ms, epoch seconds, ISO datetime/date, or the
+    * `MMM d, yyyy HH:mm` style the reference's test scripts use.
+    */
+  def parseDate(s: String): Long = {
+    val trimmed = s.trim
+    if (trimmed.matches("\\d{13}")) return trimmed.toLong
+    if (trimmed.matches("\\d{10}")) return trimmed.toLong * 1000L
+    val patterns = Seq(
+      "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd HH:mm",
+      "MMM d, yyyy HH:mm", "MMM d yyyy HH:mm")
+    patterns.foreach { p =>
+      try {
+        return LocalDateTime.parse(trimmed, DateTimeFormatter.ofPattern(p, Locale.ROOT))
+          .toEpochSecond(ZoneOffset.UTC) * 1000L
+      } catch { case _: Exception => () }
+    }
+    try {
+      return LocalDate.parse(trimmed, DateTimeFormatter.ofPattern("yyyy-MM-dd"))
+        .atStartOfDay.toEpochSecond(ZoneOffset.UTC) * 1000L
+    } catch { case _: Exception => () }
+    die(s"cannot parse date: $s")
+  }
+
+  private def die(msg: String): Nothing = {
+    System.err.println(s";$msg")
+    sys.exit(1)
+  }
+
+  def session(): SparkSession = {
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("GRAFT_SPARK_MASTER", "local[*]"))
+      .appName("graft-logtool")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  def run(tool: String, argv: Array[String], predicate: Args => LogPredicate): Unit = {
+    val a = parseArgs(argv, tool)
+    val spark = session()
+    try {
+      val q = LogQuery(root = a.root, dc = a.dc, service = a.svc, component = a.comp,
+        dateFormat = a.dateFormat)
+        .range(a.startMs, a.endMs)
+        .where(predicate(a))
+      if (!a.silent) System.err.println(s";Running $tool against ${q.resolvePaths(spark).size} files")
+      if (a.out != null) {
+        q.formatted(spark).write.mode("overwrite").text(a.out)
+        if (!a.silent) System.err.println(s";Results written to ${a.out}")
+      } else {
+        println(";#### DATA RESULTS ####")
+        val n = q.printTo(spark, println)
+        println(";#### DATA RESULTS ####")
+        if (!a.silent) System.err.println(s";$n results")
+      }
+    } catch {
+      case e: Exception =>
+        System.err.println(s";$tool failed: ${e.getMessage}")
+        sys.exit(1)
+    } finally spark.stop()
+  }
+
+  /** Multisearch terms: inline string, file, or directory of files, CRLF
+    * tolerated (logmultisearch.java:239-283 + dos2unix LogTools.java:576-586).
+    */
+  def loadTerms(spec: String): Seq[String] = {
+    val p = Paths.get(spec)
+    if (Files.isDirectory(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.list(p).iterator().asScala.toSeq.sortBy(_.toString).flatMap { f =>
+        LogPredicate.termsFromText(new String(Files.readAllBytes(f), "UTF-8"))
+      }
+    } else if (Files.exists(p)) {
+      LogPredicate.termsFromText(new String(Files.readAllBytes(p), "UTF-8"))
+    } else {
+      LogPredicate.termsFromText(spec)
+    }
+  }
+}
+
+object logcat {
+  def main(argv: Array[String]): Unit =
+    LogToolCli.run("logcat", argv, _ => MatchAll)
+}
+
+object loggrep {
+  def main(argv: Array[String]): Unit =
+    LogToolCli.run("loggrep", argv, a => {
+      if (a.regex == null) { System.err.println(";loggrep: -regex is required"); sys.exit(1) }
+      Grep(a.regex, a.caseInsensitive)
+    })
+}
+
+object logsearch {
+  def main(argv: Array[String]): Unit =
+    LogToolCli.run("logsearch", argv, a => {
+      if (a.string == null) { System.err.println(";logsearch: -string is required"); sys.exit(1) }
+      Search(a.string, a.caseInsensitive)
+    })
+}
+
+object logmultisearch {
+  def main(argv: Array[String]): Unit =
+    LogToolCli.run("logmultisearch", argv, a => {
+      if (a.strings == null) { System.err.println(";logmultisearch: -strings is required"); sys.exit(1) }
+      MultiSearch(LogToolCli.loadTerms(a.strings), a.matchAll, a.caseInsensitive)
+    })
+}

@@ -1,0 +1,254 @@
+package graft.maintenance
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.core.LogLine
+import graft.engine.{Ingest, Reporting}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+class FilterConfigSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private val yaml =
+    """filters:
+      |  - "web-.*":
+      |    - { type: regex,       pattern: "ERROR.*" }
+      |    - { type: stringmatch, pattern: "WARN" }
+      |  - "web-special":
+      |    - { type: dropall }
+      |  - "db-.*":
+      |    - { type: keepall }
+      |  - "tmp-.*":
+      |    - { type: dropall }
+      |""".stripMargin
+
+  test("first matching conf set wins (reference break FILTERS)") {
+    // web-special matches "web-.*" first, so the dropall set is never reached
+    val chain = FilterConfig.loadFilters("web-special", yaml)
+    assert(chain.filters === Seq(RegexFilter("ERROR.*"), StringMatchFilter("WARN")))
+  }
+
+  test("keepall / dropall chains flagged for fast paths") {
+    assert(FilterConfig.loadFilters("db-main", yaml).keepsAll)
+    assert(FilterConfig.loadFilters("tmp-x", yaml).dropsAll)
+    assert(!FilterConfig.loadFilters("web-a", yaml).keepsAll)
+  }
+
+  test("no matching component yields empty chain") {
+    assert(FilterConfig.loadFilters("other", yaml).filters.isEmpty)
+  }
+
+  test("malformed items are skipped like the reference") {
+    val bad =
+      """filters:
+        |  - "c":
+        |    - { type: regex }
+        |    - { pattern: "x" }
+        |    - { type: bogus, pattern: "y" }
+        |    - { type: stringmatch, pattern: "ok" }
+        |""".stripMargin
+    assert(FilterConfig.loadFilters("c", bad).filters === Seq(StringMatchFilter("ok")))
+  }
+}
+
+class LogMaintenanceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def mkLines(n: Int, baseTs: Long): Seq[LogLine] =
+    (0 until n).map(i => LogLine(baseTs + i * 10L, s"line $i level=${if (i % 3 == 0) "ERROR" else "INFO"}", 0, baseTs, i / 100L, i % 100 + 1L))
+
+  private def newPartitionDir(): String = {
+    val dir = Files.createTempDirectory("maint").toString
+    // several small incoming drops, as the reference's uploaders produce
+    (0 until 3).foreach { d =>
+      Ingest.write(mkLines(100, 1700000000000L + d * 10000L).toDF().coalesce(1),
+        s"$dir/incoming/upload-$d")
+    }
+    dir
+  }
+
+  test("merge compacts incoming into data with _READY marker") {
+    val dir = newPartitionDir()
+    LogMaintenance.merge(spark, dir)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new Path(dir, "data/_READY")))
+    assert(!fs.exists(new Path(dir, "incoming")))
+    assert(spark.read.format("boom").load(s"$dir/data").count() === 300)
+  }
+
+  test("filterArchive keeps only matching lines") {
+    val dir = newPartitionDir()
+    LogMaintenance.merge(spark, dir)
+    val yaml =
+      """filters:
+        |  - ".*":
+        |    - { type: stringmatch, pattern: "ERROR" }
+        |""".stripMargin
+    LogMaintenance.filterArchive(spark, dir, "comp", yaml)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new Path(dir, "data")))
+    val archived = spark.read.format("boom").load(s"$dir/archive")
+    assert(archived.count() === 102) // 34 ERROR lines per 100-line drop
+    assert(archived.where(!col("message").contains("ERROR")).count() === 0)
+  }
+
+  test("keepall fast-path renames without rewrite; dropall deletes") {
+    val keep = newPartitionDir()
+    LogMaintenance.merge(spark, keep)
+    val fs = new Path(keep).getFileSystem(spark.sessionState.newHadoopConf())
+    val dataFiles = fs.listStatus(new Path(keep, "data"))
+      .map(_.getPath.getName).filterNot(_.startsWith("_")).toSet
+    LogMaintenance.filterArchive(spark, keep, "c",
+      "filters:\n  - \".*\":\n    - { type: keepall }\n")
+    val archiveFiles = fs.listStatus(new Path(keep, "archive")).map(_.getPath.getName).toSet
+    assert(archiveFiles === dataFiles) // byte-identical rename, same names
+
+    val drop = newPartitionDir()
+    LogMaintenance.merge(spark, drop)
+    LogMaintenance.filterArchive(spark, drop, "c",
+      "filters:\n  - \".*\":\n    - { type: dropall }\n")
+    assert(!fs.exists(new Path(drop, "data")))
+    assert(!fs.exists(new Path(drop, "archive")))
+  }
+
+  test("merge failure leaves no data loss (orphan recovery)") {
+    val dir = newPartitionDir()
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    // Simulate a dead run: stage incoming under working/ then recover.
+    fs.rename(new Path(dir, "incoming"), new Path(dir, "working/dead-run/incoming"))
+    assert(!fs.exists(new Path(dir, "incoming")))
+    LogMaintenance.resetOrphanedJobs(fs, dir)
+    assert(fs.exists(new Path(dir, "incoming")))
+    assert(!fs.exists(new Path(dir, "working/dead-run")))
+    LogMaintenance.merge(spark, dir)
+    assert(spark.read.format("boom").load(s"$dir/data").count() === 300)
+  }
+
+  test("retention deletes old date partitions only") {
+    val dir = Files.createTempDirectory("ret").toString
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("20240101", "20240110", "20240120", "not-a-date").foreach { d =>
+      fs.mkdirs(new Path(dir, d))
+    }
+    val nowMs = java.time.LocalDate.of(2024, 1, 21).atStartOfDay
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000L
+    val deleted = LogMaintenance.retentionDelete(fs, dir, daysToKeep = 10, nowMs = nowMs)
+    assert(deleted.map(p => new Path(p).getName).sorted === Seq("20240101", "20240110"))
+    assert(fs.exists(new Path(dir, "20240120")))
+    assert(fs.exists(new Path(dir, "not-a-date")))
+  }
+}
+
+class ReportingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val root: String = {
+    val dir = Files.createTempDirectory("report").toString
+    def touch(rel: String, size: Int): Unit = {
+      val p = new Path(dir, rel)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val out = fs.create(p, true)
+      out.write(new Array[Byte](size))
+      out.close()
+    }
+    touch("service/99/svc-a/logs/20240101/00/web/data/f1.bm", 100)
+    touch("service/99/svc-a/logs/20240101/01/web/data/f2.bm", 150)
+    touch("service/99/svc-a/logs/20240102/00/web/archive/f3.bm", 50)
+    touch("service/99/svc-a/logs/20240102/02/web/incoming/u1/f4", 30)
+    touch("service/99/svc-a/logs/20240101/00/db/data/f5.bm", 500)
+    touch("service/12/svc-b/logs/20240105/10/api/data/f6.bm", 77)
+    dir
+  }
+
+  test("fileListing parses partition coordinates") {
+    val l = Reporting.fileListing(spark, root)
+    assert(l.count() === 6)
+    val row = l.where(col("path").endsWith("f6.bm")).head()
+    assert(row.getAs[String]("dc") === "12")
+    assert(row.getAs[String]("service") === "svc-b")
+    assert(row.getAs[String]("date") === "20240105")
+    assert(row.getAs[String]("hour") === "10")
+    assert(row.getAs[String]("component") === "api")
+    assert(row.getAs[String]("branch") === "data")
+  }
+
+  test("indexLogs rollup matches reference columns") {
+    val idx = Reporting.indexLogs(Reporting.fileListing(spark, root))
+    val web = idx.where(col("component") === "web").head()
+    assert(web.getAs[String]("start_date") === "20240101")
+    assert(web.getAs[String]("end_date") === "20240102")
+    assert(web.getAs[String]("archive_date") === "20240102")
+    assert(web.getAs[Long]("total_size") === 330L)
+    assert(web.getAs[Long]("data_size") === 250L)
+    assert(web.getAs[Long]("incoming_size") === 30L)
+    assert(web.getAs[Long]("archive_size") === 50L)
+  }
+
+  test("unmerged flags hours with incoming but no data") {
+    val um = Reporting.unmerged(Reporting.fileListing(spark, root))
+      .select("date", "hour").as[(String, String)].collect().toSet
+    assert(um === Set(("20240102", "02")))
+  }
+
+  test("queryIndex filters and computes rates") {
+    val idx = Reporting.indexLogs(Reporting.fileListing(spark, root))
+    val q = Reporting.queryIndex(idx, dcRegex = "99", componentRegex = "web")
+    assert(q.count() === 1)
+    assert(q.head().getAs[Long]("bytes_per_day") === 125L) // 250 data bytes / 2 days
+  }
+
+  test("logStats per-hour volumes") {
+    val stats = Reporting.logStats(Reporting.fileListing(spark, root), "99", "svc-a", "web")
+    val byHour = stats.select("date", "hour", "bytes").as[(String, String, Long)].collect().toSet
+    assert(byHour === Set(("20240101", "00", 100L), ("20240101", "01", 150L),
+      ("20240102", "00", 50L), ("20240102", "02", 30L)))
+    assert(Reporting.renderStats(stats).nonEmpty)
+  }
+}
+
+class HFindSpec extends SparkTestBase {
+
+  test("time tests and regex over the listing") {
+    val dir = Files.createTempDirectory("hfind").toString
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(new Path(dir, "a/old.log"), true).close()
+    fs.create(new Path(dir, "a/new.txt"), true).close()
+    val now = System.currentTimeMillis()
+    fs.setTimes(new Path(dir, "a/old.log"), now - 5L * 24 * 3600 * 1000, -1)
+
+    val l = HFind.listing(spark, dir)
+    assert(l.where(!org.apache.spark.sql.functions.col("is_dir")).count() === 2)
+    val old = l.where(HFind.mtime("+3", now)).select("name")
+    assert(old.collect().map(_.getString(0)).toSeq === Seq("old.log"))
+    val logs = l.where(HFind.pathRegex(".*\\.log$")).select("name")
+    assert(logs.collect().map(_.getString(0)).toSeq === Seq("old.log"))
+
+    val deleted = HFind.delete(spark, l.where(HFind.pathRegex(".*\\.log$")))
+    assert(deleted === 1)
+    assert(!fs.exists(new Path(dir, "a/old.log")))
+  }
+}
+
+class CliParseSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.cli.LogToolCli
+
+  test("parseDate accepts epoch and common formats") {
+    assert(LogToolCli.parseDate("1330423200000") === 1330423200000L)
+    assert(LogToolCli.parseDate("1330423200") === 1330423200000L)
+    assert(LogToolCli.parseDate("Feb 28, 2012 10:00") === 1330423200000L)
+    assert(LogToolCli.parseDate("2012-02-28 10:00") === 1330423200000L)
+    assert(LogToolCli.parseDate("2012-02-28") === 1330387200000L)
+  }
+
+  test("parseArgs handles reference flag forms") {
+    val a = LogToolCli.parseArgs(Array(
+      "-dc=99", "-svc=s", "-comp=c", "--i",
+      "-start=1330423200000", "-end=1330426800000", "-string=x"), "logsearch")
+    assert(a.dc === "99" && a.caseInsensitive && a.string === "x")
+  }
+
+  test("loadTerms from inline string with CRLF") {
+    assert(LogToolCli.loadTerms("a\r\nb\nc") === Seq("a", "b", "c"))
+  }
+}
