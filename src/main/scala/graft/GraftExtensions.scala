@@ -1,0 +1,58 @@
+package graft
+
+import graft.functions.{CosineSimilarity, FormatLogDate, MinHashSignature, SimHash64}
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Registers the engine's native expressions for SQL use:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   // or: SparkSession.builder().withExtensions(new GraftExtensions()(_))
+  *   SELECT format_log_date(timestamp, 'RFC5424') FROM logs
+  *   SELECT simhash64(tokens), minhash_signature(hashes, 64) FROM docs
+  *   SELECT cosine_similarity(a.embedding, b.embedding) FROM ...
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def str(e: Expression, what: String): String = e match {
+    case Literal(v, _) if v != null => v.toString
+    case other => throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+  }
+
+  private def int(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("format_log_date"),
+      new ExpressionInfo(classOf[FormatLogDate].getName, "format_log_date"),
+      (args: Seq[Expression]) => args match {
+        case Seq(child, fmt) => FormatLogDate(child, str(fmt, "format"), "UTC")
+        case Seq(child, fmt, zone) => FormatLogDate(child, str(fmt, "format"), str(zone, "zone"))
+        case _ => throw new IllegalArgumentException(
+          "format_log_date(epochMs, format[, zone])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (args: Seq[Expression]) => args match {
+        case Seq(child) => MinHashSignature(child, 64)
+        case Seq(child, n) => MinHashSignature(child, int(n, "numHashes"))
+        case _ => throw new IllegalArgumentException("minhash_signature(hashes[, numHashes])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+  }
+}

@@ -113,17 +113,18 @@ class BoomTable(paths: Seq[String]) extends Table with SupportsRead with Support
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BoomScanBuilder(paths)
+    new BoomScanBuilder(paths, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new BoomWriteBuilder(paths, info)
 }
 
-class BoomScanBuilder(paths: Seq[String])
+class BoomScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var requiredSchema: StructType = LogLine.schema
@@ -167,7 +168,7 @@ class BoomScanBuilder(paths: Seq[String])
       maxTsExcl = maxTsExcl,
       contains = containsTerms.map(UTF8String.fromString),
       needMessage = requiredSchema.fieldNames.contains("message"))
-    new BoomScan(files, requiredSchema, pushdown,
+    new BoomScan(paths, files, requiredSchema, pushdown, options,
       new SerializableConfiguration(spark.sessionState.newHadoopConf()))
   }
 }
@@ -176,13 +177,19 @@ class BoomScanBuilder(paths: Seq[String])
 case class BoomInputPartition(files: Array[String], totalBytes: Long) extends InputPartition
 
 class BoomScan(
+    paths: Seq[String],
     files: Seq[FileStatus],
     requiredSchema: StructType,
     pushdown: BoomPushdown,
+    options: CaseInsensitiveStringMap,
     hconf: SerializableConfiguration) extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
+
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new BoomMicroBatchStream(paths, requiredSchema, options)
   override def description(): String =
     s"boom [${files.size} files, pushdown=$pushdown]"
 

@@ -38,13 +38,13 @@ object Dedup {
       .select(col("id"), TextAnalysis.shingleHashesFromShingles(col("sstr")).as("sh"))
 
   /** MinHash signature: `numHashes` permutation-minima over the distinct
-    * shingle hashes. Pure expression pipeline — each signature position is
-    * `min_s xxhash64(s, seed_i)`, all codegen'd, no UDF.
+    * shingle hashes, computed by the fused native expression
+    * ([[graft.functions.MinHashSignature]] — one pass over the shingle array
+    * for all positions; the composed `array_min(transform(...))`-per-seed
+    * formulation re-walks the array per position and benched 10×+ slower).
     */
   def minhashSignature(shingleHashes: Column, numHashes: Int = 64): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingleHashes, h => xxhash64(h, lit(i))))
-    }: _*)
+    graft.functions.TextFunctions.minhash_signature(shingleHashes, numHashes)
 
   /** LSH band keys: hash `rowsPerBand`-sized signature slices. Two documents
     * land in the same bucket for band b iff that band of their signatures

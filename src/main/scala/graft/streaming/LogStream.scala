@@ -1,0 +1,127 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.engine.LogPredicate
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming extension: the reference is batch-only (ingest is
+  * file drops + a cron maintenance loop — SURVEY.md §2.7), but its hourly
+  * partitions and quiesce-before-merge protocol are exactly the tumbling-
+  * window + watermark model, so streaming versions of the query surface come
+  * almost for free on `spark.readStream.format("boom")`.
+  */
+object LogStream {
+
+  /** Streaming log-line source over append-only Boom directories. */
+  def readBoom(spark: SparkSession, path: String, maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r = spark.readStream.format("boom")
+    (if (maxFilesPerTrigger > 0) r.option("maxFilesPerTrigger", maxFilesPerTrigger) else r)
+      .load(path)
+  }
+
+  /** Event-time column (epoch-ms long → TimestampType) for watermarking. */
+  def withEventTime(lines: DataFrame): DataFrame =
+    lines.withColumn("event_time", timestamp_millis(col("timestamp")))
+
+  /** Streaming grep/search: the same predicate surface as the batch tools,
+    * applied continuously.
+    */
+  def matching(lines: DataFrame, predicate: LogPredicate): DataFrame =
+    lines.where(predicate.toColumn(col("message")))
+
+  /** Windowed line counts with a watermark — the streaming analogue of the
+    * reference's hour-partition rollups (A1/A3): tumbling windows over event
+    * time, late data bounded by the watermark the way the reference bounded
+    * it with the 10-minute directory quiesce (admin/LogMaintenance.java:80).
+    */
+  def windowedCounts(
+      lines: DataFrame,
+      windowDuration: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    withEventTime(lines)
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowDuration))
+      .agg(count(lit(1)).as("n_lines"))
+      .select(col("window.start").as("window_start"), col("n_lines"))
+
+  /** Per-key session aggregates via custom state (mapGroupsWithState):
+    * sessions close after `gapMs` of event-time silence or on timeout.
+    * Emits one row per closed session.
+    */
+  case class SessionInput(key: String, eventTimeMs: Long)
+  /** Internal: SessionInput + the watermarked event-time column (must remain
+    * in the plan for EventTimeTimeout to be allowed).
+    */
+  case class SessionEvent(key: String, eventTimeMs: Long, et: Timestamp)
+  case class SessionState(startMs: Long, lastMs: Long, n: Long)
+  case class SessionOutput(key: String, startMs: Long, endMs: Long, n: Long)
+
+  def sessionize(
+      events: Dataset[SessionInput],
+      gapMs: Long = 30L * 60 * 1000,
+      watermark: String = "10 minutes"): Dataset[SessionOutput] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // Event-time timeouts: a session also closes when the watermark passes
+    // its last event + gap, so quiet keys don't hold state forever.
+    val withWm = events.toDF()
+      .withColumn("et", timestamp_millis(col("eventTimeMs")))
+      .withWatermark("et", watermark)
+      .as[SessionEvent]
+    withWm
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SessionState, SessionOutput](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s => SessionOutput(key, s.startMs, s.lastMs, s.n))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_.eventTimeMs)
+            var current = state.getOption
+            val closed = Seq.newBuilder[SessionOutput]
+            sorted.foreach { e =>
+              current match {
+                case Some(s) if e.eventTimeMs - s.lastMs <= gapMs =>
+                  current = Some(s.copy(lastMs = e.eventTimeMs, n = s.n + 1))
+                case Some(s) =>
+                  closed += SessionOutput(key, s.startMs, s.lastMs, s.n)
+                  current = Some(SessionState(e.eventTimeMs, e.eventTimeMs, 1))
+                case None =>
+                  current = Some(SessionState(e.eventTimeMs, e.eventTimeMs, 1))
+              }
+            }
+            current.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Continuous ingest: text file stream → parsed log lines → Boom files.
+    * (`foreachBatch` + the batch writer — the standard file-sink pattern for
+    * a custom format.)
+    */
+  def textToBoomStream(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val lines = spark.readStream.text(inputDir).as[String]
+    graft.engine.Ingest.parse(lines)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[graft.core.LogLine], _: Long) =>
+        graft.engine.Ingest.write(batch.toDF(), outputDir)
+      }
+      .start()
+  }
+}

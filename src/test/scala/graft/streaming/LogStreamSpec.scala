@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.core.LogLine
+import graft.engine.{Ingest, Search}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class LogStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def writeBatch(dir: String, baseTs: Long, n: Int, tag: String): Unit =
+    Ingest.write(
+      (0 until n).map(i => LogLine(baseTs + i * 1000L, s"$tag line $i", 0, baseTs, 0L, i + 1L))
+        .toDF().coalesce(1),
+      dir)
+
+  test("streaming boom source picks up appended files across batches") {
+    val dir = Files.createTempDirectory("stream-boom").toString
+    writeBatch(dir, 1700000000000L, 5, "first")
+
+    val stream = LogStream.readBoom(spark, dir)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("boomstream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("boomstream").count() === 5)
+
+      writeBatch(dir, 1700000100000L, 3, "second")
+      q.processAllAvailable()
+      assert(spark.table("boomstream").count() === 8)
+      assert(spark.table("boomstream")
+        .where(col("message").startsWith("second")).count() === 3)
+    } finally q.stop()
+  }
+
+  test("streaming predicate + windowed counts with watermark") {
+    val dir = Files.createTempDirectory("stream-win").toString
+    // two hour-windows of data: 10:00 and 11:00 on some day
+    writeBatch(dir, 1700002800000L, 4, "needle")
+    writeBatch(dir, 1700006400000L, 2, "needle")
+    writeBatch(dir, 1700006400000L, 2, "hay")
+
+    val counts = LogStream.windowedCounts(
+      LogStream.matching(LogStream.readBoom(spark, dir), Search("needle")),
+      windowDuration = "1 hour", watermark = "10 minutes")
+    val q = counts.writeStream.format("memory").queryName("wincounts")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("wincounts")
+        .select(col("window_start").cast("long"), col("n_lines"))
+        .as[(Long, Long)].collect().toMap
+      assert(rows(1700002800L) === 4L)
+      assert(rows(1700006400L) === 2L)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[LogStream.SessionInput]
+    val sessions = LogStream.sessionize(input.toDS(), gapMs = 60000L)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user A: two events close together, then a 5-minute gap, then one more
+      input.addData(
+        LogStream.SessionInput("a", 1000L),
+        LogStream.SessionInput("a", 30000L))
+      q.processAllAvailable()
+      input.addData(LogStream.SessionInput("a", 330000L)) // gap > 60s closes first session
+      q.processAllAvailable()
+      val out = spark.table("sessions")
+        .as[LogStream.SessionOutput].collect()
+      assert(out.length === 1)
+      assert(out.head === LogStream.SessionOutput("a", 1000L, 30000L, 2))
+    } finally q.stop()
+  }
+
+  test("streaming text-to-boom ingest") {
+    val in = Files.createTempDirectory("stream-in").toString
+    val out = Files.createTempDirectory("stream-out").toString
+    val ckpt = Files.createTempDirectory("stream-ckpt").toString
+    Files.writeString(java.nio.file.Paths.get(s"$in/batch1.log"),
+      "2024-01-01T00:00:01Z hello\n2024-01-01T00:00:02Z world\n")
+    val q = LogStream.textToBoomStream(spark, in, out, ckpt)
+    try {
+      q.processAllAvailable()
+      val back = spark.read.format("boom").load(out)
+      assert(back.count() === 2)
+      assert(back.select("message").as[String].collect().toSet === Set("hello", "world"))
+    } finally q.stop()
+  }
+}
