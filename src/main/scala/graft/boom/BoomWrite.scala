@@ -45,7 +45,9 @@ class BoomWriteBuilder(paths: Seq[String], info: LogicalWriteInfo)
     override def toBatch: BatchWrite = {
       val spark = SparkSession.active
       val mode = info.options().getOrDefault("boomMode", "reboom")
-      new BoomBatchWrite(paths.head, mode, doTruncate,
+      val hourlyDirs = info.options().getBoolean("hourlyDirs", false)
+      val hourlySuffix = info.options().getOrDefault("hourlySuffix", "")
+      new BoomBatchWrite(paths.head, mode, hourlyDirs, hourlySuffix, doTruncate,
         new SerializableConfiguration(spark.sessionState.newHadoopConf()))
     }
   }
@@ -54,6 +56,8 @@ class BoomWriteBuilder(paths: Seq[String], info: LogicalWriteInfo)
 class BoomBatchWrite(
     path: String,
     mode: String,
+    hourlyDirs: Boolean,
+    hourlySuffix: String,
     truncate: Boolean,
     hconf: SerializableConfiguration) extends BatchWrite {
 
@@ -64,19 +68,85 @@ class BoomBatchWrite(
       fs.listStatus(dir).foreach(s => fs.delete(s.getPath, true))
     }
     fs.mkdirs(dir)
-    new BoomWriterFactory(path, mode, hconf)
+    new BoomWriterFactory(path, mode, hourlyDirs, hourlySuffix, hconf)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-case class BoomCommitMessage(file: String, rows: Long) extends WriterCommitMessage
+case class BoomCommitMessage(files: Seq[String], rows: Long) extends WriterCommitMessage
 
-class BoomWriterFactory(path: String, mode: String, hconf: SerializableConfiguration)
+class BoomWriterFactory(
+    path: String, mode: String, hourlyDirs: Boolean, hourlySuffix: String,
+    hconf: SerializableConfiguration)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new BoomDataWriter(path, mode, partitionId, taskId, hconf)
+    if (hourlyDirs) new BoomHourlyDataWriter(path, mode, hourlySuffix, partitionId, taskId, hconf)
+    else new BoomDataWriter(path, mode, partitionId, taskId, hconf)
+}
+
+/** Hour-rolling Boom writer — the reference's hourly output format
+  * (mapreduce/boom/PigBoomHourlyRecordWriter.java:30-116, roll at 57-58):
+  * output lands under `<dir>/<yyyyMMdd>/<hh>/`, with a new file whenever the
+  * wall-clock hour of the data changes. Input sorted by timestamp within the
+  * task (the ingest path sorts) yields exactly one file per task per hour;
+  * unsorted input stays correct but produces more files.
+  *
+  * One open delegate at a time, like the reference — no per-hour writer map
+  * to leak memory on wide time ranges.
+  */
+class BoomHourlyDataWriter(
+    dir: String,
+    mode: String,
+    hourlySuffix: String,
+    partitionId: Int,
+    taskId: Long,
+    hconf: SerializableConfiguration) extends DataWriter[InternalRow] {
+
+  private val hourFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyyMMdd/HH").withZone(java.time.ZoneOffset.UTC)
+
+  private var currentHour = Long.MinValue
+  private var delegate: BoomDataWriter = _
+  private var files = Vector.empty[String]
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val hour = row.getLong(0) / 3600000L
+    if (hour != currentHour) {
+      roll(row.getLong(0))
+      currentHour = hour
+    }
+    delegate.write(row)
+    rows += 1
+  }
+
+  private def roll(ts: Long): Unit = {
+    if (delegate != null) {
+      delegate.commit() match {
+        case BoomCommitMessage(fs, _) => files ++= fs
+        case _ => ()
+      }
+    }
+    val hourPart = hourFmt.format(java.time.Instant.ofEpochMilli(ts))
+    val rel = if (hourlySuffix.isEmpty) hourPart else s"$hourPart/$hourlySuffix"
+    val hourDir = new Path(dir, rel).toString
+    delegate = new BoomDataWriter(hourDir, mode, partitionId, taskId, hconf)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (delegate != null) {
+      delegate.commit() match {
+        case BoomCommitMessage(fs, _) => files ++= fs
+        case _ => ()
+      }
+    }
+    BoomCommitMessage(files, rows)
+  }
+
+  override def abort(): Unit = if (delegate != null) delegate.abort()
+  override def close(): Unit = ()
 }
 
 /** Expects rows in the full [[graft.core.LogLine.schema]] column order:
@@ -169,9 +239,9 @@ class BoomDataWriter(
     if (rows > 0) {
       writer.close()
       fs.rename(tmpPath, finalPath)
-      BoomCommitMessage(finalPath.toString, rows)
+      BoomCommitMessage(Seq(finalPath.toString), rows)
     } else {
-      BoomCommitMessage("", 0)
+      BoomCommitMessage(Seq.empty, 0)
     }
   }
 

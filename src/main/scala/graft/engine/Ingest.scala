@@ -84,4 +84,35 @@ object Ingest {
     df.select("timestamp", "message", "eventId", "createTime", "blockNumber", "lineNumber")
       .sortWithinPartitions("timestamp", "createTime", "blockNumber", "lineNumber")
       .write.format("boom").option("boomMode", "reboom").mode(mode).save(outputDir)
+
+  /** Full catalog ingest — text (plain or `.gz`, Spark decompresses natively)
+    * → hour-partitioned Boom files laid out exactly where [[LogCatalog]] and
+    * the query tools expect them:
+    * `<root>/service/<dc>/<service>/logs/<yyyyMMdd>/<hh>/<component>/incoming/<runId>/part-*.bm`
+    *
+    * The hourly roll happens inside the boom writer (option `hourlyDirs`,
+    * the PigBoomHourlyRecordWriter analogue) — one narrow write pass, no
+    * per-hour driver loop, no extra shuffle beyond the within-partition sort.
+    */
+  def textToCatalog(
+      spark: SparkSession,
+      inputPath: String,
+      root: String,
+      dc: String,
+      service: String,
+      component: String,
+      parserName: Option[String] = None,
+      runId: String = java.util.UUID.randomUUID().toString.take(8)): Unit = {
+    import spark.implicits._
+    val parsed = parse(spark.read.textFile(inputPath), parserName)
+    parsed.toDF()
+      .select("timestamp", "message", "eventId", "createTime", "blockNumber", "lineNumber")
+      .sortWithinPartitions("timestamp")
+      .write.format("boom")
+      .option("boomMode", "ingest")
+      .option("hourlyDirs", "true")
+      .option("hourlySuffix", s"$component/incoming/$runId")
+      .mode(SaveMode.Append)
+      .save(s"$root/service/$dc/$service/logs")
+  }
 }

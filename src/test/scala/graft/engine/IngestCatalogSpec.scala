@@ -1,0 +1,70 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths}
+import java.util.zip.GZIPOutputStream
+
+import graft.SparkTestBase
+
+class IngestCatalogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def writeText(lines: Seq[String]): String = {
+    val f = Files.createTempFile("ingest", ".log")
+    Files.write(f, lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    f.toString
+  }
+
+  private val twoHoursOfLines = Seq(
+    "2024-03-01T10:59:58Z almost end of hour ten",
+    "2024-03-01T10:59:59Z end of hour ten",
+    "2024-03-01T11:00:00Z start of hour eleven",
+    "2024-03-01T11:30:00Z middle of hour eleven")
+
+  test("textToCatalog lays out hour-partitioned boom files the query tools find") {
+    val root = Files.createTempDirectory("cat-root").toString
+    LogCatalogFixtures.ingest(spark, writeText(twoHoursOfLines), root)
+
+    // Files landed in the correct hour dirs
+    val h10 = new java.io.File(s"$root/service/7/websvc/logs/20240301/10/app/incoming")
+    val h11 = new java.io.File(s"$root/service/7/websvc/logs/20240301/11/app/incoming")
+    assert(h10.exists && h11.exists)
+
+    // And the full query pipeline resolves them via the catalog
+    val q = LogQuery(root = root, dc = "7", service = "websvc", component = "app")
+      .range(LogToolCliTimes.ms("2024-03-01T10:00:00Z"), LogToolCliTimes.ms("2024-03-01T12:00:00Z"))
+    assert(q.formatted(spark).collect().toSeq === Seq(
+      "2024-03-01T10:59:58.000+00:00 almost end of hour ten",
+      "2024-03-01T10:59:59.000+00:00 end of hour ten",
+      "2024-03-01T11:00:00.000+00:00 start of hour eleven",
+      "2024-03-01T11:30:00.000+00:00 middle of hour eleven"))
+
+    // Hour pruning: a one-hour range resolves only that hour's files
+    val oneHour = q.range(
+      LogToolCliTimes.ms("2024-03-01T11:00:00Z"), LogToolCliTimes.ms("2024-03-01T12:00:00Z"))
+    assert(oneHour.resolvePaths(spark).forall(_.contains("/11/")))
+    assert(oneHour.formatted(spark).count() === 2)
+  }
+
+  test("gzip text ingest (S5: Spark decompresses .gz natively)") {
+    val plain = writeText(twoHoursOfLines)
+    val gz = Files.createTempFile("ingest", ".log.gz")
+    val out = new GZIPOutputStream(Files.newOutputStream(gz))
+    out.write(Files.readAllBytes(Paths.get(plain)))
+    out.close()
+
+    val root = Files.createTempDirectory("cat-root-gz").toString
+    LogCatalogFixtures.ingest(spark, gz.toString, root)
+    val q = LogQuery(root = root, dc = "7", service = "websvc", component = "app")
+      .range(LogToolCliTimes.ms("2024-03-01T10:00:00Z"), LogToolCliTimes.ms("2024-03-01T12:00:00Z"))
+    assert(q.formatted(spark).count() === 4)
+  }
+}
+
+private object LogCatalogFixtures {
+  def ingest(spark: org.apache.spark.sql.SparkSession, input: String, root: String): Unit =
+    Ingest.textToCatalog(spark, input, root, dc = "7", service = "websvc", component = "app")
+}
+
+private object LogToolCliTimes {
+  def ms(iso: String): Long = java.time.Instant.parse(iso).toEpochMilli
+}
