@@ -173,8 +173,13 @@ class BoomScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap)
   }
 }
 
-/** A bin-packed group of whole files read by one task. */
-case class BoomInputPartition(files: Array[String], totalBytes: Long) extends InputPartition
+/** One byte-range slice of a Boom file, bounded by Avro sync markers at read
+  * time (length = Long.MaxValue means "to end of file").
+  */
+case class BoomFileSlice(path: String, start: Long, length: Long)
+
+/** A bin-packed group of file slices read by one task. */
+case class BoomInputPartition(slices: Array[BoomFileSlice], totalBytes: Long) extends InputPartition
 
 class BoomScan(
     paths: Seq[String],
@@ -193,10 +198,12 @@ class BoomScan(
   override def description(): String =
     s"boom [${files.size} files, pushdown=$pushdown]"
 
-  /** Bin-pack whole files into partitions, mirroring Spark's own
-    * `FilePartition.maxSplitBytes` sizing so many small `.bm` files coalesce
-    * (the CombineFileInputFormat role — BoomInputFormat.java:48-71) while big
-    * directories still fan out to the cluster.
+  /** Slice large files at (future) Avro sync boundaries and bin-pack the
+    * slices, mirroring Spark's own `FilePartition.maxSplitBytes` sizing: many
+    * small `.bm` files coalesce into one task (the CombineFileInputFormat
+    * role — BoomInputFormat.java:48-71) while one big file fans out across
+    * the cluster (the splittable-Avro role — the reader aligns each slice to
+    * sync markers exactly like BoomRecordReader.java:93 did).
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SQLConf.get
@@ -206,17 +213,30 @@ class BoomScan(
     val totalCost = files.map(_.getLen + openCost).sum
     val target = math.max(openCost, math.min(maxSplit, totalCost / math.max(1, parallelism)))
 
+    val slices = ArrayBuffer[(BoomFileSlice, Long)]() // slice -> cost
+    files.foreach { f =>
+      if (f.getLen <= target) {
+        slices += ((BoomFileSlice(f.getPath.toString, 0L, Long.MaxValue), f.getLen + openCost))
+      } else {
+        var off = 0L
+        while (off < f.getLen) {
+          val len = math.min(target, f.getLen - off)
+          slices += ((BoomFileSlice(f.getPath.toString, off, len), len + openCost))
+          off += len
+        }
+      }
+    }
+
     val partitions = ArrayBuffer[BoomInputPartition]()
-    val current = ArrayBuffer[String]()
+    val current = ArrayBuffer[BoomFileSlice]()
     var currentBytes = 0L
     // Largest-first keeps bins balanced.
-    files.sortBy(-_.getLen).foreach { f =>
-      val cost = f.getLen + openCost
+    slices.sortBy(-_._2).foreach { case (slice, cost) =>
       if (currentBytes > 0 && currentBytes + cost > target) {
         partitions += BoomInputPartition(current.toArray, currentBytes)
         current.clear(); currentBytes = 0L
       }
-      current += f.getPath.toString
+      current += slice
       currentBytes += cost
     }
     if (current.nonEmpty) partitions += BoomInputPartition(current.toArray, currentBytes)
@@ -263,8 +283,8 @@ class BoomPartitionReader(
     case other => throw new IllegalArgumentException(s"Unknown boom column: $other")
   }
 
-  private var fileIdx = 0
-  private var current: BoomFileIterator = _
+  private var sliceIdx = 0
+  private var current: BoomFileRangeIterator = _
   private var line: BoomLine = _
 
   private def advance(): Boolean = {
@@ -274,11 +294,13 @@ class BoomPartitionReader(
         return true
       }
       if (current != null) { current.close(); current = null }
-      if (fileIdx >= partition.files.length) return false
-      val path = new Path(partition.files(fileIdx))
-      fileIdx += 1
-      val fs = path.getFileSystem(hconf.value)
-      current = new BoomFileIterator(fs.open(path), pushdown)
+      if (sliceIdx >= partition.slices.length) return false
+      val slice = partition.slices(sliceIdx)
+      sliceIdx += 1
+      val end = if (slice.length == Long.MaxValue) Long.MaxValue else slice.start + slice.length
+      current = new BoomFileRangeIterator(
+        new org.apache.avro.mapred.FsInput(new Path(slice.path), hconf.value),
+        pushdown, slice.start, end)
     }
     false
   }

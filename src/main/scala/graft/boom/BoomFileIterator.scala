@@ -211,3 +211,46 @@ final class BoomFileIterator(input: InputStream, pushdown: BoomPushdown)
 
   override def close(): Unit = stream.close()
 }
+
+/** Iterator over one byte-range slice of a Boom file, bounded by Avro sync
+  * markers — the mechanism that makes large `.bm` files splittable across
+  * tasks (the reference's record readers did the same seek-to-sync:
+  * mapreduce/boom/BoomRecordReader.java:93).
+  *
+  * `sync(start)` seeks to the first sync marker at/after `start`;
+  * `pastSync(end)` stops once the reader crosses `end` — together every block
+  * is read by exactly one of the non-overlapping slices.
+  */
+final class BoomFileRangeIterator(
+    in: org.apache.avro.file.SeekableInput,
+    pushdown: BoomPushdown,
+    start: Long,
+    end: Long)
+    extends Iterator[BoomLine] with AutoCloseable {
+
+  private val reader = new org.apache.avro.file.DataFileReader[ArrayBuffer[BoomLine]](
+    in, new BoomBlockDatumReader(pushdown))
+  reader.sync(start)
+  // Clamp: pastSync(pos) compares against pos + SYNC_SIZE, which overflows
+  // for Long.MaxValue ("read to end of file") and would mark everything past.
+  private val stop = math.min(end, in.length())
+  private var buffer: ArrayBuffer[BoomLine] = new ArrayBuffer[BoomLine]
+  private var pos = 0
+
+  override def hasNext: Boolean = {
+    while (pos >= buffer.length && reader.hasNext && !reader.pastSync(stop)) {
+      buffer = reader.next(buffer)
+      pos = 0
+    }
+    pos < buffer.length
+  }
+
+  override def next(): BoomLine = {
+    if (!hasNext) throw new NoSuchElementException
+    val l = buffer(pos)
+    pos += 1
+    l
+  }
+
+  override def close(): Unit = reader.close()
+}

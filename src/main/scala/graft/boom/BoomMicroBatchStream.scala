@@ -73,7 +73,8 @@ class BoomMicroBatchStream(
     val out = ArrayBuffer[InputPartition]()
     // One partition per file: streaming batches are small by construction;
     // the batch path's bin-packing applies to backfills via the batch reader.
-    newFiles.foreach(f => out += BoomInputPartition(Array(f), 0L))
+    newFiles.foreach(f =>
+      out += BoomInputPartition(Array(BoomFileSlice(f, 0L, Long.MaxValue)), 0L))
     out.toArray
   }
 
