@@ -33,6 +33,18 @@ object SparkEntry {
     t(s, dir, "events").withColumn("ts_ms", expr("ts DIV 1000000"))
   }
 
+  /** Time-range filter on the RAW nanosecond column, not the derived ts_ms:
+    * a predicate on `ts DIV 1000000` can never reach the scan, while one on
+    * `ts` is at least eligible. (With this testdata it still doesn't push —
+    * Spark's ParquetFilters has no conversion for TIMESTAMP(NANOS) columns
+    * read via nanosAsLong — but on any sane layout the time range prunes via
+    * the date/hour partition directories, as LogCatalog does for the log
+    * tables; this keeps the predicate in pushable form.)
+    */
+  private def eventsInRange(s: SparkSession, dir: String, fromMs: Long, untilMs: Long): DataFrame =
+    events(s, dir)
+      .where(col("ts") >= fromMs * 1000000L && col("ts") < untilMs * 1000000L)
+
   /** documents augmented with known duplicates (first 20 docs re-inserted
     * under offset ids) so dedup operators have guaranteed positives at every
     * scale factor.
@@ -58,8 +70,7 @@ object SparkEntry {
     * content predicate → rollup → ordered output.
     */
   def entry(spark: SparkSession): DataFrame = {
-    val e = events(spark, "/root/testdata/sf0.001")
-    e.where(col("ts_ms") >= 1704067200000L && col("ts_ms") < 1704412800000L)
+    eventsInRange(spark, "/root/testdata/sf0.001", 1704067200000L, 1704412800000L)
       .where(col("event_type").rlike("^(error|purchase)$"))
       .groupBy((col("ts_ms") / 3600000L).cast("long").as("hour_bucket"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
@@ -71,8 +82,7 @@ object SparkEntry {
 
     // F1 logcat: time-range-only scan
     "q_cat_timerange" -> ((s, dir) =>
-      events(s, dir)
-        .where(col("ts_ms") >= rangeStartMs && col("ts_ms") < rangeEndMs)
+      eventsInRange(s, dir, rangeStartMs, rangeEndMs)
         .select(col("event_id"), col("ts_ms"), col("event_type"), col("value"))
         .orderBy("event_id")),
 
@@ -122,8 +132,7 @@ object SparkEntry {
 
     // O1 global sort (Pig ORDER BY analogue)
     "q_sort_global" -> ((s, dir) =>
-      events(s, dir)
-        .where(col("ts_ms") >= rangeStartMs && col("ts_ms") < rangeEndMs)
+      eventsInRange(s, dir, rangeStartMs, rangeEndMs)
         .select(col("event_id"), col("value"))
         .orderBy(col("value").desc, col("event_id"))),
 
@@ -137,8 +146,7 @@ object SparkEntry {
 
     // A4 result count
     "q_count_range" -> ((s, dir) =>
-      events(s, dir)
-        .where(col("ts_ms") >= rangeStartMs && col("ts_ms") < rangeEndMs)
+      eventsInRange(s, dir, rangeStartMs, rangeEndMs)
         .agg(count(lit(1)).as("n"))),
 
     // A1 IndexLogs-style rollup
@@ -326,6 +334,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF ANN: coarse k-means cells + nprobe search (the FAISS-style scale path)
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Embedding near-dup pairs (augmented with exact copies)
     "q_embed_dupes" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -350,7 +369,28 @@ object SparkEntry {
     "q_simhash_signatures" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), simhash64(TextAnalysis.tokens(col("text"))).as("simhash"))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // The boom container itself under the oracle: events → .bm files →
+    // boom scan → rollup must equal DuckDB's direct computation over the
+    // original parquet (validates writer+reader byte fidelity end-to-end).
+    "q_boom_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("boom-oracle").toString
+      events(s, dir)
+        .select(col("ts_ms").as("timestamp"),
+          concat(col("event_type"), lit(" "), col("props")).as("message"),
+          lit(0).as("eventId"),
+          col("user_id").as("createTime"),
+          col("event_id").as("blockNumber"),
+          lit(1L).as("lineNumber"))
+        .write.format("boom").mode("append").save(out)
+      s.read.format("boom").load(out)
+        .agg(count(lit(1)).as("n"),
+          min(col("timestamp")).as("min_ts_ms"),
+          max(col("timestamp")).as("max_ts_ms"),
+          sum(length(col("message"))).cast("long").as("sum_msg_len"),
+          sum(col("blockNumber")).as("sum_event_id"))
+    }))
 
   def oracleSql: Map[String, String] = Map(
     "q_cat_timerange" ->
@@ -459,5 +499,10 @@ object SparkEntry {
         | FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, substr(md5(text), 1, 8) AS fp FROM documents
-        | ORDER BY doc_id""".stripMargin)
+        | ORDER BY doc_id""".stripMargin,
+    "q_boom_roundtrip" ->
+      """SELECT count(*) AS n, min(epoch_ms(ts)) AS min_ts_ms, max(epoch_ms(ts)) AS max_ts_ms,
+        |   CAST(sum(length(event_type || ' ' || props)) AS BIGINT) AS sum_msg_len,
+        |   CAST(sum(event_id) AS BIGINT) AS sum_event_id
+        | FROM events""".stripMargin)
 }

@@ -97,6 +97,63 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** IVF-style ANN (the FAISS IVF-Flat construction on DataFrames): a coarse
+    * k-means quantizer assigns every corpus vector to a centroid cell; each
+    * query probes its `nprobe` nearest cells and exact-reranks only those.
+    *
+    * Scale shape: the quantizer fits on a SAMPLE (constant-size work), cell
+    * assignment is one narrow pass, the centroid table stays driver-side
+    * (nlist × dim floats), and the only shuffle is the query↔cell join —
+    * corpus² never materializes. Versus [[lshTopK]]: data-adaptive cells give
+    * better recall on clustered embeddings at the same probe budget.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int = 10,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      trainFraction: Double = 1.0,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val vecCol = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"),
+      array_to_vector(col(corpusVec).cast("array<double>")).as("__features"))
+    val train = (if (trainFraction < 1.0) vecCol.sample(trainFraction, seed) else vecCol)
+      .select(col("__features").as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features").fit(train)
+
+    val assigned = model.setPredictionCol("cell").setFeaturesCol("__features")
+      .transform(vecCol)
+      .select(col("neighbor_id"), col("__cv"), col("cell"))
+
+    // Driver-side centroid table → per-query nprobe nearest cells.
+    val centers = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    val probeCells = udf { (v: Seq[Float]) =>
+      centers.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < math.min(c.length, v.length)) {
+          val t = c(j) - v(j); d += t * t; j += 1
+        }
+        (d, i)
+      }.sortBy(_._1).take(nprobe).map(_._2)
+    }
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+      .withColumn("cell", explode(probeCells(col("__qv"))))
+
+    val scored = assigned.join(q, "cell")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("__cv"), col("__qv")).as("cos"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** All pairs with cosine ≥ threshold, LSH-blocked (for embedding dedup). */
   def cosinePairsLsh(
       df: DataFrame,

@@ -87,6 +87,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(top.contains(1L))
   }
 
+  test("ivf top-k finds near neighbors within probed cells") {
+    // Two clear clusters around e1 and e2 + jitter; IVF must find
+    // within-cluster neighbors for a query near cluster 1.
+    val clustered = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(10.0f, 0.0f, 0.0f) else Array(0.0f, 10.0f, 0.0f)
+      (i.toLong, base.zipWithIndex.map { case (v, d) => v + ((i * 7 + d) % 5) * 0.01f })
+    }.toDF("vec_id", "embedding")
+    val res = Similarity.ivfTopK(clustered, "vec_id", "embedding",
+      clustered.where($"vec_id" === 0), "vec_id", "embedding",
+      k = 3, nlist = 2, nprobe = 1)
+    val neighbors = res.select("neighbor_id").as[Long].collect().toSet
+    assert(neighbors.size === 3)
+    assert(neighbors.forall(_ % 2 == 0)) // all from the same (even) cluster
+  }
+
   test("cosine pairs via lsh finds identical vectors") {
     val dup = vecs.unionByName(
       vecs.where($"vec_id" === 0).withColumn("vec_id", lit(100L)))
