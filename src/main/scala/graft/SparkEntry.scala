@@ -223,6 +223,22 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // As-of join: each error event matched to the user's most recent prior
+    // signup (the operator Spark lacks; composed as union + running window —
+    // see graft.ops.AsofJoin; DuckDB oracles it with native ASOF JOIN)
+    "q_asof_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val err = e.where(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("ts_ms"))
+      val sgn = e.where(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id"), col("ts_ms"))
+      graft.ops.AsofJoin.asofJoin(err, sgn, "ts_ms", "ts_ms", Seq("user_id"))
+        .select(col("user_id"), col("event_id"),
+          col("asof_event_id").as("signup_event_id"),
+          (col("ts_ms") - col("asof_ts_ms")).as("ms_since_signup"))
+        .orderBy("event_id")
+    }),
+
     // ----- LLM-data-pipeline operators -----
 
     // Exact dedup via content hash (keep-first + copy counts)
@@ -500,6 +516,13 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, substr(md5(text), 1, 8) AS fp FROM documents
         | ORDER BY doc_id""".stripMargin,
+    "q_asof_join" ->
+      """WITH err AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events WHERE event_type = 'error'),
+        |      sgn AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events WHERE event_type = 'signup')
+        | SELECT err.user_id, err.event_id, sgn.event_id AS signup_event_id,
+        |   err.ts_ms - sgn.ts_ms AS ms_since_signup
+        | FROM err ASOF JOIN sgn ON err.user_id = sgn.user_id AND err.ts_ms >= sgn.ts_ms
+        | ORDER BY err.event_id""".stripMargin,
     "q_boom_roundtrip" ->
       """SELECT count(*) AS n, min(epoch_ms(ts)) AS min_ts_ms, max(epoch_ms(ts)) AS max_ts_ms,
         |   CAST(sum(length(event_type || ' ' || props)) AS BIGINT) AS sum_msg_len,

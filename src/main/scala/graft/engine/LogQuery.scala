@@ -75,6 +75,26 @@ case class LogQuery(
     LogQuery.formatAndSort(lines(spark).toDF(), dateFormat).as[String]
   }
 
+  /** `formatted` with an observed `n_results` metric — the A4 result counter
+    * (the reference scraped the MR "Map output records" counter from its own
+    * captured stderr, LogTools.java:240-258; here it's a plan-level
+    * observation, free with the query):
+    * {{{
+    *   val ds = q.observedFormatted(spark)
+    *   ds.write.text(out)
+    *   val n = ds.observedMetrics("graft")  // via QueryExecutionListener
+    * }}}
+    */
+  def observedFormatted(spark: SparkSession): Dataset[String] = {
+    import spark.implicits._
+    // Observe ABOVE the global sort: the range partitioner runs a sampling
+    // pass over everything below its exchange, so an observation under the
+    // sort executes twice and double-counts.
+    LogQuery.formatAndSort(lines(spark).toDF(), dateFormat)
+      .observe("graft", count(lit(1)).as("n_results"))
+      .as[String]
+  }
+
   /** Formatted lines collected to the driver — the `logcat`-to-stdout path.
     * Streams partitions in order; never materializes the whole result.
     */

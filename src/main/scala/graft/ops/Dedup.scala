@@ -62,6 +62,24 @@ object Dedup {
     * @return (id_a, id_b, est_jaccard) with id_a < id_b, est_jaccard =
     *         matching-signature-position fraction, filtered to ≥ `threshold`.
     */
+  /** Cap on LSH bucket size: buckets larger than this are dropped before the
+    * self-join. A degenerate key (empty documents, a boilerplate header, a
+    * zero vector) otherwise creates a quadratic bucket that no AQE skew
+    * handling can save at corpus scale — dropping it loses only pairs that
+    * are "similar to everything", which exact dedup already catches. The
+    * standard guard in production minhash pipelines.
+    */
+  val DefaultMaxBucketSize = 5000
+
+  private[ops] def dropOversizedBuckets(
+      banded: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame = {
+    if (maxBucket <= 0) return banded
+    val counts = banded.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__bucket_n"))
+      .where(col("__bucket_n") > maxBucket)
+    banded.join(broadcast(counts.select(keyCols.map(col): _*)), keyCols, "left_anti")
+  }
+
   def minhashDupePairs(
       df: DataFrame,
       idCol: String,
@@ -69,7 +87,8 @@ object Dedup {
       shingleK: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val rowsPerBand = numHashes / bands
     // Staged projections: tokens → shingles → shingle hashes → signature.
     // Each stage references the previous MATERIALIZED column, so the 64
@@ -77,10 +96,12 @@ object Dedup {
     // re-deriving it (CollapseProject keeps non-cheap projections apart).
     val sigs = shingleHashSets(df, idCol, textCol, shingleK)
       .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
-    val banded = sigs
-      .select(col("id"), col("sig"),
-        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
+    val banded = dropOversizedBuckets(
+      sigs
+        .select(col("id"), col("sig"),
+          explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+        .select(col("id"), col("sig"), col("bk.band"), col("bk.key")),
+      Seq("band", "key"), maxBucketSize)
 
     val a = banded.select(col("band"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
@@ -101,15 +122,18 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val sigs = df.select(col(idCol).as("id"),
       simhash64(TextAnalysis.tokens(col(textCol))).as("sig"))
-    val blocked = sigs.select(col("id"), col("sig"),
-      explode(array((0 until 4).map { blk =>
-        struct(lit(blk).as("blk"),
-          shiftright(col("sig"), blk * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.blk"), col("bk.key"))
+    val blocked = dropOversizedBuckets(
+      sigs.select(col("id"), col("sig"),
+        explode(array((0 until 4).map { blk =>
+          struct(lit(blk).as("blk"),
+            shiftright(col("sig"), blk * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+        }: _*)).as("bk"))
+        .select(col("id"), col("sig"), col("bk.blk"), col("bk.key")),
+      Seq("blk", "key"), maxBucketSize)
     val a = blocked.select(col("blk"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = blocked.select(col("blk"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("blk", "key"))

@@ -1,0 +1,37 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+class AsofJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val trades = Seq(
+    ("A", 100L, "t1"), ("A", 200L, "t2"), ("B", 150L, "t3"), ("A", 50L, "t0"))
+    .toDF("sym", "t", "trade")
+  private lazy val quotes = Seq(
+    ("A", 90L, 1.0), ("A", 150L, 2.0), ("B", 150L, 3.0), ("C", 1L, 9.0))
+    .toDF("sym", "t", "px")
+
+  test("matches most recent right row at or before left time, per key") {
+    val out = AsofJoin.asofJoin(trades, quotes, "t", "t", Seq("sym"))
+      .select($"trade", $"asof_px").as[(String, Double)].collect().toMap
+    assert(out === Map(
+      "t1" -> 1.0,  // A@100 ← quote A@90
+      "t2" -> 2.0,  // A@200 ← quote A@150
+      "t3" -> 3.0)) // B@150 ← quote B@150 (equal time matches)
+    // t0 (A@50, before any quote) dropped under inner semantics
+  }
+
+  test("left outer keeps unmatched with nulls") {
+    val out = AsofJoin.asofJoin(trades, quotes, "t", "t", Seq("sym"), leftOuter = true)
+    assert(out.count() === 4)
+    assert(out.where($"trade" === "t0" && $"asof_px".isNull).count() === 1)
+  }
+
+  test("tolerance bounds the lookback") {
+    val out = AsofJoin.asofJoin(trades, quotes, "t", "t", Seq("sym"), tolerance = 20L)
+      .select($"trade").as[String].collect().toSet
+    // t1: 100-90=10 ✓; t2: 200-150=50 ✗; t3: 0 ✓
+    assert(out === Set("t1", "t3"))
+  }
+}
