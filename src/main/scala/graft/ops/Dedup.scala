@@ -62,22 +62,37 @@ object Dedup {
     * @return (id_a, id_b, est_jaccard) with id_a < id_b, est_jaccard =
     *         matching-signature-position fraction, filtered to ≥ `threshold`.
     */
-  /** Cap on LSH bucket size: buckets larger than this are dropped before the
-    * self-join. A degenerate key (empty documents, a boilerplate header, a
-    * zero vector) otherwise creates a quadratic bucket that no AQE skew
-    * handling can save at corpus scale — dropping it loses only pairs that
-    * are "similar to everything", which exact dedup already catches. The
-    * standard guard in production minhash pipelines.
+  /** Cap on LSH bucket size: buckets larger than this are dropped entirely.
+    * A degenerate key (empty documents, a boilerplate header, a zero vector)
+    * otherwise creates a quadratic bucket that no AQE skew handling can save
+    * at corpus scale — dropping it loses only pairs that are "similar to
+    * everything", which exact dedup already catches. The standard guard in
+    * production minhash pipelines.
     */
   val DefaultMaxBucketSize = 5000
 
-  private[ops] def dropOversizedBuckets(
-      banded: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame = {
-    if (maxBucket <= 0) return banded
-    val counts = banded.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__bucket_n"))
-      .where(col("__bucket_n") > maxBucket)
-    banded.join(broadcast(counts.select(keyCols.map(col): _*)), keyCols, "left_anti")
+  /** Candidate pairs from banded rows via ONE shuffle: group each bucket,
+    * cap its size (the skew guard, free here — it's just a filter on the
+    * grouped list), and expand pairs intra-row with a double explode. The
+    * alternative a⋈b self-join reads/computes the signature pipeline once
+    * per side plus once for bucket counting — 3× the upstream work.
+    */
+  private[ops] def bucketPairs(
+      banded: DataFrame,
+      keyCols: Seq[String],
+      payload: String,
+      maxBucket: Int): DataFrame = {
+    val buckets = banded
+      .groupBy(keyCols.map(col): _*)
+      .agg(collect_list(struct(col("id"), col(payload))).as("__members"))
+      .where(size(col("__members")) >= 2 &&
+        (if (maxBucket > 0) size(col("__members")) <= maxBucket else lit(true)))
+    buckets
+      .select(explode(col("__members")).as("__a"), col("__members"))
+      .select(col("__a"), explode(col("__members")).as("__b"))
+      .where(col("__a.id") < col("__b.id"))
+      .select(col("__a.id").as("id_a"), col("__b.id").as("id_b"),
+        col(s"__a.$payload").as(s"${payload}_a"), col(s"__b.$payload").as(s"${payload}_b"))
   }
 
   def minhashDupePairs(
@@ -96,17 +111,12 @@ object Dedup {
     // re-deriving it (CollapseProject keeps non-cheap projections apart).
     val sigs = shingleHashSets(df, idCol, textCol, shingleK)
       .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
-    val banded = dropOversizedBuckets(
-      sigs
-        .select(col("id"), col("sig"),
-          explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-        .select(col("id"), col("sig"), col("bk.band"), col("bk.key")),
-      Seq("band", "key"), maxBucketSize)
+    val banded = sigs
+      .select(col("id"), col("sig"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
 
-    val a = banded.select(col("band"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "key"))
-      .where(col("id_a") < col("id_b"))
+    bucketPairs(banded, Seq("band", "key"), "sig", maxBucketSize)
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("double") / numHashes).as("est_jaccard"))
@@ -126,18 +136,13 @@ object Dedup {
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val sigs = df.select(col(idCol).as("id"),
       simhash64(TextAnalysis.tokens(col(textCol))).as("sig"))
-    val blocked = dropOversizedBuckets(
-      sigs.select(col("id"), col("sig"),
-        explode(array((0 until 4).map { blk =>
-          struct(lit(blk).as("blk"),
-            shiftright(col("sig"), blk * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
-        }: _*)).as("bk"))
-        .select(col("id"), col("sig"), col("bk.blk"), col("bk.key")),
-      Seq("blk", "key"), maxBucketSize)
-    val a = blocked.select(col("blk"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = blocked.select(col("blk"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("blk", "key"))
-      .where(col("id_a") < col("id_b"))
+    val blocked = sigs.select(col("id"), col("sig"),
+      explode(array((0 until 4).map { blk =>
+        struct(lit(blk).as("blk"),
+          shiftright(col("sig"), blk * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.blk"), col("bk.key"))
+    bucketPairs(blocked, Seq("blk", "key"), "sig", maxBucketSize)
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
