@@ -49,6 +49,32 @@ class GoldenQuerySpec extends SparkTestBase {
     assert(run(MatchAll) === golden("logcat-reference.txt"))
   }
 
+  test("sub-hour time ranges select exactly the covered seconds") {
+    // Fixture lines are at 10:00:01..10:00:18; [10:00:05, 10:00:08) → 05,06,07
+    val q = LogQuery(root = fixtureRoot, dc = "99", service = "logsearch-testservice",
+      component = "logsearch-test")
+      .range(startMs + 5000, startMs + 8000)
+    val got = q.formatted(spark).collect()
+    assert(got.length === 3)
+    assert(got.forall(_.matches("^2012-02-28T10:00:0[567].*")))
+    // empty sub-range inside the hour
+    assert(q.range(startMs + 30000, startMs + 31000).formatted(spark).count() === 0)
+  }
+
+  // Direct SELECT-from-path SQL is v1-FileFormat-only in Spark; the supported
+  // SQL route for a DSv2 source is a registered view.
+  test("SQL over the boom source via temp view") {
+    spark.read.format("boom")
+      .load(s"$refBase/logsearch-testservice/logs/20120228/10/logsearch-test/data")
+      .createOrReplaceTempView("logs")
+    assert(spark.sql("SELECT count(*) AS n FROM logs").head().getLong(0) === 17)
+    assert(spark.sql("SELECT message FROM logs WHERE message LIKE '%fenêtre%'").count() === 1)
+    // seconds 05..09 of the fixture — second 09 has no line, so 4 rows
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM logs WHERE timestamp >= 1330423205000 AND timestamp < 1330423210000")
+      .head().getLong(0) === 4)
+  }
+
   test("logsearch golden (25 searches, logsearch.test.script.sh:48-72)") {
     val searches = Seq(
       ("test", false), ("TEST", false),
