@@ -28,6 +28,13 @@ object SimHash {
     h
   }
 
+  /** Position-salted remix of an already-hashed token. */
+  @inline def hashToken2(h: Long, pos: Int): Long = {
+    var x = h ^ (pos.toLong * 0xC4CEB9FE1A85EC53L + 0x165667B19E3779F9L)
+    x ^= (x >>> 33); x *= 0xFF51AFD7ED558CCDL
+    x ^ (x >>> 29)
+  }
+
   def simhash64(tokens: ArrayData): Long = {
     val counts = new Array[Int](64)
     val n = tokens.numElements()
@@ -66,6 +73,71 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.SimHash.simhash64($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+}
+
+/** Distinct k-shingle hashes straight from the token array — combines the
+  * per-token hashes positionally instead of materializing each shingle as a
+  * concatenated string and hashing that (the string build dominated the
+  * shingle pipeline's profile). Short docs (< k tokens) hash their whole
+  * token sequence as one shingle, mirroring TextAnalysis.shingles.
+  */
+object ShingleOps {
+  def shingleHashes(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    val tokenHashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      tokenHashes(i) = if (tokens.isNullAt(i)) 0L else SimHash.hashToken(tokens.getUTF8String(i))
+      i += 1
+    }
+    val count = math.max(1, n - k + 1)
+    val seen = new java.util.HashSet[java.lang.Long](count * 2)
+    val out = new ArrayBuffer(count)
+    var s = 0
+    while (s < count) {
+      var h = 0x9E3779B97F4A7C15L
+      var j = s
+      val end = math.min(n, s + k)
+      while (j < end) {
+        h = java.lang.Long.rotateLeft(h, 13) ^ SimHash.hashToken2(tokenHashes(j), j - s)
+        j += 1
+      }
+      h = MinHash.mix(h, 0L)
+      if (seen.add(h)) out += h
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.result())
+  }
+
+  private final class ArrayBuffer(initial: Int) {
+    private var arr = new Array[Long](math.max(4, initial))
+    private var len = 0
+    def +=(v: Long): Unit = {
+      if (len == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+      arr(len) = v; len += 1
+    }
+    def result(): Array[Long] = java.util.Arrays.copyOf(arr, len)
+  }
+}
+
+case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleOps.shingleHashes(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.shingleHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
 
   override def eval(input: InternalRow): Any = {
@@ -175,6 +247,11 @@ object TextFunctions {
   /** 64-bit simhash of an array<string> token column. */
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  /** Distinct k-shingle hashes from a token-array column (fused, no string
+    * materialization). */
+  def shingle_hashes(tokens: Column, k: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(tokens), k))
 
   /** Fused minhash signature (array<long>) of a shingle-hash array column. */
   def minhash_signature(shingleHashes: Column, numHashes: Int): Column =

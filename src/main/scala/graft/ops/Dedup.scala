@@ -30,12 +30,16 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
-  /** (id, sh) with sh = distinct shingle hashes, built as staged projections. */
+  /** (id, sh) with sh = distinct shingle hashes. Staged: tokens materialize
+    * first, then the fused ShingleHashes expression combines token hashes
+    * positionally — no shingle strings are ever built (the string
+    * concatenation dominated this pipeline's profile).
+    */
   private[ops] def shingleHashSets(
       df: DataFrame, idCol: String, textCol: String, shingleK: Int): DataFrame =
     df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
-      .select(col("id"), TextAnalysis.shinglesFromTokens(col("toks"), shingleK).as("sstr"))
-      .select(col("id"), TextAnalysis.shingleHashesFromShingles(col("sstr")).as("sh"))
+      .select(col("id"),
+        graft.functions.TextFunctions.shingle_hashes(col("toks"), shingleK).as("sh"))
 
   /** MinHash signature: `numHashes` permutation-minima over the distinct
     * shingle hashes, computed by the fused native expression
