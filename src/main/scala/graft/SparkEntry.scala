@@ -367,7 +367,7 @@ object SparkEntry {
       val aug = emb.unionByName(emb.where(col("vec_id") < 10)
         .withColumn("vec_id", col("vec_id") + 1000000L))
       Dedup.embeddingDupePairs(aug, "vec_id", "embedding", threshold = 0.99,
-        planes = 8)
+        bands = 8, planesPerBand = 8)
         .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")
     }),

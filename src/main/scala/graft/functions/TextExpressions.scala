@@ -15,18 +15,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * whole-stage codegen.
   */
 object SimHash {
-  /** xxhash-style 64-bit avalanche of a token's bytes (Murmur-inspired,
-    * standard public construction).
+  /** Full 64-bit hash of the token's BYTES (catalyst's XXH64, the same
+    * kernel behind SQL `xxhash64`). Seeding from the 32-bit
+    * `UTF8String.hashCode` would cap the family at 2^32 distinct values —
+    * on a large vocabulary the birthday-bound token collisions (expected
+    * from ~2^16 distinct tokens) inflate minhash/simhash similarity
+    * estimates.
     */
-  def hashToken(s: UTF8String): Long = {
-    var h = s.hashCode().toLong * 0x9E3779B97F4A7C15L
-    h ^= (h >>> 32)
-    h *= 0xFF51AFD7ED558CCDL
-    h ^= (h >>> 33)
-    h *= 0xC4CEB9FE1A85EC53L
-    h ^= (h >>> 33)
-    h
-  }
+  def hashToken(s: UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      s.getBaseObject, s.getBaseOffset, s.numBytes(), 0x9E3779B97F4A7C15L)
 
   /** Position-salted remix of an already-hashed token. */
   @inline def hashToken2(h: Long, pos: Int): Long = {

@@ -154,36 +154,53 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity pairs, LSH-blocked (the verification
-    * stage of minhash dedup): joins candidate pairs back to their distinct
-    * shingle-hash sets and computes true |∩|/|∪|.
+    * stage of minhash dedup), in ONE pass: tokens → shingle sets → minhash
+    * signature → band keys all derive from each other as staged projections
+    * over a single scan, and the shingle SETS ride through [[bucketPairs]] as
+    * the payload so true |∩|/|∪| is computed intra-row on the grouped bucket —
+    * no re-derivation of the pipeline, no join back to the sets (the previous
+    * formulation scanned the documents three times and joined twice).
+    *
+    * Defaults (64 hashes, 32 bands × 2 rows) make blocking effectively
+    * exhaustive for the verification threshold: P(miss) = (1 − j²)^32 ≈ 6e-15
+    * at j = 0.8, so the exact-Jaccard output matches an all-pairs oracle.
     */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleK: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
-    val sets = shingleHashSets(df, idCol, textCol, shingleK)
-    val candidates = minhashDupePairs(df, idCol, textCol, shingleK,
-      numHashes = 64, bands = 16, threshold = math.max(0.0, threshold - 0.2))
-    candidates
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      threshold: Double = 0.8,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val banded = shingleHashSets(df, idCol, textCol, shingleK)
+      .select(col("id"), col("sh"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .select(col("id"), col("sh"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("sh"), col("bk.band"), col("bk.key"))
+    bucketPairs(banded, Seq("band", "key"), "sh", maxBucketSize)
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .where(col("jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
   }
 
-  /** Embedding near-dup pairs: cosine ≥ threshold, blocked by random-
-    * hyperplane LSH (see [[Similarity.hyperplaneBuckets]]).
+  /** Embedding near-dup pairs: cosine ≥ threshold, blocked by banded
+    * random-hyperplane LSH with capped buckets (see
+    * [[Similarity.cosinePairsLsh]]).
     */
   def embeddingDupePairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double = 0.95,
-      planes: Int = 12,
-      seed: Long = 42L): DataFrame =
-    Similarity.cosinePairsLsh(df, idCol, vecCol, threshold, planes, seed)
+      bands: Int = 16,
+      planesPerBand: Int = 8,
+      seed: Long = 42L,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    Similarity.cosinePairsLsh(df, idCol, vecCol, threshold, bands, planesPerBand,
+      seed, maxBucketSize)
 }

@@ -1,43 +1,50 @@
 package graft.ops
 
-import scala.util.Random
-
+import graft.functions.HyperplaneFunctions.{hyperplane_band_keys, hyperplane_bits}
+import graft.functions.HyperplaneOps
 import graft.functions.TextFunctions.cosine_similarity
+import graft.functions.TopKByScore.topk_by_score
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`array<float>`).
   *
   * Two tiers, as a training-data pipeline needs:
   *   - [[bruteForceTopK]] — exact cosine top-k. The query side is broadcast,
-  *     so the corpus streams once, shuffle-free until the final per-query
-  *     top-k (which aggregates partial top-ks map-side).
-  *   - [[lshTopK]] / [[cosinePairsLsh]] — random-hyperplane LSH: signature →
-  *     bucket join → exact re-rank within buckets. The scale path: corpus²
-  *     never materializes, the only shuffle is on bucket keys.
+  *     so the corpus streams once; the per-query top-k is a k-BOUNDED
+  *     aggregate ([[graft.functions.TopKByScore]]), so the only exchange
+  *     carries ≤ tasks × queries × k rows — never the scored corpus (a
+  *     `row_number` window would put the whole corpus in one partition per
+  *     query, the classic 100 TB collapse).
+  *   - [[lshTopK]] / [[ivfTopK]] / [[cosinePairsLsh]] — blocked ANN:
+  *     signature → bucket join (size-capped) → exact re-rank within buckets.
+  *     corpus² never materializes; the only shuffles are on bucket keys and
+  *     the k-bounded final aggregate.
   */
 object Similarity {
 
   def cosine(a: Column, b: Column): Column = cosine_similarity(a, b)
 
-  /** Deterministic random hyperplanes (unit-free; sign only matters). */
-  private[ops] def hyperplanes(dim: Int, planes: Int, seed: Long): Array[Array[Float]] = {
-    val rnd = new Random(seed)
-    Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian().toFloat))
-  }
+  /** Cap for LSH bucket joins — see [[Dedup.DefaultMaxBucketSize]]. */
+  def defaultMaxBucketSize: Int = Dedup.DefaultMaxBucketSize
 
-  /** Sign-bit bucket key of a vector against the shared hyperplanes. */
-  private[ops] def bucketKey(vec: Column, planes: Array[Array[Float]]): Column = {
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(
-        zip_with(vec, lit(p), (x, y) => x * y),
-        lit(0.0d), (acc, v) => acc + v)
-      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  private def vectorDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).first().getInt(0)
+
+  /** Scored (query_id, neighbor_id, cos) → per-query top-k with rank.
+    * One k-bounded aggregate: map-side partial buffers hold ≤ k entries per
+    * query, the exchange ships those buffers, reduce merges k-lists.
+    * `distinctIds` dedupes neighbors that reach a query via several LSH/IVF
+    * probe buckets inside the same aggregate — no dropDuplicates exchange.
+    */
+  private[ops] def topKPerQuery(scored: DataFrame, k: Int,
+      distinctIds: Boolean): DataFrame =
+    scored.groupBy("query_id")
+      .agg(topk_by_score(col("cos"), col("neighbor_id"), k, distinctIds).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cos"), (col("pos") + 1).as("rank"))
 
   /** Exact top-k neighbors for each query vector (brute force, broadcast
     * queries). Output: (query_id, neighbor_id, cos, rank).
@@ -55,13 +62,14 @@ object Similarity {
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__cv"), col("__qv")).as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topKPerQuery(scored, k, distinctIds = false)
   }
 
   /** Approximate top-k via hyperplane LSH with multi-probe (queries join only
     * their own bucket; `probes` > 1 additionally probes buckets at Hamming
-    * distance 1 to recover near-boundary neighbors).
+    * distance 1 to recover near-boundary neighbors). Signatures come from the
+    * fused [[graft.functions.HyperplaneBits]] expression — one loop for all
+    * planes, no per-plane intermediate arrays.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -74,13 +82,13 @@ object Similarity {
       planes: Int = 12,
       probes: Int = 4,
       seed: Long = 42L): DataFrame = {
-    val dim = corpus.select(size(col(corpusVec))).first().getInt(0)
-    val hp = hyperplanes(dim, planes, seed)
+    val dim = vectorDim(corpus, corpusVec)
+    val hp = HyperplaneOps.flatPlanes(dim, planes, seed)
 
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"),
-      bucketKey(col(corpusVec), hp).as("bucket"))
+      hyperplane_bits(col(corpusVec), hp, planes).as("bucket"))
     val qBase = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"),
-      bucketKey(col(queryVec), hp).as("__b0"))
+      hyperplane_bits(col(queryVec), hp, planes).as("__b0"))
     // Multi-probe: own bucket + (probes-1) single-bit flips.
     val probeKeys = array((0 until math.min(probes, planes + 1)).map {
       case 0 => col("__b0")
@@ -92,20 +100,23 @@ object Similarity {
     val scored = c.join(q, "bucket")
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("__cv"), col("__qv")).as("cos"))
-      .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topKPerQuery(scored, k, distinctIds = true)
   }
 
   /** IVF-style ANN (the FAISS IVF-Flat construction on DataFrames): a coarse
     * k-means quantizer assigns every corpus vector to a centroid cell; each
     * query probes its `nprobe` nearest cells and exact-reranks only those.
     *
-    * Scale shape: the quantizer fits on a SAMPLE (constant-size work), cell
-    * assignment is one narrow pass, the centroid table stays driver-side
-    * (nlist × dim floats), and the only shuffle is the query↔cell join —
+    * Scale shape: the quantizer fits on a bounded SAMPLE (≤ `maxTrainRows`
+    * by default — k-means over the full corpus would be a multi-pass scan at
+    * 100 TB for no recall gain), cell assignment is one narrow pass, the
+    * centroid table stays driver-side (nlist × dim floats), and the only
+    * shuffles are the query↔cell join and the k-bounded top-k aggregate —
     * corpus² never materializes. Versus [[lshTopK]]: data-adaptive cells give
     * better recall on clustered embeddings at the same probe budget.
+    *
+    * @param trainFraction explicit sample fraction for the quantizer fit;
+    *                      NaN (default) derives min(1, maxTrainRows/|corpus|).
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -117,14 +128,18 @@ object Similarity {
       k: Int = 10,
       nlist: Int = 16,
       nprobe: Int = 4,
-      trainFraction: Double = 1.0,
+      trainFraction: Double = Double.NaN,
+      maxTrainRows: Long = 200000L,
       seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
     val vecCol = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"),
       array_to_vector(col(corpusVec).cast("array<double>")).as("__features"))
-    val train = (if (trainFraction < 1.0) vecCol.sample(trainFraction, seed) else vecCol)
+    val frac =
+      if (!trainFraction.isNaN) trainFraction
+      else math.min(1.0, maxTrainRows.toDouble / math.max(1L, corpus.count()).toDouble)
+    val train = (if (frac < 1.0) vecCol.sample(frac, seed) else vecCol)
       .select(col("__features").as("features"))
     val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features").fit(train)
 
@@ -149,27 +164,32 @@ object Similarity {
     val scored = assigned.join(q, "cell")
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("__cv"), col("__qv")).as("cos"))
-      .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topKPerQuery(scored, k, distinctIds = true)
   }
 
-  /** All pairs with cosine ≥ threshold, LSH-blocked (for embedding dedup). */
+  /** All pairs with cosine ≥ threshold, banded-LSH-blocked (for embedding
+    * dedup). Banding (minhash-style) over hyperplane bits keeps recall high —
+    * P(miss) = (1 − p^planesPerBand)^bands for per-plane agreement
+    * p = 1 − θ/π — while each band's buckets stay small and are hard-capped
+    * via [[Dedup.bucketPairs]] (`maxBucketSize`): one degenerate bucket (zero
+    * vectors, a dominant cluster) can otherwise go quadratic at corpus scale.
+    * Candidate pairs expand intra-row from the grouped bucket, carrying their
+    * vectors as payload — one shuffle total, then exact cosine verification.
+    */
   def cosinePairsLsh(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      planes: Int = 12,
-      seed: Long = 42L): DataFrame = {
-    val dim = df.select(size(col(vecCol))).first().getInt(0)
-    val hp = hyperplanes(dim, planes, seed)
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      bucketKey(col(vecCol), hp).as("bucket"))
-    val a = sig.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = sig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket"))
-      .where(col("id_a") < col("id_b"))
+      bands: Int = 16,
+      planesPerBand: Int = 8,
+      seed: Long = 42L,
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
+    val dim = vectorDim(df, vecCol)
+    val hp = HyperplaneOps.flatPlanes(dim, bands * planesPerBand, seed)
+    val banded = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      explode(hyperplane_band_keys(col(vecCol), hp, bands, planesPerBand)).as("bucket"))
+    Dedup.bucketPairs(banded, Seq("bucket"), "v", maxBucketSize)
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
       .where(col("cos") >= threshold)
       .dropDuplicates("id_a", "id_b")

@@ -105,7 +105,8 @@ class SimilaritySpec extends SparkTestBase {
   test("cosine pairs via lsh finds identical vectors") {
     val dup = vecs.unionByName(
       vecs.where($"vec_id" === 0).withColumn("vec_id", lit(100L)))
-    val pairs = Similarity.cosinePairsLsh(dup, "vec_id", "embedding", 0.999, planes = 4)
+    val pairs = Similarity.cosinePairsLsh(dup, "vec_id", "embedding", 0.999,
+      bands = 4, planesPerBand = 2)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 100L)))
   }
