@@ -1,5 +1,16 @@
 package graft
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query end-to-end at
+  * SPARK_GRAFT_SF_DIR. Each query executes against the `noop` sink — a real
+  * write of every result row — so Catalyst cannot optimize away sorts or
+  * column projections the way it can under `count()` (which prunes to zero
+  * columns and drops top-level ordering). The one-line JSON result goes to
+  * stdout AND to bench_result.json (override with SPARK_GRAFT_BENCH_JSON) so
+  * harnesses don't have to fish it out of build-tool log prefixes.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -19,13 +30,17 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "bench_result.json")
+    Files.writeString(Paths.get(outPath), json + "\n")
+    println(json)
     spark.stop()
   }
 }

@@ -124,39 +124,110 @@ class BoomTable(paths: Seq[String]) extends Table with SupportsRead with Support
     new BoomWriteBuilder(paths, info)
 }
 
+/** V2-predicate pushdown (`SupportsPushDownV2Filters`, not the V1 `Filter`
+  * API) so the OR and case-insensitive search forms reach the scan:
+  *
+  *   - `timestamp` bounds (block skip + split pruning);
+  *   - `CONTAINS(message, t)` — logsearch;
+  *   - `OR` trees of contains — logmultisearch any-term
+  *     (util/MultiSearch.java:165-198), one pushed clause of N terms;
+  *   - `CONTAINS(UPPER(message), T)` — the `--i` forms
+  *     (util/FastSearch.java:233-249); the term tests against the uppercased
+  *     line/block.
+  *
+  * Everything is also returned as residual, so Spark re-evaluates: a
+  * pushdown bug can cost performance but never correctness.
+  */
 class BoomScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownV2Filters with SupportsPushDownRequiredColumns {
+
+  import org.apache.spark.sql.connector.expressions.{Expression => VExpr, GeneralScalarExpression, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+  import org.apache.spark.sql.graft.V2ExprBridge
+  import org.apache.spark.sql.types.{LongType, StringType}
 
   private var requiredSchema: StructType = LogLine.schema
-  private var pushed: Array[Filter] = Array.empty
+  private var pushed: Array[Predicate] = Array.empty
   private var minTs: Long = Long.MinValue
   private var maxTsExcl: Long = Long.MaxValue
-  private var containsTerms: Seq[String] = Nil
+  private var clauses: Vector[Seq[BoomTerm]] = Vector.empty
 
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val accepted = ArrayBuffer[Filter]()
-    filters.foreach {
-      case f @ sources.GreaterThanOrEqual("timestamp", v: Long) =>
-        minTs = math.max(minTs, v); accepted += f
-      case f @ sources.GreaterThan("timestamp", v: Long) =>
-        minTs = math.max(minTs, v + 1); accepted += f
-      case f @ sources.LessThan("timestamp", v: Long) =>
-        maxTsExcl = math.min(maxTsExcl, v); accepted += f
-      case f @ sources.LessThanOrEqual("timestamp", v: Long) =>
-        maxTsExcl = math.min(maxTsExcl, v + 1); accepted += f
-      case f @ sources.EqualTo("timestamp", v: Long) =>
-        minTs = math.max(minTs, v); maxTsExcl = math.min(maxTsExcl, v + 1); accepted += f
-      case f @ sources.StringContains("message", v: String) =>
-        containsTerms = containsTerms :+ v; accepted += f
-      case _ => ()
-    }
-    pushed = accepted.toArray
-    // Return everything as residual: Spark re-evaluates, so a pushdown bug can
-    // cost performance but never correctness.
-    filters
+  private def isCol(e: VExpr, name: String): Boolean = e match {
+    case r: NamedReference => r.fieldNames.length == 1 && r.fieldNames()(0) == name
+    case _ => false
   }
 
-  override def pushedFilters(): Array[Filter] = pushed
+  private def longLit(e: VExpr): Option[Long] = V2ExprBridge.literal(e) match {
+    case Some((v: Long, LongType)) => Some(v)
+    case _ => None
+  }
+
+  private def strLit(e: VExpr): Option[UTF8String] = V2ExprBridge.literal(e) match {
+    case Some((v: UTF8String, StringType)) => Some(v)
+    case _ => None
+  }
+
+  /** Timestamp bound in either operand order; tightens [minTs, maxTsExcl). */
+  private def acceptTsBound(p: Predicate): Boolean = {
+    val ch = p.children()
+    if (ch.length != 2) return false
+    val refFirst = isCol(ch(0), "timestamp")
+    val litOpt = if (refFirst) longLit(ch(1))
+      else if (isCol(ch(1), "timestamp")) longLit(ch(0))
+      else None
+    litOpt match {
+      case Some(v) =>
+        (p.name(), refFirst) match {
+          case (">=", true) | ("<=", false) => minTs = math.max(minTs, v); true
+          case (">", true) | ("<", false) => minTs = math.max(minTs, v + 1); true
+          case ("<", true) | (">", false) => maxTsExcl = math.min(maxTsExcl, v); true
+          case ("<=", true) | (">=", false) => maxTsExcl = math.min(maxTsExcl, v + 1); true
+          case ("=", _) =>
+            minTs = math.max(minTs, v); maxTsExcl = math.min(maxTsExcl, v + 1); true
+          case _ => false
+        }
+      case None => false
+    }
+  }
+
+  /** `CONTAINS(message, t)` / `CONTAINS(UPPER(message), T)` → one term. */
+  private def parseContains(p: Predicate): Option[BoomTerm] = {
+    if (p.name() != "CONTAINS" || p.children().length != 2) return None
+    strLit(p.children()(1)).flatMap { term =>
+      p.children()(0) match {
+        case e if isCol(e, "message") => Some(BoomTerm(term, onUpper = false))
+        case g: GeneralScalarExpression
+            if g.name() == "UPPER" && g.children().length == 1 &&
+              isCol(g.children()(0), "message") =>
+          Some(BoomTerm(term, onUpper = true))
+        case _ => None
+      }
+    }
+  }
+
+  /** OR tree of contains → one clause (any-term-matches). */
+  private def parseClause(p: Predicate): Option[Seq[BoomTerm]] = p.name() match {
+    case "OR" =>
+      p.children().toSeq match {
+        case Seq(l: Predicate, r: Predicate) =>
+          for (a <- parseClause(l); b <- parseClause(r)) yield a ++ b
+        case _ => None
+      }
+    case "CONTAINS" => parseContains(p).map(Seq(_))
+    case _ => None
+  }
+
+  override def pushPredicates(predicates: Array[Predicate]): Array[Predicate] = {
+    val accepted = ArrayBuffer[Predicate]()
+    predicates.foreach { p =>
+      if (acceptTsBound(p)) accepted += p
+      else parseClause(p).foreach { cl => clauses :+= cl; accepted += p }
+    }
+    pushed = accepted.toArray
+    predicates // all residual — see class doc
+  }
+
+  override def pushedPredicates(): Array[Predicate] = pushed
 
   override def pruneColumns(required: StructType): Unit = requiredSchema = required
 
@@ -166,7 +237,7 @@ class BoomScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap)
     val pushdown = BoomPushdown(
       minTs = minTs,
       maxTsExcl = maxTsExcl,
-      contains = containsTerms.map(UTF8String.fromString),
+      clauses = clauses,
       needMessage = requiredSchema.fieldNames.contains("message"))
     new BoomScan(paths, files, requiredSchema, pushdown, options,
       new SerializableConfiguration(spark.sessionState.newHadoopConf()))

@@ -1,12 +1,12 @@
 package graft.boom
 
-import java.io.InputStream
+import java.io.{EOFException, InputStream}
 
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.avro.Schema
 import org.apache.avro.file.DataFileStream
-import org.apache.avro.io.{DatumReader, Decoder}
+import org.apache.avro.io.{DatumReader, Decoder, DecoderFactory}
 import org.apache.avro.util.Utf8
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -22,18 +22,41 @@ final class BoomLine {
   var lineNumber: Long = 0L
 }
 
+/** One pushed substring term. `onUpper` = the predicate arrived as
+  * `CONTAINS(UPPER(message), term)` (logsearch/logmultisearch `--i`), so the
+  * line test is `upper(message) contains term`.
+  */
+final case class BoomTerm(term: UTF8String, onUpper: Boolean) extends Serializable {
+  /** Pure-ASCII terms may be block-prescanned under byte-wise ASCII
+    * uppercasing; multi-byte characters change under Unicode uppercasing, so
+    * non-ASCII `--i` terms are exempt from the block scan (never decode-skip
+    * on them — conservative, no false skips).
+    */
+  def asciiOnly: Boolean = {
+    var i = 0
+    val n = term.numBytes()
+    while (i < n) {
+      if ((term.getByte(i) & 0x80) != 0) return false
+      i += 1
+    }
+    true
+  }
+}
+
 /** Scan-time pushdown state for a Boom read.
   *
   * @param minTs      inclusive lower bound on line timestamp (epoch ms)
   * @param maxTsExcl  exclusive upper bound
-  * @param contains   byte-wise substring terms, ALL of which must appear in the
-  *                   message (conjunction of pushed `StringContains` filters)
+  * @param clauses    CNF over substring terms: every clause must hold for a
+  *                   line; a clause holds if ANY of its terms matches
+  *                   (logmultisearch OR = one clause of N terms, AND = N
+  *                   clauses of one term — util/MultiSearch.java:165-198)
   * @param needMessage whether the message column must be decoded
   */
 final case class BoomPushdown(
     minTs: Long = Long.MinValue,
     maxTsExcl: Long = Long.MaxValue,
-    contains: Seq[UTF8String] = Nil,
+    clauses: Seq[Seq[BoomTerm]] = Nil,
     needMessage: Boolean = true) extends Serializable {
   def hasTimeFilter: Boolean = minTs != Long.MinValue || maxTsExcl != Long.MaxValue
 }
@@ -45,11 +68,15 @@ final case class BoomPushdown(
   *     their line array skipped without materializing strings — the Spark
   *     analogue of the reference's second-granularity block skip
   *     (util/FastSearch.java:266-269, Cat.java:83-84);
-  *   - pushed substring terms are tested byte-wise per line before a row is
-  *     surfaced — the analogue of FastSearch's scan-before-decode trick
-  *     (util/FastSearch.java:215-224), minus a redundant decode pass since we
-  *     test on the zero-copy UTF8String;
+  *   - pushed term clauses are tested byte-wise per line before a row is
+  *     surfaced (util/FastSearch.java:215-224 case-sensitive,
+  *     MultiSearch.java:165-198 OR/AND); `--i` terms test against the
+  *     uppercased line, materialized at most once per line;
   *   - when the `message` column is pruned, string decode is skipped.
+  *
+  * (The pre-decode CONTAINER-block scan — skipping Avro decode entirely for
+  * blocks whose bytes contain no term — lives one level up in
+  * [[BoomFileRangeIterator]], which owns the raw block buffer.)
   *
   * Tolerates writer-schema evolution the same way the reference does
   * (readers pass writer+expected schema, BoomRecordReader.java:82-87): fields
@@ -64,6 +91,7 @@ final class BoomBlockDatumReader(pushdown: BoomPushdown)
 
   private var writerSchema: Schema = BoomSchemas.logBlockSchema
   private var utf8 = new Utf8
+  private val clauses: Array[Array[BoomTerm]] = pushdown.clauses.map(_.toArray).toArray
 
   override def setSchema(schema: Schema): Unit = writerSchema = schema
 
@@ -97,6 +125,30 @@ final class BoomBlockDatumReader(pushdown: BoomPushdown)
     out
   }
 
+  /** CNF term test; uppercases the line at most once, lazily. */
+  private def matchesClauses(message: UTF8String): Boolean = {
+    var upper: UTF8String = null
+    var c = 0
+    while (c < clauses.length) {
+      val cl = clauses(c)
+      var hit = false
+      var t = 0
+      while (!hit && t < cl.length) {
+        val term = cl(t)
+        val hay =
+          if (term.onUpper) {
+            if (upper == null) upper = message.toUpperCase
+            upper
+          } else message
+        if (hay.contains(term.term)) hit = true
+        t += 1
+      }
+      if (!hit) return false
+      c += 1
+    }
+    true
+  }
+
   private def readLines(
       in: Decoder,
       itemSchema: Schema,
@@ -125,16 +177,12 @@ final class BoomBlockDatumReader(pushdown: BoomPushdown)
               val ts = base + ms
               val inRange = ts >= pushdown.minTs && ts < pushdown.maxTsExcl
               if (!inRange) { in.skipString(); matched = false }
-              else if (pushdown.needMessage || pushdown.contains.nonEmpty) {
+              else if (pushdown.needMessage || clauses.nonEmpty) {
                 utf8 = in.readString(utf8)
                 // Copy out of the reused buffer only if the line survives.
                 message = UTF8String.fromBytes(
                   java.util.Arrays.copyOf(utf8.getBytes, utf8.getByteLength))
-                var t = 0
-                while (matched && t < pushdown.contains.length) {
-                  if (!message.contains(pushdown.contains(t))) matched = false
-                  t += 1
-                }
+                if (clauses.nonEmpty && !matchesClauses(message)) matched = false
               } else in.skipString()
             case _ => skipByType(in, itemFields.get(f).schema())
           }
@@ -185,7 +233,10 @@ final class BoomBlockDatumReader(pushdown: BoomPushdown)
   }
 }
 
-/** Flat iterator of surviving [[BoomLine]]s over one Boom file stream. */
+/** Flat iterator of surviving [[BoomLine]]s over one Boom file stream
+  * (non-seekable; used by the local `boomcat` path — the task read path is
+  * [[BoomFileRangeIterator]]).
+  */
 final class BoomFileIterator(input: InputStream, pushdown: BoomPushdown)
     extends Iterator[BoomLine] with AutoCloseable {
 
@@ -212,14 +263,27 @@ final class BoomFileIterator(input: InputStream, pushdown: BoomPushdown)
   override def close(): Unit = stream.close()
 }
 
-/** Iterator over one byte-range slice of a Boom file, bounded by Avro sync
-  * markers — the mechanism that makes large `.bm` files splittable across
-  * tasks (the reference's record readers did the same seek-to-sync:
-  * mapreduce/boom/BoomRecordReader.java:93).
+/** Iterator over one byte-range slice of a Boom file, reading the Avro
+  * object-container format RAW (header, then `count, size, payload, sync`
+  * frames — a public, stable format) instead of through `DataFileReader`.
+  * Owning the container frame gives the two scan tricks the reference's
+  * readers had:
   *
-  * `sync(start)` seeks to the first sync marker at/after `start`;
-  * `pastSync(end)` stops once the reader crosses `end` — together every block
-  * is read by exactly one of the non-overlapping slices.
+  *   - **pre-decode block term scan** (util/FastSearch.java:179-255,
+  *     MultiSearch.java:349-405): pushed terms are byte-searched against the
+  *     INFLATED block buffer first; if some clause has no term occurring
+  *     anywhere in the ~2 MiB block, no line in it can match and the whole
+  *     block skips Avro decode entirely. `--i` terms scan an ASCII-uppercased
+  *     copy (made once per block, only when ci terms are pushed); non-ASCII
+  *     ci terms never cause a skip (conservative — Unicode case folding
+  *     changes byte length).
+  *   - **sync-aligned slicing** (BoomRecordReader.java:93): a slice [s, e)
+  *     owns exactly the blocks whose preceding sync marker starts in [s, e),
+  *     so adjacent slices of one file partition the blocks exactly-once.
+  *
+  * Deflate (the reference's only codec, boom/BoomWriter.java) and null
+  * codecs are supported; the `Inflater` and block buffers are reused across
+  * blocks.
   */
 final class BoomFileRangeIterator(
     in: org.apache.avro.file.SeekableInput,
@@ -228,29 +292,272 @@ final class BoomFileRangeIterator(
     end: Long)
     extends Iterator[BoomLine] with AutoCloseable {
 
-  private val reader = new org.apache.avro.file.DataFileReader[ArrayBuffer[BoomLine]](
-    in, new BoomBlockDatumReader(pushdown))
-  reader.sync(start)
-  // Clamp: pastSync(pos) compares against pos + SYNC_SIZE, which overflows
-  // for Long.MaxValue ("read to end of file") and would mark everything past.
-  private val stop = math.min(end, in.length())
+  private val SyncSize = 16
+  private val datumReader = new BoomBlockDatumReader(pushdown)
+
+  // Block-scannable clauses: raw term bytes (and, for ci terms, the term is
+  // searched in the block's ASCII-uppercased copy).
+  private val scanClauses: Array[Array[BoomTerm]] =
+    pushdown.clauses.filter(_.forall(t => !t.onUpper || t.asciiOnly))
+      .map(_.toArray).toArray
+  private val scanTermBytes: Array[Array[Array[Byte]]] =
+    scanClauses.map(_.map(_.term.getBytes))
+  private val needUpperScan = scanClauses.exists(_.exists(_.onUpper))
+
+  // ---- raw input with tracked position ----
+  private val fileLen = in.length()
+  private var pos = 0L // absolute position of the next byte to read
+
+  private def seekTo(p: Long): Unit = { in.seek(p); pos = p }
+
+  private def readFully(b: Array[Byte], off: Int, len: Int): Boolean = {
+    var done = 0
+    while (done < len) {
+      val n = in.read(b, off + done, len - done)
+      if (n < 0) return false
+      done += n
+    }
+    pos += len
+    true
+  }
+
+  private val one = new Array[Byte](1)
+  private def readByte(): Int =
+    if (readFully(one, 0, 1)) one(0) & 0xFF else -1
+
+  /** Avro zigzag varint. */
+  private def readVarLong(): Long = {
+    var b = readByte()
+    if (b < 0) throw new EOFException("EOF in varint")
+    var acc = (b & 0x7FL)
+    var shift = 7
+    while ((b & 0x80) != 0) {
+      b = readByte()
+      if (b < 0) throw new EOFException("EOF in varint")
+      acc |= (b & 0x7FL) << shift
+      shift += 7
+    }
+    (acc >>> 1) ^ -(acc & 1L)
+  }
+
+  // ---- header ----
+  private var sync: Array[Byte] = _
+  private var headerEnd: Long = _
+  private var codec: String = "null"
+
+  private def parseHeader(): Unit = {
+    seekTo(0L)
+    val magic = new Array[Byte](4)
+    if (!readFully(magic, 0, 4) || magic(0) != 'O' || magic(1) != 'b' ||
+      magic(2) != 'j' || magic(3) != 1) {
+      throw new java.io.IOException("Not an Avro object container file")
+    }
+    var schemaJson: String = null
+    var n = readVarLong()
+    while (n != 0) {
+      val count = if (n < 0) { readVarLong(); -n } else n // negative: size follows
+      var i = 0L
+      while (i < count) {
+        val key = readBytesStr()
+        val value = readBytesArr()
+        key match {
+          case "avro.schema" => schemaJson = new String(value, java.nio.charset.StandardCharsets.UTF_8)
+          case "avro.codec" => codec = new String(value, java.nio.charset.StandardCharsets.UTF_8)
+          case _ => ()
+        }
+        i += 1
+      }
+      n = readVarLong()
+    }
+    sync = new Array[Byte](SyncSize)
+    if (!readFully(sync, 0, SyncSize)) throw new EOFException("EOF in header sync")
+    headerEnd = pos
+    if (schemaJson == null) throw new java.io.IOException("Boom file missing avro.schema")
+    datumReader.setSchema(new Schema.Parser().parse(schemaJson))
+    if (codec != "null" && codec != "deflate") {
+      throw new UnsupportedOperationException(s"Unsupported boom codec: $codec")
+    }
+  }
+
+  private def readBytesStr(): String =
+    new String(readBytesArr(), java.nio.charset.StandardCharsets.UTF_8)
+
+  private def readBytesArr(): Array[Byte] = {
+    val len = readVarLong().toInt
+    val b = new Array[Byte](len)
+    if (!readFully(b, 0, len)) throw new EOFException("EOF in header bytes")
+    b
+  }
+
+  /** Position after the first sync marker whose START is at/after `from`;
+    * -1 if none before EOF.
+    */
+  private def seekPastSync(from: Long): Long = {
+    if (from >= fileLen) return -1L
+    seekTo(from)
+    val chunk = new Array[Byte](64 * 1024 + SyncSize)
+    var base = from
+    var carry = 0
+    while (true) {
+      val n = in.read(chunk, carry, chunk.length - carry)
+      if (n <= 0) return -1L
+      pos += n
+      val avail = carry + n
+      var i = 0
+      while (i + SyncSize <= avail) {
+        var j = 0
+        while (j < SyncSize && chunk(i + j) == sync(j)) j += 1
+        if (j == SyncSize) {
+          val markerStart = base + i
+          seekTo(markerStart + SyncSize)
+          return markerStart + SyncSize
+        }
+        i += 1
+      }
+      // Keep the last SyncSize-1 bytes as overlap for markers spanning reads.
+      carry = math.min(SyncSize - 1, avail)
+      System.arraycopy(chunk, avail - carry, chunk, 0, carry)
+      base = base + avail - carry
+    }
+    -1L
+  }
+
+  // ---- block machinery ----
+  private val inflater = new java.util.zip.Inflater(true)
+  private var packed = new Array[Byte](0)
+  private var inflated = new Array[Byte](1 << 20)
+  private var upperBuf = new Array[Byte](0)
+  private val syncCheck = new Array[Byte](SyncSize)
+
   private var buffer: ArrayBuffer[BoomLine] = new ArrayBuffer[BoomLine]
-  private var pos = 0
+  private var bufPos = 0
+  private var recordBuf: ArrayBuffer[BoomLine] = new ArrayBuffer[BoomLine]
+  private var binDecoder: org.apache.avro.io.BinaryDecoder = _
+  private var done = false
+
+  /** Observability for tests/tuning: container blocks decoded vs skipped by
+    * the pre-decode term scan.
+    */
+  var blocksDecoded: Long = 0L
+  var blocksSkipped: Long = 0L
+
+  parseHeader()
+  // Position at the first owned block: a slice [s, e) owns blocks whose
+  // preceding sync marker starts in [s, e). The header's trailing sync
+  // "precedes" the first block.
+  private val firstBlockPos: Long =
+    if (start <= headerEnd - SyncSize) headerEnd else seekPastSync(start)
+  if (firstBlockPos < 0) done = true else seekTo(firstBlockPos)
+
+  private def indexOf(hay: Array[Byte], hayLen: Int, needle: Array[Byte]): Boolean = {
+    if (needle.length == 0) return true
+    val last = hayLen - needle.length
+    var i = 0
+    while (i <= last) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Pre-decode scan: false → no line in the block can satisfy the pushed
+    * clauses (term bytes appear nowhere in the inflated buffer).
+    */
+  private def blockMayMatch(data: Array[Byte], len: Int): Boolean = {
+    if (scanClauses.isEmpty) return true
+    var upperLen = -1
+    var c = 0
+    while (c < scanClauses.length) {
+      val cl = scanClauses(c)
+      var hit = false
+      var t = 0
+      while (!hit && t < cl.length) {
+        if (cl(t).onUpper) {
+          if (upperLen < 0) {
+            if (upperBuf.length < len) upperBuf = new Array[Byte](len)
+            var i = 0
+            while (i < len) {
+              val b = data(i)
+              upperBuf(i) = if (b >= 'a' && b <= 'z') (b - 32).toByte else b
+              i += 1
+            }
+            upperLen = len
+          }
+          if (indexOf(upperBuf, upperLen, scanTermBytes(c)(t))) hit = true
+        } else if (indexOf(data, len, scanTermBytes(c)(t))) hit = true
+        t += 1
+      }
+      if (!hit) return false
+      c += 1
+    }
+    true
+  }
+
+  /** Read the next owned container block into `buffer`; false at slice end. */
+  private def readBlock(): Boolean = {
+    // Ownership: the sync preceding the block at `pos` started at pos-16.
+    if (pos - SyncSize >= end || pos >= fileLen) return false
+    val count = try readVarLong().toInt catch { case _: EOFException => return false }
+    val size = readVarLong().toInt
+    if (packed.length < size) packed = new Array[Byte](math.max(size, packed.length * 2))
+    if (!readFully(packed, 0, size)) throw new EOFException("EOF in block payload")
+    if (!readFully(syncCheck, 0, SyncSize) ||
+      !java.util.Arrays.equals(syncCheck, sync)) {
+      throw new java.io.IOException(s"Corrupt boom block: bad sync at $pos")
+    }
+
+    var data = packed
+    var len = size
+    if (codec == "deflate") {
+      inflater.reset()
+      inflater.setInput(packed, 0, size)
+      var outLen = 0
+      while (!inflater.finished()) {
+        if (outLen == inflated.length) {
+          inflated = java.util.Arrays.copyOf(inflated, inflated.length * 2)
+        }
+        val n = inflater.inflate(inflated, outLen, inflated.length - outLen)
+        if (n == 0 && inflater.needsInput()) {
+          throw new java.io.IOException("Truncated deflate block in boom file")
+        }
+        outLen += n
+      }
+      data = inflated
+      len = outLen
+    }
+
+    buffer.clear()
+    bufPos = 0
+    if (!blockMayMatch(data, len)) { blocksSkipped += 1; return true } // no decode
+    blocksDecoded += 1
+    binDecoder = DecoderFactory.get().binaryDecoder(data, 0, len, binDecoder)
+    var i = 0
+    while (i < count) {
+      recordBuf = datumReader.read(recordBuf, binDecoder)
+      buffer ++= recordBuf
+      i += 1
+    }
+    true
+  }
 
   override def hasNext: Boolean = {
-    while (pos >= buffer.length && reader.hasNext && !reader.pastSync(stop)) {
-      buffer = reader.next(buffer)
-      pos = 0
+    while (bufPos >= buffer.length && !done) {
+      if (!readBlock()) done = true
     }
-    pos < buffer.length
+    bufPos < buffer.length
   }
 
   override def next(): BoomLine = {
     if (!hasNext) throw new NoSuchElementException
-    val l = buffer(pos)
-    pos += 1
+    val l = buffer(bufPos)
+    bufPos += 1
     l
   }
 
-  override def close(): Unit = reader.close()
+  override def close(): Unit = {
+    inflater.end()
+    in.close()
+  }
 }

@@ -47,7 +47,21 @@ class BoomMicroBatchStream(
   private val maxFilesPerBatch =
     Option(options.get("maxFilesPerTrigger")).map(_.toInt).getOrElse(Int.MaxValue)
 
-  @volatile private var committed: BoomOffset = BoomOffset(Seq.empty)
+  /** High-water mark: the largest offset this instance has seen — the last
+    * end returned by [[latestOffset]], advanced by every deserialized /
+    * planned / committed offset. Rate limiting diffs against THIS, not the
+    * commit-tracked set: after a restart the checkpointed offset replays
+    * through [[deserializeOffset]]/[[planInputPartitions]] before any commit,
+    * so already-processed files never count against `maxFilesPerTrigger`
+    * (diffing against commits alone would emit several empty, offset-
+    * shrinking batches until commits caught back up).
+    */
+  @volatile private var lastEnd: BoomOffset = BoomOffset(Seq.empty)
+
+  private def advance(o: BoomOffset): BoomOffset = synchronized {
+    if (o.files.size > lastEnd.files.size) lastEnd = o
+    o
+  }
 
   private def currentFiles(): Seq[String] =
     BoomDataSource.listFiles(spark, paths).map(_.getPath.toString).sorted
@@ -56,20 +70,22 @@ class BoomMicroBatchStream(
 
   override def latestOffset(): Offset = {
     val now = currentFiles()
-    val known = committed.files.toSet
+    val known = lastEnd.files.toSet
     val fresh = now.filterNot(known)
     val take = fresh.take(maxFilesPerBatch)
-    BoomOffset((known ++ take).toSeq.sorted)
+    advance(BoomOffset((known ++ take).toSeq.sorted))
   }
 
-  override def deserializeOffset(json: String): Offset = BoomOffset.fromJson(json)
+  override def deserializeOffset(json: String): Offset =
+    advance(BoomOffset.fromJson(json))
 
   override def commit(end: Offset): Unit =
-    committed = end.asInstanceOf[BoomOffset]
+    advance(end.asInstanceOf[BoomOffset])
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val endOff = advance(end.asInstanceOf[BoomOffset])
     val startSet = start.asInstanceOf[BoomOffset].files.toSet
-    val newFiles = end.asInstanceOf[BoomOffset].files.filterNot(startSet)
+    val newFiles = endOff.files.filterNot(startSet)
     val out = ArrayBuffer[InputPartition]()
     // One partition per file: streaming batches are small by construction;
     // the batch path's bin-packing applies to backfills via the batch reader.

@@ -28,9 +28,16 @@ import org.apache.spark.util.SerializableConfiguration
   * sorts by the canonical key before writing); an unsorted stream is still
   * correct but produces more, smaller blocks.
   *
-  * Task output goes to `<name>.tmp` and is renamed on task commit; readers
-  * ignore `*.tmp`/`_*` (fs/FileManager.java:42-51), giving the same
-  * write-then-rename visibility the reference's `_READY` protocol provided.
+  * Commit protocol (two-phase, retry- and speculative-attempt-safe): every
+  * writer streams to `<name>.bm.tmp` and task commit only REPORTS the staged
+  * (tmp, final) pairs; the final renames happen in `BoomBatchWrite.commit`
+  * once the whole job has succeeded, and both task- and job-level `abort`
+  * delete every staged file they know of. Readers ignore `*.tmp`/`_*`
+  * (fs/FileManager.java:42-51). A failed-then-retried task therefore never
+  * leaves half-promoted hour files behind (the reference got this from
+  * writing to the task-attempt work dir promoted at commit,
+  * PigBoomHourlyRecordWriter via getDefaultWorkFile), and a job that dies
+  * after some tasks committed leaves nothing visible.
   */
 class BoomWriteBuilder(paths: Seq[String], info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
@@ -71,11 +78,46 @@ class BoomBatchWrite(
     new BoomWriterFactory(path, mode, hourlyDirs, hourlySuffix, hconf)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  /** Job commit: promote every staged file reported by the committed task
+    * attempts. Spark hands exactly one message per partition (the attempt
+    * that won task commit), so losing/speculative attempts' staged files are
+    * never promoted — they are removed by their own task abort. Driver-side
+    * rename-per-file is the FileOutputCommitter-v2 cost model; renames are
+    * O(1) metadata ops on HDFS-like stores.
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(hconf.value)
+    messages.foreach {
+      case BoomCommitMessage(staged, _) =>
+        staged.foreach { case (tmp, dest) =>
+          val t = new Path(tmp)
+          val d = new Path(dest)
+          if (!fs.rename(t, d)) {
+            throw new java.io.IOException(s"boom job commit: rename $t -> $d failed")
+          }
+        }
+      case _ => ()
+    }
+  }
+
+  /** Job abort: delete whatever staged files the committed tasks reported
+    * (running/failed tasks clean their own staging in DataWriter.abort).
+    */
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(hconf.value)
+    messages.foreach {
+      case BoomCommitMessage(staged, _) =>
+        staged.foreach { case (tmp, _) =>
+          try fs.delete(new Path(tmp), false) catch { case _: Exception => () }
+        }
+      case _ => ()
+    }
+  }
 }
 
-case class BoomCommitMessage(files: Seq[String], rows: Long) extends WriterCommitMessage
+/** `staged` = (tmp path written, final path to promote at job commit). */
+case class BoomCommitMessage(staged: Seq[(String, String)], rows: Long)
+  extends WriterCommitMessage
 
 class BoomWriterFactory(
     path: String, mode: String, hourlyDirs: Boolean, hourlySuffix: String,
@@ -109,7 +151,7 @@ class BoomHourlyDataWriter(
 
   private var currentHour = Long.MinValue
   private var delegate: BoomDataWriter = _
-  private var files = Vector.empty[String]
+  private var staged = Vector.empty[(String, String)]
   private var rows = 0L
 
   override def write(row: InternalRow): Unit = {
@@ -122,10 +164,14 @@ class BoomHourlyDataWriter(
     rows += 1
   }
 
+  /** Close the previous hour's file but only STAGE it (no rename — a task
+    * retry after a mid-task failure must not find earlier hours already
+    * visible; promotion is the job committer's).
+    */
   private def roll(ts: Long): Unit = {
     if (delegate != null) {
       delegate.commit() match {
-        case BoomCommitMessage(fs, _) => files ++= fs
+        case BoomCommitMessage(s, _) => staged ++= s
         case _ => ()
       }
     }
@@ -138,14 +184,25 @@ class BoomHourlyDataWriter(
   override def commit(): WriterCommitMessage = {
     if (delegate != null) {
       delegate.commit() match {
-        case BoomCommitMessage(fs, _) => files ++= fs
+        case BoomCommitMessage(s, _) => staged ++= s
         case _ => ()
       }
     }
-    BoomCommitMessage(files, rows)
+    BoomCommitMessage(staged, rows)
   }
 
-  override def abort(): Unit = if (delegate != null) delegate.abort()
+  /** Abort deletes EVERY staged file of this attempt — earlier hours
+    * included — not just the currently open delegate's.
+    */
+  override def abort(): Unit = {
+    if (delegate != null) delegate.abort()
+    if (staged.nonEmpty) {
+      val fs = new Path(dir).getFileSystem(hconf.value)
+      staged.foreach { case (tmp, _) =>
+        try fs.delete(new Path(tmp), false) catch { case _: Exception => () }
+      }
+    }
+  }
   override def close(): Unit = ()
 }
 
@@ -234,12 +291,15 @@ class BoomDataWriter(
     blockLines = null
   }
 
+  /** Task commit closes and STAGES the file; the rename to the final name is
+    * deferred to [[BoomBatchWrite.commit]] so nothing becomes visible unless
+    * the whole job succeeds.
+    */
   override def commit(): WriterCommitMessage = {
     flushBlock()
     if (rows > 0) {
       writer.close()
-      fs.rename(tmpPath, finalPath)
-      BoomCommitMessage(Seq(finalPath.toString), rows)
+      BoomCommitMessage(Seq(tmpPath.toString -> finalPath.toString), rows)
     } else {
       BoomCommitMessage(Seq.empty, 0)
     }

@@ -43,7 +43,9 @@ object HFind {
       nowMs: Long = System.currentTimeMillis()): org.apache.spark.sql.Column = {
     val age = lit(nowMs) - col(timeCol)
     spec match {
-      case s if s.startsWith("+") => age > (s.drop(1).toLong + 1) * unitMs
+      // ">=": the reference tests (now - mtime)/unit > N with integer
+      // division (HFind.java), which accepts age == (N+1)*unit exactly.
+      case s if s.startsWith("+") => age >= (s.drop(1).toLong + 1) * unitMs
       case s if s.startsWith("-") => age < s.drop(1).toLong * unitMs
       case s => age >= s.toLong * unitMs && age < (s.toLong + 1) * unitMs
     }

@@ -65,11 +65,19 @@ object Similarity {
     topKPerQuery(scored, k, distinctIds = false)
   }
 
-  /** Approximate top-k via hyperplane LSH with multi-probe (queries join only
-    * their own bucket; `probes` > 1 additionally probes buckets at Hamming
-    * distance 1 to recover near-boundary neighbors). Signatures come from the
-    * fused [[graft.functions.HyperplaneBits]] expression — one loop for all
-    * planes, no per-plane intermediate arrays.
+  /** Approximate top-k via multi-table hyperplane LSH (the E2LSH
+    * construction): `tables` independent signatures of `planesPerTable` bits
+    * each; a corpus vector is a candidate for a query iff they agree on ALL
+    * bits of ANY table. Recall for a neighbor at angle θ is
+    * 1 − (1 − p^planesPerTable)^tables with p = 1 − θ/π — `tables` is the
+    * recall knob, `planesPerTable` the candidate-volume knob. `probes` > 1
+    * additionally probes each table's buckets at Hamming distance 1
+    * (multi-probe LSH, recovering near-boundary neighbors without more
+    * tables). Signatures come from the fused
+    * [[graft.functions.HyperplaneBandKeys]] expression — one loop for all
+    * tables' planes. The only shuffles are the bucket join and the k-bounded
+    * top-k aggregate; cross-table duplicate candidates are absorbed by the
+    * aggregate's distinct-id mode, not a dropDuplicates exchange.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -79,23 +87,30 @@ object Similarity {
       queryId: String,
       queryVec: String,
       k: Int = 10,
-      planes: Int = 12,
-      probes: Int = 4,
+      tables: Int = 16,
+      planesPerTable: Int = 6,
+      probes: Int = 1,
       seed: Long = 42L): DataFrame = {
     val dim = vectorDim(corpus, corpusVec)
-    val hp = HyperplaneOps.flatPlanes(dim, planes, seed)
+    val hp = HyperplaneOps.flatPlanes(dim, tables * planesPerTable, seed)
 
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"),
-      hyperplane_bits(col(corpusVec), hp, planes).as("bucket"))
-    val qBase = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"),
-      hyperplane_bits(col(queryVec), hp, planes).as("__b0"))
-    // Multi-probe: own bucket + (probes-1) single-bit flips.
-    val probeKeys = array((0 until math.min(probes, planes + 1)).map {
-      case 0 => col("__b0")
-      case i => col("__b0").bitwiseXOR(lit(1L << (i - 1)))
-    }: _*)
-    val q = qBase.select(col("query_id"), col("__qv"),
-      explode(probeKeys).as("bucket"))
+      explode(hyperplane_band_keys(col(corpusVec), hp, tables, planesPerTable))
+        .as("bucket"))
+    val qKeys = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"),
+      hyperplane_band_keys(col(queryVec), hp, tables, planesPerTable).as("__keys"))
+    // Multi-probe: each table's own bucket + (probes-1) single-bit flips of
+    // the table's low signature bits (the table id lives above them).
+    val nProbes = math.min(probes, planesPerTable + 1)
+    val q =
+      if (nProbes <= 1) qKeys.select(col("query_id"), col("__qv"),
+        explode(col("__keys")).as("bucket"))
+      else qKeys.select(col("query_id"), col("__qv"),
+        explode(flatten(transform(col("__keys"), k0 =>
+          array((0 until nProbes).map {
+            case 0 => k0
+            case i => k0.bitwiseXOR(lit(1L << (i - 1)))
+          }: _*)))).as("bucket"))
 
     val scored = c.join(q, "bucket")
       .where(col("neighbor_id") =!= col("query_id"))

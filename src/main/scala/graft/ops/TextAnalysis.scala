@@ -17,14 +17,15 @@ object TextAnalysis {
   /** Simple whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish subword count approximation: letter runs, digit runs, punctuation
-    * runs and contractions count separately (the standard GPT-2-style pretoken
-    * split, approximated as a regex count).
+  /** BPE-ish subword count approximation: maximal letter runs, digit runs,
+    * and other-non-space runs each count as one pretoken (the GPT-2-style
+    * pretoken split approximated as run extraction). Run-extraction (rather
+    * than lookaround splitting) keeps the pattern expressible in every
+    * linear-time regex engine (RE2 et al.), which also makes the operator
+    * SQL-oracle-able.
     */
   def subwordCountApprox(text: Column): Column =
-    size(filter(
-      split(text, "(?=\\s)|(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})|(?<=[\\p{L}\\p{N}])(?=\\p{P})|(?<=\\p{P})(?=[\\p{L}\\p{N}])"),
-      t => length(trim(t)) > 0))
+    size(regexp_extract_all(text, lit("[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]+"), lit(0)))
 
   /** Stopword profiles for the language-ID heuristic (top function words;
     * public-knowledge lists).
@@ -81,13 +82,20 @@ object TextAnalysis {
       (nStop > 0).as("has_en_stopwords"))
   }
 
-  /** Overall [0,1] quality score from the metrics (weights are heuristic). */
+  /** Overall [0,1] quality score (weights are heuristic). Deliberately
+    * UNROUNDED: every term is a ratio of exact integers and every operation
+    * is IEEE double arithmetic, so the value is bit-identical in any engine —
+    * whereas decimal-rounding a non-decimal double is engine-specific at
+    * ties (BigDecimal-of-shortest-string vs exact-binary rounding).
+    */
   def qualityScore(text: Column): Column = {
-    val m = qualityMetrics(text)
-    round(
-      least(lit(1.0), m.getField("alpha_frac") * 0.5
-        + m.getField("type_token_ratio") * 0.3
-        + when(m.getField("has_en_stopwords"), 0.2).otherwise(0.0)), 4)
+    val toks = tokens(text)
+    val alphaFrac = length(regexp_replace(text, "[^\\p{L}]", "")).cast("double") /
+      greatest(length(text), lit(1))
+    val ttr = size(array_distinct(toks)).cast("double") / greatest(size(toks), lit(1))
+    val enStops = array(StopwordProfiles("en").map(lit): _*)
+    least(lit(1.0), alphaFrac * 0.5 + ttr * 0.3 +
+      when(size(array_intersect(toks, enStops)) > 0, 0.2).otherwise(0.0))
   }
 
   /** Word k-shingles over an already-materialized token-array column.

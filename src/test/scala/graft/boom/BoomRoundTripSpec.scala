@@ -28,6 +28,93 @@ class BoomRoundTripSpec extends SparkTestBase {
     assert(formatted === golden)
   }
 
+  test("pre-decode block scan skips blocks without term hits; ci + OR clauses match") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import spark.implicits._
+    // Blocks are rolled per (second, block meta); distinct seconds far apart
+    // land in distinct logBlocks, and the writer's sync interval puts each
+    // container block around 2 MiB — write enough per second to force
+    // multiple container blocks.
+    val mk = (sec: Int, tag: String) => (1 to 6000).map(i =>
+      graft.core.LogLine(sec * 1000L, s"$tag line $i " + ("x" * 400), 0, 0L, sec.toLong, 0L))
+    val lines = mk(1, "alpha") ++ mk(2, "bravo") ++ mk(3, "charlie")
+    val out = Files.createTempDirectory("boom-prescan").toString
+    Ingest.write(lines.toDF().coalesce(1), out)
+    val bm = new java.io.File(out).listFiles().filter(_.getName.endsWith(".bm")).head
+
+    def scan(pushdown: BoomPushdown): (Long, Long, Long) = {
+      val it = new BoomFileRangeIterator(
+        new org.apache.avro.mapred.FsInput(
+          new org.apache.hadoop.fs.Path(bm.getAbsolutePath),
+          spark.sessionState.newHadoopConf()),
+        pushdown, 0L, Long.MaxValue)
+      var n = 0L
+      while (it.hasNext) { it.next(); n += 1 }
+      val r = (n, it.blocksDecoded, it.blocksSkipped)
+      it.close()
+      r
+    }
+
+    val all = scan(BoomPushdown())
+    assert(all._1 === 18000 && all._3 === 0)
+    assert(all._2 >= 3, "expected multiple container blocks in the fixture")
+
+    // Selective term: only 'charlie' blocks decode; the rest skip pre-decode.
+    val sel = scan(BoomPushdown(clauses = Seq(Seq(BoomTerm(
+      UTF8String.fromString("charlie"), onUpper = false)))))
+    assert(sel._1 === 6000)
+    assert(sel._3 > 0, "blocks without the term must skip Avro decode")
+    assert(sel._2 < all._2)
+
+    // ci clause: ASCII-upper block scan + per-line upper verify.
+    val ci = scan(BoomPushdown(clauses = Seq(Seq(BoomTerm(
+      UTF8String.fromString("CHARLIE"), onUpper = true)))))
+    assert(ci._1 === 6000 && ci._3 > 0)
+
+    // OR clause across two tags decodes both but skips the third.
+    val or = scan(BoomPushdown(clauses = Seq(Seq(
+      BoomTerm(UTF8String.fromString("alpha"), onUpper = false),
+      BoomTerm(UTF8String.fromString("bravo"), onUpper = false)))))
+    assert(or._1 === 12000 && or._3 > 0)
+  }
+
+  test("two-phase commit: task commit stages, job commit promotes, abort cleans all hours") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.util.SerializableConfiguration
+
+    def row(ts: Long) = new GenericInternalRow(
+      Array[Any](ts, UTF8String.fromString("m"), 0, 0L, 0L, 1L))
+    def ls(dir: String, suffix: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      val root = new java.io.File(dir)
+      if (root.exists()) walk(root).filter(_.getName.endsWith(suffix)) else Seq.empty
+    }
+
+    val hconf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    val dir = Files.createTempDirectory("boom-2pc").toString
+    val w = new BoomHourlyDataWriter(dir, "ingest", "", 0, 0L, hconf)
+    w.write(row(0L)); w.write(row(3600000L)) // two hours → one mid-task roll
+    val msg = w.commit().asInstanceOf[BoomCommitMessage]
+    assert(msg.staged.size === 2)
+    // Task commit must leave NOTHING visible (a task retry would duplicate
+    // any hour already promoted here).
+    assert(ls(dir, ".bm").isEmpty)
+    assert(ls(dir, ".bm.tmp").size === 2)
+    // Job commit promotes every staged file.
+    new BoomBatchWrite(dir, "ingest", true, "", false, hconf).commit(Array(msg))
+    assert(ls(dir, ".bm").size === 2)
+    assert(ls(dir, ".bm.tmp").isEmpty)
+
+    // Abort after a roll removes earlier hours' staged files too.
+    val dir2 = Files.createTempDirectory("boom-2pc-abort").toString
+    val w2 = new BoomHourlyDataWriter(dir2, "ingest", "", 0, 0L, hconf)
+    w2.write(row(0L)); w2.write(row(3600000L))
+    w2.abort()
+    assert(ls(dir2, ".bm").isEmpty && ls(dir2, ".bm.tmp").isEmpty)
+  }
+
   test("written boom files honor block invariants (one second, ≤1000 lines per block)") {
     import spark.implicits._
     // 2500 lines in the same second + 5 in the next → blocks of 1000/1000/500/5

@@ -228,6 +228,19 @@ class HFindSpec extends SparkTestBase {
     assert(deleted === 1)
     assert(!fs.exists(new Path(dir, "a/old.log")))
   }
+
+  test("+N accepts age exactly (N+1) units, like the reference's integer division") {
+    val dir = Files.createTempDirectory("hfind-b").toString
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(new Path(dir, "exact.log"), true).close()
+    val now = System.currentTimeMillis()
+    val day = 24L * 3600 * 1000
+    // (now - mtime)/day == 4 exactly → reference's age/unit > 3 accepts it.
+    fs.setTimes(new Path(dir, "exact.log"), now - 4 * day, -1)
+    val l = HFind.listing(spark, dir)
+    assert(l.where(HFind.mtime("+3", now)).count() === 1)
+    assert(l.where(HFind.mtime("+4", now)).count() === 0)
+  }
 }
 
 class CliParseSpec extends org.scalatest.funsuite.AnyFunSuite {

@@ -82,7 +82,8 @@ class SimilaritySpec extends SparkTestBase {
 
   test("lsh top-k finds the near neighbor") {
     val top = Similarity.lshTopK(vecs, "vec_id", "embedding",
-      vecs.where($"vec_id" === 0), "vec_id", "embedding", k = 2, planes = 4, probes = 4)
+      vecs.where($"vec_id" === 0), "vec_id", "embedding", k = 2,
+      tables = 4, planesPerTable = 2, probes = 2)
       .select("neighbor_id").as[Long].collect().toSet
     assert(top.contains(1L))
   }
