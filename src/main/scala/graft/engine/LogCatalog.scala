@@ -69,17 +69,35 @@ object LogCatalog {
       service: String,
       component: String,
       startMs: Long,
-      endMs: Long): Seq[String] = {
-    val patterns = globPatterns(root, dc, service, component, startMs, endMs)
-    val out = ArrayBuffer[String]()
-    patterns.foreach { p =>
-      val path = new Path(p)
-      val fs = path.getFileSystem(conf)
-      Option(fs.globStatus(path)).getOrElse(Array.empty).foreach { s =>
-        val n = s.getPath.getName
-        if (!n.startsWith("_") && !n.endsWith(".tmp")) out += s.getPath.toString
+      endMs: Long): Seq[String] =
+    resolveByHour(conf, root, dc, service, component, startMs, endMs).flatten
+
+  /** Concrete existing file paths, grouped per hour partition in ascending
+    * hour order (empty hour groups dropped). The grouping is what makes the
+    * exchange-free ordered-concat read possible: hour buckets are
+    * time-disjoint by layout, so per-bucket sorted partitions concatenate
+    * into global order.
+    */
+  def resolveByHour(
+      conf: Configuration,
+      root: String,
+      dc: String,
+      service: String,
+      component: String,
+      startMs: Long,
+      endMs: Long): Seq[Seq[String]] = {
+    hoursInRange(startMs, endMs).map { case (date, hour) =>
+      val out = ArrayBuffer[String]()
+      Branches.foreach { branch =>
+        val p = s"$root/service/$dc/$service/logs/$date/$hour/$component/$branch"
+        val path = new Path(p)
+        val fs = path.getFileSystem(conf)
+        Option(fs.globStatus(path)).getOrElse(Array.empty).foreach { s =>
+          val n = s.getPath.getName
+          if (!n.startsWith("_") && !n.endsWith(".tmp")) out += s.getPath.toString
+        }
       }
-    }
-    out.toSeq.distinct
+      out.toSeq.distinct
+    }.filter(_.nonEmpty)
   }
 }

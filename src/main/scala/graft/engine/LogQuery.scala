@@ -69,10 +69,59 @@ case class LogQuery(
     * with null sort keys, project `CONCAT(DateFormatter(time), ' ', message)`,
     * drop null-formatted rows, ORDER BY the canonical key, keep only the
     * formatted column.
+    *
+    * SINGLE-HOUR catalog queries (the common logcat window) skip the global
+    * sort's range-sampling pass + shuffle entirely: the one hour bucket is
+    * read into one partition and sorted within it — no Exchange in the plan,
+    * and unconditionally the same output. Multi-hour catalog queries use the
+    * global range sort by default (safe under any data); see
+    * [[formattedByHour]] for the exchange-free multi-hour variant.
     */
   def formatted(spark: SparkSession): Dataset[String] = {
     import spark.implicits._
+    if (paths.isEmpty) {
+      val hourGroups = resolveHourGroups(spark)
+      if (hourGroups.isEmpty) return spark.emptyDataset[String]
+      if (hourGroups.size == 1) return hourBranch(spark, hourGroups.head).as[String]
+    }
     LogQuery.formatAndSort(lines(spark).toDF(), dateFormat).as[String]
+  }
+
+  /** Ordered logcat output with NO Exchange anywhere: one sorted partition
+    * per catalog hour, concatenated in hour order. Correct global order
+    * relies on the layout invariant that an hour directory only holds lines
+    * of that hour (fs/PathInfo.java:21-86 — the uploaders and the hourly
+    * writer both guarantee it); data violating it would sort within the
+    * wrong bucket, which is why [[formatted]] only auto-routes the
+    * single-hour case. Parallelism is one task per hour — sensible for the
+    * bounded ranges logcat serves; use [[formatted]] for huge per-hour
+    * volumes where the range sort's intra-hour parallelism wins.
+    */
+  def formattedByHour(spark: SparkSession): Dataset[String] = {
+    import spark.implicits._
+    val hourGroups = resolveHourGroups(spark)
+    if (hourGroups.isEmpty) spark.emptyDataset[String]
+    else hourGroups.map(hourBranch(spark, _)).reduce(_ unionByName _).as[String]
+  }
+
+  private def resolveHourGroups(spark: SparkSession): Seq[Seq[String]] = {
+    require(startMs != Long.MinValue && endMs != Long.MaxValue,
+      "catalog-based queries need a bounded time range: call .range(startMs, endMs) " +
+        "or read explicit paths with .fromPaths(...)")
+    LogCatalog.resolveByHour(
+      spark.sessionState.newHadoopConf(), root, dc, service, component, startMs, endMs)
+  }
+
+  /** One hour bucket → filtered, formatted, sorted, single partition. */
+  private def hourBranch(spark: SparkSession, files: Seq[String]): DataFrame = {
+    var df = spark.read.format("boom").load(files: _*)
+    if (startMs != Long.MinValue) df = df.filter(col("timestamp") >= startMs)
+    if (endMs != Long.MaxValue) df = df.filter(col("timestamp") < endMs)
+    df = df.filter(predicate.toColumn(col("message")))
+    LogQuery.format(df, dateFormat)
+      .coalesce(1)
+      .sortWithinPartitions(LogQuery.SortCols.map(col): _*)
+      .select("formatted")
   }
 
   /** `formatted` with an observed `n_results` metric — the A4 result counter
@@ -106,23 +155,27 @@ case class LogQuery(
 }
 
 object LogQuery {
-  /** The sort-and-format stage as a standalone transformation (usable on any
-    * DataFrame with the LogLine columns).
-    */
-  def formatAndSort(df: DataFrame, dateFormat: String = "RFC5424"): DataFrame = {
-    val sortCols = Seq("timestamp", "createTime", "blockNumber", "lineNumber")
-    val good = sortCols.map(col(_).isNotNull).reduce(_ && _)
+  /** The canonical output order (pig/formatAndSort.pg:40). */
+  val SortCols: Seq[String] = Seq("timestamp", "createTime", "blockNumber", "lineNumber")
+
+  /** Quarantine + format stages, keeping the sort-key columns. */
+  private[engine] def format(df: DataFrame, dateFormat: String): DataFrame = {
+    val good = SortCols.map(col(_).isNotNull).reduce(_ && _)
     df.filter(good)
       .withColumn("formatted",
         concat(format_log_date(col("timestamp"), dateFormat), lit(" "), col("message")))
       .filter(col("formatted").isNotNull)
-      .orderBy(sortCols.map(col): _*)
-      .select("formatted")
   }
 
+  /** The sort-and-format stage as a standalone transformation (usable on any
+    * DataFrame with the LogLine columns).
+    */
+  def formatAndSort(df: DataFrame, dateFormat: String = "RFC5424"): DataFrame =
+    format(df, dateFormat)
+      .orderBy(SortCols.map(col): _*)
+      .select("formatted")
+
   /** Rows with null sort keys — the Pig `bad_data` split (formatAndSort.pg:24-38). */
-  def badData(df: DataFrame): DataFrame = {
-    val sortCols = Seq("timestamp", "createTime", "blockNumber", "lineNumber")
-    df.filter(sortCols.map(col(_).isNull).reduce(_ || _))
-  }
+  def badData(df: DataFrame): DataFrame =
+    df.filter(SortCols.map(col(_).isNull).reduce(_ || _))
 }

@@ -43,6 +43,19 @@ class IngestCatalogSpec extends SparkTestBase {
       LogToolCliTimes.ms("2024-03-01T11:00:00Z"), LogToolCliTimes.ms("2024-03-01T12:00:00Z"))
     assert(oneHour.resolvePaths(spark).forall(_.contains("/11/")))
     assert(oneHour.formatted(spark).count() === 2)
+
+    // Single-hour queries skip the global sort: NO Exchange in the plan,
+    // same ordered output.
+    val plan = oneHour.formatted(spark).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"single-hour logcat plan must be exchange-free:\n$plan")
+    assert(oneHour.formatted(spark).collect().toSeq === Seq(
+      "2024-03-01T11:00:00.000+00:00 start of hour eleven",
+      "2024-03-01T11:30:00.000+00:00 middle of hour eleven"))
+
+    // Multi-hour: the exchange-free by-hour concat equals the global sort.
+    assert(q.formattedByHour(spark).collect().toSeq === q.formatted(spark).collect().toSeq)
+    val byHourPlan = q.formattedByHour(spark).queryExecution.executedPlan.toString
+    assert(!byHourPlan.contains("Exchange"))
   }
 
   test("gzip text ingest (S5: Spark decompresses .gz natively)") {
