@@ -145,6 +145,7 @@ object Similarity {
       nprobe: Int = 4,
       trainFraction: Double = Double.NaN,
       maxTrainRows: Long = 200000L,
+      maxIter: Int = 8,
       seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -156,7 +157,11 @@ object Similarity {
       else math.min(1.0, maxTrainRows.toDouble / math.max(1L, corpus.count()).toDouble)
     val train = (if (frac < 1.0) vecCol.sample(frac, seed) else vecCol)
       .select(col("__features").as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features").fit(train)
+    // A coarse quantizer doesn't need tight convergence: nprobe cell routing
+    // absorbs centroid jitter, so a handful of Lloyd iterations buys the same
+    // recall at a fraction of the (multi-pass, whole-sample) fit cost.
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("features").fit(train)
 
     val assigned = model.setPredictionCol("cell").setFeaturesCol("__features")
       .transform(vecCol)
