@@ -133,20 +133,49 @@ object Similarity {
     * @param trainFraction explicit sample fraction for the quantizer fit;
     *                      NaN (default) derives min(1, maxTrainRows/|corpus|).
     */
-  def ivfTopK(
+  /** A built IVF index: the cell-assigned corpus (id, vector, cell) and the
+    * driver-side centroid table (nlist × dim floats — tiny). `assigned` is a
+    * plain DataFrame: persist/cache it, or write it out partitioned/bucketed
+    * by `cell` so repeated query batches pay neither the quantizer fit nor
+    * the assignment pass again — the FAISS build-once/search-many split.
+    */
+  final case class IvfIndex(assigned: DataFrame, centers: Array[Array[Float]]) {
+    /** Write the assigned corpus partitioned by cell; reload with
+      * [[Similarity.loadIvfIndex]]. Cell-partitioned layout means a query
+      * batch's nprobe cells prune to exactly those directories at scan time.
+      */
+    def save(path: String): Unit = {
+      assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+      val spark = assigned.sparkSession
+      import spark.implicits._
+      centers.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+        .toDF("cell", "center")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+    }
+  }
+
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val centers = spark.read.parquet(s"$path/_centroids")
+      .orderBy("cell").collect()
+      .map(_.getAs[Seq[Float]]("center").toArray)
+    IvfIndex(spark.read.parquet(path), centers)
+  }
+
+  /** Fit the coarse quantizer on a BOUNDED sample and assign every corpus
+    * vector to its cell — the expensive, reusable half of IVF search.
+    * K-means over the full corpus at 100 TB would be a multi-pass full scan
+    * for no recall gain; `maxTrainRows` caps the fit cost independent of
+    * corpus size (explicit `trainFraction` overrides).
+    */
+  def buildIvfIndex(
       corpus: DataFrame,
       corpusId: String,
       corpusVec: String,
-      queries: DataFrame,
-      queryId: String,
-      queryVec: String,
-      k: Int = 10,
       nlist: Int = 16,
-      nprobe: Int = 4,
       trainFraction: Double = Double.NaN,
       maxTrainRows: Long = 200000L,
       maxIter: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -166,9 +195,21 @@ object Similarity {
     val assigned = model.setPredictionCol("cell").setFeaturesCol("__features")
       .transform(vecCol)
       .select(col("neighbor_id"), col("__cv"), col("cell"))
+    IvfIndex(assigned, model.clusterCenters.map(_.toArray.map(_.toFloat)))
+  }
 
-    // Driver-side centroid table → per-query nprobe nearest cells.
-    val centers = model.clusterCenters.map(_.toArray.map(_.toFloat))
+  /** Search a built IVF index: each query probes its `nprobe` nearest cells
+    * (driver-side centroid table → tiny broadcast UDF) and exact-reranks
+    * only those cells' vectors through the k-bounded top-k aggregate.
+    */
+  def ivfSearch(
+      index: IvfIndex,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int = 10,
+      nprobe: Int = 4): DataFrame = {
+    val centers = index.centers
     val probeCells = udf { (v: Seq[Float]) =>
       centers.zipWithIndex.map { case (c, i) =>
         var d = 0.0; var j = 0
@@ -181,11 +222,31 @@ object Similarity {
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
       .withColumn("cell", explode(probeCells(col("__qv"))))
 
-    val scored = assigned.join(q, "cell")
+    val scored = index.assigned.join(q, "cell")
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("__cv"), col("__qv")).as("cos"))
     topKPerQuery(scored, k, distinctIds = true)
   }
+
+  /** One-shot IVF ANN: [[buildIvfIndex]] + [[ivfSearch]]. */
+  def ivfTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int = 10,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      trainFraction: Double = Double.NaN,
+      maxTrainRows: Long = 200000L,
+      maxIter: Int = 8,
+      seed: Long = 42L): DataFrame =
+    ivfSearch(
+      buildIvfIndex(corpus, corpusId, corpusVec, nlist, trainFraction,
+        maxTrainRows, maxIter, seed),
+      queries, queryId, queryVec, k, nprobe)
 
   /** All pairs with cosine ≥ threshold, banded-LSH-blocked (for embedding
     * dedup). Banding (minhash-style) over hyperplane bits keeps recall high —

@@ -103,6 +103,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(neighbors.forall(_ % 2 == 0)) // all from the same (even) cluster
   }
 
+  test("ivf index: build once, save/load, search matches one-shot; sample-bounded fit") {
+    val clustered = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(10.0f, 0.0f, 0.0f) else Array(0.0f, 10.0f, 0.0f)
+      (i.toLong, base.zipWithIndex.map { case (v, d) => v + ((i * 7 + d) % 5) * 0.01f })
+    }.toDF("vec_id", "embedding")
+    val q = clustered.where($"vec_id" === 0)
+    // maxTrainRows below corpus size → quantizer fits on a strict sample,
+    // yet nprobe routing still finds within-cluster neighbors.
+    val idx = Similarity.buildIvfIndex(clustered, "vec_id", "embedding",
+      nlist = 2, maxTrainRows = 10)
+    val direct = Similarity.ivfSearch(idx, q, "vec_id", "embedding", k = 3, nprobe = 1)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(direct.size === 3 && direct.forall(_ % 2 == 0))
+
+    val path = java.nio.file.Files.createTempDirectory("ivf-idx").toString
+    idx.save(path)
+    val loaded = Similarity.loadIvfIndex(spark, path)
+    assert(loaded.centers.length === 2)
+    val viaLoaded = Similarity.ivfSearch(loaded, q, "vec_id", "embedding", k = 3, nprobe = 1)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(viaLoaded === direct)
+  }
+
   test("cosine pairs via lsh finds identical vectors") {
     val dup = vecs.unionByName(
       vecs.where($"vec_id" === 0).withColumn("vec_id", lit(100L)))
