@@ -47,6 +47,47 @@ class BoomPropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: random slice boundaries partition blocks exactly-once; raw reader ≡ DataFileStream") {
+    // Big enough for several container blocks (sync interval 2 MiB).
+    val lines = (0 until 30000).map(i =>
+      LogLine(1000000L + i / 100, s"line $i " + ("y" * 150), 0, 0L, (i / 1000).toLong, 1L))
+    val dir = Files.createTempDirectory("prop-slice").toString
+    Ingest.reboom(lines.toDF().coalesce(1), dir)
+    val bm = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".bm")).head
+    val fileLen = bm.length()
+    val hconf = spark.sessionState.newHadoopConf()
+
+    def readRange(s: Long, e: Long): Seq[String] = {
+      val it = new BoomFileRangeIterator(
+        new org.apache.avro.mapred.FsInput(new org.apache.hadoop.fs.Path(bm.getAbsolutePath), hconf),
+        BoomPushdown(), s, e)
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) out += it.next().message.toString
+      it.close()
+      out.toSeq
+    }
+
+    // Whole-file raw read ≡ the DataFileStream-based iterator.
+    val whole = readRange(0L, Long.MaxValue)
+    val viaStream = {
+      val it = new BoomFileIterator(
+        java.nio.file.Files.newInputStream(bm.toPath), BoomPushdown())
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) out += it.next().message.toString
+      it.close()
+      out.toSeq
+    }
+    assert(whole === viaStream)
+    assert(whole.size === 30000)
+
+    // Random cut points (fixed seeds): concatenated slices ≡ whole file.
+    samples(Gen.listOfN(4, Gen.chooseNum(1L, fileLen - 1)), 6).foreach { cutsRaw =>
+      val cuts = (Seq(0L) ++ cutsRaw.distinct.sorted ++ Seq(fileLen)).distinct
+      val sliced = cuts.sliding(2).flatMap { case Seq(s, e) => readRange(s, e) }.toSeq
+      assert(sliced === whole, s"cuts=$cuts must partition blocks exactly-once")
+    }
+  }
+
   test("property: rfc5424 format∘parse is identity on the millisecond range") {
     val parser = new Rfc5424TimestampParser
     val fmt = LogDateFormat("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
