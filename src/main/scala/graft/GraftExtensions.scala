@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, FormatLogDate, MinHashSignature, SimHash64}
+import graft.functions.{CosineSimilarity, FormatLogDate, MinHashSignature, ShingleHashes, SimHash64, TopKByScore}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -54,5 +54,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(toks) => ShingleHashes(toks, 3)
+        case Seq(toks, k) => ShingleHashes(toks, int(k, "k"))
+        case _ => throw new IllegalArgumentException("shingle_hashes(tokens[, k])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("topk_by_score"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
+      (args: Seq[Expression]) => args match {
+        case Seq(score, id, k) => TopKByScore(score, id, int(k, "k"))
+        case Seq(score, id, k, Literal(d: Boolean, _)) =>
+          TopKByScore(score, id, int(k, "k"), d)
+        case _ => throw new IllegalArgumentException(
+          "topk_by_score(score, id, k[, distinctIds]) — aggregate")
+      }))
   }
 }
