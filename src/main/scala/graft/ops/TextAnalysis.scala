@@ -47,14 +47,13 @@ object TextAnalysis {
 
   /** Heuristic language guess: argmax stopword hits, `und` (undetermined) when
     * nothing matches. Ties break deterministically by (score, language-code).
+    * Fused native expression ([[graft.functions.LangIdExpression]]): one token
+    * pass updates every profile's seen-mask — the composed
+    * `greatest(struct(size(array_intersect(...)), lang))` form re-walks the
+    * token array once per language (benched ~4× slower at sf0.1).
     */
-  def langId(text: Column): Column = {
-    val scored = langScores(text).toSeq.sortBy(_._1).map { case (lang, score) =>
-      struct(score.as("score"), lit(lang).as("lang"))
-    }
-    when(greatest(scored: _*).getField("score") > 0,
-      greatest(scored: _*).getField("lang")).otherwise(lit("und"))
-  }
+  def langId(text: Column): Column =
+    graft.functions.LangIdFunctions.lang_id(tokens(text), StopwordProfiles)
 
   /** Quality metrics struct: character/token counts, type-token ratio,
     * alpha/punct/digit character fractions, mean token length, stopword
