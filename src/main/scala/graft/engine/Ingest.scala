@@ -94,6 +94,30 @@ object Ingest {
     * the PigBoomHourlyRecordWriter analogue) — one narrow write pass, no
     * per-hour driver loop, no extra shuffle beyond the within-partition sort.
     */
+  /** Materialize Boom logs as hour-partitioned Parquet — the analytics hand-
+    * off (SURVEY §7.2 step 9): repeated aggregation/join workloads over the
+    * same logs get columnar vectorized scans, min/max pruning, and
+    * `date`/`hour` partition pruning instead of re-inflating Avro blocks on
+    * every query. The log-search tools keep reading Boom (write-optimized,
+    * byte-faithful); this is the read-optimized projection of the same data.
+    * Partition values follow the engine's UTC convention — run with
+    * `spark.sql.session.timeZone=UTC` (as every graft session does) so they
+    * line up with the catalog's hour directories.
+    */
+  def boomToParquet(
+      spark: SparkSession,
+      boomDir: String,
+      parquetDir: String,
+      saveMode: SaveMode = SaveMode.Append): Unit = {
+    import org.apache.spark.sql.functions._
+    spark.read.format("boom").load(boomDir)
+      .withColumn("date",
+        date_format(timestamp_millis(col("timestamp")), "yyyyMMdd"))
+      .withColumn("hour",
+        date_format(timestamp_millis(col("timestamp")), "HH"))
+      .write.partitionBy("date", "hour").mode(saveMode).parquet(parquetDir)
+  }
+
   def textToCatalog(
       spark: SparkSession,
       inputPath: String,

@@ -58,6 +58,23 @@ class IngestCatalogSpec extends SparkTestBase {
     assert(!byHourPlan.contains("Exchange"))
   }
 
+  test("boomToParquet materializes hour-partitioned parquet with pruning") {
+    import org.apache.spark.sql.functions.col
+    val boomDir = Files.createTempDirectory("b2p-src").toString
+    Ingest.textToBoom(spark, writeText(twoHoursOfLines), boomDir)
+    val pq = Files.createTempDirectory("b2p-out").toString
+    Ingest.boomToParquet(spark, boomDir, pq)
+
+    assert(new java.io.File(s"$pq/date=20240301/hour=10").exists)
+    assert(new java.io.File(s"$pq/date=20240301/hour=11").exists)
+    val back = spark.read.parquet(pq)
+    assert(back.count() === 4)
+    // Partition pruning reaches the scan for hour-filtered analytics.
+    val pruned = back.where(col("hour") === "11")
+    assert(pruned.count() === 2)
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
   test("gzip text ingest (S5: Spark decompresses .gz natively)") {
     val plain = writeText(twoHoursOfLines)
     val gz = Files.createTempFile("ingest", ".log.gz")
