@@ -202,6 +202,55 @@ case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpr
   }
 }
 
+/** Exact Jaccard of two distinct-element long arrays (shingle-hash sets):
+  * |∩| / (|a| + |b| - |∩|) in one membership pass — hash the smaller side,
+  * probe with the larger. The `array_intersect`/`array_union` composition
+  * builds two hash sets AND materializes the union array per pair; this is
+  * the hot verify kernel of ngram-Jaccard dedup, so it gets the fused form.
+  * Inputs must be duplicate-free (ShingleHashes emits distinct hashes).
+  */
+object JaccardOps {
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 1.0
+    if (na == 0 || nb == 0) return 0.0
+    val (small, big) = if (na <= nb) (a, b) else (b, a)
+    val ns = small.numElements()
+    val set = new java.util.HashSet[java.lang.Long](ns * 2)
+    var i = 0
+    while (i < ns) { set.add(small.getLong(i)); i += 1 }
+    var inter = 0
+    val nbg = big.numElements()
+    i = 0
+    while (i < nbg) {
+      if (set.contains(big.getLong(i))) inter += 1
+      i += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+}
+
+case class JaccardSets(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sets"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaccardOps.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.JaccardOps.jaccard($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSets =
+    copy(left = l, right = r)
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) null else nullSafeEval(a, b)
+  }
+}
+
 /** Cosine similarity of two float-array embeddings as a native expression —
   * a single fused dot/norm loop per row (the `aggregate`/`zip_with` composition
   * allocates intermediate arrays; this doesn't).
@@ -260,4 +309,9 @@ object TextFunctions {
   def cosine_similarity(a: Column, b: Column): Column =
     ColumnBridge.column(
       CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Exact Jaccard of two distinct-long-array columns (fused single pass). */
+  def jaccard_sets(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      JaccardSets(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -182,8 +182,8 @@ object Dedup {
       .select(col("id"), col("sh"), col("bk.band"), col("bk.key"))
     bucketPairs(banded, Seq("band", "key"), "sh", maxBucketSize)
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        graft.functions.TextFunctions.jaccard_sets(col("sh_a"), col("sh_b"))
+          .as("jaccard"))
       .where(col("jaccard") >= threshold)
       .dropDuplicates("id_a", "id_b")
   }
