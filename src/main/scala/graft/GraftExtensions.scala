@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, FormatLogDate, MinHashSignature, ShingleHashes, SimHash64, TopKByScore}
+import graft.functions.{CosineSimilarity, FormatLogDate, JaccardSets, MinHashSignature, ShingleHashes, SimHash64, TopKByScore}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -54,6 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("jaccard_sets"),
+      new ExpressionInfo(classOf[JaccardSets].getName, "jaccard_sets"),
+      (args: Seq[Expression]) => JaccardSets(args(0), args(1))))
     ext.injectFunction((
       FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
