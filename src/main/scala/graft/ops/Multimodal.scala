@@ -76,6 +76,46 @@ object Multimodal {
     }(enc)
   }
 
+  /** Image resize over the media table: payloads re-encoded to the target
+    * box (aspect-preserving), metadata updated to the computed dimensions,
+    * non-image rows passed through untouched. The pixel resample itself is
+    * STUBBED ([[resizeStub]] — a deterministic byte transform standing in
+    * for the decoder+scaler); the schema/metadata/batch plumbing is real:
+    * same narrow per-partition batch shape as [[extractFeatures]].
+    */
+  def resizeImages(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    media.select("media_id", "doc_id", "mime", "bytes", "meta").mapPartitions { rows =>
+      rows.map { r =>
+        val mime = r.getString(2)
+        val meta = if (r.isNullAt(4)) null else r.getStruct(4)
+        val bytes = if (r.isNullAt(3)) null else r.getAs[Array[Byte]](3)
+        val w = if (meta == null || meta.isNullAt(0)) null else meta.get(0)
+        val h = if (meta == null || meta.isNullAt(1)) null else meta.get(1)
+        if (!mime.startsWith("image/") || bytes == null || w == null || h == null) r
+        else {
+          val (w0, h0) = (w.asInstanceOf[Int], h.asInstanceOf[Int])
+          // Aspect-preserving fit into (maxW, maxH), never upscaling.
+          val scale = math.min(1.0, math.min(maxW.toDouble / w0, maxH.toDouble / h0))
+          val (w1, h1) = (math.max(1, (w0 * scale).round.toInt),
+            math.max(1, (h0 * scale).round.toInt))
+          Row(r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1), mime,
+            resizeStub(bytes, w0, h0, w1, h1),
+            Row(w1, h1, if (meta.isNullAt(2)) null else meta.getLong(2)))
+        }
+      }
+    }(enc)
+  }
+
+  /** STUB pixel resample: deterministic proportional byte subsample (a real
+    * implementation decodes, scales, re-encodes).
+    */
+  def resizeStub(bytes: Array[Byte], w0: Int, h0: Int, w1: Int, h1: Int): Array[Byte] = {
+    val ratio = (w1.toLong * h1).toDouble / math.max(1L, w0.toLong * h0)
+    val n = math.max(1, (bytes.length * ratio).round.toInt)
+    Array.tabulate[Byte](n)(i => bytes(((i.toLong * bytes.length) / n).toInt))
+  }
+
   /** Frame-sampling plan for video payloads: one row per sampled frame offset.
     * Frame decode is stubbed; the explode/partitioning shape is the real part.
     */

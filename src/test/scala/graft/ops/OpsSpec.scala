@@ -195,6 +195,27 @@ class MultimodalSpec extends SparkTestBase {
     assert(f1 === f2)
   }
 
+  test("resize updates image dims aspect-preserving; non-images pass through") {
+    val media = Multimodal.syntheticMedia(spark, 20)
+    val resized = Multimodal.resizeImages(media, maxW = 32, maxH = 32)
+    assert(resized.count() === 20)
+    // Images were 64x48 → fit into 32x32 preserving aspect: 32x24.
+    val img = resized.where($"mime".startsWith("image/"))
+      .select($"meta.width", $"meta.height").distinct().as[(Int, Int)].collect().toSet
+    assert(img === Set((32, 24)))
+    // Payload shrank proportionally; deterministic.
+    val b1 = resized.orderBy("media_id").select("bytes").as[Array[Byte]].head()
+    val b2 = Multimodal.resizeImages(media, 32, 32).orderBy("media_id")
+      .select("bytes").as[Array[Byte]].head()
+    assert(b1.toSeq === b2.toSeq)
+    // Non-images untouched (same bytes as input).
+    val origAudio = media.where($"mime".startsWith("audio/")).orderBy("media_id")
+      .select("bytes").as[Array[Byte]].head()
+    val resAudio = resized.where($"mime".startsWith("audio/")).orderBy("media_id")
+      .select("bytes").as[Array[Byte]].head()
+    assert(origAudio.toSeq === resAudio.toSeq)
+  }
+
   test("frame sampling explodes video durations") {
     val media = Multimodal.syntheticMedia(spark, 20)
     val frames = Multimodal.sampleFrames(media, everyMs = 1000L)
