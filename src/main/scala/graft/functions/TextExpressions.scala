@@ -202,6 +202,61 @@ case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpr
   }
 }
 
+/** Fused tokenizer: lowercase once, then one byte-scan splitting on runs of
+  * ASCII whitespace — drop-in identical to
+  * `filter(split(lower(text), "\s+"), _ != "")` (Java `\s` =
+  * `[ \t\n\x0B\f\r]`, all single-byte, and UTF-8 continuation bytes can
+  * never collide with ASCII, so the byte scan is Unicode-safe). The composed
+  * form runs the regex engine per row and materializes empty-string
+  * artifacts; this feeds the shingle/minhash pipelines, which made it the
+  * profile-dominant scalar stage.
+  */
+object TokenizeOps {
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  def tokens(text: UTF8String): ArrayData = {
+    val lower = text.toLowerCase
+    val n = lower.numBytes()
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(lower.getByte(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !isWs(lower.getByte(i))) i += 1
+        val b = new Array[Byte](i - start)
+        var j = 0
+        while (j < i - start) { b(j) = lower.getByte(start + j); j += 1 }
+        out.add(UTF8String.fromBytes(b))
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      out.toArray(new Array[UTF8String](out.size())))
+  }
+}
+
+case class Tokenize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "tokenize"
+
+  override def nullSafeEval(input: Any): Any =
+    TokenizeOps.tokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenizeOps.tokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Tokenize =
+    copy(child = newChild)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+}
+
 /** Exact Jaccard of two distinct-element long arrays (shingle-hash sets):
   * |∩| / (|a| + |b| - |∩|) in one membership pass — hash the smaller side,
   * probe with the larger. The `array_intersect`/`array_union` composition
@@ -314,4 +369,8 @@ object TextFunctions {
   def jaccard_sets(a: Column, b: Column): Column =
     ColumnBridge.column(
       JaccardSets(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Fused lowercase-whitespace tokenizer (array<string>). */
+  def tokenize(text: Column): Column =
+    ColumnBridge.column(Tokenize(ColumnBridge.expression(text)))
 }

@@ -10,9 +10,13 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens, lowercased, empties dropped. */
+  /** Whitespace tokens, lowercased, empties dropped. Fused native expression
+    * ([[graft.functions.Tokenize]]) — identical output to
+    * `filter(split(lower(text), "\\s+"), _ != "")` without running the regex
+    * engine per row; this stage feeds every shingle/minhash/langid pipeline.
+    */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    graft.functions.TextFunctions.tokenize(text)
 
   /** Simple whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
