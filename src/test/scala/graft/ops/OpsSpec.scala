@@ -152,6 +152,25 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(4L) === "und")
   }
 
+  test("fused tokenizer ≡ filter(split(lower, \\s+)) on arbitrary content") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genText: Gen[String] = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf(' ', '\t', '\n', '\r', '\f', ''),
+      2 -> Gen.oneOf('Ä', 'ê', 'Ч', '中', 'İ', 'ß', '€'),
+      1 -> Gen.asciiPrintableChar)).map(_.mkString)
+    val texts = (0 until 200).map(i =>
+      genText.apply(Gen.Parameters.default, Seed(7L + i)).get) :+ "" :+ "   " :+ "\t\n"
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = df.select($"id", TextAnalysis.tokens($"text").as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    val want = df.select($"id",
+      filter(split(lower($"text"), "\\s+"), x => length(x) > 0).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got === want)
+  }
+
   test("token counting and quality metrics") {
     val df = Seq((1L, "Hello world  foo")).toDF("id", "text")
     assert(df.select(TextAnalysis.tokenCount($"text")).as[Int].head() === 3)
