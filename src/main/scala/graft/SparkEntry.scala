@@ -460,6 +460,23 @@ object SparkEntry {
         .select(col("doc_id"), simhash64(TextAnalysis.tokens(col("text"))).as("simhash"))
         .orderBy("doc_id")),
 
+    // Winnowing (rolling-hash) fingerprints, oracled structurally: exact
+    // duplicate pairs (DuckDB recomputes the set via md5) must have
+    // IDENTICAL fingerprint sets (same tokens → same windows → same minima),
+    // and the whole corpus must emit fingerprints. The hash values
+    // themselves are family-specific (documented in q_minhash_dupes' note).
+    "q_winnow_fingerprints" -> ((s, dir) => {
+      val dd = docsWithDupes(s, dir)
+      val fp = dd.select(col("doc_id"),
+        md5(col("text").cast("binary")).as("h"),
+        TextAnalysis.winnowFingerprints(col("text")).as("fp"))
+      val pairs = fp.as("a")
+        .join(fp.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select((col("a.fp") === col("b.fp")).cast("int").as("same_fp"))
+      pairs.agg(count(lit(1)).as("n_exact_pairs"),
+        sum(col("same_fp")).as("n_identical_fp"))
+    }),
+
     // The boom container itself under the oracle: events → .bm files →
     // boom scan → rollup must equal DuckDB's direct computation over the
     // original parquet (validates writer+reader byte fidelity end-to-end).
@@ -647,6 +664,10 @@ object SparkEntry {
     "q_simhash_dupes" ->
       s"""WITH d AS (SELECT doc_id, md5(text) AS h FROM $docsWithDupesSql)
          | SELECT count(*) AS n_exact_pairs, count(*) AS n_found_by_simhash
+         | FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id""".stripMargin,
+    "q_winnow_fingerprints" ->
+      s"""WITH d AS (SELECT doc_id, md5(text) AS h FROM $docsWithDupesSql)
+         | SELECT count(*) AS n_exact_pairs, count(*) AS n_identical_fp
          | FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id""".stripMargin,
     "q_langid" ->
       s"""SELECT doc_id, labeled_lang,

@@ -124,6 +124,81 @@ object ShingleOps {
   }
 }
 
+/** Winnowing document fingerprints (the MOSS construction, Schleimer et al.
+  * 2003, public): the ordered sequence of k-gram rolling hashes is reduced to
+  * the minimum of each sliding window of `w` consecutive hashes (rightmost
+  * wins ties), and the distinct selected minima are the fingerprint set. Any
+  * shared substring of length ≥ w + k − 1 tokens between two documents is
+  * guaranteed to share a fingerprint — the locality property plain sampling
+  * lacks. One fused pass: token hashes → positional k-gram combine (same
+  * kernel as [[ShingleOps]]) → deque sliding minimum.
+  */
+object WinnowOps {
+  def fingerprints(tokens: ArrayData, k: Int, w: Int): ArrayData = {
+    val n = tokens.numElements()
+    val tokenHashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      tokenHashes(i) = if (tokens.isNullAt(i)) 0L else SimHash.hashToken(tokens.getUTF8String(i))
+      i += 1
+    }
+    val grams = math.max(1, n - k + 1)
+    val gram = new Array[Long](grams)
+    var s = 0
+    while (s < grams) {
+      var h = 0x9E3779B97F4A7C15L
+      var j = s
+      val end = math.min(n, s + k)
+      while (j < end) {
+        h = java.lang.Long.rotateLeft(h, 13) ^ SimHash.hashToken2(tokenHashes(j), j - s)
+        j += 1
+      }
+      gram(s) = MinHash.mix(h, 0L)
+      s += 1
+    }
+    // Sliding-window minimum, rightmost-min per window, distinct selections.
+    val win = math.max(1, w)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val deque = new Array[Int](grams) // indices, increasing, hashes increasing
+    var head = 0
+    var tail = 0 // exclusive
+    i = 0
+    while (i < grams) {
+      // Rightmost-wins: evict equal-or-greater hashes from the back.
+      while (tail > head && gram(deque(tail - 1)) >= gram(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - win) head += 1
+      if (i >= win - 1 || i == grams - 1) seen.add(gram(deque(head)))
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowOps.fingerprints(input.asInstanceOf[ArrayData], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowOps.fingerprints($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+}
+
 case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
@@ -373,4 +448,8 @@ object TextFunctions {
   /** Fused lowercase-whitespace tokenizer (array<string>). */
   def tokenize(text: Column): Column =
     ColumnBridge.column(Tokenize(ColumnBridge.expression(text)))
+
+  /** Winnowing fingerprints (distinct window-min rolling k-gram hashes). */
+  def winnow_fingerprints(tokens: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(tokens), k, w))
 }

@@ -135,4 +135,13 @@ object TextAnalysis {
     * (whitespace-normalization-invariant, unlike hashing the raw text).
     */
   def fingerprint(text: Column): Column = xxhash64(concat_ws(" ", tokens(text)))
+
+  /** Winnowing fingerprint SET (rolling k-gram hashes → sliding-window
+    * minima, Schleimer et al. 2003): any shared run of ≥ w + k − 1 tokens
+    * between two documents guarantees a shared fingerprint, so containment /
+    * partial-overlap detection works where whole-document hashing can't.
+    * Compare sets with [[graft.functions.TextFunctions.jaccard_sets]].
+    */
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column =
+    graft.functions.TextFunctions.winnow_fingerprints(tokens(text), k, w)
 }

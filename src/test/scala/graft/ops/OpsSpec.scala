@@ -187,6 +187,26 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(fps(1L) !== fps(3L))
   }
 
+  test("winnowing fingerprints: locality + whitespace invariance + discrimination") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, base),
+      (2L, base.replace("  ", " ") + " "),       // whitespace-normalized twin
+      (3L, "prefix words here " + base),          // shares a long run with 1
+      (4L, (1 to 40).map(i => s"other$i").mkString(" "))) // disjoint
+      .toDF("id", "text")
+    val fps = df.select($"id", TextAnalysis.winnowFingerprints($"text").as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1L) === fps(2L))
+    // Locality guarantee: a shared ≥ w+k−1 token run shares a fingerprint.
+    assert(fps(1L).toSet.intersect(fps(3L).toSet).nonEmpty)
+    assert(fps(1L).toSet.intersect(fps(4L).toSet).isEmpty)
+    // Short docs still fingerprint.
+    val short = Seq((9L, "a b")).toDF("id", "text")
+      .select(TextAnalysis.winnowFingerprints($"text")).as[Seq[Long]].head()
+    assert(short.size === 1)
+  }
+
   test("shingles") {
     val df = Seq((1L, "a b c d")).toDF("id", "text")
     val sh = df.select(TextAnalysis.shingles($"text", 3)).as[Seq[String]].head()
