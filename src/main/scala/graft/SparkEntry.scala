@@ -460,6 +460,23 @@ object SparkEntry {
         .select(col("doc_id"), simhash64(TextAnalysis.tokens(col("text"))).as("simhash"))
         .orderBy("doc_id")),
 
+    // Containment dedup (winnow-fingerprint blocking), oracled structurally:
+    // exact-duplicate pairs have containment 1.0 and share every
+    // fingerprint, so all of them must surface.
+    "q_containment" -> ((s, dir) => {
+      val dd = docsWithDupes(s, dir)
+      val d = dd.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      val exactPairs = d.as("a")
+        .join(d.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      exactPairs
+        .join(Dedup.containmentPairs(dd, "doc_id", "text", threshold = 0.8)
+          .select(col("id_a"), col("id_b"), lit(1).as("__hit")),
+          Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_exact_pairs"),
+          sum(coalesce(col("__hit"), lit(0))).as("n_found_by_containment"))
+    }),
+
     // Winnowing (rolling-hash) fingerprints, oracled structurally: exact
     // duplicate pairs (DuckDB recomputes the set via md5) must have
     // IDENTICAL fingerprint sets (same tokens → same windows → same minima),
@@ -668,6 +685,10 @@ object SparkEntry {
     "q_winnow_fingerprints" ->
       s"""WITH d AS (SELECT doc_id, md5(text) AS h FROM $docsWithDupesSql)
          | SELECT count(*) AS n_exact_pairs, count(*) AS n_identical_fp
+         | FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id""".stripMargin,
+    "q_containment" ->
+      s"""WITH d AS (SELECT doc_id, md5(text) AS h FROM $docsWithDupesSql)
+         | SELECT count(*) AS n_exact_pairs, count(*) AS n_found_by_containment
          | FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id""".stripMargin,
     "q_langid" ->
       s"""SELECT doc_id, labeled_lang,

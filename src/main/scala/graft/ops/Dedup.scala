@@ -188,6 +188,40 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Containment pairs via winnowing fingerprints (the MOSS construction):
+    * pairs where the smaller document's fingerprint set is ≥ `threshold`
+    * contained in the larger's — the asymmetric-overlap case (a document
+    * quoted inside a longer one) that symmetric Jaccard under-scores by
+    * design (|∩|/|∪| shrinks with the length gap, |∩|/min does not).
+    *
+    * Blocking: each fingerprint IS a blocking key — winnowing guarantees any
+    * shared token run of ≥ w + k − 1 shares one — so candidates come from
+    * one [[bucketPairs]] shuffle on fingerprint value (capped; a fingerprint
+    * shared by half the corpus is boilerplate, exactly what the cap drops),
+    * carrying the fingerprint sets as payload for the exact containment
+    * check intra-row. Same one-scan/one-shuffle shape as
+    * [[ngramJaccardPairs]].
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      shingleK: Int = 3,
+      window: Int = 4,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val banded = df.select(col(idCol).as("id"),
+      graft.functions.TextFunctions.winnow_fingerprints(
+        TextAnalysis.tokens(col(textCol)), shingleK, window).as("fp"))
+      .select(col("id"), col("fp"), explode(col("fp")).as("key"))
+    bucketPairs(banded, Seq("key"), "fp", maxBucketSize)
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("fp_a"), col("fp_b"))).cast("double") /
+          least(size(col("fp_a")), size(col("fp_b")))).as("containment"))
+      .where(col("containment") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold, blocked by banded
     * random-hyperplane LSH with capped buckets (see
     * [[Similarity.cosinePairsLsh]]).

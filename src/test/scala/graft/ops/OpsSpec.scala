@@ -48,6 +48,21 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("containment finds a quoted document where jaccard under-scores it") {
+    val quoted = (1 to 30).map(i => s"w$i").mkString(" ")
+    val host = "intro text before the quote " + quoted + " and a long tail " +
+      (1 to 60).map(i => s"tail$i").mkString(" ")
+    val df = Seq((1L, quoted), (2L, host), (3L, "unrelated completely different words here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(df, "doc_id", "text", threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+    // Symmetric jaccard misses the same pair at the same threshold.
+    val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text", threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)))
+  }
+
   test("ngram jaccard verification is exact") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.99)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
