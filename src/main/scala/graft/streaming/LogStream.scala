@@ -105,6 +105,27 @@ object LogStream {
       }
   }
 
+  /** Streaming exact dedup: drop rows whose content hash was already seen
+    * within the watermark horizon — the continuous form of
+    * [[graft.ops.Dedup.exactDedup]] for ingest-time dedup of a document
+    * stream. State is bounded by the watermark (Spark evicts seen-hash state
+    * older than it), which is the correctness/memory trade every streaming
+    * dedup makes: duplicates farther apart than `watermark` pass through and
+    * are caught by the batch dedup that compacts the corpus anyway.
+    *
+    * @param df stream with an event-time column `eventTimeCol`
+    *           (TimestampType) and the content column to dedup on
+    */
+  def dedupedStream(
+      df: DataFrame,
+      contentCol: String,
+      eventTimeCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    df.withColumn("__h", md5(col(contentCol).cast("binary")))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+
   /** Continuous ingest: text file stream → parsed log lines → Boom files.
     * (`foreachBatch` + the batch writer — the standard file-sink pattern for
     * a custom format.)

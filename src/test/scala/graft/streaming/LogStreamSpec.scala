@@ -18,6 +18,24 @@ class LogStreamSpec extends SparkTestBase {
         .toDF().coalesce(1),
       dir)
 
+  test("streaming exact dedup drops in-watermark duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("ts_ms", "text")
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+    val deduped = LogStream.dedupedStream(df, "text", "event_time")
+    val q = deduped.writeStream.format("memory").queryName("dedupstream")
+      .outputMode("append").start()
+    try {
+      input.addData((1000L, "alpha"), (2000L, "beta"), (3000L, "alpha"))
+      q.processAllAvailable()
+      input.addData((4000L, "alpha"), (5000L, "gamma"))
+      q.processAllAvailable()
+      val got = spark.table("dedupstream").select("text").as[String].collect().sorted
+      assert(got === Array("alpha", "beta", "gamma"))
+    } finally q.stop()
+  }
+
   test("streaming boom source picks up appended files across batches") {
     val dir = Files.createTempDirectory("stream-boom").toString
     writeBatch(dir, 1700000000000L, 5, "first")
