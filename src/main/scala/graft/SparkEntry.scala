@@ -460,6 +460,13 @@ object SparkEntry {
         .select(col("doc_id"), simhash64(TextAnalysis.tokens(col("text"))).as("simhash"))
         .orderBy("doc_id")),
 
+    // Vocabulary heavy-hitters: top-50 tokens by corpus frequency (exact
+    // oracle — DuckDB unnests the same tokenization and re-counts).
+    "q_token_freq" -> ((s, dir) =>
+      TextAnalysis.tokenFrequencies(t(s, dir, "documents"), "text")
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)),
+
     // Containment dedup (winnow-fingerprint blocking), oracled structurally:
     // exact-duplicate pairs have containment 1.0 and share every
     // fingerprint, so all of them must surface.
@@ -690,6 +697,10 @@ object SparkEntry {
       s"""WITH d AS (SELECT doc_id, md5(text) AS h FROM $docsWithDupesSql)
          | SELECT count(*) AS n_exact_pairs, count(*) AS n_found_by_containment
          | FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id""".stripMargin,
+    "q_token_freq" ->
+      s"""SELECT token, count(*) AS n
+         | FROM (SELECT unnest($tokensSql) AS token FROM documents)
+         | GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
     "q_langid" ->
       s"""SELECT doc_id, labeled_lang,
          |   CASE WHEN g.s > 0 THEN g.c ELSE 'und' END AS guessed_lang, n_tokens

@@ -104,6 +104,18 @@ object TextAnalysis {
       when(size(array_intersect(toks, enStops)) > 0, 0.2).otherwise(0.0))
   }
 
+  /** Corpus token frequencies — vocabulary statistics for training-data
+    * curation (stopword discovery, boilerplate detection, tokenizer QA).
+    * One explode + one count aggregation; partial aggregation absorbs the
+    * per-document token fan-out map-side, so the shuffle carries one row per
+    * distinct token per task.
+    */
+  def tokenFrequencies(df: org.apache.spark.sql.DataFrame, textCol: String)
+      : org.apache.spark.sql.DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+
   /** Word k-shingles over an already-materialized token-array column.
     *
     * IMPORTANT staging note: pass an *attribute* (a selected column), not the
