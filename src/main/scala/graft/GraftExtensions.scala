@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, FormatLogDate, JaccardSets, MinHashSignature, ShingleHashes, SimHash64, TopKByScore}
+import graft.functions.{CosineSimilarity, FormatLogDate, JaccardSets, LangIdExpression, MinHashSignature, ShingleHashes, SimHash64, Tokenize, TopKByScore, WinnowFingerprints}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -65,6 +65,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(toks) => ShingleHashes(toks, 3)
         case Seq(toks, k) => ShingleHashes(toks, int(k, "k"))
         case _ => throw new IllegalArgumentException("shingle_hashes(tokens[, k])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("tokenize"),
+      new ExpressionInfo(classOf[Tokenize].getName, "tokenize"),
+      (args: Seq[Expression]) => Tokenize(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("lang_id"),
+      new ExpressionInfo(classOf[LangIdExpression].getName, "lang_id"),
+      (args: Seq[Expression]) =>
+        LangIdExpression(Tokenize(args.head), graft.ops.TextAnalysis.StopwordProfiles)))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (args: Seq[Expression]) => args match {
+        case Seq(toks) => WinnowFingerprints(toks, 3, 4)
+        case Seq(toks, k, w) => WinnowFingerprints(toks, int(k, "k"), int(w, "w"))
+        case _ => throw new IllegalArgumentException("winnow_fingerprints(tokens[, k, w])")
       }))
     ext.injectFunction((
       FunctionIdentifier("topk_by_score"),
