@@ -78,6 +78,38 @@ class BoomRoundTripSpec extends SparkTestBase {
     assert(or._1 === 12000 && or._3 > 0)
   }
 
+  test("raw reader fails cleanly on corrupt input (no hangs, no partial garbage)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("boom-corrupt").toString
+    val lines = (0 until 500).map(i =>
+      graft.core.LogLine(1000000L, s"line $i " + ("z" * 100), 0, 0L, 0L, 1L))
+    Ingest.reboom(lines.toDF().coalesce(1), dir)
+    val bm = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".bm")).head
+    val hconf = spark.sessionState.newHadoopConf()
+
+    def readAll(path: String): Long = {
+      val it = new BoomFileRangeIterator(
+        new org.apache.avro.mapred.FsInput(new org.apache.hadoop.fs.Path(path), hconf),
+        BoomPushdown(), 0L, Long.MaxValue)
+      try { var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n }
+      finally it.close()
+    }
+
+    // Not an Avro container at all.
+    val junk = Files.createTempFile("junk", ".bm")
+    Files.write(junk, Array.fill[Byte](256)(42))
+    intercept[java.io.IOException](readAll(junk.toString))
+
+    // Truncated mid-block: the reader must throw, not silently return less.
+    val bytes = Files.readAllBytes(bm.toPath)
+    val cut = Files.createTempFile("cut", ".bm")
+    Files.write(cut, java.util.Arrays.copyOf(bytes, bytes.length - 37))
+    intercept[java.io.IOException](readAll(cut.toString))
+
+    // Intact file still reads fully.
+    assert(readAll(bm.getAbsolutePath) === 500)
+  }
+
   test("two-phase commit: task commit stages, job commit promotes, abort cleans all hours") {
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
     import org.apache.spark.unsafe.types.UTF8String
