@@ -460,6 +460,18 @@ object SparkEntry {
         .select(col("doc_id"), simhash64(TextAnalysis.tokens(col("text"))).as("simhash"))
         .orderBy("doc_id")),
 
+    // PII scrub pass (emails/IPs/digit runs → placeholders) — exact oracle:
+    // the patterns are lookaround-free, so DuckDB applies the identical
+    // chain. Emitted as a digest (changed-row count + total redacted length
+    // delta) to keep the dump small.
+    "q_redact_pii" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.redactPii(col("text")).as("red"), col("text"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("red") =!= col("text")).cast("int")).as("n_changed"),
+          sum(length(col("text")) - length(col("red"))).cast("long").as("len_delta"))),
+
     // Vocabulary heavy-hitters: top-50 tokens by corpus frequency (exact
     // oracle — DuckDB unnests the same tokenization and re-counts).
     "q_token_freq" -> ((s, dir) =>
@@ -701,6 +713,11 @@ object SparkEntry {
       s"""SELECT token, count(*) AS n
          | FROM (SELECT unnest($tokensSql) AS token FROM documents)
          | GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "q_redact_pii" ->
+      s"""SELECT count(*) AS n_docs,
+         |   CAST(sum(CASE WHEN red <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+         |   CAST(sum(length(text) - length(red)) AS BIGINT) AS len_delta
+         | FROM (SELECT text, $redactSql AS red FROM documents)""".stripMargin,
     "q_langid" ->
       s"""SELECT doc_id, labeled_lang,
          |   CASE WHEN g.s > 0 THEN g.c ELSE 'und' END AS guessed_lang, n_tokens
@@ -740,6 +757,14 @@ object SparkEntry {
 
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** DuckDB fragment: the SAME PII regexp_replace chain the operator applies
+    * (generated from one pattern list so they cannot drift; DuckDB string
+    * literals don't process backslashes, so patterns embed verbatim).
+    */
+  private val redactSql = TextAnalysis.PiiPatterns.foldLeft("text") {
+    case (e, (pat, repl)) => s"regexp_replace($e, '$pat', '$repl', 'g')"
+  }
 
   private val enStopSql = sqlList(TextAnalysis.StopwordProfiles("en"))
 

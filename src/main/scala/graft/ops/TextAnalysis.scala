@@ -104,6 +104,24 @@ object TextAnalysis {
       when(size(array_intersect(toks, enStops)) > 0, 0.2).otherwise(0.0))
   }
 
+  /** PII scrubbing patterns (applied in order — emails before digit runs so
+    * user123@x.com doesn't half-redact). Deliberately lookaround-free so the
+    * exact same patterns run in any linear-time regex engine (RE2 et al.),
+    * which keeps the operator SQL-oracle-able.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("\\b\\d{9,}\\b", "<NUM>"))
+
+  /** Redact common PII shapes (emails, IPv4s, long digit runs) — the
+    * standard pre-training scrub pass; pure narrow `Column` work.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
   /** Corpus token frequencies — vocabulary statistics for training-data
     * curation (stopword discovery, boilerplate detection, tokenizer QA).
     * One explode + one count aggregation; partial aggregation absorbs the

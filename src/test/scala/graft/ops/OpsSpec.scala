@@ -195,6 +195,16 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(row.getAs[Int]("n_uniq_tokens") === 3)
   }
 
+  test("pii redaction scrubs emails, ips, digit runs; order protects email digits") {
+    val df = Seq(
+      (1L, "contact user123@example.com or 10.0.0.1 ref 123456789 ok"),
+      (2L, "clean text with short 1234 number")).toDF("id", "text")
+    val got = df.select($"id", TextAnalysis.redactPii($"text")).as[(Long, String)]
+      .collect().toMap
+    assert(got(1L) === "contact <EMAIL> or <IP> ref <NUM> ok")
+    assert(got(2L) === "clean text with short 1234 number")
+  }
+
   test("fingerprint is whitespace-normalization invariant") {
     val df = Seq((1L, "a b  c"), (2L, "a b c"), (3L, "a b d")).toDF("id", "text")
     val fps = df.select($"id", TextAnalysis.fingerprint($"text")).as[(Long, Long)].collect().toMap
