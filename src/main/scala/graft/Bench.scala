@@ -29,21 +29,27 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     // One untimed run per query first (codegen compile, file-listing and
-    // shuffle-file warmup), then the timed run — measured variance of the
-    // cold first execution was ±30% on sub-second queries, drowning real
-    // plan changes between rounds.
+    // shuffle-file warmup), then MEDIAN of `reps` timed runs — a single
+    // timed execution leaves sub-second queries ±30% noisy (cold-cache and
+    // host-load spikes dominated round-over-round comparisons), and the
+    // median is robust to a one-off straggler where the mean is not. The
+    // per-query minimum is reported alongside as the load-independent floor.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
       def run(): Unit = fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       try run() catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
-      try run()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try run()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> ((times(times.length / 2), times.head))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    def toJson(sel: ((Double, Double)) => Double): String =
+      results.map { case (k, v) => s"\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(_._1)},"queries_min":${toJson(_._2)},"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "bench_result.json")
     Files.writeString(Paths.get(outPath), json + "\n")
     println(json)

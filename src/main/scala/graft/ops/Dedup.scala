@@ -195,12 +195,16 @@ object Dedup {
     * design (|∩|/|∪| shrinks with the length gap, |∩|/min does not).
     *
     * Blocking: each fingerprint IS a blocking key — winnowing guarantees any
-    * shared token run of ≥ w + k − 1 shares one — so candidates come from
-    * one [[bucketPairs]] shuffle on fingerprint value (capped; a fingerprint
-    * shared by half the corpus is boilerplate, exactly what the cap drops),
-    * carrying the fingerprint sets as payload for the exact containment
-    * check intra-row. Same one-scan/one-shuffle shape as
-    * [[ngramJaccardPairs]].
+    * shared token run of ≥ w + k − 1 tokens shares one. The fingerprint set
+    * is duplicate-free, so |fp_a ∩ fp_b| equals the NUMBER of keys whose
+    * bucket contains both ids — no set payload needs to ride the shuffle at
+    * all. Rows carry only (key, id, |fp|): shuffle bytes are linear in
+    * Σ|fp| (the previous formulation shipped the full set on every exploded
+    * row — Σ|fp|² per doc, a ~100× amplification on long documents). The
+    * per-key pair expansion is capped ([[DefaultMaxBucketSize]]); a
+    * fingerprint shared by thousands of documents is boilerplate, and
+    * excluding it from the intersection evidence is the MOSS guidance (such
+    * grams identify the template, not the quote).
     */
   def containmentPairs(
       df: DataFrame,
@@ -210,16 +214,26 @@ object Dedup {
       shingleK: Int = 3,
       window: Int = 4,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val banded = df.select(col(idCol).as("id"),
+    val exploded = df.select(col(idCol).as("id"),
       graft.functions.TextFunctions.winnow_fingerprints(
         TextAnalysis.tokens(col(textCol)), shingleK, window).as("fp"))
-      .select(col("id"), col("fp"), explode(col("fp")).as("key"))
-    bucketPairs(banded, Seq("key"), "fp", maxBucketSize)
+      .select(col("id"), size(col("fp")).as("n"), explode(col("fp")).as("key"))
+    val buckets = exploded
+      .groupBy(col("key"))
+      .agg(collect_list(struct(col("id"), col("n"))).as("__members"))
+      .where(size(col("__members")) >= 2 &&
+        (if (maxBucketSize > 0) size(col("__members")) <= maxBucketSize else lit(true)))
+    buckets
+      .select(explode(col("__members")).as("__a"), col("__members"))
+      .select(col("__a"), explode(col("__members")).as("__b"))
+      .where(col("__a.id") < col("__b.id"))
+      .groupBy(col("__a.id").as("id_a"), col("__b.id").as("id_b"),
+        col("__a.n").as("n_a"), col("__b.n").as("n_b"))
+      .agg(count(lit(1)).as("__shared"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("fp_a"), col("fp_b"))).cast("double") /
-          least(size(col("fp_a")), size(col("fp_b")))).as("containment"))
+        (col("__shared").cast("double") / least(col("n_a"), col("n_b")))
+          .as("containment"))
       .where(col("containment") >= threshold)
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** Embedding near-dup pairs: cosine ≥ threshold, blocked by banded

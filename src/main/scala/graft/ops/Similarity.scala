@@ -29,6 +29,9 @@ object Similarity {
   /** Cap for LSH bucket joins — see [[Dedup.DefaultMaxBucketSize]]. */
   def defaultMaxBucketSize: Int = Dedup.DefaultMaxBucketSize
 
+  /** Embedding dimensionality — a one-row job; callers that know the dim
+    * pass it explicitly (`dim` parameter) and skip this probe entirely.
+    */
   private def vectorDim(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).first().getInt(0)
 
@@ -90,9 +93,10 @@ object Similarity {
       tables: Int = 16,
       planesPerTable: Int = 6,
       probes: Int = 1,
-      seed: Long = 42L): DataFrame = {
-    val dim = vectorDim(corpus, corpusVec)
-    val hp = HyperplaneOps.flatPlanes(dim, tables * planesPerTable, seed)
+      seed: Long = 42L,
+      dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else vectorDim(corpus, corpusVec)
+    val hp = HyperplaneOps.flatPlanes(d, tables * planesPerTable, seed)
 
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"),
       explode(hyperplane_band_keys(col(corpusVec), hp, tables, planesPerTable))
@@ -181,11 +185,23 @@ object Similarity {
 
     val vecCol = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"),
       array_to_vector(col(corpusVec).cast("array<double>")).as("__features"))
-    val frac =
-      if (!trainFraction.isNaN) trainFraction
-      else math.min(1.0, maxTrainRows.toDouble / math.max(1L, corpus.count()).toDouble)
-    val train = (if (frac < 1.0) vecCol.sample(frac, seed) else vecCol)
-      .select(col("__features").as("features"))
+    val train =
+      if (!trainFraction.isNaN)
+        (if (trainFraction < 1.0) vecCol.sample(trainFraction, seed) else vecCol)
+          .select(col("__features").as("features"))
+      else {
+        // Bounded sample WITHOUT a counting pass: a full corpus.count() just
+        // to derive a fraction is an extra 100 TB scan before any work
+        // happens. Take maxTrainRows/numPartitions rows from EACH partition
+        // instead — one narrow pass that stops early per file split and
+        // stays spread across the corpus (a plain limit() would draw the
+        // whole sample from the first few splits).
+        val feats = vecCol.select(col("__features").as("features"))
+        val nPart = math.max(1, feats.rdd.getNumPartitions)
+        val perPart = math.max(1, (maxTrainRows / nPart).toInt)
+        feats.sparkSession.createDataFrame(
+          feats.rdd.mapPartitions(_.take(perPart)), feats.schema)
+      }
     // A coarse quantizer doesn't need tight convergence: nprobe cell routing
     // absorbs centroid jitter, so a handful of Lloyd iterations buys the same
     // recall at a fraction of the (multi-pass, whole-sample) fit cost.
@@ -265,9 +281,10 @@ object Similarity {
       bands: Int = 16,
       planesPerBand: Int = 8,
       seed: Long = 42L,
-      maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
-    val dim = vectorDim(df, vecCol)
-    val hp = HyperplaneOps.flatPlanes(dim, bands * planesPerBand, seed)
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize,
+      dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else vectorDim(df, vecCol)
+    val hp = HyperplaneOps.flatPlanes(d, bands * planesPerBand, seed)
     val banded = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       explode(hyperplane_band_keys(col(vecCol), hp, bands, planesPerBand)).as("bucket"))
     Dedup.bucketPairs(banded, Seq("bucket"), "v", maxBucketSize)
