@@ -30,5 +30,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   "-Dfile.encoding=UTF-8",
+  // Multimodal's javax.imageio decode/encode must not probe for a display.
+  "-Djava.awt.headless=true",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -462,11 +462,12 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // Multimodal plumbing: binary payload → batched feature extraction.
-    // no_oracle BY DESIGN: the decode step is a declared stub (no media
-    // codecs in the sandbox), so there is no independent engine that could
-    // recompute the features; the plumbing (schema, batching, determinism)
-    // is graded by MultimodalSpec.
+    // Multimodal: binary payload → batched feature extraction. Image rows
+    // carry real PNG/JPEG payloads and the features are real pixel
+    // statistics (javax.imageio decode — MultimodalSpec pins them against
+    // a drawn fixture); audio/video use the deterministic stub (no in-JDK
+    // codec). no_oracle BY DESIGN: DuckDB cannot decode images, so no
+    // independent engine can recompute the features.
     "q_multimodal" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, 200)
       Multimodal.extractFeatures(media)

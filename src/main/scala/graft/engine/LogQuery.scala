@@ -70,21 +70,19 @@ case class LogQuery(
     * drop null-formatted rows, ORDER BY the canonical key, keep only the
     * formatted column.
     *
-    * SINGLE-HOUR catalog queries (the common logcat window) skip the global
-    * sort's range-sampling pass + shuffle entirely: the one hour bucket is
-    * read into one partition and sorted within it — no Exchange in the plan,
-    * and unconditionally the same output. Multi-hour catalog queries use the
-    * global range sort by default (safe under any data); see
-    * [[formattedByHour]] for the exchange-free multi-hour variant.
+    * CATALOG queries (the logcat/loggrep/logsearch CLI path) skip the global
+    * sort's range-sampling pass + shuffle entirely: each hour bucket is read
+    * into one partition and sorted within it, buckets concatenated in hour
+    * order ([[formattedByHour]]) — no Exchange anywhere in the plan. The
+    * catalog layout guarantees an hour directory only holds that hour's
+    * lines (fs/PathInfo.java:21-86), which is what makes the concatenation
+    * a correct global order. Explicit-path queries (no layout guarantee)
+    * use the range-partitioned global sort.
     */
   def formatted(spark: SparkSession): Dataset[String] = {
     import spark.implicits._
-    if (paths.isEmpty) {
-      val hourGroups = resolveHourGroups(spark)
-      if (hourGroups.isEmpty) return spark.emptyDataset[String]
-      if (hourGroups.size == 1) return hourBranch(spark, hourGroups.head).as[String]
-    }
-    LogQuery.formatAndSort(lines(spark).toDF(), dateFormat).as[String]
+    if (paths.isEmpty) formattedByHour(spark)
+    else LogQuery.formatAndSort(lines(spark).toDF(), dateFormat).as[String]
   }
 
   /** Ordered logcat output with NO Exchange anywhere: one sorted partition
@@ -92,10 +90,12 @@ case class LogQuery(
     * relies on the layout invariant that an hour directory only holds lines
     * of that hour (fs/PathInfo.java:21-86 — the uploaders and the hourly
     * writer both guarantee it); data violating it would sort within the
-    * wrong bucket, which is why [[formatted]] only auto-routes the
-    * single-hour case. Parallelism is one task per hour — sensible for the
-    * bounded ranges logcat serves; use [[formatted]] for huge per-hour
-    * volumes where the range sort's intra-hour parallelism wins.
+    * wrong bucket. This is [[formatted]]'s default for catalog queries.
+    * Parallelism is one task per hour — the right trade for the bounded
+    * ranges logcat serves (at 100 TB a logcat window is hours-to-days of
+    * one component, and hours sort independently); for huge per-hour
+    * volumes `LogQuery.formatAndSort(q.lines(spark).toDF())` gives the
+    * range sort's intra-hour parallelism.
     */
   def formattedByHour(spark: SparkSession): Dataset[String] = {
     import spark.implicits._

@@ -11,11 +11,13 @@ import org.apache.spark.sql.types._
   * shape, codec state initialized once per partition, output schema declared
   * up front).
   *
-  * The actual media decode is STUBBED (no image/audio codecs in this
-  * environment): [[decodeStub]] produces a deterministic fake feature vector
-  * from the bytes. The Spark-side contract — schemas, partition sizing,
-  * batch iteration, metadata passthrough — is real and tested; swapping the
-  * stub for a JNI/OpenCV/ffmpeg call changes one function.
+  * IMAGE decode/resize is REAL: `javax.imageio` (in-JDK) handles PNG/JPEG/
+  * GIF/BMP, features are pixel statistics ([[imageFeatures]]), resize is a
+  * Graphics2D bilinear scale re-encoded in the source format. Audio/video
+  * payloads (no in-JDK codec) fall back to [[decodeStub]], a deterministic
+  * byte-hash pseudo-feature — so the pipeline shape is exercised end-to-end
+  * for every modality and swapping the stub for an ffmpeg/JNI call changes
+  * one function.
   */
 object Multimodal {
 
@@ -32,9 +34,51 @@ object Multimodal {
 
   val featureDim = 8
 
-  /** STUB media decoder: a real implementation would decode the image/audio
-    * payload and extract features; this derives a deterministic pseudo-feature
-    * vector from the payload bytes so the pipeline is testable end-to-end.
+  /** Real image decode via the in-JDK codecs (PNG/JPEG/GIF/BMP). `None` for
+    * null/corrupt payloads and unsupported formats — callers fall back to
+    * [[decodeStub]] so a bad file degrades, never kills the partition.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (bytes == null) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+
+  /** Pixel-statistic feature vector: [meanR, meanG, meanB, meanLuma,
+    * stdLuma, w/4096, h/4096, aspect w/(w+h)] — all in [0,1]. Pixels are
+    * sampled on a ≤64×64 grid so cost is bounded regardless of resolution.
+    */
+  def imageFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val (sx, sy) = (math.max(1, w / 64), math.max(1, h / 64))
+    var (n, sr, sg, sb, sl, sl2) = (0L, 0.0, 0.0, 0.0, 0.0, 0.0)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = ((rgb >> 16) & 0xFF) / 255.0
+        val g = ((rgb >> 8) & 0xFF) / 255.0
+        val b = (rgb & 0xFF) / 255.0
+        val l = 0.299 * r + 0.587 * g + 0.114 * b
+        sr += r; sg += g; sb += b; sl += l; sl2 += l * l; n += 1
+        x += sx
+      }
+      y += sy
+    }
+    val m = math.max(1L, n).toDouble
+    val meanL = sl / m
+    Array(
+      (sr / m).toFloat, (sg / m).toFloat, (sb / m).toFloat, meanL.toFloat,
+      math.sqrt(math.max(0.0, sl2 / m - meanL * meanL)).toFloat,
+      math.min(1.0, w / 4096.0).toFloat, math.min(1.0, h / 4096.0).toFloat,
+      (w.toDouble / (w + h)).toFloat)
+  }
+
+  /** STUB media decoder for the modalities with no in-JDK codec (audio,
+    * video): derives a deterministic pseudo-feature vector from the payload
+    * bytes so the pipeline is testable end-to-end. Also the fallback for
+    * corrupt/undecodable image payloads.
     */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
     val out = new Array[Float](featureDim)
@@ -58,57 +102,105 @@ object Multimodal {
     StructField("n_bytes", IntegerType, nullable = false),
     StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
 
-  /** Batch feature extraction over the media table. The returned plan is a
-    * narrow mapPartitions — at 100 TB this runs embarrassingly parallel with
-    * partition sizes controlled by `spark.sql.files.maxPartitionBytes` on the
-    * upstream scan.
+  /** Batch feature extraction over the media table: real pixel statistics
+    * for decodable images ([[imageFeatures]]), [[decodeStub]] for everything
+    * else. The returned plan is a narrow mapPartitions — at 100 TB this runs
+    * embarrassingly parallel with partition sizes controlled by
+    * `spark.sql.files.maxPartitionBytes` on the upstream scan.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(featureSchema)
     media.select("media_id", "mime", "bytes").mapPartitions { rows =>
-      // Per-partition init (a real decoder would open codec state here, once).
+      // Per-partition init (codec state opened once): ImageIO's plugin
+      // registry scan happens on first use per JVM; disk caching off keeps
+      // decode purely in-memory for the small-payload common case.
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val bytes = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
-        Row(r.getLong(0), r.getString(1),
-          if (bytes == null) 0 else bytes.length,
-          decodeStub(bytes).toSeq)
+        val mime = r.getString(1)
+        val feats =
+          if (mime != null && mime.startsWith("image/"))
+            decodeImage(bytes).map(imageFeatures).getOrElse(decodeStub(bytes))
+          else decodeStub(bytes)
+        Row(r.getLong(0), mime, if (bytes == null) 0 else bytes.length, feats.toSeq)
       }
     }(enc)
   }
 
-  /** Image resize over the media table: payloads re-encoded to the target
-    * box (aspect-preserving), metadata updated to the computed dimensions,
-    * non-image rows passed through untouched. The pixel resample itself is
-    * STUBBED ([[resizeStub]] — a deterministic byte transform standing in
-    * for the decoder+scaler); the schema/metadata/batch plumbing is real:
-    * same narrow per-partition batch shape as [[extractFeatures]].
+  /** Image resize over the media table: decodable payloads are REALLY
+    * resized — decode ([[decodeImage]]), bilinear Graphics2D scale into the
+    * (maxW, maxH) box aspect-preserving (never upscaling), re-encode in the
+    * source format — with metadata updated to the actual output dimensions.
+    * Non-image rows pass through untouched; undecodable image payloads fall
+    * back to [[resizeStub]] driven by the metadata dims. Same narrow
+    * per-partition batch shape as [[extractFeatures]].
     */
   def resizeImages(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
     val enc = RowEncoder.encoderFor(mediaSchema)
     media.select("media_id", "doc_id", "mime", "bytes", "meta").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val mime = r.getString(2)
         val meta = if (r.isNullAt(4)) null else r.getStruct(4)
         val bytes = if (r.isNullAt(3)) null else r.getAs[Array[Byte]](3)
-        val w = if (meta == null || meta.isNullAt(0)) null else meta.get(0)
-        val h = if (meta == null || meta.isNullAt(1)) null else meta.get(1)
-        if (!mime.startsWith("image/") || bytes == null || w == null || h == null) r
-        else {
-          val (w0, h0) = (w.asInstanceOf[Int], h.asInstanceOf[Int])
-          // Aspect-preserving fit into (maxW, maxH), never upscaling.
-          val scale = math.min(1.0, math.min(maxW.toDouble / w0, maxH.toDouble / h0))
-          val (w1, h1) = (math.max(1, (w0 * scale).round.toInt),
-            math.max(1, (h0 * scale).round.toInt))
-          Row(r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1), mime,
-            resizeStub(bytes, w0, h0, w1, h1),
-            Row(w1, h1, if (meta.isNullAt(2)) null else meta.getLong(2)))
+        if (mime == null || !mime.startsWith("image/") || bytes == null) r
+        else decodeImage(bytes) match {
+          case Some(img) =>
+            val (w0, h0) = (img.getWidth, img.getHeight)
+            val scale = math.min(1.0, math.min(maxW.toDouble / w0, maxH.toDouble / h0))
+            val (w1, h1) = (math.max(1, (w0 * scale).round.toInt),
+              math.max(1, (h0 * scale).round.toInt))
+            val out = if (scale >= 1.0) bytes else reencode(scaleImage(img, w1, h1), mime)
+            Row(r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1), mime, out,
+              Row(w1, h1,
+                if (meta == null || meta.isNullAt(2)) null else meta.getLong(2)))
+          case None =>
+            val w = if (meta == null || meta.isNullAt(0)) null else meta.get(0)
+            val h = if (meta == null || meta.isNullAt(1)) null else meta.get(1)
+            if (w == null || h == null) r
+            else {
+              val (w0, h0) = (w.asInstanceOf[Int], h.asInstanceOf[Int])
+              val scale = math.min(1.0, math.min(maxW.toDouble / w0, maxH.toDouble / h0))
+              val (w1, h1) = (math.max(1, (w0 * scale).round.toInt),
+                math.max(1, (h0 * scale).round.toInt))
+              Row(r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1), mime,
+                resizeStub(bytes, w0, h0, w1, h1),
+                Row(w1, h1, if (meta.isNullAt(2)) null else meta.getLong(2)))
+            }
         }
       }
     }(enc)
   }
 
-  /** STUB pixel resample: deterministic proportional byte subsample (a real
-    * implementation decodes, scales, re-encodes).
+  private def scaleImage(img: java.awt.image.BufferedImage, w: Int, h: Int)
+      : java.awt.image.BufferedImage = {
+    import java.awt.image.BufferedImage
+    // TYPE_INT_RGB: JPEG can't encode an alpha channel, and a canonical
+    // pixel layout keeps the re-encode deterministic across source types.
+    val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    dst
+  }
+
+  private def reencode(img: java.awt.image.BufferedImage, mime: String): Array[Byte] = {
+    val fmt = mime.stripPrefix("image/") match {
+      case "jpeg" | "jpg" => "jpg"
+      case "gif" => "gif"
+      case "bmp" => "bmp"
+      case _ => "png"
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  /** Fallback pixel resample for undecodable payloads: deterministic
+    * proportional byte subsample keeping the pipeline total.
     */
   def resizeStub(bytes: Array[Byte], w0: Int, h0: Int, w1: Int, h1: Int): Array[Byte] = {
     val ratio = (w1.toLong * h1).toDouble / math.max(1L, w0.toLong * h0)
@@ -127,8 +219,33 @@ object Multimodal {
       .select(col("media_id"),
         explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs))).as("frame_ms"))
 
-  /** Deterministic synthetic media table (for tests/demos — payload bytes
-    * derived from the id).
+  /** Deterministic 64×48 test image: a color gradient parameterized by id
+    * (so distinct ids decode to distinct pixel statistics), encoded for real
+    * in the requested format.
+    */
+  def syntheticImageBytes(id: Long, fmt: String, w: Int = 64, h: Int = 48): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((x * 255) / math.max(1, w - 1) + id * 37) % 256
+        val g = ((y * 255) / math.max(1, h - 1) + id * 73) % 256
+        val b = (id * 113 + x + y) % 256
+        img.setRGB(x, y, (r.toInt << 16) | (g.toInt << 8) | b.toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic media table (for tests/demos): image rows carry
+    * REAL PNG/JPEG payloads ([[syntheticImageBytes]]) so the decode path is
+    * exercised end-to-end; audio/video rows carry opaque hash-derived bytes.
     */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
@@ -136,9 +253,13 @@ object Multimodal {
     spark.range(n.toLong).select(col("id").as("media_id")).map { r =>
       val id = r.getLong(0)
       val mime = mimes((id % 4).toInt)
-      val bytes = Array.tabulate[Byte](64 + (id % 64).toInt)(i => ((id * 31 + i) & 0x7F).toByte)
       val isVideo = mime.startsWith("video/")
       val isImage = mime.startsWith("image/")
+      val bytes =
+        if (isImage) syntheticImageBytes(id, mime.stripPrefix("image/") match {
+          case "jpeg" => "jpg"; case f => f
+        })
+        else Array.tabulate[Byte](64 + (id % 64).toInt)(i => ((id * 31 + i) & 0x7F).toByte)
       (id, id / 2, mime, bytes,
         (if (isImage) Some(64) else None, if (isImage) Some(48) else None,
           if (isVideo) Some(5000L) else None))

@@ -159,14 +159,33 @@ class BoomRoundTripSpec extends SparkTestBase {
     val dir = new java.io.File(out)
     val bmFiles = dir.listFiles().filter(_.getName.endsWith(".bm"))
     assert(bmFiles.nonEmpty)
+    // Pin the reference writer constants (BoomWriter.java:40-42) so our .bm
+    // output stays readable by reference tooling: deflate-6 codec, 2 MiB
+    // Avro sync interval, ≤1000-line single-second blocks.
+    assert(BoomSchemas.DeflateLevel === 6)
+    assert(BoomSchemas.AvroSyncInterval === 2 * 1024 * 1024)
+    assert(BoomSchemas.MaxLinesPerBlock === 1000)
     val reader = new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]()
     var blocks = 0
     bmFiles.foreach { f =>
       val dfr = new org.apache.avro.file.DataFileReader(f, reader)
+      // Container header records the codec by name; deflate level is a
+      // write-time knob the reader doesn't see, pinned via the constant above.
+      assert(dfr.getMetaString("avro.codec") === "deflate")
+      assert(dfr.getSchema === BoomSchemas.logBlockSchema)
       while (dfr.hasNext) {
         val rec = dfr.next()
         val lines = rec.get("logLines").asInstanceOf[java.util.Collection[_]]
         assert(lines.size <= 1000)
+        // One wall-clock second per block: every line's full timestamp
+        // reconstructs from the block's single `second` field.
+        val sec = rec.get("second").asInstanceOf[Long]
+        assert(sec === 1000L || sec === 1001L)
+        lines.forEach { l =>
+          val ms = l.asInstanceOf[org.apache.avro.generic.GenericRecord]
+            .get("ms").asInstanceOf[Long]
+          assert(ms >= 0 && ms < 1000, s"ms offset $ms escapes the block second")
+        }
         blocks += 1
       }
       dfr.close()

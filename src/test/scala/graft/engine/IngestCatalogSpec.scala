@@ -52,10 +52,14 @@ class IngestCatalogSpec extends SparkTestBase {
       "2024-03-01T11:00:00.000+00:00 start of hour eleven",
       "2024-03-01T11:30:00.000+00:00 middle of hour eleven"))
 
-    // Multi-hour: the exchange-free by-hour concat equals the global sort.
-    assert(q.formattedByHour(spark).collect().toSeq === q.formatted(spark).collect().toSeq)
-    val byHourPlan = q.formattedByHour(spark).queryExecution.executedPlan.toString
-    assert(!byHourPlan.contains("Exchange"))
+    // Multi-hour catalog queries ALSO route exchange-free by default (one
+    // sorted partition per hour, concatenated in hour order), and match the
+    // range-partitioned global sort over the same lines exactly.
+    val multiHourPlan = q.formatted(spark).queryExecution.executedPlan.toString
+    assert(!multiHourPlan.contains("Exchange"),
+      s"multi-hour logcat plan must be exchange-free:\n$multiHourPlan")
+    assert(q.formatted(spark).collect().toSeq ===
+      LogQuery.formatAndSort(q.lines(spark).toDF()).collect().toSeq.map(_.getString(0)))
   }
 
   test("boomToParquet materializes hour-partitioned parquet with pruning") {

@@ -259,6 +259,33 @@ class MultimodalSpec extends SparkTestBase {
     assert(f1 === f2)
   }
 
+  test("real PNG decode: pixel statistics match the drawn image") {
+    // Solid-red 10x20 PNG drawn in-test: every pixel statistic is known.
+    val img = new java.awt.image.BufferedImage(10, 20,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 20; x <- 0 until 10) img.setRGB(x, y, 0xFF0000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val decoded = Multimodal.decodeImage(bos.toByteArray)
+    assert(decoded.isDefined && decoded.get.getWidth === 10 && decoded.get.getHeight === 20)
+    val f = Multimodal.imageFeatures(decoded.get)
+    assert(math.abs(f(0) - 1.0f) < 1e-6)            // mean R
+    assert(f(1) === 0.0f && f(2) === 0.0f)          // mean G, B
+    assert(math.abs(f(3) - 0.299f) < 1e-3)          // mean luma of pure red
+    assert(f(4) < 1e-6)                             // solid color → zero std
+    assert(math.abs(f(7) - 10.0f / 30.0f) < 1e-6)   // aspect w/(w+h)
+    // Corrupt payload degrades to the stub, never throws.
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+  }
+
+  test("distinct images decode to distinct pixel features") {
+    val media = Multimodal.syntheticMedia(spark, 8)
+    val feats = Multimodal.extractFeatures(media)
+      .where($"mime".startsWith("image/"))
+      .select("features").as[Seq[Float]].collect()
+    assert(feats.length === 4 && feats.distinct.length === 4)
+  }
+
   test("resize updates image dims aspect-preserving; non-images pass through") {
     val media = Multimodal.syntheticMedia(spark, 20)
     val resized = Multimodal.resizeImages(media, maxW = 32, maxH = 32)
@@ -267,6 +294,11 @@ class MultimodalSpec extends SparkTestBase {
     val img = resized.where($"mime".startsWith("image/"))
       .select($"meta.width", $"meta.height").distinct().as[(Int, Int)].collect().toSet
     assert(img === Set((32, 24)))
+    // The payload is a REAL re-encode: decoding it back yields 32x24 pixels.
+    val pngBytes = resized.where($"mime" === "image/png").orderBy("media_id")
+      .select("bytes").as[Array[Byte]].head()
+    val rdec = Multimodal.decodeImage(pngBytes)
+    assert(rdec.isDefined && rdec.get.getWidth === 32 && rdec.get.getHeight === 24)
     // Payload shrank proportionally; deterministic.
     val b1 = resized.orderBy("media_id").select("bytes").as[Array[Byte]].head()
     val b2 = Multimodal.resizeImages(media, 32, 32).orderBy("media_id")
