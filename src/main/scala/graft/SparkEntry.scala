@@ -504,6 +504,28 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token"))
         .limit(50)),
 
+    // Gopher repetition signals (dup-token fraction, most-frequent-bigram
+    // count) — exact oracle: DuckDB recomputes via unnest + group-by where
+    // the operator uses a narrow sorted-run fold.
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text", n = 2)
+        .orderBy("doc_id")),
+
+    // Gopher quality filter: per-rule measurements + keep verdict.
+    "q_gopher_filter" -> ((s, dir) =>
+      TextAnalysis.gopherFilter(t(s, dir, "documents"), "doc_id", "text",
+        minWords = 20, maxWords = 10000, minMeanLen = 3.0, maxMeanLen = 10.0,
+        minAlphaFrac = 0.8, minStopHits = 1)
+        .orderBy("doc_id")),
+
+    // C4-style corpus boilerplate spans: per-doc count of word 3-grams
+    // shared with ≥3 documents — exact oracle rebuilds the span frequency
+    // table in SQL.
+    "q_boilerplate_spans" -> ((s, dir) =>
+      Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        shingleK = 3, minDocs = 3)
+        .orderBy("doc_id")),
+
     // Containment dedup (winnow-fingerprint blocking), oracled structurally:
     // exact-duplicate pairs have containment 1.0 and share every
     // fingerprint, so all of them must surface.
@@ -738,6 +760,51 @@ object SparkEntry {
       s"""SELECT token, count(*) AS n
          | FROM (SELECT unnest($tokensSql) AS token FROM documents)
          | GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "q_repetition" ->
+      s"""WITH d AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         | g AS (SELECT doc_id, [t[i] || ' ' || t[i+1] for i in range(1, len(t))] AS gs FROM d),
+         | e AS (SELECT doc_id, unnest(gs) AS g FROM g),
+         | c AS (SELECT doc_id, g, count(*) AS cnt FROM e GROUP BY doc_id, g),
+         | m AS (SELECT doc_id, max(cnt) AS mx FROM c GROUP BY doc_id)
+         | SELECT d.doc_id, len(d.t) AS n_tokens,
+         |   len(d.t) - len(list_distinct(d.t)) AS n_dup_tokens,
+         |   (len(d.t) - len(list_distinct(d.t)))::DOUBLE / greatest(len(d.t), 1) AS dup_token_frac,
+         |   len(g.gs) AS n_grams,
+         |   coalesce(m.mx, 0) AS max_gram_count,
+         |   coalesce(m.mx, 0)::DOUBLE / greatest(len(g.gs), 1) AS top_gram_frac
+         | FROM d JOIN g USING (doc_id) LEFT JOIN m USING (doc_id)
+         | ORDER BY doc_id""".stripMargin,
+    "q_gopher_filter" ->
+      s"""SELECT doc_id, len(t) AS n_words,
+         |   coalesce(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE), 0)
+         |     / greatest(len(t), 1) AS mean_word_len,
+         |   len(list_filter(t, x -> regexp_matches(x, '\\p{L}')))::DOUBLE
+         |     / greatest(len(t), 1) AS alpha_word_frac,
+         |   len(list_intersect(t, ${sqlList(TextAnalysis.StopwordProfiles("en"))})) AS stop_hits,
+         |   (len(t) >= 20 AND len(t) <= 10000
+         |     AND coalesce(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE), 0)
+         |       / greatest(len(t), 1) >= 3.0
+         |     AND coalesce(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE), 0)
+         |       / greatest(len(t), 1) <= 10.0
+         |     AND len(list_filter(t, x -> regexp_matches(x, '\\p{L}')))::DOUBLE
+         |       / greatest(len(t), 1) >= 0.8
+         |     AND len(list_intersect(t, ${sqlList(TextAnalysis.StopwordProfiles("en"))})) >= 1)
+         |     AS keep
+         | FROM (SELECT doc_id, $tokensSql AS t FROM documents)
+         | ORDER BY doc_id""".stripMargin,
+    "q_boilerplate_spans" ->
+      s"""WITH d AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         | g AS (SELECT doc_id, list_distinct(
+         |     [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS gs
+         |   FROM d),
+         | e AS (SELECT doc_id, unnest(gs) AS g FROM g),
+         | b AS (SELECT g FROM e GROUP BY g HAVING count(*) >= 3),
+         | p AS (SELECT doc_id, count(*) AS nb FROM e JOIN b USING (g) GROUP BY doc_id)
+         | SELECT g.doc_id, len(g.gs) AS n_spans,
+         |   coalesce(p.nb, 0) AS n_boiler_spans,
+         |   coalesce(p.nb, 0)::DOUBLE / greatest(len(g.gs), 1) AS boiler_frac
+         | FROM g LEFT JOIN p USING (doc_id)
+         | ORDER BY doc_id""".stripMargin,
     "q_redact_pii" ->
       s"""SELECT count(*) AS n_docs,
          |   CAST(sum(CASE WHEN red <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,

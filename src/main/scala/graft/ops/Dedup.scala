@@ -30,6 +30,43 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
+  /** Corpus-level boilerplate span detection (the C4 preprocessing idea —
+    * Raffel et al. 2020 §2.2 removes spans occurring repeatedly across the
+    * corpus): per document, how many of its distinct word k-grams occur in
+    * at least `minDocs` OTHER distinct documents. High `boiler_frac` marks
+    * template/boilerplate text; the per-span output of the `boiler` stage
+    * doubles as a removal list.
+    *
+    * Scale shape: explode distinct spans (linear rows, each carrying only
+    * (span, id)); ONE shuffle on span to count document frequency map-side
+    * partially; the surviving boilerplate spans are a tiny filtered set, so
+    * AQE broadcasts the join back; final groupBy on id is linear. No
+    * payload amplification anywhere.
+    */
+  def repeatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      minDocs: Int = 3): DataFrame = {
+    val docs = df
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .select(col("id"),
+        array_distinct(TextAnalysis.ngramsFromTokens(col("__t"), shingleK)).as("__g"))
+    val spans = docs.select(col("id"), explode(col("__g")).as("g"))
+    // (id, g) is unique after array_distinct, so count(*) == distinct docs.
+    val boiler = spans.groupBy("g").agg(count(lit(1)).as("__nd"))
+      .where(col("__nd") >= minDocs).select("g")
+    val perDoc = spans.join(boiler, "g")
+      .groupBy("id").agg(count(lit(1)).cast("long").as("n_boiler_spans"))
+    docs.select(col("id"), size(col("__g")).cast("long").as("n_spans"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_spans"),
+        coalesce(col("n_boiler_spans"), lit(0L)).as("n_boiler_spans"),
+        (coalesce(col("n_boiler_spans"), lit(0L)).cast("double") /
+          greatest(col("n_spans"), lit(1))).as("boiler_frac"))
+  }
+
   /** (id, sh) with sh = distinct shingle hashes. Staged: tokens materialize
     * first, then the fused ShingleHashes expression combines token hashes
     * positionally — no shingle strings are ever built (the string

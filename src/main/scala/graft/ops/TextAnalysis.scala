@@ -134,6 +134,89 @@ object TextAnalysis {
       .groupBy("token")
       .agg(count(lit(1)).as("n"))
 
+  /** Word n-grams, NON-distinct, empty when fewer than n tokens (unlike
+    * [[shinglesFromTokens]], which degrades to the whole text — repetition
+    * statistics need the raw occurrence list, not a set).
+    */
+  def ngramsFromTokens(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+
+  /** Gopher-style repetition signals per document: duplicate-token fraction
+    * and the occurrence count/fraction of the most frequent word n-gram
+    * (Rae et al. 2021 §A1.1's "repetition" filters — high values mark
+    * degenerate/boilerplate text that poisons training data).
+    *
+    * Narrow, shuffle-free: the most-frequent-gram count is the longest run
+    * in the SORTED gram array, computed with one `aggregate` fold instead of
+    * an explode + two aggregations — per-document work stays inside
+    * whole-stage codegen no matter the corpus size.
+    */
+  def repetitionMetrics(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2): org.apache.spark.sql.DataFrame = {
+    val staged = df
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), col("__t"), ngramsFromTokens(col("__t"), n).as("__g"))
+    def maxRun: Column = aggregate(
+      array_sort(col("__g")),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val nToks = size(col("__t"))
+    val nDup = nToks - size(array_distinct(col("__t")))
+    staged.select(col(idCol),
+      nToks.cast("long").as("n_tokens"),
+      nDup.cast("long").as("n_dup_tokens"),
+      (nDup.cast("double") / greatest(nToks, lit(1))).as("dup_token_frac"),
+      size(col("__g")).cast("long").as("n_grams"),
+      maxRun.as("max_gram_count"),
+      (maxRun.cast("double") / greatest(size(col("__g")), lit(1))).as("top_gram_frac"))
+  }
+
+  /** Gopher-style document quality filter (Rae et al. 2021 §A1.1): word
+    * count bounds, mean word length bounds, minimum fraction of words with
+    * an alphabetic character, minimum distinct-stopword hits. Emits the
+    * per-rule measurements plus the final `keep` verdict so a pipeline can
+    * audit WHY a document was dropped. Pure narrow column work.
+    */
+  def gopherFilter(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2): org.apache.spark.sql.DataFrame = {
+    val staged = df.select(col(idCol), tokens(col(textCol)).as("__t"))
+    val n = size(col("__t"))
+    val meanLen = aggregate(col("__t"), lit(0L), (a, x) => a + length(x))
+      .cast("double") / greatest(n, lit(1))
+    val alphaFrac = size(filter(col("__t"), x => x.rlike("\\p{L}")))
+      .cast("double") / greatest(n, lit(1))
+    val stopHits = size(array_intersect(col("__t"),
+      array(StopwordProfiles("en").map(lit): _*)))
+    staged.select(col(idCol),
+      n.cast("long").as("n_words"),
+      meanLen.as("mean_word_len"),
+      alphaFrac.as("alpha_word_frac"),
+      stopHits.cast("long").as("stop_hits"),
+      (n >= minWords && n <= maxWords &&
+        meanLen >= minMeanLen && meanLen <= maxMeanLen &&
+        alphaFrac >= minAlphaFrac && stopHits >= minStopHits).as("keep"))
+  }
+
   /** Word k-shingles over an already-materialized token-array column.
     *
     * IMPORTANT staging note: pass an *attribute* (a selected column), not the

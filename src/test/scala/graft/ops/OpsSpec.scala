@@ -154,6 +154,62 @@ class SimilaritySpec extends SparkTestBase {
 class TextAnalysisSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("repetitionMetrics: sorted-run fold counts the most frequent n-gram") {
+    val df = Seq(
+      (1L, "a a a b"),        // bigrams: "a a","a a","a b" → max 2 of 3
+      (2L, "x y x y x"),      // bigrams: "x y","y x","x y","y x" → max 2 of 4
+      (3L, "solo"),           // < n tokens → no grams
+      (4L, "w w w w")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionMetrics(df, "doc_id", "text", n = 2)
+      .orderBy("doc_id")
+      .select("n_tokens", "n_dup_tokens", "n_grams", "max_gram_count")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((4L, 2L, 3L, 2L), (5L, 3L, 4L, 2L), (1L, 0L, 0L, 0L),
+      (4L, 3L, 3L, 3L)))
+    val fracs = TextAnalysis.repetitionMetrics(df, "doc_id", "text", n = 2)
+      .orderBy("doc_id").select("top_gram_frac").as[Double].collect()
+    assert(math.abs(fracs(0) - 2.0 / 3.0) < 1e-12 && fracs(2) === 0.0)
+  }
+
+  test("gopherFilter: each rule drops what it should") {
+    val good = "the cat and dog ran over the hill to find water near the old farm"
+    val df = Seq(
+      (1L, good),                                  // passes all rules
+      (2L, "tiny doc"),                            // too few words
+      (3L, "zzz cat dog ran over hill find water near old farm stone"), // no stopwords
+      (4L, ("9" * 20 + " ") * 15)).toDF("doc_id", "text") // no alpha, long words
+    val got = TextAnalysis.gopherFilter(df, "doc_id", "text",
+      minWords = 10, maxWords = 100, minMeanLen = 2.0, maxMeanLen = 8.0,
+      minAlphaFrac = 0.8, minStopHits = 1)
+      .orderBy("doc_id").select("keep").as[Boolean].collect().toSeq
+    assert(got === Seq(true, false, false, false))
+    val m = TextAnalysis.gopherFilter(df, "doc_id", "text").orderBy("doc_id")
+      .select("n_words", "alpha_word_frac", "stop_hits")
+      .as[(Long, Double, Long)].collect()
+    assert(m(0)._2 === 1.0 && m(0)._3 >= 1L && m(3)._2 === 0.0)
+  }
+
+  test("repeatedSpans: spans shared by >= minDocs docs count as boilerplate") {
+    val tpl = "please read the license agreement before using"
+    val df = Seq(
+      (1L, s"$tpl alpha beta gamma"),
+      (2L, s"$tpl delta epsilon"),
+      (3L, s"$tpl zeta"),
+      (4L, "completely different words without any shared span here")).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(df, "doc_id", "text", shingleK = 3, minDocs = 3)
+      .orderBy("doc_id")
+      .select("n_spans", "n_boiler_spans").as[(Long, Long)].collect().toSeq
+    // The 7-token template yields 5 3-grams shared by docs 1-3; doc 4 has none.
+    assert(got.take(3).forall(_._2 >= 5L))
+    assert(got(3)._2 === 0L)
+    assert(got.forall { case (n, nb) => nb <= n })
+    // Frac is exact count ratio.
+    val fr = Dedup.repeatedSpans(df, "doc_id", "text", 3, 3).orderBy("doc_id")
+      .select("n_spans", "n_boiler_spans", "boiler_frac")
+      .as[(Long, Long, Double)].collect()
+    fr.foreach { case (n, nb, f) => assert(f === nb.toDouble / math.max(1L, n)) }
+  }
+
   test("langId picks the stopword-matching language") {
     val df = Seq(
       (1L, "the cat and the dog in a house"),
