@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions.simhash64
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis, TextSearch}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -64,6 +64,9 @@ object SparkEntry {
   // 2024-01-02T00:00:00Z .. 2024-01-05T00:00:00Z
   private val rangeStartMs = 1704153600000L
   private val rangeEndMs = 1704412800000L
+
+  /** BM25 demo query terms (present in the synthetic corpus vocabulary). */
+  private val Bm25Terms = Seq("table", "spark", "hash")
 
   /** Session-cached IVF index over `embeddings` (build-once/search-many —
     * the IVF contract: the quantizer fit + cell assignment are the reusable
@@ -526,6 +529,16 @@ object SparkEntry {
         shingleK = 3, minDocs = 3)
         .orderBy("doc_id")),
 
+    // BM25 ranked search: narrow per-term tf + one broadcast stats row +
+    // k-bounded TakeOrderedAndProject. Oracle compares the RANKING (exact
+    // integers) — operator and SQL are generated from the same term list and
+    // parameters (TextSearch.bm25RankOracleSql); the raw score is excluded
+    // because Math.log and DuckDB ln differ by 1 ulp on some idf arguments
+    // (score VALUES are pinned by TextSearchSpec instead).
+    "q_bm25" -> ((s, dir) =>
+      TextSearch.bm25RankedTopK(t(s, dir, "documents"), "doc_id", "text",
+        Bm25Terms, k = 20)),
+
     // Containment dedup (winnow-fingerprint blocking), oracled structurally:
     // exact-duplicate pairs have containment 1.0 and share every
     // fingerprint, so all of them must surface.
@@ -760,6 +773,8 @@ object SparkEntry {
       s"""SELECT token, count(*) AS n
          | FROM (SELECT unnest($tokensSql) AS token FROM documents)
          | GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "q_bm25" ->
+      TextSearch.bm25RankOracleSql("documents", "doc_id", tokensSql, Bm25Terms, k = 20),
     "q_repetition" ->
       s"""WITH d AS (SELECT doc_id, $tokensSql AS t FROM documents),
          | g AS (SELECT doc_id, [t[i] || ' ' || t[i+1] for i in range(1, len(t))] AS gs FROM d),

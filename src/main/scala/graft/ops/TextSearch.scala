@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ranked full-text search over a document corpus — the reference's search
+  * domain (logtools Search/FastSearch find lines; a training-data pipeline
+  * additionally needs to RANK documents) expressed as one declarative plan.
+  *
+  * BM25 (Robertson-Spärck Jones, the standard probabilistic ranking
+  * function) with the usual k1/b parameterization and the Lucene-style
+  * non-negative idf `ln(1 + (N - df + 0.5)/(df + 0.5))`.
+  *
+  * Scale shape: for a bounded query-term list no inverted index is needed —
+  * per-document term frequencies are narrow `filter` counts over the staged
+  * token array (one codegen'd pass per term), corpus statistics (N, Σdl,
+  * per-term df) are ONE tiny aggregate broadcast back onto the scan, and
+  * the final top-k is a TakeOrderedAndProject (k-bounded per partition,
+  * k-bounded merge at the driver — never a global sort). Two passes over
+  * the corpus, zero wide shuffles.
+  *
+  * Double-precision note: every non-transcendental operation is order-fixed
+  * IEEE arithmetic and reproduces bit-exactly in an independent engine, but
+  * `ln` does NOT — `java.lang.Math.log` and DuckDB's `ln` were observed to
+  * differ by 1 ulp on some idf arguments (measured: both agree on most
+  * inputs, diverge at e.g. 0x3FF451C3A672DBFC). Cross-engine comparison
+  * therefore checks the RANKING (rank, id, dl — exact integers; see
+  * [[bm25RankOracleSql]]), which 1-ulp score jitter cannot flip unless two
+  * distinct (tf, dl) profiles score within ~1e-15 relative of each other —
+  * and identical profiles tie exactly in both engines, broken by id.
+  */
+object TextSearch {
+
+  /** Top-k documents by BM25 score for `queryTerms` (terms are matched
+    * against the engine tokenization — lowercased whitespace words).
+    * Output: (idCol, dl, score), score desc, ties by id.
+    */
+  def bm25TopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val terms = queryTerms.map(_.toLowerCase)
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(col("__t"), x => x === lit(t))).cast("long").as(s"tf_$i")
+    }
+    val staged = df
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .select(Seq(col("id"), size(col("__t")).cast("long").as("dl")) ++ tfCols: _*)
+    val dfCols = terms.indices.map(i =>
+      sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i"))
+    val stats = staged.agg(
+      count(lit(1)).as("n_docs"),
+      (Seq(sum(col("dl")).as("sum_dl")) ++ dfCols): _*)
+
+    val joined = staged.crossJoin(broadcast(stats))
+    val n = col("n_docs").cast("double")
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val dfT = col(s"df_$i").cast("double")
+      val idf = log((n - dfT + 0.5) / (dfT + 0.5) + 1.0)
+      idf * (tf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0) - b + lit(b) * col("dl").cast("double") / avgdl))
+    }.reduce(_ + _)
+
+    // The no-hit filter runs ABOVE the top-k, not below: zero-score rows
+    // sort after every positive score, so top-k-then-filter selects the
+    // identical set — and a filter below would make Catalyst infer isnotnull
+    // constraints whose pushdown re-derives tokenize(text) per null-check at
+    // the scan (4 extra token passes per row).
+    joined
+      .select(col("id").as(idCol), col("dl"), score.as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .where(col("score") > 0.0)
+  }
+
+  /** The ranked result with the score projected away: (rank, id, dl) —
+    * exact integers, safe to hash-compare across engines (see class doc).
+    * The window ranks a result already bounded to k rows, so it is not a
+    * scale concern.
+    */
+  def bm25RankedTopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    bm25TopK(df, idCol, textCol, queryTerms, k, k1, b)
+      .select(row_number().over(
+          Window.orderBy(col("score").desc, col(idCol))).cast("long").as("rank"),
+        col(idCol), col("dl"))
+      .orderBy("rank")
+  }
+
+  /** The SAME ranking as ANSI SQL over a `documents`-shaped table, generated
+    * from the identical term list and parameters so operator and oracle
+    * cannot drift. `tokensSql` is the engine-tokenizer fragment (a list
+    * expression over a column named `text`). All numeric literals are cast
+    * to DOUBLE (DuckDB parses bare decimals as DECIMAL, whose arithmetic
+    * would diverge from IEEE). Emits (rank, id, dl) matching
+    * [[bm25RankedTopK]].
+    */
+  def bm25RankOracleSql(
+      table: String,
+      idCol: String,
+      tokensSql: String,
+      queryTerms: Seq[String],
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): String = {
+    val terms = queryTerms.map(_.toLowerCase)
+    val tfSelects = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(t, x -> x = '$t')) AS tf_$i"
+    }.mkString(", ")
+    val dfSelects = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i")
+      .mkString(", ")
+    def d(v: Double) = s"CAST($v AS DOUBLE)"
+    val scoreExpr = terms.indices.map { i =>
+      s"ln((g.n - g.df_$i + ${d(0.5)}) / (g.df_$i + ${d(0.5)}) + ${d(1.0)})" +
+        s" * (CAST(s.tf_$i AS DOUBLE) * ${d(k1 + 1.0)})" +
+        s" / (CAST(s.tf_$i AS DOUBLE) + ${d(k1)} * (${d(1.0)} - ${d(b)}" +
+        s" + ${d(b)} * CAST(s.dl AS DOUBLE) / g.avgdl))"
+    }.mkString(" + ")
+    s"""WITH d AS (SELECT $idCol, $tokensSql AS t FROM $table),
+       | s AS (SELECT $idCol, len(t) AS dl, $tfSelects FROM d),
+       | g AS (SELECT count(*)::DOUBLE AS n,
+       |     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, $dfSelects FROM s)
+       | SELECT row_number() OVER (ORDER BY score DESC, $idCol) AS rank,
+       |     $idCol, dl
+       | FROM (SELECT s.$idCol, s.dl, $scoreExpr AS score FROM s, g)
+       | WHERE score > 0 ORDER BY rank LIMIT $k""".stripMargin
+  }
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+class TextSearchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "cat sat"),
+    (2L, "cat cat runs fast"),
+    (3L, "dog barks"),
+    (4L, "the cat and the dog ran")).toDF("doc_id", "text")
+
+  test("bm25 scores match the hand-computed formula") {
+    val got = TextSearch.bm25TopK(docs, "doc_id", "text", Seq("cat"), k = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+
+    // N=4, dl=(2,4,2,6), avgdl=14/4, df(cat)=3.
+    val n = 4.0; val avgdl = 14.0 / 4
+    val idf = math.log((n - 3.0 + 0.5) / (3.0 + 0.5) + 1.0)
+    def s(tf: Double, dl: Double) =
+      idf * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    assert(got.keySet === Set(1L, 2L, 4L))   // doc 3 has no hit → filtered
+    assert(got(1L) === s(1, 2))
+    assert(got(2L) === s(2, 4))
+    assert(got(4L) === s(1, 6))
+  }
+
+  test("ranking: higher tf wins, shorter doc wins at equal tf, rare term outweighs") {
+    val ranked = TextSearch.bm25RankedTopK(docs, "doc_id", "text", Seq("cat"), k = 10)
+      .select("rank", "doc_id").as[(Long, Long)].collect().toSeq
+    // tf=2 beats tf=1; among tf=1 the shorter doc (dl=2) beats dl=6.
+    assert(ranked === Seq((1L, 2L), (2L, 1L), (3L, 4L)))
+
+    // "barks" (df=1) contributes more than "cat" (df=3) at equal tf/dl.
+    val two = TextSearch.bm25TopK(docs, "doc_id", "text", Seq("cat", "barks"), k = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(two(3L) > two(1L))
+  }
+
+  test("multi-term scores are additive and the plan is k-bounded") {
+    val one = TextSearch.bm25TopK(docs, "doc_id", "text", Seq("cat"), k = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val dog = TextSearch.bm25TopK(docs, "doc_id", "text", Seq("dog"), k = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val both = TextSearch.bm25TopK(docs, "doc_id", "text", Seq("cat", "dog"), k = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(both(4L) === one(4L) + dog(4L))
+
+    // Global top-k must be a TakeOrderedAndProject (k-bounded merge), never
+    // a full Sort + Exchange of the corpus. Use a parquet source: on an
+    // in-memory LocalRelation with known maxRows <= k, EliminateLimits
+    // removes the limit and the plan legitimately degenerates. AQE finalizes
+    // the plan on execution, so collect() first.
+    val dir = java.nio.file.Files.createTempDirectory("bm25").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val q = TextSearch.bm25TopK(spark.read.parquet(dir), "doc_id", "text",
+      Seq("cat"), k = 10)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // And the scan must tokenize once per row — no constraint-inferred
+    // null-check filters re-deriving tokenize at the scan.
+    assert(!plan.contains("isnotnull(size(filter(tokenize"), plan)
+  }
+}
