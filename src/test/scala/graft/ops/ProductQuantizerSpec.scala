@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+import org.apache.spark.sql.functions._
+
+class ProductQuantizerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** 4 well-separated clusters of 16-dim vectors, 25 points each. */
+  private lazy val vecs = {
+    val rnd = new scala.util.Random(7)
+    (0 until 100).map { i =>
+      val c = i % 4
+      val base = Array.tabulate(16)(d => if (d % 4 == c) 5.0f else 0.0f)
+      (i.toLong, base.map(x => x + rnd.nextFloat() * 0.5f).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("train is deterministic and encode emits valid byte codes") {
+    val cb1 = ProductQuantizer.train(vecs, "embedding", m = 4, ksub = 8, seed = 42L)
+    val cb2 = ProductQuantizer.train(vecs, "embedding", m = 4, ksub = 8, seed = 42L)
+    assert(cb1.centroids.toSeq === cb2.centroids.toSeq)
+    assert(cb1.dsub === 4 && cb1.dim === 16)
+
+    val codes = ProductQuantizer.encode(vecs, "vec_id", "embedding", cb1)
+    val rows = codes.collect()
+    assert(rows.length === 100)
+    rows.foreach { r =>
+      val cs = r.getAs[Array[Byte]]("codes")
+      assert(cs.length === 4)
+      cs.foreach(c => assert((c & 0xFF) < 8))
+      assert(r.getAs[Double]("rnorm") > 0.0)
+    }
+  }
+
+  test("adc ranks cluster-mates first; refine recovers exact order") {
+    val cb = ProductQuantizer.train(vecs, "embedding", m = 4, ksub = 8)
+    val codes = ProductQuantizer.encode(vecs, "vec_id", "embedding", cb)
+    val q = vecs.where($"vec_id" < 4) // one query per cluster
+
+    // ADC-only: top neighbors must come from the query's own cluster
+    // (clusters are far apart, so even quantized scores separate them).
+    val adc = ProductQuantizer.adcTopK(codes, q, "vec_id", "embedding", cb, k = 5)
+    val adcRows = adc.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(adcRows.nonEmpty)
+    adcRows.foreach { case (qid, nid) => assert(nid % 4 === qid % 4) }
+    // Self-matches are excluded like the other ANN operators.
+    adcRows.foreach { case (qid, nid) => assert(nid !== qid) }
+
+    // Refined PQ matches exact brute force substantially (recall >= 0.6).
+    val truth = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q,
+      "vec_id", "embedding", k = 5).select("query_id", "neighbor_id")
+    val refined = ProductQuantizer.pqTopK(codes, vecs, "vec_id", "embedding",
+      q, "vec_id", "embedding", cb, k = 5, refine = 5)
+      .select("query_id", "neighbor_id")
+    val hits = truth.join(refined, Seq("query_id", "neighbor_id")).count()
+    val total = truth.count()
+    assert(total === 20)
+    assert(hits.toDouble / total >= 0.6, s"refined recall ${hits.toDouble / total}")
+  }
+}
