@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions.simhash64
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis, TextSearch}
+import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextAnalysis, TextSearch}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -67,6 +67,12 @@ object SparkEntry {
 
   /** BM25 demo query terms (present in the synthetic corpus vocabulary). */
   private val Bm25Terms = Seq("table", "spark", "hash")
+
+  /** Split fractions / mix weights shared by the queries and their generated
+    * oracle SQL (single source of truth for the thresholds).
+    */
+  private val SplitFracs = Seq("test" -> 0.1, "valid" -> 0.1, "train" -> 0.8)
+  private val MixWeights = Map("src0" -> 0.2, "src1" -> 0.5, "src2" -> 0.8)
 
   /** Session-cached IVF index over `embeddings` (build-once/search-many —
     * the IVF contract: the quantizer fit + cell assignment are the reusable
@@ -574,6 +580,65 @@ object SparkEntry {
       TextSearch.bm25RankedTopK(t(s, dir, "documents"), "doc_id", "text",
         Bm25Terms, k = 20)),
 
+    // Benchmark decontamination: every 25th document plays the eval set,
+    // the rest the training corpus. Exact oracle: DuckDB rebuilds the
+    // distinct-3-gram intersection counts from raw text (string sets vs the
+    // engine's 64-bit shingle hashes — same collision argument as
+    // q_ngram_jaccard).
+    "q_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Curation.decontaminate(
+        d.where(col("doc_id") % 25 =!= 0), "doc_id", "text",
+        d.where(col("doc_id") % 25 === 0), "doc_id", "text",
+        k = 3, minShared = 2)
+        .orderBy("doc_id", "bench_id")
+    }),
+
+    // C4 cleaning audit. The raw synthetic docs carry no punctuation, so the
+    // query augments them deterministically (doc_id-keyed tails) to exercise
+    // every rule; the oracle applies the IDENTICAL augmentation in SQL.
+    // "dup" as the bad word hits ~5% of documents.
+    "q_c4_filter" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        when(col("doc_id") % 11 === 0, lit(" lorem ipsum")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" { brace }")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, lit(". tail one. tail two. tail three."))
+          .otherwise(lit(" open end")))
+      Curation.c4Filter(
+        t(s, dir, "documents").select(col("doc_id"), aug.as("text")),
+        "doc_id", "text", badWords = Seq("dup"),
+        minSentences = 3, minLineWords = 5)
+        .orderBy("doc_id")
+    }),
+
+    // Reproducible train/valid/test split via md5-hex draws — exact oracle:
+    // DuckDB recomputes the identical draw and thresholds (generated from
+    // the same Curation.hexThreshold constants).
+    "q_sample_split" -> ((s, dir) =>
+      Curation.splitCorpus(t(s, dir, "documents"), "doc_id", SplitFracs)
+        .orderBy("doc_id")),
+
+    // Corpus mixing (per-source keep probabilities) — exact oracle, same
+    // generated thresholds.
+    "q_mix" -> ((s, dir) =>
+      Curation.mixCorpus(t(s, dir, "documents"), "doc_id", "source",
+        MixWeights, default = 1.0)
+        .orderBy("doc_id")),
+
+    // Context-window chunking (32-token windows, stride 16) — exact oracle:
+    // DuckDB re-slices the same token lists.
+    "q_chunk" -> ((s, dir) =>
+      Curation.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 32, stride = 16)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // Stream-packing layout (pack-then-split at 256 tokens, 4 sub-shards per
+    // source) — exact oracle: DuckDB recomputes the per-shard running sums.
+    "q_pack" -> ((s, dir) =>
+      Curation.packStream(t(s, dir, "documents"), "doc_id", "text", "source",
+        budget = 256, subShards = 4)
+        .orderBy("source", "doc_id")),
+
     // Containment dedup (winnow-fingerprint blocking), oracled structurally:
     // exact-duplicate pairs have containment 1.0 and share every
     // fingerprint, so all of them must surface.
@@ -813,6 +878,82 @@ object SparkEntry {
          | GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
     "q_bm25" ->
       TextSearch.bm25RankOracleSql("documents", "doc_id", tokensSql, Bm25Terms, k = 20),
+    "q_decontaminate" ->
+      s"""WITH sh AS (SELECT doc_id, $shingleSetSql AS s
+         |     FROM (SELECT doc_id, $tokensSql AS t FROM documents)),
+         |   tr AS (SELECT * FROM sh WHERE doc_id % 25 <> 0),
+         |   be AS (SELECT * FROM sh WHERE doc_id % 25 = 0)
+         | SELECT tr.doc_id AS doc_id, be.doc_id AS bench_id,
+         |   len(list_intersect(tr.s, be.s)) AS n_shared
+         | FROM tr, be
+         | WHERE len(list_intersect(tr.s, be.s)) >= 2
+         | ORDER BY doc_id, bench_id""".stripMargin,
+    "q_c4_filter" ->
+      s"""SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem,
+         |   has_brace, has_badword,
+         |   (n_kept_lines > 0 AND n_sentences >= 3 AND has_lorem = 0
+         |     AND has_brace = 0 AND has_badword = 0)::INT AS keep
+         | FROM (
+         |   SELECT doc_id,
+         |     len(string_split(text, chr(10))) AS n_lines,
+         |     len(list_filter(string_split(text, chr(10)), l ->
+         |       (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
+         |         OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
+         |       AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5))
+         |       AS n_kept_lines,
+         |     len(regexp_extract_all(text, '[.!?]')) AS n_sentences,
+         |     contains(lower(text), 'lorem ipsum')::INT AS has_lorem,
+         |     contains(text, '{')::INT AS has_brace,
+         |     (len(list_intersect($tokensSql, ['dup'])) > 0)::INT AS has_badword
+         |   FROM (SELECT doc_id, text
+         |       || (CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum' ELSE '' END)
+         |       || (CASE WHEN doc_id % 7 = 0 THEN ' { brace }' ELSE '' END)
+         |       || (CASE WHEN doc_id % 3 = 0
+         |             THEN '. tail one. tail two. tail three.'
+         |             ELSE ' open end' END) AS text
+         |     FROM documents))
+         | ORDER BY doc_id""".stripMargin,
+    "q_sample_split" -> {
+      val draw = "substr(md5(doc_id::VARCHAR || '-graft'), 1, 8)"
+      val cum = SplitFracs.map(_._2).scanLeft(0.0)(_ + _).tail
+      val cases = SplitFracs.init.zip(cum.init).map { case ((label, _), hi) =>
+        s"WHEN $draw < '${Curation.hexThreshold(hi)}' THEN '$label'"
+      }.mkString(" ")
+      s"""SELECT doc_id, $draw AS draw,
+         |   CASE $cases ELSE '${SplitFracs.last._1}' END AS split
+         | FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "q_mix" -> {
+      val draw = "substr(md5(doc_id::VARCHAR || '-graft'), 1, 8)"
+      val cases = MixWeights.toSeq.sortBy(_._1).map { case (src, w) =>
+        s"WHEN source = '$src' THEN '${Curation.hexThreshold(w)}'"
+      }.mkString(" ")
+      s"""SELECT doc_id, source, $draw AS draw,
+         |   ($draw < CASE $cases ELSE '${Curation.hexThreshold(1.0)}' END)::INT
+         |     AS keep
+         | FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "q_chunk" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |   ex AS (SELECT doc_id, t,
+         |     unnest(range(0, CASE WHEN len(t) = 0 THEN 0
+         |       ELSE 1 + (GREATEST(len(t) - 32, 0) + 15) // 16 END)) AS i
+         |   FROM tk)
+         | SELECT doc_id, i AS chunk_idx,
+         |   len(list_slice(t, i * 16 + 1, i * 16 + 32)) AS n_chunk_tokens,
+         |   array_to_string(list_slice(t, i * 16 + 1, i * 16 + 32), ' ')
+         |     AS chunk_text
+         | FROM ex ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_pack" ->
+      s"""SELECT source, doc_id % 4 AS sub_shard, doc_id, dl AS n_tokens,
+         |   cum - dl AS start_off, (cum - dl) // 256 AS bin,
+         |   CASE WHEN dl > 0 AND (cum - dl) // 256 <> (cum - 1) // 256
+         |     THEN 1 ELSE 0 END AS straddles
+         | FROM (SELECT source, doc_id, dl,
+         |     CAST(sum(dl) OVER (PARTITION BY source, doc_id % 4 ORDER BY doc_id)
+         |       AS BIGINT) AS cum
+         |   FROM (SELECT source, doc_id, len($tokensSql) AS dl FROM documents))
+         | ORDER BY source, doc_id""".stripMargin,
     "q_repetition" ->
       s"""WITH d AS (SELECT doc_id, $tokensSql AS t FROM documents),
          | g AS (SELECT doc_id, [t[i] || ' ' || t[i+1] for i in range(1, len(t))] AS gs FROM d),

@@ -1,0 +1,228 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: benchmark
+  * decontamination, C4-style document cleaning, context-window chunking, and
+  * stream packing. Like [[TextAnalysis]], everything that can be a narrow
+  * `Column` composition is one (codegen'd, shuffle-free); the two operators
+  * that need data movement (`decontaminate`'s candidate join, `packStream`'s
+  * per-shard ordering) are shaped so the moved bytes stay small and bounded
+  * no matter the corpus size.
+  */
+object Curation {
+
+  /** Benchmark decontamination: count distinct word k-grams each training
+    * document shares with each benchmark/eval document, keeping pairs with
+    * at least `minShared` overlaps (the n-gram-collision test-set filter of
+    * Brown et al. 2020 App. C / Gao et al. 2020 §4).
+    *
+    * Scale shape: eval sets are SMALL by nature (thousands of docs), so the
+    * benchmark side's exploded (shingle-hash, bench-id) table is broadcast;
+    * the 100 TB training side is a narrow scan whose per-doc shingle
+    * fan-out meets the broadcast map-side. The only exchange is the final
+    * (train-id, bench-id) count aggregation — partial aggregation collapses
+    * it to one row per surviving pair per task, no text or shingle payload.
+    * Both sides emit DISTINCT shingles, so `count(*)` after the join is
+    * exactly |shared distinct k-grams|.
+    */
+  def decontaminate(
+      train: DataFrame,
+      trainId: String,
+      trainText: String,
+      bench: DataFrame,
+      benchId: String,
+      benchText: String,
+      k: Int = 3,
+      minShared: Int = 2): DataFrame = {
+    val trainSh = train.select(col(trainId).as("doc_id"),
+      explode(TextAnalysis.shingleHashes(col(trainText), k)).as("__sh"))
+    val benchSh = bench.select(col(benchId).as("bench_id"),
+      explode(TextAnalysis.shingleHashes(col(benchText), k)).as("__sh"))
+    trainSh.join(broadcast(benchSh), "__sh")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** Line predicate for [[c4Filter]]: a line survives when it ends in
+    * terminal punctuation and carries at least `minWords` space-separated
+    * words (Raffel et al. 2020 §2.2's sentence-terminal and short-line
+    * rules). Space-split (not [[TextAnalysis.tokens]]) on purpose — line
+    * hygiene is about the raw text, and the simple split keeps the rule
+    * byte-identical in any SQL engine.
+    */
+  private def lineKept(line: Column, minWords: Int): Column = {
+    val t = rtrim(line)
+    (t.endsWith(".") || t.endsWith("!") || t.endsWith("?") || t.endsWith("\"")) &&
+      size(filter(split(line, " "), w => w =!= "")) >= minWords
+  }
+
+  /** C4-style cleaning audit (Raffel et al. 2020 §2.2): per-document line
+    * retention counts plus the document-level drop rules (minimum sentence
+    * count, "lorem ipsum", curly braces ≈ code, bad-word hits) and the
+    * final `keep` verdict. Emits measurements rather than silently dropping
+    * so a pipeline can report WHY each document fell. Pure narrow column
+    * work — shuffle-free at any corpus size.
+    */
+  def c4Filter(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      badWords: Seq[String] = Seq("badword1", "badword2"),
+      minSentences: Int = 3,
+      minLineWords: Int = 5): DataFrame = {
+    val text = col(textCol)
+    val lines = split(text, "\n")
+    val kept = filter(lines, l => lineKept(l, minLineWords))
+    val nSentences = size(regexp_extract_all(text, lit("[.!?]"), lit(0)))
+    val lower = graft.functions.TextFunctions.tokenize(text)
+    val hasLorem = contains(lcase(text), lit("lorem ipsum"))
+    val hasBrace = contains(text, lit("{"))
+    val hasBad = size(array_intersect(lower, array(badWords.map(lit): _*))) > 0
+    df.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept_lines"),
+      nSentences.cast("long").as("n_sentences"),
+      hasLorem.cast("int").as("has_lorem"),
+      hasBrace.cast("int").as("has_brace"),
+      hasBad.cast("int").as("has_badword"),
+      (size(kept) > 0 && nSentences >= minSentences &&
+        !hasLorem && !hasBrace && !hasBad).cast("int").as("keep"))
+  }
+
+  /** Context-window chunking: split each document's token stream into
+    * windows of `chunkSize` tokens advancing by `stride` (overlapping when
+    * `stride < chunkSize` — the standard sliding-window prep for embedding
+    * or training-sequence generation). A document emits
+    * `1 + ceil(max(0, n - chunkSize) / stride)` chunks (the final one may be
+    * short); empty documents emit none. Narrow per-row fan-out — the
+    * explode multiplies rows but never shuffles.
+    */
+  def chunkTokens(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int = 32,
+      stride: Int = 16): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    val staged = df.select(col(idCol),
+      graft.functions.TextFunctions.tokenize(col(textCol)).as("__t"))
+    val n = size(col("__t"))
+    val nChunks =
+      lit(1) + floor((greatest(n - chunkSize, lit(0)) + stride - 1)
+        / lit(stride.toDouble)).cast("int")
+    val chunks = when(n === 0, array().cast("array<array<string>>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        i => slice(col("__t"), i * stride + 1, lit(chunkSize))))
+    staged
+      .select(col(idCol), col("__t"), posexplode(chunks))
+      .select(col(idCol),
+        col("pos").cast("long").as("chunk_idx"),
+        size(col("col")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("col")).as("chunk_text"))
+  }
+
+  /** Stable per-row uniform draw for reproducible sampling: the first 8 hex
+    * chars of `md5(id-salt)`, compared LEXICOGRAPHICALLY against hex
+    * thresholds from [[hexThreshold]]. Hash-based rather than `rand()` so
+    * the decision is a pure function of (id, salt) — re-runs, retries, and
+    * different engines all agree row by row, which is what makes a 100 TB
+    * train/test split auditable (and lets an independent SQL engine verify
+    * it exactly).
+    */
+  def hashDraw(id: Column, salt: String): Column =
+    substring(md5(concat(id.cast("string"), lit("-" + salt)).cast("binary")), 1, 8)
+
+  /** 8-hex-digit threshold with P(draw < threshold) = frac (draw uniform on
+    * 2^32 values). `frac = 1` returns `"g"` — lexicographically above every
+    * hex string, so ALL rows pass (an 8-hex threshold could never admit the
+    * top draw).
+    */
+  def hexThreshold(frac: Double): String = {
+    require(frac >= 0.0 && frac <= 1.0, "frac must be in [0,1]")
+    val v = math.round(frac * 4294967296.0)
+    if (v >= 4294967296L) "g" else f"$v%08x"
+  }
+
+  /** Deterministic Bernoulli sample: keeps rows whose [[hashDraw]] falls
+    * under `frac`'s threshold. Narrow, shuffle-free, reproducible.
+    */
+  def deterministicSample(df: DataFrame, idCol: String, frac: Double,
+      salt: String = "graft"): DataFrame =
+    df.where(hashDraw(col(idCol), salt) < hexThreshold(frac))
+
+  /** Reproducible train/valid/test split: `splits` are (label, fraction)
+    * with fractions summing to ≤ 1 (remainder → last label). Assignment is
+    * by cumulative threshold on the row's [[hashDraw]] — adding rows never
+    * reassigns existing ones. Emits (id, draw, split).
+    */
+  def splitCorpus(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], salt: String = "graft"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    val draw = hashDraw(col(idCol), salt)
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val assigned = splits.init.zip(cum.init).foldRight(
+      lit(splits.last._1): Column) { case (((label, _), hi), rest) =>
+      when(draw < hexThreshold(hi), label).otherwise(rest)
+    }
+    df.select(col(idCol), draw.as("draw"), assigned.as("split"))
+  }
+
+  /** Corpus mixing: per-shard keep probabilities (domain re-weighting for
+    * training mixtures — keep `weights(shard)` of each source, `default`
+    * elsewhere). Emits the draw and verdict rather than silently dropping.
+    * Narrow and reproducible like [[deterministicSample]].
+    */
+  def mixCorpus(df: DataFrame, idCol: String, shardCol: String,
+      weights: Map[String, Double], default: Double = 1.0,
+      salt: String = "graft"): DataFrame = {
+    val draw = hashDraw(col(idCol), salt)
+    val thresh = weights.toSeq.sortBy(_._1).foldRight(
+      lit(hexThreshold(default)): Column) { case ((shard, w), rest) =>
+      when(col(shardCol) === shard, hexThreshold(w)).otherwise(rest)
+    }
+    df.select(col(idCol), col(shardCol), draw.as("draw"),
+      (draw < thresh).cast("int").as("keep"))
+  }
+
+  /** Stream packing layout: concatenate each shard's documents (in id order)
+    * into one token stream and cut it every `budget` tokens — the
+    * pack-then-split batching used to build fixed-length training sequences.
+    * Emits each document's offset in its shard stream, the bin (sequence
+    * index) its first token lands in, and whether it straddles a bin
+    * boundary (= will be split across two training sequences).
+    *
+    * Scale shape: packing is inherently sequential, so it runs per shard —
+    * the window partitions on (`shardCol`, id mod `subShards`), giving
+    * `|shards| × subShards` independent streams that each fit a task no
+    * matter the corpus size (the 100×-collapse a bare low-cardinality
+    * window would hit is designed out; raise `subShards` to match the
+    * cluster). The shuffle carries (id, token-count) pairs only.
+    */
+  def packStream(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shardCol: String,
+      budget: Int = 512,
+      subShards: Int = 8): DataFrame = {
+    require(budget > 0 && subShards > 0, "budget and subShards must be positive")
+    val dl = size(graft.functions.TextFunctions.tokenize(col(textCol)))
+    val staged = df.select(col(shardCol), col(idCol),
+      dl.cast("long").as("n_tokens"),
+      (col(idCol) % subShards).as("sub_shard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol), col("sub_shard"))
+      .orderBy(col(idCol))
+    val cum = sum(col("n_tokens")).over(w)
+    val startOff = cum - col("n_tokens")
+    val bin = floor(startOff / budget.toDouble).cast("long")
+    val endBin = floor((cum - 1) / budget.toDouble).cast("long")
+    staged.select(col(shardCol), col("sub_shard").cast("long").as("sub_shard"),
+      col(idCol), col("n_tokens"),
+      startOff.as("start_off"), bin.as("bin"),
+      (col("n_tokens") > 0 && bin =!= endBin).cast("int").as("straddles"))
+  }
+}

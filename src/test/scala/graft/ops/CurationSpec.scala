@@ -1,0 +1,180 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("decontaminate counts shared distinct k-grams and applies the floor") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated text about spark partitions"),
+      (3L, "the quick brown fox appears here too")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+
+    val rows = Curation.decontaminate(train, "doc_id", "text",
+        bench, "doc_id", "text", k = 3, minShared = 2)
+      .select("doc_id", "bench_id", "n_shared")
+      .as[(Long, Long, Long)].collect().toSet
+
+    // doc 1 shares "the quick brown", "quick brown fox", "brown fox jumps";
+    // doc 3 shares the first two; doc 2 shares none.
+    assert(rows === Set((1L, 100L, 3L), (3L, 100L, 2L)))
+
+    // Raising the floor drops doc 3.
+    val strict = Curation.decontaminate(train, "doc_id", "text",
+        bench, "doc_id", "text", k = 3, minShared = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(strict === Set(1L))
+  }
+
+  test("c4Filter line retention and document drop rules") {
+    val docs = Seq(
+      // 3 lines: kept (terminal . and 5 words), dropped (no terminal),
+      // dropped (terminal but short).
+      (1L, "this line has five words.\nno terminal punctuation here at all\nshort line."),
+      (2L, "lorem ipsum dolor sit amet sentence one. two more words follow here. and a third sentence closes."),
+      (3L, "function f() { return 1; } this has a brace. and it has sentences. three of them even."),
+      (4L, "a clean document with five words. another proper sentence sits here. and one final closing sentence.")
+    ).toDF("doc_id", "text")
+
+    val got = Curation.c4Filter(docs, "doc_id", "text",
+        badWords = Seq("badword1"), minSentences = 3, minLineWords = 5)
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "n_kept_lines", "has_lorem", "has_brace", "keep")
+      .as[(Long, Long, Long, Int, Int, Int)].collect().toSeq
+
+    assert(got(0) === ((1L, 3L, 1L, 0, 0, 0)))  // only 2 sentences → dropped
+    assert(got(1) === ((2L, 1L, 1L, 1, 0, 0)))  // lorem ipsum → dropped
+    assert(got(2) === ((3L, 1L, 1L, 0, 1, 0)))  // brace → dropped
+    assert(got(3) === ((4L, 1L, 1L, 0, 0, 1)))  // clean → kept
+  }
+
+  test("c4Filter bad-word rule is token-exact, not substring") {
+    val docs = Seq(
+      (1L, "this mentions badword1 once. second sentence here now. third sentence closes it out."),
+      (2L, "notbadword1ish is a different token. second sentence here now. third sentence closes it out.")
+    ).toDF("doc_id", "text")
+    val got = Curation.c4Filter(docs, "doc_id", "text",
+        badWords = Seq("badword1"), minSentences = 3, minLineWords = 5)
+      .orderBy("doc_id").select("has_badword", "keep")
+      .as[(Int, Int)].collect().toSeq
+    assert(got === Seq((1, 0), (0, 1)))
+  }
+
+  test("chunkTokens window/stride layout and edge cases") {
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6"),  // 7 tokens
+      (2L, "a b c"),                 // shorter than one chunk
+      (3L, "")                       // empty → no chunks
+    ).toDF("doc_id", "text")
+
+    val got = Curation.chunkTokens(docs, "doc_id", "text", chunkSize = 4, stride = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, Long, String)].collect().toSeq
+
+    assert(got === Seq(
+      (1L, 0L, 4L, "t0 t1 t2 t3"),
+      (1L, 1L, 4L, "t2 t3 t4 t5"),
+      (1L, 2L, 3L, "t4 t5 t6"),     // final short chunk
+      (2L, 0L, 3L, "a b c")))
+
+    // Every token position is covered by at least one chunk; with
+    // stride < chunkSize interior positions are covered by two.
+    val cover = Curation.chunkTokens(docs.where($"doc_id" === 1L), "doc_id", "text",
+        chunkSize = 4, stride = 2)
+      .select(explode(split($"chunk_text", " ")).as("tok"))
+      .groupBy("tok").count().as[(String, Long)].collect().toMap
+    assert(cover.keySet === Set("t0", "t1", "t2", "t3", "t4", "t5", "t6"))
+    assert(cover("t2") === 2L && cover("t4") === 2L)
+  }
+
+  test("packStream bins, offsets, and straddle detection per shard") {
+    // One shard, one sub-shard (ids all ≡ 0 mod 1): token counts 3,4,5 with
+    // budget 8 → offsets 0,3,7; doc 30 (start 7, end 11) straddles bin 0→1.
+    val docs = Seq(
+      (10L, "s", "a b c"),
+      (20L, "s", "a b c d"),
+      (30L, "s", "a b c d e")).toDF("doc_id", "source", "text")
+
+    val got = Curation.packStream(docs, "doc_id", "text", "source",
+        budget = 8, subShards = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "start_off", "bin", "straddles")
+      .as[(Long, Long, Long, Long, Int)].collect().toSeq
+
+    assert(got === Seq(
+      (10L, 3L, 0L, 0L, 0),   // tokens 0..2, all in bin 0
+      (20L, 4L, 3L, 0L, 0),   // tokens 3..6, still bin 0
+      (30L, 5L, 7L, 0L, 1)))  // tokens 7..11 cross the 8-token boundary
+  }
+
+  test("hexThreshold endpoints and midpoints") {
+    assert(Curation.hexThreshold(0.0) === "00000000")
+    assert(Curation.hexThreshold(0.25) === "40000000")
+    assert(Curation.hexThreshold(0.5) === "80000000")
+    assert(Curation.hexThreshold(1.0) === "g")
+  }
+
+  test("deterministicSample is reproducible, salt-sensitive, and ~frac-sized") {
+    val ids = (0L until 2000L).toDF("id")
+    val a = Curation.deterministicSample(ids, "id", 0.25, "s1")
+      .as[Long].collect().toSet
+    val b = Curation.deterministicSample(ids, "id", 0.25, "s1")
+      .as[Long].collect().toSet
+    val c = Curation.deterministicSample(ids, "id", 0.25, "s2")
+      .as[Long].collect().toSet
+    assert(a === b)                                  // pure function of (id, salt)
+    assert(a !== c)                                  // salt changes the draw
+    assert(math.abs(a.size - 500) < 100)             // ~Binomial(2000, .25)
+    // Nesting: a smaller fraction with the same salt is a SUBSET (thresholds
+    // are cumulative on the same draw).
+    val tight = Curation.deterministicSample(ids, "id", 0.1, "s1")
+      .as[Long].collect().toSet
+    assert(tight.subsetOf(a))
+  }
+
+  test("splitCorpus covers every row exactly once with stable assignment") {
+    val ids = (0L until 1000L).toDF("id")
+    val split = Curation.splitCorpus(ids, "id",
+      Seq("test" -> 0.1, "valid" -> 0.1, "train" -> 0.8))
+    val byLabel = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(byLabel.values.sum === 1000L)
+    assert(byLabel("train") > 700L && byLabel("test") < 200L && byLabel("valid") < 200L)
+    // Growing the corpus never reassigns existing rows.
+    val bigger = Curation.splitCorpus((0L until 2000L).toDF("id"), "id",
+      Seq("test" -> 0.1, "valid" -> 0.1, "train" -> 0.8))
+      .where($"id" < 1000L)
+    val orig = split.select("id", "split").as[(Long, String)].collect().toSet
+    val again = bigger.select("id", "split").as[(Long, String)].collect().toSet
+    assert(orig === again)
+  }
+
+  test("mixCorpus applies per-shard keep probabilities") {
+    val docs = (0L until 3000L).map(i => (i, s"src${i % 3}")).toDF("id", "source")
+    val mixed = Curation.mixCorpus(docs, "id", "source",
+      Map("src0" -> 0.0, "src1" -> 0.5), default = 1.0)
+    val kept = mixed.where($"keep" === 1).groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(!kept.contains("src0"))                   // weight 0 → all dropped
+    assert(math.abs(kept("src1") - 500L) < 100L)     // ~half kept
+    assert(kept("src2") === 1000L)                   // default 1.0 → all kept
+  }
+
+  test("packStream shards are independent streams") {
+    val docs = Seq(
+      (1L, "x", "a b"), (3L, "x", "c d"),
+      (2L, "y", "e f"), (4L, "y", "g h")).toDF("doc_id", "source", "text")
+    val got = Curation.packStream(docs, "doc_id", "text", "source",
+        budget = 3, subShards = 1)
+      .orderBy("source", "doc_id")
+      .select("source", "doc_id", "start_off")
+      .as[(String, Long, Long)].collect().toSeq
+    // Each shard's offsets restart at 0.
+    assert(got === Seq(("x", 1L, 0L), ("x", 3L, 2L), ("y", 2L, 0L), ("y", 4L, 2L)))
+  }
+}
