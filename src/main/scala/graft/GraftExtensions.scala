@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, FormatLogDate, JaccardSets, LangIdExpression, MinHashSignature, ShingleHashes, SimHash64, Tokenize, TopKByScore, WinnowFingerprints}
+import graft.functions.{CosineSimilarity, FormatLogDate, JaccardSets, LangIdExpression, MinHashSignature, NfcNormalize, ShingleHashes, SimHash64, Tokenize, TopKByScore, WinnowFingerprints}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -66,6 +66,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(toks, k) => ShingleHashes(toks, int(k, "k"))
         case _ => throw new IllegalArgumentException("shingle_hashes(tokens[, k])")
       }))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => NfcNormalize(args.head)))
     ext.injectFunction((
       FunctionIdentifier("tokenize"),
       new ExpressionInfo(classOf[Tokenize].getName, "tokenize"),

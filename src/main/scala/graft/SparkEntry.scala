@@ -611,6 +611,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Text normalization (NFC + control strip + space collapse) — exact
+    // oracle: DuckDB's nfc_normalize is the same Unicode NFC; the ASCII
+    // corpus is augmented (doc_id-keyed) with combining marks, control
+    // chars and space runs so every rule actually fires.
+    "q_normalize" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          lit(" cafe\u0301  double  space \u0007end")).otherwise(lit(" clean tail")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), aug.as("raw"))
+        .select(col("doc_id"),
+          length(col("raw")).cast("long").as("len_raw"),
+          TextAnalysis.normalizeText(col("raw")).as("norm"))
+        .select(col("doc_id"), col("len_raw"),
+          length(col("norm")).cast("long").as("len_norm"), col("norm"))
+        .orderBy("doc_id")
+    }),
+
     // Reproducible train/valid/test split via md5-hex draws — exact oracle:
     // DuckDB recomputes the identical draw and thresholds (generated from
     // the same Curation.hexThreshold constants).
@@ -913,6 +931,18 @@ object SparkEntry {
          |             ELSE ' open end' END) AS text
          |     FROM documents))
          | ORDER BY doc_id""".stripMargin,
+    "q_normalize" ->
+      """WITH d AS (SELECT doc_id, text ||
+        |     (CASE WHEN doc_id % 5 = 0
+        |       THEN ' cafe' || chr(769) || '  double  space ' || chr(7) || 'end'
+        |       ELSE ' clean tail' END) AS raw FROM documents)
+        | SELECT doc_id, length(raw) AS len_raw, length(norm) AS len_norm, norm
+        | FROM (SELECT doc_id, raw,
+        |     trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+        |       '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |       '[ \t]+', ' ', 'g')) AS norm
+        |   FROM d)
+        | ORDER BY doc_id""".stripMargin,
     "q_sample_split" -> {
       val draw = "substr(md5(doc_id::VARCHAR || '-graft'), 1, 8)"
       val cum = SplitFracs.map(_._2).scanLeft(0.0)(_ + _).tail

@@ -311,6 +311,51 @@ object TokenizeOps {
   }
 }
 
+/** Unicode NFC normalization kernel. ASCII bytes are already NFC, so the
+  * fast path is a byte scan that returns the INPUT object untouched (no
+  * copy, no `String` round-trip) — on mostly-ASCII corpora the expression
+  * is nearly free; only rows that actually carry non-ASCII pay the
+  * `java.text.Normalizer` cost (and of those, already-normalized strings
+  * skip the rebuild via `isNormalized`).
+  */
+object NormalizeOps {
+  def nfc(s: UTF8String): UTF8String = {
+    val n = s.numBytes()
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) { if (s.getByte(i) < 0) ascii = false; i += 1 }
+    if (ascii) return s
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** Unicode NFC normalization of a string column (codegen'd; see
+  * [[NormalizeOps.nfc]] for the ASCII fast path). The standard first step
+  * of text cleanup before hashing/dedup — byte-different encodings of the
+  * same visible text (é vs e+◌́) otherwise defeat exact and near dedup.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    NormalizeOps.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NormalizeOps.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+}
+
 case class Tokenize(child: Expression) extends UnaryExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
@@ -448,6 +493,10 @@ object TextFunctions {
   /** Fused lowercase-whitespace tokenizer (array<string>). */
   def tokenize(text: Column): Column =
     ColumnBridge.column(Tokenize(ColumnBridge.expression(text)))
+
+  /** Unicode NFC normalization (ASCII fast path, no-copy). */
+  def nfc_normalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
 
   /** Winnowing fingerprints (distinct window-min rolling k-gram hashes). */
   def winnow_fingerprints(tokens: Column, k: Int, w: Int): Column =

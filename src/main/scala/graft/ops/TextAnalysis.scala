@@ -104,6 +104,21 @@ object TextAnalysis {
       when(size(array_intersect(toks, enStops)) > 0, 0.2).otherwise(0.0))
   }
 
+  /** Text normalization: Unicode NFC (custom codegen'd expression with an
+    * ASCII no-copy fast path — [[graft.functions.NfcNormalize]]), control
+    * characters stripped (explicit byte ranges, so the identical pattern
+    * runs in any linear-time regex engine), space/tab runs collapsed, ends
+    * trimmed. The standard cleanup before hashing/dedup: byte-different
+    * encodings of the same visible text otherwise defeat exact-hash and
+    * shingle dedup. Narrow, shuffle-free.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        graft.functions.TextFunctions.nfc_normalize(text),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "[ \\t]+", " "))
+
   /** PII scrubbing patterns (applied in order — emails before digit runs so
     * user123@x.com doesn't half-redact). Deliberately lookaround-free so the
     * exact same patterns run in any linear-time regex engine (RE2 et al.),

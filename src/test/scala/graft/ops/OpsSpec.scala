@@ -242,6 +242,41 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("nfc_normalize composes combining marks; ASCII passes through untouched") {
+    val df = Seq(
+      (1L, "café"),            // e + combining acute → é
+      (2L, "café"),                  // already NFC
+      (3L, "plain ascii text"),
+      (4L, "Å"),          // A + combining ring → Å
+      (5L, "")).toDF("id", "text")
+    val got = df.select($"id",
+        graft.functions.TextFunctions.nfc_normalize($"text").as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "café" && got(1L).length === 4)
+    assert(got(2L) === "café")
+    assert(got(3L) === "plain ascii text")
+    assert(got(4L) === "Å" && got(4L).length === 1)
+    assert(got(5L) === "")
+    // Interpreted eval path agrees with codegen (same kernel, but exercise
+    // the eval() override directly).
+    val e = graft.functions.NfcNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("café")))
+    assert(e.eval(null).toString === "café")
+  }
+
+  test("normalizeText strips controls, collapses runs, trims, and normalizes") {
+    val df = Seq(
+      (1L, "  hello  world\t\ttabs  "),
+      (2L, "café  bar"),
+      (3L, "line\nbreaks\nstay")).toDF("id", "text")
+    val got = df.select($"id", TextAnalysis.normalizeText($"text").as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "hello world tabs")
+    assert(got(2L) === "café bar")
+    assert(got(3L) === "line\nbreaks\nstay")   // newlines survive
+  }
+
   test("token counting and quality metrics") {
     val df = Seq((1L, "Hello world  foo")).toDF("id", "text")
     assert(df.select(TextAnalysis.tokenCount($"text")).as[Int].head() === 3)
