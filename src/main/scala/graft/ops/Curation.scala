@@ -36,10 +36,20 @@ object Curation {
       benchText: String,
       k: Int = 3,
       minShared: Int = 2): DataFrame = {
-    val trainSh = train.select(col(trainId).as("doc_id"),
-      explode(TextAnalysis.shingleHashes(col(trainText), k)).as("__sh"))
-    val benchSh = bench.select(col(benchId).as("bench_id"),
-      explode(TextAnalysis.shingleHashes(col(benchText), k)).as("__sh"))
+    // Staged tokens + the fused ShingleHashes kernel (no shingle strings are
+    // ever built — the string path benched ~3× slower on the train side).
+    val trainSh = train
+      .select(col(trainId).as("doc_id"),
+        graft.functions.TextFunctions.tokenize(col(trainText)).as("__t"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.shingle_hashes(col("__t"), k))
+          .as("__sh"))
+    val benchSh = bench
+      .select(col(benchId).as("bench_id"),
+        graft.functions.TextFunctions.tokenize(col(benchText)).as("__t"))
+      .select(col("bench_id"),
+        explode(graft.functions.TextFunctions.shingle_hashes(col("__t"), k))
+          .as("__sh"))
     trainSh.join(broadcast(benchSh), "__sh")
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("n_shared"))
