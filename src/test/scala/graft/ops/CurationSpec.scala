@@ -165,6 +165,33 @@ class CurationSpec extends SparkTestBase {
     assert(kept("src2") === 1000L)                   // default 1.0 → all kept
   }
 
+  test("decontaminate plan broadcasts the bench side (no train-side shuffle of shingles)") {
+    val train = (0L until 500L).map(i => (i, s"tok$i a b c d e f g")).toDF("doc_id", "text")
+    val bench = Seq((1000L, "a b c d e")).toDF("doc_id", "text")
+    val plan = Curation.decontaminate(train, "doc_id", "text",
+        bench, "doc_id", "text", k = 3, minShared = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"bench side must broadcast:\n$plan")
+    // The only shuffle is the final count aggregation — the train-side
+    // shingle explode must meet the broadcast map-side.
+    val exchanges = "ShuffleExchange|Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges <= 2, s"expected ≤2 hash exchanges (partial+final agg):\n$plan")
+  }
+
+  test("packStream plan has exactly one shuffle (the per-shard window)") {
+    val docs = (0L until 200L).map(i => (i, s"src${i % 4}", "a b c"))
+      .toDF("doc_id", "source", "text")
+    val plan = Curation.packStream(docs, "doc_id", "text", "source",
+        budget = 64, subShards = 8)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected exactly 1 exchange:\n$plan")
+    // And the window key includes the sub-shard, not just the shard.
+    assert(plan.contains("sub_shard"), s"window must partition by sub_shard:\n$plan")
+  }
+
   test("packStream shards are independent streams") {
     val docs = Seq(
       (1L, "x", "a b"), (3L, "x", "c d"),
