@@ -36,6 +36,30 @@ class LogStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("curation quality filters run unchanged on a stream (stateless narrow ops)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    // The same Column-composition operators used in batch (c4Filter rules,
+    // gopher filter, normalization, token stats) apply verbatim to a
+    // readStream DataFrame — they are stateless projections, so Structured
+    // Streaming runs them per micro-batch with no state store.
+    val filtered = graft.ops.Curation.c4Filter(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      badWords = Seq("zap"), minSentences = 1, minLineWords = 2)
+    val q = filtered.writeStream.format("memory").queryName("curationstream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "a clean doc with sentences."),
+        (2L, "this one mentions zap here."),
+        (3L, "no terminal punctuation"))
+      q.processAllAvailable()
+      val got = spark.table("curationstream").select("doc_id", "keep")
+        .as[(Long, Int)].collect().toMap
+      assert(got === Map(1L -> 1, 2L -> 0, 3L -> 0))
+    } finally q.stop()
+  }
+
   test("streaming boom source picks up appended files across batches") {
     val dir = Files.createTempDirectory("stream-boom").toString
     writeBatch(dir, 1700000000000L, 5, "first")
