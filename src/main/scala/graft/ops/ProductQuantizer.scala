@@ -50,6 +50,16 @@ object ProductQuantizer {
       .mapPartitions(_.take(perPart))
       .map(_.getSeq[Float](0).toArray)
       .collect()
+    trainOnVectors(sample, m, ksub, iters, seed)
+  }
+
+  /** Driver-side codebook fit over an already-collected (bounded) sample —
+    * the shared kernel of [[train]] (raw vectors) and
+    * [[buildIvfPq]] (cell residuals).
+    */
+  def trainOnVectors(sample: Array[Array[Float]], m: Int, ksub: Int,
+      iters: Int = 10, seed: Long = 42L): PqCodebook = {
+    require(ksub >= 2 && ksub <= 256, "ksub must fit a byte")
     require(sample.nonEmpty, "empty training sample")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim must be divisible by m=$m")
@@ -218,6 +228,207 @@ object ProductQuantizer {
       .select(col("query_id"), col("id").as("neighbor_id"),
         adc(col("codes"), col("rnorm"), col("__qi")).as("cos"))
     Similarity.topKPerQuery(scored, k, distinctIds = false)
+  }
+
+  // ------------------- IVF-PQ (the FAISS IndexIVFPQ shape) ------------------
+
+  /** IVF-PQ index: coarse cells from [[Similarity.buildIvfIndex]] plus PQ
+    * codes over CELL RESIDUALS (v − center(cell)) — residual magnitudes are
+    * much smaller than raw coordinates, so the same `m`×`ksub` budget buys
+    * far finer quantization (the reason FAISS encodes residuals). `codes`
+    * carries (id, cell, codes, rnorm) where rnorm is the L2 norm of the full
+    * reconstruction center + codeword — the ADC cosine denominator.
+    *
+    * At 100 TB this is the memory-resident ANN architecture: 8-byte codes
+    * instead of 256-byte vectors (32×), and a query touches only its
+    * `nprobe` cells' codes. Persist `codes` partitioned by cell (as
+    * [[Similarity.IvfIndex.save]] does) to turn the cell filter into
+    * partition pruning at scan time.
+    */
+  final case class IvfPqIndex(
+      cb: PqCodebook,
+      centers: Array[Array[Float]],
+      codes: DataFrame)
+
+  /** Build the IVF-PQ index: coarse k-means (sample-bounded, no counting
+    * pass), residual codebook fit on a bounded driver-side sample, then one
+    * narrow encode pass over the assigned corpus.
+    */
+  def buildIvfPq(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      nlist: Int = 8,
+      m: Int = 8,
+      ksub: Int = 16,
+      maxTrainRows: Int = 4096,
+      iters: Int = 10,
+      seed: Long = 42L): IvfPqIndex = {
+    val ivf = Similarity.buildIvfIndex(corpus, corpusId, corpusVec, nlist, seed = seed)
+    val centers = ivf.centers
+    val assigned = ivf.assigned // (neighbor_id, __cv, cell)
+    val nPart = math.max(1, assigned.rdd.getNumPartitions)
+    val perPart = math.max(1, maxTrainRows / nPart)
+    val sample: Array[Array[Float]] = assigned.select(col("cell"), col("__cv")).rdd
+      .mapPartitions(_.take(perPart))
+      .map { r =>
+        val c = centers(r.getInt(0))
+        val v = r.getSeq[Float](1).toArray
+        val out = new Array[Float](v.length)
+        var i = 0
+        while (i < v.length) { out(i) = v(i) - c(i); i += 1 }
+        out
+      }.collect()
+    val cb = trainOnVectors(sample, m, ksub, iters, seed)
+    IvfPqIndex(cb, centers, encodeResiduals(assigned, centers, cb))
+  }
+
+  private val ivfCodesSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("cell", IntegerType, nullable = false),
+    StructField("codes", BinaryType, nullable = false),
+    StructField("rnorm", DoubleType, nullable = false)))
+
+  /** Residual-encode the assigned corpus: per row, quantize v − center(cell)
+    * and record the norm of the FULL reconstruction (center + codeword).
+    * Narrow mapPartitions; centers + codebook ride the closure.
+    */
+  private def encodeResiduals(assigned: DataFrame, centers: Array[Array[Float]],
+      cb: PqCodebook): DataFrame = {
+    val enc = RowEncoder.encoderFor(ivfCodesSchema)
+    assigned.select(col("neighbor_id").cast("long"), col("cell"), col("__cv"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val cell = r.getInt(1)
+          val c = centers(cell)
+          val v = r.getSeq[Float](2).toArray
+          val codes = new Array[Byte](cb.m)
+          var r2 = 0.0
+          var j = 0
+          while (j < cb.m) {
+            var best = 0; var bestD = Double.MaxValue
+            var cc = 0
+            while (cc < cb.ksub) {
+              val off = cb.centroidOffset(j, cc)
+              var d2 = 0.0; var d = 0
+              while (d < cb.dsub) {
+                val idx = j * cb.dsub + d
+                val t = (v(idx) - c(idx)) - cb.centroids(off + d)
+                d2 += t * t; d += 1
+              }
+              if (d2 < bestD) { bestD = d2; best = cc }
+              cc += 1
+            }
+            codes(j) = best.toByte
+            val off = cb.centroidOffset(j, best)
+            var d = 0
+            while (d < cb.dsub) {
+              val idx = j * cb.dsub + d
+              val x = c(idx) + cb.centroids(off + d)
+              r2 += x * x; d += 1
+            }
+            j += 1
+          }
+          Row(r.getLong(0), cell, codes, math.sqrt(r2))
+        }
+      }(enc)
+  }
+
+  /** IVF-PQ search: each query probes its `nprobe` nearest cells; within
+    * them, ADC over residual codes — per (query, cell) one lookup table of
+    * residual-codeword dot products plus the scalar query·center term, so a
+    * candidate costs m table adds. The (query, cell, table) routing set is
+    * tiny and broadcast; corpus codes never shuffle. An exact re-rank of the
+    * `k·refine` shortlist against the original vectors restores true order
+    * (same rationale as [[pqTopK]]).
+    */
+  def ivfPqTopK(
+      index: IvfPqIndex,
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int = 10,
+      nprobe: Int = 4,
+      refine: Int = 8): DataFrame = {
+    val spark = index.codes.sparkSession
+    val cb = index.cb
+    val centers = index.centers
+    val qRows = queries.select(col(queryId).cast("long"), col(queryVec)).collect()
+    val luts = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    val dotQC = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val qNorm = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val routing = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+    qRows.foreach { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Float](1).toArray
+      require(q.length == cb.dim, s"query dim ${q.length} != codebook dim ${cb.dim}")
+      var qn = 0.0
+      var d = 0
+      while (d < q.length) { qn += q(d).toDouble * q(d); d += 1 }
+      val cells = centers.indices.map { ci =>
+        val c = centers(ci)
+        var l2 = 0.0; var i = 0
+        while (i < c.length) { val t = c(i) - q(i); l2 += t * t; i += 1 }
+        (l2, ci)
+      }.sortBy(_._1).take(nprobe).map(_._2)
+      cells.foreach { cell =>
+        val c = centers(cell)
+        var qc = 0.0
+        var i = 0
+        while (i < c.length) { qc += q(i).toDouble * c(i); i += 1 }
+        val lut = new Array[Float](cb.m * cb.ksub)
+        var j = 0
+        while (j < cb.m) {
+          var cc = 0
+          while (cc < cb.ksub) {
+            val off = cb.centroidOffset(j, cc)
+            var dot = 0.0; var dd = 0
+            while (dd < cb.dsub) {
+              dot += q(j * cb.dsub + dd).toDouble * cb.centroids(off + dd); dd += 1
+            }
+            lut(j * cb.ksub + cc) = dot.toFloat
+            cc += 1
+          }
+          j += 1
+        }
+        routing += ((qid, cell, luts.length))
+        luts += lut
+        dotQC += qc
+        qNorm += math.sqrt(qn)
+      }
+    }
+    val lutArr = luts.toArray
+    val qcArr = dotQC.toArray
+    val qnArr = qNorm.toArray
+    val ksub = cb.ksub
+    val mSub = cb.m
+    val adc = udf { (codes: Array[Byte], rnorm: Double, li: Int) =>
+      val lut = lutArr(li)
+      var s = qcArr(li)
+      var j = 0
+      while (j < mSub) { s += lut(j * ksub + (codes(j) & 0xFF)); j += 1 }
+      val denom = qnArr(li) * rnorm
+      if (denom > 0) s / denom else 0.0
+    }
+    import spark.implicits._
+    val qCells = routing.toSeq.toDF("query_id", "cell", "__li")
+    val scored = index.codes.join(broadcast(qCells), "cell")
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        adc(col("codes"), col("rnorm"), col("__li")).as("cos"))
+    val shortlist = Similarity.topKPerQuery(scored, k * refine, distinctIds = true)
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = shortlist
+      .join(corpus.select(col(corpusId).cast("long").as("neighbor_id"),
+        col(corpusVec).as("__cv")), "neighbor_id")
+      .join(broadcast(queries.select(col(queryId).cast("long").as("query_id"),
+        col(queryVec).as("__qv"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("__cv"), col("__qv")).as("cos"))
+    Similarity.topKPerQuery(rescored, k, distinctIds = false)
   }
 
   /** The full FAISS-style PQ pipeline: ADC shortlist of `k·refine`

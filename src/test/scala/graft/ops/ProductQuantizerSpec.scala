@@ -59,4 +59,47 @@ class ProductQuantizerSpec extends SparkTestBase {
     assert(total === 20)
     assert(hits.toDouble / total >= 0.6, s"refined recall ${hits.toDouble / total}")
   }
+
+  test("ivf-pq: residual codes route and rank within probed cells") {
+    val index = ProductQuantizer.buildIvfPq(vecs, "vec_id", "embedding",
+      nlist = 4, m = 4, ksub = 8)
+    // Every corpus vector is encoded once, with valid cell and code ranges.
+    val codeRows = index.codes.collect()
+    assert(codeRows.length === 100)
+    codeRows.foreach { r =>
+      assert(r.getAs[Int]("cell") >= 0 && r.getAs[Int]("cell") < 4)
+      assert(r.getAs[Array[Byte]]("codes").length === 4)
+      assert(r.getAs[Double]("rnorm") > 0.0)
+    }
+
+    val q = vecs.where($"vec_id" < 4)
+    val got = ProductQuantizer.ivfPqTopK(index, vecs, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5, nprobe = 2, refine = 5)
+    val rows = got.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    // Clusters are far apart: neighbors come from the query's own cluster,
+    // never the query itself.
+    rows.foreach { case (qid, nid) =>
+      assert(nid % 4 === qid % 4)
+      assert(nid !== qid)
+    }
+
+    // Refined recall vs exact brute force.
+    val truth = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q,
+      "vec_id", "embedding", k = 5).select("query_id", "neighbor_id")
+    val hits = truth.join(got.select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id")).count()
+    assert(hits.toDouble / truth.count() >= 0.6,
+      s"ivf-pq refined recall ${hits.toDouble / truth.count()}")
+
+    // Residuals quantize finer than raw-vector PQ at the same budget:
+    // reconstruction norms stay close to true norms.
+    val trueNorms = vecs.select($"vec_id",
+        sqrt(aggregate($"embedding", lit(0.0d), (a, x) => a + x * x)).as("tn"))
+      .as[(Long, Double)].collect().toMap
+    codeRows.foreach { r =>
+      val rel = math.abs(r.getAs[Double]("rnorm") - trueNorms(r.getAs[Long]("id"))) /
+        trueNorms(r.getAs[Long]("id"))
+      assert(rel < 0.2, s"reconstruction norm off by ${rel}")
+    }
+  }
 }
