@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions.simhash64
-import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextAnalysis, TextSearch}
+import graft.ops.{Curation, Dedup, Graph, Multimodal, Similarity, TextAnalysis, TextSearch}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -690,6 +690,20 @@ object SparkEntry {
         budget = 256, subShards = 4)
         .orderBy("source", "doc_id")),
 
+    // Duplicate clusters via distributed connected components over the
+    // exact-dup pair graph — exact oracle: on this graph components are the
+    // per-md5-group min ids, which DuckDB computes directly.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val dd = docsWithDupes(s, dir)
+      val d = dd.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      val pairs = d.as("a")
+        .join(d.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      Graph.dedupClusters(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"), col("is_canonical"))
+        .orderBy("doc_id")
+    }),
+
     // Containment dedup (winnow-fingerprint blocking), oracled structurally:
     // exact-duplicate pairs have containment 1.0 and share every
     // fingerprint, so all of them must surface.
@@ -834,6 +848,14 @@ object SparkEntry {
          | SELECT a.doc_id AS id_a, b.doc_id AS id_b
          | FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id
          | ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_clusters" ->
+      s"""WITH d AS (SELECT doc_id, md5(text) AS h FROM $docsWithDupesSql),
+         |   g AS (SELECT h FROM d GROUP BY h HAVING count(*) >= 2)
+         | SELECT doc_id, min_id AS component,
+         |   (doc_id = min_id)::INT AS is_canonical
+         | FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY d.h) AS min_id
+         |   FROM d JOIN g USING (h))
+         | ORDER BY doc_id""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens_raw,
         |   len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens

@@ -1,0 +1,39 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("connected components: two cliques stay separate, chain needs rounds") {
+    // Clique {1,2,3}, clique {10,11}, and a 4-link chain 20-21-22-23-24
+    // (the chain label needs several propagation rounds to reach the end).
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L)).toDF("a", "b")
+    val got = Graph.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L))
+  }
+
+  test("components are direction-independent and handle shared nodes") {
+    // Same component regardless of edge orientation; 5 bridges two pairs.
+    val edges = Seq((7L, 5L), (5L, 3L)).toDF("a", "b")
+    val got = Graph.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(3L -> 3L, 5L -> 3L, 7L -> 3L))
+  }
+
+  test("dedupClusters marks the min id of each cluster canonical") {
+    val pairs = Seq((2L, 9L), (9L, 4L), (30L, 31L)).toDF("id_a", "id_b")
+    val got = Graph.dedupClusters(pairs, "id_a", "id_b")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set(
+      (2L, 2L, 1), (4L, 2L, 0), (9L, 2L, 0),
+      (30L, 30L, 1), (31L, 30L, 0)))
+  }
+}
