@@ -248,7 +248,37 @@ object ProductQuantizer {
   final case class IvfPqIndex(
       cb: PqCodebook,
       centers: Array[Array[Float]],
-      codes: DataFrame)
+      codes: DataFrame) {
+
+    /** Persist the index: codes partitioned by cell (a query's nprobe cells
+      * prune to those directories at scan time — the same layout contract
+      * as [[Similarity.IvfIndex.save]]), coarse centers and PQ codebook as
+      * tiny side tables. Reload with [[loadIvfPq]].
+      */
+    def save(path: String): Unit = {
+      codes.write.mode("overwrite").partitionBy("cell").parquet(path)
+      val spark = codes.sparkSession
+      import spark.implicits._
+      centers.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+        .toDF("cell", "center")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+      Seq((cb.m, cb.ksub, cb.dsub, cb.centroids.toSeq))
+        .toDF("m", "ksub", "dsub", "centroids")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebook")
+    }
+  }
+
+  /** Reload an [[IvfPqIndex.save]]d index. The codes scan stays lazy (and
+    * cell-partition-prunable); only the two tiny side tables are collected.
+    */
+  def loadIvfPq(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
+    val centers = spark.read.parquet(s"$path/_centroids")
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray)
+    val cbRow = spark.read.parquet(s"$path/_codebook").collect().head
+    val cb = PqCodebook(cbRow.getInt(0), cbRow.getInt(1), cbRow.getInt(2),
+      cbRow.getSeq[Float](3).toArray)
+    IvfPqIndex(cb, centers, spark.read.parquet(path))
+  }
 
   /** Build the IVF-PQ index: coarse k-means (sample-bounded, no counting
     * pass), residual codebook fit on a bounded driver-side sample, then one

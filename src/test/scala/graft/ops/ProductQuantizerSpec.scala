@@ -91,6 +91,18 @@ class ProductQuantizerSpec extends SparkTestBase {
     assert(hits.toDouble / truth.count() >= 0.6,
       s"ivf-pq refined recall ${hits.toDouble / truth.count()}")
 
+    // Save/load roundtrip: the reloaded index searches identically.
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    index.save(dir)
+    val loaded = ProductQuantizer.loadIvfPq(spark, dir)
+    assert(loaded.cb === index.cb.copy(centroids = loaded.cb.centroids))
+    assert(loaded.cb.centroids.toSeq === index.cb.centroids.toSeq)
+    assert(loaded.centers.map(_.toSeq).toSeq === index.centers.map(_.toSeq).toSeq)
+    val reGot = ProductQuantizer.ivfPqTopK(loaded, vecs, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5, nprobe = 2, refine = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(reGot === rows.toSet)
+
     // Residuals quantize finer than raw-vector PQ at the same budget:
     // reconstruction norms stay close to true norms.
     val trueNorms = vecs.select($"vec_id",
