@@ -199,6 +199,58 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends UnaryEx
   }
 }
 
+/** Non-distinct variant of [[ShingleOps.shingleHashes]] for repetition
+  * statistics: EVERY k-gram occurrence emits its hash (duplicates are the
+  * signal), and fewer-than-k-token docs emit an EMPTY array (an occurrence
+  * list, not a fallback set). Shares the positional token-hash combine, so
+  * equal grams ⇔ equal hashes (modulo ~1e-10 collisions).
+  */
+object NgramOps {
+  def ngramHashes(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < k) return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.emptyLongArray)
+    val tokenHashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      tokenHashes(i) = if (tokens.isNullAt(i)) 0L else SimHash.hashToken(tokens.getUTF8String(i))
+      i += 1
+    }
+    val out = new Array[Long](n - k + 1)
+    var s = 0
+    while (s < out.length) {
+      var h = 0x9E3779B97F4A7C15L
+      var j = s
+      while (j < s + k) {
+        h = java.lang.Long.rotateLeft(h, 13) ^ SimHash.hashToken2(tokenHashes(j), j - s)
+        j += 1
+      }
+      out(s) = MinHash.mix(h, 0L)
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+case class NgramHashes(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    NgramOps.ngramHashes(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NgramOps.ngramHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashes =
+    copy(child = newChild)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+}
+
 case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
@@ -497,6 +549,10 @@ object TextFunctions {
   /** Unicode NFC normalization (ASCII fast path, no-copy). */
   def nfc_normalize(text: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
+
+  /** NON-distinct k-gram occurrence hashes (repetition statistics). */
+  def ngram_hashes(tokens: Column, k: Int): Column =
+    ColumnBridge.column(NgramHashes(ColumnBridge.expression(tokens), k))
 
   /** Winnowing fingerprints (distinct window-min rolling k-gram hashes). */
   def winnow_fingerprints(tokens: Column, k: Int, w: Int): Column =
