@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, FormatLogDate, JaccardSets, LangIdExpression, MinHashSignature, NfcNormalize, ShingleHashes, SimHash64, Tokenize, TopKByScore, WinnowFingerprints}
+import graft.functions.{CosineSimilarity, FormatLogDate, JaccardSets, LangIdExpression, MinHashSignature, NfcNormalize, NgramHashes, ShingleHashes, SimHash64, Tokenize, TopKByScore, WinnowFingerprints}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -65,6 +65,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(toks) => ShingleHashes(toks, 3)
         case Seq(toks, k) => ShingleHashes(toks, int(k, "k"))
         case _ => throw new IllegalArgumentException("shingle_hashes(tokens[, k])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_hashes"),
+      new ExpressionInfo(classOf[NgramHashes].getName, "ngram_hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(toks) => NgramHashes(toks, 2)
+        case Seq(toks, k) => NgramHashes(toks, int(k, "k"))
+        case _ => throw new IllegalArgumentException("ngram_hashes(tokens[, k])")
       }))
     ext.injectFunction((
       FunctionIdentifier("nfc_normalize"),

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives every SQL function registered by [[GraftExtensions]] through
+  * `spark.sql` on a dedicated extended session (the shared test session has
+  * no extensions, so this is the only coverage of the injection path).
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  /** A fresh SparkSession over the shared SparkContext with the extensions
+    * applied. `getOrCreate` returns any existing active/default session (and
+    * silently skips extensions), so both are cleared first and restored in
+    * [[withExtendedSession]] — other suites keep their cached session.
+    */
+  private def withExtendedSession(f: SparkSession => Unit): Unit = {
+    val base = SparkTestBase.session
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .config("spark.sql.shuffle.partitions", "2")
+        .withExtensions(new GraftExtensions()(_))
+        .getOrCreate()
+      f(s)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("every registered SQL function evaluates") { withExtendedSession { spark =>
+    val row = spark.sql(
+      """SELECT
+        |  format_log_date(1330423200000, 'RFC5424') AS d,
+        |  tokenize('The quick  Fox') AS toks,
+        |  size(shingle_hashes(tokenize('a b c d'), 3)) AS n_sh,
+        |  size(ngram_hashes(tokenize('a b a b'), 2)) AS n_ng,
+        |  size(minhash_signature(shingle_hashes(tokenize('a b c d'), 3), 16)) AS n_mh,
+        |  simhash64(tokenize('a b c')) AS sh64,
+        |  cosine_similarity(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS cos,
+        |  jaccard_sets(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS jac,
+        |  size(winnow_fingerprints(tokenize('a b c d e f g h'), 3, 2)) AS n_wf,
+        |  lang_id('the cat and the dog') AS lang,
+        |  nfc_normalize('café') AS nfc
+        |""".stripMargin).head()
+
+    assert(row.getAs[String]("d").nonEmpty)
+    assert(row.getAs[Seq[String]]("toks") === Seq("the", "quick", "fox"))
+    assert(row.getAs[Int]("n_sh") === 2)
+    assert(row.getAs[Int]("n_ng") === 3)     // non-distinct occurrences
+    assert(row.getAs[Int]("n_mh") === 16)
+    assert(row.getAs[Double]("cos") === 1.0)
+    assert(row.getAs[Double]("jac") === 0.5)
+    assert(row.getAs[Int]("n_wf") > 0)
+    assert(row.getAs[String]("lang") === "en")
+    assert(row.getAs[String]("nfc") === "café")
+
+    // The aggregate path: top-2 scores per group via topk_by_score.
+    import spark.implicits._
+    Seq((1, 1.0, 10L), (1, 3.0, 11L), (1, 2.0, 12L), (2, 5.0, 20L))
+      .toDF("g", "score", "id").createOrReplaceTempView("tk")
+    val agg = spark.sql(
+      "SELECT g, topk_by_score(score, id, 2) AS top FROM tk GROUP BY g ORDER BY g")
+      .collect()
+    assert(agg.length === 2)
+    val top1 = agg(0).getSeq[org.apache.spark.sql.Row](1).map(r => r.getLong(1))
+    assert(top1 === Seq(11L, 12L))
+  }}
+}
