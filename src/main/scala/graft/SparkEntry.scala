@@ -676,6 +676,21 @@ object SparkEntry {
         MixWeights, default = 1.0)
         .orderBy("doc_id")),
 
+    // End-to-end curation pipeline — quality filter → exact dedup →
+    // reproducible split → per-split counts — demonstrating the operators
+    // compose; the oracle chains the IDENTICAL stages in SQL.
+    "q_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kept = TextAnalysis.gopherFilter(docs, "doc_id", "text",
+        minWords = 20, maxWords = 10000, minMeanLen = 3.0, maxMeanLen = 10.0,
+        minAlphaFrac = 0.8, minStopHits = 1)
+        .where(col("keep")).select("doc_id")
+      val canon = Dedup.exactDedup(docs.join(kept, "doc_id"), "doc_id", "text")
+      Curation.splitCorpus(canon, "doc_id", SplitFracs)
+        .groupBy("split").agg(count(lit(1)).as("n_docs"))
+        .orderBy("split")
+    }),
+
     // Context-window chunking (32-token windows, stride 16) — exact oracle:
     // DuckDB re-slices the same token lists.
     "q_chunk" -> ((s, dir) =>
@@ -1001,6 +1016,28 @@ object SparkEntry {
         |       '[ \t]+', ' ', 'g')) AS norm
         |   FROM d)
         | ORDER BY doc_id""".stripMargin,
+    "q_pipeline" -> {
+      val draw = "substr(md5(doc_id::VARCHAR || '-graft'), 1, 8)"
+      val cum = SplitFracs.map(_._2).scanLeft(0.0)(_ + _).tail
+      val cases = SplitFracs.init.zip(cum.init).map { case ((label, _), hi) =>
+        s"WHEN $draw < '${Curation.hexThreshold(hi)}' THEN '$label'"
+      }.mkString(" ")
+      s"""WITH tk AS (SELECT doc_id, text, $tokensSql AS t FROM documents),
+         |   g AS (SELECT doc_id, text FROM tk WHERE
+         |     len(t) >= 20 AND len(t) <= 10000
+         |     AND coalesce(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE), 0)
+         |       / greatest(len(t), 1) >= 3.0
+         |     AND coalesce(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE), 0)
+         |       / greatest(len(t), 1) <= 10.0
+         |     AND len(list_filter(t, x -> regexp_matches(x, '\\p{L}')))::DOUBLE
+         |       / greatest(len(t), 1) >= 0.8
+         |     AND len(list_intersect(t, $enStopSql)) >= 1),
+         |   c AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text)),
+         |   s AS (SELECT CASE $cases ELSE '${SplitFracs.last._1}' END AS split
+         |     FROM c)
+         | SELECT split, count(*) AS n_docs FROM s
+         | GROUP BY split ORDER BY split""".stripMargin
+    },
     "q_sample_split" -> {
       val draw = "substr(md5(doc_id::VARCHAR || '-graft'), 1, 8)"
       val cum = SplitFracs.map(_._2).scanLeft(0.0)(_ + _).tail
