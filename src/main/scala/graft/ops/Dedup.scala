@@ -205,12 +205,15 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity pairs, LSH-blocked (the verification
-    * stage of minhash dedup), in ONE pass: tokens → shingle sets → minhash
-    * signature → band keys all derive from each other as staged projections
-    * over a single scan, and the shingle SETS ride through [[bucketPairs]] as
-    * the payload so true |∩|/|∪| is computed intra-row on the grouped bucket —
-    * no re-derivation of the pipeline, no join back to the sets (the previous
-    * formulation scanned the documents three times and joined twice).
+    * stage of minhash dedup). The banding shuffle carries (band, key, id)
+    * rows ONLY — never the shingle sets: candidate pairs are deduped across
+    * bands while still just id pairs, then each side's set joins back from
+    * the one-row-per-doc set table for the exact |∩|/|∪| check. Shuffle
+    * bytes stay linear in Σ|sh| (the earlier formulation shipped every
+    * document's full set once per band — a `bands`× amplification that at
+    * corpus scale turns TBs of text into tens of TBs of exchange; the
+    * narrow tokenize→shingle pipeline re-derives per join side instead,
+    * and scans are cheap where shuffles are not).
     *
     * Defaults (64 hashes, 32 bands × 2 rows) make blocking effectively
     * exhaustive for the verification threshold: P(miss) = (1 − j²)^32 ≈ 6e-15
@@ -226,17 +229,39 @@ object Dedup {
       bands: Int = 32,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val banded = shingleHashSets(df, idCol, textCol, shingleK)
-      .select(col("id"), col("sh"), minhashSignature(col("sh"), numHashes).as("sig"))
-      .select(col("id"), col("sh"),
+    val sets = shingleHashSets(df, idCol, textCol, shingleK)
+    val banded = sets
+      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .select(col("id"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("sh"), col("bk.band"), col("bk.key"))
-    bucketPairs(banded, Seq("band", "key"), "sh", maxBucketSize)
+      .select(col("id"), col("bk.band"), col("bk.key"))
+    bucketPairsIds(banded, Seq("band", "key"), maxBucketSize)
+      .dropDuplicates("id_a", "id_b")
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         graft.functions.TextFunctions.jaccard_sets(col("sh_a"), col("sh_b"))
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
-      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** [[bucketPairs]] without payload: candidate id pairs only, one id-row
+    * shuffle (for pipelines that verify by joining per-doc data back).
+    */
+  private[ops] def bucketPairsIds(
+      banded: DataFrame,
+      keyCols: Seq[String],
+      maxBucket: Int): DataFrame = {
+    val buckets = banded
+      .groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col("id")).as("__members"))
+      .where(size(col("__members")) >= 2 &&
+        (if (maxBucket > 0) size(col("__members")) <= maxBucket else lit(true)))
+    buckets
+      .select(explode(col("__members")).as("id_a"), col("__members"))
+      .select(col("id_a"), explode(col("__members")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
   }
 
   /** Containment pairs via winnowing fingerprints (the MOSS construction):
