@@ -166,17 +166,21 @@ object Dedup {
     // re-deriving it (CollapseProject keeps non-cheap projections apart).
     val sigs = shingleHashSets(df, idCol, textCol, shingleK)
       .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+    // Banding rows carry (band, key, id) only; the two signatures join back
+    // per deduped candidate pair — shuffle bytes linear in corpus size, not
+    // `bands`× the signature table (same shape as [[ngramJaccardPairs]]).
     val banded = sigs
-      .select(col("id"), col("sig"),
+      .select(col("id"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
-
-    bucketPairs(banded, Seq("band", "key"), "sig", maxBucketSize)
+      .select(col("id"), col("bk.band"), col("bk.key"))
+    bucketPairsIds(banded, Seq("band", "key"), maxBucketSize)
+      .dropDuplicates("id_a", "id_b")
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("double") / numHashes).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** SimHash near-dup candidate pairs: 64-bit signatures, blocked on 4×16-bit
