@@ -285,11 +285,18 @@ object Similarity {
       dim: Int = -1): DataFrame = {
     val d = if (dim > 0) dim else vectorDim(df, vecCol)
     val hp = HyperplaneOps.flatPlanes(d, bands * planesPerBand, seed)
-    val banded = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      explode(hyperplane_band_keys(col(vecCol), hp, bands, planesPerBand)).as("bucket"))
-    Dedup.bucketPairs(banded, Seq("bucket"), "v", maxBucketSize)
+    // Band rows carry (bucket, id) only; vectors join back per deduped
+    // candidate pair from the one-row-per-doc table — shuffle bytes linear
+    // in the corpus, not `bands`× the vector table (the same payload-free
+    // shape as Dedup.ngramJaccardPairs/minhashDupePairs).
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val banded = vecs.select(col("id"),
+      explode(hyperplane_band_keys(col("v"), hp, bands, planesPerBand)).as("bucket"))
+    Dedup.bucketPairsIds(banded, Seq("bucket"), maxBucketSize)
+      .dropDuplicates("id_a", "id_b")
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
       .where(col("cos") >= threshold)
-      .dropDuplicates("id_a", "id_b")
   }
 }
