@@ -13,11 +13,14 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode/resize is REAL: `javax.imageio` (in-JDK) handles PNG/JPEG/
   * GIF/BMP, features are pixel statistics ([[imageFeatures]]), resize is a
-  * Graphics2D bilinear scale re-encoded in the source format. Audio/video
-  * payloads (no in-JDK codec) fall back to [[decodeStub]], a deterministic
-  * byte-hash pseudo-feature — so the pipeline shape is exercised end-to-end
-  * for every modality and swapping the stub for an ffmpeg/JNI call changes
-  * one function.
+  * Graphics2D bilinear scale re-encoded in the source format. AUDIO decode
+  * is REAL for the in-JDK PCM containers (WAV/AIFF/AU via
+  * `javax.sound.sampled` — [[audioFeatures]]: duration, rate, channels,
+  * RMS/peak energy, zero-cross rate). Video and compressed-audio payloads
+  * (no in-JDK codec) fall back to [[decodeStub]], a deterministic byte-hash
+  * pseudo-feature — the pipeline shape is exercised end-to-end for every
+  * modality and swapping the stub for an ffmpeg/JNI call changes one
+  * function.
   */
 object Multimodal {
 
@@ -75,10 +78,77 @@ object Multimodal {
       (w.toDouble / (w + h)).toFloat)
   }
 
-  /** STUB media decoder for the modalities with no in-JDK codec (audio,
-    * video): derives a deterministic pseudo-feature vector from the payload
-    * bytes so the pipeline is testable end-to-end. Also the fallback for
-    * corrupt/undecodable image payloads.
+  /** Real audio decode for the in-JDK formats (WAV/AIFF/AU PCM via
+    * `javax.sound.sampled` — compressed codecs like MP3 have no JDK SPI and
+    * fall back to [[decodeStub]]). Features share the [[featureDim]]
+    * contract: [duration/60 s, rate/96 kHz, channels/8, RMS energy, peak,
+    * zero-cross rate, bits/32, samples/10M] — all clamped to [0,1].
+    */
+  def audioFeatures(bytes: Array[Byte]): Option[Array[Float]] =
+    if (bytes == null) None
+    else
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val enc = fmt.getEncoding
+          val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          val bits = fmt.getSampleSizeInBits
+          if ((!signed && !unsigned) || (bits != 8 && bits != 16)) None
+          else {
+            val data = in.readAllBytes()
+            val ch = math.max(1, fmt.getChannels)
+            val bps = bits / 8
+            val n = data.length / (bps * ch)
+            if (n == 0) None
+            else {
+              var i = 0
+              var sum2 = 0.0
+              var peak = 0.0
+              var crossings = 0L
+              var prevNeg = false
+              while (i < n) {
+                // First channel of frame i, normalized to [-1, 1].
+                val off = i * bps * ch
+                val s =
+                  if (bits == 8) {
+                    val raw = if (unsigned) (data(off) & 0xFF) - 128 else data(off).toInt
+                    raw / 128.0
+                  } else {
+                    val (b0, b1) =
+                      if (fmt.isBigEndian) (data(off + 1) & 0xFF, data(off).toInt)
+                      else (data(off) & 0xFF, data(off + 1).toInt)
+                    val raw = (b1 << 8) | b0
+                    (if (unsigned) raw - 32768 else raw) / 32768.0
+                  }
+                sum2 += s * s
+                if (math.abs(s) > peak) peak = math.abs(s)
+                val neg = s < 0
+                if (i > 0 && neg != prevNeg) crossings += 1
+                prevNeg = neg
+                i += 1
+              }
+              val durMs = n * 1000.0 / fmt.getSampleRate
+              Some(Array(
+                math.min(1.0, durMs / 60000.0).toFloat,
+                math.min(1.0, fmt.getSampleRate / 96000.0).toFloat,
+                math.min(1.0, ch / 8.0).toFloat,
+                math.sqrt(sum2 / n).toFloat,
+                peak.toFloat,
+                (crossings.toDouble / n).toFloat,
+                math.min(1.0, bits / 32.0).toFloat,
+                math.min(1.0, n / 1e7).toFloat))
+            }
+          }
+        } finally in.close()
+      } catch { case _: Exception => None }
+
+  /** STUB media decoder for the modalities with no in-JDK codec (video,
+    * compressed audio): derives a deterministic pseudo-feature vector from
+    * the payload bytes so the pipeline is testable end-to-end. Also the
+    * fallback for corrupt/undecodable image and audio payloads.
     */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
     val out = new Array[Float](featureDim)
@@ -121,6 +191,8 @@ object Multimodal {
         val feats =
           if (mime != null && mime.startsWith("image/"))
             decodeImage(bytes).map(imageFeatures).getOrElse(decodeStub(bytes))
+          else if (mime != null && mime.startsWith("audio/"))
+            audioFeatures(bytes).getOrElse(decodeStub(bytes))
           else decodeStub(bytes)
         Row(r.getLong(0), mime, if (bytes == null) 0 else bytes.length, feats.toSeq)
       }

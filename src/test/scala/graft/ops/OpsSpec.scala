@@ -369,6 +369,51 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
   }
 
+  test("real WAV decode: duration, rate, energy match the synthesized tone") {
+    // 0.5 s of a 440 Hz sine at amplitude 0.5, 8 kHz mono 16-bit WAV,
+    // written by the JDK itself — every feature is analytically known.
+    val rate = 8000f
+    val n = 4000
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (0.5 * math.sin(2 * math.Pi * 440 * i / rate) * 32767).toInt
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+
+    val f = Multimodal.audioFeatures(bos.toByteArray)
+    assert(f.isDefined)
+    val feats = f.get
+    assert(math.abs(feats(0) - 500.0 / 60000.0) < 1e-4)       // duration 0.5 s
+    assert(math.abs(feats(1) - rate / 96000.0) < 1e-6)        // sample rate
+    assert(math.abs(feats(2) - 1.0 / 8.0) < 1e-6)             // mono
+    assert(math.abs(feats(3) - 0.5 / math.sqrt(2)) < 0.01)    // RMS of sine = A/√2
+    assert(math.abs(feats(4) - 0.5) < 0.01)                   // peak = A
+    // 440 Hz at 8 kHz → 2·440/8000 = 0.11 crossings per sample.
+    assert(math.abs(feats(5) - 0.11) < 0.005)
+    assert(math.abs(feats(6) - 0.5) < 1e-6)                   // 16/32 bits
+
+    // Silence has zero energy; a louder tone has more.
+    val silent = pcm.map(_ => 0: Byte)
+    val sAis = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(silent), fmt, n.toLong)
+    val sBos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(sAis,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, sBos)
+    val sf = Multimodal.audioFeatures(sBos.toByteArray).get
+    assert(sf(3) === 0.0f && sf(4) === 0.0f)
+
+    // Non-audio bytes degrade to None (→ stub in the pipeline), never throw.
+    assert(Multimodal.audioFeatures("not audio".getBytes).isEmpty)
+    assert(Multimodal.audioFeatures(null).isEmpty)
+  }
+
   test("distinct images decode to distinct pixel features") {
     val media = Multimodal.syntheticMedia(spark, 8)
     val feats = Multimodal.extractFeatures(media)
