@@ -603,6 +603,14 @@ object SparkEntry {
         shingleK = 3, minDocs = 3)
         .orderBy("doc_id")),
 
+    // Boilerplate REMOVAL (the action q_boilerplate_spans measures) — exact
+    // oracle: DuckDB recomputes position-level span coverage from strings
+    // where the operator uses position-indexed gram hashes.
+    "q_remove_boilerplate" -> ((s, dir) =>
+      Dedup.removeBoilerplate(t(s, dir, "documents"), "doc_id", "text",
+        shingleK = 3, minDocs = 3)
+        .orderBy("doc_id")),
+
     // BM25 ranked search: narrow per-term tf + one broadcast stats row +
     // k-bounded TakeOrderedAndProject. Oracle compares the RANKING (exact
     // integers) — operator and SQL are generated from the same term list and
@@ -1123,6 +1131,24 @@ object SparkEntry {
          |   coalesce(p.nb, 0) AS n_boiler_spans,
          |   coalesce(p.nb, 0)::DOUBLE / greatest(len(g.gs), 1) AS boiler_frac
          | FROM g LEFT JOIN p USING (doc_id)
+         | ORDER BY doc_id""".stripMargin,
+    "q_remove_boilerplate" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |   g AS (SELECT doc_id, unnest(
+         |       [{'p': i, 'gr': t[i] || ' ' || t[i+1] || ' ' || t[i+2]}
+         |        for i in range(1, len(t) - 1)], recursive := true)
+         |     FROM tk),
+         |   b AS (SELECT gr FROM (SELECT DISTINCT doc_id, gr FROM g)
+         |     GROUP BY gr HAVING count(*) >= 3),
+         |   cp AS (SELECT DISTINCT doc_id, unnest([p, p + 1, p + 2]) AS c
+         |     FROM g JOIN b USING (gr)),
+         |   cov AS (SELECT doc_id, list(c) AS cov FROM cp GROUP BY doc_id)
+         | SELECT tk.doc_id, len(t) AS n_tokens,
+         |   coalesce(len(cov), 0) AS n_removed,
+         |   coalesce(array_to_string([t[i] for i in range(1, len(t) + 1)
+         |     if NOT list_contains(coalesce(cov, []), i)], ' '), '')
+         |     AS cleaned_text
+         | FROM tk LEFT JOIN cov USING (doc_id)
          | ORDER BY doc_id""".stripMargin,
     "q_redact_pii" ->
       s"""SELECT count(*) AS n_docs,

@@ -81,6 +81,50 @@ object Dedup {
           greatest(coalesce(col("n_spans"), lit(0L)), lit(1))).as("boiler_frac"))
   }
 
+  /** Boilerplate REMOVAL (the action [[repeatedSpans]] only measures): drop
+    * every token covered by a word k-gram that occurs in ≥ `minDocs`
+    * distinct documents, and rebuild the cleaned (lowercased, re-spaced)
+    * text. The fused non-distinct [[graft.functions.NgramHashes]] is
+    * position-indexed — gram j covers tokens [j, j+k−1] — so coverage is
+    * exact without ever materializing gram strings.
+    *
+    * Scale shape: one span-hash count shuffle (distinct (id, hash) rows),
+    * one coverage join whose build side is the tiny filtered boilerplate
+    * set, one per-doc position aggregation; text bytes never ride a
+    * shuffle amplified.
+    */
+  def removeBoilerplate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      minDocs: Int = 3): DataFrame = {
+    val staged = df
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .select(col("id"), col("__t"),
+        graft.functions.TextFunctions.ngram_hashes(col("__t"), shingleK).as("__g"))
+    val posSpans = staged
+      .select(col("id"), posexplode(col("__g")))
+      .select(col("id"), col("pos"), col("col").as("gh"))
+    // Document frequency over DISTINCT (id, gh) — same count as
+    // repeatedSpans' distinct-set form.
+    val boiler = posSpans.select("id", "gh").distinct()
+      .groupBy("gh").agg(count(lit(1)).as("__nd"))
+      .where(col("__nd") >= minDocs).select("gh")
+    val covered = posSpans.join(boiler, "gh")
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (shingleK - 1))).as("cp"))
+      .groupBy("id").agg(collect_set(col("cp")).as("__cov"))
+    staged.join(covered, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        coalesce(size(col("__cov")), lit(0)).cast("long").as("n_removed"),
+        concat_ws(" ",
+          filter(col("__t"), (x, i) =>
+            !array_contains(coalesce(col("__cov"), array().cast("array<int>")), i)))
+          .as("cleaned_text"))
+  }
+
   /** (id, sh) with sh = distinct shingle hashes. Staged: tokens materialize
     * first, then the fused ShingleHashes expression combines token hashes
     * positionally — no shingle strings are ever built (the string

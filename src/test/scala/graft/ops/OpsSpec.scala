@@ -68,6 +68,24 @@ class DedupSpec extends SparkTestBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L)))
   }
+
+  test("removeBoilerplate drops exactly the tokens covered by shared spans") {
+    val df = Seq(
+      (1L, "alpha beta gamma unique one"),
+      (2L, "alpha beta gamma unique two"),
+      (3L, "alpha beta gamma unique three"),
+      (4L, "totally different text here")).toDF("doc_id", "text")
+    val got = Dedup.removeBoilerplate(df, "doc_id", "text",
+        shingleK = 3, minDocs = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // "alpha beta gamma" and "beta gamma unique" appear in 3 docs → tokens
+    // 0..3 are covered; only the per-doc tail token survives.
+    assert(got(0) === ((1L, 5L, 4L, "one")))
+    assert(got(1) === ((2L, 5L, 4L, "two")))
+    assert(got(2) === ((3L, 5L, 4L, "three")))
+    assert(got(3) === ((4L, 4L, 0L, "totally different text here")))
+  }
 }
 
 class SimilaritySpec extends SparkTestBase {
