@@ -115,7 +115,10 @@ object Dedup {
       .select(col("id"),
         explode(sequence(col("pos"), col("pos") + (shingleK - 1))).as("cp"))
       .groupBy("id").agg(collect_set(col("cp")).as("__cov"))
-    staged.join(covered, Seq("id"), "left")
+    // The rebuild branch needs tokens only — re-derive them without the
+    // (unused) gram-hash pass.
+    df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .join(covered, Seq("id"), "left")
       .select(col("id").as(idCol),
         size(col("__t")).cast("long").as("n_tokens"),
         coalesce(size(col("__cov")), lit(0)).cast("long").as("n_removed"),
