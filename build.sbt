@@ -14,6 +14,10 @@ run / fork := true
 // Forward the forked process's stdout verbatim (no "[info] " logger prefix):
 // harnesses parse Bench's one-line JSON from stdout.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress the trailing "[success] Total time: ..." line after `sbt run`:
+// it lands inside the harness's 2000-char output tail right after Bench's
+// JSON line and costs parse budget.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

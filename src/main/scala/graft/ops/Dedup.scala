@@ -331,7 +331,13 @@ object Dedup {
     * per-key pair expansion is capped ([[DefaultMaxBucketSize]]); a
     * fingerprint shared by thousands of documents is boilerplate, and
     * excluding it from the intersection evidence is the MOSS guidance (such
-    * grams identify the template, not the quote).
+    * grams identify the template, not the quote). Capped-out keys are
+    * dropped from BOTH sides of the ratio: the per-doc denominator is the
+    * count of the doc's fingerprints that SURVIVED the bucket cap, not its
+    * raw fingerprint count — dropping boilerplate keys from the numerator
+    * only would systematically underestimate containment for any document
+    * sharing a corpus-common fingerprint (an exact duplicate pair must
+    * score 1.0 regardless of how much boilerplate it carries).
     */
   def containmentPairs(
       df: DataFrame,
@@ -344,19 +350,28 @@ object Dedup {
     val exploded = df.select(col(idCol).as("id"),
       graft.functions.TextFunctions.winnow_fingerprints(
         TextAnalysis.tokens(col(textCol)), shingleK, window).as("fp"))
-      .select(col("id"), size(col("fp")).as("n"), explode(col("fp")).as("key"))
+      .select(col("id"), explode(col("fp")).as("key"))
+    // Buckets that survive the boilerplate cap — INCLUDING singletons, which
+    // contribute no pairs but do count as non-shared evidence in the
+    // denominator.
     val buckets = exploded
       .groupBy(col("key"))
-      .agg(collect_list(struct(col("id"), col("n"))).as("__members"))
-      .where(size(col("__members")) >= 2 &&
-        (if (maxBucketSize > 0) size(col("__members")) <= maxBucketSize else lit(true)))
-    buckets
-      .select(explode(col("__members")).as("__a"), col("__members"))
-      .select(col("__a"), explode(col("__members")).as("__b"))
-      .where(col("__a.id") < col("__b.id"))
-      .groupBy(col("__a.id").as("id_a"), col("__b.id").as("id_b"),
-        col("__a.n").as("n_a"), col("__b.n").as("n_b"))
+      .agg(collect_list(col("id")).as("__members"))
+      .where(if (maxBucketSize > 0) size(col("__members")) <= maxBucketSize
+        else lit(true))
+    val nEff = buckets
+      .select(explode(col("__members")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n"))
+    val shared = buckets
+      .where(size(col("__members")) >= 2)
+      .select(explode(col("__members")).as("id_a"), col("__members"))
+      .select(col("id_a"), explode(col("__members")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("__shared"))
+    shared
+      .join(nEff.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(nEff.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (col("__shared").cast("double") / least(col("n_a"), col("n_b")))
           .as("containment"))

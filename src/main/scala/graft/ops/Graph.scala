@@ -19,13 +19,22 @@ object Graph {
     * Rounds needed = graph diameter. Duplicate clusters are near-cliques
     * (pair generators emit most intra-cluster pairs), so 2–3 rounds close
     * them; `maxIter` bounds adversarial chains. Each round is ONE shuffle
-    * (join + min-aggregate on ids only — no payload); labels are cached
-    * per round and the previous round unpersisted, so lineage stays flat
-    * at any scale. For graphs with genuinely large diameters switch to the
-    * O(log n)-round alternating-star algorithm (Kiveris et al. 2014) —
-    * duplicate clustering never needs it.
+    * (join + min-aggregate on ids only — no payload); each round's labels
+    * are `localCheckpoint`ed, which BOTH caches the rows and truncates the
+    * logical plan — `labels` feeds two branches per round (offers + next),
+    * so without truncation the plan doubles every iteration and planning
+    * itself blows up exponentially around round 10. For graphs with
+    * genuinely large diameters switch to the O(log n)-round
+    * alternating-star algorithm (Kiveris et al. 2014) — duplicate
+    * clustering never needs it.
     *
     * @param edges two id columns (`srcCol`, `dstCol`), undirected.
+    * @param strict when true (default), throw if `maxIter` rounds pass
+    *        without reaching the fixpoint — partially-propagated labels
+    *        split one real cluster into several components, each electing
+    *        its own "canonical" keeper, so duplicates silently survive
+    *        dedup. Pass false to accept partial labels (a warning is
+    *        logged to stderr instead).
     * @return (id, component) for every node appearing in `edges`;
     *         component = min reachable id.
     */
@@ -33,12 +42,13 @@ object Graph {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20,
+      strict: Boolean = true): DataFrame = {
     val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
     val adj = sym.distinct().persist()
     var labels = adj.select(col("u").as("id")).distinct()
-      .withColumn("comp", col("id")).persist()
+      .withColumn("comp", col("id")).localCheckpoint()
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -47,18 +57,26 @@ object Graph {
       val offers = adj.join(labels, adj("v") === labels("id"))
         .select(col("u").as("id"), col("comp").as("offer"))
         .groupBy("id").agg(min(col("offer")).as("offer"))
+      // Eager localCheckpoint: materializes this round AND resets the plan
+      // to a leaf, so round N+1 plans against a constant-size tree.
       val next = labels.join(offers, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("offer"), col("comp"))).as("comp"))
-        .persist()
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("comp", "__old"), "id")
         .where(col("comp") =!= col("__old")).limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0L
       it += 1
     }
     adj.unpersist()
+    if (!converged) {
+      val msg = s"connectedComponents did not converge within $maxIter rounds: " +
+        "labels are only partially propagated and would split real clusters. " +
+        "Raise maxIter (rounds needed = graph diameter)."
+      if (strict) throw new IllegalStateException(msg)
+      else System.err.println(s"[graft] WARNING: $msg")
+    }
     labels
   }
 

@@ -117,11 +117,10 @@ object Multimodal {
                     val raw = if (unsigned) (data(off) & 0xFF) - 128 else data(off).toInt
                     raw / 128.0
                   } else {
-                    val (b0, b1) =
-                      if (fmt.isBigEndian) (data(off + 1) & 0xFF, data(off).toInt)
-                      else (data(off) & 0xFF, data(off + 1).toInt)
-                    val raw = (b1 << 8) | b0
-                    (if (unsigned) raw - 32768 else raw) / 32768.0
+                    if (fmt.isBigEndian)
+                      pcm16(data(off + 1) & 0xFF, data(off), unsigned)
+                    else
+                      pcm16(data(off) & 0xFF, data(off + 1), unsigned)
                   }
                 sum2 += s * s
                 if (math.abs(s) > peak) peak = math.abs(s)
@@ -144,6 +143,17 @@ object Multimodal {
           }
         } finally in.close()
       } catch { case _: Exception => None }
+
+  /** One 16-bit PCM sample normalized to [-1, 1]. Unsigned 16-bit holds
+    * 0..65535: the high byte must be zero-extended, not sign-extended,
+    * before the −32768 re-centering — sign-extension would map samples with
+    * high byte ≥ 0x80 outside [-1, 1] (e.g. 0xFF00 → ≈ −1.008).
+    */
+  private[ops] def pcm16(lo: Int, hiByte: Byte, unsigned: Boolean): Double = {
+    val hi = if (unsigned) hiByte & 0xFF else hiByte.toInt
+    val raw = (hi << 8) | lo
+    (if (unsigned) raw - 32768 else raw) / 32768.0
+  }
 
   /** STUB media decoder for the modalities with no in-JDK codec (video,
     * compressed audio): derives a deterministic pseudo-feature vector from

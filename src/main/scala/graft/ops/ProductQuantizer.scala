@@ -144,7 +144,11 @@ object ProductQuantizer {
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
       cb: PqCodebook): DataFrame = {
     val enc = RowEncoder.encoderFor(codesSchema)
-    corpus.select(col(idCol).cast("long"), col(vecCol)).mapPartitions { rows =>
+    // Null vectors are skipped here exactly as `train` skips them — without
+    // the filter a single null embedding row NPEs the encode job that the
+    // training pass survived.
+    corpus.select(col(idCol).cast("long"), col(vecCol))
+      .where(col(vecCol).isNotNull).mapPartitions { rows =>
       rows.map { r =>
         val v = r.getSeq[Float](1).toArray
         val codes = new Array[Byte](cb.m)
@@ -327,6 +331,7 @@ object ProductQuantizer {
       cb: PqCodebook): DataFrame = {
     val enc = RowEncoder.encoderFor(ivfCodesSchema)
     assigned.select(col("neighbor_id").cast("long"), col("cell"), col("__cv"))
+      .where(col("__cv").isNotNull)
       .mapPartitions { rows =>
         rows.map { r =>
           val cell = r.getInt(1)

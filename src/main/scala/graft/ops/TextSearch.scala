@@ -119,7 +119,9 @@ object TextSearch {
       b: Double = 0.75): String = {
     val terms = queryTerms.map(_.toLowerCase)
     val tfSelects = terms.zipWithIndex.map { case (t, i) =>
-      s"len(list_filter(t, x -> x = '$t')) AS tf_$i"
+      // SQL-escape the term literal: an unescaped single quote would produce
+      // invalid (or silently wrong) oracle SQL and diverge the check.
+      s"len(list_filter(t, x -> x = '${t.replace("'", "''")}')) AS tf_$i"
     }.mkString(", ")
     val dfSelects = terms.indices.map(i =>
       s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i")

@@ -28,6 +28,24 @@ class GraphSpec extends SparkTestBase {
     assert(got === Map(3L -> 3L, 5L -> 3L, 7L -> 3L))
   }
 
+  test("non-convergence is loud: strict throws, non-strict warns and returns") {
+    // A 10-link chain has diameter 10: label 0 cannot reach node 10 in 3
+    // rounds, so maxIter=3 must NOT silently return split components.
+    val chain = (0L until 10L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Graph.connectedComponents(chain, "a", "b", maxIter = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // Non-strict mode returns the partial labels (caller opted in).
+    val partial = Graph.connectedComponents(chain, "a", "b", maxIter = 3,
+      strict = false).as[(Long, Long)].collect().toMap
+    assert(partial.size === 11 && partial.values.toSet.size > 1)
+    // And the same chain with enough rounds converges to one component.
+    val full = Graph.connectedComponents(chain, "a", "b", maxIter = 15)
+      .as[(Long, Long)].collect().toMap
+    assert(full.values.toSet === Set(0L))
+  }
+
   test("dedupClusters marks the min id of each cluster canonical") {
     val pairs = Seq((2L, 9L), (9L, 4L), (30L, 31L)).toDF("id_a", "id_b")
     val got = Graph.dedupClusters(pairs, "id_a", "id_b")

@@ -63,6 +63,31 @@ class DedupSpec extends SparkTestBase {
     assert(!jac.contains((1L, 2L)))
   }
 
+  test("containment: exact duplicates score 1.0 even when shared keys are capped") {
+    // A corpus-common phrase long enough that winnowing guarantees shared
+    // fingerprints (shared run >= w + k - 1 = 6 tokens), carried by 12 docs
+    // so its buckets blow past maxBucketSize=5 and get dropped as
+    // boilerplate. Docs 1 and 2 are EXACT duplicates that contain it: with
+    // the capped keys removed from the numerator only, their containment
+    // would be systematically underestimated; removing them from both sides
+    // keeps the structural contract "exact dup pairs score exactly 1.0".
+    val common = (1 to 12).map(i => s"common$i").mkString(" ")
+    val unique = "alpha beta gamma delta epsilon zeta eta theta"
+    val dupDoc = s"$common $unique"
+    val rows = Seq((1L, dupDoc), (2L, dupDoc)) ++
+      (3 to 12).map(i => (i.toLong,
+        s"$common " + (1 to 8).map(j => s"filler${i}x$j").mkString(" ")))
+    val df = rows.toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text",
+        threshold = 0.95, maxBucketSize = 5)
+      .select("id_a", "id_b", "containment")
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet === Set((1L, 2L)))
+    assert(got.head._3 === 1.0)
+    // Docs 3..12 share ONLY the boilerplate phrase — capped buckets emit no
+    // pairs, so the template alone never links documents.
+  }
+
   test("ngram jaccard verification is exact") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.99)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -430,6 +455,22 @@ class MultimodalSpec extends SparkTestBase {
     // Non-audio bytes degrade to None (→ stub in the pipeline), never throw.
     assert(Multimodal.audioFeatures("not audio".getBytes).isEmpty)
     assert(Multimodal.audioFeatures(null).isEmpty)
+  }
+
+  test("pcm16: unsigned high byte is zero-extended, all samples in [-1, 1)") {
+    // 0xFF00 unsigned = 65280 → (65280 − 32768)/32768 ≈ 0.992; sign-extending
+    // the high byte would yield ≈ −1.008, outside the valid range.
+    assert(Multimodal.pcm16(0x00, 0xFF.toByte, unsigned = true) ===
+      (0xFF00 - 32768) / 32768.0)
+    assert(Multimodal.pcm16(0x00, 0x00.toByte, unsigned = true) === -1.0)
+    assert(Multimodal.pcm16(0xFF, 0xFF.toByte, unsigned = true) === 32767 / 32768.0)
+    // Signed stays two's-complement.
+    assert(Multimodal.pcm16(0xFF, 0x7F.toByte, unsigned = false) === 32767 / 32768.0)
+    assert(Multimodal.pcm16(0x00, 0x80.toByte, unsigned = false) === -1.0)
+    for (hi <- 0 to 255; lo <- Seq(0x00, 0x7F, 0xFF)) {
+      val s = Multimodal.pcm16(lo, hi.toByte, unsigned = true)
+      assert(s >= -1.0 && s < 1.0, s"hi=$hi lo=$lo -> $s")
+    }
   }
 
   test("distinct images decode to distinct pixel features") {

@@ -34,6 +34,15 @@ class ProductQuantizerSpec extends SparkTestBase {
     }
   }
 
+  test("encode skips null embeddings like train does") {
+    val withNull = vecs.unionByName(
+      Seq((999L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+    val cb = ProductQuantizer.train(withNull, "embedding", m = 4, ksub = 8)
+    val codes = ProductQuantizer.encode(withNull, "vec_id", "embedding", cb)
+    val ids = codes.select("id").as[Long].collect()
+    assert(ids.length === 100 && !ids.contains(999L))
+  }
+
   test("adc ranks cluster-mates first; refine recovers exact order") {
     val cb = ProductQuantizer.train(vecs, "embedding", m = 4, ksub = 8)
     val codes = ProductQuantizer.encode(vecs, "vec_id", "embedding", cb)

@@ -63,4 +63,11 @@ class TextSearchSpec extends SparkTestBase {
     // null-check filters re-deriving tokenize at the scan.
     assert(!plan.contains("isnotnull(size(filter(tokenize"), plan)
   }
+
+  test("oracle SQL escapes single quotes in query terms") {
+    val sql = TextSearch.bm25RankOracleSql("documents", "doc_id",
+      "string_split(text, ' ')", Seq("o'brien", "cat"))
+    assert(sql.contains("x = 'o''brien'"), sql)
+    assert(!sql.contains("x = 'o'brien'"), sql)
+  }
 }
