@@ -35,7 +35,13 @@ object Bench {
     // median is robust to a one-off straggler where the mean is not. The
     // per-query minimum is reported alongside as the load-independent floor.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Local-iteration filter: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just
+    // those queries. Unset (the driver's invocation) → the full set.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       def run(): Unit = fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       try run() catch { case _: Throwable => () }
       val times = (1 to reps).map { _ =>

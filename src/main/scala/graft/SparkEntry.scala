@@ -27,6 +27,25 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Deterministic presentation order for a bounded final result WITHOUT the
+    * range sort's boundary-sampling pass: `orderBy` atop an expensive
+    * projection executes the child TWICE — once through the range
+    * partitioner's sampler to pick boundaries, then again for the real
+    * sort. Every oracle result here is a small aggregate/pair set, so one
+    * round-robin shuffle into a single partition plus an in-partition sort
+    * runs the projection exactly once and sorts trivially. The queries keep
+    * a deterministic TOTAL order (class doc), so the output sequence is
+    * identical to `orderBy`'s. Genuinely large ordered output (the
+    * formatted log stream) keeps its range sort / exchange-free hour path
+    * (LogQuery.formattedByHour) — this helper is presentation-only.
+    */
+  private implicit class PresentationOrder(private val df: DataFrame) {
+    def presented(c0: String, cs: String*): DataFrame =
+      df.repartition(1).sortWithinPartitions(c0, cs: _*)
+    def presented(cols: Column*): DataFrame =
+      df.repartition(1).sortWithinPartitions(cols: _*)
+  }
+
   /** events with ts as epoch millis (see class doc). */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -147,7 +166,7 @@ object SparkEntry {
       .where(col("event_type").rlike("^(error|purchase)$"))
       .groupBy((col("ts_ms") / 3600000L).cast("long").as("hour_bucket"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
-      .orderBy("hour_bucket", "event_type")
+      .presented("hour_bucket", "event_type")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -157,35 +176,35 @@ object SparkEntry {
     "q_cat_timerange" -> ((s, dir) =>
       eventsInRange(s, dir, rangeStartMs, rangeEndMs)
         .select(col("event_id"), col("ts_ms"), col("event_type"), col("value"))
-        .orderBy("event_id")),
+        .presented("event_id")),
 
     // F2 loggrep: regex find() on content
     "q_grep_regex" -> ((s, dir) =>
       events(s, dir)
         .where(col("props").rlike("\"k\": 4[0-9]"))
         .select(col("event_id"), col("event_type"), col("props"))
-        .orderBy("event_id")),
+        .presented("event_id")),
 
     // F2 --i: case-insensitive regex
     "q_grep_regex_ci" -> ((s, dir) =>
       events(s, dir)
         .where(col("event_type").rlike("(?i)^ERROR$"))
         .select(col("event_id"), col("event_type"))
-        .orderBy("event_id")),
+        .presented("event_id")),
 
     // F3 logsearch: literal substring
     "q_search_contains" -> ((s, dir) =>
       t(s, dir, "documents")
         .where(col("text").contains("join"))
         .select(col("doc_id"), col("lang"), col("n_chars"))
-        .orderBy("doc_id")),
+        .presented("doc_id")),
 
     // F4 logsearch --i: upper-contains-upper
     "q_search_contains_ci" -> ((s, dir) =>
       t(s, dir, "documents")
         .where(upper(col("text")).contains("JOIN"))
         .select(col("doc_id"), col("lang"))
-        .orderBy("doc_id")),
+        .presented("doc_id")),
 
     // F5 logmultisearch OR
     "q_multisearch_or" -> ((s, dir) =>
@@ -193,7 +212,7 @@ object SparkEntry {
         .where(Seq("join", "window", "stream").map(col("text").contains(_): Column)
           .reduce(_ || _))
         .select(col("doc_id"))
-        .orderBy("doc_id")),
+        .presented("doc_id")),
 
     // F5 logmultisearch AND (--a)
     "q_multisearch_and" -> ((s, dir) =>
@@ -201,13 +220,13 @@ object SparkEntry {
         .where(Seq("join", "filter").map(col("text").contains(_): Column)
           .reduce(_ && _))
         .select(col("doc_id"))
-        .orderBy("doc_id")),
+        .presented("doc_id")),
 
     // O1 global sort (Pig ORDER BY analogue)
     "q_sort_global" -> ((s, dir) =>
       eventsInRange(s, dir, rangeStartMs, rangeEndMs)
         .select(col("event_id"), col("value"))
-        .orderBy(col("value").desc, col("event_id"))),
+        .presented(col("value").desc, col("event_id"))),
 
     // P2 DateFormatter projection
     "q_dateformat" -> ((s, dir) =>
@@ -215,7 +234,7 @@ object SparkEntry {
         .select(col("event_id"),
           date_format(timestamp_micros(expr("ts DIV 1000")), "yyyy-MM-dd HH:mm:ss")
             .as("ts_str"))
-        .orderBy("event_id")),
+        .presented("event_id")),
 
     // A4 result count
     "q_count_range" -> ((s, dir) =>
@@ -228,14 +247,14 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(min(col("ts_ms")).as("min_ts_ms"), max(col("ts_ms")).as("max_ts_ms"),
           count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
-        .orderBy("event_type")),
+        .presented("event_type")),
 
     // A3 LogStats ingest-over-time (hourly buckets)
     "q_stats_hourly" -> ((s, dir) =>
       events(s, dir)
         .groupBy(expr("ts_ms DIV 3600000").as("hour_bucket"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
-        .orderBy("hour_bucket")),
+        .presented("hour_bucket")),
 
     // A2 QueryIndex: regex-filtered rollup
     "q_query_index" -> ((s, dir) =>
@@ -243,7 +262,7 @@ object SparkEntry {
         .where(col("event_type").rlike("^(err|sign)"))
         .groupBy(col("event_type"), col("user_id"))
         .agg(count(lit(1)).as("n"))
-        .orderBy("event_type", "user_id")),
+        .presented("event_type", "user_id")),
 
     // TPC-H Q1 shape: wide aggregation
     "q1_agg" -> ((s, dir) =>
@@ -255,7 +274,7 @@ object SparkEntry {
           round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")),
+        .presented("l_returnflag", "l_linestatus")),
 
     // Multi-way join with broadcast dims: revenue by nation
     "q_join_revenue" -> ((s, dir) => {
@@ -270,7 +289,7 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
           .as("revenue"),
           count(lit(1)).as("n_lines"))
-        .orderBy("n_name")
+        .presented("n_name")
     }),
 
     // Top-3 events per type by value. NOT a row_number window: event_type has
@@ -286,7 +305,7 @@ object SparkEntry {
         .select(col("event_type"), posexplode(col("__top")))
         .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
           col("col.id").as("event_id"), col("col.score").as("value"))
-        .orderBy("event_type", "rank")),
+        .presented("event_type", "rank")),
 
     // Sessionization (30-minute gap), lag window + aggregation
     "q_sessionize" -> ((s, dir) => {
@@ -298,7 +317,7 @@ object SparkEntry {
             .otherwise(0))
         .groupBy(col("user_id"))
         .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
-        .orderBy("user_id")
+        .presented("user_id")
     }),
 
     // As-of join: each error event matched to the user's most recent prior
@@ -314,7 +333,7 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"),
           col("asof_event_id").as("signup_event_id"),
           (col("ts_ms") - col("asof_ts_ms")).as("ms_since_signup"))
-        .orderBy("event_id")
+        .presented("event_id")
     }),
 
     // ----- LLM-data-pipeline operators -----
@@ -324,7 +343,7 @@ object SparkEntry {
       docsWithDupes(s, dir)
         .groupBy(md5(col("text").cast("binary")).as("content_hash"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-        .orderBy("content_hash")),
+        .presented("content_hash")),
 
     // Exact duplicate pairs (self-join on content hash)
     "q_dupe_pairs_exact" -> ((s, dir) => {
@@ -334,7 +353,7 @@ object SparkEntry {
       val b = d.select(col("h"), col("doc_id").as("id_b"))
       a.join(b, "h").where(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"))
-        .orderBy("id_a", "id_b")
+        .presented("id_a", "id_b")
     }),
 
     // Token counting
@@ -342,7 +361,7 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens_raw"),
           size(filter(split(col("text"), " "), x => x =!= "")).cast("long").as("n_tokens"))
-        .orderBy("doc_id")),
+        .presented("doc_id")),
 
     // Quality metrics (integer counts + exact-integer ratio)
     "q_quality" -> ((s, dir) => {
@@ -353,7 +372,7 @@ object SparkEntry {
           size(toks).cast("long").as("n_tokens"),
           size(array_distinct(toks)).cast("long").as("n_uniq"),
           (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"))
-        .orderBy("doc_id")
+        .presented("doc_id")
     }),
 
     // Language stats: labeled language vs a content signal
@@ -363,14 +382,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("text").contains("the"), 1).otherwise(0)).as("n_with_the"),
           min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
-        .orderBy("lang")),
+        .presented("lang")),
 
     // Document fingerprinting (hash prefix bucket)
     "q_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
           substring(md5(col("text").cast("binary")), 1, 8).as("fp"))
-        .orderBy("doc_id")),
+        .presented("doc_id")),
 
     // Language-ID heuristic (stopword-profile argmax); oracled via the same
     // tokenization + struct-max argmax in DuckDB SQL
@@ -379,7 +398,7 @@ object SparkEntry {
         .select(col("doc_id"), col("lang").as("labeled_lang"),
           TextAnalysis.langId(col("text")).as("guessed_lang"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
-        .orderBy("doc_id")),
+        .presented("doc_id")),
 
     // Quality score + subword count (both SQL-expressible; the custom-hash
     // fingerprint is covered by q_fingerprint's md5 oracle + unit invariants)
@@ -388,7 +407,7 @@ object SparkEntry {
         .select(col("doc_id"),
           TextAnalysis.qualityScore(col("text")).as("quality"),
           TextAnalysis.subwordCountApprox(col("text")).cast("long").as("n_subwords"))
-        .orderBy("doc_id")),
+        .presented("doc_id")),
 
     // MinHash+LSH near-dup pairs — no_oracle BY DESIGN: est_jaccard values
     // are specific to the seeded 64-hash family and have no SQL equivalent.
@@ -397,7 +416,7 @@ object SparkEntry {
     "q_minhash_dupes" -> ((s, dir) =>
       Dedup.minhashDupePairs(docsWithDupes(s, dir), "doc_id", "text",
         shingleK = 3, numHashes = 64, bands = 16, threshold = 0.7)
-        .orderBy("id_a", "id_b")),
+        .presented("id_a", "id_b")),
 
     // MinHash recall harness: ground truth = exact n-gram Jaccard >= 0.8
     // (exhaustive-recall banding), computed in-job; DuckDB independently
@@ -442,7 +461,7 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(docsWithDupes(s, dir), "doc_id", "text",
         shingleK = 3, threshold = 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-        .orderBy("id_a", "id_b")),
+        .presented("id_a", "id_b")),
 
     // Brute-force cosine top-k (queries = first 10 vectors, broadcast) —
     // REAL oracle: DuckDB list_cosine_similarity over DOUBLE[] reproduces
@@ -454,7 +473,7 @@ object SparkEntry {
         emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"))
-        .orderBy("query_id", "rank")
+        .presented("query_id", "rank")
     }),
 
     // Multi-table LSH ANN recall vs in-job brute force. Measured recall at
@@ -536,7 +555,7 @@ object SparkEntry {
       Dedup.embeddingDupePairs(aug, "vec_id", "embedding", threshold = 0.99,
         bands = 8, planesPerBand = 8)
         .select(col("id_a"), col("id_b"))
-        .orderBy("id_a", "id_b")
+        .presented("id_a", "id_b")
     }),
 
     // Multimodal: binary payload → batched feature extraction. Image rows
@@ -550,7 +569,7 @@ object SparkEntry {
       Multimodal.extractFeatures(media)
         .select(col("media_id"), col("mime"), col("n_bytes"),
           round(element_at(col("features"), 1), 6).as("f0"))
-        .orderBy("media_id")
+        .presented("media_id")
     }),
 
     // SimHash signatures themselves (operator output, deterministic).
@@ -560,7 +579,7 @@ object SparkEntry {
     "q_simhash_signatures" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), simhash64(TextAnalysis.tokens(col("text"))).as("simhash"))
-        .orderBy("doc_id")),
+        .presented("doc_id")),
 
     // PII scrub pass (emails/IPs/digit runs → placeholders) — exact oracle:
     // the patterns are lookaround-free, so DuckDB applies the identical
@@ -586,14 +605,14 @@ object SparkEntry {
     // the operator uses a narrow sorted-run fold.
     "q_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text", n = 2)
-        .orderBy("doc_id")),
+        .presented("doc_id")),
 
     // Gopher quality filter: per-rule measurements + keep verdict.
     "q_gopher_filter" -> ((s, dir) =>
       TextAnalysis.gopherFilter(t(s, dir, "documents"), "doc_id", "text",
         minWords = 20, maxWords = 10000, minMeanLen = 3.0, maxMeanLen = 10.0,
         minAlphaFrac = 0.8, minStopHits = 1)
-        .orderBy("doc_id")),
+        .presented("doc_id")),
 
     // C4-style corpus boilerplate spans: per-doc count of word 3-grams
     // shared with ≥3 documents — exact oracle rebuilds the span frequency
@@ -601,7 +620,7 @@ object SparkEntry {
     "q_boilerplate_spans" -> ((s, dir) =>
       Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text",
         shingleK = 3, minDocs = 3)
-        .orderBy("doc_id")),
+        .presented("doc_id")),
 
     // Boilerplate REMOVAL (the action q_boilerplate_spans measures) — exact
     // oracle: DuckDB recomputes position-level span coverage from strings
@@ -609,7 +628,7 @@ object SparkEntry {
     "q_remove_boilerplate" -> ((s, dir) =>
       Dedup.removeBoilerplate(t(s, dir, "documents"), "doc_id", "text",
         shingleK = 3, minDocs = 3)
-        .orderBy("doc_id")),
+        .presented("doc_id")),
 
     // BM25 ranked search: narrow per-term tf + one broadcast stats row +
     // k-bounded TakeOrderedAndProject. Oracle compares the RANKING (exact
@@ -632,7 +651,7 @@ object SparkEntry {
         d.where(col("doc_id") % 25 =!= 0), "doc_id", "text",
         d.where(col("doc_id") % 25 === 0), "doc_id", "text",
         k = 3, minShared = 2)
-        .orderBy("doc_id", "bench_id")
+        .presented("doc_id", "bench_id")
     }),
 
     // C4 cleaning audit. The raw synthetic docs carry no punctuation, so the
@@ -649,7 +668,7 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), aug.as("text")),
         "doc_id", "text", badWords = Seq("dup"),
         minSentences = 3, minLineWords = 5)
-        .orderBy("doc_id")
+        .presented("doc_id")
     }),
 
     // Text normalization (NFC + control strip + space collapse) — exact
@@ -667,7 +686,7 @@ object SparkEntry {
           TextAnalysis.normalizeText(col("raw")).as("norm"))
         .select(col("doc_id"), col("len_raw"),
           length(col("norm")).cast("long").as("len_norm"), col("norm"))
-        .orderBy("doc_id")
+        .presented("doc_id")
     }),
 
     // Reproducible train/valid/test split via md5-hex draws — exact oracle:
@@ -675,14 +694,14 @@ object SparkEntry {
     // the same Curation.hexThreshold constants).
     "q_sample_split" -> ((s, dir) =>
       Curation.splitCorpus(t(s, dir, "documents"), "doc_id", SplitFracs)
-        .orderBy("doc_id")),
+        .presented("doc_id")),
 
     // Corpus mixing (per-source keep probabilities) — exact oracle, same
     // generated thresholds.
     "q_mix" -> ((s, dir) =>
       Curation.mixCorpus(t(s, dir, "documents"), "doc_id", "source",
         MixWeights, default = 1.0)
-        .orderBy("doc_id")),
+        .presented("doc_id")),
 
     // End-to-end curation pipeline — quality filter → exact dedup →
     // reproducible split → per-split counts — demonstrating the operators
@@ -696,7 +715,7 @@ object SparkEntry {
       val canon = Dedup.exactDedup(docs.join(kept, "doc_id"), "doc_id", "text")
       Curation.splitCorpus(canon, "doc_id", SplitFracs)
         .groupBy("split").agg(count(lit(1)).as("n_docs"))
-        .orderBy("split")
+        .presented("split")
     }),
 
     // Context-window chunking (32-token windows, stride 16) — exact oracle:
@@ -704,14 +723,14 @@ object SparkEntry {
     "q_chunk" -> ((s, dir) =>
       Curation.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
         chunkSize = 32, stride = 16)
-        .orderBy("doc_id", "chunk_idx")),
+        .presented("doc_id", "chunk_idx")),
 
     // Stream-packing layout (pack-then-split at 256 tokens, 4 sub-shards per
     // source) — exact oracle: DuckDB recomputes the per-shard running sums.
     "q_pack" -> ((s, dir) =>
       Curation.packStream(t(s, dir, "documents"), "doc_id", "text", "source",
         budget = 256, subShards = 4)
-        .orderBy("source", "doc_id")),
+        .presented("source", "doc_id")),
 
     // Duplicate clusters via distributed connected components over the
     // exact-dup pair graph — exact oracle: on this graph components are the
@@ -724,7 +743,7 @@ object SparkEntry {
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       Graph.dedupClusters(pairs, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("component"), col("is_canonical"))
-        .orderBy("doc_id")
+        .presented("doc_id")
     }),
 
     // Containment dedup (winnow-fingerprint blocking), oracled structurally:

@@ -182,7 +182,7 @@ object TextAnalysis {
       .select(col(idCol), tokens(col(textCol)).as("__t"))
       .select(col(idCol), col("__t"),
         graft.functions.TextFunctions.ngram_hashes(col("__t"), n).as("__g"))
-    def maxRun: Column = aggregate(
+    val maxRun: Column = aggregate(
       array_sort(col("__g")),
       struct(lit(Long.MinValue).as("prev"), lit(0L).as("run"), lit(0L).as("best")),
       (acc, g) => {
@@ -192,15 +192,24 @@ object TextAnalysis {
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
-    val nToks = size(col("__t"))
-    val nDup = nToks - size(array_distinct(col("__t")))
-    staged.select(col(idCol),
-      nToks.cast("long").as("n_tokens"),
-      nDup.cast("long").as("n_dup_tokens"),
-      (nDup.cast("double") / greatest(nToks, lit(1))).as("dup_token_frac"),
-      size(col("__g")).cast("long").as("n_grams"),
-      maxRun.as("max_gram_count"),
-      (maxRun.cast("double") / greatest(size(col("__g")), lit(1))).as("top_gram_frac"))
+    // The sort+fold and array_distinct are the per-row hot path: stage each
+    // ONCE and derive the fractions from the staged columns — `aggregate` is
+    // a non-codegen higher-order function, so referencing `maxRun` twice in
+    // one projection would genuinely run the O(g log g) work twice (subexpr
+    // elimination only dedupes inside codegen'd projections).
+    staged
+      .select(col(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        (size(col("__t")) - size(array_distinct(col("__t"))))
+          .cast("long").as("n_dup_tokens"),
+        size(col("__g")).cast("long").as("n_grams"),
+        maxRun.as("max_gram_count"))
+      .select(col(idCol), col("n_tokens"), col("n_dup_tokens"),
+        (col("n_dup_tokens").cast("double") /
+          greatest(col("n_tokens"), lit(1L))).as("dup_token_frac"),
+        col("n_grams"), col("max_gram_count"),
+        (col("max_gram_count").cast("double") /
+          greatest(col("n_grams"), lit(1L))).as("top_gram_frac"))
   }
 
   /** Gopher-style document quality filter (Rae et al. 2021 §A1.1): word
