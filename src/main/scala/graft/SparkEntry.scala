@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions.simhash64
-import graft.ops.{Curation, Dedup, Graph, Multimodal, Similarity, TextAnalysis, TextSearch}
+import graft.ops.{Curation, Dedup, Graph, Intervals, Multimodal, Similarity, Stats, TextAnalysis, TextSearch}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -799,7 +799,79 @@ object SparkEntry {
           max(col("timestamp")).as("max_ts_ms"),
           sum(length(col("message"))).cast("long").as("sum_msg_len"),
           sum(col("blockNumber")).as("sum_event_id"))
+    }),
+
+    // Non-equi point-in-interval join via bin fragmentation (Intervals):
+    // order dates × derived "in transit" shipment windows, no cartesian —
+    // exact oracle: DuckDB runs the same range join natively (IEJoin).
+    "q_range_join" -> ((s, dir) => {
+      val (points, iv) = shipmentWindows(s, dir)
+      Intervals.pointIntervalJoin(points, "d", iv, "s_day", "e_day",
+          binWidth = 16L)
+        .select(col("d"), col("iv_id"))
+        .presented("d", "iv_id")
+    }),
+
+    // Zero-preserving coverage counts over the same windows ("how many
+    // shipments in transit on each order date").
+    "q_interval_coverage" -> ((s, dir) => {
+      val (points, iv) = shipmentWindows(s, dir)
+      Intervals.coverageCounts(points, "d", iv, "s_day", "e_day",
+          binWidth = 16L)
+        .presented("d")
+    }),
+
+    // Hourly volume anomalies per event type, |x−μ| > 2σ decided in PURE
+    // int64 arithmetic (Stats.volumeAnomalies) — bit-exact oracle: DuckDB
+    // evaluates the identical integer inequality.
+    "q_volume_anomaly" -> ((s, dir) =>
+      Stats.volumeAnomalies(events(s, dir), "event_type",
+          expr("ts_ms DIV 3600000"), z = 2)
+        .presented("event_type", "bucket")),
+
+    // Grouped exact quartiles of document length — bit-exact across engines
+    // because quarter interpolation over integers is exactly representable
+    // (Stats.quarterPercentiles doc).
+    "q_length_percentiles" -> ((s, dir) =>
+      Stats.quarterPercentiles(t(s, dir, "documents"), "lang", "n_chars")
+        .presented("lang")),
+
+    // Nearest-centroid assignment against a FIXED centroid set (the
+    // k-means E-step / IVF coarse pass) — shuffle-free, centroids
+    // broadcast; the 8-row driver-side collect is bounded by construction.
+    // Exact oracle: DuckDB re-ranks every (vector, centroid) pair by
+    // cosine; the emitted columns are integer ids only, so last-ulp score
+    // differences between engines cannot flip the hash (argmax ties break
+    // to the lowest cell on both sides).
+    "q_knn_assign" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centers = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").cast("int"), col("embedding"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      Similarity.assignToCentroids(emb, "vec_id", "embedding", centers)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("cell").cast("int").as("cell"))
+        .presented("vec_id")
     }))
+
+  /** Shared input for the interval queries: points = distinct order dates
+    * as epoch days; intervals = a deterministic "in transit" window per
+    * sampled lineitem (ship date + 1..28 days, derived from the keys so
+    * DuckDB rebuilds the identical windows).
+    */
+  private def shipmentWindows(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val points = t(s, dir, "orders")
+      .select(datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("d"))
+      .distinct()
+    val iv = t(s, dir, "lineitem")
+      .where(col("l_orderkey") % 7 === 0)
+      .select((col("l_orderkey") * 10 + col("l_linenumber")).as("iv_id"),
+        datediff(col("l_shipdate"), lit("1970-01-01")).cast("long").as("s_day"),
+        (datediff(col("l_shipdate"), lit("1970-01-01")).cast("long") +
+          (col("l_orderkey") + col("l_linenumber")) % 28 + 1).as("e_day"))
+    (points, iv)
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_cat_timerange" ->
@@ -1193,7 +1265,61 @@ object SparkEntry {
          | FROM (SELECT doc_id, text, length(text) AS n_chars, $tokensSql AS t,
          |     length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS n_alpha
          |   FROM documents)
-         | ORDER BY doc_id""".stripMargin)
+         | ORDER BY doc_id""".stripMargin,
+    "q_range_join" ->
+      s"""WITH $shipmentWindowsSql
+         | SELECT p.d, iv.iv_id FROM p JOIN iv
+         |   ON p.d >= iv.s_day AND p.d <= iv.e_day
+         | ORDER BY d, iv_id""".stripMargin,
+    "q_interval_coverage" ->
+      s"""WITH $shipmentWindowsSql
+         | SELECT p.d, count(iv.iv_id) AS n FROM p LEFT JOIN iv
+         |   ON p.d >= iv.s_day AND p.d <= iv.e_day
+         | GROUP BY p.d ORDER BY d""".stripMargin,
+    "q_volume_anomaly" ->
+      """WITH c AS (
+        |   SELECT event_type, epoch_ms(ts) // 3600000 AS bucket,
+        |     count(*) AS cnt
+        |   FROM events GROUP BY 1, 2),
+        | m AS (
+        |   SELECT event_type, sum(cnt) AS s, sum(cnt * cnt) AS q,
+        |     count(*) AS n
+        |   FROM c GROUP BY event_type)
+        | SELECT c.event_type, c.bucket, c.cnt,
+        |   ((m.n * c.cnt - m.s) * (m.n * c.cnt - m.s)
+        |      > 4 * (m.n * m.q - m.s * m.s))::INT AS is_anomaly
+        | FROM c JOIN m USING (event_type)
+        | ORDER BY event_type, bucket""".stripMargin,
+    "q_length_percentiles" ->
+      """SELECT lang,
+        |   quantile_cont(n_chars, 0.25) AS p25,
+        |   quantile_cont(n_chars, 0.5)  AS p50,
+        |   quantile_cont(n_chars, 0.75) AS p75
+        | FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_knn_assign" ->
+      """WITH c AS (SELECT vec_id AS cell, embedding AS cv
+        |     FROM embeddings WHERE vec_id < 8),
+        | s AS (SELECT e.vec_id, c.cell,
+        |     list_cosine_similarity(e.embedding, c.cv) AS score
+        |   FROM embeddings e CROSS JOIN c)
+        | SELECT vec_id, cell::INT AS cell FROM (
+        |   SELECT vec_id, cell, row_number()
+        |       OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+        |   FROM s)
+        | WHERE rn = 1 ORDER BY vec_id""".stripMargin)
+
+  /** DuckDB fragment: the interval queries' shared input — mirrors
+    * [[shipmentWindows]] (epoch days via datediff, same key-derived window
+    * widths).
+    */
+  private val shipmentWindowsSql =
+    """p AS (SELECT DISTINCT datediff('day', DATE '1970-01-01', o_orderdate::DATE)
+      |     AS d FROM orders),
+      | iv AS (SELECT l_orderkey * 10 + l_linenumber AS iv_id,
+      |     datediff('day', DATE '1970-01-01', l_shipdate::DATE) AS s_day,
+      |     datediff('day', DATE '1970-01-01', l_shipdate::DATE)
+      |       + (l_orderkey + l_linenumber) % 28 + 1 AS e_day
+      |   FROM lineitem WHERE l_orderkey % 7 = 0)""".stripMargin
 
   /** DuckDB fragment: the engine's tokenizer (lowercased whitespace split,
     * empties dropped) over a column named `text`.

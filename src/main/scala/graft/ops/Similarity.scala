@@ -49,6 +49,59 @@ object Similarity {
       .select(col("query_id"), col("col.id").as("neighbor_id"),
         col("col.score").as("cos"), (col("pos") + 1).as("rank"))
 
+  /** Assign every corpus vector to its nearest centroid by cosine
+    * similarity — the E-step of k-means / the coarse-assignment pass of an
+    * IVF build, exposed directly so a pipeline can bucket a corpus by a
+    * FIXED, externally-chosen centroid set (cluster-balanced sharding,
+    * semantic partitioning, replaying an existing quantizer).
+    *
+    * Embarrassingly parallel and shuffle-free: centroids (k × dim floats —
+    * tiny by construction) are broadcast, each partition scans its vectors
+    * once. Ties break to the LOWEST centroid id, matching the
+    * `ORDER BY score DESC, cell` convention an oracle re-derives. Null
+    * vectors are skipped. Output: (id, cell).
+    */
+  def assignToCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centers: Seq[(Int, Array[Float])]): DataFrame = {
+    require(centers.nonEmpty, "assignToCentroids needs at least one centroid")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      centers.sortBy(_._1).map { case (cell, v) =>
+        var i = 0; var n = 0.0
+        while (i < v.length) { n += v(i).toDouble * v(i); i += 1 }
+        (cell, v, math.sqrt(n))
+      }.toArray)
+    corpus.select(col(idCol).cast("long"), col(vecCol))
+      .where(col(vecCol).isNotNull)
+      .as[(Long, Seq[Float])]
+      .map { case (id, vSeq) =>
+        val v = vSeq.toArray
+        var vn = 0.0
+        var i = 0
+        while (i < v.length) { vn += v(i).toDouble * v(i); i += 1 }
+        val vNorm = math.sqrt(vn)
+        var bestCell = -1
+        var bestCos = Double.NegativeInfinity
+        val cents = bc.value
+        var c = 0
+        while (c < cents.length) {
+          val (cell, cv, cNorm) = cents(c)
+          var dot = 0.0
+          i = 0
+          while (i < cv.length) { dot += v(i).toDouble * cv(i); i += 1 }
+          val cos = if (vNorm == 0.0 || cNorm == 0.0) 0.0 else dot / (vNorm * cNorm)
+          if (cos > bestCos) { bestCos = cos; bestCell = cell }
+          c += 1
+        }
+        (id, bestCell)
+      }
+      .toDF(idCol, "cell")
+  }
+
   /** Exact top-k neighbors for each query vector (brute force, broadcast
     * queries). Output: (query_id, neighbor_id, cos, rank).
     */

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus/stream statistics designed for EXACT cross-engine reproducibility:
+  * every emitted number is either an integer or the result of an identical
+  * IEEE operation sequence any engine computes bit-equal, so the DuckDB
+  * oracle can hash-match them — no "approximately equal" escape hatches.
+  */
+object Stats {
+
+  /** Volume-anomaly detection over a keyed event stream: bucket counts per
+    * `(key, bucket)`, flagged when the count sits more than `z` standard
+    * deviations from the key's mean bucket volume.
+    *
+    * The flag is computed in PURE INTEGER arithmetic — |x − μ| > zσ with
+    * μ = S/n and σ² = (nQ − S²)/n² is equivalent to
+    * `(n·x − S)² > z²·(nQ − S²)` (multiply through by n²) where S = Σx and
+    * Q = Σx² are exact int64 sums — so the verdict is bit-identical across
+    * engines with no floating-point divergence. Longs hold it comfortably:
+    * at 1e6 buckets of 1e6 events, n·x ≈ 1e12 and (n·x − S)² ≈ 1e24
+    * overflows — for that regime scale counts down or use DECIMAL; at log
+    * volumes (thousands of buckets per key) everything fits with ~6 orders
+    * of headroom.
+    *
+    * Shape at scale: the raw stream collapses to one row per (key, bucket)
+    * in the first partial-aggregating shuffle; the per-key moments table is
+    * tiny (one row per key) and broadcast back. No window functions — a
+    * low-cardinality key can't funnel the corpus into one partition.
+    */
+  def volumeAnomalies(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: Column,
+      z: Int = 2): DataFrame = {
+    val counts = df
+      .groupBy(col(keyCol), bucketCol.as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val moments = counts.groupBy(col(keyCol)).agg(
+      sum(col("cnt")).as("__s"),
+      sum(col("cnt") * col("cnt")).as("__q"),
+      count(lit(1)).as("__n"))
+    val dev = col("__n") * col("cnt") - col("__s")
+    val nVar = col("__n") * col("__q") - col("__s") * col("__s")
+    counts.join(broadcast(moments), keyCol)
+      .select(col(keyCol), col("bucket"), col("cnt"),
+        (dev * dev > lit(z.toLong * z) * nVar).cast("int").as("is_anomaly"))
+  }
+
+  /** Grouped exact percentiles via Spark's `percentile` (the R-7 /
+    * linear-interpolation estimator DuckDB's `quantile_cont` also uses).
+    *
+    * Percentiles are restricted to QUARTERS (0, 0.25, 0.5, 0.75, 1) over
+    * integer-valued columns so the interpolation is bit-exact across
+    * engines: the rank position p·(n−1) and its fractional part are exact
+    * binary fractions, the two bracketing values are integers, and
+    * int·quarter products are exactly representable — so ANY algebraically
+    * equivalent interpolation formula (lower + (upper−lower)·d vs
+    * (1−d)·lower + d·upper) yields the identical double. A 0.9 percentile
+    * would NOT have that property (0.9·(n−1) rounds), and engines are free
+    * to use either formula.
+    *
+    * One partial-aggregating shuffle; exact percentile holds a per-group
+    * value-counts map, so it needs bounded DISTINCT values per group (true
+    * for lengths/counts) — for unbounded domains at 100 TB use
+    * `approx_percentile` and drop the oracle to a tolerance check.
+    */
+  def quarterPercentiles(
+      df: DataFrame,
+      keyCol: String,
+      valCol: String,
+      quarters: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    require(quarters.forall(q => q >= 0 && q <= 1 && (q * 4) == math.rint(q * 4)),
+      s"only quarter percentiles are cross-engine exact, got $quarters")
+    val aggs = quarters.map(q =>
+      expr(s"percentile($valCol, $q)").as(s"p${math.round(q * 100)}"))
+    df.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
+}

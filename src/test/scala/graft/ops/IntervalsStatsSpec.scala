@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+import org.apache.spark.sql.functions._
+
+class IntervalsStatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pointIntervalJoin matches brute force across bin boundaries") {
+    // Intervals chosen to cover the tricky shapes: inside one bin, spanning
+    // several bins, zero-length, touching a bin edge exactly, and
+    // degenerate (end < start — must match nothing).
+    val iv = Seq(
+      (1L, 3L, 7L), (2L, 8L, 29L), (3L, 15L, 15L),
+      (4L, 9L, 10L), (5L, 20L, 11L)).toDF("iv_id", "s", "e")
+    val pts = (0L to 32L).toDF("t")
+    val got = Intervals.pointIntervalJoin(pts, "t", iv, "s", "e", binWidth = 10L)
+      .select("t", "iv_id").as[(Long, Long)].collect().toSet
+    val brute = (for {
+      (id, s, e) <- Seq((1L, 3L, 7L), (2L, 8L, 29L), (3L, 15L, 15L), (4L, 9L, 10L))
+      t <- 0L to 32L if t >= s && t <= e
+    } yield (t, id)).toSet
+    assert(got === brute)
+    assert(!got.exists(_._2 == 5L))
+  }
+
+  test("coverageCounts preserves zero-coverage points") {
+    val iv = Seq((1L, 5L, 9L), (2L, 7L, 12L)).toDF("iv_id", "s", "e")
+    val pts = Seq(1L, 6L, 8L, 20L).toDF("t")
+    val got = Intervals.coverageCounts(pts, "t", iv, "s", "e", binWidth = 4L)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 6L -> 1L, 8L -> 2L, 20L -> 0L))
+  }
+
+  test("volumeAnomalies integer verdict equals the floating-point z-test") {
+    // One key with a clear spike, one uniform key (zero variance — nothing
+    // |x−μ| > 2σ since every x equals μ).
+    val rows =
+      (1 to 5).flatMap(b => Seq.fill(10)(("a", b))) ++ Seq.fill(60)(("a", 6)) ++
+      (1 to 4).flatMap(b => Seq.fill(7)(("b", b)))
+    val df = rows.toDF("k", "b")
+    val got = Stats.volumeAnomalies(df, "k", col("b"), z = 2)
+      .select("k", "bucket", "cnt", "is_anomaly")
+      .as[(String, Int, Long, Int)].collect()
+    val byKey = got.groupBy(_._1)
+    for ((_, g) <- byKey) {
+      val n = g.length.toDouble
+      val mean = g.map(_._3).sum / n
+      val varr = g.map(r => (r._3 - mean) * (r._3 - mean)).sum / n
+      for ((_, _, cnt, flag) <- g) {
+        val expect = math.abs(cnt - mean) > 2 * math.sqrt(varr)
+        assert(flag == (if (expect) 1 else 0), s"cnt=$cnt mean=$mean var=$varr")
+      }
+    }
+    assert(got.filter(_._1 == "a").count(_._4 == 1) === 1)
+    assert(got.filter(_._1 == "b").forall(_._4 == 0))
+  }
+
+  test("quarterPercentiles interpolates quarters exactly; rejects non-quarters") {
+    val df = Seq(("x", 1), ("x", 2), ("x", 3), ("x", 10),
+      ("y", 4), ("y", 8)).toDF("k", "v")
+    val got = Stats.quarterPercentiles(df, "k", "v")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // x: sorted [1,2,3,10], positions 0.75/1.5/2.25 → 1.75, 2.5, 4.75.
+    assert(got("x") === ((1.75, 2.5, 4.75)))
+    assert(got("y") === ((5.0, 6.0, 7.0)))
+    intercept[IllegalArgumentException] {
+      Stats.quarterPercentiles(df, "k", "v", Seq(0.9))
+    }
+  }
+
+  test("assignToCentroids: nearest by cosine, ties to lowest cell, nulls skipped") {
+    val centers = Seq(
+      0 -> Array(1f, 0f, 0f),
+      1 -> Array(0f, 1f, 0f),
+      2 -> Array(1f, 0f, 0f)) // duplicate of cell 0 — ties must pick 0
+    val corpus = Seq(
+      (10L, Seq(0.9f, 0.1f, 0f)),
+      (11L, Seq(0.1f, 0.9f, 0f)),
+      (12L, Seq(1f, 0f, 0f)),
+      (13L, null.asInstanceOf[Seq[Float]])).toDF("id", "vec")
+    val got = Similarity.assignToCentroids(corpus, "id", "vec", centers)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(10L -> 0, 11L -> 1, 12L -> 0))
+  }
+}
