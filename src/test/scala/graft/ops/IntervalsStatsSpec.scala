@@ -71,6 +71,56 @@ class IntervalsStatsSpec extends SparkTestBase {
     }
   }
 
+  test("pointIntervalJoin equals brute force on random inputs (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      nIv <- Gen.choose(0, 40)
+      iv <- Gen.listOfN(nIv, for {
+        s <- Gen.choose(-50L, 150L)
+        len <- Gen.choose(-5L, 60L) // negative → degenerate, must match nothing
+      } yield (s, s + len))
+      pts <- Gen.listOfN(30, Gen.choose(-60L, 200L))
+      bw <- Gen.oneOf(1L, 3L, 7L, 16L, 64L)
+    } yield (iv, pts, bw)
+    for (i <- 0 until 8) {
+      val (iv, pts, bw) = gen(Gen.Parameters.default, Seed(42L + i)).get
+      val ivDf = iv.zipWithIndex.map { case ((s, e), id) => (id.toLong, s, e) }
+        .toDF("iv_id", "s", "e")
+      val ptDf = pts.zipWithIndex.map { case (t, id) => (id.toLong, t) }
+        .toDF("pt_id", "t")
+      val got = Intervals.pointIntervalJoin(ptDf, "t", ivDf, "s", "e", bw)
+        .select("pt_id", "iv_id").as[(Long, Long)].collect().toSet
+      val brute = (for {
+        ((s, e), ivId) <- iv.zipWithIndex
+        (t, ptId) <- pts.zipWithIndex
+        if t >= s && t <= e
+      } yield (ptId.toLong, ivId.toLong)).toSet
+      assert(got === brute, s"seed=${42 + i} bw=$bw")
+    }
+  }
+
+  test("scale guards: no nested-loop join in interval join, broadcast moments") {
+    // Bin fragmentation must plan an EQUI join — a cartesian/nested-loop
+    // node means the rewrite regressed to the O(n·m) shape it exists to
+    // avoid. (With a broadcast-sized side Spark may legitimately pick
+    // BroadcastHashJoin; only the nested-loop/cartesian families are
+    // forbidden.)
+    val iv = (0L until 200L).map(i => (i, i * 3, i * 3 + 10)).toDF("iv_id", "s", "e")
+    val pts = (0L until 300L).toDF("t")
+    val joinPlan = Intervals.pointIntervalJoin(pts, "t", iv, "s", "e", 8L)
+      .queryExecution.executedPlan.toString
+    assert(!joinPlan.contains("BroadcastNestedLoopJoin") &&
+      !joinPlan.contains("CartesianProduct"), joinPlan)
+    // volumeAnomalies must broadcast the tiny per-key moments table and
+    // plan no window (a low-cardinality key would collapse a window).
+    val ev = (0L until 1000L).map(i => (s"k${i % 3}", i % 50)).toDF("k", "b")
+    val anomPlan = Stats.volumeAnomalies(ev, "k", col("b"))
+      .queryExecution.executedPlan.toString
+    assert(anomPlan.contains("BroadcastHashJoin"), anomPlan)
+    assert(!anomPlan.contains("Window"), anomPlan)
+  }
+
   test("assignToCentroids: nearest by cosine, ties to lowest cell, nulls skipped") {
     val centers = Seq(
       0 -> Array(1f, 0f, 0f),
