@@ -105,6 +105,83 @@ object LogStream {
       }
   }
 
+  case class AnomalyInput(key: String, eventTimeMs: Long)
+  /** Internal: AnomalyInput + the watermarked event-time column. */
+  case class AnomalyEvent(key: String, eventTimeMs: Long, et: Timestamp)
+  /** Per-key state: counts of still-open buckets + integer moments
+    * (n, Σx, Σx²) of every bucket closed so far.
+    */
+  case class AnomalyMoments(open: Map[Long, Long], n: Long, s: Long, q: Long)
+  case class AnomalyOutput(key: String, bucket: Long, cnt: Long, isAnomaly: Boolean)
+
+  /** Online volume-anomaly detection — the continuous form of
+    * [[graft.ops.Stats.volumeAnomalies]]: per key, count events into
+    * fixed-width event-time buckets; when the watermark passes a bucket's
+    * end the bucket is FINAL and is emitted with a verdict against the
+    * key's history so far, then folded into the running moments.
+    *
+    * The verdict is the same pure-int64 inequality as the batch operator
+    * ((n·x − S)² > z²(nQ − S²), see Stats.volumeAnomalies for the overflow
+    * envelope), so a replayed stream and the batch job agree bit-for-bit.
+    * Buckets close in event-time order per key (closable buckets are
+    * processed ascending), so the moments a bucket is judged against are
+    * exactly the buckets before it. No verdict until `minHistory` buckets
+    * have closed (early history flags everything — with one prior bucket,
+    * σ = 0 and any change is "anomalous").
+    *
+    * State is one (map of open buckets + 3 longs) per key: open buckets are
+    * bounded by the watermark horizon / bucketMs; the moments persist for
+    * the key's lifetime — that long baseline is the point of the operator,
+    * and state is bounded by key cardinality, not stream length. Events
+    * later than the watermark (their bucket already closed) are dropped,
+    * mirroring append-mode windowed aggregation.
+    */
+  def bucketAnomalies(
+      events: Dataset[AnomalyInput],
+      bucketMs: Long = 3600000L,
+      z: Int = 2,
+      minHistory: Int = 5,
+      watermark: String = "10 minutes"): Dataset[AnomalyOutput] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val withWm = events.toDF()
+      .withColumn("et", timestamp_millis(col("eventTimeMs")))
+      .withWatermark("et", watermark)
+      .as[AnomalyEvent]
+    withWm
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AnomalyMoments, AnomalyOutput](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state: GroupState[AnomalyMoments]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val st0 = state.getOption.getOrElse(AnomalyMoments(Map.empty, 0L, 0L, 0L))
+          // Fold this batch's events into open-bucket counts, dropping
+          // too-late events whose bucket is already final.
+          val open = rows.foldLeft(st0.open) { (m, e) =>
+            val b = Math.floorDiv(e.eventTimeMs, bucketMs)
+            if ((b + 1) * bucketMs <= wm) m
+            else m.updated(b, m.getOrElse(b, 0L) + 1L)
+          }
+          val (closable, still) = open.partition { case (b, _) =>
+            (b + 1) * bucketMs <= wm
+          }
+          var (n, s, q) = (st0.n, st0.s, st0.q)
+          val out = closable.toSeq.sortBy(_._1).map { case (b, cnt) =>
+            val dev = n * cnt - s
+            val anom = n >= minHistory && dev * dev > z.toLong * z * (n * q - s * s)
+            n += 1; s += cnt; q += cnt * cnt
+            AnomalyOutput(key, b, cnt, anom)
+          }
+          state.update(AnomalyMoments(still, n, s, q))
+          // Wake up when the watermark can close the next open bucket, so a
+          // key that goes quiet still flushes its pending buckets.
+          if (still.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              (still.keys.min + 1) * bucketMs, wm + 1))
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup: drop rows whose content hash was already seen
     * within the watermark horizon — the continuous form of
     * [[graft.ops.Dedup.exactDedup]] for ingest-time dedup of a document

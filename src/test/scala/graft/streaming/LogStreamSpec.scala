@@ -123,6 +123,38 @@ class LogStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("bucketAnomalies flags a spike online with the integer verdict") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[LogStream.AnomalyInput]
+    val anomalies = LogStream.bucketAnomalies(input.toDS(),
+      bucketMs = 1000L, z = 2, minHistory = 3, watermark = "0 seconds")
+    val q = anomalies.writeStream.format("memory").queryName("anomalies")
+      .outputMode("append").start()
+    def feed(pairs: (String, Long)*): Unit = {
+      input.addData(pairs.map { case (k, t) => LogStream.AnomalyInput(k, t) }: _*)
+      q.processAllAvailable()
+    }
+    try {
+      // Steady history: buckets 0..4 carry 2 events each for key "a".
+      for (b <- 0L to 4L) feed(("a", b * 1000 + 10), ("a", b * 1000 + 500))
+      // Spike: bucket 5 carries 20 events.
+      feed((0 until 20).map(i => ("a", 5000L + i)): _*)
+      // Post-spike normal bucket, then a far-future event to push the
+      // watermark past everything pending.
+      feed(("a", 6010L), ("a", 6500L))
+      feed(("a", 100000L))
+      val out = spark.table("anomalies").as[LogStream.AnomalyOutput]
+        .collect().sortBy(_.bucket)
+      val byBucket = out.map(o => o.bucket -> o).toMap
+      // Buckets 0..4 and 6 are steady (cnt 2); only the spike is flagged,
+      // and only after minHistory buckets closed (0..2 judged with n < 3).
+      assert(out.map(o => (o.bucket, o.cnt)).toSeq ===
+        (0L to 6L).map(b => (b, if (b == 5) 20L else 2L)))
+      assert(byBucket(5L).isAnomaly)
+      assert(out.filter(_.bucket != 5L).forall(!_.isAnomaly))
+    } finally q.stop()
+  }
+
   test("streaming text-to-boom ingest") {
     val in = Files.createTempDirectory("stream-in").toString
     val out = Files.createTempDirectory("stream-out").toString
