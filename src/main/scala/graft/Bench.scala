@@ -58,11 +58,11 @@ object Bench {
     // millisecond precision and the median map only; the per-query minima and
     // full precision go to the JSON file instead.
     def fmt(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
-    def toJson(sel: ((Double, Double)) => Double): String =
-      results.map { case (k, v) => s"\"" + k + "\":" + fmt(sel(v)) }.mkString("{", ",", "}")
+    def toJson(sel: ((Double, Double)) => Double, f: Double => String): String =
+      results.map { case (k, v) => s"\"" + k + "\":" + f(sel(v)) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(_._1)},"sf":"$sfDir"}"""
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(_._1)},"queries_min":${toJson(_._2)},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(_._1, fmt)},"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(_._1, _.toString)},"queries_min":${toJson(_._2, _.toString)},"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "bench_result.json")
     Files.writeString(Paths.get(outPath), fullJson + "\n")
     println(json)

@@ -1297,10 +1297,14 @@ object SparkEntry {
         |   quantile_cont(n_chars, 0.75) AS p75
         | FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_knn_assign" ->
-      """WITH c AS (SELECT vec_id AS cell, embedding AS cv
+      """WITH c AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
         |     FROM embeddings WHERE vec_id < 8),
         | s AS (SELECT e.vec_id, c.cell,
-        |     list_cosine_similarity(e.embedding, c.cv) AS score
+        |     CASE WHEN isnan(list_cosine_similarity(
+        |              CAST(e.embedding AS DOUBLE[]), c.cv))
+        |          THEN 0.0
+        |          ELSE list_cosine_similarity(
+        |              CAST(e.embedding AS DOUBLE[]), c.cv) END AS score
         |   FROM embeddings e CROSS JOIN c)
         | SELECT vec_id, cell::INT AS cell FROM (
         |   SELECT vec_id, cell, row_number()

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed graph helpers for dedup clustering: the pair-finding
   * operators ([[Dedup.dupePairs]], [[Dedup.minhashDupePairs]], …) emit
@@ -16,17 +17,22 @@ object Graph {
     * among itself and its neighbors, until a fixpoint (checked with a
     * 1-row aggregate per round, not a collect).
     *
-    * Rounds needed = graph diameter. Duplicate clusters are near-cliques
-    * (pair generators emit most intra-cluster pairs), so 2–3 rounds close
-    * them; `maxIter` bounds adversarial chains. Each round is ONE shuffle
-    * (join + min-aggregate on ids only — no payload); each round's labels
-    * are `localCheckpoint`ed, which BOTH caches the rows and truncates the
-    * logical plan — `labels` feeds two branches per round (offers + next),
-    * so without truncation the plan doubles every iteration and planning
-    * itself blows up exponentially around round 10. For graphs with
-    * genuinely large diameters switch to the O(log n)-round
-    * alternating-star algorithm (Kiveris et al. 2014) — duplicate
-    * clustering never needs it.
+    * A diameter-D graph needs D propagation rounds plus ONE extra round
+    * that observes zero changes, so the minimum sufficient `maxIter` is
+    * D + 1. Duplicate clusters are near-cliques (pair generators emit most
+    * intra-cluster pairs), so 3–4 rounds close them; `maxIter` bounds
+    * adversarial chains. Each round is ONE shuffle (join + min-aggregate
+    * on ids only — no payload). Each round's labels are re-seated on a
+    * persisted row RDD (`createDataFrame` over `df.rdd`): the DataFrame
+    * becomes a LEAF plan, so the logical tree stays constant-size across
+    * rounds (`labels` feeds two branches per round — offers + next — and
+    * an unbroken plan would double every iteration, blowing up planning
+    * around round 10), while the RDD keeps its lineage (an executor loss
+    * recomputes, unlike a localCheckpoint) and the PREVIOUS round is
+    * unpersisted eagerly, so at most two label snapshots are ever
+    * materialized. For graphs with genuinely large diameters switch to the
+    * O(log n)-round alternating-star algorithm (Kiveris et al. 2014) —
+    * duplicate clustering never needs it.
     *
     * @param edges two id columns (`srcCol`, `dstCol`), undirected.
     * @param strict when true (default), throw if `maxIter` rounds pass
@@ -44,11 +50,15 @@ object Graph {
       dstCol: String,
       maxIter: Int = 20,
       strict: Boolean = true): DataFrame = {
+    val spark = edges.sparkSession
     val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
     val adj = sym.distinct().persist()
-    var labels = adj.select(col("u").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+    val init = adj.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id"))
+    val labelSchema = init.schema
+    var labelsRdd = init.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = spark.createDataFrame(labelsRdd, labelSchema)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -57,14 +67,15 @@ object Graph {
       val offers = adj.join(labels, adj("v") === labels("id"))
         .select(col("u").as("id"), col("comp").as("offer"))
         .groupBy("id").agg(min(col("offer")).as("offer"))
-      // Eager localCheckpoint: materializes this round AND resets the plan
-      // to a leaf, so round N+1 plans against a constant-size tree.
-      val next = labels.join(offers, Seq("id"), "left")
+      val nextRdd = labels.join(offers, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("offer"), col("comp"))).as("comp"))
-        .localCheckpoint()
+        .rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      val next = spark.createDataFrame(nextRdd, labelSchema)
       val changed = next.join(labels.withColumnRenamed("comp", "__old"), "id")
         .where(col("comp") =!= col("__old")).limit(1).count()
+      labelsRdd.unpersist(blocking = false)
+      labelsRdd = nextRdd
       labels = next
       converged = changed == 0L
       it += 1
@@ -73,7 +84,8 @@ object Graph {
     if (!converged) {
       val msg = s"connectedComponents did not converge within $maxIter rounds: " +
         "labels are only partially propagated and would split real clusters. " +
-        "Raise maxIter (rounds needed = graph diameter)."
+        "Raise maxIter (rounds needed = graph diameter + 1 — the final " +
+        "round observes the fixpoint)."
       if (strict) throw new IllegalStateException(msg)
       else System.err.println(s"[graft] WARNING: $msg")
     }

@@ -19,11 +19,14 @@ import org.apache.spark.sql.functions._
 object Intervals {
 
   /** Join `points` to every interval containing them ([start, end], both
-    * inclusive). `tCol`/`startCol`/`endCol` must be on the same numeric
-    * axis (e.g. epoch days or epoch millis — callers convert timestamps
-    * first; binning needs plain integer division). Degenerate intervals
-    * with `end < start` match nothing. Output: all point columns plus all
-    * interval columns.
+    * inclusive). `tCol`/`startCol`/`endCol` must be INTEGRAL columns on the
+    * same numeric axis (epoch days, millis, nanos — callers convert
+    * timestamps first). Binning is exact integer floor division over the
+    * full int64 range: a double `floor(c / w)` would misplace values past
+    * 2^53 (epoch NANOS are ~1.7e18 — with a small bin width the rounded
+    * quotient lands whole bins away and the join silently drops matches).
+    * Degenerate intervals with `end < start` match nothing. Output: all
+    * point columns plus all interval columns.
     */
   def pointIntervalJoin(
       points: DataFrame,
@@ -33,11 +36,16 @@ object Intervals {
       endCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    def bin(c: Column): Column = floor(c / lit(binWidth)).cast("long")
+    // floorDiv in exact int64: subtract the (non-negative) pmod, then the
+    // SQL integer-division operator DIV — every step stays integral (the
+    // DataFrame `/` operator is DOUBLE division and would reintroduce the
+    // 2^53 rounding this guards against).
+    def bin(name: String): Column =
+      expr(s"CAST((`$name` - pmod(`$name`, ${binWidth}L)) DIV ${binWidth}L AS BIGINT)")
     val iv = intervals
       .where(col(endCol) >= col(startCol))
-      .withColumn("__bin", explode(sequence(bin(col(startCol)), bin(col(endCol)))))
-    val pt = points.withColumn("__bin", bin(col(tCol)))
+      .withColumn("__bin", explode(sequence(bin(startCol), bin(endCol))))
+    val pt = points.withColumn("__bin", bin(tCol))
     pt.join(iv, "__bin")
       .where(col(tCol) >= col(startCol) && col(tCol) <= col(endCol))
       .drop("__bin")

@@ -67,6 +67,8 @@ object Similarity {
       vecCol: String,
       centers: Seq[(Int, Array[Float])]): DataFrame = {
     require(centers.nonEmpty, "assignToCentroids needs at least one centroid")
+    require(centers.map(_._2.length).distinct.size == 1,
+      s"centroids must share one dimension, got ${centers.map(_._2.length).distinct}")
     val spark = corpus.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(
@@ -80,6 +82,12 @@ object Similarity {
       .as[(Long, Seq[Float])]
       .map { case (id, vSeq) =>
         val v = vSeq.toArray
+        val dim = bc.value.head._2.length
+        if (v.length != dim)
+          throw new IllegalArgumentException(
+            s"corpus vector for id=$id has dim ${v.length}, centroids have " +
+              s"dim $dim — a truncated dot product would silently assign " +
+              "the wrong cell")
         var vn = 0.0
         var i = 0
         while (i < v.length) { vn += v(i).toDouble * v(i); i += 1 }

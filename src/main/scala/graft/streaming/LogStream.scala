@@ -122,10 +122,16 @@ object LogStream {
     *
     * The verdict is the same pure-int64 inequality as the batch operator
     * ((n·x − S)² > z²(nQ − S²), see Stats.volumeAnomalies for the overflow
-    * envelope), so a replayed stream and the batch job agree bit-for-bit.
-    * Buckets close in event-time order per key (closable buckets are
-    * processed ascending), so the moments a bucket is judged against are
-    * exactly the buckets before it. No verdict until `minHistory` buckets
+    * envelope), so replaying the same stream is fully deterministic — no
+    * floating-point divergence across runs. The BASELINE differs from the
+    * batch operator by design: each bucket here is judged ONLINE against
+    * only the buckets closed before it (the information available at emit
+    * time), while batch [[graft.ops.Stats.volumeAnomalies]] judges every
+    * bucket against the full history including itself — so flags near the
+    * start of a stream or around regime changes can legitimately differ
+    * between the two. Buckets close in event-time order per key (closable
+    * buckets are processed ascending), so the judging moments are exactly
+    * the buckets before it. No verdict until `minHistory` buckets
     * have closed (early history flags everything — with one prior bucket,
     * σ = 0 and any change is "anomalous").
     *
