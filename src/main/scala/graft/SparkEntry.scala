@@ -746,6 +746,22 @@ object SparkEntry {
         .presented("doc_id")
     }),
 
+    // Same cluster semantics through the O(log n)-round alternating-star
+    // algorithm (Kiveris et al. 2014) — the large-diameter scale path;
+    // identical oracle (components of the exact-dup graph = per-md5-group
+    // min ids).
+    "q_dedup_clusters_star" -> ((s, dir) => {
+      val dd = docsWithDupes(s, dir)
+      val d = dd.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      val pairs = d.as("a")
+        .join(d.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      Graph.connectedComponentsStar(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("comp").as("component"),
+          (col("id") === col("comp")).cast("int").as("is_canonical"))
+        .presented("doc_id")
+    }),
+
     // Containment dedup (winnow-fingerprint blocking), oracled structurally:
     // exact-duplicate pairs have containment 1.0 and share every
     // fingerprint, so all of them must surface.
@@ -963,6 +979,14 @@ object SparkEntry {
          | FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id
          | ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_clusters" ->
+      s"""WITH d AS (SELECT doc_id, md5(text) AS h FROM $docsWithDupesSql),
+         |   g AS (SELECT h FROM d GROUP BY h HAVING count(*) >= 2)
+         | SELECT doc_id, min_id AS component,
+         |   (doc_id = min_id)::INT AS is_canonical
+         | FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY d.h) AS min_id
+         |   FROM d JOIN g USING (h))
+         | ORDER BY doc_id""".stripMargin,
+    "q_dedup_clusters_star" ->
       s"""WITH d AS (SELECT doc_id, md5(text) AS h FROM $docsWithDupesSql),
          |   g AS (SELECT h FROM d GROUP BY h HAVING count(*) >= 2)
          | SELECT doc_id, min_id AS component,

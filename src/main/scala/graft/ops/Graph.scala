@@ -92,6 +92,88 @@ object Graph {
     labels
   }
 
+  /** Connected components in O(log n) ROUNDS by alternating large-star /
+    * small-star operations (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC 2014) — the scale path for graphs whose
+    * diameter makes per-round min-label propagation
+    * ([[connectedComponents]]) too slow: a diameter-D chain needs D
+    * label-propagation rounds but only ~log D alternation rounds.
+    *
+    * Each operation is expressed as one aggregation + one join on ids only
+    * (no adjacency lists are ever collected — a high-degree node's
+    * neighborhood stays distributed):
+    *   - large-star, per node u: every neighbor v > u re-attaches to
+    *     m = min(Γ(u) ∪ {u});
+    *   - small-star, per node u over its smaller neighbors N: every
+    *     v ∈ N ∪ {u} re-attaches to min(N).
+    * Both preserve connectivity and strictly flatten trees toward stars;
+    * at the fixpoint every component is a star centered on its minimum id.
+    * Labels round-trip through a persisted row RDD each iteration (leaf
+    * plan, eager unpersist of the previous round) exactly like
+    * [[connectedComponents]].
+    *
+    * @return (id, comp) for every node in `edges`; comp = min reachable id.
+    */
+  def connectedComponentsStar(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    val nodes = edges.select(col(srcCol).as("id"))
+      .unionByName(edges.select(col(dstCol).as("id"))).distinct().persist()
+    // Working edge set (a, b), kept distinct; after the first small-star
+    // every edge points big → small, i.e. b < a.
+    val init = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val edgeSchema = init.schema
+    var curRdd = init.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    var cur = spark.createDataFrame(curRdd, edgeSchema)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // Large-star over the symmetric view: m(u) = min(Γ(u) ∪ {u});
+      // emit (v, m(u)) for v ∈ Γ(u), v > u.
+      val sym = cur.unionByName(cur.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy("a")
+        .agg(min(col("b")).as("__mn"))
+        .select(col("a"), least(col("a"), col("__mn")).as("__m"))
+      val ls = sym.join(mins, "a")
+        .where(col("b") > col("a"))
+        .select(col("b").as("a"), col("__m").as("b"))
+        .where(col("a") =!= col("b")).distinct()
+      // Small-star: edges now point big → small; per big endpoint u with
+      // smaller neighbors N, emit (v, min(N)) for v ∈ N ∪ {u}, v ≠ min(N).
+      val mins2 = ls.groupBy("a").agg(min(col("b")).as("__m"))
+      val ss = ls.join(mins2, "a")
+        .where(col("b") =!= col("__m"))
+        .select(col("b").as("a"), col("__m").as("b"))
+        .unionByName(mins2.select(col("a"), col("__m").as("b")))
+        .distinct()
+      val nextRdd = ss.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      val next = spark.createDataFrame(nextRdd, edgeSchema)
+      val changed = next.unionByName(cur).groupBy("a", "b")
+        .agg(count(lit(1)).as("__n")).where(col("__n") === 1)
+        .limit(1).count()
+      curRdd.unpersist(blocking = false)
+      curRdd = nextRdd
+      cur = next
+      converged = changed == 0L
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge within $maxIter rounds " +
+          "(expected O(log n)); the edge set is still changing.")
+    // At the fixpoint `cur` is a star forest (node → center). Nodes absent
+    // from the a-side are centers or isolated — they label themselves.
+    val out = nodes.join(cur.select(col("a").as("id"), col("b").as("__c")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("__c"), col("id")).as("comp"))
+    nodes.unpersist()
+    out
+  }
+
   /** Duplicate clusters from a pair list: (id, component, is_canonical) —
     * canonical = the component's smallest id (the keeper under the usual
     * keep-first policy; join any other per-component policy on `component`).

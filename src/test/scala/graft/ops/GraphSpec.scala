@@ -46,6 +46,31 @@ class GraphSpec extends SparkTestBase {
     assert(full.values.toSet === Set(0L))
   }
 
+  test("alternating-star CC handles a long chain in O(log n) rounds") {
+    // A 128-link chain has diameter 128: min-label propagation would need
+    // 129 rounds, the alternating-star algorithm converges well inside its
+    // default maxIter = 50 (expected ~2 log n).
+    val chain = (0L until 128L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Graph.connectedComponentsStar(chain, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === 129)
+    assert(got.values.toSet === Set(0L))
+  }
+
+  test("alternating-star CC equals min-label propagation on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val edges = Seq.fill(80)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter { case (a, b) => a != b }
+        .toDF("a", "b")
+      val star = Graph.connectedComponentsStar(edges, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val label = Graph.connectedComponents(edges, "a", "b", maxIter = 30)
+        .as[(Long, Long)].collect().toMap
+      assert(star === label)
+    }
+  }
+
   test("dedupClusters marks the min id of each cluster canonical") {
     val pairs = Seq((2L, 9L), (9L, 4L), (30L, 31L)).toDF("id_a", "id_b")
     val got = Graph.dedupClusters(pairs, "id_a", "id_b")
