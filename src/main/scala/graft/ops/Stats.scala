@@ -25,15 +25,20 @@ object Stats {
     * of headroom.
     *
     * Shape at scale: the raw stream collapses to one row per (key, bucket)
-    * in the first partial-aggregating shuffle; the per-key moments table is
-    * tiny (one row per key) and broadcast back. No window functions — a
-    * low-cardinality key can't funnel the corpus into one partition.
+    * in the first partial-aggregating shuffle; the per-key moments table
+    * (one row per key) is broadcast back by default. No window functions —
+    * a low-cardinality key can't funnel the corpus into one partition.
+    * `broadcastMoments = false` drops the hint for EXTREME key
+    * cardinalities (tens of millions of keys blow the broadcast budget);
+    * the fallback shuffle joins on the key, whose per-key volume is
+    * already bounded by its bucket count.
     */
   def volumeAnomalies(
       df: DataFrame,
       keyCol: String,
       bucketCol: Column,
-      z: Int = 2): DataFrame = {
+      z: Int = 2,
+      broadcastMoments: Boolean = true): DataFrame = {
     val counts = df
       .groupBy(col(keyCol), bucketCol.as("bucket"))
       .agg(count(lit(1)).as("cnt"))
@@ -43,7 +48,7 @@ object Stats {
       count(lit(1)).as("__n"))
     val dev = col("__n") * col("cnt") - col("__s")
     val nVar = col("__n") * col("__q") - col("__s") * col("__s")
-    counts.join(broadcast(moments), keyCol)
+    counts.join(if (broadcastMoments) broadcast(moments) else moments, keyCol)
       .select(col(keyCol), col("bucket"), col("cnt"),
         (dev * dev > lit(z.toLong * z) * nVar).cast("int").as("is_anomaly"))
   }
