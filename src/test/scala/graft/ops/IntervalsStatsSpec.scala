@@ -119,6 +119,13 @@ class IntervalsStatsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(anomPlan.contains("BroadcastHashJoin"), anomPlan)
     assert(!anomPlan.contains("Window"), anomPlan)
+    // The extreme-cardinality fallback (no broadcast hint) must produce the
+    // identical result set.
+    val hinted = Stats.volumeAnomalies(ev, "k", col("b"))
+      .as[(String, Long, Long, Int)].collect().toSet
+    val unhinted = Stats.volumeAnomalies(ev, "k", col("b"), broadcastMoments = false)
+      .as[(String, Long, Long, Int)].collect().toSet
+    assert(hinted === unhinted)
   }
 
   test("assignToCentroids: nearest by cosine, ties to lowest cell, nulls skipped") {
