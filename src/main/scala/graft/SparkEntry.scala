@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions.simhash64
-import graft.ops.{Curation, Dedup, Graph, Intervals, Multimodal, Similarity, Stats, TextAnalysis, TextSearch}
+import graft.ops.{Curation, Dedup, Graph, Intervals, Multimodal, Similarity, Sketches, Stats, TextAnalysis, TextSearch}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -600,6 +600,14 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token"))
         .limit(50)),
 
+    // Count–Min-sketch-audited heavy hitters: the exact top-50 (same rows
+    // as q_token_freq) each checked against the sketch's estimate, emitted
+    // as an audit bit (recall-harness pattern). Exact oracle: DuckDB
+    // recomputes the exact counts and asserts the bit — the seeded sketch
+    // is deterministic, so est_ok=1 is reproducible, not probabilistic.
+    "q_cms_heavy_hitters" -> ((s, dir) =>
+      Sketches.cmsAuditedTopTokens(t(s, dir, "documents"), "text", k = 50)),
+
     // Gopher repetition signals (dup-token fraction, most-frequent-bigram
     // count) — exact oracle: DuckDB recomputes via unnest + group-by where
     // the operator uses a narrow sorted-run fold.
@@ -1095,6 +1103,12 @@ object SparkEntry {
       s"""SELECT token, count(*) AS n
          | FROM (SELECT unnest($tokensSql) AS token FROM documents)
          | GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "q_cms_heavy_hitters" ->
+      s"""SELECT token, n, 1 AS est_ok FROM (
+         |   SELECT token, count(*) AS n
+         |   FROM (SELECT unnest($tokensSql) AS token FROM documents)
+         |   GROUP BY token ORDER BY n DESC, token LIMIT 50)
+         | ORDER BY n DESC, token""".stripMargin,
     "q_bm25" ->
       TextSearch.bm25RankOracleSql("documents", "doc_id", tokensSql, Bm25Terms, k = 20),
     "q_decontaminate" ->

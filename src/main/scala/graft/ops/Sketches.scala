@@ -1,0 +1,55 @@
+package graft.ops
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Mergeable-sketch operators. A sketch is the scale answer when the exact
+  * aggregate's key space is unbounded: the Count–Min structure is a few KB
+  * per partition regardless of input size, partials merge associatively in
+  * the ordinary aggregation tree, and the estimate error is a proven bound
+  * (Cormode & Muthukrishnan 2005: est ∈ [true, true + ε·N] with
+  * probability ≥ confidence, overestimates only).
+  */
+object Sketches {
+
+  /** Exact heavy hitters AUDITED by a Count–Min sketch built in the same
+    * job: emits the exact top-k tokens with `est_ok = 1` when the sketch
+    * estimate honors the CMS contract (never below the true count, within
+    * `4ε·N` above it — 4× the single-query bound, so k simultaneous checks
+    * hold with margin; the seeded sketch is fully deterministic, so the
+    * audit is reproducible, not flaky).
+    *
+    * Shape at scale: the sketch side is one aggregation to a few-KB buffer
+    * (no key-space shuffle at all — this is what survives an unbounded
+    * vocabulary); the exact side is the usual partial-agg + k-bounded
+    * TakeOrdered. The sketch's own `totalCount` supplies N — no extra
+    * counting pass. The driver holds one sketch and k rows, both bounded.
+    */
+  def cmsAuditedTopTokens(
+      df: DataFrame,
+      textCol: String,
+      k: Int = 50,
+      eps: Double = 0.0005,
+      confidence: Double = 0.999,
+      seed: Int = 42): DataFrame = {
+    val toks = df.select(
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    val sketchBytes = toks
+      .agg(expr(s"count_min_sketch(token, ${eps}d, ${confidence}d, $seed)"))
+      .first().getAs[Array[Byte]](0)
+    val cms = CountMinSketch.readFrom(new ByteArrayInputStream(sketchBytes))
+    val slack = math.ceil(4 * eps * cms.totalCount()).toLong
+    val estOk = udf { (token: String, n: Long) =>
+      val est = cms.estimateCount(token.getBytes(StandardCharsets.UTF_8))
+      if (est >= n && est - n <= slack) 1 else 0
+    }
+    toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+      .withColumn("est_ok", estOk(col("token"), col("n")))
+  }
+}
