@@ -129,6 +129,7 @@ object Graph {
     val edgeSchema = init.schema
     var curRdd = init.rdd.persist(StorageLevel.MEMORY_AND_DISK)
     var cur = spark.createDataFrame(curRdd, edgeSchema)
+    var curCnt = -1L // lazily counted on the first round
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -152,12 +153,20 @@ object Graph {
         .distinct()
       val nextRdd = ss.rdd.persist(StorageLevel.MEMORY_AND_DISK)
       val next = spark.createDataFrame(nextRdd, edgeSchema)
-      val changed = next.unionByName(cur).groupBy("a", "b")
-        .agg(count(lit(1)).as("__n")).where(col("__n") === 1)
-        .limit(1).count()
+      // Fixpoint test in two tiers: counts first (a cached-RDD count — both
+      // sets are distinct, so different sizes can't be equal), and only on
+      // a size match the real symmetric difference. Non-final rounds almost
+      // always change the edge count, so the expensive diff runs ~once.
+      if (curCnt < 0) curCnt = curRdd.count()
+      val nextCnt = nextRdd.count()
+      val changed = if (nextCnt != curCnt) 1L
+        else next.unionByName(cur).groupBy("a", "b")
+          .agg(count(lit(1)).as("__n")).where(col("__n") === 1)
+          .limit(1).count()
       curRdd.unpersist(blocking = false)
       curRdd = nextRdd
       cur = next
+      curCnt = nextCnt
       converged = changed == 0L
       it += 1
     }
