@@ -121,10 +121,16 @@ object Graph {
       maxIter: Int = 50): DataFrame = {
     val spark = edges.sparkSession
     val nodes = edges.select(col(srcCol).as("id"))
-      .unionByName(edges.select(col(dstCol).as("id"))).distinct().persist()
+      .unionByName(edges.select(col(dstCol).as("id"))).distinct()
     // Working edge set (a, b), kept distinct; after the first small-star
-    // every edge points big → small, i.e. b < a.
+    // every edge points big → small, i.e. b < a. Seeded from the SYMMETRIC
+    // union (the graph is undirected, so this is the same edge set): the
+    // union also type-widens mixed src/dst column types, so the schema
+    // captured here matches every later round's rows — a schema captured
+    // from the one-sided projection would declare the narrow type and
+    // crash createDataFrame on the widened values.
     val init = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .where(col("a") =!= col("b")).distinct()
     val edgeSchema = init.schema
     var curRdd = init.rdd.persist(StorageLevel.MEMORY_AND_DISK)
@@ -176,11 +182,13 @@ object Graph {
           "(expected O(log n)); the edge set is still changing.")
     // At the fixpoint `cur` is a star forest (node → center). Nodes absent
     // from the a-side are centers or isolated — they label themselves.
-    val out = nodes.join(cur.select(col("a").as("id"), col("b").as("__c")),
+    // The result stays backed by the final round's persisted RDD; once the
+    // caller drops the returned DataFrame, Spark's ContextCleaner
+    // unpersists the now-unreachable blocks (same lifecycle as
+    // [[connectedComponents]]' final labels).
+    nodes.join(cur.select(col("a").as("id"), col("b").as("__c")),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("__c"), col("id")).as("comp"))
-    nodes.unpersist()
-    out
   }
 
   /** Duplicate clusters from a pair list: (id, component, is_canonical) —

@@ -57,6 +57,15 @@ class GraphSpec extends SparkTestBase {
     assert(got.values.toSet === Set(0L))
   }
 
+  test("alternating-star CC widens mixed src/dst column types") {
+    // src INT, dst LONG: the working schema must be captured after union
+    // type-widening or createDataFrame declares int over long row values.
+    val mixed = Seq((1, 2L), (2, 3L), (10, 11L)).toDF("a", "b")
+    val got = Graph.connectedComponentsStar(mixed, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("alternating-star CC equals min-label propagation on random graphs") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 3) {
