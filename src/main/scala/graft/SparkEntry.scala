@@ -711,6 +711,18 @@ object SparkEntry {
         MixWeights, default = 1.0)
         .presented("doc_id")),
 
+    // Deterministic weighted sampling (Efraimidis–Spirakis keys from hash
+    // uniforms — no RNG, pure function of id/salt/weights): top-100 docs
+    // under per-source weights derived from the source suffix. Exact
+    // oracle on the SELECTED ROWS (DuckDB recomputes the identical keys;
+    // key doubles excluded — libm pow may differ in the last ulp).
+    "q_weighted_sample" -> ((s, dir) =>
+      Curation.weightedSample(t(s, dir, "documents"), "doc_id",
+          lit(1.0) + substring(col("source"), 4, 10).cast("int") * lit(0.5),
+          k = 100)
+        .select(col("doc_id"), col("source"))
+        .presented("doc_id")),
+
     // End-to-end curation pipeline — quality filter → exact dedup →
     // reproducible split → per-split counts — demonstrating the operators
     // compose; the oracle chains the IDENTICAL stages in SQL.
@@ -1103,6 +1115,15 @@ object SparkEntry {
       s"""SELECT token, count(*) AS n
          | FROM (SELECT unnest($tokensSql) AS token FROM documents)
          | GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH w AS (SELECT doc_id, source,
+        |     power(CAST(('0x' || substr(md5(doc_id::VARCHAR || '-graft-ws'),
+        |             1, 13)) AS BIGINT) / 4503599627370496.0,
+        |       1.0 / (1.0 + CAST(substr(source, 4) AS INT) * 0.5)) AS k
+        |   FROM documents)
+        | SELECT doc_id, source FROM (
+        |   SELECT doc_id, source FROM w ORDER BY k DESC, doc_id LIMIT 100)
+        | ORDER BY doc_id""".stripMargin,
     "q_cms_heavy_hitters" ->
       s"""SELECT token, n, 1 AS est_ok FROM (
          |   SELECT token, count(*) AS n

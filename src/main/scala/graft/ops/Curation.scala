@@ -163,6 +163,43 @@ object Curation {
       salt: String = "graft"): DataFrame =
     df.where(hashDraw(col(idCol), salt) < hexThreshold(frac))
 
+  /** Hash-derived uniform u ∈ [0, 1): the first 13 hex digits (52 bits) of
+    * the salted md5, so the value is EXACTLY representable as a double and
+    * any engine parsing the same hex gets the bit-identical u.
+    */
+  def hashUniform(id: Column, salt: String): Column =
+    (conv(substring(md5(concat(id.cast("string"), lit("-" + salt))
+        .cast("binary")), 1, 13), 16, 10).cast("double")
+      / lit(4503599627370496.0)) // 2^52
+
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis 2006, A-ES): each row gets key = u^(1/w) with u a
+    * hash-derived uniform ([[hashUniform]]) and w its weight; the k largest
+    * keys are the sample, distributed per-item exactly as sequential
+    * weighted sampling without replacement. No RNG state: the sample is a
+    * pure function of (id, salt, weights) — identical across retries,
+    * partitionings, and engines, which is what makes a 100 TB sampling job
+    * auditable and resumable. One narrow pass + a k-bounded TakeOrdered —
+    * the full corpus is never sorted or materialized.
+    *
+    * Ordering is on the key DOUBLE (ties broken by id); the key itself is
+    * a `pow` whose last ulp may differ across libm implementations, so
+    * cross-engine checks should compare the SELECTED ROWS, not the key
+    * values (rank flips need near-tied keys — measure-zero for hash-derived
+    * uniforms).
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weight: Column,
+      k: Int,
+      salt: String = "graft-ws"): DataFrame =
+    df.withColumn("__wsk",
+        pow(hashUniform(col(idCol), salt), lit(1.0) / weight))
+      .orderBy(col("__wsk").desc, col(idCol))
+      .limit(k)
+      .drop("__wsk")
+
   /** Reproducible train/valid/test split: `splits` are (label, fraction)
     * with fractions summing to ≤ 1 (remainder → last label). Assignment is
     * by cumulative threshold on the row's [[hashDraw]] — adding rows never

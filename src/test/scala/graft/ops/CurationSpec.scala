@@ -7,6 +7,31 @@ import org.apache.spark.sql.functions._
 class CurationSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("weightedSample matches an independent replication of the A-ES keys") {
+    // Replicate key = u^(1/w) off-Spark: salted md5 → first 13 hex digits →
+    // /2^52 → pow. The operator's top-k must equal this exactly.
+    def key(id: Long, w: Double): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id-graft-ws".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      math.pow(java.lang.Long.parseLong(hex, 16) / 4503599627370496.0, 1.0 / w)
+    }
+    // Weight 9 for ids 0..49, weight 1 for ids 50..99.
+    val df = (0L until 100L).map(i => (i, if (i < 50) 9.0 else 1.0))
+      .toDF("id", "w")
+    val got = Curation.weightedSample(df, "id", col("w"), k = 20)
+      .select("id").as[Long].collect().toSet
+    val expect = (0L until 100L)
+      .sortBy(i => (-key(i, if (i < 50) 9.0 else 1.0), i)).take(20).toSet
+    assert(got === expect)
+    // Determinism across runs and partitionings.
+    val again = Curation.weightedSample(df.repartition(7), "id", col("w"), k = 20)
+      .select("id").as[Long].collect().toSet
+    assert(again === got)
+    // Weighted bias: the weight-9 class dominates the sample.
+    assert(got.count(_ < 50L) > 12, s"high-weight ids in sample: ${got.count(_ < 50L)}")
+  }
+
   test("decontaminate counts shared distinct k-grams and applies the floor") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
