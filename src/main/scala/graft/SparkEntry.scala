@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions.simhash64
-import graft.ops.{Curation, Dedup, Graph, Intervals, Multimodal, Similarity, Sketches, Stats, TextAnalysis, TextSearch}
+import graft.ops.{Curation, Dedup, Graph, Intervals, LanguageModel, Multimodal, Similarity, Sketches, Stats, TextAnalysis, TextSearch}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -894,6 +894,28 @@ object SparkEntry {
         .select(col("vec_id").cast("long").as("vec_id"),
           col("cell").cast("int").as("cell"))
         .presented("vec_id")
+    }),
+
+    // Stupid-Backoff bigram LM, training side: the top-100 bigram counts
+    // (the model's head — what a vocabulary/boilerplate audit reads first).
+    // Exact integer oracle; ties in c2 break on (w1, w2) on both engines.
+    "q_lm_bigrams" -> ((s, dir) =>
+      LanguageModel.trainBigram(t(s, dir, "documents"), "text")
+        .bigrams.orderBy(desc("c2"), col("w1"), col("w2")).limit(100)),
+
+    // Stupid-Backoff LM scoring (CCNet-style perplexity quality filter):
+    // train on the src0 slice, score every document, so the backoff path
+    // carries real traffic. The registered columns are the exact-integer
+    // coverage stats (bit-reproducible cross-engine); log10_ppl is
+    // transcendental and is pinned by LanguageModelSpec instead.
+    "q_lm_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = LanguageModel.trainBigram(
+        docs.where(col("source") === "src0"), "text")
+      LanguageModel.scoreDocs(docs, "doc_id", "text", lm)
+        .select(col("doc_id"), col("n_grams"), col("n_hit"),
+          col("n_backoff"), col("coverage"))
+        .presented("doc_id")
     }))
 
   /** Shared input for the interval queries: points = distinct order dates
@@ -1374,7 +1396,35 @@ object SparkEntry {
         |   SELECT vec_id, cell, row_number()
         |       OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
         |   FROM s)
-        | WHERE rn = 1 ORDER BY vec_id""".stripMargin)
+        | WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "q_lm_bigrams" ->
+      s"""WITH tr AS (SELECT $tokensSql AS t FROM documents),
+         | bg AS (SELECT unnest([[t[i], t[i+1]] for i in range(1, len(t))]) AS p
+         |   FROM tr),
+         | bc AS (SELECT p[1] AS w1, p[2] AS w2, count(*) AS c2
+         |   FROM bg GROUP BY 1, 2)
+         | SELECT w1, w2, c2 FROM bc
+         | ORDER BY c2 DESC, w1, w2 LIMIT 100""".stripMargin,
+    "q_lm_score" ->
+      s"""WITH tr AS (SELECT $tokensSql AS t FROM documents
+         |     WHERE source = 'src0'),
+         | bc AS (SELECT g, count(*) AS c2 FROM (
+         |     SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))])
+         |       AS g FROM tr) GROUP BY g),
+         | tk AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         | bg AS (SELECT doc_id,
+         |     unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS g
+         |   FROM tk),
+         | j AS (SELECT bg.doc_id, bc.c2 FROM bg LEFT JOIN bc USING (g)),
+         | per AS (SELECT doc_id, count(*) AS n_grams, count(c2) AS n_hit
+         |   FROM j GROUP BY doc_id)
+         | SELECT d.doc_id, coalesce(per.n_grams, 0) AS n_grams,
+         |   coalesce(per.n_hit, 0) AS n_hit,
+         |   coalesce(per.n_grams, 0) - coalesce(per.n_hit, 0) AS n_backoff,
+         |   coalesce(per.n_hit, 0)::DOUBLE
+         |     / greatest(coalesce(per.n_grams, 0), 1) AS coverage
+         | FROM documents d LEFT JOIN per USING (doc_id)
+         | ORDER BY d.doc_id""".stripMargin)
 
   /** DuckDB fragment: the interval queries' shared input — mirrors
     * [[shipmentWindows]] (epoch days via datediff, same key-derived window

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed n-gram language-model scoring for training-data curation —
+  * the CCNet-style "perplexity filter" (Wenzek et al. 2020): score each
+  * document with an n-gram LM trained on the corpus (or a reference corpus)
+  * and use the perplexity as a quality signal.
+  *
+  * The smoothing is Stupid Backoff (Brants et al. 2007, "Large Language
+  * Models in Machine Translation"), THE distributed-scale choice: scores are
+  * plain count ratios with a fixed backoff multiplier, so training is
+  * nothing but two count aggregations — no discount/normalization constants
+  * that would need a second global pass — and every stage is a standard
+  * shuffle with map-side partial aggregation.
+  *
+  * Scale shape (100 TB corpus): `trainBigram` is two explode→groupBy counts,
+  * gram-partitioned; the per-token fan-out is absorbed map-side, so each
+  * shuffle carries one row per distinct gram per task. `scoreDocs` joins the
+  * per-document gram stream against the count tables keyed by gram — shuffle
+  * joins that AQE converts to broadcast when the model fits (it usually
+  * doesn't at corpus scale) and skew-splits on stop-word grams when it
+  * doesn't. The token total rides a one-row broadcast. Nothing touches the
+  * driver.
+  */
+object LanguageModel {
+
+  /** A trained bigram LM: unigram counts `(w, c1)`, bigram counts
+    * `(w1, w2, c2)`, and the one-row token total `(n_tokens)`. The count
+    * tables are plain DataFrames — persist or write them out to reuse one
+    * model across many scoring jobs (train-once / score-many).
+    */
+  case class BigramLm(unigrams: DataFrame, bigrams: DataFrame, totals: DataFrame)
+
+  /** Per-row bigram struct stream `(w1, w2)` from a token-array column;
+    * empty when the document has fewer than two tokens. (`sequence(0, n-2)`
+    * alone would be WRONG at n=0/1: Spark's `sequence` runs descending when
+    * start > stop, so the guard is load-bearing.)
+    */
+  private def bigramStructs(toks: org.apache.spark.sql.Column) =
+    when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - 2),
+        i => struct(element_at(toks, i + 1).as("w1"),
+          element_at(toks, i + 2).as("w2"))))
+
+  /** Train a bigram Stupid-Backoff LM over `textCol`. Tokenization is the
+    * engine-standard [[TextAnalysis.tokens]] (lowercased whitespace split),
+    * so scores are comparable across every operator in this library.
+    */
+  def trainBigram(corpus: DataFrame, textCol: String): BigramLm = {
+    val toks = corpus.select(TextAnalysis.tokens(col(textCol)).as("__t"))
+    val unigrams = toks
+      .select(explode(col("__t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val bigrams = toks
+      .select(explode(bigramStructs(col("__t"))).as("g"))
+      .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val totals = unigrams.agg(sum("c1").as("n_tokens"))
+    BigramLm(unigrams, bigrams, totals)
+  }
+
+  /** Score documents with a trained [[BigramLm]] under Stupid Backoff:
+    *
+    *   S(w2 | w1) = c(w1 w2) / c(w1)            when the bigram was seen,
+    *              = alpha * c(w2) / N           otherwise (backoff),
+    *              = alpha * 1 / N               when w2 is OOV.
+    *
+    * Output per document: `n_grams` (scored bigram positions), `n_hit`
+    * (positions the bigram table covered), `n_backoff`, `coverage`
+    * (= n_hit / n_grams, exact IEEE division of integers), and `log10_ppl`
+    * (= −mean log10 S — lower is more fluent under the model). Documents
+    * with fewer than two tokens score `n_grams = 0` with null `log10_ppl`.
+    *
+    * The exact-integer columns and `coverage` are engine-reproducible
+    * bit-for-bit (see SparkEntry's oracle rules); `log10_ppl` is
+    * transcendental (log), so cross-engine checks pin the count columns and
+    * the ppl math is pinned by LanguageModelSpec's hand-computed fixtures.
+    */
+  def scoreDocs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      lm: BigramLm,
+      alpha: Double = 0.4): DataFrame = {
+    val grams = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), explode(bigramStructs(col("__t"))).as("g"))
+      .select(col(idCol), col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val joined = grams
+      .join(lm.bigrams, Seq("w1", "w2"), "left")
+      .join(lm.unigrams.withColumnRenamed("w", "w1")
+        .withColumnRenamed("c1", "__c_w1"), Seq("w1"), "left")
+      .join(lm.unigrams.withColumnRenamed("w", "w2")
+        .withColumnRenamed("c1", "__c_w2"), Seq("w2"), "left")
+      .crossJoin(broadcast(lm.totals))
+    val logS = when(col("c2").isNotNull,
+        log10(col("c2").cast("double") / col("__c_w1")))
+      .otherwise(log10(
+        lit(alpha) * coalesce(col("__c_w2"), lit(1L)).cast("double") /
+          col("n_tokens")))
+    val perDoc = joined
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("c2")).as("n_hit"),
+        sum(logS).as("__sum_log"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_grams"), lit(0L)) - coalesce(col("n_hit"), lit(0L)))
+          .as("n_backoff"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_grams"), lit(0L)), lit(1L))).as("coverage"),
+        when(col("n_grams") > 0, -col("__sum_log") / col("n_grams"))
+          .as("log10_ppl"))
+  }
+
+  /** Convenience: train on `corpus`, score `docs` (self-scoring — the usual
+    * corpus-quality sweep — when they are the same table).
+    */
+  def perplexityScores(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpus: DataFrame,
+      alpha: Double = 0.4): DataFrame =
+    scoreDocs(docs, idCol, textCol, trainBigram(corpus, textCol), alpha)
+}

@@ -1,0 +1,98 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+import org.apache.spark.sql.functions._
+
+/** Pins the Stupid-Backoff math (Brants et al. 2007) against hand-computed
+  * fixtures — the transcendental `log10_ppl` column is verified here because
+  * the cross-engine oracle can only bit-compare the exact-integer columns
+  * (see q_lm_score's note in SparkEntry).
+  */
+class LanguageModelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Train corpus token stream: doc A = [a b a b c], doc B = [a b].
+  // Unigrams: a=3 b=3 c=1, N=7. Bigrams: (a,b)=3, (b,a)=1, (b,c)=1.
+  private lazy val train = Seq(
+    (1L, "a b a b c"),
+    (2L, "a b"))
+    .toDF("doc_id", "text")
+
+  private lazy val lm = LanguageModel.trainBigram(train, "text")
+
+  test("trainBigram counts unigrams, bigrams, and the token total") {
+    val uni = lm.unigrams.as[(String, Long)].collect().toMap
+    assert(uni === Map("a" -> 3L, "b" -> 3L, "c" -> 1L))
+    val bg = lm.bigrams.as[(String, String, Long)].collect()
+      .map { case (w1, w2, c) => (w1, w2) -> c }.toMap
+    assert(bg === Map(("a", "b") -> 3L, ("b", "a") -> 1L, ("b", "c") -> 1L))
+    assert(lm.totals.as[Long].head() === 7L)
+  }
+
+  private def scoreMap(docs: Seq[(Long, String)]) =
+    LanguageModel.scoreDocs(docs.toDF("doc_id", "text"), "doc_id", "text", lm)
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+
+  test("seen bigrams score c2/c1; ppl is the negated mean log10") {
+    // Doc [a b a b c]: grams (a,b) (b,a) (a,b) (b,c); all hits.
+    // S = 3/3, 1/3, 3/3, 1/3 → −mean log10 = (2·log10 3)/4.
+    val r = scoreMap(Seq((10L, "a b a b c")))(10L)
+    assert(r.getLong(1) === 4L) // n_grams
+    assert(r.getLong(2) === 4L) // n_hit
+    assert(r.getLong(3) === 0L) // n_backoff
+    assert(r.getDouble(4) === 1.0)
+    assert(math.abs(r.getDouble(5) - 2 * math.log10(3.0) / 4) < 1e-12)
+  }
+
+  test("unseen bigram with seen w2 backs off to alpha*c(w2)/N") {
+    // Gram (c, c): not in the bigram table, c(c)=1 → S = 0.4·1/7.
+    val r = scoreMap(Seq((11L, "c c")))(11L)
+    assert(r.getLong(2) === 0L && r.getLong(3) === 1L)
+    assert(math.abs(r.getDouble(5) - -math.log10(0.4 * 1.0 / 7.0)) < 1e-12)
+  }
+
+  test("OOV w2 backs off to alpha/N") {
+    val r = scoreMap(Seq((12L, "a zebra")))(12L)
+    assert(r.getLong(3) === 1L)
+    assert(math.abs(r.getDouble(5) - -math.log10(0.4 / 7.0)) < 1e-12)
+  }
+
+  test("mixed hit/backoff doc sums both branches") {
+    // [a b c]: (a,b) hit 3/3; (b,c) hit 1/3 → ppl = (0 + log10 3)/2.
+    val r = scoreMap(Seq((13L, "a b c")))(13L)
+    assert(r.getLong(2) === 2L && r.getLong(3) === 0L)
+    assert(math.abs(r.getDouble(5) - math.log10(3.0) / 2) < 1e-12)
+  }
+
+  test("documents with fewer than two tokens score zero grams, null ppl") {
+    val m = scoreMap(Seq((14L, "solo"), (15L, ""), (16L, "   ")))
+    for (id <- Seq(14L, 15L, 16L)) {
+      assert(m(id).getLong(1) === 0L)
+      assert(m(id).getDouble(4) === 0.0)
+      assert(m(id).isNullAt(5), s"doc $id ppl should be null")
+    }
+  }
+
+  test("alpha parameter scales the backoff branch only") {
+    val docs = Seq((17L, "c c")).toDF("doc_id", "text")
+    val r = LanguageModel.scoreDocs(docs, "doc_id", "text", lm, alpha = 0.1)
+      .collect().head
+    assert(math.abs(r.getDouble(5) - -math.log10(0.1 / 7.0)) < 1e-12)
+  }
+
+  test("scoring plan has no driver-side actions and one gram shuffle chain") {
+    // Guard the scale shape: scoreDocs must not collect; train+score on a
+    // larger synthetic corpus stays a pure join/agg plan.
+    val corpus = spark.range(2000)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", lit("tok"), (col("id") % 50).cast("string"),
+          lit("tok"), ((col("id") + 7) % 50).cast("string")).as("text"))
+    val out = LanguageModel.perplexityScores(corpus, "doc_id", "text", corpus)
+    assert(out.count() === 2000L)
+    val hits = out.agg(sum("n_hit")).as[Long].head()
+    assert(hits > 0L)
+  }
+}
