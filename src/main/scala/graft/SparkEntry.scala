@@ -896,6 +896,30 @@ object SparkEntry {
         .presented("vec_id")
     }),
 
+    // SemDeDup (Abbas et al. 2023): cluster-then-exact-cosine semantic
+    // dedup. Corpus augmented with known duplicates (q_embed_dupes'
+    // convention) so positives exist; centroids are the deterministic
+    // vec_id<8 seeds (q_knn_assign's convention); participation cap 40
+    // genuinely triggers at sf0.01 (~60 vectors/cluster), so the capped
+    // branch carries oracle traffic too. Emitted columns are integers only
+    // — cosine enters solely through ≥-threshold comparisons, which both
+    // engines decide identically (bit-identical double cosine, proven by
+    // q_embed_dupes).
+    "q_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val aug = emb.unionByName(emb.where(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + 1000000L))
+      val centers = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").cast("int"), col("embedding"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      ops.SemDedup.semanticDedup(aug, "vec_id", "embedding", centers,
+          threshold = 0.95, maxClusterSize = 40)
+        .select(col("vec_id"), col("cell").cast("int").as("cell"),
+          col("keep").cast("int").as("keep"))
+        .presented("vec_id")
+    }),
+
     // Stupid-Backoff bigram LM, training side: the top-100 bigram counts
     // (the model's head — what a vocabulary/boilerplate audit reads first).
     // Exact integer oracle; ties in c2 break on (w1, w2) on both engines.
@@ -1397,6 +1421,41 @@ object SparkEntry {
         |       OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
         |   FROM s)
         | WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "q_semantic_dedup" ->
+      """WITH aug AS (SELECT vec_id, embedding FROM embeddings
+        |       UNION ALL
+        |       SELECT vec_id + 1000000, embedding FROM embeddings
+        |       WHERE vec_id < 10),
+        | c AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+        |     FROM embeddings WHERE vec_id < 8),
+        | s AS (SELECT a.vec_id, c.cell,
+        |     CASE WHEN isnan(list_cosine_similarity(
+        |              CAST(a.embedding AS DOUBLE[]), c.cv))
+        |          THEN 0.0
+        |          ELSE list_cosine_similarity(
+        |              CAST(a.embedding AS DOUBLE[]), c.cv) END AS score
+        |   FROM aug a CROSS JOIN c),
+        | asg AS (SELECT vec_id, cell FROM (
+        |     SELECT vec_id, cell, row_number()
+        |         OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+        |     FROM s)
+        |   WHERE rn = 1),
+        | av AS (SELECT asg.vec_id, asg.cell,
+        |     CAST(a.embedding AS DOUBLE[]) AS v
+        |   FROM asg JOIN aug a USING (vec_id)),
+        | part AS (SELECT vec_id, cell, v FROM (
+        |     SELECT vec_id, cell, v, row_number()
+        |         OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+        |     FROM av)
+        |   WHERE rn <= 40),
+        | drops AS (SELECT DISTINCT b.vec_id
+        |   FROM part a JOIN part b
+        |     ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |   WHERE list_cosine_similarity(a.v, b.v) >= 0.95)
+        | SELECT asg.vec_id, asg.cell::INT AS cell,
+        |   CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+        | FROM asg LEFT JOIN drops d USING (vec_id)
+        | ORDER BY asg.vec_id""".stripMargin,
     "q_lm_bigrams" ->
       s"""WITH tr AS (SELECT $tokensSql AS t FROM documents),
          | bg AS (SELECT unnest([[t[i], t[i+1]] for i in range(1, len(t))]) AS p

@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+class SemDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def v(xs: Float*): Seq[Float] = xs.toSeq
+
+  // Two well-separated clusters along axes 0 and 1.
+  private val centers = Seq(
+    0 -> Array(1f, 0f, 0f),
+    1 -> Array(0f, 1f, 0f))
+
+  private lazy val corpus = Seq(
+    (1L, v(1f, 0f, 0f)),        // cluster 0
+    (2L, v(1f, 0f, 0f)),        // exact dup of 1 → drop
+    (3L, v(0.99f, 0.01f, 0f)),  // near dup of 1 (cos ≈ 1) → drop
+    (4L, v(0.8f, 0f, 0.6f)),    // cluster 0 but cos(1,4) = 0.8 < t → keep
+    (10L, v(0f, 1f, 0f)),       // cluster 1
+    (11L, v(0f, 1f, 0f)))       // exact dup of 10 → drop
+    .toDF("vec_id", "embedding")
+
+  private def verdicts(maxClusterSize: Int = 100) =
+    SemDedup.semanticDedup(corpus, "vec_id", "embedding", centers,
+        threshold = 0.95, maxClusterSize = maxClusterSize)
+      .as[(Long, Int, Int)].collect()
+      .map { case (id, cell, keep) => id -> ((cell, keep)) }.toMap
+
+  test("drops same-cluster near-dups, keeps one representative") {
+    val m = verdicts()
+    assert(m(1L) === ((0, 1)))
+    assert(m(2L) === ((0, 0)))
+    assert(m(3L) === ((0, 0)))
+    assert(m(4L) === ((0, 1))) // below threshold → kept
+    assert(m(10L) === ((1, 1)))
+    assert(m(11L) === ((1, 0)))
+  }
+
+  test("cap keeps beyond-cap vectors unconditionally") {
+    // Cluster 0 participants under cap 2: ids 1, 2 → only 2 drops; 3 is
+    // past the cap and survives even though it is a near-dup of 1.
+    val m = verdicts(maxClusterSize = 2)
+    assert(m(2L)._2 === 0)
+    assert(m(3L)._2 === 1)
+    assert(m(4L)._2 === 1)
+  }
+
+  test("semanticDedupKept returns exactly the keep=1 rows") {
+    val kept = SemDedup.semanticDedupKept(corpus, "vec_id", "embedding",
+        centers, threshold = 0.95)
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 4L, 10L))
+  }
+
+  test("distinct same-cluster vectors survive; their twins do not") {
+    // Vector 20 lands in cluster 1 (cos 0.92 with its centroid — below the
+    // 0.95 dup threshold, so distinct from vector 10); its exact twin 21
+    // shares the cell and is dropped against it.
+    val extra = corpus.union(Seq(
+      (20L, v(0.3f, 0.7f, 0f)),
+      (21L, v(0.3f, 0.7f, 0f))).toDF("vec_id", "embedding"))
+    val m = SemDedup.semanticDedup(extra, "vec_id", "embedding", centers,
+        threshold = 0.95)
+      .as[(Long, Int, Int)].collect()
+      .map { case (id, cell, keep) => id -> ((cell, keep)) }.toMap
+    assert(m(20L) === ((1, 1)))
+    assert(m(21L) === ((1, 0)))
+  }
+}
