@@ -896,6 +896,23 @@ object SparkEntry {
         .presented("vec_id")
     }),
 
+    // C4 exact three-sentence-span dedup (first occurrence survives,
+    // cleaned text rebuilt) — run on docsWithDupes so cross-document span
+    // duplicates exist. Exact oracle: DuckDB re-elects first occurrences
+    // over span STRINGS where the engine shuffles 64-bit span hashes
+    // (collisions ~1e-10, the q_ngram_jaccard convention).
+    "q_span_dedup" -> ((s, dir) =>
+      Dedup.dedupSentenceSpans(docsWithDupes(s, dir), "doc_id", "text")
+        .presented("doc_id")),
+
+    // Cross-slice n-gram overlap matrix (leakage audit over `source`).
+    // maxSlices = 2 genuinely excludes grams present in all 3 sources, so
+    // the ubiquity cap carries oracle traffic.
+    "q_slice_overlap" -> ((s, dir) =>
+      Curation.sliceOverlap(t(s, dir, "documents"), "source", "text",
+          k = 3, maxSlices = 2)
+        .presented("src_a", "src_b")),
+
     // SemDeDup (Abbas et al. 2023): cluster-then-exact-cosine semantic
     // dedup. Corpus augmented with known duplicates (q_embed_dupes'
     // convention) so positives exist; centroids are the deterministic
@@ -1421,6 +1438,48 @@ object SparkEntry {
         |       OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
         |   FROM s)
         | WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "q_span_dedup" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |     list_filter(list_transform(
+         |       regexp_extract_all(text, '[^.!?]+[.!?]*'), x -> trim(x)),
+         |       x -> x <> '') AS s
+         |   FROM $docsWithDupesSql),
+         | sp AS (SELECT doc_id, unnest(range(1, len(s) - 1)) AS i, s FROM tk),
+         | sp2 AS (SELECT doc_id, i - 1 AS idx,
+         |     array_to_string(list_slice(s, i, i + 2), ' ') AS g FROM sp),
+         | dup AS (SELECT doc_id, idx FROM (
+         |     SELECT doc_id, idx, row_number()
+         |         OVER (PARTITION BY g ORDER BY doc_id, idx) AS rn FROM sp2)
+         |   WHERE rn > 1),
+         | dl AS (SELECT doc_id, list_sort(list(idx)) AS didx
+         |   FROM dup GROUP BY doc_id)
+         | SELECT tk.doc_id,
+         |   len(tk.s) AS n_sentences,
+         |   greatest(len(tk.s) - 2, 0) AS n_spans,
+         |   coalesce(len(dl.didx), 0) AS n_dup_spans,
+         |   array_to_string([tk.s[j] for j in range(1, len(tk.s) + 1)
+         |     if len(list_filter(coalesce(dl.didx, CAST([] AS BIGINT[])),
+         |          i -> j - 1 >= i AND j - 1 < i + 3)) = 0], ' ')
+         |     AS cleaned_text
+         | FROM tk LEFT JOIN dl USING (doc_id)
+         | ORDER BY tk.doc_id""".stripMargin,
+    "q_slice_overlap" ->
+      s"""WITH tk AS (SELECT source, $tokensSql AS t FROM documents),
+         | sh AS (SELECT DISTINCT source AS src, unnest($shingleSetSql) AS g
+         |   FROM tk),
+         | sv AS (SELECT g FROM (SELECT g, count(*) AS ns FROM sh GROUP BY g)
+         |   WHERE ns <= 2),
+         | ke AS (SELECT sh.src, sh.g FROM sh JOIN sv USING (g)),
+         | tot AS (SELECT src, count(*) AS n FROM ke GROUP BY src),
+         | pr AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared
+         |   FROM ke a JOIN ke b ON a.g = b.g AND a.src < b.src
+         |   GROUP BY 1, 2)
+         | SELECT pr.src_a, pr.src_b, pr.n_shared, ta.n AS n_a, tb.n AS n_b,
+         |   pr.n_shared::DOUBLE / (ta.n + tb.n - pr.n_shared) AS jaccard,
+         |   pr.n_shared::DOUBLE / least(ta.n, tb.n) AS overlap
+         | FROM pr JOIN tot ta ON pr.src_a = ta.src
+         |   JOIN tot tb ON pr.src_b = tb.src
+         | ORDER BY src_a, src_b""".stripMargin,
     "q_semantic_dedup" ->
       """WITH aug AS (SELECT vec_id, embedding FROM embeddings
         |       UNION ALL

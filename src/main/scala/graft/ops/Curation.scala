@@ -272,4 +272,59 @@ object Curation {
       startOff.as("start_off"), bin.as("bin"),
       (col("n_tokens") > 0 && bin =!= endBin).cast("int").as("straddles"))
   }
+
+  /** Cross-slice n-gram overlap matrix — the corpus-composition leakage
+    * audit: for every pair of slices (sources, dumps, snapshots), how many
+    * distinct word k-grams they share, as raw counts plus Jaccard and
+    * overlap coefficient. [[decontaminate]] answers "which TRAINING DOCS
+    * overlap this benchmark"; this answers "which SLICES overlap each
+    * other" — the first question a mixture designer asks before weighting.
+    *
+    * Grams present in more than `maxSlices` slices are excluded everywhere
+    * (numerators AND denominators — the matrix is consistently "over
+    * non-ubiquitous grams"): corpus-wide boilerplate otherwise dominates
+    * every cell, and a gram shared by s slices would emit s² pair rows.
+    * The cap bounds that blow-up deterministically, the same policy as the
+    * capped LSH buckets.
+    *
+    * Scale shape: distinct (slice, gram-hash) rows shuffle once on the
+    * gram; the pair join reuses that key and emits ≤ maxSlices² rows per
+    * gram; totals and the final pair aggregation are map-side-combined
+    * counts. No text ever rides a shuffle, and no driver-side state.
+    * Output: (src_a, src_b, n_shared, n_a, n_b, jaccard, overlap) for
+    * pairs sharing ≥ 1 surviving gram, src_a < src_b.
+    */
+  def sliceOverlap(
+      df: DataFrame,
+      sliceCol: String,
+      textCol: String,
+      k: Int = 3,
+      maxSlices: Int = 100): DataFrame = {
+    val grams = df
+      .select(col(sliceCol).as("src"),
+        graft.functions.TextFunctions.tokenize(col(textCol)).as("__t"))
+      .select(col("src"),
+        explode(graft.functions.TextFunctions.shingle_hashes(col("__t"), k))
+          .as("g"))
+      .distinct()
+    val surviving = grams.groupBy("g")
+      .agg(count(lit(1)).as("__ns"))
+      .where(col("__ns") <= maxSlices)
+      .select("g")
+    val kept = grams.join(surviving, Seq("g"))
+    val totals = kept.groupBy("src").agg(count(lit(1)).as("n"))
+    val pairs = kept.select(col("g"), col("src").as("src_a"))
+      .join(kept.select(col("g"), col("src").as("src_b")), Seq("g"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(totals.select(col("src").as("src_a"), col("n").as("n_a")), Seq("src_a"))
+      .join(totals.select(col("src").as("src_b"), col("n").as("n_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"), col("n_b"),
+        (col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared"))).as("jaccard"),
+        (col("n_shared").cast("double") /
+          least(col("n_a"), col("n_b"))).as("overlap"))
+  }
 }

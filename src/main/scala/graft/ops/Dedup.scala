@@ -393,4 +393,71 @@ object Dedup {
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
     Similarity.cosinePairsLsh(df, idCol, vecCol, threshold, bands, planesPerBand,
       seed, maxBucketSize)
+
+  /** Sentence list of a text column: maximal runs of non-terminator
+    * characters plus their trailing `.!?` punctuation, trimmed, empties
+    * dropped. Lookaround-free (runs, not split points), so the identical
+    * pattern executes in any linear-time regex engine — which keeps every
+    * operator built on it SQL-oracle-able.
+    */
+  def sentences(text: Column): Column =
+    filter(
+      transform(regexp_extract_all(text, lit("[^.!?]+[.!?]*"), lit(0)),
+        s => trim(s)),
+      s => s =!= "")
+
+  /** C4's corpus-level exact span dedup (Raffel et al. 2020 §2.2: "we
+    * discard all but one of any three-sentence span occurring more than
+    * once in the data set"). The FIRST occurrence — lowest (id, position)
+    * — survives; every other occurrence has its sentences removed, and the
+    * cleaned text is rebuilt from the survivors. Documents shorter than
+    * `span` sentences carry no spans and pass through unchanged.
+    *
+    * Output: (id, n_sentences, n_spans, n_dup_spans, cleaned_text).
+    *
+    * Scale shape: spans shuffle as (64-bit span hash, id, position) — the
+    * sentence text never rides a shuffle. The first-occurrence election is
+    * a min-struct aggregation (map-side partial) on the span hash; the
+    * instance join that marks losers reuses the same key. Per-document
+    * state is a bounded int list of duplicate span positions. Same
+    * position-indexed rebuild as [[removeBoilerplate]], but keyed on
+    * first-occurrence election rather than document frequency — C4 keeps
+    * one copy of a repeated span, removeBoilerplate deletes ubiquitous
+    * spans everywhere.
+    */
+  def dedupSentenceSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      span: Int = 3): DataFrame = {
+    require(span >= 1, s"span must be >= 1, got $span")
+    val staged = df.select(col(idCol).as("id"), sentences(col(textCol)).as("__s"))
+    val spans = staged
+      .select(col("id"),
+        when(size(col("__s")) < span, array().cast("array<int>"))
+          .otherwise(sequence(lit(0), size(col("__s")) - span)).as("__idx"),
+        col("__s"))
+      .select(col("id"), explode(col("__idx")).as("idx"),
+        xxhash64(concat_ws(" ",
+          slice(col("__s"), col("idx") + 1, lit(span)))).as("h"))
+    val first = spans
+      .groupBy("h")
+      .agg(min(struct(col("id"), col("idx"))).as("__first"))
+    val dups = spans.join(first, Seq("h"))
+      .where(col("id") =!= col("__first.id") ||
+        col("idx") =!= col("__first.idx"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(col("idx"))).as("__dup"))
+    staged.join(dups, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        size(col("__s")).cast("long").as("n_sentences"),
+        greatest(size(col("__s")) - (span - 1), lit(0))
+          .cast("long").as("n_spans"),
+        coalesce(size(col("__dup")), lit(0)).cast("long").as("n_dup_spans"),
+        concat_ws(" ",
+          filter(col("__s"), (s, j) =>
+            !exists(coalesce(col("__dup"), array().cast("array<int>")),
+              i => j >= i && j < i + span)))
+          .as("cleaned_text"))
+  }
 }

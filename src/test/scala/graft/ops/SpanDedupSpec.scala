@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+import org.apache.spark.sql.functions._
+
+class SpanDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("sentences: terminator runs, trimming, trailing fragment") {
+    val out = Seq("One two. Three four! Five six? trailing bit")
+      .toDF("text")
+      .select(Dedup.sentences(col("text")).as("s"))
+      .as[Seq[String]].head()
+    assert(out === Seq("One two.", "Three four!", "Five six?", "trailing bit"))
+  }
+
+  test("dedupSentenceSpans keeps the first occurrence, cleans the rest") {
+    // Docs 1 and 2 share the identical 3-sentence span A. B. C. —
+    // doc 1 (lower id) keeps it, doc 2 loses those three sentences.
+    val docs = Seq(
+      (1L, "A one. B two. C three. Unique tail one."),
+      (2L, "Different head two. A one. B two. C three."),
+      (3L, "Totally unrelated. Nothing shared here. At all."))
+      .toDF("doc_id", "text")
+    val m = Dedup.dedupSentenceSpans(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getLong(3) === 0L) // n_dup_spans
+    assert(m(1L).getString(4) === "A one. B two. C three. Unique tail one.")
+    assert(m(2L).getLong(3) === 1L)
+    assert(m(2L).getString(4) === "Different head two.")
+    assert(m(3L).getLong(3) === 0L)
+    assert(m(3L).getString(4) === "Totally unrelated. Nothing shared here. At all.")
+  }
+
+  test("repeated span inside ONE document dedups against itself") {
+    val docs = Seq(
+      (7L, "X a. Y b. Z c. Filler mid. X a. Y b. Z c."))
+      .toDF("doc_id", "text")
+    val r = Dedup.dedupSentenceSpans(docs, "doc_id", "text").collect().head
+    assert(r.getLong(1) === 7L) // n_sentences
+    assert(r.getLong(2) === 5L) // n_spans
+    // Span at idx 4 (second X a. Y b. Z c.) is a dup of idx 0.
+    assert(r.getLong(3) === 1L)
+    assert(r.getString(4) === "X a. Y b. Z c. Filler mid.")
+  }
+
+  test("documents shorter than the span pass through") {
+    val docs = Seq((1L, "Short one. Short two."), (2L, "Short one. Short two."))
+      .toDF("doc_id", "text")
+    val rows = Dedup.dedupSentenceSpans(docs, "doc_id", "text").collect()
+    assert(rows.forall(_.getLong(2) === 0L))
+    assert(rows.forall(_.getString(4) === "Short one. Short two."))
+  }
+
+  test("sliceOverlap counts shared distinct grams with the ubiquity cap") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "s1"),   // grams: abc bcd(ish)
+      (2L, "alpha beta gamma epsilon", "s2"), // shares 'alpha beta gamma' with s1
+      (3L, "alpha beta gamma zeta", "s3"),    // ubiquitous gram: in all 3
+      (4L, "unique little sentence here", "s1"))
+      .toDF("doc_id", "text", "source")
+    // cap 2: 'alpha beta gamma' appears in 3 slices → excluded everywhere.
+    val m = Curation.sliceOverlap(docs, "source", "text", k = 3, maxSlices = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // Surviving grams: s1 {beta gamma delta, unique little sentence,
+    // little sentence here}, s2 {beta gamma epsilon}, s3 {beta gamma zeta}
+    // — no shared grams remain, so the matrix is empty.
+    assert(m.isEmpty)
+    // Without the cap the shared gram appears in every pair.
+    val full = Curation.sliceOverlap(docs, "source", "text", k = 3,
+        maxSlices = 100)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(full(("s1", "s2")) === ((1L, 4L, 2L)))
+    assert(full(("s1", "s3")) === ((1L, 4L, 2L)))
+    assert(full(("s2", "s3")) === ((1L, 2L, 2L)))
+    val j = Curation.sliceOverlap(docs, "source", "text", k = 3,
+        maxSlices = 100)
+      .where(col("src_a") === "s2" && col("src_b") === "s3")
+      .select("jaccard", "overlap").as[(Double, Double)].head()
+    assert(j === ((1.0 / 3.0, 0.5)))
+  }
+}
