@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions.simhash64
-import graft.ops.{Curation, Dedup, Graph, Intervals, LanguageModel, Multimodal, Similarity, Sketches, Stats, TextAnalysis, TextSearch}
+import graft.ops.{Bpe, Curation, Dedup, Graph, Intervals, LanguageModel, Multimodal, Similarity, Sketches, Stats, TextAnalysis, TextSearch}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -896,6 +896,21 @@ object SparkEntry {
         .presented("vec_id")
     }),
 
+    // BPE tokenizer induction, step-0 side: the top-200 adjacent
+    // symbol-pair counts over the word-count table (the argmax input of
+    // the first merge). Exact integer oracle.
+    "q_bpe_pairs" -> ((s, dir) =>
+      Bpe.pairCounts(Bpe.wordSymbolCounts(t(s, dir, "documents"), "text"))
+        .orderBy(desc("n"), col("l"), col("r")).limit(200)),
+
+    // BPE merge learning (5 merges) — no_oracle BY DESIGN: each step's
+    // input tokenization depends on the previous step's argmax, which one
+    // SQL query cannot express. The step-0 argmax input is fully oracled
+    // by q_bpe_pairs above, and the iterative fixpoint is pinned by
+    // BpeSpec's hand-computed Sennrich-example merge sequence.
+    "q_bpe_merges" -> ((s, dir) =>
+      Bpe.learnMerges(t(s, dir, "documents"), "text", numMerges = 5)),
+
     // C4 exact three-sentence-span dedup (first occurrence survives,
     // cleaned text rebuilt) — run on docsWithDupes so cross-document span
     // duplicates exist. Exact oracle: DuckDB re-elects first occurrences
@@ -1438,6 +1453,17 @@ object SparkEntry {
         |       OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
         |   FROM s)
         | WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "q_bpe_pairs" ->
+      s"""WITH wc AS (SELECT w, count(*) AS cnt FROM (
+         |     SELECT unnest($tokensSql) AS w FROM documents) GROUP BY w),
+         | sy AS (SELECT list_append(string_split(w, ''), '</w>') AS s, cnt
+         |   FROM wc),
+         | pr AS (SELECT cnt,
+         |     unnest([[s[i], s[i+1]] for i in range(1, len(s))]) AS p
+         |   FROM sy)
+         | SELECT p[1] AS l, p[2] AS r, CAST(sum(cnt) AS BIGINT) AS n
+         | FROM pr GROUP BY 1, 2
+         | ORDER BY n DESC, l, r LIMIT 200""".stripMargin,
     "q_span_dedup" ->
       s"""WITH tk AS (SELECT doc_id,
          |     list_filter(list_transform(
