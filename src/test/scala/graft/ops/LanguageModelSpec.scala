@@ -94,5 +94,12 @@ class LanguageModelSpec extends SparkTestBase {
     assert(out.count() === 2000L)
     val hits = out.agg(sum("n_hit")).as[Long].head()
     assert(hits > 0L)
+    // The only nested-loop join allowed is the one-row totals broadcast;
+    // raw text must never be a shuffle key.
+    val plan = out.queryExecution.executedPlan.toString
+    val nested = "CartesianProduct".r.findAllIn(plan).length
+    assert(nested === 0, s"no cartesian product allowed:\n$plan")
+    assert("Exchange hashpartitioning\\([^)]*text".r.findFirstIn(plan).isEmpty,
+      s"raw text must not be shuffled:\n$plan")
   }
 }

@@ -67,4 +67,17 @@ class SemDedupSpec extends SparkTestBase {
     assert(m(20L) === ((1, 1)))
     assert(m(21L) === ((1, 0)))
   }
+
+  test("pair stage compares within cells only (no corpus cross join)") {
+    val n = 500
+    val docs = (0L until n.toLong)
+      .map(i => (i, Seq(((i % 7) + 1).toFloat, ((i % 11) + 1).toFloat, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = SemDedup.semanticDedup(docs, "vec_id", "embedding", centers,
+      threshold = 0.999999, maxClusterSize = 1000)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"within-cluster pairing must not be a cartesian product:\n$plan")
+    assert(out.count() === n.toLong)
+  }
 }

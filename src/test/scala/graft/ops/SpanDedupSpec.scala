@@ -81,4 +81,30 @@ class SpanDedupSpec extends SparkTestBase {
       .select("jaccard", "overlap").as[(Double, Double)].head()
     assert(j === ((1.0 / 3.0, 0.5)))
   }
+
+  test("span-dedup shuffles span hashes, never sentence text") {
+    val docs = (0L until 200L)
+      .map(i => (i, s"Alpha $i one. Beta $i two. Gamma $i three. Delta four."))
+      .toDF("doc_id", "text")
+    val plan = Dedup.dedupSentenceSpans(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // Every hash exchange must carry only (h, id, idx)-shaped rows — the
+    // sentence array stays on the narrow pre-shuffle side.
+    val exchangeKeys = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchangeKeys.nonEmpty)
+    assert(!exchangeKeys.exists(_.contains("__s")),
+      s"sentence array must not be a shuffle key:\n$plan")
+  }
+
+  test("sliceOverlap plan: text never rides a shuffle, grams do") {
+    val docs = (0L until 200L)
+      .map(i => (i, s"tok$i alpha beta gamma ${i % 7}", s"s${i % 5}"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.sliceOverlap(docs, "source", "text", k = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\([^)]*text".r.findFirstIn(plan).isEmpty,
+      s"raw text must not be shuffled:\n$plan")
+    assert(out.count() > 0)
+  }
 }
