@@ -723,6 +723,16 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .presented("doc_id")),
 
+    // Stratified A-ES weighted sampling: top-10 per source by the same
+    // deterministic keys — the k-bounded aggregate form (no window).
+    // Weight varies WITHIN each stratum (doc_id-derived) so the weighting
+    // does real work per group.
+    "q_weighted_sample_group" -> ((s, dir) =>
+      Curation.weightedSamplePerGroup(t(s, dir, "documents"), "source",
+          "doc_id", lit(1.0) + (col("doc_id") % 5).cast("double") * lit(0.5),
+          k = 10)
+        .presented("source", "doc_id")),
+
     // End-to-end curation pipeline — quality filter → exact dedup →
     // reproducible split → per-split counts — demonstrating the operators
     // compose; the oracle chains the IDENTICAL stages in SQL.
@@ -1202,6 +1212,17 @@ object SparkEntry {
         | SELECT doc_id, source FROM (
         |   SELECT doc_id, source FROM w ORDER BY k DESC, doc_id LIMIT 100)
         | ORDER BY doc_id""".stripMargin,
+    "q_weighted_sample_group" ->
+      """WITH w AS (SELECT source, doc_id,
+        |     power(CAST(('0x' || substr(md5(doc_id::VARCHAR || '-graft-ws'),
+        |             1, 13)) AS BIGINT) / 4503599627370496.0,
+        |       1.0 / (1.0 + (doc_id % 5) * 0.5)) AS k
+        |   FROM documents)
+        | SELECT source, doc_id FROM (
+        |   SELECT source, doc_id, row_number()
+        |       OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rn
+        |   FROM w)
+        | WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin,
     "q_cms_heavy_hitters" ->
       s"""SELECT token, n, 1 AS est_ok FROM (
          |   SELECT token, count(*) AS n

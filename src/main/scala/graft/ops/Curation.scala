@@ -200,6 +200,29 @@ object Curation {
       .limit(k)
       .drop("__wsk")
 
+  /** Stratified [[weightedSample]]: the A-ES top-k PER GROUP (per language,
+    * source, quality bucket — the shape corpus subsampling actually runs).
+    * Same determinism contract as the global form. The per-group top-k is
+    * the k-bounded [[graft.functions.TopKByScore.topk_by_score]]
+    * aggregate, so the exchange carries ≤ tasks × groups × k rows — NOT a
+    * per-group `row_number()` window, whose exchange would be corpus-sized
+    * and collapse on few-group strata. Emits (group, id).
+    */
+  def weightedSamplePerGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      weight: Column,
+      k: Int,
+      salt: String = "graft-ws"): DataFrame =
+    df.select(col(groupCol), col(idCol).cast("long").as(idCol),
+        pow(hashUniform(col(idCol), salt), lit(1.0) / weight).as("__wsk"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopKByScore.topk_by_score(
+        col("__wsk"), col(idCol), k).as("__top"))
+      .select(col(groupCol), explode(col("__top")).as("__e"))
+      .select(col(groupCol), col("__e.id").as(idCol))
+
   /** Reproducible train/valid/test split: `splits` are (label, fraction)
     * with fractions summing to ≤ 1 (remainder → last label). Assignment is
     * by cumulative threshold on the row's [[hashDraw]] — adding rows never

@@ -28,6 +28,21 @@ class CurationSpec extends SparkTestBase {
     val again = Curation.weightedSample(df.repartition(7), "id", col("w"), k = 20)
       .select("id").as[Long].collect().toSet
     assert(again === got)
+    // The stratified form equals an independent per-group replication and
+    // its plan is the k-bounded aggregate, not a window.
+    val grouped = (0L until 100L).map(i => (i, s"g${i % 3}", 1.0 + (i % 5)))
+      .toDF("id", "grp", "w")
+    val perGroup = Curation.weightedSamplePerGroup(grouped, "grp", "id",
+      col("w"), k = 5)
+    val gotG = perGroup.as[(String, Long)].collect().toSet
+    val expectG = (0L until 100L).groupBy(i => s"g${i % 3}").toSeq.flatMap {
+      case (g, ids) =>
+        ids.sortBy(i => (-key(i, 1.0 + (i % 5)), i)).take(5).map(g -> _)
+    }.toSet
+    assert(gotG === expectG)
+    val plan = perGroup.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"must use the k-bounded aggregate:\n$plan")
+    assert(plan.contains("topk_by_score"), plan)
     // Weighted bias: the weight-9 class dominates the sample.
     assert(got.count(_ < 50L) > 12, s"high-weight ids in sample: ${got.count(_ < 50L)}")
   }
