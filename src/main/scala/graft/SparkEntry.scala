@@ -906,6 +906,18 @@ object SparkEntry {
         .presented("vec_id")
     }),
 
+    // SQ8 scalar quantization codes, exploded to (vec_id, dim, code) int
+    // rows. Exact oracle: DuckDB recomputes per-dim min/max and evaluates
+    // the IDENTICAL floor((x-mn)/((mx-mn)/255)) formula — same IEEE ops on
+    // the same doubles, bit-equal codes.
+    "q_sq8_codes" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val bounds = ops.ScalarQuantizer.fit(emb, "embedding")
+      ops.ScalarQuantizer.encode(emb, "vec_id", "embedding", bounds)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("dim", "code")))
+        .presented("vec_id", "dim")
+    }),
+
     // BPE tokenizer induction, step-0 side: the top-200 adjacent
     // symbol-pair counts over the word-count table (the argmax input of
     // the first merge). Exact integer oracle.
@@ -1474,6 +1486,21 @@ object SparkEntry {
         |       OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
         |   FROM s)
         | WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "q_sq8_codes" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |     FROM embeddings),
+        | ex AS (SELECT unnest(v) AS x,
+        |     unnest(range(1, len(v) + 1)) AS i FROM e),
+        | dm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY i),
+        | b AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+        |   FROM dm)
+        | SELECT e.vec_id, i - 1 AS dim,
+        |   CASE WHEN b.mxs[i] = b.mns[i] THEN 0
+        |        ELSE least(255, greatest(0, CAST(floor((e.v[i] - b.mns[i])
+        |          / ((b.mxs[i] - b.mns[i]) / 255.0)) AS INT))) END AS code
+        | FROM e CROSS JOIN b
+        |   CROSS JOIN UNNEST(range(1, len(e.v) + 1)) AS t(i)
+        | ORDER BY vec_id, dim""".stripMargin,
     "q_bpe_pairs" ->
       s"""WITH wc AS (SELECT w, count(*) AS cnt FROM (
          |     SELECT unnest($tokensSql) AS w FROM documents) GROUP BY w),
