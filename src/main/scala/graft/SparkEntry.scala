@@ -723,6 +723,12 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .presented("doc_id")),
 
+    // Per-slice dataset-card profile over docsWithDupes (so n_dup_docs is
+    // non-zero) — one aggregation pass, integer-exact columns.
+    "q_corpus_profile" -> ((s, dir) =>
+      Curation.corpusProfile(docsWithDupes(s, dir), "text", "source", "lang")
+        .presented("slice")),
+
     // Stratified A-ES weighted sampling: top-10 per source by the same
     // deterministic keys — the k-bounded aggregate form (no window).
     // Weight varies WITHIN each stratum (doc_id-derived) so the weighting
@@ -1224,6 +1230,14 @@ object SparkEntry {
         | SELECT doc_id, source FROM (
         |   SELECT doc_id, source FROM w ORDER BY k DESC, doc_id LIMIT 100)
         | ORDER BY doc_id""".stripMargin,
+    "q_corpus_profile" ->
+      s"""SELECT source AS slice, count(*) AS n_docs,
+         |   count(*) - count(DISTINCT md5(text)) AS n_dup_docs,
+         |   CAST(sum(len($tokensSql)) AS BIGINT) AS n_tokens,
+         |   CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |   count(DISTINCT lang) AS n_langs
+         | FROM $docsWithDupesSql
+         | GROUP BY source ORDER BY slice""".stripMargin,
     "q_weighted_sample_group" ->
       """WITH w AS (SELECT source, doc_id,
         |     power(CAST(('0x' || substr(md5(doc_id::VARCHAR || '-graft-ws'),

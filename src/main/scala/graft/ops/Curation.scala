@@ -296,6 +296,29 @@ object Curation {
       (col("n_tokens") > 0 && bin =!= endBin).cast("int").as("straddles"))
   }
 
+  /** Per-slice "dataset card" profile — the one-pass corpus summary a
+    * mixture designer reads first: document/token/char volumes, language
+    * spread, and the exact-duplicate count (docs minus distinct content
+    * hashes). ONE aggregation (map-side combined; the distinct counts ride
+    * the same shuffle), integer-exact outputs, no second pass over 100 TB.
+    */
+  def corpusProfile(
+      df: DataFrame,
+      textCol: String,
+      sliceCol: String,
+      langCol: String): DataFrame =
+    df.select(col(sliceCol).as("slice"), col(langCol).as("__lang"),
+        size(graft.functions.TextFunctions.tokenize(col(textCol)))
+          .cast("long").as("__ntok"),
+        length(col(textCol)).cast("long").as("__nch"),
+        md5(col(textCol).cast("binary")).as("__h"))
+      .groupBy("slice")
+      .agg(count(lit(1)).as("n_docs"),
+        (count(lit(1)) - countDistinct(col("__h"))).as("n_dup_docs"),
+        sum(col("__ntok")).as("n_tokens"),
+        sum(col("__nch")).as("n_chars"),
+        countDistinct(col("__lang")).as("n_langs"))
+
   /** Cross-slice n-gram overlap matrix — the corpus-composition leakage
     * audit: for every pair of slices (sources, dumps, snapshots), how many
     * distinct word k-grams they share, as raw counts plus Jaccard and

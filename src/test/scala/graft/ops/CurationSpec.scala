@@ -47,6 +47,22 @@ class CurationSpec extends SparkTestBase {
     assert(got.count(_ < 50L) > 12, s"high-weight ids in sample: ${got.count(_ < 50L)}")
   }
 
+  test("corpusProfile: one-pass integer-exact dataset card") {
+    val docs = Seq(
+      (1L, "a b c", "s1", "en"),
+      (2L, "a b c", "s1", "en"),     // exact dup of 1
+      (3L, "d e", "s1", "de"),
+      (4L, "x", "s2", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val m = Curation.corpusProfile(docs, "text", "source", "lang")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(m("s1").getLong(1) === 3L) // n_docs
+    assert(m("s1").getLong(2) === 1L) // n_dup_docs
+    assert(m("s1").getLong(3) === 8L) // n_tokens
+    assert(m("s1").getLong(5) === 2L) // n_langs
+    assert(m("s2").getLong(2) === 0L)
+  }
+
   test("decontaminate counts shared distinct k-grams and applies the floor") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
