@@ -82,6 +82,49 @@ class SpanDedupSpec extends SparkTestBase {
     assert(j === ((1.0 / 3.0, 0.5)))
   }
 
+  test("property: matches a brute-force sequential reference on random corpora") {
+    // Reference implementation: walk docs in id order, collect seen spans,
+    // mark non-first occurrences, rebuild — the single-machine C4 loop the
+    // distributed operator must agree with exactly.
+    def reference(docs: Seq[(Long, String)], span: Int)
+        : Map[Long, (Long, Long, Long, String)] = {
+      def sent(t: String): Seq[String] =
+        "[^.!?]+[.!?]*".r.findAllIn(t).map(_.trim).filter(_.nonEmpty).toSeq
+      val first = scala.collection.mutable.Map.empty[String, (Long, Int)]
+      for ((id, t) <- docs.sortBy(_._1); s = sent(t);
+           i <- 0 to s.length - span) {
+        val g = s.slice(i, i + span).mkString(" ")
+        if (!first.contains(g)) first(g) = (id, i)
+      }
+      docs.map { case (id, t) =>
+        val s = sent(t)
+        val dup = (0 to s.length - span).filter { i =>
+          first(s.slice(i, i + span).mkString(" ")) != ((id, i))
+        }
+        val keptSents = s.indices.filterNot(j =>
+          dup.exists(i => j >= i && j < i + span)).map(s)
+        id -> ((s.length.toLong, math.max(s.length - span + 1, 0).toLong,
+          dup.length.toLong, keptSents.mkString(" ")))
+      }.toMap
+    }
+    // Random corpora from a tiny sentence alphabet → heavy span collisions.
+    val rng = new scala.util.Random(42)
+    for (round <- 0 until 5) {
+      val sents = (0 until 6).map(i => s"s$i.")
+      val docs = (0L until 30L).map { id =>
+        val n = rng.nextInt(8)
+        (id, Seq.fill(n)(sents(rng.nextInt(sents.length))).mkString(" "))
+      }
+      val got = Dedup.dedupSentenceSpans(docs.toDF("doc_id", "text"),
+          "doc_id", "text")
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+        .toMap
+      assert(got === reference(docs, 3), s"round $round")
+    }
+  }
+
   test("span-dedup shuffles span hashes, never sentence text") {
     val docs = (0L until 200L)
       .map(i => (i, s"Alpha $i one. Beta $i two. Gamma $i three. Delta four."))
