@@ -1232,7 +1232,7 @@ object SparkEntry {
         | ORDER BY doc_id""".stripMargin,
     "q_corpus_profile" ->
       s"""SELECT source AS slice, count(*) AS n_docs,
-         |   count(*) - count(DISTINCT md5(text)) AS n_dup_docs,
+         |   count(md5(text)) - count(DISTINCT md5(text)) AS n_dup_docs,
          |   CAST(sum(len($tokensSql)) AS BIGINT) AS n_tokens,
          |   CAST(sum(length(text)) AS BIGINT) AS n_chars,
          |   count(DISTINCT lang) AS n_langs

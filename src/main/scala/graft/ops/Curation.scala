@@ -314,7 +314,9 @@ object Curation {
         md5(col(textCol).cast("binary")).as("__h"))
       .groupBy("slice")
       .agg(count(lit(1)).as("n_docs"),
-        (count(lit(1)) - countDistinct(col("__h"))).as("n_dup_docs"),
+        // count(__h), not count(*): null texts hash to null and must not
+        // register as duplicates of each other.
+        (count(col("__h")) - countDistinct(col("__h"))).as("n_dup_docs"),
         sum(col("__ntok")).as("n_tokens"),
         sum(col("__nch")).as("n_chars"),
         countDistinct(col("__lang")).as("n_langs"))

@@ -431,7 +431,9 @@ object Dedup {
       textCol: String,
       span: Int = 3): DataFrame = {
     require(span >= 1, s"span must be >= 1, got $span")
-    val staged = df.select(col(idCol).as("id"), sentences(col(textCol)).as("__s"))
+    // Null text degrades to zero sentences (not null counts downstream).
+    val staged = df.select(col(idCol).as("id"),
+      coalesce(sentences(col(textCol)), array().cast("array<string>")).as("__s"))
     val spans = staged
       .select(col("id"),
         when(size(col("__s")) < span, array().cast("array<int>"))

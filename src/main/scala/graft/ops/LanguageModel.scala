@@ -115,7 +115,9 @@ object LanguageModel {
           .as("n_backoff"),
         (coalesce(col("n_hit"), lit(0L)).cast("double") /
           greatest(coalesce(col("n_grams"), lit(0L)), lit(1L))).as("coverage"),
-        when(col("n_grams") > 0, -col("__sum_log") / col("n_grams"))
+        // (0.0 − x)/n, not -x/n: a perfectly-predicted document has
+        // sum_log = 0.0 and must score 0.0, not IEEE −0.0.
+        when(col("n_grams") > 0, (lit(0.0) - col("__sum_log")) / col("n_grams"))
           .as("log10_ppl"))
   }
 

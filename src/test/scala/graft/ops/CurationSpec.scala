@@ -61,6 +61,14 @@ class CurationSpec extends SparkTestBase {
     assert(m("s1").getLong(3) === 8L) // n_tokens
     assert(m("s1").getLong(5) === 2L) // n_langs
     assert(m("s2").getLong(2) === 0L)
+    // Two null-text docs are NOT duplicates of each other.
+    val withNulls = docs.union(Seq(
+      (5L, null: String, "s3", "en"),
+      (6L, null: String, "s3", "en")).toDF("doc_id", "text", "source", "lang"))
+    val s3 = Curation.corpusProfile(withNulls, "text", "source", "lang")
+      .collect().map(r => r.getString(0) -> r).toMap.apply("s3")
+    assert(s3.getLong(1) === 2L)
+    assert(s3.getLong(2) === 0L)
   }
 
   test("decontaminate counts shared distinct k-grams and applies the floor") {

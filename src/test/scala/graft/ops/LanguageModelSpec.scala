@@ -76,6 +76,13 @@ class LanguageModelSpec extends SparkTestBase {
     }
   }
 
+  test("perfectly-predicted docs score 0.0, not IEEE -0.0") {
+    // [a b]: gram (a,b) scores 3/3 = 1.0 → sum_log 0.0 → ppl must be +0.0.
+    val r = scoreMap(Seq((18L, "a b")))(18L)
+    assert(java.lang.Double.compare(r.getDouble(5), 0.0) === 0,
+      s"got ${r.getDouble(5)}")
+  }
+
   test("alpha parameter scales the backoff branch only") {
     val docs = Seq((17L, "c c")).toDF("doc_id", "text")
     val r = LanguageModel.scoreDocs(docs, "doc_id", "text", lm, alpha = 0.1)

@@ -45,6 +45,18 @@ class SpanDedupSpec extends SparkTestBase {
     assert(r.getString(4) === "X a. Y b. Z c. Filler mid.")
   }
 
+  test("null text degrades to zero sentences, empty cleaned text") {
+    val docs = Seq((1L, "Real one. Real two. Real three."), (2L, null))
+      .toDF("doc_id", "text")
+    val m = Dedup.dedupSentenceSpans(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(2L).getLong(1) === 0L)
+    assert(m(2L).getLong(2) === 0L)
+    assert(m(2L).getLong(3) === 0L)
+    assert(m(2L).getString(4) === "")
+    assert(m(1L).getLong(1) === 3L)
+  }
+
   test("documents shorter than the span pass through") {
     val docs = Seq((1L, "Short one. Short two."), (2L, "Short one. Short two."))
       .toDF("doc_id", "text")
