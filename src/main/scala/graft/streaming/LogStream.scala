@@ -209,6 +209,98 @@ object LogStream {
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h")
 
+  /** Input contract for [[nearDupPairsStream]]. */
+  case class NearDupInput(id: Long, text: String, eventTimeMs: Long)
+  /** Internal: one row per (SimHash 16-bit block, doc). */
+  private[streaming] case class NearDupEvent(
+      bucket: Long, id: Long, sim: Long, eventTimeMs: Long, et: Timestamp)
+  /** Per-bucket state: (id, simhash, eventTimeMs) of in-horizon members. */
+  private[streaming] case class NearDupBucket(entries: List[(Long, Long, Long)])
+  /** Emitted candidate pair (id_a arrived no later than id_b). */
+  case class NearDupPair(id_a: Long, id_b: Long, hamming: Int, et: Timestamp)
+
+  /** Streaming NEAR-duplicate pair detection — the continuous form of
+    * [[graft.ops.Dedup.simhashDupePairs]], same LSH family: a 64-bit
+    * SimHash per document, blocked into four 16-bit bands; docs sharing a
+    * band bucket are compared by Hamming distance (≤ maxHamming needs the
+    * shared-band pigeonhole, exactly the batch blocking guarantee for
+    * distance ≤ 3).
+    *
+    * Each doc joins its four bucket groups; per-bucket state holds the
+    * in-horizon members, bounded BOTH by the watermark (entries older than
+    * it are pruned; an idle bucket's state dies by event-time timeout) and
+    * by `maxBucketSize` (newest-kept cap — the streaming analogue of the
+    * batch capped-bucket policy; an overfull bucket is boilerplate-shaped
+    * and its oldest entries are the least likely future matches). A pair
+    * sharing several bands is emitted once per shared band: Spark's
+    * global-watermark correctness check (rightly) refuses a second
+    * stateful dedup chained after flatMapGroupsWithState, so collapse the
+    * multiplicity at the sink — an idempotent upsert keyed on
+    * (id_a, id_b), or a batch `distinct` over the landed pairs (the batch
+    * operator's own `distinct`, deferred).
+    *
+    * Duplicates farther apart than the watermark pass undetected and are
+    * caught by the batch dedup that compacts the corpus — the identical
+    * trade [[dedupedStream]] documents.
+    */
+  def nearDupPairsStream(
+      docs: Dataset[NearDupInput],
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 64,
+      watermark: String = "10 minutes"): Dataset[NearDupPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val events = docs.toDF()
+      .withColumn("sim",
+        graft.functions.TextFunctions.simhash64(
+          graft.functions.TextFunctions.tokenize(col("text"))))
+      .select(col("id"), col("sim"), col("eventTimeMs"),
+        explode(expr(
+          "transform(sequence(0, 3), i -> shiftleft(CAST(i AS BIGINT), 16)" +
+            " + (shiftrightunsigned(sim, 16 * i) & 65535))")).as("bucket"))
+      .withColumn("et", timestamp_millis(col("eventTimeMs")))
+      .withWatermark("et", watermark)
+      .as[NearDupEvent]
+    events
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[NearDupBucket, NearDupPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state: GroupState[NearDupBucket]) =>
+          val wm = state.getCurrentWatermarkMs()
+          // Horizon-prune surviving members first (watermark-bounded state).
+          var entries = state.getOption.map(_.entries).getOrElse(Nil)
+            .filter(_._3 >= wm)
+          val out = List.newBuilder[NearDupPair]
+          // Deterministic processing order inside the micro-batch.
+          rows.toSeq.sortBy(e => (e.eventTimeMs, e.id)).foreach { e =>
+            if (e.eventTimeMs >= wm) {
+              entries.foreach { case (pid, psim, pts) =>
+                if (pid != e.id) {
+                  val d = java.lang.Long.bitCount(psim ^ e.sim)
+                  if (d <= maxHamming) {
+                    // Earlier arrival (ts, then id) is id_a.
+                    val aFirst = pts < e.eventTimeMs ||
+                      (pts == e.eventTimeMs && pid < e.id)
+                    out += (if (aFirst) NearDupPair(pid, e.id, d, e.et)
+                      else NearDupPair(e.id, pid, d, e.et))
+                  }
+                }
+              }
+              entries = ((e.id, e.sim, e.eventTimeMs) :: entries)
+                .sortBy(x => (-x._3, -x._1)).take(maxBucketSize)
+            }
+          }
+          if (entries.isEmpty) state.remove()
+          else {
+            state.update(NearDupBucket(entries))
+            // Die when the newest member ages out of the horizon.
+            state.setTimeoutTimestamp(math.max(
+              entries.map(_._3).max + 1, wm + 1))
+          }
+          out.result().iterator
+      }
+  }
+
   /** Continuous ingest: text file stream → parsed log lines → Boom files.
     * (`foreachBatch` + the batch writer — the standard file-sink pattern for
     * a custom format.)

@@ -36,6 +36,39 @@ class LogStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup pairs: simhash bands, dedup of band multiplicity") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "morning sun rises slowly over the quiet green valley below"
+    val input = MemoryStream[LogStream.NearDupInput]
+    val pairs = LogStream.nearDupPairsStream(input.toDS(), maxHamming = 3)
+    val q = pairs.writeStream.format("memory").queryName("neardups")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        LogStream.NearDupInput(1L, base, 1000L),
+        LogStream.NearDupInput(2L, "completely different text about engines", 2000L))
+      q.processAllAvailable()
+      input.addData(
+        LogStream.NearDupInput(3L, base, 3000L),                             // exact dup of 1
+        LogStream.NearDupInput(4L, base.replace("jumps", "leaps"), 4000L))   // near dup
+      q.processAllAvailable()
+      val got = spark.table("neardups")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got.contains((1L, 3L)), s"exact dup must pair: $got")
+      assert(got.exists(p => p._2 == 4L && (p._1 == 1L || p._1 == 3L)),
+        s"near dup must pair: $got")
+      assert(!got.exists(p => p._1 == 2L || p._2 == 2L),
+        s"distinct doc must not pair: $got")
+      // Identical docs share all 4 bands → multiplicity is bounded by 4
+      // and collapses under the sink-side distinct (`got` above is a Set).
+      val raw = spark.table("neardups").select("id_a", "id_b")
+        .as[(Long, Long)].collect().toSeq
+      val m = raw.groupBy(identity).map(_._2.size).max
+      assert(m <= 4, s"per-pair multiplicity must be ≤ bands: $raw")
+    } finally q.stop()
+  }
+
   test("curation quality filters run unchanged on a stream (stateless narrow ops)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
