@@ -980,6 +980,27 @@ object SparkEntry {
         .presented("vec_id")
     }),
 
+    // Incremental (cross-corpus) semantic dedup: candidates = the "new
+    // crawl" half plus 5 planted copies of reference vectors; reference =
+    // the kept half. Same engine-reproducible integer-only output as
+    // q_semantic_dedup.
+    "q_cross_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ref = emb.where(col("vec_id") < 250)
+      val cand = emb.where(col("vec_id") >= 250)
+        .unionByName(emb.where(col("vec_id") < 5)
+          .withColumn("vec_id", col("vec_id") + 1000000L))
+      val centers = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").cast("int"), col("embedding"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      ops.SemDedup.crossSemanticDedup(cand, ref, "vec_id", "embedding",
+          centers, threshold = 0.95, maxClusterSize = 40)
+        .select(col("vec_id"), col("cell").cast("int").as("cell"),
+          col("keep").cast("int").as("keep"))
+        .presented("vec_id")
+    }),
+
     // Stupid-Backoff bigram LM, training side: the top-100 bigram counts
     // (the model's head — what a vocabulary/boilerplate audit reads first).
     // Exact integer oracle; ties in c2 break on (w1, w2) on both engines.
@@ -1603,6 +1624,55 @@ object SparkEntry {
         |   CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
         | FROM asg LEFT JOIN drops d USING (vec_id)
         | ORDER BY asg.vec_id""".stripMargin,
+    "q_cross_dedup" ->
+      """WITH cand AS (SELECT vec_id, embedding FROM embeddings
+        |       WHERE vec_id >= 250
+        |       UNION ALL
+        |       SELECT vec_id + 1000000, embedding FROM embeddings
+        |       WHERE vec_id < 5),
+        | ref AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 250),
+        | c AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+        |     FROM embeddings WHERE vec_id < 8),
+        | sc AS (SELECT a.vec_id, c.cell,
+        |     CASE WHEN isnan(list_cosine_similarity(
+        |              CAST(a.embedding AS DOUBLE[]), c.cv))
+        |          THEN 0.0
+        |          ELSE list_cosine_similarity(
+        |              CAST(a.embedding AS DOUBLE[]), c.cv) END AS score
+        |   FROM cand a CROSS JOIN c),
+        | casg AS (SELECT vec_id, cell FROM (
+        |     SELECT vec_id, cell, row_number()
+        |         OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+        |     FROM sc)
+        |   WHERE rn = 1),
+        | sr AS (SELECT a.vec_id, c.cell,
+        |     CASE WHEN isnan(list_cosine_similarity(
+        |              CAST(a.embedding AS DOUBLE[]), c.cv))
+        |          THEN 0.0
+        |          ELSE list_cosine_similarity(
+        |              CAST(a.embedding AS DOUBLE[]), c.cv) END AS score
+        |   FROM ref a CROSS JOIN c),
+        | rasg AS (SELECT vec_id, cell FROM (
+        |     SELECT vec_id, cell, row_number()
+        |         OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+        |     FROM sr)
+        |   WHERE rn = 1),
+        | rpart AS (SELECT vec_id, cell, v FROM (
+        |     SELECT rasg.vec_id, rasg.cell,
+        |         CAST(r.embedding AS DOUBLE[]) AS v, row_number()
+        |         OVER (PARTITION BY rasg.cell ORDER BY rasg.vec_id) AS rn
+        |     FROM rasg JOIN ref r USING (vec_id))
+        |   WHERE rn <= 40),
+        | cv AS (SELECT casg.vec_id, casg.cell,
+        |     CAST(a.embedding AS DOUBLE[]) AS v
+        |   FROM casg JOIN cand a USING (vec_id)),
+        | drops AS (SELECT DISTINCT cv.vec_id
+        |   FROM cv JOIN rpart ON cv.cell = rpart.cell
+        |   WHERE list_cosine_similarity(cv.v, rpart.v) >= 0.95)
+        | SELECT casg.vec_id, casg.cell::INT AS cell,
+        |   CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+        | FROM casg LEFT JOIN drops d USING (vec_id)
+        | ORDER BY casg.vec_id""".stripMargin,
     "q_lm_bigrams" ->
       s"""WITH tr AS (SELECT $tokensSql AS t FROM documents),
          | bg AS (SELECT unnest([[t[i], t[i+1]] for i in range(1, len(t))]) AS p

@@ -64,6 +64,53 @@ object SemDedup {
         when(col("__dropped").isNull, 1).otherwise(0).as("keep"))
   }
 
+  /** Cross-corpus semantic dedup — the INCREMENTAL form: drop candidate
+    * rows (a new crawl) that are semantic near-dups of the reference
+    * corpus (the data already kept). Same cluster-then-exact-cosine shape:
+    * both sides assign to the shared centroids, and each candidate
+    * compares only against reference members of its own cell, so the
+    * cross product never materializes. The reference side carries the
+    * same deterministic lowest-id participation cap; candidates are
+    * always judged (a capped cell keeps its candidates — fail-open, like
+    * the batch cap).
+    *
+    * Output: one row per candidate — (id, cell, keep) with keep = 0 iff
+    * some in-cap reference vector in the same cell has cosine ≥ threshold.
+    */
+  def crossSemanticDedup(
+      candidates: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centers: Seq[(Int, Array[Float])],
+      threshold: Double,
+      maxClusterSize: Int = 10000): DataFrame = {
+    val candAssign = Similarity.assignToCentroids(candidates, idCol, vecCol,
+      centers)
+    val candVec = candAssign.join(
+      candidates.select(col(idCol).cast("long").as(idCol), col(vecCol)),
+      Seq(idCol))
+    val refAssign = Similarity.assignToCentroids(reference, idCol, vecCol,
+      centers)
+    val refPart = refAssign
+      .join(reference.select(col(idCol).cast("long").as(idCol), col(vecCol)),
+        Seq(idCol))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy("cell").orderBy(col(idCol))))
+      .where(col("__rn") <= maxClusterSize)
+      .select(col(idCol).as("__ref_id"), col("cell"),
+        col(vecCol).as("__rv"))
+    val dropped = candVec
+      .join(refPart, Seq("cell"))
+      .where(Similarity.cosine(col(vecCol), col("__rv")) >= threshold)
+      .select(col(idCol))
+      .distinct()
+      .withColumn("__dropped", lit(1))
+    candAssign.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        when(col("__dropped").isNull, 1).otherwise(0).as("keep"))
+  }
+
   /** The deduplicated corpus itself (rows whose verdict is keep = 1). */
   def semanticDedupKept(
       corpus: DataFrame,

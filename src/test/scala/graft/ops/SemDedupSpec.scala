@@ -68,6 +68,39 @@ class SemDedupSpec extends SparkTestBase {
     assert(m(21L) === ((1, 0)))
   }
 
+  test("crossSemanticDedup drops candidates near the reference, keeps the rest") {
+    val reference = Seq(
+      (1L, v(1f, 0f, 0f)),
+      (10L, v(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val candidates = Seq(
+      (100L, v(1f, 0f, 0f)),       // copy of ref 1 → drop
+      (101L, v(0.99f, 0.01f, 0f)), // near ref 1 → drop
+      (102L, v(0.8f, 0f, 0.6f)),   // cell 0 but cos 0.8 < t → keep
+      (103L, v(0f, 1f, 0f)))       // copy of ref 10 → drop
+      .toDF("vec_id", "embedding")
+    val m = SemDedup.crossSemanticDedup(candidates, reference, "vec_id",
+        "embedding", centers, threshold = 0.95)
+      .as[(Long, Int, Int)].collect()
+      .map { case (id, cell, keep) => id -> ((cell, keep)) }.toMap
+    assert(m(100L) === ((0, 0)))
+    assert(m(101L) === ((0, 0)))
+    assert(m(102L) === ((0, 1)))
+    assert(m(103L) === ((1, 0)))
+    assert(m.size === 4)
+    // Candidates never compare against each other: two identical
+    // candidates with no reference neighbor both survive.
+    val twins = Seq(
+      (200L, v(0.3f, 0.7f, 0f)),
+      (201L, v(0.3f, 0.7f, 0f)))
+      .toDF("vec_id", "embedding")
+    val t2 = SemDedup.crossSemanticDedup(twins, reference, "vec_id",
+        "embedding", centers, threshold = 0.95)
+      .as[(Long, Int, Int)].collect()
+      .map { case (id, _, keep) => id -> keep }.toMap
+    assert(t2(200L) === 1 && t2(201L) === 1)
+  }
+
   test("pair stage compares within cells only (no corpus cross join)") {
     val n = 500
     val docs = (0L until n.toLong)
