@@ -339,6 +339,10 @@ object Curation {
     * gram; the pair join reuses that key and emits ≤ maxSlices² rows per
     * gram; totals and the final pair aggregation are map-side-combined
     * counts. No text ever rides a shuffle, and no driver-side state.
+    * The gram table feeds three consumers (totals + both pair sides) in
+    * ONE plan, so AQE's exchange reuse materializes its shuffle once —
+    * verified at runtime (5 ReusedExchange nodes), no manual persist
+    * needed.
     * Output: (src_a, src_b, n_shared, n_a, n_b, jaccard, overlap) for
     * pairs sharing ≥ 1 surviving gram, src_a < src_b.
     */
