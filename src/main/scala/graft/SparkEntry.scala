@@ -608,6 +608,13 @@ object SparkEntry {
     "q_cms_heavy_hitters" -> ((s, dir) =>
       Sketches.cmsAuditedTopTokens(t(s, dir, "documents"), "text", k = 50)),
 
+    // HLL-audited distinct users per event type: exact distinct count
+    // (oracled) + a deterministic audit bit that the mergeable sketch
+    // estimate landed inside its 4σ envelope.
+    "q_hll_distinct" -> ((s, dir) =>
+      Sketches.hllAuditedDistinct(events(s, dir), "event_type", "user_id")
+        .presented("event_type")),
+
     // Gopher repetition signals (dup-token fraction, most-frequent-bigram
     // count) — exact oracle: DuckDB recomputes via unnest + group-by where
     // the operator uses a narrow sorted-run fold.
@@ -1270,6 +1277,9 @@ object SparkEntry {
         |       OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rn
         |   FROM w)
         | WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin,
+    "q_hll_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact, 1 AS est_ok
+        | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_cms_heavy_hitters" ->
       s"""SELECT token, n, 1 AS est_ok FROM (
          |   SELECT token, count(*) AS n

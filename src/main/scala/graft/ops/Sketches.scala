@@ -52,4 +52,35 @@ object Sketches {
       .limit(k)
       .withColumn("est_ok", estOk(col("token"), col("n")))
   }
+
+  /** Per-key distinct counts via HLL sketches (Spark 4's built-in Apache
+    * DataSketches surface), audited against the exact count — the same
+    * audit-bit pattern as [[cmsAuditedTopTokens]]: emit the EXACT count
+    * (oracle-able by any engine) plus a bit asserting the sketch estimate
+    * landed within its error envelope.
+    *
+    * The sketch is the 100 TB artifact: per-key HLL buffers are MERGEABLE
+    * (`hll_union_agg`), so per-partition / per-day sketches roll up to
+    * global distinct counts without ever re-touching raw data — the thing
+    * an exact `count(DISTINCT)` fundamentally cannot do incrementally.
+    * lgConfigK = 12 gives ~1.6% relative standard error; the audit allows
+    * 4σ (~6.5%).
+    */
+  def hllAuditedDistinct(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      lgConfigK: Int = 12): DataFrame = {
+    val rse = 1.04 / math.sqrt((1L << lgConfigK).toDouble)
+    val tol = 4 * rse
+    df.groupBy(col(keyCol))
+      .agg(
+        countDistinct(col(valueCol)).as("n_exact"),
+        expr(s"hll_sketch_estimate(hll_sketch_agg($valueCol, $lgConfigK))")
+          .as("__est"))
+      .select(col(keyCol), col("n_exact"),
+        (abs(col("__est") - col("n_exact")) <=
+          greatest(col("n_exact").cast("double") * tol, lit(4.0)))
+          .cast("int").as("est_ok"))
+  }
 }

@@ -18,6 +18,24 @@ class SketchesSpec extends SparkTestBase {
     assert(got.forall(_._3 == 1), got.mkString(", "))
   }
 
+  test("hllAuditedDistinct: exact per-key distincts, estimate in envelope") {
+    val rows = (0 until 1000).map(i => (s"k${i % 3}", (i * 7) % 211)) ++
+      (0 until 50).map(i => ("rare", i))
+    val got = Sketches.hllAuditedDistinct(rows.toDF("k", "v"), "k", "v")
+      .as[(String, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // k0/k1/k2 each see a dense residue class of size min(334,211)=211-ish;
+    // exact counts come from the data, envelope bit must hold everywhere.
+    assert(got("rare")._1 === 50L)
+    assert(got.size === 4)
+    assert(got.values.forall(_._2 === 1), got.toString)
+    // Small keys (≤ 4 absolute slack) audit exactly.
+    val tiny = Seq(("a", 1), ("a", 1), ("a", 2)).toDF("k", "v")
+    val t = Sketches.hllAuditedDistinct(tiny, "k", "v")
+      .as[(String, Long, Int)].collect().head
+    assert(t === (("a", 2L, 1)))
+  }
+
   test("cmsAuditedTopTokens is deterministic across runs (seeded sketch)") {
     val docs = (1 to 50).map(i => s"w${i % 7} w${i % 13} common").toDF("text")
     val a = Sketches.cmsAuditedTopTokens(docs, "text", k = 10)
