@@ -622,6 +622,14 @@ object SparkEntry {
       TextAnalysis.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text", n = 2)
         .presented("doc_id")),
 
+    // Gopher char-level repetition table (top-3-gram char mass, dup-5-gram
+    // char coverage) — exact oracle: DuckDB rebuilds gram strings,
+    // re-derives the max mass and the covered-position char sum.
+    "q_repetition_profile" -> ((s, dir) =>
+      TextAnalysis.repetitionProfile(t(s, dir, "documents"), "doc_id", "text",
+          topNs = Seq(3), dupNs = Seq(5))
+        .presented("doc_id")),
+
     // Gopher quality filter: per-rule measurements + keep verdict.
     "q_gopher_filter" -> ((s, dir) =>
       TextAnalysis.gopherFilter(t(s, dir, "documents"), "doc_id", "text",
@@ -1412,6 +1420,44 @@ object SparkEntry {
          |   coalesce(m.mx, 0)::DOUBLE / greatest(len(g.gs), 1) AS top_gram_frac
          | FROM d JOIN g USING (doc_id) LEFT JOIN m USING (doc_id)
          | ORDER BY doc_id""".stripMargin,
+    "q_repetition_profile" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         | base AS (SELECT doc_id, t,
+         |     list_transform(t, x -> length(x)) AS le,
+         |     coalesce(CAST(list_sum(list_transform(t, x -> length(x)))
+         |       AS BIGINT), 0) AS total
+         |   FROM tk),
+         | g3 AS (SELECT doc_id, i,
+         |     array_to_string(list_slice(t, i, i + 2), ' ') AS g,
+         |     CAST(coalesce(list_sum(list_slice(le, i, i + 2)), 0) AS BIGINT)
+         |       AS glen
+         |   FROM (SELECT doc_id, t, le, unnest(range(1, len(t) - 1)) AS i
+         |     FROM base)),
+         | c3 AS (SELECT doc_id, g, count(*) AS cnt, min(glen) AS glen
+         |   FROM g3 GROUP BY doc_id, g),
+         | m3 AS (SELECT doc_id, max(cnt * glen) AS top_mass
+         |   FROM c3 GROUP BY doc_id),
+         | g5 AS (SELECT doc_id, i,
+         |     array_to_string(list_slice(t, i, i + 4), ' ') AS g
+         |   FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+         |     FROM base)),
+         | d5 AS (SELECT doc_id, g FROM (
+         |     SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY doc_id, g)
+         |   WHERE cnt >= 2),
+         | covpos AS (SELECT DISTINCT q.doc_id, q.i + u.o AS j
+         |   FROM (SELECT g5.doc_id, g5.i FROM g5 JOIN d5 USING (doc_id, g)) q
+         |     CROSS JOIN UNNEST(range(0, 5)) AS u(o)),
+         | cchars AS (SELECT covpos.doc_id,
+         |     CAST(sum(b.le[covpos.j]) AS BIGINT) AS cov
+         |   FROM covpos JOIN base b USING (doc_id) GROUP BY covpos.doc_id)
+         | SELECT b.doc_id, b.total AS total_chars,
+         |   coalesce(m3.top_mass, 0)::DOUBLE / greatest(b.total, 1)
+         |     AS top_3gram_char_frac,
+         |   coalesce(cchars.cov, 0)::DOUBLE / greatest(b.total, 1)
+         |     AS dup_5gram_char_frac
+         | FROM base b LEFT JOIN m3 USING (doc_id)
+         |   LEFT JOIN cchars USING (doc_id)
+         | ORDER BY b.doc_id""".stripMargin,
     "q_gopher_filter" ->
       s"""SELECT doc_id, len(t) AS n_words,
          |   coalesce(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE), 0)

@@ -517,6 +517,112 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
   }
 }
 
+/** Character-level n-gram repetition statistics (Gopher §A1.1, Rae et al.
+  * 2021): one O(m) pass per document computing, for word n-grams,
+  *
+  *   - `top_mass`   — the largest (occurrence count × character length) of
+  *     any n-gram: the char mass of the dominant repeated phrase (on count
+  *     ties this takes the larger mass, a deterministic variant of "chars
+  *     in the most frequent n-gram" that needs no gram-order tiebreak);
+  *   - `dup_cover_chars` — characters of token positions covered by ANY
+  *     n-gram occurring ≥ 2 times (the "fraction of characters inside
+  *     duplicated n-grams" numerator);
+  *   - `total_chars` — Σ token characters, the shared denominator.
+  *
+  * Counting is over 64-bit gram hashes ([[NgramOps]]'s family — equal
+  * grams ⇔ equal hashes modulo ~1e-10 collisions); coverage is an interval
+  * sweep, so everything is integer-exact and an independent engine
+  * rebuilding the same grams from strings reproduces the values bit-for-bit.
+  */
+object RepetitionOps {
+  def profile(tokens: ArrayData, n: Int): InternalRow = {
+    val m = tokens.numElements()
+    val prefix = new Array[Long](m + 1)
+    var i = 0
+    while (i < m) {
+      val len = if (tokens.isNullAt(i)) 0 else tokens.getUTF8String(i).numChars()
+      prefix(i + 1) = prefix(i) + len
+      i += 1
+    }
+    val total = prefix(m)
+    if (m < n)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](total, 0L, 0L))
+    val grams = NgramOps.ngramHashes(tokens, n)
+    val g = grams.numElements()
+    // Open-addressing hash map: slot -> (gram hash, count, char length).
+    var cap = 1
+    while (cap < 2 * g) cap <<= 1
+    val keys = new Array[Long](cap)
+    val counts = new Array[Int](cap)
+    val glens = new Array[Long](cap)
+    val slotOf = new Array[Int](g)
+    var s = 0
+    while (s < g) {
+      val h = grams.getLong(s)
+      var idx = (h ^ (h >>> 32)).toInt & (cap - 1)
+      while (counts(idx) != 0 && keys(idx) != h) idx = (idx + 1) & (cap - 1)
+      if (counts(idx) == 0) {
+        keys(idx) = h
+        glens(idx) = prefix(s + n) - prefix(s)
+      }
+      counts(idx) += 1
+      slotOf(s) = idx
+      s += 1
+    }
+    var topMass = 0L
+    var idx = 0
+    while (idx < cap) {
+      if (counts(idx) > 0) {
+        val mass = counts(idx).toLong * glens(idx)
+        if (mass > topMass) topMass = mass
+      }
+      idx += 1
+    }
+    // Interval sweep over duplicated-gram spans [s, s+n).
+    var covChars = 0L
+    var coveredUntil = 0
+    s = 0
+    while (s < g) {
+      if (counts(slotOf(s)) >= 2) {
+        val lo = math.max(s, coveredUntil)
+        if (lo < s + n) covChars += prefix(s + n) - prefix(lo)
+        coveredUntil = s + n
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total, topMass, covChars))
+  }
+}
+
+case class RepetitionProfile(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+  override def dataType: DataType = RepetitionProfile.resultType
+  override def prettyName: String = "repetition_profile"
+
+  override def nullSafeEval(input: Any): Any =
+    RepetitionOps.profile(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RepetitionOps.profile($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionProfile =
+    copy(child = newChild)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+}
+
+object RepetitionProfile {
+  val resultType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("total_chars", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("top_mass", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("dup_cover_chars", LongType, nullable = false)))
+}
+
 object TextFunctions {
   /** 64-bit simhash of an array<string> token column. */
   def simhash64(tokens: Column): Column =
@@ -557,4 +663,8 @@ object TextFunctions {
   /** Winnowing fingerprints (distinct window-min rolling k-gram hashes). */
   def winnow_fingerprints(tokens: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(tokens), k, w))
+
+  /** Character-level n-gram repetition stats (see [[RepetitionOps]]). */
+  def repetition_profile(tokens: Column, n: Int): Column =
+    ColumnBridge.column(RepetitionProfile(ColumnBridge.expression(tokens), n))
 }

@@ -212,6 +212,40 @@ object TextAnalysis {
           greatest(col("n_grams"), lit(1L))).as("top_gram_frac"))
   }
 
+  /** Gopher's character-level repetition table (Rae et al. 2021 §A1.1,
+    * rows "top n-gram chars" / "duplicated n-gram chars"): for each n in
+    * `topNs` the char-mass fraction of the dominant repeated n-gram, for
+    * each n in `dupNs` the fraction of characters inside ≥2-occurring
+    * n-grams. One fused O(m) kernel per n
+    * ([[graft.functions.RepetitionProfile]]) over ONE staged token array —
+    * narrow, shuffle-free, integer-exact ratios (see the kernel doc for
+    * the count-tie variant). Complements [[repetitionMetrics]]' count-level
+    * signals with Gopher's char-level ones.
+    */
+  def repetitionProfile(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      topNs: Seq[Int] = Seq(2, 3, 4),
+      dupNs: Seq[Int] = Seq(5, 10)): org.apache.spark.sql.DataFrame = {
+    require(topNs.nonEmpty || dupNs.nonEmpty, "need at least one n")
+    val ns = (topNs ++ dupNs).distinct.sorted
+    val staged = df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol) +: ns.map(n =>
+        graft.functions.TextFunctions.repetition_profile(col("__t"), n)
+          .as(s"__p$n")): _*)
+    val total = col(s"__p${ns.head}.total_chars")
+    val denom = greatest(total, lit(1L))
+    staged.select(
+      col(idCol) +: total.cast("long").as("total_chars") +:
+        (topNs.sorted.map(n =>
+          (col(s"__p$n.top_mass").cast("double") / denom)
+            .as(s"top_${n}gram_char_frac")) ++
+          dupNs.sorted.map(n =>
+            (col(s"__p$n.dup_cover_chars").cast("double") / denom)
+              .as(s"dup_${n}gram_char_frac"))): _*)
+  }
+
   /** Gopher-style document quality filter (Rae et al. 2021 §A1.1): word
     * count bounds, mean word length bounds, minimum fraction of words with
     * an alphabetic character, minimum distinct-stopword hits. Emits the

@@ -5,6 +5,48 @@ import graft.functions.TextFunctions.simhash64
 
 import org.apache.spark.sql.functions._
 
+class RepetitionProfileSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("top mass and dup coverage on hand-computed fixtures") {
+    // Doc 1: "a b a b a b" — 2-grams: (a b)×3, (b a)×2; charlens all 1.
+    //   top2 mass = 3 occurrences × 2 chars = 6; total = 6 chars.
+    //   dup-2 coverage: every position is inside a duplicated 2-gram → 6.
+    // Doc 2: all-distinct tokens → top mass = 1×glen, dup coverage 0.
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "one two three four"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionProfile(docs, "doc_id", "text",
+        topNs = Seq(2), dupNs = Seq(2))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getLong(1) === 6L)                    // total_chars
+    assert(m(1L).getDouble(2) === 6.0 / 6.0)           // top_2gram_char_frac
+    assert(m(1L).getDouble(3) === 1.0)                 // dup_2gram_char_frac
+    assert(m(2L).getLong(1) === 15L)
+    // Most massive 2-gram of doc 2: "three four" = 9 chars, count 1.
+    assert(m(2L).getDouble(2) === 9.0 / 15.0)
+    assert(m(2L).getDouble(3) === 0.0)
+  }
+
+  test("partial overlap: interval sweep counts covered chars once") {
+    // "x y x y x" — dup 2-grams (x y)×2 at pos 0,2 and (y x)×2 at pos 1,3:
+    // every position 0..4 covered exactly once → coverage 5/5.
+    val docs = Seq((1L, "x y x y x")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionProfile(docs, "doc_id", "text",
+        topNs = Seq(2), dupNs = Seq(2)).collect().head
+    assert(r.getDouble(3) === 1.0)
+  }
+
+  test("docs shorter than n: zero mass, zero coverage, total intact") {
+    val docs = Seq((1L, "solo")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionProfile(docs, "doc_id", "text",
+        topNs = Seq(3), dupNs = Seq(5)).collect().head
+    assert(r.getLong(1) === 4L)
+    assert(r.getDouble(2) === 0.0 && r.getDouble(3) === 0.0)
+  }
+}
+
 class DedupSpec extends SparkTestBase {
   import spark.implicits._
 
