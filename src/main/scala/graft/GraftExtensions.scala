@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, FormatLogDate, JaccardSets, LangIdExpression, MinHashSignature, NfcNormalize, NgramHashes, ShingleHashes, SimHash64, Tokenize, TopKByScore, WinnowFingerprints}
+import graft.functions.{CosineSimilarity, FormatLogDate, JaccardSets, LangIdExpression, MinHashSignature, NfcNormalize, NgramHashes, RepetitionProfile, ShingleHashes, SimHash64, Tokenize, TopKByScore, WinnowFingerprints}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -94,6 +94,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(toks) => WinnowFingerprints(toks, 3, 4)
         case Seq(toks, k, w) => WinnowFingerprints(toks, int(k, "k"), int(w, "w"))
         case _ => throw new IllegalArgumentException("winnow_fingerprints(tokens[, k, w])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("repetition_profile"),
+      new ExpressionInfo(classOf[RepetitionProfile].getName, "repetition_profile"),
+      (args: Seq[Expression]) => args match {
+        case Seq(toks) => RepetitionProfile(toks, 2)
+        case Seq(toks, n) => RepetitionProfile(toks, int(n, "n"))
+        case _ => throw new IllegalArgumentException("repetition_profile(tokens[, n])")
       }))
     ext.injectFunction((
       FunctionIdentifier("topk_by_score"),

@@ -43,7 +43,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  jaccard_sets(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS jac,
         |  size(winnow_fingerprints(tokenize('a b c d e f g h'), 3, 2)) AS n_wf,
         |  lang_id('the cat and the dog') AS lang,
-        |  nfc_normalize('café') AS nfc
+        |  nfc_normalize('café') AS nfc,
+        |  repetition_profile(tokenize('a b a b a b'), 2) AS rep
         |""".stripMargin).head()
 
     assert(row.getAs[String]("d").nonEmpty)
@@ -56,6 +57,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getAs[Int]("n_wf") > 0)
     assert(row.getAs[String]("lang") === "en")
     assert(row.getAs[String]("nfc") === "café")
+    val rep = row.getAs[org.apache.spark.sql.Row]("rep")
+    assert(rep.getLong(0) === 6L && rep.getLong(1) === 6L && rep.getLong(2) === 6L)
 
     // The aggregate path: top-2 scores per group via topk_by_score.
     import spark.implicits._
