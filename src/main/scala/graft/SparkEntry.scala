@@ -738,6 +738,14 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .presented("doc_id")),
 
+    // Token-budget mixture sampling: 2000 tokens per source, A-ES uniform
+    // priority — exact oracle recomputes the same keys, running sums, and
+    // the start-offset keep rule.
+    "q_budget_sample" -> ((s, dir) =>
+      Curation.budgetSample(t(s, dir, "documents"), "source", "doc_id",
+          "text", tokenBudget = 2000L)
+        .presented("source", "doc_id")),
+
     // Per-slice dataset-card profile over docsWithDupes (so n_dup_docs is
     // non-zero) — one aggregation pass, integer-exact columns.
     "q_corpus_profile" -> ((s, dir) =>
@@ -1266,6 +1274,18 @@ object SparkEntry {
         | SELECT doc_id, source FROM (
         |   SELECT doc_id, source FROM w ORDER BY k DESC, doc_id LIMIT 100)
         | ORDER BY doc_id""".stripMargin,
+    "q_budget_sample" ->
+      s"""WITH w AS (SELECT source, doc_id, len($tokensSql) AS n_tokens,
+         |     power(CAST(('0x' || substr(md5(doc_id::VARCHAR || '-graft-ws'),
+         |             1, 13)) AS BIGINT) / 4503599627370496.0, 1.0) AS k
+         |   FROM documents),
+         | c AS (SELECT source, doc_id, n_tokens,
+         |     CAST(sum(n_tokens) OVER (PARTITION BY source
+         |         ORDER BY k DESC, doc_id) AS BIGINT) - n_tokens AS start_off
+         |   FROM w)
+         | SELECT source, doc_id, n_tokens, start_off,
+         |   (start_off < 2000)::INT AS kept
+         | FROM c ORDER BY source, doc_id""".stripMargin,
     "q_corpus_profile" ->
       s"""SELECT source AS slice, count(*) AS n_docs,
          |   count(md5(text)) - count(DISTINCT md5(text)) AS n_dup_docs,

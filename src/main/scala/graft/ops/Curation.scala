@@ -296,6 +296,48 @@ object Curation {
       (col("n_tokens") > 0 && bin =!= endBin).cast("int").as("straddles"))
   }
 
+  /** Deterministic token-budget sampling per stratum: rank each group's
+    * documents by their A-ES weighted-sampling key (weight 1 → uniform
+    * priority, any weight column → importance priority) and keep documents
+    * while the group's cumulative token count stays within `tokenBudget` —
+    * "fill 1 B tokens per source, reproducibly" — the mixture-recipe step
+    * after [[corpusProfile]] tells you what's available. A document that
+    * straddles the boundary is kept iff its START offset is inside the
+    * budget (the packing convention of [[packStream]]).
+    *
+    * Determinism contract as [[weightedSample]]: a pure function of
+    * (id, salt, weight), stable under retries, partitionings, and engines.
+    * Scale shape: ONE window shuffle partitioned by the group column —
+    * appropriate when strata are numerous (sources, domains, language ×
+    * quality buckets); for few huge strata, pre-shard the group key the
+    * way [[packStream]]'s sub-shards do and give each shard a
+    * proportional budget slice.
+    *
+    * Emits (group, id, n_tokens, start_off, kept) — the audit columns,
+    * not just survivors, so a mixture report can show WHY a doc missed.
+    */
+  def budgetSample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      textCol: String,
+      tokenBudget: Long,
+      weight: Column = lit(1.0),
+      salt: String = "graft-ws"): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    val staged = df.select(col(groupCol), col(idCol),
+      size(graft.functions.TextFunctions.tokenize(col(textCol)))
+        .cast("long").as("n_tokens"),
+      pow(hashUniform(col(idCol), salt), lit(1.0) / weight).as("__wsk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("__wsk").desc, col(idCol))
+    val cum = sum(col("n_tokens")).over(w)
+    staged.select(col(groupCol), col(idCol), col("n_tokens"),
+      (cum - col("n_tokens")).as("start_off"),
+      (cum - col("n_tokens") < tokenBudget).cast("int").as("kept"))
+  }
+
   /** Per-slice "dataset card" profile — the one-pass corpus summary a
     * mixture designer reads first: document/token/char volumes, language
     * spread, and the exact-duplicate count (docs minus distinct content

@@ -47,6 +47,41 @@ class CurationSpec extends SparkTestBase {
     assert(got.count(_ < 50L) > 12, s"high-weight ids in sample: ${got.count(_ < 50L)}")
   }
 
+  test("budgetSample fills each stratum to the token budget deterministically") {
+    def key(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id-graft-ws".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      java.lang.Long.parseLong(hex, 16) / 4503599627370496.0
+    }
+    // Each doc is 10 tokens; budget 25 → per group: 2 full docs kept, the
+    // third starts at offset 20 < 25 → kept (straddle rule), 4th+ dropped.
+    val docs = (0L until 12L)
+      .map(i => (i, s"g${i % 2}", Seq.fill(10)(s"t$i").mkString(" ")))
+      .toDF("id", "grp", "text")
+    val got = Curation.budgetSample(docs, "grp", "id", "text",
+        tokenBudget = 25L)
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getString(0), r.getLong(2), r.getLong(3),
+        r.getInt(4)))).toMap
+    assert(got.size === 12)
+    for (g <- Seq("g0", "g1")) {
+      val members = got.filter(_._2._1 == g).toSeq
+      val keptIds = members.filter(_._2._4 == 1).map(_._1)
+      assert(keptIds.size === 3, s"$g: $members")
+      // Kept = the 3 highest A-ES keys of the group.
+      val expect = members.map(_._1).sortBy(i => (-key(i), i)).take(3)
+      assert(keptIds.toSet === expect.toSet)
+      // Offsets are multiples of the uniform doc length.
+      assert(members.map(_._2._3).sorted === (0 until 6).map(_ * 10L))
+    }
+    // Determinism across partitionings.
+    val again = Curation.budgetSample(docs.repartition(7), "grp", "id",
+        "text", tokenBudget = 25L)
+      .collect().map(r => r.getLong(1) -> r.getInt(4)).toMap
+    assert(again === got.map { case (id, v) => id -> v._4 })
+  }
+
   test("corpusProfile: one-pass integer-exact dataset card") {
     val docs = Seq(
       (1L, "a b c", "s1", "en"),
