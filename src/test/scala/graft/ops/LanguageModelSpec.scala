@@ -90,6 +90,55 @@ class LanguageModelSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(5) - -math.log10(0.1 / 7.0)) < 1e-12)
   }
 
+  test("property: matches a sequential reference on random corpora") {
+    val rng = new scala.util.Random(7)
+    for (round <- 0 until 3) {
+      val vocab = (0 until 8).map(i => s"w$i")
+      val docs = (0L until 40L).map { id =>
+        val n = rng.nextInt(12)
+        (id, Seq.fill(n)(vocab(rng.nextInt(vocab.length))).mkString(" "))
+      }
+      val trainDocs = docs.filter(_._1 < 20L)
+      // Sequential reference: counts + stupid backoff, straight loops.
+      def toks(t: String): Seq[String] =
+        t.split("\\s+").filter(_.nonEmpty).map(_.toLowerCase)
+      val uni = scala.collection.mutable.Map.empty[String, Long]
+      val bi = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((_, t) <- trainDocs; ts = toks(t)) {
+        ts.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1)
+        ts.sliding(2).filter(_.length == 2)
+          .foreach(p => bi((p(0), p(1))) = bi.getOrElse((p(0), p(1)), 0L) + 1)
+      }
+      val nTot = uni.values.sum
+      val expect = docs.map { case (id, t) =>
+        val gs = toks(t).sliding(2).filter(_.length == 2).toSeq
+        val logs = gs.map { p =>
+          bi.get((p(0), p(1))) match {
+            case Some(c2) => math.log10(c2.toDouble / uni(p(0)))
+            case None => math.log10(
+              0.4 * uni.getOrElse(p(1), 1L).toDouble / nTot)
+          }
+        }
+        id -> ((gs.length.toLong, gs.count(p => bi.contains((p(0), p(1)))).toLong,
+          if (gs.isEmpty) None else Some(-logs.sum / gs.length)))
+      }.toMap
+      val lm = LanguageModel.trainBigram(trainDocs.toDF("doc_id", "text"), "text")
+      val got = LanguageModel.scoreDocs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", lm).collect()
+      assert(got.length === 40, s"round $round")
+      got.foreach { r =>
+        val (en, eh, eppl) = expect(r.getLong(0))
+        assert(r.getLong(1) === en, s"round $round doc ${r.getLong(0)} n_grams")
+        assert(r.getLong(2) === eh, s"round $round doc ${r.getLong(0)} n_hit")
+        (eppl, if (r.isNullAt(5)) None else Some(r.getDouble(5))) match {
+          case (Some(e), Some(g)) =>
+            assert(math.abs(e - g) < 1e-9, s"round $round doc ${r.getLong(0)}")
+          case (a, b) => assert(a.isEmpty === b.isEmpty)
+        }
+      }
+    }
+  }
+
   test("scoring plan has no driver-side actions and one gram shuffle chain") {
     // Guard the scale shape: scoreDocs must not collect; train+score on a
     // larger synthetic corpus stays a pure join/agg plan.
