@@ -1003,6 +1003,22 @@ object SparkEntry {
         .presented("vec_id")
     }),
 
+    // Approximate k-NN graph (LSH candidates + one NN-descent round) vs
+    // in-job exact brute force — the established ANN recall harness: the
+    // oracle recomputes n_true_pairs (every vector has exactly k true
+    // neighbors) and asserts the recall bit.
+    "q_knn_graph" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      // Truth on a 100-node probe set (exact top-k there is the harness
+      // cost, not the operator's); the graph itself is built corpus-wide.
+      val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          emb.where(col("vec_id") < 100), "vec_id", "embedding", k = 10)
+        .select(col("query_id").as("id"), col("neighbor_id"))
+      val approx = Similarity.knnGraph(emb, "vec_id", "embedding", k = 10)
+      recallReport(truth, approx, Seq("id", "neighbor_id"),
+        minRecall = 0.5, nName = "n_true_pairs")
+    }),
+
     // Incremental (cross-corpus) semantic dedup: candidates = the "new
     // crawl" half plus 5 planted copies of reference vectors; reference =
     // the kept half. Same engine-reproducible integer-only output as
@@ -1700,6 +1716,9 @@ object SparkEntry {
         |   CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
         | FROM asg LEFT JOIN drops d USING (vec_id)
         | ORDER BY asg.vec_id""".stripMargin,
+    "q_knn_graph" ->
+      """SELECT 10 * count(*) AS n_true_pairs, 1 AS recall_pass
+        | FROM embeddings WHERE vec_id < 100""".stripMargin,
     "q_cross_dedup" ->
       """WITH cand AS (SELECT vec_id, embedding FROM embeddings
         |       WHERE vec_id >= 250

@@ -2,6 +2,8 @@ package graft.ops
 
 import graft.SparkTestBase
 
+import org.apache.spark.sql.functions.col
+
 class SemDedupSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -99,6 +101,43 @@ class SemDedupSpec extends SparkTestBase {
       .as[(Long, Int, Int)].collect()
       .map { case (id, _, keep) => id -> keep }.toMap
     assert(t2(200L) === 1 && t2(201L) === 1)
+  }
+
+  test("knnGraph: k edges per node, ranked, refinement helps recall") {
+    // Clustered vectors (modular structure) so LSH buckets carry signal.
+    val rng = new scala.util.Random(3)
+    val docs = (0L until 200L).map { i =>
+      val c = (i % 5).toInt
+      val base = Array.fill(16)(0f)
+      base(c * 3) = 1f; base(c * 3 + 1) = 0.5f
+      (i, base.toSeq.map(x => x + rng.nextFloat() * 0.2f))
+    }.toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(docs, "vec_id", "embedding", k = 5)
+      .collect()
+    assert(g.length === 200 * 5)
+    val byId = g.groupBy(_.getLong(0))
+    byId.values.foreach { rows =>
+      assert(rows.map(_.getInt(3)).sorted === (1 to 5).toArray)     // ranks
+      assert(rows.map(_.getLong(1)).distinct.length === 5)          // distinct nbs
+      val sorted = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+    assert(g.forall(r => r.getLong(0) != r.getLong(1)), "no self edges")
+    // Recall vs exact, with and without the NN-descent round.
+    val truth = Similarity.bruteForceTopK(docs, "vec_id", "embedding",
+        docs, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    def recall(rounds: Int): Double = {
+      val approx = Similarity.knnGraph(docs, "vec_id", "embedding", k = 5,
+          refineRounds = rounds)
+        .select("id", "neighbor_id").as[(Long, Long)].collect().toSet
+      truth.count(approx.contains).toDouble / truth.size
+    }
+    val r0 = recall(0)
+    val r1 = recall(1)
+    assert(r1 >= r0, s"refinement must not hurt: $r0 -> $r1")
+    assert(r1 >= 0.6, s"refined recall too low: $r1")
   }
 
   test("pair stage compares within cells only (no corpus cross join)") {
