@@ -608,6 +608,19 @@ object SparkEntry {
     "q_cms_heavy_hitters" -> ((s, dir) =>
       Sketches.cmsAuditedTopTokens(t(s, dir, "documents"), "text", k = 50)),
 
+    // Two-stage hybrid retrieval: BM25 top-100 lexical candidates →
+    // exact-cosine re-rank against vec 0's embedding (doc_id = vec_id in
+    // the synthetic schema). Integer-only output; oracle chains the
+    // generated BM25 SQL with the same re-rank.
+    "q_hybrid_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.where(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      TextSearch.hybridTopK(t(s, dir, "documents"), "doc_id", "text",
+        emb, "vec_id", "embedding", Bm25Terms, qv,
+        nCandidates = 100, k = 10)
+    }),
+
     // HLL-audited distinct users per event type: exact distinct count
     // (oracled) + a deterministic audit bit that the mergeable sketch
     // estimate landed inside its 4σ envelope.
@@ -1321,6 +1334,23 @@ object SparkEntry {
         |       OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rn
         |   FROM w)
         | WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin,
+    "q_hybrid_search" -> {
+      val bm25Sql = TextSearch.bm25RankOracleSql("documents", "doc_id",
+        tokensSql, Bm25Terms, k = 100)
+      s"""WITH cands AS ($bm25Sql),
+         | qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |   WHERE vec_id = 0),
+         | rr AS (SELECT c.doc_id,
+         |     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.v)
+         |       AS cos
+         |   FROM cands c JOIN embeddings e ON e.vec_id = c.doc_id
+         |   CROSS JOIN qv)
+         | SELECT rank, doc_id FROM (
+         |   SELECT row_number() OVER (ORDER BY cos DESC, doc_id) AS rank,
+         |       doc_id
+         |   FROM rr)
+         | WHERE rank <= 10 ORDER BY rank""".stripMargin
+    },
     "q_hll_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact, 1 AS est_ok
         | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

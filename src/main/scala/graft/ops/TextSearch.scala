@@ -101,6 +101,44 @@ object TextSearch {
       .orderBy("rank")
   }
 
+  /** Two-stage hybrid retrieval — the standard RAG/search-stack shape:
+    * BM25 selects `nCandidates` lexical candidates (cheap, full-corpus,
+    * index-friendly), exact embedding cosine against the query vector
+    * re-ranks them, top `k` win. The re-rank window is BOUNDED by
+    * `nCandidates` (never corpus-sized), so the final ordering is a
+    * driver-light single-partition sort of ≤ nCandidates rows; the only
+    * corpus-wide work is BM25's two passes. Output (rank, id) — integer
+    * columns only, so last-ulp score differences cannot flip a
+    * cross-engine hash (the q_knn_assign convention).
+    */
+  def hybridTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      embeddings: DataFrame,
+      embIdCol: String,
+      vecCol: String,
+      queryTerms: Seq[String],
+      queryVec: Array[Float],
+      nCandidates: Int = 100,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nCandidates >= k, s"nCandidates ($nCandidates) must be >= k ($k)")
+    val cands = bm25RankedTopK(docs, idCol, textCol, queryTerms,
+      nCandidates, k1, b).select(col(idCol))
+    val qv = typedLit(queryVec.toSeq)
+    cands
+      .join(embeddings.select(col(embIdCol).as(idCol), col(vecCol).as("__v")),
+        Seq(idCol))
+      .select(col(idCol), Similarity.cosine(col("__v"), qv).as("__cos"))
+      .select(row_number().over(
+          Window.orderBy(col("__cos").desc, col(idCol))).cast("long").as("rank"),
+        col(idCol))
+      .orderBy("rank").limit(k)
+  }
+
   /** The SAME ranking as ANSI SQL over a `documents`-shaped table, generated
     * from the identical term list and parameters so operator and oracle
     * cannot drift. `tokensSql` is the engine-tokenizer fragment (a list

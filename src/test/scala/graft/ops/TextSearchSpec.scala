@@ -64,6 +64,26 @@ class TextSearchSpec extends SparkTestBase {
     assert(!plan.contains("isnotnull(size(filter(tokenize"), plan)
   }
 
+  test("hybridTopK: lexical candidates, cosine order, candidate gate") {
+    val docs = Seq(
+      (1L, "cat cat cat feline"),      // strong lexical match
+      (2L, "cat dog"),                 // weaker lexical match
+      (3L, "cat mouse bird"),          // lexical match
+      (4L, "nothing relevant here"))   // no term hit → never a candidate
+      .toDF("doc_id", "text")
+    val embs = Seq(
+      (1L, Seq(0f, 1f, 0f)),   // orthogonal to query
+      (2L, Seq(1f, 0f, 0f)),   // identical to query
+      (3L, Seq(0.7f, 0.7f, 0f)),
+      (4L, Seq(1f, 0f, 0f)))   // identical to query but gated out by BM25
+      .toDF("vec_id", "embedding")
+    val got = TextSearch.hybridTopK(docs, "doc_id", "text", embs, "vec_id",
+        "embedding", Seq("cat"), Array(1f, 0f, 0f), nCandidates = 3, k = 3)
+      .as[(Long, Long)].collect()
+    // Cosine order among BM25 candidates {1,2,3}: 2 (1.0), 3 (~0.7), 1 (0).
+    assert(got === Array((1L, 2L), (2L, 3L), (3L, 1L)))
+  }
+
   test("oracle SQL escapes single quotes in query terms") {
     val sql = TextSearch.bm25RankOracleSql("documents", "doc_id",
       "string_split(text, ' ')", Seq("o'brien", "cat"))
