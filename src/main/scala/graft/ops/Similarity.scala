@@ -347,7 +347,11 @@ object Similarity {
     *
     * Output: (id, neighbor_id, cos, rank) with rank 1..k by (cos desc,
     * neighbor id). Shuffles stay linear: band rows are (bucket, id),
-    * vectors join back per candidate, per-node state is ≤ k edges.
+    * vectors join back per candidate, per-node state is ≤ k edges. The
+    * refinement references the round-N graph three times in one plan
+    * (both self-join sides + the union); AQE's exchange reuse
+    * materializes its shuffle once (verified: 7 ReusedExchange nodes at
+    * one round), so the LSH candidate stage does not re-execute.
     *
     * Defaults differ from [[cosinePairsLsh]]'s (16 bands × 8 planes, tuned
     * for near-dup θ≈0): a k-NN graph needs MODERATE-similarity neighbors
