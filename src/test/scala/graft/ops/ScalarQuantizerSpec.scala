@@ -42,6 +42,23 @@ class ScalarQuantizerSpec extends SparkTestBase {
     assert(rec(1L)(2) === 5.0)
   }
 
+  test("property: round-trip error bounded by half a bucket on random vectors") {
+    val rng = new scala.util.Random(11)
+    val docs = (0L until 300L)
+      .map(i => (i, Seq.fill(12)(rng.nextFloat() * 20f - 10f)))
+      .toDF("vec_id", "embedding")
+    val b = ScalarQuantizer.fit(docs, "embedding")
+    val rec = ScalarQuantizer.decode(
+        ScalarQuantizer.encode(docs, "vec_id", "embedding", b), "vec_id", b)
+      .as[(Long, Seq[Double])].collect().toMap
+    val orig = docs.as[(Long, Seq[Float])].collect().toMap
+    for ((id, v) <- orig; i <- v.indices) {
+      val scale = (b.maxs(i) - b.mins(i)) / 255.0
+      assert(math.abs(rec(id)(i) - v(i)) <= scale / 2 + 1e-9,
+        s"id=$id dim=$i")
+    }
+  }
+
   test("ragged vectors fail fast instead of mis-quantizing") {
     val ragged = corpus.union(Seq((9L, Seq(1f, 2f))).toDF("vec_id", "embedding"))
     val e = intercept[Exception] { ScalarQuantizer.fit(ragged, "embedding") }
