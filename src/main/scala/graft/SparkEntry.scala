@@ -608,6 +608,14 @@ object SparkEntry {
     "q_cms_heavy_hitters" -> ((s, dir) =>
       Sketches.cmsAuditedTopTokens(t(s, dir, "documents"), "text", k = 50)),
 
+    // Feature-hash bag-of-words (hashing trick): signed md5-slot counts
+    // per document — the model-free text→vector bridge. Integer-exact
+    // oracle rebuilds the identical md5/%/sign chain.
+    "q_feature_hash" -> ((s, dir) =>
+      TextAnalysis.featureHashCounts(t(s, dir, "documents"), "doc_id",
+          "text", dim = 64)
+        .presented("doc_id", "idx")),
+
     // Two-stage hybrid retrieval: BM25 top-100 lexical candidates →
     // exact-cosine re-rank against vec 0's embedding (doc_id = vec_id in
     // the synthetic schema). Integer-only output; oracle chains the
@@ -1334,6 +1342,17 @@ object SparkEntry {
         |       OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rn
         |   FROM w)
         | WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin,
+    "q_feature_hash" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($tokensSql) AS w FROM documents),
+         | hx AS (SELECT doc_id,
+         |     CAST(('0x' || substr(md5(w), 1, 13)) AS BIGINT) % 64 AS idx,
+         |     CASE WHEN CAST(('0x' || substr(md5(w), 14, 1)) AS BIGINT) % 2 = 0
+         |          THEN 1 ELSE -1 END AS s
+         |   FROM tk)
+         | SELECT doc_id, idx, CAST(sum(s) AS BIGINT) AS count
+         | FROM hx GROUP BY doc_id, idx
+         | HAVING sum(s) <> 0
+         | ORDER BY doc_id, idx""".stripMargin,
     "q_hybrid_search" -> {
       val bm25Sql = TextSearch.bm25RankOracleSql("documents", "doc_id",
         tokensSql, Bm25Terms, k = 100)

@@ -280,6 +280,72 @@ object TextAnalysis {
         alphaFrac >= minAlphaFrac && stopHits >= minStopHits).as("keep"))
   }
 
+  /** Feature-hash (hashing-trick) bag-of-words: each token lands in
+    * `dim` buckets via a salted-free md5 slot with a ±1 sign bit
+    * (Weinberger et al. 2009 — the sign unbiases collisions), producing a
+    * signed count per (doc, slot). Long form `(id, idx, count)`, zero
+    * slots dropped — integer-exact, so an independent engine reproduces
+    * it bit-for-bit (md5 is byte-identical everywhere, the
+    * [[Curation.hashUniform]] precedent).
+    *
+    * This is the model-free text→vector bridge: feed
+    * [[featureHashVectors]]' dense form to [[Similarity.knnGraph]],
+    * [[SemDedup]], or the ANN family when no learned embeddings exist.
+    * Pure explode + one map-side-combined aggregation; no UDF, no fused
+    * kernel needed — the md5/conv/substring chain is all built-ins.
+    */
+  def featureHashCounts(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int = 64): org.apache.spark.sql.DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val w = col("__w")
+    val hex = md5(w.cast("binary"))
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__w"))
+      .select(col(idCol),
+        (conv(substring(hex, 1, 13), 16, 10).cast("long") % dim).as("idx"),
+        when(conv(substring(hex, 14, 1), 16, 10).cast("long") % 2 === 0, 1L)
+          .otherwise(-1L).as("__s"))
+      .groupBy(col(idCol), col("idx"))
+      .agg(sum(col("__s")).as("count"))
+      .where(col("count") =!= 0L)
+  }
+
+  /** Dense form of [[featureHashCounts]]: `(id, vec array<double>)` with
+    * zero-filled slots, L2-normalized when `normalize` (division and sqrt
+    * are exactly-rounded IEEE ops, so even the normalized form is
+    * engine-reproducible). Documents with no surviving slots (empty or
+    * fully-cancelled) emit the zero vector.
+    */
+  def featureHashVectors(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int = 64,
+      normalize: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val dense = featureHashCounts(df, idCol, textCol, dim)
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("count"))))
+        .as("__m"))
+      .select(col(idCol),
+        transform(sequence(lit(0L), lit(dim - 1L)),
+          i => coalesce(element_at(col("__m"), i), lit(0L)).cast("double"))
+          .as("vec"))
+    val withAll = df.select(col(idCol)).distinct()
+      .join(dense, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("vec"),
+          array_repeat(lit(0.0), dim)).as("vec"))
+    if (!normalize) withAll
+    else {
+      val norm = sqrt(aggregate(col("vec"), lit(0.0), (a, x) => a + x * x))
+      withAll.select(col(idCol),
+        when(norm > 0.0, transform(col("vec"), x => x / norm))
+          .otherwise(col("vec")).as("vec"))
+    }
+  }
+
   /** Word k-shingles over an already-materialized token-array column.
     *
     * IMPORTANT staging note: pass an *attribute* (a selected column), not the
