@@ -949,7 +949,7 @@ object SparkEntry {
       val centers = emb.where(col("vec_id") < 8)
         .select(col("vec_id").cast("int"), col("embedding"))
         .collect()
-        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).toIndexedSeq
       Similarity.assignToCentroids(emb, "vec_id", "embedding", centers)
         .select(col("vec_id").cast("long").as("vec_id"),
           col("cell").cast("int").as("cell"))
@@ -1016,7 +1016,7 @@ object SparkEntry {
       val centers = emb.where(col("vec_id") < 8)
         .select(col("vec_id").cast("int"), col("embedding"))
         .collect()
-        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).toIndexedSeq
       ops.SemDedup.semanticDedup(aug, "vec_id", "embedding", centers,
           threshold = 0.95, maxClusterSize = 40)
         .select(col("vec_id"), col("cell").cast("int").as("cell"),
@@ -1053,7 +1053,7 @@ object SparkEntry {
       val centers = emb.where(col("vec_id") < 8)
         .select(col("vec_id").cast("int"), col("embedding"))
         .collect()
-        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).toIndexedSeq
       ops.SemDedup.crossSemanticDedup(cand, ref, "vec_id", "embedding",
           centers, threshold = 0.95, maxClusterSize = 40)
         .select(col("vec_id"), col("cell").cast("int").as("cell"),

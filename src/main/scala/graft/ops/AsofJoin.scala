@@ -56,7 +56,7 @@ object AsofJoin {
         leftCols.filterNot(by.contains).map(col)): _*)
     val rAligned = leftCols.filterNot(by.contains).foldLeft(r) { (df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.select(lAligned.columns.map(col): _*)
+    }.select(lAligned.columns.toIndexedSeq.map(col): _*)
 
     val unioned = lAligned.unionByName(rAligned)
     // Right rows sort before left rows at equal time → `<=` match semantics.
