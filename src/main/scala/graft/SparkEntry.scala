@@ -930,6 +930,13 @@ object SparkEntry {
           expr("ts_ms DIV 3600000"), z = 2)
         .presented("event_type", "bucket")),
 
+    // GK-sketch-audited quartiles per language: exact quartiles (oracled,
+    // quantile_cont parity per q_length_percentiles) + the rank-guarantee
+    // audit bit — the quantile member of the sketch triad (CMS/HLL/GK).
+    "q_quartiles_audited" -> ((s, dir) =>
+      Stats.quartilesAudited(t(s, dir, "documents"), "lang", "n_chars")
+        .presented("lang")),
+
     // Grouped exact quartiles of document length — bit-exact across engines
     // because quarter interpolation over integers is exactly representable
     // (Stats.quarterPercentiles doc).
@@ -1641,6 +1648,13 @@ object SparkEntry {
         |      > 4 * (m.n * m.q - m.s * m.s))::INT AS is_anomaly
         | FROM c JOIN m USING (event_type)
         | ORDER BY event_type, bucket""".stripMargin,
+    "q_quartiles_audited" ->
+      """SELECT lang,
+        |   quantile_cont(n_chars, 0.25) AS p25,
+        |   quantile_cont(n_chars, 0.5)  AS p50,
+        |   quantile_cont(n_chars, 0.75) AS p75,
+        |   1 AS est_ok
+        | FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_length_percentiles" ->
       """SELECT lang,
         |   quantile_cont(n_chars, 0.25) AS p25,

@@ -82,4 +82,49 @@ object Stats {
       expr(s"percentile($valCol, $q)").as(s"p${math.round(q * 100)}"))
     df.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Grouped quartiles with a mergeable-sketch audit — the quantile member
+    * of the sketch triad next to CMS (frequency) and HLL (cardinality):
+    * the exact quartiles ship (oracle-able), plus a bit asserting Spark's
+    * Greenwald–Khanna `approx_percentile` landed within its RANK
+    * guarantee. GK promises rank error ≤ ε·n — a VALUE-distance check
+    * would be wrong on skewed data — so the audit recounts each
+    * estimate's true rank (one extra aggregation against the broadcast
+    * per-key estimates) and checks |rank(est) − q·n| ≤ ε·n + 1.
+    *
+    * The sketch is what survives 100 TB: GK buffers merge across
+    * partitions/days where exact `percentile`'s per-group value-counts
+    * map needs bounded distinct values. Two aggregation passes + one
+    * broadcast join; audit is deterministic (GK is, given a partitioning —
+    * and the bit asserts the guarantee, which holds under ANY
+    * partitioning).
+    */
+  def quartilesAudited(
+      df: DataFrame,
+      keyCol: String,
+      valCol: String,
+      eps: Double = 0.01): DataFrame = {
+    require(eps > 0 && eps < 1, s"eps must be in (0,1), got $eps")
+    val accuracy = math.ceil(1.0 / eps).toInt
+    val qs = Seq(0.25, 0.5, 0.75)
+    val exact = quarterPercentiles(df, keyCol, valCol, qs)
+    val est = df.groupBy(col(keyCol)).agg(
+      expr(s"approx_percentile($valCol, array(${qs.mkString(", ")}), $accuracy)")
+        .as("__est"),
+      count(lit(1)).as("__n"))
+    val rankCols = qs.indices.map(i =>
+      sum((col(valCol) <= element_at(col("__est"), i + 1)).cast("long"))
+        .as(s"__r$i"))
+    val ranks = df
+      .join(broadcast(est.select(col(keyCol), col("__est"))), Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(rankCols.head, rankCols.tail: _*)
+    val ok = qs.indices.map { i =>
+      abs(col(s"__r$i").cast("double") - lit(qs(i)) * col("__n")) <=
+        lit(eps) * col("__n") + lit(1.0)
+    }.reduce(_ && _)
+    exact.join(est.join(ranks, Seq(keyCol)), Seq(keyCol))
+      .select(col(keyCol) +: qs.map(q => col(s"p${math.round(q * 100)}")) :+
+        ok.cast("int").as("est_ok"): _*)
+  }
 }

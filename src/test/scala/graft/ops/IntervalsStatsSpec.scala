@@ -71,6 +71,23 @@ class IntervalsStatsSpec extends SparkTestBase {
     }
   }
 
+  test("quartilesAudited: exact quartiles ship, GK audit bit holds") {
+    val df = (0 until 1000).map(i => ("x", (i * 37) % 991)) ++
+      (0 until 200).map(i => ("y", i / 3))
+    val got = Stats.quartilesAudited(df.toDF("k", "v"), "k", "v")
+      .as[(String, Double, Double, Double, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    // The exact columns match quarterPercentiles exactly.
+    val exact = Stats.quarterPercentiles(df.toDF("k", "v"), "k", "v")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    for (k <- Seq("x", "y")) {
+      assert((got(k)._2, got(k)._3, got(k)._4) ===
+        ((exact(k)._2, exact(k)._3, exact(k)._4)))
+      assert(got(k)._5 === 1, s"GK rank guarantee must hold for $k")
+    }
+  }
+
   test("pointIntervalJoin equals brute force on random inputs (property)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
