@@ -30,9 +30,13 @@ object Graph {
     * around round 10), while the RDD keeps its lineage (an executor loss
     * recomputes, unlike a localCheckpoint) and the PREVIOUS round is
     * unpersisted eagerly, so at most two label snapshots are ever
-    * materialized. For graphs with genuinely large diameters switch to the
-    * O(log n)-round alternating-star algorithm (Kiveris et al. 2014) —
-    * duplicate clustering never needs it.
+    * materialized. The fixpoint check is FUSED into the label update: the
+    * update select also emits a per-row `chg` flag (did this node's label
+    * shrink?), so observing convergence is a 1-row sum over the round's
+    * freshly persisted rows — no join against the previous labels, no
+    * second shuffle. For graphs with genuinely large diameters switch to
+    * the O(log n)-round alternating-star algorithm (Kiveris et al.
+    * 2014) — duplicate clustering never needs it.
     *
     * @param edges two id columns (`srcCol`, `dstCol`), undirected.
     * @param strict when true (default), throw if `maxIter` rounds pass
@@ -56,6 +60,7 @@ object Graph {
     val adj = sym.distinct().persist()
     val init = adj.select(col("u").as("id")).distinct()
       .withColumn("comp", col("id"))
+      .withColumn("chg", lit(1))
     val labelSchema = init.schema
     var labelsRdd = init.rdd.persist(StorageLevel.MEMORY_AND_DISK)
     var labels = spark.createDataFrame(labelsRdd, labelSchema)
@@ -63,17 +68,25 @@ object Graph {
     var it = 0
     while (!converged && it < maxIter) {
       // Each neighbor offers its current label; a node keeps the min of its
-      // own and all offers.
+      // own and all offers. The same select computes the round's `chg`
+      // flag (label strictly shrank), so convergence is observable from
+      // the new snapshot alone.
       val offers = adj.join(labels, adj("v") === labels("id"))
         .select(col("u").as("id"), col("comp").as("offer"))
         .groupBy("id").agg(min(col("offer")).as("offer"))
       val nextRdd = labels.join(offers, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("offer"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("offer"), col("comp"))).as("comp"),
+          (coalesce(col("offer"), col("comp")) < col("comp"))
+            .cast("int").as("chg"))
         .rdd.persist(StorageLevel.MEMORY_AND_DISK)
       val next = spark.createDataFrame(nextRdd, labelSchema)
-      val changed = next.join(labels.withColumnRenamed("comp", "__old"), "id")
-        .where(col("comp") =!= col("__old")).limit(1).count()
+      // One full-scan job: materializes the persist for the next round AND
+      // totals the changed flags — a 1-row partial-aggregate, no shuffle
+      // join against the previous labels. (A limit(1) early-exit would be
+      // cheaper on non-final rounds but would leave unscanned partitions
+      // uncached, forcing a lineage recompute next round.)
+      val changed = next.agg(sum(col("chg"))).first().getLong(0)
       labelsRdd.unpersist(blocking = false)
       labelsRdd = nextRdd
       labels = next
@@ -89,7 +102,7 @@ object Graph {
       if (strict) throw new IllegalStateException(msg)
       else System.err.println(s"[graft] WARNING: $msg")
     }
-    labels
+    labels.select(col("id"), col("comp"))
   }
 
   /** Connected components in O(log n) ROUNDS by alternating large-star /
