@@ -76,7 +76,7 @@ object Sketches {
     df.groupBy(col(keyCol))
       .agg(
         countDistinct(col(valueCol)).as("n_exact"),
-        expr(s"hll_sketch_estimate(hll_sketch_agg($valueCol, $lgConfigK))")
+        expr(s"hll_sketch_estimate(hll_sketch_agg(`$valueCol`, $lgConfigK))")
           .as("__est"))
       .select(col(keyCol), col("n_exact"),
         (abs(col("__est") - col("n_exact")) <=

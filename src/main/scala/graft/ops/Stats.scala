@@ -79,7 +79,7 @@ object Stats {
     require(quarters.forall(q => q >= 0 && q <= 1 && (q * 4) == math.rint(q * 4)),
       s"only quarter percentiles are cross-engine exact, got $quarters")
     val aggs = quarters.map(q =>
-      expr(s"percentile($valCol, $q)").as(s"p${math.round(q * 100)}"))
+      expr(s"percentile(`$valCol`, $q)").as(s"p${math.round(q * 100)}"))
     df.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -89,8 +89,13 @@ object Stats {
     * Greenwald–Khanna `approx_percentile` landed within its RANK
     * guarantee. GK promises rank error ≤ ε·n — a VALUE-distance check
     * would be wrong on skewed data — so the audit recounts each
-    * estimate's true rank (one extra aggregation against the broadcast
-    * per-key estimates) and checks |rank(est) − q·n| ≤ ε·n + 1.
+    * estimate's true rank against the broadcast per-key estimates. On
+    * tie-heavy data a single value occupies a rank INTERVAL
+    * [count(v < est), count(v ≤ est)]: a valid estimate need only have
+    * SOME rank in that interval within ε·n of q·n, so the audit passes
+    * iff the interval intersects [q·n − ε·n − 1, q·n + ε·n + 1]
+    * (checking the max rank alone would flip est_ok on a tied mass that
+    * straddles the quantile).
     *
     * The sketch is what survives 100 TB: GK buffers merge across
     * partitions/days where exact `percentile`'s per-group value-counts
@@ -109,19 +114,22 @@ object Stats {
     val qs = Seq(0.25, 0.5, 0.75)
     val exact = quarterPercentiles(df, keyCol, valCol, qs)
     val est = df.groupBy(col(keyCol)).agg(
-      expr(s"approx_percentile($valCol, array(${qs.mkString(", ")}), $accuracy)")
+      expr(s"approx_percentile(`$valCol`, array(${qs.mkString(", ")}), $accuracy)")
         .as("__est"),
       count(lit(1)).as("__n"))
-    val rankCols = qs.indices.map(i =>
+    val rankCols = qs.indices.flatMap(i => Seq(
+      sum((col(valCol) < element_at(col("__est"), i + 1)).cast("long"))
+        .as(s"__lo$i"),
       sum((col(valCol) <= element_at(col("__est"), i + 1)).cast("long"))
-        .as(s"__r$i"))
+        .as(s"__hi$i")))
     val ranks = df
       .join(broadcast(est.select(col(keyCol), col("__est"))), Seq(keyCol))
       .groupBy(col(keyCol))
       .agg(rankCols.head, rankCols.tail: _*)
     val ok = qs.indices.map { i =>
-      abs(col(s"__r$i").cast("double") - lit(qs(i)) * col("__n")) <=
-        lit(eps) * col("__n") + lit(1.0)
+      val slack = lit(eps) * col("__n") + lit(1.0)
+      (col(s"__lo$i").cast("double") <= lit(qs(i)) * col("__n") + slack) &&
+        (col(s"__hi$i").cast("double") >= lit(qs(i)) * col("__n") - slack)
     }.reduce(_ && _)
     exact.join(est.join(ranks, Seq(keyCol)), Seq(keyCol))
       .select(col(keyCol) +: qs.map(q => col(s"p${math.round(q * 100)}")) :+

@@ -88,6 +88,20 @@ class IntervalsStatsSpec extends SparkTestBase {
     }
   }
 
+  test("quartilesAudited: tie-heavy groups pass via the rank interval") {
+    // 1000 copies of 0 and 10 copies of 1: the median estimate is 0, whose
+    // max rank (count <= 0) is 1000 >> 0.5*n + eps*n. Only the rank
+    // INTERVAL [count(<0), count(<=0)] = [0, 1000] makes est_ok hold —
+    // the pre-fix max-rank check flipped this to 0.
+    val ties = (0 until 1000).map(_ => ("t", 0)) ++
+      (0 until 10).map(_ => ("t", 1))
+    val got = Stats.quartilesAudited(ties.toDF("k", "v"), "k", "v")
+      .as[(String, Double, Double, Double, Int)].collect()
+    assert(got.length === 1)
+    assert((got(0)._2, got(0)._3, got(0)._4) === ((0.0, 0.0, 0.0)))
+    assert(got(0)._5 === 1, "tied mass straddling the quantile must not flip est_ok")
+  }
+
   test("pointIntervalJoin equals brute force on random inputs (property)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
