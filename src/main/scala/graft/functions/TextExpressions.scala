@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
@@ -497,6 +497,58 @@ object VectorOps {
   }
 }
 
+/** PQ asymmetric-distance (ADC) accumulation: given a row's m packed
+  * subspace codes and the query's per-subspace dot-product lookup table
+  * (m × ksub floats, flattened), the query·reconstruction dot product is
+  *
+  *   base + Σ_j lut[j·ksub + unsigned(codes[j])]
+  *
+  * (`base` carries the query·coarse-center term for IVF-PQ residual codes;
+  * 0 for plain PQ). One table add per subspace, no vector materialization —
+  * this is the innermost loop of PQ search (FAISS IndexPQ/IndexIVFPQ's
+  * ADC), fused into whole-stage codegen.
+  */
+object VectorOps2 {
+  def adcScore(codes: Array[Byte], lut: ArrayData, base: Double, ksub: Int): Double = {
+    var s = base
+    var j = 0
+    val m = codes.length
+    while (j < m) {
+      s += lut.getFloat(j * ksub + (codes(j) & 0xFF))
+      j += 1
+    }
+    s
+  }
+}
+
+case class PqAdcScore(
+    first: Expression,
+    second: Expression,
+    third: Expression,
+    ksub: Int) extends TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_score"
+
+  override def nullSafeEval(codes: Any, lut: Any, base: Any): Any =
+    VectorOps2.adcScore(codes.asInstanceOf[Array[Byte]],
+      lut.asInstanceOf[ArrayData], base.asInstanceOf[Double], ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, l, b) =>
+      s"graft.functions.VectorOps2.adcScore($c, $l, $b, $ksub)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PqAdcScore =
+    copy(first = f, second = s, third = t)
+
+  override def eval(input: InternalRow): Any = {
+    val c = first.eval(input)
+    val l = second.eval(input)
+    val b = third.eval(input)
+    if (c == null || l == null || b == null) null else nullSafeEval(c, l, b)
+  }
+}
+
 case class CosineSimilarity(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
@@ -642,6 +694,13 @@ object TextFunctions {
   def cosine_similarity(a: Column, b: Column): Column =
     ColumnBridge.column(
       CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** PQ ADC dot product: binary codes column × flattened (m·ksub)
+    * array<float> lookup-table column (+ a double base term).
+    */
+  def pq_adc_score(codes: Column, lut: Column, base: Column, ksub: Int): Column =
+    ColumnBridge.column(PqAdcScore(ColumnBridge.expression(codes),
+      ColumnBridge.expression(lut), ColumnBridge.expression(base), ksub))
 
   /** Exact Jaccard of two distinct-long-array columns (fused single pass). */
   def jaccard_sets(a: Column, b: Column): Column =

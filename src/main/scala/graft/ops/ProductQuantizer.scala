@@ -215,22 +215,20 @@ object ProductQuantizer {
       }
       (r.getLong(0), lut, math.sqrt(qn))
     }
-    val ksub = cb.ksub
-    val mSub = cb.m
-    val adc = udf { (codes: Array[Byte], rnorm: Double, qIdx: Int) =>
-      val (_, lut, qn) = luts(qIdx)
-      var s = 0.0
-      var j = 0
-      while (j < mSub) { s += lut(j * ksub + (codes(j) & 0xFF)); j += 1 }
-      val denom = qn * rnorm
-      if (denom > 0) s / denom else 0.0
-    }
     import spark.implicits._
-    val qDf = luts.indices.map(i => (luts(i)._1, i)).toDF("query_id", "__qi")
+    // The per-query LUT travels as an array<float> column on the broadcast
+    // query side; scoring is the codegen'd pq_adc_score expression (one
+    // table add per subspace), not a UDF — codes stay packed bytes.
+    val qDf = luts.toIndexedSeq.map { case (qid, lut, qn) => (qid, lut.toSeq, qn) }
+      .toDF("query_id", "__lut", "__qn")
+    val denom = col("__qn") * col("rnorm")
     val scored = codes.crossJoin(broadcast(qDf))
       .where(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
-        adc(col("codes"), col("rnorm"), col("__qi")).as("cos"))
+        when(denom > 0,
+          graft.functions.TextFunctions.pq_adc_score(
+            col("codes"), col("__lut"), lit(0.0), cb.ksub) / denom)
+          .otherwise(0.0).as("cos"))
     Similarity.topKPerQuery(scored, k, distinctIds = false)
   }
 
@@ -435,25 +433,21 @@ object ProductQuantizer {
         qNorm += math.sqrt(qn)
       }
     }
-    val lutArr = luts.toArray
-    val qcArr = dotQC.toArray
-    val qnArr = qNorm.toArray
-    val ksub = cb.ksub
-    val mSub = cb.m
-    val adc = udf { (codes: Array[Byte], rnorm: Double, li: Int) =>
-      val lut = lutArr(li)
-      var s = qcArr(li)
-      var j = 0
-      while (j < mSub) { s += lut(j * ksub + (codes(j) & 0xFF)); j += 1 }
-      val denom = qnArr(li) * rnorm
-      if (denom > 0) s / denom else 0.0
-    }
     import spark.implicits._
-    val qCells = routing.toSeq.toDF("query_id", "cell", "__li")
+    // (query, probed-cell) routing rows carry their residual LUT, the
+    // query·center base term, and the query norm as broadcast columns;
+    // scoring is the codegen'd pq_adc_score expression, not a UDF.
+    val qCells = routing.toIndexedSeq.map { case (qid, cell, li) =>
+      (qid, cell, luts(li).toSeq, dotQC(li), qNorm(li))
+    }.toDF("query_id", "cell", "__lut", "__qc", "__qn")
+    val denom = col("__qn") * col("rnorm")
     val scored = index.codes.join(broadcast(qCells), "cell")
       .where(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
-        adc(col("codes"), col("rnorm"), col("__li")).as("cos"))
+        when(denom > 0,
+          graft.functions.TextFunctions.pq_adc_score(
+            col("codes"), col("__lut"), col("__qc"), cb.ksub) / denom)
+          .otherwise(0.0).as("cos"))
     val shortlist = Similarity.topKPerQuery(scored, k * refine, distinctIds = true)
       .select(col("query_id"), col("neighbor_id"))
     val rescored = shortlist

@@ -276,8 +276,15 @@ object Similarity {
   }
 
   /** Search a built IVF index: each query probes its `nprobe` nearest cells
-    * (driver-side centroid table → tiny broadcast UDF) and exact-reranks
-    * only those cells' vectors through the k-bounded top-k aggregate.
+    * and exact-reranks only those cells' vectors through the k-bounded
+    * top-k aggregate. Cell routing is pure Column algebra — the centroid
+    * table is tiny (nlist × dim), so each centroid becomes a constant
+    * array literal and its squared L2 distance a codegen'd
+    * `zip_with`+`aggregate` fold; `array_sort` over (distance, cell)
+    * structs picks the `nprobe` nearest (struct ordering breaks distance
+    * ties by cell id, matching a stable sort over the centroid order).
+    * No UDF: the routing inlines into the same whole-stage-codegen span
+    * as the explode that follows it.
     */
   def ivfSearch(
       index: IvfIndex,
@@ -286,18 +293,19 @@ object Similarity {
       queryVec: String,
       k: Int = 10,
       nprobe: Int = 4): DataFrame = {
-    val centers = index.centers
-    val probeCells = udf { (v: Seq[Float]) =>
-      centers.zipWithIndex.map { case (c, i) =>
-        var d = 0.0; var j = 0
-        while (j < math.min(c.length, v.length)) {
-          val t = c(j) - v(j); d += t * t; j += 1
-        }
-        (d, i)
-      }.sortBy(_._1).take(nprobe).map(_._2)
+    val qv = col("__qv").cast("array<double>")
+    val distStructs = index.centers.zipWithIndex.map { case (c, i) =>
+      val cLit = typedLit(c.map(_.toDouble).toIndexedSeq)
+      val d = aggregate(
+        zip_with(qv, cLit, (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, x) => acc + x)
+      struct(d.as("d"), lit(i).as("cell"))
     }
+    val probe = transform(
+      slice(array_sort(array(distStructs: _*)), 1, nprobe),
+      s => s.getField("cell"))
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
-      .withColumn("cell", explode(probeCells(col("__qv"))))
+      .withColumn("cell", explode(probe))
 
     val scored = index.assigned.join(q, "cell")
       .where(col("neighbor_id") =!= col("query_id"))

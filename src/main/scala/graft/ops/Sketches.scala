@@ -27,7 +27,10 @@ object Sketches {
     * (no key-space shuffle at all — this is what survives an unbounded
     * vocabulary); the exact side is the usual partial-agg + k-bounded
     * TakeOrdered. The sketch's own `totalCount` supplies N — no extra
-    * counting pass. The driver holds one sketch and k rows, both bounded.
+    * counting pass. The driver holds one sketch and k rows, both bounded —
+    * so the audit itself is k driver-side point lookups against the
+    * already-local sketch (shipping the sketch back out in a UDF closure
+    * to score k rows would be the only per-row black box in the repo).
     */
   def cmsAuditedTopTokens(
       df: DataFrame,
@@ -43,14 +46,19 @@ object Sketches {
       .first().getAs[Array[Byte]](0)
     val cms = CountMinSketch.readFrom(new ByteArrayInputStream(sketchBytes))
     val slack = math.ceil(4 * eps * cms.totalCount()).toLong
-    val estOk = udf { (token: String, n: Long) =>
-      val est = cms.estimateCount(token.getBytes(StandardCharsets.UTF_8))
-      if (est >= n && est - n <= slack) 1 else 0
-    }
-    toks.groupBy("token").agg(count(lit(1)).as("n"))
+    val top = toks.groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(k)
-      .withColumn("est_ok", estOk(col("token"), col("n")))
+      .collect()
+    val audited = top.toIndexedSeq.map { r =>
+      val token = r.getString(0)
+      val n = r.getLong(1)
+      val est = cms.estimateCount(token.getBytes(StandardCharsets.UTF_8))
+      (token, n, if (est >= n && est - n <= slack) 1 else 0)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    audited.toDF("token", "n", "est_ok")
   }
 
   /** Per-key distinct counts via HLL sketches (Spark 4's built-in Apache
