@@ -22,8 +22,25 @@ import org.apache.spark.sql.functions._
   * skewed cluster into bounded work instead of an O(m²) straggler — same
   * policy as [[Dedup]]'s capped LSH buckets, and exactly reproducible by an
   * independent engine, unlike a sampled cap.
+  *
+  * The cap bounds TOTAL per-cell work but would still put all m² in-cap
+  * comparisons of one oversized cell into ONE task (10⁸ cosines at the
+  * 10 000 default — an hours-long straggler). The pair join is therefore
+  * TILED: rows get a tile index from their in-cell rank (`tileSize` rows
+  * per tile), each (tileA ≤ tileB) block becomes its own join key, and an
+  * m-row cell's pairs spread over (m/tileSize)² independent tasks of at
+  * most tileSize² comparisons. Cells within `tileSize` rows have exactly
+  * one tile — no replication, the join key degenerates to `cell` — so the
+  * contract-respecting path pays nothing.
   */
 object SemDedup {
+
+  /** Per-task pair bound: ceil(m / tileSize)² tasks of ≤ tileSize²
+    * comparisons for an m-row (post-cap) cell. 1000² = 10⁶ cosines ≈ a
+    * fraction of a second — a graceful ceiling when a caller violates the
+    * k ∝ N sizing contract.
+    */
+  val DefaultTileSize = 1000
 
   /** Per-vector keep/drop verdict: `(id, cell, keep)` — `keep = 0` iff a
     * lower-id vector in the same cluster (within the participation cap) has
@@ -36,7 +53,9 @@ object SemDedup {
       vecCol: String,
       centers: Seq[(Int, Array[Float])],
       threshold: Double,
-      maxClusterSize: Int = 10000): DataFrame = {
+      maxClusterSize: Int = 10000,
+      tileSize: Int = DefaultTileSize): DataFrame = {
+    require(tileSize > 0, s"tileSize must be positive, got $tileSize")
     val assign = Similarity.assignToCentroids(corpus, idCol, vecCol, centers)
     val withVec = assign.join(
       corpus.select(col(idCol).cast("long").as(idCol), col(vecCol)), Seq(idCol))
@@ -44,16 +63,29 @@ object SemDedup {
     // window partitions by `cell`, whose cardinality the caller sizes to the
     // corpus (k ∝ N) — this is NOT a low-cardinality window at scale when
     // that contract holds, and the cap bounds the per-partition sort input.
+    // The same rank yields the tile index; the per-cell tile count window
+    // reuses the rank window's partitioning (no extra shuffle).
     val part = withVec
       .withColumn("__rn",
         row_number().over(Window.partitionBy("cell").orderBy(col(idCol))))
       .where(col("__rn") <= maxClusterSize)
-      .select(col(idCol), col("cell"), col(vecCol))
-    val left = part.select(col(idCol).as("id_a"), col("cell"),
-      col(vecCol).as("__va"))
-    val right = part.select(col(idCol).as("id_b"), col("cell"),
-      col(vecCol).as("__vb"))
-    val drops = left.join(right, Seq("cell"))
+      .withColumn("__tile", ((col("__rn") - 1) / tileSize).cast("int"))
+      .withColumn("__nt",
+        (ceil(max(col("__rn")).over(Window.partitionBy("cell")).cast("double")
+          / tileSize)).cast("int"))
+      .select(col(idCol), col("cell"), col(vecCol), col("__tile"), col("__nt"))
+    // Ranks are ordered by id, so id_a < id_b implies tile_a <= tile_b: the
+    // a-side replicates to its upper-triangle tile row, the b-side to its
+    // tile column, and each (cell, ta, tb) block is one independent task.
+    val left = part
+      .withColumn("__tb", explode(sequence(col("__tile"), col("__nt") - 1)))
+      .select(col(idCol).as("id_a"), col("cell"), col(vecCol).as("__va"),
+        col("__tile").as("__ta"), col("__tb"))
+    val right = part
+      .withColumn("__ta", explode(sequence(lit(0), col("__tile"))))
+      .select(col(idCol).as("id_b"), col("cell"), col(vecCol).as("__vb"),
+        col("__ta"), col("__tile").as("__tb"))
+    val drops = left.join(right, Seq("cell", "__ta", "__tb"))
       .where(col("id_a") < col("id_b"))
       .where(Similarity.cosine(col("__va"), col("__vb")) >= threshold)
       .select(col("id_b").as(idCol))
@@ -84,7 +116,9 @@ object SemDedup {
       vecCol: String,
       centers: Seq[(Int, Array[Float])],
       threshold: Double,
-      maxClusterSize: Int = 10000): DataFrame = {
+      maxClusterSize: Int = 10000,
+      tileSize: Int = DefaultTileSize): DataFrame = {
+    require(tileSize > 0, s"tileSize must be positive, got $tileSize")
     val candAssign = Similarity.assignToCentroids(candidates, idCol, vecCol,
       centers)
     val candVec = candAssign.join(
@@ -99,9 +133,18 @@ object SemDedup {
         row_number().over(Window.partitionBy("cell").orderBy(col(idCol))))
       .where(col("__rn") <= maxClusterSize)
       .select(col(idCol).as("__ref_id"), col("cell"),
-        col(vecCol).as("__rv"))
-    val dropped = candVec
-      .join(refPart, Seq("cell"))
+        col(vecCol).as("__rv"), ((col("__rn") - 1) / tileSize)
+          .cast("int").as("__ta"))
+    // Tile the capped reference side: a candidate compares against one ref
+    // tile per task instead of the whole (possibly oversized) cell. The
+    // per-cell tile count is at most |centers| rows — a broadcast.
+    val ntPerCell = refPart.groupBy("cell")
+      .agg((max(col("__ta")) + 1).as("__nt"))
+    val candTiled = candVec
+      .join(broadcast(ntPerCell), Seq("cell")) // cells without ref rows can't drop
+      .withColumn("__ta", explode(sequence(lit(0), col("__nt") - 1)))
+    val dropped = candTiled
+      .join(refPart, Seq("cell", "__ta"))
       .where(Similarity.cosine(col(vecCol), col("__rv")) >= threshold)
       .select(col(idCol))
       .distinct()
@@ -118,9 +161,10 @@ object SemDedup {
       vecCol: String,
       centers: Seq[(Int, Array[Float])],
       threshold: Double,
-      maxClusterSize: Int = 10000): DataFrame = {
+      maxClusterSize: Int = 10000,
+      tileSize: Int = DefaultTileSize): DataFrame = {
     val verdicts = semanticDedup(corpus, idCol, vecCol, centers, threshold,
-      maxClusterSize)
+      maxClusterSize, tileSize)
     corpus.join(
       verdicts.where(col("keep") === 1).select(col(idCol)),
       Seq(idCol))

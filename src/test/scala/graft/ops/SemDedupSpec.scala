@@ -140,6 +140,35 @@ class SemDedupSpec extends SparkTestBase {
     assert(r1 >= 0.6, s"refined recall too low: $r1")
   }
 
+  test("tiling an oversized cell changes no verdicts") {
+    // 60 vectors all in cell 0 (near the axis-0 centroid), several exact-dup
+    // families plus distinct spreads. tileSize = 7 forces ceil(60/7) = 9
+    // tiles — every upper-triangle tile block participates — and must
+    // reproduce the single-tile verdicts exactly.
+    val rng = new scala.util.Random(7)
+    val big = (0L until 60L).map { i =>
+      if (i % 3 == 0) (i, v(1f, 0f, 0f))                      // dup family
+      else (i, v(1f, rng.nextFloat() * 0.6f, rng.nextFloat() * 0.6f))
+    }.toDF("vec_id", "embedding")
+    def run(tile: Int) =
+      SemDedup.semanticDedup(big, "vec_id", "embedding", centers,
+          threshold = 0.98, maxClusterSize = 100, tileSize = tile)
+        .as[(Long, Int, Int)].collect().sortBy(_._1).toSeq
+    val tiled = run(7)
+    assert(tiled === run(100), "tiled verdicts must equal single-tile verdicts")
+    // The dup family (every 3rd id) collapses to its lowest id.
+    assert(tiled.filter(_._1 % 3 == 0).count(_._3 == 1) === 1)
+
+    // Cross-corpus: tiled reference side reproduces single-tile verdicts.
+    val refs = (1000L until 1020L).map(i => (i, v(1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    def runCross(tile: Int) =
+      SemDedup.crossSemanticDedup(big, refs, "vec_id", "embedding", centers,
+          threshold = 0.98, maxClusterSize = 100, tileSize = tile)
+        .as[(Long, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(runCross(3) === runCross(100))
+  }
+
   test("pair stage compares within cells only (no corpus cross join)") {
     val n = 500
     val docs = (0L until n.toLong)
