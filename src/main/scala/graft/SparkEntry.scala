@@ -982,11 +982,11 @@ object SparkEntry {
       Bpe.pairCounts(Bpe.wordSymbolCounts(t(s, dir, "documents"), "text"))
         .orderBy(desc("n"), col("l"), col("r")).limit(200)),
 
-    // BPE merge learning (5 merges) — no_oracle BY DESIGN: each step's
-    // input tokenization depends on the previous step's argmax, which one
-    // SQL query cannot express. The step-0 argmax input is fully oracled
-    // by q_bpe_pairs above, and the iterative fixpoint is pinned by
-    // BpeSpec's hand-computed Sennrich-example merge sequence.
+    // BPE merge learning (5 merges). Oracled by UNROLLING the loop: the
+    // DuckDB query chains 5 CTE triples (pair counts → argmax → list_reduce
+    // merge application), so each step's tokenization depends on the
+    // previous argmax exactly like the trainer — see bpeMergesOracleSql.
+    // BpeSpec additionally pins the hand-computed Sennrich example.
     "q_bpe_merges" -> ((s, dir) =>
       Bpe.learnMerges(t(s, dir, "documents"), "text", numMerges = 5)),
 
@@ -1702,6 +1702,7 @@ object SparkEntry {
          | SELECT p[1] AS l, p[2] AS r, CAST(sum(cnt) AS BIGINT) AS n
          | FROM pr GROUP BY 1, 2
          | ORDER BY n DESC, l, r LIMIT 200""".stripMargin,
+    "q_bpe_merges" -> bpeMergesOracleSql(5),
     "q_span_dedup" ->
       s"""WITH tk AS (SELECT doc_id,
          |     list_filter(list_transform(
@@ -1878,6 +1879,42 @@ object SparkEntry {
     */
   private val tokensSql =
     """list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"""
+
+  /** The full iterative BPE trainer as ONE DuckDB query: `n` chained CTE
+    * triples (pair counts → deterministic argmax → merge application), one
+    * per learned merge — each step's tokenization genuinely depends on the
+    * previous step's argmax, exactly like [[graft.ops.Bpe.learnMerges]]'s
+    * loop. Merge application mirrors `Bpe.applyMerge`'s left-to-right
+    * non-overlapping fuse via `list_reduce`: fold symbols left to right,
+    * fusing the accumulator's LAST symbol with the incoming one when they
+    * equal (l, r). A fused symbol can only re-fuse when it equals `l`
+    * again, which requires l || r == l (impossible) — so the fold emits
+    * exactly the single-pass rewrite.
+    */
+  private def bpeMergesOracleSql(n: Int): String = {
+    val steps = (0 until n).map { k =>
+      s""" p$k AS (SELECT cnt,
+         |     unnest([[s[i], s[i+1]] for i in range(1, len(s))]) AS p
+         |   FROM w$k),
+         | t$k AS (SELECT p[1] AS l, p[2] AS r, CAST(sum(cnt) AS BIGINT) AS n
+         |   FROM p$k GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1),
+         | w${k + 1} AS (SELECT list_reduce(list_transform(s, x -> [x]),
+         |     (acc, x) -> CASE WHEN acc[-1] = t$k.l AND x[1] = t$k.r
+         |                 THEN acc[:len(acc)-1] || [t$k.l || t$k.r]
+         |                 ELSE acc || x END) AS s, cnt
+         |   FROM w$k, t$k)""".stripMargin
+    }.mkString(",\n")
+    val finals = (0 until n).map { k =>
+      s"""SELECT $k AS step, l AS "left", r AS "right", n AS pair_count FROM t$k"""
+    }.mkString("\n UNION ALL ")
+    s"""WITH wc AS (SELECT w, count(*) AS cnt FROM (
+       |     SELECT unnest($tokensSql) AS w FROM documents) GROUP BY w),
+       | w0 AS (SELECT list_append(string_split(w, ''), '</w>') AS s, cnt
+       |   FROM wc),
+       |$steps
+       |$finals
+       |ORDER BY step""".stripMargin
+  }
 
   /** DuckDB fragment: distinct 3-shingle strings over a token list `t`,
     * mirroring ShingleOps (whole token sequence as one shingle when < k
