@@ -572,6 +572,17 @@ object SparkEntry {
         .presented("media_id")
     }),
 
+    // Media inventory from container headers only (MP4 box walk, MP3 frame
+    // scan, WAV probe, image-dim header read — zero pixel/sample decode).
+    // FULLY oracled: every synthetic payload is a pure function of
+    // media_id, so DuckDB pins the expected header facts from the id
+    // arithmetic alone — the parser must recover exactly the structure the
+    // writer encoded (duration/timescale division, 16.16 dims, track
+    // counts, ID3 skip + per-frame sample accounting).
+    "q_container_headers" -> ((s, dir) =>
+      Multimodal.containerHeaders(Multimodal.syntheticMedia(s, 200))
+        .presented("media_id")),
+
     // SimHash signatures themselves (operator output, deterministic).
     // no_oracle BY DESIGN: the 64-bit signature family has no SQL
     // equivalent; determinism/threshold behavior is graded by DedupSpec and
@@ -1703,6 +1714,37 @@ object SparkEntry {
          | FROM pr GROUP BY 1, 2
          | ORDER BY n DESC, l, r LIMIT 200""".stripMargin,
     "q_bpe_merges" -> bpeMergesOracleSql(5),
+    // Synthetic payloads are pure functions of media_id (timescale-1000
+    // mvhd, 16.16 tkhd dims, 128kbps/44.1kHz MP3 frames, 8kHz mono WAV) —
+    // DuckDB re-derives every header fact from the id arithmetic.
+    "q_container_headers" ->
+      """SELECT media_id,
+        |  CASE media_id % 5 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+        |       WHEN 2 THEN 'audio/wav' WHEN 3 THEN 'video/mp4'
+        |       ELSE 'audio/mpeg' END AS mime,
+        |  CASE media_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |       WHEN 2 THEN 'wav' WHEN 3 THEN 'mp4' ELSE 'mp3' END AS container,
+        |  CAST(CASE media_id % 5
+        |       WHEN 2 THEN ((800 + (media_id % 8) * 100) * 1000) // 8000
+        |       WHEN 3 THEN 1000 + (media_id % 10) * 500
+        |       WHEN 4 THEN ((10 + (media_id % 20)) * 1152 * 1000) // 44100
+        |       END AS BIGINT) AS duration_ms,
+        |  CAST(CASE media_id % 5 WHEN 0 THEN 64 WHEN 1 THEN 64
+        |       WHEN 3 THEN 320 + (media_id % 4) * 160 END AS INT) AS width,
+        |  CAST(CASE media_id % 5 WHEN 0 THEN 48 WHEN 1 THEN 48
+        |       WHEN 3 THEN 240 + (media_id % 4) * 120 END AS INT) AS height,
+        |  CAST(CASE WHEN media_id % 5 = 3 THEN 1 + media_id % 2 END AS INT)
+        |    AS track_count,
+        |  CAST(CASE WHEN media_id % 5 = 3 THEN 1 END AS INT) AS video_tracks,
+        |  CAST(CASE WHEN media_id % 5 = 4 THEN 128 END AS INT) AS bitrate_kbps,
+        |  CAST(CASE media_id % 5 WHEN 2 THEN 8000 WHEN 4 THEN 44100 END AS INT)
+        |    AS sample_rate,
+        |  CAST(CASE media_id % 5 WHEN 2 THEN 1 WHEN 4 THEN 2 END AS INT)
+        |    AS channels,
+        |  CAST(CASE media_id % 5 WHEN 2 THEN 800 + (media_id % 8) * 100
+        |       WHEN 4 THEN 10 + (media_id % 20) END AS BIGINT) AS frames
+        |FROM range(200) t(media_id)
+        |ORDER BY media_id""".stripMargin,
     "q_span_dedup" ->
       s"""WITH tk AS (SELECT doc_id,
          |     list_filter(list_transform(

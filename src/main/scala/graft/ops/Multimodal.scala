@@ -16,11 +16,15 @@ import org.apache.spark.sql.types._
   * Graphics2D bilinear scale re-encoded in the source format. AUDIO decode
   * is REAL for the in-JDK PCM containers (WAV/AIFF/AU via
   * `javax.sound.sampled` — [[audioFeatures]]: duration, rate, channels,
-  * RMS/peak energy, zero-cross rate). Video and compressed-audio payloads
-  * (no in-JDK codec) fall back to [[decodeStub]], a deterministic byte-hash
-  * pseudo-feature — the pipeline shape is exercised end-to-end for every
-  * modality and swapping the stub for an ffmpeg/JNI call changes one
-  * function.
+  * RMS/peak energy, zero-cross rate). Video (MP4) and compressed-audio
+  * (MP3) CONTAINER HEADERS are parsed for real — [[mp4Headers]]'s ISO-BMFF
+  * box walk (duration, dims, track counts) and [[mp3Headers]]'s frame-
+  * header scan (bitrate, rate, channels, per-frame duration accounting) —
+  * no codec needed; only their SAMPLE DATA falls back to [[decodeStub]],
+  * a deterministic byte-hash pseudo-feature (no in-JDK codec exists —
+  * swapping the stub for an ffmpeg/JNI call changes one function).
+  * [[containerHeaders]] exposes the header pass as the media-inventory
+  * operator a pipeline runs before any decode.
   */
 object Multimodal {
 
@@ -155,10 +159,245 @@ object Multimodal {
     (if (unsigned) raw - 32768 else raw) / 32768.0
   }
 
-  /** STUB media decoder for the modalities with no in-JDK codec (video,
-    * compressed audio): derives a deterministic pseudo-feature vector from
-    * the payload bytes so the pipeline is testable end-to-end. Also the
-    * fallback for corrupt/undecodable image and audio payloads.
+  // ------------------- container header parsing (no codec needed) ---------
+
+  /** Parsed MP4/ISO-BMFF header facts (no sample data touched). */
+  final case class Mp4Info(
+      majorBrand: String,
+      durationMs: Option[Long],
+      width: Option[Int],
+      height: Option[Int],
+      trackCount: Int,
+      videoTrackCount: Int)
+
+  /** MP4 / ISO base-media box walk (ISO/IEC 14496-12): `ftyp` brand,
+    * `moov/mvhd` timescale+duration, per-`trak` `tkhd` dimensions (16.16
+    * fixed point; a track with nonzero dims counts as video). Reads box
+    * HEADERS only — no codec, no sample data — so it is the 100 TB-safe
+    * "media inventory" pass: a few dozen bytes of each payload decide
+    * routing/filtering before any expensive decode. Returns None unless the
+    * payload starts with a well-formed `ftyp`.
+    */
+  def mp4Headers(bytes: Array[Byte]): Option[Mp4Info] = {
+    if (bytes == null || bytes.length < 16) return None
+    def u32(off: Int): Long =
+      ((bytes(off) & 0xFFL) << 24) | ((bytes(off + 1) & 0xFFL) << 16) |
+        ((bytes(off + 2) & 0xFFL) << 8) | (bytes(off + 3) & 0xFFL)
+    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+    def boxType(off: Int): String =
+      new String(bytes, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // Iterate sibling boxes in [start, end); returns (type, payloadStart,
+    // payloadEnd) triples. size==1 → 64-bit largeSize; size==0 → to-end.
+    def boxes(start: Int, end: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var off = start
+        def hasNext: Boolean = off + 8 <= end
+        def next(): (String, Int, Int) = {
+          val size0 = u32(off)
+          val tpe = boxType(off)
+          val (payload, size) =
+            if (size0 == 1 && off + 16 <= end) (off + 16, u64(off + 8))
+            else if (size0 == 0) (off + 8, (end - off).toLong)
+            else (off + 8, size0)
+          val boxEnd =
+            if (size < 8 || off + size > end) end // malformed → stop after
+            else (off + size).toInt
+          val res = (tpe, payload, boxEnd)
+          off = if (boxEnd <= off) end else boxEnd
+          res
+        }
+      }
+    try {
+      val top = boxes(0, bytes.length).toSeq
+      if (top.isEmpty || top.head._1 != "ftyp") return None
+      val brand = boxType(top.head._2 - 4) // first 4 payload bytes
+      var durationMs: Option[Long] = None
+      var w, h = 0
+      var tracks, videoTracks = 0
+      top.find(_._1 == "moov").foreach { case (_, ms, me) =>
+        boxes(ms, me).foreach {
+          case ("mvhd", ps, _) =>
+            val v = bytes(ps) & 0xFF
+            val (ts, dur) =
+              if (v == 1) (u32(ps + 20), u64(ps + 24))
+              else (u32(ps + 12), u32(ps + 16))
+            if (ts > 0) durationMs = Some(dur * 1000L / ts)
+          case ("trak", ts0, te) =>
+            tracks += 1
+            boxes(ts0, te).foreach {
+              case ("tkhd", ps, _) =>
+                val v = bytes(ps) & 0xFF
+                val dimOff = ps + (if (v == 1) 4 + 8 + 8 + 4 + 4 + 8 else 4 + 4 + 4 + 4 + 4 + 4) +
+                  8 + 2 + 2 + 2 + 2 + 36
+                val tw = (u32(dimOff) >> 16).toInt     // 16.16 fixed
+                val th = (u32(dimOff + 4) >> 16).toInt
+                if (tw > 0 && th > 0) {
+                  videoTracks += 1
+                  if (tw.toLong * th > w.toLong * h) { w = tw; h = th }
+                }
+              case _ => ()
+            }
+          case _ => ()
+        }
+      }
+      Some(Mp4Info(brand, durationMs,
+        if (w > 0) Some(w) else None, if (h > 0) Some(h) else None,
+        tracks, videoTracks))
+    } catch { case _: Exception => None }
+  }
+
+  /** Parsed MP3 stream facts from frame headers (no sample decode). */
+  final case class Mp3Info(
+      version: String,      // "1", "2", "2.5"
+      layer: Int,           // 1..3
+      bitrateKbps: Int,     // first frame's
+      sampleRate: Int,
+      channels: Int,
+      frames: Int,
+      durationMs: Long)
+
+  private val Mp3BitratesV1L3 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+  private val Mp3BitratesV2L3 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+  private val Mp3BitratesV1L1 =
+    Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448, 0)
+  private val Mp3RatesV1 = Array(44100, 48000, 32000, 0)
+
+  /** MP3 frame-header scan (MPEG-1/2/2.5 audio, public frame format): skips
+    * a leading ID3v2 tag (syncsafe size), locates the first valid sync,
+    * then walks frame-by-frame — each header gives version/layer/bitrate/
+    * sample-rate, each frame length advances the cursor — accumulating the
+    * exact sample count for the duration estimate (VBR-safe: per-frame
+    * bitrates are honored; the reported `bitrateKbps` is the first
+    * frame's). Stops cleanly at truncation or trailing garbage.
+    */
+  def mp3Headers(bytes: Array[Byte]): Option[Mp3Info] = {
+    if (bytes == null || bytes.length < 4) return None
+    var off = 0
+    // ID3v2: "ID3" ver(2) flags(1) syncsafe-size(4)
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      val sz = ((bytes(6) & 0x7F) << 21) | ((bytes(7) & 0x7F) << 14) |
+        ((bytes(8) & 0x7F) << 7) | (bytes(9) & 0x7F)
+      off = 10 + sz
+    }
+    // (versionIdx, layer, bitrateKbps, sampleRate, channels, frameLen, samples)
+    def parseFrame(o: Int): Option[(Int, Int, Int, Int, Int, Int, Int)] = {
+      if (o + 4 > bytes.length) return None
+      val b1 = bytes(o) & 0xFF; val b2 = bytes(o + 1) & 0xFF
+      val b3 = bytes(o + 2) & 0xFF; val b4 = bytes(o + 3) & 0xFF
+      if (b1 != 0xFF || (b2 & 0xE0) != 0xE0) return None
+      val verBits = (b2 >> 3) & 0x3      // 0=2.5, 1=reserved, 2=2, 3=1
+      val layerBits = (b2 >> 1) & 0x3    // 0=reserved, 1=L3, 2=L2, 3=L1
+      if (verBits == 1 || layerBits == 0) return None
+      val layer = 4 - layerBits
+      val brIdx = (b3 >> 4) & 0xF
+      val srIdx = (b3 >> 2) & 0x3
+      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+      val mpeg1 = verBits == 3
+      val bitrate =
+        if (layer == 3 || layer == 2)
+          (if (mpeg1) Mp3BitratesV1L3 else Mp3BitratesV2L3)(brIdx)
+        else Mp3BitratesV1L1(brIdx)
+      val rate = {
+        val base = Mp3RatesV1(srIdx)
+        if (mpeg1) base else if (verBits == 2) base / 2 else base / 4
+      }
+      if (bitrate == 0 || rate == 0) return None
+      val pad = (b3 >> 1) & 0x1
+      val (frameLen, samples) =
+        if (layer == 1) ((12 * bitrate * 1000 / rate + pad) * 4, 384)
+        else {
+          val coef = if (layer == 3 && !mpeg1) 72 else 144
+          (coef * bitrate * 1000 / rate + pad, if (layer == 3 && !mpeg1) 576 else 1152)
+        }
+      val channels = if (((b4 >> 6) & 0x3) == 3) 1 else 2
+      Some((verBits, layer, bitrate, rate, channels, frameLen, samples))
+    }
+    parseFrame(off).map { first =>
+      var frames = 0
+      var totalSamples = 0L
+      var cur = off
+      var go = true
+      while (go) {
+        parseFrame(cur) match {
+          case Some((_, _, _, _, _, len, samples)) if len > 0 && cur + len <= bytes.length =>
+            frames += 1; totalSamples += samples; cur += len
+          case _ => go = false
+        }
+      }
+      val ver = first._1 match { case 3 => "1"; case 2 => "2"; case _ => "2.5" }
+      Mp3Info(ver, first._2, first._3, first._4, first._5, frames,
+        totalSamples * 1000L / first._4)
+    }
+  }
+
+  /** Header-only image dimensions via the ImageIO reader SPI — the reader
+    * parses the format header for `getWidth/getHeight` without decoding
+    * pixel data. Returns (width, height, lowercase format name).
+    */
+  def imageDims(bytes: Array[Byte]): Option[(Int, Int, String)] =
+    if (bytes == null) None
+    else
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val rd = readers.next()
+            try {
+              rd.setInput(iis)
+              Some((rd.getWidth(0), rd.getHeight(0), rd.getFormatName.toLowerCase))
+            } finally rd.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: Exception => None }
+
+  /** Header facts for MP4 payloads as a feature vector (the pixel/sample
+    * slots of the stub replaced by REAL container metadata): [duration/60 s,
+    * w/4096, h/4096, tracks/8, videoTracks/4, aspect w/(w+h), bytes/16 MiB,
+    * 1.0 header-parsed flag].
+    */
+  def mp4Features(bytes: Array[Byte]): Option[Array[Float]] =
+    mp4Headers(bytes).map { info =>
+      val w = info.width.getOrElse(0)
+      val h = info.height.getOrElse(0)
+      Array(
+        math.min(1.0, info.durationMs.getOrElse(0L) / 60000.0).toFloat,
+        math.min(1.0, w / 4096.0).toFloat,
+        math.min(1.0, h / 4096.0).toFloat,
+        math.min(1.0, info.trackCount / 8.0).toFloat,
+        math.min(1.0, info.videoTrackCount / 4.0).toFloat,
+        (if (w + h > 0) w.toDouble / (w + h) else 0.0).toFloat,
+        math.min(1.0, bytes.length / 16777216.0).toFloat,
+        1.0f)
+    }
+
+  /** Header facts for MP3 payloads as a feature vector: [duration/60 s,
+    * rate/96 kHz, channels/8, bitrate/320, frames/1e5, layer/3,
+    * version/2.5, 1.0 header-parsed flag].
+    */
+  def mp3Features(bytes: Array[Byte]): Option[Array[Float]] =
+    mp3Headers(bytes).filter(_.frames > 0).map { info =>
+      Array(
+        math.min(1.0, info.durationMs / 60000.0).toFloat,
+        math.min(1.0, info.sampleRate / 96000.0).toFloat,
+        math.min(1.0, info.channels / 8.0).toFloat,
+        math.min(1.0, info.bitrateKbps / 320.0).toFloat,
+        math.min(1.0, info.frames / 1e5).toFloat,
+        info.layer / 3.0f,
+        (info.version.toDouble / 2.5).toFloat,
+        1.0f)
+    }
+
+  /** STUB media decoder for the modalities with no in-JDK codec (video and
+    * compressed-audio SAMPLE DATA — container headers are parsed for real
+    * by [[mp4Headers]]/[[mp3Headers]]): derives a deterministic
+    * pseudo-feature vector from the payload bytes so the pipeline is
+    * testable end-to-end. Also the fallback for corrupt/undecodable
+    * payloads of any modality.
     */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
     val out = new Array[Float](featureDim)
@@ -201,8 +440,12 @@ object Multimodal {
         val feats =
           if (mime != null && mime.startsWith("image/"))
             decodeImage(bytes).map(imageFeatures).getOrElse(decodeStub(bytes))
+          else if (mime == "audio/mpeg" || mime == "audio/mp3")
+            mp3Features(bytes).getOrElse(decodeStub(bytes))
           else if (mime != null && mime.startsWith("audio/"))
             audioFeatures(bytes).getOrElse(decodeStub(bytes))
+          else if (mime == "video/mp4" || mime == "video/quicktime")
+            mp4Features(bytes).getOrElse(decodeStub(bytes))
           else decodeStub(bytes)
         Row(r.getLong(0), mime, if (bytes == null) 0 else bytes.length, feats.toSeq)
       }
@@ -290,6 +533,83 @@ object Multimodal {
     Array.tabulate[Byte](n)(i => bytes(((i.toLong * bytes.length) / n).toInt))
   }
 
+  private val headerSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("mime", StringType, nullable = true),
+    StructField("container", StringType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("track_count", IntegerType, nullable = true),
+    StructField("video_tracks", IntegerType, nullable = true),
+    StructField("bitrate_kbps", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("frames", LongType, nullable = true)))
+
+  /** Media inventory from container HEADERS only — no pixel/sample decode
+    * anywhere: MP4 box walk, MP3 frame scan, PCM header via the sound SPI's
+    * file-format probe, image dims via the ImageIO reader SPI. This is the
+    * pass a 100 TB pipeline runs FIRST (route/filter/validate on a few
+    * header bytes per file before any expensive decode); unparseable
+    * payloads yield a row with null facts, never an error. Narrow
+    * mapPartitions, embarrassingly parallel.
+    */
+  def containerHeaders(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(headerSchema)
+    media.select("media_id", "mime", "bytes").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val mime = if (r.isNullAt(1)) null else r.getString(1)
+        val bytes = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+        def nulls = Row(id, mime, null, null, null, null, null, null, null, null, null, null)
+        if (bytes == null || mime == null) nulls
+        else if (mime.startsWith("image/"))
+          imageDims(bytes).map { case (w, h, fmt) =>
+            Row(id, mime, fmt, null, w, h, null, null, null, null, null, null)
+          }.getOrElse(nulls)
+        else if (mime == "audio/mpeg" || mime == "audio/mp3")
+          mp3Headers(bytes).filter(_.frames > 0).map { i =>
+            Row(id, mime, "mp3", i.durationMs, null, null, null, null,
+              i.bitrateKbps, i.sampleRate, i.channels, i.frames.toLong)
+          }.getOrElse(nulls)
+        else if (mime.startsWith("audio/"))
+          pcmHeaders(bytes).map { case (tpe, dur, rate, ch, fr) =>
+            Row(id, mime, tpe, dur, null, null, null, null, null, rate, ch, fr)
+          }.getOrElse(nulls)
+        else if (mime == "video/mp4" || mime == "video/quicktime")
+          mp4Headers(bytes).map { i =>
+            Row(id, mime, "mp4", i.durationMs.orNull,
+              i.width.orNull, i.height.orNull,
+              i.trackCount, i.videoTrackCount, null, null, null, null)
+          }.getOrElse(nulls)
+        else nulls
+      }
+    }(enc)
+  }
+
+  /** PCM container header (WAV/AIFF/AU) via the sound SPI's file-format
+    * probe — header-only, no sample read. (container, duration_ms, rate,
+    * channels, frames); null container when unparseable.
+    */
+  private def pcmHeaders(bytes: Array[Byte])
+      : Option[(String, java.lang.Long, Integer, Integer, java.lang.Long)] =
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = aff.getFormat
+      val fl = aff.getFrameLength
+      val dur: java.lang.Long =
+        if (fl >= 0 && fmt.getFrameRate > 0)
+          java.lang.Long.valueOf((fl * 1000.0 / fmt.getFrameRate).toLong)
+        else null
+      Some((aff.getType.getExtension, dur,
+        Integer.valueOf(fmt.getSampleRate.toInt),
+        Integer.valueOf(fmt.getChannels),
+        if (fl >= 0) java.lang.Long.valueOf(fl) else null))
+    } catch { case _: Exception => None }
+
   /** Frame-sampling plan for video payloads: one row per sampled frame offset.
     * Frame decode is stubbed; the explode/partitioning shape is the real part.
     */
@@ -325,26 +645,115 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Deterministic synthetic media table (for tests/demos): image rows carry
-    * REAL PNG/JPEG payloads ([[syntheticImageBytes]]) so the decode path is
-    * exercised end-to-end; audio/video rows carry opaque hash-derived bytes.
+  /** Minimal valid MP4: `ftyp` (isom) + `moov` holding an mvhd
+    * (timescale 1000, so duration units == milliseconds) and one `trak`
+    * per entry of `trackDims` (0×0 = audio track). Box layout per
+    * ISO/IEC 14496-12; no media data — exactly the header surface
+    * [[mp4Headers]] reads.
+    */
+  def syntheticMp4Bytes(durationMs: Long, trackDims: Seq[(Int, Int)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ tpe.getBytes("US-ASCII") ++ payload
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(0) ++ "isommp41".getBytes("US-ASCII"))
+    val mvhd = box("mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(1000) ++ be32(durationMs) ++
+        be32(0x00010000L) ++ Array[Byte](0, 0, 0, 0) ++ // rate, volume+reserved
+        new Array[Byte](8) ++ new Array[Byte](36) ++     // reserved, matrix
+        new Array[Byte](24) ++ be32(trackDims.length + 1L)) // predefined, next id
+    val traks = trackDims.zipWithIndex.map { case ((w, h), i) =>
+      box("trak", box("tkhd",
+        be32(0) ++ be32(0) ++ be32(0) ++ be32(i + 1L) ++ be32(0) ++ // v+fl,ct,mt,id,rsv
+          be32(durationMs) ++ new Array[Byte](8) ++                 // duration, reserved
+          new Array[Byte](8) ++ new Array[Byte](36) ++              // layer..volume.., matrix
+          be32(w.toLong << 16) ++ be32(h.toLong << 16)))            // 16.16 dims
+    }
+    bos.write(ftyp)
+    bos.write(box("moov", mvhd ++ traks.flatten.toArray))
+    bos.toByteArray
+  }
+
+  /** Minimal valid MP3: `frames` MPEG-1 Layer III frames (128 kbps,
+    * 44.1 kHz, stereo, no padding → 417 bytes each), optionally preceded
+    * by an empty ID3v2 tag to exercise the skip path. Frame bodies are
+    * deterministic filler; only headers matter to [[mp3Headers]].
+    */
+  def syntheticMp3Bytes(frames: Int, withId3: Boolean): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    if (withId3) {
+      bos.write(Array[Byte]('I', 'D', '3', 3, 0, 0))
+      bos.write(Array[Byte](0, 0, 0, 32)) // syncsafe size 32
+      bos.write(new Array[Byte](32))
+    }
+    val frameLen = 144 * 128000 / 44100 // 417
+    var f = 0
+    while (f < frames) {
+      val frame = new Array[Byte](frameLen)
+      frame(0) = 0xFF.toByte; frame(1) = 0xFB.toByte // MPEG1 L3 no-CRC
+      frame(2) = 0x90.toByte                         // 128 kbps, 44100, no pad
+      frame(3) = 0x00.toByte                         // stereo
+      var i = 4
+      while (i < frameLen) { frame(i) = ((f * 31 + i) & 0x7F).toByte; i += 1 }
+      bos.write(frame)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Real little WAV: 8 kHz mono PCM16 440 Hz sine, `nSamples` long,
+    * written by the JDK's own WAV writer (so both [[audioFeatures]] and the
+    * header probe read it back for real).
+    */
+  def syntheticWavBytes(nSamples: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = (math.sin(2 * math.Pi * 440 * i / 8000.0) * 0.5 * 32767).toInt
+      data(2 * i) = (s & 0xFF).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic media table (for tests/demos): EVERY modality
+    * carries a real, parseable payload — PNG/JPEG pixels
+    * ([[syntheticImageBytes]]), WAV PCM sine ([[syntheticWavBytes]]), MP4
+    * box structure ([[syntheticMp4Bytes]]), MP3 frame stream
+    * ([[syntheticMp3Bytes]]) — all pure functions of `media_id`, so
+    * header-derived facts are pinnable by an independent engine from the
+    * id arithmetic alone.
     */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
-    val mimes = Seq("image/png", "image/jpeg", "audio/wav", "video/mp4")
+    val mimes = Seq("image/png", "image/jpeg", "audio/wav", "video/mp4", "audio/mpeg")
     spark.range(n.toLong).select(col("id").as("media_id")).map { r =>
       val id = r.getLong(0)
-      val mime = mimes((id % 4).toInt)
-      val isVideo = mime.startsWith("video/")
+      val mime = mimes((id % 5).toInt)
       val isImage = mime.startsWith("image/")
-      val bytes =
-        if (isImage) syntheticImageBytes(id, mime.stripPrefix("image/") match {
-          case "jpeg" => "jpg"; case f => f
-        })
-        else Array.tabulate[Byte](64 + (id % 64).toInt)(i => ((id * 31 + i) & 0x7F).toByte)
+      val durMs = if (mime == "video/mp4") Some(1000L + (id % 10) * 500L) else None
+      val bytes = mime match {
+        case "image/png" => syntheticImageBytes(id, "png")
+        case "image/jpeg" => syntheticImageBytes(id, "jpg")
+        case "audio/wav" => syntheticWavBytes(800 + (id % 8).toInt * 100)
+        case "video/mp4" =>
+          val dims = (320 + (id % 4).toInt * 160, 240 + (id % 4).toInt * 120)
+          syntheticMp4Bytes(durMs.get,
+            if (id % 2 == 0) Seq(dims) else Seq(dims, (0, 0)))
+        case _ => syntheticMp3Bytes(10 + (id % 20).toInt, withId3 = id % 2 == 0)
+      }
       (id, id / 2, mime, bytes,
-        (if (isImage) Some(64) else None, if (isImage) Some(48) else None,
-          if (isVideo) Some(5000L) else None))
+        (if (isImage) Some(64) else None, if (isImage) Some(48) else None, durMs))
     }.toDF("media_id", "doc_id", "mime", "bytes", "m")
       .select(col("media_id"), col("doc_id"), col("mime"), col("bytes"),
         struct(col("m._1").as("width"), col("m._2").as("height"),

@@ -552,7 +552,66 @@ class MultimodalSpec extends SparkTestBase {
   test("frame sampling explodes video durations") {
     val media = Multimodal.syntheticMedia(spark, 20)
     val frames = Multimodal.sampleFrames(media, everyMs = 1000L)
-    val perVideo = frames.groupBy("media_id").count().select("count").as[Long].collect()
-    assert(perVideo.nonEmpty && perVideo.forall(_ === 5L)) // 5000ms / 1000ms
+    val perVideo = frames.groupBy("media_id").count()
+      .select("media_id", "count").as[(Long, Long)].collect().toMap
+    // Video ids 3,8,13,18 carry durations 2500/5000/2500/5000 ms.
+    assert(perVideo === Map(3L -> 3L, 8L -> 5L, 13L -> 3L, 18L -> 5L))
+  }
+
+  test("mp4 box walk recovers the encoded header structure") {
+    val b = Multimodal.syntheticMp4Bytes(12345L, Seq((640, 480), (0, 0)))
+    val i = Multimodal.mp4Headers(b).get
+    assert(i.majorBrand === "isom")
+    assert(i.durationMs === Some(12345L))
+    assert(i.width === Some(640) && i.height === Some(480))
+    assert(i.trackCount === 2 && i.videoTrackCount === 1)
+    // Audio-only container: no dims, no video tracks.
+    val a = Multimodal.mp4Headers(
+      Multimodal.syntheticMp4Bytes(500L, Seq((0, 0)))).get
+    assert(a.durationMs === Some(500L) && a.width.isEmpty && a.videoTrackCount === 0)
+    // Corrupt / truncated / non-MP4 payloads degrade to None, never throw.
+    assert(Multimodal.mp4Headers("not a movie at all".getBytes).isEmpty)
+    Multimodal.mp4Headers(b.take(20)) // truncated mid-box: must not throw
+    assert(Multimodal.mp4Headers(null).isEmpty)
+    assert(Multimodal.mp4Headers(Array[Byte](0, 0)).isEmpty)
+  }
+
+  test("mp3 frame scan: ID3 skip, frame accounting, exact duration math") {
+    val b = Multimodal.syntheticMp3Bytes(25, withId3 = true)
+    val i = Multimodal.mp3Headers(b).get
+    assert(i.version === "1" && i.layer === 3)
+    assert(i.bitrateKbps === 128 && i.sampleRate === 44100 && i.channels === 2)
+    assert(i.frames === 25)
+    assert(i.durationMs === 25L * 1152 * 1000 / 44100) // integer-exact
+    // Without the tag, identical facts.
+    val n = Multimodal.mp3Headers(Multimodal.syntheticMp3Bytes(25, withId3 = false)).get
+    assert(n.frames === 25 && n.durationMs === i.durationMs)
+    // Trailing garbage stops the walk cleanly; truncated final frame dropped.
+    val ragged = Multimodal.syntheticMp3Bytes(3, withId3 = false) ++
+      "garbage tail".getBytes
+    assert(Multimodal.mp3Headers(ragged).get.frames === 3)
+    assert(Multimodal.mp3Headers(b.take(b.length - 10)).get.frames === 24)
+    assert(Multimodal.mp3Headers("noise".getBytes).isEmpty)
+    assert(Multimodal.mp3Headers(null).isEmpty)
+  }
+
+  test("containerHeaders: every synthetic modality parses header-only") {
+    val rows = Multimodal.containerHeaders(Multimodal.syntheticMedia(spark, 10))
+      .orderBy("media_id").collect()
+    assert(rows.length === 10)
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byId(0L).getString(2) === "png" && byId(0L).getInt(4) === 64)
+    assert(byId(1L).getString(2) === "jpeg" && byId(1L).getInt(5) === 48)
+    assert(byId(2L).getString(2) === "wav" && byId(2L).getInt(9) === 8000 &&
+      byId(2L).getLong(11) === 1000L && byId(2L).getLong(3) === 125L)
+    assert(byId(3L).getString(2) === "mp4" && byId(3L).getLong(3) === 2500L &&
+      byId(3L).getInt(4) === 800 && byId(3L).getInt(6) === 2)
+    assert(byId(4L).getString(2) === "mp3" && byId(4L).getInt(8) === 128 &&
+      byId(4L).getLong(11) === 14L)
+    // Header-parsed video/mp3 features carry the real-metadata flag.
+    val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 10))
+      .where($"mime".isin("video/mp4", "audio/mpeg"))
+      .select("features").as[Seq[Float]].collect()
+    assert(feats.nonEmpty && feats.forall(_.last === 1.0f))
   }
 }
