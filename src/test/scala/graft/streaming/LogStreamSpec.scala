@@ -188,6 +188,119 @@ class LogStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("nearDupPairsStream survives a restart: bucket state recovers from checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("neardup-ckpt").toString
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "morning sun rises slowly over the quiet green valley below"
+    val input = MemoryStream[LogStream.NearDupInput]
+    val pairs = LogStream.nearDupPairsStream(input.toDS(), maxHamming = 3)
+    // The memory sink refuses checkpoint recovery; foreachBatch (the
+    // production sink shape for custom writers) supports it.
+    def start(buf: java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]) =
+      pairs.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[LogStream.NearDupPair], _: Long) =>
+            batch.collect().foreach(p => buf.add((p.id_a, p.id_b)))
+        }.start()
+
+    // Phase 1: two distinct docs — no pairs — then KILL the query.
+    val buf1 = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q1 = start(buf1)
+    try {
+      input.addData(
+        LogStream.NearDupInput(1L, base, 1000L),
+        LogStream.NearDupInput(2L, "completely different text about engines", 2000L))
+      q1.processAllAvailable()
+      assert(buf1.isEmpty)
+    } finally q1.stop()
+
+    // Phase 2: resume from the checkpoint; the new docs must pair against
+    // PRE-restart bucket members (doc 1), proving state recovery — a lost
+    // state store would emit nothing for (1, 3).
+    val buf2 = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q2 = start(buf2)
+    try {
+      input.addData(
+        LogStream.NearDupInput(3L, base, 3000L),
+        LogStream.NearDupInput(4L, base.replace("jumps", "leaps"), 4000L))
+      q2.processAllAvailable()
+      val got = scala.jdk.CollectionConverters
+        .CollectionHasAsScala(buf2).asScala.toSet
+      assert(got.contains((1L, 3L)), s"pre-restart member must pair: $got")
+      assert(got.exists(p => p._2 == 4L && (p._1 == 1L || p._1 == 3L)),
+        s"near dup must pair post-restart: $got")
+      assert(!got.exists(p => p._1 == 2L || p._2 == 2L), s"no false pairs: $got")
+
+      // Replay determinism: an uninterrupted run over the same four docs
+      // emits exactly the same pair set (restart adds/loses nothing).
+      val ref = MemoryStream[LogStream.NearDupInput]
+      val qr = LogStream.nearDupPairsStream(ref.toDS(), maxHamming = 3)
+        .writeStream.format("memory").queryName("neardup_ref")
+        .outputMode("append").start()
+      try {
+        ref.addData(
+          LogStream.NearDupInput(1L, base, 1000L),
+          LogStream.NearDupInput(2L, "completely different text about engines", 2000L))
+        qr.processAllAvailable()
+        ref.addData(
+          LogStream.NearDupInput(3L, base, 3000L),
+          LogStream.NearDupInput(4L, base.replace("jumps", "leaps"), 4000L))
+        qr.processAllAvailable()
+        val refSet = spark.table("neardup_ref")
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        assert(got === refSet,
+          s"restarted pair set must equal uninterrupted run: $got vs $refSet")
+      } finally qr.stop()
+    } finally q2.stop()
+  }
+
+  test("bucketAnomalies survives a restart: moments recover from checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("anom-ckpt").toString
+    val input = MemoryStream[LogStream.AnomalyInput]
+    val anomalies = LogStream.bucketAnomalies(input.toDS(),
+      bucketMs = 1000L, z = 2, minHistory = 3, watermark = "0 seconds")
+    def start(buf: java.util.concurrent.ConcurrentLinkedQueue[LogStream.AnomalyOutput]) =
+      anomalies.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[LogStream.AnomalyOutput], _: Long) =>
+            batch.collect().foreach(buf.add)
+        }.start()
+
+    // Phase 1: five steady buckets (one event each) close; kill the query.
+    val buf1 = new java.util.concurrent.ConcurrentLinkedQueue[LogStream.AnomalyOutput]()
+    val q1 = start(buf1)
+    try {
+      input.addData((0L to 4L).map(b => LogStream.AnomalyInput("k", b * 1000 + 10)): _*)
+      input.addData(LogStream.AnomalyInput("k", 6010L)) // wm → 6010 closes 0..4
+      q1.processAllAvailable()
+      val closed = scala.jdk.CollectionConverters
+        .CollectionHasAsScala(buf1).asScala.toArray
+      assert(closed.map(_.bucket).sorted === (0L to 4L).toArray)
+      assert(closed.forall(!_.isAnomaly)) // steady history, early n < minHistory
+    } finally q1.stop()
+
+    // Phase 2: resume; a spike bucket closes post-restart and must be
+    // judged against the PRE-restart moments (n=5 steady buckets). Lost
+    // state would judge it with n < minHistory and stay silent.
+    val buf2 = new java.util.concurrent.ConcurrentLinkedQueue[LogStream.AnomalyOutput]()
+    val q2 = start(buf2)
+    try {
+      input.addData((0 until 10).map(i => LogStream.AnomalyInput("k", 7000L + i)): _*)
+      input.addData(LogStream.AnomalyInput("k", 100000L)) // close 6 and 7
+      q2.processAllAvailable()
+      val out = scala.jdk.CollectionConverters
+        .CollectionHasAsScala(buf2).asScala.toArray.sortBy(_.bucket)
+      val byBucket = out.map(o => o.bucket -> o).toMap
+      assert(byBucket(6L).cnt === 1L && !byBucket(6L).isAnomaly)
+      assert(byBucket(7L).cnt === 10L && byBucket(7L).isAnomaly,
+        s"spike must be judged against recovered moments: $out")
+    } finally q2.stop()
+  }
+
   test("streaming text-to-boom ingest") {
     val in = Files.createTempDirectory("stream-in").toString
     val out = Files.createTempDirectory("stream-out").toString
