@@ -366,6 +366,20 @@ object Similarity {
     * too, so shorter signatures / more bands raise collision probability —
     * measured on the sf0.01 embeddings (k=10): 16×8+1 round = 0.47 recall,
     * 24×6+1 round = 0.81, and each NN-descent round adds ~0.15-0.2.
+    *
+    * SCALING LAW: with a FIXED band resolution, expected bucket size is
+    * n/2^planes, so candidate-pair volume is ~n²/2^planes per band —
+    * quadratic in the corpus (measured: a 10× corpus cost 56× before this
+    * was fixed). `planesPerBand` is therefore a FLOOR: the effective
+    * resolution is raised to ceil(log2(n / targetBucketSize)) so the
+    * expected bucket holds ~`targetBucketSize` members regardless of n,
+    * making pair volume ~n·targetBucketSize/2 per band — LINEAR. The one
+    * `corpus.count()` this needs is a metadata-cheap pass next to the
+    * multi-job graph build. Finer bands lower per-band recall; NN-descent
+    * rounds recover it (raise `refineRounds` with very large corpora, or
+    * `bands` for more independent tables). Buckets denser than the
+    * expectation (near-duplicate clusters — they collide at ANY
+    * resolution) are hard-capped at `maxBucketSize`, deterministically.
     */
   def knnGraph(
       corpus: DataFrame,
@@ -375,12 +389,18 @@ object Similarity {
       bands: Int = 24,
       planesPerBand: Int = 6,
       seed: Long = 42L,
-      maxBucketSize: Int = Dedup.DefaultMaxBucketSize,
+      maxBucketSize: Int = 1024,
       refineRounds: Int = 1,
-      dim: Int = -1): DataFrame = {
+      dim: Int = -1,
+      targetBucketSize: Int = 64): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(targetBucketSize >= 1, s"targetBucketSize must be >= 1, got $targetBucketSize")
+    val n = corpus.count()
+    val needed = math.max(1L, (n + targetBucketSize - 1) / targetBucketSize)
+    val autoPlanes = math.min(20, math.max(planesPerBand,
+      64 - java.lang.Long.numberOfLeadingZeros(needed - 1)))
     val scored = cosinePairsLsh(corpus, idCol, vecCol,
-      threshold = Double.NegativeInfinity, bands, planesPerBand, seed,
+      threshold = Double.NegativeInfinity, bands, autoPlanes, seed,
       maxBucketSize, dim)
     val sym = scored
       .select(col("id_a").as("id"), col("id_b").as("nb"), col("cos"))
