@@ -1001,6 +1001,20 @@ object SparkEntry {
     "q_bpe_merges" -> ((s, dir) =>
       Bpe.learnMerges(t(s, dir, "documents"), "text", numMerges = 5)),
 
+    // BPE ENCODE: corpus token counts under the 5 learned merges — the
+    // trainer applied, closing the learn → encode → count loop. The merge
+    // table collect is 5 rows (bounded); everything after the shared word
+    // count is vocabulary-sized. Oracle: the same unrolled CTE chain, with
+    // the final rewritten word table's symbols counted.
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.learnMerges(docs, "text", numMerges = 5)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.encodeTokenCounts(docs, "text", merges)
+        .orderBy(desc("n"), col("token")).limit(200)
+    }),
+
     // C4 exact three-sentence-span dedup (first occurrence survives,
     // cleaned text rebuilt) — run on docsWithDupes so cross-document span
     // duplicates exist. Exact oracle: DuckDB re-elects first occurrences
@@ -1714,6 +1728,7 @@ object SparkEntry {
          | FROM pr GROUP BY 1, 2
          | ORDER BY n DESC, l, r LIMIT 200""".stripMargin,
     "q_bpe_merges" -> bpeMergesOracleSql(5),
+    "q_bpe_encode" -> bpeEncodeOracleSql(5),
     // Synthetic payloads are pure functions of media_id (timescale-1000
     // mvhd, 16.16 tkhd dims, 128kbps/44.1kHz MP3 frames, 8kHz mono WAV) —
     // DuckDB re-derives every header fact from the id arithmetic.
@@ -1933,7 +1948,7 @@ object SparkEntry {
     * again, which requires l || r == l (impossible) — so the fold emits
     * exactly the single-pass rewrite.
     */
-  private def bpeMergesOracleSql(n: Int): String = {
+  private def bpeCtesSql(n: Int): String = {
     val steps = (0 until n).map { k =>
       s""" p$k AS (SELECT cnt,
          |     unnest([[s[i], s[i+1]] for i in range(1, len(s))]) AS p
@@ -1946,17 +1961,30 @@ object SparkEntry {
          |                 ELSE acc || x END) AS s, cnt
          |   FROM w$k, t$k)""".stripMargin
     }.mkString(",\n")
-    val finals = (0 until n).map { k =>
-      s"""SELECT $k AS step, l AS "left", r AS "right", n AS pair_count FROM t$k"""
-    }.mkString("\n UNION ALL ")
     s"""WITH wc AS (SELECT w, count(*) AS cnt FROM (
        |     SELECT unnest($tokensSql) AS w FROM documents) GROUP BY w),
        | w0 AS (SELECT list_append(string_split(w, ''), '</w>') AS s, cnt
        |   FROM wc),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private def bpeMergesOracleSql(n: Int): String = {
+    val finals = (0 until n).map { k =>
+      s"""SELECT $k AS step, l AS "left", r AS "right", n AS pair_count FROM t$k"""
+    }.mkString("\n UNION ALL ")
+    s"""${bpeCtesSql(n)}
        |$finals
        |ORDER BY step""".stripMargin
   }
+
+  /** Encode side: the corpus token counts under the n learned merges are
+    * just the symbol counts of the final rewritten word table w_n.
+    */
+  private def bpeEncodeOracleSql(n: Int): String =
+    s"""${bpeCtesSql(n)}
+       |SELECT token, CAST(sum(cnt) AS BIGINT) AS n
+       |FROM (SELECT unnest(s) AS token, cnt FROM w$n)
+       |GROUP BY token ORDER BY n DESC, token LIMIT 200""".stripMargin
 
   /** DuckDB fragment: distinct 3-shingle strings over a token list `t`,
     * mirroring ShingleOps (whole token sequence as one shingle when < k

@@ -91,6 +91,39 @@ object Bpe {
     out.toSeq
   }
 
+  /** Apply a learned merge sequence to one word's symbols, in learning
+    * order. Sequential application equals the canonical rank-priority
+    * encoder: a step-k merge can only create a symbol first formed at
+    * step k, and every earlier pair's symbols already existed at that
+    * earlier step — so merging step k can never create a new occurrence
+    * of a step-j (j < k) pair, and one ordered pass per merge suffices.
+    */
+  def applyMerges(syms: Seq[String], merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(syms) { case (s, (l, r)) => applyMerge(s, l, r) }
+
+  /** Corpus token counts under a learned BPE vocabulary — the ENCODE side
+    * of the trainer (what turns "how many tokens is this corpus" from a
+    * whitespace guess into the real tokenizer's answer). Scale shape: the
+    * merge application runs over the VOCABULARY-sized (word, count) table,
+    * never the corpus — after the initial word count (one corpus-sized
+    * map-side-combined aggregation, shared with [[learnMerges]]), every
+    * stage is bounded by distinct-word cardinality.
+    */
+  def encodeTokenCounts(
+      df: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ms = merges.toIndexedSeq
+    wordSymbolCounts(df, textCol)
+      .as[(Seq[String], Long)]
+      .map { case (syms, cnt) => (applyMerges(syms, ms), cnt) }
+      .toDF("syms", "cnt")
+      .select(explode(col("syms")).as("token"), col("cnt"))
+      .groupBy("token").agg(sum("cnt").as("n"))
+  }
+
   /** Learn the first `numMerges` BPE merges. Returns the merge table
     * (step, left, right, pair_count) in learning order — ties in the pair
     * count break lexicographically on (left, right), so the sequence is

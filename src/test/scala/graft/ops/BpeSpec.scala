@@ -58,6 +58,29 @@ class BpeSpec extends SparkTestBase {
     assert(Bpe.applyMerge(Seq("a", "b"), "b", "a") === Seq("a", "b"))
   }
 
+  test("encodeTokenCounts segments the corpus under the learned merges") {
+    val merges = Bpe.learnMerges(corpus, "text", numMerges = 4)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // After (e,s), (es,t), (est,</w>), (l,o):
+    //   low    → [lo, w, </w>]         ×5
+    //   lower  → [lo, w, e, r, </w>]   ×2
+    //   newest → [n, e, w, est</w>]    ×6
+    //   widest → [w, i, d, est</w>]    ×3
+    val counts = Bpe.encodeTokenCounts(corpus, "text", merges)
+      .as[(String, Long)].collect().toMap
+    assert(counts("est</w>") === 9L)
+    assert(counts("lo") === 7L)
+    assert(counts("w") === 5L + 2L + 6L + 3L)
+    assert(counts("</w>") === 7L) // low + lower only; others fused into est</w>
+    assert(counts("e") === 2L + 6L)
+    assert(counts.get("est") === None)   // fully fused with </w>
+    assert(counts.get("l") === None)     // fully fused into lo
+    // applyMerges is order-respecting: the chain builds est</w> stepwise.
+    assert(Bpe.applyMerges(Seq("n", "e", "w", "e", "s", "t", "</w>"), merges)
+      === Seq("n", "e", "w", "est</w>"))
+  }
+
   test("merge loop stops early when no pairs remain") {
     val tiny = Seq((1L, "a")).toDF("doc_id", "text") // [a </w>]: one pair
     val merges = Bpe.learnMerges(tiny, "text", numMerges = 10)
