@@ -548,6 +548,16 @@ object SparkEntry {
     // DuckDB computes all-pairs cosine >= threshold directly; the banded
     // hyperplane blocking is exhaustive for identical vectors and the
     // natural pair distribution tops out far below the 0.99 threshold.
+    // Greedy k-center diversity sample (farthest-point) over the
+    // embeddings — coverage-maximizing selection for seed sets / eval
+    // panels. FULLY oracled: the rounded-distance + id tie-break policy
+    // makes the whole greedy chain engine-independent, and the oracle
+    // unrolls the 8 selection rounds into chained CTEs.
+    "q_kcenter_sample" -> ((s, dir) =>
+      Similarity.kCenterSample(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8)
+        .presented("rank")),
+
     "q_embed_dupes" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val aug = emb.unionByName(emb.where(col("vec_id") < 10)
@@ -1729,6 +1739,7 @@ object SparkEntry {
          | ORDER BY n DESC, l, r LIMIT 200""".stripMargin,
     "q_bpe_merges" -> bpeMergesOracleSql(5),
     "q_bpe_encode" -> bpeEncodeOracleSql(5),
+    "q_kcenter_sample" -> kCenterOracleSql(8),
     // Synthetic payloads are pure functions of media_id (timescale-1000
     // mvhd, 16.16 tkhd dims, 128kbps/44.1kHz MP3 frames, 8kHz mono WAV) —
     // DuckDB re-derives every header fact from the id arithmetic.
@@ -1985,6 +1996,36 @@ object SparkEntry {
        |SELECT token, CAST(sum(cnt) AS BIGINT) AS n
        |FROM (SELECT unnest(s) AS token, cnt FROM w$n)
        |GROUP BY token ORDER BY n DESC, token LIMIT 200""".stripMargin
+
+  /** Greedy k-center unrolled: d_i holds each point's min ROUNDED distance
+    * to centers 0..i; c_{i+1} is the (d desc, id) argmax excluding prior
+    * centers — the exact floating-point policy of
+    * [[graft.ops.Similarity.kCenterSample]].
+    */
+  private def kCenterOracleSql(k: Int): String = {
+    val steps = (1 until k).map { i =>
+      val excl = (0 until i).map(j => s"SELECT vec_id FROM c$j").mkString(" UNION ALL ")
+      s""" c$i AS (SELECT vec_id, e, d FROM d${i - 1}
+         |   WHERE vec_id NOT IN ($excl)
+         |   ORDER BY d DESC, vec_id LIMIT 1),
+         | d$i AS (SELECT d${i - 1}.vec_id, d${i - 1}.e,
+         |     least(d${i - 1}.d,
+         |       round(1 - list_cosine_similarity(d${i - 1}.e, c$i.e), 6)) AS d
+         |   FROM d${i - 1}, c$i)""".stripMargin
+    }.mkString(",\n")
+    val finals = (s"""SELECT 0 AS "rank", vec_id, CAST(NULL AS DOUBLE) AS dist FROM c0""" +:
+      (1 until k).map(i => s"""SELECT $i, vec_id, d FROM c$i"""))
+      .mkString("\n UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |     FROM embeddings WHERE embedding IS NOT NULL),
+       | c0 AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 1),
+       | d0 AS (SELECT v.vec_id, v.e,
+       |     round(1 - list_cosine_similarity(v.e, c0.e), 6) AS d
+       |   FROM v, c0),
+       |$steps
+       |$finals
+       |ORDER BY "rank"""".stripMargin
+  }
 
   /** DuckDB fragment: distinct 3-shingle strings over a token list `t`,
     * mirroring ShingleOps (whole token sequence as one shingle when < k

@@ -49,6 +49,87 @@ object Similarity {
       .select(col("query_id"), col("col.id").as("neighbor_id"),
         col("col.score").as("cos"), (col("pos") + 1).as("rank"))
 
+  /** Greedy k-center diversity sample (farthest-point traversal, Gonzalez
+    * 1985) over an embedding column — the coverage-maximizing selection a
+    * curation pipeline uses to pick k REPRESENTATIVE-AND-DIVERSE documents
+    * (seed sets, eval panels, coreset-style pruning): start from the
+    * lowest id, then k−1 times pick the point FARTHEST (max min-distance,
+    * d = 1 − cosine) from everything selected so far. The greedy result is
+    * a 2-approximation of the optimal k-center cover under a metric; for
+    * cosine "distance" it is the standard embedding-diversity heuristic.
+    *
+    * Scale shape: the selected set never exceeds k (broadcast as a
+    * literal), and each round is ONE narrow scan — the per-point
+    * min-distance is maintained INCREMENTALLY (`least(d, d_new_center)`),
+    * so round i costs one cosine per point, not i of them; total work is
+    * O(n·k) with k bounded jobs, each ending in a 1-row TakeOrdered. The
+    * running state round-trips through a persisted row RDD (leaf plan,
+    * eager unpersist — the [[Graph.connectedComponents]] pattern) so the
+    * plan stays constant-size across rounds.
+    *
+    * Determinism / oracle-ability: per-center distances are ROUNDED to
+    * `roundTo` decimals before the running min, and the argmax breaks ties
+    * on (rounded d desc, id asc) — identical floating-point policy for any
+    * engine replaying the chain, so the full selection sequence is
+    * hash-matchable (the [[graft.SparkEntry]] oracle unrolls it into k
+    * chained CTEs). Already-selected ids are excluded from the argmax, so
+    * exact duplicates of a center (d = 0) can be selected only once each
+    * and only after genuine diversity is exhausted.
+    *
+    * Output: (rank 0..k−1, id, dist) in selection order; `dist` is the
+    * point's min-distance to the earlier selection at pick time (null for
+    * the rank-0 seed) — rank-monotone non-increasing, and max over the
+    * REMAINING corpus of that quantity is the k-cover radius.
+    */
+  def kCenterSample(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      roundTo: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .where(col("v").isNotNull)
+    val seed = vecs.orderBy("id").limit(1).collect()
+      .headOption.getOrElse(throw new IllegalArgumentException(
+        "kCenterSample: empty corpus"))
+    val picks = Seq.newBuilder[(Int, Long, Option[Double])]
+    picks += ((0, seed.getLong(0), None))
+    var selected = List(seed.getLong(0))
+    var curVec = seed.getSeq[Float](1)
+    var st = vecs.withColumn("d", lit(Double.PositiveInfinity))
+    var stRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    var i = 1
+    while (i < k) {
+      val updated = st.select(col("id"), col("v"),
+        least(col("d"),
+          round(lit(1.0) - cosine(col("v"), typedLit(curVec)), roundTo))
+          .as("d"))
+      val newRdd = updated.rdd.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val newSt = spark.createDataFrame(newRdd, updated.schema)
+      val top = newSt.where(!col("id").isin(selected: _*))
+        .orderBy(desc("d"), col("id")).limit(1).collect()
+      if (stRdd != null) stRdd.unpersist(blocking = false)
+      stRdd = newRdd
+      st = newSt
+      top.headOption match {
+        case None => i = k // fewer than k points — stop
+        case Some(r) =>
+          picks += ((i, r.getLong(0), Some(r.getDouble(2))))
+          selected ::= r.getLong(0)
+          curVec = r.getSeq[Float](1)
+          i += 1
+      }
+    }
+    if (stRdd != null) stRdd.unpersist(blocking = false)
+    picks.result().toDF("rank", "id", "dist")
+      .select(col("rank"), col("id").as(idCol), col("dist"))
+  }
+
   /** Assign every corpus vector to its nearest centroid by cosine
     * similarity — the E-step of k-means / the coarse-assignment pass of an
     * IVF build, exposed directly so a pipeline can bucket a corpus by a

@@ -103,6 +103,38 @@ class SemDedupSpec extends SparkTestBase {
     assert(t2(200L) === 1 && t2(201L) === 1)
   }
 
+  test("kCenterSample walks farthest-first with deterministic ties") {
+    // Four tight groups at the simplex corners plus the seed's own dups:
+    // greedy coverage must visit one member of each distinct corner before
+    // any near-duplicate, in max-min-distance order.
+    val docs = Seq(
+      1L -> v(1f, 0f, 0f), 2L -> v(1f, 0f, 0f),        // corner A (id 1 = seed)
+      10L -> v(0f, 1f, 0f), 11L -> v(0f, 0.99f, 0.01f), // corner B
+      20L -> v(0f, 0f, 1f),                             // corner C
+      30L -> v(0.6f, 0.55f, 0.55f))                     // center-ish
+      .map { case (id, e) => (id, e) }.toDF("vec_id", "embedding")
+    val got = Similarity.kCenterSample(docs, "vec_id", "embedding", k = 4)
+      .orderBy("rank")
+      .as[(Int, Long, Option[Double])].collect()
+    assert(got.map(_._2).take(3).toSet === Set(1L, 10L, 20L),
+      s"first three picks must cover the three far corners: ${got.toSeq}")
+    assert(got(0)._2 === 1L && got(0)._3.isEmpty) // lowest-id seed, null dist
+    // dist is non-increasing over ranks 1..k-1.
+    val ds = got.drop(1).map(_._3.get)
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b }, ds.toSeq.toString)
+    // rank 3 prefers the genuinely-distant center point over corner dups.
+    assert(got(3)._2 === 30L)
+    // Exact duplicates of centers can be picked only once each, after
+    // diversity is exhausted: ids stay distinct at k = corpus size.
+    val all = Similarity.kCenterSample(docs, "vec_id", "embedding", k = 6)
+      .as[(Int, Long, Option[Double])].collect()
+    assert(all.map(_._2).distinct.length === 6)
+    // Deterministic across runs.
+    val again = Similarity.kCenterSample(docs, "vec_id", "embedding", k = 4)
+      .orderBy("rank").as[(Int, Long, Option[Double])].collect()
+    assert(got.toSeq === again.toSeq)
+  }
+
   test("knnGraph: k edges per node, ranked, refinement helps recall") {
     // Clustered vectors (modular structure) so LSH buckets carry signal.
     val rng = new scala.util.Random(3)
