@@ -1034,6 +1034,24 @@ object SparkEntry {
       Dedup.dedupSentenceSpans(docsWithDupes(s, dir), "doc_id", "text")
         .presented("doc_id")),
 
+    // Exact duplicate-substring spans (Lee et al. 2022 suffix-array dedup,
+    // re-seeded on 8-gram hashes). Exact oracle: DuckDB rebuilds 8-gram
+    // STRINGS where the engine shuffles 64-bit hashes (collisions ~1e-10,
+    // the q_ngram_jaccard convention) and replays the same
+    // gaps-and-islands merge.
+    "q_dup_spans" -> ((s, dir) =>
+      Dedup.duplicateSubstringSpans(docsWithDupes(s, dir), "doc_id", "text",
+          minLen = 8)
+        .presented("doc_id", "start_tok")),
+
+    // Per-document duplicated-token mass from the span pass — the signal
+    // an exact-substring removal policy thresholds on. dup_frac is an
+    // integer-ratio double (bit-exact cross-engine).
+    "q_dup_span_ratio" -> ((s, dir) =>
+      Dedup.duplicateTokenRatio(docsWithDupes(s, dir), "doc_id", "text",
+          minLen = 8)
+        .presented("doc_id")),
+
     // Cross-slice n-gram overlap matrix (leakage audit over `source`).
     // maxSlices = 2 genuinely excludes grams present in all 3 sources, so
     // the ubiquity cap carries oracle traffic.
@@ -1795,6 +1813,46 @@ object SparkEntry {
          |          i -> j - 1 >= i AND j - 1 < i + 3)) = 0], ' ')
          |     AS cleaned_text
          | FROM tk LEFT JOIN dl USING (doc_id)
+         | ORDER BY tk.doc_id""".stripMargin,
+    "q_dup_spans" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM $docsWithDupesSql),
+         | g AS (SELECT doc_id, unnest(range(1, len(t) - 6)) AS i, t
+         |   FROM tk WHERE len(t) >= 8),
+         | g2 AS (SELECT doc_id, i - 1 AS pos,
+         |     array_to_string(list_slice(t, i, i + 7), ' ') AS gram FROM g),
+         | dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) > 1),
+         | ds AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN dup USING (gram)),
+         | isl AS (SELECT doc_id, pos,
+         |     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+         |       AS grp
+         |   FROM ds)
+         | SELECT doc_id, min(pos) AS start_tok, max(pos) + 7 AS end_tok,
+         |   max(pos) - min(pos) + 8 AS n_tokens
+         | FROM isl GROUP BY doc_id, grp
+         | ORDER BY doc_id, start_tok""".stripMargin,
+    "q_dup_span_ratio" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM $docsWithDupesSql),
+         | g AS (SELECT doc_id, unnest(range(1, len(t) - 6)) AS i, t
+         |   FROM tk WHERE len(t) >= 8),
+         | g2 AS (SELECT doc_id, i - 1 AS pos,
+         |     array_to_string(list_slice(t, i, i + 7), ' ') AS gram FROM g),
+         | dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) > 1),
+         | ds AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN dup USING (gram)),
+         | isl AS (SELECT doc_id, pos,
+         |     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+         |       AS grp
+         |   FROM ds),
+         | sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+         |   FROM isl GROUP BY doc_id, grp),
+         | pd AS (SELECT doc_id, count(*) AS n_spans,
+         |     CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+         |   FROM sp GROUP BY doc_id)
+         | SELECT tk.doc_id, len(tk.t) AS n_tokens_doc,
+         |   coalesce(pd.n_spans, 0) AS n_spans,
+         |   coalesce(pd.dup_tokens, 0) AS dup_tokens,
+         |   CAST(coalesce(pd.dup_tokens, 0) AS DOUBLE)
+         |     / greatest(len(tk.t), 1) AS dup_frac
+         | FROM tk LEFT JOIN pd USING (doc_id)
          | ORDER BY tk.doc_id""".stripMargin,
     "q_slice_overlap" ->
       s"""WITH tk AS (SELECT source, $tokensSql AS t FROM documents),

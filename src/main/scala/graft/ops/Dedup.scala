@@ -462,4 +462,82 @@ object Dedup {
               i => j >= i && j < i + span)))
           .as("cleaned_text"))
   }
+
+  /** Exact duplicate-substring spans, the suffix-array dedup of Lee et al.
+    * 2022 ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499) re-expressed Spark-first: for every document, the
+    * maximal token spans in which EVERY `minLen`-gram occurs at least
+    * twice in the corpus (in another document, or at another position of
+    * the same one). A genuinely duplicated substring of M ≥ minLen tokens
+    * is exactly a run of M − minLen + 1 consecutive corpus-duplicated
+    * minLen-grams, so every true duplicate span is reported at full
+    * extent; runs whose windows match at DIFFERENT other sites also
+    * qualify (the standard seed-without-global-verify relaxation — for a
+    * removal policy that is the conservative direction).
+    *
+    * The reference method builds one monolithic suffix array — inherently
+    * single-machine. The distributed shape instead seeds with the fused
+    * position-indexed [[graft.functions.NgramHashes]] kernel (gram j
+    * covers tokens [j, j+minLen−1]) and merges ADJACENT duplicated seeds
+    * per document: ONE count shuffle over compact (hash) keys, a join
+    * back whose build side is only the duplicated-gram set (AQE
+    * broadcasts it when small), one per-document window to rank
+    * positions, and a gaps-and-islands aggregation — shuffle payloads are
+    * (id, pos, hash) longs only; document text never rides a shuffle.
+    *
+    * Output: one row per maximal span — (id, start_tok, end_tok
+    * inclusive, n_tokens) in token coordinates of the engine tokenizer.
+    * Spans of one document never overlap (islands are disjoint), so
+    * `sum(n_tokens)` per doc is the exact duplicated-token mass (see
+    * [[duplicateTokenRatio]]).
+    */
+  def duplicateSubstringSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 8): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val seeds = df
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .select(col("id"),
+        graft.functions.TextFunctions.ngram_hashes(col("__t"), minLen).as("__g"))
+      .select(col("id"), posexplode(col("__g")).as(Seq("pos", "gh")))
+    val dup = seeds.groupBy("gh").agg(count(lit(1)).as("__n"))
+      .where(col("__n") > 1).select("gh")
+    val ranked = seeds.join(dup, Seq("gh"))
+      .withColumn("__grp",
+        col("pos") - row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("pos"))))
+    ranked.groupBy(col("id"), col("__grp"))
+      .agg(min(col("pos")).cast("long").as("start_tok"),
+        (max(col("pos")) + (minLen - 1)).cast("long").as("end_tok"))
+      .select(col("id").as(idCol), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1L).as("n_tokens"))
+  }
+
+  /** Per-document duplicated-token mass from [[duplicateSubstringSpans]]:
+    * (id, n_tokens total, dup_tokens, n_spans, dup_frac) — `dup_frac` is
+    * the fraction of the document's tokens covered by corpus-duplicated
+    * spans, the signal an exact-substring removal policy thresholds on.
+    * Documents with no duplicated span report zeros (left join, not
+    * dropped). Same scale shape as the span pass plus one id-keyed join
+    * against the (id, token-count) projection.
+    */
+  def duplicateTokenRatio(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 8): DataFrame = {
+    val totals = df.select(col(idCol).as("id"),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens_doc"))
+    val perDoc = duplicateSubstringSpans(df, idCol, textCol, minLen)
+      .groupBy(col(idCol).as("id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("n_tokens")).as("dup_tokens"))
+    totals.join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens_doc"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          greatest(col("n_tokens_doc"), lit(1L))).as("dup_frac"))
+  }
 }

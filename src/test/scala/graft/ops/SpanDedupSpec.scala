@@ -162,4 +162,50 @@ class SpanDedupSpec extends SparkTestBase {
       s"raw text must not be shuffled:\n$plan")
     assert(out.count() > 0)
   }
+
+  test("duplicateSubstringSpans finds maximal cross-doc token spans") {
+    // Docs 1 and 2 share a 10-token run; with minLen = 4 the span must be
+    // reported at FULL extent in both docs (maximal, not per-seed), at the
+    // right token offsets. Doc 3 shares nothing 4 tokens long.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"$shared tail1 tail2"),
+      (2L, s"head1 head2 head3 $shared"),
+      (3L, "alpha beta solo delta epsilon apart eta theta lone kappa"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSubstringSpans(docs, "doc_id", "text", minLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSet === Set((1L, 0L, 9L, 10L), (2L, 3L, 12L, 10L)),
+      spans.toSeq.toString)
+  }
+
+  test("duplicateSubstringSpans merges runs and splits on gaps") {
+    // One doc repeats a 4-gram twice with a unique token between: two
+    // DISJOINT spans, each of exactly minLen tokens, both from
+    // SELF-repetition (no second doc needed).
+    val docs = Seq((5L, "p q r s gapword p q r s othertail"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSubstringSpans(docs, "doc_id", "text", minLen = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSet === Set((0L, 3L, 4L), (5L, 8L, 4L)), spans.toSeq.toString)
+  }
+
+  test("duplicateTokenRatio reports exact duplicated-token mass") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),   // full-doc dup of doc 2
+      (2L, "a b c d e f g h"),
+      (3L, "none of these eight words repeat anywhere today"))
+      .toDF("doc_id", "text")
+    val m = Dedup.duplicateTokenRatio(docs, "doc_id", "text", minLen = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(m(1L) === ((8L, 1L, 8L, 1.0)))
+    assert(m(2L) === ((8L, 1L, 8L, 1.0)))
+    assert(m(3L) === ((8L, 0L, 0L, 0.0)))
+    // Shuffles carry only (id, pos, hash) — never the document text.
+    val plan = Dedup.duplicateTokenRatio(docs, "doc_id", "text", minLen = 4)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\([^)]*text".r.findFirstIn(plan).isEmpty,
+      s"raw text must not be shuffled:\n$plan")
+  }
 }
