@@ -558,6 +558,16 @@ object SparkEntry {
           k = 8)
         .presented("rank")),
 
+    // Deterministic fixed-point Lloyd k-means: coordinates quantized to
+    // round(x·2^20) once, then every distance/argmin/mean is exact int64
+    // arithmetic — the full 2-iteration loop is engine-independent, so
+    // the oracle unrolls it into per-iteration CTE blocks and the final
+    // assignment hash-matches.
+    "q_kmeans" -> ((s, dir) =>
+      Similarity.kMeansQuantized(t(s, dir, "embeddings"), "vec_id",
+          "embedding", k = 8, iters = 2)
+        .presented("vec_id")),
+
     "q_embed_dupes" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val aug = emb.unionByName(emb.where(col("vec_id") < 10)
@@ -1758,6 +1768,7 @@ object SparkEntry {
     "q_bpe_merges" -> bpeMergesOracleSql(5),
     "q_bpe_encode" -> bpeEncodeOracleSql(5),
     "q_kcenter_sample" -> kCenterOracleSql(8),
+    "q_kmeans" -> kMeansOracleSql(8, 2),
     // Synthetic payloads are pure functions of media_id (timescale-1000
     // mvhd, 16.16 tkhd dims, 128kbps/44.1kHz MP3 frames, 8kHz mono WAV) —
     // DuckDB re-derives every header fact from the id arithmetic.
@@ -2083,6 +2094,48 @@ object SparkEntry {
        |$steps
        |$finals
        |ORDER BY "rank"""".stripMargin
+  }
+
+  /** Fixed-point Lloyd k-means unrolled: per iteration t, j{t} scores every
+    * vector against every centroid in exact int64 (squared L2 on the
+    * quantized coords), a{t} takes the (d, cid) argmin, m{t} computes
+    * exact floor-division centroid means via the pmod-corrected numerator,
+    * and c{t+1} keeps the previous centroid for empty clusters — the
+    * identical integer policy of [[graft.ops.Similarity.kMeansQuantized]].
+    */
+  private def kMeansOracleSql(k: Int, iters: Int): String = {
+    def iter(t: Int): String =
+      s""" j$t AS (SELECT v.vec_id, v.q AS vq, c.cid,
+         |     list_sum(list_transform(range(1, len(v.q) + 1),
+         |       i -> (v.q[i] - c.q[i]) * (v.q[i] - c.q[i]))) AS d
+         |   FROM v, c$t c),
+         | a$t AS (SELECT vec_id, vq AS q, cid, d FROM (
+         |     SELECT *, row_number()
+         |         OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM j$t)
+         |   WHERE rn = 1)""".stripMargin
+    def mstep(t: Int): String =
+      s""" e$t AS (SELECT cid, unnest(range(1, len(q) + 1)) AS i,
+         |     unnest(q) AS x FROM a$t),
+         | m$t AS (SELECT cid, i,
+         |     CAST((sum(x) - ((sum(x) % count(*)) + count(*)) % count(*))
+         |       // count(*) AS BIGINT) AS m
+         |   FROM e$t GROUP BY cid, i),
+         | n$t AS (SELECT cid, list(m ORDER BY i) AS q FROM m$t GROUP BY cid),
+         | c${t + 1} AS (SELECT c$t.cid, coalesce(n$t.q, c$t.q) AS q
+         |   FROM c$t LEFT JOIN n$t USING (cid))""".stripMargin
+    val body = (0 until iters).map(t => iter(t) + ",\n" + mstep(t))
+      .mkString(",\n")
+    s"""WITH v AS (SELECT vec_id,
+       |     list_transform(embedding,
+       |       x -> CAST(round(CAST(x AS DOUBLE) * ${1L << 20}) AS BIGINT))
+       |       AS q
+       |   FROM embeddings WHERE embedding IS NOT NULL),
+       | c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q
+       |   FROM (SELECT vec_id, q FROM v ORDER BY vec_id LIMIT $k)),
+       |$body,
+       |${iter(iters)}
+       | SELECT vec_id, CAST(cid AS BIGINT) AS cluster, CAST(d AS BIGINT) AS d2
+       | FROM a$iters ORDER BY vec_id""".stripMargin
   }
 
   /** DuckDB fragment: distinct 3-shingle strings over a token list `t`,

@@ -130,6 +130,84 @@ object Similarity {
       .select(col("rank"), col("id").as(idCol), col("dist"))
   }
 
+  /** Deterministic Lloyd k-means over an embedding column, on FIXED-POINT
+    * coordinates: every coordinate is quantized once up front to
+    * `round(x · 2^qBits)` (a pure function of the float), and every later
+    * step — squared-L2 distances, argmin assignment, centroid means — is
+    * EXACT 64-bit integer arithmetic. That makes the whole iteration
+    * engine-independent: any system replaying the policy (floor-division
+    * means via the pmod-corrected numerator, argmin ties to the lowest
+    * centroid index, init = the k lowest-id vectors) reproduces the
+    * assignment bit-for-bit, so the full Lloyd loop is hash-matchable
+    * (the [[graft.SparkEntry]] oracle unrolls it into per-iteration CTE
+    * blocks). Quantization error 2⁻²⁰ is orders below embedding noise;
+    * this is the clustering front-end SemDeDup / IVF pipelines need, with
+    * determinism a float implementation cannot offer across engines.
+    *
+    * Scale shape: centroids are a k×dim literal — broadcast, never joined;
+    * the E-step is ONE narrow codegen'd pass (k fused zip_with/aggregate
+    * distance folds per row, first-min argmin via `array_position`); the
+    * M-step explodes (cluster, dim, q) longs and partially aggregates
+    * map-side, so each iteration's only exchange carries ≤ tasks × k × dim
+    * rows. Driver materialization is k×dim longs per round (the codebook
+    * bound). Overflow headroom: |sum| per (cluster, dim) stays under
+    * n · 2^(qBits+1) — at qBits = 20 that allows ~4×10¹² members per
+    * cluster before approaching 2⁶³.
+    *
+    * Output: (idCol, cluster 0..k−1, d2) — final assignment against the
+    * post-loop centroids; d2 is the exact integer squared distance in
+    * quantized units.
+    */
+  def kMeansQuantized(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      qBits: Int = 20): DataFrame = {
+    require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0: got $k, $iters")
+    val scale = (1L << qBits).toDouble
+    val vecs = corpus
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => round(x.cast("double") * scale).cast("long"))
+          .as("q"))
+      .where(col("q").isNotNull)
+    var cents: IndexedSeq[Seq[Long]] = vecs.orderBy("id").limit(k).collect()
+      .map(_.getSeq[Long](1)).toIndexedSeq
+    require(cents.nonEmpty, "kMeansQuantized: empty corpus")
+
+    def assigned(): DataFrame = {
+      val ds = array(cents.map(c =>
+        aggregate(zip_with(col("q"), typedLit(c), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)): _*)
+      vecs.select(col("id"), col("q"), ds.as("__ds"))
+        .select(col("id"), col("q"),
+          (array_position(col("__ds"), array_min(col("__ds"))) - 1L)
+            .as("cluster"),
+          array_min(col("__ds")).as("d2"))
+    }
+
+    var it = 0
+    while (it < iters) {
+      // Exact integer mean: floor(s / n) via the pmod-corrected numerator
+      // (s − ((s mod n) + n) mod n is exactly divisible, so truncating DIV
+      // equals floor for any sign — the policy the oracle replays).
+      val means = assigned()
+        .select(col("cluster"), posexplode(col("q")).as(Seq("i", "x")))
+        .groupBy("cluster", "i")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .withColumn("m", expr("(s - pmod(s, n)) DIV n"))
+        .groupBy("cluster")
+        .agg(transform(sort_array(collect_list(struct(col("i"), col("m")))),
+          s => s.getField("m")).as("c"))
+        .collect().map(r => r.getLong(0).toInt -> r.getSeq[Long](1)).toMap
+      // Empty clusters keep their previous centroid.
+      cents = cents.indices.map(j => means.getOrElse(j, cents(j)))
+      it += 1
+    }
+    assigned().select(col("id").as(idCol), col("cluster"), col("d2"))
+  }
+
   /** Assign every corpus vector to its nearest centroid by cosine
     * similarity — the E-step of k-means / the coarse-assignment pass of an
     * IVF build, exposed directly so a pipeline can bucket a corpus by a

@@ -135,6 +135,34 @@ class SemDedupSpec extends SparkTestBase {
     assert(got.toSeq === again.toSeq)
   }
 
+  test("kMeansQuantized separates obvious clusters deterministically") {
+    // Two tight groups on orthogonal axes, k = 2: after any iterations the
+    // two groups must land in different clusters, together within a group.
+    val docs = Seq(
+      1L -> v(1f, 0f, 0f), 2L -> v(0.99f, 0.01f, 0f), 3L -> v(0.98f, 0f, 0.02f),
+      10L -> v(0f, 1f, 0f), 11L -> v(0.01f, 0.99f, 0f), 12L -> v(0f, 0.98f, 0.02f))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kMeansQuantized(docs, "vec_id", "embedding",
+        k = 2, iters = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 10L, 11L, 12L))
+    assert(Set(got(1L), got(2L), got(3L)).size === 1, got.toString)
+    assert(Set(got(10L), got(11L), got(12L)).size === 1, got.toString)
+    assert(got(1L) !== got(10L), got.toString)
+    // Iterations genuinely move centroids off the lowest-id seeds: seeds
+    // 1 and 2 start in DIFFERENT clusters (each is its own centroid);
+    // after Lloyd rounds they must co-cluster.
+    val it0 = Similarity.kMeansQuantized(docs, "vec_id", "embedding",
+        k = 2, iters = 0)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(it0(1L) !== it0(2L), it0.toString)
+    // Deterministic across runs (bit-exact integer policy).
+    val again = Similarity.kMeansQuantized(docs, "vec_id", "embedding",
+        k = 2, iters = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(got === again)
+  }
+
   test("knnGraph: k edges per node, ranked, refinement helps recall") {
     // Clustered vectors (modular structure) so LSH buckets carry signal.
     val rng = new scala.util.Random(3)
