@@ -729,6 +729,19 @@ object SparkEntry {
         .presented("doc_id", "bench_id")
     }),
 
+    // DSIR importance scores: src2 documents play the in-domain target,
+    // the rest the raw pool. Exact oracle: the per-slot λ table and the
+    // per-doc integer score sums are engine-independent (exact-int64 ratio
+    // terms into one ln per slot; see Curation.dsirScore's policy note).
+    "q_dsir_score" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Curation.dsirScore(
+        d.where(col("source") =!= "src2"),
+        d.where(col("source") === "src2"),
+        "doc_id", "text")
+        .presented("doc_id")
+    }),
+
     // C4 cleaning audit. The raw synthetic docs carry no punctuation, so the
     // query augments them deterministically (doc_id-keyed tails) to exercise
     // every rule; the oracle applies the IDENTICAL augmentation in SQL.
@@ -1461,6 +1474,39 @@ object SparkEntry {
          | FROM tr, be
          | WHERE len(list_intersect(tr.s, be.s)) >= 2
          | ORDER BY doc_id, bench_id""".stripMargin,
+    "q_dsir_score" ->
+      s"""WITH tk AS (SELECT doc_id, source, $tokensSql AS t FROM documents),
+         | gr AS (SELECT doc_id, source, unnest(t) AS g FROM tk
+         |   UNION ALL
+         |   SELECT doc_id, source,
+         |     unnest(list_transform(range(1, len(t)),
+         |       i -> t[i] || ' ' || t[i + 1])) AS g
+         |   FROM tk),
+         | b AS (SELECT doc_id, source,
+         |     CAST(('0x' || substr(md5(g), 1, 13)) AS BIGINT) % 1024 AS bk
+         |   FROM gr),
+         | tb AS (SELECT bk, count(*) AS t FROM b WHERE source = 'src2'
+         |   GROUP BY bk),
+         | rb AS (SELECT bk, count(*) AS r FROM b WHERE source <> 'src2'
+         |   GROUP BY bk),
+         | tot AS (SELECT
+         |     (SELECT count(*) FROM b WHERE source = 'src2') AS tt,
+         |     (SELECT count(*) FROM b WHERE source <> 'src2') AS rr),
+         | lam AS (SELECT u.bk,
+         |     CAST(round(1000000.0 * ln(
+         |       CAST((coalesce(tb.t, 0) + 1) * (tot.rr + 1024) AS DOUBLE) /
+         |       CAST((coalesce(rb.r, 0) + 1) * (tot.tt + 1024) AS DOUBLE)))
+         |       AS BIGINT) AS lam
+         |   FROM (SELECT unnest(range(0, 1024)) AS bk) u
+         |   LEFT JOIN tb USING (bk) LEFT JOIN rb USING (bk), tot),
+         | sc AS (SELECT b.doc_id, count(*) AS n_grams,
+         |     CAST(sum(l.lam) AS BIGINT) AS dsir_score
+         |   FROM b JOIN lam l USING (bk) WHERE b.source <> 'src2'
+         |   GROUP BY b.doc_id)
+         | SELECT tk.doc_id, coalesce(sc.n_grams, 0) AS n_grams,
+         |   coalesce(sc.dsir_score, 0) AS dsir_score
+         | FROM tk LEFT JOIN sc USING (doc_id) WHERE tk.source <> 'src2'
+         | ORDER BY tk.doc_id""".stripMargin,
     "q_c4_filter" ->
       s"""SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem,
          |   has_brace, has_badword,

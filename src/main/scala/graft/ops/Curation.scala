@@ -421,4 +421,87 @@ object Curation {
         (col("n_shared").cast("double") /
           least(col("n_a"), col("n_b"))).as("overlap"))
   }
+
+  /** DSIR importance scores (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling", arXiv:2302.03169): score every raw
+    * document by how much its hashed n-gram distribution looks like a
+    * TARGET corpus rather than the raw pool — the standard recipe for
+    * selecting in-domain pretraining data against a quality exemplar set.
+    * Features are unigrams + bigrams hashed into `buckets` slots (md5
+    * prefix, the engine's cross-engine hash policy); both corpora fit
+    * add-one-smoothed multinomials over the slots, and a document's score
+    * is the sum over its gram occurrences of the per-slot log importance
+    * ratio ln(p_target(b) / p_raw(b)).
+    *
+    * Determinism policy: the per-slot ratio's numerator and denominator,
+    * (t_b+1)·(R+B) and (r_b+1)·(T+B), are EXACT int64 products (exact as
+    * doubles while < 2⁵³ — far beyond these corpora; a 100 TB run would
+    * fold the totals' ratio in log space instead, trading the bit-exact
+    * audit for headroom), so both engines hand `ln` the bit-identical
+    * double; λ_b = round(10⁶·ln(·)) is then an INTEGER per slot, and doc
+    * scores are integer sums — order-independent, hash-matchable. A λ flip
+    * would need libm implementations differing by ≥ the value's distance
+    * to a half-integer boundary; margins on real data sit ~10⁶ ulps above
+    * that (and ratio = 1 hits the boundary at exactly 0.0, which rounds
+    * to 0 in any engine).
+    *
+    * Scale shape: gram rows carry (doc-id, bucket) only; the two
+    * slot-count aggregations partially combine map-side into ≤ tasks × B
+    * rows; the λ table is B rows — BROADCAST to the scoring join; the
+    * final per-doc sum is one narrow aggregation. Document text never
+    * rides a shuffle.
+    *
+    * Output: every raw document as (id, n_grams, dsir_score); gramless
+    * docs score 0. Rank by score (desc) and keep top-N — or feed the
+    * scores to [[weightedSample]] — to complete the resampling step.
+    */
+  def dsirScore(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 1024,
+      scale: Double = 1e6): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val spark = raw.sparkSession
+
+    def gramBuckets(df: DataFrame): DataFrame = {
+      val t = TextAnalysis.tokens(col(textCol))
+      val bigrams = zip_with(
+        slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+        slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+      df.select(col(idCol).as("id"),
+          explode(concat(t, bigrams)).as("g"))
+        .select(col("id"),
+          pmod(conv(substring(md5(col("g").cast("binary")), 1, 13), 16, 10)
+            .cast("long"), lit(buckets.toLong)).as("bk"))
+    }
+
+    val rawGrams = gramBuckets(raw)
+    val tgtGrams = gramBuckets(target)
+    val tCounts = tgtGrams.groupBy("bk").agg(count(lit(1)).as("t"))
+    val rCounts = rawGrams.groupBy("bk").agg(count(lit(1)).as("r"))
+    val tTot = tgtGrams.count()
+    val rTot = rawGrams.count()
+    // λ table: B rows, exact-int64 ratio terms, one ln each — broadcast.
+    val lam = spark.range(buckets).select(col("id").as("bk"))
+      .join(tCounts, Seq("bk"), "left")
+      .join(rCounts, Seq("bk"), "left")
+      .select(col("bk"),
+        round(lit(scale) * log(
+          ((coalesce(col("t"), lit(0L)) + 1L) * lit(rTot + buckets))
+            .cast("double") /
+          ((coalesce(col("r"), lit(0L)) + 1L) * lit(tTot + buckets))
+            .cast("double")))
+          .cast("long").as("lam"))
+    val scores = rawGrams
+      .join(broadcast(lam), Seq("bk"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"), sum(col("lam")).as("dsir_score"))
+    raw.select(col(idCol).as("id")).join(scores, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dsir_score"), lit(0L)).as("dsir_score"))
+  }
 }

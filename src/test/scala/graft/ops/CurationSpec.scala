@@ -303,4 +303,35 @@ class CurationSpec extends SparkTestBase {
     // Each shard's offsets restart at 0.
     assert(got === Seq(("x", 1L, 0L), ("x", 3L, 2L), ("y", 2L, 0L), ("y", 4L, 2L)))
   }
+
+  test("dsirScore ranks target-like documents above off-domain ones") {
+    // Target speaks "physics"; raw doc 1 mimics it, doc 2 is off-domain,
+    // doc 3 mixes. DSIR must order 1 > 3 > 2. Repetition amplifies the
+    // gram mass so the smoothed ratios separate cleanly.
+    val target = Seq(
+      (100L, "quantum field theory energy momentum"),
+      (101L, "energy momentum quantum field lagrangian"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "quantum field energy momentum quantum field"),
+      (2L, "recipe butter sugar flour oven recipe butter"),
+      (3L, "quantum recipe energy butter field sugar"))
+      .toDF("doc_id", "text")
+    val got = Curation.dsirScore(raw, target, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    // tokens + bigrams: 6+5 for docs 1 and 3, 7+6 for doc 2.
+    assert(got(1L)._1 === 11L && got(2L)._1 === 13L && got(3L)._1 === 11L,
+      got.toString)
+    assert(got(1L)._2 > got(3L)._2 && got(3L)._2 > got(2L)._2, got.toString)
+    // Deterministic integer policy: identical across runs.
+    val again = Curation.dsirScore(raw, target, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === again)
+    // Gramless raw docs survive with zero score.
+    val withEmpty = raw.union(Seq((9L, "")).toDF("doc_id", "text"))
+    val z = Curation.dsirScore(withEmpty, target, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(z(9L) === ((0L, 0L)))
+  }
 }
