@@ -480,21 +480,27 @@ object Curation {
 
     val rawGrams = gramBuckets(raw)
     val tgtGrams = gramBuckets(target)
-    val tCounts = tgtGrams.groupBy("bk").agg(count(lit(1)).as("t"))
-    val rCounts = rawGrams.groupBy("bk").agg(count(lit(1)).as("r"))
-    val tTot = tgtGrams.count()
-    val rTot = rawGrams.count()
-    // λ table: B rows, exact-int64 ratio terms, one ln each — broadcast.
-    val lam = spark.range(buckets).select(col("id").as("bk"))
-      .join(tCounts, Seq("bk"), "left")
-      .join(rCounts, Seq("bk"), "left")
-      .select(col("bk"),
-        round(lit(scale) * log(
-          ((coalesce(col("t"), lit(0L)) + 1L) * lit(rTot + buckets))
-            .cast("double") /
-          ((coalesce(col("r"), lit(0L)) + 1L) * lit(tTot + buckets))
-            .cast("double")))
-          .cast("long").as("lam"))
+    // Slot counts are ≤ `buckets` rows after map-side partial aggregation —
+    // collect them (the codebook-sized driver materialization this repo
+    // allows) so the totals and the λ table need NO extra corpus scans:
+    // one pass per corpus for counts, one more over raw for scoring.
+    def slotCounts(grams: DataFrame): Map[Long, Long] =
+      grams.groupBy("bk").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tCounts = slotCounts(tgtGrams)
+    val rCounts = slotCounts(rawGrams)
+    val tTot = tCounts.valuesIterator.sum
+    val rTot = rCounts.valuesIterator.sum
+    // λ table: B rows built driver-side, exact-int64 ratio terms, one ln
+    // each (rint = round-half-away-from-zero for positive x via copySign,
+    // matching SQL ROUND on both engines) — broadcast to the scoring join.
+    import spark.implicits._
+    val lam = (0L until buckets.toLong).map { bk =>
+      val num = ((tCounts.getOrElse(bk, 0L) + 1L) * (rTot + buckets)).toDouble
+      val den = ((rCounts.getOrElse(bk, 0L) + 1L) * (tTot + buckets)).toDouble
+      val v = scale * math.log(num / den)
+      bk -> (math.signum(v) * math.floor(math.abs(v) + 0.5)).toLong
+    }.toDF("bk", "lam")
     val scores = rawGrams
       .join(broadcast(lam), Seq("bk"))
       .groupBy("id")

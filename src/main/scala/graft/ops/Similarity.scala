@@ -100,22 +100,26 @@ object Similarity {
     picks += ((0, seed.getLong(0), None))
     var selected = List(seed.getLong(0))
     var curVec = seed.getSeq[Float](1)
+    // The running min-distance state persists COLUMNAR each round (k is
+    // small and bounded, so the k-deep lineage stays trivial to analyze —
+    // no Row round-trip needed, unlike the unbounded-rounds
+    // [[Graph.connectedComponents]] loop); each round's argmax job also
+    // materializes the cache the next round builds on, and the previous
+    // round's cache is dropped eagerly.
     var st = vecs.withColumn("d", lit(Double.PositiveInfinity))
-    var stRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    var prev: DataFrame = null
     var i = 1
     while (i < k) {
       val updated = st.select(col("id"), col("v"),
         least(col("d"),
           round(lit(1.0) - cosine(col("v"), typedLit(curVec)), roundTo))
           .as("d"))
-      val newRdd = updated.rdd.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val newSt = spark.createDataFrame(newRdd, updated.schema)
-      val top = newSt.where(!col("id").isin(selected: _*))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val top = updated.where(!col("id").isin(selected: _*))
         .orderBy(desc("d"), col("id")).limit(1).collect()
-      if (stRdd != null) stRdd.unpersist(blocking = false)
-      stRdd = newRdd
-      st = newSt
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = updated
+      st = updated
       top.headOption match {
         case None => i = k // fewer than k points — stop
         case Some(r) =>
@@ -125,7 +129,7 @@ object Similarity {
           i += 1
       }
     }
-    if (stRdd != null) stRdd.unpersist(blocking = false)
+    if (prev != null) prev.unpersist(blocking = false)
     picks.result().toDF("rank", "id", "dist")
       .select(col("rank"), col("id").as(idCol), col("dist"))
   }
