@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions.simhash64
-import graft.ops.{Bpe, Curation, Dedup, Graph, Intervals, LanguageModel, Multimodal, Similarity, Sketches, Stats, TextAnalysis, TextSearch}
+import graft.ops.{Bpe, Curation, Dedup, Graph, Intervals, LanguageModel, Multimodal, Similarity, Sketches, Stats, TextAnalysis, TextSearch, Web}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -92,6 +92,43 @@ object SparkEntry {
     */
   private val SplitFracs = Seq("test" -> 0.1, "valid" -> 0.1, "train" -> 0.8)
   private val MixWeights = Map("src0" -> 0.2, "src1" -> 0.5, "src2" -> 0.8)
+
+  /** Domains the q_url_blocklist query filters (shared with its oracle). */
+  private val BlockedDomains = Seq("site1.com", "site3.co.uk", "site7.org")
+
+  /** documents with a synthesized `url` column — a pure function of doc_id
+    * that exercises every [[graft.ops.Web]] normalization rule: scheme
+    * mix, www/blog subdomains, 5 TLDs incl. multi-part suffixes, all-caps
+    * case noise, root + trailing-slash paths, tracking query params, and
+    * fragments. The oracle re-derives the identical URL from id
+    * arithmetic.
+    */
+  private def withUrls(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val scheme = when(id % 4 === 0, "http").otherwise("https")
+    val sub = when(id % 3 === 0, "www.").when(id % 3 === 1, "blog.")
+      .otherwise("")
+    val tld = element_at(
+      typedLit(Seq("com", "org", "co.uk", "io", "com.au")),
+      (id % 5 + 1).cast("int"))
+    val host0 = concat(sub, lit("site"), (id % 37).cast("string"),
+      lit("."), tld)
+    val host = when(id % 11 === 0, upper(host0)).otherwise(host0)
+    val path = when(id % 7 === 0, "/").otherwise(
+      concat(lit("/p/"), (id % 97).cast("string"),
+        when(id % 2 === 0, "/").otherwise("")))
+    val query = when(id % 6 === 0,
+        concat(lit("utm_source=feed&id="), (id % 13).cast("string")))
+      .when(id % 6 === 3, lit("ref=home"))
+      .when(id % 6 === 1,
+        concat(lit("id="), (id % 13).cast("string"), lit("&utm_campaign=x")))
+      .otherwise("")
+    val frag = when(id % 8 === 0, "#top").otherwise("")
+    t(s, dir, "documents").select(id,
+      concat(scheme, lit("://"), host, path,
+        when(query === "", "").otherwise(concat(lit("?"), query)),
+        frag).as("url"))
+  }
 
   /** Session-cached IVF index over `embeddings` (build-once/search-many —
     * the IVF contract: the quantizer fit + cell assignment are the reusable
@@ -602,6 +639,25 @@ object SparkEntry {
     "q_container_headers" -> ((s, dir) =>
       Multimodal.containerHeaders(Multimodal.syntheticMedia(s, 200))
         .presented("media_id")),
+
+    // URL / domain curation over deterministically synthesized URLs (pure
+    // function of doc_id, exercising scheme/case/trailing-slash/tracking-
+    // param/multi-part-suffix rules — the q_container_headers pattern).
+    // FULLY oracled: DuckDB re-derives each URL from the id arithmetic
+    // and replays the normalization policy with string/list functions.
+    "q_url_facts" -> ((s, dir) =>
+      Web.urlFacts(withUrls(s, dir), "doc_id", "url")
+        .presented("doc_id")),
+
+    "q_domain_stats" -> ((s, dir) =>
+      Web.domainStats(withUrls(s, dir), "doc_id", "url")
+        .presented("domain")),
+
+    "q_url_blocklist" -> ((s, dir) =>
+      Web.blocklistFilter(withUrls(s, dir), "doc_id", "url",
+          BlockedDomains)
+        .select(col("doc_id"), col("domain"), col("url_norm"))
+        .presented("doc_id")),
 
     // SimHash signatures themselves (operator output, deterministic).
     // no_oracle BY DESIGN: the 64-bit signature family has no SQL
@@ -1815,6 +1871,22 @@ object SparkEntry {
     "q_bpe_encode" -> bpeEncodeOracleSql(5),
     "q_kcenter_sample" -> kCenterOracleSql(8),
     "q_kmeans" -> kMeansOracleSql(8, 2),
+    "q_url_facts" ->
+      s"""WITH $urlFactsCteSql
+         | SELECT doc_id, url, scheme, host, domain, path, depth, query,
+         |   url_norm
+         | FROM facts ORDER BY doc_id""".stripMargin,
+    "q_domain_stats" ->
+      s"""WITH $urlFactsCteSql
+         | SELECT domain, count(*) AS n_docs,
+         |   count(DISTINCT host) AS n_hosts,
+         |   count(DISTINCT url_norm) AS n_urls
+         | FROM facts GROUP BY domain ORDER BY domain""".stripMargin,
+    "q_url_blocklist" ->
+      s"""WITH $urlFactsCteSql
+         | SELECT doc_id, domain, url_norm FROM facts
+         | WHERE domain NOT IN (${BlockedDomains.map("'" + _ + "'").mkString(", ")})
+         | ORDER BY doc_id""".stripMargin,
     // Synthetic payloads are pure functions of media_id (timescale-1000
     // mvhd, 16.16 tkhd dims, 128kbps/44.1kHz MP3 frames, 8kHz mono WAV) —
     // DuckDB re-derives every header fact from the id arithmetic.
@@ -2141,6 +2213,59 @@ object SparkEntry {
        |$finals
        |ORDER BY "rank"""".stripMargin
   }
+
+  /** DuckDB CTE body re-deriving the synthesized URLs of [[withUrls]] from
+    * doc_id arithmetic and replaying [[graft.ops.Web.urlFacts]]'s
+    * normalization policy (lowercase host, eTLD+1, trailing-slash strip,
+    * tracking-param removal, fragment drop). Ends with a `facts` relation:
+    * (doc_id, url, scheme, host, domain, path, depth, query, url_norm).
+    */
+  private val urlFactsCteSql: String =
+    """up AS (SELECT doc_id,
+      |   CASE WHEN doc_id % 4 = 0 THEN 'http' ELSE 'https' END AS scheme,
+      |   (CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'blog.'
+      |     ELSE '' END) ||
+      |     'site' || CAST(doc_id % 37 AS VARCHAR) || '.' ||
+      |     (['com','org','co.uk','io','com.au'])
+      |          [CAST(doc_id % 5 AS INT) + 1] AS host,
+      |   CASE WHEN doc_id % 7 = 0 THEN '/'
+      |     ELSE '/p/' || CAST(doc_id % 97 AS VARCHAR) ||
+      |       (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) END AS p,
+      |   CASE WHEN doc_id % 6 = 0
+      |       THEN 'utm_source=feed&id=' || CAST(doc_id % 13 AS VARCHAR)
+      |     WHEN doc_id % 6 = 3 THEN 'ref=home'
+      |     WHEN doc_id % 6 = 1
+      |       THEN 'id=' || CAST(doc_id % 13 AS VARCHAR) || '&utm_campaign=x'
+      |     ELSE '' END AS q,
+      |   CASE WHEN doc_id % 8 = 0 THEN '#top' ELSE '' END AS frag
+      | FROM documents),
+      | uf AS (SELECT doc_id, scheme, host,
+      |   scheme || '://' ||
+      |     (CASE WHEN doc_id % 11 = 0 THEN upper(host) ELSE host END) ||
+      |     p || (CASE WHEN q = '' THEN '' ELSE '?' || q END) || frag
+      |     AS url,
+      |   regexp_replace(p, '/$', '') AS path,
+      |   coalesce(array_to_string(list_filter(string_split(q, '&'),
+      |     x -> NOT (starts_with(x, 'utm_') OR x = 'fbclid'
+      |       OR starts_with(x, 'fbclid=') OR x = 'gclid'
+      |       OR starts_with(x, 'gclid=') OR x = 'ref'
+      |       OR starts_with(x, 'ref='))), '&'), '') AS query,
+      |   string_split(host, '.') AS ls
+      | FROM up),
+      | facts AS (SELECT doc_id, url, scheme, host,
+      |   CASE WHEN len(ls) <= 2 THEN host
+      |     WHEN ls[len(ls) - 1] || '.' || ls[len(ls)]
+      |         IN ('co.uk','ac.uk','org.uk','co.jp','com.au')
+      |       THEN ls[len(ls) - 2] || '.' || ls[len(ls) - 1] || '.' ||
+      |         ls[len(ls)]
+      |     ELSE ls[len(ls) - 1] || '.' || ls[len(ls)] END AS domain,
+      |   path,
+      |   len(list_filter(string_split(path, '/'), s -> s <> '')) AS depth,
+      |   query,
+      |   scheme || '://' || host || path ||
+      |     (CASE WHEN query = '' THEN '' ELSE '?' || query END)
+      |     AS url_norm
+      | FROM uf)""".stripMargin
 
   /** Fixed-point Lloyd k-means unrolled: per iteration t, j{t} scores every
     * vector against every centroid in exact int64 (squared L2 on the

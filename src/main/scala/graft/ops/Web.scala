@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL / domain curation operators — the provenance-side filters of a web
+  * corpus pipeline (CCNet, C4, RefinedWeb all key their quality and
+  * dedup decisions on normalized URLs and registered domains before any
+  * text is read). Everything here is a narrow codegen'd Column
+  * composition over the URL string; the only shuffle in the family is
+  * [[domainStats]]' aggregation on the (tiny) registered-domain key.
+  */
+object Web {
+
+  /** Multi-label public suffixes this engine recognizes beyond plain TLDs
+    * (a compact, documented subset of the public-suffix list — the
+    * registered domain is the label before the matched suffix).
+    */
+  val MultiPartSuffixes: Seq[String] =
+    Seq("co.uk", "ac.uk", "org.uk", "co.jp", "com.au")
+
+  /** Query parameters stripped during normalization (tracking noise that
+    * fragments URL-level dedup; the CCNet convention): any `utm_*`
+    * parameter plus these exact names.
+    */
+  val TrackingParams: Seq[String] = Seq("fbclid", "gclid", "ref")
+
+  private def hostOf(url: Column): Column = lower(try_parse_url(url, lit("HOST")))
+
+  /** Registered domain (eTLD+1) of a lowercased host: the last two labels,
+    * or three when the trailing two match a multi-part public suffix.
+    */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", slice(labels, n - 1, lit(2)))
+    when(n <= 2, host)
+      .when(last2.isin(MultiPartSuffixes: _*),
+        concat_ws(".", slice(labels, n - 2, lit(3))))
+      .otherwise(last2)
+  }
+
+  /** Query string minus tracking parameters, parameter order preserved. */
+  def cleanQuery(query: Column): Column = {
+    val keep = filter(split(query, "&"), p =>
+      !(p.startsWith("utm_") +:
+        TrackingParams.map(t => p === t || p.startsWith(t + "=")))
+        .reduce(_ || _))
+    concat_ws("&", keep)
+  }
+
+  /** Parse + normalize one URL column into the fact row URL-level curation
+    * keys on: lowercased host, registered domain, trailing-slash-free
+    * path, tracking-stripped query, path depth, and the canonical
+    * normalized URL (scheme://host path ?query — fragment dropped).
+    * Malformed URLs (no scheme/host) degrade to null facts, not errors.
+    */
+  def urlFacts(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    val scheme = lower(try_parse_url(u, lit("PROTOCOL")))
+    val host = hostOf(u)
+    val rawPath = coalesce(try_parse_url(u, lit("PATH")), lit(""))
+    val path = regexp_replace(rawPath, "/$", "")
+    val query = cleanQuery(coalesce(try_parse_url(u, lit("QUERY")), lit("")))
+    df.select(col(idCol), u.as("url"),
+        scheme.as("scheme"), host.as("host"), path.as("path"),
+        query.as("query"))
+      .select(col(idCol), col("url"), col("scheme"), col("host"),
+        registeredDomain(col("host")).as("domain"),
+        col("path"),
+        size(filter(split(col("path"), "/"), s => s =!= "")).cast("long")
+          .as("depth"),
+        col("query"),
+        when(col("scheme").isNull || col("host").isNull, lit(null))
+          .otherwise(concat(col("scheme"), lit("://"), col("host"),
+            col("path"),
+            when(col("query") === "", "").otherwise(concat(lit("?"), col("query")))))
+          .as("url_norm"))
+  }
+
+  /** Per-registered-domain corpus stats: document count, distinct hosts,
+    * distinct normalized URLs — the table a domain-level quality prior or
+    * crawl-budget policy reads. One aggregation on the domain key (tiny
+    * cardinality next to the corpus; partial aggregation collapses it
+    * map-side).
+    */
+  def domainStats(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    urlFacts(df, idCol, urlCol)
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("host")).as("n_hosts"),
+        countDistinct(col("url_norm")).as("n_urls"))
+
+  /** Drop rows whose registered domain is blocklisted (the broadcast-set
+    * filter every web pipeline runs first). The blocklist is a literal —
+    * no join, no shuffle.
+    */
+  def blocklistFilter(df: DataFrame, idCol: String, urlCol: String,
+      blockedDomains: Seq[String]): DataFrame = {
+    val facts = urlFacts(df, idCol, urlCol)
+    facts.where(!coalesce(col("domain").isin(blockedDomains: _*), lit(false)))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+import org.apache.spark.sql.functions._
+
+class WebSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def facts(url: String) =
+    Web.urlFacts(Seq((1L, url)).toDF("id", "url"), "id", "url")
+      .collect().head
+
+  test("urlFacts normalizes case, trailing slash, tracking params, fragment") {
+    val r = facts("https://WWW.Site3.ORG/p/12/?utm_source=a&id=5&ref=x#frag")
+    assert(r.getString(2) === "https")            // scheme
+    assert(r.getString(3) === "www.site3.org")    // host
+    assert(r.getString(4) === "site3.org")        // domain
+    assert(r.getString(5) === "/p/12")            // path (slash stripped)
+    assert(r.getLong(6) === 2L)                   // depth
+    assert(r.getString(7) === "id=5")             // query (tracking stripped)
+    assert(r.getString(8) === "https://www.site3.org/p/12?id=5")
+  }
+
+  test("registered domain honors multi-part public suffixes") {
+    assert(facts("http://blog.example.co.uk/a").getString(4) === "example.co.uk")
+    assert(facts("http://example.co.uk/a").getString(4) === "example.co.uk")
+    assert(facts("http://deep.sub.example.com/a").getString(4) === "example.com")
+    assert(facts("http://example.io/a").getString(4) === "example.io")
+  }
+
+  test("root path, empty query, malformed URLs degrade gracefully") {
+    val root = facts("https://example.com/")
+    assert(root.getString(5) === "" && root.getLong(6) === 0L)
+    assert(root.getString(8) === "https://example.com")
+    val noq = facts("https://example.com/x?utm_campaign=only")
+    assert(noq.getString(7) === "")
+    assert(noq.getString(8) === "https://example.com/x")
+    val bad = facts("not a url at all")
+    assert(bad.isNullAt(3) && bad.isNullAt(8)) // host, url_norm null
+  }
+
+  test("domainStats aggregates docs, hosts, urls per registered domain") {
+    val df = Seq(
+      (1L, "https://www.shop.com/a"), (2L, "https://blog.shop.com/b"),
+      (3L, "https://www.shop.com/a"), (4L, "http://news.org/x"))
+      .toDF("id", "url")
+    val m = Web.domainStats(df, "id", "url").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(m("shop.com") === ((3L, 2L, 2L)))
+    assert(m("news.org") === ((1L, 1L, 1L)))
+  }
+
+  test("blocklistFilter drops exactly the blocked registered domains") {
+    val df = Seq(
+      (1L, "https://www.bad.com/a"), (2L, "https://sub.bad.com/b"),
+      (3L, "https://good.com/c"))
+      .toDF("id", "url")
+    val kept = Web.blocklistFilter(df, "id", "url", Seq("bad.com"))
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(3L))
+  }
+}
