@@ -798,6 +798,18 @@ object SparkEntry {
         .presented("doc_id")
     }),
 
+    // Trainable linear quality probe on a PLANTED signal (docs mentioning
+    // 'spark', 385/500 at sf0.01 — the probe must discover the predictive
+    // buckets from gradients alone). Full-batch fixed-point GD
+    // (2 iterations) — training is bit-deterministic, so the oracle
+    // unrolls the loop and the final integer scores hash-match.
+    "q_quality_probe" -> ((s, dir) =>
+      Curation.linearProbe(
+        t(s, dir, "documents")
+          .withColumn("is_tgt", col("text").contains("spark")),
+        "doc_id", "text", "is_tgt")
+        .presented("doc_id")),
+
     // C4 cleaning audit. The raw synthetic docs carry no punctuation, so the
     // query augments them deterministically (doc_id-keyed tails) to exercise
     // every rule; the oracle applies the IDENTICAL augmentation in SQL.
@@ -1563,6 +1575,7 @@ object SparkEntry {
          |   coalesce(sc.dsir_score, 0) AS dsir_score
          | FROM tk LEFT JOIN sc USING (doc_id) WHERE tk.source <> 'src2'
          | ORDER BY tk.doc_id""".stripMargin,
+    "q_quality_probe" -> probeOracleSql(1024, 4),
     "q_c4_filter" ->
       s"""SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem,
          |   has_brace, has_badword,
@@ -2212,6 +2225,54 @@ object SparkEntry {
        |$steps
        |$finals
        |ORDER BY "rank"""".stripMargin
+  }
+
+  /** Fixed-point linear-probe training unrolled (the
+    * [[graft.ops.Curation.linearProbe]] policy): w1 comes from the
+    * zero-weight gradient (r0 = y·2^20), then each iteration t adds a
+    * predict (p{t}) / residual (r{t}) / gradient (g{t}) / update (w{t+1})
+    * CTE block with the pmod-corrected exact floor division. The final
+    * SELECT scores every document against w{iters}.
+    */
+  private def probeOracleSql(buckets: Int, iters: Int): String = {
+    val blocks = (1 until iters).map { t =>
+      s""" p$t AS (SELECT b.doc_id, min(b.y) AS y,
+         |     CAST(sum(coalesce(w$t.w, 0)) AS BIGINT) AS p
+         |   FROM b LEFT JOIN w$t USING (bk) GROUP BY b.doc_id),
+         | r$t AS (SELECT doc_id, y * 1048576 - p AS r FROM p$t),
+         | g$t AS (SELECT b.bk, CAST(sum(r$t.r) AS BIGINT) AS g
+         |   FROM b JOIN r$t USING (doc_id) GROUP BY b.bk),
+         | w${t + 1} AS (SELECT coalesce(w$t.bk, g$t.bk) AS bk,
+         |     CAST(coalesce(w$t.w, 0) +
+         |       (coalesce(g$t.g, 0) - ((coalesce(g$t.g, 0) % d) + d) % d)
+         |       // d AS BIGINT) AS w
+         |   FROM w$t FULL OUTER JOIN g$t ON w$t.bk = g$t.bk, dv)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tk AS (SELECT doc_id,
+       |     CASE WHEN contains(text, 'spark') THEN 1 ELSE -1 END AS y,
+       |     $tokensSql AS t FROM documents),
+       | gr AS (SELECT doc_id, y, unnest(t) AS g FROM tk
+       |   UNION ALL
+       |   SELECT doc_id, y,
+       |     unnest(list_transform(range(1, len(t)),
+       |       i -> t[i] || ' ' || t[i + 1])) AS g
+       |   FROM tk),
+       | b AS (SELECT DISTINCT doc_id, y,
+       |     CAST(('0x' || substr(md5(g), 1, 13)) AS BIGINT) % $buckets AS bk
+       |   FROM gr),
+       | dv AS (SELECT (SELECT count(*) FROM documents) * 64 AS d),
+       | g0 AS (SELECT bk, CAST(sum(y * 1048576) AS BIGINT) AS g
+       |   FROM b GROUP BY bk),
+       | w1 AS (SELECT bk,
+       |     CAST((g - ((g % d) + d) % d) // d AS BIGINT) AS w
+       |   FROM g0, dv),
+       |$blocks,
+       | pf AS (SELECT b.doc_id,
+       |     CAST(sum(coalesce(w$iters.w, 0)) AS BIGINT) AS p
+       |   FROM b LEFT JOIN w$iters USING (bk) GROUP BY b.doc_id)
+       | SELECT tk.doc_id, CAST(tk.y AS BIGINT) AS y,
+       |   coalesce(pf.p, 0) AS score
+       | FROM tk LEFT JOIN pf USING (doc_id) ORDER BY tk.doc_id""".stripMargin
   }
 
   /** DuckDB CTE body re-deriving the synthesized URLs of [[withUrls]] from

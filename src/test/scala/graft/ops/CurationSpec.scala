@@ -334,4 +334,26 @@ class CurationSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(z(9L) === ((0L, 0L)))
   }
+
+  test("linearProbe separates classes with deterministic integer training") {
+    // Two vocabularies; after 2 GD iterations every positive doc must
+    // outscore every negative doc (margin on TRAINING data — the probe
+    // contract), bit-identically across runs.
+    val docs = Seq(
+      (1L, "good clean prose with structure and meaning here", true),
+      (2L, "good structure meaning clean prose and more here", true),
+      (3L, "spam spam buy now click here spam now buy", false),
+      (4L, "click buy spam now now spam click buy spam", false))
+      .toDF("doc_id", "text", "is_good")
+    val got = Curation.linearProbe(docs, "doc_id", "text", "is_good")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L)._1 === 1L && got(3L)._1 === -1L)
+    val posMin = Seq(got(1L)._2, got(2L)._2).min
+    val negMax = Seq(got(3L)._2, got(4L)._2).max
+    assert(posMin > negMax, got.toString)
+    assert(posMin > 0 && negMax < 0, got.toString)
+    val again = Curation.linearProbe(docs, "doc_id", "text", "is_good")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === again)
+  }
 }
