@@ -1143,6 +1143,18 @@ object SparkEntry {
           minLen = 8)
         .presented("doc_id")),
 
+    // Content-defined chunking dedup (FastCDC at token level): md5-gated
+    // cut points, chunk-content occurrence counts. Exact oracle: DuckDB
+    // replays the identical cut policy and chunk hashing with list
+    // functions.
+    "q_cdc_chunks" -> ((s, dir) =>
+      Dedup.cdcChunks(docsWithDupes(s, dir), "doc_id", "text")
+        .presented("doc_id", "start_tok")),
+
+    "q_cdc_dedup" -> ((s, dir) =>
+      Dedup.cdcDedupStats(docsWithDupes(s, dir), "doc_id", "text")
+        .presented("doc_id")),
+
     // Cross-slice n-gram overlap matrix (leakage audit over `source`).
     // maxSlices = 2 genuinely excludes grams present in all 3 sources, so
     // the ubiquity cap carries oracle traffic.
@@ -1996,6 +2008,26 @@ object SparkEntry {
          |     / greatest(len(tk.t), 1) AS dup_frac
          | FROM tk LEFT JOIN pd USING (doc_id)
          | ORDER BY tk.doc_id""".stripMargin,
+    "q_cdc_chunks" ->
+      s"""WITH $cdcChunksCteSql
+         | SELECT doc_id, start_tok, n_tokens, n_occurrences
+         | FROM withc ORDER BY doc_id, start_tok""".stripMargin,
+    "q_cdc_dedup" ->
+      s"""WITH $cdcChunksCteSql,
+         | per AS (SELECT doc_id, count(*) AS n_chunks,
+         |     CAST(sum(CASE WHEN n_occurrences > 1 THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_dup_chunks,
+         |     CAST(sum(CASE WHEN n_occurrences > 1 THEN n_tokens ELSE 0 END)
+         |       AS BIGINT) AS dup_tokens,
+         |     CAST(sum(n_tokens) AS BIGINT) AS nt
+         |   FROM withc GROUP BY doc_id)
+         | SELECT tk.doc_id, coalesce(per.n_chunks, 0) AS n_chunks,
+         |   coalesce(per.n_dup_chunks, 0) AS n_dup_chunks,
+         |   coalesce(per.dup_tokens, 0) AS dup_tokens,
+         |   CAST(coalesce(per.dup_tokens, 0) AS DOUBLE)
+         |     / greatest(coalesce(per.nt, 0), 1) AS dup_frac
+         | FROM tk LEFT JOIN per USING (doc_id)
+         | ORDER BY tk.doc_id""".stripMargin,
     "q_slice_overlap" ->
       s"""WITH tk AS (SELECT source, $tokensSql AS t FROM documents),
          | sh AS (SELECT DISTINCT source AS src, unnest($shingleSetSql) AS g
@@ -2226,6 +2258,32 @@ object SparkEntry {
        |$finals
        |ORDER BY "rank"""".stripMargin
   }
+
+  /** DuckDB CTE body replaying [[graft.ops.Dedup.cdcChunks]] (k = 3,
+    * modulus = 8) over docsWithDupes: md5-gated cut points (1-based gram
+    * end j cuts unless it is the last token), 0-based chunk starts
+    * [0] ++ cuts, chunk-content md5 occurrence counts. Ends with `tk`
+    * (doc_id, t) and `withc` (doc_id, start_tok, n_tokens,
+    * n_occurrences).
+    */
+  private val cdcChunksCteSql: String =
+    s"""tk AS (SELECT doc_id, $tokensSql AS t FROM $docsWithDupesSql),
+       | cu AS (SELECT doc_id, t,
+       |     list_filter(range(3, len(t) + 1), j -> j < len(t)
+       |       AND CAST(('0x' || substr(md5(
+       |           array_to_string(t[j - 2 : j], ' ')), 1, 13)) AS BIGINT)
+       |         % 8 = 0) AS cj
+       |   FROM tk WHERE len(t) > 0),
+       | st AS (SELECT doc_id, t, list_prepend(0, cj) AS s0 FROM cu),
+       | ch AS (SELECT doc_id, t, s0,
+       |     list_concat(s0[2:], [len(t)]) AS e0 FROM st),
+       | flat AS (SELECT doc_id, unnest(s0) AS s, unnest(e0) AS e, t
+       |   FROM ch),
+       | wc0 AS (SELECT doc_id, s AS start_tok, e - s AS n_tokens,
+       |     md5(array_to_string(t[s + 1 : e], ' ')) AS h FROM flat),
+       | cnt AS (SELECT h, count(*) AS n_occurrences FROM wc0 GROUP BY h),
+       | withc AS (SELECT doc_id, start_tok, n_tokens, n_occurrences
+       |   FROM wc0 JOIN cnt USING (h))""".stripMargin
 
   /** Fixed-point linear-probe training unrolled (the
     * [[graft.ops.Curation.linearProbe]] policy): w1 comes from the

@@ -515,6 +515,91 @@ object Dedup {
         (col("end_tok") - col("start_tok") + 1L).as("n_tokens"))
   }
 
+  /** Content-defined chunking (CDC) dedup — the FastCDC/rsync idea at the
+    * token level: a chunk boundary falls AFTER token j whenever the hash
+    * of the k-gram ENDING at j is ≡ 0 (mod `modulus`), so boundaries
+    * depend only on LOCAL content. Insert or delete a token and every
+    * chunk except the one containing the edit re-aligns — the dedup
+    * remains effective under shifts, where fixed-offset windows all move
+    * and match nothing. Expected chunk length is `modulus` tokens.
+    *
+    * Returns one row per chunk: (id, start_tok, n_tokens, n_occurrences)
+    * where n_occurrences counts the chunk's content across the whole
+    * corpus (> 1 ⇒ duplicated). Cut decisions and chunk identity both
+    * hash md5 OF THE TOKEN STRING (the engine's cross-engine policy), so
+    * the full chunking + dedup is engine-replayable.
+    *
+    * Scale shape: chunking is a per-row array computation (no explode
+    * until chunks exist); chunk rows shuffle as (id, start, len, hash) —
+    * the chunk TEXT is hashed and dropped before any exchange; ONE count
+    * aggregation on the hash and a hash-keyed join back. Short docs
+    * (< k tokens) form a single whole-doc chunk.
+    */
+  def cdcChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      modulus: Int = 8): DataFrame = {
+    require(k >= 1 && modulus >= 2, s"need k >= 1, modulus >= 2: $k, $modulus")
+    val staged = df.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("__t"))
+    val n = size(col("__t"))
+    // 0-based gram-end positions j (k-1 .. n-1) that cut AFTER j; a cut at
+    // the last token would open an empty chunk, so it is dropped.
+    val cuts = filter(
+      transform(sequence(lit(k - 1), greatest(n - 1, lit(k - 1))), j => j),
+      j => j < n - 1 &&
+        pmod(conv(substring(md5(
+          concat_ws(" ", slice(col("__t"), j - (k - 2), lit(k)))
+            .cast("binary")), 1, 13), 16, 10).cast("long"),
+          lit(modulus.toLong)) === 0L)
+    val chunks = staged
+      .where(n > 0)
+      .withColumn("__s",
+        concat(array(lit(0)), transform(cuts, c => c + 1)))
+      .withColumn("__e",
+        concat(slice(col("__s"), lit(2), greatest(size(col("__s")) - 1, lit(0))),
+          array(n)))
+      .select(col("id"), explode(zip_with(col("__s"), col("__e"),
+        (s, e) => struct(s.as("st"), (e - s).as("ln"),
+          md5(concat_ws(" ", slice(col("__t"), s + 1, e - s)).cast("binary"))
+            .as("h")))).as("c"))
+      .select(col("id"), col("c.st").cast("long").as("start_tok"),
+        col("c.ln").cast("long").as("n_tokens"), col("c.h").as("h"))
+    val counts = chunks.groupBy("h").agg(count(lit(1)).as("n_occurrences"))
+    chunks.join(counts, Seq("h"))
+      .select(col("id").as(idCol), col("start_tok"), col("n_tokens"),
+        col("n_occurrences"))
+  }
+
+  /** Per-document CDC dedup stats from [[cdcChunks]]: chunk count, chunks
+    * whose content appears elsewhere in the corpus, duplicated-token mass
+    * and fraction. Chunkless (empty) docs report zeros.
+    */
+  def cdcDedupStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      modulus: Int = 8): DataFrame = {
+    val per = cdcChunks(df, idCol, textCol, k, modulus)
+      .groupBy(col(idCol).as("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum((col("n_occurrences") > 1).cast("long")).as("n_dup_chunks"),
+        sum(when(col("n_occurrences") > 1, col("n_tokens"))
+          .otherwise(0L)).as("dup_tokens"),
+        sum(col("n_tokens")).as("n_tokens_doc"))
+    df.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_tokens_doc"), lit(0L)), lit(1L)))
+          .as("dup_frac"))
+  }
+
   /** Per-document duplicated-token mass from [[duplicateSubstringSpans]]:
     * (id, n_tokens total, dup_tokens, n_spans, dup_frac) — `dup_frac` is
     * the fraction of the document's tokens covered by corpus-duplicated

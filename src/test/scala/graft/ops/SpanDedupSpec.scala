@@ -190,6 +190,38 @@ class SpanDedupSpec extends SparkTestBase {
     assert(spans.toSet === Set((0L, 3L, 4L), (5L, 8L, 4L)), spans.toSeq.toString)
   }
 
+  test("cdcChunks: chunks tile the doc; identical docs fully co-occur") {
+    val text = (1 to 60).map(i => s"w${i * 7 % 53}").mkString(" ")
+    val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val rows = Dedup.cdcChunks(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val d1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    // Chunks tile [0, 60) without gaps or overlaps.
+    assert(d1.head._2 === 0L && d1.map(c => c._2 + c._3).max === 60L)
+    assert(d1.sliding(2).forall {
+      case Array(a, b) => a._2 + a._3 === b._2; case _ => true })
+    assert(d1.length > 2, s"expected several chunks, got ${d1.length}")
+    // Every chunk of the identical twin co-occurs (n_occurrences = 2).
+    assert(rows.forall(_._4 === 2L), rows.mkString(","))
+  }
+
+  test("cdc dedup is shift-robust where fixed windows are not") {
+    val base = (1 to 80).map(i => s"tok${i * 11 % 71}").mkString(" ")
+    val docs = Seq((1L, base), (2L, "zzz qqq " + base)).toDF("doc_id", "text")
+    val stats = Dedup.cdcDedupStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(4)))
+      .toMap
+    // The shifted copy still dedups most of its mass: all chunks after
+    // the first boundary re-align on content.
+    assert(stats(2L)._3 > 0.5, stats.toString)
+    assert(stats(1L)._3 > 0.5, stats.toString)
+    // A chunkless (empty) doc reports zeros.
+    val z = Dedup.cdcDedupStats(
+      Seq((9L, "")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    assert(z.getLong(1) === 0L && z.getDouble(4) === 0.0)
+  }
+
   test("duplicateTokenRatio reports exact duplicated-token mass") {
     val docs = Seq(
       (1L, "a b c d e f g h"),   // full-doc dup of doc 2
