@@ -560,12 +560,18 @@ object Curation {
       (a, b) => concat(a, lit(" "), b))
     val y = when(col(labelCol).cast("boolean"), 1L).otherwise(-1L)
     val labeled = df.select(col(idCol).as("id"), y.as("y"), col(textCol))
+    // Features are materialized ONCE and reused by every iteration's two
+    // aggregations and the final scoring pass — (id, y, bk) longs, a tiny
+    // fraction of the text bytes. The cache stays until the returned
+    // DataFrame becomes unreachable; the ContextCleaner then reclaims it
+    // (the [[Graph.connectedComponents]] lifecycle).
     val feats = labeled
       .select(col("id"), col("y"), explode(concat(t, bigrams)).as("g"))
       .select(col("id"), col("y"),
         pmod(conv(substring(md5(col("g").cast("binary")), 1, 13), 16, 10)
           .cast("long"), lit(buckets.toLong)).as("bk"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = df.count()
     val d = n << etaLog2 // divisor: n·2^eta (η/n folded into one floor div)
     var w: Map[Long, Long] = Map.empty.withDefaultValue(0L)
