@@ -1143,6 +1143,21 @@ object SparkEntry {
           minLen = 8)
         .presented("doc_id")),
 
+    // Eval-integrity pair: a per-document hash split scatters duplicate
+    // pairs across splits (q_split_leakage's off-diagonal rows), the
+    // cluster-representative split provably does not (q_leakfree_split —
+    // every dup group takes its min-id representative's draw). Exact
+    // oracles from the shared md5 draw constants.
+    "q_split_leakage" -> ((s, dir) =>
+      Curation.splitLeakage(docsWithDupes(s, dir), "doc_id", "text",
+          SplitFracs)
+        .presented("split_a", "split_b")),
+
+    "q_leakfree_split" -> ((s, dir) =>
+      Curation.leakageFreeSplit(docsWithDupes(s, dir), "doc_id", "text",
+          SplitFracs)
+        .presented("doc_id")),
+
     // Content-defined chunking dedup (FastCDC at token level): md5-gated
     // cut points, chunk-content occurrence counts. Exact oracle: DuckDB
     // replays the identical cut policy and chunk hashing with list
@@ -2008,6 +2023,36 @@ object SparkEntry {
          |     / greatest(len(tk.t), 1) AS dup_frac
          | FROM tk LEFT JOIN pd USING (doc_id)
          | ORDER BY tk.doc_id""".stripMargin,
+    "q_split_leakage" -> {
+      val draw = "substr(md5(doc_id::VARCHAR || '-graft'), 1, 8)"
+      val cum = SplitFracs.map(_._2).scanLeft(0.0)(_ + _).tail
+      val cases = SplitFracs.init.zip(cum.init).map { case ((label, _), hi) =>
+        s"WHEN $draw < '${Curation.hexThreshold(hi)}' THEN '$label'"
+      }.mkString(" ")
+      s"""WITH d AS (SELECT doc_id, md5(text) AS h,
+         |     CASE $cases ELSE '${SplitFracs.last._1}' END AS split
+         |   FROM $docsWithDupesSql)
+         | SELECT least(a.split, b.split) AS split_a,
+         |   greatest(a.split, b.split) AS split_b,
+         |   count(*) AS n_dup_pairs
+         | FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin
+    },
+    "q_leakfree_split" -> {
+      val draw = "substr(md5(rep::VARCHAR || '-graft'), 1, 8)"
+      val cum = SplitFracs.map(_._2).scanLeft(0.0)(_ + _).tail
+      val cases = SplitFracs.init.zip(cum.init).map { case ((label, _), hi) =>
+        s"WHEN $draw < '${Curation.hexThreshold(hi)}' THEN '$label'"
+      }.mkString(" ")
+      s"""WITH d AS (SELECT doc_id, md5(text) AS h FROM $docsWithDupesSql),
+         | r AS (SELECT h, min(doc_id) AS rep FROM d GROUP BY h),
+         | s AS (SELECT rep,
+         |     CASE $cases ELSE '${SplitFracs.last._1}' END AS split
+         |   FROM (SELECT DISTINCT rep FROM r))
+         | SELECT d.doc_id, r.rep, s.split
+         | FROM d JOIN r USING (h) JOIN s USING (rep)
+         | ORDER BY d.doc_id""".stripMargin
+    },
     "q_cdc_chunks" ->
       s"""WITH $cdcChunksCteSql
          | SELECT doc_id, start_tok, n_tokens, n_occurrences

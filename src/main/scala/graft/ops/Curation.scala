@@ -240,6 +240,55 @@ object Curation {
     df.select(col(idCol), draw.as("draw"), assigned.as("split"))
   }
 
+  /** Eval-integrity audit: how many DUPLICATE pairs does a hash split put
+    * on opposite sides of a split boundary? Exact-duplicate pairs (same
+    * md5 of text) that land in different splits of [[splitCorpus]] are
+    * train/test leakage — the thing a per-document hash split cannot see.
+    * Returns one row per unordered split pair (split_a ≤ split_b) with
+    * the duplicate-pair count; off-diagonal rows are the leak.
+    *
+    * Scale shape: one groupBy on the 128-bit content hash (ids only ride
+    * the shuffle), pairs expand WITHIN duplicate groups only, then a tiny
+    * split-pair aggregation.
+    */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+      splits: Seq[(String, Double)], salt: String = "graft"): DataFrame = {
+    val assigned = splitCorpus(df, idCol, splits, salt)
+      .select(col(idCol).as("id"), col("split"))
+    val hashed = df.select(col(idCol).as("id"),
+        md5(col(textCol).cast("binary")).as("h"))
+      .join(assigned, Seq("id"))
+    val pairs = hashed.as("a").join(hashed.as("b"),
+      col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+    pairs.select(
+        least(col("a.split"), col("b.split")).as("split_a"),
+        greatest(col("a.split"), col("b.split")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_dup_pairs"))
+  }
+
+  /** Leakage-FREE split: assign every document the split of its exact-dup
+    * cluster REPRESENTATIVE (the minimum id sharing its content hash), so
+    * duplicate groups land on one side by construction —
+    * [[splitLeakage]] over the result is diagonal-only. One content-hash
+    * aggregation (ids only) + a broadcast-friendly hash-keyed join; the
+    * same recipe extends to near-dup clusters via
+    * [[graft.ops.Graph.dedupClusters]] labels as the key.
+    */
+  def leakageFreeSplit(df: DataFrame, idCol: String, textCol: String,
+      splits: Seq[(String, Double)], salt: String = "graft"): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"),
+      md5(col(textCol).cast("binary")).as("h"))
+    val reps = hashed.groupBy("h").agg(min(col("id")).as("rep"))
+    val byRep = hashed.join(reps, Seq("h"))
+    val repSplit = splitCorpus(
+      byRep.select(col("rep")).distinct().withColumnRenamed("rep", "id"),
+      "id", splits, salt)
+      .select(col("id").as("rep"), col("split"))
+    byRep.join(repSplit, Seq("rep"))
+      .select(col("id").as(idCol), col("rep"), col("split"))
+  }
+
   /** Corpus mixing: per-shard keep probabilities (domain re-weighting for
     * training mixtures — keep `weights(shard)` of each source, `default`
     * elsewhere). Emits the draw and verdict rather than silently dropping.

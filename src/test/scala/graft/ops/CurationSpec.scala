@@ -335,6 +335,31 @@ class CurationSpec extends SparkTestBase {
     assert(z(9L) === ((0L, 0L)))
   }
 
+  test("leakageFreeSplit co-locates duplicate groups; splitLeakage audits") {
+    // 40 dup pairs (i, i+1000) plus unique docs: the per-document split
+    // must leak SOME pair across splits, the representative split none.
+    val docs = (0L until 200L).map(i => (i, s"content number ${i % 40}"))
+      .toDF("doc_id", "text")
+    val fr = Seq("test" -> 0.25, "train" -> 0.75)
+    val leak = Curation.splitLeakage(docs, "doc_id", "text", fr)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(leak.keys.exists { case (a, b) => a != b },
+      s"hash split should scatter some dup group: $leak")
+    // The leak-free split: every doc gets its group representative's
+    // split, so re-auditing with the SAME pair logic is diagonal-only.
+    val lf = Curation.leakageFreeSplit(docs, "doc_id", "text", fr)
+    val byDoc = lf.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(byDoc.size === 200)
+    // Same content ⇒ same representative ⇒ same split.
+    (0L until 200L).groupBy(_ % 40).values.foreach { g =>
+      val splits = g.map(byDoc(_)).toSet
+      assert(splits.size === 1, s"group split apart: $g -> $splits")
+    }
+    // Representative is the group minimum.
+    assert(byDoc(47L)._1 === 7L && byDoc(7L)._1 === 7L)
+  }
+
   test("linearProbe separates classes with deterministic integer training") {
     // Two vocabularies; after 2 GD iterations every positive doc must
     // outscore every negative doc (margin on TRAINING data — the probe
