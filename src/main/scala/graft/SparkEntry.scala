@@ -1143,6 +1143,19 @@ object SparkEntry {
           minLen = 8)
         .presented("doc_id")),
 
+    // N-gram novelty of src1/src2 documents against the src0 slice as the
+    // existing-corpus reference. Exact oracle: DuckDB rebuilds shingle
+    // STRING sets (the engine joins 64-bit shingle hashes — the
+    // q_ngram_jaccard collision argument); novelty is an integer-ratio
+    // double.
+    "q_novelty" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Curation.noveltyScore(
+        d.where(col("source") =!= "src0"), "doc_id", "text",
+        d.where(col("source") === "src0"), "text")
+        .presented("doc_id")
+    }),
+
     // Eval-integrity pair: a per-document hash split scatters duplicate
     // pairs across splits (q_split_leakage's off-diagonal rows), the
     // cluster-representative split provably does not (q_leakfree_split —
@@ -2023,6 +2036,24 @@ object SparkEntry {
          |     / greatest(len(tk.t), 1) AS dup_frac
          | FROM tk LEFT JOIN pd USING (doc_id)
          | ORDER BY tk.doc_id""".stripMargin,
+    "q_novelty" ->
+      s"""WITH sh AS (SELECT doc_id, source, $shingleSetSql AS s
+         |     FROM (SELECT doc_id, source, $tokensSql AS t FROM documents)),
+         | refg AS (SELECT DISTINCT unnest(s) AS g FROM sh
+         |   WHERE source = 'src0'),
+         | dg AS (SELECT doc_id, unnest(s) AS g FROM sh
+         |   WHERE source <> 'src0'),
+         | per AS (SELECT dg.doc_id, count(*) AS n_grams,
+         |     CAST(sum(CASE WHEN refg.g IS NULL THEN 0 ELSE 1 END)
+         |       AS BIGINT) AS n_known
+         |   FROM dg LEFT JOIN refg ON dg.g = refg.g
+         |   GROUP BY dg.doc_id)
+         | SELECT sh.doc_id, coalesce(per.n_grams, 0) AS n_grams,
+         |   coalesce(per.n_known, 0) AS n_known,
+         |   1.0 - CAST(coalesce(per.n_known, 0) AS DOUBLE)
+         |     / greatest(coalesce(per.n_grams, 0), 1) AS novelty
+         | FROM sh LEFT JOIN per USING (doc_id) WHERE sh.source <> 'src0'
+         | ORDER BY sh.doc_id""".stripMargin,
     "q_split_leakage" -> {
       val draw = "substr(md5(doc_id::VARCHAR || '-graft'), 1, 8)"
       val cum = SplitFracs.map(_._2).scanLeft(0.0)(_ + _).tail

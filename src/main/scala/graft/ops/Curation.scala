@@ -240,6 +240,55 @@ object Curation {
     df.select(col(idCol), draw.as("draw"), assigned.as("split"))
   }
 
+  /** N-gram novelty against a reference corpus: for every candidate
+    * document, the fraction of its distinct word k-grams NOT present
+    * anywhere in `ref` — the memorization/overlap analysis a pipeline
+    * runs before adding a new crawl to an existing corpus (novelty ≈ 0 ⇒
+    * rehash of what is already held; ≈ 1 ⇒ genuinely new text). The
+    * complement of [[decontaminate]]'s pair view: scored per candidate,
+    * against the reference set as a whole.
+    *
+    * Scale shape: both sides reduce to (key, gram-hash) rows via the
+    * fused ShingleHashes kernel (distinct per doc, no gram strings); the
+    * reference set is globally distinct'd and met with a HASH-KEYED
+    * join — at 100 TB the reference gram set is itself huge, so unlike
+    * the eval-sized decontaminate build side it is NOT broadcast; both
+    * shuffles carry hashes only. Final per-doc aggregation is
+    * map-side-combined counts; novelty is an integer-ratio double
+    * (bit-exact cross-engine).
+    */
+  def noveltyScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      ref: DataFrame,
+      refTextCol: String,
+      k: Int = 3): DataFrame = {
+    val docG = df
+      .select(col(idCol).as("id"),
+        graft.functions.TextFunctions.tokenize(col(textCol)).as("__t"))
+      .select(col("id"),
+        explode(graft.functions.TextFunctions.shingle_hashes(col("__t"), k))
+          .as("gh"))
+    val refG = ref
+      .select(graft.functions.TextFunctions.tokenize(col(refTextCol)).as("__t"))
+      .select(explode(
+        graft.functions.TextFunctions.shingle_hashes(col("__t"), k)).as("gh"))
+      .distinct()
+      .withColumn("__known", lit(1L))
+    val per = docG.join(refG, Seq("gh"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__known"), lit(0L))).as("n_known"))
+    df.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"),
+        (lit(1.0) - coalesce(col("n_known"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_grams"), lit(0L)), lit(1L)))
+          .as("novelty"))
+  }
+
   /** Eval-integrity audit: how many DUPLICATE pairs does a hash split put
     * on opposite sides of a split boundary? Exact-duplicate pairs (same
     * md5 of text) that land in different splits of [[splitCorpus]] are

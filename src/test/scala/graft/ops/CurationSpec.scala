@@ -335,6 +335,23 @@ class CurationSpec extends SparkTestBase {
     assert(z(9L) === ((0L, 0L)))
   }
 
+  test("noveltyScore: exact copies score 0, fresh text 1, mixtures between") {
+    val ref = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("rid", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // exact copy: novelty 0
+      (2L, "totally fresh words never seen anywhere"), // novelty 1
+      (3L, "alpha beta gamma nine ten eleven twelve")) // head known
+      .toDF("doc_id", "text")
+    val m = Curation.noveltyScore(docs, "doc_id", "text", ref, "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(m(1L)._3 === 0.0, m.toString)
+    assert(m(2L)._3 === 1.0, m.toString)
+    // Doc 3: 5 shingles, exactly one ('alpha beta gamma') in the ref.
+    assert(m(3L) === ((5L, 1L, 0.8)), m.toString)
+  }
+
   test("leakageFreeSplit co-locates duplicate groups; splitLeakage audits") {
     // 40 dup pairs (i, i+1000) plus unique docs: the per-document split
     // must leak SOME pair across splits, the representative split none.
