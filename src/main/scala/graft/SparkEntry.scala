@@ -1171,6 +1171,14 @@ object SparkEntry {
           SplitFracs)
         .presented("doc_id")),
 
+    // Duplicate-substring REMOVAL (Lee et al. first-occurrence policy):
+    // exact oracle — DuckDB re-elects first gram occurrences over strings
+    // and rebuilds the cleaned text with the same island merge.
+    "q_remove_dup_spans" -> ((s, dir) =>
+      Dedup.removeDuplicateSpans(docsWithDupes(s, dir), "doc_id", "text",
+          minLen = 8)
+        .presented("doc_id")),
+
     // Content-defined chunking dedup (FastCDC at token level): md5-gated
     // cut points, chunk-content occurrence counts. Exact oracle: DuckDB
     // replays the identical cut policy and chunk hashing with list
@@ -2084,6 +2092,35 @@ object SparkEntry {
          | FROM d JOIN r USING (h) JOIN s USING (rep)
          | ORDER BY d.doc_id""".stripMargin
     },
+    "q_remove_dup_spans" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM $docsWithDupesSql),
+         | g AS (SELECT doc_id, unnest(range(1, len(t) - 6)) AS i, t
+         |   FROM tk WHERE len(t) >= 8),
+         | g2 AS (SELECT doc_id, i - 1 AS pos,
+         |     array_to_string(list_slice(t, i, i + 7), ' ') AS gram FROM g),
+         | fe AS (SELECT doc_id, pos, row_number()
+         |     OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM g2),
+         | rm AS (SELECT doc_id, pos FROM fe WHERE rn > 1),
+         | isl AS (SELECT doc_id, pos,
+         |     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+         |       AS grp
+         |   FROM rm),
+         | sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+         |   FROM isl GROUP BY doc_id, grp),
+         | spl AS (SELECT doc_id, list({'s': s, 'e': e} ORDER BY s) AS sps
+         |   FROM sp GROUP BY doc_id)
+         | SELECT tk.doc_id, len(tk.t) AS n_tokens,
+         |   len(tk.t) - len([tk.t[j] for j in range(1, len(tk.t) + 1)
+         |     if len(list_filter(coalesce(spl.sps,
+         |          CAST([] AS STRUCT(s BIGINT, e BIGINT)[])),
+         |        x -> j - 1 >= x.s AND j - 1 <= x.e)) = 0]) AS n_removed,
+         |   coalesce(array_to_string(
+         |     [tk.t[j] for j in range(1, len(tk.t) + 1)
+         |       if len(list_filter(coalesce(spl.sps,
+         |            CAST([] AS STRUCT(s BIGINT, e BIGINT)[])),
+         |          x -> j - 1 >= x.s AND j - 1 <= x.e)) = 0], ' '), '')
+         |     AS cleaned_text
+         | FROM tk LEFT JOIN spl USING (doc_id) ORDER BY tk.doc_id""".stripMargin,
     "q_cdc_chunks" ->
       s"""WITH $cdcChunksCteSql
          | SELECT doc_id, start_tok, n_tokens, n_occurrences

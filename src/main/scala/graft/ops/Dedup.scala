@@ -600,6 +600,65 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Duplicate-substring REMOVAL (the action [[duplicateSubstringSpans]]
+    * only measures) — Lee et al. 2022's policy: every duplicated
+    * `minLen`-gram keeps its FIRST corpus occurrence (minimum (doc, pos))
+    * and loses the rest; removable seed positions merge into maximal
+    * token spans per document, those tokens are cut, and the cleaned
+    * (lowercased, re-spaced) text is rebuilt. A document equal to an
+    * earlier one therefore collapses to nothing; partial quotes lose
+    * exactly the quoted run.
+    *
+    * Scale shape: the first-occurrence election is ONE min-aggregation on
+    * the gram hash (struct of (doc, pos) — no text); removable seeds are
+    * (id, pos) longs through one per-doc window; the span list per doc is
+    * bounded by the doc's own length, joined back broadcast-style per
+    * row. Text bytes never ride a shuffle.
+    *
+    * Output: (id, n_tokens, n_removed, cleaned_text).
+    */
+  def removeDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 8): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val staged = df
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__t"))
+    val seeds = staged
+      .select(col("id"),
+        graft.functions.TextFunctions.ngram_hashes(col("__t"), minLen).as("__g"))
+      .select(col("id"), posexplode(col("__g")).as(Seq("pos", "gh")))
+    val first = seeds.groupBy("gh")
+      .agg(min(struct(col("id"), col("pos"))).as("__first"),
+        count(lit(1)).as("__n"))
+      .where(col("__n") > 1)
+    val removable = seeds.join(first, Seq("gh"))
+      .where(col("id") =!= col("__first.id") ||
+        col("pos") =!= col("__first.pos"))
+      .withColumn("__grp",
+        col("pos") - row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("pos"))))
+    val spans = removable.groupBy(col("id"), col("__grp"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (minLen - 1)).as("e"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("__sp"))
+    staged.join(spans, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        coalesce(size(filter(col("__t"), (_, j) =>
+          exists(coalesce(col("__sp"),
+              array().cast("array<struct<s:int,e:int>>")),
+            sp => j >= sp.getField("s") && j <= sp.getField("e")))),
+          lit(0)).cast("long").as("n_removed"),
+        concat_ws(" ",
+          filter(col("__t"), (_, j) =>
+            !exists(coalesce(col("__sp"),
+                array().cast("array<struct<s:int,e:int>>")),
+              sp => j >= sp.getField("s") && j <= sp.getField("e"))))
+          .as("cleaned_text"))
+  }
+
   /** Per-document duplicated-token mass from [[duplicateSubstringSpans]]:
     * (id, n_tokens total, dup_tokens, n_spans, dup_frac) — `dup_frac` is
     * the fraction of the document's tokens covered by corpus-duplicated

@@ -190,6 +190,27 @@ class SpanDedupSpec extends SparkTestBase {
     assert(spans.toSet === Set((0L, 3L, 4L), (5L, 8L, 4L)), spans.toSeq.toString)
   }
 
+  test("removeDuplicateSpans keeps the first occurrence, cuts the rest") {
+    val shared = "a1 a2 a3 a4 a5 a6"
+    val docs = Seq(
+      (1L, s"$shared tail one here"),   // first occurrence — untouched
+      (2L, s"front bit $shared"),       // later occurrence — loses the run
+      (3L, "nothing shared at all in this document text"))
+      .toDF("doc_id", "text")
+    val m = Dedup.removeDuplicateSpans(docs, "doc_id", "text", minLen = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(m(1L) === ((9L, 0L, "a1 a2 a3 a4 a5 a6 tail one here")))
+    assert(m(2L) === ((8L, 6L, "front bit")))
+    assert(m(3L)._2 === 0L)
+    // An exact duplicate of doc 1 collapses entirely.
+    val withCopy = docs.union(Seq((9L, s"$shared tail one here")).toDF("doc_id", "text"))
+    val c = Dedup.removeDuplicateSpans(withCopy, "doc_id", "text", minLen = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(c(9L) === "")
+    assert(c(1L) === "a1 a2 a3 a4 a5 a6 tail one here")
+  }
+
   test("cdcChunks: chunks tile the doc; identical docs fully co-occur") {
     val text = (1 to 60).map(i => s"w${i * 7 % 53}").mkString(" ")
     val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
