@@ -2012,10 +2012,14 @@ object SparkEntry {
          |     array_to_string(list_slice(t, i, i + 7), ' ') AS gram FROM g),
          | dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) > 1),
          | ds AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN dup USING (gram)),
+         | isl0 AS (SELECT doc_id, pos,
+         |     CASE WHEN pos - lag(pos)
+         |         OVER (PARTITION BY doc_id ORDER BY pos) < 8
+         |       THEN 0 ELSE 1 END AS nw
+         |   FROM ds),
          | isl AS (SELECT doc_id, pos,
-         |     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-         |       AS grp
-         |   FROM ds)
+         |     sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |   FROM isl0)
          | SELECT doc_id, min(pos) AS start_tok, max(pos) + 7 AS end_tok,
          |   max(pos) - min(pos) + 8 AS n_tokens
          | FROM isl GROUP BY doc_id, grp
@@ -2028,10 +2032,14 @@ object SparkEntry {
          |     array_to_string(list_slice(t, i, i + 7), ' ') AS gram FROM g),
          | dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) > 1),
          | ds AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN dup USING (gram)),
-         | isl AS (SELECT doc_id, pos,
-         |     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-         |       AS grp
+         | isl0 AS (SELECT doc_id, pos,
+         |     CASE WHEN pos - lag(pos)
+         |         OVER (PARTITION BY doc_id ORDER BY pos) < 8
+         |       THEN 0 ELSE 1 END AS nw
          |   FROM ds),
+         | isl AS (SELECT doc_id, pos,
+         |     sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |   FROM isl0),
          | sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
          |   FROM isl GROUP BY doc_id, grp),
          | pd AS (SELECT doc_id, count(*) AS n_spans,
@@ -2101,10 +2109,14 @@ object SparkEntry {
          | fe AS (SELECT doc_id, pos, row_number()
          |     OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM g2),
          | rm AS (SELECT doc_id, pos FROM fe WHERE rn > 1),
-         | isl AS (SELECT doc_id, pos,
-         |     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-         |       AS grp
+         | isl0 AS (SELECT doc_id, pos,
+         |     CASE WHEN pos - lag(pos)
+         |         OVER (PARTITION BY doc_id ORDER BY pos) < 8
+         |       THEN 0 ELSE 1 END AS nw
          |   FROM rm),
+         | isl AS (SELECT doc_id, pos,
+         |     sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |   FROM isl0),
          | sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
          |   FROM isl GROUP BY doc_id, grp),
          | spl AS (SELECT doc_id, list({'s': s, 'e': e} ORDER BY s) AS sps

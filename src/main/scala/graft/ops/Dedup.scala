@@ -504,10 +504,18 @@ object Dedup {
       .select(col("id"), posexplode(col("__g")).as(Seq("pos", "gh")))
     val dup = seeds.groupBy("gh").agg(count(lit(1)).as("__n"))
       .where(col("__n") > 1).select("gh")
+    // Island break only when the gap to the previous duplicated seed is
+    // >= minLen: a seed at p covers tokens [p, p+minLen-1], so seeds with
+    // gap <= minLen-1 cover overlapping-or-adjacent token ranges and MUST
+    // share a span (a pos-minus-row_number grouping would split them into
+    // spans that overlap in token coordinates, breaking the
+    // non-overlap invariant and letting dup_frac exceed 1.0).
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     val ranked = seeds.join(dup, Seq("gh"))
-      .withColumn("__grp",
-        col("pos") - row_number().over(
-          Window.partitionBy(col("id")).orderBy(col("pos"))))
+      .withColumn("__nw",
+        when(col("pos") - lag(col("pos"), 1).over(w) < minLen, 0)
+          .otherwise(1))
+      .withColumn("__grp", sum(col("__nw")).over(w))
     ranked.groupBy(col("id"), col("__grp"))
       .agg(min(col("pos")).cast("long").as("start_tok"),
         (max(col("pos")) + (minLen - 1)).cast("long").as("end_tok"))
@@ -633,12 +641,17 @@ object Dedup {
       .agg(min(struct(col("id"), col("pos"))).as("__first"),
         count(lit(1)).as("__n"))
       .where(col("__n") > 1)
+    // Same gap-aware island merge as [[duplicateSubstringSpans]]: seeds
+    // whose gap is <= minLen-1 cover overlapping token ranges and must
+    // form one span.
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     val removable = seeds.join(first, Seq("gh"))
       .where(col("id") =!= col("__first.id") ||
         col("pos") =!= col("__first.pos"))
-      .withColumn("__grp",
-        col("pos") - row_number().over(
-          Window.partitionBy(col("id")).orderBy(col("pos"))))
+      .withColumn("__nw",
+        when(col("pos") - lag(col("pos"), 1).over(w) < minLen, 0)
+          .otherwise(1))
+      .withColumn("__grp", sum(col("__nw")).over(w))
     val spans = removable.groupBy(col("id"), col("__grp"))
       .agg(min(col("pos")).as("s"), (max(col("pos")) + (minLen - 1)).as("e"))
       .groupBy("id")

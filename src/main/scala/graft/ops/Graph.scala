@@ -86,7 +86,10 @@ object Graph {
       // join against the previous labels. (A limit(1) early-exit would be
       // cheaper on non-final rounds but would leave unscanned partitions
       // uncached, forcing a lineage recompute next round.)
-      val changed = next.agg(sum(col("chg"))).first().getLong(0)
+      // coalesce: sum over zero rows is SQL NULL — an empty edge set (no
+      // duplicate pairs at all) must converge cleanly, not NPE.
+      val changed =
+        next.agg(coalesce(sum(col("chg")), lit(0L))).first().getLong(0)
       labelsRdd.unpersist(blocking = false)
       labelsRdd = nextRdd
       labels = next

@@ -80,6 +80,16 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("empty edge set converges cleanly to empty labels") {
+    // sum over zero rows is SQL NULL: a corpus with no duplicate pairs
+    // (a normal production case) must return empty labels, not NPE on
+    // the convergence check.
+    val none = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Graph.connectedComponents(none, "a", "b").count() === 0L)
+    assert(Graph.connectedComponentsStar(none, "a", "b").count() === 0L)
+    assert(Graph.dedupClusters(none, "a", "b").count() === 0L)
+  }
+
   test("dedupClusters marks the min id of each cluster canonical") {
     val pairs = Seq((2L, 9L), (9L, 4L), (30L, 31L)).toDF("id_a", "id_b")
     val got = Graph.dedupClusters(pairs, "id_a", "id_b")

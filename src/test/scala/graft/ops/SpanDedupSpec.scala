@@ -190,6 +190,30 @@ class SpanDedupSpec extends SparkTestBase {
     assert(spans.toSet === Set((0L, 3L, 4L), (5L, 8L, 4L)), spans.toSeq.toString)
   }
 
+  test("seed gap below minLen merges into ONE span (no overlap, frac <= 1)") {
+    // Doc 10's 4-grams at pos 0 and pos 2 are each duplicated (against
+    // DIFFERENT docs); the gram at pos 1 is unique. The two seeds cover
+    // token ranges [0,3] and [2,5] — overlapping — so they must merge
+    // into a single span [0,5]. A naive pos-minus-row_number island
+    // grouping splits them into two overlapping spans and
+    // duplicateTokenRatio then reports 8 dup tokens in a 6-token doc
+    // (dup_frac 1.33 > 1).
+    val docs = Seq(
+      (10L, "w1 w2 w3 w4 w5 w6"),
+      (11L, "w1 w2 w3 w4 xx yy zz"),   // shares only the pos-0 gram
+      (12L, "pp qq w3 w4 w5 w6"))      // shares only the pos-2 gram
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSubstringSpans(docs, "doc_id", "text", minLen = 4)
+      .where(col("doc_id") === 10L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSet === Set((0L, 5L, 6L)), spans.toSeq.toString)
+    val m = Dedup.duplicateTokenRatio(docs, "doc_id", "text", minLen = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(m(10L) === ((6L, 1L, 6L, 1.0)), m.toString)
+    assert(m.values.forall(_._4 <= 1.0), m.toString)
+  }
+
   test("removeDuplicateSpans keeps the first occurrence, cuts the rest") {
     val shared = "a1 a2 a3 a4 a5 a6"
     val docs = Seq(
