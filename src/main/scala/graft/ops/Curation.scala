@@ -532,11 +532,12 @@ object Curation {
     * ratio ln(p_target(b) / p_raw(b)).
     *
     * Determinism policy: the per-slot ratio's numerator and denominator,
-    * (t_b+1)·(R+B) and (r_b+1)·(T+B), are EXACT int64 products (exact as
-    * doubles while < 2⁵³ — far beyond these corpora; a 100 TB run would
-    * fold the totals' ratio in log space instead, trading the bit-exact
-    * audit for headroom), so both engines hand `ln` the bit-identical
-    * double; λ_b = round(10⁶·ln(·)) is then an INTEGER per slot, and doc
+    * (t_b+1)·(R+B) and (r_b+1)·(T+B), multiply as DOUBLES — each factor
+    * converts exactly (counts ≪ 2⁵³) and IEEE multiplication rounds the
+    * product correctly at any magnitude, so there is no int64 wrap at
+    * 1e9–1e10 gram totals and both engines hand `ln` the bit-identical
+    * double (while the product is < 2⁵³ — every test corpus — it is the
+    * exact integer); λ_b = round(10⁶·ln(·)) is then an INTEGER per slot, and doc
     * scores are integer sums — order-independent, hash-matchable. A λ flip
     * would need libm implementations differing by ≥ the value's distance
     * to a half-integer boundary; margins on real data sit ~10⁶ ulps above
@@ -576,7 +577,13 @@ object Curation {
             .cast("long"), lit(buckets.toLong)).as("bk"))
     }
 
+    // The raw corpus is tokenized + hashed ONCE and reused by both its
+    // consumers — the slot-count aggregation and the scoring join — the
+    // same (id, bucket)-longs persist discipline as [[linearProbe]]'s
+    // feature table (one less full-corpus scan; the cache is reclaimed by
+    // the ContextCleaner once the returned DataFrame goes unreachable).
     val rawGrams = gramBuckets(raw)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tgtGrams = gramBuckets(target)
     // Slot counts are ≤ `buckets` rows after map-side partial aggregation —
     // collect them (the codebook-sized driver materialization this repo
@@ -589,13 +596,17 @@ object Curation {
     val rCounts = slotCounts(rawGrams)
     val tTot = tCounts.valuesIterator.sum
     val rTot = rCounts.valuesIterator.sum
-    // λ table: B rows built driver-side, exact-int64 ratio terms, one ln
-    // each (rint = round-half-away-from-zero for positive x via copySign,
-    // matching SQL ROUND on both engines) — broadcast to the scoring join.
+    // λ table: B rows built driver-side, one ln each (rint =
+    // round-half-away-from-zero for positive x via copySign, matching SQL
+    // ROUND on both engines) — broadcast to the scoring join. The ratio
+    // terms multiply as DOUBLES, not int64: each factor converts exactly
+    // (counts are far below 2^53) and the product is then correctly
+    // rounded at any magnitude, where an int64 product would silently
+    // wrap for corpus gram totals around 1e9-1e10 per side.
     import spark.implicits._
     val lam = (0L until buckets.toLong).map { bk =>
-      val num = ((tCounts.getOrElse(bk, 0L) + 1L) * (rTot + buckets)).toDouble
-      val den = ((rCounts.getOrElse(bk, 0L) + 1L) * (tTot + buckets)).toDouble
+      val num = (tCounts.getOrElse(bk, 0L) + 1L).toDouble * (rTot + buckets)
+      val den = (rCounts.getOrElse(bk, 0L) + 1L).toDouble * (tTot + buckets)
       val v = scale * math.log(num / den)
       bk -> (math.signum(v) * math.floor(math.abs(v) + 0.5)).toLong
     }.toDF("bk", "lam")

@@ -258,10 +258,16 @@ object Multimodal {
 
   private val Mp3BitratesV1L3 =
     Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+  // MPEG-2/2.5 Layer II and Layer III share one table (ISO 11172-3 /
+  // 13818-3 annex tables).
   private val Mp3BitratesV2L3 =
     Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+  private val Mp3BitratesV1L2 =
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384, 0)
   private val Mp3BitratesV1L1 =
     Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448, 0)
+  private val Mp3BitratesV2L1 =
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256, 0)
   private val Mp3RatesV1 = Array(44100, 48000, 32000, 0)
 
   /** MP3 frame-header scan (MPEG-1/2/2.5 audio, public frame format): skips
@@ -295,10 +301,12 @@ object Multimodal {
       val srIdx = (b3 >> 2) & 0x3
       if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
       val mpeg1 = verBits == 3
+      // Four distinct bitrate tables: MPEG-1 has one per layer; MPEG-2/2.5
+      // collapses Layers II+III into one and keeps Layer I separate.
       val bitrate =
-        if (layer == 3 || layer == 2)
-          (if (mpeg1) Mp3BitratesV1L3 else Mp3BitratesV2L3)(brIdx)
-        else Mp3BitratesV1L1(brIdx)
+        (if (layer == 3) { if (mpeg1) Mp3BitratesV1L3 else Mp3BitratesV2L3 }
+         else if (layer == 2) { if (mpeg1) Mp3BitratesV1L2 else Mp3BitratesV2L3 }
+         else { if (mpeg1) Mp3BitratesV1L1 else Mp3BitratesV2L1 })(brIdx)
       val rate = {
         val base = Mp3RatesV1(srIdx)
         if (mpeg1) base else if (verBits == 2) base / 2 else base / 4

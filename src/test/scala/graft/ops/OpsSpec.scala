@@ -595,6 +595,35 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.mp3Headers(null).isEmpty)
   }
 
+  test("mp3 scan uses the MPEG-1 Layer II bitrate table (32..384 kbps)") {
+    // MPEG-1 Layer II, brIdx 8 = 128 kbps UNDER THE LAYER II TABLE;
+    // the Layer III table reads the same index as 112 kbps, which walks
+    // frames at the wrong length (365 vs 417 bytes) and desyncs after
+    // the first frame.
+    val frameLen = 144 * 128000 / 44100 // 417
+    val bos = new java.io.ByteArrayOutputStream()
+    for (f <- 0 until 4) {
+      val frame = new Array[Byte](frameLen)
+      frame(0) = 0xFF.toByte; frame(1) = 0xFD.toByte // MPEG1 L2 no-CRC
+      frame(2) = 0x80.toByte                         // brIdx 8, 44100, no pad
+      frame(3) = 0x00.toByte                         // stereo
+      for (i <- 4 until frameLen) frame(i) = ((f * 17 + i) & 0x7F).toByte
+      bos.write(frame)
+    }
+    val i = Multimodal.mp3Headers(bos.toByteArray).get
+    assert(i.version === "1" && i.layer === 2)
+    assert(i.bitrateKbps === 128 && i.sampleRate === 44100)
+    assert(i.frames === 4)
+    assert(i.durationMs === 4L * 1152 * 1000 / 44100)
+    // brIdx 14 → 384 kbps, the Layer II table's top rate: one frame of
+    // length 144*384000/44100 = 1254.
+    val tl = 144 * 384000 / 44100
+    val tf = new Array[Byte](tl)
+    tf(0) = 0xFF.toByte; tf(1) = 0xFD.toByte; tf(2) = 0xE0.toByte
+    val ti = Multimodal.mp3Headers(tf).get
+    assert(ti.bitrateKbps === 384 && ti.frames === 1)
+  }
+
   test("containerHeaders: every synthetic modality parses header-only") {
     val rows = Multimodal.containerHeaders(Multimodal.syntheticMedia(spark, 10))
       .orderBy("media_id").collect()
