@@ -35,6 +35,14 @@ object Bench {
     // median is robust to a one-off straggler where the mean is not. The
     // per-query minimum is reported alongside as the load-independent floor.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Variance-prone queries (sub-second, JIT/GC-sensitive — the set whose
+    // med/min spread exceeded 1.5x across rounds) get extra reps so the
+    // median stops relitigating host noise round over round.
+    val extraReps: Set[String] = Set(
+      "q_dateformat", "q_repetition", "q_bpe_merges", "q_ann_lsh",
+      "q_semantic_dedup", "q_winnow_fingerprints", "q_knn_graph",
+      "q_containment", "q_range_join", "q_boilerplate_spans",
+      "q_dedup_clusters", "q_sort_global")
     // Local-iteration filter: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just
     // those queries. Unset (the driver's invocation) → the full set.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -44,7 +52,8 @@ object Bench {
       .map { case (name, fn) =>
       def run(): Unit = fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       try run() catch { case _: Throwable => () }
-      val times = (1 to reps).map { _ =>
+      val r = if (extraReps(name)) math.max(reps, 5) else reps
+      val times = (1 to r).map { _ =>
         val t0 = System.nanoTime()
         try run()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
@@ -52,11 +61,16 @@ object Bench {
       }.sorted
       name -> ((times(times.length / 2), times.head))
     }
-    // The stdout line must stay SHORT: the harness keeps only the last 2000
-    // characters of output, so a line carrying two full per-query maps at
-    // 9-decimal precision gets truncated mid-line and fails to parse. Emit
-    // millisecond precision and the median map only; the per-query minima and
-    // full precision go to the JSON file instead.
+    // Harness-capture contract: the driver keeps only the LAST ~2000
+    // characters of stdout, and at ~100 queries even a millisecond-precision
+    // single line runs ~2400 chars — it truncates MID-LINE and the captured
+    // artifact fails to parse (round 5's BENCH artifact was "parsed": null).
+    // So: the full-precision two-map JSON goes to the file; stdout prints
+    // the full medians line FIRST (losing its head under truncation is
+    // fine), then a LAST line guaranteed to fit the window — totals plus
+    // med AND min for as many of the slowest queries as fit a fixed char
+    // budget — so a tail capture always ends with one complete, parseable
+    // JSON line carrying the headline number.
     def fmt(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     def toJson(sel: ((Double, Double)) => Double, f: Double => String): String =
       results.map { case (k, v) => s"\"" + k + "\":" + f(sel(v)) }.mkString("{", ",", "}")
@@ -65,7 +79,18 @@ object Bench {
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(_._1, _.toString)},"queries_min":${toJson(_._2, _.toString)},"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "bench_result.json")
     Files.writeString(Paths.get(outPath), fullJson + "\n")
+    val slowest = results.toSeq.sortBy(-_._2._1)
+    val budget = 1400 // chars for the two top-K maps; line overhead is ~160
+    var used = 0
+    val topK = slowest.takeWhile { case (k, (m, mn)) =>
+      used += 2 * k.length + fmt(m).length + fmt(mn).length + 8
+      used <= budget
+    }
+    def mapJson(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${mapJson(topK.map(t => t._1 -> t._2._1))},"queries_min":${mapJson(topK.map(t => t._1 -> t._2._2))},"queries_omitted":${results.size - topK.size},"full":"$outPath","sf":"$sfDir"}"""
     println(json)
+    println(compact)
     spark.stop()
   }
 }
