@@ -136,6 +136,13 @@ object Bpe {
     var words: Dataset[(Seq[String], Long)] = wordSymbolCounts(df, textCol)
       .as[(Seq[String], Long)]
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // The previous round's word table: unpersisted only AFTER the argmax
+    // job has materialized the current round's persist (so an executor
+    // loss mid-job recovers from the parent snapshot, not a full corpus
+    // re-scan) — at most two snapshots are ever live, and no separate
+    // materialize-count job runs per step (the next round's pair count IS
+    // the materializer; fusing it saves one full-table job per merge).
+    var prev: Option[Dataset[(Seq[String], Long)]] = None
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var step = 0
     var exhausted = false
@@ -145,6 +152,8 @@ object Bpe {
         .limit(1)
         .as[(String, String, Long)]
         .collect()
+      prev.foreach(_.unpersist(blocking = false))
+      prev = None
       top.headOption match {
         case None => exhausted = true
         case Some((l, r, n)) =>
@@ -152,13 +161,13 @@ object Bpe {
           val next = words
             .map { case (syms, cnt) => (applyMerge(syms, l, r), cnt) }
             .persist(StorageLevel.MEMORY_AND_DISK)
-          next.count() // materialize before dropping the parent
-          words.unpersist()
+          prev = Some(words)
           words = next
           step += 1
       }
     }
     words.unpersist()
+    prev.foreach(_.unpersist(blocking = false))
     merges.result()
       .toDF("step", "left", "right", "pair_count")
       .select(col("step").cast("int").as("step"), col("left"), col("right"),
