@@ -569,19 +569,36 @@ object Similarity {
       .select(col("id_a").as("id"), col("id_b").as("nb"), col("cos"))
       .unionByName(scored
         .select(col("id_b").as("id"), col("id_a").as("nb"), col("cos")))
-    // distinctIds keeps max score per (id, nb) — collapses band and round
-    // duplicates inside the k-bounded partial buffers.
-    def topK(edges: DataFrame): DataFrame = edges
-      .groupBy("id")
-      .agg(graft.functions.TopKByScore.topk_by_score(
-        col("cos"), col("nb"), k, distinctIds = true).as("__top"))
-      .select(col("id"), posexplode(col("__top")).as(Seq("__r", "__e")))
-      .select(col("id"), col("__e.id").as("neighbor_id"),
-        col("__e.score").as("cos"), (col("__r") + 1).cast("int").as("rank"))
     val vecs = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
       .where(col("__v").isNotNull)
-    var graph = topK(sym)
+    nnDescent(sym, vecs, k, refineRounds)
+  }
+
+  /** Per-node top-k over symmetric (id, nb, cos) candidate edges.
+    * distinctIds keeps max score per (id, nb) — collapses band and round
+    * duplicates inside the k-bounded partial buffers.
+    */
+  private def topKGraphEdges(edges: DataFrame, k: Int): DataFrame = edges
+    .groupBy("id")
+    .agg(graft.functions.TopKByScore.topk_by_score(
+      col("cos"), col("nb"), k, distinctIds = true).as("__top"))
+    .select(col("id"), posexplode(col("__top")).as(Seq("__r", "__e")))
+    .select(col("id"), col("__e.id").as("neighbor_id"),
+      col("__e.score").as("cos"), (col("__r") + 1).cast("int").as("rank"))
+
+  /** NN-descent refinement (Dong et al. 2011) over an initial candidate
+    * edge set: per round, neighbors-of-neighbors become candidates, exact
+    * cosine re-ranks, each node keeps top-k — one self-join bounded by k²
+    * candidates per node plus a k-bounded re-aggregation. `vecs` must be
+    * (id, __v).
+    */
+  private def nnDescent(
+      initialEdges: DataFrame,
+      vecs: DataFrame,
+      k: Int,
+      refineRounds: Int): DataFrame = {
+    var graph = topKGraphEdges(initialEdges, k)
     var round = 0
     while (round < refineRounds) {
       val cand = graph.select(col("id"), col("neighbor_id").as("__mid"))
@@ -593,12 +610,114 @@ object Similarity {
         .join(vecs.select(col("id"), col("__v").as("__va")), Seq("id"))
         .join(vecs.select(col("id").as("nb"), col("__v").as("__vb")), Seq("nb"))
         .select(col("id"), col("nb"), cosine(col("__va"), col("__vb")).as("cos"))
-      graph = topK(
+      graph = topKGraphEdges(
         graph.select(col("id"), col("neighbor_id").as("nb"), col("cos"))
-          .unionByName(cand))
+          .unionByName(cand), k)
       round += 1
     }
     graph
+  }
+
+  /** [[knnGraph]] pre-sharded by IVF cell — the n = 10⁹ scale path
+    * SCALING.md's knnGraph note prescribes. A single global LSH table must
+    * keep raising band resolution as n grows (the 20-plane clamp lands at
+    * n ≈ 10⁸·targetBucket); sharding first by a coarse quantizer makes the
+    * banding problem PER-CELL (n/nlist points), so resolution, bucket
+    * occupancy, and candidate volume are governed by the cell size — grow
+    * `nlist` with the corpus and the per-cell geometry is scale-invariant.
+    *
+    * Spark shape — ONE distributed job, not a per-cell loop: every vector
+    * is assigned to its `nprobe` nearest cells (the same constant-folded
+    * centroid Column algebra as [[ivfSearch]]; the spill to nprobe > 1
+    * cells is what stitches the graph across cell boundaries — a point
+    * near a boundary banding in BOTH cells gives cross-cell candidate
+    * edges), the LSH bucket key is PREFIXED with the cell id (candidates
+    * generate intra-cell only, buckets stay cell-coherent), and the
+    * NN-descent rounds then run globally, propagating those cross-cell
+    * seeds outward — boundary stitching beyond nprobe happens through
+    * neighbors-of-neighbors, cheaper than more probes. Shuffle payloads
+    * match [[knnGraph]] (band rows are (cell, bucket, id); vectors join
+    * back per candidate) at nprobe× the band-row volume.
+    *
+    * `nprobe` is the recall knob (band-row volume scales with it):
+    * measured at k=10 against exact brute force, nprobe=3 (default) gives
+    * 0.91 on the 500-vector sf0.01 embeddings and 0.87-0.88 on the
+    * 5000-vector sf0.1 set vs knnGraph's 0.83/0.79; nprobe=4 reaches 0.97
+    * at sf0.1; nprobe=2 drops to ~0.7 (neighborhoods straddle more than
+    * two cells). The coarse fit needs few Lloyd rounds (`kmeansIter` = 4:
+    * recall −0.01 for half the build time — the spill absorbs quantizer
+    * jitter, the same law as ivfSearch's nprobe routing).
+    */
+  def knnGraphSharded(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      nlist: Int = 16,
+      nprobe: Int = 3,
+      bands: Int = 24,
+      seed: Long = 42L,
+      maxBucketSize: Int = 1024,
+      refineRounds: Int = 1,
+      dim: Int = -1,
+      targetBucketSize: Int = 64,
+      maxTrainRows: Long = 200000L,
+      kmeansIter: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(targetBucketSize >= 1, s"targetBucketSize must be >= 1, got $targetBucketSize")
+    val index = buildIvfIndex(corpus, idCol, vecCol, nlist,
+      maxTrainRows = maxTrainRows, maxIter = kmeansIter, seed = seed)
+    val vecs = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
+      .where(col("__v").isNotNull)
+    // nprobe-nearest-cell routing: constant centroid literals, codegen'd
+    // distance folds, array_sort struct ordering — no UDF (ivfSearch's
+    // routing applied to the corpus itself).
+    val vv = col("__v").cast("array<double>")
+    val distStructs = index.centers.zipWithIndex.map { case (c, i) =>
+      val cLit = typedLit(c.map(_.toDouble).toIndexedSeq)
+      val dist = aggregate(
+        zip_with(vv, cLit, (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, x) => acc + x)
+      struct(dist.as("d"), lit(i).as("cell"))
+    }
+    val probeCells = transform(
+      slice(array_sort(array(distStructs: _*)), 1, math.min(nprobe, index.centers.length)),
+      s => s.getField("cell"))
+    // Band resolution from the expected SPILLED cell population
+    // (n·nprobe/nlist) ALONE — the cell is the bounding mechanism, so
+    // unlike knnGraph there is no resolution floor: a cell that already
+    // fits the target bucket banding-partitions into singletons and loses
+    // its candidates. needed == 1 ⇒ no LSH at all (per-cell all-pairs,
+    // still hard-capped by maxBucketSize); otherwise expected bucket ≈
+    // targetBucketSize regardless of n or nlist.
+    val n = corpus.count()
+    val cellSize = math.max(1L, n * nprobe / math.max(1, index.centers.length))
+    val needed = math.max(1L, (cellSize + targetBucketSize - 1) / targetBucketSize)
+    val autoPlanes = math.min(20,
+      64 - java.lang.Long.numberOfLeadingZeros(needed - 1))
+    val spilled = vecs.withColumn("cell", explode(probeCells))
+    val banded =
+      if (autoPlanes <= 0)
+        spilled.select(col("id"), col("cell"), lit(0L).as("bucket"))
+      else {
+        val d = if (dim > 0) dim else vectorDim(corpus, vecCol)
+        val hp = HyperplaneOps.flatPlanes(d, bands * autoPlanes, seed)
+        spilled.select(col("id"), col("cell"),
+          explode(hyperplane_band_keys(col("__v"), hp, bands, autoPlanes))
+            .as("bucket"))
+      }
+    val pairs = Dedup.bucketPairsIds(banded, Seq("cell", "bucket"), maxBucketSize)
+      .dropDuplicates("id_a", "id_b")
+      .join(vecs.select(col("id").as("id_a"), col("__v").as("v_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("__v").as("v_b")), "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
+    val sym = pairs
+      .select(col("id_a").as("id"), col("id_b").as("nb"), col("cos"))
+      .unionByName(pairs
+        .select(col("id_b").as("id"), col("id_a").as("nb"), col("cos")))
+    nnDescent(sym, vecs, k, refineRounds)
   }
 
   def cosinePairsLsh(

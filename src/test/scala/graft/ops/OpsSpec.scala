@@ -234,6 +234,58 @@ class SimilaritySpec extends SparkTestBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 100L)))
   }
+
+  test("sharded knn graph: high recall vs brute force, cross-cell edges exist") {
+    // 6 deterministic Gaussian-ish clusters of 50 points in 8 dims; true
+    // 10-NN neighborhoods live mostly inside a cluster but straddle cell
+    // boundaries wherever the quantizer splits one.
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 300).map { i =>
+      val c = i % 6
+      val base = Array.tabulate(8)(d => if (d == c) 10.0f else if (d == c + 1) 3.0f else 0.0f)
+      (i.toLong, base.map(v => v + (rnd.nextGaussian() * 0.8).toFloat))
+    }.toDF("vec_id", "embedding")
+    val truth = Similarity.bruteForceTopK(pts, "vec_id", "embedding",
+        pts, "vec_id", "embedding", k = 10)
+      .select($"query_id".as("id"), $"neighbor_id")
+    val g = Similarity.knnGraphSharded(pts, "vec_id", "embedding", k = 10,
+      nlist = 8, nprobe = 3, refineRounds = 1)
+    val hits = truth.join(g.select("id", "neighbor_id"), Seq("id", "neighbor_id")).count()
+    val recall = hits.toDouble / truth.count()
+    assert(recall >= 0.8, s"recall $recall")
+    // Every node has at most k ranked edges, rank is 1-based and dense.
+    val byNode = g.groupBy("id").agg(count(lit(1)).as("n"), max("rank").as("mx"))
+      .where($"n" =!= $"mx" || $"n" > 10).count()
+    assert(byNode === 0L)
+    // The spill assignment must produce edges BETWEEN primary cells
+    // (boundary stitching) — on 6 clusters vs nlist=8 some cluster is
+    // split, so a zero cross-cell count means the cell prefix leaked into
+    // candidate generation the wrong way.
+    val idx = Similarity.buildIvfIndex(pts, "vec_id", "embedding", nlist = 8)
+    val cells = idx.assigned.select($"neighbor_id".as("id"), $"cell")
+    val cross = g.join(cells, "id").withColumnRenamed("cell", "ca")
+      .join(cells.withColumnRenamed("id", "neighbor_id")
+        .withColumnRenamed("cell", "cb"), "neighbor_id")
+      .where($"ca" =!= $"cb").count()
+    assert(cross > 0L, "expected cross-cell edges from nprobe spill")
+  }
+
+  test("sharded knn graph: tiny cells fall back to per-cell all-pairs") {
+    // 30 points, nlist 4 → expected cell population ~22 with nprobe 3 →
+    // needed == 1 → the LSH stage is skipped entirely and every cell is
+    // one bucket; the graph must still rank true nearest neighbors first.
+    val pts = (0 until 30).map { i =>
+      val c = i % 3
+      (i.toLong, Array.tabulate(4)(d => (if (d == c) 5.0f else 0.0f) + (i * 13 % 7) * 0.02f))
+    }.toDF("vec_id", "embedding")
+    val g = Similarity.knnGraphSharded(pts, "vec_id", "embedding", k = 3,
+      nlist = 4, nprobe = 3, refineRounds = 0)
+    val truth = Similarity.bruteForceTopK(pts, "vec_id", "embedding",
+        pts, "vec_id", "embedding", k = 3)
+      .select($"query_id".as("id"), $"neighbor_id")
+    val hits = truth.join(g.select("id", "neighbor_id"), Seq("id", "neighbor_id")).count()
+    assert(hits.toDouble / truth.count() >= 0.9)
+  }
 }
 
 class TextAnalysisSpec extends SparkTestBase {
