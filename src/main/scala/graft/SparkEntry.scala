@@ -809,6 +809,33 @@ object SparkEntry {
         .presented("doc_id", "bench_id")
     }),
 
+    // Bloom-sketch decontamination digest — the ZERO-SHUFFLE scale path of
+    // q_decontaminate (bench side folds once into Spark's own
+    // BloomFilterAggregate; the training corpus is a narrow scan filtered
+    // against the literal sketch — no explode, no join, no shuffle). The
+    // sketch bits are hash-family-specific, so the oracle pins what IS
+    // engine-independent: train-doc count, the EXACT contaminated-doc
+    // count (DuckDB recomputes the distinct shingle intersections), and
+    // the one-sided-error bit — might_contain has no false negatives, so
+    // every exactly-flagged doc must be bloom-flagged; the in-job exact
+    // join proves it and DuckDB asserts the literal 1 (the recall_pass
+    // pattern).
+    "q_bloom_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val train = d.where(col("doc_id") % 25 =!= 0)
+      val bench = d.where(col("doc_id") % 25 === 0)
+      val bd = Curation.bloomDecontaminate(train, "doc_id", "text",
+        bench, "text", k = 3)
+      val exact = Curation.decontaminate(train, "doc_id", "text",
+          bench, "doc_id", "text", k = 3, minShared = 1)
+        .select(col("doc_id")).distinct().withColumn("__ex", lit(1))
+      bd.join(exact, Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_train"),
+          coalesce(sum(col("__ex")), lit(0)).cast("long").as("n_exact_flagged"),
+          (lit(1) - max(when(col("__ex") === 1 && col("clean") === 1, 1)
+            .otherwise(0))).as("no_false_neg"))
+    }),
+
     // DSIR importance scores: src2 documents play the in-domain target,
     // the rest the raw pool. Exact oracle: the per-slot λ table and the
     // per-doc integer score sums are engine-independent (exact-int64 ratio
@@ -1319,7 +1346,24 @@ object SparkEntry {
         .select(col("doc_id"), col("n_grams"), col("n_hit"),
           col("n_backoff"), col("coverage"))
         .presented("doc_id")
-    }))
+    }),
+
+    // PMI collocations (phrase mining): integerized round(1e6·ln) of a
+    // ratio of exact count products (the dsirScore determinism policy —
+    // one ln per surviving bigram, products exact below 2^53), so the
+    // oracle replays it bit-for-bit. Ties break on (w1, w2).
+    "q_pmi_collocations" -> ((s, dir) =>
+      LanguageModel.pmiCollocations(t(s, dir, "documents"), "text",
+        minCount = 5, topK = 100)),
+
+    // Per-document top-3 TF-IDF terms: idf integerized once per TERM
+    // (round(1e6·ln(N/df)) — one ln per distinct term, the λ-table
+    // discipline), scores exact int64 products from there; ties break
+    // term-ascending. No window in the engine plan (bounded per-doc array
+    // sort); the oracle may window freely.
+    "q_tfidf_top_terms" -> ((s, dir) =>
+      TextSearch.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .presented("doc_id", "rank")))
 
   /** Shared input for the interval queries: points = distinct order dates
     * as epoch days; intervals = a deterministic "in transit" window per
@@ -1629,6 +1673,50 @@ object SparkEntry {
          | FROM tr, be
          | WHERE len(list_intersect(tr.s, be.s)) >= 2
          | ORDER BY doc_id, bench_id""".stripMargin,
+    "q_bloom_decontaminate" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         | sh AS (SELECT doc_id, $shingleSetSql AS s FROM tk),
+         | tr AS (SELECT * FROM sh WHERE doc_id % 25 <> 0),
+         | be AS (SELECT * FROM sh WHERE doc_id % 25 = 0),
+         | fl AS (SELECT DISTINCT tr.doc_id FROM tr, be
+         |        WHERE len(list_intersect(tr.s, be.s)) >= 1)
+         | SELECT (SELECT count(*) FROM tr) AS n_train,
+         |   (SELECT count(*) FROM fl) AS n_exact_flagged,
+         |   1 AS no_false_neg""".stripMargin,
+    "q_pmi_collocations" ->
+      s"""WITH tk AS (SELECT $tokensSql AS t FROM documents),
+         | uc AS (SELECT w, count(*) AS c1
+         |   FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w),
+         | bg AS (SELECT
+         |     unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+         |     unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+         |   FROM tk),
+         | bc AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+         | tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM uc)
+         | SELECT bc.w1, bc.w2, bc.c2,
+         |   CAST(round(CAST(1000000 AS DOUBLE) * ln(
+         |     CAST(bc.c2 AS DOUBLE) * tot.n /
+         |       (CAST(a.c1 AS DOUBLE) * b.c1))) AS BIGINT) AS pmi_scaled
+         | FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w, tot
+         | WHERE bc.c2 >= 5
+         | ORDER BY pmi_scaled DESC, bc.w1, bc.w2 LIMIT 100""".stripMargin,
+    "q_tfidf_top_terms" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         | tfc AS (SELECT doc_id, term, count(*) AS tf
+         |   FROM (SELECT doc_id, unnest(t) AS term FROM tk)
+         |   GROUP BY doc_id, term),
+         | nd AS (SELECT count(*) AS n FROM documents),
+         | idf AS (SELECT term, CAST(round(CAST(1000000 AS DOUBLE) *
+         |       ln(CAST(nd.n AS DOUBLE) / count(*))) AS BIGINT) AS idf_scaled
+         |   FROM tfc, nd GROUP BY term, nd.n),
+         | sc AS (SELECT doc_id, tfc.term, tf, idf_scaled,
+         |     tf * idf_scaled AS score_scaled
+         |   FROM tfc JOIN idf ON tfc.term = idf.term),
+         | rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |     ORDER BY score_scaled DESC, term) AS rank FROM sc)
+         | SELECT doc_id, term, tf, idf_scaled, score_scaled,
+         |   CAST(rank AS INT) AS rank
+         | FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q_dsir_score" ->
       s"""WITH tk AS (SELECT doc_id, source, $tokensSql AS t FROM documents),
          | gr AS (SELECT doc_id, source, unnest(t) AS g FROM tk

@@ -709,4 +709,78 @@ object Curation {
       .select(col("id").as(idCol), col("y"),
         coalesce(col("p"), lit(0L)).as("score"))
   }
+
+  /** Bloom-filter benchmark decontamination — the 100 TB scale path for
+    * [[decontaminate]]: instead of joining every training shingle against
+    * the benchmark shingle table, the benchmark side aggregates ONCE into
+    * a bounded Bloom sketch (Spark's own `BloomFilterAggregate`, the
+    * engine's runtime-join-filter machinery driven directly), and the
+    * training side becomes a NARROW scan — each document's distinct
+    * shingle-hash array is filtered against the sketch inside one
+    * codegen'd projection. Zero shuffles touch the training corpus: no
+    * explode, no join, no aggregation; the only distributed work on the
+    * big side is the scan itself. (The exact join's per-pair output also
+    * becomes a per-document summary here — Bloom membership cannot name
+    * WHICH benchmark doc collided, only that some shingle is
+    * benchmark-contaminated.)
+    *
+    * One-sided error, the property that makes the sketch sound for
+    * decontamination: `might_contain` has NO false negatives, so every
+    * document the exact k-gram test would flag is flagged here too —
+    * false positives (rate `fpp` PER GRAM) only over-discard, never leak
+    * eval data into training. A document compounds per-gram FPs (P ≈
+    * 1−(1−fpp)^grams), so the default fpp is 1e-4 — ~1% doc-level FP at
+    * 100 grams — not the sketch-conventional 0.01. The sketch binary is
+    * collected to the driver (a BOUNDED, benchmark-sized materialization —
+    * eval sets are small by nature; ~2.4 MB per million shingles at 1e-4)
+    * and embedded as a literal, so tasks get it with the plan broadcast.
+    *
+    * Output: one row per training document — (id, n_grams,
+    * n_flagged grams hitting the sketch, clean = n_flagged == 0).
+    */
+  def bloomDecontaminate(
+      train: DataFrame,
+      trainId: String,
+      trainText: String,
+      bench: DataFrame,
+      benchText: String,
+      k: Int = 3,
+      fpp: Double = 1e-4,
+      maxExpectedItems: Long = 100000000L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.ColumnBridge
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
+    val benchSh = bench
+      .select(graft.functions.TextFunctions.tokenize(col(benchText)).as("__t"))
+      .select(explode(
+        graft.functions.TextFunctions.shingle_hashes(col("__t"), k)).as("__sh"))
+    // Size the sketch from the actual benchmark gram count (a count over
+    // the SMALL side): m = -n ln p / (ln 2)², the standard Bloom sizing.
+    val nItems = math.min(maxExpectedItems,
+      math.max(1L, benchSh.count()))
+    val numBits = math.max(64L,
+      math.ceil(-nItems.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomBytes = benchSh
+      .select(ColumnBridge.column(
+        new BloomFilterAggregate(
+          ColumnBridge.expression(col("__sh")),
+          Literal(nItems), Literal(numBits)).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val bloomLit = Literal.create(bloomBytes,
+      org.apache.spark.sql.types.BinaryType)
+    def hits(h: Column): Column =
+      ColumnBridge.column(
+        BloomFilterMightContain(bloomLit, ColumnBridge.expression(h)))
+    train
+      .select(col(trainId).as("id"),
+        graft.functions.TextFunctions.tokenize(col(trainText)).as("__t"))
+      .select(col("id"),
+        graft.functions.TextFunctions.shingle_hashes(col("__t"), k).as("__sh"))
+      .select(col("id"),
+        size(col("__sh")).cast("long").as("n_grams"),
+        size(filter(col("__sh"), h => hits(h))).cast("long").as("n_flagged"))
+      .select(col("id").as(trainId), col("n_grams"), col("n_flagged"),
+        (col("n_flagged") === 0L).cast("int").as("clean"))
+  }
 }

@@ -62,6 +62,50 @@ object LanguageModel {
     BigramLm(unigrams, bigrams, totals)
   }
 
+  /** PMI collocation mining — the phrase-discovery pass of a curation
+    * pipeline (which multi-word expressions behave as units: "new york",
+    * "machine learning") and a vocabulary-health audit signal. For every
+    * bigram with count ≥ `minCount`,
+    *
+    *   PMI(w1, w2) = ln( c(w1 w2) · N / (c(w1) · c(w2)) )
+    *
+    * reported INTEGERIZED as round(`scale` · PMI) — the [[Curation.dsirScore]]
+    * determinism policy: the ratio's numerator/denominator are products of
+    * exact int64 counts multiplied as doubles (each factor exact, product
+    * correctly rounded; exact below 2⁵³), both engines hand `ln` the same
+    * double, and the rounded integer is order-independent and
+    * hash-matchable cross-engine.
+    *
+    * Scale shape: reuses [[trainBigram]]'s two map-side-combined count
+    * aggregations; the PMI projection joins bigram rows to the two unigram
+    * counts gram-keyed (AQE broadcasts the unigram table when it fits) and
+    * the one-row total rides a broadcast; `minCount` prunes the candidate
+    * set BEFORE the joins. Output is the global top-`topK` by
+    * (pmi desc, w1, w2) — a k-bounded TakeOrdered, no window.
+    */
+  def pmiCollocations(
+      corpus: DataFrame,
+      textCol: String,
+      minCount: Long = 5L,
+      topK: Int = 100,
+      scale: Double = 1e6): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val lm = trainBigram(corpus, textCol)
+    lm.bigrams.where(col("c2") >= minCount)
+      .join(lm.unigrams.withColumnRenamed("w", "w1")
+        .withColumnRenamed("c1", "__ca"), Seq("w1"))
+      .join(lm.unigrams.withColumnRenamed("w", "w2")
+        .withColumnRenamed("c1", "__cb"), Seq("w2"))
+      .crossJoin(broadcast(lm.totals))
+      .select(col("w1"), col("w2"), col("c2"),
+        round(lit(scale) * log(
+          (col("c2").cast("double") * col("n_tokens")) /
+            (col("__ca").cast("double") * col("__cb"))))
+          .cast("long").as("pmi_scaled"))
+      .orderBy(desc("pmi_scaled"), col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Score documents with a trained [[BigramLm]] under Stupid Backoff:
     *
     *   S(w2 | w1) = c(w1 w2) / c(w1)            when the bigram was seen,

@@ -180,4 +180,55 @@ object TextSearch {
        | FROM (SELECT s.$idCol, s.dl, $scoreExpr AS score FROM s, g)
        | WHERE score > 0 ORDER BY rank LIMIT $k""".stripMargin
   }
+
+  /** Per-document top-`k` TF-IDF terms — the keyword/topic-signal
+    * extraction pass (document tagging, cluster labeling, boilerplate
+    * spotting by inverse specificity). Scoring is INTEGERIZED for
+    * cross-engine replay: idf_scaled = round(`scale` · ln(N / df_t)) is one
+    * integer PER DISTINCT TERM (the λ-table discipline — one `ln` per term,
+    * not per row, and N/df is a ratio of exact int64 counts), and
+    * score = tf · idf_scaled is exact int64 from there. Ties break by term
+    * ascending.
+    *
+    * Scale shape: one explode→(id, term) count aggregation (map-side
+    * combined) feeds BOTH tf and — re-aggregated by term only — df, so the
+    * corpus is tokenized once; the (term, idf) table joins back gram-keyed
+    * (AQE broadcasts it when the vocabulary fits); the per-document top-k
+    * is a bounded array sort over that document's OWN distinct terms (a
+    * narrow projection after one grouped collect — per-group state is the
+    * document's distinct-term set, which its own length already bounds; no
+    * window, no global sort).
+    */
+  def tfidfTopTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      scale: Double = 1e6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = df
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .select(col("id"), explode(col("__t")).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val nDocs = df.select(col(idCol)).count()
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .select(col("term"),
+        round(lit(scale) * log(lit(nDocs.toDouble) / col("df")))
+          .cast("long").as("idf_scaled"))
+    tf.join(idf, Seq("term"))
+      .select(col("id"),
+        struct((col("tf") * col("idf_scaled")).as("score"),
+          col("term"), col("tf"), col("idf_scaled")).as("__e"))
+      .groupBy("id")
+      .agg(collect_list(col("__e")).as("__es"))
+      .select(col("id"), posexplode(expr(
+        // sort by (score desc, term asc): negate the score for the
+        // ascending array_sort of (neg score, term) structs.
+        s"slice(array_sort(transform(__es, e -> struct(-e.score AS ns, e.term AS term, e.tf AS tf, e.idf_scaled AS idf_scaled))), 1, $k)"))
+        .as(Seq("__r", "__e")))
+      .select(col("id").as(idCol), col("__e.term").as("term"),
+        col("__e.tf").as("tf"), col("__e.idf_scaled").as("idf_scaled"),
+        (-col("__e.ns")).as("score_scaled"),
+        (col("__r") + 1).cast("int").as("rank"))
+  }
 }

@@ -130,6 +130,44 @@ class CurationSpec extends SparkTestBase {
     assert(strict === Set(1L))
   }
 
+  test("bloomDecontaminate: no false negatives vs the exact join; counts line up") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated text about spark partitions"),
+      (3L, "the quick brown fox appears here too"),
+      (4L, "another clean document with nothing shared at all")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val bd = Curation.bloomDecontaminate(train, "doc_id", "text", bench, "text", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    // Doc 1: 7 grams, 3 hit the bench sketch; doc 3: the 2 shared grams.
+    // One-sided error: every exactly-contaminated doc MUST be flagged.
+    assert(bd(1L)._2 >= 3L && bd(1L)._3 === 0)
+    assert(bd(3L)._2 >= 2L && bd(3L)._3 === 0)
+    // n_grams is the distinct-shingle count (doc 1 has 9 tokens → 7 grams).
+    assert(bd(1L)._1 === 7L)
+    // At fpp 1e-4 over a handful of grams the clean docs stay clean
+    // (6 tokens → 4 distinct trigram shingles).
+    assert(bd(2L) === ((4L, 0L, 1)))
+    assert(bd(4L)._3 === 1)
+    // Exact-flag parity on a larger random corpus: bloom ⊇ exact, always.
+    val rnd = new scala.util.Random(11)
+    val words = (0 until 40).map(i => s"w$i")
+    val big = (0L until 120L).map { id =>
+      (id, Seq.fill(12)(words(rnd.nextInt(words.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val bigBench = big.where($"doc_id" >= 110)
+    val bigTrain = big.where($"doc_id" < 110)
+    val flaggedBloom = Curation.bloomDecontaminate(
+        bigTrain, "doc_id", "text", bigBench, "text", k = 3)
+      .where($"clean" === 0).select("doc_id").as[Long].collect().toSet
+    val flaggedExact = Curation.decontaminate(bigTrain, "doc_id", "text",
+        bigBench, "doc_id", "text", k = 3, minShared = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(flaggedExact.subsetOf(flaggedBloom),
+      s"false negatives: ${flaggedExact -- flaggedBloom}")
+  }
+
   test("c4Filter line retention and document drop rules") {
     val docs = Seq(
       // 3 lines: kept (terminal . and 5 words), dropped (no terminal),

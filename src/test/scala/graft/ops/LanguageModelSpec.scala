@@ -158,4 +158,25 @@ class LanguageModelSpec extends SparkTestBase {
     assert("Exchange hashpartitioning\\([^)]*text".r.findFirstIn(plan).isEmpty,
       s"raw text must not be shuffled:\n$plan")
   }
+
+  test("pmiCollocations: hand-computed integerized PMI, min-count floor, ties") {
+    // Corpus "x y x y z w" ×3 docs: unigrams x=6 y=6 z=3 w=3, N=18.
+    // Bigrams: (x,y)=6, (y,x)=3, (y,z)=3, (z,w)=3.
+    // PMI(x,y) = ln(6·18/(6·6)) = ln 3; PMI(z,w) = ln(3·18/(3·3)) = ln 6;
+    // PMI(y,z) = ln(3·18/(6·3)) = ln 3; PMI(y,x) = ln 3·18/(6·6) = ln 1.5.
+    val docs = Seq((1L, "x y x y z w"), (2L, "x y x y z w"), (3L, "x y x y z w"))
+      .toDF("doc_id", "text")
+    val got = LanguageModel.pmiCollocations(docs, "text", minCount = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    def s(v: Double): Long = math.round(1e6 * math.log(v))
+    assert(got.toSeq === Seq(
+      ("z", "w", 3L, s(6.0)),
+      ("x", "y", 6L, s(3.0)),
+      ("y", "z", 3L, s(3.0)),   // tie with (x,y) on PMI — (w1,w2) order
+      ("y", "x", 3L, s(1.5))))
+    // minCount floor prunes before scoring.
+    val floored = LanguageModel.pmiCollocations(docs, "text", minCount = 4, topK = 10)
+      .collect()
+    assert(floored.map(r => (r.getString(0), r.getString(1))).toSeq === Seq(("x", "y")))
+  }
 }

@@ -90,4 +90,30 @@ class TextSearchSpec extends SparkTestBase {
     assert(sql.contains("x = 'o''brien'"), sql)
     assert(!sql.contains("x = 'o'brien'"), sql)
   }
+
+  test("tfidfTopTerms: hand-computed scores, term-asc ties, rank density") {
+    // 4 docs. "rare" appears only in doc 1 (idf = ln 4), "mid" in docs 1+2
+    // (idf = ln 2), "common" in all 4 (idf = ln 1 = 0 → score 0).
+    val docs = Seq(
+      (1L, "rare mid common common"),
+      (2L, "mid mid common"),
+      (3L, "common common solo3"),
+      (4L, "common")).toDF("doc_id", "text")
+    val got = TextSearch.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(5)) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def s(v: Double): Long = math.round(1e6 * math.log(v))
+    assert(got((1L, 1)) === (("rare", 1L, s(4.0), s(4.0))))
+    assert(got((1L, 2)) === (("mid", 1L, s(2.0), s(2.0))))
+    assert(got((2L, 1)) === (("mid", 2L, s(2.0), 2 * s(2.0))))
+    // Doc 2's rank 2 is "common" at score 0 (idf ln1 = 0).
+    assert(got((2L, 2)) === (("common", 1L, 0L, 0L)))
+    // Doc 4 has one term → exactly one row; zero-score ties break by term.
+    assert(got((4L, 1))._1 === "common")
+    assert(!got.contains((4L, 2)))
+    // Ties at equal score order term-ascending: doc 3's common(0) vs
+    // solo3(ln 4): solo3 first, common second.
+    assert(got((3L, 1))._1 === "solo3" && got((3L, 2))._1 === "common")
+  }
 }
