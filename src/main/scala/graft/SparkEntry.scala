@@ -1348,6 +1348,20 @@ object SparkEntry {
         .presented("doc_id")
     }),
 
+    // Integer fixed-point PageRank over a synthesized 100-node domain
+    // link graph (a pure function of doc_id, so DuckDB rebuilds the same
+    // edges) — the link-centrality quality signal of web curation. Every
+    // step is positive-int64 floor division and sums, so the oracle
+    // (3 unrolled CTE iterations) replays each rank bit-for-bit.
+    "q_pagerank" -> ((s, dir) => {
+      val e = t(s, dir, "documents")
+        .select((col("doc_id") % 100).as("src"),
+          ((col("doc_id") * 31 + 7) % 100).as("dst"))
+        .where(col("src") =!= col("dst")).distinct()
+      Graph.pageRank(e, "src", "dst", iters = 3)
+        .presented("id")
+    }),
+
     // PMI collocations (phrase mining): integerized round(1e6·ln) of a
     // ratio of exact count products (the dsirScore determinism policy —
     // one ln per surviving bigram, products exact below 2^53), so the
@@ -1683,6 +1697,7 @@ object SparkEntry {
          | SELECT (SELECT count(*) FROM tr) AS n_train,
          |   (SELECT count(*) FROM fl) AS n_exact_flagged,
          |   1 AS no_false_neg""".stripMargin,
+    "q_pagerank" -> pageRankOracleSql(3),
     "q_pmi_collocations" ->
       s"""WITH tk AS (SELECT $tokensSql AS t FROM documents),
          | uc AS (SELECT w, count(*) AS c1
@@ -2648,6 +2663,32 @@ object SparkEntry {
     * and c{t+1} keeps the previous centroid for empty clusters — the
     * identical integer policy of [[graft.ops.Similarity.kMeansQuantized]].
     */
+  /** Integer fixed-point PageRank as `iters` unrolled CTE blocks — every
+    * step is positive-int64 floor division and sums (see
+    * [[graft.ops.Graph.pageRank]]'s policy), so DuckDB replays the exact
+    * ranks. The edge generator mirrors q_pagerank's synthesized domain
+    * graph.
+    */
+  private def pageRankOracleSql(iters: Int): String = {
+    val base = 1L << 20
+    val tele = (3L * base) / 20L
+    def iter(t: Int): String =
+      s""" m$t AS (SELECT e.dst AS id, CAST(sum(r${t - 1}.r // od.od) AS BIGINT) AS m
+         |   FROM e JOIN od USING (src) JOIN r${t - 1} ON r${t - 1}.id = e.src
+         |   GROUP BY e.dst),
+         | r$t AS (SELECT n.id, $tele + (17 * coalesce(m.m, 0)) // 20 AS r
+         |   FROM nodes n LEFT JOIN m$t m USING (id)),""".stripMargin
+    s"""WITH e AS (SELECT DISTINCT doc_id % 100 AS src,
+       |     (doc_id * 31 + 7) % 100 AS dst
+       |   FROM documents WHERE doc_id % 100 <> (doc_id * 31 + 7) % 100),
+       | nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       | od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+       | r0 AS (SELECT id, CAST($base AS BIGINT) AS r FROM nodes),
+       |${(1 to iters).map(iter).mkString("\n")}
+       | fin AS (SELECT id, r FROM r$iters)
+       | SELECT id, r AS rank FROM fin ORDER BY id""".stripMargin
+  }
+
   private def kMeansOracleSql(k: Int, iters: Int): String = {
     def iter(t: Int): String =
       s""" j$t AS (SELECT v.vec_id, v.q AS vq, c.cid,

@@ -216,4 +216,83 @@ object Graph {
     cc.select(col("id"), col("comp").as("component"),
       (col("id") === col("comp")).cast("int").as("is_canonical"))
   }
+
+  /** PageRank in FIXED-POINT integer arithmetic — the link-centrality
+    * quality signal a web-corpus curation stack weighs documents by
+    * (harmonic/centrality-ranked crawl selection), computed so that any
+    * engine replaying the policy reproduces every rank bit-for-bit (the
+    * [[graft.ops.Curation.linearProbe]] discipline applied to graphs).
+    *
+    * Ranks live in 2^`qBits` scale. Per iteration, with damping d =
+    * `dampNum`/`dampDen` (default 17/20 = 0.85):
+    *
+    *   send(u)  = r(u) DIV outdeg(u)                 (exact floor div)
+    *   r'(v)    = tele + (dampNum · Σ_{u→v} send(u)) DIV dampDen
+    *   tele     = ((dampDen − dampNum) · 2^qBits) DIV dampDen
+    *
+    * Every quantity is a positive int64 — floor division and integer sums
+    * are order-independent and engine-identical (no doubles anywhere).
+    * Overflow headroom: Σ send ≤ n·2^qBits, int64-safe past 10⁹ nodes at
+    * the default qBits = 20. Dangling-node mass (no out-edges) evaporates
+    * — the standard unnormalized simplification; ranks are comparative
+    * signals, not probabilities, in this form.
+    *
+    * Scale shape: out-degrees are ONE count aggregation; each iteration is
+    * one edge-keyed join (ranks × edges, AQE-broadcast when ranks fit) and
+    * one map-side-combined sum by destination; ranks round-trip through a
+    * persisted row RDD per round (leaf plan, eager unpersist — the
+    * [[connectedComponents]] lifecycle), so the logical plan stays
+    * constant-size across iterations.
+    *
+    * @return (id, rank) for every node appearing in `edges`, rank in
+    *         2^qBits fixed-point scale.
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int = 3,
+      dampNum: Long = 17L,
+      dampDen: Long = 20L,
+      qBits: Int = 20): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
+      s"damping must satisfy 0 <= dampNum <= dampDen, got $dampNum/$dampDen")
+    require(qBits >= 1 && qBits <= 30, s"qBits must be in [1, 30], got $qBits")
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("__od"))
+    val base = 1L << qBits
+    val tele = ((dampDen - dampNum) * base) / dampDen
+    var ranks = nodes.withColumn("rank", lit(base))
+    val rankSchema = ranks.schema
+    var ranksRdd = ranks.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    ranks = spark.createDataFrame(ranksRdd, rankSchema)
+    var it = 0
+    while (it < iters) {
+      val mass = e
+        .join(outdeg, Seq("src"))
+        .join(ranks.select(col("id").as("src"), col("rank")), Seq("src"))
+        .select(col("dst").as("id"),
+          expr("rank DIV __od").as("__send"))
+        .groupBy("id").agg(sum(col("__send")).as("__m"))
+      val nextRdd = nodes
+        .join(mass, Seq("id"), "left")
+        .select(col("id"),
+          (lit(tele) + expr(s"($dampNum * coalesce(__m, 0L)) DIV $dampDen"))
+            .as("rank"))
+        .rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      val next = spark.createDataFrame(nextRdd, rankSchema)
+      next.count() // materialize before dropping the parent snapshot
+      ranksRdd.unpersist(blocking = false)
+      ranksRdd = nextRdd
+      ranks = next
+      it += 1
+    }
+    e.unpersist(blocking = false)
+    ranks
+  }
 }

@@ -90,6 +90,40 @@ class GraphSpec extends SparkTestBase {
     assert(Graph.dedupClusters(none, "a", "b").count() === 0L)
   }
 
+  test("pageRank: hand-computed integer fixed point on a 3-node cycle + sink") {
+    // Graph: 1→2, 1→3, 2→3, 3→1 plus dangling sink 2→4.
+    // q=20, base=2^20=1048576, tele=(3*2^20) DIV 20 = 157286.
+    // Out-degrees: 1→{2,3} od=2, 2→{3,4} od=2, 3→{1} od=1.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 1L))
+      .toDF("src", "dst")
+    val base = 1L << 20
+    val tele = (3L * base) / 20L
+    // Iteration 1 by hand (all ranks start at base):
+    //   send: 1→524288 each to 2,3; 2→524288 each to 3,4; 3→1048576 to 1.
+    //   r1(1)=tele+(17*1048576)/20 ; r1(2)=tele+(17*524288)/20
+    //   r1(3)=tele+(17*(524288+524288))/20 ; r1(4)=tele+(17*524288)/20
+    def it(m: Long): Long = tele + (17L * m) / 20L
+    val exp1 = Map(
+      1L -> it(base), 2L -> it(base / 2), 3L -> it(base), 4L -> it(base / 2))
+    val got1 = Graph.pageRank(edges, "src", "dst", iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got1 === exp1)
+    // Iteration 2 from r1 (floor-div at every step, like the engine).
+    val exp2 = Map(
+      1L -> it(exp1(3L)),
+      2L -> it(exp1(1L) / 2),
+      3L -> it(exp1(1L) / 2 + exp1(2L) / 2),
+      4L -> it(exp1(2L) / 2))
+    val got2 = Graph.pageRank(edges, "src", "dst", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got2 === exp2)
+    // The cycle hub (3: two in-edges) outranks the sink (4: one in-edge
+    // from a split sender) after convergence-ish iterations.
+    val got5 = Graph.pageRank(edges, "src", "dst", iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got5(3L) > got5(4L) && got5(1L) > got5(4L))
+  }
+
   test("dedupClusters marks the min id of each cluster canonical") {
     val pairs = Seq((2L, 9L), (9L, 4L), (30L, 31L)).toDF("id_a", "id_b")
     val got = Graph.dedupClusters(pairs, "id_a", "id_b")
