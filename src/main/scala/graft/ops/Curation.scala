@@ -748,7 +748,7 @@ object Curation {
       fpp: Double = 1e-4,
       maxExpectedItems: Long = 100000000L): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.graft.ColumnBridge
     require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
     val benchSh = bench
@@ -767,11 +767,11 @@ object Curation {
           ColumnBridge.expression(col("__sh")),
           Literal(nItems), Literal(numBits)).toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
-    val bloomLit = Literal.create(bloomBytes,
-      org.apache.spark.sql.types.BinaryType)
-    def hits(h: Column): Column =
-      ColumnBridge.column(
-        BloomFilterMightContain(bloomLit, ColumnBridge.expression(h)))
+    // Membership via the fused BloomHitCount expression, NOT
+    // size(filter(..., might_contain)): higher-order functions never enter
+    // whole-stage codegen, so the HOF form drops the entire scan
+    // projection to interpreted eval (measured: 0 WholeStageCodegen spans
+    // in the plan). The fused kernel keeps the probe loop generated.
     train
       .select(col(trainId).as("id"),
         graft.functions.TextFunctions.tokenize(col(trainText)).as("__t"))
@@ -779,7 +779,8 @@ object Curation {
         graft.functions.TextFunctions.shingle_hashes(col("__t"), k).as("__sh"))
       .select(col("id"),
         size(col("__sh")).cast("long").as("n_grams"),
-        size(filter(col("__sh"), h => hits(h))).cast("long").as("n_flagged"))
+        graft.functions.BloomFunctions.bloom_hit_count(col("__sh"), bloomBytes)
+          .as("n_flagged"))
       .select(col("id").as(trainId), col("n_grams"), col("n_flagged"),
         (col("n_flagged") === 0L).cast("int").as("clean"))
   }
