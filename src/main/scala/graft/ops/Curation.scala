@@ -761,12 +761,25 @@ object Curation {
       math.max(1L, benchSh.count()))
     val numBits = math.max(64L,
       math.ceil(-nItems.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // A benchmark with zero grams (empty/null texts, empty table) makes
+    // the aggregate return SQL NULL — the sketch must then flag nothing,
+    // not NPE on deserialization (the empty-edge-set CC lesson).
     val bloomBytes = benchSh
       .select(ColumnBridge.column(
         new BloomFilterAggregate(
           ColumnBridge.expression(col("__sh")),
           Literal(nItems), Literal(numBits)).toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
+    if (bloomBytes == null) {
+      return train
+        .select(col(trainId).as("id"),
+          graft.functions.TextFunctions.tokenize(col(trainText)).as("__t"))
+        .select(col("id"),
+          graft.functions.TextFunctions.shingle_hashes(col("__t"), k).as("__sh"))
+        .select(col("id").as(trainId),
+          size(col("__sh")).cast("long").as("n_grams"),
+          lit(0L).as("n_flagged"), lit(1).as("clean"))
+    }
     // Membership via the fused BloomHitCount expression, NOT
     // size(filter(..., might_contain)): higher-order functions never enter
     // whole-stage codegen, so the HOF form drops the entire scan
@@ -778,9 +791,11 @@ object Curation {
       .select(col("id"),
         graft.functions.TextFunctions.shingle_hashes(col("__t"), k).as("__sh"))
       .select(col("id"),
-        size(col("__sh")).cast("long").as("n_grams"),
-        graft.functions.BloomFunctions.bloom_hit_count(col("__sh"), bloomBytes)
-          .as("n_flagged"))
+        // null text → null token array: such docs have zero grams and are
+        // clean by definition, not null-columned.
+        coalesce(size(col("__sh")), lit(0)).cast("long").as("n_grams"),
+        coalesce(graft.functions.BloomFunctions
+          .bloom_hit_count(col("__sh"), bloomBytes), lit(0L)).as("n_flagged"))
       .select(col("id").as(trainId), col("n_grams"), col("n_flagged"),
         (col("n_flagged") === 0L).cast("int").as("clean"))
   }

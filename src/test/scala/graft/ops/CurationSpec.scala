@@ -166,6 +166,24 @@ class CurationSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(flaggedExact.subsetOf(flaggedBloom),
       s"false negatives: ${flaggedExact -- flaggedBloom}")
+    // An EMPTY benchmark (no grams at all) flags nothing — and must not
+    // NPE on the null aggregate result (the empty-edge-set CC lesson).
+    val emptyBench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val noFlags = Curation.bloomDecontaminate(
+      train, "doc_id", "text", emptyBench, "text", k = 3)
+      .collect()
+    assert(noFlags.length === 4 &&
+      noFlags.forall(r => r.getLong(2) === 0L && r.getInt(3) === 1))
+    val nullBench = Seq((9L, null: String)).toDF("doc_id", "text")
+    assert(Curation.bloomDecontaminate(
+        train, "doc_id", "text", nullBench, "text", k = 3)
+      .collect().forall(_.getInt(3) === 1))
+    // Null TRAIN text: zero grams, clean — no null columns in the output.
+    val nt = Curation.bloomDecontaminate(
+        train.unionByName(Seq((50L, null: String)).toDF("doc_id", "text")),
+        "doc_id", "text", bench, "text", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    assert(nt(50L) === ((0L, 0L, 1)))
   }
 
   test("c4Filter line retention and document drop rules") {
