@@ -553,26 +553,18 @@ object Dedup {
     val staged = df.select(col(idCol).as("id"),
       TextAnalysis.tokens(col(textCol)).as("__t"))
     val n = size(col("__t"))
-    // 0-based gram-end positions j (k-1 .. n-1) that cut AFTER j; a cut at
-    // the last token would open an empty chunk, so it is dropped.
-    val cuts = filter(
-      transform(sequence(lit(k - 1), greatest(n - 1, lit(k - 1))), j => j),
-      j => j < n - 1 &&
-        pmod(conv(substring(md5(
-          concat_ws(" ", slice(col("__t"), j - (k - 2), lit(k)))
-            .cast("binary")), 1, 13), 16, 10).cast("long"),
-          lit(modulus.toLong)) === 0L)
+    // Cut decisions + chunk identity hashes in ONE fused pass
+    // (graft.functions.CdcChunkStructs): the previous composed form ran
+    // the per-position md5 cut test inside a higher-order `filter` lambda
+    // — HOFs never enter whole-stage codegen, so every token position
+    // paid an interpreted concat_ws + catalyst md5 tree. Hash policy
+    // (md5 hex of space-joined tokens, first-13-hex-digits cut key) is
+    // byte-identical, so the DuckDB oracles are unchanged.
     val chunks = staged
       .where(n > 0)
-      .withColumn("__s",
-        concat(array(lit(0)), transform(cuts, c => c + 1)))
-      .withColumn("__e",
-        concat(slice(col("__s"), lit(2), greatest(size(col("__s")) - 1, lit(0))),
-          array(n)))
-      .select(col("id"), explode(zip_with(col("__s"), col("__e"),
-        (s, e) => struct(s.as("st"), (e - s).as("ln"),
-          md5(concat_ws(" ", slice(col("__t"), s + 1, e - s)).cast("binary"))
-            .as("h")))).as("c"))
+      .select(col("id"), explode(
+        graft.functions.CdcFunctions.cdc_chunk_structs(col("__t"), k, modulus))
+        .as("c"))
       .select(col("id"), col("c.st").cast("long").as("start_tok"),
         col("c.ln").cast("long").as("n_tokens"), col("c.h").as("h"))
     val counts = chunks.groupBy("h").agg(count(lit(1)).as("n_occurrences"))
