@@ -674,12 +674,19 @@ object Curation {
     // fraction of the text bytes. The cache stays until the returned
     // DataFrame becomes unreachable; the ContextCleaner then reclaims it
     // (the [[Graph.connectedComponents]] lifecycle).
+    // Persisted PRE-PARTITIONED BY id: hash(id) satisfies the clustering
+    // of every downstream per-document operation (the predict
+    // groupBy(id, y) — id ⊆ (id, y) — and the gradient's join back on
+    // id), so after this one extra exchange at build time, NO iteration
+    // re-shuffles the feature table: the only per-round exchange left is
+    // the B-row-bounded gradient groupBy(bk).
     val feats = labeled
       .select(col("id"), col("y"), explode(concat(t, bigrams)).as("g"))
       .select(col("id"), col("y"),
         pmod(conv(substring(md5(col("g").cast("binary")), 1, 13), 16, 10)
           .cast("long"), lit(buckets.toLong)).as("bk"))
       .distinct()
+      .repartition(col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = df.count()
     val d = n << etaLog2 // divisor: n·2^eta (η/n folded into one floor div)
