@@ -33,7 +33,11 @@ object Similarity {
     * pass it explicitly (`dim` parameter) and skip this probe entirely.
     */
   private def vectorDim(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).first().getInt(0)
+    df.select(size(col(vecCol))).limit(1).collect().headOption
+      .map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot infer vector dimension of '$vecCol' from an empty corpus — " +
+          "pass dim explicitly"))
 
   /** Scored (query_id, neighbor_id, cos) → per-query top-k with rank.
     * One k-bounded aggregate: map-side partial buffers hold ≤ k entries per
