@@ -93,6 +93,33 @@ class LogStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("bloom decontamination filters a stream on arrival (stateless sketch probe)") {
+    implicit val sqlCtx = spark.sqlContext
+    // The benchmark sketch is built ONCE from a batch table; the resulting
+    // operator is a stateless narrow projection (literal sketch + fused
+    // BloomHitCount), so it applies verbatim to a readStream DataFrame —
+    // decontamination-on-arrival with no state store and no join.
+    val bench = Seq((100L, "the quick brown fox jumps high"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val scored = graft.ops.Curation.bloomDecontaminate(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      bench, "text", k = 3)
+    val q = scored.writeStream.format("memory").queryName("bloomstream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "completely unrelated text about spark partitions"))
+      q.processAllAvailable()
+      input.addData((3L, "more text then the quick brown fox appears"))
+      q.processAllAvailable()
+      val got = spark.table("bloomstream").select("doc_id", "clean")
+        .as[(Long, Int)].collect().toMap
+      assert(got === Map(1L -> 0, 2L -> 1, 3L -> 0))
+    } finally q.stop()
+  }
+
   test("streaming boom source picks up appended files across batches") {
     val dir = Files.createTempDirectory("stream-boom").toString
     writeBatch(dir, 1700000000000L, 5, "first")
