@@ -1370,6 +1370,14 @@ object SparkEntry {
       LanguageModel.pmiCollocations(t(s, dir, "documents"), "text",
         minCount = 5, topK = 100)),
 
+    // Per-document unigram entropy (quality/diversity signal): per-term
+    // contributions integerize BEFORE the sum (round(1e6·c·ln c) int64),
+    // so the result is order-independent; the final expression is exact
+    // integer arithmetic. One fused narrow pass, zero shuffles.
+    "q_doc_entropy" -> ((s, dir) =>
+      TextAnalysis.docEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .presented("doc_id")),
+
     // Per-document top-3 TF-IDF terms: idf integerized once per TERM
     // (round(1e6·ln(N/df)) — one ln per distinct term, the λ-table
     // discipline), scores exact int64 products from there; ties break
@@ -1715,6 +1723,24 @@ object SparkEntry {
          | FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w, tot
          | WHERE bc.c2 >= 5
          | ORDER BY pmi_scaled DESC, bc.w1, bc.w2 LIMIT 100""".stripMargin,
+    "q_doc_entropy" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         | tc AS (SELECT doc_id, term, count(*) AS c
+         |   FROM (SELECT doc_id, unnest(t) AS term FROM tk)
+         |   GROUP BY doc_id, term),
+         | ag AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |     count(*) AS n_distinct,
+         |     CAST(sum(CAST(round(1000000.0 * c * ln(c)) AS BIGINT))
+         |       AS BIGINT) AS s
+         |   FROM tc GROUP BY doc_id)
+         | SELECT tk.doc_id,
+         |   coalesce(ag.n_tokens, 0) AS n_tokens,
+         |   coalesce(ag.n_distinct, 0) AS n_distinct,
+         |   CASE WHEN ag.n_tokens IS NULL OR ag.n_tokens = 0 THEN 0
+         |        ELSE CAST(round(1000000.0 * ln(ag.n_tokens)) AS BIGINT)
+         |          - ag.s // ag.n_tokens END AS entropy_scaled
+         | FROM tk LEFT JOIN ag USING (doc_id)
+         | ORDER BY tk.doc_id""".stripMargin,
     "q_tfidf_top_terms" ->
       s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents),
          | tfc AS (SELECT doc_id, term, count(*) AS tf

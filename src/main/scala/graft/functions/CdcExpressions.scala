@@ -125,3 +125,69 @@ object CdcFunctions {
   def cdc_chunk_structs(tokens: Column, k: Int, modulus: Int): Column =
     ColumnBridge.column(CdcChunkStructs(ColumnBridge.expression(tokens), k, modulus))
 }
+
+/** Integerized unigram-entropy kernel for
+  * [[graft.ops.TextAnalysis.docEntropy]]: ONE hash-count pass per row, no
+  * shuffle. Policy (engine-replayable): with L = token count and c_t the
+  * per-distinct-term counts,
+  *
+  *   s        = Σ_t round(10⁶ · c_t · ln c_t)   (int64 after per-term round)
+  *   entropy  = round(10⁶ · ln L) − s DIV L     (exact ints from there)
+  *
+  * which is 10⁶·H for H = ln L − (1/L)·Σ c ln c, the Shannon entropy of
+  * the token distribution in nats. Rounding is half-away-from-zero on
+  * non-negative arguments (floor(x + 0.5)), matching SQL ROUND.
+  */
+object EntropyOps {
+  def tokenEntropy(tokens: ArrayData): InternalRow = {
+    val n = tokens.numElements()
+    if (n == 0) return InternalRow(0L, 0L, 0L)
+    val counts = new java.util.HashMap[UTF8String, Int](n * 2)
+    var i = 0
+    var total = 0L
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val t = tokens.getUTF8String(i)
+        counts.merge(t, 1, (a, b) => a + b)
+        total += 1L
+      }
+      i += 1
+    }
+    if (total == 0L) return InternalRow(0L, 0L, 0L)
+    var s = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toLong
+      s += math.floor(1e6 * c * math.log(c.toDouble) + 0.5).toLong
+    }
+    val ent = math.floor(1e6 * math.log(total.toDouble) + 0.5).toLong - s / total
+    InternalRow(total, counts.size().toLong, ent)
+  }
+}
+
+case class TokenEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("entropy_scaled", LongType, nullable = false)))
+  override def prettyName: String = "token_entropy"
+
+  override def nullSafeEval(input: Any): Any =
+    EntropyOps.tokenEntropy(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.EntropyOps.tokenEntropy($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenEntropy =
+    copy(child = newChild)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+}
+
+object EntropyFunctions {
+  def token_entropy(tokens: Column): Column =
+    ColumnBridge.column(TokenEntropy(ColumnBridge.expression(tokens)))
+}

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: tokenization, language
@@ -386,4 +386,26 @@ object TextAnalysis {
     */
   def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column =
     graft.functions.TextFunctions.winnow_fingerprints(tokens(text), k, w)
+
+  /** Per-document unigram entropy (a classic quality/diversity signal:
+    * low entropy ⇒ repetitive or templated text; pairs with
+    * [[repetitionMetrics]]'s n-gram view). INTEGERIZED per the
+    * [[graft.functions.EntropyOps]] policy — per-term contributions round
+    * to int64 BEFORE the sum, so the result is order-independent and
+    * engine-replayable; entropy_scaled = 10⁶ × Shannon entropy in nats.
+    * One fused hash-count pass per row (native expression, codegen'd):
+    * ZERO shuffles — the explode→groupBy(doc, term)→groupBy(doc)
+    * formulation shuffles the corpus twice for the same answer.
+    *
+    * Output: (id, n_tokens, n_distinct, entropy_scaled); empty/null text
+    * reports zeros.
+    */
+  def docEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
+      .select(col("id"),
+        graft.functions.EntropyFunctions.token_entropy(col("__t")).as("__e"))
+      .select(col("id").as(idCol),
+        coalesce(col("__e.n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("__e.n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("__e.entropy_scaled"), lit(0L)).as("entropy_scaled"))
 }

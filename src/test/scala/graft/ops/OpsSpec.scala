@@ -470,6 +470,44 @@ class TextAnalysisSpec extends SparkTestBase {
   }
 }
 
+class DocEntropySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("docEntropy: hand-computed integerized Shannon entropy") {
+    val docs = Seq(
+      (1L, "a a b b"),          // uniform 2-symbol → H = ln 2
+      (2L, "a a a a"),          // single symbol → H = 0
+      (3L, "x"),                // L = 1 → H = 0
+      (4L, ""),                 // empty → zeros
+      (5L, null: String))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.docEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def r6(v: Double): Long = math.floor(1e6 * v + 0.5).toLong
+    val ln2 = math.log(2.0)
+    // s = 2·round(1e6·2·ln2); ent = round(1e6·ln4) − s/4 = 1e6·ln2 exactly
+    val expEnt1 = r6(math.log(4.0)) - (2L * r6(2 * ln2)) / 4L
+    assert(got(1L) === ((4L, 2L, expEnt1)))
+    assert(expEnt1 === r6(ln2)) // uniform 2-symbol sanity
+    assert(got(2L) === ((4L, 1L, r6(math.log(4.0)) - r6(4 * math.log(4.0)) / 4L)))
+    assert(got(2L)._3 === 0L)
+    assert(got(3L) === ((1L, 1L, 0L)))
+    assert(got(4L) === ((0L, 0L, 0L)))
+    assert(got(5L) === ((0L, 0L, 0L)))
+    // Higher diversity scores higher.
+    val rel = TextAnalysis.docEntropy(
+      Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8"), (2L, "w1 w1 w1 w1 w2 w2 w2 w2"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rel(1L) > rel(2L))
+    // Narrow plan: no exchanges — the kernel is one fused pass per row.
+    val plan = TextAnalysis.docEntropy(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
+
 class MultimodalSpec extends SparkTestBase {
   import spark.implicits._
 
