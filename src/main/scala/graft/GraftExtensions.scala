@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, FormatLogDate, JaccardSets, LangIdExpression, MinHashSignature, NfcNormalize, NgramHashes, RepetitionProfile, ShingleHashes, SimHash64, Tokenize, TopKByScore, WinnowFingerprints}
+import graft.functions.{BloomHitCount, CdcChunkStructs, CosineSimilarity, FormatLogDate, JaccardSets, LangIdExpression, MinHashSignature, NfcNormalize, NgramHashes, RepetitionProfile, ShingleHashes, SimHash64, TokenEntropy, Tokenize, TopKByScore, WinnowFingerprints}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -102,6 +102,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(toks) => RepetitionProfile(toks, 2)
         case Seq(toks, n) => RepetitionProfile(toks, int(n, "n"))
         case _ => throw new IllegalArgumentException("repetition_profile(tokens[, n])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("token_entropy"),
+      new ExpressionInfo(classOf[TokenEntropy].getName, "token_entropy"),
+      (args: Seq[Expression]) => TokenEntropy(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cdc_chunk_structs"),
+      new ExpressionInfo(classOf[CdcChunkStructs].getName, "cdc_chunk_structs"),
+      (args: Seq[Expression]) => args match {
+        case Seq(toks) => CdcChunkStructs(toks, 3, 8)
+        case Seq(toks, k, m) => CdcChunkStructs(toks, int(k, "k"), int(m, "modulus"))
+        case _ => throw new IllegalArgumentException(
+          "cdc_chunk_structs(tokens[, k, modulus])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_hit_count"),
+      new ExpressionInfo(classOf[BloomHitCount].getName, "bloom_hit_count"),
+      (args: Seq[Expression]) => args match {
+        case Seq(hashes, Literal(bytes: Array[Byte], _)) =>
+          BloomHitCount(hashes, bytes)
+        case _ => throw new IllegalArgumentException(
+          "bloom_hit_count(hashes, <binary literal sketch>)")
       }))
     ext.injectFunction((
       FunctionIdentifier("topk_by_score"),

@@ -60,6 +60,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val rep = row.getAs[org.apache.spark.sql.Row]("rep")
     assert(rep.getLong(0) === 6L && rep.getLong(1) === 6L && rep.getLong(2) === 6L)
 
+    val row2 = spark.sql(
+      """SELECT
+        |  token_entropy(tokenize('a a b b')) AS ent,
+        |  size(cdc_chunk_structs(tokenize('a b c d e f'), 3, 2)) AS n_cdc
+        |""".stripMargin).head()
+    val ent = row2.getAs[org.apache.spark.sql.Row]("ent")
+    assert(ent.getLong(0) === 4L && ent.getLong(1) === 2L)
+    assert(ent.getLong(2) === math.floor(1e6 * math.log(2.0) + 0.5).toLong)
+    assert(row2.getAs[Int]("n_cdc") >= 1)
+
     // The aggregate path: top-2 scores per group via topk_by_score.
     import spark.implicits._
     Seq((1, 1.0, 10L), (1, 3.0, 11L), (1, 2.0, 12L), (2, 5.0, 20L))
