@@ -1230,6 +1230,19 @@ object SparkEntry {
           minLen = 8)
         .presented("doc_id")),
 
+    // Span-level reference scrubbing (every 25th doc plays the reference,
+    // the decontamination split): maximal runs of >= 8 tokens appearing
+    // in the reference are CUT, text rebuilt — exact oracle, string-gram
+    // sets vs 64-bit gram hashes (the q_ngram_jaccard collision
+    // argument).
+    "q_remove_ref_spans" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.removeReferenceSpans(
+        d.where(col("doc_id") % 25 =!= 0), "doc_id", "text",
+        d.where(col("doc_id") % 25 === 0), "text", minLen = 8)
+        .presented("doc_id")
+    }),
+
     // Content-defined chunking dedup (FastCDC at token level): md5-gated
     // cut points, chunk-content occurrence counts. Exact oracle: DuckDB
     // replays the identical cut policy and chunk hashing with list
@@ -2277,6 +2290,42 @@ object SparkEntry {
          | fe AS (SELECT doc_id, pos, row_number()
          |     OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM g2),
          | rm AS (SELECT doc_id, pos FROM fe WHERE rn > 1),
+         | isl0 AS (SELECT doc_id, pos,
+         |     CASE WHEN pos - lag(pos)
+         |         OVER (PARTITION BY doc_id ORDER BY pos) < 8
+         |       THEN 0 ELSE 1 END AS nw
+         |   FROM rm),
+         | isl AS (SELECT doc_id, pos,
+         |     sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |   FROM isl0),
+         | sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+         |   FROM isl GROUP BY doc_id, grp),
+         | spl AS (SELECT doc_id, list({'s': s, 'e': e} ORDER BY s) AS sps
+         |   FROM sp GROUP BY doc_id)
+         | SELECT tk.doc_id, len(tk.t) AS n_tokens,
+         |   len(tk.t) - len([tk.t[j] for j in range(1, len(tk.t) + 1)
+         |     if len(list_filter(coalesce(spl.sps,
+         |          CAST([] AS STRUCT(s BIGINT, e BIGINT)[])),
+         |        x -> j - 1 >= x.s AND j - 1 <= x.e)) = 0]) AS n_removed,
+         |   coalesce(array_to_string(
+         |     [tk.t[j] for j in range(1, len(tk.t) + 1)
+         |       if len(list_filter(coalesce(spl.sps,
+         |            CAST([] AS STRUCT(s BIGINT, e BIGINT)[])),
+         |          x -> j - 1 >= x.s AND j - 1 <= x.e)) = 0], ' '), '')
+         |     AS cleaned_text
+         | FROM tk LEFT JOIN spl USING (doc_id) ORDER BY tk.doc_id""".stripMargin,
+    "q_remove_ref_spans" ->
+      s"""WITH tk0 AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         | tk AS (SELECT * FROM tk0 WHERE doc_id % 25 <> 0),
+         | g AS (SELECT doc_id, unnest(range(1, len(t) - 6)) AS i, t
+         |   FROM tk WHERE len(t) >= 8),
+         | g2 AS (SELECT doc_id, i - 1 AS pos,
+         |     array_to_string(list_slice(t, i, i + 7), ' ') AS gram FROM g),
+         | rg0 AS (SELECT unnest(range(1, len(t) - 6)) AS i, t
+         |   FROM tk0 WHERE doc_id % 25 = 0 AND len(t) >= 8),
+         | rg AS (SELECT DISTINCT
+         |     array_to_string(list_slice(t, i, i + 7), ' ') AS gram FROM rg0),
+         | rm AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN rg USING (gram)),
          | isl0 AS (SELECT doc_id, pos,
          |     CASE WHEN pos - lag(pos)
          |         OVER (PARTITION BY doc_id ORDER BY pos) < 8

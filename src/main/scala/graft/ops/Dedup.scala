@@ -664,6 +664,69 @@ object Dedup {
           .as("cleaned_text"))
   }
 
+  /** Span-level REFERENCE scrubbing — the surgical counterpart of
+    * doc-level decontamination ([[graft.ops.Curation.decontaminate]]
+    * flags whole documents; this CUTS the offending runs and keeps the
+    * rest): every maximal train-document token span whose `minLen`-grams
+    * all appear in the REFERENCE corpus (eval benchmarks, a copyright
+    * blocklist, already-trained data) is removed and the cleaned text
+    * rebuilt — the Lee et al. removal policy with the duplicate-gram set
+    * replaced by the reference's gram set.
+    *
+    * Scale shape: the reference's DISTINCT gram hashes are one
+    * aggregation (reference corpora are small by nature — AQE broadcasts
+    * the join); train seeds shuffle as (id, pos, hash) longs through one
+    * gram-keyed join, islands merge gap-aware per document (gap < minLen
+    * ⇒ one span, the non-overlap invariant), and the cut is a narrow
+    * array filter per row. Train text never rides a shuffle.
+    *
+    * Output: (id, n_tokens, n_removed, cleaned_text).
+    */
+  def removeReferenceSpans(
+      train: DataFrame,
+      trainId: String,
+      trainText: String,
+      ref: DataFrame,
+      refText: String,
+      minLen: Int = 8): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val staged = train
+      .select(col(trainId).as("id"), TextAnalysis.tokens(col(trainText)).as("__t"))
+    val seeds = staged
+      .select(col("id"),
+        graft.functions.TextFunctions.ngram_hashes(col("__t"), minLen).as("__g"))
+      .select(col("id"), posexplode(col("__g")).as(Seq("pos", "gh")))
+    val refGrams = ref
+      .select(TextAnalysis.tokens(col(refText)).as("__t"))
+      .select(explode(
+        graft.functions.TextFunctions.ngram_hashes(col("__t"), minLen)).as("gh"))
+      .distinct()
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val removable = seeds.join(refGrams, Seq("gh"))
+      .withColumn("__nw",
+        when(col("pos") - lag(col("pos"), 1).over(w) < minLen, 0)
+          .otherwise(1))
+      .withColumn("__grp", sum(col("__nw")).over(w))
+    val spans = removable.groupBy(col("id"), col("__grp"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (minLen - 1)).as("e"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("__sp"))
+    staged.join(spans, Seq("id"), "left")
+      .select(col("id").as(trainId),
+        size(col("__t")).cast("long").as("n_tokens"),
+        coalesce(size(filter(col("__t"), (_, j) =>
+          exists(coalesce(col("__sp"),
+              array().cast("array<struct<s:int,e:int>>")),
+            sp => j >= sp.getField("s") && j <= sp.getField("e")))),
+          lit(0)).cast("long").as("n_removed"),
+        concat_ws(" ",
+          filter(col("__t"), (_, j) =>
+            !exists(coalesce(col("__sp"),
+                array().cast("array<struct<s:int,e:int>>")),
+              sp => j >= sp.getField("s") && j <= sp.getField("e"))))
+          .as("cleaned_text"))
+  }
+
   /** Per-document duplicated-token mass from [[duplicateSubstringSpans]]:
     * (id, n_tokens total, dup_tokens, n_spans, dup_frac) — `dup_frac` is
     * the fraction of the document's tokens covered by corpus-duplicated

@@ -235,6 +235,32 @@ class SpanDedupSpec extends SparkTestBase {
     assert(c(1L) === "a1 a2 a3 a4 a5 a6 tail one here")
   }
 
+  test("removeReferenceSpans scrubs reference runs, keeps everything else") {
+    val refRun = "r1 r2 r3 r4 r5 r6"
+    val ref = Seq((100L, s"some head $refRun some tail")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"keep one $refRun keep two"),    // interior run scrubbed
+      (2L, "nothing from the reference here at all"),
+      (3L, refRun))                          // exact run → empty
+      .toDF("doc_id", "text")
+    val m = Dedup.removeReferenceSpans(train, "doc_id", "text", ref, "text",
+        minLen = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(m(1L) === ((10L, 6L, "keep one keep two")))
+    assert(m(2L)._2 === 0L)
+    assert(m(3L) === ((6L, 6L, "")))
+    // Gap-of-one: grams at pos 0 and 2 in the ref set, pos 1 not — one
+    // merged span, n_removed never exceeds the doc length.
+    val ref2 = Seq((101L, "w1 w2 w3 w4 xx"), (102L, "pp w3 w4 w5 w6"))
+      .toDF("doc_id", "text")
+    val t2 = Seq((9L, "w1 w2 w3 w4 w5 w6")).toDF("doc_id", "text")
+    val g = Dedup.removeReferenceSpans(t2, "doc_id", "text", ref2, "text",
+        minLen = 4)
+      .collect().head
+    assert(g.getLong(1) === 6L && g.getLong(2) === 6L && g.getString(3) === "")
+  }
+
   test("cdcChunks: chunks tile the doc; identical docs fully co-occur") {
     val text = (1 to 60).map(i => s"w${i * 7 % 53}").mkString(" ")
     val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
