@@ -32,6 +32,13 @@ val jdk17AddOpens = Seq(
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
+  // Codegen class-cache hygiene for the 100+-query single-JVM sweep: the
+  // default 100-entry LRU thrashes across queries (every rep regenerates +
+  // re-JITs, and a hot method waiting on the C2 queue runs interpreted —
+  // measured as identical one-task stages costing 0.7 s vs 13+ s CPU).
+  // Stable class names + a roomy cache let generated classes be reused.
+  "-Dspark.sql.codegen.cache.maxEntries=10000",
+  "-Dspark.sql.codegen.useIdInClassName=false",
   "-Dspark.sql.session.timeZone=UTC",
   "-Dfile.encoding=UTF-8",
   // Multimodal's javax.imageio decode/encode must not probe for a display.

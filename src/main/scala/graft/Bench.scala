@@ -42,7 +42,8 @@ object Bench {
       "q_dateformat", "q_repetition", "q_bpe_merges", "q_ann_lsh",
       "q_semantic_dedup", "q_winnow_fingerprints", "q_knn_graph",
       "q_containment", "q_range_join", "q_boilerplate_spans",
-      "q_dedup_clusters", "q_sort_global", "q_kcenter_sample")
+      "q_dedup_clusters", "q_sort_global", "q_kcenter_sample",
+      "q_knn_graph_sharded")
     // Local-iteration filter: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just
     // those queries. Unset (the driver's invocation) → the full set.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

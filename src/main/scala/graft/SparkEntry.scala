@@ -46,23 +46,57 @@ object SparkEntry {
       df.repartition(1).sortWithinPartitions(cols: _*)
   }
 
-  /** events with ts as epoch millis (see class doc). */
+  /** events with `ts` NORMALIZED to epoch-nanos long plus derived `ts_ms`
+    * (see class doc). The driver's generator has shipped `ts` as BOTH
+    * nanosecond parquet (read as epoch-nanos long via
+    * `spark.sql.legacy.parquet.nanosAsLong`) and, since round 7, plain
+    * microsecond TIMESTAMP/TIMESTAMP_NTZ — so the layout is detected from
+    * the file schema and converted to the same epoch-nanos `ts` every
+    * downstream query was written against. NTZ→LTZ is exact under the
+    * suite-wide UTC session timezone (the same instant DuckDB's
+    * `epoch_ms(ts)` reports).
+    */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts_ms", expr("ts DIV 1000000"))
+    val raw = t(s, dir, "events")
+    val e = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp_ltz")) * 1000L)
+    }
+    e.withColumn("ts_ms", expr("ts DIV 1000000"))
   }
 
-  /** Time-range filter on the RAW nanosecond column, not the derived ts_ms:
-    * a predicate on `ts DIV 1000000` can never reach the scan, while one on
-    * `ts` is at least eligible. (With this testdata it still doesn't push —
-    * Spark's ParquetFilters has no conversion for TIMESTAMP(NANOS) columns
-    * read via nanosAsLong — but on any sane layout the time range prunes via
-    * the date/hour partition directories, as LogCatalog does for the log
-    * tables; this keeps the predicate in pushable form.)
+  /** Time-range filter on the RAW scan column, not the derived ts_ms: a
+    * predicate on a conversion expression can never reach the scan. On the
+    * timestamp layout the filter compares the unconverted column against
+    * TIMESTAMP_NTZ literals — eligible for parquet row-group pushdown — and
+    * the nanos conversion happens above the filter; on the legacy
+    * nanos-long layout it compares the long column (not convertible by
+    * ParquetFilters, but kept in pushable form; real log tables prune via
+    * the hour-directory catalog either way, as LogCatalog does).
     */
-  private def eventsInRange(s: SparkSession, dir: String, fromMs: Long, untilMs: Long): DataFrame =
-    events(s, dir)
-      .where(col("ts") >= fromMs * 1000000L && col("ts") < untilMs * 1000000L)
+  private def eventsInRange(s: SparkSession, dir: String, fromMs: Long, untilMs: Long): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        events(s, dir)
+          .where(col("ts") >= fromMs * 1000000L && col("ts") < untilMs * 1000000L)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        def ntzLit(ms: Long) = lit(java.time.LocalDateTime.ofEpochSecond(
+          math.floorDiv(ms, 1000L), (math.floorMod(ms, 1000L) * 1000000L).toInt,
+          java.time.ZoneOffset.UTC))
+        raw.where(col("ts") >= ntzLit(fromMs) && col("ts") < ntzLit(untilMs))
+          .withColumn("ts", unix_micros(col("ts").cast("timestamp_ltz")) * 1000L)
+          .withColumn("ts_ms", expr("ts DIV 1000000"))
+      case _ =>
+        raw.where(col("ts") >= timestamp_millis(lit(fromMs)) &&
+            col("ts") < timestamp_millis(lit(untilMs)))
+          .withColumn("ts", unix_micros(col("ts")) * 1000L)
+          .withColumn("ts_ms", expr("ts DIV 1000000"))
+    }
+  }
 
   /** documents augmented with known duplicates (first 20 docs re-inserted
     * under offset ids) so dedup operators have guaranteed positives at every

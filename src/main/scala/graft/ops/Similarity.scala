@@ -433,8 +433,19 @@ object Similarity {
     // A coarse quantizer doesn't need tight convergence: nprobe cell routing
     // absorbs centroid jitter, so a handful of Lloyd iterations buys the same
     // recall at a fraction of the (multi-pass, whole-sample) fit cost.
+    // Likewise random init over the bounded sample: k-means|| init is itself
+    // multiple distributed passes (its job count rivals the Lloyd loop's),
+    // bought to avoid bad seeds on adversarial data — jitter the probe spill
+    // already absorbs here (recall re-measured within noise at both sf).
+    // Random init draws a DISTINCT sample, so on a sample barely covering
+    // nlist (or with heavy exact duplicates) it can return fewer than nlist
+    // centers; only use it when the sample dwarfs nlist, else keep
+    // k-means|| (tiny samples make its extra passes cheap anyway). The
+    // sample count is a bounded job (≤ maxTrainRows rows by construction).
+    val trainRows = train.count()
+    val initMode = if (trainRows >= 32L * nlist) "random" else "k-means||"
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("features").fit(train)
+      .setInitMode(initMode).setFeaturesCol("features").fit(train)
 
     val assigned = model.setPredictionCol("cell").setFeaturesCol("__features")
       .transform(vecCol)
@@ -460,17 +471,7 @@ object Similarity {
       queryVec: String,
       k: Int = 10,
       nprobe: Int = 4): DataFrame = {
-    val qv = col("__qv").cast("array<double>")
-    val distStructs = index.centers.zipWithIndex.map { case (c, i) =>
-      val cLit = typedLit(c.map(_.toDouble).toIndexedSeq)
-      val d = aggregate(
-        zip_with(qv, cLit, (x, y) => (x - y) * (x - y)),
-        lit(0.0d), (acc, x) => acc + x)
-      struct(d.as("d"), lit(i).as("cell"))
-    }
-    val probe = transform(
-      slice(array_sort(array(distStructs: _*)), 1, nprobe),
-      s => s.getField("cell"))
+    val probe = probeCellsCol(index.centers, col("__qv").cast("array<double>"), nprobe)
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
       .withColumn("cell", explode(probe))
 
@@ -478,6 +479,32 @@ object Similarity {
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("__cv"), col("__qv")).as("cos"))
     topKPerQuery(scored, k, distinctIds = true)
+  }
+
+  /** nprobe-nearest-cell routing as ONE compact Column: the centroid table
+    * becomes a single 2-D array literal and the squared-L2 distances one
+    * `transform` loop over it (inner `zip_with`+`aggregate` fold per cell);
+    * `array_sort` over (distance, cell) structs picks the `nprobe` nearest
+    * (struct ordering breaks distance ties by cell id, matching a stable
+    * sort over the centroid order). No UDF, no join, no shuffle — and,
+    * critically, COMPACT generated code: the earlier formulation unrolled
+    * one independent fold expression PER centroid, and the resulting huge
+    * generated method was bimodal under JIT — the identical one-task
+    * routing stage measured 0.7 s in some runs and 13+ s CPU in others
+    * (interpreted/deopt path). A 16-cell loop over a literal array stays
+    * far under method-size limits and times stably.
+    */
+  private def probeCellsCol(
+      centers: Array[Array[Float]], vec: Column, nprobe: Int): Column = {
+    val centsLit = typedLit(
+      centers.map(_.map(_.toDouble).toIndexedSeq).toIndexedSeq)
+    val dists = transform(centsLit, (c, i) => struct(
+      aggregate(zip_with(vec, c, (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, x) => acc + x).as("d"),
+      i.as("cell")))
+    transform(
+      slice(array_sort(dists), 1, math.min(nprobe, centers.length)),
+      s => s.getField("cell"))
   }
 
   /** One-shot IVF ANN: [[buildIvfIndex]] + [[ivfSearch]]. */
@@ -569,10 +596,7 @@ object Similarity {
     val scored = cosinePairsLsh(corpus, idCol, vecCol,
       threshold = Double.NegativeInfinity, bands, autoPlanes, seed,
       maxBucketSize, dim)
-    val sym = scored
-      .select(col("id_a").as("id"), col("id_b").as("nb"), col("cos"))
-      .unionByName(scored
-        .select(col("id_b").as("id"), col("id_a").as("nb"), col("cos")))
+    val sym = symmetrize(scored)
     val vecs = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
       .where(col("__v").isNotNull)
@@ -675,20 +699,11 @@ object Similarity {
     val vecs = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
       .where(col("__v").isNotNull)
-    // nprobe-nearest-cell routing: constant centroid literals, codegen'd
-    // distance folds, array_sort struct ordering — no UDF (ivfSearch's
-    // routing applied to the corpus itself).
-    val vv = col("__v").cast("array<double>")
-    val distStructs = index.centers.zipWithIndex.map { case (c, i) =>
-      val cLit = typedLit(c.map(_.toDouble).toIndexedSeq)
-      val dist = aggregate(
-        zip_with(vv, cLit, (x, y) => (x - y) * (x - y)),
-        lit(0.0d), (acc, x) => acc + x)
-      struct(dist.as("d"), lit(i).as("cell"))
-    }
-    val probeCells = transform(
-      slice(array_sort(array(distStructs: _*)), 1, math.min(nprobe, index.centers.length)),
-      s => s.getField("cell"))
+    // nprobe-nearest-cell routing: one compact loop over the centroid
+    // array literal — no UDF ([[probeCellsCol]], ivfSearch's routing
+    // applied to the corpus itself).
+    val probeCells = probeCellsCol(index.centers,
+      col("__v").cast("array<double>"), nprobe)
     // Band resolution from the expected SPILLED cell population
     // (n·nprobe/nlist) ALONE — the cell is the bounding mechanism, so
     // unlike knnGraph there is no resolution floor: a cell that already
@@ -717,12 +732,21 @@ object Similarity {
       .join(vecs.select(col("id").as("id_a"), col("__v").as("v_a")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("__v").as("v_b")), "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
-    val sym = pairs
-      .select(col("id_a").as("id"), col("id_b").as("nb"), col("cos"))
-      .unionByName(pairs
-        .select(col("id_b").as("id"), col("id_a").as("nb"), col("cos")))
-    nnDescent(sym, vecs, k, refineRounds)
+    nnDescent(symmetrize(pairs), vecs, k, refineRounds)
   }
+
+  /** (id_a, id_b, cos) → both directed edges in ONE pass over the pair
+    * pipeline. The union-of-two-selects formulation executes the whole
+    * candidate subtree TWICE (exchange reuse dedups shuffle writes, but the
+    * joins and cosine evaluation above them re-run per branch); a 2-way
+    * struct explode is a narrow fan-out of rows already in hand.
+    */
+  private def symmetrize(pairs: DataFrame): DataFrame = pairs
+    .select(explode(array(
+      struct(col("id_a").as("id"), col("id_b").as("nb"), col("cos")),
+      struct(col("id_b").as("id"), col("id_a").as("nb"), col("cos")))).as("__e"))
+    .select(col("__e.id").as("id"), col("__e.nb").as("nb"),
+      col("__e.cos").as("cos"))
 
   def cosinePairsLsh(
       df: DataFrame,
