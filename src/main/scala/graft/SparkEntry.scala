@@ -559,6 +559,38 @@ object SparkEntry {
         .presented("query_id", "rank")
     }),
 
+    // Binary-quantized ANN: sign-bit codes + exact Hamming top-k (the
+    // FAISS IndexBinaryFlat tier — the memory-bandwidth first-pass filter
+    // at 10⁹+ vectors). REAL oracle: DuckDB recomputes per-coordinate sign
+    // disagreements (> 0 on the same floats) and replays the
+    // (hamming asc, id asc) ranking exactly.
+    "q_ann_hamming" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hammingTopK(emb, "vec_id", "embedding",
+          emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5, dim = 64)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("hamming").cast("long").as("hamming"))
+        .presented("query_id", "rank")
+    }),
+
+    // Hard-negative mining for contrastive training: per anchor, top-k most
+    // similar NON-duplicate corpus items (cos < 0.95; the planted +1000000
+    // copies are exact dups and must be excluded, not returned as
+    // negatives). REAL oracle: DuckDB replays the cosine ranking and the
+    // threshold filter on bit-identical doubles (q_embed_dupes proves
+    // cosine parity on this data).
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val aug = emb.unionByName(emb.where(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + 1000000L))
+      Similarity.hardNegatives(aug, "vec_id", "embedding",
+          aug.where(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, dupThreshold = 0.95)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+        .presented("query_id", "rank")
+    }),
+
     // Multi-table LSH ANN recall vs in-job brute force. Measured recall at
     // sf0.01 with 16 tables × 6 planes is ~0.7 on this (hard, weakly
     // clustered) data; 0.3 guards regressions — chance recall at this
@@ -1597,6 +1629,30 @@ object SparkEntry {
         |                c.vec_id) AS rank
         |   FROM embeddings c, embeddings q
         |   WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_ann_hamming" ->
+      """WITH h AS (
+        |   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |     len(list_filter(range(1, 65),
+        |       i -> (q.embedding[i] > 0) <> (c.embedding[i] > 0))) AS hamming
+        |   FROM embeddings c, embeddings q
+        |   WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        | SELECT query_id, rank, neighbor_id, hamming FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY query_id
+        |     ORDER BY hamming, neighbor_id) AS rank FROM h)
+        | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_hard_negatives" ->
+      """WITH aug AS (SELECT vec_id, embedding FROM embeddings
+        |             UNION ALL
+        |             SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 10),
+        | sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |     list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                            CAST(q.embedding AS DOUBLE[])) AS cos
+        |   FROM aug c, aug q WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        | SELECT query_id, rank, neighbor_id FROM (
+        |   SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+        |     ORDER BY cos DESC, neighbor_id) AS rank
+        |   FROM sc WHERE cos < 0.95)
         | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_ann_lsh" ->
       """SELECT 5 * count(*) AS n_exact, 1 AS recall_pass

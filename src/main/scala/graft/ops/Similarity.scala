@@ -296,6 +296,92 @@ object Similarity {
     topKPerQuery(scored, k, distinctIds = false)
   }
 
+  /** Sign-bit binary quantization: each embedding packs to ⌈dim/64⌉ int64
+    * words (bit b of word w set iff coordinate 64·w+b is > 0) — a 32×
+    * compression under which angular similarity survives as Hamming
+    * distance (the 1-bit limit of hyperplane LSH: for unit vectors,
+    * E[hamming]/dim = θ/π). Pure fold over literal powers of two — no UDF;
+    * the bit-63 term is Long.MinValue so the top bit lands exactly without
+    * shift arithmetic.
+    */
+  def binarySignCodes(vec: Column, dim: Int): Column = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val nWords = (dim + 63) / 64
+    val pow2 = typedLit((0 until 64).map(b => 1L << b))
+    transform(sequence(lit(0), lit(nWords - 1)), w =>
+      aggregate(
+        sequence(lit(0), lit(63)), lit(0L),
+        (acc, b) => {
+          val idx = w * 64 + b
+          acc + when(idx < dim && element_at(vec, idx + 1) > 0f,
+            element_at(pow2, b + 1)).otherwise(0L)
+        }))
+  }
+
+  /** Exact-Hamming top-k over [[binarySignCodes]]-packed embeddings — the
+    * brute-force tier of binary-quantized ANN (what FAISS's IndexBinaryFlat
+    * does): queries broadcast, per-pair distance is a popcount-XOR fold
+    * over the packed words (64 coordinates per cheap int64 op — the reason
+    * binary quantization is the memory-bandwidth scale path for a first
+    * filter pass at 10⁹+ vectors), and the per-query top-k is the k-bounded
+    * aggregate — the only exchange carries ≤ tasks × queries × k rows.
+    * Ranks break distance ties on neighbor id. Output: (query_id,
+    * neighbor_id, hamming, rank).
+    */
+  def hammingTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int = 10,
+      dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else vectorDim(corpus, corpusVec)
+    val scored = corpus.select(col(corpusId).as("neighbor_id"),
+        binarySignCodes(col(corpusVec), d).as("__cc"))
+      .join(broadcast(queries.select(col(queryId).as("query_id"),
+        binarySignCodes(col(queryVec), d).as("__qc"))))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(
+          zip_with(col("__cc"), col("__qc"), (x, y) => bit_count(x.bitwiseXOR(y))),
+          lit(0), (acc, x) => acc + x).as("hamming"))
+    topKPerQuery(scored.select(col("query_id"), col("neighbor_id"),
+        (-col("hamming").cast("double")).as("cos")), k, distinctIds = false)
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("cos")).cast("int").as("hamming"), col("rank"))
+  }
+
+  /** Hard-negative mining for contrastive / embedding training: for each
+    * query (anchor), the top-k MOST similar corpus items that are NOT
+    * near-duplicates — cosine below `dupThreshold` (above it the "negative"
+    * is almost surely a positive mislabeled by sampling: the classic false
+    * negative that collapses contrastive training) and not the anchor
+    * itself. Same scale shape as [[bruteForceTopK]]: anchors broadcast,
+    * corpus streams once, the near-dup filter runs BEFORE the k-bounded
+    * top-k aggregate so the exchange carries ≤ tasks × anchors × k rows.
+    * Output: (query_id, neighbor_id, cos, rank) — rank 1..k by (cos desc,
+    * neighbor id asc).
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int = 10,
+      dupThreshold: Double = 0.95): DataFrame = {
+    val scored = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+      .join(broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__cv"), col("__qv")).as("cos"))
+      .where(col("cos") < dupThreshold)
+    topKPerQuery(scored, k, distinctIds = false)
+  }
+
   /** Approximate top-k via multi-table hyperplane LSH (the E2LSH
     * construction): `tables` independent signatures of `planesPerTable` bits
     * each; a corpus vector is a candidate for a query iff they agree on ALL

@@ -180,6 +180,43 @@ class SimilaritySpec extends SparkTestBase {
     assert(top.head === 1L) // most similar first
   }
 
+  test("binary sign codes pack bits over 64-coordinate word boundaries") {
+    // 70-dim vector: positive at coordinates 0, 63 (top bit of word 0 —
+    // Long.MinValue territory) and 64/69 (word 1); negative/zero elsewhere.
+    val v = Array.tabulate(70)(i =>
+      if (i == 0 || i == 63 || i == 64 || i == 69) 1.0f else -1.0f)
+    val codes = Seq((0L, v)).toDF("vec_id", "embedding")
+      .select(Similarity.binarySignCodes($"embedding", 70).as("c"))
+      .as[Seq[Long]].head()
+    assert(codes.length === 2)
+    assert(codes(0) === (1L | (1L << 63)))
+    assert(codes(1) === (1L | (1L << 5)))
+  }
+
+  test("hamming top-k matches per-coordinate sign disagreement") {
+    val top = Similarity.hammingTopK(vecs, "vec_id", "embedding",
+      vecs.where($"vec_id" === 0), "vec_id", "embedding", k = 4, dim = 3)
+      .orderBy("rank").select("neighbor_id", "hamming")
+      .as[(Long, Int)].collect()
+    // vec0 signs (+,-,-) [0 packs (1,0,0); 0.0f is NOT > 0]; vec1 (+,+,-):
+    // hamming 1; vec2 (-,+,-): 2; vec3 (-,+,+): 3; vec4 (-,-,-): 1.
+    assert(top.map(_._1).toSeq === Seq(1L, 4L, 2L, 3L)) // ties (1,4) break by id
+    assert(top.map(_._2).toSeq === Seq(1, 1, 2, 3))
+  }
+
+  test("hard negatives exclude near-duplicates and self") {
+    val withDup = vecs.unionByName(
+      vecs.where($"vec_id" === 0).withColumn("vec_id", lit(100L)))
+    val negs = Similarity.hardNegatives(withDup, "vec_id", "embedding",
+      withDup.where($"vec_id" === 0), "vec_id", "embedding",
+      k = 3, dupThreshold = 0.95)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    // 100 is an exact copy (cos=1 >= 0.95) -> excluded; 1 is cos≈0.994 ->
+    // also above threshold -> excluded; remaining by cos desc: 2/3 (~0), 4 (-1).
+    assert(!negs.contains(100L) && !negs.contains(1L) && !negs.contains(0L))
+    assert(negs.toSeq === Seq(2L, 3L, 4L))
+  }
+
   test("lsh top-k finds the near neighbor") {
     val top = Similarity.lshTopK(vecs, "vec_id", "embedding",
       vecs.where($"vec_id" === 0), "vec_id", "embedding", k = 2,
