@@ -130,6 +130,14 @@ object SparkEntry {
   /** Domains the q_url_blocklist query filters (shared with its oracle). */
   private val BlockedDomains = Seq("site1.com", "site3.co.uk", "site7.org")
 
+  /** q_keyword_tags dictionary (shared with its oracle), pre-sorted so both
+    * engines emit tags in the same order. Deliberately exercises nested
+    * terms (tab ⊂ table ⊂ "table value"), phrases, and shared suffixes.
+    */
+  private val KeywordDict = Seq("able", "fast table", "hash", "scan slow",
+    "spark", "tab", "table", "table value", "value")
+  private val keywordDictSql = KeywordDict.map(t => s"'$t'").mkString("[", ", ", "]")
+
   /** documents with a synthesized `url` column — a pure function of doc_id
     * that exercises every [[graft.ops.Web]] normalization rule: scheme
     * mix, www/blog subdomains, 5 TLDs incl. multi-part suffixes, all-caps
@@ -469,6 +477,19 @@ object SparkEntry {
         .select(col("doc_id"), col("lang").as("labeled_lang"),
           TextAnalysis.langId(col("text")).as("guessed_lang"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .presented("doc_id")),
+
+    // One-pass Aho-Corasick dictionary tagging (taxonomy/badword/topic
+    // tags incl. multi-word phrases and nested terms) — REAL oracle:
+    // semantics are exactly per-term `contains`, which DuckDB replays with
+    // list_filter over the same (pre-sorted) dictionary literal.
+    "q_keyword_tags" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tagKeywords(col("text"), KeywordDict).as("__tags"))
+        .select(col("doc_id"),
+          concat_ws(",", col("__tags")).as("tags"),
+          size(col("__tags")).cast("long").as("n_tags"))
         .presented("doc_id")),
 
     // Quality score + subword count (both SQL-expressible; the custom-hash
@@ -2108,6 +2129,11 @@ object SparkEntry {
          |     list_sort([$langScoreStructsSql])[-1] AS g
          |   FROM (SELECT doc_id, lang, $tokensSql AS t FROM documents))
          | ORDER BY doc_id""".stripMargin,
+    "q_keyword_tags" ->
+      s"""SELECT doc_id,
+         |   coalesce(array_to_string(list_filter($keywordDictSql, k -> contains(text, k)), ','), '') AS tags,
+         |   len(list_filter($keywordDictSql, k -> contains(text, k))) AS n_tags
+         | FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_analysis" ->
       s"""SELECT doc_id,
          |   least(1.0,

@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Multi-pattern substring tagging via an Aho-Corasick automaton
+  * (Aho & Corasick 1975): ONE left-to-right pass over the text finds every
+  * dictionary term that occurs as a substring — the taxonomy/badword/topic
+  * tagger a curation pipeline runs with dictionaries of hundreds to
+  * hundreds of thousands of phrases, where the composed
+  * `contains(text, t1) OR contains(text, t2) OR ...` formulation re-scans
+  * the text once PER TERM (O(text · dict) vs O(text + matches)).
+  *
+  * Semantics are exactly the composed form's: case-sensitive substring
+  * match, no token-boundary anchoring (a term matches inside a longer
+  * word; overlapping and nested terms all report). Output is the matched
+  * dictionary terms, DISTINCT and SORTED ascending — engine-independent,
+  * so a SQL oracle can replay it with per-term `contains` filters.
+  *
+  * The automaton (goto/fail/output over a dense per-node char map) is
+  * compiled once per expression instance, lazily on each executor after
+  * deserialization — rows share it; nothing is rebuilt per row.
+  */
+object AhoCorasickOps {
+
+  final class Automaton(termsIn: Seq[String]) extends Serializable {
+    require(termsIn.nonEmpty, "keyword dictionary must not be empty")
+    require(termsIn.forall(_.nonEmpty), "keyword terms must be non-empty")
+    /** Sorted distinct terms — output order and the tag bit indices. */
+    val terms: Array[String] = termsIn.distinct.sorted.toArray
+
+    @transient lazy val termsU8: Array[UTF8String] =
+      terms.map(UTF8String.fromString)
+
+    // goto as per-node HashMap[Char -> node]; fail links; per-node matched
+    // term indices (output function, propagated through fail links at
+    // build). Built with the classic BFS; size is O(total term chars).
+    @transient private lazy val automaton: (Array[java.util.HashMap[Character, Integer]], Array[Int], Array[Array[Int]]) = {
+      val goto0 = scala.collection.mutable.ArrayBuffer(
+        new java.util.HashMap[Character, Integer]())
+      val outs = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer[Int]())
+      terms.zipWithIndex.foreach { case (t, ti) =>
+        var node = 0
+        t.foreach { ch =>
+          val nxt = goto0(node).get(ch)
+          node = if (nxt != null) nxt.intValue()
+          else {
+            goto0 += new java.util.HashMap[Character, Integer]()
+            outs += scala.collection.mutable.ArrayBuffer[Int]()
+            goto0(node).put(ch, goto0.length - 1)
+            goto0.length - 1
+          }
+        }
+        outs(node) += ti
+      }
+      val fail = new Array[Int](goto0.length)
+      val queue = new java.util.ArrayDeque[Int]()
+      goto0(0).forEach((_, v) => { fail(v) = 0; queue.add(v) })
+      while (!queue.isEmpty) {
+        val u = queue.poll()
+        goto0(u).forEach { (ch, v) =>
+          queue.add(v)
+          var f = fail(u)
+          while (f != 0 && !goto0(f).containsKey(ch)) f = fail(f)
+          val t = goto0(f).get(ch)
+          fail(v) = if (t != null && t.intValue() != v.intValue()) t.intValue() else 0
+          outs(v) ++= outs(fail(v))
+        }
+      }
+      (goto0.toArray, fail, outs.map(_.toArray.sorted).toArray)
+    }
+
+    /** Distinct matched term indices as a bitset over `terms`. */
+    def matchBits(text: String): java.util.BitSet = {
+      val (goto0, fail, outs) = automaton
+      val bits = new java.util.BitSet(terms.length)
+      var matched = 0
+      var node = 0
+      var i = 0
+      val n = text.length
+      while (i < n && matched < terms.length) {
+        val ch = text.charAt(i)
+        var nxt = goto0(node).get(ch)
+        while (nxt == null && node != 0) {
+          node = fail(node)
+          nxt = goto0(node).get(ch)
+        }
+        if (nxt != null) node = nxt.intValue()
+        val o = outs(node)
+        var j = 0
+        while (j < o.length) {
+          if (!bits.get(o(j))) { bits.set(o(j)); matched += 1 }
+          j += 1
+        }
+        i += 1
+      }
+      bits
+    }
+
+    /** Matched terms, sorted ascending (terms is pre-sorted). */
+    def tags(text: UTF8String): ArrayData = {
+      val bits = matchBits(text.toString)
+      val out = new Array[AnyRef](bits.cardinality())
+      var ti = bits.nextSetBit(0)
+      var k = 0
+      while (ti >= 0) {
+        out(k) = termsU8(ti); k += 1
+        ti = bits.nextSetBit(ti + 1)
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  def tag(text: UTF8String, a: Automaton): ArrayData = a.tags(text)
+}
+
+/** `keyword_tags(text)` — array of dictionary terms occurring in `text`
+  * (distinct, sorted). See [[AhoCorasickOps]].
+  */
+case class KeywordTags(child: Expression, terms: Seq[String])
+  extends UnaryExpression {
+
+  @transient private lazy val compiled = new AhoCorasickOps.Automaton(terms)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "keyword_tags"
+
+  override def nullSafeEval(input: Any): Any =
+    AhoCorasickOps.tag(input.asInstanceOf[UTF8String], compiled)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ahoCorasick", compiled,
+      classOf[AhoCorasickOps.Automaton].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.AhoCorasickOps.tag($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): KeywordTags =
+    copy(child = newChild)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+}
+
+object KeywordTagFunctions {
+  /** One-pass multi-pattern substring tags over a string column. */
+  def keyword_tags(text: Column, terms: Seq[String]): Column =
+    ColumnBridge.column(KeywordTags(ColumnBridge.expression(text), terms))
+}

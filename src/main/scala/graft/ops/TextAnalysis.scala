@@ -62,6 +62,16 @@ object TextAnalysis {
   def langId(text: Column): Column =
     graft.functions.LangIdFunctions.lang_id(tokens(text), StopwordProfiles)
 
+  /** Dictionary tags occurring in `text` (distinct, sorted) — one-pass
+    * Aho-Corasick multi-pattern substring match (taxonomy/badword/topic
+    * tagging with large phrase dictionaries), exactly equivalent to — but
+    * one text scan instead of |dict| scans of — the composed
+    * `filter(dict, t -> contains(text, t))` form. See
+    * [[graft.functions.AhoCorasickOps]].
+    */
+  def tagKeywords(text: Column, terms: Seq[String]): Column =
+    graft.functions.KeywordTagFunctions.keyword_tags(text, terms)
+
   /** Quality metrics struct: character/token counts, type-token ratio,
     * alpha/punct/digit character fractions, mean token length, stopword
     * fraction — the usual cheap pre-training quality filters.

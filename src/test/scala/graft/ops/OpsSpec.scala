@@ -328,6 +328,40 @@ class SimilaritySpec extends SparkTestBase {
 class TextAnalysisSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("tagKeywords: Aho-Corasick matches nested/overlapping/phrase terms") {
+    val dict = Seq("tab", "table", "table value", "fast table", "able",
+      "scan slow", "value")
+    val df = Seq(
+      (1L, "key scan slow fast table value part"),
+      (2L, "nothing here"),
+      (3L, "a stable system"),   // "table"+"tab"+"able" inside "stable"
+      (4L, "tab")).toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+        TextAnalysis.tagKeywords($"text", dict).as("tags"))
+      .orderBy("doc_id").as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) === Seq("able", "fast table", "scan slow", "tab", "table",
+      "table value", "value"))
+    assert(got(2L) === Seq.empty)
+    assert(got(3L) === Seq("able", "tab", "table"))
+    assert(got(4L) === Seq("tab"))
+  }
+
+  test("tagKeywords equals the composed per-term contains formulation") {
+    val dict = Seq("ab", "abc", "bc", "ca", "aaa", "cab a")
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, (0 until 30).map(_ => "abc ".charAt(rnd.nextInt(4))).mkString)
+    }
+    val df = rows.toDF("doc_id", "text")
+    val fused = df.select($"doc_id",
+        TextAnalysis.tagKeywords($"text", dict).as("tags"))
+      .as[(Long, Seq[String])].collect().toMap
+    val composed = rows.map { case (id, text) =>
+      id -> dict.sorted.filter(text.contains(_))
+    }.toMap
+    assert(fused === composed)
+  }
+
   test("repetitionMetrics: sorted-run fold counts the most frequent n-gram") {
     val df = Seq(
       (1L, "a a a b"),        // bigrams: "a a","a a","a b" → max 2 of 3
