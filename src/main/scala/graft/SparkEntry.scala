@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions.simhash64
-import graft.ops.{Bpe, Curation, Dedup, Graph, Intervals, LanguageModel, Multimodal, Similarity, Sketches, Stats, TextAnalysis, TextSearch, Web}
+import graft.ops.{Bpe, Curation, Dedup, Graph, Intervals, LanguageModel, Multimodal, Scale, Similarity, Sketches, Stats, TextAnalysis, TextSearch, Web}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1147,6 +1147,18 @@ object SparkEntry {
           sum(col("blockNumber")).as("sum_event_id"))
     }),
 
+    // Z-order (Morton) layout audit on lineitem's (orderkey, partkey):
+    // bucket by the top 6 interleaved bits and report each bucket's count +
+    // bounding rectangle — the deterministic, engine-replayable half of
+    // multi-dimensional file skipping (zorderLayout is the physical write
+    // path; physical partition bounds depend on range-sampler internals, so
+    // the ORACLE grades the z-math + rectangles, ScaleSpec the layout).
+    // REAL oracle: DuckDB replays the bit interleave and the rollup.
+    "q_zorder" -> ((s, dir) =>
+      Scale.zorderStats(t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          bucketBits = 6)
+        .presented("bucket")),
+
     // Non-equi point-in-interval join via bin fragmentation (Intervals):
     // order dates × derived "in transit" shipment windows, no cartesian —
     // exact oracle: DuckDB runs the same range join natively (IEJoin).
@@ -2147,6 +2159,22 @@ object SparkEntry {
          |     length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS n_alpha
          |   FROM documents)
          | ORDER BY doc_id""".stripMargin,
+    "q_zorder" ->
+      """WITH mx AS (SELECT max(greatest(CAST(l_orderkey AS BIGINT),
+        |                               CAST(l_partkey AS BIGINT))) AS mx
+        |   FROM lineitem),
+        | m AS (SELECT CAST(list_min(list_filter(range(8, 25),
+        |     k -> mx < (1::BIGINT << k))) AS INT) AS bits FROM mx),
+        | z AS (SELECT
+        |     CAST(l_orderkey AS BIGINT) AS a, CAST(l_partkey AS BIGINT) AS b,
+        |     CAST(list_sum(list_transform(range(0, m.bits), i ->
+        |       ((CAST(l_orderkey AS BIGINT) >> i) % 2) * (1::BIGINT << (2*i))
+        |       + ((CAST(l_partkey AS BIGINT) >> i) % 2) * (1::BIGINT << (2*i+1))))
+        |       AS BIGINT) AS zv, m.bits AS bits
+        |   FROM lineitem, m)
+        | SELECT zv >> (2*bits - 6) AS bucket, count(*) AS n,
+        |   min(a) AS min_a, max(a) AS max_a, min(b) AS min_b, max(b) AS max_b
+        | FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_range_join" ->
       s"""WITH $shipmentWindowsSql
          | SELECT p.d, iv.iv_id FROM p JOIN iv

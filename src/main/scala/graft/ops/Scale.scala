@@ -64,4 +64,87 @@ object Scale {
       .groupBy(keys.map(col): _*)
       .agg(mergeAggs.head, mergeAggs.tail: _*)
   }
+
+  /** Z-order (Morton) value of two non-negative integer keys: the low
+    * `bits` bits of each interleave — `a`'s bit i lands at position 2i,
+    * `b`'s at 2i+1. Sorting/range-partitioning by this single value keeps
+    * rows close in BOTH dimensions close in the layout, so parquet
+    * row-group min/max stats stay tight rectangles and predicates on
+    * EITHER key skip files — the multi-dimensional clustering trick behind
+    * Delta/Iceberg OPTIMIZE ZORDER, expressed as plain integer Column
+    * algebra (one fold over literal powers of two; no UDF, codegen'd, and
+    * replayable by any SQL engine). `bits` ≤ 31 keeps the z-value inside
+    * int64.
+    */
+  def zValue(a: Column, b: Column, bits: Int = 21): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val zA = typedLit((0 until bits).map(i => 1L << (2 * i)))
+    val zB = typedLit((0 until bits).map(i => 1L << (2 * i + 1)))
+    aggregate(
+      sequence(lit(0), lit(bits - 1)), lit(0L),
+      (acc, i) => acc
+        + call_function("shiftright", a.cast("long"), i) % 2L * element_at(zA, i + 1)
+        + call_function("shiftright", b.cast("long"), i) % 2L * element_at(zB, i + 1))
+  }
+
+  /** Lay a DataFrame out in z-order: range-partition then sort by the
+    * interleaved key. A parquet write of the result gives every file a
+    * bounded rectangle in (a, b) space — the write-side half of
+    * multi-dimensional file skipping.
+    */
+  def zorderLayout(
+      df: DataFrame,
+      colA: String,
+      colB: String,
+      numPartitions: Int,
+      bits: Int = 21): DataFrame = {
+    val z = zValue(col(colA), col(colB), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
+  /** Locality audit of the z-order layout: bucket rows by the top
+    * `bucketBits` bits of the z-value (deterministic, engine-replayable —
+    * unlike physical partition boundaries, which depend on range-sampler
+    * internals) and report each bucket's row count and bounding rectangle.
+    * On z-ordered data the rectangles are small and disjoint-ish; on a
+    * single-key sort the non-sorted dimension spans its whole range —
+    * the measurable difference file-skipping comes from.
+    *
+    * `bits` < 0 (default) auto-fits the z-space to the OCCUPIED key range:
+    * the smallest k in [8, 24] with max(key) < 2^k, by pure integer
+    * comparison (a SQL engine replays the rule exactly; a float
+    * `ceil(log2(...))` would be one libm ulp away from off-by-one at power
+    * -of-two boundaries). A fixed oversized z-space leaves the top
+    * interleaved bits all-zero and collapses every row into bucket 0. The
+    * max probe is a one-row aggregate — bounded driver materialization.
+    */
+  def zorderStats(
+      df: DataFrame,
+      colA: String,
+      colB: String,
+      bits: Int = -1,
+      bucketBits: Int = 8): DataFrame = {
+    val keyed = df.select(col(colA).cast("long").as("a"),
+      col(colB).cast("long").as("b"))
+    val zBits =
+      if (bits > 0) bits
+      else {
+        val mx = keyed.agg(max(greatest(col("a"), col("b")))).collect()
+          .headOption.filterNot(_.isNullAt(0)).map(_.getLong(0)).getOrElse(0L)
+        (8 to 24).find(k => mx < (1L << k)).getOrElse(31)
+      }
+    require(bucketBits >= 1 && bucketBits <= 2 * zBits,
+      s"bucketBits must be in [1, ${2 * zBits}], got $bucketBits")
+    keyed
+      .withColumn("bucket",
+        call_function("shiftright",
+          zValue(col("a"), col("b"), zBits), lit(2 * zBits - bucketBits)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("a").as("min_a"), max("a").as("max_a"),
+        min("b").as("min_b"), max("b").as("max_b"))
+  }
 }

@@ -54,4 +54,48 @@ class ScaleSpec extends SparkTestBase {
       assert(d.getLong(4) === s.getLong(4))
     }
   }
+
+  test("zValue interleaves bits (a even positions, b odd)") {
+    // a=5 (101b): bits at z-positions 0,4 -> 17; b=3 (011b): z-positions
+    // 1,3 -> 10; z = 27.
+    val z = Seq((5L, 3L)).toDF("a", "b")
+      .select(Scale.zValue($"a", $"b", bits = 3)).as[Long].head()
+    assert(z === 27L)
+    // order independence of the dimensions' magnitudes: max 3-bit input
+    val zMax = Seq((7L, 7L)).toDF("a", "b")
+      .select(Scale.zValue($"a", $"b", bits = 3)).as[Long].head()
+    assert(zMax === 63L)
+  }
+
+  test("zorder buckets are bounded rectangles; single-key sort is not") {
+    val grid = (for (a <- 0 until 16; b <- 0 until 16) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    val stats = Scale.zorderStats(grid, "a", "b", bits = 4, bucketBits = 2)
+      .orderBy("bucket").collect()
+    // Top 2 z-bits = (b_bit3, a_bit3) -> exact quadrants of the grid.
+    assert(stats.length === 4)
+    stats.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) === 7L) // max_a - min_a
+      assert(r.getLong(5) - r.getLong(4) === 7L) // max_b - min_b
+      assert(r.getLong(1) === 64L)
+    }
+    // Contrast: bucketing the same grid by the top bits of `a` ALONE leaves
+    // b spanning its full range in every bucket — the skip-stats failure
+    // z-order exists to fix.
+    val byA = grid.groupBy(($"a" / 8).cast("long").as("bucket"))
+      .agg(min("b").as("min_b"), max("b").as("max_b")).collect()
+    byA.foreach(r => assert(r.getLong(2) - r.getLong(1) === 15L))
+  }
+
+  test("zorderLayout preserves rows and drops the helper column") {
+    val grid = (for (a <- 0 until 32; b <- 0 until 32) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    val laid = Scale.zorderLayout(grid, "a", "b", numPartitions = 4, bits = 5)
+    assert(laid.columns.toSeq === Seq("a", "b"))
+    assert(laid.count() === 1024L)
+    // Physical layout: range partitioner on the z-value.
+    val plan = laid.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning")
+      || plan.contains("Exchange rangepartitioning"))
+  }
 }
