@@ -492,6 +492,15 @@ object SparkEntry {
           size(col("__tags")).cast("long").as("n_tags"))
         .presented("doc_id")),
 
+    // Vocabulary growth / Heaps-law curve in 50-doc buckets — type counts
+    // by first-occurrence election (one groupBy over the token→min-id
+    // table; no per-checkpoint corpus rescans), running sums over the tiny
+    // bucket table. REAL oracle: DuckDB replays the election and windows.
+    "q_vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowth(t(s, dir, "documents"), "doc_id", "text",
+          bucketSize = 50)
+        .presented("bucket")),
+
     // Quality score + subword count (both SQL-expressible; the custom-hash
     // fingerprint is covered by q_fingerprint's md5 oracle + unit invariants)
     "q_text_analysis" -> ((s, dir) =>
@@ -2141,6 +2150,20 @@ object SparkEntry {
          |     list_sort([$langScoreStructsSql])[-1] AS g
          |   FROM (SELECT doc_id, lang, $tokensSql AS t FROM documents))
          | ORDER BY doc_id""".stripMargin,
+    "q_vocab_growth" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+         | fs AS (SELECT tok, min(doc_id) AS first_id FROM tk GROUP BY tok),
+         | nt AS (SELECT first_id // 50 AS bucket, count(*) AS new_types
+         |   FROM fs GROUP BY 1),
+         | vol AS (SELECT doc_id // 50 AS bucket, count(*) AS n_docs,
+         |     CAST(sum(len(t)) AS BIGINT) AS n_tokens
+         |   FROM (SELECT doc_id, $tokensSql AS t FROM documents) GROUP BY 1)
+         | SELECT v.bucket, n_docs, n_tokens,
+         |   coalesce(new_types, 0) AS new_types,
+         |   CAST(sum(n_tokens) OVER (ORDER BY v.bucket) AS BIGINT) AS cum_tokens,
+         |   CAST(sum(coalesce(new_types, 0)) OVER (ORDER BY v.bucket) AS BIGINT) AS cum_types
+         | FROM vol v LEFT JOIN nt ON v.bucket = nt.bucket
+         | ORDER BY v.bucket""".stripMargin,
     "q_keyword_tags" ->
       s"""SELECT doc_id,
          |   coalesce(array_to_string(list_filter($keywordDictSql, k -> contains(text, k)), ','), '') AS tags,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: tokenization, language
@@ -20,6 +21,46 @@ object TextAnalysis {
 
   /** Simple whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Vocabulary growth curve (Heaps' law audit): distinct-type count and
+    * token volume, cumulative over the corpus in `bucketSize`-document
+    * buckets of ascending doc id. The NAIVE formulation — "for each
+    * prefix, count distinct tokens" — rescans the corpus per checkpoint;
+    * this one is two linear aggregations total: a type first APPEARS at
+    * min(doc id) over its occurrences, so per-bucket new-type counts are a
+    * groupBy over the (token → min id) table, and the cumulative curve is
+    * a running sum over the BUCKET table only (corpus_size/bucketSize
+    * rows — the unpartitioned window runs on the already-aggregated tiny
+    * table, never on corpus rows). Output: (bucket, n_docs, n_tokens,
+    * new_types, cum_tokens, cum_types) — cum_types vs cum_tokens is the
+    * Heaps curve V(n) ≈ K·n^β; a corpus whose curve flattens abnormally
+    * fast is duplicate-heavy (type exhaustion), one that stays linear is
+    * noise/UUID-heavy. Both diagnostics read off this table.
+    */
+  def vocabGrowth(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bucketSize: Long = 100L): DataFrame = {
+    require(bucketSize >= 1, s"bucketSize must be >= 1, got $bucketSize")
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+      tokens(col(textCol)).as("__t"))
+    val perDoc = toks.select(col("id"), explode(col("__t")).as("tok"))
+    val firstSeen = perDoc.groupBy("tok").agg(min("id").as("first_id"))
+    val newTypes = firstSeen
+      .groupBy(expr(s"first_id DIV $bucketSize").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val volume = toks
+      .groupBy(expr(s"id DIV $bucketSize").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(size(col("__t"))).as("n_tokens"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    volume.join(newTypes, Seq("bucket"), "left_outer")
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("cum_types", sum("new_types").over(w))
+  }
 
   /** BPE-ish subword count approximation: maximal letter runs, digit runs,
     * and other-non-space runs each count as one pretoken (the GPT-2-style

@@ -362,6 +362,18 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(fused === composed)
   }
 
+  test("vocabGrowth: cumulative types via first-occurrence election") {
+    val df = Seq((0L, "a b"), (1L, "a c"), (2L, "d d"), (3L, "b e"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(df, "doc_id", "text", bucketSize = 2)
+      .orderBy("bucket")
+      .select("bucket", "n_docs", "n_tokens", "new_types", "cum_tokens", "cum_types")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // bucket 0 (docs 0,1): 4 tokens, first sightings a,b,c; bucket 1
+    // (docs 2,3): 4 tokens, first sightings d,e.
+    assert(got === Seq((0L, 2L, 4L, 3L, 4L, 3L), (1L, 2L, 4L, 2L, 8L, 5L)))
+  }
+
   test("repetitionMetrics: sorted-run fold counts the most frequent n-gram") {
     val df = Seq(
       (1L, "a a a b"),        // bigrams: "a a","a a","a b" → max 2 of 3
