@@ -713,6 +713,17 @@ object SparkEntry {
           "embedding", k = 8, iters = 2)
         .presented("vec_id")),
 
+    // Embedding outliers: top-20 farthest from the exact integer centroid
+    // (fixed-point quantization + floor-mean + int64 squared L2 — the
+    // kMeansQuantized numeric policies), so the oracle replays the whole
+    // ranking bit-for-bit.
+    "q_embed_outliers" -> ((s, dir) =>
+      Similarity.embeddingOutliers(t(s, dir, "embeddings"), "vec_id",
+          "embedding", k = 20)
+        .select(col("rank").cast("long").as("rank"), col("id").as("vec_id"),
+          col("d2"))
+        .presented("rank")),
+
     "q_embed_dupes" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val aug = emb.unionByName(emb.where(col("vec_id") < 10)
@@ -1708,6 +1719,23 @@ object SparkEntry {
     "q_ann_ivfpq" ->
       """SELECT 5 * count(*) AS n_exact, 1 AS recall_pass
         | FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "q_embed_outliers" ->
+      """WITH v AS (SELECT vec_id,
+        |     list_transform(embedding,
+        |       x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
+        |   FROM embeddings WHERE embedding IS NOT NULL),
+        | s AS (SELECT t.range AS i, CAST(sum(q[t.range]) AS BIGINT) AS s,
+        |     count(*) AS n
+        |   FROM v, range(1, 65) t GROUP BY 1),
+        | c AS (SELECT list((s - ((s % n) + n) % n) // n ORDER BY i) AS m FROM s),
+        | d AS (SELECT vec_id,
+        |     CAST(list_sum(list_transform(range(1, 65),
+        |       i -> (q[i] - m[i]) * (q[i] - m[i]))) AS BIGINT) AS d2
+        |   FROM v, c)
+        | SELECT rank, vec_id, d2 FROM (
+        |   SELECT vec_id, d2, row_number() OVER (ORDER BY d2 DESC, vec_id) AS rank
+        |   FROM d)
+        | WHERE rank <= 20 ORDER BY rank""".stripMargin,
     "q_embed_dupes" ->
       """WITH aug AS (SELECT vec_id, embedding FROM embeddings
         |             UNION ALL

@@ -138,6 +138,50 @@ object Similarity {
       .select(col("rank"), col("id").as(idCol), col("dist"))
   }
 
+  /** Embedding outlier detection: the k corpus points FARTHEST from the
+    * corpus centroid — mislabeled/garbage/off-distribution detection before
+    * training (points whose embedding sits far from everything else).
+    * All arithmetic is engine-independent fixed-point ([[kMeansQuantized]]'s
+    * policies): coordinates quantize once to round(x·2^qBits), the centroid
+    * is the exact integer per-dimension floor-mean (pmod-corrected
+    * truncating division), and the score is the exact int64 squared L2
+    * distance to it — so the full ranking is hash-matchable by a SQL
+    * oracle. Scale shape: per-dim sums are ONE map-side-combined aggregate
+    * (dim rows out, driver holds dim longs), the distance pass is narrow
+    * (centroid broadcast as a literal), and the global top-k is the
+    * k-bounded aggregate (ties break to the lower id). Output:
+    * (rank 1..k, id, d2).
+    */
+  def embeddingOutliers(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 20,
+      qBits: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val scale = (1L << qBits).toDouble
+    val vecs = corpus
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => round(x.cast("double") * scale).cast("long"))
+          .as("q"))
+      .where(col("q").isNotNull)
+    val cent = vecs.select(posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy("i").agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .withColumn("m", expr("(s - pmod(s, n)) DIV n"))
+      .orderBy("i").collect().map(_.getAs[Long]("m"))
+    require(cent.nonEmpty, "embeddingOutliers: empty corpus")
+    val mLit = typedLit(cent.toIndexedSeq)
+    val d2 = aggregate(zip_with(col("q"), mLit, (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    // Global k-bounded top-k: negative-id tie policy — TopKByScore breaks
+    // equal scores on LOWER id, matching the oracle's (d2 DESC, id ASC).
+    vecs.select(lit(0L).as("query_id"), col("id").as("neighbor_id"),
+        d2.cast("double").as("cos"))
+      .transform(topKPerQuery(_, k, distinctIds = false))
+      .select(col("rank"), col("neighbor_id").as("id"),
+        col("cos").cast("long").as("d2"))
+  }
+
   /** Deterministic Lloyd k-means over an embedding column, on FIXED-POINT
     * coordinates: every coordinate is quantized once up front to
     * `round(x · 2^qBits)` (a pure function of the float), and every later

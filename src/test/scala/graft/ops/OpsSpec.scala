@@ -204,6 +204,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(top.map(_._2).toSeq === Seq(1, 1, 2, 3))
   }
 
+  test("embeddingOutliers ranks farthest-from-centroid first, int64-exact") {
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)), (3L, Array(0.9f, 0.1f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.embeddingOutliers(pts, "vec_id", "embedding", k = 5)
+      .orderBy("rank").select("id", "d2").as[(Long, Long)].collect()
+    assert(out.head._1 === 4L) // the off-axis point is the top outlier
+    assert(out.map(_._1).toSet === Set(0L, 1L, 2L, 3L, 4L))
+    // ties (0,1,2 identical) keep id order within equal d2
+    val tied = out.filter(r => Set(0L, 1L, 2L)(r._1)).map(_._1)
+    assert(tied.toSeq === tied.sorted.toSeq)
+  }
+
   test("hard negatives exclude near-duplicates and self") {
     val withDup = vecs.unionByName(
       vecs.where($"vec_id" === 0).withColumn("vec_id", lit(100L)))
