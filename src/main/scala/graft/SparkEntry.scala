@@ -492,6 +492,14 @@ object SparkEntry {
           size(col("__tags")).cast("long").as("n_tags"))
         .presented("doc_id")),
 
+    // Inverted-index postings statistics: per-term df/tf + delta+varint
+    // compressed size of the sorted posting list (the index-build budget
+    // pass), top-50 terms by df. REAL oracle: DuckDB replays the lag-based
+    // delta coding and the integer varint thresholds.
+    "q_postings" -> ((s, dir) =>
+      TextSearch.postingsStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(desc("df"), col("term")).limit(50)),
+
     // Vocabulary growth / Heaps-law curve in 50-doc buckets — type counts
     // by first-occurrence election (one groupBy over the token→min-id
     // table; no per-checkpoint corpus rescans), running sums over the tiny
@@ -2178,6 +2186,19 @@ object SparkEntry {
          |     list_sort([$langScoreStructsSql])[-1] AS g
          |   FROM (SELECT doc_id, lang, $tokensSql AS t FROM documents))
          | ORDER BY doc_id""".stripMargin,
+    "q_postings" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+         | td AS (SELECT term, doc_id AS id, count(*) AS tf
+         |   FROM tk GROUP BY term, doc_id),
+         | g AS (SELECT term, id, tf,
+         |     id - coalesce(lag(id) OVER (PARTITION BY term ORDER BY id), -1) AS delta
+         |   FROM td)
+         | SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+         |   min(id) AS first_doc, max(id) AS last_doc,
+         |   CAST(sum(1 ${(1 to 8).map(gr => s"+ (delta >= ${1L << (7 * gr)})::BIGINT").mkString(" ")}) AS BIGINT) AS varint_bytes,
+         |   count(*) * 8 AS raw_bytes
+         | FROM g GROUP BY term
+         | ORDER BY df DESC, term LIMIT 50""".stripMargin,
     "q_vocab_growth" ->
       s"""WITH tk AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
          | fs AS (SELECT tok, min(doc_id) AS first_id FROM tk GROUP BY tok),

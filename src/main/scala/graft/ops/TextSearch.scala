@@ -231,4 +231,48 @@ object TextSearch {
         (-col("__e.ns")).as("score_scaled"),
         (col("__r") + 1).cast("int").as("rank"))
   }
+
+  /** LEB128 varint byte count of a non-negative long: 1 byte per started
+    * 7-bit group — pure integer threshold comparisons, engine-replayable.
+    * Groups stop at 2^56: a non-negative int64 is at most 63 value bits =
+    * 9 groups (the 2^63 threshold is not representable as a positive
+    * long).
+    */
+  def varintBytes(v: Column): Column =
+    (1 to 8).map(g => (v >= (1L << (7 * g))).cast("long"))
+      .foldLeft(lit(1L))(_ + _)
+
+  /** Inverted-index postings statistics: per term, document frequency,
+    * total term frequency, posting-list span, and the size the sorted
+    * doc-id list compresses to under delta + LEB128-varint coding (vs
+    * 8·df raw) — what an index-build pipeline reads to budget shard sizes
+    * and pick stopword cutoffs before actually materializing an index.
+    *
+    * Scale shape: (term, doc) term frequencies are one map-side-combined
+    * aggregate; deltas come from `lag` over a per-TERM window — the
+    * partition axis IS the index shard axis (a posting list is sequential
+    * by construction in any engine; ultra-common terms make long
+    * partitions, which is why the df/bytes budget this operator computes
+    * is what decides their stopword cutoff) — and the per-term rollup is a
+    * second map-side-combined aggregate. Delta convention: Δ₀ = id₀ + 1,
+    * Δᵢ = idᵢ − idᵢ₋₁ (every delta ≥ 1 on distinct sorted ids).
+    */
+  def postingsStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy("id")
+    docs.select(col(idCol).cast("long").as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("term", "id").agg(count(lit(1)).as("tf"))
+      .withColumn("delta", col("id") - coalesce(lag("id", 1).over(w), lit(-1L)))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        min(col("id")).as("first_doc"),
+        max(col("id")).as("last_doc"),
+        sum(varintBytes(col("delta"))).as("varint_bytes"),
+        (count(lit(1)) * 8L).as("raw_bytes"))
+  }
 }

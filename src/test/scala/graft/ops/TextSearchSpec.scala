@@ -116,4 +116,25 @@ class TextSearchSpec extends SparkTestBase {
     // solo3(ln 4): solo3 first, common second.
     assert(got((3L, 1))._1 === "solo3" && got((3L, 2))._1 === "common")
   }
+
+  test("postingsStats: delta + LEB128 varint sizes, hand-checked") {
+    val docs = Seq((0L, "x x y"), (5L, "x"), (300L, "x z"))
+      .toDF("doc_id", "text")
+    val got = TextSearch.postingsStats(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    // x: postings [0,5,300], deltas [1,5,295] -> 1+1+2 bytes; tf 2+1+1.
+    assert(got("x") === ((3L, 4L, 0L, 300L, 4L, 24L)))
+    // y: [0], delta 1 -> 1 byte. z: [300], delta 301 -> 2 bytes.
+    assert(got("y") === ((1L, 1L, 0L, 0L, 1L, 8L)))
+    assert(got("z") === ((1L, 1L, 300L, 300L, 2L, 8L)))
+  }
+
+  test("varintBytes thresholds are exact at 7-bit group boundaries") {
+    val vals = Seq(0L, 1L, 127L, 128L, 16383L, 16384L, (1L << 21) - 1,
+      1L << 21, 1L << 56, Long.MaxValue).toDF("v")
+    val got = vals.select(TextSearch.varintBytes($"v")).as[Long].collect().toSeq
+    assert(got === Seq(1L, 1L, 1L, 2L, 2L, 3L, 3L, 4L, 9L, 9L))
+  }
 }
