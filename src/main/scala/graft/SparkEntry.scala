@@ -1020,6 +1020,14 @@ object SparkEntry {
 
     // Corpus mixing (per-source keep probabilities) — exact oracle, same
     // generated thresholds.
+    // Temperature-scaled domain mixing over the (skewed) language shards:
+    // integerized sqrt weights make the rate table engine-exact, and the
+    // oracle replays weights, rates, thresholds, and md5 verdicts.
+    "q_temperature_mix" -> ((s, dir) =>
+      Curation.temperatureMix(t(s, dir, "documents"), "doc_id", "lang",
+          budget = 250, temperature = 2.0)
+        .presented("doc_id")),
+
     "q_mix" -> ((s, dir) =>
       Curation.mixCorpus(t(s, dir, "documents"), "doc_id", "source",
         MixWeights, default = 1.0)
@@ -2041,6 +2049,24 @@ object SparkEntry {
       s"""SELECT doc_id, $draw AS draw,
          |   CASE $cases ELSE '${SplitFracs.last._1}' END AS split
          | FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "q_temperature_mix" -> {
+      val draw = "substr(md5(doc_id::VARCHAR || '-graft'), 1, 8)"
+      """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+        | w AS (SELECT lang, c,
+        |     CAST(floor(sqrt(CAST(c AS DOUBLE)) * 65536) AS BIGINT) AS w FROM c),
+        | s AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM w),
+        | r AS (SELECT lang,
+        |     least(1.0, CAST(250 * w AS DOUBLE) / CAST(sw * c AS DOUBLE)) AS rate
+        |   FROM w, s),
+        | th AS (SELECT lang,
+        |     CASE WHEN floor(rate * 4294967296.0 + 0.5) >= 4294967296.0 THEN 'g'
+        |          ELSE printf('%08x', CAST(floor(rate * 4294967296.0 + 0.5) AS BIGINT))
+        |     END AS thr FROM r)
+        | SELECT d.doc_id, d.lang AS shard, DRAW AS draw,
+        |   (DRAW < th.thr)::INT AS keep
+        | FROM documents d JOIN th ON d.lang = th.lang
+        | ORDER BY d.doc_id""".stripMargin.replace("DRAW", draw)
     },
     "q_mix" -> {
       val draw = "substr(md5(doc_id::VARCHAR || '-graft'), 1, 8)"

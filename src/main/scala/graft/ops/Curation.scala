@@ -355,6 +355,58 @@ object Curation {
       (draw < thresh).cast("int").as("keep"))
   }
 
+  /** Temperature-scaled domain mixing (the multilingual/multi-domain
+    * rebalancing rule of mBERT/XLM-R and data-mixture training: sampling
+    * weight ∝ count^(1/T), T > 1 flattens the domain distribution toward
+    * uniform without discarding the head): computes per-shard keep RATES
+    * that hit a `budget`-document expected total under temperature
+    * weights, then applies the [[mixCorpus]]-style deterministic verdict
+    * (md5 draw < per-shard threshold).
+    *
+    * Engine-independence: weights are INTEGERIZED — w = floor(count^(1/T)
+    * · 2^16) — so the normalizing sum is an exact int64 sum (float sums
+    * are order-dependent; an integer sum is not), and each rate is ONE
+    * double division of exact int64 products. For T = 2 (the common
+    * setting) count^(1/2) is `sqrt`, which IEEE 754 requires to be
+    * correctly rounded — bit-identical in any engine; other T go through
+    * `pow`, whose last ulp is libm-specific (the [[weightedSample]]
+    * caveat), which at worst flips one 2^-32 threshold step.
+    *
+    * Shard count is bounded (domains/languages), so the count pass is one
+    * map-side-combined aggregate and a driver-held rate table. Emits
+    * (id, shard, draw, keep) — audit-friendly, like [[mixCorpus]].
+    */
+  def temperatureMix(
+      df: DataFrame,
+      idCol: String,
+      shardCol: String,
+      budget: Long,
+      temperature: Double = 2.0,
+      weightScale: Long = 65536L,
+      salt: String = "graft"): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(temperature > 0, s"temperature must be > 0, got $temperature")
+    val counts = df.groupBy(col(shardCol)).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(counts.nonEmpty, "temperatureMix: empty corpus")
+    val ws = counts.map { case (sh, c) =>
+      val root = if (temperature == 2.0) math.sqrt(c.toDouble)
+        else math.pow(c.toDouble, 1.0 / temperature)
+      (sh, c, math.floor(root * weightScale).toLong)
+    }
+    val sw = ws.map(_._3).sum
+    val rates = ws.map { case (sh, c, w) =>
+      sh -> math.min(1.0, (budget * w).toDouble / (sw * c).toDouble)
+    }.sortBy(_._1)
+    val draw = hashDraw(col(idCol), salt)
+    val thresh = rates.foldRight(lit(hexThreshold(0.0)): Column) {
+      case ((sh, r), rest) =>
+        when(col(shardCol) === sh, hexThreshold(r)).otherwise(rest)
+    }
+    df.select(col(idCol), col(shardCol).as("shard"), draw.as("draw"),
+      (draw < thresh).cast("int").as("keep"))
+  }
+
   /** Stream packing layout: concatenate each shard's documents (in id order)
     * into one token stream and cut it every `budget` tokens — the
     * pack-then-split batching used to build fixed-length training sequences.

@@ -320,6 +320,38 @@ class CurationSpec extends SparkTestBase {
     assert(kept("src2") === 1000L)                   // default 1.0 → all kept
   }
 
+  test("temperatureMix matches an independent replay of its policy") {
+    val docs = (0L until 400L)
+      .map(i => (i, if (i < 320) "big" else "small")).toDF("id", "dom")
+    val out = Curation.temperatureMix(docs, "id", "dom", budget = 100,
+        temperature = 2.0)
+      .select("id", "shard", "draw", "keep")
+      .as[(Long, String, String, Int)].collect()
+    // Independent reimplementation: integerized sqrt weights, exact int64
+    // normalizer, md5 draws, hexThreshold verdicts.
+    val counts = Map("big" -> 320L, "small" -> 80L)
+    val w = counts.map { case (s, c) =>
+      s -> math.floor(math.sqrt(c.toDouble) * 65536).toLong }
+    val sw = w.values.sum
+    val rate = counts.map { case (s, c) =>
+      s -> math.min(1.0, (100L * w(s)).toDouble / (sw * c).toDouble) }
+    val thr = rate.map { case (s, r) => s -> Curation.hexThreshold(r) }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    out.foreach { case (id, shard, draw, keep) =>
+      val hex = md.digest(s"$id-graft".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      assert(draw === hex)
+      assert(keep === (if (hex < thr(shard)) 1 else 0), s"id=$id")
+    }
+    // T=2 flattening: the small domain's keep rate is 2x the big one's
+    // (sqrt(320):sqrt(80) picks over 4:1 sizes), within integerization.
+    assert(math.abs(rate("small") / rate("big") - 2.0) < 1e-3)
+    // T=1 degenerates to a uniform keep probability across domains.
+    val r1 = Curation.temperatureMix(docs, "id", "dom", budget = 100,
+      temperature = 1.0).select("shard", "draw").distinct()
+    assert(r1.count() > 0)
+  }
+
   test("decontaminate plan broadcasts the bench side (no train-side shuffle of shingles)") {
     val train = (0L until 500L).map(i => (i, s"tok$i a b c d e f g")).toDF("doc_id", "text")
     val bench = Seq((1000L, "a b c d e")).toDF("doc_id", "text")
