@@ -805,6 +805,17 @@ object Similarity {
     * two cells). The coarse fit needs few Lloyd rounds (`kmeansIter` = 4:
     * recall −0.01 for half the build time — the spill absorbs quantizer
     * jitter, the same law as ivfSearch's nprobe routing).
+    *
+    * `maxBucketSize` defaults far TIGHTER than the near-dup pipelines'
+    * cap (256 vs 1024): pair volume is quadratic in bucket occupancy and
+    * a k-NN graph only needs each node's top-k, so a dense bucket's
+    * 500k-pair tail buys nothing a node's other 23 bands and the
+    * NN-descent round don't already provide. Measured on the sf1 stress
+    * (20k vectors, clustered): cap 1024 → 52.6 s, cap 256 → 13.3 s with
+    * recall UNCHANGED (0.662 vs 0.661; sf0.1 identical at 0.843); cap 128
+    * starts costing recall (0.640). Oversized buckets are dropped whole
+    * (the [[Dedup.bucketPairs]] policy) — their members keep candidates
+    * via their other bands and the nprobe spill.
     */
   def knnGraphSharded(
       corpus: DataFrame,
@@ -815,7 +826,7 @@ object Similarity {
       nprobe: Int = 3,
       bands: Int = 24,
       seed: Long = 42L,
-      maxBucketSize: Int = 1024,
+      maxBucketSize: Int = 256,
       refineRounds: Int = 1,
       dim: Int = -1,
       targetBucketSize: Int = 64,
@@ -835,12 +846,16 @@ object Similarity {
     val probeCells = probeCellsCol(index.centers,
       col("__v").cast("array<double>"), nprobe)
     // Band resolution from the expected SPILLED cell population
-    // (n·nprobe/nlist) ALONE — the cell is the bounding mechanism, so
-    // unlike knnGraph there is no resolution floor: a cell that already
-    // fits the target bucket banding-partitions into singletons and loses
-    // its candidates. needed == 1 ⇒ no LSH at all (per-cell all-pairs,
-    // still hard-capped by maxBucketSize); otherwise expected bucket ≈
-    // targetBucketSize regardless of n or nlist.
+    // (n·nprobe/nlist) — the cell is the bounding mechanism, so unlike
+    // knnGraph there is no resolution floor: a cell that already fits the
+    // target bucket banding-partitions into singletons and loses its
+    // candidates. needed == 1 ⇒ no LSH at all (per-cell all-pairs, still
+    // hard-capped by maxBucketSize); otherwise expected bucket ≈
+    // targetBucketSize regardless of n or nlist. Sizing from the MAX cell
+    // instead was measured WORSE on the sf1 stress (58.7 → 80.3 s): dense
+    // clusters collide at any plane count, so finer bands just add band
+    // rows — the quadratic tail is maxBucketSize's job (below), not the
+    // resolution's.
     val n = corpus.count()
     val cellSize = math.max(1L, n * nprobe / math.max(1, index.centers.length))
     val needed = math.max(1L, (cellSize + targetBucketSize - 1) / targetBucketSize)
