@@ -752,4 +752,99 @@ object Dedup {
         (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
           greatest(col("n_tokens_doc"), lit(1L))).as("dup_frac"))
   }
+
+  /** Handle to a persisted incremental-dedup index ([[writeBandIndex]]). */
+  final case class BandIndex(
+      bandsTable: String,
+      setsTable: String,
+      shingleK: Int,
+      numHashes: Int,
+      bands: Int)
+
+  /** Persist the MinHash-LSH index of a corpus as two BUCKETED tables so
+    * later crawl batches dedup against it WITHOUT rescanning (or
+    * reshuffling) the corpus — the incremental-crawl shape: at 100 TB the
+    * existing corpus is orders bigger than a day's batch, and re-banding
+    * it per batch is the cost this index amortizes to zero.
+    *
+    *   - `bandsTable` (bkey, id): one row per LSH band bucket membership,
+    *     bucketed by bkey — batch candidates join it shuffle-free on the
+    *     stored side ([[Scale.writeBucketed]] mechanics).
+    *   - `setsTable` (id, sh): each document's distinct shingle-hash set,
+    *     bucketed by id — candidate verification joins it shuffle-free.
+    *
+    * Band buckets larger than `maxBucketSize` are dropped AT BUILD TIME
+    * (the [[bucketPairs]] cap policy, applied once instead of per batch):
+    * an overfull bucket is boilerplate-shaped, and its join multiplicity
+    * would otherwise explode every future batch.
+    */
+  def writeBandIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bandsTable: String,
+      setsTable: String,
+      shingleK: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      numBuckets: Int = 32,
+      maxBucketSize: Int = DefaultMaxBucketSize): BandIndex = {
+    val sets = shingleHashSets(df, idCol, textCol, shingleK)
+    val banded = bandRows(sets, numHashes, bands)
+    val keep = banded.groupBy("bkey").count()
+      .where(col("count") <= maxBucketSize).select("bkey")
+    banded.join(keep, "bkey")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "bkey").sortBy("bkey").saveAsTable(bandsTable)
+    sets.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "id").sortBy("id").saveAsTable(setsTable)
+    BandIndex(bandsTable, setsTable, shingleK, numHashes, bands)
+  }
+
+  /** (id, sh) → (bkey, id) band-bucket rows; bkey folds (band, key) into
+    * one join column via xxhash64 (band-salted so equal keys in different
+    * bands stay distinct buckets; overflow-free under ANSI arithmetic).
+    */
+  private def bandRows(sets: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    sets.select(col("id"),
+        minhashSignature(col("sh"), numHashes).as("sig"))
+      .select(col("id"),
+        explode(lshBandKeys(col("sig"), bands, numHashes / bands)).as("bk"))
+      .select(col("id"), xxhash64(col("bk.band"), col("bk.key")).as("bkey"))
+
+  /** Dedup a new batch AGAINST a persisted [[BandIndex]]: band the batch,
+    * join its band rows to the stored buckets (corpus side pre-bucketed —
+    * no corpus shuffle), and exact-verify candidates by shingle-hash
+    * Jaccard against the stored sets (again joining into the corpus-side
+    * buckets). Only batch rows and candidates ever move. Returns
+    * (new_id, old_id, jaccard ≥ threshold) — same verification semantics
+    * as [[ngramJaccardPairs]] (Jaccard over the 64-bit shingle hashes ≡
+    * Jaccard over shingle strings up to ~1e-10 collision mass), so a SQL
+    * oracle recomputes it from the raw text of both tables.
+    */
+  def dedupAgainstIndex(
+      newBatch: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: BandIndex,
+      threshold: Double = 0.8): DataFrame = {
+    val spark = newBatch.sparkSession
+    val oldBands = spark.table(index.bandsTable)
+      .select(col("bkey"), col("id").as("old_id"))
+    val oldSets = spark.table(index.setsTable)
+      .select(col("id").as("old_id"), col("sh").as("sh_old"))
+    val newSets = shingleHashSets(newBatch, idCol, textCol, index.shingleK)
+    val cand = bandRows(newSets, index.numHashes, index.bands)
+      .withColumnRenamed("id", "new_id")
+      .join(oldBands, "bkey")
+      .select("new_id", "old_id")
+      .dropDuplicates("new_id", "old_id")
+    cand
+      .join(newSets.select(col("id").as("new_id"), col("sh").as("sh_new")), "new_id")
+      .join(oldSets, "old_id")
+      .select(col("new_id"), col("old_id"),
+        graft.functions.TextFunctions.jaccard_sets(col("sh_new"), col("sh_old"))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
 }

@@ -65,6 +65,28 @@ class DedupSpec extends SparkTestBase {
     assert(kept === Array(1L, 3L, 4L, 5L))
   }
 
+  test("incremental dedup against a persisted band index; corpus side never shuffles") {
+    val idx = Dedup.writeBandIndex(docs, "doc_id", "text",
+      "inc_bands_t", "inc_sets_t", numBuckets = 4)
+    try {
+      val batch = Seq(
+        (103L, base),                                      // dup of 1/2
+        (110L, "entirely novel sentence with fresh words only")) // no match
+        .toDF("doc_id", "text")
+      val got = Dedup.dedupAgainstIndex(batch, "doc_id", "text", idx,
+        threshold = 0.8)
+      val pairs = got.select("new_id", "old_id").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((103L, 1L)) && pairs.contains((103L, 2L)))
+      assert(!pairs.exists(_._1 == 110L))
+      // Stored-side scans must come in pre-bucketed (no corpus reshuffle).
+      val plan = got.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"expected bucketed scans:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS inc_bands_t")
+      spark.sql("DROP TABLE IF EXISTS inc_sets_t")
+    }
+  }
+
   test("exactByText counts copies") {
     val m = Dedup.exactByText(docs, "doc_id", "text")
       .select("keep_id", "n_copies").as[(Long, Long)].collect().toMap
