@@ -1529,6 +1529,21 @@ object SparkEntry {
         .presented("doc_id")
     }),
 
+    // Interpolated Kneser-Ney bigram scoring with D = 3/4 — the discount
+    // chosen so every per-token probability is an exact rational of
+    // corpus counts: the oracle replays num/den/hit/unseen integer sums
+    // bit-for-bit (logprob carries libm's ulp and stays out of the
+    // projection; LanguageModelSpec pins it — the q_bm25 precedent).
+    "q_kn_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = LanguageModel.trainBigram(
+        docs.where(col("source") === "src0"), "text")
+      LanguageModel.kneserNeyScore(docs, "doc_id", "text", lm)
+        .select(col("doc_id"), col("n_grams"), col("n_hit"),
+          col("n_unseen_hist"), col("sum_num"), col("sum_den"))
+        .presented("doc_id")
+    }),
+
     // Integer fixed-point PageRank over a synthesized 100-node domain
     // link graph (a pure function of doc_id, so DuckDB rebuilds the same
     // edges) — the link-centrality quality signal of web curation. Every
@@ -2770,6 +2785,44 @@ object SparkEntry {
          |   FROM bg GROUP BY 1, 2)
          | SELECT w1, w2, c2 FROM bc
          | ORDER BY c2 DESC, w1, w2 LIMIT 100""".stripMargin,
+    "q_kn_score" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS t, source FROM documents),
+         | trg AS (SELECT unnest([[t[i], t[i+1]] for i in range(1, len(t))]) AS g
+         |   FROM tk WHERE source = 'src0'),
+         | uni AS (SELECT w, count(*) AS c1 FROM (
+         |     SELECT unnest(t) AS w FROM tk WHERE source = 'src0') GROUP BY w),
+         | bg AS (SELECT g[1] AS w1, g[2] AS w2, count(*) AS c2 FROM trg GROUP BY 1, 2),
+         | fan AS (SELECT w1, count(*) AS n1f FROM bg GROUP BY w1),
+         | con AS (SELECT w2, count(*) AS n1r FROM bg GROUP BY w2),
+         | ty AS (SELECT count(*) AS n_types FROM bg),
+         | dg AS (SELECT doc_id, g[1] AS w1, g[2] AS w2 FROM
+         |   (SELECT doc_id, unnest([[t[i], t[i+1]] for i in range(1, len(t))]) AS g
+         |    FROM tk)),
+         | sc AS (SELECT doc_id,
+         |     CASE WHEN u.c1 IS NOT NULL AND u.c1 > 0 THEN
+         |       greatest(greatest(4*coalesce(b.c2, 0) - 3, 0) * ty.n_types
+         |         + 3 * coalesce(f.n1f, 0) * coalesce(cn.n1r, 0), 1)
+         |     WHEN coalesce(cn.n1r, 0) > 0 THEN 4 * cn.n1r ELSE 1 END AS num,
+         |     CASE WHEN u.c1 IS NOT NULL AND u.c1 > 0
+         |       THEN 4 * u.c1 * ty.n_types ELSE 4 * ty.n_types END AS den,
+         |     CASE WHEN b.c2 IS NOT NULL THEN 1 ELSE 0 END AS hit,
+         |     CASE WHEN u.c1 IS NULL OR u.c1 = 0 THEN 1 ELSE 0 END AS unseen
+         |   FROM dg LEFT JOIN bg b ON dg.w1 = b.w1 AND dg.w2 = b.w2
+         |     LEFT JOIN uni u ON dg.w1 = u.w
+         |     LEFT JOIN fan f ON dg.w1 = f.w1
+         |     LEFT JOIN con cn ON dg.w2 = cn.w2, ty),
+         | agg AS (SELECT doc_id, count(*) AS n_grams,
+         |     CAST(sum(hit) AS BIGINT) AS n_hit,
+         |     CAST(sum(unseen) AS BIGINT) AS n_unseen_hist,
+         |     CAST(sum(num) AS BIGINT) AS sum_num,
+         |     CAST(sum(den) AS BIGINT) AS sum_den
+         |   FROM sc GROUP BY doc_id)
+         | SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+         |   coalesce(n_hit, 0) AS n_hit,
+         |   coalesce(n_unseen_hist, 0) AS n_unseen_hist,
+         |   coalesce(sum_num, 0) AS sum_num, coalesce(sum_den, 0) AS sum_den
+         | FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+         | ORDER BY d.doc_id""".stripMargin,
     "q_lm_score" ->
       s"""WITH tr AS (SELECT $tokensSql AS t FROM documents
          |     WHERE source = 'src0'),

@@ -789,6 +789,17 @@ object Dedup {
       bands: Int = 16,
       numBuckets: Int = 32,
       maxBucketSize: Int = DefaultMaxBucketSize): BandIndex = {
+    // Overwrite must survive a FRESH session over an old warehouse dir:
+    // a new in-memory catalog has no table entry, but the managed
+    // location on disk remains and saveAsTable refuses it — drop both.
+    val spark = df.sparkSession
+    Seq(bandsTable, setsTable).foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     val sets = shingleHashSets(df, idCol, textCol, shingleK)
     val banded = bandRows(sets, numHashes, bands)
     val keep = banded.groupBy("bkey").count()

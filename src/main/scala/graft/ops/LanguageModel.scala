@@ -175,4 +175,78 @@ object LanguageModel {
       corpus: DataFrame,
       alpha: Double = 0.4): DataFrame =
     scoreDocs(docs, idCol, textCol, trainBigram(corpus, textCol), alpha)
+
+  /** Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the
+    * smoothing KenLM made the de-facto standard for CCNet-style perplexity
+    * filtering) with absolute discount D = 3/4 — chosen BECAUSE it makes
+    * every per-token probability an EXACT RATIONAL of corpus counts:
+    *
+    *   P(w2|w1) = max(c(w1,w2) − 3/4, 0)/c(w1)
+    *              + (3/4)·(N1+(w1·)/c(w1))·(N1+(·w2)/T)
+    *
+    * over the common denominator 4·c(w1)·T this is
+    *   num = max(4·c2 − 3, 0)·T + 3·N1+(w1·)·N1+(·w2),  den = 4·c(w1)·T
+    * (unseen history w1: pure continuation, num = 4·N1+(·w2), den = 4·T;
+    * fully-unseen w2 floors at num = 1). num/den are int64-exact while
+    * c2·T < 2^61 — per-document Σnum/Σden ship as exact integers any
+    * engine replays bit-for-bit; `logprob` (Σ ln(num/den)) is the usable
+    * quality score but carries libm's ulp, so oracles compare the integer
+    * columns and specs pin the doubles (the q_bm25 precedent).
+    *
+    * Scale shape: three count aggregations at train (bigrams + the two
+    * continuation-type tables derived from them — each one map-side-
+    * combined groupBy), then gram-keyed joins at score, exactly
+    * [[scoreDocs]]'s join plan plus two more narrow count tables; the
+    * bigram-type total rides a one-row broadcast.
+    */
+  def kneserNeyScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      lm: BigramLm): DataFrame = {
+    val fanout = lm.bigrams.groupBy("w1").agg(count(lit(1)).as("n1f"))
+    val contin = lm.bigrams.groupBy("w2").agg(count(lit(1)).as("n1r"))
+    val types = lm.bigrams.agg(count(lit(1)).as("n_types"))
+    val grams = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), explode(bigramStructs(col("__t"))).as("g"))
+      .select(col(idCol), col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val joined = grams
+      .join(lm.bigrams, Seq("w1", "w2"), "left")
+      .join(lm.unigrams.withColumnRenamed("w", "w1")
+        .withColumnRenamed("c1", "__c_w1"), Seq("w1"), "left")
+      .join(fanout, Seq("w1"), "left")
+      .join(contin, Seq("w2"), "left")
+      .crossJoin(broadcast(types))
+    val c2v = coalesce(col("c2"), lit(0L))
+    val n1fv = coalesce(col("n1f"), lit(0L))
+    val n1rv = coalesce(col("n1r"), lit(0L))
+    val seen = col("__c_w1").isNotNull && col("__c_w1") > 0
+    val num = when(seen,
+        greatest(greatest(lit(4L) * c2v - 3L, lit(0L)) * col("n_types")
+          + lit(3L) * n1fv * n1rv, lit(1L)))
+      .otherwise(when(n1rv > 0, lit(4L) * n1rv).otherwise(lit(1L)))
+    val den = when(seen, lit(4L) * col("__c_w1") * col("n_types"))
+      .otherwise(lit(4L) * col("n_types"))
+    val perDoc = joined
+      .select(col(idCol), num.as("__num"), den.as("__den"),
+        col("c2").isNotNull.cast("long").as("__hit"),
+        (!seen).cast("long").as("__unseen"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("__hit")).as("n_hit"),
+        sum(col("__unseen")).as("n_unseen_hist"),
+        sum(col("__num")).as("sum_num"),
+        sum(col("__den")).as("sum_den"),
+        sum(log(col("__num").cast("double") / col("__den"))).as("__lp"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("n_unseen_hist"), lit(0L)).as("n_unseen_hist"),
+        coalesce(col("sum_num"), lit(0L)).as("sum_num"),
+        coalesce(col("sum_den"), lit(0L)).as("sum_den"),
+        col("__lp").as("logprob"))
+  }
 }

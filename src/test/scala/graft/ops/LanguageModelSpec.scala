@@ -179,4 +179,28 @@ class LanguageModelSpec extends SparkTestBase {
       .collect()
     assert(floored.map(r => (r.getString(0), r.getString(1))).toSeq === Seq(("x", "y")))
   }
+
+  test("kneserNeyScore: exact rational D=3/4 smoothing, hand-checked") {
+    // Model (from `train`): bigrams (a,b)=3 (b,a)=1 (b,c)=1, T=3 types;
+    // N1+(a.)=1, N1+(b.)=2; N1+(.a)=1, N1+(.b)=1, N1+(.c)=1; c(a)=c(b)=3.
+    val score = LanguageModel.kneserNeyScore(
+      Seq((10L, "a b a b c"), (11L, "c z b"), (12L, "x"))
+        .toDF("doc_id", "text"), "doc_id", "text", lm)
+      .orderBy("doc_id").collect()
+    // Doc 10 grams: (a,b) num=9*3+3*1*1=30 den=36; (b,a) num=3+3*2*1=9
+    // den=36; (a,b); (b,c) num=3+3*2*1=9 den=36.
+    assert(score(0).getLong(1) === 4L && score(0).getLong(2) === 4L)
+    assert(score(0).getLong(3) === 0L)
+    assert(score(0).getLong(4) === 78L && score(0).getLong(5) === 144L)
+    assert(math.abs(score(0).getDouble(6) -
+      (2 * math.log(30.0 / 36) + 2 * math.log(9.0 / 36))) < 1e-12)
+    // Doc 11: (c,z): seen history c (c1=1), c2=0, n1f(c)=0, n1r(z)=0 ->
+    // floored num=1, den=12; (z,b): unseen history -> continuation
+    // num=4*N1+(.b)=4, den=12.
+    assert(score(1).getLong(1) === 2L && score(1).getLong(2) === 0L)
+    assert(score(1).getLong(3) === 1L)
+    assert(score(1).getLong(4) === 5L && score(1).getLong(5) === 24L)
+    // Doc 12: single token -> no grams, zeroed counters, null logprob.
+    assert(score(2).getLong(1) === 0L && score(2).isNullAt(6))
+  }
 }
