@@ -1053,6 +1053,16 @@ object SparkEntry {
 
     // Corpus mixing (per-source keep probabilities) — exact oracle, same
     // generated thresholds.
+    // Deterministic epoch shuffle: the epoch-1 training permutation as
+    // (bucket, pos) — 256 independent sorted hash buckets whose
+    // concatenation is the order; no global sort. REAL oracle: DuckDB
+    // replays the salted md5 draws, hex bucket, and within-bucket ranks.
+    "q_corpus_shuffle" -> ((s, dir) =>
+      Curation.epochShuffle(t(s, dir, "documents"), "doc_id", epoch = 1)
+        .select(col("doc_id"), col("draw"), col("bucket").cast("long").as("bucket"),
+          col("pos"))
+        .presented("bucket", "pos")),
+
     // Temperature-scaled domain mixing over the (skewed) language shards:
     // integerized sqrt weights make the rate table engine-exact, and the
     // oracle replays weights, rates, thresholds, and md5 verdicts.
@@ -2108,6 +2118,19 @@ object SparkEntry {
          |   CASE $cases ELSE '${SplitFracs.last._1}' END AS split
          | FROM documents ORDER BY doc_id""".stripMargin
     },
+    "q_corpus_shuffle" ->
+      """WITH d AS (SELECT doc_id,
+        |     substr(md5(doc_id::VARCHAR || '-graft-e1'), 1, 8) AS draw
+        |   FROM documents),
+        | b AS (SELECT doc_id, draw,
+        |     CAST((strpos('0123456789abcdef', substr(draw, 1, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(draw, 2, 1)) - 1) AS BIGINT)
+        |       AS bucket
+        |   FROM d)
+        | SELECT doc_id, draw, bucket,
+        |   CAST(row_number() OVER (PARTITION BY bucket ORDER BY draw, doc_id)
+        |     AS BIGINT) AS pos
+        | FROM b ORDER BY bucket, pos""".stripMargin,
     "q_temperature_mix" -> {
       val draw = "substr(md5(doc_id::VARCHAR || '-graft'), 1, 8)"
       """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),

@@ -355,6 +355,32 @@ object Curation {
       (draw < thresh).cast("int").as("keep"))
   }
 
+  /** Deterministic epoch shuffle: a reproducible pseudo-random training
+    * order as (bucket, draw, id) — bucket is the first byte pair of the
+    * epoch-salted md5 (256 buckets), the within-bucket position sorts by
+    * the full draw. The concatenation of buckets 0..255 IS the epoch's
+    * permutation, materialized WITHOUT a global sort: each bucket is an
+    * independent hash partition sorted within (the window partitions on
+    * bucket — 256 balanced groups, no single-partition collapse), so a
+    * 100 TB corpus shuffles as 256+ parallel sorted streams concatenated
+    * by bucket number. Different `epoch` values give independent
+    * permutations; everything is a pure function of (id, epoch), so the
+    * order is identical across retries, partitionings, and engines.
+    */
+  def epochShuffle(
+      df: DataFrame,
+      idCol: String,
+      epoch: Int,
+      salt: String = "graft"): DataFrame = {
+    val draw = hashDraw(col(idCol), s"$salt-e$epoch")
+    val bucket = conv(substring(draw, 1, 2), 16, 10).cast("int")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("draw", idCol)
+    df.select(col(idCol), draw.as("draw"))
+      .withColumn("bucket", bucket)
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   /** Temperature-scaled domain mixing (the multilingual/multi-domain
     * rebalancing rule of mBERT/XLM-R and data-mixture training: sampling
     * weight ∝ count^(1/T), T > 1 flattens the domain distribution toward

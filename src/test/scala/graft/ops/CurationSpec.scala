@@ -352,6 +352,29 @@ class CurationSpec extends SparkTestBase {
     assert(r1.count() > 0)
   }
 
+  test("epochShuffle: deterministic bucketed permutation, epochs independent") {
+    val docs = (0L until 500L).toDF("id")
+    val e1 = Curation.epochShuffle(docs, "id", epoch = 1)
+      .select("id", "draw", "bucket", "pos")
+      .as[(Long, String, Int, Long)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    e1.foreach { case (id, draw, bucket, _) =>
+      val hex = md.digest(s"$id-graft-e1".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      assert(draw === hex)
+      assert(bucket === Integer.parseInt(hex.substring(0, 2), 16))
+    }
+    // Within each bucket, pos is 1..n in draw order — a valid permutation.
+    e1.groupBy(_._3).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._1))
+      assert(sorted.map(_._4).toSeq === (1L to rows.length).toSeq)
+    }
+    // A different epoch reshuffles (some doc changes bucket).
+    val e2 = Curation.epochShuffle(docs, "id", epoch = 2)
+      .select("id", "bucket").as[(Long, Int)].collect().toMap
+    assert(e1.exists { case (id, _, b, _) => e2(id) != b })
+  }
+
   test("decontaminate plan broadcasts the bench side (no train-side shuffle of shingles)") {
     val train = (0L until 500L).map(i => (i, s"tok$i a b c d e f g")).toDF("doc_id", "text")
     val bench = Seq((1000L, "a b c d e")).toDF("doc_id", "text")
