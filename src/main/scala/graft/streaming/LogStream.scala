@@ -301,6 +301,49 @@ object LogStream {
       }
   }
 
+  /** Input contract for [[budgetAdmission]]. */
+  case class BudgetInput(source: String, id: Long, nTokens: Long, eventTimeMs: Long)
+  /** Per-source running token spend. */
+  private[streaming] case class BudgetState(used: Long)
+  /** Admission verdict; `used_after` is the source's spend including this
+    * document iff admitted.
+    */
+  case class BudgetVerdict(source: String, id: Long, nTokens: Long,
+      admitted: Boolean, used_after: Long)
+
+  /** Streaming token-budget admission — the continuous form of budgeted
+    * sampling ([[graft.ops.Curation]]'s budget/mix family): each source
+    * (domain, crawl, language) holds a running token spend in keyed state
+    * and admits arriving documents until its `budgetPerSource` is
+    * exhausted; later arrivals are emitted with `admitted = false` (audit
+    * row, the mixCorpus emit-the-verdict convention) rather than silently
+    * dropped. Admission order inside a micro-batch is deterministic —
+    * (eventTimeMs, id) — so replays and restarts admit the same set; state
+    * is one long per source, checkpoint-recoverable. A document larger
+    * than the remaining budget is rejected and the budget stays intact
+    * (no partial admission — training sequences need whole documents).
+    */
+  def budgetAdmission(
+      docs: Dataset[BudgetInput],
+      budgetPerSource: Long): Dataset[BudgetVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[BudgetState, BudgetVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (source, rows, state: GroupState[BudgetState]) =>
+          var used = state.getOption.map(_.used).getOrElse(0L)
+          val out = rows.toSeq.sortBy(r => (r.eventTimeMs, r.id)).map { d =>
+            val fits = used + d.nTokens <= budgetPerSource
+            if (fits) used += d.nTokens
+            BudgetVerdict(source, d.id, d.nTokens, fits, used)
+          }
+          state.update(BudgetState(used))
+          out.iterator
+      }
+  }
+
   /** Continuous ingest: text file stream → parsed log lines → Boom files.
     * (`foreachBatch` + the batch writer — the standard file-sink pattern for
     * a custom format.)

@@ -69,6 +69,35 @@ class LogStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("budgetAdmission enforces per-source token budgets across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[LogStream.BudgetInput]
+    val verdicts = LogStream.budgetAdmission(input.toDS(), budgetPerSource = 10L)
+    val q = verdicts.writeStream.format("memory").queryName("budget")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        LogStream.BudgetInput("a", 1L, 4L, 1000L),
+        LogStream.BudgetInput("a", 2L, 5L, 2000L),
+        LogStream.BudgetInput("b", 3L, 9L, 1000L))
+      q.processAllAvailable()
+      input.addData(
+        LogStream.BudgetInput("a", 4L, 2L, 3000L),  // 9 + 2 > 10 -> reject
+        LogStream.BudgetInput("a", 5L, 1L, 4000L),  // 9 + 1 = 10 -> admit
+        LogStream.BudgetInput("b", 6L, 1L, 2000L))  // 9 + 1 = 10 -> admit
+      q.processAllAvailable()
+      val got = spark.table("budget")
+        .select("id", "admitted", "used_after")
+        .as[(Long, Boolean, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+        .toMap
+      assert(got(1L) === ((true, 4L)) && got(2L) === ((true, 9L)))
+      assert(got(3L) === ((true, 9L)))
+      assert(got(4L) === ((false, 9L)), "doc over remaining budget rejected, budget intact")
+      assert(got(5L) === ((true, 10L)), "smaller later doc still admitted")
+      assert(got(6L) === ((true, 10L)))
+    } finally q.stop()
+  }
+
   test("curation quality filters run unchanged on a stream (stateless narrow ops)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
