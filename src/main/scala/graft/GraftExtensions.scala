@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BloomHitCount, CdcChunkStructs, CosineSimilarity, FormatLogDate, JaccardSets, LangIdExpression, MinHashSignature, NfcNormalize, NgramHashes, RepetitionProfile, ShingleHashes, SimHash64, TokenEntropy, Tokenize, TopKByScore, WinnowFingerprints}
+import graft.functions.{BloomHitCount, CdcChunkStructs, CosineSimilarity, FormatLogDate, JaccardSets, KeywordTags, LangIdExpression, MinHashSignature, NfcNormalize, NgramHashes, RepetitionProfile, ShingleHashes, SimHash64, TokenEntropy, Tokenize, TopKByScore, WinnowFingerprints}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -124,6 +124,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           BloomHitCount(hashes, bytes)
         case _ => throw new IllegalArgumentException(
           "bloom_hit_count(hashes, <binary literal sketch>)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("keyword_tags"),
+      new ExpressionInfo(classOf[KeywordTags].getName, "keyword_tags"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, terms) =>
+          val dict = terms match {
+            case ca: org.apache.spark.sql.catalyst.expressions.CreateArray =>
+              ca.children.map(c => str(c, "keyword term"))
+            case Literal(data: org.apache.spark.sql.catalyst.util.ArrayData,
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.StringType, _)) =>
+              data.toObjectArray(org.apache.spark.sql.types.StringType)
+                .map(_.toString).toSeq
+            case other => throw new IllegalArgumentException(
+              s"keyword_tags dictionary must be a string-array literal, got $other")
+          }
+          KeywordTags(text, dict)
+        case _ => throw new IllegalArgumentException(
+          "keyword_tags(text, array('term', ...))")
       }))
     ext.injectFunction((
       FunctionIdentifier("topk_by_score"),

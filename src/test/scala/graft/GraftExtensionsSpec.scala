@@ -44,6 +44,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  size(winnow_fingerprints(tokenize('a b c d e f g h'), 3, 2)) AS n_wf,
         |  lang_id('the cat and the dog') AS lang,
         |  nfc_normalize('café') AS nfc,
+        |  keyword_tags('a stable system', array('tab', 'table', 'sys')) AS tags,
         |  repetition_profile(tokenize('a b a b a b'), 2) AS rep
         |""".stripMargin).head()
 
@@ -57,6 +58,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getAs[Int]("n_wf") > 0)
     assert(row.getAs[String]("lang") === "en")
     assert(row.getAs[String]("nfc") === "café")
+    assert(row.getAs[Seq[String]]("tags") === Seq("sys", "tab", "table"))
     val rep = row.getAs[org.apache.spark.sql.Row]("rep")
     assert(rep.getLong(0) === 6L && rep.getLong(1) === 6L && rep.getLong(2) === 6L)
 
