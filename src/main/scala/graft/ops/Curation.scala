@@ -758,29 +758,39 @@ object Curation {
     // id), so after this one extra exchange at build time, NO iteration
     // re-shuffles the feature table: the only per-round exchange left is
     // the B-row-bounded gradient groupBy(bk).
+    // Grouped per doc: (id, y, bks) — each document's distinct feature
+    // buckets as ONE array row. Every iteration then needs NO join at all:
+    // the current weight vector is a B-long literal array, the per-doc
+    // prediction p = Σ w[bk] is a narrow codegen'd fold over `bks`, and
+    // the gradient is the single B-row-bounded groupBy(bk) over the
+    // exploded residuals. (The previous shape — broadcast-join weights,
+    // per-doc aggregate, join residuals back on id — computed the same
+    // integer sums through three extra operators per iteration; the
+    // unrolled CTE oracle is untouched because the MATH is identical.)
     val feats = labeled
       .select(col("id"), col("y"), explode(concat(t, bigrams)).as("g"))
       .select(col("id"), col("y"),
         pmod(conv(substring(md5(col("g").cast("binary")), 1, 13), 16, 10)
           .cast("long"), lit(buckets.toLong)).as("bk"))
       .distinct()
-      .repartition(col("id"))
+      .groupBy("id", "y").agg(collect_list(col("bk")).as("bks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = df.count()
     val d = n << etaLog2 // divisor: n·2^eta (η/n folded into one floor div)
     var w: Map[Long, Long] = Map.empty.withDefaultValue(0L)
 
-    def predictions(): DataFrame = {
-      val wDf = (0L until buckets.toLong).map(b => b -> w(b)).toDF("bk", "w")
-      feats.join(broadcast(wDf), Seq("bk"))
-        .groupBy("id", "y").agg(sum(col("w")).as("p"))
+    def pCol(): org.apache.spark.sql.Column = {
+      val wLit = typedLit((0L until buckets.toLong).map(w(_)).toIndexedSeq)
+      aggregate(col("bks"), lit(0L),
+        (acc, b) => acc + element_at(wLit, b.cast("int") + 1))
     }
 
     var it = 0
     while (it < iters) {
-      val grad = predictions()
-        .select(col("id"), ((col("y") * (1L << qBits)) - col("p")).as("r"))
-        .join(feats.select("id", "bk"), Seq("id"))
+      val grad = feats
+        .select(col("bks"),
+          ((col("y") * (1L << qBits)) - pCol()).as("r"))
+        .select(explode(col("bks")).as("bk"), col("r"))
         .groupBy("bk").agg(sum(col("r")).as("g"))
         .withColumn("dw", expr(s"(g - pmod(g, ${d}L)) DIV ${d}L"))
         .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
@@ -790,7 +800,7 @@ object Curation {
       it += 1
     }
     labeled.select(col("id"), col("y"))
-      .join(predictions().select(col("id"), col("p")), Seq("id"), "left")
+      .join(feats.select(col("id"), pCol().as("p")), Seq("id"), "left")
       .select(col("id").as(idCol), col("y"),
         coalesce(col("p"), lit(0L)).as("score"))
   }
