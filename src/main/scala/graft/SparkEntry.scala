@@ -1,5 +1,6 @@
 package graft
 
+import graft.engine.Reporting
 import graft.functions.TextFunctions.simhash64
 import graft.ops.{Bpe, Curation, Dedup, Graph, Intervals, LanguageModel, Multimodal, Scale, Similarity, Sketches, Stats, TextAnalysis, TextSearch, Web}
 
@@ -478,6 +479,48 @@ object SparkEntry {
           sum(when(col("text").contains("the"), 1).otherwise(0)).as("n_with_the"),
           min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
         .presented("lang")),
+
+    // Tokenizer fertility / compression audit per language: chars vs
+    // whitespace tokens vs BPE-ish subwords, all exact integer sums —
+    // what a tokenizer-QC pass reads before committing a vocab to a
+    // multilingual corpus.
+    "q_fertility" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), col("text"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("__tk"),
+          TextAnalysis.subwordCountApprox(col("text")).cast("long").as("__sw"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("n_chars"),
+          sum(col("__tk")).as("n_tokens"),
+          sum(col("__sw")).as("n_subwords"))
+        .presented("lang")),
+
+    // Exact-duplicate family-size histogram (dedup audit: how much of the
+    // corpus sits in how-big copy families).
+    "q_dup_families" -> ((s, dir) =>
+      docsWithDupes(s, dir)
+        .groupBy(md5(col("text").cast("binary")).as("__h"))
+        .agg(count(lit(1)).as("family_size"))
+        .groupBy("family_size")
+        .agg(count(lit(1)).as("n_families"))
+        .presented("family_size")),
+
+    // Retention cohort triangle on the event stream (weekly buckets):
+    // users cohort into their first active week; each (cohort, age) cell
+    // counts the still-active users.
+    "q_cohorts" -> ((s, dir) =>
+      Reporting.retentionCohorts(events(s, dir), "user_id", "ts_ms",
+          bucketMs = 604800000L)
+        .presented("cohort", "age")),
+
+    // Ordered signup → click → purchase funnel within a 7-day window of
+    // the signup: per-stage surviving-user counts via bounded chained
+    // min-aggregations.
+    "q_funnel" -> ((s, dir) =>
+      Reporting.funnel(events(s, dir), "user_id", "ts_ms", "event_type",
+        Seq("signup", "click", "purchase"), windowMs = 604800000L)
+        .presented("stage_idx")),
 
     // Document fingerprinting (hash prefix bucket)
     "q_fingerprint" -> ((s, dir) =>
@@ -1727,6 +1770,41 @@ object SparkEntry {
         |   len(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))::DOUBLE
         |     / len(list_filter(string_split(text, ' '), x -> x <> '')) AS ttr
         | FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fertility" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |   CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |   CAST(sum(len($tokensSql)) AS BIGINT) AS n_tokens,
+         |   CAST(sum(len(regexp_extract_all(text,
+         |     '[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]+'))) AS BIGINT) AS n_subwords
+         | FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_dup_families" ->
+      s"""SELECT family_size, count(*) AS n_families FROM (
+         |   SELECT md5(text) AS h, count(*) AS family_size
+         |   FROM $docsWithDupesSql GROUP BY md5(text))
+         | GROUP BY family_size ORDER BY family_size""".stripMargin,
+    "q_cohorts" ->
+      """WITH act AS (SELECT DISTINCT user_id AS u,
+        |     epoch_ms(ts) // 604800000 AS bucket FROM events),
+        | coh AS (SELECT u, min(bucket) AS cohort FROM act GROUP BY u)
+        | SELECT cohort, bucket - cohort AS age, count(*) AS n_active
+        | FROM act JOIN coh USING (u)
+        | GROUP BY cohort, bucket - cohort ORDER BY cohort, age""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS et, epoch_ms(ts) AS tm
+        |   FROM events),
+        | s0 AS (SELECT u, min(tm) AS t0 FROM e WHERE et = 'signup' GROUP BY u),
+        | s1 AS (SELECT e.u, t0, min(tm) AS t1 FROM e JOIN s0 USING (u)
+        |   WHERE et = 'click' AND tm > t0 AND tm <= t0 + 604800000
+        |   GROUP BY e.u, t0),
+        | s2 AS (SELECT e.u, min(tm) AS t2 FROM e JOIN s1 USING (u)
+        |   WHERE et = 'purchase' AND tm > t1 AND tm <= t0 + 604800000
+        |   GROUP BY e.u)
+        | SELECT * FROM (
+        |   SELECT CAST(0 AS BIGINT) AS stage_idx, 'signup' AS stage,
+        |     (SELECT count(*) FROM s0) AS n_users
+        |   UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+        |   UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2))
+        | ORDER BY stage_idx""".stripMargin,
     "q_lang_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |   CAST(sum(CASE WHEN contains(text, 'the') THEN 1 ELSE 0 END) AS BIGINT) AS n_with_the,

@@ -116,6 +116,68 @@ object Reporting {
       .agg(sum(col("size")).as("bytes"), count(lit(1)).as("n_files"))
       .orderBy("date", "hour")
 
+  /** Retention cohorts over an event stream: users bucket into the cohort
+    * of their FIRST active period, and each (cohort, age) cell counts the
+    * cohort's users still active `age` periods later — the standard
+    * engagement/retention triangle. Two aggregations total: distinct
+    * (user, bucket) activity (map-side combined), a per-user min for the
+    * cohort, and the cell rollup; the user axis shards the shuffle, so the
+    * shape holds at any event volume. Output: (cohort, age, n_active).
+    */
+  def retentionCohorts(
+      events: DataFrame,
+      userCol: String,
+      tsMsCol: String,
+      bucketMs: Long): DataFrame = {
+    require(bucketMs >= 1, s"bucketMs must be >= 1, got $bucketMs")
+    val acted = events
+      .select(col(userCol).as("u"),
+        expr(s"$tsMsCol DIV $bucketMs").as("bucket"))
+      .distinct()
+    val cohorts = acted.groupBy("u").agg(min(col("bucket")).as("cohort"))
+    acted.join(cohorts, "u")
+      .groupBy(col("cohort"), (col("bucket") - col("cohort")).as("age"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
+  /** Ordered funnel over an event stream: how many users performed
+    * `stages` IN ORDER, each step strictly after the previous one and
+    * within `windowMs` of the FIRST step. Classic product analytics
+    * (signup → activation → purchase), expressed as |stages| bounded
+    * per-user min-aggregations chained by joins — each stage's table is
+    * one row per surviving user, so only user-keyed rows ever shuffle and
+    * depth is the (small, fixed) stage count, not the data. Output:
+    * (stage_idx, stage, n_users) — monotone non-increasing.
+    */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      tsMsCol: String,
+      eventTypeCol: String,
+      stages: Seq[String],
+      windowMs: Long): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val ev = events.select(col(userCol).as("u"),
+      col(eventTypeCol).as("et"), col(tsMsCol).as("tm"))
+    var cur = ev.where(col("et") === stages.head)
+      .groupBy("u").agg(min(col("tm")).as("t0"))
+      .withColumn("tprev", col("t0"))
+    val spark = events.sparkSession
+    import spark.implicits._
+    var counts = List((0, stages.head, cur.count()))
+    stages.tail.zipWithIndex.foreach { case (stage, i) =>
+      cur = ev.where(col("et") === stage)
+        .join(cur, "u")
+        .where(col("tm") > col("tprev") && col("tm") <= col("t0") + windowMs)
+        .groupBy("u", "t0").agg(min(col("tm")).as("tnext"))
+        .withColumn("tprev", col("tnext")).drop("tnext")
+      counts ::= ((i + 1, stage, cur.count()))
+    }
+    counts.reverse.toDF("stage_idx", "stage", "n_users")
+      .select(col("stage_idx").cast("long").as("stage_idx"), col("stage"),
+        col("n_users"))
+  }
+
   /** ASCII bar chart of logStats output (the reference's printStats,
     * LogStats.java:118-226) — driver-side convenience.
     */

@@ -265,3 +265,40 @@ class CliParseSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(LogToolCli.loadTerms("a\r\nb\nc") === Seq("a", "b", "c"))
   }
 }
+
+class EventAnalyticsSpec extends graft.SparkTestBase {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+  import graft.engine.Reporting
+
+  // (user, type, day) events; bucket = 10ms "weeks" for compact numbers.
+  private lazy val ev = Seq(
+    (1L, "signup", 0L), (1L, "click", 5L), (1L, "purchase", 8L),
+    (2L, "signup", 0L), (2L, "click", 20L),             // click outside window
+    (3L, "signup", 0L), (3L, "purchase", 2L), (3L, "click", 4L), // wrong order
+    (4L, "click", 1L), (4L, "purchase", 2L))            // never signed up
+    .toDF("user_id", "event_type", "ts_ms")
+
+  test("funnel: ordered stages within the window of the first step") {
+    val got = Reporting.funnel(ev, "user_id", "ts_ms", "event_type",
+        Seq("signup", "click", "purchase"), windowMs = 10L)
+      .orderBy("stage_idx")
+      .select("stage", "n_users").as[(String, Long)].collect().toSeq
+    // signup: users 1,2,3. click-after-signup-within-10: 1 (t=5), 3 (t=4);
+    // 2's click at 20 misses. purchase-after-that-click: only 1 (t=8 > 5);
+    // 3's purchase (t=2) precedes its click.
+    assert(got === Seq(("signup", 3L), ("click", 2L), ("purchase", 1L)))
+  }
+
+  test("retentionCohorts: first-activity cohort x age cells") {
+    val acts = Seq(
+      (1L, 0L), (1L, 12L), (1L, 25L),   // cohort 0, active weeks 0,1,2
+      (2L, 0L), (2L, 27L),              // cohort 0, weeks 0,2
+      (3L, 13L))                        // cohort 1, week 1 only
+      .toDF("user_id", "ts_ms")
+    val got = Reporting.retentionCohorts(acts, "user_id", "ts_ms", bucketMs = 10L)
+      .orderBy("cohort", "age")
+      .select("cohort", "age", "n_active").as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 2L), (1L, 0L, 1L)))
+  }
+}
