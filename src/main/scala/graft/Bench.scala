@@ -10,6 +10,23 @@ import org.apache.spark.sql.SparkSession
   * columns and drops top-level ordering). The one-line JSON result goes to
   * stdout AND to bench_result.json (override with SPARK_GRAFT_BENCH_JSON) so
   * harnesses don't have to fish it out of build-tool log prefixes.
+  *
+  * Measurement protocol (contention-hardened):
+  *  - Reps are INTERLEAVED round-robin across queries (sweep 1 runs every
+  *    query once, then sweep 2, ...) instead of back-to-back per query. A
+  *    transient host-load spike then inflates one sweep's samples for many
+  *    queries — which the per-query MEDIAN discards — rather than all reps
+  *    of whichever single query was unlucky enough to be running (the
+  *    failure mode that produced a 12s median for a 0.2s query when the
+  *    host was contended during one query's rep block).
+  *  - A fixed CPU-bound calibration micro-query runs at the start of every
+  *    sweep and its per-sweep times are emitted as "calibration_sec" in the
+  *    JSON. On an idle host it is flat (~tens of ms); inflated or erratic
+  *    calibration rows tell the reader the host was contended and the sweep
+  *    totals are not comparable round-over-round.
+  *  - Per-query failure counts are emitted as a "failed" map (omitted when
+  *    empty). A failed run contributes NO duration sample; a query whose
+  *    runs all fail reports -1 so it can never masquerade as "fast".
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -48,19 +65,48 @@ object Bench {
     // those queries. Unset (the driver's invocation) → the full set.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      def run(): Unit = fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      try run() catch { case _: Throwable => () }
-      val r = if (extraReps(name)) math.max(reps, 5) else reps
-      val times = (1 to r).map { _ =>
-        val t0 = System.nanoTime()
-        try run()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> ((times(times.length / 2), times.head))
+    val queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      SparkEntry.queries.toSeq
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+    val repsFor: String => Int = n => if (extraReps(n)) math.max(reps, 5) else reps
+    val maxReps = if (queries.isEmpty) 0 else queries.map(t => repsFor(t._1)).max
+
+    val failed = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e")
+          failed(name) += 1
+          false
+      }
+    // Untimed warmup pass (codegen compile + file listing), in query order.
+    queries.foreach { case (name, fn) => run(name, fn) }
+    // Fixed CPU-bound sentinel: deterministic work, no I/O, no shuffle — its
+    // only round-over-round variable is host CPU availability.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(4000000L).selectExpr("bit_xor(xxhash64(id))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // untimed: absorb sentinel JIT so recorded rows measure host load only
+    val calibration = scala.collection.mutable.ListBuffer.empty[Double]
+    for (sweep <- 1 to maxReps) {
+      calibration += calibrate()
+      queries.foreach { case (name, fn) =>
+        if (sweep <= repsFor(name)) {
+          val t0 = System.nanoTime()
+          val ok = run(name, fn)
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (ok) samples(name) = dt :: samples(name)
+        }
+      }
+    }
+    val results: Seq[(String, (Double, Double))] = queries.map { case (name, _) =>
+      val times = samples(name).sorted
+      if (times.isEmpty) name -> ((-1.0, -1.0))
+      else name -> ((times(times.length / 2), times.head))
     }
     // Harness-capture contract: the driver keeps only the LAST ~2000
     // characters of stdout, and at ~100 queries even a millisecond-precision
@@ -75,13 +121,18 @@ object Bench {
     def fmt(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     def toJson(sel: ((Double, Double)) => Double, f: Double => String): String =
       results.map { case (k, v) => s"\"" + k + "\":" + f(sel(v)) }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(_._1, fmt)},"sf":"$sfDir"}"""
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(_._1, _.toString)},"queries_min":${toJson(_._2, _.toString)},"sf":"$sfDir"}"""
+    val total = if (results.nonEmpty) results.map(_._2._1).filter(_ >= 0).sum else 0.0
+    val calJson = calibration.map(fmt).mkString("[", ",", "]")
+    val failJson =
+      if (failed.isEmpty) ""
+      else failed.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString(""","failed":{""", ",", "}")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calibration_sec":$calJson$failJson,"queries":${toJson(_._1, fmt)},"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","calibration_sec":$calJson$failJson,"queries":${toJson(_._1, _.toString)},"queries_min":${toJson(_._2, _.toString)},"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "bench_result.json")
     Files.writeString(Paths.get(outPath), fullJson + "\n")
-    val slowest = results.toSeq.sortBy(-_._2._1)
-    val budget = 1400 // chars for the two top-K maps; line overhead is ~160
+    val slowest = results.sortBy(-_._2._1)
+    val budget = 1200 // chars for the two top-K maps; line overhead + calibration is ~350
     var used = 0
     val topK = slowest.takeWhile { case (k, (m, mn)) =>
       used += 2 * k.length + fmt(m).length + fmt(mn).length + 8
@@ -89,7 +140,7 @@ object Bench {
     }
     def mapJson(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${mapJson(topK.map(t => t._1 -> t._2._1))},"queries_min":${mapJson(topK.map(t => t._1 -> t._2._2))},"queries_omitted":${results.size - topK.size},"full":"$outPath","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calibration_sec":$calJson$failJson,"queries":${mapJson(topK.map(t => t._1 -> t._2._1))},"queries_min":${mapJson(topK.map(t => t._1 -> t._2._2))},"queries_omitted":${results.size - topK.size},"full":"$outPath","sf":"$sfDir"}"""
     println(json)
     println(compact)
     spark.stop()
