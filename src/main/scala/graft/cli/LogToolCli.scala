@@ -55,6 +55,11 @@ object LogToolCli {
       case "--a" => a = a.copy(matchAll = true)
       case "--silent" => a = a.copy(silent = true)
       case "--v" | "--r" | "--l" | "--log" => () // accepted no-ops
+      // Separator for the reference's INTERMEDIATE text files
+      // (logcat.java:171-172, default U+001F; config LogTools.java:210).
+      // Spark has no intermediate file, so the flag is an accepted no-op —
+      // kept so reference invocations remain drop-in valid.
+      case s if s.startsWith("--fieldSeparator=") => ()
       case s if s.startsWith("-dc=") => a = a.copy(dc = s.drop(4))
       case s if s.startsWith("-svc=") => a = a.copy(svc = s.drop(5))
       case s if s.startsWith("-comp=") => a = a.copy(comp = s.drop(6))
@@ -79,10 +84,17 @@ object LogToolCli {
     a
   }
 
-  /** 13-digit epoch ms, epoch seconds, ISO datetime/date, or the
-    * `MMM d, yyyy HH:mm` style the reference's test scripts use.
+  /** 13-digit epoch ms, epoch seconds, ISO datetime/date, the
+    * `MMM d, yyyy HH:mm` style the reference's test scripts use, or the
+    * common GNU `date -d` relative forms. The reference accepts any
+    * non-numeric time by shelling to `date -d '<time>' +%s`
+    * (LogTools.java:112-131), so `-start=yesterday` and
+    * `-start='2 hours ago'` work there; we parse those natively with
+    * java.time (matching date(1): `yesterday` = now − 1 day at the same
+    * time of day, not midnight). `nowMs` is injectable for deterministic
+    * tests and defaults to the wall clock.
     */
-  def parseDate(s: String): Long = {
+  def parseDate(s: String, nowMs: Long = System.currentTimeMillis()): Long = {
     val trimmed = s.trim
     if (trimmed.matches("\\d{13}")) return trimmed.toLong
     if (trimmed.matches("\\d{10}")) return trimmed.toLong * 1000L
@@ -99,7 +111,44 @@ object LogToolCli {
       return LocalDate.parse(trimmed, DateTimeFormatter.ofPattern("yyyy-MM-dd"))
         .atStartOfDay.toEpochSecond(ZoneOffset.UTC) * 1000L
     } catch { case _: Exception => () }
-    die(s"cannot parse date: $s")
+    parseRelativeDate(trimmed, nowMs).getOrElse(die(s"cannot parse date: $s"))
+  }
+
+  /** GNU date(1) relative expressions: now / today / yesterday / tomorrow,
+    * `N <unit>s ago`, `last <unit>`, and future `N <unit>s` (seconds through
+    * years; month/year via calendar arithmetic at UTC, like date(1) in TZ=UTC).
+    */
+  private[cli] def parseRelativeDate(s: String, nowMs: Long): Option[Long] = {
+    val lower = s.toLowerCase(Locale.ROOT).trim
+    def shift(n: Long, unit: String, sign: Int): Long = {
+      val now = java.time.Instant.ofEpochMilli(nowMs).atOffset(ZoneOffset.UTC)
+      val shifted = unit match {
+        case "second" | "sec" => now.plusSeconds(sign * n)
+        case "minute" | "min" => now.plusMinutes(sign * n)
+        case "hour" => now.plusHours(sign * n)
+        case "day" => now.plusDays(sign * n)
+        case "week" => now.plusWeeks(sign * n)
+        case "fortnight" => now.plusWeeks(sign * 2 * n)
+        case "month" => now.plusMonths(sign * n)
+        case "year" => now.plusYears(sign * n)
+      }
+      shifted.toInstant.toEpochMilli
+    }
+    val unitRe = "second|sec|minute|min|hour|day|week|fortnight|month|year"
+    val ago = s"(\\d+)\\s+($unitRe)s?\\s+ago".r
+    val last = s"last\\s+($unitRe)".r
+    val next = s"next\\s+($unitRe)".r
+    val ahead = s"(\\d+)\\s+($unitRe)s?".r
+    lower match {
+      case "now" | "today" => Some(nowMs)
+      case "yesterday" => Some(shift(1, "day", -1))
+      case "tomorrow" => Some(shift(1, "day", +1))
+      case ago(n, u) => Some(shift(n.toLong, u, -1))
+      case last(u) => Some(shift(1, u, -1))
+      case next(u) => Some(shift(1, u, +1))
+      case ahead(n, u) => Some(shift(n.toLong, u, +1))
+      case _ => None
+    }
   }
 
   private def die(msg: String): Nothing = {

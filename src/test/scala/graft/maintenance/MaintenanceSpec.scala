@@ -261,6 +261,32 @@ class CliParseSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(a.dc === "99" && a.caseInsensitive && a.string === "x")
   }
 
+  test("parseArgs accepts --fieldSeparator as a no-op (logcat.java:171)") {
+    val a = LogToolCli.parseArgs(Array(
+      "-dc=99", "-svc=s", "-comp=c", "--fieldSeparator=,",
+      "-start=1330423200000", "-end=1330426800000"), "logcat")
+    assert(a.dc === "99" && a.startMs === 1330423200000L)
+  }
+
+  test("parseDate accepts GNU date -d relative forms (LogTools.java:112-131)") {
+    val now = 1330423200000L // Feb 28, 2012 10:00 UTC
+    assert(LogToolCli.parseDate("now", now) === now)
+    assert(LogToolCli.parseDate("today", now) === now)
+    assert(LogToolCli.parseDate("yesterday", now) === now - 86400000L)
+    assert(LogToolCli.parseDate("tomorrow", now) === now + 86400000L)
+    assert(LogToolCli.parseDate("2 hours ago", now) === now - 2 * 3600000L)
+    assert(LogToolCli.parseDate("90 minutes ago", now) === now - 90 * 60000L)
+    assert(LogToolCli.parseDate("3 days ago", now) === now - 3 * 86400000L)
+    assert(LogToolCli.parseDate("1 week ago", now) === now - 7 * 86400000L)
+    assert(LogToolCli.parseDate("last hour", now) === now - 3600000L)
+    assert(LogToolCli.parseDate("next day", now) === now + 86400000L)
+    assert(LogToolCli.parseDate("2 days", now) === now + 2 * 86400000L)
+    // calendar arithmetic: 1 month before Feb 28 10:00 is Jan 28 10:00
+    assert(LogToolCli.parseDate("1 month ago", now) === 1327744800000L)
+    // 1 year before Feb 28 2012 (leap) is Feb 28 2011
+    assert(LogToolCli.parseDate("1 year ago", now) === 1298887200000L)
+  }
+
   test("loadTerms from inline string with CRLF") {
     assert(LogToolCli.loadTerms("a\r\nb\nc") === Seq("a", "b", "c"))
   }
