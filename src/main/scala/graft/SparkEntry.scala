@@ -577,25 +577,22 @@ object SparkEntry {
           TextAnalysis.subwordCountApprox(col("text")).cast("long").as("n_subwords"))
         .presented("doc_id")),
 
-    // MinHash+LSH near-dup pairs — no_oracle BY DESIGN. Why an oracle is
-    // IMPOSSIBLE rather than unported: est_jaccard is defined by the seeded
-    // 64-permutation family, whose shingle hashes are XXH64 over each
-    // token's UTF-8 bytes (TextExpressions.ShingleOps) followed by
-    // Murmur3-finalizer mixes — both are mod-2^64 WRAPPING integer
-    // pipelines (multiply/rotate/xor-shift over 32-byte stripes for
-    // variable-length inputs). DuckDB SQL has no wrapping 64-bit arithmetic
-    // (BIGINT/UBIGINT overflow raise; HUGEINT caps at 2^127) and no xxhash
-    // builtin, so no DuckDB expression can recompute even one signature
-    // slot from the parquet text. The md5-derived hashing this repo uses in
-    // its SQL-replayable kernels (dup-spans, CDC) is a deliberate
-    // per-kernel policy choice; minhash keeps XXH64 because the fused
-    // signature expression is the pipeline's hot loop. The operator is
-    // graded instead by q_minhash_recall below — an ORACLED query whose
-    // ground truth (exact n-gram Jaccard >= 0.8) DuckDB recomputes from raw
-    // text — plus DedupSpec's deterministic-signature and threshold tests.
+    // MinHash+LSH near-dup pairs under the PORTABLE cross-engine hash
+    // policy (one md5 per shingle → two 26-bit halves → 64 linear position
+    // hashes mod 2^31−1; coefficients from the shared deterministic stream
+    // in Dedup.portableMinhashCoeffs) — REAL oracle: DuckDB replays the
+    // entire signature → banding (bucket keys are raw slice content) →
+    // bucket-cap → pair → est_jaccard chain bit-exactly. The XXH64-fused
+    // default policy stays the production hot path (its wrapping mod-2^64
+    // mixes are inexpressible in DuckDB) and is graded by q_minhash_recall
+    // below — an ORACLED harness whose ground truth (exact n-gram
+    // Jaccard >= 0.8) DuckDB recomputes from raw text — plus DedupSpec's
+    // deterministic-signature and threshold tests.
     "q_minhash_dupes" -> ((s, dir) =>
-      Dedup.minhashDupePairs(docsWithDupes(s, dir), "doc_id", "text",
+      Dedup.minhashDupePairsPortable(docsWithDupes(s, dir), "doc_id", "text",
         shingleK = 3, numHashes = 64, bands = 16, threshold = 0.7)
+        .select(col("id_a"), col("id_b"),
+          round(col("est_jaccard"), 4).as("est_jaccard"))
         .presented("id_a", "id_b")),
 
     // MinHash recall harness: ground truth = exact n-gram Jaccard >= 0.8
@@ -1235,7 +1232,8 @@ object SparkEntry {
     // duplicate pairs (DuckDB recomputes the set via md5) must have
     // IDENTICAL fingerprint sets (same tokens → same windows → same minima),
     // and the whole corpus must emit fingerprints. The hash values
-    // themselves are family-specific (documented in q_minhash_dupes' note).
+    // themselves are family-specific (XXH64-based wrapping mixes, which
+    // DuckDB's non-wrapping integer SQL cannot recompute).
     "q_winnow_fingerprints" -> ((s, dir) => {
       val dd = docsWithDupes(s, dir)
       val fp = dd.select(col("doc_id"),
@@ -1917,6 +1915,35 @@ object SparkEntry {
          |   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |     AND 5 * len(a.s) >= 4 * len(b.s) AND 5 * len(b.s) >= 4 * len(a.s))
          | WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    // Full replay of the portable-policy minhash chain (see
+    // Dedup.minhashDupePairsPortable): shingles → one md5-prefix hash each →
+    // 64 unrolled linear position hashes (coefficients from the SAME
+    // deterministic generator the operator uses) → per-band slice-content
+    // bucket keys → bucket-capped pairs → matching-position estimate.
+    "q_minhash_dupes" ->
+      s"""WITH gs AS (SELECT doc_id, $shingleListSql AS g
+         |   FROM (SELECT doc_id, $tokensSql AS t FROM $docsWithDupesSql)),
+         | hs AS (SELECT doc_id,
+         |     list_transform(g, x -> ('0x' || substr(md5(x), 1, 13))::BIGINT) AS h
+         |   FROM gs),
+         | sigs AS (SELECT doc_id, $minhashSigSql AS sig FROM hs),
+         | banded AS (SELECT doc_id, bb.b AS band,
+         |     array_to_string(sig[bb.b*4+1:bb.b*4+4], ',') AS key
+         |   FROM sigs, range(0, 16) bb(b)),
+         | buckets AS (SELECT band, key, count(*) AS n FROM banded GROUP BY 1, 2),
+         | cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         |   FROM banded a
+         |   JOIN banded b2 ON a.band = b2.band AND a.key = b2.key
+         |     AND a.doc_id < b2.doc_id
+         |   JOIN buckets bu ON bu.band = a.band AND bu.key = a.key
+         |   WHERE bu.n <= ${graft.ops.Dedup.DefaultMaxBucketSize})
+         | SELECT id_a, id_b, round(est, 4) AS est_jaccard FROM (
+         |   SELECT id_a, id_b,
+         |     len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0 AS est
+         |   FROM cand
+         |   JOIN sigs sa ON sa.doc_id = cand.id_a
+         |   JOIN sigs sb ON sb.doc_id = cand.id_b)
+         | WHERE est >= 0.7 ORDER BY id_a, id_b""".stripMargin,
     "q_minhash_recall" ->
       s"""WITH sh AS (SELECT doc_id, $shingleSetSql AS s
          |   FROM (SELECT doc_id, $tokensSql AS t FROM $docsWithDupesSql))
@@ -3247,6 +3274,26 @@ object SparkEntry {
     """CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
       |     ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
       |                         for i in range(1, len(t) - 1)]) END""".stripMargin
+
+  /** Non-distinct variant of [[shingleSetSql]] — mirrors
+    * TextAnalysis.shinglesFromTokens exactly (positional list; minima are
+    * unaffected by duplicates, so the portable minhash replay uses this).
+    */
+  private val shingleListSql =
+    """CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |     ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |           for i in range(1, len(t) - 1)] END""".stripMargin
+
+  /** The 64 portable-minhash position minima as one DuckDB list literal,
+    * generated from [[graft.ops.Dedup.portableMinhashCoeffs]] — the SAME
+    * coefficient stream the Spark operator embeds, so the two sides cannot
+    * drift. `h` is the md5-prefix hash list; 67108863 = 2^26−1 splits it
+    * into the (h₁, h₂) halves; 2147483647 = the shared Mersenne modulus.
+    */
+  private val minhashSigSql: String =
+    graft.ops.Dedup.portableMinhashCoeffs(64).map { case (a, b, c) =>
+      s"list_min(list_transform(h, v -> ($a*(v & 67108863) + $b*(v >> 26) + $c) % 2147483647))"
+    }.mkString("[\n       ", ",\n       ", "]")
 
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -309,6 +309,150 @@ object MinHash {
   }
 }
 
+/** Fused shingle-join + md5-prefix hashing for the portable minhash policy:
+  * for each k-gram of the token array, md5 of the space-joined shingle
+  * string and the first-13-hex-digit (52-bit) prefix as a long — EXACTLY
+  * `conv(substr(md5(g), 1, 13), 16, 10)` per shingle, without materializing
+  * the shingle string or the 32-char hex string (the two allocations that
+  * dominated the composed form). Joining token UTF-8 bytes with 0x20 is
+  * byte-identical to UTF-8-encoding the joined string, so DuckDB's
+  * `md5(t[i] || ' ' || ...)` sees the same digest input. Fewer-than-k
+  * tokens hash the whole sequence as one shingle (TextAnalysis.shingles
+  * contract).
+  */
+object Md5ShingleOps {
+  private val digests = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  private def prefix52(d: Array[Byte]): Long = {
+    // First 13 hex digits = first 6.5 bytes, big-endian nibble order.
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    v >>> 4
+  }
+
+  def hashes(tokens: ArrayData, k: Int): ArrayData = {
+    val md = digests.get()
+    val n = tokens.numElements()
+    val bytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      bytes(i) = if (tokens.isNullAt(i)) Array.emptyByteArray
+                 else tokens.getUTF8String(i).getBytes
+      i += 1
+    }
+    val count = math.max(1, n - k + 1)
+    val out = new Array[Long](count)
+    var s = 0
+    while (s < count) {
+      md.reset()
+      val end = math.min(n, s + k)
+      var j = s
+      while (j < end) {
+        if (j > s) md.update(' '.toByte)
+        md.update(bytes(j))
+        j += 1
+      }
+      out(s) = prefix52(md.digest())
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+case class Md5ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    Md5ShingleOps.hashes(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5ShingleOps.hashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5ShingleHashes =
+    copy(child = newChild)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+}
+
+/** The PORTABLE minhash policy (cross-engine verifiable): position hash p of
+  * a 52-bit md5-prefix shingle hash v is (aₚ·h₁ + bₚ·h₂ + cₚ) mod (2^31−1)
+  * with h₁ = low 26 bits, h₂ = high 26 bits — 2-universal, and plain
+  * non-wrapping integer arithmetic any SQL engine can replay (unlike the
+  * XXH64 family above). The coefficient stream is a fixed splitmix-style
+  * recurrence, NOT runtime randomness, so the DuckDB oracle generator
+  * derives the identical family. Fused one-pass minima like [[MinHash]] —
+  * the composed 64×zip_with form allocates an intermediate array per
+  * position and measured ~6× slower end-to-end.
+  */
+object PortableMinHash {
+  val Prime: Long = 2147483647L // 2^31 − 1: a·h₁ + b·h₂ + c < 2^58, overflow-free
+
+  /** Flattened (a, b, c) per position, memoized per family size. */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  def coeffsFor(numHashes: Int): Array[Long] =
+    cache.computeIfAbsent(numHashes, { n =>
+      val out = new Array[Long](3 * n)
+      var x = 0x5DEECE66DL
+      var i = 0
+      while (i < out.length) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        out(i) = ((x >>> 33) % (Prime - 1)) + 1
+        i += 1
+      }
+      out
+    })
+
+  def signature(hs: ArrayData, numHashes: Int): ArrayData = {
+    val co = coeffsFor(numHashes)
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      if (!hs.isNullAt(i)) {
+        val v = hs.getLong(i)
+        val h1 = v & 0x3FFFFFFL
+        val h2 = v >>> 26
+        var s = 0
+        while (s < numHashes) {
+          val x = (co(3 * s) * h1 + co(3 * s + 1) * h2 + co(3 * s + 2)) % Prime
+          if (x < mins(s)) mins(s) = x
+          s += 1
+        }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
+  }
+}
+
+case class PortableMinHashSignature(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "portable_minhash_signature"
+
+  override def nullSafeEval(input: Any): Any =
+    PortableMinHash.signature(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PortableMinHash.signature($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableMinHashSignature =
+    copy(child = newChild)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+}
+
 case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
@@ -689,6 +833,19 @@ object TextFunctions {
   def minhash_signature(shingleHashes: Column, numHashes: Int): Column =
     ColumnBridge.column(
       MinHashSignature(ColumnBridge.expression(shingleHashes), numHashes))
+
+  /** Fused PORTABLE-policy minhash signature over md5-prefix shingle hashes
+    * (see [[PortableMinHash]] — SQL-replayable linear family).
+    */
+  def portable_minhash_signature(md5PrefixHashes: Column, numHashes: Int): Column =
+    ColumnBridge.column(
+      PortableMinHashSignature(ColumnBridge.expression(md5PrefixHashes), numHashes))
+
+  /** Fused shingle-join + 52-bit md5-prefix hashes of a token array
+    * (see [[Md5ShingleOps]] — the portable policy's shingle hash).
+    */
+  def md5_shingle_hashes(tokens: Column, k: Int): Column =
+    ColumnBridge.column(Md5ShingleHashes(ColumnBridge.expression(tokens), k))
 
   /** Cosine similarity of two array<float> columns. */
   def cosine_similarity(a: Column, b: Column): Column =

@@ -230,6 +230,72 @@ object Dedup {
       .where(col("est_jaccard") >= threshold)
   }
 
+  /** Modulus of the portable minhash hash family: the Mersenne prime 2^31−1.
+    * Small enough that a·h₁ + b·h₂ + c stays under 2^58 (no 64-bit overflow
+    * on either engine), large enough that min-collisions are ~|shingles|²/2^31
+    * — immaterial to the Jaccard estimate.
+    */
+  val PortableMinhashPrime: Long = graft.functions.PortableMinHash.Prime
+
+  /** Deterministic (a, b, c) coefficient triples in [1, P−1] for the portable
+    * minhash position hashes — the SINGLE source is
+    * [[graft.functions.PortableMinHash.coeffsFor]] (the fused expression's
+    * stream), re-shaped here for the DuckDB oracle generator so the two
+    * sides can never drift.
+    */
+  def portableMinhashCoeffs(numHashes: Int): IndexedSeq[(Long, Long, Long)] = {
+    val co = graft.functions.PortableMinHash.coeffsFor(numHashes)
+    (0 until numHashes).map(p => (co(3 * p), co(3 * p + 1), co(3 * p + 2)))
+  }
+
+  /** [[minhashDupePairs]] under the PORTABLE cross-engine hash policy: one
+    * md5 per shingle string (52-bit hex prefix, split into two 26-bit halves
+    * h₁/h₂), then position hash p = (aₚ·h₁ + bₚ·h₂ + cₚ) mod (2^31−1) — a
+    * standard 2-universal family. Every step is expressible in ANSI-ish SQL
+    * (md5 + integer arithmetic), so an independent engine can replay the
+    * whole signature → banding → bucket → estimate chain bit-exactly; band
+    * bucket keys are the raw slice CONTENT (not a hash) for the same reason.
+    * The XXH64-fused default above stays the production hot path (~an order
+    * of magnitude cheaper per shingle); this variant is the verification
+    * surface, sharing [[bucketPairsIds]] and the estimate/threshold logic
+    * with it. Same contract: (id_a, id_b, est_jaccard ≥ threshold).
+    */
+  def minhashDupePairsPortable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    // Staged: tokens → fused shingle-join+md5-prefix hashes (byte-identical
+    // digest inputs to DuckDB's md5(g); [[graft.functions.Md5ShingleOps]])
+    // → fused one-pass position minima ([[graft.functions.PortableMinHash]]).
+    val sigs = df
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        graft.functions.TextFunctions.md5_shingle_hashes(col("toks"), shingleK).as("hs"))
+      .select(col("id"),
+        graft.functions.TextFunctions.portable_minhash_signature(col("hs"), numHashes)
+          .as("sig"))
+    val banded = sigs
+      .select(col("id"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+    bucketPairsIds(banded, Seq("band", "key"), maxBucketSize)
+      .dropDuplicates("id_a", "id_b")
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / numHashes).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+  }
+
   /** SimHash near-dup candidate pairs: 64-bit signatures, blocked on 4×16-bit
     * sub-signatures (any pair within Hamming distance 3 must agree on at least
     * one block — pigeonhole), verified by exact Hamming distance.

@@ -102,6 +102,26 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._2 == 4L && p._1 <= 3L))
   }
 
+  test("portable minhash matches the fast path's dupe structure and is deterministic") {
+    val pairs = Dedup.minhashDupePairsPortable(docs, "doc_id", "text", threshold = 0.5)
+      .select($"id_a", $"id_b", $"est_jaccard").as[(Long, Long, Double)].collect()
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((1L, 2L)))             // identical → est_jaccard 1.0
+    assert(pairs.find(p => p._1 == 1L && p._2 == 2L).get._3 === 1.0)
+    assert(ids.contains((1L, 3L)) || ids.contains((2L, 3L))) // 1-word edit
+    assert(!ids.exists(p => p._2 == 4L && p._1 <= 3L))
+    // Coefficient stream is fixed (not runtime randomness): same first triple
+    // on every call, and the md5-prefix hash matches conv(substr(md5,1,13)).
+    assert(Dedup.portableMinhashCoeffs(64) === Dedup.portableMinhashCoeffs(64))
+    val viaSql = spark.sql(
+      "SELECT cast(conv(substring(md5(cast('a b c' as binary)), 1, 13), 16, 10) as long)")
+      .as[Long].head()
+    val viaFused = spark.sql("SELECT array('a','b','c')").select(
+      graft.functions.TextFunctions.md5_shingle_hashes(col("array(a, b, c)"), 3))
+      .as[Seq[Long]].head().head
+    assert(viaSql === viaFused)
+  }
+
   test("simhash hamming 0 for identical docs, small for near dups") {
     val sigs = docs.select($"doc_id", simhash64(TextAnalysis.tokens($"text")).as("s"))
       .as[(Long, Long)].collect().toMap
