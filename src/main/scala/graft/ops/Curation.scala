@@ -412,8 +412,17 @@ object Curation {
       salt: String = "graft"): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     require(temperature > 0, s"temperature must be > 0, got $temperature")
-    val counts = df.groupBy(col(shardCol)).agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // Shard ids are compared as STRINGS throughout (rate table keys and the
+    // threshold CASE below), so cast non-string shard columns up front; a
+    // null shard has no defined sampling rate — reject it rather than let
+    // it silently fall through every threshold branch.
+    val shard = col(shardCol).cast("string")
+    val counts = df.groupBy(shard.as("__shard")).agg(count(lit(1)).as("c"))
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"temperatureMix: null value in shard column '$shardCol'")
+        (r.getString(0), r.getLong(1))
+      }
     require(counts.nonEmpty, "temperatureMix: empty corpus")
     val ws = counts.map { case (sh, c) =>
       val root = if (temperature == 2.0) math.sqrt(c.toDouble)
@@ -427,9 +436,9 @@ object Curation {
     val draw = hashDraw(col(idCol), salt)
     val thresh = rates.foldRight(lit(hexThreshold(0.0)): Column) {
       case ((sh, r), rest) =>
-        when(col(shardCol) === sh, hexThreshold(r)).otherwise(rest)
+        when(shard === sh, hexThreshold(r)).otherwise(rest)
     }
-    df.select(col(idCol), col(shardCol).as("shard"), draw.as("draw"),
+    df.select(col(idCol), shard.as("shard"), draw.as("draw"),
       (draw < thresh).cast("int").as("keep"))
   }
 
@@ -752,21 +761,15 @@ object Curation {
     // fraction of the text bytes. The cache stays until the returned
     // DataFrame becomes unreachable; the ContextCleaner then reclaims it
     // (the [[Graph.connectedComponents]] lifecycle).
-    // Persisted PRE-PARTITIONED BY id: hash(id) satisfies the clustering
-    // of every downstream per-document operation (the predict
-    // groupBy(id, y) — id ⊆ (id, y) — and the gradient's join back on
-    // id), so after this one extra exchange at build time, NO iteration
-    // re-shuffles the feature table: the only per-round exchange left is
-    // the B-row-bounded gradient groupBy(bk).
     // Grouped per doc: (id, y, bks) — each document's distinct feature
     // buckets as ONE array row. Every iteration then needs NO join at all:
-    // the current weight vector is a B-long literal array, the per-doc
-    // prediction p = Σ w[bk] is a narrow codegen'd fold over `bks`, and
-    // the gradient is the single B-row-bounded groupBy(bk) over the
-    // exploded residuals. (The previous shape — broadcast-join weights,
-    // per-doc aggregate, join residuals back on id — computed the same
-    // integer sums through three extra operators per iteration; the
-    // unrolled CTE oracle is untouched because the MATH is identical.)
+    // the per-doc prediction p = Σ w[bk] is a narrow codegen'd pass over
+    // `bks` ([[graft.functions.BucketWeightSum]] — the weight vector rides
+    // as a plan REFERENCE OBJECT, so every round re-runs the same compiled
+    // plan; a B-long typedLit here made each round a structurally new
+    // ~B-node literal tree with fresh analysis + codegen), and the gradient
+    // is the single B-row-bounded groupBy(bk) over the exploded residuals —
+    // iterations cost O(data), not O(data + plan compile).
     val feats = labeled
       .select(col("id"), col("y"), explode(concat(t, bigrams)).as("g"))
       .select(col("id"), col("y"),
@@ -777,13 +780,13 @@ object Curation {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = df.count()
     val d = n << etaLog2 // divisor: n·2^eta (η/n folded into one floor div)
-    var w: Map[Long, Long] = Map.empty.withDefaultValue(0L)
+    val w = new Array[Long](buckets)
 
-    def pCol(): org.apache.spark.sql.Column = {
-      val wLit = typedLit((0L until buckets.toLong).map(w(_)).toIndexedSeq)
-      aggregate(col("bks"), lit(0L),
-        (acc, b) => acc + element_at(wLit, b.cast("int") + 1))
-    }
+    // Snapshot per use: plan references serialize at job submission, but a
+    // cloned array makes each round's (and the returned, LAZY, scoring
+    // plan's) weights explicit rather than racing the mutation below.
+    def pCol(): org.apache.spark.sql.Column =
+      graft.functions.functions.bucket_weight_sum(col("bks"), w.clone())
 
     var it = 0
     while (it < iters) {
@@ -793,10 +796,8 @@ object Curation {
         .select(explode(col("bks")).as("bk"), col("r"))
         .groupBy("bk").agg(sum(col("r")).as("g"))
         .withColumn("dw", expr(s"(g - pmod(g, ${d}L)) DIV ${d}L"))
-        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
-      w = (0L until buckets.toLong)
-        .map(b => b -> (w(b) + grad.getOrElse(b, 0L))).toMap
-        .withDefaultValue(0L)
+        .collect()
+      grad.foreach(r => w(r.getLong(0).toInt) += r.getLong(2))
       it += 1
     }
     labeled.select(col("id"), col("y"))
