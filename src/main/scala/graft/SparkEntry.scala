@@ -56,9 +56,16 @@ object SparkEntry {
     * downstream query was written against. NTZ→LTZ is exact under the
     * suite-wide UTC session timezone (the same instant DuckDB's
     * `epoch_ms(ts)` reports).
+    *
+    * Sessions reading the LEGACY nanos layout must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` at build time (Bench,
+    * Verify and the test base all do) — a query builder must not mutate
+    * shared session conf per call (unsafe under concurrent reuse), so no
+    * `conf.set` happens here; without the flag the nanos footer fails at
+    * schema read with Spark's illegal-Parquet-type error, which names the
+    * flag to set.
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(s, dir, "events")
     val e = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => raw
@@ -78,7 +85,6 @@ object SparkEntry {
     * the hour-directory catalog either way, as LogCatalog does).
     */
   private def eventsInRange(s: SparkSession, dir: String, fromMs: Long, untilMs: Long): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(s, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

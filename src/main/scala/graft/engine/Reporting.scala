@@ -159,9 +159,15 @@ object Reporting {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val ev = events.select(col(userCol).as("u"),
       col(eventTypeCol).as("et"), col(tsMsCol).as("tm"))
+    // Each stage table is PERSISTED before its count: stage i+1's join then
+    // reads stage i's (one-row-per-surviving-user, user-keyed) cached rows
+    // instead of re-executing every earlier stage's filter+join chain —
+    // one pass over the event set per stage, not O(stages²) passes.
     var cur = ev.where(col("et") === stages.head)
       .groupBy("u").agg(min(col("tm")).as("t0"))
       .withColumn("tprev", col("t0"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val persisted = scala.collection.mutable.ListBuffer(cur)
     val spark = events.sparkSession
     import spark.implicits._
     var counts = List((0, stages.head, cur.count()))
@@ -171,8 +177,13 @@ object Reporting {
         .where(col("tm") > col("tprev") && col("tm") <= col("t0") + windowMs)
         .groupBy("u", "t0").agg(min(col("tm")).as("tnext"))
         .withColumn("tprev", col("tnext")).drop("tnext")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted += cur
       counts ::= ((i + 1, stage, cur.count()))
     }
+    // The result is a LOCAL count table — nothing downstream re-reads the
+    // stage caches, so release them eagerly (non-blocking).
+    persisted.foreach(_.unpersist(blocking = false))
     counts.reverse.toDF("stage_idx", "stage", "n_users")
       .select(col("stage_idx").cast("long").as("stage_idx"), col("stage"),
         col("n_users"))

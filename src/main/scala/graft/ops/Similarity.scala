@@ -567,13 +567,19 @@ object Similarity {
     // multiple distributed passes (its job count rivals the Lloyd loop's),
     // bought to avoid bad seeds on adversarial data — jitter the probe spill
     // already absorbs here (recall re-measured within noise at both sf).
-    // Random init draws a DISTINCT sample, so on a sample barely covering
-    // nlist (or with heavy exact duplicates) it can return fewer than nlist
-    // centers; only use it when the sample dwarfs nlist, else keep
-    // k-means|| (tiny samples make its extra passes cheap anyway). The
-    // sample count is a bounded job (≤ maxTrainRows rows by construction).
-    val trainRows = train.count()
-    val initMode = if (trainRows >= 32L * nlist) "random" else "k-means||"
+    // Random init draws a DISTINCT sample, so the guard counts DISTINCT
+    // sampled vectors, not raw rows: heavy exact duplication (common in
+    // crawl corpora) can shrink a large sample to fewer than nlist distinct
+    // points, and random init would then return fewer than nlist centers.
+    // Only use it when the distinct sample dwarfs nlist, else keep
+    // k-means|| (tiny samples make its extra passes cheap anyway).
+    // approx_count_distinct (±5% default) over the bounded (≤ maxTrainRows)
+    // sample is one cheap agg; the 32× margin dwarfs its error.
+    val distinctTrain = train
+      .agg(approx_count_distinct(
+        org.apache.spark.ml.functions.vector_to_array(col("features"))))
+      .head.getLong(0)
+    val initMode = if (distinctTrain >= 32L * nlist) "random" else "k-means||"
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
       .setInitMode(initMode).setFeaturesCol("features").fit(train)
 
