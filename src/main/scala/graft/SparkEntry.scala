@@ -2453,8 +2453,8 @@ object SparkEntry {
       """WITH mx AS (SELECT max(greatest(CAST(l_orderkey AS BIGINT),
         |                               CAST(l_partkey AS BIGINT))) AS mx
         |   FROM lineitem),
-        | m AS (SELECT CAST(list_min(list_filter(range(8, 25),
-        |     k -> mx < (1::BIGINT << k))) AS INT) AS bits FROM mx),
+        | m AS (SELECT CAST(coalesce(list_min(list_filter(range(8, 31),
+        |     k -> mx < (1::BIGINT << k))), 31) AS INT) AS bits FROM mx),
         | z AS (SELECT
         |     CAST(l_orderkey AS BIGINT) AS a, CAST(l_partkey AS BIGINT) AS b,
         |     CAST(list_sum(list_transform(range(0, m.bits), i ->

@@ -103,19 +103,56 @@ object Ingest {
     * Partition values follow the engine's UTC convention — run with
     * `spark.sql.session.timeZone=UTC` (as every graft session does) so they
     * line up with the catalog's hour directories.
+    *
+    * `numFiles` > 0 additionally lays the rows out in Z-ORDER on
+    * (within-hour timestamp offset, eventId) via [[graft.ops.Scale.zValue]]
+    * across `numFiles` range partitions: every parquet file then covers a
+    * bounded RECTANGLE in (time, event) space, so row-group min/max stats
+    * skip files for predicates on EITHER key — minute-level time slices
+    * AND per-event scans — where a pure time sort leaves the eventId
+    * min/max of every file spanning the whole id range. The hour directory
+    * stays the coarse time prune; the z-layout is the intra-hour fine
+    * prune. One range exchange per materialization (amortized across every
+    * later read), plus a parquet bloom filter on eventId for point
+    * lookups below row-group granularity. 0 (default) keeps the narrow
+    * unsorted write.
     */
   def boomToParquet(
       spark: SparkSession,
       boomDir: String,
       parquetDir: String,
-      saveMode: SaveMode = SaveMode.Append): Unit = {
+      saveMode: SaveMode = SaveMode.Append,
+      numFiles: Int = 0): Unit = {
     import org.apache.spark.sql.functions._
-    spark.read.format("boom").load(boomDir)
+    val base = spark.read.format("boom").load(boomDir)
       .withColumn("date",
         date_format(timestamp_millis(col("timestamp")), "yyyyMMdd"))
       .withColumn("hour",
         date_format(timestamp_millis(col("timestamp")), "HH"))
-      .write.partitionBy("date", "hour").mode(saveMode).parquet(parquetDir)
+    val laid =
+      if (numFiles > 0) {
+        // Z-order only balances dimensions of comparable bit width: the
+        // range split reads the TOP interleaved bits, so a 6-bit eventId
+        // next to a 22-bit time offset contributes nothing (its high bits
+        // are all zero) and the layout degenerates to a pure time sort.
+        // Probe eventId's occupied width (one bounded one-row agg, the
+        // zorderStats convention) and LEFT-ALIGN it into the 22-bit
+        // z-space; ms-of-hour needs exactly 22. Values are never altered —
+        // scaling shapes clustering only.
+        val mxRow = base.agg(max(col("eventId"))).head
+        val mxEv: Long = if (mxRow.isNullAt(0)) 0L else mxRow.getInt(0).toLong
+        val evBits = (1 to 21).find(k => mxEv < (1L << k)).getOrElse(22)
+        val z = graft.ops.Scale.zValue(
+          pmod(col("timestamp"), lit(3600000L)),
+          shiftleft(col("eventId").cast("long"), 22 - evBits), bits = 22)
+        base.withColumn("__z", z)
+          .repartitionByRange(numFiles, col("date"), col("hour"), col("__z"))
+          .sortWithinPartitions("date", "hour", "__z")
+          .drop("__z")
+      } else base
+    laid.write.partitionBy("date", "hour")
+      .option("parquet.bloom.filter.enabled#eventId", "true")
+      .mode(saveMode).parquet(parquetDir)
   }
 
   def textToCatalog(

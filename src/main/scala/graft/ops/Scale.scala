@@ -122,12 +122,14 @@ object Scale {
     * the measurable difference file-skipping comes from.
     *
     * `bits` < 0 (default) auto-fits the z-space to the OCCUPIED key range:
-    * the smallest k in [8, 24] with max(key) < 2^k, by pure integer
-    * comparison (a SQL engine replays the rule exactly; a float
-    * `ceil(log2(...))` would be one libm ulp away from off-by-one at power
-    * -of-two boundaries). A fixed oversized z-space leaves the top
-    * interleaved bits all-zero and collapses every row into bucket 0. The
-    * max probe is a one-row aggregate — bounded driver materialization.
+    * the smallest k in [8, 30] with max(key) < 2^k, else 31 (zValue's
+    * ceiling — keys above 2^31 truncate to their low 31 bits, which only
+    * loosens bucket rectangles, never errors), by pure integer comparison
+    * (a SQL engine replays the rule exactly; a float `ceil(log2(...))`
+    * would be one libm ulp away from off-by-one at power-of-two
+    * boundaries). A fixed oversized z-space leaves the top interleaved
+    * bits all-zero and collapses every row into bucket 0. The max probe is
+    * a one-row aggregate — bounded driver materialization.
     */
   def zorderStats(
       df: DataFrame,
@@ -142,7 +144,7 @@ object Scale {
       else {
         val mx = keyed.agg(max(greatest(col("a"), col("b")))).collect()
           .headOption.filterNot(_.isNullAt(0)).map(_.getLong(0)).getOrElse(0L)
-        (8 to 24).find(k => mx < (1L << k)).getOrElse(31)
+        (8 to 30).find(k => mx < (1L << k)).getOrElse(31)
       }
     require(bucketBits >= 1 && bucketBits <= 2 * zBits,
       s"bucketBits must be in [1, ${2 * zBits}], got $bucketBits")

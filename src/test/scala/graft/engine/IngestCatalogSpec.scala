@@ -79,6 +79,45 @@ class IngestCatalogSpec extends SparkTestBase {
     assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
   }
 
+  test("boomToParquet z-order: per-file rectangles bound BOTH keys, filters push down") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // One hour of synthetic lines: 4096 rows, timestamps across the hour,
+    // 64 distinct eventIds interleaved so a pure time sort would leave
+    // every file spanning the whole eventId range.
+    val t0 = LogToolCliTimes.ms("2024-03-01T10:00:00Z")
+    val rows = (0 until 4096).map { i =>
+      graft.core.LogLine(t0 + (i.toLong * 3600000L / 4096), s"line $i",
+        i % 64, t0, i / 1000L, (i % 1000).toLong)
+    }
+    val boomDir = Files.createTempDirectory("b2p-z-src").toString
+    Ingest.write(rows.toDF(), boomDir)
+    val pq = Files.createTempDirectory("b2p-z-out").toString
+    Ingest.boomToParquet(spark, boomDir, pq, numFiles = 16)
+
+    val back = spark.read.parquet(pq)
+    assert(back.count() === 4096)
+    // Locality audit (the q_zorder rectangle argument, per physical FILE):
+    // with 16 z-range files over a 22-bit × 22-bit space, each file's
+    // bounding rectangle must be well under the full span in BOTH
+    // dimensions — a single-key time sort fails the eventId bound.
+    val rects = back
+      .groupBy(input_file_name().as("f"))
+      .agg((max("timestamp") - min("timestamp")).as("ts_span"),
+        (max("eventId") - min("eventId")).as("ev_span"))
+      .select(avg("ts_span"), avg("ev_span"), count(lit(1)))
+      .as[(Double, Double, Long)].head()
+    assert(rects._3 >= 8, s"expected >= 8 files, got ${rects._3}")
+    assert(rects._1 <= 3600000.0 / 2, s"mean ts span too wide: ${rects._1}")
+    assert(rects._2 <= 63.0 / 2, s"mean eventId span too wide: ${rects._2}")
+    // Data filters on both keys reach the parquet scan as PushedFilters.
+    for (pred <- Seq(col("timestamp") >= t0 + 1800000L, col("eventId") === 7)) {
+      val plan = back.where(pred).queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [IsNotNull"),
+        s"expected pushed data filter for $pred:\n$plan")
+    }
+  }
+
   test("gzip text ingest (S5: Spark decompresses .gz natively)") {
     val plain = writeText(twoHoursOfLines)
     val gz = Files.createTempFile("ingest", ".log.gz")
