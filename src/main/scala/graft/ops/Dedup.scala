@@ -150,12 +150,20 @@ object Dedup {
 
   /** LSH band keys: hash `rowsPerBand`-sized signature slices. Two documents
     * land in the same bucket for band b iff that band of their signatures
-    * matches exactly — the standard banding construction.
+    * matches exactly — the standard banding construction. The slice longs
+    * feed the variadic xxhash64 DIRECTLY (binary representation, fully
+    * codegen'd): the earlier `concat_ws(",", slice(...))` form rendered
+    * every long to a decimal string per band per row — an sf1 stage
+    * profile measured the banding projection at 5.1 s of a 14 s operator,
+    * almost all string formatting. Key collisions only ever ADD a
+    * candidate pair (verification discards it), so the hash change cannot
+    * alter any verified output.
     */
   def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64(concat_ws(",", slice(signature, b * rowsPerBand + 1, rowsPerBand)))
+        xxhash64((0 until rowsPerBand).map(r =>
+          element_at(signature, b * rowsPerBand + r + 1)) :+ (lit(b): Column): _*)
           .as("key"))
     }: _*)
 
@@ -335,6 +343,18 @@ object Dedup {
     * Defaults (64 hashes, 32 bands × 2 rows) make blocking effectively
     * exhaustive for the verification threshold: P(miss) = (1 − j²)^32 ≈ 6e-15
     * at j = 0.8, so the exact-Jaccard output matches an all-pairs oracle.
+    *
+    * Two-stage verification: 2-row bands are deliberately permissive (that
+    * is what buys the e-15 recall), so MID-similarity mass floods the
+    * candidate set — at j ≈ 0.25 a pair still collides in some band with
+    * P ≈ 0.87, and an sf1 stress measured candidate volume growing 79× for
+    * 10× data while true pairs grew 9.3× (SCALING.md round 8). Candidates
+    * therefore verify against the 64-slot SIGNATURE first (64 longs/doc,
+    * already computed for banding): est ≥ threshold − 0.3 keeps every true
+    * pair with P(miss) ≈ 1e-9 per pair (6σ of the Binomial(64, j)
+    * estimate) while j ≈ 0.25 mass passes at ~2e-6 — only survivors pay
+    * the full shingle-set join, whose per-row payload is two orders
+    * heavier than a signature.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -346,14 +366,31 @@ object Dedup {
       bands: Int = 32,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // The tokenize→shingle-hash pipeline is this operator's dominant cost
+    // (an sf1 stage profile put ONE pass at ~40% of total runtime), and
+    // the plan reads it three times: banding plus both verification join
+    // sides. Persist the hashed sets — ~8 bytes/shingle, a fraction of the
+    // text bytes, MEMORY_AND_DISK so corpus scale spills instead of
+    // evicting — and the signature table derived from them (64 longs/doc,
+    // also read three times). Neither is a shuffle: cached blocks stay
+    // node-local. Reclaimed by the ContextCleaner when the result becomes
+    // unreachable (the linearProbe lifecycle).
     val sets = shingleHashSets(df, idCol, textCol, shingleK)
-    val banded = sets
-      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = sets.select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs
       .select(col("id"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
+    val sigFloor = math.max(0.0, threshold - 0.3)
     bucketPairsIds(banded, Seq("band", "key"), maxBucketSize)
       .dropDuplicates("id_a", "id_b")
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .where(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+        b => b)).cast("double") / numHashes >= sigFloor)
+      .select("id_a", "id_b")
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
