@@ -941,6 +941,26 @@ object SparkEntry {
       Sketches.hllAuditedDistinct(events(s, dir), "event_type", "user_id")
         .presented("event_type")),
 
+    // Mergeable quantile sketch (GK approx_percentile) per event type,
+    // audited against the EXACT rank in-job — deterministic worst-case
+    // bound, so rank_ok is a stable 1; the oracle replays (key,
+    // probability, n) exactly and the sketch's implementation-specific
+    // values stay out of the contract (the hll/cms audit-bit pattern).
+    "q_quantile_sketch" -> ((s, dir) =>
+      Sketches.quantileProfile(events(s, dir), "event_type", "value")
+        .presented("event_type", "probability")),
+
+    // Sparse random projection (Achlioptas JL) of the embedding table —
+    // EXACT oracle: the ±1/0 matrix comes from the deterministic stream
+    // shared with the oracle generator, terms add in ascending column
+    // order in double on both engines, and `+ 0.0` canonicalizes -0.0.
+    "q_random_projection" -> ((s, dir) =>
+      Similarity.randomProjection(t(s, dir, "embeddings"), "vec_id", "embedding",
+          inDim = 64, outDim = 8)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "v")))
+        .select(col("vec_id"), col("j"), (round(col("v"), 6) + lit(0.0)).as("v"))
+        .presented("vec_id", "j")),
+
     // Gopher repetition signals (dup-token fraction, most-frequent-bigram
     // count) — exact oracle: DuckDB recomputes via unnest + group-by where
     // the operator uses a narrow sorted-run fold.
@@ -2045,6 +2065,17 @@ object SparkEntry {
     "q_hll_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact, 1 AS est_ok
         | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_quantile_sketch" ->
+      """SELECT event_type, p.p AS probability, count(*) AS n, 1 AS rank_ok
+        | FROM events, unnest([0.5, 0.9, 0.99]) p(p)
+        | GROUP BY 1, 2 ORDER BY event_type, probability""".stripMargin,
+    // Exact replay of the Achlioptas projection: the ±column index list per
+    // output dimension is generated from Similarity.projectionSigns — the
+    // SAME deterministic stream the operator embeds as plan constants.
+    "q_random_projection" ->
+      s"""SELECT vec_id, u.j AS j, u.v AS v FROM (
+         |   SELECT vec_id, unnest([$projectionRowsSql]) AS u FROM embeddings)
+         | ORDER BY vec_id, j""".stripMargin,
     "q_cms_heavy_hitters" ->
       s"""SELECT token, n, 1 AS est_ok FROM (
          |   SELECT token, count(*) AS n
@@ -3289,6 +3320,23 @@ object SparkEntry {
     """CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
       |     ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
       |           for i in range(1, len(t) - 1)] END""".stripMargin
+
+  /** The 8 projected components of the Achlioptas random projection as a
+    * DuckDB struct-list literal — signs and term ORDER generated from
+    * [[graft.ops.Similarity.projectionSigns]] (the operator's own matrix),
+    * terms added left-to-right in ascending column index exactly like the
+    * operator's `reduceLeft`, so the double sums agree bit-for-bit.
+    * `+ 0.0` canonicalizes −0.0 on both engines.
+    */
+  private val projectionRowsSql: String =
+    graft.ops.Similarity.projectionSigns(8, 64).zipWithIndex.map { case (row, j) =>
+      val terms = row.iterator.zipWithIndex.filter(_._1 != 0).map {
+        case (1, i) => s"+ embedding[${i + 1}]::DOUBLE"
+        case (_, i) => s"- embedding[${i + 1}]::DOUBLE"
+      }.mkString(" ")
+      val body = if (terms.isEmpty) "0.0" else terms.stripPrefix("+ ")
+      s"{'j': $j, 'v': round(($body) * sqrt(3.0/8), 6) + 0.0}"
+    }.mkString(",\n |     ")
 
   /** The 64 portable-minhash position minima as one DuckDB list literal,
     * generated from [[graft.ops.Dedup.portableMinhashCoeffs]] — the SAME

@@ -340,6 +340,58 @@ object Similarity {
     topKPerQuery(scored, k, distinctIds = false)
   }
 
+  /** The ±1/0 sign matrix of [[randomProjection]]: row j, column i from
+    * one fixed splitmix-style stream (value mod 6 → {0: +1, 1: −1,
+    * 2..5: 0} — Achlioptas' sparse distribution {1/6, 1/6, 2/3}).
+    * Deterministic and engine-replayable: the DuckDB oracle generator
+    * derives the identical matrix, so the projection is exact-oracled,
+    * not audit-bit-oracled.
+    */
+  def projectionSigns(outDim: Int, inDim: Int, seed: Long = 0x5DEECE66DL): Array[Array[Int]] = {
+    var x = seed
+    Array.fill(outDim, inDim) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      ((x >>> 33) % 6) match {
+        case 0 => 1
+        case 1 => -1
+        case _ => 0
+      }
+    }
+  }
+
+  /** Sparse random projection (Achlioptas 2003): out(j) = √(3/outDim) ·
+    * Σᵢ s(j,i)·x(i) with s from [[projectionSigns]] — the
+    * Johnson–Lindenstrauss embedding-compression step (pairwise distances
+    * preserved within (1±ε) for outDim = O(log n / ε²)) that makes every
+    * downstream ANN / dedup / clustering pass cheaper by dim/outDim.
+    *
+    * Scale shape: perfectly NARROW — the matrix is plan constants (⅓
+    * nonzero, so ~inDim·outDim/3 codegen'd adds per row, no UDF, no
+    * shuffle, no broadcast needed at any corpus size). Arithmetic is
+    * double with terms added in ascending column order, so any engine
+    * replaying the same order reproduces the sums bit-for-bit.
+    */
+  def randomProjection(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      inDim: Int,
+      outDim: Int = 8,
+      seed: Long = 0x5DEECE66DL): DataFrame = {
+    require(outDim >= 1 && inDim >= 1, s"dims must be >= 1: $inDim -> $outDim")
+    val signs = projectionSigns(outDim, inDim, seed)
+    val scale = math.sqrt(3.0 / outDim)
+    val comps = signs.map { row =>
+      val terms = row.iterator.zipWithIndex.filter(_._1 != 0).map {
+        case (1, i) => element_at(col(vecCol), i + 1).cast("double")
+        case (_, i) => -element_at(col(vecCol), i + 1).cast("double")
+      }.toSeq
+      val s = if (terms.isEmpty) lit(0.0) else terms.reduceLeft(_ + _)
+      s * scale
+    }
+    df.select(col(idCol), array(comps.toIndexedSeq: _*).as("proj"))
+  }
+
   /** Sign-bit binary quantization: each embedding packs to ⌈dim/64⌉ int64
     * words (bit b of word w set iff coordinate 64·w+b is > 0) — a 32×
     * compression under which angular similarity survives as Hamming

@@ -222,6 +222,45 @@ class SimilaritySpec extends SparkTestBase {
     assert(top.head === 1L) // most similar first
   }
 
+  test("random projection: deterministic, JL distance preservation, sparse matrix") {
+    // Achlioptas matrix: ~1/3 nonzero, fixed stream.
+    val signs = Similarity.projectionSigns(16, 64)
+    assert(signs === Similarity.projectionSigns(16, 64))
+    val nz = signs.flatten.count(_ != 0)
+    assert(nz > 16 * 64 / 5 && nz < 16 * 64 / 2, s"density off: $nz/1024")
+    // 40 deterministic pseudo-random 64-dim vectors; after projecting to
+    // 16 dims, pairwise SQUARED distances are preserved within a loose
+    // JL-style factor (the guarantee is probabilistic in outDim — the
+    // seeded matrix makes this exact-reproducible, so bounds can be tight
+    // enough to catch a broken sign or scale).
+    def h(a: Long): Double = { // splitmix-ish uniform in [-1, 1)
+      var x = a * 0x9E3779B97F4A7C15L
+      x ^= (x >>> 33); x *= 0xFF51AFD7ED558CCDL; x ^= (x >>> 29)
+      (x >>> 11).toDouble / (1L << 52).toDouble - 1.0
+    }
+    val data = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(64)(d => h(i * 64L + d).toFloat)))
+    val proj = Similarity.randomProjection(
+        data.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        inDim = 64, outDim = 16)
+      .as[(Long, Seq[Double])].collect().toMap
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      i <- 0 until 40; j <- (i + 1) until 40
+      orig = d2(data(i)._2.map(_.toDouble).toSeq, data(j)._2.map(_.toDouble).toSeq)
+      if orig > 0
+    } yield d2(proj(i.toLong), proj(j.toLong)) / orig
+    // Mean ratio ≈ 1 (unbiased estimator); individual pairs land in
+    // [0.24, 2.44] at outDim=16 for this fixed matrix+data (deterministic
+    // measured extremes — the guard would catch a broken sign or scale,
+    // which shifts the MEAN, and any tail blowout past the JL envelope).
+    val mean = ratios.sum / ratios.size
+    assert(math.abs(mean - 1.0) < 0.15, s"mean distance ratio $mean")
+    assert(ratios.forall(r => r > 0.2 && r < 2.6),
+      s"worst ratios: ${ratios.min} .. ${ratios.max}")
+  }
+
   test("binary sign codes pack bits over 64-coordinate word boundaries") {
     // 70-dim vector: positive at coordinates 0, 63 (top bit of word 0 —
     // Long.MinValue territory) and 64/69 (word 1); negative/zero elsewhere.

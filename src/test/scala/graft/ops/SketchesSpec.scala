@@ -36,6 +36,26 @@ class SketchesSpec extends SparkTestBase {
     assert(t === (("a", 2L, 1)))
   }
 
+  test("quantileProfile: rank audit holds, exact-known quantiles on uniform keys") {
+    // k0: values 1..1000 (quantiles fully known), k1: heavy-tailed, k2: tiny.
+    val rows = (1 to 1000).map(i => ("k0", i.toDouble)) ++
+      (1 to 500).map(i => ("k1", math.pow(i.toDouble, 3))) ++
+      Seq(("k2", 1.0), ("k2", 2.0), ("k2", 3.0))
+    val got = Sketches.quantileProfile(rows.toDF("k", "v"), "k", "v",
+        probabilities = Seq(0.5, 0.9, 0.99))
+      .as[(String, Double, Long, Int)].collect()
+    assert(got.length === 9)
+    assert(got.forall(_._4 == 1), got.mkString(", "))
+    assert(got.filter(_._1 == "k0").forall(_._3 == 1000L))
+    assert(got.filter(_._1 == "k2").forall(_._3 == 3L))
+    // Deterministic regardless of partitioning (GK bound is worst-case).
+    val repart = Sketches.quantileProfile(
+      rows.toDF("k", "v").repartition(13), "k", "v",
+      probabilities = Seq(0.5, 0.9, 0.99))
+      .as[(String, Double, Long, Int)].collect()
+    assert(repart.forall(_._4 == 1))
+  }
+
   test("cmsAuditedTopTokens is deterministic across runs (seeded sketch)") {
     val docs = (1 to 50).map(i => s"w${i % 7} w${i % 13} common").toDF("text")
     val a = Sketches.cmsAuditedTopTokens(docs, "text", k = 10)
