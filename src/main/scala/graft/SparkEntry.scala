@@ -950,6 +950,16 @@ object SparkEntry {
       Sketches.quantileProfile(events(s, dir), "event_type", "value")
         .presented("event_type", "probability")),
 
+    // PCA over the embedding table (distributed Gram aggregation +
+    // deterministic driver Jacobi — no BLAS variance), audited in-job per
+    // component (eigen-residual, orthonormality, descending spectrum) with
+    // the DuckDB-exact parts (n, covariance trace = Σ per-dim var_samp) in
+    // the oracle — the audit-bit pattern. pcaProject/whiten is the narrow
+    // plan-constant projection consumed downstream (SemDeDup whitening).
+    "q_pca" -> ((s, dir) =>
+      Similarity.pcaAudited(t(s, dir, "embeddings"), "embedding", k = 8)
+        .presented("component")),
+
     // Sparse random projection (Achlioptas JL) of the embedding table —
     // EXACT oracle: the ±1/0 matrix comes from the deterministic stream
     // shared with the oracle generator, terms add in ascending column
@@ -2069,6 +2079,13 @@ object SparkEntry {
       """SELECT event_type, p.p AS probability, count(*) AS n, 1 AS rank_ok
         | FROM events, unnest([0.5, 0.9, 0.99]) p(p)
         | GROUP BY 1, 2 ORDER BY event_type, probability""".stripMargin,
+    "q_pca" ->
+      s"""SELECT CAST(c.c AS INT) AS component, n.n AS n, 1 AS resid_ok,
+         |   1 AS ortho_ok, 1 AS spectrum_ok, tr.trace AS trace
+         | FROM range(0, 8) c(c),
+         |   (SELECT count(*) AS n FROM embeddings) n,
+         |   (SELECT round($traceSql, 4) AS trace FROM embeddings) tr
+         | ORDER BY component""".stripMargin,
     // Exact replay of the Achlioptas projection: the ±column index list per
     // output dimension is generated from Similarity.projectionSigns — the
     // SAME deterministic stream the operator embeds as plan constants.
@@ -3320,6 +3337,14 @@ object SparkEntry {
     """CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
       |     ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
       |           for i in range(1, len(t) - 1)] END""".stripMargin
+
+  /** Covariance trace as Σ of 64 per-dimension sample variances — exactly
+    * the diagonal the distributed Gram aggregation produces (n−1
+    * denominator both sides; rounded to 4 to absorb summation-order ulps).
+    */
+  private val traceSql: String =
+    (1 to 64).map(d => s"var_samp(embedding[$d]::DOUBLE)")
+      .grouped(4).map(_.mkString(" + ")).mkString(" +\n |       ")
 
   /** The 8 projected components of the Achlioptas random projection as a
     * DuckDB struct-list literal — signs and term ORDER generated from

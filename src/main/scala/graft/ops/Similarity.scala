@@ -340,6 +340,168 @@ object Similarity {
     topKPerQuery(scored, k, distinctIds = false)
   }
 
+  /** Fitted PCA basis: feature means, row-major principal components
+    * (descending eigenvalue), and the eigenvalues of the SAMPLE covariance
+    * (n−1 denominator).
+    */
+  case class PcaBasis(
+      mean: Array[Double],
+      components: Array[Array[Double]],
+      eigenvalues: Array[Double])
+
+  /** Fit PCA on an embedding column. Distributed part: ONE Gram/covariance
+    * tree-aggregation (RowMatrix.computeCovariance — dim² doubles per
+    * partition, no shuffle of rows; dim is small by construction, so the
+    * driver holds a dim×dim matrix, the [[kMeansQuantized]] bounded-driver
+    * contract). Driver part: a cyclic JACOBI eigensolver instead of the
+    * ML PCA's LAPACK SVD — fully deterministic (fixed sweep order, fixed
+    * tolerance, sign fixed by largest-|coordinate| positive), so the basis
+    * is reproducible across JVMs/BLAS variants, the property every other
+    * trainer in this repo maintains.
+    */
+  def pcaFit(df: DataFrame, vecCol: String, k: Int): PcaBasis = {
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val vecs = df.select(array_to_vector(col(vecCol).cast("array<double>")).as("v"))
+    val rm = new RowMatrix(vecs.rdd.map(r =>
+      OldVectors.fromML(r.getAs[org.apache.spark.ml.linalg.Vector](0))))
+    val dim = rm.numCols().toInt
+    require(k >= 1 && k <= dim, s"k must be in [1, $dim], got $k")
+    val cov = rm.computeCovariance() // dim×dim, sample (n−1)
+    val mean = rm.computeColumnSummaryStatistics().mean.toArray
+    val c = Array.tabulate[Double](dim, dim)((i, j) => cov(i, j))
+    val (evals, evecs) = jacobiEigSym(c)
+    val order = evals.indices.sortBy(i => -evals(i)).take(k)
+    val comps = order.map { i =>
+      val v = evecs.map(_(i))
+      // Sign convention: the largest-|coordinate| entry is positive.
+      val m = v.indices.maxBy(d => (math.abs(v(d)), -d))
+      if (v(m) < 0) v.map(x => -x) else v
+    }.toArray
+    PcaBasis(mean, comps, order.map(evals).toArray)
+  }
+
+  /** Cyclic Jacobi for a symmetric matrix: returns (eigenvalues, column
+    * eigenvectors). Deterministic: fixed (p,q) sweep order, fixed sweep
+    * count bound, rotation skipped below an absolute off-diagonal
+    * threshold.
+    */
+  private[ops] def jacobiEigSym(
+      a0: Array[Array[Double]],
+      maxSweeps: Int = 64,
+      tol: Double = 1e-12): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < maxSweeps && off > tol) {
+      off = 0.0
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          off = math.max(off, math.abs(apq))
+          if (math.abs(apq) > tol) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta == 0.0) 1.0
+              else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val cth = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * cth
+            var i = 0
+            while (i < n) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = cth * aip - s * aiq
+              a(i)(q) = s * aip + cth * aiq
+              i += 1
+            }
+            i = 0
+            while (i < n) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = cth * api - s * aqi
+              a(q)(i) = s * api + cth * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = cth * vip - s * viq
+              v(i)(q) = s * vip + cth * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /** Project (and optionally WHITEN — unit variance per component, the
+    * SemDeDup/embedding-normalization preprocessing) onto a fitted basis.
+    * Perfectly narrow: mean and components are plan constants, each output
+    * component one codegen'd fold — no UDF, no shuffle, no broadcast
+    * needed at any corpus size (k·dim doubles of constants).
+    */
+  def pcaProject(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      basis: PcaBasis,
+      whiten: Boolean = false): DataFrame = {
+    val comps = basis.components.zipWithIndex.map { case (w, ci) =>
+      val dot = w.iterator.zipWithIndex.map { case (wd, d) =>
+        (element_at(col(vecCol), d + 1).cast("double") - lit(basis.mean(d))) * lit(wd)
+      }.reduceLeft(_ + _)
+      if (whiten) dot / lit(math.sqrt(math.max(basis.eigenvalues(ci), 1e-12)))
+      else dot
+    }
+    df.select(col(idCol), array(comps.toIndexedSeq: _*).as("proj"))
+  }
+
+  /** Audited PCA summary — the oracle-able face of [[pcaFit]], the
+    * [[Sketches.hllAuditedDistinct]] audit-bit pattern: any engine replays
+    * n and the covariance TRACE exactly (Σ per-dimension sample
+    * variances), while the eigenbasis itself (not expressible in one SQL
+    * pass) is audited in-job per component: eigen-residual ‖Cv − λv‖ ≤
+    * 1e-8·max(1, λmax), unit norm, mutual orthogonality, descending
+    * eigenvalues, and Σ top-k eigenvalues ≤ trace.
+    */
+  def pcaAudited(df: DataFrame, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val spark = df.sparkSession
+    import spark.implicits._
+    val basis = pcaFit(df, vecCol, k)
+    val vecs = df.select(array_to_vector(col(vecCol).cast("array<double>")).as("v"))
+    val rm = new RowMatrix(vecs.rdd.map(r =>
+      OldVectors.fromML(r.getAs[org.apache.spark.ml.linalg.Vector](0))))
+    val n = rm.numRows()
+    val cov = rm.computeCovariance()
+    val dim = basis.mean.length
+    val trace = (0 until dim).map(d => cov(d, d)).sum
+    val lmax = basis.eigenvalues.head.max(1.0)
+    val rows = basis.components.zipWithIndex.map { case (w, ci) =>
+      val cv = Array.tabulate(dim)(i => (0 until dim).map(j => cov(i, j) * w(j)).sum)
+      val resid = math.sqrt(Array.tabulate(dim)(i =>
+        math.pow(cv(i) - basis.eigenvalues(ci) * w(i), 2)).sum)
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      val orthoOk = basis.components.take(ci).forall { u =>
+        math.abs(u.zip(w).map { case (x, y) => x * y }.sum) < 1e-8
+      }
+      val descOk = ci == 0 || basis.eigenvalues(ci) <= basis.eigenvalues(ci - 1) + 1e-12
+      (ci, n,
+        if (resid <= 1e-8 * lmax) 1 else 0,
+        if (math.abs(norm - 1.0) < 1e-10 && orthoOk) 1 else 0,
+        if (descOk && basis.eigenvalues.sum <= trace * (1 + 1e-10)) 1 else 0)
+    }
+    rows.toIndexedSeq
+      .toDF("component", "n", "resid_ok", "ortho_ok", "spectrum_ok")
+      .withColumn("trace", round(lit(trace), 4))
+  }
+
   /** The ±1/0 sign matrix of [[randomProjection]]: row j, column i from
     * one fixed splitmix-style stream (value mod 6 → {0: +1, 1: −1,
     * 2..5: 0} — Achlioptas' sparse distribution {1/6, 1/6, 2/3}).

@@ -222,6 +222,49 @@ class SimilaritySpec extends SparkTestBase {
     assert(top.head === 1L) // most similar first
   }
 
+  test("pca: recovers planted directions, whitening normalizes variance, audit bits hold") {
+    // Planted covariance: x = a·u + b·w in 4D with Var(a)=16, Var(b)=1,
+    // u = (1,0,0,0), w = (0,1,0,0) — eigenvectors are the axes.
+    def h(x0: Long): Double = { // deterministic uniform-ish in [-1,1)
+      var x = x0 * 0x9E3779B97F4A7C15L
+      x ^= (x >>> 33); x *= 0xFF51AFD7ED558CCDL; x ^= (x >>> 29)
+      (x >>> 11).toDouble / (1L << 52).toDouble - 1.0
+    }
+    val data = (0 until 500).map(i =>
+      (i.toLong, Array(4.0 * h(i), h(i + 100000), 0.01 * h(i + 200000),
+        0.01 * h(i + 300000)).map(_.toFloat)))
+    val df = data.toDF("vec_id", "embedding")
+    val basis = Similarity.pcaFit(df, "embedding", k = 2)
+    assert(basis.eigenvalues(0) > 3 * basis.eigenvalues(1))
+    assert(math.abs(basis.components(0)(0)) > 0.99, basis.components(0).mkString(","))
+    assert(math.abs(basis.components(1)(1)) > 0.99, basis.components(1).mkString(","))
+    // Whitened projections: per-component sample variance ≈ 1.
+    val proj = Similarity.pcaProject(df, "vec_id", "embedding", basis, whiten = true)
+      .as[(Long, Seq[Double])].collect().map(_._2)
+    for (c <- 0 until 2) {
+      val xs = proj.map(_(c))
+      val m = xs.sum / xs.length
+      val v = xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+      assert(math.abs(v - 1.0) < 1e-6, s"component $c variance $v")
+    }
+    // Audit bits all pass; deterministic across fits.
+    val audit = Similarity.pcaAudited(df, "embedding", k = 2)
+      .select("resid_ok", "ortho_ok", "spectrum_ok").as[(Int, Int, Int)].collect()
+    assert(audit.forall(t => t._1 == 1 && t._2 == 1 && t._3 == 1), audit.mkString(","))
+    val basis2 = Similarity.pcaFit(df, "embedding", k = 2)
+    assert(basis.components.flatten.toSeq === basis2.components.flatten.toSeq)
+  }
+
+  test("jacobiEigSym solves a known symmetric matrix") {
+    // [[2,1],[1,2]] → eigenvalues 3 and 1, eigenvectors (1,1)/√2, (1,-1)/√2.
+    val (evals, evecs) = Similarity.jacobiEigSym(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    val s = evals.indices.sortBy(i => -evals(i))
+    assert(math.abs(evals(s(0)) - 3.0) < 1e-10 && math.abs(evals(s(1)) - 1.0) < 1e-10)
+    val v0 = Array(evecs(0)(s(0)), evecs(1)(s(0)))
+    assert(math.abs(math.abs(v0(0)) - math.sqrt(0.5)) < 1e-10)
+    assert(math.abs(v0(0) - v0(1)) < 1e-10) // same sign, equal components
+  }
+
   test("random projection: deterministic, JL distance preservation, sparse matrix") {
     // Achlioptas matrix: ~1/3 nonzero, fixed stream.
     val signs = Similarity.projectionSigns(16, 64)
