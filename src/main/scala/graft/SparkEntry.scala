@@ -458,6 +458,17 @@ object SparkEntry {
         .presented("id_a", "id_b")
     }),
 
+    // Edit-distance record linkage (PassJoin-style lossless segment index +
+    // levenshtein verify) over the docs' 40-char title prefix. The blocking
+    // is exact-recall by construction, so the all-pairs SQL is a true
+    // oracle, not a proxy.
+    "q_edit_pairs" -> ((s, dir) =>
+      Dedup.editDistancePairs(
+        t(s, dir, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 40).as("title")),
+        "doc_id", "title", maxDist = 2)
+        .presented("id1", "id2")),
+
     // Token counting
     "q_token_count" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -949,6 +960,14 @@ object SparkEntry {
     "q_quantile_sketch" -> ((s, dir) =>
       Sketches.quantileProfile(events(s, dir), "event_type", "value")
         .presented("event_type", "probability")),
+
+    // KMV distinct sketch per event type: min-64 md5 hashes, estimate =
+    // (k−1)·2⁴⁸ / h_k — the portable distinct sketch whose ESTIMATE the
+    // oracle replays exactly (md5 → min-k order statistics → integer floor
+    // division), not just an audit bit. Mergeable: min-k sets union→min-k.
+    "q_kmv_distinct" -> ((s, dir) =>
+      Sketches.kmvDistinct(events(s, dir), "event_type", "user_id", k = 64)
+        .presented("event_type")),
 
     // PCA over the embedding table (distributed Gram aggregation +
     // deterministic driver Jacobi — no BLAS variance), audited in-job per
@@ -1777,6 +1796,18 @@ object SparkEntry {
          | SELECT a.doc_id AS id_a, b.doc_id AS id_b
          | FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id
          | ORDER BY id_a, id_b""".stripMargin,
+    // All-pairs replay of the PassJoin edit-distance linkage: the segment
+    // index is lossless, so quadratic levenshtein with the |len| <= d
+    // prefilter IS the operator's contract at test scale.
+    "q_edit_pairs" ->
+      """WITH r AS (SELECT doc_id, substr(text, 1, 40) AS s FROM documents
+        |     WHERE text IS NOT NULL AND len(substr(text, 1, 40)) >= 1)
+        | SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |   CAST(levenshtein(a.s, b.s) AS INT) AS dist
+        | FROM r a JOIN r b ON a.doc_id < b.doc_id
+        |   AND abs(len(a.s) - len(b.s)) <= 2
+        | WHERE levenshtein(a.s, b.s) <= 2
+        | ORDER BY id1, id2""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH d AS (SELECT doc_id, md5(text) AS h FROM $docsWithDupesSql),
          |   g AS (SELECT h FROM d GROUP BY h HAVING count(*) >= 2)
@@ -2079,6 +2110,33 @@ object SparkEntry {
       """SELECT event_type, p.p AS probability, count(*) AS n, 1 AS rank_ok
         | FROM events, unnest([0.5, 0.9, 0.99]) p(p)
         | GROUP BY 1, 2 ORDER BY event_type, probability""".stripMargin,
+    // Full replay of the KMV sketch (k = 64, 48-bit md5 hashes): the same
+    // min-k order statistics and exact integer estimator as
+    // Sketches.kmvDistinct — the estimate itself is the contract.
+    "q_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |     CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+        |       AS BIGINT) AS h
+        |   FROM events WHERE user_id IS NOT NULL),
+        | r AS (SELECT event_type, h,
+        |     row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |   FROM h),
+        | s AS (SELECT event_type,
+        |     CAST(least(count(*), 64) AS INT) AS n_kept,
+        |     max(CASE WHEN rn <= 64 THEN h END) AS kth_hash
+        |   FROM r GROUP BY event_type),
+        | e AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+        |   FROM events WHERE user_id IS NOT NULL GROUP BY event_type)
+        |SELECT s.event_type, e.n_exact, s.n_kept, s.kth_hash,
+        |   CASE WHEN s.n_kept < 64 THEN CAST(s.n_kept AS BIGINT)
+        |        ELSE (63 * 281474976710656) // (s.kth_hash + 1) END AS est,
+        |   CAST(abs(CASE WHEN s.n_kept < 64 THEN CAST(s.n_kept AS BIGINT)
+        |        ELSE (63 * 281474976710656) // (s.kth_hash + 1) END
+        |       - e.n_exact)
+        |     <= greatest(CAST(e.n_exact AS DOUBLE) * (4 * (1.0 / sqrt(62.0))),
+        |                 4.0) AS INT) AS est_ok
+        | FROM s JOIN e USING (event_type)
+        | ORDER BY event_type""".stripMargin,
     "q_pca" ->
       s"""SELECT CAST(c.c AS INT) AS component, n.n AS n, 1 AS resid_ok,
          |   1 AS ortho_ok, 1 AS spectrum_ok, tr.trace AS trace

@@ -118,6 +118,65 @@ object Sketches {
           col("n").cast("double") / accuracy + 1).cast("int").as("rank_ok"))
   }
 
+  /** KMV (k-minimum-values) distinct sketch per key (Bar-Yossef et al.
+    * 2002): hash every value into [0, 2⁴⁸), keep the k SMALLEST distinct
+    * hashes, estimate distinct = (k−1)·2⁴⁸ / h_k from the k-th smallest.
+    * The fourth sketch next to Count–Min / HLL / GK — and the one whose
+    * ESTIMATE is fully engine-portable: the hash is md5-derived, min-k is
+    * order statistics, and the estimator is one exact integer floor
+    * division, so a SQL oracle replays the whole sketch INCLUDING the
+    * estimate bit-for-bit (HLL's register layout forces the weaker
+    * audit-bit contract; KMV's contract is the estimate itself).
+    *
+    * Scale shape: the min-k set is the aggregation buffer
+    * ([[graft.functions.TopKByScore]] on score = −hash with distinct ids),
+    * so map-side partials hold ≤ k longs per key and the exchange is
+    * k-bounded — an unbounded value space never shuffles. Min-k sets merge
+    * associatively (union → min-k), so per-day / per-partition sketches
+    * roll up without re-touching raw data, same as the HLL story. 48-bit
+    * hashes keep every score exactly representable as a double (< 2⁵³);
+    * a hash collision merges two values identically in ANY engine
+    * replaying the md5 chain, so collisions cost estimate accuracy
+    * (~n²/2⁴⁹), never determinism.
+    *
+    * Output per key: exact distinct (the verification column), the kept-set
+    * size, the k-th hash (the mergeable sketch state), the KMV estimate,
+    * and `est_ok` asserting |est − exact| ≤ 4σ (RSE = 1/√(k−2)). Groups
+    * with fewer than k distinct hashes are exact by construction
+    * (est = n_kept). The +1 on h_k guards the 2⁻⁴⁸ zero-hash corner
+    * identically on both sides.
+    */
+  def kmvDistinct(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 3, s"k must be >= 3 for the KMV estimator, got $k")
+    val space = 1L << 48
+    val h = conv(substring(md5(col(valueCol).cast("string").cast("binary")),
+      1, 12), 16, 10).cast("long")
+    val rse = 1.0 / math.sqrt((k - 2).toDouble)
+    df.where(col(valueCol).isNotNull)
+      .select(col(keyCol), col(valueCol), h.as("__h"))
+      .groupBy(col(keyCol))
+      .agg(
+        countDistinct(col(valueCol)).as("n_exact"),
+        graft.functions.TopKByScore.topk_by_score(
+          -col("__h").cast("double"), col("__h"), k, distinctIds = true)
+          .as("__mins"))
+      .select(col(keyCol), col("n_exact"),
+        size(col("__mins")).as("n_kept"),
+        element_at(col("__mins"), size(col("__mins")))
+          .getField("id").as("kth_hash"))
+      .withColumn("est",
+        when(col("n_kept") < k, col("n_kept").cast("long"))
+          .otherwise(expr(s"${(k - 1).toLong * space}L DIV (kth_hash + 1L)")))
+      .withColumn("est_ok",
+        (abs(col("est") - col("n_exact")) <=
+          greatest(col("n_exact").cast("double") * (4 * rse), lit(4.0)))
+          .cast("int"))
+  }
+
   def hllAuditedDistinct(
       df: DataFrame,
       keyCol: String,

@@ -178,6 +178,36 @@ class DedupSpec extends SparkTestBase {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("editDistancePairs: known distances in and out of threshold") {
+    val recs = Seq(
+      (1L, "spark sql engine"),
+      (2L, "spark sql enginx"),   // sub 1 vs 1
+      (3L, "spark sql en"),       // 4 deletes vs 1 — out at d=2
+      (4L, "sparc sql enginx"),   // vs 2: 1 sub; vs 1: 2 subs
+      (5L, "totally different")).toDF("id", "s")
+    val got = Dedup.editDistancePairs(recs, "id", "s", maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((1L, 2L, 1), (2L, 4L, 1), (1L, 4L, 2)))
+  }
+
+  test("editDistancePairs equals brute-force levenshtein (lossless blocking)") {
+    // Deterministic pseudo-random pool with planted near-dups, varied
+    // lengths, and sub-(d+1)-length shorts to hit every stratum.
+    val base = Seq("alpha beta", "alpha betx", "alpha bet", "gamma delta run",
+      "gamma delta ran", "xy", "xz", "q", "alphabeta", "run gamma delta")
+    val recs = base.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "s")
+    val brute = recs.as("x").join(recs.as("y"), $"x.id" < $"y.id")
+      .select($"x.id", $"y.id",
+        levenshtein($"x.s", $"y.s").as("d"))
+      .where($"d" <= 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val got = Dedup.editDistancePairs(recs, "id", "s", maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === brute, s"missing=${brute -- got} extra=${got -- brute}")
+    assert(brute.nonEmpty)
+  }
+
   test("removeBoilerplate drops exactly the tokens covered by shared spans") {
     val df = Seq(
       (1L, "alpha beta gamma unique one"),

@@ -56,6 +56,32 @@ class SketchesSpec extends SparkTestBase {
     assert(repart.forall(_._4 == 1))
   }
 
+  test("kmvDistinct: exact below k, estimate within envelope above, merge-invariant") {
+    // keyA: 10 distinct values repeated (below k=16 → exact);
+    // keyB: 5000 distinct (well above k → estimator path).
+    val rows = (0 until 100).map(i => ("a", (i % 10).toLong)) ++
+      (0 until 5000).map(i => ("b", 1000L + i))
+    val df = rows.toDF("k", "v")
+    val got = Sketches.kmvDistinct(df, "k", "v", k = 16)
+      .as[(String, Long, Int, Long, Long, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    val a = got("a")
+    assert(a._2 === 10L && a._3 === 10 && a._5 === 10L && a._6 === 1)
+    val b = got("b")
+    assert(b._2 === 5000L && b._3 === 16)
+    assert(b._6 === 1, s"estimate ${b._5} outside 4-sigma of 5000")
+    // Partitioning never changes the sketch: min-k merges associatively.
+    val repart = Sketches.kmvDistinct(df.repartition(17), "k", "v", k = 16)
+      .as[(String, Long, Int, Long, Long, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(repart === got)
+    // Duplicates of a kept hash never occupy extra slots (distinct min-k).
+    val dup = Seq.fill(50)(("d", 7L)).toDF("k", "v")
+    val d = Sketches.kmvDistinct(dup, "k", "v", k = 16)
+      .as[(String, Long, Int, Long, Long, Int)].collect().head
+    assert(d._2 === 1L && d._3 === 1 && d._5 === 1L)
+  }
+
   test("cmsAuditedTopTokens is deterministic across runs (seeded sketch)") {
     val docs = (1 to 50).map(i => s"w${i % 7} w${i % 13} common").toDF("text")
     val a = Sketches.cmsAuditedTopTokens(docs, "text", k = 10)
