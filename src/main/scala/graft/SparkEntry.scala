@@ -801,6 +801,18 @@ object SparkEntry {
           k = 8)
         .presented("rank")),
 
+    // Maximal Marginal Relevance: 8 greedy picks balancing relevance to
+    // vec 0's embedding against redundancy with earlier picks (λ = 0.5 —
+    // an exact power-of-two scale). Same rounded-cosine + id-tie policy as
+    // k-center, so the oracle unrolls the full selection chain.
+    "q_mmr_select" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.where(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      Similarity.mmrSelect(emb, "vec_id", "embedding", qv, k = 8)
+        .presented("rank")
+    }),
+
     // Deterministic fixed-point Lloyd k-means: coordinates quantized to
     // round(x·2^20) once, then every distance/argmin/mean is exact int64
     // arithmetic — the full 2-iteration loop is engine-independent, so
@@ -2652,6 +2664,7 @@ object SparkEntry {
     "q_bpe_merges" -> bpeMergesOracleSql(5),
     "q_bpe_encode" -> bpeEncodeOracleSql(5),
     "q_kcenter_sample" -> kCenterOracleSql(8),
+    "q_mmr_select" -> mmrOracleSql(8),
     "q_kmeans" -> kMeansOracleSql(8, 2),
     "q_url_facts" ->
       s"""WITH $urlFactsCteSql
@@ -3177,6 +3190,38 @@ object SparkEntry {
        | d0 AS (SELECT v.vec_id, v.e,
        |     round(1 - list_cosine_similarity(v.e, c0.e), 6) AS d
        |   FROM v, c0),
+       |$steps
+       |$finals
+       |ORDER BY "rank"""".stripMargin
+  }
+
+  /** MMR unrolled (λ = 0.5): relevance r is the rounded cosine to vec 0's
+    * embedding; m_i is each point's running max rounded cosine to picks
+    * 0..i; c_{i+1} maximizes (0.5·r − 0.5·m) with ties to the lower id —
+    * the exact floating-point policy of [[graft.ops.Similarity.mmrSelect]].
+    */
+  private def mmrOracleSql(k: Int): String = {
+    val steps = (1 until k).map { i =>
+      val excl = (0 until i).map(j => s"SELECT vec_id FROM c$j").mkString(" UNION ALL ")
+      val p = s"m${i - 1}"
+      s""" c$i AS (SELECT vec_id, e, r, m FROM $p
+         |   WHERE vec_id NOT IN ($excl)
+         |   ORDER BY (0.5*r - 0.5*m) DESC, vec_id LIMIT 1),
+         | m$i AS (SELECT $p.vec_id, $p.e, $p.r,
+         |     greatest($p.m, round(list_cosine_similarity($p.e, c$i.e), 6)) AS m
+         |   FROM $p, c$i)""".stripMargin
+    }.mkString(",\n")
+    val finals = (s"""SELECT 0 AS "rank", vec_id, r AS rel, CAST(NULL AS DOUBLE) AS max_sim FROM c0""" +:
+      (1 until k).map(i => s"""SELECT $i, vec_id, r, m FROM c$i"""))
+      .mkString("\n UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |     FROM embeddings WHERE embedding IS NOT NULL),
+       | qv AS (SELECT e FROM v WHERE vec_id = 0),
+       | rl AS (SELECT v.vec_id, v.e,
+       |     round(list_cosine_similarity(v.e, qv.e), 6) AS r FROM v, qv),
+       | c0 AS (SELECT vec_id, e, r FROM rl ORDER BY r DESC, vec_id LIMIT 1),
+       | m0 AS (SELECT rl.vec_id, rl.e, rl.r,
+       |     round(list_cosine_similarity(rl.e, c0.e), 6) AS m FROM rl, c0),
        |$steps
        |$finals
        |ORDER BY "rank"""".stripMargin

@@ -138,6 +138,84 @@ object Similarity {
       .select(col("rank"), col("id").as(idCol), col("dist"))
   }
 
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+    * greedily pick k documents maximizing
+    * `λ·cos(d, query) − (1−λ)·max_{s∈selected} cos(d, s)` — the
+    * relevance-vs-redundancy trade-off a retrieval/eval-set builder uses
+    * where [[kCenterSample]] optimizes pure coverage. Rank 0 is the most
+    * RELEVANT document; each later pick balances relevance against
+    * similarity to everything already chosen.
+    *
+    * Scale shape is [[kCenterSample]]'s: the selected set is ≤ k broadcast
+    * literals; the per-point max-similarity-to-selected is maintained
+    * INCREMENTALLY (`greatest(m, cos_to_new_pick)`), so each of the k
+    * bounded rounds is ONE narrow scan ending in a 1-row TakeOrdered —
+    * O(n·k) total, constant-size plan via per-round persist + eager
+    * unpersist of the previous state.
+    *
+    * Determinism / oracle-ability: both cosines round to `roundTo`
+    * decimals before entering the running max and the score, λ = 0.5 makes
+    * the λ-scaling an exact power-of-two multiply, and the argmax breaks
+    * ties on (score desc, id asc) — the same cross-engine floating-point
+    * policy as [[kCenterSample]], so the full selection sequence is
+    * hash-matchable by an unrolled SQL oracle. Output: (rank 0..k−1, id,
+    * rel, max_sim) — `max_sim` is the pick-time max similarity to the
+    * earlier selection (null for the rank-0 seed).
+    */
+  def mmrSelect(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryVec: Array[Float],
+      k: Int,
+      lambda: Double = 0.5,
+      roundTo: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .where(col("v").isNotNull)
+      .withColumn("r",
+        round(cosine(col("v"), typedLit(queryVec.toIndexedSeq)), roundTo))
+    val seed = vecs.orderBy(desc("r"), col("id")).limit(1).collect()
+      .headOption.getOrElse(throw new IllegalArgumentException(
+        "mmrSelect: empty corpus"))
+    val picks = Seq.newBuilder[(Int, Long, Double, Option[Double])]
+    picks += ((0, seed.getLong(0), seed.getDouble(2), None))
+    var selected = List(seed.getLong(0))
+    var curVec = seed.getSeq[Float](1)
+    var st = vecs.withColumn("m", lit(-1.0))
+    var prev: DataFrame = null
+    var i = 1
+    while (i < k) {
+      val updated = st.select(col("id"), col("v"), col("r"),
+        greatest(col("m"),
+          round(cosine(col("v"), typedLit(curVec)), roundTo)).as("m"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val top = updated.where(!col("id").isin(selected: _*))
+        .withColumn("score",
+          lit(lambda) * col("r") - lit(1.0 - lambda) * col("m"))
+        .orderBy(desc("score"), col("id"))
+        .limit(1).collect()
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = updated
+      st = updated
+      top.headOption match {
+        case None => i = k
+        case Some(r) =>
+          picks += ((i, r.getLong(0), r.getDouble(2), Some(r.getDouble(3))))
+          selected ::= r.getLong(0)
+          curVec = r.getSeq[Float](1)
+          i += 1
+      }
+    }
+    if (prev != null) prev.unpersist(blocking = false)
+    picks.result().toDF("rank", "id", "rel", "max_sim")
+      .select(col("rank"), col("id").as(idCol), col("rel"), col("max_sim"))
+  }
+
   /** Embedding outlier detection: the k corpus points FARTHEST from the
     * corpus centroid — mislabeled/garbage/off-distribution detection before
     * training (points whose embedding sits far from everything else).

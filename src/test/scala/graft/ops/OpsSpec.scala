@@ -358,6 +358,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(top.map(_._2).toSeq === Seq(1, 1, 2, 3))
   }
 
+  test("mmrSelect prefers a diverse pick over a redundant higher-scoring one") {
+    // q = x-axis. a (id 10) is most relevant → rank 0. b (id 11) is a
+    // near-duplicate of a (sim ≈ .999): its MMR score 0.5·(rel − maxsim)
+    // goes negative. c (id 12) is equally relevant but diverse
+    // (sim to a ≈ .62) → ranks ahead of b despite b's higher raw cosine.
+    val corpus = Seq(
+      (10L, Array(0.9f, 0.436f, 0.0f)),
+      (11L, Array(0.89f, 0.44f, 0.05f)),
+      (12L, Array(0.9f, -0.436f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(corpus, "vec_id", "embedding",
+        Array(1.0f, 0.0f, 0.0f), k = 3)
+      .as[(Int, Long, Double, Option[Double])].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq === Seq(10L, 12L, 11L))
+    assert(got(0)._4.isEmpty)
+    // Pick-time max_sim: c's is its sim to a (~.62); b's is vs {a, c}, and
+    // b is ~identical to a, so ~.999.
+    assert(got(1)._4.get > 0.55 && got(1)._4.get < 0.70, got(1).toString)
+    assert(got(2)._4.get > 0.99, got(2).toString)
+    // rel column is the rounded cosine to the query, rank-0 highest.
+    assert(got(0)._3 >= got(1)._3 - 1e-9)
+  }
+
   test("embeddingOutliers ranks farthest-from-centroid first, int64-exact") {
     val pts = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(1.0f, 0.0f, 0.0f)),
