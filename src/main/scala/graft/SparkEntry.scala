@@ -458,6 +458,18 @@ object SparkEntry {
         .presented("id_a", "id_b")
     }),
 
+    // Trigram-index substring search (Cox codesearch design): AND the
+    // pattern's posting lists → candidates, exact contains-verify →
+    // matches. Both funnel stages are deterministic, so the oracle replays
+    // candidates as an AND of contains(gram) literals and the verify bit.
+    "q_trigram_search" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextSearch.trigramSearch(
+        TextSearch.buildTrigramIndex(docs, "doc_id", "text"),
+        docs, "doc_id", "text", "merge group")
+        .presented("doc_id")
+    }),
+
     // Edit-distance record linkage (PassJoin-style lossless segment index +
     // levenshtein verify) over the docs' 40-char title prefix. The blocking
     // is exact-recall by construction, so the all-pairs SQL is a true
@@ -1808,6 +1820,18 @@ object SparkEntry {
          | SELECT a.doc_id AS id_a, b.doc_id AS id_b
          | FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id
          | ORDER BY id_a, id_b""".stripMargin,
+    // The trigram funnel replayed: candidate = every pattern trigram
+    // occurs somewhere in the doc; is_match = the pattern itself does.
+    "q_trigram_search" -> {
+      val pat = "merge group"
+      val cond = pat.sliding(3).toSeq.distinct
+        .map(g => s"contains(text, '$g')").mkString(" AND ")
+      s"""SELECT doc_id, CAST(contains(text, '$pat') AS INT) AS is_match
+         | FROM documents
+         | WHERE text IS NOT NULL AND length(text) >= 3 AND $cond
+         | ORDER BY doc_id""".stripMargin
+    },
+
     // All-pairs replay of the PassJoin edit-distance linkage: the segment
     // index is lossless, so quadratic levenshtein with the |len| <= d
     // prefilter IS the operator's contract at test scale.

@@ -257,6 +257,66 @@ object TextSearch {
     * second map-side-combined aggregate. Delta convention: Δ₀ = id₀ + 1,
     * Δᵢ = idᵢ − idᵢ₋₁ (every delta ≥ 1 on distinct sorted ids).
     */
+  /** Character-trigram posting index for SUBSTRING search (the Cox
+    * codesearch design, public: every document lists its distinct char
+    * 3-grams; a substring query must match every trigram of the pattern,
+    * so ANDing the pattern's posting lists prunes the corpus to a
+    * candidate set orders of magnitude smaller than a full scan, and one
+    * exact `contains` verify per candidate finishes the job). This is the
+    * index a log-search tier builds once and queries many times —
+    * substring queries (unlike tokens) have no word boundary to invert on,
+    * which is exactly what makes grep-over-100 TB otherwise a full scan.
+    *
+    * Build shape: one narrow explode (length(t)−2 grams per doc) + a
+    * distinct on (gram, id) — map-side combined, the only shuffle. Write
+    * the result bucketed (or partitioned) by `gram` and a query's
+    * `isin(grams)` prunes to exactly the pattern's posting lists at scan
+    * time.
+    */
+  def buildTrigramIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("__t"))
+      .where(col("__t").isNotNull && length(col("__t")) >= 3)
+      .select(col("id"), explode(expr(
+        "transform(sequence(1, length(__t) - 2), i -> substring(__t, i, 3))"))
+        .as("gram"))
+      .distinct()
+
+  /** Substring query against a [[buildTrigramIndex]] posting set: candidates
+    * are the docs whose index rows cover ALL the pattern's distinct
+    * trigrams (an AND of posting lists — a groupBy over only those lists'
+    * rows, never the corpus), then ONE exact `contains` verification per
+    * candidate against the doc body. Emits every candidate with its
+    * verification bit — the false-positive rows (all trigrams present but
+    * never contiguously) are themselves deterministic, so the whole
+    * two-stage funnel is oracle-able, and their count is the index's
+    * measured selectivity. Patterns shorter than 3 chars have no trigram
+    * and fall back to the verified full scan (documented contract).
+    */
+  def trigramSearch(
+      index: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      pattern: String): DataFrame = {
+    val body = docs.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("__t"))
+    if (pattern.length < 3) {
+      return body.where(col("__t").contains(pattern))
+        .select(col("id").as(idCol), lit(1).as("is_match"))
+    }
+    val grams = pattern.sliding(3).toSeq.distinct
+    val cand = index.where(col("gram").isin(grams: _*))
+      .groupBy("id").agg(countDistinct(col("gram")).as("__g"))
+      .where(col("__g") === grams.size)
+      .select("id")
+    cand.join(body, "id")
+      .select(col("id").as(idCol),
+        col("__t").contains(pattern).cast("int").as("is_match"))
+  }
+
   def postingsStats(
       docs: DataFrame,
       idCol: String,

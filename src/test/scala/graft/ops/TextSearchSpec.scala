@@ -117,6 +117,26 @@ class TextSearchSpec extends SparkTestBase {
     assert(got((3L, 1))._1 === "solo3" && got((3L, 2))._1 === "common")
   }
 
+  test("trigram index: distinct grams per doc; search funnel finds matches and keeps false positives visible") {
+    val body = Seq(
+      (1L, "merge group by"),      // true match for "ge gr"
+      (2L, "page one e gate a grid"), // all grams of "ge gr" present ("ge ",
+                                      // "e g", " gr"), never contiguously
+      (3L, "nothing here"),        // missing grams → not a candidate
+      (4L, "aaaa")).toDF("doc_id", "text")
+    val idx = TextSearch.buildTrigramIndex(body, "doc_id", "text")
+    // "aaaa" has grams aaa (x2, deduped) → exactly 2 positions, 1 distinct.
+    assert(idx.where($"id" === 4L).count() === 1L)
+    assert(idx.where($"id" === 1L && $"gram" === "mer").count() === 1L)
+    val got = TextSearch.trigramSearch(idx, body, "doc_id", "text", "ge gr")
+      .as[(Long, Int)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 1), (2L, 0)))
+    // Short patterns fall back to a verified scan.
+    val short = TextSearch.trigramSearch(idx, body, "doc_id", "text", "aa")
+      .as[(Long, Int)].collect().toSeq
+    assert(short === Seq((4L, 1)))
+  }
+
   test("postingsStats: delta + LEB128 varint sizes, hand-checked") {
     val docs = Seq((0L, "x x y"), (5L, "x"), (300L, "x z"))
       .toDF("doc_id", "text")
