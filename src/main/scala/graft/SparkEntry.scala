@@ -900,6 +900,14 @@ object SparkEntry {
         .select(col("doc_id"), col("domain"), col("url_norm"))
         .presented("doc_id")),
 
+    // SURT-keyed URL dedup: reversed-host canonical keys (sorted params,
+    // tracking stripped) collapse scheme/case/slash/param-order variants —
+    // the fetch-avoidance pass before any text exists. Exact oracle over
+    // the same synthesized URLs.
+    "q_surt_dedup" -> ((s, dir) =>
+      Web.surtDedup(withUrls(s, dir), "doc_id", "url")
+        .presented("surt")),
+
     // SimHash signatures themselves (operator output, deterministic).
     // no_oracle BY DESIGN. Why an oracle is IMPOSSIBLE rather than
     // unported: every signature bit is a majority vote over per-token
@@ -2706,6 +2714,18 @@ object SparkEntry {
          | SELECT doc_id, domain, url_norm FROM facts
          | WHERE domain NOT IN (${BlockedDomains.map("'" + _ + "'").mkString(", ")})
          | ORDER BY doc_id""".stripMargin,
+    "q_surt_dedup" ->
+      s"""WITH $urlFactsCteSql,
+         | sk AS (SELECT doc_id,
+         |     array_to_string(list_reverse(string_split(host, '.')), ',')
+         |       || ')' || path ||
+         |       (CASE WHEN query = '' THEN '' ELSE '?' ||
+         |         array_to_string(list_sort(list_filter(
+         |           string_split(query, '&'), x -> x <> '')), '&') END)
+         |       AS surt
+         |   FROM facts)
+         | SELECT surt, min(doc_id) AS keep_id, count(*) AS n_copies
+         | FROM sk GROUP BY surt ORDER BY surt""".stripMargin,
     // Synthetic payloads are pure functions of media_id (timescale-1000
     // mvhd, 16.16 tkhd dims, 128kbps/44.1kHz MP3 frames, 8kHz mono WAV) —
     // DuckDB re-derives every header fact from the id arithmetic.

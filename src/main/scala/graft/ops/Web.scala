@@ -91,6 +91,42 @@ object Web {
         countDistinct(col("host")).as("n_hosts"),
         countDistinct(col("url_norm")).as("n_urls"))
 
+  /** SURT key (Sort-friendly URI Reordering Transform — the Internet
+    * Archive / Common Crawl canonical URL ordering): reversed comma-joined
+    * host labels, `)`, the normalized path, and the SORTED
+    * tracking-stripped query — e.g.
+    * `org,example,www)/p/3?a=1&b=2`. Reversing the host makes every URL
+    * of a site (and of its subdomains) a lexicographic NEIGHBOR, so
+    * sorting / range-partitioning a 100 TB crawl by this one key gives
+    * per-site locality (site-level scans become range scans, per-site
+    * stats become near-local aggregations); sorting the query parameters
+    * collapses the param-order permutations that fragment URL dedup.
+    * Malformed URLs yield a null key, mirroring [[urlFacts]].
+    */
+  def surtKey(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val facts = urlFacts(df, idCol, urlCol)
+    val sortedQuery = array_join(
+      sort_array(filter(split(col("query"), "&"), p => p =!= "")), "&")
+    facts.select(col(idCol), col("url"),
+      when(col("host").isNull, lit(null)).otherwise(
+        concat(array_join(reverse(split(col("host"), "\\.")), ","),
+          lit(")"), col("path"),
+          when(col("query") === "", "")
+            .otherwise(concat(lit("?"), sortedQuery))))
+        .as("surt"))
+  }
+
+  /** URL-level dedup on the SURT key (keep-first + copy counts) — the
+    * fetch-avoidance pass a crawl pipeline runs BEFORE any text exists:
+    * scheme/case/trailing-slash/tracking-param/param-order variants of
+    * one resource collapse to one canonical row. Same shuffle shape as
+    * [[Dedup.exactByText]]: one groupBy on the compact key.
+    */
+  def surtDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    surtKey(df, idCol, urlCol)
+      .groupBy(col("surt"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** Drop rows whose registered domain is blocklisted (the broadcast-set
     * filter every web pipeline runs first). The blocklist is a literal —
     * no join, no shuffle.

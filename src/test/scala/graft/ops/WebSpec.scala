@@ -52,6 +52,30 @@ class WebSpec extends SparkTestBase {
     assert(m("news.org") === ((1L, 1L, 1L)))
   }
 
+  test("surtKey reverses host labels, sorts params, drops tracking noise") {
+    val k = Web.surtKey(
+      Seq((1L, "https://WWW.Example.ORG/p/3/?b=2&utm_source=x&a=1#f"))
+        .toDF("id", "url"), "id", "url")
+      .collect().head.getString(2)
+    assert(k === "org,example,www)/p/3?a=1&b=2")
+    val bad = Web.surtKey(Seq((1L, "nope")).toDF("id", "url"), "id", "url")
+      .collect().head
+    assert(bad.isNullAt(2))
+  }
+
+  test("surtDedup collapses scheme/case/slash/param-order variants") {
+    val df = Seq(
+      (1L, "https://www.shop.com/a/?x=1&y=2"),
+      (2L, "http://WWW.Shop.COM/a?y=2&x=1&utm_medium=m"),
+      (3L, "https://www.shop.com/b"))
+      .toDF("id", "url")
+    val m = Web.surtDedup(df, "id", "url").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m("com,shop,www)/a?x=1&y=2") === ((1L, 2L)))
+    assert(m("com,shop,www)/b") === ((3L, 1L)))
+    assert(m.size === 2)
+  }
+
   test("blocklistFilter drops exactly the blocked registered domains") {
     val df = Seq(
       (1L, "https://www.bad.com/a"), (2L, "https://sub.bad.com/b"),
