@@ -458,6 +458,14 @@ object SparkEntry {
         .presented("id_a", "id_b")
     }),
 
+    // Readability (Flesch + FK grade): three exact integer counts, scores
+    // as one fixed double-expression shape over int64 ratios — IEEE
+    // correctly-rounded ops on identical operands, so the oracle matches
+    // bit-for-bit (the temperatureMix determinism argument).
+    "q_readability" -> ((s, dir) =>
+      TextAnalysis.readabilityScores(t(s, dir, "documents"), "doc_id", "text")
+        .presented("doc_id")),
+
     // Trigram-index substring search (Cox codesearch design): AND the
     // pattern's posting lists → candidates, exact contains-verify →
     // matches. Both funnel stages are deterministic, so the oracle replays
@@ -1828,6 +1836,31 @@ object SparkEntry {
          | SELECT a.doc_id AS id_a, b.doc_id AS id_b
          | FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id
          | ORDER BY id_a, id_b""".stripMargin,
+    // Readability replayed: e0 literals force DOUBLE (not DECIMAL)
+    // arithmetic so DuckDB evaluates the identical IEEE expression tree.
+    "q_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |     CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |       AS BIGINT) AS n_words,
+        |     CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS sr,
+        |     CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |       AS BIGINT) AS n_syllables
+        |   FROM documents)
+        | SELECT doc_id, n_words,
+        |   CASE WHEN n_words > 0 THEN greatest(sr, 1) ELSE 0 END
+        |     AS n_sentences,
+        |   n_syllables,
+        |   CASE WHEN n_words > 0 THEN
+        |     206.835e0 - 1.015e0 * (CAST(n_words AS DOUBLE) / greatest(sr, 1))
+        |       - 84.6e0 * (CAST(n_syllables AS DOUBLE) / n_words) END
+        |     AS flesch,
+        |   CASE WHEN n_words > 0 THEN
+        |     0.39e0 * (CAST(n_words AS DOUBLE) / greatest(sr, 1))
+        |       + 11.8e0 * (CAST(n_syllables AS DOUBLE) / n_words)
+        |       - 15.59e0 END
+        |     AS fk_grade
+        | FROM c ORDER BY doc_id""".stripMargin,
+
     // The trigram funnel replayed: candidate = every pattern trigram
     // occurs somewhere in the doc; is_match = the pattern itself does.
     "q_trigram_search" -> {

@@ -459,4 +459,45 @@ object TextAnalysis {
         coalesce(col("__e.n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("__e.n_distinct"), lit(0L)).as("n_distinct"),
         coalesce(col("__e.entropy_scaled"), lit(0L)).as("entropy_scaled"))
+
+  /** Readability profile: Flesch reading ease + Flesch–Kincaid grade from
+    * three EXACT integer counts — whitespace words, sentence-punctuation
+    * runs (min 1: an unpunctuated doc is one sentence), and the classic
+    * vowel-group syllable heuristic (maximal `[aeiouy]+` runs over the
+    * lowercased text; word boundaries never merge runs, so one regexp
+    * count over the whole document equals the per-word sum). The curation
+    * use: grade-level mixing targets and too-simple/too-noisy cutoffs,
+    * next to [[gopherFilter]]'s structural rules.
+    *
+    * Determinism: the counts are integers, and both scores apply the
+    * published coefficients in ONE fixed expression shape over exact
+    * int64 ratios — IEEE double division/multiply/subtract of identical
+    * operands is correctly rounded, so any engine replaying the same tree
+    * matches bit-for-bit (the [[graft.ops.Curation.temperatureMix]]
+    * argument). Empty/whitespace-only docs report zero counts and null
+    * scores. Narrow, shuffle-free, codegen'd — three regexp passes per
+    * row, no UDF.
+    */
+  def readabilityScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = size(filter(split(t, " "), x => x =!= "")).cast("long")
+    val sentRuns = regexp_count(t, lit("[.!?]+")).cast("long")
+    val syl = regexp_count(lower(t), lit("[aeiouy]+")).cast("long")
+    df.select(col(idCol), words.as("n_words"), sentRuns.as("__sr"),
+        syl.as("n_syllables"))
+      .select(col(idCol), col("n_words"),
+        when(col("n_words") > 0, greatest(col("__sr"), lit(1L)))
+          .otherwise(lit(0L)).as("n_sentences"),
+        col("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") > 0,
+          lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+            - lit(84.6) * (col("n_syllables").cast("double") / col("n_words"))))
+      .withColumn("fk_grade",
+        when(col("n_words") > 0,
+          lit(0.39) * (col("n_words").cast("double") / col("n_sentences"))
+            + lit(11.8) * (col("n_syllables").cast("double") / col("n_words"))
+            - lit(15.59)))
+  }
 }

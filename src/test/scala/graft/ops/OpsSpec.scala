@@ -744,6 +744,35 @@ class TextAnalysisSpec extends SparkTestBase {
   }
 }
 
+class ReadabilitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("readability: hand-computed counts and scores") {
+    // "the cat sat. it ran!" — words 5, sentence runs 2,
+    // vowel groups: e,a,a,i,a → 5.
+    val docs = Seq(
+      (1L, "the cat sat. it ran!"),
+      (2L, "no punctuation here"),   // runs 0 → 1 sentence; words 3
+      (3L, ""),                      // empty → zero counts, null scores
+      (4L, "aeiou xyz. bcd!")).toDF("doc_id", "text")
+    val got = TextAnalysis.readabilityScores(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val r1 = got(0)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) === ((5L, 2L, 5L)))
+    assert(math.abs(r1.getDouble(4) -
+      (206.835 - 1.015 * (5.0 / 2) - 84.6 * (5.0 / 5))) < 1e-12)
+    assert(math.abs(r1.getDouble(5) -
+      (0.39 * (5.0 / 2) + 11.8 * (5.0 / 5) - 15.59)) < 1e-12)
+    val r2 = got(1)
+    assert((r2.getLong(1), r2.getLong(2)) === ((3L, 1L)))
+    val r3 = got(2)
+    assert((r3.getLong(1), r3.getLong(2), r3.getLong(3)) === ((0L, 0L, 0L)))
+    assert(r3.isNullAt(4) && r3.isNullAt(5))
+    // "aeiou" is ONE vowel run; y in xyz is another; bcd has none → 2 runs.
+    assert(got(3).getLong(3) === 2L)
+  }
+}
+
 class DocEntropySpec extends SparkTestBase {
   import spark.implicits._
 
