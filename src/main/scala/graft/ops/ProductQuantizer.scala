@@ -469,6 +469,51 @@ object ProductQuantizer {
     * as codes. Measured at sf0.01 (dim 64, m=8, ksub=16, refine=10):
     * ADC-only recall ≈ 0.12, refined ≈ 0.72 vs exact top-5.
     */
+  /** OPQ rotation (Ge, He, Ke & Sun, CVPR 2013 — the parametric
+    * "eigenvalue allocation" initialization): rotate every vector by the
+    * deterministic PCA eigenbasis ([[Similarity.pcaFit]]'s Jacobi, used
+    * WITHOUT centering — a pure rotation, so inner products, L2, and
+    * cosine are all preserved and the exact ground truth is unchanged),
+    * dealing the variance-ranked components round-robin across the m
+    * subquantizer groups: output slot `g·dsub + t` carries component rank
+    * `t·m + g`, so every group holds one component from each variance
+    * tier. Plain PQ splits the RAW axes into m blocks — correlated,
+    * variance-lopsided subspaces quantize badly; balancing the spectrum
+    * across groups is where OPQ's recall gain comes from (the full OPQ
+    * alternates R and codebook updates; the parametric init captures most
+    * of the gain deterministically).
+    *
+    * Scale shape: the rotation matrix is ONE dim×dim literal
+    * (plan-constant, a few KB) and each output component one
+    * `zip_with`+`aggregate` fold inside a `transform` loop over it — the
+    * compact-codegen form ([[Similarity]]'s probeCellsCol lesson: a
+    * per-component unrolled expression tree would blow past JIT method
+    * limits at dim = 64). Narrow, shuffle-free; output replaces `vecCol`
+    * with the rotated float array, so the whole PQ pipeline
+    * (train/encode/ADC/refine) runs unchanged on the rotated space.
+    */
+  def opqRotate(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      basis: Similarity.PcaBasis,
+      m: Int): DataFrame = {
+    val dim = basis.components.length
+    require(dim >= 1 && basis.components.forall(_.length == dim),
+      "opqRotate needs a FULL square basis (pcaFit with k = dim)")
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+    val dsub = dim / m
+    val rows: IndexedSeq[IndexedSeq[Double]] = (0 until dim).map { j =>
+      basis.components((j % dsub) * m + (j / dsub)).toIndexedSeq
+    }
+    val matLit = typedLit(rows)
+    val rotated = transform(matLit, row =>
+      aggregate(zip_with(col(vecCol), row, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, t) => acc + t))
+      .cast("array<float>")
+    df.select(col(idCol), rotated.as(vecCol))
+  }
+
   def pqTopK(
       codes: DataFrame,
       corpus: DataFrame,

@@ -69,6 +69,34 @@ class ProductQuantizerSpec extends SparkTestBase {
     assert(hits.toDouble / total >= 0.6, s"refined recall ${hits.toDouble / total}")
   }
 
+  test("opqRotate is a pure rotation: norms and pairwise cosines preserved") {
+    val basis = Similarity.pcaFit(vecs, "embedding", 16)
+    val rot = ProductQuantizer.opqRotate(vecs, "vec_id", "embedding",
+      basis, m = 4)
+    val orig = vecs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val rotm = rot.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def norm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    def cos(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum / (norm(a) * norm(b))
+    for (id <- Seq(0L, 1L, 17L, 53L)) {
+      assert(math.abs(norm(orig(id)) - norm(rotm(id))) < 1e-3)
+    }
+    for ((i, j) <- Seq((0L, 1L), (0L, 4L), (2L, 53L))) {
+      assert(math.abs(cos(orig(i), orig(j)) - cos(rotm(i), rotm(j))) < 1e-4)
+    }
+    // The PQ pipeline over the rotated space still finds cluster-mates:
+    // query 0's refined top-3 neighbors share its cluster (ids ≡ 0 mod 4).
+    val cb = ProductQuantizer.train(rot, "embedding", m = 4, ksub = 8)
+    val codes = ProductQuantizer.encode(rot, "vec_id", "embedding", cb)
+    val got = ProductQuantizer.pqTopK(codes, rot, "vec_id", "embedding",
+        rot.where($"vec_id" === 0), "vec_id", "embedding", cb,
+        k = 3, refine = 5)
+      .select("neighbor_id").as[Long].collect()
+    assert(got.forall(n => n % 4 === 0L), got.mkString(","))
+  }
+
   test("ivf-pq: residual codes route and rank within probed cells") {
     val index = ProductQuantizer.buildIvfPq(vecs, "vec_id", "embedding",
       nlist = 4, m = 4, ksub = 8)
