@@ -640,6 +640,15 @@ object SparkEntry {
           TextAnalysis.subwordCountApprox(col("text")).cast("long").as("n_subwords"))
         .presented("doc_id")),
 
+    // Quality-paced admission: integer-histogram decile tiers (no global
+    // sort — bounded agg + driver cumulative scan) with linearly ramped
+    // per-tier keep rates. FULLY oracled: quantized score, exact-integer
+    // boundary election, and the hex-threshold draw all replay in SQL.
+    "q_quality_mix" -> ((s, dir) =>
+      Curation.qualityPacedMix(t(s, dir, "documents"), "doc_id",
+          TextAnalysis.qualityScore(col("text")))
+        .presented("doc_id")),
+
     // MinHash+LSH near-dup pairs under the PORTABLE cross-engine hash
     // policy (one md5 per shingle → two 26-bit halves → 64 linear position
     // hashes mod 2^31−1; coefficients from the shared deterministic stream
@@ -2501,6 +2510,38 @@ object SparkEntry {
          |   ($draw < CASE $cases ELSE '${Curation.hexThreshold(1.0)}' END)::INT
          |     AS keep
          | FROM documents ORDER BY doc_id""".stripMargin
+    },
+    // Quality pacing replayed: the q_text_analysis score tree quantized,
+    // histogram + exact-integer ceilings for tier boundaries, correlated
+    // count for the tier, q_mix's md5 draw vs the rate ladder.
+    "q_quality_mix" -> {
+      val draw = "substr(md5(doc_id::VARCHAR || '-graft'), 1, 8)"
+      val rates = (0 until 10)
+        .map(b => "'" + Curation.hexThreshold((b + 1) / 10.0) + "'")
+        .mkString(", ")
+      s"""WITH sc AS (SELECT doc_id,
+         |     CAST(floor(least(1.0,
+         |       n_alpha::DOUBLE / greatest(n_chars, 1) * 0.5
+         |       + len(list_distinct(t))::DOUBLE / greatest(len(t), 1) * 0.3
+         |       + CASE WHEN len(list_intersect(t, $enStopSql)) > 0
+         |              THEN 0.2 ELSE 0.0 END) * 10000) AS INT) AS q
+         |   FROM (SELECT doc_id, length(text) AS n_chars, $tokensSql AS t,
+         |       length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS n_alpha
+         |     FROM documents)),
+         | h AS (SELECT q, count(*) AS c FROM sc GROUP BY q),
+         | cum AS (SELECT q, sum(c) OVER (ORDER BY q) AS cc FROM h),
+         | n AS (SELECT count(*) AS nn FROM sc),
+         | th AS (SELECT i.i AS i,
+         |     (SELECT min(q) FROM cum
+         |      WHERE cc >= (i.i * (SELECT nn FROM n) + 9) // 10) AS t
+         |   FROM range(1, 10) i(i)),
+         | d AS (SELECT sc.doc_id, sc.q,
+         |     CAST((SELECT count(*) FROM th WHERE sc.q >= th.t) AS INT)
+         |       AS bucket
+         |   FROM sc)
+         | SELECT doc_id, q, bucket, $draw AS draw,
+         |   ($draw < ([$rates])[bucket + 1])::INT AS keep
+         | FROM d ORDER BY doc_id""".stripMargin
     },
     "q_chunk" ->
       s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents),

@@ -442,6 +442,65 @@ object Curation {
       (draw < thresh).cast("int").as("keep"))
   }
 
+  /** Quality-paced admission (quality pacing / density mixing): bucket the
+    * corpus into `buckets` quality tiers and keep a LINEARLY increasing
+    * fraction of each (tier b admits (b+1)/buckets) — the curation move
+    * that biases a mixture toward high-quality documents without a hard
+    * cutoff (hard thresholds amputate diversity; paced admission keeps a
+    * deterministic trickle of every tier).
+    *
+    * Scale shape — NO global sort: the score quantizes to an integer key
+    * (`floor(score · qScale)`, ≤ qScale+1 distinct values), tier
+    * boundaries come from ONE bounded histogram aggregation plus a
+    * driver-side cumulative scan (the [[linearProbe]] bounded-driver
+    * contract), and assignment + admission are narrow column algebra
+    * (thresholds are plan literals; the draw is [[hashDraw]]). An
+    * `ntile()` window would sort the full corpus in one partition — the
+    * classic collapse; the histogram route costs one map-side-combined
+    * agg regardless of corpus size.
+    *
+    * Determinism / oracle-ability: the quantized score is the same IEEE
+    * double tree in any engine; boundary election uses EXACT integer
+    * ceilings ((i·n + buckets−1) div buckets); rows sharing a quantized
+    * score share a tier BY CONSTRUCTION (ties never straddle a boundary —
+    * the honest semantics at scale, where per-row rank tie-breaks are
+    * partitioning-dependent); admission replays the [[mixCorpus]] hex
+    * threshold policy. Output: (id, q, bucket, draw, keep).
+    */
+  def qualityPacedMix(
+      df: DataFrame,
+      idCol: String,
+      score: Column,
+      buckets: Int = 10,
+      qScale: Int = 10000,
+      salt: String = "graft"): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(qScale >= buckets, s"qScale must be >= buckets, got $qScale")
+    val scored = df.select(col(idCol), floor(score * qScale).cast("int").as("q"))
+    val hist = scored.groupBy("q").agg(count(lit(1)).as("c"))
+      .orderBy("q").collect()
+    require(hist.nonEmpty, "qualityPacedMix: empty corpus")
+    val n = hist.map(_.getLong(1)).sum
+    var cum = 0L
+    val cumArr = hist.map { r => cum += r.getLong(1); (r.getInt(0), cum) }
+    val th = (1 until buckets).map { i =>
+      val need = (i.toLong * n + buckets - 1) / buckets
+      cumArr.find(_._2 >= need).get._1
+    }
+    val tier = th.foldLeft(lit(0)) { (acc, t) =>
+      acc + (col("q") >= t).cast("int")
+    }
+    val rates = (0 until buckets)
+      .map(b => hexThreshold((b + 1).toDouble / buckets)).toIndexedSeq
+    val draw = hashDraw(col(idCol), salt)
+    scored
+      .withColumn("bucket", tier)
+      .withColumn("draw", draw)
+      .withColumn("keep",
+        (col("draw") < element_at(typedLit(rates), col("bucket") + 1))
+          .cast("int"))
+  }
+
   /** Stream packing layout: concatenate each shard's documents (in id order)
     * into one token stream and cut it every `budget` tokens — the
     * pack-then-split batching used to build fixed-length training sequences.

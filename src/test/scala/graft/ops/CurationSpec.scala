@@ -82,6 +82,40 @@ class CurationSpec extends SparkTestBase {
     assert(again === got.map { case (id, v) => id -> v._4 })
   }
 
+  test("qualityPacedMix: histogram tiers, tie coherence, ramped admission") {
+    // Scores are the id scaled to [0,1): ids 0..99 → q = id*100, so tier
+    // boundaries land exactly every 10 ids. Ids 200..204 share one score
+    // (tie block) and must share one tier.
+    val base = (0L until 100L).map(i => (i, i / 100.0)) ++
+      (200L to 204L).map(i => (i, 0.555))
+    val df = base.toDF("id", "s")
+    val got = Curation.qualityPacedMix(df, "id", col("s"), buckets = 5,
+        qScale = 1000)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3), r.getInt(4)))).toMap
+    // 105 rows, 5 tiers → boundary at every ceil(i*105/5)=21i-th row.
+    assert(got.size === 105)
+    assert(got(0L)._2 === 0)
+    assert(got(99L)._2 === 4)
+    // The tie block sits wholly in one tier.
+    assert((200L to 204L).map(got(_)._2).toSet.size === 1)
+    // Tier is monotone in score.
+    assert(got(10L)._2 <= got(50L)._2 && got(50L)._2 <= got(90L)._2)
+    // Admission: tier 4 keeps everything (rate 1.0 → 'g' threshold).
+    assert((95L to 99L).forall(got(_)._4 === 1))
+    // keep bit replays draw < threshold exactly.
+    val rates = (0 until 5).map(b => Curation.hexThreshold((b + 1) / 5.0))
+    got.foreach { case (_, (_, b, draw, keep)) =>
+      assert(keep === (if (draw < rates(b)) 1 else 0))
+    }
+    // Deterministic under repartition (histogram + literals, no rank).
+    val re = Curation.qualityPacedMix(df.repartition(13), "id", col("s"),
+        buckets = 5, qScale = 1000)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3), r.getInt(4)))).toMap
+    assert(re === got)
+  }
+
   test("corpusProfile: one-pass integer-exact dataset card") {
     val docs = Seq(
       (1L, "a b c", "s1", "en"),
