@@ -344,6 +344,62 @@ object LogStream {
       }
   }
 
+  /** Input contract for [[kmvDistinctStream]]. */
+  case class DistinctInput(key: String, value: String, eventTimeMs: Long)
+  /** Per-key KMV state: the ≤ k smallest distinct 48-bit hashes, ascending. */
+  private[streaming] case class KmvState(mins: List[Long])
+  /** Running distinct estimate for one key after a micro-batch. */
+  case class DistinctEstimate(key: String, n_kept: Int, kth_hash: Long,
+      est: Long)
+
+  /** Streaming distinct-count estimation with BOUNDED state — the
+    * continuous form of [[graft.ops.Sketches.kmvDistinct]], under the
+    * IDENTICAL hash/estimator policy (first 48 bits of md5; est =
+    * (k−1)·2⁴⁸/(h_k+1); exact below k), so the running estimate after any
+    * prefix of the stream equals the batch sketch over the same rows —
+    * the replayable contract an exact `count(DISTINCT)` cannot offer a
+    * stream at all (its state is the value set itself, unbounded).
+    * State per key is ≤ k longs, checkpoint-recoverable; each micro-batch
+    * emits the key's updated estimate (Update-mode audit row).
+    */
+  def kmvDistinctStream(
+      rows: Dataset[DistinctInput],
+      k: Int = 64): Dataset[DistinctEstimate] = {
+    require(k >= 3, s"k must be >= 3 for the KMV estimator, got $k")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(_.key)
+      .mapGroupsWithState[KmvState, DistinctEstimate](
+        GroupStateTimeout.NoTimeout()) {
+        case (key, it, state: GroupState[KmvState]) =>
+          var mins = state.getOption.map(_.mins).getOrElse(Nil)
+          it.foreach { r =>
+            val h = kmvHash48(r.value)
+            if (!mins.contains(h) &&
+                (mins.size < k || h < mins.last)) {
+              mins = (h :: mins).sorted.take(k)
+            }
+          }
+          state.update(KmvState(mins))
+          val nk = mins.size
+          val kth = if (nk == 0) 0L else mins.last
+          val est =
+            if (nk < k) nk.toLong else ((k - 1).toLong << 48) / (kth + 1)
+          DistinctEstimate(key, nk, kth, est)
+      }
+  }
+
+  /** First 48 bits of md5 as a non-negative long — byte-for-byte the value
+    * [[graft.ops.Sketches.kmvDistinct]]'s `substr(md5hex, 1, 12)` parses.
+    */
+  private[streaming] def kmvHash48(v: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xFFL) << 40) | ((d(1) & 0xFFL) << 32) |
+      ((d(2) & 0xFFL) << 24) | ((d(3) & 0xFFL) << 16) |
+      ((d(4) & 0xFFL) << 8) | (d(5) & 0xFFL)
+  }
+
   /** Continuous ingest: text file stream → parsed log lines → Boom files.
     * (`foreachBatch` + the batch writer — the standard file-sink pattern for
     * a custom format.)

@@ -5,6 +5,7 @@ import java.nio.file.Files
 import graft.SparkTestBase
 import graft.core.LogLine
 import graft.engine.{Ingest, Search}
+import graft.ops.Sketches
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -95,6 +96,49 @@ class LogStreamSpec extends SparkTestBase {
       assert(got(4L) === ((false, 9L)), "doc over remaining budget rejected, budget intact")
       assert(got(5L) === ((true, 10L)), "smaller later doc still admitted")
       assert(got(6L) === ((true, 10L)))
+    } finally q.stop()
+  }
+
+  test("kmvDistinctStream: running estimate equals the batch sketch on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[LogStream.DistinctInput]
+    val est = LogStream.kmvDistinctStream(input.toDS(), k = 8)
+    val q = est.writeStream.format("memory").queryName("kmv")
+      .outputMode("update").start()
+    try {
+      // Batch 1: 5 distinct values (below k → exact) + a duplicate.
+      input.addData((1 to 5).map(i =>
+        LogStream.DistinctInput("a", s"v$i", i * 1000L)) :+
+        LogStream.DistinctInput("a", "v1", 6000L): _*)
+      q.processAllAvailable()
+      // Batch 2: push key a above k; key b stays tiny.
+      input.addData(((6 to 40).map(i =>
+        LogStream.DistinctInput("a", s"v$i", i * 1000L)) ++
+        Seq(LogStream.DistinctInput("b", "x", 1000L),
+          LogStream.DistinctInput("b", "x", 2000L))): _*)
+      q.processAllAvailable()
+      // Latest state per key: n_kept is monotone nondecreasing and each
+      // batch here lands a distinct n_kept, so max-by-n_kept is the final.
+      val last = spark.table("kmv")
+        .groupBy("key").agg(max(struct(
+          col("n_kept"), col("kth_hash"), col("est"))).as("s"))
+        .select("key", "s.n_kept", "s.kth_hash", "s.est")
+        .as[(String, Int, Long, Long)].collect().map(r => r._1 -> r).toMap
+      // Mid-stream row for key a after batch 1 was exact (n_kept 5, est 5).
+      val aRows = spark.table("kmv").where(col("key") === "a")
+        .select("n_kept", "est").as[(Int, Long)].collect().toSet
+      assert(aRows.contains((5, 5L)))
+      // Final states equal the BATCH sketch over the union of all rows.
+      val batch = Sketches.kmvDistinct(
+        ((1 to 5).map(i => ("a", s"v$i")) ++ Seq(("a", "v1")) ++
+          (6 to 40).map(i => ("a", s"v$i")) ++ Seq(("b", "x"), ("b", "x")))
+          .toDF("k", "v"), "k", "v", k = 8)
+        .select("k", "n_kept", "kth_hash", "est")
+        .as[(String, Int, Long, Long)].collect().map(r => r._1 -> r).toMap
+      assert(last("a")._2 === batch("a")._2)
+      assert(last("a")._3 === batch("a")._3, "identical 48-bit md5 min-k")
+      assert(last("a")._4 === batch("a")._4, "identical integer estimator")
+      assert(last("b") === (("b", batch("b")._2, batch("b")._3, batch("b")._4)))
     } finally q.stop()
   }
 
