@@ -1759,6 +1759,18 @@ object SparkEntry {
         .presented("id")
     }),
 
+    // Triangle census of the same synthesized domain graph: oriented
+    // wedge join (each triangle one (source,middle,sink) realization —
+    // the O(m^1.5) bound). Count is orientation-invariant, so the oracle
+    // replays it with the id-ordered canonical 3-way join.
+    "q_triangles" -> ((s, dir) => {
+      val e = t(s, dir, "documents")
+        .select((col("doc_id") % 100).as("src"),
+          ((col("doc_id") * 31 + 7) % 100).as("dst"))
+        .where(col("src") =!= col("dst")).distinct()
+      Graph.triangleCount(e, "src", "dst")
+    }),
+
     // PMI collocations (phrase mining): integerized round(1e6·ln) of a
     // ratio of exact count products (the dsirScore determinism policy —
     // one ln per surviving bigram, products exact below 2^53), so the
@@ -2315,6 +2327,18 @@ object SparkEntry {
          |   (SELECT count(*) FROM fl) AS n_exact_flagged,
          |   1 AS no_false_neg""".stripMargin,
     "q_pagerank" -> pageRankOracleSql(3),
+    "q_triangles" ->
+      """WITH e AS (SELECT DISTINCT least(doc_id % 100, (doc_id*31+7) % 100)
+        |       AS u,
+        |     greatest(doc_id % 100, (doc_id*31+7) % 100) AS v
+        |   FROM documents WHERE doc_id % 100 <> (doc_id*31+7) % 100)
+        | SELECT
+        |   (SELECT count(DISTINCT x) FROM
+        |     (SELECT u AS x FROM e UNION ALL SELECT v FROM e)) AS n_vertices,
+        |   (SELECT count(*) FROM e) AS n_edges,
+        |   (SELECT count(*) FROM e a
+        |     JOIN e b ON a.v = b.u
+        |     JOIN e c ON c.u = a.u AND c.v = b.v) AS n_triangles""".stripMargin,
     "q_pmi_collocations" ->
       s"""WITH tk AS (SELECT $tokensSql AS t FROM documents),
          | uc AS (SELECT w, count(*) AS c1

@@ -295,4 +295,59 @@ object Graph {
     e.unpersist(blocking = false)
     ranks
   }
+
+  /** Global triangle census — the structural summary (clustering mass) of
+    * a similarity/link graph that separates near-clique dup families from
+    * sparse organic linkage. Counting is the oriented-wedge-join
+    * formulation (Suri & Vassilvitskii, WWW 2011): orient every canonical
+    * undirected edge from its lower (degree, id) endpoint to the higher —
+    * a DAG in which each triangle has exactly one (source, middle, sink)
+    * realization, so `wedge ⋈ closing-edge` counts each triangle ONCE.
+    * The orientation is the scale bound: oriented out-degree is O(√m) for
+    * ANY graph, so the wedge join's volume is Σ outdeg² ≤ m^1.5 — a hub
+    * vertex of degree 10⁶ contributes √m wedges instead of the 10¹² a
+    * naive neighbor self-join would generate. Shuffles: degree agg, the
+    * two equi-joins, and 1-row final aggregates — all on id pairs, never
+    * payloads.
+    *
+    * Output (one row): n_vertices, n_edges (canonical distinct),
+    * n_triangles. The count is orientation-invariant, so a SQL oracle
+    * replays it with the simpler id-ordered 3-way join.
+    */
+  def triangleCount(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val e0 = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e0.select(col("u").as("x"))
+      .unionByName(e0.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val oriented = e0
+      .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("a"), col("v").as("b")))
+          .otherwise(struct(col("v").as("a"), col("u").as("b")))
+          .as("o"))
+      .select(col("o.a").as("a"), col("o.b").as("b"))
+    val tri = oriented.as("ab")
+      .join(oriented.as("bc"), col("ab.b") === col("bc.a"))
+      .join(oriented.as("ac"),
+        col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
+      .count()
+    val Array(nv, ne) = Array(
+      deg.count(),
+      e0.count())
+    e0.unpersist(blocking = false)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq((nv, ne, tri)).toDF("n_vertices", "n_edges", "n_triangles")
+  }
 }

@@ -124,6 +124,18 @@ class GraphSpec extends SparkTestBase {
     assert(got5(3L) > got5(4L) && got5(1L) > got5(4L))
   }
 
+  test("triangleCount: K4 + square + pendant, duplicate/reversed edges collapse") {
+    // K4 on {1,2,3,4} → 4 triangles; square {10,11,12,13} → 0; pendant 5–1.
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val square = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L))
+    val noisy = k4.map { case (a, b) => (b, a) } ++ // reversed duplicates
+      Seq((1L, 1L)) // self loop dropped
+    val edges = (k4 ++ square ++ noisy ++ Seq((5L, 1L))).toDF("src", "dst")
+    val got = Graph.triangleCount(edges, "src", "dst")
+      .as[(Long, Long, Long)].collect().head
+    assert(got === ((9L, 11L, 4L))) // 9 vertices, 6+4+1 canonical edges
+  }
+
   test("dedupClusters marks the min id of each cluster canonical") {
     val pairs = Seq((2L, 9L), (9L, 4L), (30L, 31L)).toDF("id_a", "id_b")
     val got = Graph.dedupClusters(pairs, "id_a", "id_b")
