@@ -1040,6 +1040,13 @@ object SparkEntry {
         nCandidates = 100, k = 10)
     }),
 
+    // Key-skew profile of events.user_id: exact Gini of per-key counts
+    // via the counts-of-counts rank-sum (no global sort), all-integer —
+    // the oracle replays it with a row_number formulation (tie order
+    // provably irrelevant) over HUGEINT sums.
+    "q_skew_profile" -> ((s, dir) =>
+      Stats.skewProfile(events(s, dir), "user_id")),
+
     // HLL-audited distinct users per event type: exact distinct count
     // (oracled) + a deterministic audit bit that the mergeable sketch
     // estimate landed inside its 4σ envelope.
@@ -2253,6 +2260,17 @@ object SparkEntry {
     "q_hll_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact, 1 AS est_ok
         | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_skew_profile" ->
+      """WITH c AS (SELECT user_id, count(*) AS x FROM events
+        |   GROUP BY user_id),
+        | r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM c),
+        | s AS (SELECT sum(x * i) AS S, sum(x) AS T, count(*) AS n,
+        |     max(x) AS mx FROM r)
+        | SELECT CAST(T AS BIGINT) AS n_rows, CAST(n AS BIGINT) AS n_keys,
+        |   CAST(mx AS BIGINT) AS max_count,
+        |   CAST((1000000 * (2 * S - (n + 1) * T)) // (n * T) AS BIGINT)
+        |     AS gini_scaled
+        | FROM s""".stripMargin,
     "q_quantile_sketch" ->
       """SELECT event_type, p.p AS probability, count(*) AS n, 1 AS rank_ok
         | FROM events, unnest([0.5, 0.9, 0.99]) p(p)

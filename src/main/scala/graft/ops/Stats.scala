@@ -135,4 +135,40 @@ object Stats {
       .select(col(keyCol) +: qs.map(q => col(s"p${math.round(q * 100)}")) :+
         ok.cast("int").as("est_ok"): _*)
   }
+
+  /** Key-skew profile — the diagnostic a 100 TB job reads BEFORE choosing a
+    * partitioning (salt or not, AQE skew thresholds, broadcast vs shuffle):
+    * row/key totals, the heaviest key's count, and the EXACT Gini
+    * coefficient of the per-key count distribution, scaled to an integer.
+    *
+    * Shape: one map-side-combined count per key, then a counts-of-COUNTS
+    * rollup (bounded by the number of distinct frequencies — tiny), then
+    * driver arithmetic. NO global sort: the rank-sum Σ i·xᵢ over
+    * ascending counts is computed blockwise from (count, multiplicity) —
+    * within a tie block the rank sum is m·p + m(m+1)/2 regardless of tie
+    * order, so the result equals the sorted definition exactly. Driver
+    * math runs in BigInt (Σ i·xᵢ can pass 2⁶³ at ~10⁹ rows × 10⁷ keys);
+    * the emitted `gini_scaled = ⌊10⁶·(2S − (n+1)T) / (nT)⌋` is exact
+    * integer floor division, replayable by any engine with wide-integer
+    * aggregates (DuckDB's HUGEINT).
+    */
+  def skewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("x"))
+    val hist = counts.groupBy("x").agg(count(lit(1)).as("m"))
+      .orderBy("x").collect()
+    require(hist.nonEmpty, "skewProfile: empty input")
+    var p = BigInt(0); var s = BigInt(0); var t = BigInt(0); var n = BigInt(0)
+    var mx = 0L
+    hist.foreach { r =>
+      val c = BigInt(r.getLong(0)); val m = BigInt(r.getLong(1))
+      s += c * (m * p + m * (m + 1) / 2)
+      p += m; t += c * m; n += m
+      mx = r.getLong(0)
+    }
+    val gini = (BigInt(1000000) * (s * 2 - (n + 1) * t) / (n * t)).toLong
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((t.toLong, n.toLong, mx, gini))
+      .toDF("n_rows", "n_keys", "max_count", "gini_scaled")
+  }
 }

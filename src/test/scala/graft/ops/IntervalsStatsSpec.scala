@@ -159,6 +159,22 @@ class IntervalsStatsSpec extends SparkTestBase {
     assert(hinted === unhinted)
   }
 
+  test("skewProfile: exact Gini from counts-of-counts, uniform and skewed") {
+    // Keys a,b → 1 row each; c → 2; d → 4. Sorted x = [1,1,2,4]:
+    // S = 1+2+6+16 = 25, T = 8, n = 4 → G = (50−40)/32 = 0.3125.
+    val rows = Seq("a", "b", "c", "c", "d", "d", "d", "d").map(Tuple1(_))
+      .toDF("k")
+    val got = Stats.skewProfile(rows, "k")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got === ((8L, 4L, 4L, 312500L)))
+    // Perfectly uniform → Gini 0; invariant under partitioning.
+    val uni = (0 until 30).map(i => Tuple1(s"k${i % 5}")).toDF("k")
+    assert(Stats.skewProfile(uni, "k")
+      .as[(Long, Long, Long, Long)].collect().head === ((30L, 5L, 6L, 0L)))
+    assert(Stats.skewProfile(rows.repartition(7), "k")
+      .as[(Long, Long, Long, Long)].collect().head === got)
+  }
+
   test("assignToCentroids: nearest by cosine, ties to lowest cell, nulls skipped") {
     val centers = Seq(
       0 -> Array(1f, 0f, 0f),
