@@ -640,6 +640,14 @@ object SparkEntry {
           TextAnalysis.subwordCountApprox(col("text")).cast("long").as("n_subwords"))
         .presented("doc_id")),
 
+    // Exact-n-per-stratum sample (30 per language): k-bounded top-k on
+    // the md5 draw instead of a stratum-collapsing row_number window.
+    // FULLY oracled — the draw ordering replays as (md5-prefix, id).
+    "q_stratified_sample" -> ((s, dir) =>
+      Curation.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+          nPerStratum = 30)
+        .presented("stratum", "rank")),
+
     // Quality-paced admission: integer-histogram decile tiers (no global
     // sort — bounded agg + driver cumulative scan) with linearly ramped
     // per-tier keep rates. FULLY oracled: quantized score, exact-integer
@@ -2553,6 +2561,14 @@ object SparkEntry {
          |     AS keep
          | FROM documents ORDER BY doc_id""".stripMargin
     },
+    "q_stratified_sample" ->
+      """SELECT lang AS stratum, doc_id, CAST(rank AS INT) AS rank FROM (
+        |   SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |       ORDER BY substr(md5(doc_id::VARCHAR || '-graft'), 1, 12),
+        |         doc_id) AS rank
+        |   FROM documents)
+        | WHERE rank <= 30 ORDER BY stratum, rank""".stripMargin,
+
     // Quality pacing replayed: the q_text_analysis score tree quantized,
     // histogram + exact-integer ceilings for tier boundaries, correlated
     // count for the tier, q_mix's md5 draw vs the rate ladder.

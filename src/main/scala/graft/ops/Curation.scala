@@ -442,6 +442,45 @@ object Curation {
       (draw < thresh).cast("int").as("keep"))
   }
 
+  /** EXACT-n-per-stratum deterministic sample: each stratum keeps its
+    * `nPerStratum` rows with the SMALLEST salted hash draws (ties to the
+    * lower id) — the fixed-quota companion of [[deterministicSample]]
+    * (Bernoulli) and [[budgetSample]] (token budgets): eval panels and
+    * per-language audits need "exactly 30 per stratum", not a rate.
+    *
+    * Scale shape: the per-stratum selection is the k-bounded
+    * [[graft.functions.TopKByScore]] aggregate on score = −draw — partial
+    * buffers hold ≤ n entries, the exchange ships ≤ tasks × strata × n
+    * rows. The obvious `row_number().over(partitionBy(stratum))` sorts an
+    * ENTIRE stratum in one partition — a 100 TB stratum collapses; the
+    * bounded aggregate never materializes more than the quota.
+    *
+    * Determinism / oracle-ability: the 48-bit draw is the md5 prefix
+    * ([[hashDraw]]'s policy, numeric form — fixed-width hex order ≡
+    * numeric order), so any engine replays the selection with
+    * `row_number() OVER (ORDER BY md5-prefix, id)`. Output:
+    * (stratum, id, rank 1..n) in ascending draw order.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      nPerStratum: Int,
+      salt: String = "graft"): DataFrame = {
+    require(nPerStratum >= 1, s"nPerStratum must be >= 1, got $nPerStratum")
+    val draw = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit("-" + salt)).cast("binary")), 1, 12), 16, 10).cast("long")
+    df.select(col(stratumCol).as("stratum"),
+        col(idCol).cast("long").as("__id"), draw.as("__d"))
+      .groupBy("stratum")
+      .agg(graft.functions.TopKByScore.topk_by_score(
+        -col("__d").cast("double"), col("__id"), nPerStratum,
+        distinctIds = false).as("__top"))
+      .select(col("stratum"), posexplode(col("__top")))
+      .select(col("stratum"), col("col.id").as(idCol),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Quality-paced admission (quality pacing / density mixing): bucket the
     * corpus into `buckets` quality tiers and keep a LINEARLY increasing
     * fraction of each (tier b admits (b+1)/buckets) — the curation move

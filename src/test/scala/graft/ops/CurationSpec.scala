@@ -82,6 +82,32 @@ class CurationSpec extends SparkTestBase {
     assert(again === got.map { case (id, v) => id -> v._4 })
   }
 
+  test("stratifiedSample: exact quota per stratum, draw-ordered, window-free") {
+    val df = (0L until 200L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val got = Curation.stratifiedSample(df, "id", "g", nPerStratum = 7)
+      .as[(String, Long, Int)].collect()
+    val byG = got.groupBy(_._1)
+    assert(byG.keySet === Set("g0", "g1", "g2"))
+    assert(byG.values.forall(_.length === 7))
+    // Selection replays the independent md5-order definition.
+    def draw(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id-graft".getBytes("UTF-8"))
+      d.take(6).map(b => f"${b & 0xFF}%02x").mkString
+    }
+    byG.foreach { case (g, rows) =>
+      val want = (0L until 200L).filter(i => s"g${i % 3}" == g)
+        .sortBy(i => (draw(i), i)).take(7)
+      assert(rows.sortBy(_._3).map(_._2).toSeq === want,
+        s"stratum $g selection mismatch")
+    }
+    // A stratum smaller than the quota returns whole, ranked.
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g")
+    val t = Curation.stratifiedSample(tiny, "id", "g", nPerStratum = 5)
+      .as[(String, Long, Int)].collect()
+    assert(t.count(_._1 == "a") === 2 && t.count(_._1 == "b") === 1)
+  }
+
   test("qualityPacedMix: histogram tiers, tie coherence, ramped admission") {
     // Scores are the id scaled to [0,1): ids 0..99 → q = id*100, so tier
     // boundaries land exactly every 10 ids. Ids 200..204 share one score
