@@ -640,6 +640,21 @@ object SparkEntry {
           TextAnalysis.subwordCountApprox(col("text")).cast("long").as("n_subwords"))
         .presented("doc_id")),
 
+    // Snapshot diff vs a synthesized v2 corpus (pure function of doc_id:
+    // %13 removed, %17 text-modified, %11 re-added under offset ids) —
+    // only (id, md5) ever moves. FULLY oracled.
+    "q_corpus_diff" -> ((s, dir) => {
+      val v1 = t(s, dir, "documents")
+      val v2 = v1.where(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(v1.where(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Curation.corpusDiff(v1, v2, "doc_id", "text")
+        .presented("doc_id")
+    }),
+
     // Exact-n-per-stratum sample (30 per language): k-bounded top-k on
     // the md5 draw instead of a stratum-collapsing row_number window.
     // FULLY oracled — the draw ordering replays as (md5-prefix, id).
@@ -2561,6 +2576,23 @@ object SparkEntry {
          |     AS keep
          | FROM documents ORDER BY doc_id""".stripMargin
     },
+    "q_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        | v2 AS (SELECT doc_id,
+        |     CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END
+        |       AS text
+        |   FROM documents WHERE doc_id % 13 <> 0
+        |   UNION ALL
+        |   SELECT doc_id + 100000, text FROM documents WHERE doc_id % 11 = 0),
+        | h1 AS (SELECT doc_id, md5(text) AS h FROM v1),
+        | h2 AS (SELECT doc_id, md5(text) AS h FROM v2)
+        | SELECT coalesce(h1.doc_id, h2.doc_id) AS doc_id,
+        |   CASE WHEN h1.h IS NULL THEN 'added'
+        |        WHEN h2.h IS NULL THEN 'removed'
+        |        WHEN h1.h = h2.h THEN 'unchanged'
+        |        ELSE 'modified' END AS status
+        | FROM h1 FULL OUTER JOIN h2 ON h1.doc_id = h2.doc_id
+        | ORDER BY doc_id""".stripMargin,
     "q_stratified_sample" ->
       """SELECT lang AS stratum, doc_id, CAST(rank AS INT) AS rank FROM (
         |   SELECT lang, doc_id, row_number() OVER (PARTITION BY lang

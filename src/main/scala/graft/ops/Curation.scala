@@ -442,6 +442,32 @@ object Curation {
       (draw < thresh).cast("int").as("keep"))
   }
 
+  /** Snapshot diff between two corpus versions — the audit an incremental
+    * refresh pipeline emits before replacing a training slice: which ids
+    * were ADDED, REMOVED, MODIFIED (content hash changed), or UNCHANGED.
+    * The ONLY payload that moves is (id, 16-byte md5): both sides hash
+    * narrow, the full-outer join is on the id key, and text never rides
+    * the shuffle — at 100 TB the diff costs two scans plus an id-keyed
+    * exchange. Output: (id, status) for every id in either snapshot;
+    * feed `status != 'unchanged'` into [[Dedup.dedupAgainstIndex]]-style
+    * incremental reprocessing so the refresh pays only the delta.
+    */
+  def corpusDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    def hashed(df: DataFrame, side: String) =
+      df.select(col(idCol).cast("long").as("id"),
+        md5(col(textCol).cast("binary")).as(s"__h_$side"))
+    hashed(oldDf, "old").join(hashed(newDf, "new"), Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("__h_old").isNull, "added")
+          .when(col("__h_new").isNull, "removed")
+          .when(col("__h_old") === col("__h_new"), "unchanged")
+          .otherwise("modified").as("status"))
+  }
+
   /** EXACT-n-per-stratum deterministic sample: each stratum keeps its
     * `nPerStratum` rows with the SMALLEST salted hash draws (ties to the
     * lower id) — the fixed-quota companion of [[deterministicSample]]

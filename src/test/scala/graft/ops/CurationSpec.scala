@@ -82,6 +82,17 @@ class CurationSpec extends SparkTestBase {
     assert(again === got.map { case (id, v) => id -> v._4 })
   }
 
+  test("corpusDiff classifies added/removed/modified/unchanged by content hash") {
+    val v1 = Seq((1L, "same"), (2L, "will change"), (3L, "gone"))
+      .toDF("id", "text")
+    val v2 = Seq((1L, "same"), (2L, "changed"), (4L, "fresh"))
+      .toDF("id", "text")
+    val got = Curation.corpusDiff(v1, v2, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "modified",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("stratifiedSample: exact quota per stratum, draw-ordered, window-free") {
     val df = (0L until 200L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
     val got = Curation.stratifiedSample(df, "id", "g", nPerStratum = 7)
