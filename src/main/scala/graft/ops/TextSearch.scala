@@ -284,6 +284,21 @@ object TextSearch {
         .as("gram"))
       .distinct()
 
+  /** Persist a [[buildTrigramIndex]] posting set as a gram-bucketed table —
+    * the build-once artifact of the substring tier. Bucketing by `gram`
+    * means a query's `gram IN (...)` predicate prunes to exactly the
+    * pattern's buckets at scan time (Spark bucket pruning:
+    * `SelectedBucketsCount` in the scan node — asserted in
+    * TextSearchSpec), so a search touches |pattern| buckets of a 100 TB
+    * index, never the index scan. Sorted within buckets so posting reads
+    * are sequential per gram.
+    */
+  def writeTrigramIndex(index: DataFrame, table: String,
+      buckets: Int = 64): Unit =
+    index.write.mode("overwrite")
+      .bucketBy(buckets, "gram").sortBy("gram")
+      .saveAsTable(table)
+
   /** Substring query against a [[buildTrigramIndex]] posting set: candidates
     * are the docs whose index rows cover ALL the pattern's distinct
     * trigrams (an AND of posting lists — a groupBy over only those lists'

@@ -137,6 +137,32 @@ class TextSearchSpec extends SparkTestBase {
     assert(short === Seq((4L, 1)))
   }
 
+  test("persisted trigram index: bucket pruning reaches the scan; results unchanged") {
+    val body = Seq(
+      (1L, "merge group by"),
+      (2L, "page one e gate a grid"),
+      (3L, "nothing here")).toDF("doc_id", "text")
+    val idx = TextSearch.buildTrigramIndex(body, "doc_id", "text")
+    val table = "trigram_idx_spec"
+    try {
+      TextSearch.writeTrigramIndex(idx, table, buckets = 16)
+      val stored = spark.table(table)
+      val got = TextSearch.trigramSearch(stored, body, "doc_id", "text",
+          "ge gr")
+        .as[(Long, Int)].collect().sortBy(_._1).toSeq
+      assert(got === Seq((1L, 1), (2L, 0)))
+      // The gram IN (...) predicate must prune buckets at the scan: the
+      // plan reports fewer selected buckets than the table has.
+      val plan = TextSearch.trigramSearch(stored, body, "doc_id", "text",
+        "ge gr").queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan)
+      assert(sel.isDefined, s"no bucket pruning in plan:\n$plan")
+      assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+        s"expected pruned buckets, got ${sel.get.matched}")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("postingsStats: delta + LEB128 varint sizes, hand-checked") {
     val docs = Seq((0L, "x x y"), (5L, "x"), (300L, "x z"))
       .toDF("doc_id", "text")
