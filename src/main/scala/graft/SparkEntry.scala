@@ -226,6 +226,22 @@ object SparkEntry {
       (cb, codes)
     })
 
+  /** Session-cached trigram posting index (build-once/search-many — the
+    * substring-search tier's contract: production would persist it
+    * gram-bucketed via [[ops.TextSearch.writeTrigramIndex]]; in-session
+    * the persisted DataFrame plays that role so repeated queries pay
+    * only the posting-list reads).
+    */
+  private val trigramIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def trigramIndexFor(s: SparkSession, dir: String): DataFrame =
+    trigramIndexCache.getOrElseUpdate((s, dir), {
+      val idx = ops.TextSearch.buildTrigramIndex(
+        t(s, dir, "documents"), "doc_id", "text")
+      idx.persist()
+      idx
+    })
+
   /** Session-cached OPQ index: the deterministic full-dim PCA rotation
     * (eigenvalue allocation across subquantizer groups) + codebook +
     * codes over the ROTATED space, plus the rotated corpus for query-side
@@ -496,13 +512,11 @@ object SparkEntry {
     // pattern's posting lists → candidates, exact contains-verify →
     // matches. Both funnel stages are deterministic, so the oracle replays
     // candidates as an AND of contains(gram) literals and the verify bit.
-    "q_trigram_search" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+    "q_trigram_search" -> ((s, dir) =>
       TextSearch.trigramSearch(
-        TextSearch.buildTrigramIndex(docs, "doc_id", "text"),
-        docs, "doc_id", "text", "merge group")
-        .presented("doc_id")
-    }),
+        trigramIndexFor(s, dir),
+        t(s, dir, "documents"), "doc_id", "text", "merge group")
+        .presented("doc_id")),
 
     // Edit-distance record linkage (PassJoin-style lossless segment index +
     // levenshtein verify) over the docs' 40-char title prefix. The blocking

@@ -1003,10 +1003,15 @@ object Dedup {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     val d = maxDist
     val dp1 = d + 1
+    // The compact (id, s, L) table feeds FIVE branches (index, probe, two
+    // verify sides, shorts) — persist it so the source scans once (the
+    // ngramJaccardPairs persisted-sets convention; record strings are the
+    // short linkage field, not document bodies).
     val recs = df
       .select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
       .where(col("s").isNotNull && length(col("s")) >= 1)
       .withColumn("L", length(col("s")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Index side: the d+1 even chunks of each record of length >= d+1.
     val idx = recs.where(col("L") >= dp1)
       .select(col("id").as("id_a"), col("s").as("s_a"), col("L").as("La"),
