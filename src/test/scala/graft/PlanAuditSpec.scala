@@ -19,4 +19,26 @@ class PlanAuditSpec extends SparkTestBase {
     assert(offenders.isEmpty,
       s"queries planning cartesian products: ${offenders.mkString(", ")}")
   }
+
+  test("column pruning reaches the parquet scan on representative queries") {
+    // A scan that reads all columns for a 2-column projection is wrong at
+    // any scale; these queries each need only a subset of `documents`.
+    val dir = "/root/testdata/sf0.001"
+    val expected = Map(
+      "q_token_count" -> Set("doc_id", "text"),
+      "q_readability" -> Set("doc_id", "text"),
+      "q_dedup_exact" -> Set("doc_id", "text"),
+      "q_stratified_sample" -> Set("doc_id", "lang"),
+      "q_lang_stats" -> Set("lang", "n_chars"))
+    val bad = expected.toSeq.sortBy(_._1).flatMap { case (name, cols) =>
+      val scans = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.requiredSchema.fieldNames.toSet
+        }
+      scans.filterNot(_.subsetOf(cols))
+        .map(extra => s"$name reads ${extra -- cols}")
+    }
+    assert(bad.isEmpty, s"unpruned scans: ${bad.mkString("; ")}")
+  }
 }
