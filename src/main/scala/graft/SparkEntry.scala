@@ -645,6 +645,14 @@ object SparkEntry {
           bucketSize = 50)
         .presented("bucket")),
 
+    // Sentence-level language mix (code-switching profile): per-sentence
+    // langId votes, dominant language by (count desc, tag asc), is_mixed
+    // bit. FULLY oracled — the oracle replays the sentence regexp, the
+    // per-sentence stopword vote, and the argmax window.
+    "q_sentence_langmix" -> ((s, dir) =>
+      TextAnalysis.sentenceLangMix(t(s, dir, "documents"), "doc_id", "text")
+        .presented("doc_id")),
+
     // Quality score + subword count (both SQL-expressible; the custom-hash
     // fingerprint is covered by q_fingerprint's md5 oracle + unit invariants)
     "q_text_analysis" -> ((s, dir) =>
@@ -2781,6 +2789,28 @@ object SparkEntry {
          |     list_sort([$langScoreStructsSql])[-1] AS g
          |   FROM (SELECT doc_id, lang, $tokensSql AS t FROM documents))
          | ORDER BY doc_id""".stripMargin,
+    "q_sentence_langmix" ->
+      s"""WITH sen AS (SELECT doc_id, trim(x) AS s FROM
+         |     (SELECT doc_id, unnest(regexp_extract_all(text,
+         |        '[^.!?]+[.!?]*')) AS x FROM documents)
+         |   WHERE trim(x) <> ''),
+         | lg AS (SELECT doc_id,
+         |     CASE WHEN g.s > 0 THEN g.c ELSE 'und' END AS sl
+         |   FROM (SELECT doc_id, list_sort([$langScoreStructsSql])[-1] AS g
+         |     FROM (SELECT doc_id, list_filter(
+         |         regexp_split_to_array(lower(s), '\\s+'), x -> x <> '') AS t
+         |       FROM sen))),
+         | c AS (SELECT doc_id, sl, count(*) AS c FROM lg GROUP BY doc_id, sl),
+         | top AS (SELECT doc_id, sl AS dominant_lang, c AS n_dominant FROM
+         |     (SELECT doc_id, sl, c, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY c DESC, sl) AS rn FROM c)
+         |   WHERE rn = 1),
+         | tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_sentences
+         |   FROM c GROUP BY doc_id)
+         | SELECT t.doc_id, n_sentences, dominant_lang,
+         |   CAST(n_dominant AS BIGINT) AS n_dominant,
+         |   (n_dominant < n_sentences)::INT AS is_mixed
+         | FROM tot t JOIN top USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     "q_postings" ->
       s"""WITH tk AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
          | td AS (SELECT term, doc_id AS id, count(*) AS tf

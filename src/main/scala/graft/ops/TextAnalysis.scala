@@ -460,6 +460,39 @@ object TextAnalysis {
         coalesce(col("__e.n_distinct"), lit(0L)).as("n_distinct"),
         coalesce(col("__e.entropy_scaled"), lit(0L)).as("entropy_scaled"))
 
+  /** Sentence-level language mix (code-switching profile): run [[langId]]
+    * per SENTENCE and report, per document, the sentence count, the
+    * dominant language (most sentences; ties to the lexicographically
+    * smaller tag), how many sentences it covers, and an `is_mixed` bit —
+    * the signal that separates genuinely multilingual documents from
+    * mislabeled ones, which document-level language ID averages away
+    * (one English paragraph in a German page flips neither the doc-level
+    * vote nor any stopword ratio, but curation pipelines routing by
+    * language need to know).
+    *
+    * Shape: sentence split and per-sentence language ID are one narrow
+    * fused pass ([[graft.functions.LangIdExpression]] per exploded
+    * sentence); the only exchanges carry (id, lang-tag) pairs — never
+    * text. The per-doc argmax is `min(struct(−count, lang))` — no window.
+    * Documents with no sentences (empty text) emit nothing. Every output
+    * column is a count or a deterministic vote, so the whole profile is
+    * SQL-replayable.
+    */
+  def sentenceLangMix(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = df
+      .select(col(idCol).as("__id"),
+        explode(Dedup.sentences(col(textCol))).as("__s"))
+      .select(col("__id"), langId(col("__s")).as("__sl"))
+      .groupBy("__id", "__sl").agg(count(lit(1)).as("__c"))
+    counts.groupBy("__id")
+      .agg(sum(col("__c")).as("n_sentences"),
+        min(struct((-col("__c")).as("nc"), col("__sl").as("sl"))).as("__top"))
+      .select(col("__id").as(idCol), col("n_sentences"),
+        col("__top.sl").as("dominant_lang"),
+        (-col("__top.nc")).as("n_dominant"),
+        ((-col("__top.nc")) < col("n_sentences")).cast("int").as("is_mixed"))
+  }
+
   /** Readability profile: Flesch reading ease + Flesch–Kincaid grade from
     * three EXACT integer counts — whitespace words, sentence-punctuation
     * runs (min 1: an unpunctuated doc is one sentence), and the classic

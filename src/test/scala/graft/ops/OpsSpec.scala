@@ -744,6 +744,27 @@ class TextAnalysisSpec extends SparkTestBase {
   }
 }
 
+class SentenceLangMixSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("per-sentence votes, dominant election, mixed bit") {
+    val docs = Seq(
+      (1L, "the cat is big. the dog is fast. der hund ist gut."),
+      (2L, "the cat is big."),
+      (3L, "xyzzy blah.")).toDF("doc_id", "text")
+    val got = TextAnalysis.sentenceLangMix(docs, "doc_id", "text")
+      .as[(Long, Long, String, Long, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 3L, "en", 2L, 1)))
+    assert(got(2L) === ((2L, 1L, "en", 1L, 0)))
+    assert(got(3L) === ((3L, 1L, "und", 1L, 0)))
+    // Empty text emits nothing.
+    val e = TextAnalysis.sentenceLangMix(
+      Seq((9L, "")).toDF("doc_id", "text"), "doc_id", "text").count()
+    assert(e === 0L)
+  }
+}
+
 class ReadabilitySpec extends SparkTestBase {
   import spark.implicits._
 
