@@ -208,6 +208,31 @@ class DedupSpec extends SparkTestBase {
     assert(brute.nonEmpty)
   }
 
+  test("editDistancePairs equals brute force on random strings (property)") {
+    // Small alphabet + short lengths force heavy near-collisions — the
+    // regime where a lossy blocker would drop pairs. Levenshtein ground
+    // truth comes from Spark's own function on the cross join.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(28, for {
+      len <- Gen.choose(0, 9)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString)
+    for (i <- 0 until 6) {
+      val pool = gen(Gen.Parameters.default, Seed(7L + i)).get
+        .zipWithIndex.map { case (s, id) => (id.toLong, s) }
+      val recs = pool.toDF("id", "s")
+      val brute = recs.as("x").join(recs.as("y"), $"x.id" < $"y.id")
+        .select($"x.id", $"y.id", levenshtein($"x.s", $"y.s").as("d"))
+        .where($"d" <= 2 && length($"x.s") >= 1 && length($"y.s") >= 1)
+        .as[(Long, Long, Int)].collect().toSet
+      val got = Dedup.editDistancePairs(recs, "id", "s", maxDist = 2)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got === brute,
+        s"seed=${7 + i} missing=${brute -- got} extra=${got -- brute}")
+    }
+  }
+
   test("removeBoilerplate drops exactly the tokens covered by shared spans") {
     val df = Seq(
       (1L, "alpha beta gamma unique one"),
