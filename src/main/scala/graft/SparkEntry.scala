@@ -1085,6 +1085,23 @@ object SparkEntry {
         nCandidates = 100, k = 10)
     }),
 
+    // Schema-on-read over the JSON props column: from_json with an
+    // explicit schema (codegen'd Jackson parse, no UDF) → typed rollup
+    // per event type. The log-analytics staple the string-grep queries
+    // (q_grep_regex) deliberately avoid. Exact oracle via json_extract.
+    "q_json_extract" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          countDistinct(col("k")).as("n_distinct_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .presented("event_type")),
+
     // Key-skew profile of events.user_id: exact Gini of per-key counts
     // via the counts-of-counts rank-sum (no global sort), all-integer —
     // the oracle replays it with a row_number formulation (tie order
@@ -2304,6 +2321,15 @@ object SparkEntry {
     },
     "q_hll_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact, 1 AS est_ok
+        | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |   CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+        |     AS sum_k,
+        |   count(DISTINCT CAST(json_extract(props, '$.k') AS INT))
+        |     AS n_distinct_k,
+        |   min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+        |   max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
         | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_skew_profile" ->
       """WITH c AS (SELECT user_id, count(*) AS x FROM events
