@@ -313,10 +313,28 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    hammingPairs(
+      df.select(col(idCol).as("id"),
+        simhash64(TextAnalysis.tokens(col(textCol))).as("sig")),
+      "id", "sig", maxHamming, maxBucketSize)
+
+  /** All pairs of 64-bit signatures within Hamming distance `maxHamming`,
+    * banded on the signature's four 16-bit blocks (pigeonhole: ≤ 3 flipped
+    * bits leave at least one block untouched, so blocking is LOSSLESS for
+    * maxHamming ≤ 3 up to the bucket cap). The shared kernel of
+    * [[simhashDupePairs]] (text simhash) and
+    * [[Multimodal.imageDupePairs]] (perceptual image hashes) — any 64-bit
+    * fingerprint family dedups through the same one-shuffle shape.
+    */
+  def hammingPairs(
+      sigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int = 3,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
-      simhash64(TextAnalysis.tokens(col(textCol))).as("sig"))
-    val blocked = sigs.select(col("id"), col("sig"),
+    val base = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
+    val blocked = base.select(col("id"), col("sig"),
       explode(array((0 until 4).map { blk =>
         struct(lit(blk).as("blk"),
           shiftright(col("sig"), blk * 16).bitwiseAND(lit(0xFFFFL)).as("key"))

@@ -460,6 +460,87 @@ object Multimodal {
     }(enc)
   }
 
+  /** 64-bit average hash (aHash) of an image — the standard perceptual
+    * near-dup key: grayscale average-pool to an 8×8 grid, threshold each
+    * cell against the 64-cell mean; bit (row·8 + col) set when the cell
+    * is at or above the mean. All-integer grayscale accumulation
+    * (299/587/114 luma weights) with ONE double division per cell keeps
+    * the hash deterministic across JVMs. Invariant to uniform brightness
+    * scaling and re-encoding; small edits flip few bits, so Hamming
+    * distance is the similarity axis.
+    */
+  def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(7, y * 8 / h) * 8
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val gray = ((rgb >> 16) & 0xFF) * 299L + ((rgb >> 8) & 0xFF) * 587L +
+          (rgb & 0xFF) * 114L
+        val ci = cy + math.min(7, x * 8 / w)
+        sums(ci) += gray
+        cnts(ci) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val means = new Array[Double](64)
+    var i = 0
+    var total = 0.0
+    while (i < 64) {
+      means(i) = if (cnts(i) == 0) 0.0 else sums(i).toDouble / cnts(i)
+      total += means(i)
+      i += 1
+    }
+    val mean = total / 64
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (means(i) >= mean) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** (media_id, ahash) for every DECODABLE image row — the signature table
+    * [[imageDupePairs]] dedups on. Same narrow per-partition decode batch
+    * as [[extractFeatures]]; non-image and undecodable rows are skipped
+    * (they have no pixels to fingerprint).
+    */
+  def imageHashes(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    media.select("media_id", "mime", "bytes").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val mime = r.getString(1)
+        if (mime == null || !mime.startsWith("image/") || r.isNullAt(2)) None
+        else decodeImage(r.getAs[Array[Byte]](2))
+          .map(img => Row(r.getLong(0), aHash64(img)))
+      }
+    }(enc)
+  }
+
+  /** Perceptual image near-dup pairs: [[aHash64]] fingerprints through the
+    * generic banded Hamming join ([[Dedup.hammingPairs]]) — re-encoded,
+    * brightness-shifted, or lightly edited copies collide at small
+    * Hamming distance while the corpus only ever shuffles (id, 8-byte
+    * hash) rows. The multimodal face of the text simhash pipeline.
+    */
+  def imageDupePairs(
+      media: DataFrame,
+      maxHamming: Int = 0,
+      maxBucketSize: Int = 4096): DataFrame =
+    Dedup.hammingPairs(imageHashes(media), "media_id", "ahash",
+      maxHamming, maxBucketSize)
+
   /** Image resize over the media table: decodable payloads are REALLY
     * resized — decode ([[decodeImage]]), bilinear Graphics2D scale into the
     * (maxW, maxH) box aspect-preserving (never upscaling), re-encode in the

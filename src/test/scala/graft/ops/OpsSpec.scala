@@ -860,6 +860,39 @@ class DocEntropySpec extends SparkTestBase {
 class MultimodalSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("aHash64: copy-invariant, brightness-shift-invariant, inversion-far") {
+    import java.awt.image.BufferedImage
+    def img(f: (Int, Int) => Int): BufferedImage = {
+      val im = new BufferedImage(64, 48, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 64) im.setRGB(x, y, f(x, y))
+      im
+    }
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    val base = img((x, _) => gray(x * 4 % 256))
+    val copy = img((x, _) => gray(x * 4 % 256))
+    // Uniform brightness shift moves every cell mean AND the global mean
+    // equally — the threshold pattern (and hash) is invariant.
+    val brighter = img((x, _) => gray(math.min(255, x * 4 % 256 + 10)))
+    val inverted = img((x, _) => gray(255 - x * 4 % 256))
+    val hb = Multimodal.aHash64(base)
+    assert(Multimodal.aHash64(copy) === hb)
+    assert(java.lang.Long.bitCount(Multimodal.aHash64(brighter) ^ hb) <= 8)
+    assert(java.lang.Long.bitCount(Multimodal.aHash64(inverted) ^ hb) >= 48)
+  }
+
+  test("imageDupePairs recovers planted byte-identical copies via Hamming banding") {
+    val imgs = Multimodal.syntheticMedia(spark, 30)
+      .where($"mime".startsWith("image/"))
+    val all = imgs.unionByName(imgs.select(($"media_id" + 100).as("media_id"),
+      $"doc_id", $"mime", $"bytes", $"meta"))
+    val pairs = Multimodal.imageDupePairs(all, maxHamming = 0)
+      .as[(Long, Long, Int)].collect()
+    val planted = pairs.filter(p => p._2 == p._1 + 100)
+    val nImgs = imgs.count()
+    assert(planted.length.toLong === nImgs, s"found ${planted.length} of $nImgs")
+    assert(planted.forall(_._3 == 0))
+  }
+
   test("feature extraction preserves ids and emits fixed-dim vectors") {
     val media = Multimodal.syntheticMedia(spark, 20)
     val feats = Multimodal.extractFeatures(media)
