@@ -645,6 +645,25 @@ object SparkEntry {
           bucketSize = 50)
         .presented("bucket")),
 
+    // Greedy longest-match (WordPiece/MaxMatch) subword encoding of every
+    // distinct corpus word against a fixed piece vocabulary — the encode
+    // half of subword tokenization next to the BPE trainer, with the
+    // [UNK]-rate column a tokenizer-coverage audit reads. FULLY oracled:
+    // the greedy rule is a pure function of (word, vocab), unrolled into
+    // 24 per-step CTEs (longest prefixing piece = ORDER BY len DESC).
+    "q_wordpiece" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .distinct()
+        .select(col("word"),
+          graft.functions.WordPieceFunctions.maxmatch_pieces(
+            array(col("word")), WordPieceVocab).as("__p"))
+        .select(col("word"), array_join(col("__p"), " ").as("pieces"),
+          size(col("__p")).cast("long").as("n_pieces"),
+          size(filter(col("__p"), p => p === "[UNK]")).cast("long")
+            .as("n_unk"))
+        .presented("word")),
+
     // Sentence-level language mix (code-switching profile): per-sentence
     // langId votes, dominant language by (count desc, tag asc), is_mixed
     // bit. FULLY oracled — the oracle replays the sentence regexp, the
@@ -2842,6 +2861,7 @@ object SparkEntry {
          |     list_sort([$langScoreStructsSql])[-1] AS g
          |   FROM (SELECT doc_id, lang, $tokensSql AS t FROM documents))
          | ORDER BY doc_id""".stripMargin,
+    "q_wordpiece" -> wordPieceOracleSql(24),
     "q_sentence_langmix" ->
       s"""WITH sen AS (SELECT doc_id, trim(x) AS s FROM
          |     (SELECT doc_id, unnest(regexp_extract_all(text,
@@ -3553,6 +3573,49 @@ object SparkEntry {
        |$steps
        |$finals
        |ORDER BY "rank"""".stripMargin
+  }
+
+  /** Piece vocabulary for the q_wordpiece MaxMatch demo: every lowercase
+    * letter (the coverage fallback) plus common English/word-shape pieces.
+    */
+  private val WordPieceVocab: Seq[String] =
+    ('a' to 'z').map(_.toString) ++ Seq(
+      "the", "er", "in", "re", "on", "at", "an", "or", "te", "al", "ing",
+      "ion", "row", "scan", "group", "merge", "value", "column", "hash",
+      "join", "key", "sort", "filter", "spark", "batch", "stream",
+      "vector", "custom", "line", "part")
+
+  /** MaxMatch unrolled: step t computes the longest vocabulary piece
+    * prefixing the remaining string (`ORDER BY len(p) DESC LIMIT 1` — two
+    * equal-length distinct pieces cannot both prefix one string, so the
+    * pick is unique), strips it (or one char + [UNK] when none matches),
+    * and appends to the piece list — the exact greedy rule of
+    * [[graft.functions.MaxMatchOps]] with the same 24-step cap.
+    */
+  private def wordPieceOracleSql(steps: Int): String = {
+    val vocabSql = WordPieceVocab.map("'" + _ + "'").mkString(", ")
+    val blocks = (1 to steps).map { t =>
+      s""" b$t AS (SELECT word, rem, ps,
+         |     (SELECT p FROM v WHERE starts_with(s${t - 1}.rem, p)
+         |      ORDER BY len(p) DESC, p LIMIT 1) AS b
+         |   FROM s${t - 1}),
+         | s$t AS (SELECT word,
+         |     CASE WHEN rem = '' THEN rem
+         |          WHEN b IS NULL THEN substr(rem, 2)
+         |          ELSE substr(rem, len(b) + 1) END AS rem,
+         |     CASE WHEN rem = '' THEN ps
+         |          WHEN b IS NULL THEN list_append(ps, '[UNK]')
+         |          ELSE list_append(ps, b) END AS ps
+         |   FROM b$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (SELECT DISTINCT unnest($tokensSql) AS word FROM documents),
+       | v AS (SELECT unnest([$vocabSql]) AS p),
+       | s0 AS (SELECT word, word AS rem, CAST([] AS VARCHAR[]) AS ps FROM w),
+       |$blocks
+       | SELECT word, array_to_string(ps, ' ') AS pieces,
+       |   CAST(len(ps) AS BIGINT) AS n_pieces,
+       |   CAST(len(list_filter(ps, x -> x = '[UNK]')) AS BIGINT) AS n_unk
+       | FROM s$steps ORDER BY word""".stripMargin
   }
 
   /** MMR unrolled (λ = 0.5): relevance r is the rounded cosine to vec 0's

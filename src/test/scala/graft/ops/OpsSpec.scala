@@ -769,6 +769,31 @@ class TextAnalysisSpec extends SparkTestBase {
   }
 }
 
+class MaxMatchSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.functions.WordPieceFunctions.maxmatch_pieces
+
+  private val vocab = ('a' to 'z').map(_.toString) ++
+    Seq("the", "ing", "er", "spark", "te")
+
+  test("greedy longest match, UNK fallback, piece cap") {
+    def enc(words: String*): Seq[String] =
+      Seq(Tuple1(words)).toDF("t")
+        .select(maxmatch_pieces($"t", vocab).as("p"))
+        .as[Seq[String]].head()
+    assert(enc("sparker") === Seq("spark", "er"))
+    assert(enc("ther") === Seq("the", "r"))       // "the" beats "te"+...
+    assert(enc("ingo") === Seq("ing", "o"))       // greedy, not globally optimal
+    assert(enc("x!z") === Seq("x", "[UNK]", "z")) // non-vocab char → UNK
+    assert(enc("ab", "cd") === Seq("a", "b", "c", "d")) // multi-token concat
+    val capped = Seq(Tuple1(Seq("aaaa"))).toDF("t")
+      .select(graft.functions.WordPieceFunctions.maxmatch_pieces(
+        $"t", vocab, maxPieces = 2).as("p"))
+      .as[Seq[String]].head()
+    assert(capped === Seq("a", "a")) // remainder beyond the cap drops
+  }
+}
+
 class SentenceLangMixSpec extends SparkTestBase {
   import spark.implicits._
 
