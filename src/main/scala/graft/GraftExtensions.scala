@@ -146,6 +146,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "keyword_tags(text, array('term', ...))")
       }))
     ext.injectFunction((
+      FunctionIdentifier("maxmatch_pieces"),
+      new ExpressionInfo(classOf[graft.functions.MaxMatchPieces].getName,
+        "maxmatch_pieces"),
+      (args: Seq[Expression]) => args match {
+        case Seq(toks, vocab) =>
+          val pieces = vocab match {
+            case ca: org.apache.spark.sql.catalyst.expressions.CreateArray =>
+              ca.children.map(c => str(c, "vocabulary piece"))
+            case Literal(data: org.apache.spark.sql.catalyst.util.ArrayData,
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.StringType, _)) =>
+              data.toObjectArray(org.apache.spark.sql.types.StringType)
+                .map(_.toString).toSeq
+            case other => throw new IllegalArgumentException(
+              s"maxmatch_pieces vocabulary must be a string-array literal, got $other")
+          }
+          graft.functions.MaxMatchPieces(toks, pieces)
+        case _ => throw new IllegalArgumentException(
+          "maxmatch_pieces(tokens, array('piece', ...))")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("topk_by_score"),
       new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
       (args: Seq[Expression]) => args match {
