@@ -1544,6 +1544,16 @@ object SparkEntry {
           bucketBits = 6)
         .presented("bucket")),
 
+    // Hilbert-curve bucket rectangles on the same keys — the tighter
+    // locality alternative to Morton (no diagonal jumps). FULLY oracled:
+    // the xy2d quadrant/rotate loop unrolls into one GUARDED CTE per bit
+    // level (21 static levels; levels past the data-fitted bit count
+    // pass through), bit fit replaying zorderStats' integer rule.
+    "q_hilbert" -> ((s, dir) =>
+      Scale.hilbertStats(t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          bucketBits = 6)
+        .presented("bucket")),
+
     // Non-equi point-in-interval join via bin fragmentation (Intervals):
     // order dates × derived "in transit" shipment windows, no cartesian —
     // exact oracle: DuckDB runs the same range join natively (IEJoin).
@@ -2929,6 +2939,7 @@ object SparkEntry {
          |     length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS n_alpha
          |   FROM documents)
          | ORDER BY doc_id""".stripMargin,
+    "q_hilbert" -> hilbertOracleSql(21, 6),
     "q_zorder" ->
       """WITH mx AS (SELECT max(greatest(CAST(l_orderkey AS BIGINT),
         |                               CAST(l_partkey AS BIGINT))) AS mx
@@ -3573,6 +3584,53 @@ object SparkEntry {
        |$steps
        |$finals
        |ORDER BY "rank"""".stripMargin
+  }
+
+  /** Hilbert xy2d unrolled to `maxBits` GUARDED CTE levels: level i is a
+    * no-op (s = 0 pass-through) once i ≥ the data-fitted bit count, so
+    * the static unroll serves any occupied key range up to 2^maxBits.
+    * Each active level takes the quadrant digit (3·rx XOR ry, weighted
+    * s²) and applies the reflect-then-swap rotation — the exact loop of
+    * [[graft.functions.HilbertOps.index]]; the bit fit replays
+    * zorderStats' integer rule capped at maxBits.
+    */
+  private def hilbertOracleSql(maxBits: Int, bucketBits: Int): String = {
+    val steps = (0 until maxBits).map { i =>
+      s""" r$i AS (SELECT a, b, x, y, d, bits,
+         |     CASE WHEN $i < bits THEN 1::BIGINT << (bits - 1 - $i)
+         |          ELSE 0 END AS s
+         |   FROM h$i),
+         | g$i AS (SELECT a, b, x, y, d, bits, s,
+         |     CASE WHEN s > 0 AND (x & s) > 0 THEN 1 ELSE 0 END AS rx,
+         |     CASE WHEN s > 0 AND (y & s) > 0 THEN 1 ELSE 0 END AS ry
+         |   FROM r$i),
+         | h${i + 1} AS (SELECT a, b,
+         |     CASE WHEN s = 0 THEN x
+         |          WHEN ry = 0 THEN CASE WHEN rx = 1
+         |            THEN (1::BIGINT << bits) - 1 - y ELSE y END
+         |          ELSE x END AS x,
+         |     CASE WHEN s = 0 THEN y
+         |          WHEN ry = 0 THEN CASE WHEN rx = 1
+         |            THEN (1::BIGINT << bits) - 1 - x ELSE x END
+         |          ELSE y END AS y,
+         |     d + s * s * xor(3 * rx, ry) AS d, bits
+         |   FROM g$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH mx AS (SELECT max(greatest(CAST(l_orderkey AS BIGINT),
+       |     CAST(l_partkey AS BIGINT))) AS mx FROM lineitem),
+       | m AS (SELECT CAST(coalesce(list_min(list_filter(range(8, $maxBits),
+       |     k -> mx < (1::BIGINT << k))), $maxBits) AS INT) AS bits FROM mx),
+       | h0 AS (SELECT CAST(l_orderkey AS BIGINT) AS a,
+       |     CAST(l_partkey AS BIGINT) AS b,
+       |     CAST(l_orderkey AS BIGINT) & ((1::BIGINT << m.bits) - 1) AS x,
+       |     CAST(l_partkey AS BIGINT) & ((1::BIGINT << m.bits) - 1) AS y,
+       |     CAST(0 AS BIGINT) AS d, m.bits AS bits
+       |   FROM lineitem, m),
+       |$steps
+       | SELECT d >> (2 * bits - $bucketBits) AS bucket, count(*) AS n,
+       |   min(a) AS min_a, max(a) AS max_a,
+       |   min(b) AS min_b, max(b) AS max_b
+       | FROM h$maxBits GROUP BY 1, bits ORDER BY bucket""".stripMargin
   }
 
   /** Piece vocabulary for the q_wordpiece MaxMatch demo: every lowercase

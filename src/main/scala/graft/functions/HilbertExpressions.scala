@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Hilbert-curve index of a 2-D key — the locality-tighter alternative to
+  * the Morton z-value ([[graft.ops.Scale.zValue]]): the Hilbert curve
+  * never makes the long diagonal jumps Morton's bit-interleave does, so
+  * equal-size index ranges bound strictly tighter (a, b) rectangles —
+  * directly better parquet min/max file-skipping per file. The classic
+  * xy2d loop (quadrant digit + reflect-swap rotation per bit level,
+  * Hilbert 1891; the standard bit-twiddling formulation) runs in a plain
+  * per-row loop — sequential rotation state makes it a native expression,
+  * not Column algebra (a per-row `aggregate` fold measured 6× slower on
+  * the Morton audit; the same law applies here).
+  *
+  * Both coordinates truncate to their low `bits` bits (the zValue
+  * convention); the policy below (reflection against the FULL 2^bits − 1,
+  * then swap) is what the SQL oracle unrolls step for step.
+  */
+object HilbertOps {
+  def index(x: Long, y: Long, bits: Int): Long = {
+    val n = 1L << bits
+    val mask = n - 1L
+    var xx = x & mask
+    var yy = y & mask
+    var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((xx & s) > 0) 1L else 0L
+      val ry = if ((yy & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) {
+          xx = n - 1L - xx
+          yy = n - 1L - yy
+        }
+        val t = xx; xx = yy; yy = t
+      }
+      s >>= 1
+    }
+    d
+  }
+}
+
+/** `hilbert_index(a, b)` — Hilbert d-value of (a, b) on a 2^bits grid. */
+case class HilbertIndex(left: Expression, right: Expression, bits: Int)
+  extends BinaryExpression {
+  require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hilbert_index"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HilbertOps.index(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HilbertOps.index($a, $b, $bits)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HilbertIndex =
+    copy(left = newLeft, right = newRight)
+}
+
+object HilbertFunctions {
+  def hilbert_index(a: Column, b: Column, bits: Int): Column =
+    ColumnBridge.column(HilbertIndex(
+      ColumnBridge.expression(a.cast("long")),
+      ColumnBridge.expression(b.cast("long")), bits))
+}

@@ -131,6 +131,63 @@ object Scale {
     * bits all-zero and collapses every row into bucket 0. The max probe is
     * a one-row aggregate — bounded driver materialization.
     */
+  /** Hilbert-curve layout: [[zorderLayout]] with the
+    * [[graft.functions.HilbertIndex]] key instead of the Morton
+    * interleave — same write-side mechanics, strictly tighter per-file
+    * rectangles (the curve has no diagonal jumps).
+    */
+  def hilbertLayout(
+      df: DataFrame,
+      colA: String,
+      colB: String,
+      numPartitions: Int,
+      bits: Int = 21): DataFrame = {
+    val h = graft.functions.HilbertFunctions.hilbert_index(
+      col(colA), col(colB), bits)
+    df.withColumn("__h", h)
+      .repartitionByRange(numPartitions, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+  }
+
+  /** [[zorderStats]]' bucket-rectangle audit on the HILBERT key.
+    * Comparing these rectangles against [[zorderStats]]' on the same data
+    * measures the Hilbert locality advantage directly: same bucket count,
+    * smaller bounding boxes. `bits` < 0 auto-fits to the occupied key
+    * range with zorderStats' integer rule, capped at 21 (the oracle
+    * unrolls one guarded CTE per bit level, so the ceiling must be
+    * static; keys above 2^21 truncate to their low bits — rectangles
+    * loosen, correctness holds, same caveat as zValue's 31-bit ceiling).
+    */
+  def hilbertStats(
+      df: DataFrame,
+      colA: String,
+      colB: String,
+      bits: Int = -1,
+      bucketBits: Int = 6): DataFrame = {
+    val keyed = df.select(col(colA).cast("long").as("a"),
+      col(colB).cast("long").as("b"))
+    val hBits =
+      if (bits > 0) bits
+      else {
+        val mx = keyed.agg(max(greatest(col("a"), col("b")))).collect()
+          .headOption.filterNot(_.isNullAt(0)).map(_.getLong(0)).getOrElse(0L)
+        (8 to 20).find(k => mx < (1L << k)).getOrElse(21)
+      }
+    require(bucketBits >= 1 && bucketBits <= 2 * hBits,
+      s"bucketBits must be in [1, ${2 * hBits}], got $bucketBits")
+    keyed
+      .withColumn("bucket",
+        call_function("shiftright",
+          graft.functions.HilbertFunctions.hilbert_index(
+            col("a"), col("b"), hBits),
+          lit(2 * hBits - bucketBits)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("a").as("min_a"), max("a").as("max_a"),
+        min("b").as("min_b"), max("b").as("max_b"))
+  }
+
   def zorderStats(
       df: DataFrame,
       colA: String,

@@ -87,6 +87,48 @@ class ScaleSpec extends SparkTestBase {
     byA.foreach(r => assert(r.getLong(2) - r.getLong(1) === 15L))
   }
 
+  test("hilbert index: base quadrant order and full-curve adjacency") {
+    import graft.functions.HilbertOps
+    // bits = 1: the canonical U: (0,0)→0, (0,1)→1, (1,1)→2, (1,0)→3.
+    assert(HilbertOps.index(0, 0, 1) === 0L)
+    assert(HilbertOps.index(0, 1, 1) === 1L)
+    assert(HilbertOps.index(1, 1, 1) === 2L)
+    assert(HilbertOps.index(1, 0, 1) === 3L)
+    // The defining property at any depth: the curve is a bijection whose
+    // CONSECUTIVE indices are grid-adjacent cells (|Δa| + |Δb| = 1) —
+    // Morton fails this (diagonal jumps). Verified exhaustively at 3 bits.
+    for (bits <- 1 to 3) {
+      val n = 1 << bits
+      val cells = for (a <- 0 until n; b <- 0 until n)
+        yield (HilbertOps.index(a, b, bits), (a, b))
+      val byD = cells.sortBy(_._1)
+      assert(byD.map(_._1) === (0 until n * n).map(_.toLong))
+      byD.sliding(2).foreach { case Seq((_, (a1, b1)), (_, (a2, b2))) =>
+        assert(math.abs(a1 - a2) + math.abs(b1 - b2) === 1,
+          s"jump at bits=$bits: ($a1,$b1)->($a2,$b2)")
+      }
+    }
+  }
+
+  test("hilbert buckets bound tighter rectangles than morton on a uniform grid") {
+    val grid = (for (a <- 0 until 64; b <- 0 until 64) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    def area(rows: Array[org.apache.spark.sql.Row]): Long = rows.map { r =>
+      (r.getLong(3) - r.getLong(2) + 1) * (r.getLong(5) - r.getLong(4) + 1)
+    }.sum
+    val hil = Scale.hilbertStats(grid, "a", "b", bits = 6, bucketBits = 4)
+      .collect()
+    val mor = Scale.zorderStats(grid, "a", "b", bits = 6, bucketBits = 4)
+      .collect()
+    assert(hil.length === 16 && mor.length === 16)
+    assert(hil.forall(_.getLong(1) === 256L))
+    // Hilbert's 16 buckets each bound a 16×16 square (area 256); Morton's
+    // rectangles are no tighter in total.
+    assert(area(hil) <= area(mor))
+    assert(hil.forall(r => (r.getLong(3) - r.getLong(2) + 1) *
+      (r.getLong(5) - r.getLong(4) + 1) === 256L))
+  }
+
   test("zorderLayout preserves rows and drops the helper column") {
     val grid = (for (a <- 0 until 32; b <- 0 until 32) yield (a.toLong, b.toLong))
       .toDF("a", "b")
