@@ -146,6 +146,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "keyword_tags(text, array('term', ...))")
       }))
     ext.injectFunction((
+      FunctionIdentifier("hilbert_index"),
+      new ExpressionInfo(classOf[graft.functions.HilbertIndex].getName,
+        "hilbert_index"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => graft.functions.HilbertIndex(a, b, 21)
+        case Seq(a, b, bits) =>
+          graft.functions.HilbertIndex(a, b, int(bits, "bits"))
+        case _ => throw new IllegalArgumentException(
+          "hilbert_index(a, b[, bits])")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("maxmatch_pieces"),
       new ExpressionInfo(classOf[graft.functions.MaxMatchPieces].getName,
         "maxmatch_pieces"),

@@ -67,13 +67,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  token_entropy(tokenize('a a b b')) AS ent,
         |  size(cdc_chunk_structs(tokenize('a b c d e f'), 3, 2)) AS n_cdc,
         |  maxmatch_pieces(tokenize('sparker x!'),
-        |    array('spark', 'er', 'x', 's', 'p', 'a', 'r', 'k', 'e')) AS mm
+        |    array('spark', 'er', 'x', 's', 'p', 'a', 'r', 'k', 'e')) AS mm,
+        |  hilbert_index(1L, 1L, 1) AS hil
         |""".stripMargin).head()
     val ent = row2.getAs[org.apache.spark.sql.Row]("ent")
     assert(ent.getLong(0) === 4L && ent.getLong(1) === 2L)
     assert(ent.getLong(2) === math.floor(1e6 * math.log(2.0) + 0.5).toLong)
     assert(row2.getAs[Int]("n_cdc") >= 1)
     assert(row2.getAs[Seq[String]]("mm") === Seq("spark", "er", "x", "[UNK]"))
+    assert(row2.getAs[Long]("hil") === 2L)
 
     // The aggregate path: top-2 scores per group via topk_by_score.
     import spark.implicits._
