@@ -1314,6 +1314,25 @@ object SparkEntry {
         "doc_id", "text", "is_tgt")
         .presented("doc_id")),
 
+    // Active-learning uncertainty sampling: the 25 documents whose probe
+    // score sits closest to the decision boundary (|score| smallest) —
+    // the label-next batch an annotation loop requests. Composes the
+    // deterministic probe with the k-bounded top-k aggregate (a
+    // corpus-wide ORDER BY abs(score) would global-sort); the oracle
+    // chains the unrolled probe SQL with the same ranking.
+    "q_uncertainty_sample" -> ((s, dir) => {
+      val scored = Curation.linearProbe(
+        t(s, dir, "documents")
+          .withColumn("is_tgt", col("text").contains("spark")),
+        "doc_id", "text", "is_tgt")
+      scored.agg(graft.functions.TopKByScore.topk_by_score(
+          (-abs(col("score"))).cast("double"), col("doc_id"), 25).as("__t"))
+        .select(posexplode(col("__t")).as(Seq("pos", "e")))
+        .select((col("pos") + 1).cast("int").as("rank"),
+          col("e.id").as("doc_id"),
+          (-col("e.score")).cast("long").as("abs_score"))
+    }),
+
     // C4 cleaning audit. The raw synthetic docs carry no punctuation, so the
     // query augments them deterministically (doc_id-keyed tails) to exercise
     // every rule; the oracle applies the IDENTICAL augmentation in SQL.
@@ -2570,6 +2589,13 @@ object SparkEntry {
          | FROM tk LEFT JOIN sc USING (doc_id) WHERE tk.source <> 'src2'
          | ORDER BY tk.doc_id""".stripMargin,
     "q_quality_probe" -> probeOracleSql(1024, 4),
+    "q_uncertainty_sample" ->
+      s"""SELECT rank, doc_id, abs_score FROM (
+         |  SELECT CAST(row_number() OVER (ORDER BY abs(score), doc_id)
+         |      AS INT) AS rank,
+         |    doc_id, abs(score) AS abs_score
+         |  FROM (${probeOracleSql(1024, 4)}) q)
+         | WHERE rank <= 25 ORDER BY rank""".stripMargin,
     "q_c4_filter" ->
       s"""SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem,
          |   has_brace, has_badword,
