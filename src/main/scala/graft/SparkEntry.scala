@@ -1915,6 +1915,14 @@ object SparkEntry {
       Graph.triangleCount(e, "src", "dst")
     }),
 
+    // Deterministic negative sampling (tempered-unigram draws, 5 per
+    // doc): vocabulary ladder from one count agg, draws pure functions of
+    // (id, slot, salt) — FULLY oracled down to every sampled term.
+    "q_negative_samples" -> ((s, dir) =>
+      LanguageModel.negativeSamples(t(s, dir, "documents"), "doc_id",
+          "text", vocabSize = 50, k = 5)
+        .presented("doc_id", "neg_idx")),
+
     // PMI collocations (phrase mining): integerized round(1e6·ln) of a
     // ratio of exact count products (the dsirScore determinism policy —
     // one ln per surviving bigram, products exact below 2^53), so the
@@ -2898,6 +2906,28 @@ object SparkEntry {
          |   FROM (SELECT doc_id, lang, $tokensSql AS t FROM documents))
          | ORDER BY doc_id""".stripMargin,
     "q_wordpiece" -> wordPieceOracleSql(24),
+    // Negative-sampling replay: same vocab election, sqrt-tempered
+    // integer ladder, 52-bit md5 uniforms, and ladder lookup.
+    "q_negative_samples" ->
+      s"""WITH tc AS (SELECT t, count(*) AS c FROM
+         |     (SELECT unnest($tokensSql) AS t FROM documents)
+         |   GROUP BY t ORDER BY c DESC, t LIMIT 50),
+         | wv AS (SELECT t, floor(sqrt(CAST(c AS DOUBLE)) * 65536) AS w,
+         |     row_number() OVER (ORDER BY c DESC, t) AS i FROM tc),
+         | cv AS (SELECT t, i,
+         |     CAST(sum(w) OVER (ORDER BY i) AS BIGINT) AS cum FROM wv),
+         | tot AS (SELECT max(cum) AS s FROM cv),
+         | dr AS (SELECT doc_id, j AS neg_idx,
+         |     CAST(floor((CAST(('0x' || substr(md5(
+         |         CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)
+         |           || '-graft'), 1, 13)) AS BIGINT) / 4503599627370496.0)
+         |       * tot.s) AS BIGINT) AS r
+         |   FROM documents, range(1, 6) t(j), tot),
+         | pick AS (SELECT doc_id, neg_idx,
+         |     (SELECT min(i) FROM cv WHERE cum > dr.r) AS i FROM dr)
+         | SELECT doc_id, CAST(neg_idx AS INT) AS neg_idx, cv.t AS term
+         | FROM pick JOIN cv USING (i)
+         | ORDER BY doc_id, neg_idx""".stripMargin,
     "q_sentence_langmix" ->
       s"""WITH sen AS (SELECT doc_id, trim(x) AS s FROM
          |     (SELECT doc_id, unnest(regexp_extract_all(text,

@@ -249,4 +249,53 @@ object LanguageModel {
         coalesce(col("sum_den"), lit(0L)).as("sum_den"),
         col("__lp").as("logprob"))
   }
+
+  /** Deterministic negative sampling from the tempered unigram
+    * distribution — the draw word2vec/contrastive training consumes
+    * (Mikolov et al. 2013 sample negatives ∝ count^0.75; this uses the
+    * T = 2 temper, count^0.5, because `sqrt` is IEEE-correctly-rounded in
+    * every engine where `pow(·, 0.75)`'s last ulp is libm-specific — the
+    * [[graft.ops.Curation.temperatureMix]] determinism trade, same
+    * flattening intent). Per (document, slot) the draw is a pure function
+    * of (id, slot, salt): a 52-bit md5 uniform against the integer
+    * cumulative-weight ladder of the top-`vocabSize` terms — re-runs,
+    * retries, and independent engines sample identically, so the oracle
+    * replays every drawn term.
+    *
+    * Scale shape: ONE token-count aggregation elects the vocabulary (the
+    * driver holds vocabSize rows); terms and cumulative bounds become
+    * plan literals; draws are narrow per-row column algebra (the ladder
+    * lookup is a bounded `filter` over the literal array). No alias
+    * table needed at this vocab scale — and the ladder, unlike an alias
+    * table, is order-stable and SQL-replayable.
+    */
+  def negativeSamples(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int = 50,
+      k: Int = 5,
+      weightScale: Long = 65536L,
+      salt: String = "graft"): DataFrame = {
+    require(vocabSize >= 1 && k >= 1, "vocabSize and k must be >= 1")
+    val counts = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("t")).limit(vocabSize).collect()
+    require(counts.nonEmpty, "negativeSamples: empty vocabulary")
+    val terms = counts.map(_.getString(0)).toIndexedSeq
+    val ws = counts.map(r =>
+      math.floor(math.sqrt(r.getLong(1).toDouble) * weightScale).toLong)
+    val cum = ws.scanLeft(0L)(_ + _).tail.toIndexedSeq
+    val total = cum.last
+    val draw = Curation.hashUniform(
+      concat(col(idCol).cast("string"), lit(":"), col("neg_idx").cast("string")),
+      salt)
+    df.select(col(idCol), explode(sequence(lit(1), lit(k))).as("neg_idx"))
+      .withColumn("__r", floor(draw * total).cast("long"))
+      .withColumn("__i",
+        size(filter(typedLit(cum), c => c <= col("__r"))) + 1)
+      .select(col(idCol), col("neg_idx").cast("int").as("neg_idx"),
+        element_at(typedLit(terms), col("__i")).as("term"))
+  }
 }

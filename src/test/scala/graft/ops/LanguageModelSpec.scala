@@ -203,4 +203,26 @@ class LanguageModelSpec extends SparkTestBase {
     // Doc 12: single token -> no grams, zeroed counters, null logprob.
     assert(score(2).getLong(1) === 0L && score(2).isNullAt(6))
   }
+
+  test("negativeSamples: tempered-unigram draws, deterministic and ladder-replayable") {
+    // 'zzz' dominates the counts 100:1 — sqrt-tempering keeps it the most
+    // frequent draw, while rare terms still appear (the flattening point).
+    val docs = ((1L to 50L).map(i => (i, "zzz " * 20 + s"rare$i")) ++
+      Seq((99L, "alpha beta"))).toDF("doc_id", "text")
+    val got = LanguageModel.negativeSamples(docs, "doc_id", "text",
+        vocabSize = 30, k = 4)
+      .as[(Long, Int, String)].collect()
+    assert(got.length === 51 * 4)
+    assert(got.forall(r => r._2 >= 1 && r._2 <= 4))
+    val freq = got.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(freq.keySet.contains("zzz"))
+    assert(freq("zzz") === freq.values.max, freq.toString)
+    assert(freq.size > 1, "tempering must leave tail terms reachable")
+    // Pure function of (id, slot, salt): re-run and repartition identical.
+    val again = LanguageModel.negativeSamples(docs.repartition(7), "doc_id",
+        "text", vocabSize = 30, k = 4)
+      .as[(Long, Int, String)].collect()
+    assert(again.sortBy(r => (r._1, r._2)).toSeq ===
+      got.sortBy(r => (r._1, r._2)).toSeq)
+  }
 }
