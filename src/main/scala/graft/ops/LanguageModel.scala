@@ -291,11 +291,22 @@ object LanguageModel {
     val draw = Curation.hashUniform(
       concat(col(idCol).cast("string"), lit(":"), col("neg_idx").cast("string")),
       salt)
+    // The ladder lookup stays PURE CODEGEN — vocabSize inline comparisons
+    // for the rank, a when-chain for the term — so whole-stage codegen's
+    // common-subexpression elimination evaluates the md5 draw ONCE per
+    // row despite its many references. Any higher-order-function form
+    // (`element_at(terms, size(filter(cum, ...)))`) drops the projection
+    // to interpreted mode, which has NO subexpression elimination: every
+    // reference re-derives the draw — measured 12 s vs 1.6 s on the sf1
+    // stress for identical semantics.
+    val r = floor(draw * total).cast("long")
+    val idx = cum.map(c => (lit(c) <= r).cast("int")).reduce(_ + _) + 1
+    val term = terms.zipWithIndex.tail
+      .foldLeft(when(idx === 1, terms.head)) { case (acc, (t, i)) =>
+        acc.when(idx === (i + 1), t)
+      }
     df.select(col(idCol), explode(sequence(lit(1), lit(k))).as("neg_idx"))
-      .withColumn("__r", floor(draw * total).cast("long"))
-      .withColumn("__i",
-        size(filter(typedLit(cum), c => c <= col("__r"))) + 1)
       .select(col(idCol), col("neg_idx").cast("int").as("neg_idx"),
-        element_at(typedLit(terms), col("__i")).as("term"))
+        term.as("term"))
   }
 }
