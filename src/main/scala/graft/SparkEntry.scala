@@ -1054,6 +1054,27 @@ object SparkEntry {
         .select(col("doc_id"), col("domain"), col("url_norm"))
         .presented("doc_id")),
 
+    // Canonical-capture election: among each SURT-duplicate URL group,
+    // keep the HIGHEST-QUALITY document (argmax quality, ties to the
+    // lower id) — the curation-aware refinement of keep-first dedup
+    // (min-id keeps whatever was crawled first; quality election keeps
+    // the best capture). One max(struct) aggregate per group; the
+    // IEEE-replayable quality score makes the argmax exactly oracled.
+    "q_canonical_quality" -> ((s, dir) => {
+      val withQ = withUrls(s, dir)
+        .join(t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("q")), "doc_id")
+      Web.surtKey(withQ, "doc_id", "url")
+        .join(withQ.select(col("doc_id"), col("q")), "doc_id")
+        .groupBy(col("surt"))
+        .agg(count(lit(1)).as("n_copies"),
+          max(struct(col("q").as("q"), (-col("doc_id")).as("nid")))
+            .as("__best"))
+        .select(col("surt"), col("n_copies"),
+          (-col("__best.nid")).as("keep_id"), col("__best.q").as("quality"))
+        .presented("surt")
+    }),
+
     // SURT-keyed URL dedup: reversed-host canonical keys (sorted params,
     // tracking stripped) collapse scheme/case/slash/param-order variants —
     // the fetch-avoidance pass before any text exists. Exact oracle over
@@ -3117,6 +3138,34 @@ object SparkEntry {
          | SELECT doc_id, domain, url_norm FROM facts
          | WHERE domain NOT IN (${BlockedDomains.map("'" + _ + "'").mkString(", ")})
          | ORDER BY doc_id""".stripMargin,
+    "q_canonical_quality" ->
+      s"""WITH $urlFactsCteSql,
+         | sk AS (SELECT doc_id,
+         |     array_to_string(list_reverse(string_split(host, '.')), ',')
+         |       || ')' || path ||
+         |       (CASE WHEN query = '' THEN '' ELSE '?' ||
+         |         array_to_string(list_sort(list_filter(
+         |           string_split(query, '&'), x -> x <> '')), '&') END)
+         |       AS surt
+         |   FROM facts),
+         | qual AS (SELECT doc_id,
+         |   least(1.0,
+         |     n_alpha::DOUBLE / greatest(n_chars, 1) * 0.5
+         |     + len(list_distinct(t))::DOUBLE / greatest(len(t), 1) * 0.3
+         |     + CASE WHEN len(list_intersect(t, $enStopSql)) > 0
+         |            THEN 0.2 ELSE 0.0 END) AS q
+         |  FROM (SELECT doc_id, length(text) AS n_chars, $tokensSql AS t,
+         |      length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS n_alpha
+         |    FROM documents)),
+         | j AS (SELECT sk.doc_id, sk.surt, qual.q
+         |   FROM sk JOIN qual USING (doc_id)),
+         | r AS (SELECT surt, doc_id, q,
+         |     count(*) OVER (PARTITION BY surt) AS n_copies,
+         |     row_number() OVER (PARTITION BY surt ORDER BY q DESC, doc_id)
+         |       AS rn
+         |   FROM j)
+         | SELECT surt, n_copies, doc_id AS keep_id, q AS quality
+         | FROM r WHERE rn = 1 ORDER BY surt""".stripMargin,
     "q_surt_dedup" ->
       s"""WITH $urlFactsCteSql,
          | sk AS (SELECT doc_id,
