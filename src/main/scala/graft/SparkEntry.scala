@@ -226,6 +226,25 @@ object SparkEntry {
       (cb, codes)
     })
 
+  /** Session-cached APPENDED IVF index: quantizer fit on the vec_id ≥ 100
+    * slice only, the < 100 slice appended via [[ops.Similarity.appendToIvf]]
+    * (nearest-existing-cell routing, no refit) — q_ivf_append then proves
+    * appended vectors are found by search at full recall.
+    */
+  private val ivfAppendCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), ops.Similarity.IvfIndex]
+  private def ivfAppendedFor(s: SparkSession, dir: String)
+      : ops.Similarity.IvfIndex =
+    ivfAppendCache.getOrElseUpdate((s, dir), {
+      val emb = t(s, dir, "embeddings")
+      val base = ops.Similarity.buildIvfIndex(
+        emb.where(col("vec_id") >= 100), "vec_id", "embedding", nlist = 8)
+      val appended = ops.Similarity.appendToIvf(base,
+        emb.where(col("vec_id") < 100), "vec_id", "embedding")
+      appended.assigned.persist()
+      appended
+    })
+
   /** Session-cached trigram posting index (build-once/search-many — the
     * substring-search tier's contract: production would persist it
     * gram-bucketed via [[ops.TextSearch.writeTrigramIndex]]; in-session
@@ -867,6 +886,21 @@ object SparkEntry {
           "embedding", k = 5).select(col("query_id"), col("neighbor_id")),
         Similarity.ivfSearch(ivfIndexFor(s, dir), q, "vec_id", "embedding",
           k = 5, nprobe = 3),
+        Seq("query_id", "neighbor_id"), minRecall = 0.3, nName = "n_exact")
+    }),
+
+    // IVF APPEND: quantizer fit on vec_id >= 100 only, the rest appended
+    // by nearest-existing-cell routing (no refit) — recall vs brute force
+    // over the FULL corpus proves appended vectors are searchable (the
+    // queries themselves are appended ids). Index session-cached.
+    "q_ivf_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+      recallReport(
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "vec_id",
+          "embedding", k = 5).select(col("query_id"), col("neighbor_id")),
+        Similarity.ivfSearch(ivfAppendedFor(s, dir), q, "vec_id",
+          "embedding", k = 5, nprobe = 3),
         Seq("query_id", "neighbor_id"), minRecall = 0.3, nName = "n_exact")
     }),
 
@@ -2254,6 +2288,9 @@ object SparkEntry {
       """SELECT 5 * count(*) AS n_exact, 1 AS recall_pass
         | FROM embeddings WHERE vec_id < 10""".stripMargin,
     "q_ann_opq" ->
+      """SELECT 5 * count(*) AS n_exact, 1 AS recall_pass
+        | FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "q_ivf_append" ->
       """SELECT 5 * count(*) AS n_exact, 1 AS recall_pass
         | FROM embeddings WHERE vec_id < 10""".stripMargin,
     "q_embed_outliers" ->

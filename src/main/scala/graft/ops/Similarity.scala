@@ -881,6 +881,32 @@ object Similarity {
     IvfIndex(assigned, model.clusterCenters.map(_.toArray.map(_.toFloat)))
   }
 
+  /** Append a batch to a built IVF index WITHOUT refitting the quantizer:
+    * new vectors route to their nearest EXISTING cell through the same
+    * constant-folded centroid Column algebra searches use, and the
+    * assigned rows union into the index — the incremental maintenance
+    * path of the build-once/search-many contract (a crawl appends
+    * embeddings hourly; re-running k-means per batch would re-scan the
+    * corpus for no recall gain). Appended mass can drift cell balance
+    * over time; when a cell outgrows its siblings, the REFIT cadence is
+    * the policy knob — until then the nprobe spill absorbs quantizer
+    * staleness exactly as it absorbs fit jitter.
+    */
+  def appendToIvf(
+      index: IvfIndex,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String): IvfIndex = {
+    val probe = probeCellsCol(index.centers,
+      col(vecCol).cast("array<double>"), 1)
+    val assigned = batch
+      .where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("__cv"),
+        element_at(probe, 1).as("cell"))
+    IvfIndex(index.assigned.unionByName(assigned), index.centers)
+  }
+
   /** Search a built IVF index: each query probes its `nprobe` nearest cells
     * and exact-reranks only those cells' vectors through the k-bounded
     * top-k aggregate. Cell routing is pure Column algebra — the centroid

@@ -479,6 +479,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(viaLoaded === direct)
   }
 
+  test("appendToIvf: appended vectors route to existing cells and are searchable") {
+    val base = (0 until 80).map { i =>
+      val c = i % 4
+      (100L + i, Array.tabulate(8)(d => if (d % 4 == c) 5.0f else 0.1f))
+    }.toDF("vec_id", "embedding")
+    val idx = Similarity.buildIvfIndex(base, "vec_id", "embedding", nlist = 4)
+    // New batch: one vector per cluster, ids < 100.
+    val batch = (0 until 4).map { c =>
+      (c.toLong, Array.tabulate(8)(d => if (d % 4 == c) 5.0f else 0.1f))
+    }.toDF("vec_id", "embedding")
+    val appended = Similarity.appendToIvf(idx, batch, "vec_id", "embedding")
+    assert(appended.assigned.count() === 84L)
+    // Appended rows carry valid cells from the EXISTING quantizer.
+    val cells = appended.assigned.where($"neighbor_id" < 100)
+      .select("cell").as[Int].collect()
+    assert(cells.length === 4 && cells.forall(c => c >= 0 && c < 4))
+    // Searching an appended vector finds its exact twin batch-mate (cos 1)
+    // at rank 1 among the probed cells.
+    val got = Similarity.ivfSearch(appended,
+        batch.where($"vec_id" === 0), "vec_id", "embedding", k = 3,
+        nprobe = 1)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(got.nonEmpty && got.head >= 100L,
+      s"expected a base cluster-mate first, got ${got.toSeq}")
+  }
+
   test("cosine pairs via lsh finds identical vectors") {
     val dup = vecs.unionByName(
       vecs.where($"vec_id" === 0).withColumn("vec_id", lit(100L)))
