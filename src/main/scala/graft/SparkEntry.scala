@@ -1203,6 +1203,22 @@ object SparkEntry {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .presented("event_type")),
 
+    // Conversion-lag histogram: per user, first view → first purchase
+    // delta in whole hours (exact integer DIV), bucketed — the funnel
+    // LATENCY metric next to q_funnel's reach counts. One map-side-
+    // combined conditional-min aggregate; no window, no self-join.
+    "q_conversion_lag" -> ((s, dir) =>
+      events(s, dir)
+        .where(col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", col("ts_ms"))).as("v"),
+          min(when(col("event_type") === "purchase", col("ts_ms"))).as("p"))
+        .where(col("v").isNotNull && col("p").isNotNull && col("p") >= col("v"))
+        .select(expr("(p - v) DIV 3600000").as("lag_hours"))
+        .groupBy("lag_hours").agg(count(lit(1)).as("n_users"))
+        .presented("lag_hours")),
+
     // Key-skew profile of events.user_id: exact Gini of per-key counts
     // via the counts-of-counts rank-sum (no global sort), all-integer —
     // the oracle replays it with a row_number formulation (tie order
@@ -2472,6 +2488,16 @@ object SparkEntry {
         |   min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
         |   max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
         | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_conversion_lag" ->
+      """WITH f AS (SELECT user_id,
+        |     min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS v,
+        |     min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END)
+        |       AS p
+        |   FROM events WHERE event_type IN ('view', 'purchase')
+        |   GROUP BY user_id)
+        | SELECT (p - v) // 3600000 AS lag_hours, count(*) AS n_users
+        | FROM f WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v
+        | GROUP BY 1 ORDER BY lag_hours""".stripMargin,
     "q_skew_profile" ->
       """WITH c AS (SELECT user_id, count(*) AS x FROM events
         |   GROUP BY user_id),
