@@ -218,18 +218,21 @@ class DedupSpec extends SparkTestBase {
       len <- Gen.choose(0, 9)
       cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
     } yield cs.mkString)
+    // d = 1 and d = 3 exercise different probe geometries (2 vs 4 chunks,
+    // ±1 vs ±3 shifts) than the default d = 2.
     for (i <- 0 until 6) {
+      val d = 1 + (i % 3)
       val pool = gen(Gen.Parameters.default, Seed(7L + i)).get
         .zipWithIndex.map { case (s, id) => (id.toLong, s) }
       val recs = pool.toDF("id", "s")
       val brute = recs.as("x").join(recs.as("y"), $"x.id" < $"y.id")
         .select($"x.id", $"y.id", levenshtein($"x.s", $"y.s").as("d"))
-        .where($"d" <= 2 && length($"x.s") >= 1 && length($"y.s") >= 1)
+        .where($"d" <= d && length($"x.s") >= 1 && length($"y.s") >= 1)
         .as[(Long, Long, Int)].collect().toSet
-      val got = Dedup.editDistancePairs(recs, "id", "s", maxDist = 2)
+      val got = Dedup.editDistancePairs(recs, "id", "s", maxDist = d)
         .as[(Long, Long, Int)].collect().toSet
       assert(got === brute,
-        s"seed=${7 + i} missing=${brute -- got} extra=${got -- brute}")
+        s"seed=${7 + i} d=$d missing=${brute -- got} extra=${got -- brute}")
     }
   }
 
