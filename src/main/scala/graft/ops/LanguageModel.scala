@@ -269,6 +269,20 @@ object LanguageModel {
     * table needed at this vocab scale — and the ladder, unlike an alias
     * table, is order-stable and SQL-replayable.
     */
+  /** Elect the top-`vocabSize` (term, count) table for [[negativeSamples]]
+    * — the BUILD-ONCE artifact of the sampler (one token-count aggregate,
+    * k-bounded TakeOrdered, driver holds vocabSize rows). Cache it and
+    * repeated sampling passes pay only the narrow draw algebra.
+    */
+  def electVocab(df: DataFrame, textCol: String,
+      vocabSize: Int = 50): IndexedSeq[(String, Long)] = {
+    require(vocabSize >= 1, "vocabSize must be >= 1")
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("t")).limit(vocabSize).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+  }
+
   def negativeSamples(
       df: DataFrame,
       idCol: String,
@@ -276,16 +290,25 @@ object LanguageModel {
       vocabSize: Int = 50,
       k: Int = 5,
       weightScale: Long = 65536L,
+      salt: String = "graft"): DataFrame =
+    negativeSamplesFromVocab(df, idCol,
+      electVocab(df, textCol, vocabSize), k, weightScale, salt)
+
+  /** [[negativeSamples]] against a pre-elected vocabulary (the cached-
+    * artifact path: election once, draws many).
+    */
+  def negativeSamplesFromVocab(
+      df: DataFrame,
+      idCol: String,
+      vocab: IndexedSeq[(String, Long)],
+      k: Int = 5,
+      weightScale: Long = 65536L,
       salt: String = "graft"): DataFrame = {
-    require(vocabSize >= 1 && k >= 1, "vocabSize and k must be >= 1")
-    val counts = df
-      .select(explode(TextAnalysis.tokens(col(textCol))).as("t"))
-      .groupBy("t").agg(count(lit(1)).as("c"))
-      .orderBy(desc("c"), col("t")).limit(vocabSize).collect()
-    require(counts.nonEmpty, "negativeSamples: empty vocabulary")
-    val terms = counts.map(_.getString(0)).toIndexedSeq
-    val ws = counts.map(r =>
-      math.floor(math.sqrt(r.getLong(1).toDouble) * weightScale).toLong)
+    require(k >= 1, "k must be >= 1")
+    require(vocab.nonEmpty, "negativeSamples: empty vocabulary")
+    val terms = vocab.map(_._1)
+    val ws = vocab.map(v =>
+      math.floor(math.sqrt(v._2.toDouble) * weightScale).toLong)
     val cum = ws.scanLeft(0L)(_ + _).tail.toIndexedSeq
     val total = cum.last
     val draw = Curation.hashUniform(
