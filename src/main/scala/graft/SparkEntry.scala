@@ -1105,11 +1105,10 @@ object SparkEntry {
     // the best capture). One max(struct) aggregate per group; the
     // IEEE-replayable quality score makes the argmax exactly oracled.
     "q_canonical_quality" -> ((s, dir) => {
-      val withQ = withUrls(s, dir)
-        .join(t(s, dir, "documents").select(col("doc_id"),
+      val sk = Web.surtKey(withUrls(s, dir), "doc_id", "url")
+        .select(col("doc_id"), col("surt"))
+      sk.join(t(s, dir, "documents").select(col("doc_id"),
           TextAnalysis.qualityScore(col("text")).as("q")), "doc_id")
-      Web.surtKey(withQ, "doc_id", "url")
-        .join(withQ.select(col("doc_id"), col("q")), "doc_id")
         .groupBy(col("surt"))
         .agg(count(lit(1)).as("n_copies"),
           max(struct(col("q").as("q"), (-col("doc_id")).as("nid")))
