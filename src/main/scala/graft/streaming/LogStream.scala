@@ -389,6 +389,74 @@ object LogStream {
       }
   }
 
+  /** Internal: [[DistinctInput]] + the watermarked event-time column. */
+  private[streaming] case class DistinctEvent(key: String, value: String,
+      eventTimeMs: Long, et: Timestamp)
+  /** Min-k hash state + the key's latest event time (the TTL anchor). */
+  private[streaming] case class KmvTtlState(mins: List[Long], lastMs: Long)
+  /** Per-batch running estimate; `expired = true` marks the FINAL report
+    * emitted when the watermark passes lastMs + ttl and state is evicted.
+    */
+  case class DistinctWindowReport(key: String, n_kept: Int, kth_hash: Long,
+      est: Long, expired: Boolean)
+
+  /** [[kmvDistinctStream]] with EVENT-TIME TTL eviction — the shape that
+    * survives an UNBOUNDED key space: per-key state is ≤ k longs AND its
+    * lifetime is bounded (the watermark passing `last event + ttlMs`
+    * emits the key's final estimate and removes the state), so total
+    * state is O(k · active keys) rather than O(k · all keys ever seen) —
+    * on a 100 TB/day stream the difference between a checkpoint that
+    * grows forever and one that tracks the active set. A key seen again
+    * after eviction starts a FRESH window (sketches merge, so a batch
+    * job can still union per-window reports into lifetime estimates —
+    * the min-k merge law).
+    */
+  def kmvDistinctStreamTtl(
+      rows: Dataset[DistinctInput],
+      k: Int = 64,
+      ttlMs: Long = 3600000L,
+      watermark: String = "10 minutes"): Dataset[DistinctWindowReport] = {
+    require(k >= 3, s"k must be >= 3 for the KMV estimator, got $k")
+    require(ttlMs > 0, s"ttlMs must be > 0, got $ttlMs")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val withWm = rows.toDF()
+      .withColumn("et", timestamp_millis(col("eventTimeMs")))
+      .withWatermark("et", watermark)
+      .as[DistinctEvent]
+    def report(key: String, s: KmvTtlState, expired: Boolean)
+        : DistinctWindowReport = {
+      val nk = s.mins.size
+      val kth = if (nk == 0) 0L else s.mins.last
+      val est = if (nk < k) nk.toLong else ((k - 1).toLong << 48) / (kth + 1)
+      DistinctWindowReport(key, nk, kth, est, expired)
+    }
+    withWm
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[KmvTtlState, DistinctWindowReport](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, it, state: GroupState[KmvTtlState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s => report(key, s, expired = true))
+            state.remove()
+            out.iterator
+          } else {
+            var s = state.getOption.getOrElse(KmvTtlState(Nil, 0L))
+            it.foreach { r =>
+              val h = kmvHash48(r.value)
+              if (!s.mins.contains(h) &&
+                  (s.mins.size < k || h < s.mins.last)) {
+                s = s.copy(mins = (h :: s.mins).sorted.take(k))
+              }
+              if (r.eventTimeMs > s.lastMs) s = s.copy(lastMs = r.eventTimeMs)
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastMs + ttlMs)
+            Iterator.single(report(key, s, expired = false))
+          }
+      }
+  }
+
   /** First 48 bits of md5 as a non-negative long — byte-for-byte the value
     * [[graft.ops.Sketches.kmvDistinct]]'s `substr(md5hex, 1, 12)` parses.
     */

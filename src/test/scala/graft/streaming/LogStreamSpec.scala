@@ -142,6 +142,39 @@ class LogStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("kmvDistinctStreamTtl: watermark evicts idle keys with a final report; reappearance starts fresh") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[LogStream.DistinctInput]
+    val est = LogStream.kmvDistinctStreamTtl(input.toDS(), k = 8,
+      ttlMs = 60000L, watermark = "0 seconds")
+    val q = est.writeStream.format("memory").queryName("kmvttl")
+      .outputMode("append").start()
+    try {
+      input.addData((1 to 5).map(i =>
+        LogStream.DistinctInput("a", s"v$i", i * 1000L)): _*)
+      q.processAllAvailable()
+      // Advance the watermark far past a's last event (5000) + ttl via an
+      // unrelated key; the timeout itself fires in the batch AFTER the
+      // watermark moves.
+      input.addData(LogStream.DistinctInput("w", "x", 200000L))
+      q.processAllAvailable()
+      input.addData(LogStream.DistinctInput("w", "x2", 201000L))
+      q.processAllAvailable()
+      val rows = spark.table("kmvttl")
+        .as[LogStream.DistinctWindowReport].collect()
+      val aFinal = rows.filter(r => r.key == "a" && r.expired)
+      assert(aFinal.length === 1)
+      assert(aFinal.head.n_kept === 5 && aFinal.head.est === 5L)
+      // The evicted key restarts with EMPTY state.
+      input.addData(LogStream.DistinctInput("a", "brand-new", 202000L))
+      q.processAllAvailable()
+      val after = spark.table("kmvttl")
+        .as[LogStream.DistinctWindowReport].collect()
+        .filter(r => r.key == "a" && !r.expired)
+      assert(after.exists(_.n_kept == 1), after.mkString(","))
+    } finally q.stop()
+  }
+
   test("curation quality filters run unchanged on a stream (stateless narrow ops)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
