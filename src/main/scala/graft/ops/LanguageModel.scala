@@ -263,11 +263,13 @@ object LanguageModel {
     * replays every drawn term.
     *
     * Scale shape: ONE token-count aggregation elects the vocabulary (the
-    * driver holds vocabSize rows); terms and cumulative bounds become
-    * plan literals; draws are narrow per-row column algebra (the ladder
-    * lookup is a bounded `filter` over the literal array). No alias
-    * table needed at this vocab scale — and the ladder, unlike an alias
-    * table, is order-stable and SQL-replayable.
+    * driver holds vocabSize rows; cache it via [[electVocab]] +
+    * [[negativeSamplesFromVocab]] for repeated passes); terms and
+    * cumulative bounds become plan literals; draws are narrow per-row
+    * CODEGEN'D column algebra — an unrolled comparison ladder, see the
+    * in-body note on why a higher-order `filter` form is 8× slower. No
+    * alias table needed at this vocab scale — and the ladder, unlike an
+    * alias table, is order-stable and SQL-replayable.
     */
   /** Elect the top-`vocabSize` (term, count) table for [[negativeSamples]]
     * — the BUILD-ONCE artifact of the sampler (one token-count aggregate,
