@@ -1235,6 +1235,19 @@ object SparkEntry {
     "q_skew_profile" -> ((s, dir) =>
       Stats.skewProfile(events(s, dir), "user_id")),
 
+    // Reciprocal Rank Fusion of BM25 top-100 and dense-cosine top-100
+    // (vec 0's embedding): integer-scaled 1/(60+rank) contributions sum
+    // exactly, so the fused ranking is FULLY oracled (chains the
+    // generated BM25 SQL with the cosine rank and the same fusion).
+    "q_rrf_fusion" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.where(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      TextSearch.rrfFusion(t(s, dir, "documents"), "doc_id", "text",
+        emb, "vec_id", "embedding", Bm25Terms, qv,
+        nCandidates = 100, k = 10)
+    }),
+
     // HLL-audited distinct users per event type: exact distinct count
     // (oracled) + a deterministic audit bit that the mergeable sketch
     // estimate landed inside its 4σ envelope.
@@ -2484,6 +2497,33 @@ object SparkEntry {
          |   SELECT row_number() OVER (ORDER BY cos DESC, doc_id) AS rank,
          |       doc_id
          |   FROM rr)
+         | WHERE rank <= 10 ORDER BY rank""".stripMargin
+    },
+    "q_rrf_fusion" -> {
+      val bm25Sql = TextSearch.bm25RankOracleSql("documents", "doc_id",
+        tokensSql, Bm25Terms, k = 100)
+      s"""WITH lex AS ($bm25Sql),
+         | qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |   WHERE vec_id = 0),
+         | dd AS (SELECT vec_id AS doc_id,
+         |     list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv.v)
+         |       AS cos
+         |   FROM embeddings, qv),
+         | dense AS (SELECT doc_id, rank FROM (
+         |     SELECT doc_id,
+         |       CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+         |         AS BIGINT) AS rank
+         |     FROM dd) WHERE rank <= 100),
+         | f AS (SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+         |     coalesce(1000000000000 // (60 + l.rank), 0)
+         |       + coalesce(1000000000000 // (60 + d.rank), 0) AS rrf_scaled,
+         |     l.rank AS lex_rank, d.rank AS dense_rank
+         |   FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id)
+         | SELECT rank, doc_id, rrf_scaled, lex_rank, dense_rank FROM (
+         |   SELECT CAST(row_number() OVER (ORDER BY rrf_scaled DESC, doc_id)
+         |       AS BIGINT) AS rank,
+         |     doc_id, rrf_scaled, lex_rank, dense_rank
+         |   FROM f)
          | WHERE rank <= 10 ORDER BY rank""".stripMargin
     },
     "q_hll_distinct" ->

@@ -139,6 +139,62 @@ object TextSearch {
       .orderBy("rank").limit(k)
   }
 
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of a
+    * lexical (BM25) and a dense (cosine) candidate list — the score-free
+    * hybrid fusion RAG stacks default to when the two scorers'
+    * magnitudes aren't comparable: each list contributes `1/(c + rank)`
+    * per document, summed. Where [[hybridTopK]] GATES by lexical
+    * candidates then re-ranks dense, RRF treats the rankers as equals —
+    * a doc ranked #1 densely but missed by BM25 still surfaces.
+    *
+    * Determinism: contributions are INTEGER-scaled —
+    * `floor(scale / (c + rank))` — so the fusion sum is exact int64
+    * (order-independent; a double Σ of reciprocals would be
+    * partitioning-sensitive in its low bits) and the fused ranking
+    * hash-matches any engine. Shape: both candidate lists are k-bounded
+    * TakeOrdered results (≤ nCandidates rows each), the fusion join and
+    * final sort touch only those. Output:
+    * (rank, id, rrf_scaled, lex_rank, dense_rank) — ranks null when a
+    * doc appears in only one list.
+    */
+  def rrfFusion(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      embeddings: DataFrame,
+      embIdCol: String,
+      vecCol: String,
+      queryTerms: Seq[String],
+      queryVec: Array[Float],
+      nCandidates: Int = 100,
+      k: Int = 10,
+      c: Int = 60,
+      scale: Long = 1000000000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nCandidates >= k, s"nCandidates ($nCandidates) must be >= k ($k)")
+    val lex = bm25RankedTopK(docs, idCol, textCol, queryTerms, nCandidates)
+      .select(col(idCol), col("rank").as("lex_rank"))
+    val dense = embeddings
+      .select(col(embIdCol).as(idCol),
+        Similarity.cosine(col(vecCol), typedLit(queryVec.toIndexedSeq))
+          .as("__cos"))
+      .orderBy(desc("__cos"), col(idCol)).limit(nCandidates)
+      .select(col(idCol), row_number().over(
+          Window.orderBy(desc("__cos"), col(idCol))).cast("long")
+        .as("dense_rank"))
+    val fused = lex.join(dense, Seq(idCol), "full_outer")
+      .select(col(idCol), col("lex_rank"), col("dense_rank"),
+        (coalesce(expr(s"$scale DIV ($c + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"$scale DIV ($c + dense_rank)"), lit(0L)))
+          .as("rrf_scaled"))
+    fused
+      .orderBy(desc("rrf_scaled"), col(idCol)).limit(k)
+      .select(row_number().over(
+          Window.orderBy(desc("rrf_scaled"), col(idCol))).cast("long")
+        .as("rank"),
+        col(idCol), col("rrf_scaled"), col("lex_rank"), col("dense_rank"))
+  }
+
   /** The SAME ranking as ANSI SQL over a `documents`-shaped table, generated
     * from the identical term list and parameters so operator and oracle
     * cannot drift. `tokensSql` is the engine-tokenizer fragment (a list

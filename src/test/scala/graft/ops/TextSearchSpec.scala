@@ -117,6 +117,33 @@ class TextSearchSpec extends SparkTestBase {
     assert(got((3L, 1))._1 === "solo3" && got((3L, 2))._1 === "common")
   }
 
+  test("rrfFusion: integer-scaled reciprocal ranks, both-lists boost, single-list survival") {
+    // Lexical ranking by 'cat' tf: doc2 (#1), doc4 (#2), doc1 (#3); doc3
+    // has no 'cat'. Dense ranking vs query [1,0]: doc3 (#1, cos 1), then
+    // doc1 (#2) ... doc2/doc4 orthogonal rank lower.
+    val body = Seq(
+      (1L, "cat sat"), (2L, "cat cat cat runs"), (3L, "dog barks"),
+      (4L, "cat cat naps here")).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(0.9f, 0.44f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 0.0f)), (4L, Array(0.1f, 0.99f)))
+      .toDF("vec_id", "embedding")
+    val got = TextSearch.rrfFusion(body, "doc_id", "text", emb, "vec_id",
+        "embedding", Seq("cat"), Array(1.0f, 0.0f), nCandidates = 4, k = 4)
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect()
+    val byId = got.map(r => r._2 -> r).toMap
+    // Every doc appears in both 4-deep lists here; spot-check the exact
+    // integer fusion for doc1: lex #3 + dense #2 → s/(63) + s/(62).
+    val s = 1000000000000L
+    assert(byId(1L)._3 === s / 63 + s / 62)
+    // doc1 (strong in both) outranks doc3 (dense #1 but lexical last).
+    assert(byId(1L)._1 < byId(3L)._1, got.mkString(","))
+    // Ranks are dense 1..4 and ordering matches rrf desc.
+    assert(got.map(_._1).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+    val sorted = got.sortBy(_._1)
+    assert(sorted.sliding(2).forall { case Array(a, b) => a._3 >= b._3 })
+  }
+
   test("trigram index: distinct grams per doc; search funnel finds matches and keeps false positives visible") {
     val body = Seq(
       (1L, "merge group by"),      // true match for "ge gr"
