@@ -1248,6 +1248,38 @@ object SparkEntry {
         nCandidates = 100, k = 10)
     }),
 
+    // The KMV MERGE LAW as an oracled bit: per-event-type min-64 sketches
+    // union (one more k-bounded aggregate over the exploded per-group
+    // states) into exactly the direct global sketch — every global
+    // k-smallest distinct hash survives its own group's min-k, so
+    // per-day/per-partition sketches roll up losslessly. This is the
+    // query a 100 TB nightly rollup runs instead of re-scanning history.
+    "q_kmv_merge" -> ((s, dir) => {
+      import graft.functions.TopKByScore.topk_by_score
+      val e = events(s, dir).where(col("user_id").isNotNull)
+      val h = conv(substring(md5(col("user_id").cast("string")
+        .cast("binary")), 1, 12), 16, 10).cast("long")
+      val sk = topk_by_score(
+        -col("__h").cast("double"), col("__h"), 64, distinctIds = true)
+      val merged = e.select(col("event_type"), h.as("__h"))
+        .groupBy("event_type").agg(sk.as("__g"))
+        .select(explode(col("__g")).as("x"))
+        .select(col("x.id").as("__h"))
+        .agg(sk.as("__m"))
+        .select(size(col("__m")).as("m_kept"),
+          element_at(col("__m"), size(col("__m"))).getField("id")
+            .as("m_kth"))
+      val direct = e.select(h.as("__h"))
+        .agg(sk.as("__d"))
+        .select(size(col("__d")).as("d_kept"),
+          element_at(col("__d"), size(col("__d"))).getField("id")
+            .as("d_kth"))
+      merged.crossJoin(direct)
+        .select(col("m_kept"), col("m_kth"), col("d_kept"), col("d_kth"),
+          (col("m_kept") === col("d_kept") &&
+            col("m_kth") === col("d_kth")).cast("int").as("merge_exact"))
+    }),
+
     // HLL-audited distinct users per event type: exact distinct count
     // (oracled) + a deterministic audit bit that the mergeable sketch
     // estimate landed inside its 4σ envelope.
@@ -2548,6 +2580,19 @@ object SparkEntry {
         | SELECT (p - v) // 3600000 AS lag_hours, count(*) AS n_users
         | FROM f WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v
         | GROUP BY 1 ORDER BY lag_hours""".stripMargin,
+    // The merge law makes both sides equal the direct global min-64, so
+    // the oracle computes it once and asserts the bit.
+    "q_kmv_merge" ->
+      """WITH h AS (SELECT DISTINCT
+        |     CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+        |       AS BIGINT) AS h
+        |   FROM events WHERE user_id IS NOT NULL),
+        | r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM h),
+        | s AS (SELECT CAST(least(count(*), 64) AS INT) AS kept,
+        |     max(CASE WHEN rn <= 64 THEN h END) AS kth FROM r)
+        | SELECT kept AS m_kept, kth AS m_kth, kept AS d_kept, kth AS d_kth,
+        |   1 AS merge_exact
+        | FROM s""".stripMargin,
     "q_skew_profile" ->
       """WITH c AS (SELECT user_id, count(*) AS x FROM events
         |   GROUP BY user_id),
