@@ -822,6 +822,15 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .presented("id_a", "id_b")),
 
+    // Why-were-these-linked evidence for each verified near-dup pair:
+    // shared-shingle count + the first 5 shared shingles as text — the
+    // reviewer-facing audit trail of the dedup decision. Exact oracle
+    // (same shingle sets, list_intersect + sort + slice).
+    "q_dupe_evidence" -> ((s, dir) =>
+      Dedup.dupeEvidence(docsWithDupes(s, dir), "doc_id", "text",
+          shingleK = 3, threshold = 0.8)
+        .presented("id_a", "id_b")),
+
     // Brute-force cosine top-k (queries = first 10 vectors, broadcast) —
     // REAL oracle: DuckDB list_cosine_similarity over DOUBLE[] reproduces
     // the engine's double-precision cosine bit-compatibly on this data.
@@ -2410,6 +2419,22 @@ object SparkEntry {
          |   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |     AND 5 * len(a.s) >= 4 * len(b.s) AND 5 * len(b.s) >= 4 * len(a.s))
          | WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    "q_dupe_evidence" ->
+      s"""WITH sh AS (SELECT doc_id, $shingleSetSql AS s
+         |   FROM (SELECT doc_id, $tokensSql AS t FROM $docsWithDupesSql)),
+         | p AS (SELECT id_a, id_b, sa, sb FROM (
+         |     SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb,
+         |       len(list_intersect(a.s, b.s))::DOUBLE
+         |         / len(list_distinct(list_concat(a.s, b.s))) AS jac
+         |     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |       AND 5 * len(a.s) >= 4 * len(b.s)
+         |       AND 5 * len(b.s) >= 4 * len(a.s))
+         |   WHERE jac >= 0.8)
+         | SELECT id_a, id_b,
+         |   CAST(len(list_intersect(sa, sb)) AS BIGINT) AS n_shared,
+         |   array_to_string(list_sort(list_intersect(sa, sb))[1:5], ' | ')
+         |     AS evidence
+         | FROM p ORDER BY id_a, id_b""".stripMargin,
     // Full replay of the portable-policy minhash chain (see
     // Dedup.minhashDupePairsPortable): shingles → one md5-prefix hash each →
     // 64 unrolled linear position hashes (coefficients from the SAME

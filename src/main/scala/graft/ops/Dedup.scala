@@ -980,6 +980,36 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Human-auditable EVIDENCE for near-dup pairs: each verified
+    * [[ngramJaccardPairs]] pair annotated with its shared-shingle count
+    * and the first `nSamples` shared shingles as text — what a curation
+    * reviewer (or an appeals process) reads to see WHY two documents were
+    * linked, instead of an opaque score. Scale shape: the evidence join
+    * touches only the PAIR set — each side's shingle-string array rides
+    * once per pair, bounded by verified pairs, never corpus², and the
+    * heavy banding/verification work is [[ngramJaccardPairs]]' unchanged.
+    */
+  def dupeEvidence(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      threshold: Double = 0.8,
+      nSamples: Int = 5): DataFrame = {
+    val pairs = ngramJaccardPairs(df, idCol, textCol, shingleK, threshold)
+      .select("id_a", "id_b")
+    val sets = df.select(col(idCol).cast("long").as("id"),
+      array_distinct(TextAnalysis.shingles(col(textCol), shingleK)).as("s"))
+    pairs
+      .join(sets.select(col("id").as("id_a"), col("s").as("sa")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("s").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        array_sort(array_intersect(col("sa"), col("sb"))).as("__sh"))
+      .select(col("id_a"), col("id_b"),
+        size(col("__sh")).cast("long").as("n_shared"),
+        array_join(slice(col("__sh"), 1, nSamples), " | ").as("evidence"))
+  }
+
   /** Edit-distance record linkage: every pair of records whose string field
     * is within Levenshtein distance `maxDist` — the fuzzy-key join used to
     * link near-identical titles / names / queries across sources. Candidate
