@@ -333,6 +333,10 @@ object Dedup {
       sigCol: String,
       maxHamming: Int = 3,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    // 4 blocks pigeonhole ≤ 3 flipped bits; beyond that the banding would
+    // silently lose pairs, so the bound is a hard contract.
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0,3] for lossless 4-block banding, got $maxHamming")
     val base = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
     val blocked = base.select(col("id"), col("sig"),
       explode(array((0 until 4).map { blk =>
@@ -996,11 +1000,27 @@ object Dedup {
       shingleK: Int = 3,
       threshold: Double = 0.8,
       nSamples: Int = 5): DataFrame = {
-    val pairs = ngramJaccardPairs(df, idCol, textCol, shingleK, threshold)
+    // Shingle-string ARRAYS are the heavy payload here, so derive them
+    // ONLY for pair members: the pair ids (small by construction)
+    // broadcast-filter the corpus — one narrow probe scan, no corpus
+    // shuffle — and every later join moves member-bounded rows. The two
+    // rejected shapes, both measured at sf1: an un-hinted sort-merge
+    // join shuffles every document's shingle arrays (2× the ngram
+    // pipeline's whole cost); broadcasting the array-carrying side
+    // instead ships those arrays through the driver (worse still).
+    val pairIds = ngramJaccardPairs(df, idCol, textCol, shingleK, threshold)
       .select("id_a", "id_b")
-    val sets = df.select(col(idCol).cast("long").as("id"),
-      array_distinct(TextAnalysis.shingles(col(textCol), shingleK)).as("s"))
-    pairs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val members = pairIds
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    val sets = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("__t"))
+      .join(broadcast(members), "id")
+      .select(col("id"),
+        array_distinct(TextAnalysis.shingles(col("__t"), shingleK)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairIds
       .join(sets.select(col("id").as("id_a"), col("s").as("sa")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("s").as("sb")), "id_b")
       .select(col("id_a"), col("id_b"),
