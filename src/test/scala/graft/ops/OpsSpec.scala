@@ -178,6 +178,22 @@ class DedupSpec extends SparkTestBase {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("dupeEvidence annotates verified pairs with sorted shared shingles") {
+    val got = Dedup.dupeEvidence(docs, "doc_id", "text", threshold = 0.99,
+        nSamples = 3)
+      .as[(Long, Long, Long, String)].collect()
+    // Only the exact-dup pair survives j >= 0.99.
+    assert(got.length === 1)
+    val (a, b, n, ev) = got.head
+    assert((a, b) === ((1L, 2L)))
+    // Exact dups share their whole distinct-shingle set; evidence is the
+    // 3 lexicographically first shingles, ' | '-joined.
+    val shingles = base.toLowerCase.split(" ").sliding(3)
+      .map(_.mkString(" ")).toSeq.distinct.sorted
+    assert(n === shingles.size.toLong)
+    assert(ev === shingles.take(3).mkString(" | "))
+  }
+
   test("editDistancePairs: known distances in and out of threshold") {
     val recs = Seq(
       (1L, "spark sql engine"),
