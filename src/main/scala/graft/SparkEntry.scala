@@ -2232,7 +2232,7 @@ object SparkEntry {
     // prefilter IS the operator's contract at test scale.
     "q_edit_pairs" ->
       """WITH r AS (SELECT doc_id, substr(text, 1, 40) AS s FROM documents
-        |     WHERE text IS NOT NULL AND len(substr(text, 1, 40)) >= 1)
+        |     WHERE text IS NOT NULL)
         | SELECT a.doc_id AS id1, b.doc_id AS id2,
         |   CAST(levenshtein(a.s, b.s) AS INT) AS dist
         | FROM r a JOIN r b ON a.doc_id < b.doc_id

@@ -1045,23 +1045,33 @@ object Dedup {
     * recall parameter; every qualifying pair is generated) — then one
     * `levenshtein` verification per distinct candidate pair.
     *
-    * Scale shape: per record the index side is d+1 rows and the probe side
-    * ≤ (2d+1)²·(d+1) rows of SHORT substrings (75 for d = 2) — linear with
-    * a small constant; the only shuffles are the (length, chunk#, content)
-    * equi-join and the pair dedup. corpus² never materializes: bucket
-    * membership requires an exact substring match at an aligned position,
-    * so buckets stay tiny on natural text (boilerplate-heavy fields can
-    * inflate a bucket, in which case the verification is still pair-exact
-    * — the join is skew-prone, not wrong, and AQE splits it).
+    * Scale shape: exact-duplicate strings are collapsed FIRST (window-min
+    * representative per distinct string), so the PassJoin runs over
+    * DISTINCT strings only — N records sharing one string contribute one
+    * index/probe row set, not N (the identical-string case would otherwise
+    * make every shared (length, chunk#, content) bucket quadratic in the
+    * duplicate count; measured 14× for 10× data on a dup-heavy corpus
+    * before the collapse, SCALING.md). Per distinct string the index side
+    * is d+1 rows and the probe side ≤ (2d+1)²·(d+1) rows of SHORT
+    * substrings (75 for d = 2) — linear with a small constant; the only
+    * shuffles are the (length, chunk#, content) equi-join, the pair dedup,
+    * and the group expansion equi-joins. corpus² never materializes:
+    * bucket membership requires an exact substring match at an aligned
+    * position by DISTINCT strings, so residual bucket skew comes only from
+    * near-identical (not equal) boilerplate, where verification stays
+    * pair-exact and AQE splits the join. Group expansion is output-bound:
+    * intra-group pairs (dist 0) and cross-group member products are
+    * exactly the pairs the all-pairs answer contains.
     *
-    * Records shorter than d+1 characters cannot supply d+1 non-empty
+    * Strings shorter than d+1 characters cannot supply d+1 non-empty
     * chunks, so the pigeonhole argument needs both special cases kept:
-    * such records still PROBE (a short record links to a chunked longer
-    * one), and pairs where BOTH sides are ≤ d characters are within
-    * distance d unconditionally (ed ≤ max of the lengths), so the short
-    * stratum contributes all its pairs directly. Output:
-    * (id1 < id2, dist ≤ maxDist) — exactly the all-pairs answer, so a SQL
-    * oracle is a length-filtered quadratic `levenshtein` at test scale.
+    * such strings still PROBE (a short string links to a chunked longer
+    * one), and pairs where BOTH sides are ≤ d characters — including the
+    * EMPTY string, which contributes no probe rows — are within distance d
+    * unconditionally (ed ≤ max of the lengths), so the short stratum
+    * contributes all its pairs directly. Output: (id1 < id2, dist ≤
+    * maxDist) — exactly the all-pairs answer over non-null strings, so a
+    * SQL oracle is a quadratic `levenshtein` at test scale.
     */
   def editDistancePairs(
       df: DataFrame,
@@ -1071,13 +1081,20 @@ object Dedup {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     val d = maxDist
     val dp1 = d + 1
-    // The compact (id, s, L) table feeds FIVE branches (index, probe, two
-    // verify sides, shorts) — persist it so the source scans once (the
-    // ngramJaccardPairs persisted-sets convention; record strings are the
-    // short linkage field, not document bodies).
-    val recs = df
+    // Collapse exact duplicates: gid = min id over each distinct string.
+    // ONE shuffle on the string (these are short linkage fields, not
+    // document bodies); everything downstream of the PassJoin core is
+    // keyed by gid, so identical strings never meet in a blocking bucket.
+    val mem = df
       .select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
-      .where(col("s").isNotNull && length(col("s")) >= 1)
+      .where(col("s").isNotNull)
+      .withColumn("gid", min(col("id")).over(Window.partitionBy(col("s"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The distinct-string (id, s, L) table feeds FIVE branches (index,
+    // probe, two verify sides, shorts) — persist it so the window output
+    // scans once (the ngramJaccardPairs persisted-sets convention).
+    val recs = mem.where(col("id") === col("gid"))
+      .select(col("id"), col("s"))
       .withColumn("L", length(col("s")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Index side: the d+1 even chunks of each record of length >= d+1.
@@ -1121,12 +1138,29 @@ object Dedup {
       .select(col("id1"), col("id2"),
         levenshtein(col("s1"), col("s2")).as("dist"))
       .where(col("dist") <= d)
-    // Short stratum: both sides <= d chars => ed <= max(L) <= d, always in.
+    // Short stratum: both sides <= d chars => ed <= max(L) <= d, always in
+    // (the empty string lives here: it can't chunk or probe, but every
+    // pair it forms with a <= d-char string qualifies unconditionally).
     val shorts = recs.where(col("L") <= d).select(col("id"), col("s"))
     val shortPairs = shorts.as("x").join(shorts.as("y"),
         col("x.id") < col("y.id"))
       .select(col("x.id").as("id1"), col("y.id").as("id2"),
         levenshtein(col("x.s"), col("y.s")).as("dist"))
-    verified.unionByName(shortPairs)
+    // repPairs link DISTINCT strings (dist >= 1 by construction). Expand
+    // back to record ids: intra-group pairs are dist 0 exactly; a rep pair
+    // fans out to the member product of its two groups (same dist — the
+    // members ARE those strings). Both joins are gid-keyed and output-
+    // bound: they emit precisely the pairs the all-pairs answer contains.
+    val repPairs = verified.unionByName(shortPairs)
+    val intra = mem.as("x").join(mem.as("y"),
+        col("x.gid") === col("y.gid") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"),
+        lit(0).cast("int").as("dist"))
+    val cross = repPairs
+      .join(mem.select(col("gid").as("id1"), col("id").as("ida")), "id1")
+      .join(mem.select(col("gid").as("id2"), col("id").as("idb")), "id2")
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"), col("dist"))
+    intra.unionByName(cross)
   }
 }

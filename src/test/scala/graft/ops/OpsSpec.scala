@@ -209,8 +209,11 @@ class DedupSpec extends SparkTestBase {
   test("editDistancePairs equals brute-force levenshtein (lossless blocking)") {
     // Deterministic pseudo-random pool with planted near-dups, varied
     // lengths, and sub-(d+1)-length shorts to hit every stratum.
+    // "" hits the empty-string stratum; the repeated "alpha beta" /
+    // "xy" rows hit the exact-duplicate collapse + group expansion.
     val base = Seq("alpha beta", "alpha betx", "alpha bet", "gamma delta run",
-      "gamma delta ran", "xy", "xz", "q", "alphabeta", "run gamma delta")
+      "gamma delta ran", "xy", "xz", "q", "alphabeta", "run gamma delta",
+      "", "alpha beta", "alpha beta", "xy")
     val recs = base.zipWithIndex.map { case (s, i) => (i.toLong, s) }
       .toDF("id", "s")
     val brute = recs.as("x").join(recs.as("y"), $"x.id" < $"y.id")
@@ -222,6 +225,26 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long, Int)].collect().toSet
     assert(got === brute, s"missing=${brute -- got} extra=${got -- brute}")
     assert(brute.nonEmpty)
+  }
+
+  test("editDistancePairs: duplicate-heavy pool (collapse path) equals brute force") {
+    // 30 copies of one string + 5 of a near variant + singletons: the
+    // PassJoin core sees only the distinct strings (identical strings can
+    // no longer share blocking buckets); intra-group expansion must emit
+    // every dist-0 pair and cross-group expansion every member product.
+    val pool = (Seq.fill(30)("alpha beta") ++ Seq.fill(5)("alpha betx") ++
+      Seq("unrelated xyz", "alpha bet", "")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+    val recs = pool.toDF("id", "s")
+    val brute = recs.as("x").join(recs.as("y"), $"x.id" < $"y.id")
+      .select($"x.id", $"y.id", levenshtein($"x.s", $"y.s").as("d"))
+      .where($"d" <= 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val got = Dedup.editDistancePairs(recs, "id", "s", maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === brute, s"missing=${brute -- got} extra=${got -- brute}")
+    // 30-group alone contributes C(30,2) = 435 dist-0 pairs.
+    assert(brute.count(_._3 == 0) >= 435 + 10)
   }
 
   test("editDistancePairs equals brute force on random strings (property)") {
@@ -243,7 +266,7 @@ class DedupSpec extends SparkTestBase {
       val recs = pool.toDF("id", "s")
       val brute = recs.as("x").join(recs.as("y"), $"x.id" < $"y.id")
         .select($"x.id", $"y.id", levenshtein($"x.s", $"y.s").as("d"))
-        .where($"d" <= d && length($"x.s") >= 1 && length($"y.s") >= 1)
+        .where($"d" <= d)
         .as[(Long, Long, Int)].collect().toSet
       val got = Dedup.editDistancePairs(recs, "id", "s", maxDist = d)
         .as[(Long, Long, Int)].collect().toSet
