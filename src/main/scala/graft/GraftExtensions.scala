@@ -149,12 +149,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hilbert_index"),
       new ExpressionInfo(classOf[graft.functions.HilbertIndex].getName,
         "hilbert_index"),
-      (args: Seq[Expression]) => args match {
-        case Seq(a, b) => graft.functions.HilbertIndex(a, b, 21)
-        case Seq(a, b, bits) =>
-          graft.functions.HilbertIndex(a, b, int(bits, "bits"))
-        case _ => throw new IllegalArgumentException(
-          "hilbert_index(a, b[, bits])")
+      (args: Seq[Expression]) => {
+        // Cast integral inputs up to LONG here (the Scala builder does the
+        // same), so interpreted and codegen paths agree on INT columns.
+        def asLong(e: Expression): Expression =
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            e, org.apache.spark.sql.types.LongType)
+        args match {
+          case Seq(a, b) => graft.functions.HilbertIndex(asLong(a), asLong(b), 21)
+          case Seq(a, b, bits) =>
+            graft.functions.HilbertIndex(asLong(a), asLong(b), int(bits, "bits"))
+          case _ => throw new IllegalArgumentException(
+            "hilbert_index(a, b[, bits])")
+        }
       }))
     ext.injectFunction((
       FunctionIdentifier("maxmatch_pieces"),

@@ -51,6 +51,19 @@ case class HilbertIndex(left: Expression, right: Expression, bits: Int)
   extends BinaryExpression {
   require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
 
+  // Children MUST already be LONG: the Scala builder and the SQL
+  // registration (GraftExtensions) both insert the cast, so the
+  // interpreted path's asInstanceOf[Long] can never see an Integer (it
+  // used to ClassCastException on INT columns exactly when codegen fell
+  // back — the two paths now agree). Enforced at analysis, not runtime.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hilbert_index expects BIGINT inputs, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
   override def dataType: DataType = LongType
   override def prettyName: String = "hilbert_index"
 

@@ -530,7 +530,10 @@ object Curation {
     * score share a tier BY CONSTRUCTION (ties never straddle a boundary —
     * the honest semantics at scale, where per-row rank tie-breaks are
     * partitioning-dependent); admission replays the [[mixCorpus]] hex
-    * threshold policy. Output: (id, q, bucket, draw, keep).
+    * threshold policy. Scores clamp to [0, 1] (the histogram the driver
+    * collects is bounded only by that range) and null-score rows are
+    * dropped — score upstream or coalesce a default before calling.
+    * Output: (id, q, bucket, draw, keep).
     */
   def qualityPacedMix(
       df: DataFrame,
@@ -541,7 +544,14 @@ object Curation {
       salt: String = "graft"): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     require(qScale >= buckets, s"qScale must be >= buckets, got $qScale")
-    val scored = df.select(col(idCol), floor(score * qScale).cast("int").as("q"))
+    // The histogram collected below is bounded ONLY because q has at most
+    // qScale+1 distinct values — enforce the [0, 1] score contract with a
+    // clamp (an out-of-range caller-supplied score would otherwise make
+    // the driver collect unbounded) and drop null-score rows (a null has
+    // no quality tier; it would NPE the cumulative scan).
+    val clamped = least(lit(1.0), greatest(lit(0.0), score.cast("double")))
+    val scored = df.where(score.isNotNull)
+      .select(col(idCol), floor(clamped * qScale).cast("int").as("q"))
     val hist = scored.groupBy("q").agg(count(lit(1)).as("c"))
       .orderBy("q").collect()
     require(hist.nonEmpty, "qualityPacedMix: empty corpus")

@@ -120,12 +120,22 @@ object Web {
     * fetch-avoidance pass a crawl pipeline runs BEFORE any text exists:
     * scheme/case/trailing-slash/tracking-param/param-order variants of
     * one resource collapse to one canonical row. Same shuffle shape as
-    * [[Dedup.exactByText]]: one groupBy on the compact key.
+    * [[Dedup.exactByText]]: one groupBy on the compact key. Malformed
+    * URLs (null SURT) are NOT a duplicate group — collapsing them to one
+    * keep_id would silently drop every malformed-URL document but one —
+    * so each passes through as its own single-member row (surt null,
+    * keep_id = its id, n_copies 1); the groupBy sees only non-null keys.
     */
-  def surtDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
-    surtKey(df, idCol, urlCol)
+  def surtDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val keyed = surtKey(df, idCol, urlCol)
+    keyed.where(col("surt").isNotNull)
       .groupBy(col("surt"))
-      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .agg(min(col(idCol).cast("long")).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+      .unionByName(keyed.where(col("surt").isNull)
+        .select(col("surt"), col(idCol).cast("long").as("keep_id"),
+          lit(1L).as("n_copies")))
+  }
 
   /** Drop rows whose registered domain is blocklisted (the broadcast-set
     * filter every web pipeline runs first). The blocklist is a literal —

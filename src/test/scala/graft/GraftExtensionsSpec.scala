@@ -68,7 +68,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  size(cdc_chunk_structs(tokenize('a b c d e f'), 3, 2)) AS n_cdc,
         |  maxmatch_pieces(tokenize('sparker x!'),
         |    array('spark', 'er', 'x', 's', 'p', 'a', 'r', 'k', 'e')) AS mm,
-        |  hilbert_index(1L, 1L, 1) AS hil
+        |  hilbert_index(1L, 1L, 1) AS hil,
+        |  hilbert_index(CAST(1 AS INT), CAST(1 AS INT), 1) AS hil_int
         |""".stripMargin).head()
     val ent = row2.getAs[org.apache.spark.sql.Row]("ent")
     assert(ent.getLong(0) === 4L && ent.getLong(1) === 2L)
@@ -76,6 +77,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row2.getAs[Int]("n_cdc") >= 1)
     assert(row2.getAs[Seq[String]]("mm") === Seq("spark", "er", "x", "[UNK]"))
     assert(row2.getAs[Long]("hil") === 2L)
+    // ExpectsInputTypes inserts the LONG cast for integral inputs, so the
+    // interpreted and codegen paths agree (the raw asInstanceOf[Long]
+    // used to CCE on INT columns only when codegen fell back).
+    assert(row2.getAs[Long]("hil_int") === 2L)
 
     // The aggregate path: top-2 scores per group via topk_by_score.
     import spark.implicits._

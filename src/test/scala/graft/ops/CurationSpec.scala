@@ -423,6 +423,39 @@ class CurationSpec extends SparkTestBase {
     assert(r1.count() > 0)
   }
 
+  test("temperatureMix casts non-string shards and rejects null shards") {
+    // Int shard column: compared as strings throughout, so the cast must
+    // happen up front — the rate table and threshold CASE then agree.
+    val intShards = (0L until 100L).map(i => (i, (i % 3).toInt)).toDF("id", "dom")
+    val out = Curation.temperatureMix(intShards, "id", "dom", budget = 30)
+      .select("shard").distinct().as[String].collect().toSet
+    assert(out === Set("0", "1", "2"))
+    // A null shard has no defined sampling rate: reject loudly instead of
+    // letting it fall through every threshold branch.
+    val withNull = Seq((1L, Some("a")), (2L, None), (3L, Some("b")))
+      .toDF("id", "dom")
+    val ex = intercept[IllegalArgumentException] {
+      Curation.temperatureMix(withNull, "id", "dom", budget = 2)
+    }
+    assert(ex.getMessage.contains("null"))
+  }
+
+  test("qualityPacedMix clamps out-of-range scores and drops null scores") {
+    // Scores outside [0, 1] would make the driver-collected histogram
+    // unbounded; they clamp to the edge tiers instead. Null scores have
+    // no tier and are dropped.
+    val docs = Seq(
+      (1L, Some(-3.7)), (2L, Some(0.2)), (3L, Some(0.8)),
+      (4L, Some(99.0)), (5L, None), (6L, Some(0.5)))
+      .toDF("id", "score")
+    val out = Curation.qualityPacedMix(docs, "id", col("score"), buckets = 2)
+      .select("id", "q").as[(Long, Int)].collect().toMap
+    assert(!out.contains(5L))
+    assert(out(1L) === 0)       // clamped to 0.0
+    assert(out(4L) === 10000)   // clamped to 1.0 * qScale
+    assert(out(2L) === 2000 && out(3L) === 8000 && out(6L) === 5000)
+  }
+
   test("epochShuffle: deterministic bucketed permutation, epochs independent") {
     val docs = (0L until 500L).toDF("id")
     val e1 = Curation.epochShuffle(docs, "id", epoch = 1)

@@ -521,6 +521,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(viaLoaded === direct)
   }
 
+  test("buildIvfIndex yields nlist centers on a heavy-exact-duplicate corpus") {
+    // 1000 rows but only 8 distinct vectors: the random-init guard must
+    // count DISTINCT sampled vectors (not raw rows) and keep k-means||,
+    // which still returns nlist centers when distinct points >= nlist.
+    val base = (0 until 1000).map { i =>
+      val c = i % 8
+      (i.toLong, Array.tabulate(8)(d => if (d == c) 4.0f else 0.25f))
+    }.toDF("vec_id", "embedding")
+    val idx = Similarity.buildIvfIndex(base, "vec_id", "embedding", nlist = 8)
+    assert(idx.centers.length === 8)
+    // Every corpus row lands in a valid cell and search still answers.
+    val cells = idx.assigned.select("cell").distinct().as[Int].collect()
+    assert(cells.forall(c => c >= 0 && c < 8))
+    val q = Seq((9999L, Array.tabulate(8)(d => if (d == 3) 4.0f else 0.25f)))
+      .toDF("vec_id", "embedding")
+    val hit = Similarity.ivfSearch(idx, q, "vec_id", "embedding", k = 1, nprobe = 1)
+      .select("neighbor_id").as[Long].head()
+    assert(hit % 8 === 3L)
+  }
+
   test("appendToIvf: appended vectors route to existing cells and are searchable") {
     val base = (0 until 80).map { i =>
       val c = i % 4

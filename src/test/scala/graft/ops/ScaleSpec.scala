@@ -87,6 +87,32 @@ class ScaleSpec extends SparkTestBase {
     byA.foreach(r => assert(r.getLong(2) - r.getLong(1) === 15L))
   }
 
+  test("zorderStats auto-bits: >2^24 keys fit, >=2^30 keys hit the 31-bit ceiling") {
+    // Engine rule: smallest k in [8, 30] with max(key) < 2^k, else 31 —
+    // the oracle replays coalesce(list_min(list_filter(range(8, 31), ...)),
+    // 31), so BOTH branches must agree past the old 2^24 regime.
+    def replayBits(mx: Long): Int = (8 to 30).find(k => mx < (1L << k)).getOrElse(31)
+    // Keys just past 2^25: auto-bits must pick 26 and produce the same
+    // buckets as the explicit bits=26 call.
+    val big = Seq((1L << 25, 3L), ((1L << 25) + 9000L, (1L << 20) + 7L), (123L, 1L << 24))
+      .toDF("a", "b")
+    assert(replayBits((1L << 25) + 9000L) === 26)
+    val auto = Scale.zorderStats(big, "a", "b", bucketBits = 6)
+      .orderBy("bucket").collect().toSeq
+    val fixed = Scale.zorderStats(big, "a", "b", bits = 26, bucketBits = 6)
+      .orderBy("bucket").collect().toSeq
+    assert(auto === fixed)
+    // Keys at/above 2^30: no k in [8, 30] fits — both engine and oracle
+    // fall back to 31 bits (zValue's ceiling).
+    val huge = Seq(((1L << 30) + 5L, 2L), (7L, (1L << 31) - 1L)).toDF("a", "b")
+    assert(replayBits((1L << 31) - 1L) === 31)
+    val autoHuge = Scale.zorderStats(huge, "a", "b", bucketBits = 6)
+      .orderBy("bucket").collect().toSeq
+    val fixedHuge = Scale.zorderStats(huge, "a", "b", bits = 31, bucketBits = 6)
+      .orderBy("bucket").collect().toSeq
+    assert(autoHuge === fixedHuge)
+  }
+
   test("hilbert index: base quadrant order and full-curve adjacency") {
     import graft.functions.HilbertOps
     // bits = 1: the canonical U: (0,0)→0, (0,1)→1, (1,1)→2, (1,0)→3.

@@ -76,6 +76,25 @@ class WebSpec extends SparkTestBase {
     assert(m.size === 2)
   }
 
+  test("surtDedup passes malformed (null-SURT) rows through as singletons") {
+    // Malformed URLs must NOT collapse into one null-key "duplicate"
+    // group — a consumer keeping only keep_id would silently drop all
+    // but one malformed document.
+    val df = Seq(
+      (1L, "https://www.shop.com/a"),
+      (2L, "definitely not a url"),
+      (3L, "also :: broken"),
+      (4L, "http://www.shop.com/a/"))
+      .toDF("id", "url")
+    val rows = Web.surtDedup(df, "id", "url").collect()
+    val nullRows = rows.filter(_.isNullAt(0))
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(nullRows === Set((2L, 1L), (3L, 1L)))
+    val good = rows.filter(!_.isNullAt(0))
+    assert(good.length === 1 && good.head.getLong(1) === 1L &&
+      good.head.getLong(2) === 2L)
+  }
+
   test("blocklistFilter drops exactly the blocked registered domains") {
     val df = Seq(
       (1L, "https://www.bad.com/a"), (2L, "https://sub.bad.com/b"),
