@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Generate the sf10 smoke slice used by SCALING.md's second-decade check
+(harness tooling, not part of the library; needs driver-side duckdb).
+
+100x the DOCUMENTS table from /root/testdata/sf0.1 with the same replica
+scheme as gen_sf1.py (tag spliced into every 5th token). Only the
+documents-family queries run at sf10 — embeddings/events symlink to the
+sf1 slice and TPC-H tables to sf0.1, so any non-documents query numbers
+from this dir would be meaningless; SCALING.md's sf10 rows are
+documents-family only.
+
+NOTE the title artifact this inherits from the generator (attributed in
+SCALING.md): replica tags differ by 1-2 characters ("rep3_" vs "rep7_"),
+so the 40-char title prefixes of one base document's replicas are
+pairwise within edit distance 2 — q_edit_pairs' TRUE output grows
+~quadratically in the replica count. That is output mass, not operator
+cost; gen checks report it alongside wall-clock.
+
+Usage: python3 scripts/gen_sf10.py [SRC_DIR] [OUT_DIR]
+"""
+import os
+import sys
+
+import duckdb
+
+src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+sf1 = os.environ.get("SF1_DIR", "/tmp/sf1")
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf10"
+os.makedirs(out, exist_ok=True)
+con = duckdb.connect()
+
+con.execute(f"""
+COPY (
+  SELECT d.doc_id + r.r * 1000000000 AS doc_id,
+    CASE WHEN r.r = 0 THEN d.text ELSE
+      array_to_string(list_transform(str_split(d.text, ' '),
+        (t, i) -> CASE WHEN i % 5 = 0 THEN 'rep' || r.r || '_' || t ELSE t END), ' ')
+    END AS text,
+    d.lang, d.source, d.n_chars
+  FROM read_parquet('{src}/documents.parquet') d, range(0,100) r(r)
+) TO '{out}/documents.parquet' (FORMAT PARQUET)
+""")
+
+for t, d in [("embeddings", sf1), ("events", sf1), ("region", src),
+             ("nation", src), ("customer", src), ("supplier", src),
+             ("part", src), ("orders", src), ("lineitem", src),
+             ("partsupp", src)]:
+    p = f"{d}/{t}.parquet"
+    if os.path.exists(p):
+        link = f"{out}/{t}.parquet"
+        if os.path.lexists(link):
+            os.remove(link)
+        os.symlink(p, link)
+
+print("sf10 slice written to", out)

@@ -264,9 +264,7 @@ object ProductQuantizer {
       centers.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
         .toDF("cell", "center")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
-      Seq((cb.m, cb.ksub, cb.dsub, cb.centroids.toSeq))
-        .toDF("m", "ksub", "dsub", "centroids")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebook")
+      writeCodebook(spark, cb, path)
     }
   }
 
@@ -276,10 +274,60 @@ object ProductQuantizer {
   def loadIvfPq(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
     val centers = spark.read.parquet(s"$path/_centroids")
       .collect().sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray)
-    val cbRow = spark.read.parquet(s"$path/_codebook").collect().head
-    val cb = PqCodebook(cbRow.getInt(0), cbRow.getInt(1), cbRow.getInt(2),
-      cbRow.getSeq[Float](3).toArray)
-    IvfPqIndex(cb, centers, spark.read.parquet(path))
+    IvfPqIndex(readCodebook(spark, path), centers, spark.read.parquet(path))
+  }
+
+  private def writeCodebook(spark: org.apache.spark.sql.SparkSession,
+      cb: PqCodebook, path: String): Unit = {
+    import spark.implicits._
+    Seq((cb.m, cb.ksub, cb.dsub, cb.centroids.toSeq))
+      .toDF("m", "ksub", "dsub", "centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebook")
+  }
+
+  private def readCodebook(spark: org.apache.spark.sql.SparkSession,
+      path: String): PqCodebook = {
+    val r = spark.read.parquet(s"$path/_codebook").collect().head
+    PqCodebook(r.getInt(0), r.getInt(1), r.getInt(2), r.getSeq[Float](3).toArray)
+  }
+
+  /** Persist a plain-PQ index (codes + `_codebook` side table — the same
+    * underscore-dir layout as [[IvfPqIndex.save]], which Spark's file
+    * index skips when scanning the codes). The restart contract a 100 TB
+    * pipeline needs: build once, then any later session [[loadPq]]s and
+    * searches without re-training.
+    */
+  def savePq(path: String, cb: PqCodebook, codes: DataFrame): Unit = {
+    codes.write.mode("overwrite").parquet(path)
+    writeCodebook(codes.sparkSession, cb, path)
+  }
+
+  /** Reload a [[savePq]]d index; the codes scan stays lazy. */
+  def loadPq(spark: org.apache.spark.sql.SparkSession,
+      path: String): (PqCodebook, DataFrame) =
+    (readCodebook(spark, path), spark.read.parquet(path))
+
+  /** Persist an OPQ index: codes over the ROTATED space, `_codebook`, and
+    * the `_rotation` matrix — the piece plain PQ doesn't need. A later
+    * session re-rotates queries (and the refine corpus) with the LOADED
+    * matrix via [[rotateWith]]; nothing is refit.
+    */
+  def saveOpq(path: String, cb: PqCodebook, codes: DataFrame,
+      rotation: IndexedSeq[IndexedSeq[Double]]): Unit = {
+    codes.write.mode("overwrite").parquet(path)
+    val spark = codes.sparkSession
+    writeCodebook(spark, cb, path)
+    import spark.implicits._
+    rotation.zipWithIndex.map { case (r, i) => (i, r) }.toDF("row", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_rotation")
+  }
+
+  /** Reload a [[saveOpq]]d index → (codebook, lazy codes, rotation). */
+  def loadOpq(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (PqCodebook, DataFrame, IndexedSeq[IndexedSeq[Double]]) = {
+    val rot = spark.read.parquet(s"$path/_rotation").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    (readCodebook(spark, path), spark.read.parquet(path), rot)
   }
 
   /** Build the IVF-PQ index: coarse k-means (sample-bounded, no counting
@@ -497,15 +545,36 @@ object ProductQuantizer {
       idCol: String,
       vecCol: String,
       basis: Similarity.PcaBasis,
-      m: Int): DataFrame = {
+      m: Int): DataFrame =
+    rotateWith(df, idCol, vecCol, opqMatrix(basis, m))
+
+  /** The OPQ rotation MATRIX itself (row j = the PCA component assigned to
+    * output position j under the eigenvalue-balancing permutation) — the
+    * persistable half of the rotation: [[saveOpq]] writes it next to the
+    * codebook so a later session can rotate queries identically without
+    * refitting PCA.
+    */
+  def opqMatrix(
+      basis: Similarity.PcaBasis, m: Int): IndexedSeq[IndexedSeq[Double]] = {
     val dim = basis.components.length
     require(dim >= 1 && basis.components.forall(_.length == dim),
       "opqRotate needs a FULL square basis (pcaFit with k = dim)")
     require(dim % m == 0, s"dim $dim must be divisible by m=$m")
     val dsub = dim / m
-    val rows: IndexedSeq[IndexedSeq[Double]] = (0 until dim).map { j =>
+    (0 until dim).map { j =>
       basis.components((j % dsub) * m + (j / dsub)).toIndexedSeq
     }
+  }
+
+  /** Apply a rotation matrix (one plan-constant literal) to a vector
+    * column — [[opqRotate]]'s apply half, reused when the matrix comes
+    * from [[loadOpq]] instead of a fresh PCA fit.
+    */
+  def rotateWith(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      rows: IndexedSeq[IndexedSeq[Double]]): DataFrame = {
     val matLit = typedLit(rows)
     val rotated = transform(matLit, row =>
       aggregate(zip_with(col(vecCol), row, (x, w) => x.cast("double") * w),
