@@ -468,6 +468,78 @@ object LogStream {
       ((d(4) & 0xFFL) << 8) | (d(5) & 0xFFL)
   }
 
+  /** Input contract for [[cmsHeavyHittersStream]]. */
+  case class TokenInput(key: String, token: String, eventTimeMs: Long)
+  /** Per-key state: the serialized Count–Min sketch + the ≤ k current
+    * heavy-hitter candidates (token, estimate).
+    */
+  private[streaming] case class CmsHhState(
+      sketch: Array[Byte], cand: List[(String, Long)])
+  /** One ranked heavy hitter for a key after a micro-batch. */
+  case class HeavyHitterReport(key: String, token: String, est: Long,
+      rank: Int)
+
+  /** Streaming heavy hitters with BOUNDED state — the continuous form of
+    * [[graft.ops.Sketches.cmsAuditedTopTokens]]: per key, a Count–Min
+    * sketch (seeded, deterministic — the SAME structure Spark's batch
+    * `count_min_sketch` aggregate builds, so after any prefix of the
+    * stream the per-token estimate equals the batch sketch's over the
+    * same rows; adds commute, so batch boundaries can't change it) plus
+    * a ≤ k candidate list refreshed each batch as top-k by (estimate
+    * desc, token asc) over (previous candidates ∪ this batch's tokens) —
+    * the classic sketch+heap construction (Cormode & Muthukrishnan
+    * 2005§4): a true heavy hitter is re-estimated on every arrival, so
+    * it enters the list the batch its count qualifies.
+    *
+    * State per key is depth × width counter longs (depth =
+    * ⌈ln(1/(1−confidence))⌉, width = ⌈2/eps⌉ — a few KB at the defaults)
+    * + k candidate entries: independent of stream length AND vocabulary
+    * size, checkpoint-recoverable (kill/resume equivalence is specced
+    * like the KMV/near-dup streams). Each micro-batch emits the key's
+    * full current top-k (Update-mode audit rows). CMS estimates only
+    * ever OVER-count, so a displaced candidate was never under-ranked:
+    * the list converges on the true heavy set as mass accumulates.
+    */
+  def cmsHeavyHittersStream(
+      rows: Dataset[TokenInput],
+      k: Int = 10,
+      eps: Double = 0.01,
+      confidence: Double = 0.99,
+      seed: Int = 42): Dataset[HeavyHitterReport] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState[CmsHhState, HeavyHitterReport](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (key, it, state: GroupState[CmsHhState]) =>
+          val cms = state.getOption
+            .map(s => org.apache.spark.util.sketch.CountMinSketch
+              .readFrom(new java.io.ByteArrayInputStream(s.sketch)))
+            .getOrElse(org.apache.spark.util.sketch.CountMinSketch
+              .create(eps, confidence, seed))
+          val batchTokens =
+            scala.collection.mutable.LinkedHashSet.empty[String]
+          it.foreach { r =>
+            cms.add(r.token.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            batchTokens += r.token
+          }
+          val prev = state.getOption.map(_.cand.map(_._1)).getOrElse(Nil)
+          val cand = (prev ++ batchTokens).distinct
+            .map(t => t -> cms.estimateCount(t.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8)))
+            .sortBy { case (t, e) => (-e, t) }
+            .take(k)
+          val bos = new java.io.ByteArrayOutputStream()
+          cms.writeTo(bos)
+          state.update(CmsHhState(bos.toByteArray, cand))
+          cand.iterator.zipWithIndex.map { case ((t, e), i) =>
+            HeavyHitterReport(key, t, e, i + 1)
+          }
+      }
+  }
+
   /** Continuous ingest: text file stream → parsed log lines → Boom files.
     * (`foreachBatch` + the batch writer — the standard file-sink pattern for
     * a custom format.)

@@ -434,6 +434,127 @@ class LogStreamSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("cmsHeavyHittersStream: estimates equal the batch sketch; top-k finds the heavy set") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[LogStream.TokenInput]
+    val hh = LogStream.cmsHeavyHittersStream(input.toDS(), k = 3,
+      eps = 0.01, confidence = 0.99, seed = 42)
+    val q = hh.writeStream.format("memory").queryName("cms_hh")
+      .outputMode("update").start()
+    // Token stream: "big" 30x, "mid" 12x, "low" 5x, singles as noise.
+    val batch1 = (1 to 20).map(i => LogStream.TokenInput("a", "big", i * 100L)) ++
+      (1 to 5).map(i => LogStream.TokenInput("a", "mid", i * 100L)) ++
+      Seq(LogStream.TokenInput("a", "n1", 1L), LogStream.TokenInput("a", "n2", 2L))
+    val batch2 = (1 to 10).map(i => LogStream.TokenInput("a", "big", i * 100L)) ++
+      (1 to 7).map(i => LogStream.TokenInput("a", "mid", i * 100L)) ++
+      (1 to 5).map(i => LogStream.TokenInput("a", "low", i * 100L)) ++
+      Seq(LogStream.TokenInput("a", "n3", 3L))
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      // Final batch's ranked list: ranks re-emit per batch, so the final
+      // estimate per (key, token) is the max (CMS estimates are monotone).
+      val fin = spark.table("cms_hh")
+        .groupBy("token").agg(max("est").as("est"))
+        .as[(String, Long)].collect().toMap
+      assert(fin.keySet.contains("big") && fin.keySet.contains("mid") &&
+        fin.keySet.contains("low"))
+      // Estimates equal Spark's BATCH count_min_sketch over the union of
+      // all rows (same eps/confidence/seed — adds commute).
+      val allTokens = (batch1 ++ batch2).map(_.token)
+      val bytes = allTokens.toDF("token")
+        .agg(expr("count_min_sketch(token, 0.01d, 0.99d, 42)"))
+        .first().getAs[Array[Byte]](0)
+      val batchCms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+      val exact = allTokens.groupBy(identity).view.mapValues(_.size.toLong)
+      for ((t, est) <- fin) {
+        val b = batchCms.estimateCount(
+          t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        assert(est === b, s"stream est for $t must equal batch sketch")
+        assert(est >= exact(t), s"CMS never under-counts ($t)")
+      }
+      // The true heavy set occupies the top ranks of the LAST emission.
+      val lastTop = spark.table("cms_hh")
+        .groupBy("rank").agg(max(struct(col("est"), col("token"))).as("s"))
+        .select(col("rank"), col("s.token"))
+        .as[(Int, String)].collect().toMap
+      assert(lastTop(1) === "big" && lastTop(2) === "mid" && lastTop(3) === "low")
+    } finally q.stop()
+  }
+
+  test("cmsHeavyHittersStream survives a restart: sketch recovers from checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("cms-ckpt").toString
+    val input = MemoryStream[LogStream.TokenInput]
+    val hh = LogStream.cmsHeavyHittersStream(input.toDS(), k = 2,
+      eps = 0.01, confidence = 0.99, seed = 42)
+    type Report = (Long, String, String, Long, Int)
+    def start(buf: java.util.concurrent.ConcurrentLinkedQueue[Report]) =
+      hh.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[LogStream.HeavyHitterReport],
+              id: Long) =>
+            batch.collect().foreach(r =>
+              buf.add((id, r.key, r.token, r.est, r.rank)))
+        }.start()
+
+    // Phase 1: "big" dominates — then KILL the query.
+    val buf1 = new java.util.concurrent.ConcurrentLinkedQueue[Report]()
+    val q1 = start(buf1)
+    try {
+      input.addData((1 to 10).map(i =>
+        LogStream.TokenInput("a", "big", i * 100L)) :+
+        LogStream.TokenInput("a", "mid", 1L): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // Phase 2: resume; "mid" gains 5 more — its estimate must include the
+    // PRE-restart occurrence (6, not 5), proving sketch recovery.
+    val buf2 = new java.util.concurrent.ConcurrentLinkedQueue[Report]()
+    val q2 = start(buf2)
+    try {
+      input.addData((1 to 5).map(i =>
+        LogStream.TokenInput("a", "mid", i * 100L)): _*)
+      q2.processAllAvailable()
+      val got = scala.jdk.CollectionConverters
+        .CollectionHasAsScala(buf2).asScala.toList
+      val mid = got.filter(_._3 == "mid").map(r => (r._4, r._5)).toSet
+      assert(mid === Set((6L, 2)),
+        s"mid must carry its pre-restart count at rank 2: $got")
+
+      // Replay determinism: an uninterrupted run over the same batches
+      // ends with the identical final ranking and estimates.
+      val ref = MemoryStream[LogStream.TokenInput]
+      val qr = LogStream.cmsHeavyHittersStream(ref.toDS(), k = 2,
+          eps = 0.01, confidence = 0.99, seed = 42)
+        .writeStream.format("memory").queryName("cms_hh_ref")
+        .outputMode("update").start()
+      try {
+        ref.addData((1 to 10).map(i =>
+          LogStream.TokenInput("a", "big", i * 100L)) :+
+          LogStream.TokenInput("a", "mid", 1L): _*)
+        qr.processAllAvailable()
+        ref.addData((1 to 5).map(i =>
+          LogStream.TokenInput("a", "mid", i * 100L)): _*)
+        qr.processAllAvailable()
+        val refFinal = spark.table("cms_hh_ref")
+          .groupBy("token").agg(max("est").as("est"))
+          .as[(String, Long)].collect().toSet
+        // Final estimate per token across both phases (CMS monotone).
+        val gotFinal =
+          (scala.jdk.CollectionConverters.CollectionHasAsScala(buf1).asScala ++
+            scala.jdk.CollectionConverters.CollectionHasAsScala(buf2).asScala)
+            .groupBy(_._3).map { case (t, rs) => (t, rs.map(_._4).max) }.toSet
+        assert(gotFinal === refFinal,
+          s"restarted run must match uninterrupted: $gotFinal vs $refFinal")
+      } finally qr.stop()
+    } finally q2.stop()
+  }
+
   test("streaming text-to-boom ingest") {
     val in = Files.createTempDirectory("stream-in").toString
     val out = Files.createTempDirectory("stream-out").toString
