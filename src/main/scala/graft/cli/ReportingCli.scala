@@ -10,7 +10,8 @@ import graft.engine.Reporting
   *   logindex  --root=/data                      # index CSV to stdout
   *   logindex  --root=/data --unmerged           # unmerged-dirs report
   *   queryindex --root=/data -dc=99 -svc='web.*' [-type=..] [-comp=..] [-start=yyyyMMdd] [-end=yyyyMMdd]
-  *   logstats  --root=/data -dc=99 -svc=websvc -comp=app
+  *   logstats  --root=/data -dc=99 -svc=websvc -comp=app \
+  *             [-start=yyyyMMddHH] [-end=yyyyMMddHH] [--list]
   * }}}
   */
 object ReportingCli {
@@ -68,7 +69,34 @@ object logstats {
     val spark = LogToolCli.session()
     try {
       val stats = Reporting.logStats(Reporting.fileListing(spark, root), dc, svc, comp)
-      print(Reporting.renderStats(stats))
+      if (argv.contains("--list")) {
+        // Compact per-hour listing (one row per (date, hour) with bytes).
+        print(Reporting.renderStats(stats))
+      } else {
+        // The reference's ingest plot (util/LogStats.java:118-226).
+        // -start/-end are yyyyMMddHH (GMT); default = the data's span.
+        val oneHour = 3600000L
+        def parseHour(s: String): Long =
+          java.time.LocalDate.parse(s.take(8),
+              java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd"))
+            .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli +
+            s.drop(8).toInt * oneHour
+        val rows = stats.collect()
+        if (rows.isEmpty) {
+          println("\n    No indexed data for " + dc + "/" + svc + "/" + comp + ".")
+        } else {
+          val spanStart = rows.map(r =>
+            parseHour(r.getAs[String]("date") + r.getAs[String]("hour"))).min
+          val spanEnd = rows.map(r =>
+            parseHour(r.getAs[String]("date") + r.getAs[String]("hour"))).max + oneHour
+          val start = Option(ReportingCli.opt(argv, "-start"))
+            .map(parseHour).getOrElse(spanStart)
+          val end = Option(ReportingCli.opt(argv, "-end"))
+            .map(parseHour).getOrElse(spanEnd)
+          val vols = Reporting.hourlyVolumes(stats, start, end)
+          print(Reporting.renderStatsChart(vols, start, end))
+        }
+      }
     } finally spark.stop()
   }
 }

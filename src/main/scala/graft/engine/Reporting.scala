@@ -189,8 +189,147 @@ object Reporting {
         col("n_users"))
   }
 
-  /** ASCII bar chart of logStats output (the reference's printStats,
-    * LogStats.java:118-226) — driver-side convenience.
+  /** The reference's byte-size formatter (util/QueryIndex.java:264-283):
+    * integer bytes below 1 KB, two decimals at each 1024 tier above.
+    */
+  def formatByteSize(byteSize: Double): String = {
+    val K = 1024d; val M = K * 1024; val G = M * 1024; val T = G * 1024
+    if (byteSize < K) f"${byteSize.toInt}%d B"
+    else if (byteSize < M) f"${byteSize / K}%.2f KB"
+    else if (byteSize < G) f"${byteSize / M}%.2f MB"
+    else if (byteSize < T) f"${byteSize / G}%.2f GB"
+    else f"${byteSize / T}%.2f TB"
+  }
+
+  /** Dense per-hour byte volumes over [startMs, endMs) from [[logStats]]
+    * rows — the reference's getDataOverTime array shape
+    * (util/LogStats.java:83-116): one slot per hour, missing hours 0.
+    * Driver-side: the stats table is already (date, hour)-bounded.
+    */
+  def hourlyVolumes(stats: DataFrame, startMs: Long, endMs: Long): Array[Double] = {
+    val oneHour = 3600000L
+    val totalHours = ((endMs - startMs) / oneHour).toInt
+    if (totalHours <= 0) return Array.empty
+    val vols = Array.fill(totalHours)(0d)
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
+    stats.collect().foreach { r =>
+      val t = java.time.LocalDate.parse(r.getAs[String]("date"), fmt)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli +
+        r.getAs[String]("hour").toInt * oneHour
+      val idx = ((t - startMs) / oneHour).toInt
+      if (t >= startMs && idx < totalHours)
+        vols(idx) += r.getAs[Long]("bytes").toDouble
+    }
+    vols
+  }
+
+  /** The reference's ingest plot (util/LogStats.java:118-226), mirrored
+    * line for line as a returned string: hours resampled into ≤ 61
+    * columns, an 11-level █/▄ block chart between column-max and
+    * column-min, byte-size axis labels, 12-column ticks with HH:mm and
+    * date rows, and the summary header (total / average / peak / min
+    * ingest). Times render in GMT (the reference used the JVM default
+    * zone; the axis label always said GMT — pinned here).
+    */
+  def renderStatsChart(volumes: Array[Double], startMs: Long, endMs: Long): String = {
+    val sb = new StringBuilder
+    val hourFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH")
+      .withZone(java.time.ZoneOffset.UTC)
+    val timeFmt = java.time.format.DateTimeFormatter.ofPattern("HH:mm")
+      .withZone(java.time.ZoneOffset.UTC)
+    val dateFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+      .withZone(java.time.ZoneOffset.UTC)
+    def fmtH(ms: Long) = hourFmt.format(java.time.Instant.ofEpochMilli(ms))
+    if (volumes.isEmpty) {
+      sb.append("\n    No indexed data between " + fmtH(startMs) + "h and " +
+        fmtH(endMs) + "h.\n")
+      return sb.toString
+    }
+    val oneHour = 3600000L
+    val totalHours = volumes.length
+    val totalIngest = volumes.sum
+    val averageIngest = totalIngest / totalHours
+    val height = 11
+    val width = math.min(61, totalHours)
+    val columnHeights = Array.fill(width)(0d)
+    val hoursPerColumn = totalHours.toDouble / width
+    // The reference's exact resampling loop: each column absorbs
+    // hoursPerColumn consecutive hours, fractional hours split pro rata.
+    var hour = 0
+    var hoursLeft = 0d
+    var column = 0
+    var break = false
+    while (column < width && !break) {
+      columnHeights(column) += (1 - hoursLeft) * volumes(hour) / hoursPerColumn
+      hour += 1
+      hoursLeft = hoursPerColumn - (1 - hoursLeft)
+      while (hoursLeft >= 1 && hour < totalHours) {
+        columnHeights(column) += volumes(hour) / hoursPerColumn
+        hour += 1
+        hoursLeft -= 1
+      }
+      if (hour < totalHours) {
+        columnHeights(column) += hoursLeft * volumes(hour) / hoursPerColumn
+      } else break = true
+      column += 1
+    }
+    var mx = columnHeights.max
+    val mn = columnHeights.min
+    if (mx <= mn) mx = mn + 1
+    val range = mx - mn
+    sb.append("\n    Activity from " + fmtH(startMs) + "h to " + fmtH(endMs) +
+      "h inclusive, " + totalHours + " hours total.\n")
+    sb.append("    Ingest over this period was a total of " +
+      formatByteSize(totalIngest) + " at an average of " +
+      formatByteSize(averageIngest) + "/hour.\n")
+    sb.append("    Peak ingest over this period was " +
+      formatByteSize(volumes.max) + "/hour and minimum ingest was " +
+      formatByteSize(volumes.min) + "/hour.\n")
+    sb.append("\n" + String.format("%9s", formatByteSize(mx)) + "/hour - ")
+    var level = height.toDouble
+    while (level > 0) {
+      if (level == (height / 2) + 1) sb.append("    Ingest       ")
+      else if (level != height) sb.append(" " * 17)
+      (0 until width).foreach { c =>
+        if (columnHeights(c) - mn >= ((level - 0.33) * range) / height) sb.append("█")
+        else if (columnHeights(c) - mn > ((level - 0.66) * range) / height) sb.append("▄")
+        else sb.append(" ")
+      }
+      sb.append("\n")
+      level -= 1
+    }
+    sb.append(String.format("%9s", formatByteSize(mn)) + "/hour - ")
+    (0 until width).foreach(c => sb.append(if (c % 12 == 0) "█" else "▀"))
+    sb.append("\n               ")
+    var timePosition = startMs.toDouble
+    (0 until width).foreach { c =>
+      if (c % 12 == 0) {
+        // The reference adds hoursPerColumn/2 MILLISECONDS before the
+        // floor-to-hour (LogStats.java:213 — hours added to a ms clock);
+        // mirrored as-is: the offset never reaches the next hour.
+        val t = (timePosition + hoursPerColumn / 2).toLong
+        sb.append(timeFmt.format(java.time.Instant.ofEpochMilli(
+          t - t % oneHour)) + "       ")
+      }
+      timePosition += oneHour * hoursPerColumn
+    }
+    sb.append("\n             ")
+    timePosition = startMs.toDouble
+    (0 until width).foreach { c =>
+      if (c % 12 == 0) {
+        sb.append(dateFmt.format(
+          java.time.Instant.ofEpochMilli(timePosition.toLong)) + "  ")
+      }
+      timePosition += oneHour * hoursPerColumn
+    }
+    sb.append("\n                               Time (GMT), " +
+      f"$hoursPerColumn%.02f hours per column\n")
+    sb.toString
+  }
+
+  /** ASCII bar chart of logStats output (a compact per-row alternative to
+    * the reference-faithful [[renderStatsChart]]) — driver-side
+    * convenience.
     */
   def renderStats(stats: DataFrame, width: Int = 60): String = {
     val rows = stats.collect()

@@ -205,6 +205,67 @@ class ReportingSpec extends SparkTestBase {
       ("20240102", "00", 50L), ("20240102", "02", 30L)))
     assert(Reporting.renderStats(stats).nonEmpty)
   }
+
+  test("hourlyVolumes maps sparse (date, hour) rows onto the dense hour grid") {
+    val stats = Reporting.logStats(Reporting.fileListing(spark, root), "99", "svc-a", "web")
+    val start = java.time.LocalDate.of(2024, 1, 1)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    val vols = Reporting.hourlyVolumes(stats, start, start + 27L * 3600000L)
+    assert(vols.length === 27)
+    assert(vols(0) === 100d && vols(1) === 150d) // 20240101 00/01
+    assert(vols(24) === 50d && vols(26) === 30d) // 20240102 00/02
+    assert(vols.sum === 330d)                    // everything else 0
+  }
+
+  test("renderStatsChart matches the reference printStats layout (golden)") {
+    // 48 synthetic hours (sine + sawtooth) rendered at 1 hour/column —
+    // golden pinned from a validated run; any drift in the resampling
+    // loop, the 11-level thresholds, the axis labels, or the tick rows
+    // breaks byte equality (LogStats.java:118-226 semantics).
+    val vols = Array.tabulate(48)(h =>
+      math.sin(h / 6.0) * 40000 + 50000 + (h % 5) * 3000)
+    val start = 1330387200000L // 2012-02-28 00:00 UTC
+    val got = Reporting.renderStatsChart(vols, start, start + 48L * 3600000L)
+    val golden =
+      """|
+         |    Activity from 2012-02-28 00h to 2012-03-01 00h inclusive, 48 hours total.
+         |    Ingest over this period was a total of 2.80 MB at an average of 59.68 KB/hour.
+         |    Peak ingest over this period was 99.51 KB/hour and minimum ingest was 11.37 KB/hour.
+         |
+         | 99.51 KB/hour -         ▄█                                  ▄
+         |                        ███▄███▄                            ▄█ ██
+         |                     █ █████████                           ▄█████
+         |                    ████████████▄                         ▄██████
+         |                   ████████████████▄                    █▄███████
+         |    Ingest        ███████████████████                  ██████████
+         |                 ████████████████████                 ███████████
+         |                 █████████████████████               ████████████
+         |                 ███████████████████████▄▄         █▄████████████
+         |                 █████████████████████████       ▄███████████████
+         |                 █████████████████████████▄▄▄██ ▄████████████████
+         | 11.37 KB/hour - █▀▀▀▀▀▀▀▀▀▀▀█▀▀▀▀▀▀▀▀▀▀▀█▀▀▀▀▀▀▀▀▀▀▀█▀▀▀▀▀▀▀▀▀▀▀
+         |               00:00       12:00       00:00       12:00
+         |             2012-02-28  2012-02-28  2012-02-29  2012-02-29
+         |                               Time (GMT), 1.00 hours per column
+         |""".stripMargin
+    // Trailing spaces (real in the reference's print loop, untypeable in a
+    // source literal) are right-trimmed on BOTH sides; everything else is
+    // byte-exact.
+    def trimR(s: String) = s.linesIterator.map(_.replaceAll("\\s+$", ""))
+      .mkString("\n")
+    assert(trimR(got) === trimR(golden))
+    // Empty range: the reference's no-data message.
+    val none = Reporting.renderStatsChart(Array.empty, start, start + 3600000L)
+    assert(none === "\n    No indexed data between 2012-02-28 00h and 2012-02-28 01h.\n")
+  }
+
+  test("formatByteSize mirrors the reference tiers (QueryIndex.java:264)") {
+    assert(Reporting.formatByteSize(512) === "512 B")
+    assert(Reporting.formatByteSize(1536) === "1.50 KB")
+    assert(Reporting.formatByteSize(5.5 * 1024 * 1024) === "5.50 MB")
+    assert(Reporting.formatByteSize(3.25 * 1024 * 1024 * 1024) === "3.25 GB")
+    assert(Reporting.formatByteSize(2.0 * 1024 * 1024 * 1024 * 1024) === "2.00 TB")
+  }
 }
 
 class HFindSpec extends SparkTestBase {
