@@ -1833,6 +1833,16 @@ object SparkEntry {
           minLen = 8)
         .presented("doc_id", "start_tok")),
 
+    // Suffix-array-fidelity variant: spans must repeat AS A WHOLE at one
+    // partner site (diagonal-chained gram matches, verified extension),
+    // not merely have each gram duplicated somewhere. Exact oracle: DuckDB
+    // replays the pair expansion, diagonal islands, and per-doc union
+    // merge on gram STRINGS, including the 64-bucket boilerplate cap.
+    "q_dup_spans_maxext" -> ((s, dir) =>
+      Dedup.duplicateSubstringSpansExact(docsWithDupes(s, dir), "doc_id",
+          "text", minLen = 8, maxBucketSize = 64)
+        .presented("doc_id", "start_tok")),
+
     // Per-document duplicated-token mass from the span pass — the signal
     // an exact-substring removal policy thresholds on. dup_frac is an
     // integer-ratio double (bit-exact cross-engine).
@@ -3436,6 +3446,48 @@ object SparkEntry {
          | SELECT doc_id, min(pos) AS start_tok, max(pos) + 7 AS end_tok,
          |   max(pos) - min(pos) + 8 AS n_tokens
          | FROM isl GROUP BY doc_id, grp
+         | ORDER BY doc_id, start_tok""".stripMargin,
+    "q_dup_spans_maxext" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM $docsWithDupesSql),
+         | g AS (SELECT doc_id, unnest(range(1, len(t) - 6)) AS i, t
+         |   FROM tk WHERE len(t) >= 8),
+         | g2 AS (SELECT doc_id, i - 1 AS pos,
+         |     array_to_string(list_slice(t, i, i + 7), ' ') AS gram FROM g),
+         | b AS (SELECT gram FROM g2 GROUP BY gram
+         |   HAVING count(*) BETWEEN 2 AND 64),
+         | ds AS (SELECT g2.doc_id, g2.pos, g2.gram FROM g2 JOIN b USING (gram)),
+         | pr AS (SELECT x.doc_id AS ida, x.pos AS pa,
+         |     y.doc_id AS idb, y.pos AS pb
+         |   FROM ds x JOIN ds y ON x.gram = y.gram
+         |     AND (x.doc_id < y.doc_id
+         |       OR (x.doc_id = y.doc_id AND x.pos < y.pos))),
+         | cov AS (SELECT ida AS id, idb AS partner, pa - pb AS diag, pa AS pos
+         |     FROM pr
+         |   UNION ALL
+         |   SELECT idb, ida, pb - pa, pb FROM pr),
+         | isl0 AS (SELECT id, partner, diag, pos,
+         |     CASE WHEN pos - lag(pos) OVER (
+         |         PARTITION BY id, partner, diag ORDER BY pos) <= 1
+         |       THEN 0 ELSE 1 END AS nw
+         |   FROM cov),
+         | isl AS (SELECT id, partner, diag, pos,
+         |     sum(nw) OVER (PARTITION BY id, partner, diag ORDER BY pos) AS grp
+         |   FROM isl0),
+         | m AS (SELECT id, min(pos) AS s, max(pos) + 7 AS e
+         |   FROM isl GROUP BY id, partner, diag, grp),
+         | mg0 AS (SELECT id, s, e, max(e) OVER (
+         |     PARTITION BY id ORDER BY s, e
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+         |   FROM m),
+         | mg1 AS (SELECT id, s, e,
+         |     CASE WHEN pe IS NULL OR s > pe + 1 THEN 1 ELSE 0 END AS nw
+         |   FROM mg0),
+         | mg AS (SELECT id, s, e,
+         |     sum(nw) OVER (PARTITION BY id ORDER BY s, e) AS grp
+         |   FROM mg1)
+         | SELECT id AS doc_id, min(s) AS start_tok, max(e) AS end_tok,
+         |   max(e) - min(s) + 1 AS n_tokens
+         | FROM mg GROUP BY id, grp
          | ORDER BY doc_id, start_tok""".stripMargin,
     "q_dup_span_ratio" ->
       s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM $docsWithDupesSql),

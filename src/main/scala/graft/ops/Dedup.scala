@@ -648,6 +648,95 @@ object Dedup {
         (col("end_tok") - col("start_tok") + 1L).as("n_tokens"))
   }
 
+  /** [[duplicateSubstringSpans]] at suffix-array FIDELITY: maximal token
+    * spans that occur — as a WHOLE, at one specific partner site — at
+    * least twice in the corpus, for any match length ≥ `minLen`. The
+    * relaxed operator above only requires each seed gram to be duplicated
+    * SOMEWHERE; this one verifies the extension, so a span longer than
+    * `minLen` is reported exactly when the full substring repeats
+    * (Lee et al. 2022's suffix-array semantics, arXiv:2107.06499 §4).
+    *
+    * Method — k-gram anchored diagonal chaining, the distributed stand-in
+    * for the suffix array's LCP extension: inside an exact repeat every
+    * `minLen`-gram matches the partner at the SAME diagonal
+    * (pos_a − pos_b), and consecutive seed positions chain; a break in
+    * the chain is precisely a mismatching token, so a maximal run of
+    * r consecutive matched seeds IS a maximal exact pairwise match of
+    * r + minLen − 1 tokens. Per document, the pairwise match intervals
+    * then union-merge (overlapping or adjacent) into the final covered
+    * spans — the removal mask Lee et al. apply.
+    *
+    * Scale shape: one count-style shuffle on gram hashes into member
+    * buckets; pair expansion is quadratic ONLY within a bucket and
+    * buckets above `maxBucketSize` are dropped on BOTH sides (corpus-wide
+    * boilerplate grams identify the template, not a quote — the
+    * containmentPairs convention; capped grams can only split a chain,
+    * never fabricate a match, so the output stays exact, possibly
+    * fragmented, under the cap). Every shuffled row is (id, partner,
+    * diag, pos) longs; document text never rides a shuffle.
+    *
+    * Output: one row per maximal merged span — (id, start_tok, end_tok
+    * inclusive, n_tokens), disjoint per document; a strict subset of the
+    * relaxed operator's coverage.
+    */
+  def duplicateSubstringSpansExact(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 8,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
+    val seeds = df
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .select(col("id"),
+        graft.functions.TextFunctions.ngram_hashes(col("__t"), minLen).as("__g"))
+      .select(col("id"), posexplode(col("__g")).as(Seq("pos", "gh")))
+    val buckets = seeds
+      .groupBy("gh")
+      .agg(collect_list(struct(col("id"), col("pos"))).as("m"))
+      .where(size(col("m")).between(2, maxBucketSize))
+    // Occurrence pairs (lexicographic (id, pos) order), then one coverage
+    // row per SIDE: the same match must mask tokens in both documents.
+    val pairs = buckets
+      .select(explode(col("m")).as("a"), col("m"))
+      .select(col("a"), explode(col("m")).as("b"))
+      .where(col("a.id") < col("b.id") ||
+        (col("a.id") === col("b.id") && col("a.pos") < col("b.pos")))
+    val cov = pairs
+      .select(col("a.id").as("id"), col("b.id").as("partner"),
+        (col("a.pos") - col("b.pos")).as("diag"), col("a.pos").as("pos"))
+      .unionByName(pairs
+        .select(col("b.id").as("id"), col("a.id").as("partner"),
+          (col("b.pos") - col("a.pos")).as("diag"), col("b.pos").as("pos")))
+    // Diagonal chaining: a gap of exactly 1 extends the exact match by one
+    // token; any larger gap means an intermediate gram mismatched (inside
+    // a true repeat EVERY gram matches, so seeds occur at every position).
+    val wc = Window.partitionBy(col("id"), col("partner"), col("diag"))
+      .orderBy(col("pos"))
+    val matches = cov
+      .withColumn("__nw",
+        when(col("pos") - lag(col("pos"), 1).over(wc) <= 1, 0).otherwise(1))
+      .withColumn("__grp", sum(col("__nw")).over(wc))
+      .groupBy(col("id"), col("partner"), col("diag"), col("__grp"))
+      .agg(min(col("pos")).as("s"),
+        (max(col("pos")) + (minLen - 1)).as("e"))
+    // Per-document union of pairwise intervals (overlap-or-adjacent merge)
+    // — the standard running-max-end gaps-and-islands.
+    val wm = Window.partitionBy(col("id")).orderBy(col("s"), col("e"))
+    matches.select(col("id"), col("s"), col("e"))
+      .withColumn("__pe", max(col("e")).over(
+        wm.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__nw",
+        when(col("__pe").isNull || col("s") > col("__pe") + 1, 1).otherwise(0))
+      .withColumn("__grp2", sum(col("__nw")).over(wm))
+      .groupBy(col("id"), col("__grp2"))
+      .agg(min(col("s")).cast("long").as("start_tok"),
+        max(col("e")).cast("long").as("end_tok"))
+      .select(col("id").as(idCol), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1L).as("n_tokens"))
+  }
+
   /** Content-defined chunking (CDC) dedup — the FastCDC/rsync idea at the
     * token level: a chunk boundary falls AFTER token j whenever the hash
     * of the k-gram ENDING at j is ≡ 0 (mod `modulus`), so boundaries

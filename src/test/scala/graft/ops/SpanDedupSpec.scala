@@ -214,6 +214,116 @@ class SpanDedupSpec extends SparkTestBase {
     assert(m.values.forall(_._4 <= 1.0), m.toString)
   }
 
+  test("duplicateSubstringSpansExact requires the WHOLE span to repeat") {
+    // Doc 20 has every 3-gram duplicated SOMEWHERE (alternating against
+    // docs 21/22) but the full 6-token string repeats nowhere: the relaxed
+    // operator reports one 6-token span; the exact one must report only
+    // the two genuinely repeating 4-token matches, merged into [0,5] by
+    // coverage union — and doc 23, sharing nothing, reports nothing.
+    val docs = Seq(
+      (20L, "a b c d e f"),
+      (21L, "a b c d x1 x2"),    // matches [0,3] of 20
+      (22L, "y1 y2 c d e f"),    // matches [2,5] of 20
+      (23L, "p q r s t u"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.duplicateSubstringSpansExact(docs, "doc_id", "text",
+        minLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact === Set((20L, 0L, 5L), (21L, 0L, 3L), (22L, 2L, 5L)),
+      exact.toString)
+  }
+
+  test("duplicateSubstringSpansExact vs relaxed: extension must verify") {
+    // The discriminating corpus: doc 30's grams at pos 0 and pos 2 are
+    // duplicated against DIFFERENT partners with a unique middle gram.
+    // The relaxed operator merges seeds [0] and [2] into one [0,5] span
+    // for doc 30 — but no 5+-token substring of doc 30 repeats anywhere,
+    // so the exact operator reports the two 4-token matches separately
+    // ONLY where they truly repeat. (Coverage union still merges the
+    // overlapping [0,3] and [2,5] into [0,5] for doc 30 — both intervals
+    // are genuine repeats; what changes is doc 31/32's sides.)
+    val docs = Seq(
+      (30L, "w1 w2 w3 w4 w5 w6"),
+      (31L, "w1 w2 w3 w4 aa bb cc"),
+      (32L, "pp qq w3 w4 w5 w6"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.duplicateSubstringSpansExact(docs, "doc_id", "text",
+        minLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact === Set((30L, 0L, 5L), (31L, 0L, 3L), (32L, 2L, 5L)),
+      exact.toString)
+  }
+
+  test("duplicateSubstringSpansExact equals a quadratic diagonal-scan oracle (property)") {
+    // Ground truth by definition: for every ordered doc pair and every
+    // diagonal, token-equality runs of length >= minLen cover their
+    // interval; per-doc coverage union (overlap-or-adjacent) is the
+    // answer. Small alphabet forces dense repeats, self-matches included.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def tokensOf(s: String): Array[String] =
+      s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    def brute(pool: Seq[(Long, String)], minLen: Int): Set[(Long, Long, Long, Long)] = {
+      val toks = pool.map { case (id, s) => id -> tokensOf(s) }.toMap
+      val cover = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[(Int, Int)]]
+      def addRun(id: Long, s: Int, e: Int): Unit =
+        cover.getOrElseUpdate(id, scala.collection.mutable.Set.empty) += ((s, e))
+      for ((ida, ta) <- toks; (idb, tb) <- toks if ida <= idb) {
+        val diags =
+          if (ida == idb) (1 until ta.length).map(d => (d, true))
+          else (-(tb.length - 1) until ta.length).map(d => (d, false))
+        for ((d, self) <- diags) {
+          // positions p in a, p - d in b; runs of equality.
+          var p = math.max(0, d)
+          var runStart = -1
+          def flush(end: Int): Unit = {
+            if (runStart >= 0 && end - runStart >= minLen) {
+              addRun(ida, runStart, end - 1)
+              addRun(idb, runStart - d, end - 1 - d)
+            }
+            runStart = -1
+          }
+          while (p < ta.length && p - d < tb.length) {
+            if (p - d >= 0 && ta(p) == tb(p - d) && !(self && d == 0)) {
+              if (runStart < 0) runStart = p
+            } else flush(p)
+            p += 1
+          }
+          flush(p)
+        }
+      }
+      cover.flatMap { case (id, ivs) =>
+        val sorted = ivs.toSeq.sorted
+        val merged = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+        for ((s, e) <- sorted) {
+          if (merged.nonEmpty && s <= merged.last._2 + 1)
+            merged(merged.length - 1) =
+              (merged.last._1, math.max(merged.last._2, e))
+          else merged += ((s, e))
+        }
+        merged.map { case (s, e) =>
+          (id, s.toLong, e.toLong, (e - s + 1).toLong) }
+      }.toSet
+    }
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val gen = Gen.listOfN(8, for {
+      len <- Gen.choose(0, 18)
+      ws <- Gen.listOfN(len, word)
+    } yield ws.mkString(" "))
+    for (i <- 0 until 5) {
+      val minLen = 2 + (i % 2)
+      val pool = gen(Gen.Parameters.default, Seed(31L + i)).get
+        .zipWithIndex.map { case (s, id) => (id.toLong, s) }
+      val got = Dedup.duplicateSubstringSpansExact(
+          pool.toDF("doc_id", "text"), "doc_id", "text", minLen = minLen)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val want = brute(pool, minLen)
+      assert(got === want,
+        s"seed=${31 + i} minLen=$minLen missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
   test("removeDuplicateSpans keeps the first occurrence, cuts the rest") {
     val shared = "a1 a2 a3 a4 a5 a6"
     val docs = Seq(
