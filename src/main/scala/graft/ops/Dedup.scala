@@ -214,7 +214,12 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.7,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val rowsPerBand = numHashes / bands
+    // Declared resolution is a FLOOR ([[autoRowsPerBand]] — the knnGraph
+    // law; the default r = 4 already holds at 0.7, so the auto only
+    // engages for permissive caller-supplied band settings above the knee).
+    val rowsPerBand = autoRowsPerBand(df.count(), numHashes,
+      numHashes / bands, threshold)
+    val effBands = numHashes / rowsPerBand
     // Staged projections: tokens → shingles → shingle hashes → signature.
     // Each stage references the previous MATERIALIZED column, so the 64
     // signature positions share one shingle computation instead of each
@@ -226,7 +231,7 @@ object Dedup {
     // `bands`× the signature table (same shape as [[ngramJaccardPairs]]).
     val banded = sigs
       .select(col("id"),
-        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+        explode(lshBandKeys(col("sig"), effBands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
     bucketPairsIds(banded, Seq("band", "key"), maxBucketSize)
       .dropDuplicates("id_a", "id_b")
@@ -387,7 +392,6 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 32,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val rowsPerBand = numHashes / bands
     // The tokenize→shingle-hash pipeline is this operator's dominant cost
     // (an sf1 stage profile put ONE pass at ~40% of total runtime), and
     // the plan reads it three times: banding plus both verification join
@@ -401,9 +405,14 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = sets.select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The count doubles as the sets-cache materializer; [[autoRowsPerBand]]
+    // only changes the resolution above the 500k-doc knee.
+    val rowsPerBand = autoRowsPerBand(sets.count(), numHashes,
+      numHashes / bands, threshold)
+    val effBands = numHashes / rowsPerBand
     val banded = sigs
       .select(col("id"),
-        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+        explode(lshBandKeys(col("sig"), effBands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
     val sigFloor = math.max(0.0, threshold - 0.3)
     bucketPairsIds(banded, Seq("band", "key"), maxBucketSize)
@@ -419,6 +428,34 @@ object Dedup {
         graft.functions.TextFunctions.jaccard_sets(col("sh_a"), col("sh_b"))
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
+  }
+
+  /** Corpus-size knee above which banding auto-raises rows-per-band. */
+  private[ops] val AutoBandKnee: Long = 500000L
+
+  /** Auto LSH band resolution — the [[Similarity.knnGraph]] fixed-resolution
+    * law applied to minhash banding: a FIXED rows-per-band makes chance
+    * band collisions from moderate-jaccard impostor pairs (j ≈ 0.2–0.3 —
+    * e.g. same-source near-miss replicas) grow with n² · j^r, which the
+    * sf10 stress measured as 16×-over-linear shuffle bytes at r = 2 on a
+    * 5M-doc corpus. Above the [[AutoBandKnee]] the resolution doubles
+    * (r → 2r, bands halve) while the banding S-curve
+    * 1 − (1 − t^r)^bands keeps ≥ 0.95 recall at the operator's verify
+    * threshold — candidate mass from j ≈ 0.25 impostors drops ~20× per
+    * doubling, true-pair recall stays contractual, and below the knee
+    * (every oracle scale) the resolution — hence every oracled result —
+    * is bit-identical to the declared default.
+    */
+  private[ops] def autoRowsPerBand(
+      n: Long, numHashes: Int, floorR: Int, threshold: Double): Int = {
+    var r = floorR
+    def recallAt(rr: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(threshold, rr), numHashes.toDouble / rr)
+    while (n >= AutoBandKnee && r * 2 <= numHashes &&
+        numHashes % (r * 2) == 0 && recallAt(r * 2) >= 0.95) {
+      r *= 2
+    }
+    r
   }
 
   /** [[bucketPairs]] without payload: candidate id pairs only, one id-row

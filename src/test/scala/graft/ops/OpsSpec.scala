@@ -194,6 +194,19 @@ class DedupSpec extends SparkTestBase {
     assert(ev === shingles.take(3).mkString(" | "))
   }
 
+  test("autoRowsPerBand: doubles only above the knee and while recall holds") {
+    // Below the knee: the declared floor, always (every oracle scale).
+    assert(Dedup.autoRowsPerBand(5020L, 64, 2, 0.8) === 2)
+    assert(Dedup.autoRowsPerBand(499999L, 64, 2, 0.8) === 2)
+    // Above: r=2 -> 4 at t=0.8 (S-curve 1-(1-0.41)^16 = 0.9998 >= 0.95)
+    // but NOT 8 (recall 0.77 < 0.95) — the sf10 impostor-collision fix.
+    assert(Dedup.autoRowsPerBand(5000000L, 64, 2, 0.8) === 4)
+    // Default minhash r=4 at t=0.7 stays 4 (r=8 recall 0.38).
+    assert(Dedup.autoRowsPerBand(5000000L, 64, 4, 0.7) === 4)
+    // Very high thresholds can afford r=8: t=0.95 -> 1-(1-0.66)^8 = 0.9998.
+    assert(Dedup.autoRowsPerBand(5000000L, 64, 4, 0.95) === 8)
+  }
+
   test("editDistancePairs: known distances in and out of threshold") {
     val recs = Seq(
       (1L, "spark sql engine"),
