@@ -217,7 +217,7 @@ object Dedup {
     // Declared resolution is a FLOOR ([[autoRowsPerBand]] — the knnGraph
     // law; the default r = 4 already holds at 0.7, so the auto only
     // engages for permissive caller-supplied band settings above the knee).
-    val rowsPerBand = autoRowsPerBand(df.count(), numHashes,
+    val rowsPerBand = autoRowsPerBand(bandingCorpusCount(df), numHashes,
       numHashes / bands, threshold)
     val effBands = numHashes / rowsPerBand
     // Staged projections: tokens → shingles → shingle hashes → signature.
@@ -405,9 +405,12 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = sets.select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // The count doubles as the sets-cache materializer; [[autoRowsPerBand]]
-    // only changes the resolution above the 500k-doc knee.
-    val rowsPerBand = autoRowsPerBand(sets.count(), numHashes,
+    // Corpus size from the SOURCE via [[bandingCorpusCount]] (free below
+    // the knee; a count on `sets` would run the whole tokenize+shingle
+    // pipeline as a separate job, measured +0.4 s/query at sf0.1). The
+    // knee is an order-of-magnitude switch, so the handful of
+    // null/short-text rows the sets stage drops cannot move it.
+    val rowsPerBand = autoRowsPerBand(bandingCorpusCount(df), numHashes,
       numHashes / bands, threshold)
     val effBands = numHashes / rowsPerBand
     val banded = sigs
@@ -432,6 +435,18 @@ object Dedup {
 
   /** Corpus-size knee above which banding auto-raises rows-per-band. */
   private[ops] val AutoBandKnee: Long = 500000L
+
+  /** Corpus row count for the banding knee — FREE below it: when the
+    * optimized plan's sizeInBytes is under 32 MB the corpus cannot hold
+    * 500k documents (≥ ~64 compressed source bytes each), so the floor
+    * resolution is provably right and no count job runs (measured
+    * +0.1–0.3 s/query at sf0.1 otherwise). Larger-or-unknown plans
+    * (non-file sources default to huge sizeInBytes) pay one cheap count —
+    * parquet pushes it to footer metadata.
+    */
+  private[ops] def bandingCorpusCount(df: DataFrame): Long =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(32L << 20)) 0L
+    else df.count()
 
   /** Auto LSH band resolution — the [[Similarity.knnGraph]] fixed-resolution
     * law applied to minhash banding: a FIXED rows-per-band makes chance

@@ -140,6 +140,14 @@ class IndexPersistenceSpec extends SparkTestBase {
       .toDF("doc_id", "text").write.mode("overwrite").parquet(docsPath)
     val docs = spark.read.parquet(docsPath)
     val idx = TextSearch.buildTrigramIndex(docs, "doc_id", "text")
+    // A previous JVM's run leaves the warehouse DIRECTORY behind while the
+    // fresh in-memory catalog has no table entry — overwrite then refuses
+    // the location. Clear both sides.
+    spark.sql("DROP TABLE IF EXISTS idx_persist_trigram")
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/idx_persist_trigram")
+    warehouse.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(warehouse, true)
     TextSearch.writeTrigramIndex(idx, "idx_persist_trigram", buckets = 8)
     def search(s: org.apache.spark.sql.SparkSession,
         index: org.apache.spark.sql.DataFrame): Set[(Long, Int)] = {

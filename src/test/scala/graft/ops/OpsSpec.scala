@@ -207,6 +207,21 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.autoRowsPerBand(5000000L, 64, 4, 0.95) === 8)
   }
 
+  test("bandingCorpusCount: free below the plan-size knee, counts when unknown") {
+    // Provably-small plan: no count job, returns 0 (floor resolution).
+    val small = (1 to 100).map(i => (i.toLong, "x")).toDF("id", "s")
+    assert(Dedup.bandingCorpusCount(small) === 0L)
+    // Unknown stats (RDD-backed logical plan defaults to a huge
+    // sizeInBytes): must fall back to the real count.
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    val viaRdd = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L), org.apache.spark.sql.Row(2L))), schema)
+    assert(Dedup.bandingCorpusCount(viaRdd) === 2L)
+  }
+
   test("editDistancePairs: known distances in and out of threshold") {
     val recs = Seq(
       (1L, "spark sql engine"),
