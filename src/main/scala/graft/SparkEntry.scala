@@ -1554,6 +1554,16 @@ object SparkEntry {
           "text", tokenBudget = 2000L)
         .presented("source", "doc_id")),
 
+    // UniMax language sampling: ascending-capacity water-filling of a
+    // token budget under a 2-epoch cap, then per-language full-epochs +
+    // draw-ordered partial admission. ALL integer arithmetic — the oracle
+    // replays the allocation loop as a recursive CTE and the admission
+    // with the budgetSample md5 chain.
+    "q_unimax_mix" -> ((s, dir) =>
+      Curation.unimaxMix(t(s, dir, "documents"), "doc_id", "lang", "text",
+          tokenBudget = 25000L, maxEpochs = 2)
+        .presented("doc_id")),
+
     // Per-slice dataset-card profile over docsWithDupes (so n_dup_docs is
     // non-zero) — one aggregation pass, integer-exact columns.
     "q_corpus_profile" -> ((s, dir) =>
@@ -2519,6 +2529,36 @@ object SparkEntry {
          | SELECT source, doc_id, n_tokens, start_off,
          |   (start_off < 2000)::INT AS kept
          | FROM c ORDER BY source, doc_id""".stripMargin,
+    "q_unimax_mix" ->
+      s"""WITH RECURSIVE sizes AS (SELECT lang,
+         |     CAST(sum(len($tokensSql)) AS BIGINT) AS n
+         |   FROM documents GROUP BY lang),
+         | ord AS (SELECT lang, n, n * 2 AS cap,
+         |     CAST(row_number() OVER (ORDER BY n * 2, lang) AS BIGINT) AS rn,
+         |     CAST(count(*) OVER () AS BIGINT) AS cnt
+         |   FROM sizes),
+         | alloc AS (
+         |   SELECT CAST(0 AS BIGINT) AS rn, CAST(25000 AS BIGINT) AS b,
+         |     CAST(0 AS BIGINT) AS q
+         |   UNION ALL
+         |   SELECT o.rn, a.b - least(o.cap, a.b // (o.cnt - o.rn + 1)),
+         |     least(o.cap, a.b // (o.cnt - o.rn + 1))
+         |   FROM alloc a JOIN ord o ON o.rn = a.rn + 1),
+         | quota AS (SELECT o.lang, al.q AS lang_quota,
+         |     CASE WHEN o.n = 0 THEN 0 ELSE al.q // o.n END AS n_full_epochs,
+         |     CASE WHEN o.n = 0 THEN 0 ELSE al.q % o.n END AS rpart
+         |   FROM alloc al JOIN ord o USING (rn) WHERE al.rn >= 1),
+         | w AS (SELECT doc_id, lang, CAST(len($tokensSql) AS BIGINT) AS n_tokens,
+         |     CAST(('0x' || substr(md5(doc_id::VARCHAR || '-graft-ws'),
+         |         1, 13)) AS BIGINT) / 4503599627370496.0 AS k
+         |   FROM documents),
+         | c AS (SELECT doc_id, lang, n_tokens,
+         |     CAST(sum(n_tokens) OVER (PARTITION BY lang
+         |         ORDER BY k DESC, doc_id) AS BIGINT) - n_tokens AS start_off
+         |   FROM w)
+         | SELECT c.doc_id, c.lang, c.n_tokens, quota.lang_quota,
+         |   quota.n_full_epochs, (c.start_off < quota.rpart)::INT AS kept_partial
+         | FROM c JOIN quota USING (lang) ORDER BY doc_id""".stripMargin,
     "q_corpus_profile" ->
       s"""SELECT source AS slice, count(*) AS n_docs,
          |   count(md5(text)) - count(DISTINCT md5(text)) AS n_dup_docs,

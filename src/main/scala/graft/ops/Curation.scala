@@ -657,6 +657,75 @@ object Curation {
       (cum - col("n_tokens") < tokenBudget).cast("int").as("kept"))
   }
 
+  /** UniMax language sampling (Chung et al. 2023, ICLR — "UniMax: Fairer
+    * and More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): allocate a total token budget across languages by
+    * ascending-capacity water-filling under a per-language EPOCH CAP —
+    * low-resource languages get up to `maxEpochs` full passes, never
+    * more (the over-sampling cliff temperature mixes fall off), and the
+    * freed budget flows to higher-resource languages. The allocation
+    * loop is Algorithm 1 restated: languages ascend by capacity
+    * n_l·maxEpochs (lang-name tiebreak); each takes
+    * min(capacity, ⌊remaining budget / remaining languages⌋).
+    *
+    * All arithmetic is INTEGER (token counts, floor division), so the
+    * quota table — and the per-document admission below it — replays
+    * bit-exactly in any engine: a language's quota q splits into
+    * e = ⌊q / n⌋ full epochs over every document plus a partial pass of
+    * q − e·n tokens admitted in the [[hashUniform]] draw order with the
+    * [[budgetSample]] start-offset convention.
+    *
+    * Scale shape: one map-side-combined per-language count, a driver
+    * loop over the (bounded) language list, a broadcast quota join, and
+    * ONE lang-partitioned window for the partial-epoch offsets. Output
+    * per document: (id, lang, n_tokens, n_full_epochs, kept_partial) —
+    * total copies of a doc in the mix = n_full_epochs + kept_partial.
+    */
+  def unimaxMix(
+      df: DataFrame,
+      idCol: String,
+      langCol: String,
+      textCol: String,
+      tokenBudget: Long,
+      maxEpochs: Int = 4,
+      salt: String = "graft-ws"): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val staged = df.select(col(langCol).cast("string").as("lang"),
+      col(idCol),
+      size(graft.functions.TextFunctions.tokenize(col(textCol)))
+        .cast("long").as("n_tokens"),
+      hashUniform(col(idCol), salt).as("__k"))
+    val sizes = staged.groupBy("lang").agg(sum(col("n_tokens")).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (l, n) => (n * maxEpochs, l) }
+    require(sizes.nonEmpty, "unimaxMix: empty corpus")
+    var b = tokenBudget
+    var rem = sizes.length
+    val quotas = sizes.map { case (l, n) =>
+      val cap = n * maxEpochs
+      val q = math.min(cap, b / rem)
+      b -= q
+      rem -= 1
+      (l, n, q)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val quotaDf = quotas.toIndexedSeq
+      .map { case (l, n, q) =>
+        (l, q, if (n == 0) 0L else q / n, if (n == 0) 0L else q % n) }
+      .toDF("lang", "lang_quota", "n_full_epochs", "__rpart")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("__k").desc, col(idCol))
+    val cum = sum(col("n_tokens")).over(w)
+    staged.join(broadcast(quotaDf), "lang")
+      .select(col(idCol), col("lang"), col("n_tokens"),
+        col("lang_quota"), col("n_full_epochs"),
+        ((cum - col("n_tokens")) < col("__rpart")).cast("int")
+          .as("kept_partial"))
+  }
+
   /** Per-slice "dataset card" profile — the one-pass corpus summary a
     * mixture designer reads first: document/token/char volumes, language
     * spread, and the exact-duplicate count (docs minus distinct content

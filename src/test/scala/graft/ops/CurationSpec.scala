@@ -423,6 +423,30 @@ class CurationSpec extends SparkTestBase {
     assert(r1.count() > 0)
   }
 
+  test("unimaxMix: epoch-capped water-filling allocation and partial admission") {
+    // Token masses: a = 10, b = 20, c = 100 (5-token docs). Budget 60,
+    // maxEpochs 2 → caps 20/40/200 ascending (a, b, c). Hand replay:
+    //   a: min(20, 60/3=20) = 20 → 2 FULL epochs, no partial
+    //   b: min(40, 40/2=20) = 20 → 1 full epoch, rpart 0
+    //   c: min(200, 20/1)  = 20 → 0 full, partial pass of 20 tokens = 4 docs
+    def mk(lang: String, n: Int, base: Int) =
+      (0 until n).map(i => ((base + i).toLong, lang, "t1 t2 t3 t4 t5"))
+    val docs = (mk("a", 2, 0) ++ mk("b", 4, 100) ++ mk("c", 20, 200))
+      .toDF("id", "lang", "text")
+    val out = Curation.unimaxMix(docs, "id", "lang", "text",
+        tokenBudget = 60L, maxEpochs = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4),
+        r.getInt(5)))
+    val byLang = out.groupBy(_._2)
+    assert(byLang("a").forall(r => r._3 === 20L && r._4 === 2L && r._5 === 0))
+    assert(byLang("b").forall(r => r._3 === 20L && r._4 === 1L && r._5 === 0))
+    assert(byLang("c").forall(r => r._3 === 20L && r._4 === 0L))
+    assert(byLang("c").count(_._5 === 1) === 4)
+    // Budget conservation: allocated quota never exceeds the budget.
+    assert(out.map(r => (r._2, r._3)).distinct.map(_._2).sum <= 60L)
+  }
+
   test("temperatureMix casts non-string shards and rejects null shards") {
     // Int shard column: compared as strings throughout, so the cast must
     // happen up front — the rate table and threshold CASE then agree.
