@@ -355,6 +355,23 @@ object TextSearch {
       .bucketBy(buckets, "gram").sortBy("gram")
       .saveAsTable(table)
 
+  /** Append a NEW batch's postings to a persisted [[writeTrigramIndex]]
+    * table — the incremental-crawl shape ([[graft.ops.Similarity.appendToIvf]]'s
+    * contract for the substring tier): the batch grams bucket-hash into
+    * the SAME layout (Spark validates the bucket spec on append), so the
+    * existing index is never rewritten, reshuffled, or even read; a later
+    * [[trigramSearch]] over `spark.table(table)` sees old + new documents
+    * with bucket pruning intact. Caller contract: append each document id
+    * at most once ([[trigramSearch]]'s candidate AND uses countDistinct,
+    * so accidental re-appends cost bytes, not correctness).
+    */
+  def appendToTrigramIndex(docs: DataFrame, idCol: String, textCol: String,
+      table: String, buckets: Int = 64): Unit =
+    buildTrigramIndex(docs, idCol, textCol)
+      .write.mode("append")
+      .bucketBy(buckets, "gram").sortBy("gram")
+      .saveAsTable(table)
+
   /** Substring query against a [[buildTrigramIndex]] posting set: candidates
     * are the docs whose index rows cover ALL the pattern's distinct
     * trigrams (an AND of posting lists — a groupBy over only those lists'

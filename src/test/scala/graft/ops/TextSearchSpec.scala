@@ -190,6 +190,49 @@ class TextSearchSpec extends SparkTestBase {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("appendToTrigramIndex: incremental postings, pruning intact, equals a rebuild") {
+    val oldDocs = Seq(
+      (1L, "merge group by"),
+      (2L, "nothing shared here")).toDF("doc_id", "text")
+    val newDocs = Seq(
+      (3L, "mermaid ergo large ge gap"), // every "merge g" trigram, not contiguous
+      (4L, "still unrelated words")).toDF("doc_id", "text")
+    val table = "trigram_idx_append_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/" + table)
+    loc.getFileSystem(spark.sessionState.newHadoopConf()).delete(loc, true)
+    try {
+      TextSearch.writeTrigramIndex(
+        TextSearch.buildTrigramIndex(oldDocs, "doc_id", "text"), table,
+        buckets = 16)
+      TextSearch.appendToTrigramIndex(newDocs, "doc_id", "text", table,
+        buckets = 16)
+      val all = oldDocs.unionByName(newDocs)
+      val stored = spark.table(table)
+      val got = TextSearch.trigramSearch(stored, all, "doc_id", "text",
+          "merge g")
+        .as[(Long, Int)].collect().toSet
+      // Doc 1 (old) and doc 3 (appended): "merge g" is contiguous in 1,
+      // trigram-covered but NOT contiguous in 3 (false positive, verified
+      // to 0). The appended side must be visible without a rebuild.
+      assert(got === Set((1L, 1), (3L, 0)))
+      // Equality with a from-scratch index over old + new.
+      val rebuilt = TextSearch.trigramSearch(
+          TextSearch.buildTrigramIndex(all, "doc_id", "text"), all,
+          "doc_id", "text", "merge g")
+        .as[(Long, Int)].collect().toSet
+      assert(got === rebuilt)
+      // Bucket pruning survives the append.
+      val plan = TextSearch.trigramSearch(stored, all, "doc_id", "text",
+        "merge g").queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan)
+      assert(sel.isDefined && sel.get.group(1).toInt < sel.get.group(2).toInt,
+        s"expected pruned buckets post-append:\n$plan")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("postingsStats: delta + LEB128 varint sizes, hand-checked") {
     val docs = Seq((0L, "x x y"), (5L, "x"), (300L, "x z"))
       .toDF("doc_id", "text")
