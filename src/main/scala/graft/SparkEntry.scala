@@ -2061,6 +2061,20 @@ object SparkEntry {
     // wedge join (each triangle one (source,middle,sink) realization —
     // the O(m^1.5) bound). Count is orientation-invariant, so the oracle
     // replays it with the id-ordered canonical 3-way join.
+    // k-core of a denser synthetic domain graph (two hash-derived edge
+    // families per doc): iterative peel until fixpoint — the web-graph
+    // density filter. Oracle: the peel unrolls as 8 guarded rounds
+    // (no-ops past the fixpoint; engine asserts convergence).
+    "q_kcore" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val e = d.select((col("doc_id") % 100).as("src"),
+          ((col("doc_id") * 31 + 7) % 100).as("dst"))
+        .unionByName(d.select((col("doc_id") % 100).as("src"),
+          ((col("doc_id") * 17 + 3) % 100).as("dst")))
+        .where(col("src") =!= col("dst"))
+      Graph.kCore(e, "src", "dst", k = 3).presented("vertex")
+    }),
+
     "q_triangles" -> ((s, dir) => {
       val e = t(s, dir, "documents")
         .select((col("doc_id") % 100).as("src"),
@@ -3250,6 +3264,7 @@ object SparkEntry {
          |   FROM documents)
          | ORDER BY doc_id""".stripMargin,
     "q_hilbert" -> hilbertOracleSql(21, 6),
+    "q_kcore" -> kCoreOracleSql(3, 8),
     "q_zorder" ->
       """WITH mx AS (SELECT max(greatest(CAST(l_orderkey AS BIGINT),
         |                               CAST(l_partkey AS BIGINT))) AS mx
@@ -3974,6 +3989,40 @@ object SparkEntry {
     * [[graft.functions.HilbertOps.index]]; the bit fit replays
     * zorderStats' integer rule capped at maxBits.
     */
+  /** Guarded-unroll oracle for [[graft.ops.Graph.kCore]]: `rounds` peel
+    * steps as chained CTEs — each recomputes degrees and keeps ≥ k
+    * vertices' edges; rounds past the fixpoint are no-ops, and the
+    * engine REQUIRES convergence, so equality holds whenever the true
+    * peel depth ≤ rounds (asserted by the engine side at this scale).
+    */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    // AS MATERIALIZED is load-bearing: each round is referenced three
+    // times (twice in the degree union, once in the next edge filter), so
+    // default CTE inlining re-expands the whole chain 3^rounds times —
+    // thousands of parquet opens for an 8-round unroll.
+    val base =
+      """WITH e0 AS MATERIALIZED (
+        |   SELECT DISTINCT least(u0, v0) AS u, greatest(u0, v0) AS v
+        |   FROM (SELECT doc_id % 100 AS u0, (doc_id*31+7) % 100 AS v0
+        |       FROM documents
+        |     UNION ALL
+        |     SELECT doc_id % 100, (doc_id*17+3) % 100 FROM documents)
+        |   WHERE u0 <> v0)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s""",
+         | k$i AS MATERIALIZED (SELECT x FROM (SELECT u AS x FROM e${i - 1}
+         |     UNION ALL SELECT v FROM e${i - 1})
+         |   GROUP BY x HAVING count(*) >= $k),
+         | e$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e
+         |   JOIN k$i a ON e.u = a.x JOIN k$i b ON e.v = b.x)""".stripMargin
+    }.mkString
+    base + steps +
+      s"""
+         | SELECT x AS vertex, count(*) AS degree
+         | FROM (SELECT u AS x FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+         | GROUP BY x ORDER BY vertex""".stripMargin
+  }
+
   private def hilbertOracleSql(maxBits: Int, bucketBits: Int): String = {
     val steps = (0 until maxBits).map { i =>
       s""" r$i AS (SELECT a, b, x, y, d, bits,

@@ -314,6 +314,65 @@ object Graph {
     * n_triangles. The count is orientation-invariant, so a SQL oracle
     * replays it with the simpler id-ordered 3-way join.
     */
+  /** k-core of an undirected graph: the maximal subgraph in which every
+    * vertex keeps degree ≥ k — the standard density filter for web/link
+    * spam (low-core pages are the periphery; link farms concentrate in
+    * high cores) and for picking well-connected dedup families. Computed
+    * by the classic peeling fixpoint: drop vertices with degree < k,
+    * recompute degrees, repeat. The loop is a DRIVER loop over edge
+    * DataFrames with a convergence count per round — each round is one
+    * degree aggregation + one semi-join, all keyed by vertex id, so a
+    * round costs two compact shuffles regardless of graph size, and the
+    * round count is bounded by the peel depth (tiny on real graphs; at
+    * most `maxRounds`, after which the result is the still-exact
+    * PARTIAL peel — every emitted vertex provably has degree ≥ k in the
+    * emitted subgraph only at fixpoint, so reaching maxRounds without
+    * convergence throws rather than lie).
+    *
+    * Output: (vertex, degree) for every k-core member, degree measured
+    * IN the core.
+    */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      maxRounds: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var e = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val persisted = scala.collection.mutable.ListBuffer(e)
+    def degrees(ed: DataFrame): DataFrame = ed
+      .select(col("u").as("x")).unionByName(ed.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val keep = degrees(e).where(col("d") >= k).select("x")
+      val next = e
+        .join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
+        .select("u", "v")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted += next
+      converged = next.count() == e.count()
+      e = next
+      round += 1
+    }
+    require(converged, s"kCore did not converge in $maxRounds rounds")
+    // Earlier rounds are dead once the final edge set is cached (every
+    // round was materialized by its convergence count); the LAST persist
+    // backs the returned frame and falls to the ContextCleaner when the
+    // caller's result becomes unreachable. The core itself stays
+    // DISTRIBUTED — on a web graph it is most of the graph.
+    persisted.dropRight(1).foreach(_.unpersist(blocking = false))
+    degrees(e).select(col("x").as("vertex"), col("d").as("degree"))
+  }
+
   def triangleCount(
       edges: DataFrame,
       srcCol: String,

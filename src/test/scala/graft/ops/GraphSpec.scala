@@ -136,6 +136,29 @@ class GraphSpec extends SparkTestBase {
     assert(got === ((9L, 11L, 4L))) // 9 vertices, 6+4+1 canonical edges
   }
 
+  test("kCore peels to the exact fixpoint; cascading removals included") {
+    // K4 {1,2,3,4} + a tail 4–5–6 + a triangle {10,11,12} hanging off 1.
+    // k=3: the triangle's members have degree 2 once examined inside the
+    // candidate subgraph — first peel drops 5, 6 and (after 10's bridge
+    // edge to 1 survives round 1) the cascade must ALSO drop the
+    // triangle: {10,11,12} have degree 3 only counting the bridge and
+    // each other... hand-check: degrees in full graph: 1:4 (k4+bridge),
+    // 2:3, 3:3, 4:4 (k4+tail), 5:2, 6:1, 10:3 (11,12,1), 11:2, 12:2.
+    // Round 1 keeps {1,2,3,4,10}; edges among them: K4 + (1,10).
+    // Round 2: 10 has degree 1 -> dropped; K4 stable at degree 3 each.
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val extra = Seq((4L, 5L), (5L, 6L), (1L, 10L), (10L, 11L), (10L, 12L),
+      (11L, 12L))
+    val edges = (k4 ++ extra).toDF("src", "dst")
+    val got = Graph.kCore(edges, "src", "dst", k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k above the densest core: empty result, still converges.
+    assert(Graph.kCore(edges, "src", "dst", k = 4).count() === 0L)
+    // k=1 drops only isolated-after-dedup structure: all 9 vertices stay.
+    assert(Graph.kCore(edges, "src", "dst", k = 1).count() === 9L)
+  }
+
   test("dedupClusters marks the min id of each cluster canonical") {
     val pairs = Seq((2L, 9L), (9L, 4L), (30L, 31L)).toDF("id_a", "id_b")
     val got = Graph.dedupClusters(pairs, "id_a", "id_b")
