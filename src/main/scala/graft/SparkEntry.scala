@@ -1939,6 +1939,19 @@ object SparkEntry {
     // — cosine enters solely through ≥-threshold comparisons, which both
     // engines decide identically (bit-identical double cosine, proven by
     // q_embed_dupes).
+    // Contrastive triplet mining: best near-dup positive (identical-vector
+    // regime at this scale — the q_semantic_dedup blocking contract) plus
+    // a deterministic md5-ring in-batch negative with an audit bit. Exact
+    // oracle: quadratic cosine for positives, the same ring replayed.
+    "q_contrastive_triplets" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val aug = emb.unionByName(emb.where(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + 1000000L))
+      Similarity.contrastiveTriplets(aug, "vec_id", "embedding",
+          posThreshold = 0.99)
+        .presented("anchor_id")
+    }),
+
     "q_semantic_dedup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val aug = emb.unionByName(emb.where(col("vec_id") < 10)
@@ -3726,6 +3739,43 @@ object SparkEntry {
          | FROM pr JOIN tot ta ON pr.src_a = ta.src
          |   JOIN tot tb ON pr.src_b = tb.src
          | ORDER BY src_a, src_b""".stripMargin,
+    "q_contrastive_triplets" ->
+      """WITH aug AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+        |       UNION ALL
+        |       SELECT vec_id + 1000000, embedding FROM embeddings
+        |       WHERE vec_id < 10),
+        | p AS (SELECT a.vec_id AS anchor_id, b.vec_id AS pos_id,
+        |     round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |       CAST(b.embedding AS DOUBLE[])), 6) AS rcos
+        |   FROM aug a JOIN aug b ON a.vec_id <> b.vec_id
+        |   WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |     CAST(b.embedding AS DOUBLE[])) >= 0.99),
+        | best AS (SELECT anchor_id, pos_id, rcos AS pos_cos FROM (
+        |     SELECT anchor_id, pos_id, rcos, row_number() OVER (
+        |       PARTITION BY anchor_id ORDER BY rcos DESC, pos_id) AS rn
+        |     FROM p) WHERE rn = 1),
+        | ring0 AS (SELECT vec_id AS id,
+        |     substr(md5(vec_id::VARCHAR || '-graft-ring'), 1, 12) AS draw
+        |   FROM aug),
+        | ring AS (SELECT id AS anchor_id,
+        |     coalesce(
+        |       lead(id) OVER (PARTITION BY substr(draw, 1, 1)
+        |         ORDER BY draw, id),
+        |       first_value(id) OVER (PARTITION BY substr(draw, 1, 1)
+        |         ORDER BY draw, id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |       AS neg_id
+        |   FROM ring0)
+        | SELECT b.anchor_id, b.pos_id, b.pos_cos, r.neg_id,
+        |   round(list_cosine_similarity(CAST(av.embedding AS DOUBLE[]),
+        |     CAST(nv.embedding AS DOUBLE[])), 6) AS neg_cos,
+        |   (r.neg_id <> b.anchor_id AND r.neg_id <> b.pos_id AND
+        |    round(list_cosine_similarity(CAST(av.embedding AS DOUBLE[]),
+        |      CAST(nv.embedding AS DOUBLE[])), 6) < 0.99)::INT AS neg_ok
+        | FROM best b JOIN ring r USING (anchor_id)
+        |   JOIN aug av ON av.vec_id = b.anchor_id
+        |   JOIN aug nv ON nv.vec_id = r.neg_id
+        | ORDER BY anchor_id""".stripMargin,
     "q_semantic_dedup" ->
       """WITH aug AS (SELECT vec_id, embedding FROM embeddings
         |       UNION ALL

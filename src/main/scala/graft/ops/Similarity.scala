@@ -6,6 +6,7 @@ import graft.functions.TextFunctions.cosine_similarity
 import graft.functions.TopKByScore.topk_by_score
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`array<float>`).
@@ -1221,6 +1222,77 @@ object Similarity {
       struct(col("id_b").as("id"), col("id_a").as("nb"), col("cos")))).as("__e"))
     .select(col("__e.id").as("id"), col("__e.nb").as("nb"),
       col("__e.cos").as("cos"))
+
+  /** Contrastive (anchor, positive, negative) triplet mining — the
+    * training-pair assembly for embedding/retrieval fine-tuning. A
+    * POSITIVE is the anchor's best near-duplicate (cosine ≥
+    * `posThreshold` via the banded-LSH pair generator, argmax on
+    * (rounded cosine desc, id asc) — the kCenter float policy). The
+    * NEGATIVE is an in-batch draw: ids ring-order inside md5-bucket
+    * shards (successor in (draw, id) order, wrapping per shard), so
+    * every anchor gets a pseudo-random partner that is a pure function
+    * of (id, salt) — deterministic across retries and engines, with NO
+    * global sort (each shard windows independently). `neg_ok` flags the
+    * draws a trainer keeps: not the anchor, not its positive, and below
+    * the positive threshold (false negatives are flagged, not silently
+    * dropped, so batch statistics stay audit-able).
+    *
+    * Scale shape: positives ride [[cosinePairsLsh]]'s payload-free
+    * banding; the ring is one (id, 12-hex-char draw) window per shard;
+    * vectors join back ONLY for the anchor/negative cosine — one
+    * id-keyed join each. Output: (anchor_id, pos_id, pos_cos, neg_id,
+    * neg_cos, neg_ok).
+    */
+  def contrastiveTriplets(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      posThreshold: Double = 0.99,
+      salt: String = "graft-ring",
+      bands: Int = 16,
+      planesPerBand: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val pairs = cosinePairsLsh(df, idCol, vecCol, posThreshold,
+      bands, planesPerBand, seed)
+    val both = pairs
+      .select(col("id_a").as("anchor_id"), col("id_b").as("pos_id"), col("cos"))
+      .unionByName(pairs
+        .select(col("id_b").as("anchor_id"), col("id_a").as("pos_id"), col("cos")))
+    val wBest = Window.partitionBy(col("anchor_id"))
+      .orderBy(round(col("cos"), 6).desc, col("pos_id"))
+    val best = both
+      .withColumn("__rn", row_number().over(wBest))
+      .where(col("__rn") === 1)
+      .select(col("anchor_id"), col("pos_id"),
+        round(col("cos"), 6).as("pos_cos"))
+    // Ring negatives: md5 draw → 16 shards on the first hex char; the
+    // successor in (draw, id) order (wrap to the shard's first) is the
+    // deterministic in-batch partner.
+    val drawn = df.select(col(idCol).cast("long").as("id"))
+      .withColumn("__draw",
+        substring(md5(concat(col("id").cast("string"), lit("-" + salt))
+          .cast("binary")), 1, 12))
+      .withColumn("__shard", substring(col("__draw"), 1, 1))
+    val wRing = Window.partitionBy(col("__shard"))
+      .orderBy(col("__draw"), col("id"))
+    val ring = drawn.select(col("id").as("anchor_id"),
+      coalesce(lead(col("id"), 1).over(wRing),
+        first(col("id")).over(wRing.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+        .as("neg_id"))
+    val vecs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    best.join(ring, "anchor_id")
+      .join(vecs.select(col("id").as("anchor_id"), col("v").as("__av")),
+        "anchor_id")
+      .join(vecs.select(col("id").as("neg_id"), col("v").as("__nv")),
+        "neg_id")
+      .select(col("anchor_id"), col("pos_id"), col("pos_cos"), col("neg_id"),
+        round(cosine(col("__av"), col("__nv")), 6).as("neg_cos"))
+      .withColumn("neg_ok",
+        (col("neg_id") =!= col("anchor_id") &&
+          col("neg_id") =!= col("pos_id") &&
+          col("neg_cos") < posThreshold).cast("int"))
+  }
 
   def cosinePairsLsh(
       df: DataFrame,

@@ -549,6 +549,39 @@ class SimilaritySpec extends SparkTestBase {
     assert(viaLoaded === direct)
   }
 
+  test("contrastiveTriplets: best positive, deterministic ring negative, audit bit") {
+    // Vectors: 0 and 1 identical (cos 1.0), 2 a near-dup of both at ~0.999,
+    // 3..9 far. Anchors = all members of >= 0.99 pairs; each picks its
+    // best positive by (rounded cos desc, id asc).
+    val base = Array.tabulate(8)(d => if (d == 0) 10.0f else 1.0f)
+    val near = base.clone(); near(7) = 1.05f
+    val far = (i: Int) => Array.tabulate(8)(d => if (d == i % 8) 5.0f else 0.1f)
+    val vecs = (Seq((0L, base), (1L, base.clone()), (2L, near)) ++
+      (3L to 9L).map(i => (i, far(i.toInt)))).toDF("vec_id", "embedding")
+    val out = Similarity.contrastiveTriplets(vecs, "vec_id", "embedding",
+        posThreshold = 0.99)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getInt(5)))).toMap
+    // 0's best positive is 1 (cos 1.0 beats 2's 0.999+; id tiebreak).
+    assert(out(0L)._1 === 1L && out(0L)._2 === 1.0)
+    assert(out(1L)._1 === 0L && out(1L)._2 === 1.0)
+    assert(out(2L)._1 === 0L) // rounded-cos ties between 0 and 1 break on id
+    assert(Set(0L, 1L, 2L).subsetOf(out.keySet))
+    // Determinism: a second run yields the identical triplet table.
+    val again = Similarity.contrastiveTriplets(vecs, "vec_id", "embedding",
+        posThreshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(again === out.map { case (a, (p, _, n, _)) => (a, p, n) }.toSet)
+    // neg_ok = 0 exactly when the ring partner is self/positive/near-dup.
+    out.foreach { case (a, (p, _, n, ok)) =>
+      val degenerate = n == a || n == p ||
+        (Set(a, n) == Set(0L, 1L)) || (Set(a, n) == Set(0L, 2L)) ||
+        (Set(a, n) == Set(1L, 2L))
+      assert((ok == 1) === !degenerate, s"anchor=$a neg=$n ok=$ok")
+    }
+  }
+
   test("buildIvfIndex yields nlist centers on a heavy-exact-duplicate corpus") {
     // 1000 rows but only 8 distinct vectors: the random-init guard must
     // count DISTINCT sampled vectors (not raw rows) and keep k-means||,
