@@ -1051,11 +1051,11 @@ object Similarity {
     require(targetBucketSize >= 1, s"targetBucketSize must be >= 1, got $targetBucketSize")
     val n = corpus.count()
     val needed = math.max(1L, (n + targetBucketSize - 1) / targetBucketSize)
-    val autoPlanes = math.min(20, math.max(planesPerBand,
+    val autoPlanesHere = math.min(20, math.max(planesPerBand,
       64 - java.lang.Long.numberOfLeadingZeros(needed - 1)))
     val scored = cosinePairsLsh(corpus, idCol, vecCol,
-      threshold = Double.NegativeInfinity, bands, autoPlanes, seed,
-      maxBucketSize, dim)
+      threshold = Double.NegativeInfinity, bands, autoPlanesHere, seed,
+      maxBucketSize, dim, nHint = n)
     val sym = symmetrize(scored)
     val vecs = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
@@ -1258,13 +1258,16 @@ object Similarity {
       .select(col("id_a").as("anchor_id"), col("id_b").as("pos_id"), col("cos"))
       .unionByName(pairs
         .select(col("id_b").as("anchor_id"), col("id_a").as("pos_id"), col("cos")))
-    val wBest = Window.partitionBy(col("anchor_id"))
-      .orderBy(round(col("cos"), 6).desc, col("pos_id"))
+    // Argmax as a max-struct AGGREGATE, not a row_number window: the pair
+    // table is true output mass (15.8M rows on a cluster-dense sf1 slice),
+    // and the aggregate partially combines map-side where a window must
+    // sort the full pair set. (rounded cos desc, id asc) via (c, -id) max.
     val best = both
-      .withColumn("__rn", row_number().over(wBest))
-      .where(col("__rn") === 1)
-      .select(col("anchor_id"), col("pos_id"),
-        round(col("cos"), 6).as("pos_cos"))
+      .groupBy(col("anchor_id"))
+      .agg(max(struct(round(col("cos"), 6).as("c"),
+        (-col("pos_id")).as("nid"))).as("b"))
+      .select(col("anchor_id"), (-col("b.nid")).as("pos_id"),
+        col("b.c").as("pos_cos"))
     // Ring negatives: md5 draw → 16 shards on the first hex char; the
     // successor in (draw, id) order (wrap to the shard's first) is the
     // deterministic in-batch partner.
@@ -1294,6 +1297,39 @@ object Similarity {
           col("neg_cos") < posThreshold).cast("int"))
   }
 
+  /** Auto hyperplane-band resolution — [[knnGraph]]'s law generalized to
+    * the threshold-pair generators: a FIXED planes-per-band leaves
+    * expected bucket size n / 2^planes, so candidate-pair mass grows
+    * quadratically once the corpus outgrows the resolution (measured 17×
+    * at a 10× embedding scale-up with r = 8 on 20k vectors). Raise the
+    * resolution toward ceil(log2(n / targetBucketSize)) — holding the
+    * expected bucket CONSTANT — but never past the point where the
+    * angular S-curve 1 − (1 − p^r)^bands (p = 1 − θ/π at the verify
+    * threshold) drops below 0.95 recall; identical vectors collide at ANY
+    * resolution, so the exact-duplicate contract is resolution-free.
+    * Thresholds ≤ 0 (no verify floor — the knnGraph top-k path, which
+    * recovers recall by NN-descent) take the bucket-size target directly.
+    */
+  private[ops] def autoPlanes(
+      n: Long, bands: Int, floorPlanes: Int, threshold: Double,
+      targetBucketSize: Int = 64, maxPlanes: Int = 20): Int = {
+    val needed = math.max(1L, (n + targetBucketSize - 1) / targetBucketSize)
+    val wanted =
+      if (needed <= 1) floorPlanes
+      else math.max(floorPlanes, math.min(maxPlanes,
+        64 - java.lang.Long.numberOfLeadingZeros(needed - 1)))
+    if (wanted <= floorPlanes) floorPlanes
+    else if (threshold.isNaN || threshold <= 0.0) wanted
+    else {
+      val p = 1.0 - math.acos(math.min(1.0, threshold)) / math.Pi
+      def recall(r: Int): Double =
+        1.0 - math.pow(1.0 - math.pow(p, r), bands.toDouble)
+      var r = floorPlanes
+      while (r < wanted && recall(r + 1) >= 0.95) r += 1
+      r
+    }
+  }
+
   def cosinePairsLsh(
       df: DataFrame,
       idCol: String,
@@ -1303,16 +1339,21 @@ object Similarity {
       planesPerBand: Int = 8,
       seed: Long = 42L,
       maxBucketSize: Int = Dedup.DefaultMaxBucketSize,
-      dim: Int = -1): DataFrame = {
+      dim: Int = -1,
+      nHint: Long = -1L): DataFrame = {
     val d = if (dim > 0) dim else vectorDim(df, vecCol)
-    val hp = HyperplaneOps.flatPlanes(d, bands * planesPerBand, seed)
+    // One metadata-cheap count (the knnGraph precedent) feeds the
+    // [[autoPlanes]] resolution; callers that already counted pass nHint.
+    val n = if (nHint >= 0) nHint else df.count()
+    val effPlanes = autoPlanes(n, bands, planesPerBand, threshold)
+    val hp = HyperplaneOps.flatPlanes(d, bands * effPlanes, seed)
     // Band rows carry (bucket, id) only; vectors join back per deduped
     // candidate pair from the one-row-per-doc table — shuffle bytes linear
     // in the corpus, not `bands`× the vector table (the same payload-free
     // shape as Dedup.ngramJaccardPairs/minhashDupePairs).
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val banded = vecs.select(col("id"),
-      explode(hyperplane_band_keys(col("v"), hp, bands, planesPerBand)).as("bucket"))
+      explode(hyperplane_band_keys(col("v"), hp, bands, effPlanes)).as("bucket"))
     Dedup.bucketPairsIds(banded, Seq("bucket"), maxBucketSize)
       .dropDuplicates("id_a", "id_b")
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")

@@ -549,6 +549,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(viaLoaded === direct)
   }
 
+  test("autoPlanes: raises toward the bucket target only while recall holds") {
+    // Below the resolution knee: floor (oracle scales unchanged).
+    assert(Similarity.autoPlanes(510, 16, 8, 0.99) === 8)
+    assert(Similarity.autoPlanes(2000, 16, 8, 0.99) === 8)
+    // 20k vectors want 9 planes; 200k want 12 — recall at t=0.99 stays
+    // ~1 (p = 0.955), so the raise goes through.
+    assert(Similarity.autoPlanes(20000, 16, 8, 0.99) === 9)
+    assert(Similarity.autoPlanes(200000, 16, 8, 0.99) === 12)
+    // Permissive thresholds refuse the raise (p = 0.667 at t = 0.5 —
+    // even one more plane drops the S-curve below 0.95).
+    assert(Similarity.autoPlanes(200000, 16, 8, 0.5) === 8)
+    // No verify floor (knnGraph top-k path): take the target directly.
+    assert(Similarity.autoPlanes(200000, 16, 8, Double.NegativeInfinity) === 12)
+  }
+
   test("contrastiveTriplets: best positive, deterministic ring negative, audit bit") {
     // Vectors: 0 and 1 identical (cos 1.0), 2 a near-dup of both at ~0.999,
     // 3..9 far. Anchors = all members of >= 0.99 pairs; each picks its
