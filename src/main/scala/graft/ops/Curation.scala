@@ -677,8 +677,11 @@ object Curation {
     *
     * Scale shape: one map-side-combined per-language count, a driver
     * loop over the (bounded) language list, a broadcast quota join, and
-    * ONE lang-partitioned window for the partial-epoch offsets. Output
-    * per document: (id, lang, n_tokens, n_full_epochs, kept_partial) —
+    * ONE lang-partitioned window for the partial-epoch offsets — for a
+    * handful of huge languages, pre-shard the window the way
+    * [[budgetSample]]'s scaladoc prescribes (sub-shard key + proportional
+    * quota slices; the draws stay pure functions of id). Output per
+    * document: (id, lang, n_tokens, n_full_epochs, kept_partial) —
     * total copies of a doc in the mix = n_full_epochs + kept_partial.
     */
   def unimaxMix(

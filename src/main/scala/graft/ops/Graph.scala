@@ -323,11 +323,14 @@ object Graph {
     * DataFrames with a convergence count per round — each round is one
     * degree aggregation + one semi-join, all keyed by vertex id, so a
     * round costs two compact shuffles regardless of graph size, and the
-    * round count is bounded by the peel depth (tiny on real graphs; at
-    * most `maxRounds`, after which the result is the still-exact
-    * PARTIAL peel — every emitted vertex provably has degree ≥ k in the
-    * emitted subgraph only at fixpoint, so reaching maxRounds without
-    * convergence throws rather than lie).
+    * round count is the peel DEPTH — small on real web/link graphs
+    * (hubs-and-spokes peel in a handful of rounds), but adversarially
+    * linear on chain-shaped graphs (a path at k = 2 sheds only its two
+    * endpoints per round), which is why the bound is explicit: reaching
+    * `maxRounds` without convergence THROWS rather than return a
+    * partial peel that silently violates the degree-≥-k contract (a
+    * graph that deep is chain-shaped and wants the sequential
+    * bucket-peel algorithm, not a data-parallel fixpoint).
     *
     * Output: (vertex, degree) for every k-core member, degree measured
     * IN the core.
@@ -337,7 +340,7 @@ object Graph {
       srcCol: String,
       dstCol: String,
       k: Int,
-      maxRounds: Int = 64): DataFrame = {
+      maxRounds: Int = 128): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     var e = edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),

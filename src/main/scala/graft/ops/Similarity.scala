@@ -1251,7 +1251,15 @@ object Similarity {
       salt: String = "graft-ring",
       bands: Int = 16,
       planesPerBand: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      ringHexChars: Int = 1): DataFrame = {
+    // 16^ringHexChars ring shards: each shard is an independent window
+    // sort, so raise this with the corpus (3 hex chars = 4096 shards at
+    // web scale) — the draw stays a pure function of (id, salt) at any
+    // sharding; the DEFAULT stays 1 so the registered oracle's replay
+    // (substr(draw, 1, 1)) is byte-stable.
+    require(ringHexChars >= 1 && ringHexChars <= 6,
+      s"ringHexChars must be in [1,6], got $ringHexChars")
     val pairs = cosinePairsLsh(df, idCol, vecCol, posThreshold,
       bands, planesPerBand, seed)
     val both = pairs
@@ -1275,7 +1283,7 @@ object Similarity {
       .withColumn("__draw",
         substring(md5(concat(col("id").cast("string"), lit("-" + salt))
           .cast("binary")), 1, 12))
-      .withColumn("__shard", substring(col("__draw"), 1, 1))
+      .withColumn("__shard", substring(col("__draw"), 1, ringHexChars))
     val wRing = Window.partitionBy(col("__shard"))
       .orderBy(col("__draw"), col("id"))
     val ring = drawn.select(col("id").as("anchor_id"),
