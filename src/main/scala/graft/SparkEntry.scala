@@ -1564,6 +1564,14 @@ object SparkEntry {
           tokenBudget = 25000L, maxEpochs = 2)
         .presented("doc_id")),
 
+    // Corpus n-gram diversity (distinct-n): the mode-collapse gauge for
+    // synthetic-data batches. Exact oracle: DuckDB counts gram STRINGS
+    // where the engine counts 64-bit gram hashes (collision mass ~1e-10,
+    // the q_dup_spans convention).
+    "q_diversity" -> ((s, dir) =>
+      TextAnalysis.diversityProfile(t(s, dir, "documents"), "text")
+        .presented("n")),
+
     // Per-slice dataset-card profile over docsWithDupes (so n_dup_docs is
     // non-zero) — one aggregation pass, integer-exact columns.
     "q_corpus_profile" -> ((s, dir) =>
@@ -2556,6 +2564,17 @@ object SparkEntry {
          | SELECT source, doc_id, n_tokens, start_off,
          |   (start_off < 2000)::INT AS kept
          | FROM c ORDER BY source, doc_id""".stripMargin,
+    "q_diversity" -> Seq(1, 2, 3).map { n =>
+      s"""SELECT $n AS n, count(*) AS total_grams,
+         |   count(DISTINCT gram) AS distinct_grams,
+         |   count(DISTINCT gram)::DOUBLE / greatest(count(*), 1)
+         |     AS distinct_ratio
+         | FROM (SELECT array_to_string(list_slice(t, i, i + ${n - 1}), ' ')
+         |     AS gram
+         |   FROM (SELECT t, unnest(range(1, len(t) - ${n - 2})) AS i
+         |     FROM (SELECT $tokensSql AS t FROM documents)
+         |     WHERE len(t) >= $n))""".stripMargin
+    }.mkString("", " UNION ALL ", " ORDER BY n"),
     "q_unimax_mix" ->
       s"""WITH RECURSIVE sizes AS (SELECT lang,
          |     CAST(sum(len($tokensSql)) AS BIGINT) AS n

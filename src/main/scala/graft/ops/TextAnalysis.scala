@@ -263,6 +263,47 @@ object TextAnalysis {
           greatest(col("n_grams"), lit(1L))).as("top_gram_frac"))
   }
 
+  /** Corpus-level n-gram diversity (distinct-n, Li et al. 2016's
+    * diversity metric at corpus scope): for each n, total n-gram
+    * occurrences, distinct n-grams, and their exact integer ratio — the
+    * mode-collapse gauge a SYNTHETIC-data pipeline tracks per generation
+    * batch (falling distinct-n across batches = the generator repeating
+    * itself, invisible to per-document quality filters because each
+    * document looks fine alone).
+    *
+    * Scale shape: ONE corpus scan for every n at once — each row's token
+    * array fans out to an inlined (n, gram-hash) pair stream (grams are
+    * 64-bit hashes, the [[repetitionMetrics]] kernel — no gram strings),
+    * and one two-phase aggregation keyed (n, hash) computes totals
+    * map-side and distincts after the only shuffle, which carries two
+    * longs per gram occurrence. No persist, no re-scan per n. Ratios are
+    * exact integer divisions of the emitted counts, so any engine
+    * replays them bit-for-bit (gram-hash vs gram-string distinct differs
+    * only by ~1e-10 collision mass — the q_dup_spans convention).
+    *
+    * Output: one row per n — (n, total_grams, distinct_grams,
+    * distinct_ratio).
+    */
+  def diversityProfile(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      ns: Seq[Int] = Seq(1, 2, 3)): org.apache.spark.sql.DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"ns must be >= 1: $ns")
+    df.select(tokens(col(textCol)).as("__t"))
+      .select(inline(array(ns.map { n =>
+        struct(lit(n).as("n"),
+          graft.functions.TextFunctions.ngram_hashes(col("__t"), n)
+            .as("ghs"))
+      }: _*)))
+      .select(col("n"), explode(col("ghs")).as("gh"))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("total_grams"),
+        countDistinct(col("gh")).as("distinct_grams"))
+      .select(col("n"), col("total_grams"), col("distinct_grams"),
+        (col("distinct_grams").cast("double") /
+          greatest(col("total_grams"), lit(1L))).as("distinct_ratio"))
+  }
+
   /** Gopher's character-level repetition table (Rae et al. 2021 §A1.1,
     * rows "top n-gram chars" / "duplicated n-gram chars"): for each n in
     * `topNs` the char-mass fraction of the dominant repeated n-gram, for

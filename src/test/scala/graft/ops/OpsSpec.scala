@@ -771,6 +771,23 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(math.abs(fracs(0) - 2.0 / 3.0) < 1e-12 && fracs(2) === 0.0)
   }
 
+  test("diversityProfile: distinct-n counts match hand enumeration") {
+    val df = Seq(
+      (1L, "a b a b"),   // 1g: a,b,a,b  2g: ab,ba,ab  3g: aba,bab
+      (2L, "a b c"),     // 1g: a,b,c    2g: ab,bc     3g: abc
+      (3L, "x")).toDF("doc_id", "text") // 1g: x; no 2g/3g
+    val got = TextAnalysis.diversityProfile(df, "text")
+      .orderBy("n")
+      .select("n", "total_grams", "distinct_grams")
+      .as[(Int, Long, Long)].collect().toSeq
+    // unigrams: 8 total, {a,b,c,x}=4 distinct; bigrams: 5 total,
+    // {ab,ba,bc}=3 distinct; trigrams: 3 total, {aba,bab,abc}=3 distinct.
+    assert(got === Seq((1, 8L, 4L), (2, 5L, 3L), (3, 3L, 3L)))
+    val ratio = TextAnalysis.diversityProfile(df, "text")
+      .where($"n" === 1).select("distinct_ratio").as[Double].head()
+    assert(ratio === 0.5)
+  }
+
   test("gopherFilter: each rule drops what it should") {
     val good = "the cat and dog ran over the hill to find water near the old farm"
     val df = Seq(
