@@ -2064,6 +2064,17 @@ object SparkEntry {
         .presented("doc_id")
     }),
 
+    // CCNet head/middle/tail (Wenzek et al. 2020): per-LANGUAGE KN
+    // quality terciles, reference slice = src0, all per-lang LMs trained
+    // in one lang-keyed aggregation pass. The ranking score
+    // sum_num/sum_den is an IEEE division of the exact KN integer sums,
+    // so both engines rank identically (doc_id breaks duplicate-text
+    // ties) and ntile replays bit-for-bit.
+    "q_ppl_buckets" -> ((s, dir) =>
+      LanguageModel.perplexityBuckets(t(s, dir, "documents"),
+          "doc_id", "text", "lang", col("source") === "src0")
+        .presented("doc_id")),
+
     // Integer fixed-point PageRank over a synthesized 100-node domain
     // link graph (a pure function of doc_id, so DuckDB rebuilds the same
     // edges) — the link-centrality quality signal of web curation. Every
@@ -3931,6 +3942,57 @@ object SparkEntry {
          |   coalesce(sum_num, 0) AS sum_num, coalesce(sum_den, 0) AS sum_den
          | FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
          | ORDER BY d.doc_id""".stripMargin,
+    "q_ppl_buckets" ->
+      s"""WITH tk AS (SELECT doc_id, lang, $tokensSql AS t, source
+         |     FROM documents),
+         | trg AS (SELECT lang,
+         |     unnest([[t[i], t[i+1]] for i in range(1, len(t))]) AS g
+         |   FROM tk WHERE source = 'src0'),
+         | uni AS (SELECT lang, w, count(*) AS c1 FROM (
+         |     SELECT lang, unnest(t) AS w FROM tk WHERE source = 'src0')
+         |   GROUP BY lang, w),
+         | bg AS (SELECT lang, g[1] AS w1, g[2] AS w2, count(*) AS c2
+         |   FROM trg GROUP BY 1, 2, 3),
+         | fan AS (SELECT lang, w1, count(*) AS n1f FROM bg GROUP BY lang, w1),
+         | con AS (SELECT lang, w2, count(*) AS n1r FROM bg GROUP BY lang, w2),
+         | ty AS (SELECT lang, count(*) AS n_types FROM bg GROUP BY lang),
+         | dg AS (SELECT doc_id, lang, g[1] AS w1, g[2] AS w2 FROM
+         |   (SELECT doc_id, lang,
+         |       unnest([[t[i], t[i+1]] for i in range(1, len(t))]) AS g
+         |    FROM tk)),
+         | sc AS (SELECT dg.doc_id,
+         |     CASE WHEN u.c1 IS NOT NULL AND u.c1 > 0 THEN
+         |       greatest(greatest(4*coalesce(b.c2, 0) - 3, 0)
+         |           * greatest(coalesce(t2.n_types, 0), 1)
+         |         + 3 * coalesce(f.n1f, 0) * coalesce(cn.n1r, 0), 1)
+         |     WHEN coalesce(cn.n1r, 0) > 0 THEN 4 * cn.n1r ELSE 1 END AS num,
+         |     CASE WHEN u.c1 IS NOT NULL AND u.c1 > 0
+         |       THEN 4 * u.c1 * greatest(coalesce(t2.n_types, 0), 1)
+         |       ELSE 4 * greatest(coalesce(t2.n_types, 0), 1) END AS den
+         |   FROM dg LEFT JOIN bg b
+         |       ON dg.lang = b.lang AND dg.w1 = b.w1 AND dg.w2 = b.w2
+         |     LEFT JOIN uni u ON dg.lang = u.lang AND dg.w1 = u.w
+         |     LEFT JOIN fan f ON dg.lang = f.lang AND dg.w1 = f.w1
+         |     LEFT JOIN con cn ON dg.lang = cn.lang AND dg.w2 = cn.w2
+         |     LEFT JOIN ty t2 ON dg.lang = t2.lang),
+         | agg AS (SELECT doc_id, count(*) AS n_grams,
+         |     CAST(sum(num) AS BIGINT) AS sum_num,
+         |     CAST(sum(den) AS BIGINT) AS sum_den
+         |   FROM sc GROUP BY doc_id),
+         | sco AS (SELECT d.doc_id, d.lang,
+         |     coalesce(n_grams, 0) AS n_grams,
+         |     coalesce(sum_num, 0) AS sum_num,
+         |     coalesce(sum_den, 0) AS sum_den,
+         |     CASE WHEN coalesce(sum_den, 0) > 0
+         |       THEN CAST(sum_num AS DOUBLE) / CAST(sum_den AS DOUBLE)
+         |       ELSE 0.0e0 END AS quality
+         |   FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id),
+         | bk AS (SELECT *, ntile(3) OVER (PARTITION BY lang
+         |     ORDER BY quality DESC, doc_id) AS bucket FROM sco)
+         | SELECT doc_id, lang, n_grams, sum_num, sum_den, quality, bucket,
+         |   CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 3 THEN 'tail'
+         |     ELSE 'middle' END AS tier
+         | FROM bk ORDER BY doc_id""".stripMargin,
     "q_lm_score" ->
       s"""WITH tr AS (SELECT $tokensSql AS t FROM documents
          |     WHERE source = 'src0'),

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed n-gram language-model scoring for training-data curation —
@@ -248,6 +249,99 @@ object LanguageModel {
         coalesce(col("sum_num"), lit(0L)).as("sum_num"),
         coalesce(col("sum_den"), lit(0L)).as("sum_den"),
         col("__lp").as("logprob"))
+  }
+
+  /** CCNet perplexity buckets (Wenzek et al. 2020 §4.3): per language,
+    * rank documents by how well a reference-trained LM models them and
+    * cut each language's ranking into `nBuckets` equal-count tiers —
+    * tier "head" = cleanest (the slice CCNet keeps first), "tail" =
+    * worst-modeled. The LM is the [[kneserNeyScore]] rational (D = 3/4
+    * absolute discount), but trained PER LANGUAGE — CCNet's defining
+    * trait — by adding the language to every gram key, so ONE aggregation
+    * pass over the reference slice trains ALL per-language models
+    * simultaneously (no per-language job loop; each shuffle row just
+    * carries the lang string alongside the gram).
+    *
+    * Determinism: the ranking score is sum_num/sum_den — both int64-exact
+    * KN sums, their CAST and IEEE division correctly rounded, so every
+    * engine computes the identical double; ties (exact-duplicate texts)
+    * break on doc id. Documents of a language ABSENT from the reference
+    * slice score at the unseen floor (num = 1 per gram) and land in the
+    * tail deterministically; documents with < 2 tokens score 0.
+    *
+    * Scale shape: [[kneserNeyScore]]'s train/score plan with lang-keyed
+    * joins; the ntile window per language is the one global-sort stage —
+    * at 100 TB swap it for CCNet's actual production move (cut at
+    * per-language threshold scores computed once on a sample, then a
+    * narrow comparison), keeping this exact ranking as the audit-scale
+    * parity check.
+    */
+  def perplexityBuckets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      trainFilter: org.apache.spark.sql.Column,
+      nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val tk = docs.select(col(idCol), col(langCol),
+      TextAnalysis.tokens(col(textCol)).as("__t"))
+    val trainTk = docs.where(trainFilter)
+      .select(col(langCol), TextAnalysis.tokens(col(textCol)).as("__t"))
+    val uni = trainTk.select(col(langCol), explode(col("__t")).as("w1"))
+      .groupBy(col(langCol), col("w1")).agg(count(lit(1)).as("c1"))
+    val bg = trainTk
+      .select(col(langCol), explode(bigramStructs(col("__t"))).as("g"))
+      .groupBy(col(langCol), col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val fanout = bg.groupBy(col(langCol), col("w1"))
+      .agg(count(lit(1)).as("n1f"))
+    val contin = bg.groupBy(col(langCol), col("w2"))
+      .agg(count(lit(1)).as("n1r"))
+    val types = bg.groupBy(col(langCol)).agg(count(lit(1)).as("n_types"))
+    val grams = tk
+      .select(col(idCol), col(langCol), explode(bigramStructs(col("__t"))).as("g"))
+      .select(col(idCol), col(langCol), col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val joined = grams
+      .join(bg, Seq(langCol, "w1", "w2"), "left")
+      .join(uni, Seq(langCol, "w1"), "left")
+      .join(fanout, Seq(langCol, "w1"), "left")
+      .join(contin, Seq(langCol, "w2"), "left")
+      .join(broadcast(types), Seq(langCol), "left")
+    val c2v = coalesce(col("c2"), lit(0L))
+    val n1fv = coalesce(col("n1f"), lit(0L))
+    val n1rv = coalesce(col("n1r"), lit(0L))
+    val tyv = greatest(coalesce(col("n_types"), lit(0L)), lit(1L))
+    val seen = col("c1").isNotNull && col("c1") > 0
+    val num = when(seen,
+        greatest(greatest(lit(4L) * c2v - 3L, lit(0L)) * tyv
+          + lit(3L) * n1fv * n1rv, lit(1L)))
+      .otherwise(when(n1rv > 0, lit(4L) * n1rv).otherwise(lit(1L)))
+    val den = when(seen, lit(4L) * col("c1") * tyv).otherwise(lit(4L) * tyv)
+    val perDoc = joined
+      .select(col(idCol), num.as("__num"), den.as("__den"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("__num")).as("sum_num"),
+        sum(col("__den")).as("sum_den"))
+    val scored = docs.select(col(idCol), col(langCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col(langCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("sum_num"), lit(0L)).as("sum_num"),
+        coalesce(col("sum_den"), lit(0L)).as("sum_den"))
+      .withColumn("quality",
+        when(col("sum_den") > 0,
+          col("sum_num").cast("double") / col("sum_den").cast("double"))
+          .otherwise(lit(0.0)))
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(col("quality").desc, col(idCol).asc)
+    scored
+      .withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
+      .withColumn("tier",
+        when(col("bucket") === 1, lit("head"))
+          .when(col("bucket") === nBuckets, lit("tail"))
+          .otherwise(lit("middle")))
   }
 
   /** Deterministic negative sampling from the tempered unigram

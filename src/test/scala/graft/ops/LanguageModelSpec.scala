@@ -204,6 +204,44 @@ class LanguageModelSpec extends SparkTestBase {
     assert(score(2).getLong(1) === 0L && score(2).isNullAt(6))
   }
 
+  test("perplexityBuckets: per-language tiers, untrained lang floors to tail") {
+    // Language "en": reference slice (src0) trains on "a b a b"; six docs
+    // to bucket — the two that repeat the trained bigrams must out-rank
+    // the ones made of unseen tokens. Language "xx" has NO src0 rows, so
+    // its docs all score the unseen floor and tier by doc_id.
+    val docs = Seq(
+      (1L, "a b a b", "en", "src0"),  // trained + scored, pure hits
+      (2L, "a b a b", "en", "src1"),  // duplicate text → identical score
+      (3L, "q r s t", "en", "src1"),  // all-unseen → worst
+      (4L, "a b q r", "en", "src1"),  // mixed
+      (5L, "u v w", "en", "src1"),
+      (6L, "a b a", "en", "src1"),
+      (7L, "m n o", "xx", "src1"),    // untrained language
+      (8L, "p q r", "xx", "src1"),
+      (9L, "s t", "xx", "src1")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = LanguageModel.perplexityBuckets(docs, "doc_id", "text", "lang",
+        $"source" === "src0", nBuckets = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "lang", "bucket", "tier")
+      .as[(Long, String, Long, String)].collect().toSeq
+    val byId = got.map(r => r._1 -> r).toMap
+    // en ranking: docs 1,2 tie at the top (duplicate text, id breaks the
+    // tie) → head gets both (6 docs / 3 buckets = 2 each).
+    assert(byId(1L)._4 === "head" && byId(2L)._4 === "head")
+    assert(byId(3L)._4 === "tail", got.toString)
+    // Untrained lang: deterministic tiers purely by doc_id.
+    assert(Seq(7L, 8L, 9L).map(byId(_)._4) === Seq("head", "middle", "tail"))
+    // Buckets are longs in [1, 3] and tier is a pure function of bucket.
+    assert(got.forall(r => r._3 >= 1L && r._3 <= 3L))
+    // Repartition-invariant (the determinism contract).
+    val again = LanguageModel.perplexityBuckets(docs.repartition(5),
+        "doc_id", "text", "lang", $"source" === "src0", nBuckets = 3)
+      .orderBy("doc_id").select("doc_id", "lang", "bucket", "tier")
+      .as[(Long, String, Long, String)].collect().toSeq
+    assert(again === got)
+  }
+
   test("negativeSamples: tempered-unigram draws, deterministic and ladder-replayable") {
     // 'zzz' dominates the counts 100:1 — sqrt-tempering keeps it the most
     // frequent draw, while rare terms still appear (the flattening point).
