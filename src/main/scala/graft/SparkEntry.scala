@@ -2107,6 +2107,22 @@ object SparkEntry {
       Graph.kCore(e, "src", "dst", k = 3).presented("vertex")
     }),
 
+    // Label-propagation communities over the same dense synthetic
+    // domain graph as q_kcore: 4 fixed synchronous sweeps, neighbor-
+    // frequency argmax with min-label tie-break — fully deterministic,
+    // so the oracle unrolls the recursion (4 materialized CTE rounds)
+    // and replays every vertex's community bit-for-bit.
+    "q_label_prop" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val e = d.select((col("doc_id") % 100).as("src"),
+          ((col("doc_id") * 31 + 7) % 100).as("dst"))
+        .unionByName(d.select((col("doc_id") % 100).as("src"),
+          ((col("doc_id") * 17 + 3) % 100).as("dst")))
+        .where(col("src") =!= col("dst"))
+      Graph.labelPropagation(e, "src", "dst", rounds = 4)
+        .presented("vertex")
+    }),
+
     "q_triangles" -> ((s, dir) => {
       val e = t(s, dir, "documents")
         .select((col("doc_id") % 100).as("src"),
@@ -3308,6 +3324,7 @@ object SparkEntry {
          | ORDER BY doc_id""".stripMargin,
     "q_hilbert" -> hilbertOracleSql(21, 6),
     "q_kcore" -> kCoreOracleSql(3, 8),
+    "q_label_prop" -> labelPropOracleSql(4),
     "q_zorder" ->
       """WITH mx AS (SELECT max(greatest(CAST(l_orderkey AS BIGINT),
         |                               CAST(l_partkey AS BIGINT))) AS mx
@@ -4152,6 +4169,41 @@ object SparkEntry {
          | SELECT x AS vertex, count(*) AS degree
          | FROM (SELECT u AS x FROM e$rounds UNION ALL SELECT v FROM e$rounds)
          | GROUP BY x ORDER BY vertex""".stripMargin
+  }
+
+  /** Unrolled deterministic-LPA oracle: same synthesized graph as
+    * [[kCoreOracleSql]]; each round recounts neighbor labels and picks
+    * (max count, then min label) via a window + min — the replayable
+    * form of the engine's max(struct(cnt, −label)) aggregate. AS
+    * MATERIALIZED is load-bearing (each round is referenced twice).
+    */
+  private def labelPropOracleSql(rounds: Int): String = {
+    val base =
+      """WITH e0 AS MATERIALIZED (
+        |   SELECT DISTINCT least(u0, v0) AS u, greatest(u0, v0) AS v
+        |   FROM (SELECT doc_id % 100 AS u0, (doc_id*31+7) % 100 AS v0
+        |       FROM documents
+        |     UNION ALL
+        |     SELECT doc_id % 100, (doc_id*17+3) % 100 FROM documents)
+        |   WHERE u0 <> v0),
+        | l0 AS MATERIALIZED (SELECT DISTINCT x, x AS lab
+        |   FROM (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0))""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s""",
+         | c$i AS MATERIALIZED (SELECT x, lab, count(*) AS cnt FROM (
+         |     SELECT e.u AS x, l.lab FROM e0 e JOIN l${i - 1} l ON e.v = l.x
+         |     UNION ALL
+         |     SELECT e.v AS x, l.lab FROM e0 e JOIN l${i - 1} l ON e.u = l.x)
+         |   GROUP BY x, lab),
+         | l$i AS MATERIALIZED (SELECT x, min(lab) AS lab FROM (
+         |     SELECT x, lab, cnt, max(cnt) OVER (PARTITION BY x) AS mc
+         |     FROM c$i)
+         |   WHERE cnt = mc GROUP BY x)""".stripMargin
+    }.mkString
+    base + steps +
+      s"""
+         | SELECT x AS vertex, lab AS label FROM l$rounds
+         | ORDER BY vertex""".stripMargin
   }
 
   private def hilbertOracleSql(maxBits: Int, bucketBits: Int): String = {

@@ -376,6 +376,69 @@ object Graph {
     degrees(e).select(col("x").as("vertex"), col("d").as("degree"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) made
+    * deterministic: each round every vertex adopts the label occurring
+    * most often among its neighbors, ties breaking to the SMALLEST
+    * label — the choice that makes fixed-round LPA a pure function of
+    * the edge set (GraphX's LPA breaks frequency ties by hash-map
+    * iteration order and is not replayable). Runs exactly `rounds`
+    * synchronous sweeps: per-round determinism plus a fixed budget is
+    * the standard guard against LPA's 2-cycle oscillation, and it is
+    * what lets an oracle unroll the recursion.
+    *
+    * Scale shape: the undirected edge set expands BOTH directions once
+    * into a persisted (x, nbr) adjacency table, so each round is ONE
+    * nbr-keyed join (message rows are two longs) plus two map-side-
+    * combined aggregations — (vertex, label) counts and the per-vertex
+    * argmax in its aggregate form max(struct(cnt, −label)) (never a
+    * window over the message table). Each round persists its |V|-row
+    * label table, materializes it, and unpersists the previous one, so
+    * at most two label snapshots exist and the plan stays
+    * constant-size.
+    *
+    * @return (vertex, label) for every vertex in `edges`; vertices
+    *         sharing a label form one community.
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+    val adj = e.select(col("u").as("x"), col("v").as("nbr"))
+      .unionByName(e.select(col("v").as("x"), col("u").as("nbr")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = adj.select(col("x"))
+      .distinct()
+      .select(col("x"), col("x").as("lab"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    (1 to rounds).foreach { _ =>
+      val msgs = adj
+        .join(labels.select(col("x").as("nbr"), col("lab")), Seq("nbr"))
+        .select(col("x"), col("lab"))
+      val next = msgs
+        .groupBy(col("x"), col("lab")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("x"))
+        .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("x"), (-col("m.nl")).as("lab"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      labels.unpersist(blocking = false)
+      labels = next
+    }
+    adj.unpersist(blocking = false)
+    // The final persist backs the returned frame; the ContextCleaner
+    // reclaims it when the caller's result becomes unreachable (the
+    // kCore convention).
+    labels.select(col("x").as("vertex"), col("lab").as("label"))
+  }
+
   def triangleCount(
       edges: DataFrame,
       srcCol: String,

@@ -159,6 +159,25 @@ class GraphSpec extends SparkTestBase {
     assert(Graph.kCore(edges, "src", "dst", k = 1).count() === 9L)
   }
 
+  test("labelPropagation: two bridged triangles separate; deterministic") {
+    // Triangles {1,2,3} and {4,5,6} with bridge 3–4. Hand-unrolled
+    // 4 synchronous min-tie-break rounds: left community converges to
+    // label 1, right to label 3 (the bridge pulls 4's label leftward for
+    // one round, then the right triangle's majority re-asserts).
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, "src", "dst", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // Reversed/duplicate edges and repartitioning change nothing.
+    val noisy = edges.unionByName(Seq((2L, 1L), (3L, 2L), (4L, 3L))
+      .toDF("src", "dst")).repartition(7)
+    val again = Graph.labelPropagation(noisy, "src", "dst", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(again === got)
+  }
+
   test("dedupClusters marks the min id of each cluster canonical") {
     val pairs = Seq((2L, 9L), (9L, 4L), (30L, 31L)).toDF("id_a", "id_b")
     val got = Graph.dedupClusters(pairs, "id_a", "id_b")
