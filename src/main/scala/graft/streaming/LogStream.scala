@@ -457,6 +457,57 @@ object LogStream {
       }
   }
 
+  /** Per-key HLL state: the serialized updatable sketch. */
+  private[streaming] case class HllState(sketch: Array[Byte])
+  /** Per-batch running HLL estimate for a key. */
+  case class HllDistinctReport(key: String, est: Long)
+
+  /** Streaming distinct-count estimation via the SAME DataSketches HLL
+    * family as the batch `hll_sketch_agg` behind
+    * [[graft.ops.Sketches.hllAuditedDistinct]] — the third streaming
+    * sketch next to KMV and CMS, for cardinalities far past KMV's
+    * k-bounded sweet spot. Update policy matches Spark's batch string
+    * path byte-for-byte (UTF-8 bytes; empty strings skipped). State per
+    * key is the serialized sketch — ~2^lgConfigK bytes + header, 4.1 KB
+    * at the default lgK = 12 / HLL_8 — independent of stream length and
+    * value-space size; serialization round-trips the estimator state
+    * exactly, so kill/resume is bit-equivalent (specced).
+    *
+    * Estimator note (measured; it matters when auditing against batch):
+    * DataSketches HLL carries a HIP accumulator that sequential updates
+    * maintain but sketch UNION cannot, so the batch `hll_sketch_agg`
+    * estimate varies with partitioning (4915 vs 4865 over the same
+    * 5000 values at lgK 12, 1 vs 13 partitions). This stream's per-key
+    * updates are sequential, so its estimate equals the batch aggregate
+    * over a single-partition frame bit-for-bit, and sits within the
+    * family's error guarantee of any partitioned batch run.
+    */
+  def hllDistinctStream(
+      rows: Dataset[DistinctInput],
+      lgConfigK: Int = 12): Dataset[HllDistinctReport] = {
+    require(lgConfigK >= 4 && lgConfigK <= 21,
+      s"lgConfigK must be in [4, 21], got $lgConfigK")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(_.key)
+      .mapGroupsWithState[HllState, HllDistinctReport](
+        GroupStateTimeout.NoTimeout()) {
+        case (key, it, state: GroupState[HllState]) =>
+          val sk = state.getOption
+            .map(s => org.apache.datasketches.hll.HllSketch.heapify(s.sketch))
+            .getOrElse(new org.apache.datasketches.hll.HllSketch(
+              lgConfigK, org.apache.datasketches.hll.TgtHllType.HLL_8))
+          it.foreach { r =>
+            if (r.value != null && r.value.nonEmpty) {
+              sk.update(r.value.getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+            }
+          }
+          state.update(HllState(sk.toUpdatableByteArray))
+          HllDistinctReport(key, Math.round(sk.getEstimate))
+      }
+  }
+
   /** First 48 bits of md5 as a non-negative long — byte-for-byte the value
     * [[graft.ops.Sketches.kmvDistinct]]'s `substr(md5hex, 1, 12)` parses.
     */

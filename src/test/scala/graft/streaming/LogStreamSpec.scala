@@ -485,6 +485,51 @@ class LogStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("hllDistinctStream: sequential estimate equals 1-partition batch agg; kill/resume bit-equivalent") {
+    implicit val sqlCtx = spark.sqlContext
+    val vals = (1 to 3000).map(i => s"v$i")
+    val ckpt = Files.createTempDirectory("hll-ckpt").toString
+    val input = MemoryStream[LogStream.DistinctInput]
+    val est = LogStream.hllDistinctStream(input.toDS(), lgConfigK = 12)
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    def start() = est.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[LogStream.HllDistinctReport],
+            _: Long) =>
+          batch.collect().foreach(r => buf.add((r.key, r.est)))
+      }.start()
+    // Phase 1: first 1500 values (plus dups and an empty string Spark's
+    // batch path also skips) — then KILL.
+    val q1 = start()
+    try {
+      input.addData(vals.take(1500).map(v =>
+        LogStream.DistinctInput("a", v, 1L)) ++
+        Seq(LogStream.DistinctInput("a", "v1", 2L),
+          LogStream.DistinctInput("a", "", 3L)): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // Phase 2: resume from checkpoint, stream the rest.
+    val q2 = start()
+    try {
+      input.addData(vals.drop(1500).map(v =>
+        LogStream.DistinctInput("a", v, 4L)): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val streamFinal = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(buf).asScala.toList.last._2
+    // The sequential-update (HIP) estimate equals the batch agg over a
+    // SINGLE-partition frame — the partitioning-invariant formulation.
+    val batchEst = vals.toDF("v").coalesce(1)
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(v, 12))"))
+      .as[Long].head()
+    assert(streamFinal === batchEst,
+      s"stream $streamFinal vs 1-partition batch $batchEst")
+    // And it is a real estimate: within the lgK=12 guarantee of truth.
+    assert(math.abs(streamFinal - 3000L) <= math.ceil(3000 * 4 * 1.04 / 64),
+      s"estimate $streamFinal outside HLL guarantee of 3000")
+  }
+
   test("cmsHeavyHittersStream survives a restart: sketch recovers from checkpoint") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = Files.createTempDirectory("cms-ckpt").toString
