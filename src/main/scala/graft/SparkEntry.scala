@@ -1356,6 +1356,13 @@ object SparkEntry {
         minAlphaFrac = 0.8, minStopHits = 1)
         .presented("doc_id")),
 
+    // StarCoder/SantaCoder code-quality filter: line geometry +
+    // char-class rules + autogen markers, every measurement exact int64
+    // arithmetic divided once — fully oracled including the verdict.
+    "q_code_filter" -> ((s, dir) =>
+      TextAnalysis.codeFilter(t(s, dir, "documents"), "doc_id", "text")
+        .presented("doc_id")),
+
     // C4-style corpus boilerplate spans: per-doc count of word 3-grams
     // shared with ≥3 documents — exact oracle rebuilds the span frequency
     // table in SQL.
@@ -3189,6 +3196,34 @@ object SparkEntry {
          |     AS keep
          | FROM (SELECT doc_id, $tokensSql AS t FROM documents)
          | ORDER BY doc_id""".stripMargin,
+    "q_code_filter" ->
+      s"""WITH s AS (SELECT doc_id, text, $tokensSql AS t,
+         |     CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         |     CAST(length(text) AS BIGINT) AS n_chars FROM documents),
+         | m AS (SELECT doc_id,
+         |     n_lines,
+         |     CAST(n_chars - (n_lines - 1) AS DOUBLE)
+         |       / CAST(greatest(n_lines, 1) AS DOUBLE) AS avg_line_len,
+         |     CAST(coalesce(list_max(list_transform(
+         |       string_split(text, chr(10)), x -> length(x))), 0) AS BIGINT)
+         |       AS max_line_len,
+         |     CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+         |         AS DOUBLE)
+         |       / CAST(greatest(n_chars, 1) AS DOUBLE) AS alnum_frac,
+         |     CAST(len(list_filter(t,
+         |         x -> regexp_full_match(x, '[0-9a-f]{8,}'))) AS DOUBLE)
+         |       / CAST(greatest(len(t), 1) AS DOUBLE) AS hex_token_frac,
+         |     (contains(lower(text), 'auto-generated')
+         |       OR contains(lower(text), 'autogenerated')
+         |       OR contains(lower(text), 'do not edit')
+         |       OR contains(lower(text), 'generated by'))::INT AS autogen
+         |   FROM s)
+         | SELECT doc_id, n_lines, avg_line_len, max_line_len, alnum_frac,
+         |   hex_token_frac, autogen,
+         |   (avg_line_len <= 100.0e0 AND max_line_len <= 1000
+         |     AND alnum_frac >= 0.25e0 AND hex_token_frac <= 0.4e0
+         |     AND autogen = 0)::INT AS keep
+         | FROM m ORDER BY doc_id""".stripMargin,
     "q_boilerplate_spans" ->
       s"""WITH d AS (SELECT doc_id, $tokensSql AS t FROM documents),
          | g AS (SELECT doc_id, list_distinct(

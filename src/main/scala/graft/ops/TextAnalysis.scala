@@ -372,6 +372,72 @@ object TextAnalysis {
         alphaFrac >= minAlphaFrac && stopHits >= minStopHits).as("keep"))
   }
 
+  /** StarCoder-style code-quality filter (Li et al. 2023 §3.1 /
+    * SantaCoder data prep, Allal et al. 2023): the line-geometry and
+    * character-class rules that catch minified bundles, auto-generated
+    * files, and embedded data blobs masquerading as code — the code
+    * corpus's analogue of [[gopherFilter]]. Emits per-rule measurements
+    * plus the `keep` verdict so a pipeline can audit WHY a file dropped:
+    *
+    *  - `avg_line_len` ≤ maxAvgLineLen and `max_line_len` ≤ maxMaxLineLen
+    *    (minified/one-line bundles),
+    *  - `alnum_frac` ≥ minAlnumFrac (binary/art/data blobs),
+    *  - `hex_token_frac` ≤ maxHexFrac (hex dumps, packed assets: the
+    *    fraction of whitespace tokens that are ≥ 8-char pure-hex runs),
+    *  - no auto-generation marker ("auto-generated", "do not edit", …).
+    *
+    * Determinism: every measurement is exact int64 arithmetic (the line
+    * mass is length − (n_lines − 1), no per-line re-sum; alnum count via
+    * an ASCII-class regexp strip) divided once as IEEE doubles — any
+    * engine replays the verdicts bit-for-bit. Pure narrow column work,
+    * codegen'd end to end except the single bounded `filter` HOF over
+    * the token array.
+    */
+  def codeFilter(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      maxAvgLineLen: Double = 100.0,
+      maxMaxLineLen: Int = 1000,
+      minAlnumFrac: Double = 0.25,
+      maxHexFrac: Double = 0.4): org.apache.spark.sql.DataFrame = {
+    val staged = df.select(col(idCol), col(textCol),
+      tokens(col(textCol)).as("__t"),
+      split(col(textCol), "\n").as("__lines"))
+    val nChars = length(col(textCol)).cast("long")
+    val nLines = size(col("__lines")).cast("long")
+    val lineMass = nChars - (nLines - 1L)
+    val avgLine = lineMass.cast("double") /
+      greatest(nLines, lit(1L)).cast("double")
+    val maxLine = coalesce(
+      array_max(transform(col("__lines"), x => length(x))), lit(0))
+      .cast("long")
+    val alnum = length(
+      regexp_replace(col(textCol), "[^A-Za-z0-9]", "")).cast("long")
+    val alnumFrac = alnum.cast("double") /
+      greatest(nChars, lit(1L)).cast("double")
+    val nTokens = size(col("__t")).cast("long")
+    val hexTokens = size(filter(col("__t"),
+      x => x.rlike("^[0-9a-f]{8,}$"))).cast("long")
+    val hexFrac = hexTokens.cast("double") /
+      greatest(nTokens, lit(1L)).cast("double")
+    val lowered = lower(col(textCol))
+    val autogen = (lowered.contains("auto-generated") ||
+      lowered.contains("autogenerated") ||
+      lowered.contains("do not edit") ||
+      lowered.contains("generated by"))
+    staged.select(col(idCol),
+      nLines.as("n_lines"),
+      avgLine.as("avg_line_len"),
+      maxLine.as("max_line_len"),
+      alnumFrac.as("alnum_frac"),
+      hexFrac.as("hex_token_frac"),
+      autogen.cast("int").as("autogen"),
+      (avgLine <= maxAvgLineLen && maxLine <= maxMaxLineLen &&
+        alnumFrac >= minAlnumFrac && hexFrac <= maxHexFrac && !autogen)
+        .cast("int").as("keep"))
+  }
+
   /** Feature-hash (hashing-trick) bag-of-words: each token lands in
     * `dim` buckets via a salted-free md5 slot with a ±1 sign bit
     * (Weinberger et al. 2009 — the sign unbiases collisions), producing a

@@ -788,6 +788,29 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(ratio === 0.5)
   }
 
+  test("codeFilter: each StarCoder rule drops what it should") {
+    val good = (1 to 30).map(i => s"def f$i(x): return x + $i").mkString("\n")
+    val df = Seq(
+      (1L, good),                                   // passes all rules
+      (2L, "x" * 5000),                             // minified: one long line
+      (3L, (1 to 20).map(_ => "deadbeefcafe1234 aa55aa55deadbeef")
+        .mkString("\n")),                           // hex dump
+      (4L, "// auto-generated file\n" + good),      // autogen marker
+      (5L, ("~!@#$%^&*()_+ " * 40 + "\n") * 10)).toDF("doc_id", "text") // blob
+    val got = TextAnalysis.codeFilter(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("keep", "autogen", "max_line_len")
+      .as[(Int, Int, Long)].collect().toSeq
+    assert(got.map(_._1) === Seq(1, 0, 0, 0, 0))
+    assert(got(3)._2 === 1, "autogen marker detected")
+    assert(got(1)._3 === 5000L)
+    // Line mass is exact: avg_line_len over doc 1 equals the hand sum.
+    val avg = TextAnalysis.codeFilter(df, "doc_id", "text")
+      .where($"doc_id" === 1).select("avg_line_len").as[Double].head()
+    val lines = good.split("\n")
+    assert(avg === lines.map(_.length).sum.toDouble / lines.length)
+  }
+
   test("gopherFilter: each rule drops what it should") {
     val good = "the cat and dog ran over the hill to find water near the old farm"
     val df = Seq(
