@@ -508,6 +508,68 @@ object LogStream {
       }
   }
 
+  /** Input contract for [[quantilesStream]]: a per-key numeric metric. */
+  case class ValueInput(key: String, value: Double, eventTimeMs: Long)
+  /** Per-key GK summary state, flattened to encoder-friendly arrays. */
+  private[streaming] case class GkState(
+      vals: Array[Double], gs: Array[Long], deltas: Array[Long], count: Long)
+  /** One quantile estimate for a key after a micro-batch. */
+  case class QuantileReport(key: String, quantile: Double, est: Double,
+      n: Long)
+
+  /** Streaming quantiles with BOUNDED state — the rank member of the
+    * streaming sketch family (frequency = CMS, cardinality = KMV/HLL,
+    * rank = this), using the SAME Greenwald–Khanna summary Spark's batch
+    * `approx_percentile` builds (so
+    * [[graft.ops.Sketches.quantileProfile]]/`quartilesAudited`'s rank
+    * guarantee carries over verbatim: SOME rank within ε·n of q·n).
+    * State per key is the GK sampled tuples — O((1/ε)·log(ε·n))
+    * (value, g, Δ) triples, a few KB at ε = 0.01 — independent of the
+    * value-space size and checkpoint-recoverable.
+    *
+    * Determinism: GK is insertion-order-sensitive and a shuffled
+    * micro-batch arrives in nondeterministic order, so each batch's
+    * values are SORTED before insertion — per-key state becomes a pure
+    * function of (previous state, batch multiset), which is what makes
+    * the kill/resume spec an equality check rather than a tolerance
+    * check. Each micro-batch emits the key's current estimates for every
+    * requested quantile (Update-mode audit rows).
+    */
+  def quantilesStream(
+      rows: Dataset[ValueInput],
+      quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75),
+      relativeError: Double = 0.01): Dataset[QuantileReport] = {
+    require(quantiles.nonEmpty && quantiles.forall(q => q > 0 && q < 1),
+      s"quantiles must be in (0, 1): $quantiles")
+    require(relativeError > 0 && relativeError < 0.5,
+      s"relativeError must be in (0, 0.5), got $relativeError")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.util.QuantileSummaries
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState[GkState, QuantileReport](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (key, it, state: GroupState[GkState]) =>
+          var s = state.getOption
+            .map { g =>
+              new QuantileSummaries(
+                QuantileSummaries.defaultCompressThreshold, relativeError,
+                Array.tabulate(g.vals.length)(i =>
+                  QuantileSummaries.Stats(g.vals(i), g.gs(i), g.deltas(i))),
+                g.count, true)
+            }
+            .getOrElse(new QuantileSummaries(
+              QuantileSummaries.defaultCompressThreshold, relativeError))
+          it.toArray.map(_.value).sorted.foreach(v => s = s.insert(v))
+          s = s.compress()
+          state.update(GkState(s.sampled.map(_.value), s.sampled.map(_.g),
+            s.sampled.map(_.delta), s.count))
+          val n = s.count
+          quantiles.iterator.map(q =>
+            QuantileReport(key, q, s.query(q).getOrElse(Double.NaN), n))
+      }
+  }
+
   /** First 48 bits of md5 as a non-negative long — byte-for-byte the value
     * [[graft.ops.Sketches.kmvDistinct]]'s `substr(md5hex, 1, 12)` parses.
     */

@@ -530,6 +530,62 @@ class LogStreamSpec extends SparkTestBase {
       s"estimate $streamFinal outside HLL guarantee of 3000")
   }
 
+  test("quantilesStream: GK rank guarantee holds; kill/resume equals uninterrupted") {
+    implicit val sqlCtx = spark.sqlContext
+    // Deterministic value stream: a scrambled permutation of 1..2000.
+    val vals = (1 to 2000).map(i => ((i * 997) % 2000 + 1).toDouble)
+    val (p1, p2) = vals.splitAt(1200)
+    val eps = 0.01
+
+    def run(restart: Boolean): Map[Double, (Double, Long)] = {
+      val ckpt = Files.createTempDirectory("gk-ckpt").toString
+      val input = MemoryStream[LogStream.ValueInput]
+      val est = LogStream.quantilesStream(input.toDS(),
+        quantiles = Seq(0.25, 0.5, 0.75), relativeError = eps)
+      val buf =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Double, Double, Long)]()
+      def start() = est.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[LogStream.QuantileReport],
+              _: Long) =>
+            batch.collect().foreach(r => buf.add((r.quantile, r.est, r.n)))
+        }.start()
+      val q1 = start()
+      try {
+        input.addData(p1.map(v => LogStream.ValueInput("a", v, 1L)): _*)
+        q1.processAllAvailable()
+        if (!restart) {
+          input.addData(p2.map(v => LogStream.ValueInput("a", v, 2L)): _*)
+          q1.processAllAvailable()
+        }
+      } finally q1.stop()
+      if (restart) {
+        val q2 = start()
+        try {
+          input.addData(p2.map(v => LogStream.ValueInput("a", v, 2L)): _*)
+          q2.processAllAvailable()
+        } finally q2.stop()
+      }
+      // Final report per quantile = the n=2000 rows.
+      scala.jdk.CollectionConverters.CollectionHasAsScala(buf).asScala
+        .filter(_._3 == 2000L).map(r => r._1 -> (r._2, r._3)).toMap
+    }
+
+    val straight = run(restart = false)
+    assert(straight.keySet === Set(0.25, 0.5, 0.75))
+    // GK rank guarantee against the exact distribution 1..2000.
+    straight.foreach { case (q, (est, n)) =>
+      val rank = est // values ARE their ranks here
+      assert(math.abs(rank - q * n) <= eps * n + 1,
+        s"q=$q est=$est outside GK guarantee for n=$n")
+    }
+    // Kill/resume bit-equivalence (sorted-batch insertion makes state a
+    // pure function of (prev state, batch multiset)).
+    val resumed = run(restart = true)
+    assert(resumed === straight)
+  }
+
   test("cmsHeavyHittersStream survives a restart: sketch recovers from checkpoint") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = Files.createTempDirectory("cms-ckpt").toString
