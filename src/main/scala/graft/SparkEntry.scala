@@ -1135,6 +1135,25 @@ object SparkEntry {
       Web.surtDedup(withUrls(s, dir), "doc_id", "url")
         .presented("surt")),
 
+    // jusText-style HTML main-content extraction over deterministically
+    // synthesized pages (nav + content paragraph + link-rail footer +
+    // script/style/comment noise wrapped around each document's text):
+    // the nav and footer blocks are link-dominated boilerplate, the
+    // paragraph is content. FULLY oracled — DuckDB rebuilds the same
+    // page and replays strip/segment/classify with RE2 regexes.
+    "q_html_extract" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"), concat(
+        lit("<html><head><title>t</title><style>.x{color:red}</style>" +
+          "<script>var x = 1;</script></head><body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+          "<a href=\"/c\">Contact</a></nav><p>"),
+        col("text"),
+        lit("</p><div><a href=\"/t\">Terms of Service</a> " +
+          "<a href=\"/p\">Privacy Policy</a></div>" +
+          "<!-- generated footer --></body></html>")).as("html"))
+      Web.htmlExtract(pages, "doc_id", "html").presented("doc_id")
+    }),
+
     // SimHash signatures themselves (operator output, deterministic).
     // no_oracle BY DESIGN. Why an oracle is IMPOSSIBLE rather than
     // unported: every signature bit is a majority vote over per-token
@@ -3509,6 +3528,36 @@ object SparkEntry {
          |   FROM j)
          | SELECT surt, n_copies, doc_id AS keep_id, q AS quality
          | FROM r WHERE rn = 1 ORDER BY surt""".stripMargin,
+    "q_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |     '<html><head><title>t</title><style>.x{color:red}</style><script>var x = 1;</script></head><body><nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav><p>'
+        |     || text ||
+        |     '</p><div><a href="/t">Terms of Service</a> <a href="/p">Privacy Policy</a></div><!-- generated footer --></body></html>'
+        |       AS html
+        |   FROM documents),
+        | c AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |     html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |     '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |     '(?s)<!--.*?-->', ' ', 'g') AS x FROM h),
+        | b AS (SELECT doc_id, regexp_split_to_array(x,
+        |     '(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|article|section|header|footer|nav|blockquote|br)\b[^>]*>')
+        |       AS bl
+        |   FROM c),
+        | st AS (SELECT doc_id,
+        |     [trim(regexp_replace(regexp_replace(bb, '<[^>]*>', ' ', 'g'),
+        |       '\s+', ' ', 'g')) for bb in bl] AS cl,
+        |     [CAST(length(bb) - length(regexp_replace(bb,
+        |         '(?is)<a(?:\s[^>]*)?>.*?</a>', '', 'g')) AS DOUBLE)
+        |       / CAST(greatest(length(bb), 1) AS DOUBLE) for bb in bl] AS ld
+        |   FROM b)
+        | SELECT doc_id,
+        |   len([i for i in range(1, len(cl) + 1) if length(cl[i]) > 0])
+        |     AS n_blocks,
+        |   len([i for i in range(1, len(cl) + 1)
+        |     if length(cl[i]) >= 30 AND ld[i] <= 0.5e0]) AS n_good_blocks,
+        |   array_to_string([cl[i] for i in range(1, len(cl) + 1)
+        |     if length(cl[i]) >= 30 AND ld[i] <= 0.5e0], chr(10)) AS content
+        | FROM st ORDER BY doc_id""".stripMargin,
     "q_surt_dedup" ->
       s"""WITH $urlFactsCteSql,
          | sk AS (SELECT doc_id,

@@ -137,6 +137,73 @@ object Web {
           lit(1L).as("n_copies")))
   }
 
+  /** jusText-style main-content extraction from raw HTML (Pomikálek 2011;
+    * the segment-and-classify idea behind trafilatura/jusText that C4,
+    * CCNet and RefinedWeb all run before any text filter): strip
+    * script/style/comment subtrees, segment on block-level tags, then
+    * classify each block by LENGTH and LINK DENSITY — short blocks and
+    * link-dominated blocks (navigation, footers, related-links rails) are
+    * boilerplate; long low-link blocks are content. This is the
+    * deterministic two-feature core of the published classifier (no
+    * stopword model), which makes every decision replayable cross-engine:
+    *
+    *  - link density = (chars of `<a …>…</a>` markup+text) / block chars,
+    *    measured on the RAW block before tag stripping;
+    *  - a block is content iff its tag-stripped, whitespace-collapsed
+    *    text has ≥ `minBlockChars` chars AND link density ≤
+    *    `maxLinkDensity`.
+    *
+    * Output per document: `n_blocks` (blocks with any text),
+    * `n_good_blocks`, and `content` (good blocks joined with newlines).
+    *
+    * Scale shape: a pure narrow map — regex strips + one split + one
+    * bounded per-row array pass; no shuffle, no UDF. The regexes are
+    * RE2-compatible (no backreferences), so DuckDB replays extraction
+    * byte-for-byte.
+    */
+  def htmlExtract(
+      df: DataFrame,
+      idCol: String,
+      htmlCol: String,
+      minBlockChars: Int = 30,
+      maxLinkDensity: Double = 0.5): DataFrame = {
+    require(minBlockChars >= 1, s"minBlockChars must be >= 1: $minBlockChars")
+    require(maxLinkDensity >= 0 && maxLinkDensity <= 1,
+      s"maxLinkDensity must be in [0, 1]: $maxLinkDensity")
+    val stripped = regexp_replace(regexp_replace(regexp_replace(col(htmlCol),
+      "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+    val blocks = split(stripped,
+      "(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|article|section" +
+        "|header|footer|nav|blockquote|br)\\b[^>]*>")
+    def clean(b: Column): Column =
+      trim(regexp_replace(regexp_replace(b, "<[^>]*>", " "), "\\s+", " "))
+    def linkDensity(b: Column): Column =
+      (length(b) - length(regexp_replace(b,
+        "(?is)<a(?:\\s[^>]*)?>.*?</a>", ""))).cast("double") /
+        greatest(length(b), lit(1)).cast("double")
+    // Two-stage on purpose: the struct array is built in its OWN
+    // projection and the second select references `__st` three times —
+    // CollapseProject refuses to inline a non-cheap multi-referenced
+    // producer, so the regex chain runs ONCE per row instead of once per
+    // reference (interpreted HOF projections have no CSE — measured 3×:
+    // 9.7 → 3.3 s at sf1). `clean` is likewise computed once per block;
+    // downstream predicates re-measure only the materialized string.
+    val stats = transform(blocks, b =>
+      struct(clean(b).as("txt"), linkDensity(b).as("ld")))
+    val staged = df.select(col(idCol), stats.as("__st"))
+    def isGood(s: Column): Column =
+      length(s.getField("txt")) >= minBlockChars &&
+        s.getField("ld") <= maxLinkDensity
+    staged.select(col(idCol),
+      size(filter(col("__st"), s => length(s.getField("txt")) > 0))
+        .cast("long").as("n_blocks"),
+      size(filter(col("__st"), isGood(_))).cast("long").as("n_good_blocks"),
+      array_join(transform(filter(col("__st"), isGood(_)),
+        s => s.getField("txt")), "\n").as("content"))
+  }
+
   /** Drop rows whose registered domain is blocklisted (the broadcast-set
     * filter every web pipeline runs first). The blocklist is a literal —
     * no join, no shuffle.

@@ -95,6 +95,33 @@ class WebSpec extends SparkTestBase {
       good.head.getLong(2) === 2L)
   }
 
+  test("htmlExtract: keeps content blocks, drops nav/footer/script/style") {
+    val para = "This paragraph has plenty of real prose content in it, " +
+      "well past the minimum block length."
+    val html = "<html><head><style>.a{}</style>" +
+      "<script>if (x < 3) { alert('<p>not a block</p>'); }</script></head>" +
+      "<body><nav><a href=\"/\">Home</a> <a href=\"/x\">Docs</a></nav>" +
+      s"<p>$para</p>" +
+      "<div>Short.</div>" + // non-empty but under minBlockChars
+      "<!-- <p>commented out</p> --></body></html>"
+    val got = Web.htmlExtract(Seq((1L, html)).toDF("id", "html"),
+        "id", "html")
+      .select("n_blocks", "n_good_blocks", "content")
+      .as[(Long, Long, String)].head()
+    assert(got._2 === 1L, s"exactly the paragraph survives: $got")
+    assert(got._3 === para)
+    // nav (link-dominated), paragraph, and "Short." all carry text.
+    assert(got._1 === 3L, got.toString)
+    // Link density: a page whose only long block is pure links drops it.
+    val linky = "<div>" + (1 to 10).map(i =>
+      s"""<a href="/$i">Interesting link number $i here</a>""").mkString(" ") +
+      "</div>"
+    val got2 = Web.htmlExtract(Seq((1L, linky)).toDF("id", "html"),
+        "id", "html")
+      .select("n_good_blocks").as[Long].head()
+    assert(got2 === 0L)
+  }
+
   test("blocklistFilter drops exactly the blocked registered domains") {
     val df = Seq(
       (1L, "https://www.bad.com/a"), (2L, "https://sub.bad.com/b"),
