@@ -653,6 +653,66 @@ object LogStream {
       }
   }
 
+  /** One impression event (the left/earlier side of [[attributionJoin]]). */
+  case class ImpressionInput(impId: Long, key: String, eventTimeMs: Long)
+  /** One click event (the right/later side of [[attributionJoin]]). */
+  case class ClickInput(clickId: Long, key: String, eventTimeMs: Long)
+
+  /** Watermarked stream–stream attribution join — the canonical
+    * two-stream pipeline (impression ⋈ click within an attribution
+    * window), and the one Structured Streaming capability the rest of
+    * this file's single-stream operators don't exercise: each click
+    * matches impressions of the same key whose time t satisfies
+    * t ≤ click < t + windowMs.
+    *
+    * State boundedness is the whole design: BOTH sides carry watermarks
+    * and the join condition bounds click time relative to impression
+    * time, so Spark derives state-eviction watermarks for each side —
+    * buffered impressions are dropped once no future click can match
+    * them (watermark past t + windowMs), buffered clicks once no
+    * buffered impression can still claim them. Without the time bound
+    * the join would buffer both streams FOREVER; with it, state is
+    * O(events per attribution window), the difference between a
+    * checkpoint that tracks the active window and one that holds the
+    * whole day at 100 TB/day.
+    *
+    * `joinType` "inner" emits matches as they arrive; "left_outer" ALSO
+    * emits each unclicked impression exactly once — with null click
+    * columns — when the watermark proves no match can come (the
+    * conversion-funnel "no-convert" row). Output: (key, imp_id, imp_ms,
+    * click_id, click_ms, lag_ms).
+    */
+  def attributionJoin(
+      impressions: Dataset[ImpressionInput],
+      clicks: Dataset[ClickInput],
+      windowMs: Long = 3600000L,
+      watermark: String = "10 seconds",
+      joinType: String = "inner"): DataFrame = {
+    require(windowMs > 0, s"windowMs must be > 0, got $windowMs")
+    require(Seq("inner", "left_outer").contains(joinType),
+      s"joinType must be inner or left_outer, got $joinType")
+    val imp = impressions.toDF()
+      .withColumn("__impTime", timestamp_millis(col("eventTimeMs")))
+      .withWatermark("__impTime", watermark)
+      .select(col("impId"), col("key").as("__impKey"),
+        col("__impTime"), col("eventTimeMs").as("__impMs"))
+    val clk = clicks.toDF()
+      .withColumn("__clickTime", timestamp_millis(col("eventTimeMs")))
+      .withWatermark("__clickTime", watermark)
+      .select(col("clickId"), col("key").as("__clickKey"),
+        col("__clickTime"), col("eventTimeMs").as("__clickMs"))
+    imp.join(clk,
+        col("__impKey") === col("__clickKey") &&
+          col("__clickTime") >= col("__impTime") &&
+          col("__clickTime") <
+            col("__impTime") + expr(s"INTERVAL '$windowMs' MILLISECOND"),
+        joinType)
+      .select(col("__impKey").as("key"), col("impId").as("imp_id"),
+        col("__impMs").as("imp_ms"), col("clickId").as("click_id"),
+        col("__clickMs").as("click_ms"),
+        (col("__clickMs") - col("__impMs")).as("lag_ms"))
+  }
+
   /** Continuous ingest: text file stream → parsed log lines → Boom files.
     * (`foreachBatch` + the batch writer — the standard file-sink pattern for
     * a custom format.)

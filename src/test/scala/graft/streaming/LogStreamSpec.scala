@@ -530,6 +530,46 @@ class LogStreamSpec extends SparkTestBase {
       s"estimate $streamFinal outside HLL guarantee of 3000")
   }
 
+  test("attributionJoin: in-window clicks match; left_outer emits unclicked after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[LogStream.ImpressionInput]
+    val clks = MemoryStream[LogStream.ClickInput]
+    val joined = LogStream.attributionJoin(imps.toDS(), clks.toDS(),
+      windowMs = 60000L, watermark = "0 seconds", joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      imps.addData(LogStream.ImpressionInput(1L, "a", 10000L),
+        LogStream.ImpressionInput(2L, "a", 20000L),
+        LogStream.ImpressionInput(3L, "b", 10000L))
+      clks.addData(LogStream.ClickInput(100L, "a", 15000L), // imp 1 only
+        LogStream.ClickInput(101L, "a", 65000L), // imps 1 AND 2
+        LogStream.ClickInput(102L, "b", 200000L)) // outside b's window
+      q.processAllAvailable()
+      // Advance BOTH watermarks well past 10000 + 60000 so imp 3's
+      // no-match verdict becomes provable; the second advancing batch
+      // flushes the outer row.
+      imps.addData(LogStream.ImpressionInput(9L, "z", 500000L))
+      clks.addData(LogStream.ClickInput(999L, "z", 500000L))
+      q.processAllAvailable()
+      imps.addData(LogStream.ImpressionInput(10L, "z", 900000L))
+      clks.addData(LogStream.ClickInput(1000L, "z", 900000L))
+      q.processAllAvailable()
+      val rows = spark.table("attr").collect()
+      val matched = rows.filter(!_.isNullAt(3))
+        .map(r => (r.getLong(1), r.getLong(3), r.getLong(5))).toSet
+      assert(matched.contains((1L, 100L, 5000L)))
+      assert(matched.contains((1L, 101L, 55000L)),
+        "a click attributes to EVERY in-window impression")
+      assert(matched.contains((2L, 101L, 45000L)))
+      assert(matched.contains((9L, 999L, 0L)))
+      assert(!matched.exists(_._2 == 102L), "out-of-window click never matches")
+      // imp 3 surfaces exactly once as an unclicked left-outer row.
+      val unclicked = rows.filter(_.isNullAt(3)).map(_.getLong(1)).toSeq
+      assert(unclicked === Seq(3L), s"rows: ${rows.mkString(";")}")
+    } finally q.stop()
+  }
+
   test("quantilesStream: GK rank guarantee holds; kill/resume equals uninterrupted") {
     implicit val sqlCtx = spark.sqlContext
     // Deterministic value stream: a scrambled permutation of 1..2000.
