@@ -1088,6 +1088,30 @@ object SparkEntry {
           .as("recall_pass"))
     }),
 
+    // DCT perceptual hash (pHash) dedup — same planted-copy recall
+    // contract as q_image_dupes, over the robust 32×32→DCT→8×8 hash
+    // whose 63 non-DC bits survive uniform brightness shifts exactly.
+    "q_phash_dupes" -> ((s, dir) => {
+      val imgs = Multimodal.syntheticMedia(s, 200)
+        .where(col("mime").startsWith("image/"))
+      val all = imgs.unionByName(imgs.select(
+        (col("media_id") + 1000).as("media_id"), col("doc_id"),
+        col("mime"), col("bytes"), col("meta")))
+      val hashes = Multimodal.imagePHashes(all)
+      val pairs = Dedup.hammingPairs(hashes, "media_id", "phash",
+        maxHamming = 0, maxBucketSize = 4096)
+      val nImg = hashes.agg(count(lit(1)).as("n_images"))
+      val nFound = pairs.agg(
+        coalesce(sum(when(col("id_b") === col("id_a") + 1000, 1L)), lit(0L))
+          .as("n_planted_found"))
+      nImg.crossJoin(nFound).select(
+        col("n_images"),
+        expr("n_images DIV 2").as("n_planted"),
+        col("n_planted_found"),
+        (col("n_planted_found") === expr("n_images DIV 2")).cast("int")
+          .as("recall_pass"))
+    }),
+
     // URL / domain curation over deterministically synthesized URLs (pure
     // function of doc_id, exercising scheme/case/trailing-slash/tracking-
     // param/multi-part-suffix rules — the q_container_headers pattern).
@@ -3479,6 +3503,12 @@ object SparkEntry {
     "q_mmr_select" -> mmrOracleSql(8),
     "q_kmeans" -> kMeansOracleSql(8, 2),
     "q_image_dupes" ->
+      """WITH img AS (SELECT media_id FROM range(200) t(media_id)
+        |   WHERE media_id % 5 < 2)
+        | SELECT 2 * count(*) AS n_images, count(*) AS n_planted,
+        |   count(*) AS n_planted_found, 1 AS recall_pass
+        | FROM img""".stripMargin,
+    "q_phash_dupes" ->
       """WITH img AS (SELECT media_id FROM range(200) t(media_id)
         |   WHERE media_id % 5 < 2)
         | SELECT 2 * count(*) AS n_images, count(*) AS n_planted,

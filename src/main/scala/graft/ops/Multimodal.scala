@@ -528,6 +528,112 @@ object Multimodal {
     }(enc)
   }
 
+  /** 64-bit DCT perceptual hash (pHash) — the robust sibling of
+    * [[aHash64]]: block-mean the grayscale image onto a 32×32 grid, take
+    * the 2-D DCT-II (two separable 32×32 cosine passes), keep the
+    * low-frequency 8×8 corner, and set bit u·8+v iff that coefficient
+    * exceeds the mean of the 63 NON-DC kept coefficients. Because a
+    * uniform brightness shift changes ONLY the DC coefficient, all 63
+    * non-DC bits are invariant under it (Hamming ≤ 1 including the DC
+    * bit) — where aHash's per-cell-vs-global-mean bits can flip near
+    * ties; scaling/re-encoding survive because only sign structure of
+    * low frequencies matters. Deterministic double arithmetic (fixed
+    * summation order) per JVM; dedup contracts ride the planted-pair
+    * recall convention, not cross-engine pixel math.
+    */
+  def pHash64(img: java.awt.image.BufferedImage): Long = {
+    val n = 32
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Double](n * n)
+    val cnts = new Array[Long](n * n)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(n - 1, y * n / h) * n
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val gray = (((rgb >> 16) & 0xFF) * 299L + ((rgb >> 8) & 0xFF) * 587L +
+          (rgb & 0xFF) * 114L) / 1000.0
+        val ci = cy + math.min(n - 1, x * n / w)
+        sums(ci) += gray
+        cnts(ci) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val g = Array.tabulate(n, n)((r, c) =>
+      if (cnts(r * n + c) == 0) 0.0 else sums(r * n + c) / cnts(r * n + c))
+    val cos = Array.tabulate(n, n)((u, x) =>
+      math.cos((2 * x + 1) * u * math.Pi / (2.0 * n)))
+    // Separable DCT-II, rows then columns; only the first 8 output
+    // frequencies of each pass are ever read, so compute just those.
+    val rowPass = Array.ofDim[Double](n, 8)
+    var r = 0
+    while (r < n) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0.0
+        var c = 0
+        while (c < n) { acc += g(r)(c) * cos(v)(c); c += 1 }
+        rowPass(r)(v) = acc
+        v += 1
+      }
+      r += 1
+    }
+    val dct = Array.ofDim[Double](8, 8)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0.0
+        var rr = 0
+        while (rr < n) { acc += rowPass(rr)(v) * cos(u)(rr); rr += 1 }
+        dct(u)(v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    var total = 0.0
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) { total += dct(u)(v); v += 1 }
+      u += 1
+    }
+    val mean = (total - dct(0)(0)) / 63.0
+    var hash = 0L
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if (dct(u)(v) > mean) hash |= (1L << (u * 8 + v))
+        v += 1
+      }
+      u += 1
+    }
+    hash
+  }
+
+  /** (media_id, phash) for every decodable image row — [[imageHashes]]'
+    * DCT sibling, same narrow per-partition decode batch.
+    */
+  def imagePHashes(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    media.select("media_id", "mime", "bytes").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val mime = r.getString(1)
+        if (mime == null || !mime.startsWith("image/") || r.isNullAt(2)) None
+        else decodeImage(r.getAs[Array[Byte]](2))
+          .map(img => Row(r.getLong(0), pHash64(img)))
+      }
+    }(enc)
+  }
+
   /** Perceptual image near-dup pairs: [[aHash64]] fingerprints through the
     * generic banded Hamming join ([[Dedup.hammingPairs]]) — re-encoded,
     * brightness-shifted, or lightly edited copies collide at small

@@ -1109,6 +1109,31 @@ class MultimodalSpec extends SparkTestBase {
     assert(java.lang.Long.bitCount(Multimodal.aHash64(inverted) ^ hb) >= 48)
   }
 
+  test("pHash64: copy-invariant, brightness-shift ≤ 1 bit, inversion-far") {
+    import java.awt.image.BufferedImage
+    def img(f: (Int, Int) => Int): BufferedImage = {
+      val im = new BufferedImage(64, 48, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 64) im.setRGB(x, y, f(x, y))
+      im
+    }
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    val base = img((x, y) => gray((x * 3 + y * 5) % 256))
+    val copy = img((x, y) => gray((x * 3 + y * 5) % 256))
+    // A uniform shift (no clamping) changes ONLY the DC coefficient —
+    // all 63 non-DC bits are provably invariant, so Hamming ≤ 1.
+    val brighter = img((x, y) => gray((x * 3 + y * 5) % 256 / 2 + 20))
+    val brighter2 = img((x, y) => gray((x * 3 + y * 5) % 256 / 2 + 50))
+    val inverted = img((x, y) => gray(255 - (x * 3 + y * 5) % 256))
+    val hb = Multimodal.pHash64(base)
+    assert(Multimodal.pHash64(copy) === hb)
+    assert(java.lang.Long.bitCount(
+      Multimodal.pHash64(brighter) ^ Multimodal.pHash64(brighter2)) <= 1,
+      "uniform shift may flip only the DC bit")
+    // Inversion negates every non-DC coefficient: the sign structure
+    // flips far past any near-dup threshold.
+    assert(java.lang.Long.bitCount(Multimodal.pHash64(inverted) ^ hb) >= 32)
+  }
+
   test("imageDupePairs recovers planted byte-identical copies via Hamming banding") {
     val imgs = Multimodal.syntheticMedia(spark, 30)
       .where($"mime".startsWith("image/"))
