@@ -65,6 +65,43 @@ object Scale {
       .agg(mergeAggs.head, mergeAggs.tail: _*)
   }
 
+  /** Salted equi-join for a skewed big side: replicate each small-side
+    * row `saltFactor` times (one per salt value), give every big-side
+    * row a uniform salt, and join on (keys + salt) — the one hot key's
+    * rows spread over `saltFactor` reducers instead of one straggler
+    * task. Result is row-identical to the plain join (each big row still
+    * matches exactly its key's small rows, at exactly one salt).
+    *
+    * When to reach for it: AQE's skew-join handling already splits
+    * oversized SORT-MERGE partitions at runtime, so most skew needs no
+    * salting — this is for the cases AQE can't fix: a hot key whose rows
+    * must ALSO co-group downstream (the join feeds a groupBy on the same
+    * key, where AQE's split partitions re-collide), or a build side just
+    * past the broadcast threshold. Costs: the small side materializes
+    * `saltFactor`× (keep it small), and `big` may be scanned with an
+    * extra projection. Only `inner` and `left_outer` (big side left)
+    * survive replication with identical semantics — an unmatched
+    * replicated small row would surface `saltFactor` times under
+    * right/full joins, so those are rejected.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      saltFactor: Int = 16,
+      joinType: String = "inner"): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    require(saltFactor >= 2, s"saltFactor must be >= 2, got $saltFactor")
+    require(Seq("inner", "left_outer").contains(joinType),
+      s"only inner/left_outer keep replication-safe semantics: $joinType")
+    val saltedBig = big.withColumn("__salt",
+      (rand(42) * saltFactor).cast("int"))
+    val saltedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    saltedBig.join(saltedSmall, keys :+ "__salt", joinType)
+      .drop("__salt")
+  }
+
   /** Z-order (Morton) value of two non-negative integer keys: the low
     * `bits` bits of each interleave — `a`'s bit i lands at position 2i,
     * `b`'s at 2i+1. Sorting/range-partitioning by this single value keeps

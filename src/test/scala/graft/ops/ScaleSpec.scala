@@ -55,6 +55,34 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("saltedJoin equals the plain join and spreads the hot key") {
+    // One hot key ("hot" × 5000) plus a tail; dim has 2 rows per key.
+    val big = ((1 to 5000).map(i => ("hot", i.toLong)) ++
+      (1 to 50).map(i => (s"k$i", i.toLong))).toDF("key", "v")
+    val dim = (Seq("hot") ++ (1 to 50).map(i => s"k$i"))
+      .flatMap(k => Seq((k, s"$k-a"), (k, s"$k-b"))).toDF("key", "attr")
+    val plain = big.join(dim, Seq("key")).select("key", "v", "attr")
+      .as[(String, Long, String)].collect().sorted.toSeq
+    val salted = Scale.saltedJoin(big, dim, Seq("key"), saltFactor = 8)
+      .select("key", "v", "attr")
+      .as[(String, Long, String)].collect().sorted.toSeq
+    assert(salted === plain)
+    // left_outer keeps unmatched big rows exactly once.
+    val bigger = big.unionByName(Seq(("orphan", 0L)).toDF("key", "v"))
+    val lo = Scale.saltedJoin(bigger, dim, Seq("key"), saltFactor = 8,
+        joinType = "left_outer")
+      .where($"key" === "orphan").collect()
+    assert(lo.length === 1 && lo.head.isNullAt(2))
+    // The hot key really does occupy several salt lanes.
+    val lanes = big.withColumn("__salt", (rand(42) * 8).cast("int"))
+      .where($"key" === "hot").select("__salt").distinct().count()
+    assert(lanes >= 6, s"hot key spread over only $lanes lanes")
+    // Replication-unsafe join types are rejected.
+    intercept[IllegalArgumentException] {
+      Scale.saltedJoin(big, dim, Seq("key"), joinType = "full_outer")
+    }
+  }
+
   test("zValue interleaves bits (a even positions, b odd)") {
     // a=5 (101b): bits at z-positions 0,4 -> 17; b=3 (011b): z-positions
     // 1,3 -> 10; z = 27.
