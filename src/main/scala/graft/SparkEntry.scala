@@ -429,6 +429,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
         .presented("hour_bucket")),
 
+    // Multi-granularity OLAP rollup in ONE pass — (event_type, hour),
+    // per-type subtotals, and the grand total via Spark's Expand
+    // operator (each input row fans out once per grouping set BEFORE
+    // partial aggregation, so the shuffle carries one pre-combined row
+    // per set per key, not per event). grouping_id disambiguates levels;
+    // presentation orders by it first, which also neutralizes the
+    // engines' NULLS FIRST/LAST divergence (nulls are constant within a
+    // level). sum rides the round-2dp convention; counts are exact.
+    "q_cube_stats" -> ((s, dir) =>
+      Reporting.eventCube(events(s, dir))
+        .presented("gid", "event_type", "hour_bucket")),
+
     // A2 QueryIndex: regex-filtered rollup
     "q_query_index" -> ((s, dir) =>
       events(s, dir)
@@ -2276,6 +2288,15 @@ object SparkEntry {
       """SELECT epoch_ms(ts) // 3600000 AS hour_bucket, count(*) AS n,
         |   round(sum(value), 2) AS sum_value
         | FROM events GROUP BY 1 ORDER BY hour_bucket""".stripMargin,
+    "q_cube_stats" ->
+      """SELECT grouping(event_type, hour_bucket) AS gid, event_type,
+        |   hour_bucket, count(*) AS n,
+        |   count(DISTINCT user_id) AS n_users,
+        |   round(sum(value), 2) AS sum_value
+        | FROM (SELECT event_type, epoch_ms(ts) // 3600000 AS hour_bucket,
+        |     user_id, value FROM events)
+        | GROUP BY ROLLUP (event_type, hour_bucket)
+        | ORDER BY gid, event_type, hour_bucket""".stripMargin,
     "q_query_index" ->
       """SELECT event_type, user_id, count(*) AS n FROM events
         | WHERE regexp_matches(event_type, '^(err|sign)')

@@ -343,4 +343,21 @@ object Reporting {
     }
     sb.toString
   }
+
+  /** Multi-granularity event rollup in ONE pass: (event_type, hour),
+    * per-type subtotals, and the grand total via `rollup` — Spark's
+    * Expand operator fans each input row out once per grouping set
+    * BEFORE partial aggregation, so the shuffle carries one pre-combined
+    * row per (set, key), never per event; `grouping_id` disambiguates
+    * the levels (0 = leaf, 1 = per-type, 3 = grand total). The
+    * drill-down table an ops dashboard reads without issuing three
+    * queries. `sum_value` is rounded to 2 dp (the summation-order-proof
+    * convention); counts and the distinct-user count are exact.
+    */
+  def eventCube(events: DataFrame): DataFrame =
+    events
+      .rollup(col("event_type"), expr("ts_ms DIV 3600000").as("hour_bucket"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 2).as("sum_value"))
 }

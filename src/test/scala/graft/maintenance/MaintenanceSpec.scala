@@ -206,6 +206,26 @@ class ReportingSpec extends SparkTestBase {
     assert(Reporting.renderStats(stats).nonEmpty)
   }
 
+  test("eventCube: rollup levels are internally consistent") {
+    val ev = Seq(
+      ("click", 0L * 3600000L, 1L, 1.0),
+      ("click", 0L * 3600000L, 2L, 2.0),
+      ("click", 1L * 3600000L, 1L, 3.0),
+      ("view", 0L * 3600000L, 3L, 4.0))
+      .toDF("event_type", "ts_ms", "user_id", "value")
+    val got = Reporting.eventCube(ev).collect()
+      .map(r => (r.getLong(2), Option(r.getString(0)).getOrElse("-"),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    assert(got === Set(
+      (0L, "click", 0L, 2L, 2L, 3.0), // leaves
+      (0L, "click", 1L, 1L, 1L, 3.0),
+      (0L, "view", 0L, 1L, 1L, 4.0),
+      (1L, "click", -1L, 3L, 2L, 6.0), // per-type subtotals
+      (1L, "view", -1L, 1L, 1L, 4.0),
+      (3L, "-", -1L, 4L, 3L, 10.0))) // grand total
+  }
+
   test("hourlyVolumes maps sparse (date, hour) rows onto the dense hour grid") {
     val stats = Reporting.logStats(Reporting.fileListing(spark, root), "99", "svc-a", "web")
     val start = java.time.LocalDate.of(2024, 1, 1)
