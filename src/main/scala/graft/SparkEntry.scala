@@ -1124,6 +1124,31 @@ object SparkEntry {
           .as("recall_pass"))
     }),
 
+    // Audio near-dup via the energy-envelope hash — only PCM (WAV) rows
+    // fingerprint (MP3 has no JDK codec: skipped, not stubbed), planted
+    // byte-identical copies must all collide at Hamming 0. Oracle from
+    // id arithmetic: ids with id % 5 == 2 are WAV.
+    "q_audio_dupes" -> ((s, dir) => {
+      val aud = Multimodal.syntheticMedia(s, 200)
+        .where(col("mime").startsWith("audio/"))
+      val all = aud.unionByName(aud.select(
+        (col("media_id") + 1000).as("media_id"), col("doc_id"),
+        col("mime"), col("bytes"), col("meta")))
+      val hashes = Multimodal.audioHashes(all)
+      val pairs = Dedup.hammingPairs(hashes, "media_id", "audhash",
+        maxHamming = 0, maxBucketSize = 4096)
+      val nAud = hashes.agg(count(lit(1)).as("n_audio"))
+      val nFound = pairs.agg(
+        coalesce(sum(when(col("id_b") === col("id_a") + 1000, 1L)), lit(0L))
+          .as("n_planted_found"))
+      nAud.crossJoin(nFound).select(
+        col("n_audio"),
+        expr("n_audio DIV 2").as("n_planted"),
+        col("n_planted_found"),
+        (col("n_planted_found") === expr("n_audio DIV 2")).cast("int")
+          .as("recall_pass"))
+    }),
+
     // URL / domain curation over deterministically synthesized URLs (pure
     // function of doc_id, exercising scheme/case/trailing-slash/tracking-
     // param/multi-part-suffix rules — the q_container_headers pattern).
@@ -3529,6 +3554,12 @@ object SparkEntry {
         | SELECT 2 * count(*) AS n_images, count(*) AS n_planted,
         |   count(*) AS n_planted_found, 1 AS recall_pass
         | FROM img""".stripMargin,
+    "q_audio_dupes" ->
+      """WITH aud AS (SELECT media_id FROM range(200) t(media_id)
+        |   WHERE media_id % 5 = 2)
+        | SELECT 2 * count(*) AS n_audio, count(*) AS n_planted,
+        |   count(*) AS n_planted_found, 1 AS recall_pass
+        | FROM aud""".stripMargin,
     "q_phash_dupes" ->
       """WITH img AS (SELECT media_id FROM range(200) t(media_id)
         |   WHERE media_id % 5 < 2)

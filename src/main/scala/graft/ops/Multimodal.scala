@@ -634,6 +634,92 @@ object Multimodal {
     }(enc)
   }
 
+  /** 64-bit energy-envelope hash of a PCM audio payload (WAV/AIFF/AU —
+    * the [[audioFeatures]] decode contract): first-channel samples fall
+    * into 64 equal time windows, bit w set iff window mean |amplitude|
+    * exceeds the mean of the 64 window energies — the audio face of
+    * [[aHash64]]. Invariant under uniform gain scaling (every window
+    * energy and the global threshold scale together, so the comparison
+    * pattern is unchanged — specced exactly) and under
+    * re-containerization of identical samples; trimmed or lightly noised
+    * versions land at small Hamming distance. None for non-PCM or
+    * undecodable payloads.
+    */
+  def audioHash64(bytes: Array[Byte]): Option[Long] =
+    if (bytes == null) None
+    else
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val enc = fmt.getEncoding
+          val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          val bits = fmt.getSampleSizeInBits
+          if ((!signed && !unsigned) || (bits != 8 && bits != 16)) None
+          else {
+            val data = in.readAllBytes()
+            val ch = math.max(1, fmt.getChannels)
+            val bps = bits / 8
+            val n = data.length / (bps * ch)
+            if (n == 0) None
+            else {
+              val sums = new Array[Double](64)
+              val cnts = new Array[Long](64)
+              var i = 0
+              while (i < n) {
+                val off = i * bps * ch
+                val s =
+                  if (bits == 8) {
+                    val raw =
+                      if (unsigned) (data(off) & 0xFF) - 128
+                      else data(off).toInt
+                    raw / 128.0
+                  } else {
+                    if (fmt.isBigEndian)
+                      pcm16(data(off + 1) & 0xFF, data(off), unsigned)
+                    else
+                      pcm16(data(off) & 0xFF, data(off + 1), unsigned)
+                  }
+                val w = math.min(63, i * 64 / n)
+                sums(w) += math.abs(s)
+                cnts(w) += 1
+                i += 1
+              }
+              val means = Array.tabulate(64)(w =>
+                if (cnts(w) == 0) 0.0 else sums(w) / cnts(w))
+              val thresh = means.sum / 64
+              var hash = 0L
+              var w = 0
+              while (w < 64) {
+                if (means(w) > thresh) hash |= (1L << w)
+                w += 1
+              }
+              Some(hash)
+            }
+          }
+        } finally in.close()
+      } catch { case _: Exception => None }
+
+  /** (media_id, audhash) for every decodable PCM audio row — the audio
+    * sibling of [[imageHashes]], same narrow per-partition decode batch.
+    */
+  def audioHashes(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("audhash", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    media.select("media_id", "mime", "bytes").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val mime = r.getString(1)
+        if (mime == null || !mime.startsWith("audio/") || r.isNullAt(2)) None
+        else audioHash64(r.getAs[Array[Byte]](2))
+          .map(hh => Row(r.getLong(0), hh))
+      }
+    }(enc)
+  }
+
   /** Perceptual image near-dup pairs: [[aHash64]] fingerprints through the
     * generic banded Hamming join ([[Dedup.hammingPairs]]) — re-encoded,
     * brightness-shifted, or lightly edited copies collide at small

@@ -1134,6 +1134,40 @@ class MultimodalSpec extends SparkTestBase {
     assert(java.lang.Long.bitCount(Multimodal.pHash64(inverted) ^ hb) >= 32)
   }
 
+  test("audioHash64: copy- and gain-invariant, envelope-shape-sensitive") {
+    def wav(amp: Int => Double): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val n = 1600
+      val data = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val s = (amp(i) * 32767).toInt
+        data(2 * i) = (s & 0xFF).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      }
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(in,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // Loud first half, quiet second half — a strong envelope shape.
+    def shape(i: Int): Double = if (i < 800) 0.5 else 0.05
+    val base = Multimodal.audioHash64(wav(i => shape(i))).get
+    val copy = Multimodal.audioHash64(wav(i => shape(i))).get
+    assert(copy === base)
+    // Exact halving of 16-bit samples scales every window energy AND the
+    // threshold together: the hash is bit-identical.
+    val quiet = Multimodal.audioHash64(wav(i =>
+      ((shape(i) * 32767).toInt / 2) / 32767.0)).get
+    assert(quiet === base)
+    // The mirrored envelope flips the comparison pattern far away.
+    val mirrored = Multimodal.audioHash64(wav(i => shape(1599 - i))).get
+    assert(java.lang.Long.bitCount(mirrored ^ base) >= 32)
+    // Loud-half bits are exactly the first 32 windows.
+    assert(java.lang.Long.bitCount(base) === 32)
+  }
+
   test("imageDupePairs recovers planted byte-identical copies via Hamming banding") {
     val imgs = Multimodal.syntheticMedia(spark, 30)
       .where($"mime".startsWith("image/"))
