@@ -1626,6 +1626,15 @@ object SparkEntry {
     // under per-source weights derived from the source suffix. Exact
     // oracle on the SELECTED ROWS (DuckDB recomputes the identical keys;
     // key doubles excluded — libm pow may differ in the last ulp).
+    // Deterministic mask/drop token corruption (denoising-style
+    // augmentation): every per-(doc, position) decision is an md5 draw,
+    // so the oracle replays the ENTIRE corrupted corpus string-for-
+    // string — the auditable augmentation a 100 TB epoch pipeline needs.
+    "q_augment" -> ((s, dir) =>
+      Curation.augmentTokens(t(s, dir, "documents"), "doc_id", "text",
+          pMask = 0.1, pDrop = 0.1, salt = "aug")
+        .presented("doc_id")),
+
     "q_weighted_sample" -> ((s, dir) =>
       Curation.weightedSample(t(s, dir, "documents"), "doc_id",
           lit(1.0) + substring(col("source"), 4, 10).cast("int") * lit(0.5),
@@ -2666,6 +2675,24 @@ object SparkEntry {
       s"""SELECT token, count(*) AS n
          | FROM (SELECT unnest($tokensSql) AS token FROM documents)
          | GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "q_augment" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         | a AS (SELECT doc_id, [struct_pack(
+         |       tok := t[i],
+         |       u := CAST(('0x' || substr(md5(doc_id::VARCHAR || '-'
+         |           || (i - 1)::VARCHAR || '-aug'), 1, 13)) AS BIGINT)
+         |         / 4503599627370496.0)
+         |     for i in range(1, len(t) + 1)] AS arr
+         |   FROM tk)
+         | SELECT doc_id, len(arr) AS n_tokens,
+         |   len([s for s in arr if s.u < 0.1e0]) AS n_masked,
+         |   len([s for s in arr if s.u >= 0.1e0 AND s.u < 0.2e0])
+         |     AS n_dropped,
+         |   array_to_string([CASE WHEN s.u < 0.1e0 THEN '<mask>'
+         |       ELSE s.tok END
+         |     for s in arr if NOT (s.u >= 0.1e0 AND s.u < 0.2e0)], ' ')
+         |     AS aug_text
+         | FROM a ORDER BY doc_id""".stripMargin,
     "q_weighted_sample" ->
       """WITH w AS (SELECT doc_id, source,
         |     power(CAST(('0x' || substr(md5(doc_id::VARCHAR || '-graft-ws'),

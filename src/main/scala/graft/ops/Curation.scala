@@ -188,6 +188,51 @@ object Curation {
     * values (rank flips need near-tied keys — measure-zero for hash-derived
     * uniforms).
     */
+  /** Deterministic token-level corruption (the mask/dropout augmentation
+    * a denoising or contrastive pipeline applies per epoch): per
+    * (document, position) one md5 uniform decides
+    * mask (u < pMask) / drop (pMask ≤ u < pMask + pDrop) / keep, so the
+    * corrupted corpus is a PURE FUNCTION of (id, position, salt) — the
+    * [[hashUniform]] policy: re-runs, retries, and independent engines
+    * corrupt token-for-token identically, and an epoch-specific salt
+    * gives each epoch a fresh corruption with zero RNG state to
+    * checkpoint. Output: (id, n_tokens, n_masked, n_dropped, aug_text).
+    *
+    * Scale shape: one narrow pass. The per-token draw is computed ONCE
+    * into a struct field by an indexed `transform` staged in its own
+    * projection (CollapseProject won't inline the non-cheap
+    * multi-referenced producer — the no-CSE dodge), and every consumer
+    * reads the materialized array. No shuffle, no RNG, no UDF.
+    */
+  def augmentTokens(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      pMask: Double = 0.1,
+      pDrop: Double = 0.1,
+      salt: String = "aug"): DataFrame = {
+    require(pMask >= 0 && pDrop >= 0 && pMask + pDrop <= 1,
+      s"need pMask, pDrop >= 0 and pMask + pDrop <= 1: $pMask, $pDrop")
+    val draw = (i: Column) =>
+      conv(substring(md5(concat(col(idCol).cast("string"), lit("-"),
+        i.cast("string"), lit("-" + salt)).cast("binary")), 1, 13), 16, 10)
+        .cast("double") / lit(4503599627370496.0)
+    val staged = df.select(col(idCol),
+      transform(TextAnalysis.tokens(col(textCol)), (tk, i) =>
+        struct(tk.as("tok"), draw(i).as("u"))).as("__a"))
+    val u = (s: Column) => s.getField("u")
+    val dropped = (s: Column) => u(s) >= pMask && u(s) < pMask + pDrop
+    staged.select(col(idCol),
+      size(col("__a")).cast("long").as("n_tokens"),
+      size(filter(col("__a"), s => u(s) < pMask)).cast("long")
+        .as("n_masked"),
+      size(filter(col("__a"), s => dropped(s))).cast("long")
+        .as("n_dropped"),
+      array_join(transform(filter(col("__a"), s => !dropped(s)),
+          s => when(u(s) < pMask, lit("<mask>")).otherwise(s.getField("tok"))),
+        " ").as("aug_text"))
+  }
+
   def weightedSample(
       df: DataFrame,
       idCol: String,

@@ -7,6 +7,39 @@ import org.apache.spark.sql.functions._
 class CurationSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("augmentTokens: deterministic mask/drop, rates in range, accounting exact") {
+    val docs = (1L to 60L).map(i =>
+      (i, (1 to 50).map(j => s"w$j").mkString(" "))).toDF("doc_id", "text")
+    val got = Curation.augmentTokens(docs, "doc_id", "text",
+      pMask = 0.1, pDrop = 0.1, salt = "aug")
+    val rows = got.orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    // Accounting: output token count = n_tokens − n_dropped; every mask
+    // shows up literally.
+    rows.foreach { case (_, n, m, d, text) =>
+      assert(n === 50L)
+      val outToks = if (text.isEmpty) Array.empty[String] else text.split(" ")
+      assert(outToks.length === (n - d).toInt)
+      assert(outToks.count(_ == "<mask>") === m.toInt)
+    }
+    // 3000 draws at 10%/10%: both corruption kinds land well inside
+    // [5%, 15%] in aggregate.
+    val totM = rows.map(_._3).sum.toDouble / 3000
+    val totD = rows.map(_._4).sum.toDouble / 3000
+    assert(totM > 0.05 && totM < 0.15, s"mask rate $totM")
+    assert(totD > 0.05 && totD < 0.15, s"drop rate $totD")
+    // Pure function of (id, pos, salt): repartitioned re-run identical;
+    // a different salt corrupts differently.
+    val again = Curation.augmentTokens(docs.repartition(7), "doc_id",
+        "text", pMask = 0.1, pDrop = 0.1, salt = "aug")
+      .orderBy("doc_id").as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(again === rows)
+    val other = Curation.augmentTokens(docs, "doc_id", "text",
+        pMask = 0.1, pDrop = 0.1, salt = "epoch2")
+      .orderBy("doc_id").as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(other.map(_._5) !== rows.map(_._5))
+  }
+
   test("weightedSample matches an independent replication of the A-ES keys") {
     // Replicate key = u^(1/w) off-Spark: salted md5 → first 13 hex digits →
     // /2^52 → pow. The operator's top-k must equal this exactly.
