@@ -493,6 +493,16 @@ object SparkEntry {
         .presented("event_type", "rank")),
 
     // Sessionization (30-minute gap), lag window + aggregation
+    // Dialogue assembly: scattered turn events regrouped into ordered
+    // per-conversation transcripts (the chat-corpus prep regroup).
+    // (ts, event_id) is a total order, so the oracle replays every
+    // transcript byte-for-byte; maxTurns = 50 caps the buffer while
+    // n_events audits the true conversation size.
+    "q_chat_assembly" -> ((s, dir) =>
+      Curation.chatAssembly(events(s, dir), "user_id", "ts_ms",
+          "event_id", "event_type", "props", maxTurns = 50)
+        .presented("user_id")),
+
     "q_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
       events(s, dir)
@@ -2675,6 +2685,16 @@ object SparkEntry {
       s"""SELECT token, count(*) AS n
          | FROM (SELECT unnest($tokensSql) AS token FROM documents)
          | GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "q_chat_assembly" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+        |     event_type, props FROM events),
+        | g AS (SELECT user_id, count(*) AS n_events,
+        |     list_slice(list(event_type || ': ' || props
+        |       ORDER BY ts_ms, event_id), 1, 50) AS turns
+        |   FROM e GROUP BY user_id)
+        | SELECT user_id, n_events, len(turns) AS n_turns,
+        |   array_to_string(turns, chr(10)) AS transcript
+        | FROM g ORDER BY user_id""".stripMargin,
     "q_augment" ->
       s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents),
          | a AS (SELECT doc_id, [struct_pack(

@@ -233,6 +233,45 @@ object Curation {
         " ").as("aug_text"))
   }
 
+  /** Assemble per-conversation transcripts from an event stream — the
+    * dialogue-data prep stage (chat fine-tuning corpora are built by
+    * exactly this regroup: scattered turn events → one ordered
+    * transcript per conversation). Turns order by (ts, tie) — `tieCol`
+    * must be unique per conversation, making the order TOTAL and the
+    * transcript a deterministic pure function of the event multiset
+    * (collect_list's arrival order never shows: sort_array re-sorts).
+    *
+    * Scale shape: ONE map-side-combined groupBy on the conversation key;
+    * the aggregation buffer holds one conversation's turns — chat
+    * conversations are bounded by construction, and `maxTurns` caps the
+    * transcript (earliest kept) so a runaway key cannot blow the buffer
+    * while `n_events` still reports the true size for auditing.
+    *
+    * Output: (conv, n_events, n_turns, transcript) with turns rendered
+    * "role: text" and joined by newlines.
+    */
+  def chatAssembly(
+      df: DataFrame,
+      convCol: String,
+      tsCol: String,
+      tieCol: String,
+      roleCol: String,
+      textCol: String,
+      maxTurns: Int = 1000): DataFrame = {
+    require(maxTurns >= 1, s"maxTurns must be >= 1, got $maxTurns")
+    df.groupBy(col(convCol))
+      .agg(count(lit(1)).as("n_events"),
+        slice(sort_array(collect_list(struct(
+          col(tsCol).as("ts"), col(tieCol).as("tie"),
+          col(roleCol).as("role"), col(textCol).as("txt")))), 1, maxTurns)
+          .as("__t"))
+      .select(col(convCol), col("n_events"),
+        size(col("__t")).cast("long").as("n_turns"),
+        array_join(transform(col("__t"),
+          s => concat(s.getField("role"), lit(": "), s.getField("txt"))),
+          "\n").as("transcript"))
+  }
+
   def weightedSample(
       df: DataFrame,
       idCol: String,

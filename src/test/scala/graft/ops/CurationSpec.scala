@@ -7,6 +7,28 @@ import org.apache.spark.sql.functions._
 class CurationSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("chatAssembly: turns order by (ts, tie); maxTurns caps, n_events audits") {
+    val ev = Seq(
+      (7L, 30L, 3L, "assistant", "hi there"),
+      (7L, 10L, 1L, "user", "hello"),
+      (7L, 30L, 2L, "system", "ctx"), // same ts as turn 3 → tie decides
+      (9L, 5L, 1L, "user", "a"),
+      (9L, 6L, 2L, "assistant", "b"),
+      (9L, 7L, 3L, "user", "c"))
+      .toDF("conv", "ts", "eid", "role", "txt")
+    val got = Curation.chatAssembly(ev, "conv", "ts", "eid", "role", "txt")
+      .orderBy("conv").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got(0) === ((7L, 3L, 3L,
+      "user: hello\nsystem: ctx\nassistant: hi there")))
+    assert(got(1) === ((9L, 3L, 3L, "user: a\nassistant: b\nuser: c")))
+    // Cap keeps the EARLIEST turns; n_events still reports the truth.
+    val capped = Curation.chatAssembly(ev.repartition(5), "conv", "ts",
+        "eid", "role", "txt", maxTurns = 2)
+      .orderBy("conv").as[(Long, Long, Long, String)].collect().toSeq
+    assert(capped(0) === ((7L, 3L, 2L, "user: hello\nsystem: ctx")))
+    assert(capped(1)._3 === 2L)
+  }
+
   test("augmentTokens: deterministic mask/drop, rates in range, accounting exact") {
     val docs = (1L to 60L).map(i =>
       (i, (1 to 50).map(j => s"w$j").mkString(" "))).toDF("doc_id", "text")
