@@ -856,6 +856,23 @@ object SparkEntry {
     // Brute-force cosine top-k (queries = first 10 vectors, broadcast) —
     // REAL oracle: DuckDB list_cosine_similarity over DOUBLE[] reproduces
     // the engine's double-precision cosine bit-compatibly on this data.
+    // Margin-based bitext mining (LASER/CCMatrix rule): a bounded
+    // mining BATCH of even vectors against the full odd side — the
+    // q_ann_brute batching convention, which keeps the exact cross mass
+    // |batch| × |corpus| (linear in corpus for a fixed batch; the
+    // all-vs-all sweep is the LSH-candidate path, see scaladoc).
+    // DuckDB replays cos, both neighborhood averages, the argmax, and
+    // the mined bit.
+    "q_bitext_mine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bitextMine(
+        emb.where(col("vec_id") % 2 === 0 && col("vec_id") < 2000),
+        "vec_id", "embedding",
+        emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        k = 4, threshold = 1.0)
+        .presented("left_id")
+    }),
+
     "q_ann_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(
@@ -2518,6 +2535,32 @@ object SparkEntry {
         |   CAST(sum(length(event_type || ' ' || props)) AS BIGINT) AS sum_msg_len,
         |   CAST(sum(event_id) AS BIGINT) AS sum_event_id
         | FROM events""".stripMargin,
+    "q_bitext_mine" ->
+      """WITH l AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |   FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 2000),
+        | r AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |   FROM embeddings WHERE vec_id % 2 = 1),
+        | x AS (SELECT l.vec_id AS lid, r.vec_id AS rid,
+        |     list_cosine_similarity(l.e, r.e) AS cos FROM l, r),
+        | f AS (SELECT lid, sum(cos) / count(*) AS favg FROM (
+        |     SELECT lid, cos, row_number() OVER (PARTITION BY lid
+        |       ORDER BY cos DESC, rid) AS rn FROM x)
+        |   WHERE rn <= 4 GROUP BY lid),
+        | b AS (SELECT rid, sum(cos) / count(*) AS bavg FROM (
+        |     SELECT rid, cos, row_number() OVER (PARTITION BY rid
+        |       ORDER BY cos DESC, lid) AS rn FROM x)
+        |   WHERE rn <= 4 GROUP BY rid),
+        | best AS (SELECT lid, rid, cos FROM (
+        |     SELECT lid, rid, cos, row_number() OVER (PARTITION BY lid
+        |       ORDER BY cos DESC, rid) AS rn FROM x)
+        |   WHERE rn = 1)
+        | SELECT best.lid AS left_id, best.rid AS right_id,
+        |   round(best.cos, 6) AS cos,
+        |   round(best.cos / greatest((favg + bavg) / 2, 1e-9), 6) AS margin,
+        |   (best.cos / greatest((favg + bavg) / 2, 1e-9) > 1.0)::INT
+        |     AS mined
+        | FROM best JOIN f USING (lid) JOIN b ON best.rid = b.rid
+        | ORDER BY left_id""".stripMargin,
     "q_ann_brute" ->
       """SELECT query_id, rank, neighbor_id FROM (
         |   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -403,6 +403,61 @@ object Similarity {
   /** Exact top-k neighbors for each query vector (brute force, broadcast
     * queries). Output: (query_id, neighbor_id, cos, rank).
     */
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019 — the
+    * LASER/CCMatrix mining rule): a cross-corpus candidate (x, y)
+    * scores
+    *
+    *   margin(x, y) = cos(x, y) / ((avgTopK(x→right) + avgTopK(y→left)) / 2)
+    *
+    * because absolute cosine is miscalibrated across embedding-space
+    * regions (hubness): dividing by each side's local neighborhood
+    * level makes thresholds transferable. The forward-best y per x is
+    * emitted with its margin and `mined` = margin > threshold.
+    *
+    * This audit-scale form scores ALL cross pairs exactly (one
+    * broadcast nested-loop, the [[bruteForceTopK]] tier) and computes
+    * the cross table ONCE — it feeds both directions' top-k averages
+    * and the per-x argmax, all k-bounded or argmax-as-aggregate, no
+    * windows over the pair table. At 100 TB generate candidates with
+    * [[cosinePairsLsh]]/[[ivfSearch]] instead and apply the same margin
+    * algebra to the candidate set; the neighborhood tables stay
+    * k-bounded aggregates either way.
+    */
+  def bitextMine(
+      left: DataFrame, leftId: String, leftVec: String,
+      right: DataFrame, rightId: String, rightVec: String,
+      k: Int = 4,
+      threshold: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cross = left.select(col(leftId).as("lid"), col(leftVec).as("__lv"))
+      .join(broadcast(
+        right.select(col(rightId).as("rid"), col(rightVec).as("__rv"))))
+      .select(col("lid"), col("rid"),
+        cosine(col("__lv"), col("__rv")).as("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def avgTopK(df: DataFrame, key: String, other: String): DataFrame =
+      df.groupBy(col(key))
+        .agg(graft.functions.TopKByScore.topk_by_score(
+          col("cos"), col(other), k).as("__t"))
+        .select(col(key),
+          (aggregate(col("__t"), lit(0.0),
+            (a, s) => a + s.getField("score")) /
+            greatest(size(col("__t")), lit(1)).cast("double")).as("__avg"))
+    val fwd = avgTopK(cross, "lid", "rid")
+      .withColumnRenamed("__avg", "__favg")
+    val bwd = avgTopK(cross, "rid", "lid")
+      .withColumnRenamed("__avg", "__bavg")
+    val best = cross.groupBy(col("lid"))
+      .agg(max(struct(col("cos"), (-col("rid")).as("nrid"))).as("m"))
+      .select(col("lid"), (-col("m.nrid")).as("rid"), col("m.cos").as("cos"))
+    val denom = greatest((col("__favg") + col("__bavg")) / 2, lit(1e-9))
+    best.join(fwd, "lid").join(bwd, "rid")
+      .select(col("lid").as("left_id"), col("rid").as("right_id"),
+        round(col("cos"), 6).as("cos"),
+        round(col("cos") / denom, 6).as("margin"),
+        (col("cos") / denom > threshold).cast("int").as("mined"))
+  }
+
   def bruteForceTopK(
       corpus: DataFrame,
       corpusId: String,

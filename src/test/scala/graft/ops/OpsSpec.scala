@@ -340,6 +340,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(math.abs(c + 1.0) < 1e-6)
   }
 
+  test("bitextMine: hand-checked hubness-corrected margins") {
+    // Integer-component vectors keep every cosine an exact double:
+    // cos(x1,y1)=1, cos(x1,y2)=3/5, cos(x1,y3)=0; cos(x2,y3)=1, ...
+    val left = Seq((0L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val right = Seq((1L, Array(1.0f, 0.0f)), (3L, Array(3.0f, 4.0f)),
+      (5L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.bitextMine(left, "vec_id", "embedding",
+        right, "vec_id", "embedding", k = 2, threshold = 1.0)
+      .orderBy("left_id")
+      .as[(Long, Long, Double, Double, Int)].collect().toSeq
+    // x1=(1,0): best y1 cos 1; fwd avg (1+0.6)/2=0.8; bwd(y1)=(1+0)/2=0.5
+    //   → margin 1/0.65.
+    assert(got(0)._1 === 0L && got(0)._2 === 1L && got(0)._3 === 1.0)
+    assert(got(0)._4 === BigDecimal(1.0 / 0.65)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(0)._5 === 1)
+    // x2=(0,1): best y5 cos 1; fwd avg (1+0.8)/2=0.9; bwd(y5)=0.5
+    //   → margin 1/0.7.
+    assert(got(1)._1 === 2L && got(1)._2 === 5L)
+    assert(got(1)._4 === BigDecimal(1.0 / 0.7)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("brute-force top-k ranks by cosine") {
     val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
       vecs.where($"vec_id" === 0), "vec_id", "embedding", k = 2)
