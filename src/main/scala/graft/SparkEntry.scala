@@ -1470,6 +1470,24 @@ object SparkEntry {
       TextAnalysis.codeFilter(t(s, dir, "documents"), "doc_id", "text")
         .presented("doc_id")),
 
+    // Filter-cascade attrition funnel over the Gopher rules: documents
+    // charge their FIRST failing stage, so stage counts tile the corpus
+    // exactly. One pass + a bounded grouped table; the oracle replays
+    // the same first-fail CASE chain and cumulative funnel.
+    "q_filter_cascade" -> ((s, dir) => {
+      val g = TextAnalysis.gopherFilter(t(s, dir, "documents"),
+        "doc_id", "text", minWords = 20, maxWords = 10000,
+        minMeanLen = 3.0, maxMeanLen = 10.0, minAlphaFrac = 0.8,
+        minStopHits = 1)
+      Curation.filterCascade(g, "doc_id", Seq(
+        "word_count" -> (col("n_words") >= 20 && col("n_words") <= 10000),
+        "mean_word_len" -> (col("mean_word_len") >= 3.0 &&
+          col("mean_word_len") <= 10.0),
+        "alpha_words" -> (col("alpha_word_frac") >= 0.8),
+        "stopwords" -> (col("stop_hits") >= 1)))
+        .presented("stage_idx")
+    }),
+
     // C4-style corpus boilerplate spans: per-doc count of word 3-grams
     // shared with ≥3 documents — exact oracle rebuilds the span frequency
     // table in SQL.
@@ -3403,6 +3421,36 @@ object SparkEntry {
          |     AND alnum_frac >= 0.25e0 AND hex_token_frac <= 0.4e0
          |     AND autogen = 0)::INT AS keep
          | FROM m ORDER BY doc_id""".stripMargin,
+    "q_filter_cascade" ->
+      s"""WITH m AS (SELECT len(t) AS n_words,
+         |     coalesce(CAST(list_sum(list_transform(t, x -> length(x)))
+         |       AS DOUBLE), 0) / greatest(len(t), 1) AS mwl,
+         |     len(list_filter(t, x -> regexp_matches(x, '\\p{L}')))::DOUBLE
+         |       / greatest(len(t), 1) AS awf,
+         |     len(list_intersect(t,
+         |       ${sqlList(TextAnalysis.StopwordProfiles("en"))})) AS sh
+         |   FROM (SELECT $tokensSql AS t FROM documents)),
+         | f AS (SELECT CASE
+         |     WHEN NOT (n_words >= 20 AND n_words <= 10000) THEN 1
+         |     WHEN NOT (mwl >= 3.0 AND mwl <= 10.0) THEN 2
+         |     WHEN NOT (awf >= 0.8) THEN 3
+         |     WHEN NOT (sh >= 1) THEN 4 ELSE 0 END AS ff FROM m),
+         | c AS (SELECT ff, count(*) AS n FROM f GROUP BY ff),
+         | st AS (SELECT * FROM (VALUES (1, 'word_count'),
+         |     (2, 'mean_word_len'), (3, 'alpha_words'),
+         |     (4, 'stopwords')) t(stage_idx, stage)),
+         | j AS (SELECT stage_idx, stage, coalesce(n, 0) AS n_dropped
+         |   FROM st LEFT JOIN c ON c.ff = st.stage_idx),
+         | w AS (SELECT stage_idx, stage, n_dropped,
+         |     CAST((SELECT count(*) FROM f)
+         |       - coalesce(sum(n_dropped) OVER (ORDER BY stage_idx
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |       AS BIGINT) AS n_in
+         |   FROM j)
+         | SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage, n_in,
+         |   CAST(n_dropped AS BIGINT) AS n_dropped,
+         |   n_in - n_dropped AS n_out
+         | FROM w ORDER BY stage_idx""".stripMargin,
     "q_boilerplate_spans" ->
       s"""WITH d AS (SELECT doc_id, $tokensSql AS t FROM documents),
          | g AS (SELECT doc_id, list_distinct(

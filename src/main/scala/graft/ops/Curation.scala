@@ -272,6 +272,46 @@ object Curation {
           "\n").as("transcript"))
   }
 
+  /** Filter-cascade attrition report — the per-stage funnel every
+    * curation pipeline publishes (how many documents each rule dropped,
+    * in order): documents are charged to their FIRST failing stage, so
+    * the stage counts tile the corpus exactly (Σ dropped + survivors =
+    * total) and re-ordering stages changes the attribution, exactly as
+    * it does in the real pipeline.
+    *
+    * Scale shape: ONE corpus pass — every stage predicate is computed
+    * once into its own staged column, the first-failing-stage index is a
+    * when-chain over those materialized booleans, and one map-side-
+    * combined groupBy yields ≤ stages+1 rows; the driver only touches
+    * that bounded table to unroll the cumulative funnel. Output one row
+    * per stage: (stage_idx, stage, n_in, n_dropped, n_out).
+    */
+  def filterCascade(
+      df: DataFrame,
+      idCol: String,
+      stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "stages must be non-empty")
+    val spark = df.sparkSession
+    val staged = df.select(col(idCol) +:
+      stages.zipWithIndex.map { case ((_, c), i) => c.as(s"__s$i") }: _*)
+    val firstFail = stages.indices.reverse.foldLeft(lit(0)) { (rest, i) =>
+      when(!col(s"__s$i"), lit(i + 1)).otherwise(rest)
+    }
+    val counts = staged.select(firstFail.as("__ff"))
+      .groupBy(col("__ff")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    var reached = total
+    val rows = stages.zipWithIndex.map { case ((name, _), i) =>
+      val dropped = counts.getOrElse(i + 1, 0L)
+      val row = ((i + 1).toLong, name, reached, dropped, reached - dropped)
+      reached -= dropped
+      row
+    }
+    import spark.implicits._
+    rows.toDF("stage_idx", "stage", "n_in", "n_dropped", "n_out")
+  }
+
   def weightedSample(
       df: DataFrame,
       idCol: String,

@@ -7,6 +7,26 @@ import org.apache.spark.sql.functions._
 class CurationSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("filterCascade: first-fail attribution tiles the corpus exactly") {
+    val df = Seq(
+      (1L, 10, 5),  // fails stage 1 (v < 20) — never reaches stage 2
+      (2L, 30, 0),  // passes 1, fails 2 (w < 1)
+      (3L, 25, 2),  // survivor
+      (4L, 5, 0),   // fails stage 1 (also would fail 2 — charged to 1)
+      (5L, 40, 3)). // survivor
+      toDF("id", "v", "w")
+    val got = Curation.filterCascade(df, "id", Seq(
+        "v_min" -> (col("v") >= 20),
+        "w_min" -> (col("w") >= 1)))
+      .orderBy("stage_idx")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "v_min", 5L, 2L, 3L),
+      (2L, "w_min", 3L, 1L, 2L)))
+    // Tiling invariant: survivors + Σ dropped = total.
+    assert(got.map(_._4).sum + got.last._5 === 5L)
+  }
+
   test("chatAssembly: turns order by (ts, tie); maxTurns caps, n_events audits") {
     val ev = Seq(
       (7L, 30L, 3L, "assistant", "hi there"),
