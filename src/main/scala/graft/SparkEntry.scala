@@ -1215,6 +1215,21 @@ object SparkEntry {
         .presented("surt")
     }),
 
+    // Empirical-Bayes domain quality prior: int64-exact score sums
+    // (round(1e6·q) per doc) shrunk toward the corpus mean — every
+    // emitted double is one IEEE chain over identical integers, so
+    // DuckDB replays mean and shrunk score bit-for-bit.
+    "q_domain_prior" -> ((s, dir) => {
+      val facts = Web.urlFacts(withUrls(s, dir), "doc_id", "url")
+        .where(col("domain").isNotNull)
+        .select(col("doc_id"), col("domain"))
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      Web.domainQualityPrior(facts.join(scored, "doc_id"),
+          "doc_id", "domain", "q", k = 20.0)
+        .presented("domain")
+    }),
+
     // SURT-keyed URL dedup: reversed-host canonical keys (sorted params,
     // tracking stripped) collapse scheme/case/slash/param-order variants —
     // the fetch-avoidance pass before any text exists. Exact oracle over
@@ -3704,6 +3719,29 @@ object SparkEntry {
         | SELECT 2 * count(*) AS n_images, count(*) AS n_planted,
         |   count(*) AS n_planted_found, 1 AS recall_pass
         | FROM img""".stripMargin,
+    "q_domain_prior" ->
+      s"""WITH $urlFactsCteSql,
+         | qual AS (SELECT doc_id,
+         |   least(1.0,
+         |     n_alpha::DOUBLE / greatest(n_chars, 1) * 0.5
+         |     + len(list_distinct(t))::DOUBLE / greatest(len(t), 1) * 0.3
+         |     + CASE WHEN len(list_intersect(t, $enStopSql)) > 0
+         |            THEN 0.2 ELSE 0.0 END) AS q
+         |  FROM (SELECT doc_id, length(text) AS n_chars, $tokensSql AS t,
+         |      length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS n_alpha
+         |    FROM documents)),
+         | j AS (SELECT domain, CAST(round(q * 1e6) AS BIGINT) AS qi
+         |   FROM facts JOIN qual USING (doc_id) WHERE domain IS NOT NULL),
+         | g AS (SELECT domain, count(*) AS n_docs,
+         |     CAST(sum(qi) AS BIGINT) AS sq FROM j GROUP BY domain),
+         | tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tn,
+         |     CAST(sum(sq) AS BIGINT) AS ts FROM g)
+         | SELECT domain, n_docs,
+         |   CAST(sq AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1e6 AS mean_q,
+         |   (CAST(sq AS DOUBLE)
+         |     + 20.0 * (CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE)))
+         |     / (CAST(n_docs AS DOUBLE) + 20.0) / 1e6 AS shrunk_q
+         | FROM g, tt ORDER BY domain""".stripMargin,
     "q_url_facts" ->
       s"""WITH $urlFactsCteSql
          | SELECT doc_id, url, scheme, host, domain, path, depth, query,

@@ -204,6 +204,48 @@ object Web {
         s => s.getField("txt")), "\n").as("content"))
   }
 
+  /** Empirical-Bayes per-domain quality prior — the shrinkage a
+    * domain-level filter needs because small domains' raw means are
+    * noise (a 3-document domain of perfect scores must not outrank a
+    * 10k-document domain at 0.9):
+    *
+    *   shrunk(d) = (Σq_d + k·ḡ) / (n_d + k)
+    *
+    * with ḡ the corpus mean and `k` the prior strength (the score a
+    * domain must "earn past" k average documents to move). Determinism:
+    * per-document scores are integerized ONCE (round(1e6·q) — per-row,
+    * order-independent), so group sums are int64-exact and every
+    * derived double is one IEEE division/multiply chain over identical
+    * integers — bit-replayable cross-engine, no summation-order terms.
+    *
+    * Scale shape: one domain-keyed map-side-combined aggregation over
+    * (domain, int score) rows; the corpus totals ride a one-row
+    * broadcast. Output per domain: (domain, n_docs, mean_q, shrunk_q) —
+    * scores on the 1e-6 lattice.
+    */
+  def domainQualityPrior(
+      docs: DataFrame,
+      idCol: String,
+      domainCol: String,
+      scoreCol: String,
+      k: Double = 20.0): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val qi = round(col(scoreCol) * 1e6).cast("long")
+    val grouped = docs
+      .select(col(domainCol).as("domain"), qi.as("__qi"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__qi")).as("__sq"))
+    val totals = grouped.agg(sum(col("n_docs")).as("__tn"),
+      sum(col("__sq")).as("__ts"))
+    grouped.crossJoin(broadcast(totals))
+      .select(col("domain"), col("n_docs"),
+        (col("__sq").cast("double") / col("n_docs").cast("double") / 1e6)
+          .as("mean_q"),
+        ((col("__sq").cast("double") +
+          lit(k) * (col("__ts").cast("double") / col("__tn").cast("double"))) /
+          (col("n_docs").cast("double") + lit(k)) / 1e6).as("shrunk_q"))
+  }
+
   /** Drop rows whose registered domain is blocklisted (the broadcast-set
     * filter every web pipeline runs first). The blocklist is a literal —
     * no join, no shuffle.

@@ -122,6 +122,25 @@ class WebSpec extends SparkTestBase {
     assert(got2 === 0L)
   }
 
+  test("domainQualityPrior: shrinkage pulls small domains toward the corpus mean") {
+    // big.com: 20 docs at 0.9; tiny.com: 1 doc at 1.0. Corpus mean ḡ =
+    // (18 + 1)/21. With k = 20: tiny's shrunk = (1 + 20ḡ)/21 ≈ 0.909 —
+    // BELOW big's shrunk ≈ 0.9002 + pull... compute exactly in-test.
+    val docs = ((1 to 20).map(i => (i.toLong, "big.com", 0.9)) :+
+      (99L, "tiny.com", 1.0)).toDF("id", "domain", "q")
+    val got = Web.domainQualityPrior(docs, "id", "domain", "q", k = 20.0)
+      .orderBy("domain")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    val g = (20 * 900000L + 1000000L).toDouble / 21
+    val bigShrunk = (20 * 900000L + 20.0 * g) / 40.0 / 1e6
+    val tinyShrunk = (1000000L + 20.0 * g) / 21.0 / 1e6
+    assert(got(0) === (("big.com", 20L, 0.9, bigShrunk)))
+    assert(got(1) === (("tiny.com", 1L, 1.0, tinyShrunk)))
+    // The raw means rank tiny first; the priors must NOT.
+    assert(tinyShrunk < 0.95 && bigShrunk < tinyShrunk,
+      s"one perfect doc may nudge, not dominate: $bigShrunk vs $tinyShrunk")
+  }
+
   test("blocklistFilter drops exactly the blocked registered domains") {
     val df = Seq(
       (1L, "https://www.bad.com/a"), (2L, "https://sub.bad.com/b"),
