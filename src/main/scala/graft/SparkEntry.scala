@@ -1485,6 +1485,17 @@ object SparkEntry {
       TextAnalysis.codeFilter(t(s, dir, "documents"), "doc_id", "text")
         .presented("doc_id")),
 
+    // Poisson bootstrap (Chamandy et al.): 32 bootstrap replicates of
+    // the corpus mean token count in ONE pass — per-(doc, replicate)
+    // md5 uniforms through the shared Poisson(1) CDF ladder; every
+    // weight and mean replays bit-for-bit in DuckDB.
+    "q_bootstrap" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Stats.poissonBootstrap(d, "doc_id", "n_tokens", replicates = 32)
+        .presented("replicate")
+    }),
+
     // Filter-cascade attrition funnel over the Gopher rules: documents
     // charge their FIRST failing stage, so stage counts tile the corpus
     // exactly. One pass + a bounded grouped table; the oracle replays
@@ -3436,6 +3447,25 @@ object SparkEntry {
          |     AND alnum_frac >= 0.25e0 AND hex_token_frac <= 0.4e0
          |     AND autogen = 0)::INT AS keep
          | FROM m ORDER BY doc_id""".stripMargin,
+    "q_bootstrap" ->
+      s"""WITH d AS (SELECT doc_id, len($tokensSql) AS v FROM documents),
+         | x AS (SELECT doc_id, v, r FROM d, range(0, 32) t(r)),
+         | u0 AS (SELECT r, v,
+         |     CAST(('0x' || substr(md5(doc_id::VARCHAR || '-'
+         |         || r::VARCHAR || '-boot'), 1, 13)) AS BIGINT)
+         |       / 4503599627370496.0 AS u
+         |   FROM x),
+         | w AS (SELECT r, v,
+         |     ${graft.ops.Stats.PoissonCdf.map(c =>
+             s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)").mkString("\n         |       + ")} AS w
+         |   FROM u0),
+         | g AS (SELECT r AS replicate, CAST(sum(w) AS BIGINT) AS n_eff,
+         |     CAST(sum(w * v) AS BIGINT) AS total FROM w GROUP BY r)
+         | SELECT replicate, n_eff, total,
+         |   CASE WHEN n_eff > 0
+         |     THEN CAST(total AS DOUBLE) / CAST(n_eff AS DOUBLE)
+         |     ELSE 0.0e0 END AS mean
+         | FROM g ORDER BY replicate""".stripMargin,
     "q_filter_cascade" ->
       s"""WITH m AS (SELECT len(t) AS n_words,
          |     coalesce(CAST(list_sum(list_transform(t, x -> length(x)))

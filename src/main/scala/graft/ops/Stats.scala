@@ -152,6 +152,64 @@ object Stats {
     * integer floor division, replayable by any engine with wide-integer
     * aggregates (DuckDB's HUGEINT).
     */
+  /** Poisson(1) inverse-CDF ladder: cumulative P(X ≤ k) for k = 0..8,
+    * tail mass past 8 (≈ 1.1e-6) truncated into the last rung. Shared
+    * verbatim with the DuckDB oracle — the weight is the NUMBER of
+    * rungs at or below the uniform, so w = Σ_k 1[u ≥ cum_k].
+    */
+  val PoissonCdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253, 0.999998874797402)
+
+  /** Poisson bootstrap (Chamandy et al. 2012 — the massive-data
+    * uncertainty method): classic bootstrap resampling is impossible at
+    * corpus scale (every replicate would be its own full n-resample),
+    * but Binomial(n, 1/n) → Poisson(1), so giving each row an
+    * independent Poisson(1) WEIGHT per replicate makes every
+    * replicate's weighted aggregate a valid bootstrap resample — and
+    * all `replicates` of them compute in ONE corpus pass as parallel
+    * aggregate columns. The spread of the per-replicate means IS the
+    * sampling uncertainty of the corpus mean; no second pass, no
+    * resample materialization.
+    *
+    * Determinism: each weight is an md5 uniform per (id, replicate,
+    * salt) pushed through the shared [[PoissonCdf]] ladder (w = count
+    * of rungs ≤ u — a codegen'd comparison sum, no HOF), so every
+    * weight, count, and mean replays bit-for-bit cross-engine; the
+    * per-replicate mean is one IEEE division of exact int64 sums.
+    *
+    * Output: one row per replicate — (replicate, n_eff, total, mean).
+    */
+  def poissonBootstrap(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      replicates: Int = 32,
+      salt: String = "boot"): DataFrame = {
+    require(replicates >= 2, s"replicates must be >= 2, got $replicates")
+    def weight(r: Int): Column = {
+      val u = conv(substring(md5(concat(col(idCol).cast("string"),
+        lit(s"-$r-$salt")).cast("binary")), 1, 13), 16, 10)
+        .cast("double") / lit(4503599627370496.0)
+      PoissonCdf.map(c => (u >= c).cast("long")).reduce(_ + _)
+    }
+    val staged = df.select(col(idCol), col(valueCol).cast("long").as("__v"))
+    val aggs = (0 until replicates).flatMap { r =>
+      val w = weight(r)
+      Seq(sum(w).as(s"__w$r"), sum(w * col("__v")).as(s"__t$r"))
+    }
+    staged.agg(aggs.head, aggs.tail: _*)
+      .select(inline(array((0 until replicates).map(r =>
+        struct(lit(r.toLong).as("replicate"),
+          coalesce(col(s"__w$r"), lit(0L)).as("n_eff"),
+          coalesce(col(s"__t$r"), lit(0L)).as("total"))): _*)))
+      .select(col("replicate"), col("n_eff"), col("total"),
+        when(col("n_eff") > 0,
+          col("total").cast("double") / col("n_eff").cast("double"))
+          .otherwise(lit(0.0)).as("mean"))
+  }
+
   def skewProfile(df: DataFrame, keyCol: String): DataFrame = {
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("x"))
     val hist = counts.groupBy("x").agg(count(lit(1)).as("m"))

@@ -159,6 +159,32 @@ class IntervalsStatsSpec extends SparkTestBase {
     assert(hinted === unhinted)
   }
 
+  test("poissonBootstrap: one-pass replicates behave like bootstrap resamples") {
+    // 400 rows, constant value 10: every replicate's mean is EXACTLY 10
+    // (weights scale numerator and denominator together) while n_eff
+    // fluctuates around 400 like a Poisson(400) draw.
+    val const = (1L to 400L).map(i => (i, 10L)).toDF("id", "v")
+    val c = Stats.poissonBootstrap(const, "id", "v", replicates = 16)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(c.length === 16)
+    assert(c.forall(_._4 === 10.0))
+    val effs = c.map(_._2)
+    assert(effs.min > 300L && effs.max < 500L, effs.toString)
+    assert(effs.distinct.length > 1, "replicates must differ")
+    // Mixed values: replicate means scatter AROUND the true mean with
+    // bootstrap-scale spread (sd of mean ≈ sd/√n ≈ 0.25 here).
+    val mixed = (1L to 400L).map(i => (i, (i % 11).toLong)).toDF("id", "v")
+    val trueMean = (1L to 400L).map(_ % 11).sum.toDouble / 400
+    val ms = Stats.poissonBootstrap(mixed, "id", "v", replicates = 16)
+      .as[(Long, Long, Long, Double)].collect().map(_._4)
+    assert(math.abs(ms.sum / ms.length - trueMean) < 0.5, ms.mkString(","))
+    assert(ms.forall(m => math.abs(m - trueMean) < 1.5))
+    // Pure function of (id, replicate, salt): repartition-invariant.
+    val again = Stats.poissonBootstrap(mixed.repartition(7), "id", "v",
+      replicates = 16).as[(Long, Long, Long, Double)].collect().map(_._4)
+    assert(again.toSeq === ms.toSeq)
+  }
+
   test("skewProfile: exact Gini from counts-of-counts, uniform and skewed") {
     // Keys a,b → 1 row each; c → 2; d → 4. Sorted x = [1,1,2,4]:
     // S = 1+2+6+16 = 25, T = 8, n = 4 → G = (50−40)/32 = 0.3125.
