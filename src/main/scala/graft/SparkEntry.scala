@@ -1485,6 +1485,19 @@ object SparkEntry {
       TextAnalysis.codeFilter(t(s, dir, "documents"), "doc_id", "text")
         .presented("doc_id")),
 
+    // Two-proportion z-test over a deterministic unit split (user
+    // parity = variant, converted = any purchase event): the A/B
+    // readout, with z and the 95% verdict one IEEE chain over four
+    // exact counts — DuckDB replays it bit-for-bit.
+    "q_ab_test" -> ((s, dir) => {
+      val units = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max((col("event_type") === "purchase").cast("int"))
+          .as("converted"))
+        .select((col("user_id") % 2).as("variant"), col("converted"))
+      Stats.abTest(units, "variant", "converted")
+    }),
+
     // Poisson bootstrap (Chamandy et al.): 32 bootstrap replicates of
     // the corpus mean token count in ONE pass — per-(doc, replicate)
     // md5 uniforms through the shared Poisson(1) CDF ladder; every
@@ -3447,6 +3460,37 @@ object SparkEntry {
          |     AND alnum_frac >= 0.25e0 AND hex_token_frac <= 0.4e0
          |     AND autogen = 0)::INT AS keep
          | FROM m ORDER BY doc_id""".stripMargin,
+    "q_ab_test" ->
+      """WITH u AS (SELECT user_id % 2 AS variant,
+        |     max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |       AS converted
+        |   FROM events GROUP BY user_id),
+        | g AS (SELECT
+        |     CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |       AS n_0,
+        |     CAST(sum(CASE WHEN variant = 0 AND converted = 1 THEN 1
+        |       ELSE 0 END) AS BIGINT) AS x_0,
+        |     CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |       AS n_1,
+        |     CAST(sum(CASE WHEN variant = 1 AND converted = 1 THEN 1
+        |       ELSE 0 END) AS BIGINT) AS x_1
+        |   FROM u),
+        | s AS (SELECT *,
+        |     CAST(x_0 AS DOUBLE) / CAST(n_0 AS DOUBLE) AS p_0,
+        |     CAST(x_1 AS DOUBLE) / CAST(n_1 AS DOUBLE) AS p_1,
+        |     CAST(x_0 + x_1 AS DOUBLE) / CAST(n_0 + n_1 AS DOUBLE) AS pp
+        |   FROM g),
+        | z AS (SELECT n_0, x_0, n_1, x_1, p_0, p_1,
+        |     CASE WHEN sqrt(pp * (1.0 - pp)
+        |         * (1.0 / CAST(n_0 AS DOUBLE) + 1.0 / CAST(n_1 AS DOUBLE)))
+        |         > 0
+        |       THEN (p_1 - p_0) / sqrt(pp * (1.0 - pp)
+        |         * (1.0 / CAST(n_0 AS DOUBLE) + 1.0 / CAST(n_1 AS DOUBLE)))
+        |       ELSE 0.0e0 END AS z
+        |   FROM s)
+        | SELECT n_0, x_0, n_1, x_1, p_0, p_1, z,
+        |   (abs(z) > 1.959964)::INT AS significant
+        | FROM z""".stripMargin,
     "q_bootstrap" ->
       s"""WITH d AS (SELECT doc_id, len($tokensSql) AS v FROM documents),
          | x AS (SELECT doc_id, v, r FROM d, range(0, 32) t(r)),

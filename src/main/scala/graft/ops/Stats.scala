@@ -210,6 +210,43 @@ object Stats {
           .otherwise(lit(0.0)).as("mean"))
   }
 
+  /** Two-proportion z-test on a unit-level experiment table — the A/B
+    * readout every event pipeline ends in: given one row per unit with
+    * its variant (0 = control, 1 = treatment) and converted flag,
+    * emit the exact counts, both rates, the pooled-variance z statistic
+    *
+    *   z = (p₁ − p₀) / √( p̂(1−p̂)(1/n₀ + 1/n₁) ),  p̂ = (x₀+x₁)/(n₀+n₁)
+    *
+    * and the 95% verdict (|z| > 1.959964). Every emitted double is one
+    * IEEE chain (divisions and a correctly-rounded sqrt) over the four
+    * exact int64 counts, so an independent engine replays z and the
+    * verdict bit-for-bit. ONE aggregation, map-side combined; output is
+    * a single row.
+    */
+  def abTest(
+      df: DataFrame,
+      variantCol: String,
+      convertedCol: String): DataFrame = {
+    val v = col(variantCol)
+    val c = col(convertedCol).cast("boolean")
+    val g = df.agg(
+      sum(when(v === 0, 1L).otherwise(0L)).as("n_0"),
+      sum(when(v === 0 && c, 1L).otherwise(0L)).as("x_0"),
+      sum(when(v === 1, 1L).otherwise(0L)).as("n_1"),
+      sum(when(v === 1 && c, 1L).otherwise(0L)).as("x_1"))
+    val p0 = col("x_0").cast("double") / col("n_0").cast("double")
+    val p1 = col("x_1").cast("double") / col("n_1").cast("double")
+    val pp = (col("x_0") + col("x_1")).cast("double") /
+      (col("n_0") + col("n_1")).cast("double")
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_0").cast("double") +
+        lit(1.0) / col("n_1").cast("double")))
+    val z = when(se > 0, (p1 - p0) / se).otherwise(lit(0.0))
+    g.select(col("n_0"), col("x_0"), col("n_1"), col("x_1"),
+      p0.as("p_0"), p1.as("p_1"), z.as("z"),
+      (abs(z) > 1.959964).cast("int").as("significant"))
+  }
+
   def skewProfile(df: DataFrame, keyCol: String): DataFrame = {
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("x"))
     val hist = counts.groupBy("x").agg(count(lit(1)).as("m"))

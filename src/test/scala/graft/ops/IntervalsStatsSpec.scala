@@ -159,6 +159,27 @@ class IntervalsStatsSpec extends SparkTestBase {
     assert(hinted === unhinted)
   }
 
+  test("abTest: z statistic matches the textbook two-proportion formula") {
+    // control: 100 units, 20 convert; treatment: 100 units, 35 convert.
+    val units = ((1 to 100).map(i => (0, i <= 20)) ++
+      (1 to 100).map(i => (1, i <= 35))).toDF("variant", "converted")
+    val got = Stats.abTest(units, "variant", "converted")
+      .as[(Long, Long, Long, Long, Double, Double, Double, Int)]
+      .collect().head
+    assert((got._1, got._2, got._3, got._4) === ((100L, 20L, 100L, 35L)))
+    val pp = 55.0 / 200
+    val se = math.sqrt(pp * (1 - pp) * (1.0 / 100 + 1.0 / 100))
+    assert(got._7 === (0.35 - 0.20) / se)
+    assert(got._8 === 1, s"z=${got._7} must be significant")
+    // Identical rates → z = 0, not significant.
+    val same = ((1 to 50).map(i => (0, i <= 10)) ++
+      (1 to 50).map(i => (1, i <= 10))).toDF("variant", "converted")
+    val g2 = Stats.abTest(same, "variant", "converted")
+      .as[(Long, Long, Long, Long, Double, Double, Double, Int)]
+      .collect().head
+    assert(g2._7 === 0.0 && g2._8 === 0)
+  }
+
   test("poissonBootstrap: one-pass replicates behave like bootstrap resamples") {
     // 400 rows, constant value 10: every replicate's mean is EXACTLY 10
     // (weights scale numerator and denominator together) while n_eff
