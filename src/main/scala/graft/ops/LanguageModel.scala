@@ -294,8 +294,15 @@ object LanguageModel {
       .select(col(langCol), explode(bigramStructs(col("__t"))).as("g"))
       .groupBy(col(langCol), col("g.w1").as("w1"), col("g.w2").as("w2"))
       .agg(count(lit(1)).as("c2"))
+    // uni and fanout share the (lang, w1) key: merge them MODEL-SIDE
+    // (outer — a unigram can lack bigram fanout and vice versa is
+    // impossible but harmless) so the per-gram stream pays ONE w1-keyed
+    // join instead of two. The stream's shuffle mass dominates at scale
+    // (sf10: the model outgrows broadcast and every join re-exchanges
+    // the stream), so each merged lookup removes a full stream pass.
     val fanout = bg.groupBy(col(langCol), col("w1"))
       .agg(count(lit(1)).as("n1f"))
+    val w1Side = uni.join(fanout, Seq(langCol, "w1"), "full_outer")
     val contin = bg.groupBy(col(langCol), col("w2"))
       .agg(count(lit(1)).as("n1r"))
     val types = bg.groupBy(col(langCol)).agg(count(lit(1)).as("n_types"))
@@ -304,8 +311,7 @@ object LanguageModel {
       .select(col(idCol), col(langCol), col("g.w1").as("w1"), col("g.w2").as("w2"))
     val joined = grams
       .join(bg, Seq(langCol, "w1", "w2"), "left")
-      .join(uni, Seq(langCol, "w1"), "left")
-      .join(fanout, Seq(langCol, "w1"), "left")
+      .join(w1Side, Seq(langCol, "w1"), "left")
       .join(contin, Seq(langCol, "w2"), "left")
       .join(broadcast(types), Seq(langCol), "left")
     val c2v = coalesce(col("c2"), lit(0L))
