@@ -873,6 +873,21 @@ object SparkEntry {
         .presented("left_id")
     }),
 
+    // ColBERT MaxSim late interaction: embeddings regrouped into
+    // 4-token multi-vector "documents" (did = vec_id DIV 4), first 5
+    // docs as queries; scores are integer sums of per-query-token
+    // round(1e6·max cos) — ranking and scores fully oracled.
+    "q_maxsim" -> ((s, dir) => {
+      val mv = t(s, dir, "embeddings")
+        .select(expr("vec_id DIV 4").as("did"), col("vec_id").as("tid"),
+          col("embedding"))
+      Similarity.maxSimTopK(mv, "did", "embedding",
+          mv.where(col("did") < 5)
+            .select(col("did").as("qid"), col("tid"), col("embedding")),
+          "qid", "tid", "embedding", k = 10)
+        .presented("query_id", "rank")
+    }),
+
     "q_ann_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(
@@ -2592,6 +2607,22 @@ object SparkEntry {
         |   CAST(sum(length(event_type || ' ' || props)) AS BIGINT) AS sum_msg_len,
         |   CAST(sum(event_id) AS BIGINT) AS sum_event_id
         | FROM events""".stripMargin,
+    "q_maxsim" ->
+      """WITH mv AS (SELECT vec_id // 4 AS did, vec_id AS tid,
+        |     CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        | q AS (SELECT did AS qid, tid AS qtid, e AS qe
+        |   FROM mv WHERE did < 5),
+        | m AS (SELECT qid, qtid, did,
+        |     max(list_cosine_similarity(e, qe)) AS mx
+        |   FROM mv, q WHERE did <> qid GROUP BY qid, qtid, did),
+        | sc AS (SELECT qid, did,
+        |     CAST(sum(CAST(round(mx * 1e6) AS BIGINT)) AS BIGINT) AS score
+        |   FROM m GROUP BY qid, did),
+        | r AS (SELECT qid, did, score, row_number() OVER (PARTITION BY qid
+        |     ORDER BY score DESC, did) AS rank FROM sc)
+        | SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank,
+        |   did AS doc_id, score
+        | FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_bitext_mine" ->
       """WITH l AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
         |   FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 2000),

@@ -403,6 +403,48 @@ object Similarity {
   /** Exact top-k neighbors for each query vector (brute force, broadcast
     * queries). Output: (query_id, neighbor_id, cos, rank).
     */
+  /** ColBERT-style MaxSim late-interaction scoring (Khattab & Zaharia
+    * 2020): documents and queries are BAGS of token vectors, and
+    *
+    *   score(q, d) = Σ_{t ∈ q} max_{u ∈ d} cos(t, u)
+    *
+    * — each query token independently finds its best-matching document
+    * token, which is what lets one token's exact match dominate where a
+    * single pooled vector would wash it out. Emitted scores are
+    * integer sums of per-query-token round(1e6·max) (each max is a max
+    * over identical doubles, each rounding per-row deterministic), so
+    * ranking and scores replay bit-for-bit cross-engine.
+    *
+    * Shape: token-level cross scores against the BROADCAST query token
+    * bag (the [[bruteForceTopK]] audit tier — exact for a bounded query
+    * batch), then two map-side-combined aggregations (per-(q-token,
+    * doc) max → per-(q, doc) integer sum) and a k-bounded top-k per
+    * query. At 100 TB, replace the token cross with per-token ANN
+    * candidates (IVF/LSH over the token-vector table) and keep the same
+    * max→sum→top-k algebra.
+    */
+  def maxSimTopK(
+      docTokens: DataFrame, docId: String, tokenVec: String,
+      queryTokens: DataFrame, queryId: String, queryTokenId: String,
+      queryVec: String, k: Int = 10): DataFrame = {
+    val cross = docTokens
+      .select(col(docId).as("did"), col(tokenVec).as("__dv"))
+      .join(broadcast(queryTokens.select(col(queryId).as("query_id"),
+        col(queryTokenId).as("__qt"), col(queryVec).as("__qv"))))
+      .where(col("did") =!= col("query_id"))
+    val maxes = cross
+      .groupBy(col("query_id"), col("__qt"), col("did"))
+      .agg(max(cosine(col("__dv"), col("__qv"))).as("__m"))
+    val scores = maxes
+      .groupBy(col("query_id"), col("did"))
+      .agg(sum(round(col("__m") * 1e6).cast("long")).as("score"))
+    topKPerQuery(
+      scores.select(col("query_id"), col("did").as("neighbor_id"),
+        col("score").cast("double").as("cos")), k, distinctIds = false)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id").as("doc_id"), col("cos").cast("long").as("score"))
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk 2019 — the
     * LASER/CCMatrix mining rule): a cross-corpus candidate (x, y)
     * scores

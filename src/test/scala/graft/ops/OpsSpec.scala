@@ -340,6 +340,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(math.abs(c + 1.0) < 1e-6)
   }
 
+  test("maxSimTopK: late interaction lets one exact token match dominate") {
+    // Doc 10 matches query token A exactly but token B not at all;
+    // doc 11 is mediocre on BOTH tokens. MaxSim: d10 = 1e6 + 0,
+    // d11 = 2·round(0.6·1e6) = 1.2e6 → d11 ranks first (sum of bests),
+    // while token A's best individual match is still d10 — both facts
+    // asserted.
+    val docs = Seq(
+      (10L, 100L, Array(1.0f, 0.0f)), (10L, 101L, Array(0.0f, -1.0f)),
+      (11L, 110L, Array(3.0f, 4.0f)), (11L, 111L, Array(4.0f, 3.0f)))
+      .toDF("did", "tid", "embedding")
+    val qs = Seq((0L, 0L, Array(1.0f, 0.0f)), (0L, 1L, Array(0.0f, 1.0f)))
+      .toDF("qid", "tid", "embedding")
+    val got = Similarity.maxSimTopK(docs, "did", "embedding",
+        qs, "qid", "tid", "embedding", k = 5)
+      .orderBy("rank").as[(Long, Long, Long, Long)].collect().toSeq
+    // cos against d11 tokens: qA·(3,4)/5=0.6, qA·(4,3)/5=0.8 → max 0.8;
+    // qB: max(0.8, 0.6)=0.8 → score 1.6e6. d10: qA max 1.0, qB max 0.0
+    // (second token is opposite, first orthogonal) → 1.0e6.
+    assert(got === Seq((0L, 1L, 11L, 1600000L), (0L, 2L, 10L, 1000000L)))
+  }
+
   test("bitextMine: hand-checked hubness-corrected margins") {
     // Integer-component vectors keep every cosine an exact double:
     // cos(x1,y1)=1, cos(x1,y2)=3/5, cos(x1,y3)=0; cos(x2,y3)=1, ...
