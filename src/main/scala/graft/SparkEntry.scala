@@ -1524,6 +1524,14 @@ object SparkEntry {
         .presented("replicate")
     }),
 
+    // KWIC concordance for the term "table" (window 3): one row per
+    // occurrence with rendered left/right context — the search-result
+    // snippet view, byte-replayed by the oracle.
+    "q_kwic" -> ((s, dir) =>
+      TextSearch.kwic(t(s, dir, "documents"), "doc_id", "text",
+          term = "table", window = 3)
+        .presented("doc_id", "pos")),
+
     // Filter-cascade attrition funnel over the Gopher rules: documents
     // charge their FIRST failing stage, so stage counts tile the corpus
     // exactly. One pass + a bounded grouped table; the oracle replays
@@ -3541,6 +3549,20 @@ object SparkEntry {
          |     THEN CAST(total AS DOUBLE) / CAST(n_eff AS DOUBLE)
          |     ELSE 0.0e0 END AS mean
          | FROM g ORDER BY replicate""".stripMargin,
+    "q_kwic" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         | o AS (SELECT doc_id, t,
+         |     unnest([i for i in range(1, len(t) + 1) if t[i] = 'table'])
+         |       AS i
+         |   FROM tk)
+         | SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |   coalesce(array_to_string(
+         |     list_slice(t, greatest(i - 3, 1), i - 1), ' '), '')
+         |     AS left_ctx,
+         |   'table' AS hit,
+         |   coalesce(array_to_string(list_slice(t, i + 1, i + 3), ' '), '')
+         |     AS right_ctx
+         | FROM o ORDER BY doc_id, pos""".stripMargin,
     "q_filter_cascade" ->
       s"""WITH m AS (SELECT len(t) AS n_words,
          |     coalesce(CAST(list_sum(list_transform(t, x -> length(x)))

@@ -423,4 +423,41 @@ object TextSearch {
         sum(varintBytes(col("delta"))).as("varint_bytes"),
         (count(lit(1)) * 8L).as("raw_bytes"))
   }
+
+  /** KWIC (keyword-in-context) concordance — the snippet generator of a
+    * search result page, and the oldest text-analysis view there is: one
+    * row per OCCURRENCE of `term` with up to `window` tokens of left and
+    * right context rendered around it. Matching is on the engine's
+    * standard lowercased tokens, so hits agree exactly with
+    * [[bm25TopK]]/postings counts.
+    *
+    * Shape: a narrow staged pass (tokens once per row — the no-CSE
+    * staging), occurrence positions from one indexed filter, then one
+    * explode; context windows are `slice`s of the already-materialized
+    * token array, so each occurrence costs O(window), not a re-scan.
+    * Output rows are (id, pos, left_ctx, hit, right_ctx) with pos
+    * 0-based.
+    */
+  def kwic(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      term: String,
+      window: Int = 5): DataFrame = {
+    require(window >= 0, s"window must be >= 0, got $window")
+    require(term.nonEmpty, "term must be non-empty")
+    val staged = df.select(col(idCol),
+      graft.functions.TextFunctions.tokenize(col(textCol)).as("__t"))
+    val hits = staged.select(col(idCol), col("__t"),
+      explode(filter(
+        transform(col("__t"), (tk, i) => when(tk === term, i).otherwise(-1)),
+        p => p >= 0)).as("__p"))
+    hits.select(col(idCol), col("__p").cast("long").as("pos"),
+      array_join(slice(col("__t"),
+        greatest(col("__p") - window + 1, lit(1)),
+        least(col("__p"), lit(window))), " ").as("left_ctx"),
+      lit(term).as("hit"),
+      array_join(slice(col("__t"), col("__p") + 2, lit(window)), " ")
+        .as("right_ctx"))
+  }
 }

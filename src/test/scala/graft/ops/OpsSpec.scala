@@ -361,6 +361,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(got === Seq((0L, 1L, 11L, 1600000L), (0L, 2L, 10L, 1000000L)))
   }
 
+  test("kwic: every occurrence, clamped windows, edge positions") {
+    val df = Seq(
+      (1L, "a b TARGET c d e TARGET f"),
+      (2L, "target starts here"),
+      (3L, "no match at all"),
+      (4L, "ends with target")).toDF("id", "text")
+    val got = TextSearch.kwic(df, "id", "text", term = "target", window = 2)
+      .orderBy("id", "pos")
+      .as[(Long, Long, String, String, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, "a b", "target", "c d"), // tokenize lowercases the hit
+      (1L, 6L, "d e", "target", "f"),   // right window clamps
+      (2L, 0L, "", "target", "starts here"), // left edge
+      (4L, 2L, "ends with", "target", "")))  // right edge
+  }
+
   test("bitextMine: hand-checked hubness-corrected margins") {
     // Integer-component vectors keep every cosine an exact double:
     // cos(x1,y1)=1, cos(x1,y2)=3/5, cos(x1,y3)=0; cos(x2,y3)=1, ...
