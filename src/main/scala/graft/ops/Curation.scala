@@ -261,9 +261,14 @@ object Curation {
     require(maxTurns >= 1, s"maxTurns must be >= 1, got $maxTurns")
     df.groupBy(col(convCol))
       .agg(count(lit(1)).as("n_events"),
+        // Null role/text coalesce to '' BEFORE aggregation: array_join
+        // silently skips null elements, which would drop turns from the
+        // transcript while n_turns still counted them.
         slice(sort_array(collect_list(struct(
           col(tsCol).as("ts"), col(tieCol).as("tie"),
-          col(roleCol).as("role"), col(textCol).as("txt")))), 1, maxTurns)
+          coalesce(col(roleCol).cast("string"), lit("")).as("role"),
+          coalesce(col(textCol).cast("string"), lit("")).as("txt")))),
+          1, maxTurns)
           .as("__t"))
       .select(col(convCol), col("n_events"),
         size(col("__t")).cast("long").as("n_turns"),

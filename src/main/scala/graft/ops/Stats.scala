@@ -234,8 +234,12 @@ object Stats {
       sum(when(v === 0 && c, 1L).otherwise(0L)).as("x_0"),
       sum(when(v === 1, 1L).otherwise(0L)).as("n_1"),
       sum(when(v === 1 && c, 1L).otherwise(0L)).as("x_1"))
-    val p0 = col("x_0").cast("double") / col("n_0").cast("double")
-    val p1 = col("x_1").cast("double") / col("n_1").cast("double")
+    // An empty arm reports rate 0 and z 0 (se guard below) instead of a
+    // NaN that no engine replays consistently.
+    val p0 = when(col("n_0") > 0,
+      col("x_0").cast("double") / col("n_0").cast("double")).otherwise(0.0)
+    val p1 = when(col("n_1") > 0,
+      col("x_1").cast("double") / col("n_1").cast("double")).otherwise(0.0)
     val pp = (col("x_0") + col("x_1")).cast("double") /
       (col("n_0") + col("n_1")).cast("double")
     val se = sqrt(pp * (lit(1.0) - pp) *

@@ -289,6 +289,8 @@ object TextAnalysis {
       textCol: String,
       ns: Seq[Int] = Seq(1, 2, 3)): org.apache.spark.sql.DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"ns must be >= 1: $ns")
+    require(ns.distinct == ns,
+      s"duplicate n would double-count its gram stream: $ns")
     df.select(tokens(col(textCol)).as("__t"))
       .select(inline(array(ns.map { n =>
         struct(lit(n).as("n"),
