@@ -2267,6 +2267,17 @@ object SparkEntry {
         .presented("doc_id")
     }),
 
+    // Greedy bigram continuation (deterministic LM generation): every
+    // document's last token extended 6 argmax steps from the src0
+    // model; ties break lexicographically, so the oracle unrolls the 6
+    // joins and replays every generated string byte-for-byte.
+    "q_lm_generate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      LanguageModel.greedyContinuation(docs, "doc_id", "text",
+          docs.where(col("source") === "src0"), steps = 6)
+        .presented("doc_id")
+    }),
+
     // CCNet head/middle/tail (Wenzek et al. 2020): per-LANGUAGE KN
     // quality terciles, reference slice = src0, all per-lang LMs trained
     // in one lang-keyed aggregation pass. The ranking score
@@ -4428,6 +4439,36 @@ object SparkEntry {
          |   coalesce(sum_num, 0) AS sum_num, coalesce(sum_den, 0) AS sum_den
          | FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
          | ORDER BY d.doc_id""".stripMargin,
+    "q_lm_generate" -> {
+      val steps = (1 to 6).map { i =>
+        s""",
+           | s$i AS MATERIALIZED (SELECT doc_id, seed, b.nxt AS w,
+           |     CASE WHEN b.nxt IS NOT NULL THEN
+           |       CASE WHEN gen = '' THEN b.nxt
+           |         ELSE gen || ' ' || b.nxt END
+           |       ELSE gen END AS gen,
+           |     n + CASE WHEN b.nxt IS NOT NULL THEN 1 ELSE 0 END AS n
+           |   FROM s${i - 1} LEFT JOIN best b ON s${i - 1}.w = b.w1)"""
+          .stripMargin
+      }.mkString
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS t, source
+         |     FROM documents),
+         | bg AS MATERIALIZED (SELECT g[1] AS w1, g[2] AS w2,
+         |     count(*) AS c2 FROM (
+         |     SELECT unnest([[t[i], t[i+1]] for i in range(1, len(t))])
+         |       AS g
+         |     FROM tk WHERE source = 'src0') GROUP BY 1, 2),
+         | best AS MATERIALIZED (SELECT w1, w2 AS nxt FROM (
+         |     SELECT w1, w2, row_number() OVER (PARTITION BY w1
+         |       ORDER BY c2 DESC, w2) AS rn FROM bg)
+         |   WHERE rn = 1),
+         | s0 AS MATERIALIZED (SELECT doc_id, t[len(t)] AS seed,
+         |     t[len(t)] AS w, '' AS gen, 0 AS n
+         |   FROM tk WHERE len(t) > 0)$steps
+         | SELECT doc_id, seed, gen AS continuation, CAST(n AS BIGINT)
+         |   AS n_gen
+         | FROM s6 ORDER BY doc_id""".stripMargin
+    },
     "q_ppl_buckets" ->
       s"""WITH tk AS (SELECT doc_id, lang, $tokensSql AS t, source
          |     FROM documents),

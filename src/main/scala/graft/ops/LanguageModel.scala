@@ -251,6 +251,57 @@ object LanguageModel {
         col("__lp").as("logprob"))
   }
 
+  /** Greedy bigram continuation — the deterministic core of
+    * LM-synthetic-data generation, distributed: every document extends
+    * its LAST token `steps` words by repeatedly following the corpus
+    * bigram argmax (most frequent successor, ties to the
+    * lexicographically smallest — the choice that makes generation a
+    * pure function of the corpus). A dead-end word (no observed
+    * successor) stops that document's generation early; `n_gen` reports
+    * how far it got. Useful as-is for prompt-continuation smoke data
+    * and as the deterministic skeleton the tempered-sampling variant
+    * ([[negativeSamples]]' md5-ladder draw) plugs into.
+    *
+    * Scale shape: the best-successor table is ONE map-side-combined
+    * argmax aggregation (min(struct(−count, w2)) — no window) over the
+    * bigram counts, |vocab| rows, persisted and joined `steps` times
+    * against the |docs|-row state (AQE broadcasts it when it fits);
+    * generation state is (id, seed, current word, text so far) — the
+    * corpus itself is read once for seeds.
+    */
+  def greedyContinuation(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpus: DataFrame,
+      steps: Int = 8): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    val lm = trainBigram(corpus, textCol)
+    val best = lm.bigrams
+      .groupBy(col("w1"))
+      .agg(min(struct((-col("c2")).as("nc"), col("w2").as("w"))).as("m"))
+      .select(col("w1").as("w"), col("m.w").as("__next"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var st = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) > 0)
+      .select(col(idCol), element_at(col("__t"), -1).as("seed"),
+        element_at(col("__t"), -1).as("w"), lit("").as("gen"),
+        lit(0L).as("n_gen"))
+    (1 to steps).foreach { _ =>
+      st = st.join(best, Seq("w"), "left")
+        .select(col(idCol), col("seed"),
+          col("__next").as("w"),
+          when(col("__next").isNotNull,
+            when(col("gen") === "", col("__next"))
+              .otherwise(concat(col("gen"), lit(" "), col("__next"))))
+            .otherwise(col("gen")).as("gen"),
+          (col("n_gen") + col("__next").isNotNull.cast("long")).as("n_gen"))
+    }
+    st.select(col(idCol), col("seed"), col("gen").as("continuation"),
+      col("n_gen"))
+  }
+
   /** CCNet perplexity buckets (Wenzek et al. 2020 §4.3): per language,
     * rank documents by how well a reference-trained LM models them and
     * cut each language's ranking into `nBuckets` equal-count tiers —

@@ -204,6 +204,25 @@ class LanguageModelSpec extends SparkTestBase {
     assert(score(2).getLong(1) === 0L && score(2).isNullAt(6))
   }
 
+  test("greedyContinuation: argmax chain, tie-break, dead-end stop") {
+    // Corpus: "a b" ×3, "a c" ×3 (tie → min w2 = "b"), "b d", "d" ends
+    // a chain (no successor).
+    val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"),
+      (5L, "a c"), (6L, "a c"), (7L, "b d")).toDF("doc_id", "text")
+    val docs = Seq((10L, "x a"), (11L, "z d"), (12L, "q unknownword"))
+      .toDF("doc_id", "text")
+    val got = LanguageModel.greedyContinuation(docs, "doc_id", "text",
+        corpus, steps = 4)
+      .orderBy("doc_id")
+      .as[(Long, String, String, Long)].collect().toSeq
+    // a → b (tie b<c) → d → dead end: 2 generated.
+    assert(got(0) === ((10L, "a", "b d", 2L)))
+    // d: immediate dead end.
+    assert(got(1) === ((11L, "d", "", 0L)))
+    // unknown seed: dead end too.
+    assert(got(2) === ((12L, "unknownword", "", 0L)))
+  }
+
   test("perplexityBuckets: per-language tiers, untrained lang floors to tail") {
     // Language "en": reference slice (src0) trains on "a b a b"; six docs
     // to bucket — the two that repeat the trained bigrams must out-rank
