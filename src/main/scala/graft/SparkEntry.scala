@@ -1524,6 +1524,13 @@ object SparkEntry {
         .presented("replicate")
     }),
 
+    // TextRank keywords: integer PageRank over the (vocab-bounded)
+    // adjacent-word co-occurrence graph, top-30 — the oracle rebuilds
+    // the same edge set and unrolls the 3 fixed-point iterations.
+    "q_textrank" -> ((s, dir) =>
+      TextSearch.textRankKeywords(t(s, dir, "documents"), "text",
+        topK = 30, iters = 3)),
+
     // KWIC concordance for the term "table" (window 3): one row per
     // occurrence with rendered left/right context — the search-result
     // snippet view, byte-replayed by the oracle.
@@ -3560,6 +3567,34 @@ object SparkEntry {
          |     THEN CAST(total AS DOUBLE) / CAST(n_eff AS DOUBLE)
          |     ELSE 0.0e0 END AS mean
          | FROM g ORDER BY replicate""".stripMargin,
+    "q_textrank" -> {
+      val steps = (1 to 3).map { i =>
+        s""",
+           | r$i AS MATERIALIZED (SELECT n.id,
+           |     157286 + (17 * coalesce(m.m, 0)) // 20 AS rank
+           |   FROM n LEFT JOIN (
+           |     SELECT e.dst AS id, CAST(sum(r.rank // od.od) AS BIGINT)
+           |       AS m
+           |     FROM e JOIN od ON e.src = od.src
+           |       JOIN r${i - 1} r ON e.src = r.id
+           |     GROUP BY e.dst) m ON n.id = m.id)""".stripMargin
+      }.mkString
+      s"""WITH tk AS (SELECT $tokensSql AS t FROM documents),
+         | pr0 AS (SELECT DISTINCT least(g[1], g[2]) AS a,
+         |     greatest(g[1], g[2]) AS b FROM (
+         |     SELECT unnest([[t[i], t[i+1]] for i in range(1, len(t))])
+         |       AS g FROM tk)),
+         | pr AS (SELECT a, b FROM pr0 WHERE a <> b),
+         | e AS MATERIALIZED (SELECT a AS src, b AS dst FROM pr
+         |   UNION ALL SELECT b, a FROM pr),
+         | n AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+         | od AS MATERIALIZED (SELECT src, count(*) AS od FROM e
+         |   GROUP BY src),
+         | r0 AS MATERIALIZED (SELECT id, CAST(1048576 AS BIGINT) AS rank
+         |   FROM n)$steps
+         | SELECT id AS word, CAST(rank AS BIGINT) AS rank FROM r3
+         | ORDER BY rank DESC, word LIMIT 30""".stripMargin
+    },
     "q_kwic" ->
       s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents),
          | o AS (SELECT doc_id, t,

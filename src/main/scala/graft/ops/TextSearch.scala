@@ -424,6 +424,50 @@ object TextSearch {
         (count(lit(1)) * 8L).as("raw_bytes"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): rank the
+    * corpus vocabulary by PageRank over the word co-occurrence graph —
+    * the graph-centrality keyword signal that beats raw frequency
+    * because a word matters when it co-occurs with OTHER central words,
+    * not merely often. Edges are distinct adjacent-token pairs
+    * (window 2, the published default), expanded both directions so the
+    * directed integer PageRank ([[Graph.pageRank]] — fixed-point, every
+    * step int64 floor arithmetic) behaves undirected; output is the
+    * top-`topK` (rank desc, word) vocabulary rows.
+    *
+    * Scale shape: the edge set is DISTINCT word pairs — vocabulary-
+    * bounded, not corpus-bounded — so the iteration cost is fixed by
+    * the vocabulary graph no matter the corpus size; the only
+    * corpus-mass pass is the one bigram distinct. Fully
+    * oracle-replayable (unrolled integer PageRank iterations).
+    */
+  def textRankKeywords(
+      df: DataFrame,
+      textCol: String,
+      topK: Int = 30,
+      iters: Int = 3): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = df.select(
+      graft.functions.TextFunctions.tokenize(col(textCol)).as("__t"))
+    val pairs = toks
+      .select(explode(when(size(col("__t")) < 2,
+        array().cast("array<struct<a:string,b:string>>"))
+        .otherwise(transform(sequence(lit(0), size(col("__t")) - 2),
+          i => struct(
+            least(element_at(col("__t"), i + 1),
+              element_at(col("__t"), i + 2)).as("a"),
+            greatest(element_at(col("__t"), i + 1),
+              element_at(col("__t"), i + 2)).as("b"))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val bidir = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    Graph.pageRank(bidir, "src", "dst", iters = iters)
+      .select(col("id").as("word"), col("rank"))
+      .orderBy(desc("rank"), col("word"))
+      .limit(topK)
+  }
+
   /** KWIC (keyword-in-context) concordance — the snippet generator of a
     * search result page, and the oldest text-analysis view there is: one
     * row per OCCURRENCE of `term` with up to `window` tokens of left and

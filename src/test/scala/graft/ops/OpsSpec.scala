@@ -361,6 +361,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(got === Seq((0L, 1L, 11L, 1600000L), (0L, 2L, 10L, 1000000L)))
   }
 
+  test("textRankKeywords: the co-occurrence hub outranks equally-frequent spokes") {
+    // "hub" co-occurs with four distinct words; each spoke pair occurs
+    // many times but only ever touches two words — frequency can't help
+    // (edges are DISTINCT pairs), centrality must.
+    val docs = Seq(
+      (1L, "hub alpha hub beta hub gamma hub delta"),
+      (2L, ("x1 y1 " * 10).trim),
+      (3L, ("x2 y2 " * 10).trim)).toDF("id", "text")
+    val got = TextSearch.textRankKeywords(docs, "text", topK = 20)
+      .as[(String, Long)].collect().toSeq
+    assert(got.head._1 === "hub", got.toString)
+    val rank = got.map(r => r._1 -> r._2).toMap
+    assert(rank("hub") > rank("x1") && rank("hub") > rank("alpha"))
+    // Symmetric spokes tie exactly and break alphabetically.
+    assert(rank("x1") === rank("y1") && rank("x1") === rank("x2"))
+    assert(got.map(_._1).indexOf("x1") < got.map(_._1).indexOf("y2"))
+  }
+
   test("kwic: every occurrence, clamped windows, edge positions") {
     val df = Seq(
       (1L, "a b TARGET c d e TARGET f"),
