@@ -873,6 +873,29 @@ object SparkEntry {
         .presented("left_id")
     }),
 
+    // The PRODUCTION bitext path: LSH-banded candidates (neither side
+    // broadcast or bounded) + the same margin algebra, graded by recall
+    // of the exact path's mined pairs (the q_ann_lsh convention).
+    // Measured mined-set recall at sf0.01: 0.58 at 16×6 planes, 0.99 at
+    // 32×4 (mined pairs include moderate-cos rows whose margin clears
+    // 1.0 via LOW neighborhood averages, so banding needs more recall
+    // headroom than a top-k task); 0.7 guards regressions.
+    "q_bitext_mine_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val l = emb.where(col("vec_id") % 2 === 0 && col("vec_id") < 2000)
+      val r = emb.where(col("vec_id") % 2 === 1)
+      recallReport(
+        Similarity.bitextMine(l, "vec_id", "embedding",
+            r, "vec_id", "embedding", k = 4, threshold = 1.0)
+          .where(col("mined") === 1)
+          .select(col("left_id"), col("right_id")),
+        Similarity.bitextMineLsh(l, "vec_id", "embedding",
+            r, "vec_id", "embedding", k = 4, threshold = 1.0,
+            bands = 32, planesPerBand = 4)
+          .where(col("mined") === 1),
+        Seq("left_id", "right_id"), minRecall = 0.7, nName = "n_exact")
+    }),
+
     // ColBERT MaxSim late interaction: embeddings regrouped into
     // 4-token multi-vector "documents" (did = vec_id DIV 4), first 5
     // docs as queries; scores are integer sums of per-query-token
@@ -2675,6 +2698,28 @@ object SparkEntry {
         |     AS mined
         | FROM best JOIN f USING (lid) JOIN b ON best.rid = b.rid
         | ORDER BY left_id""".stripMargin,
+    "q_bitext_mine_lsh" ->
+      """WITH l AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |   FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 2000),
+        | r AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |   FROM embeddings WHERE vec_id % 2 = 1),
+        | x AS (SELECT l.vec_id AS lid, r.vec_id AS rid,
+        |     list_cosine_similarity(l.e, r.e) AS cos FROM l, r),
+        | f AS (SELECT lid, sum(cos) / count(*) AS favg FROM (
+        |     SELECT lid, cos, row_number() OVER (PARTITION BY lid
+        |       ORDER BY cos DESC, rid) AS rn FROM x)
+        |   WHERE rn <= 4 GROUP BY lid),
+        | b AS (SELECT rid, sum(cos) / count(*) AS bavg FROM (
+        |     SELECT rid, cos, row_number() OVER (PARTITION BY rid
+        |       ORDER BY cos DESC, lid) AS rn FROM x)
+        |   WHERE rn <= 4 GROUP BY rid),
+        | best AS (SELECT lid, rid, cos FROM (
+        |     SELECT lid, rid, cos, row_number() OVER (PARTITION BY lid
+        |       ORDER BY cos DESC, rid) AS rn FROM x)
+        |   WHERE rn = 1)
+        | SELECT count(*) AS n_exact, 1 AS recall_pass
+        | FROM best JOIN f USING (lid) JOIN b ON best.rid = b.rid
+        | WHERE best.cos / greatest((favg + bavg) / 2, 1e-9) > 1.0""".stripMargin,
     "q_ann_brute" ->
       """SELECT query_id, rank, neighbor_id FROM (
         |   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

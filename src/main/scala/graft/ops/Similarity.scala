@@ -460,10 +460,12 @@ object Similarity {
     * broadcast nested-loop, the [[bruteForceTopK]] tier) and computes
     * the cross table ONCE — it feeds both directions' top-k averages
     * and the per-x argmax, all k-bounded or argmax-as-aggregate, no
-    * windows over the pair table. At 100 TB generate candidates with
-    * [[cosinePairsLsh]]/[[ivfSearch]] instead and apply the same margin
-    * algebra to the candidate set; the neighborhood tables stay
-    * k-bounded aggregates either way.
+    * windows over the pair table. `left` is the BOUNDED mining batch
+    * (it is the broadcast side); `right` is the streamed corpus. At
+    * 100 TB generate candidates with [[bitextMineLsh]] (the
+    * [[cosinePairsLsh]] tier) and apply the same margin algebra to the
+    * candidate set; the neighborhood tables stay k-bounded aggregates
+    * either way.
     */
   def bitextMine(
       left: DataFrame, leftId: String, leftVec: String,
@@ -471,12 +473,28 @@ object Similarity {
       k: Int = 4,
       threshold: Double = 1.0): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val cross = left.select(col(leftId).as("lid"), col(leftVec).as("__lv"))
+    // Broadcast the LEFT (the API contract's bounded mining batch) and
+    // stream the corpus side: the cross rows are identical either way,
+    // but replicating the corpus would hit the broadcast/driver memory
+    // ceiling at scale long before cross mass matters.
+    val cross = right.select(col(rightId).as("rid"), col(rightVec).as("__rv"))
       .join(broadcast(
-        right.select(col(rightId).as("rid"), col(rightVec).as("__rv"))))
+        left.select(col(leftId).as("lid"), col(leftVec).as("__lv"))))
       .select(col("lid"), col("rid"),
         cosine(col("__lv"), col("__rv")).as("cos"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    marginMine(cross, k, threshold)
+  }
+
+  /** The margin algebra shared by [[bitextMine]] (exact cross) and
+    * [[bitextMineLsh]] (LSH candidates): both neighborhood averages, the
+    * per-x argmax, and the mined bit — all k-bounded aggregates or
+    * argmax-as-aggregate, no windows over the pair table. The pair table
+    * is computed ONCE (persisted) and feeds all three.
+    */
+  private def marginMine(
+      pairs: DataFrame, k: Int, threshold: Double): DataFrame = {
+    val cross =
+      pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def avgTopK(df: DataFrame, key: String, other: String): DataFrame =
       df.groupBy(col(key))
         .agg(graft.functions.TopKByScore.topk_by_score(
@@ -498,6 +516,62 @@ object Similarity {
         round(col("cos"), 6).as("cos"),
         round(col("cos") / denom, 6).as("margin"),
         (col("cos") / denom > threshold).cast("int").as("mined"))
+  }
+
+  /** The 100 TB bitext path: candidate pairs from hyperplane-LSH banding
+    * (both corpora banded with the SAME planes, cross-side bucket joins
+    * only), then the identical [[marginMine]] algebra over the candidate
+    * set. Neither side is broadcast or bounded — band rows carry
+    * (bucket, id) only and vectors join back per deduped candidate pair
+    * (the [[cosinePairsLsh]] payload-free shape), so shuffle bytes stay
+    * linear in corpus size and the per-bucket cap bounds pair mass.
+    * Margins are computed over each side's CANDIDATE neighborhood rather
+    * than the exact top-k neighborhood — the LASER/CCMatrix production
+    * approximation — so mined pairs are graded by recall against
+    * [[bitextMine]] (the q_ann_lsh convention), not by equality.
+    */
+  def bitextMineLsh(
+      left: DataFrame, leftId: String, leftVec: String,
+      right: DataFrame, rightId: String, rightVec: String,
+      k: Int = 4,
+      threshold: Double = 1.0,
+      bands: Int = 16,
+      planesPerBand: Int = 6,
+      seed: Long = 42L,
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize,
+      dim: Int = -1): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val d = if (dim > 0) dim else vectorDim(left, leftVec)
+    val hp = HyperplaneOps.flatPlanes(d, bands * planesPerBand, seed)
+    val lv = left.select(col(leftId).as("lid"), col(leftVec).as("__lv"))
+    val rv = right.select(col(rightId).as("rid"), col(rightVec).as("__rv"))
+    val lb = lv.select(col("lid").as("id"), lit(0).as("side"),
+      explode(hyperplane_band_keys(col("__lv"), hp, bands, planesPerBand))
+        .as("bucket"))
+    val rb = rv.select(col("rid").as("id"), lit(1).as("side"),
+      explode(hyperplane_band_keys(col("__rv"), hp, bands, planesPerBand))
+        .as("bucket"))
+    // collect_list drops nulls, so each side lands in its own member list;
+    // the total-members cap is the bucketPairsIds convention (an over-full
+    // bucket is hub structure, not signal).
+    val buckets = lb.unionByName(rb)
+      .groupBy(col("bucket"))
+      .agg(
+        collect_list(when(col("side") === 0, col("id"))).as("__ls"),
+        collect_list(when(col("side") === 1, col("id"))).as("__rs"))
+      .where(size(col("__ls")) >= 1 && size(col("__rs")) >= 1 &&
+        (if (maxBucketSize > 0)
+          size(col("__ls")) + size(col("__rs")) <= maxBucketSize
+        else lit(true)))
+    val cand = buckets
+      .select(explode(col("__ls")).as("lid"), col("__rs"))
+      .select(col("lid"), explode(col("__rs")).as("rid"))
+      .dropDuplicates("lid", "rid")
+    marginMine(
+      cand.join(lv, "lid").join(rv, "rid")
+        .select(col("lid"), col("rid"),
+          cosine(col("__lv"), col("__rv")).as("cos")),
+      k, threshold)
   }
 
   def bruteForceTopK(

@@ -419,6 +419,78 @@ class SimilaritySpec extends SparkTestBase {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("bitextMine broadcasts the bounded batch side, never the corpus") {
+    // The LEFT is the API contract's bounded mining batch: the only
+    // BroadcastExchange carrying raw vectors must output the left's
+    // __lv, never the streamed corpus's __rv — at 100 TB broadcasting
+    // the corpus side hits the driver/broadcast ceiling first.
+    val left = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val right = Seq((1L, Array(1.0f, 0.0f)), (3L, Array(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val plan = Similarity.bitextMine(left, "vec_id", "embedding",
+      right, "vec_id", "embedding", k = 2).queryExecution.executedPlan
+    // The pair table is persisted, so the join lives inside an
+    // InMemoryRelation's cached plan (and possibly under AQE) — walk
+    // through both.
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect { case q => q }.flatMap {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a +: walk(a.executedPlan)
+        case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          im +: walk(im.relation.cachedPlan)
+        case other => Seq(other)
+      }
+    // Only the raw-vector broadcasts matter (the k-row __favg/__bavg agg
+    // tables are fine to broadcast at any scale).
+    val bx = walk(plan).collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+          if b.output.exists(a => a.name == "__lv" || a.name == "__rv") =>
+        b.output.map(_.name).toSet
+    }
+    assert(bx.nonEmpty, "expected a broadcast of the batch side")
+    assert(bx.forall(_.contains("__lv")) && !bx.exists(_.contains("__rv")),
+      s"corpus side broadcast: $bx")
+  }
+
+  test("bitextMineLsh matches the exact margin algebra on colliding candidates") {
+    // With 16 bands × 2 planes the seeded hyperplanes put every fixture
+    // pair (cos 0, 0.6, 1.0) in at least one shared bucket, so the
+    // candidate set equals the full cross and the LSH path must
+    // reproduce bitextMine row-for-row (same margins, same mined bits).
+    val left = Seq((0L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val right = Seq((1L, Array(1.0f, 0.0f)), (3L, Array(3.0f, 4.0f)),
+      (5L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val exact = Similarity.bitextMine(left, "vec_id", "embedding",
+        right, "vec_id", "embedding", k = 2, threshold = 1.0)
+      .orderBy("left_id")
+      .as[(Long, Long, Double, Double, Int)].collect().toSeq
+    val lsh = Similarity.bitextMineLsh(left, "vec_id", "embedding",
+        right, "vec_id", "embedding", k = 2, threshold = 1.0,
+        bands = 16, planesPerBand = 2)
+      .orderBy("left_id")
+      .as[(Long, Long, Double, Double, Int)].collect().toSeq
+    assert(lsh === exact)
+  }
+
+  test("bitextMineLsh bucket cap drops hub buckets, keeps exact-dup pairs") {
+    // 1 plane per band = coarse buckets: with maxBucketSize = 2, any
+    // bucket holding all 4 vectors is dropped, but the identical pair
+    // still shares a 2-member bucket whenever a seeded plane separates
+    // it from the rest — the exact-duplicate contract is cap-safe here.
+    val left = Seq((0L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val right = Seq((1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)), (5L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.bitextMineLsh(left, "vec_id", "embedding",
+        right, "vec_id", "embedding", k = 2, threshold = 1.0,
+        bands = 16, planesPerBand = 1, maxBucketSize = 2)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 1L)))
+  }
+
   test("brute-force top-k ranks by cosine") {
     val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
       vecs.where($"vec_id" === 0), "vec_id", "embedding", k = 2)
