@@ -381,6 +381,83 @@ case class Md5ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
   }
 }
 
+/** Fused deterministic token corruption (the mask/drop augmentation draw):
+  * per (id, position) the md5-prefix uniform u = first-13-hex-digits / 2^52
+  * — EXACTLY `conv(substr(md5(id || '-' || i || '-' || salt), 1, 13), 16,
+  * 10) / 2^52`, the [[Md5ShingleOps]] digest policy — decides mask
+  * (u < pMask) / drop (pMask ≤ u < pMask + pDrop) / keep in ONE generated
+  * loop. The composed HOF form re-ran the interpreted md5 projection per
+  * consumer (the thrice-measured no-CSE price); this computes counts and
+  * the corrupted text in a single pass with no intermediate struct array.
+  */
+object AugmentOps {
+  private val digests = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+  private val saltBytes = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+  private val Mask = UTF8String.fromString("<mask>")
+  private val Sep = UTF8String.fromString(" ")
+
+  def augment(id: UTF8String, tokens: ArrayData, pMask: Double, pDrop: Double,
+      salt: String): InternalRow = {
+    val md = digests.get()
+    val tail = saltBytes.computeIfAbsent(salt,
+      s => ("-" + s).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val idb = id.getBytes
+    val n = tokens.numElements()
+    var masked = 0L
+    var dropped = 0L
+    val kept = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update(idb)
+      md.update('-'.toByte)
+      md.update(java.lang.Integer.toString(i)
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      md.update(tail)
+      val d = md.digest()
+      // First 13 hex digits = top 52 bits of the first 7 bytes.
+      var v = 0L
+      var j = 0
+      while (j < 7) { v = (v << 8) | (d(j) & 0xFFL); j += 1 }
+      val u = (v >>> 4).toDouble / 4503599627370496.0
+      if (u < pMask) { masked += 1; kept.add(Mask) }
+      else if (u < pMask + pDrop) dropped += 1
+      else kept.add(tokens.getUTF8String(i))
+      i += 1
+    }
+    val txt = UTF8String.concatWs(Sep,
+      kept.toArray(new Array[UTF8String](kept.size)): _*)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, masked, dropped, txt))
+  }
+}
+
+case class AugmentTokensExpr(left: Expression, right: Expression,
+    pMask: Double, pDrop: Double, salt: String) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tokens", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_masked", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_dropped", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("aug_text",
+      org.apache.spark.sql.types.StringType, nullable = false)))
+  override def prettyName: String = "augment_tokens"
+
+  override def nullSafeEval(idv: Any, tks: Any): Any =
+    AugmentOps.augment(idv.asInstanceOf[UTF8String],
+      tks.asInstanceOf[ArrayData], pMask, pDrop, salt)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val saltRef = ctx.addReferenceObj("salt", salt, "java.lang.String")
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.AugmentOps.augment($a, $b, $pMask, $pDrop, $saltRef)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AugmentTokensExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** The PORTABLE minhash policy (cross-engine verifiable): position hash p of
   * a 52-bit md5-prefix shingle hash v is (aₚ·h₁ + bₚ·h₂ + cₚ) mod (2^31−1)
   * with h₁ = low 26 bits, h₂ = high 26 bits — 2-universal, and plain
@@ -846,6 +923,14 @@ object TextFunctions {
     */
   def md5_shingle_hashes(tokens: Column, k: Int): Column =
     ColumnBridge.column(Md5ShingleHashes(ColumnBridge.expression(tokens), k))
+
+  /** Fused deterministic mask/drop token corruption (see [[AugmentOps]]):
+    * (n_tokens, n_masked, n_dropped, aug_text) struct in one pass.
+    */
+  def augment_tokens(id: Column, tokens: Column, pMask: Double,
+      pDrop: Double, salt: String): Column =
+    ColumnBridge.column(AugmentTokensExpr(ColumnBridge.expression(id),
+      ColumnBridge.expression(tokens), pMask, pDrop, salt))
 
   /** Cosine similarity of two array<float> columns. */
   def cosine_similarity(a: Column, b: Column): Column =

@@ -198,11 +198,12 @@ object Curation {
     * gives each epoch a fresh corruption with zero RNG state to
     * checkpoint. Output: (id, n_tokens, n_masked, n_dropped, aug_text).
     *
-    * Scale shape: one narrow pass. The per-token draw is computed ONCE
-    * into a struct field by an indexed `transform` staged in its own
-    * projection (CollapseProject won't inline the non-cheap
-    * multi-referenced producer — the no-CSE dodge), and every consumer
-    * reads the materialized array. No shuffle, no RNG, no UDF.
+    * Scale shape: one narrow pass. The per-token draw, decision counts,
+    * and corrupted text are all computed by ONE fused codegen expression
+    * ([[graft.functions.AugmentOps]]) staged in its own projection — the
+    * earlier composed HOF form re-evaluated the interpreted per-token md5
+    * once per consumer (the thrice-measured no-CSE price, sf1 ratio
+    * 6.7×). No shuffle, no RNG, no UDF.
     */
   def augmentTokens(
       df: DataFrame,
@@ -213,24 +214,15 @@ object Curation {
       salt: String = "aug"): DataFrame = {
     require(pMask >= 0 && pDrop >= 0 && pMask + pDrop <= 1,
       s"need pMask, pDrop >= 0 and pMask + pDrop <= 1: $pMask, $pDrop")
-    val draw = (i: Column) =>
-      conv(substring(md5(concat(col(idCol).cast("string"), lit("-"),
-        i.cast("string"), lit("-" + salt)).cast("binary")), 1, 13), 16, 10)
-        .cast("double") / lit(4503599627370496.0)
-    val staged = df.select(col(idCol),
-      transform(TextAnalysis.tokens(col(textCol)), (tk, i) =>
-        struct(tk.as("tok"), draw(i).as("u"))).as("__a"))
-    val u = (s: Column) => s.getField("u")
-    val dropped = (s: Column) => u(s) >= pMask && u(s) < pMask + pDrop
-    staged.select(col(idCol),
-      size(col("__a")).cast("long").as("n_tokens"),
-      size(filter(col("__a"), s => u(s) < pMask)).cast("long")
-        .as("n_masked"),
-      size(filter(col("__a"), s => dropped(s))).cast("long")
-        .as("n_dropped"),
-      array_join(transform(filter(col("__a"), s => !dropped(s)),
-          s => when(u(s) < pMask, lit("<mask>")).otherwise(s.getField("tok"))),
-        " ").as("aug_text"))
+    df.select(col(idCol),
+        graft.functions.TextFunctions.augment_tokens(
+          col(idCol).cast("string"), TextAnalysis.tokens(col(textCol)),
+          pMask, pDrop, salt).as("__a"))
+      .select(col(idCol),
+        col("__a").getField("n_tokens").as("n_tokens"),
+        col("__a").getField("n_masked").as("n_masked"),
+        col("__a").getField("n_dropped").as("n_dropped"),
+        col("__a").getField("aug_text").as("aug_text"))
   }
 
   /** Assemble per-conversation transcripts from an event stream — the
