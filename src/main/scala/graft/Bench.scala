@@ -24,6 +24,13 @@ import org.apache.spark.sql.SparkSession
   *    JSON. On an idle host it is flat (~tens of ms); inflated or erratic
   *    calibration rows tell the reader the host was contended and the sweep
   *    totals are not comparable round-over-round.
+  *  - The calibration gate is BINDING (round-9 lesson: a self-diagnosed
+  *    contaminated bench shipped as the round's number): if the calibration
+  *    median exceeds 1.5× the known idle floor (SPARK_GRAFT_CAL_FLOOR,
+  *    default 0.12 s on this host), the whole timed phase re-runs — up to
+  *    SPARK_GRAFT_CAL_RETRIES (default 2) extra attempts — and the attempt
+  *    with the LOWEST calibration median is the one shipped, with
+  *    "cal_attempts" recording how many ran.
   *  - Per-query failure counts are emitted as a "failed" map (omitted when
   *    empty). A failed run contributes NO duration sample; a query whose
   *    runs all fail reports -1 so it can never masquerade as "fast".
@@ -72,7 +79,6 @@ object Bench {
     val maxReps = if (queries.isEmpty) 0 else queries.map(t => repsFor(t._1)).max
 
     val failed = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
-    val samples = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
       catch {
@@ -91,18 +97,46 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     calibrate() // untimed: absorb sentinel JIT so recorded rows measure host load only
-    val calibration = scala.collection.mutable.ListBuffer.empty[Double]
-    for (sweep <- 1 to maxReps) {
-      calibration += calibrate()
-      queries.foreach { case (name, fn) =>
-        if (sweep <= repsFor(name)) {
-          val t0 = System.nanoTime()
-          val ok = run(name, fn)
-          val dt = (System.nanoTime() - t0) / 1e9
-          if (ok) samples(name) = dt :: samples(name)
+    def timedPhase(): (Map[String, List[Double]], List[Double]) = {
+      val s = scala.collection.mutable.Map.empty[String, List[Double]]
+        .withDefaultValue(Nil)
+      val cal = scala.collection.mutable.ListBuffer.empty[Double]
+      for (sweep <- 1 to maxReps) {
+        cal += calibrate()
+        queries.foreach { case (name, fn) =>
+          if (sweep <= repsFor(name)) {
+            val t0 = System.nanoTime()
+            val ok = run(name, fn)
+            val dt = (System.nanoTime() - t0) / 1e9
+            if (ok) s(name) = dt :: s(name)
+          }
         }
       }
+      (s.toMap.withDefaultValue(Nil), cal.toList)
     }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted; if (s.isEmpty) -1.0 else s(s.length / 2)
+    }
+    // Binding calibration gate: re-run the timed phase while the sentinel
+    // says the host is contended; ship the least-contended attempt.
+    val calFloor = sys.env.getOrElse("SPARK_GRAFT_CAL_FLOOR", "0.12").toDouble
+    val maxAttempts =
+      1 + sys.env.getOrElse("SPARK_GRAFT_CAL_RETRIES", "2").toInt
+    var attempts = 0
+    var samplesChosen: Map[String, List[Double]] = Map.empty.withDefaultValue(Nil)
+    var calibration: List[Double] = Nil
+    var bestCalMed = Double.MaxValue
+    while (attempts < maxAttempts &&
+        (attempts == 0 || bestCalMed > 1.5 * calFloor)) {
+      val (s, cal) = timedPhase()
+      val m = median(cal)
+      if (m < bestCalMed) { bestCalMed = m; samplesChosen = s; calibration = cal }
+      attempts += 1
+      if (bestCalMed > 1.5 * calFloor && attempts < maxAttempts)
+        System.err.println(f"[bench] calibration median $bestCalMed%.3f s > " +
+          f"1.5 x $calFloor%.3f s idle floor - host contended, re-running")
+    }
+    val samples = samplesChosen
     val results: Seq[(String, (Double, Double))] = queries.map { case (name, _) =>
       val times = samples(name).sorted
       if (times.isEmpty) name -> ((-1.0, -1.0))
@@ -127,8 +161,8 @@ object Bench {
       if (failed.isEmpty) ""
       else failed.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
         .mkString(""","failed":{""", ",", "}")
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calibration_sec":$calJson$failJson,"queries":${toJson(_._1, fmt)},"sf":"$sfDir"}"""
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","calibration_sec":$calJson$failJson,"queries":${toJson(_._1, _.toString)},"queries_min":${toJson(_._2, _.toString)},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calibration_sec":$calJson,"cal_attempts":$attempts$failJson,"queries":${toJson(_._1, fmt)},"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","calibration_sec":$calJson,"cal_attempts":$attempts$failJson,"queries":${toJson(_._1, _.toString)},"queries_min":${toJson(_._2, _.toString)},"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "bench_result.json")
     Files.writeString(Paths.get(outPath), fullJson + "\n")
     val slowest = results.sortBy(-_._2._1)
@@ -140,7 +174,7 @@ object Bench {
     }
     def mapJson(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calibration_sec":$calJson$failJson,"queries":${mapJson(topK.map(t => t._1 -> t._2._1))},"queries_min":${mapJson(topK.map(t => t._1 -> t._2._2))},"queries_omitted":${results.size - topK.size},"full":"$outPath","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calibration_sec":$calJson,"cal_attempts":$attempts$failJson,"queries":${mapJson(topK.map(t => t._1 -> t._2._1))},"queries_min":${mapJson(topK.map(t => t._1 -> t._2._2))},"queries_omitted":${results.size - topK.size},"full":"$outPath","sf":"$sfDir"}"""
     println(json)
     println(compact)
     spark.stop()

@@ -1295,25 +1295,23 @@ object SparkEntry {
       Web.htmlExtract(pages, "doc_id", "html").presented("doc_id")
     }),
 
-    // SimHash signatures themselves (operator output, deterministic).
-    // no_oracle BY DESIGN. Why an oracle is IMPOSSIBLE rather than
-    // unported: every signature bit is a majority vote over per-token
-    // XXH64 hashes (SimHash.hashToken — XXH64 of the token's UTF-8 bytes,
-    // seed 0x9E3779B97F4A7C15). XXH64 is a mod-2^64 wrapping
-    // multiply/rotate pipeline over 8/4/1-byte tails of variable-length
-    // byte strings; DuckDB SQL has no wrapping 64-bit arithmetic (integer
-    // overflow raises, HUGEINT caps at 2^127), no byte-level string
-    // folding, and no xxhash builtin, so it cannot reproduce a single
-    // token hash, hence no signature bit. The family is intentionally NOT
-    // md5 (the repo's SQL-replayable hash policy) because simhash64 is a
-    // fused codegen'd expression on the hot path. Graded instead by:
-    // DedupSpec's hand-computed signature fixtures (determinism + Hamming
-    // behavior) and q_simhash_dupes' ORACLED exact-dup coverage assertion
-    // (planted duplicates must pair at Hamming 0, which DuckDB verifies
-    // from raw text equality).
+    // SimHash signature CONTENT, fully oracled via the PORTABLE md5-vote
+    // family (PortableSimHashOps): bit b of a token's vote is what SQL
+    // reads from md5's hex string — (nibble >> (3 − b%4)) & 1 — and the
+    // signature ships as two 32-bit big-endian halves so DuckDB assembles
+    // it with exact non-wrapping arithmetic. The fast production family
+    // stays the XXH64-vote simhash64 (un-replayable in SQL by
+    // construction: wrapping 64-bit multiplies), which q_simhash_dupes'
+    // oracled exact-dup coverage + DedupSpec's hand-computed fixtures
+    // keep grading; this row proves the simhash ALGEBRA (per-token vote →
+    // majority bit) bit-for-bit cross-engine.
     "q_simhash_signatures" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"), simhash64(TextAnalysis.tokens(col("text"))).as("simhash"))
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.portable_simhash(
+            TextAnalysis.tokens(col("text"))).as("__s"))
+        .select(col("doc_id"), col("__s").getField("sig_hi").as("sig_hi"),
+          col("__s").getField("sig_lo").as("sig_lo"))
         .presented("doc_id")),
 
     // PII scrub pass (emails/IPs/digit runs → placeholders) — exact oracle:
@@ -3720,6 +3718,30 @@ object SparkEntry {
          |   CAST(sum(CASE WHEN red <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
          |   CAST(sum(length(text) - length(red)) AS BIGINT) AS len_delta
          | FROM (SELECT text, $redactSql AS red FROM documents)""".stripMargin,
+    // Portable simhash replay: bit b of a token's vote comes straight off
+    // md5's hex string (nibble b//4, MSB-first within the nibble); majority
+    // per bit, assembled as the two 32-bit big-endian halves with exact
+    // double arithmetic.
+    "q_simhash_signatures" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS tok
+         |     FROM documents),
+         | votes AS (SELECT doc_id, r.b AS b,
+         |     sum(CASE WHEN ((strpos('0123456789abcdef',
+         |           substr(md5(tok), CAST(r.b // 4 AS INT) + 1, 1)) - 1)
+         |         // (CASE CAST(r.b % 4 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 4
+         |             WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
+         |       THEN 1 ELSE -1 END) AS vote
+         |   FROM toks, range(64) r(b) GROUP BY doc_id, r.b),
+         | sig AS (SELECT doc_id,
+         |     CAST(sum(CASE WHEN b < 32 AND vote > 0
+         |       THEN pow(2e0, 31 - b) ELSE 0e0 END) AS BIGINT) AS sig_hi,
+         |     CAST(sum(CASE WHEN b >= 32 AND vote > 0
+         |       THEN pow(2e0, 63 - b) ELSE 0e0 END) AS BIGINT) AS sig_lo
+         |   FROM votes GROUP BY doc_id)
+         | SELECT d.doc_id, coalesce(sig_hi, 0) AS sig_hi,
+         |   coalesce(sig_lo, 0) AS sig_lo
+         | FROM documents d LEFT JOIN sig USING (doc_id)
+         | ORDER BY doc_id""".stripMargin,
     "q_langid" ->
       s"""SELECT doc_id, labeled_lang,
          |   CASE WHEN g.s > 0 THEN g.c ELSE 'und' END AS guessed_lang, n_tokens

@@ -433,6 +433,75 @@ object AugmentOps {
   }
 }
 
+/** PORTABLE SimHash (cross-engine verifiable, the PortableMinHash policy
+  * applied to simhash): each token occurrence votes with the first 64 bits
+  * of md5(token) read MSB-first — bit b is bit (63−b) of the big-endian
+  * first-8-digest-bytes value, i.e. exactly what SQL reads from the hex
+  * string as `(nibble(substr(md5(tok), b/4+1, 1)) >> (3 − b%4)) & 1`. The
+  * signature is emitted as the two 32-bit big-endian halves (sig_hi,
+  * sig_lo), both < 2^32, so any engine can assemble them with exact
+  * double/BIGINT arithmetic (one 64-bit value would overflow engines
+  * without wrapping int64). The fast production family stays [[SimHash]]
+  * (XXH64 votes, one long, no md5 cost) — this family exists so the
+  * signature CONTENT itself is oracle-replayable bit-for-bit.
+  */
+object PortableSimHashOps {
+  private val digests = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  def signature(tokens: ArrayData): InternalRow = {
+    val md = digests.get()
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val t = tokens.getUTF8String(i)
+        md.reset()
+        md.update(t.getBytes)
+        val d = md.digest()
+        var v = 0L
+        var j = 0
+        while (j < 8) { v = (v << 8) | (d(j) & 0xFFL); j += 1 }
+        var b = 0
+        while (b < 64) {
+          if (((v >>> (63 - b)) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var hi = 0L
+    var lo = 0L
+    var b = 0
+    while (b < 32) { if (counts(b) > 0) hi |= 1L << (31 - b); b += 1 }
+    while (b < 64) { if (counts(b) > 0) lo |= 1L << (63 - b); b += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](hi, lo))
+  }
+}
+
+case class PortableSimHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("sig_hi", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("sig_lo", LongType, nullable = false)))
+  override def prettyName: String = "portable_simhash"
+
+  override def nullSafeEval(input: Any): Any =
+    PortableSimHashOps.signature(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PortableSimHashOps.signature($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableSimHash =
+    copy(child = newChild)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+}
+
 case class AugmentTokensExpr(left: Expression, right: Expression,
     pMask: Double, pDrop: Double, salt: String) extends BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
@@ -923,6 +992,12 @@ object TextFunctions {
     */
   def md5_shingle_hashes(tokens: Column, k: Int): Column =
     ColumnBridge.column(Md5ShingleHashes(ColumnBridge.expression(tokens), k))
+
+  /** Portable md5-vote SimHash halves (see [[PortableSimHashOps]]):
+    * (sig_hi, sig_lo) struct, each the big-endian 32-bit half.
+    */
+  def portable_simhash(tokens: Column): Column =
+    ColumnBridge.column(PortableSimHash(ColumnBridge.expression(tokens)))
 
   /** Fused deterministic mask/drop token corruption (see [[AugmentOps]]):
     * (n_tokens, n_masked, n_dropped, aug_text) struct in one pass.

@@ -132,6 +132,41 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("portable simhash: single token's signature IS its md5 hex prefix") {
+    // With one vote, every majority bit equals the token's hash bit, so
+    // (sig_hi, sig_lo) must parse straight off md5's hex string — the
+    // independent check of the bit-order convention DuckDB replays.
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    for (tok <- Seq("spark", "fenêtre", "x")) {
+      val hex = md5hex(tok)
+      val expHi = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      val expLo = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+      val got = Seq(Tuple1(tok)).toDF("text")
+        .select(graft.functions.TextFunctions.portable_simhash(
+          TextAnalysis.tokens($"text")).as("s"))
+        .select($"s.sig_hi", $"s.sig_lo").as[(Long, Long)].head()
+      assert(got === ((expHi, expLo)), s"token $tok hex $hex")
+    }
+    // Empty token list: all votes zero -> all-zero signature.
+    val z = Seq(Tuple1("   ")).toDF("text")
+      .select(graft.functions.TextFunctions.portable_simhash(
+        TextAnalysis.tokens($"text")).as("s"))
+      .select($"s.sig_hi", $"s.sig_lo").as[(Long, Long)].head()
+    assert(z === ((0L, 0L)))
+    // Repeating a token doubles every vote but flips no majority.
+    val one = Seq(Tuple1("alpha beta")).toDF("text")
+      .select(graft.functions.TextFunctions.portable_simhash(
+        TextAnalysis.tokens($"text")).as("s"))
+      .select($"s.sig_hi", $"s.sig_lo").as[(Long, Long)].head()
+    val twice = Seq(Tuple1("alpha beta alpha beta")).toDF("text")
+      .select(graft.functions.TextFunctions.portable_simhash(
+        TextAnalysis.tokens($"text")).as("s"))
+      .select($"s.sig_hi", $"s.sig_lo").as[(Long, Long)].head()
+    assert(one === twice)
+  }
+
   test("containment finds a quoted document where jaccard under-scores it") {
     val quoted = (1 to 30).map(i => s"w$i").mkString(" ")
     val host = "intro text before the quote " + quoted + " and a long tail " +
