@@ -2191,6 +2191,21 @@ object SparkEntry {
         .presented("anchor_id")
     }),
 
+    // Capped triplets: positive candidates bounded per anchor by the N
+    // smallest deterministic md5 pair-draws (k-bounded TopKByScore, never
+    // a window), argmax among the kept set, with n_pos_candidates
+    // auditing the true pre-cap mass. maxPositives = 3 genuinely binds at
+    // sf0.01 (the planted +1000000 copies give their cluster ≥ 4
+    // candidates each), so the capped branch carries oracle traffic.
+    "q_contrastive_triplets_capped" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val aug = emb.unionByName(emb.where(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + 1000000L))
+      Similarity.contrastiveTriplets(aug, "vec_id", "embedding",
+          posThreshold = 0.99, maxPositivesPerAnchor = 3)
+        .presented("anchor_id")
+    }),
+
     "q_semantic_dedup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val aug = emb.unionByName(emb.where(col("vec_id") < 10)
@@ -4398,6 +4413,56 @@ object SparkEntry {
         | SELECT b.anchor_id, b.pos_id, b.pos_cos, r.neg_id,
         |   round(list_cosine_similarity(CAST(av.embedding AS DOUBLE[]),
         |     CAST(nv.embedding AS DOUBLE[])), 6) AS neg_cos,
+        |   (r.neg_id <> b.anchor_id AND r.neg_id <> b.pos_id AND
+        |    round(list_cosine_similarity(CAST(av.embedding AS DOUBLE[]),
+        |      CAST(nv.embedding AS DOUBLE[])), 6) < 0.99)::INT AS neg_ok
+        | FROM best b JOIN ring r USING (anchor_id)
+        |   JOIN aug av ON av.vec_id = b.anchor_id
+        |   JOIN aug nv ON nv.vec_id = r.neg_id
+        | ORDER BY anchor_id""".stripMargin,
+    // Capped replay: keep set = 3 smallest md5 pair-draws per anchor
+    // (draw asc, pos_id asc — TopKByScore's (−draw desc, id asc) order),
+    // argmax among kept, n_pos_candidates = the pre-cap count.
+    "q_contrastive_triplets_capped" ->
+      """WITH aug AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+        |       UNION ALL
+        |       SELECT vec_id + 1000000, embedding FROM embeddings
+        |       WHERE vec_id < 10),
+        | p AS (SELECT a.vec_id AS anchor_id, b.vec_id AS pos_id,
+        |     round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |       CAST(b.embedding AS DOUBLE[])), 6) AS rcos
+        |   FROM aug a JOIN aug b ON a.vec_id <> b.vec_id
+        |   WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |     CAST(b.embedding AS DOUBLE[])) >= 0.99),
+        | d AS (SELECT anchor_id, pos_id, rcos,
+        |     CAST(('0x' || substr(md5(anchor_id::VARCHAR || '-' ||
+        |       pos_id::VARCHAR || '-graft-ring-cap'), 1, 13)) AS BIGINT)
+        |       AS draw,
+        |     count(*) OVER (PARTITION BY anchor_id) AS n_cand
+        |   FROM p),
+        | kept AS (SELECT anchor_id, pos_id, rcos, n_cand FROM (
+        |     SELECT *, row_number() OVER (PARTITION BY anchor_id
+        |       ORDER BY draw, pos_id) AS rn FROM d) WHERE rn <= 3),
+        | best AS (SELECT anchor_id, pos_id, rcos AS pos_cos, n_cand FROM (
+        |     SELECT anchor_id, pos_id, rcos, n_cand, row_number() OVER (
+        |       PARTITION BY anchor_id ORDER BY rcos DESC, pos_id) AS rn2
+        |     FROM kept) WHERE rn2 = 1),
+        | ring0 AS (SELECT vec_id AS id,
+        |     substr(md5(vec_id::VARCHAR || '-graft-ring'), 1, 12) AS draw
+        |   FROM aug),
+        | ring AS (SELECT id AS anchor_id,
+        |     coalesce(
+        |       lead(id) OVER (PARTITION BY substr(draw, 1, 1)
+        |         ORDER BY draw, id),
+        |       first_value(id) OVER (PARTITION BY substr(draw, 1, 1)
+        |         ORDER BY draw, id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |       AS neg_id
+        |   FROM ring0)
+        | SELECT b.anchor_id, b.pos_id, b.pos_cos, r.neg_id,
+        |   round(list_cosine_similarity(CAST(av.embedding AS DOUBLE[]),
+        |     CAST(nv.embedding AS DOUBLE[])), 6) AS neg_cos,
+        |   CAST(b.n_cand AS BIGINT) AS n_pos_candidates,
         |   (r.neg_id <> b.anchor_id AND r.neg_id <> b.pos_id AND
         |    round(list_cosine_similarity(CAST(av.embedding AS DOUBLE[]),
         |      CAST(nv.embedding AS DOUBLE[])), 6) < 0.99)::INT AS neg_ok

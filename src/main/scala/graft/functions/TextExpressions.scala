@@ -502,6 +502,55 @@ case class PortableSimHash(child: Expression) extends UnaryExpression {
   }
 }
 
+/** Fused md5 pair draw: the 52-bit md5-prefix of "a-b-salt" as a long —
+  * EXACTLY `conv(substr(md5(concat(a, '-', b, '-', salt)), 1, 13), 16,
+  * 10)` without materializing the concat string, the 32-char hex string,
+  * or conv's decimal string (four allocations per row on a pair table
+  * that can run to 10⁷+ rows).
+  */
+object Md5PairDrawOps {
+  private val digests = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+  private val saltBytes = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
+  def draw(a: Long, b: Long, salt: String): Long = {
+    val md = digests.get()
+    val tail = saltBytes.computeIfAbsent(salt,
+      s => ("-" + s).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.reset()
+    md.update(java.lang.Long.toString(a)
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    md.update('-'.toByte)
+    md.update(java.lang.Long.toString(b)
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    md.update(tail)
+    val d = md.digest()
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    v >>> 4
+  }
+}
+
+case class Md5PairDraw(left: Expression, right: Expression, salt: String)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_pair_draw"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Md5PairDrawOps.draw(a.asInstanceOf[Long], b.asInstanceOf[Long], salt)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val saltRef = ctx.addReferenceObj("salt", salt, "java.lang.String")
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.Md5PairDrawOps.draw($a, $b, $saltRef)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Md5PairDraw =
+    copy(left = newLeft, right = newRight)
+}
+
 case class AugmentTokensExpr(left: Expression, right: Expression,
     pMask: Double, pDrop: Double, salt: String) extends BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
@@ -992,6 +1041,11 @@ object TextFunctions {
     */
   def md5_shingle_hashes(tokens: Column, k: Int): Column =
     ColumnBridge.column(Md5ShingleHashes(ColumnBridge.expression(tokens), k))
+
+  /** Fused 52-bit md5 pair draw (see [[Md5PairDrawOps]]). */
+  def md5_pair_draw(a: Column, b: Column, salt: String): Column =
+    ColumnBridge.column(Md5PairDraw(ColumnBridge.expression(a),
+      ColumnBridge.expression(b), salt))
 
   /** Portable md5-vote SimHash halves (see [[PortableSimHashOps]]):
     * (sig_hi, sig_lo) struct, each the big-endian 32-bit half.

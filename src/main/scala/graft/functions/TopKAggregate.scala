@@ -185,3 +185,158 @@ object TopKByScore {
       TopKByScore(ColumnBridge.expression(score), ColumnBridge.expression(id),
         k, distinctIds).toAggregateExpression())
 }
+
+/** [[TopKBuffer]] with a double payload riding each (score, id) entry —
+  * for caps that select by one key (a deterministic draw) but must hand a
+  * DIFFERENT value (a cosine) to the next stage without a join back into
+  * the pair table (the join-back measured ~1.6× the whole uncapped query
+  * at sf1: it re-shuffles the full pair mass a second time).
+  */
+final class TopKPayloadBuffer(val k: Int) {
+  private val scores = new Array[Double](k)
+  private val ids = new Array[Long](k)
+  private val payloads = new Array[Double](k)
+  private var count = 0
+  private var worst = -1
+
+  @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 > s2 || (s1 == s2 && i1 < i2)
+
+  private def recomputeWorst(): Unit = {
+    var w = 0
+    var i = 1
+    while (i < count) {
+      if (better(scores(w), ids(w), scores(i), ids(i))) w = i
+      i += 1
+    }
+    worst = w
+  }
+
+  def insert(s: Double, id: Long, p: Double): Unit = {
+    if (k == 0) return
+    if (count < k) {
+      scores(count) = s; ids(count) = id; payloads(count) = p; count += 1
+      if (count == k) recomputeWorst()
+    } else if (better(s, id, scores(worst), ids(worst))) {
+      scores(worst) = s; ids(worst) = id; payloads(worst) = p
+      recomputeWorst()
+    }
+  }
+
+  def mergeFrom(other: TopKPayloadBuffer): Unit = {
+    var i = 0
+    while (i < other.count) {
+      insert(other.scores(i), other.ids(i), other.payloads(i))
+      i += 1
+    }
+  }
+
+  /** array<struct<score,id,payload>> sorted by (score desc, id asc). */
+  def result(): GenericArrayData = {
+    val idx = Array.range(0, count).sortWith { (a, b) =>
+      better(scores(a), ids(a), scores(b), ids(b))
+    }
+    new GenericArrayData(idx.map { i =>
+      new GenericInternalRow(Array[Any](scores(i), ids(i), payloads(i))): Any
+    })
+  }
+
+  def serialize(): Array[Byte] = {
+    val buf = ByteBuffer.allocate(4 + count * 24)
+    buf.putInt(count)
+    var i = 0
+    while (i < count) {
+      buf.putDouble(scores(i)); buf.putLong(ids(i)); buf.putDouble(payloads(i))
+      i += 1
+    }
+    buf.array()
+  }
+}
+
+object TopKPayloadBuffer {
+  def deserialize(bytes: Array[Byte], k: Int): TopKPayloadBuffer = {
+    val buf = ByteBuffer.wrap(bytes)
+    val n = buf.getInt()
+    val b = new TopKPayloadBuffer(k)
+    var i = 0
+    while (i < n) {
+      b.insert(buf.getDouble(), buf.getLong(), buf.getDouble())
+      i += 1
+    }
+    b
+  }
+}
+
+case class TopKByScorePayload(
+    scoreExpr: Expression,
+    idExpr: Expression,
+    payloadExpr: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKPayloadBuffer]
+  with org.apache.spark.sql.catalyst.trees.TernaryLike[Expression] {
+
+  override def first: Expression = scoreExpr
+  override def second: Expression = idExpr
+  override def third: Expression = payloadExpr
+  override def nullable: Boolean = false
+  override def dataType: DataType = TopKByScorePayload.resultType
+  override def prettyName: String = "topk_by_score_payload"
+
+  override def createAggregationBuffer(): TopKPayloadBuffer =
+    new TopKPayloadBuffer(k)
+
+  override def update(buffer: TopKPayloadBuffer, input: InternalRow): TopKPayloadBuffer = {
+    val s = scoreExpr.eval(input)
+    if (s != null) {
+      val id = idExpr.eval(input)
+      val p = payloadExpr.eval(input)
+      if (id != null && p != null)
+        buffer.insert(s.asInstanceOf[Double], id.asInstanceOf[Long],
+          p.asInstanceOf[Double])
+    }
+    buffer
+  }
+
+  override def merge(buffer: TopKPayloadBuffer, other: TopKPayloadBuffer): TopKPayloadBuffer = {
+    buffer.mergeFrom(other)
+    buffer
+  }
+
+  override def eval(buffer: TopKPayloadBuffer): Any = buffer.result()
+
+  override def serialize(buffer: TopKPayloadBuffer): Array[Byte] = buffer.serialize()
+
+  override def deserialize(bytes: Array[Byte]): TopKPayloadBuffer =
+    TopKPayloadBuffer.deserialize(bytes, k)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScorePayload =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScorePayload =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): TopKByScorePayload =
+    copy(scoreExpr = newFirst, idExpr = newSecond, payloadExpr = newThird)
+}
+
+object TopKByScorePayload {
+  val resultType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("score", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false),
+      StructField("payload", DoubleType, nullable = false))),
+    containsNull = false)
+
+  /** array<struct<score,id,payload>> of the top `k` rows per group,
+    * ordered by (score desc, id asc), each carrying its payload.
+    */
+  def topk_by_score_payload(score: Column, id: Column, payload: Column,
+      k: Int): Column =
+    ColumnBridge.column(
+      TopKByScorePayload(ColumnBridge.expression(score),
+        ColumnBridge.expression(id), ColumnBridge.expression(payload),
+        k).toAggregateExpression())
+}

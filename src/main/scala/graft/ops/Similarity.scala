@@ -1412,7 +1412,19 @@ object Similarity {
     * banding; the ring is one (id, 12-hex-char draw) window per shard;
     * vectors join back ONLY for the anchor/negative cosine — one
     * id-keyed join each. Output: (anchor_id, pos_id, pos_cos, neg_id,
-    * neg_cos, neg_ok).
+    * neg_cos, neg_ok) (+ n_pos_candidates when capped).
+    *
+    * `maxPositivesPerAnchor` > 0 bounds the positive-candidate mass per
+    * anchor BEFORE the argmax — the bucket-cap convention applied to
+    * output mass (a dense replica cluster of size c emits c−1 candidate
+    * positives per member; a trainer samples positives anyway). The kept
+    * set is the N smallest deterministic md5 pair-draws (a pure function
+    * of (anchor, pos, salt) — no RNG state), selected by the k-bounded
+    * [[graft.functions.TopKByScore]] aggregate (map-side combined, never
+    * a window over the pair table), and the argmax runs among them.
+    * `n_pos_candidates` audits the residual: the TRUE per-anchor
+    * candidate count pre-cap, so subsampled anchors are visible, not
+    * silent. 0 (default) = uncapped, output byte-identical to before.
     */
   def contrastiveTriplets(
       df: DataFrame,
@@ -1423,7 +1435,8 @@ object Similarity {
       bands: Int = 16,
       planesPerBand: Int = 8,
       seed: Long = 42L,
-      ringHexChars: Int = 1): DataFrame = {
+      ringHexChars: Int = 1,
+      maxPositivesPerAnchor: Int = 0): DataFrame = {
     // 16^ringHexChars ring shards: each shard is an independent window
     // sort, so raise this with the corpus (3 hex chars = 4096 shards at
     // web scale) — the draw stays a pure function of (id, salt) at any
@@ -1433,7 +1446,7 @@ object Similarity {
       s"ringHexChars must be in [1,6], got $ringHexChars")
     val pairs = cosinePairsLsh(df, idCol, vecCol, posThreshold,
       bands, planesPerBand, seed)
-    val both = pairs
+    val bothRaw = pairs
       .select(col("id_a").as("anchor_id"), col("id_b").as("pos_id"), col("cos"))
       .unionByName(pairs
         .select(col("id_b").as("anchor_id"), col("id_a").as("pos_id"), col("cos")))
@@ -1441,12 +1454,42 @@ object Similarity {
     // table is true output mass (15.8M rows on a cluster-dense sf1 slice),
     // and the aggregate partially combines map-side where a window must
     // sort the full pair set. (rounded cos desc, id asc) via (c, -id) max.
-    val best = both
-      .groupBy(col("anchor_id"))
-      .agg(max(struct(round(col("cos"), 6).as("c"),
-        (-col("pos_id")).as("nid"))).as("b"))
-      .select(col("anchor_id"), (-col("b.nid")).as("pos_id"),
-        col("b.c").as("pos_cos"))
+    val best =
+      if (maxPositivesPerAnchor <= 0)
+        bothRaw
+          .groupBy(col("anchor_id"))
+          .agg(max(struct(round(col("cos"), 6).as("c"),
+            (-col("pos_id")).as("nid"))).as("b"))
+          .select(col("anchor_id"), (-col("b.nid")).as("pos_id"),
+            col("b.c").as("pos_cos"))
+      else {
+        // Capped: ONE k-bounded aggregate pass — the top-N smallest md5
+        // pair-draws per anchor (−draw as the top-k score; draw < 2^52 is
+        // exact as a double), each entry CARRYING its rounded cosine via
+        // the payload variant, so no second pass or join back into the
+        // pair table is ever needed (the join-back formulation measured
+        // ~1.6× the whole uncapped query at sf1). The argmax over the
+        // ≤ N kept entries is a narrow array fold.
+        val drawL = graft.functions.TextFunctions.md5_pair_draw(
+          col("anchor_id").cast("long"), col("pos_id").cast("long"),
+          salt + "-cap")
+        bothRaw
+          .select(col("anchor_id"), col("pos_id"),
+            round(col("cos"), 6).as("__rc"), drawL.as("__d"))
+          .groupBy(col("anchor_id"))
+          .agg(
+            graft.functions.TopKByScorePayload.topk_by_score_payload(
+              -col("__d").cast("double"), col("pos_id"), col("__rc"),
+              maxPositivesPerAnchor).as("__t"),
+            count(lit(1)).as("n_pos_candidates"))
+          .select(col("anchor_id"),
+            array_max(transform(col("__t"), e =>
+              struct(e.getField("payload").as("c"),
+                (-e.getField("id")).as("nid")))).as("b"),
+            col("n_pos_candidates"))
+          .select(col("anchor_id"), (-col("b.nid")).as("pos_id"),
+            col("b.c").as("pos_cos"), col("n_pos_candidates"))
+      }
     // Ring negatives: md5 draw → 16 shards on the first hex char; the
     // successor in (draw, id) order (wrap to the shard's first) is the
     // deterministic in-batch partner.
@@ -1463,13 +1506,17 @@ object Similarity {
           Window.unboundedPreceding, Window.unboundedFollowing)))
         .as("neg_id"))
     val vecs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val auditCols =
+      if (maxPositivesPerAnchor > 0) Seq(col("n_pos_candidates")) else Nil
     best.join(ring, "anchor_id")
       .join(vecs.select(col("id").as("anchor_id"), col("v").as("__av")),
         "anchor_id")
       .join(vecs.select(col("id").as("neg_id"), col("v").as("__nv")),
         "neg_id")
-      .select(col("anchor_id"), col("pos_id"), col("pos_cos"), col("neg_id"),
-        round(cosine(col("__av"), col("__nv")), 6).as("neg_cos"))
+      .select(Seq(col("anchor_id"), col("pos_id"), col("pos_cos"),
+        col("neg_id"),
+        round(cosine(col("__av"), col("__nv")), 6).as("neg_cos")) ++
+        auditCols: _*)
       .withColumn("neg_ok",
         (col("neg_id") =!= col("anchor_id") &&
           col("neg_id") =!= col("pos_id") &&

@@ -526,6 +526,40 @@ class SimilaritySpec extends SparkTestBase {
     assert(got === Seq((0L, 1L)))
   }
 
+  test("contrastiveTriplets cap: loose cap matches uncapped, tight cap picks smallest draws") {
+    // 6 vectors in two tight clusters (ids 0,1,2 identical; 10,11,12
+    // identical) — every member has 2 candidate positives.
+    val rows = Seq(0L, 1L, 2L).map(i => (i, Array(1.0f, 0.0f, 0.0f))) ++
+      Seq(10L, 11L, 12L).map(i => (i, Array(0.0f, 1.0f, 0.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val un = Similarity.contrastiveTriplets(df, "vec_id", "embedding",
+        posThreshold = 0.99)
+      .select("anchor_id", "pos_id").as[(Long, Long)].collect().toMap
+    val loose = Similarity.contrastiveTriplets(df, "vec_id", "embedding",
+        posThreshold = 0.99, maxPositivesPerAnchor = 100)
+      .select("anchor_id", "pos_id", "n_pos_candidates")
+      .as[(Long, Long, Long)].collect()
+    assert(loose.map(t => t._1 -> t._2).toMap === un)
+    assert(loose.forall(_._3 === 2L), "each anchor has 2 true candidates")
+    // cap = 1: the kept candidate is the SMALLEST md5 pair-draw, so the
+    // positive is that candidate regardless of cosine ties.
+    def draw(a: Long, p: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$a-$p-graft-ring-cap".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 13), 16)
+    }
+    val tight = Similarity.contrastiveTriplets(df, "vec_id", "embedding",
+        posThreshold = 0.99, maxPositivesPerAnchor = 1)
+      .select("anchor_id", "pos_id").as[(Long, Long)].collect()
+    tight.foreach { case (a, p) =>
+      val cands = rows.map(_._1).filter(c => c != a &&
+        (a / 10) == (c / 10)) // same cluster
+      val exp = cands.minBy(c => (draw(a, c), c))
+      assert(p === exp, s"anchor $a kept $p, expected smallest-draw $exp")
+    }
+  }
+
   test("brute-force top-k ranks by cosine") {
     val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
       vecs.where($"vec_id" === 0), "vec_id", "embedding", k = 2)
