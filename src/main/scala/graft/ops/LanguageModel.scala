@@ -275,7 +275,14 @@ object LanguageModel {
       textCol: String,
       corpus: DataFrame,
       steps: Int = 8): DataFrame = {
-    require(steps >= 1, s"steps must be >= 1, got $steps")
+    // Each step chains one more join into a SINGLE unbroken lineage; past
+    // a few dozen the plan itself (analysis, codegen, stack depth)
+    // becomes the cost, not the data. 32 bounds the depth at a measured-
+    // safe level; longer generations should fold the successor map into
+    // a broadcast lookup expression (one narrow pass, any step count)
+    // rather than deepen the join chain.
+    require(steps >= 1 && steps <= 32,
+      s"steps must be in [1, 32] (plan depth is linear in steps), got $steps")
     val lm = trainBigram(corpus, textCol)
     val best = lm.bigrams
       .groupBy(col("w1"))

@@ -221,6 +221,14 @@ class LanguageModelSpec extends SparkTestBase {
     assert(got(1) === ((11L, "d", "", 0L)))
     // unknown seed: dead end too.
     assert(got(2) === ((12L, "unknownword", "", 0L)))
+    // Plan-depth cap: each step deepens one unbroken join lineage, so
+    // steps is bounded — a 100-step call must fail fast, not build a
+    // 100-join plan.
+    val e = intercept[IllegalArgumentException] {
+      LanguageModel.greedyContinuation(docs, "doc_id", "text", corpus,
+        steps = 100)
+    }
+    assert(e.getMessage.contains("plan depth"))
   }
 
   test("perplexityBuckets: per-language tiers, untrained lang floors to tail") {
