@@ -322,6 +322,39 @@ object SparkEntry {
     * sf0.01 — they exist to catch operator regressions (a broken bucket join
     * scores recall ≈ chance), not to pin the exact value.
     */
+  /** Growing-graph fixture: |V| = docs/50 (floor 10) with endpoints mixed
+    * through the prime 1000003 BEFORE the mod-V fold, so |V| AND |E|
+    * genuinely grow with the corpus (see the `_scaled` graph queries).
+    * Two traps the naive `doc_id % V` construction hits: the sf1/sf10
+    * replica offsets (multiples of 10⁹) are ≡ 0 mod every decimal V, so
+    * replicas collapse onto the base corpus's edges; and any pair derived
+    * from `m mod V` alone is a function of that one residue, capping
+    * distinct edges at |V|. The mod-P wraparound decorrelates the two
+    * endpoints, so distinct edges ≈ distinct doc residues (~0.9 × docs,
+    * linear until the V² ceiling). All arithmetic stays < 2^25 · 2^25 —
+    * exact in int64 and in DuckDB. `dense` adds the second edge family
+    * (the q_kcore construction). The one count() is cheap on parquet.
+    */
+  private def scaledDomainEdges(s: SparkSession, dir: String,
+      dense: Boolean): DataFrame = {
+    val d = t(s, dir, "documents")
+    val v = math.max(d.count() / 50, 10L)
+    val P = 1000003L
+    val m = col("doc_id") % P
+    // Quadratic mix: a LINEAR map of m stays correlated with m mod V
+    // until the mod-P wraparound (small ids never wrap → pairs collapse
+    // to |V| distinct); m² mod P wraps for every m ≥ ~1000 and
+    // equidistributes the endpoint. m² < 2^40, 17·m² < 2^45 — exact in
+    // int64 and in DuckDB.
+    val e1 = d.select((m % v).as("src"),
+      (((m * m + 7) % P) % v).as("dst"))
+    val e = if (dense)
+      e1.unionByName(d.select((m % v).as("src"),
+        (((m * m * 17 + 3) % P) % v).as("dst")))
+    else e1
+    e.where(col("src") =!= col("dst"))
+  }
+
   private def recallReport(truth: DataFrame, approx: DataFrame, keys: Seq[String],
       minRecall: Double, nName: String): DataFrame =
     truth.join(approx.select(keys.map(col): _*).withColumn("__hit", lit(1)),
@@ -2388,6 +2421,25 @@ object SparkEntry {
       Graph.triangleCount(e, "src", "dst")
     }),
 
+    // GROWING-graph variants: |V| = docs/50 (floor 10) so vertex and edge
+    // sets scale WITH the corpus — the fixed mod-100 fixtures pin the
+    // plan shape but are size-invariant, which made the graph family's sf
+    // rows vacuous as scaling evidence. Same operators, same oracles
+    // (the modulus is derived identically by both engines), real growth.
+    "q_pagerank_scaled" -> ((s, dir) => {
+      val e = scaledDomainEdges(s, dir, dense = false).distinct()
+      Graph.pageRank(e, "src", "dst", iters = 3).presented("id")
+    }),
+    "q_kcore_scaled" -> ((s, dir) =>
+      Graph.kCore(scaledDomainEdges(s, dir, dense = true), "src", "dst",
+        k = 3).presented("vertex")),
+    "q_label_prop_scaled" -> ((s, dir) =>
+      Graph.labelPropagation(scaledDomainEdges(s, dir, dense = true),
+        "src", "dst", rounds = 4).presented("vertex")),
+    "q_triangles_scaled" -> ((s, dir) =>
+      Graph.triangleCount(
+        scaledDomainEdges(s, dir, dense = false).distinct(), "src", "dst")),
+
     // Deterministic negative sampling (tempered-unigram draws, 5 per
     // doc): vocabulary ladder from one count agg — session-cached, the
     // build-once artifact — draws pure functions of (id, slot, salt),
@@ -3184,18 +3236,15 @@ object SparkEntry {
          |   (SELECT count(*) FROM fl) AS n_exact_flagged,
          |   1 AS no_false_neg""".stripMargin,
     "q_pagerank" -> pageRankOracleSql(3),
-    "q_triangles" ->
-      """WITH e AS (SELECT DISTINCT least(doc_id % 100, (doc_id*31+7) % 100)
-        |       AS u,
-        |     greatest(doc_id % 100, (doc_id*31+7) % 100) AS v
-        |   FROM documents WHERE doc_id % 100 <> (doc_id*31+7) % 100)
-        | SELECT
-        |   (SELECT count(DISTINCT x) FROM
-        |     (SELECT u AS x FROM e UNION ALL SELECT v FROM e)) AS n_vertices,
-        |   (SELECT count(*) FROM e) AS n_edges,
-        |   (SELECT count(*) FROM e a
-        |     JOIN e b ON a.v = b.u
-        |     JOIN e c ON c.u = a.u AND c.v = b.v) AS n_triangles""".stripMargin,
+    "q_pagerank_scaled" ->
+      pageRankOracleSql(3, ScaledVSql, ScaledU0, ScaledV1),
+    "q_kcore_scaled" ->
+      kCoreOracleSql(3, 8, ScaledVSql, ScaledU0, ScaledV1, ScaledV2),
+    "q_label_prop_scaled" ->
+      labelPropOracleSql(4, ScaledVSql, ScaledU0, ScaledV1, ScaledV2),
+    "q_triangles" -> trianglesOracleSql(),
+    "q_triangles_scaled" ->
+      trianglesOracleSql(ScaledVSql, ScaledU0, ScaledV1),
     "q_pmi_collocations" ->
       s"""WITH tk AS (SELECT $tokensSql AS t FROM documents),
          | uc AS (SELECT w, count(*) AS c1
@@ -4820,18 +4869,54 @@ object SparkEntry {
     * engine REQUIRES convergence, so equality holds whenever the true
     * peel depth ≤ rounds (asserted by the engine side at this scale).
     */
-  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+  /** The GROWING-graph key space: |V| ∝ corpus (docs / 50, floor 10), so
+    * the synthesized domain graph's vertex AND edge sets scale with the
+    * data — the fixed mod-100 fixtures pin plan shape but are
+    * size-invariant by construction, which makes their sf rows vacuous as
+    * scaling evidence. Both engines derive the SAME modulus from the
+    * corpus count (floor division on positive ints), and the endpoint
+    * expressions mirror [[scaledDomainEdges]]'s prime mix.
+    */
+  private val ScaledVSql = "(SELECT greatest(count(*) // 50, 10) FROM documents)"
+  private val ScaledU0 = "(doc_id % 1000003) % nv.m"
+  private val ScaledV1 =
+    "(((doc_id % 1000003) * (doc_id % 1000003) + 7) % 1000003) % nv.m"
+  private val ScaledV2 =
+    "(((doc_id % 1000003) * (doc_id % 1000003) * 17 + 3) % 1000003) % nv.m"
+  private val PlainU0 = "doc_id % nv.m"
+  private val PlainV1 = "(doc_id*31+7) % nv.m"
+  private val PlainV2 = "(doc_id*17+3) % nv.m"
+
+  private def trianglesOracleSql(modSql: String = "100",
+      u0: String = PlainU0, v1: String = PlainV1): String =
+    s"""WITH nv AS MATERIALIZED (SELECT $modSql AS m),
+      | e AS (SELECT DISTINCT least(u0, v0) AS u, greatest(u0, v0) AS v
+      |   FROM (SELECT $u0 AS u0, $v1 AS v0 FROM documents, nv)
+      |   WHERE u0 <> v0)
+      | SELECT
+      |   (SELECT count(DISTINCT x) FROM
+      |     (SELECT u AS x FROM e UNION ALL SELECT v FROM e)) AS n_vertices,
+      |   (SELECT count(*) FROM e) AS n_edges,
+      |   (SELECT count(*) FROM e a
+      |     JOIN e b ON a.v = b.u
+      |     JOIN e c ON c.u = a.u AND c.v = b.v) AS n_triangles""".stripMargin
+
+  private def kCoreOracleSql(k: Int, rounds: Int,
+      modSql: String = "100", u0: String = PlainU0,
+      v1: String = PlainV1, v2: String = PlainV2): String = {
     // AS MATERIALIZED is load-bearing: each round is referenced three
     // times (twice in the degree union, once in the next edge filter), so
     // default CTE inlining re-expands the whole chain 3^rounds times —
     // thousands of parquet opens for an 8-round unroll.
     val base =
-      """WITH e0 AS MATERIALIZED (
+      s"""WITH nv AS MATERIALIZED (SELECT $modSql AS m),
+        | e0 AS MATERIALIZED (
         |   SELECT DISTINCT least(u0, v0) AS u, greatest(u0, v0) AS v
-        |   FROM (SELECT doc_id % 100 AS u0, (doc_id*31+7) % 100 AS v0
-        |       FROM documents
+        |   FROM (SELECT $u0 AS u0, $v1 AS v0
+        |       FROM documents, nv
         |     UNION ALL
-        |     SELECT doc_id % 100, (doc_id*17+3) % 100 FROM documents)
+        |     SELECT $u0, $v2
+        |       FROM documents, nv)
         |   WHERE u0 <> v0)""".stripMargin
     val steps = (1 to rounds).map { i =>
       s""",
@@ -4854,14 +4939,18 @@ object SparkEntry {
     * form of the engine's max(struct(cnt, −label)) aggregate. AS
     * MATERIALIZED is load-bearing (each round is referenced twice).
     */
-  private def labelPropOracleSql(rounds: Int): String = {
+  private def labelPropOracleSql(rounds: Int,
+      modSql: String = "100", u0: String = PlainU0,
+      v1: String = PlainV1, v2: String = PlainV2): String = {
     val base =
-      """WITH e0 AS MATERIALIZED (
+      s"""WITH nv AS MATERIALIZED (SELECT $modSql AS m),
+        | e0 AS MATERIALIZED (
         |   SELECT DISTINCT least(u0, v0) AS u, greatest(u0, v0) AS v
-        |   FROM (SELECT doc_id % 100 AS u0, (doc_id*31+7) % 100 AS v0
-        |       FROM documents
+        |   FROM (SELECT $u0 AS u0, $v1 AS v0
+        |       FROM documents, nv
         |     UNION ALL
-        |     SELECT doc_id % 100, (doc_id*17+3) % 100 FROM documents)
+        |     SELECT $u0, $v2
+        |       FROM documents, nv)
         |   WHERE u0 <> v0),
         | l0 AS MATERIALIZED (SELECT DISTINCT x, x AS lab
         |   FROM (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0))""".stripMargin
@@ -5137,7 +5226,9 @@ object SparkEntry {
     * ranks. The edge generator mirrors q_pagerank's synthesized domain
     * graph.
     */
-  private def pageRankOracleSql(iters: Int): String = {
+  private def pageRankOracleSql(iters: Int,
+      modSql: String = "100", u0: String = PlainU0,
+      v1: String = PlainV1): String = {
     val base = 1L << 20
     val tele = (3L * base) / 20L
     def iter(t: Int): String =
@@ -5146,9 +5237,10 @@ object SparkEntry {
          |   GROUP BY e.dst),
          | r$t AS (SELECT n.id, $tele + (17 * coalesce(m.m, 0)) // 20 AS r
          |   FROM nodes n LEFT JOIN m$t m USING (id)),""".stripMargin
-    s"""WITH e AS (SELECT DISTINCT doc_id % 100 AS src,
-       |     (doc_id * 31 + 7) % 100 AS dst
-       |   FROM documents WHERE doc_id % 100 <> (doc_id * 31 + 7) % 100),
+    s"""WITH nv AS MATERIALIZED (SELECT $modSql AS m),
+       | e AS (SELECT DISTINCT src, dst FROM
+       |     (SELECT $u0 AS src, $v1 AS dst FROM documents, nv)
+       |   WHERE src <> dst),
        | nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
        | od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
        | r0 AS (SELECT id, CAST($base AS BIGINT) AS r FROM nodes),

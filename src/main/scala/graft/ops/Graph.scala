@@ -342,37 +342,42 @@ object Graph {
       k: Int,
       maxRounds: Int = 128): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // Each round is eagerly localCheckpoint'd: the peel REFERENCES the
+    // previous round three times (twice in the degree union, once in the
+    // semi filter), so a persist-only loop still grows the LOGICAL plan
+    // 3× per round — on a sparse graph whose peel runs tens of rounds the
+    // 3^rounds tree OOM'd the driver in plan stringification before any
+    // data moved. Checkpointing truncates lineage to the materialized
+    // blocks (plan size constant per round); superseded rounds become
+    // unreachable after `e = next` and the ContextCleaner reclaims them.
     var e = edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
       .where(col("u") =!= col("v") && col("u").isNotNull)
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val persisted = scala.collection.mutable.ListBuffer(e)
+      .localCheckpoint(true)
     def degrees(ed: DataFrame): DataFrame = ed
       .select(col("u").as("x")).unionByName(ed.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("d"))
     var converged = false
     var round = 0
+    var prevCount = e.count()
     while (!converged && round < maxRounds) {
       val keep = degrees(e).where(col("d") >= k).select("x")
       val next = e
         .join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
         .select("u", "v")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      persisted += next
-      converged = next.count() == e.count()
+        .localCheckpoint(true)
+      val nextCount = next.count()
+      converged = nextCount == prevCount
       e = next
+      prevCount = nextCount
       round += 1
     }
     require(converged, s"kCore did not converge in $maxRounds rounds")
-    // Earlier rounds are dead once the final edge set is cached (every
-    // round was materialized by its convergence count); the LAST persist
-    // backs the returned frame and falls to the ContextCleaner when the
-    // caller's result becomes unreachable. The core itself stays
-    // DISTRIBUTED — on a web graph it is most of the graph.
-    persisted.dropRight(1).foreach(_.unpersist(blocking = false))
+    // The final checkpoint backs the returned frame. The core itself
+    // stays DISTRIBUTED — on a web graph it is most of the graph.
     degrees(e).select(col("x").as("vertex"), col("d").as("degree"))
   }
 
