@@ -1171,6 +1171,17 @@ object SparkEntry {
       Multimodal.containerHeaders(Multimodal.syntheticMedia(s, 200))
         .presented("media_id")),
 
+    // DEEP media facts, still zero sample decode: MP4 stts/stsz/stss →
+    // frames / media-timescale duration / keyframe density / byte mass;
+    // MP3 per-frame bitrate profile → histogram width + VBR bit. FULLY
+    // oracled: the fixture's sample tables and bitrate patterns are id
+    // arithmetic (frame sizes 800 + (i%7)·16, keys every 8, VBR cycle
+    // 112/128/160), so DuckDB pins every fact — the parser must walk the
+    // real box tree / frame stream the writer encoded.
+    "q_video_facts" -> ((s, dir) =>
+      Multimodal.mediaSampleFacts(Multimodal.syntheticDeepMedia(s, 100))
+        .presented("media_id")),
+
     // Perceptual image near-dup dedup: aHash64 over decodable synthetic
     // images + byte-identical copies planted under id+1000; the banded
     // Hamming join must recover every planted pair (hamming 0 always
@@ -4163,6 +4174,42 @@ object SparkEntry {
         |       WHEN 4 THEN 10 + (media_id % 20) END AS BIGINT) AS frames
         |FROM range(200) t(media_id)
         |ORDER BY media_id""".stripMargin,
+    // Deep-media replay: every fact is id arithmetic. MP4 (even ids):
+    // n = 48 + (id%10)·25 frames, keys every 8 (1-based ⇒ ceil(n/8)),
+    // duration = n·512·1000 // 12800 = n·40 ms, sizes 800 + (i%7)·16 ⇒
+    // Σ = 800n + 16·((n//7)·21 + (n%7)(n%7−1)/2). MP3 (odd): id%4==1
+    // CBR 128; id%4==3 VBR cycling 112/128/160 (≥ 10 frames ⇒ all three
+    // seen).
+    "q_video_facts" ->
+      """WITH f AS (SELECT media_id,
+        |     CASE WHEN media_id % 2 = 0 THEN 48 + (media_id % 10) * 25
+        |          ELSE 10 + (media_id % 20) END AS n
+        |   FROM range(100) t(media_id))
+        | SELECT media_id,
+        |   CASE WHEN media_id % 2 = 0 THEN 'mp4' ELSE 'mp3' END AS kind,
+        |   CAST(n AS BIGINT) AS frames,
+        |   CAST(CASE WHEN media_id % 2 = 0 THEN (n + 7) // 8 END AS BIGINT)
+        |     AS keyframes,
+        |   CAST(CASE WHEN media_id % 2 = 0 THEN n * 40 END AS BIGINT)
+        |     AS duration_ms,
+        |   CAST(CASE WHEN media_id % 2 = 0 THEN ((n + 7) // 8) * 1000 // n
+        |     END AS BIGINT) AS kf_per_1000,
+        |   CAST(CASE WHEN media_id % 2 = 0 THEN 800 * n +
+        |       16 * ((n // 7) * 21 + (n % 7) * ((n % 7) - 1) // 2)
+        |     END AS BIGINT) AS sample_bytes,
+        |   CAST(CASE WHEN media_id % 2 = 1 THEN
+        |       CASE WHEN media_id % 4 = 1 THEN 1 ELSE 3 END END AS INT)
+        |     AS n_bitrates,
+        |   CAST(CASE WHEN media_id % 2 = 1 THEN
+        |       CASE WHEN media_id % 4 = 1 THEN 128 ELSE 112 END END AS INT)
+        |     AS min_kbps,
+        |   CAST(CASE WHEN media_id % 2 = 1 THEN
+        |       CASE WHEN media_id % 4 = 1 THEN 128 ELSE 160 END END AS INT)
+        |     AS max_kbps,
+        |   CAST(CASE WHEN media_id % 2 = 1 THEN
+        |       CASE WHEN media_id % 4 = 1 THEN 0 ELSE 1 END END AS INT)
+        |     AS vbr
+        | FROM f ORDER BY media_id""".stripMargin,
     "q_span_dedup" ->
       s"""WITH tk AS (SELECT doc_id,
          |     list_filter(list_transform(

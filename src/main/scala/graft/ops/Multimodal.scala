@@ -20,11 +20,17 @@ import org.apache.spark.sql.types._
   * (MP3) CONTAINER HEADERS are parsed for real — [[mp4Headers]]'s ISO-BMFF
   * box walk (duration, dims, track counts) and [[mp3Headers]]'s frame-
   * header scan (bitrate, rate, channels, per-frame duration accounting) —
-  * no codec needed; only their SAMPLE DATA falls back to [[decodeStub]],
-  * a deterministic byte-hash pseudo-feature (no in-JDK codec exists —
-  * swapping the stub for an ffmpeg/JNI call changes one function).
-  * [[containerHeaders]] exposes the header pass as the media-inventory
-  * operator a pipeline runs before any decode.
+  * no codec needed — and the DEEP structural pass goes further, still
+  * codec-free: [[mp4SampleFacts]] walks the sample tables
+  * (stts/stsz/stss → frame count, media-timescale duration, keyframe
+  * density, sample byte mass) and [[mp3BitrateStats]] profiles per-frame
+  * bitrates (histogram width, VBR detection). Only PIXEL/PCM content of
+  * these formats falls back to [[decodeStub]], a deterministic byte-hash
+  * pseudo-feature (no in-JDK codec exists — swapping the stub for an
+  * ffmpeg/JNI call changes one function). [[containerHeaders]] exposes
+  * the header pass as the media-inventory operator a pipeline runs
+  * before any decode; [[mediaSampleFacts]] is the second, GOP/VBR-aware
+  * inventory tier.
   */
 object Multimodal {
 
@@ -246,6 +252,122 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Deep MP4 sample-table facts (still header-only — the sample TABLES
+    * live in `moov`, no media data touched). Frames from `stsz`,
+    * duration from `stts` deltas against the `mdhd` media timescale,
+    * keyframes from `stss` (absent table ⇒ every sample is sync, the
+    * spec default). Facts come from the LARGEST video track (the
+    * [[mp4Headers]] dim-election rule).
+    */
+  final case class Mp4SampleInfo(
+      frames: Long,
+      keyframes: Long,
+      durationMs: Option[Long],
+      totalSampleBytes: Long)
+
+  /** ISO/IEC 14496-12 §8.6.1/§8.7.3.2/§8.6.2: stts/stsz/stss walk of
+    * `moov/trak/mdia/{mdhd, minf/stbl}`. Returns None when no trak
+    * carries a sample table.
+    */
+  def mp4SampleFacts(bytes: Array[Byte]): Option[Mp4SampleInfo] = {
+    if (bytes == null || bytes.length < 16) return None
+    def u32(off: Int): Long =
+      ((bytes(off) & 0xFFL) << 24) | ((bytes(off + 1) & 0xFFL) << 16) |
+        ((bytes(off + 2) & 0xFFL) << 8) | (bytes(off + 3) & 0xFFL)
+    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+    def boxType(off: Int): String =
+      new String(bytes, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def boxes(start: Int, end: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var off = start
+        def hasNext: Boolean = off + 8 <= end
+        def next(): (String, Int, Int) = {
+          val size0 = u32(off)
+          val tpe = boxType(off)
+          val (payload, size) =
+            if (size0 == 1 && off + 16 <= end) (off + 16, u64(off + 8))
+            else if (size0 == 0) (off + 8, (end - off).toLong)
+            else (off + 8, size0)
+          val boxEnd =
+            if (size < 8 || off + size > end) end
+            else (off + size).toInt
+          val res = (tpe, payload, boxEnd)
+          off = if (boxEnd <= off) end else boxEnd
+          res
+        }
+      }
+    try {
+      val top = boxes(0, bytes.length).toSeq
+      if (top.isEmpty || top.head._1 != "ftyp") return None
+      var best: Option[(Long, Mp4SampleInfo)] = None // keyed by w*h
+      top.find(_._1 == "moov").foreach { case (_, ms, me) =>
+        boxes(ms, me).foreach {
+          case ("trak", ts0, te) =>
+            var dims = 0L
+            var timescale = 0L
+            var frames = 0L
+            var sttsUnits = 0L
+            var keyframes = -1L
+            var sampleBytes = 0L
+            boxes(ts0, te).foreach {
+              case ("tkhd", ps, _) =>
+                val v = bytes(ps) & 0xFF
+                val dimOff = ps + (if (v == 1) 4 + 8 + 8 + 4 + 4 + 8
+                  else 4 + 4 + 4 + 4 + 4 + 4) + 8 + 2 + 2 + 2 + 2 + 36
+                dims = (u32(dimOff) >> 16) * (u32(dimOff + 4) >> 16)
+              case ("mdia", ds, de) =>
+                boxes(ds, de).foreach {
+                  case ("mdhd", ps, _) =>
+                    val v = bytes(ps) & 0xFF
+                    timescale = if (v == 1) u32(ps + 20) else u32(ps + 12)
+                  case ("minf", fs, fe) =>
+                    boxes(fs, fe).foreach {
+                      case ("stbl", ss, se) =>
+                        boxes(ss, se).foreach {
+                          case ("stts", ps, _) =>
+                            val n = u32(ps + 4).toInt
+                            var i = 0
+                            while (i < n) {
+                              sttsUnits +=
+                                u32(ps + 8 + 8 * i) * u32(ps + 12 + 8 * i)
+                              i += 1
+                            }
+                          case ("stsz", ps, _) =>
+                            val uniform = u32(ps + 4)
+                            val n = u32(ps + 8)
+                            frames = n
+                            if (uniform > 0) sampleBytes = uniform * n
+                            else {
+                              var i = 0
+                              while (i < n) {
+                                sampleBytes += u32(ps + 12 + 4 * i)
+                                i += 1
+                              }
+                            }
+                          case ("stss", ps, _) =>
+                            keyframes = u32(ps + 4)
+                          case _ => ()
+                        }
+                      case _ => ()
+                    }
+                  case _ => ()
+                }
+              case _ => ()
+            }
+            if (frames > 0 && (best.isEmpty || dims > best.get._1)) {
+              best = Some((dims, Mp4SampleInfo(frames,
+                if (keyframes >= 0) keyframes else frames,
+                if (timescale > 0) Some(sttsUnits * 1000L / timescale)
+                else None,
+                sampleBytes)))
+            }
+          case _ => ()
+        }
+      }
+      best.map(_._2)
+    } catch { case _: Exception => None }
+  }
+
   /** Parsed MP3 stream facts from frame headers (no sample decode). */
   final case class Mp3Info(
       version: String,      // "1", "2", "2.5"
@@ -278,50 +400,58 @@ object Multimodal {
     * bitrates are honored; the reported `bitrateKbps` is the first
     * frame's). Stops cleanly at truncation or trailing garbage.
     */
+  /** First MP3 frame body offset: 0 or past the ID3v2 tag (syncsafe size). */
+  private def mp3DataStart(bytes: Array[Byte]): Int =
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+        bytes(2) == '3') {
+      10 + (((bytes(6) & 0x7F) << 21) | ((bytes(7) & 0x7F) << 14) |
+        ((bytes(8) & 0x7F) << 7) | (bytes(9) & 0x7F))
+    } else 0
+
+  /** One frame header at `o`:
+    * (versionIdx, layer, bitrateKbps, sampleRate, channels, frameLen,
+    * samples), or None on bad sync/reserved fields.
+    */
+  private def mp3ParseFrame(bytes: Array[Byte], o: Int)
+      : Option[(Int, Int, Int, Int, Int, Int, Int)] = {
+    if (o + 4 > bytes.length) return None
+    val b1 = bytes(o) & 0xFF; val b2 = bytes(o + 1) & 0xFF
+    val b3 = bytes(o + 2) & 0xFF; val b4 = bytes(o + 3) & 0xFF
+    if (b1 != 0xFF || (b2 & 0xE0) != 0xE0) return None
+    val verBits = (b2 >> 3) & 0x3      // 0=2.5, 1=reserved, 2=2, 3=1
+    val layerBits = (b2 >> 1) & 0x3    // 0=reserved, 1=L3, 2=L2, 3=L1
+    if (verBits == 1 || layerBits == 0) return None
+    val layer = 4 - layerBits
+    val brIdx = (b3 >> 4) & 0xF
+    val srIdx = (b3 >> 2) & 0x3
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+    val mpeg1 = verBits == 3
+    // Four distinct bitrate tables: MPEG-1 has one per layer; MPEG-2/2.5
+    // collapses Layers II+III into one and keeps Layer I separate.
+    val bitrate =
+      (if (layer == 3) { if (mpeg1) Mp3BitratesV1L3 else Mp3BitratesV2L3 }
+       else if (layer == 2) { if (mpeg1) Mp3BitratesV1L2 else Mp3BitratesV2L3 }
+       else { if (mpeg1) Mp3BitratesV1L1 else Mp3BitratesV2L1 })(brIdx)
+    val rate = {
+      val base = Mp3RatesV1(srIdx)
+      if (mpeg1) base else if (verBits == 2) base / 2 else base / 4
+    }
+    if (bitrate == 0 || rate == 0) return None
+    val pad = (b3 >> 1) & 0x1
+    val (frameLen, samples) =
+      if (layer == 1) ((12 * bitrate * 1000 / rate + pad) * 4, 384)
+      else {
+        val coef = if (layer == 3 && !mpeg1) 72 else 144
+        (coef * bitrate * 1000 / rate + pad, if (layer == 3 && !mpeg1) 576 else 1152)
+      }
+    val channels = if (((b4 >> 6) & 0x3) == 3) 1 else 2
+    Some((verBits, layer, bitrate, rate, channels, frameLen, samples))
+  }
+
   def mp3Headers(bytes: Array[Byte]): Option[Mp3Info] = {
     if (bytes == null || bytes.length < 4) return None
-    var off = 0
-    // ID3v2: "ID3" ver(2) flags(1) syncsafe-size(4)
-    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
-      val sz = ((bytes(6) & 0x7F) << 21) | ((bytes(7) & 0x7F) << 14) |
-        ((bytes(8) & 0x7F) << 7) | (bytes(9) & 0x7F)
-      off = 10 + sz
-    }
-    // (versionIdx, layer, bitrateKbps, sampleRate, channels, frameLen, samples)
-    def parseFrame(o: Int): Option[(Int, Int, Int, Int, Int, Int, Int)] = {
-      if (o + 4 > bytes.length) return None
-      val b1 = bytes(o) & 0xFF; val b2 = bytes(o + 1) & 0xFF
-      val b3 = bytes(o + 2) & 0xFF; val b4 = bytes(o + 3) & 0xFF
-      if (b1 != 0xFF || (b2 & 0xE0) != 0xE0) return None
-      val verBits = (b2 >> 3) & 0x3      // 0=2.5, 1=reserved, 2=2, 3=1
-      val layerBits = (b2 >> 1) & 0x3    // 0=reserved, 1=L3, 2=L2, 3=L1
-      if (verBits == 1 || layerBits == 0) return None
-      val layer = 4 - layerBits
-      val brIdx = (b3 >> 4) & 0xF
-      val srIdx = (b3 >> 2) & 0x3
-      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
-      val mpeg1 = verBits == 3
-      // Four distinct bitrate tables: MPEG-1 has one per layer; MPEG-2/2.5
-      // collapses Layers II+III into one and keeps Layer I separate.
-      val bitrate =
-        (if (layer == 3) { if (mpeg1) Mp3BitratesV1L3 else Mp3BitratesV2L3 }
-         else if (layer == 2) { if (mpeg1) Mp3BitratesV1L2 else Mp3BitratesV2L3 }
-         else { if (mpeg1) Mp3BitratesV1L1 else Mp3BitratesV2L1 })(brIdx)
-      val rate = {
-        val base = Mp3RatesV1(srIdx)
-        if (mpeg1) base else if (verBits == 2) base / 2 else base / 4
-      }
-      if (bitrate == 0 || rate == 0) return None
-      val pad = (b3 >> 1) & 0x1
-      val (frameLen, samples) =
-        if (layer == 1) ((12 * bitrate * 1000 / rate + pad) * 4, 384)
-        else {
-          val coef = if (layer == 3 && !mpeg1) 72 else 144
-          (coef * bitrate * 1000 / rate + pad, if (layer == 3 && !mpeg1) 576 else 1152)
-        }
-      val channels = if (((b4 >> 6) & 0x3) == 3) 1 else 2
-      Some((verBits, layer, bitrate, rate, channels, frameLen, samples))
-    }
+    val off = mp3DataStart(bytes)
+    def parseFrame(o: Int) = mp3ParseFrame(bytes, o)
     parseFrame(off).map { first =>
       var frames = 0
       var totalSamples = 0L
@@ -338,6 +468,43 @@ object Multimodal {
       Mp3Info(ver, first._2, first._3, first._4, first._5, frames,
         totalSamples * 1000L / first._4)
     }
+  }
+
+  /** Per-frame bitrate profile of an MP3 stream — the VBR detector a
+    * curation pass runs on audio inventories (a CBR stream has ONE
+    * distinct per-frame bitrate; a VBR stream several, and its nominal
+    * "bitrate" is a per-frame distribution, not a scalar). Header walk
+    * only, honoring each frame's own length.
+    */
+  final case class Mp3RateProfile(
+      frames: Int,
+      nBitrates: Int,
+      minKbps: Int,
+      maxKbps: Int,
+      vbr: Boolean)
+
+  def mp3BitrateStats(bytes: Array[Byte]): Option[Mp3RateProfile] = {
+    if (bytes == null || bytes.length < 4) return None
+    var cur = mp3DataStart(bytes)
+    var frames = 0
+    var minB = Int.MaxValue
+    var maxB = 0
+    val seen = scala.collection.mutable.BitSet.empty
+    var go = true
+    while (go) {
+      mp3ParseFrame(bytes, cur) match {
+        case Some((_, _, br, _, _, len, _))
+            if len > 0 && cur + len <= bytes.length =>
+          frames += 1
+          seen += br
+          if (br < minB) minB = br
+          if (br > maxB) maxB = br
+          cur += len
+        case _ => go = false
+      }
+    }
+    if (frames == 0) None
+    else Some(Mp3RateProfile(frames, seen.size, minB, maxB, seen.size > 1))
   }
 
   /** Header-only image dimensions via the ImageIO reader SPI — the reader
@@ -870,6 +1037,80 @@ object Multimodal {
     }(enc)
   }
 
+  private val sampleFactsSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = true),
+    StructField("frames", LongType, nullable = true),
+    StructField("keyframes", LongType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("kf_per_1000", LongType, nullable = true),
+    StructField("sample_bytes", LongType, nullable = true),
+    StructField("n_bitrates", IntegerType, nullable = true),
+    StructField("min_kbps", IntegerType, nullable = true),
+    StructField("max_kbps", IntegerType, nullable = true),
+    StructField("vbr", IntegerType, nullable = true)))
+
+  /** DEEP media facts — still zero sample decode: MP4 sample tables
+    * (stts/stsz/stss → frame count, media-timescale duration, keyframe
+    * density per 1000 frames, total sample bytes) and the MP3 per-frame
+    * bitrate profile (histogram width, min/max, VBR bit). This is the
+    * second-pass inventory a video/audio curation pipeline needs beyond
+    * [[containerHeaders]] (GOP density and VBR-ness are routing signals
+    * for transcode/filter decisions). Narrow mapPartitions, header bytes
+    * only.
+    */
+  def mediaSampleFacts(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(sampleFactsSchema)
+    media.select("media_id", "mime", "bytes").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val mime = if (r.isNullAt(1)) null else r.getString(1)
+        val bytes = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+        def nulls = Row(id, null, null, null, null, null, null, null, null,
+          null, null)
+        if (bytes == null || mime == null) nulls
+        else if (mime == "video/mp4" || mime == "video/quicktime")
+          mp4SampleFacts(bytes).map { i =>
+            Row(id, "mp4", i.frames, i.keyframes, i.durationMs.orNull,
+              java.lang.Long.valueOf(i.keyframes * 1000L / math.max(1L, i.frames)),
+              i.totalSampleBytes, null, null, null, null)
+          }.getOrElse(nulls)
+        else if (mime == "audio/mpeg" || mime == "audio/mp3")
+          mp3BitrateStats(bytes).map { p =>
+            Row(id, "mp3", p.frames.toLong, null, null, null, null,
+              p.nBitrates, p.minKbps, p.maxKbps, if (p.vbr) 1 else 0)
+          }.getOrElse(nulls)
+        else nulls
+      }
+    }(enc)
+  }
+
+  /** Deep-media fixture: even ids are MP4s WITH sample tables (frames,
+    * key cadence, sizes all id arithmetic); odd ids are MP3s — id%4==1
+    * CBR at 128, id%4==3 VBR cycling 112/128/160 — so every fact
+    * [[mediaSampleFacts]] reports is pinnable by an independent engine
+    * from the id alone.
+    */
+  def syntheticDeepMedia(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).select(col("id").as("media_id")).map { r =>
+      val id = r.getLong(0)
+      if (id % 2 == 0) {
+        val frames = 48 + (id % 10).toInt * 25
+        val bytes = syntheticMp4Bytes(1000L + (id % 10) * 500L,
+          Seq((320 + (id % 4).toInt * 160, 240 + (id % 4).toInt * 120)),
+          Some(Mp4SampleSpec(timescale = 12800, delta = 512, frames = frames,
+            keyEvery = 8, baseSize = 800)))
+        (id, "video/mp4", bytes)
+      } else {
+        val frames = 10 + (id % 20).toInt
+        val pattern = if (id % 4 == 1) Seq(128) else Seq(112, 128, 160)
+        (id, "audio/mpeg",
+          syntheticMp3Bytes(frames, withId3 = id % 4 == 1, pattern))
+      }
+    }.toDF("media_id", "mime", "bytes")
+  }
+
   /** PCM container header (WAV/AIFF/AU) via the sound SPI's file-format
     * probe — header-only, no sample read. (container, duration_ms, rate,
     * channels, frames); null container when unparseable.
@@ -932,7 +1173,16 @@ object Multimodal {
     * ISO/IEC 14496-12; no media data — exactly the header surface
     * [[mp4Headers]] reads.
     */
-  def syntheticMp4Bytes(durationMs: Long, trackDims: Seq[(Int, Int)]): Array[Byte] = {
+  /** Sample-table spec for [[syntheticMp4Bytes]]' video tracks:
+    * (timescale, per-sample delta, frame count, key-every, base size) —
+    * sizes run base + (i % 7) · 16 so the byte total is pure id
+    * arithmetic for the oracle.
+    */
+  final case class Mp4SampleSpec(
+      timescale: Int, delta: Int, frames: Int, keyEvery: Int, baseSize: Int)
+
+  def syntheticMp4Bytes(durationMs: Long, trackDims: Seq[(Int, Int)],
+      sampleSpec: Option[Mp4SampleSpec] = None): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     def be32(v: Long): Array[Byte] =
       Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
@@ -946,12 +1196,33 @@ object Multimodal {
         be32(0x00010000L) ++ Array[Byte](0, 0, 0, 0) ++ // rate, volume+reserved
         new Array[Byte](8) ++ new Array[Byte](36) ++     // reserved, matrix
         new Array[Byte](24) ++ be32(trackDims.length + 1L)) // predefined, next id
+    // Per-video-track sample tables (ISO 14496-12): mdia { mdhd,
+    // minf { stbl { stts, stsz, stss } } } — the surface
+    // [[mp4SampleFacts]] reads.
+    def mdiaFor(spec: Mp4SampleSpec): Array[Byte] = {
+      val mdhd = box("mdhd",
+        be32(0) ++ be32(0) ++ be32(0) ++ be32(spec.timescale.toLong) ++
+          be32(spec.frames.toLong * spec.delta) ++ be32(0))
+      val stts = box("stts",
+        be32(0) ++ be32(1) ++ be32(spec.frames.toLong) ++ be32(spec.delta.toLong))
+      val sizes = (0 until spec.frames)
+        .flatMap(i => be32(spec.baseSize + (i % 7) * 16L)).toArray
+      val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(spec.frames.toLong) ++ sizes)
+      val keys = (1 to spec.frames by spec.keyEvery)
+        .flatMap(k => be32(k.toLong)).toArray
+      val stss = box("stss",
+        be32(0) ++ be32((1 to spec.frames by spec.keyEvery).size.toLong) ++ keys)
+      box("mdia", mdhd ++ box("minf", box("stbl", stts ++ stsz ++ stss)))
+    }
     val traks = trackDims.zipWithIndex.map { case ((w, h), i) =>
-      box("trak", box("tkhd",
+      val tkhd = box("tkhd",
         be32(0) ++ be32(0) ++ be32(0) ++ be32(i + 1L) ++ be32(0) ++ // v+fl,ct,mt,id,rsv
           be32(durationMs) ++ new Array[Byte](8) ++                 // duration, reserved
           new Array[Byte](8) ++ new Array[Byte](36) ++              // layer..volume.., matrix
-          be32(w.toLong << 16) ++ be32(h.toLong << 16)))            // 16.16 dims
+          be32(w.toLong << 16) ++ be32(h.toLong << 16))             // 16.16 dims
+      val mdia = sampleSpec.filter(_ => w > 0 && h > 0)
+        .map(mdiaFor).getOrElse(Array.emptyByteArray)
+      box("trak", tkhd ++ mdia)
     }
     bos.write(ftyp)
     bos.write(box("moov", mvhd ++ traks.flatten.toArray))
@@ -963,19 +1234,28 @@ object Multimodal {
     * by an empty ID3v2 tag to exercise the skip path. Frame bodies are
     * deterministic filler; only headers matter to [[mp3Headers]].
     */
-  def syntheticMp3Bytes(frames: Int, withId3: Boolean): Array[Byte] = {
+  /** MPEG-1 Layer III bitrate (kbps) → header bitrate index. */
+  private val Mp3V1L3Index: Map[Int, Int] =
+    Mp3BitratesV1L3.zipWithIndex.filter(_._1 > 0).map(t => t._1 -> t._2).toMap
+
+  def syntheticMp3Bytes(frames: Int, withId3: Boolean,
+      bitratePattern: Seq[Int] = Seq(128)): Array[Byte] = {
+    require(bitratePattern.nonEmpty &&
+      bitratePattern.forall(Mp3V1L3Index.contains),
+      s"unsupported MPEG-1 L3 bitrates in $bitratePattern")
     val bos = new java.io.ByteArrayOutputStream()
     if (withId3) {
       bos.write(Array[Byte]('I', 'D', '3', 3, 0, 0))
       bos.write(Array[Byte](0, 0, 0, 32)) // syncsafe size 32
       bos.write(new Array[Byte](32))
     }
-    val frameLen = 144 * 128000 / 44100 // 417
     var f = 0
     while (f < frames) {
+      val kbps = bitratePattern(f % bitratePattern.size)
+      val frameLen = 144 * kbps * 1000 / 44100
       val frame = new Array[Byte](frameLen)
       frame(0) = 0xFF.toByte; frame(1) = 0xFB.toByte // MPEG1 L3 no-CRC
-      frame(2) = 0x90.toByte                         // 128 kbps, 44100, no pad
+      frame(2) = ((Mp3V1L3Index(kbps) << 4) & 0xFF).toByte // kbps, 44100, no pad
       frame(3) = 0x00.toByte                         // stereo
       var i = 4
       while (i < frameLen) { frame(i) = ((f * 31 + i) & 0x7F).toByte; i += 1 }

@@ -1575,6 +1575,46 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.mp3Headers(null).isEmpty)
   }
 
+  test("mp4 sample tables: stts duration, stsz bytes, stss keyframes") {
+    // 23 frames, delta 512 @ timescale 12800 (40 ms/frame), keys every 8
+    // (samples 1, 9, 17 → 3), sizes 800 + (i%7)·16.
+    val spec = Multimodal.Mp4SampleSpec(12800, 512, 23, 8, 800)
+    val b = Multimodal.syntheticMp4Bytes(999L, Seq((320, 240)), Some(spec))
+    val f = Multimodal.mp4SampleFacts(b).get
+    assert(f.frames === 23L)
+    assert(f.keyframes === 3L)
+    assert(f.durationMs === Some(23L * 40))
+    val expBytes = (0 until 23).map(i => 800L + (i % 7) * 16).sum
+    assert(f.totalSampleBytes === expBytes)
+    // The header pass is untouched by the added boxes.
+    val h = Multimodal.mp4Headers(b).get
+    assert(h.durationMs === Some(999L) && h.width === Some(320))
+    // No sample table → None; garbage → None, never throws.
+    assert(Multimodal.mp4SampleFacts(
+      Multimodal.syntheticMp4Bytes(999L, Seq((320, 240)))).isEmpty)
+    assert(Multimodal.mp4SampleFacts("junk".getBytes).isEmpty)
+    assert(Multimodal.mp4SampleFacts(null).isEmpty)
+    Multimodal.mp4SampleFacts(b.take(60)) // truncated: must not throw
+  }
+
+  test("mp3 bitrate profile: CBR one bucket, VBR histogram + per-frame lengths") {
+    val cbr = Multimodal.mp3BitrateStats(
+      Multimodal.syntheticMp3Bytes(12, withId3 = true)).get
+    assert(cbr.frames === 12 && cbr.nBitrates === 1 && !cbr.vbr)
+    assert(cbr.minKbps === 128 && cbr.maxKbps === 128)
+    val vbr = Multimodal.mp3BitrateStats(
+      Multimodal.syntheticMp3Bytes(10, withId3 = false,
+        Seq(112, 128, 160))).get
+    assert(vbr.frames === 10 && vbr.nBitrates === 3 && vbr.vbr)
+    assert(vbr.minKbps === 112 && vbr.maxKbps === 160)
+    // The walk honors each frame's OWN length — mp3Headers agrees on the
+    // frame count over the same VBR stream (desync would split them).
+    assert(Multimodal.mp3Headers(Multimodal.syntheticMp3Bytes(10,
+      withId3 = false, Seq(112, 128, 160))).get.frames === 10)
+    assert(Multimodal.mp3BitrateStats("noise".getBytes).isEmpty)
+    assert(Multimodal.mp3BitrateStats(null).isEmpty)
+  }
+
   test("mp3 scan uses the MPEG-1 Layer II bitrate table (32..384 kbps)") {
     // MPEG-1 Layer II, brIdx 8 = 128 kbps UNDER THE LAYER II TABLE;
     // the Layer III table reads the same index as 112 kbps, which walks
