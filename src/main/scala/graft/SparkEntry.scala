@@ -2365,6 +2365,20 @@ object SparkEntry {
         .presented("doc_id")
     }),
 
+    // DoReMi domain reweighting (Xie et al. 2023): multiplicative-weights
+    // rounds over per-domain mean excess loss, int64 fixed-point
+    // throughout (Hedge linear update instead of exp — libm exp is not
+    // correctly rounded), smoothing toward uniform each round. The
+    // per-doc excess here is id-synthesized (the q_pagerank fixture
+    // convention); domains = lang. Fully oracled: 5 unrolled CTE rounds
+    // replay every weight bit-for-bit.
+    "q_doremi" -> ((s, dir) =>
+      Curation.doremiWeights(
+        t(s, dir, "documents").select(col("lang"),
+          ((col("doc_id") * 7919) % 2001 - 1000).as("excess")),
+        "lang", "excess", rounds = 5, etaNum = 200L, etaDen = 1L)
+        .presented("domain")),
+
     // CCNet head/middle/tail (Wenzek et al. 2020): per-LANGUAGE KN
     // quality terciles, reference slice = src0, all per-lang LMs trained
     // in one lang-keyed aggregation pass. The ranking score
@@ -3246,6 +3260,7 @@ object SparkEntry {
          | SELECT (SELECT count(*) FROM tr) AS n_train,
          |   (SELECT count(*) FROM fl) AS n_exact_flagged,
          |   1 AS no_false_neg""".stripMargin,
+    "q_doremi" -> doremiOracleSql(5),
     "q_pagerank" -> pageRankOracleSql(3),
     "q_pagerank_scaled" ->
       pageRankOracleSql(3, ScaledVSql, ScaledU0, ScaledV1),
@@ -5273,6 +5288,39 @@ object SparkEntry {
     * ranks. The edge generator mirrors q_pagerank's synthesized domain
     * graph.
     */
+  /** Unrolled DoReMi replay: per-domain mean excess with explicit floor
+    * semantics on the one signed division (the kMeans correction trick),
+    * then `rounds` chained (update → renormalize → smooth) CTEs — all
+    * remaining divisions are positive, where truncation IS floor in both
+    * engines. etaDen is fixed at 1 here (factor = 2^20 + 200·L exactly).
+    */
+  private def doremiOracleSql(rounds: Int): String = {
+    val S = 1L << 20
+    val c = 1049L
+    def round(t: Int): String =
+      s""" m$t AS (SELECT domain, n, l, fac, alpha * fac // $S AS m
+         |   FROM r${t - 1}),
+         | s$t AS (SELECT sum(m) AS s FROM m$t),
+         | r$t AS (SELECT domain, n, l, fac,
+         |     ((${S - c} * ((m * $S * dd.d) // s$t.s)) + ${c * S}) // $S
+         |       AS alpha
+         |   FROM m$t, s$t, dd),""".stripMargin
+    s"""WITH a AS (SELECT lang AS domain, count(*) AS n,
+       |     sum((doc_id * 7919) % 2001 - 1000) AS s
+       |   FROM documents GROUP BY lang),
+       | dd AS (SELECT count(*) AS d FROM a),
+       | f AS (SELECT domain, n,
+       |     (s - ((s % n) + n) % n) // n AS l
+       |   FROM a),
+       | r0 AS (SELECT domain, n, l,
+       |     $S + 200 * l AS fac, CAST($S AS BIGINT) AS alpha FROM f),
+       |${(1 to rounds).map(round).mkString("\n")}
+       | fin AS (SELECT * FROM r$rounds)
+       | SELECT domain, CAST(n AS BIGINT) AS n_docs,
+       |   CAST(l AS BIGINT) AS mean_excess, CAST(alpha AS BIGINT) AS weight
+       | FROM fin ORDER BY domain""".stripMargin
+  }
+
   private def pageRankOracleSql(iters: Int,
       modSql: String = "100", u0: String = PlainU0,
       v1: String = PlainV1): String = {

@@ -563,6 +563,71 @@ object Curation {
       (draw < thresh).cast("int").as("keep"))
   }
 
+  /** DoReMi domain reweighting (Xie et al. 2023): the data-mixture
+    * optimizer that upweights domains where the proxy model's EXCESS loss
+    * over a reference model is largest — multiplicative-weights rounds
+    *
+    *   α_t ∝ α_{t−1} · (1 + η · excess)   (the Hedge linear update),
+    *   then renormalize and smooth toward uniform with mass c,
+    *
+    * over the per-domain mean excess. Everything is int64 fixed-point
+    * (weights in units of 2^20, floor divisions with EXPLICIT floor
+    * semantics on negatives — the kMeans oracle trick), so every round
+    * replays bit-for-bit in any engine; exp(η·L) is deliberately replaced
+    * by its first-order Hedge form because libm exp is not correctly
+    * rounded.
+    *
+    * Scale shape: ONE map-side-combined aggregation computes every
+    * domain's (count, mean excess); the T rounds run driver-side on the
+    * |domains|-row table (domains are bounded — the unimax/temperatureMix
+    * precedent) and the result is a |domains|-row frame. Output:
+    * (domain, n_docs, mean_excess, weight) with Σ weight ≈ 2^20·|domains|.
+    */
+  def doremiWeights(
+      df: DataFrame,
+      domainCol: String,
+      excessCol: String,
+      rounds: Int = 5,
+      etaNum: Long = 200L,
+      etaDen: Long = 1L,
+      smoothingFp: Long = 1049L, // ≈ 1e-3 · 2^20, the DoReMi default c
+      scale: Long = 1L << 20): DataFrame = {
+    require(rounds >= 1 && rounds <= 64,
+      s"rounds must be in [1, 64], got $rounds")
+    require(etaDen > 0 && scale > 0 && smoothingFp >= 0 && smoothingFp < scale,
+      s"bad etaDen/scale/smoothing: $etaDen/$scale/$smoothingFp")
+    val spark = df.sparkSession
+    val agg = df.groupBy(col(domainCol).cast("string").as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(excessCol).cast("long")).as("s"))
+      .collect()
+      .map { r =>
+        require(!r.isNullAt(0), s"doremiWeights: null in '$domainCol'")
+        (r.getString(0), r.getLong(1), Math.floorDiv(r.getLong(2), r.getLong(1)))
+      }
+      .sortBy(_._1)
+    require(agg.nonEmpty, "doremiWeights: empty corpus")
+    val d = agg.length
+    val factors = agg.map { case (_, _, l) =>
+      val f = scale + Math.floorDiv(etaNum * l, etaDen)
+      require(f > 0,
+        s"doremiWeights: non-positive update factor $f for mean excess $l " +
+          "- reduce etaNum/etaDen")
+      f
+    }
+    var alpha = Array.fill(d)(scale)
+    (1 to rounds).foreach { _ =>
+      val m = alpha.indices.map(i => alpha(i) * factors(i) / scale)
+      val s = m.sum
+      alpha = m.map(x => ((scale - smoothingFp) * (x * scale * d / s) +
+        smoothingFp * scale) / scale).toArray
+    }
+    import spark.implicits._
+    agg.indices.map { i =>
+      (agg(i)._1, agg(i)._2, agg(i)._3, alpha(i))
+    }.toDF("domain", "n_docs", "mean_excess", "weight")
+  }
+
   /** Snapshot diff between two corpus versions — the audit an incremental
     * refresh pipeline emits before replacing a training slice: which ids
     * were ADDED, REMOVED, MODIFIED (content hash changed), or UNCHANGED.

@@ -82,6 +82,37 @@ class CurationSpec extends SparkTestBase {
     assert(other.map(_._5) !== rows.map(_._5))
   }
 
+  test("doremiWeights: hand-computed Hedge rounds, ordering, smoothing floor") {
+    // Two domains, mean excess +100 and −100 → factors 2^20 ± 20000.
+    val df = Seq(("a", 100L), ("a", 100L), ("b", -100L))
+      .toDF("domain", "excess")
+    val got = Curation.doremiWeights(df, "domain", "excess",
+        rounds = 2, etaNum = 200L, etaDen = 1L, smoothingFp = 1049L)
+      .orderBy("domain")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // Independent replay of the integer algebra.
+    val S = 1L << 20
+    val fac = Map("a" -> (S + 20000L), "b" -> (S - 20000L))
+    var al = Map("a" -> S, "b" -> S)
+    (1 to 2).foreach { _ =>
+      val m = al.map { case (k, v) => k -> v * fac(k) / S }
+      val s = m.values.sum
+      al = m.map { case (k, v) =>
+        k -> (((S - 1049L) * (v * S * 2 / s)) + 1049L * S) / S
+      }
+    }
+    assert(got === Seq(("a", 2L, 100L, al("a")), ("b", 1L, -100L, al("b"))))
+    // The high-excess domain ends strictly heavier; smoothing keeps every
+    // weight at least c · uniform.
+    assert(al("a") > al("b") && al("b") > 1049L)
+    // Zero excess everywhere is a fixpoint at uniform.
+    val unif = Curation.doremiWeights(
+        Seq(("x", 0L), ("y", 0L)).toDF("domain", "excess"),
+        "domain", "excess", rounds = 3)
+      .select("weight").as[Long].collect().toSeq
+    assert(unif === Seq(S, S))
+  }
+
   test("weightedSample matches an independent replication of the A-ES keys") {
     // Replicate key = u^(1/w) off-Spark: salted md5 → first 13 hex digits →
     // /2^52 → pow. The operator's top-k must equal this exactly.
