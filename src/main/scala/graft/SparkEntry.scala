@@ -1491,6 +1491,20 @@ object SparkEntry {
             col("m_kth") === col("d_kth")).cast("int").as("merge_exact"))
     }),
 
+    // KMV INTERSECTION across source slices (Beyer et al. 2007):
+    // min-k(A∪B) from the two sketches alone, Jaccard fraction ρ of the
+    // union min-k present in both, |A∩B| ≈ ρ·|A∪B|_KMV — pairwise
+    // vocabulary overlap across N slices for N k-bounded sketches
+    // instead of N² distinct joins. FULLY oracled including est_ok (md5
+    // order statistics + integer floor arithmetic + 2^20 fixed-point
+    // tolerance — no float in the contract).
+    "q_kmv_intersect" -> ((s, dir) =>
+      Sketches.kmvIntersect(
+        t(s, dir, "documents").select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("w")),
+        "source", "w", k = 64)
+        .presented("src_a", "src_b")),
+
     // HLL-audited distinct users per event type: exact distinct count
     // (oracled) + a deterministic audit bit that the mergeable sketch
     // estimate landed inside its 4σ envelope.
@@ -3261,6 +3275,7 @@ object SparkEntry {
          |   (SELECT count(*) FROM fl) AS n_exact_flagged,
          |   1 AS no_false_neg""".stripMargin,
     "q_doremi" -> doremiOracleSql(5),
+    "q_kmv_intersect" -> kmvIntersectOracleSql(64),
     "q_pagerank" -> pageRankOracleSql(3),
     "q_pagerank_scaled" ->
       pageRankOracleSql(3, ScaledVSql, ScaledU0, ScaledV1),
@@ -5288,6 +5303,66 @@ object SparkEntry {
     * ranks. The edge generator mirrors q_pagerank's synthesized domain
     * graph.
     */
+  /** KMV-intersection replay: min-k per source by md5 order statistics,
+    * union min-k from the two sketch sets, integer estimators, and the
+    * same 2^20-fixed-point tolerance constant the engine computes.
+    */
+  private def kmvIntersectOracleSql(k: Int): String = {
+    val space = 1L << 48
+    val tolFp = math.floor(4.0 / math.sqrt((k - 2).toDouble) * (1L << 20)).toLong
+    s"""WITH tok AS (SELECT DISTINCT source AS key, unnest($tokensSql) AS w
+       |     FROM documents),
+       | hs AS (SELECT DISTINCT key,
+       |     CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) AS h FROM tok),
+       | mk AS (SELECT key, h FROM (
+       |     SELECT key, h, row_number() OVER (PARTITION BY key ORDER BY h)
+       |       AS rn FROM hs) WHERE rn <= $k),
+       | nd AS (SELECT key, count(*) AS n FROM tok GROUP BY key),
+       | pr AS (SELECT a.key AS src_a, b.key AS src_b
+       |   FROM nd a JOIN nd b ON a.key < b.key),
+       | uh AS (SELECT pr.src_a, pr.src_b, m.h
+       |     FROM pr JOIN mk m ON m.key = pr.src_a
+       |   UNION
+       |   SELECT pr.src_a, pr.src_b, m.h
+       |     FROM pr JOIN mk m ON m.key = pr.src_b),
+       | um AS (SELECT src_a, src_b, h, row_number() OVER (
+       |     PARTITION BY src_a, src_b ORDER BY h) AS rn FROM uh),
+       | uk AS (SELECT src_a, src_b, max(h) AS kth_hash, count(*) AS n_kept
+       |   FROM um WHERE rn <= $k GROUP BY 1, 2),
+       | ik AS (SELECT um.src_a, um.src_b, count(*) AS ik FROM um
+       |     JOIN mk ma ON ma.key = um.src_a AND ma.h = um.h
+       |     JOIN mk mb ON mb.key = um.src_b AND mb.h = um.h
+       |   WHERE um.rn <= $k GROUP BY 1, 2),
+       | xi AS (SELECT t1.key AS src_a, t2.key AS src_b, count(*) AS n_inter
+       |   FROM tok t1 JOIN tok t2 ON t1.w = t2.w AND t1.key < t2.key
+       |   GROUP BY 1, 2),
+       | fin AS (SELECT pr.src_a, pr.src_b,
+       |     coalesce(xi.n_inter, 0) AS n_inter_exact,
+       |     na.n + nb.n - coalesce(xi.n_inter, 0) AS n_union_exact,
+       |     uk.n_kept, uk.kth_hash,
+       |     CASE WHEN uk.n_kept < $k THEN uk.n_kept
+       |          ELSE (${(k - 1).toLong * space} // (uk.kth_hash + 1))
+       |       END AS est_union,
+       |     coalesce(ik.ik, 0) AS ik
+       |   FROM pr JOIN nd na ON na.key = pr.src_a
+       |     JOIN nd nb ON nb.key = pr.src_b
+       |     JOIN uk ON uk.src_a = pr.src_a AND uk.src_b = pr.src_b
+       |     LEFT JOIN ik ON ik.src_a = pr.src_a AND ik.src_b = pr.src_b
+       |     LEFT JOIN xi ON xi.src_a = pr.src_a AND xi.src_b = pr.src_b)
+       | SELECT src_a, src_b,
+       |   CAST(n_inter_exact AS BIGINT) AS n_inter_exact,
+       |   CAST(n_union_exact AS BIGINT) AS n_union_exact,
+       |   CAST(n_kept AS INT) AS n_kept, kth_hash,
+       |   CAST(est_union AS BIGINT) AS est_union,
+       |   CAST(CASE WHEN n_kept < $k THEN ik
+       |        ELSE (ik * est_union) // $k END AS BIGINT) AS est_inter,
+       |   CAST(abs(CASE WHEN n_kept < $k THEN ik
+       |         ELSE (ik * est_union) // $k END - n_inter_exact)
+       |     <= greatest(8, ($tolFp * n_union_exact) // ${1L << 20})
+       |     AS INT) AS est_ok
+       | FROM fin ORDER BY src_a, src_b""".stripMargin
+  }
+
   /** Unrolled DoReMi replay: per-domain mean excess with explicit floor
     * semantics on the one signed division (the kMeans correction trick),
     * then `rounds` chained (update → renormalize → smooth) CTEs — all

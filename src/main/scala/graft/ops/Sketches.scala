@@ -177,6 +177,84 @@ object Sketches {
           .cast("int"))
   }
 
+  /** KMV set-INTERSECTION estimate across key pairs (Beyer et al. 2007):
+    * min-k(A ∪ B) is computable from the two sketches alone
+    * (min-k(A∪B) ⊆ K_A ∪ K_B), the fraction ρ of that union min-k
+    * present in BOTH sketches estimates Jaccard, and
+    * |A∩B| ≈ ρ · |A∪B|_KMV — so pairwise overlap across N corpus slices
+    * costs N k-bounded sketches instead of N² distinct-joins. The whole
+    * estimator is md5 order statistics + integer floor arithmetic
+    * (including the 2^20-fixed-point tolerance), so a SQL oracle replays
+    * every output bit including `est_ok`.
+    *
+    * Output per (src_a < src_b): exact intersection/union (the
+    * verification tier, same contract as [[kmvDistinct]]'s n_exact),
+    * kept-union size, k-th union hash, both estimates, and the 4σ-style
+    * audit bit. Pairs whose union keeps < k hashes are hash-exact by
+    * construction.
+    */
+  def kmvIntersect(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 3, s"k must be >= 3 for the KMV estimator, got $k")
+    val space = 1L << 48
+    val tolFp = math.floor(4.0 / math.sqrt((k - 2).toDouble) * (1L << 20)).toLong
+    val vals = df.where(col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"),
+        col(valueCol).cast("string").as("v"))
+      .distinct()
+    val h = conv(substring(md5(col("v").cast("binary")), 1, 12), 16, 10)
+      .cast("long")
+    val sk = vals.select(col("key"), col("v"), h.as("__h"))
+      .groupBy(col("key"))
+      .agg(
+        graft.functions.TopKByScore.topk_by_score(
+          -col("__h").cast("double"), col("__h"), k, distinctIds = true)
+          .as("__mins"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("key"),
+        transform(col("__mins"), e => e.getField("id")).as("hs"),
+        col("n_distinct"))
+    val exInter = vals.as("x")
+      .join(vals.as("y"),
+        col("x.v") === col("y.v") && col("x.key") < col("y.key"))
+      .groupBy(col("x.key").as("src_a"), col("y.key").as("src_b"))
+      .agg(count(lit(1)).as("n_inter_exact"))
+    val unionK = slice(array_sort(array_distinct(
+      concat(col("a.hs"), col("b.hs")))), 1, k)
+    val pairs = sk.as("a")
+      .join(sk.as("b"), col("a.key") < col("b.key"))
+      .select(col("a.key").as("src_a"), col("b.key").as("src_b"),
+        col("a.n_distinct").as("__na"), col("b.n_distinct").as("__nb"),
+        unionK.as("__u"),
+        array_intersect(col("a.hs"), col("b.hs")).as("__both"))
+      .select(col("src_a"), col("src_b"), col("__na"), col("__nb"),
+        size(col("__u")).as("n_kept"),
+        element_at(col("__u"), size(col("__u"))).as("kth_hash"),
+        size(array_intersect(col("__u"), col("__both"))).as("__ik"))
+    pairs.join(exInter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("n_inter_exact"), lit(0L)).as("n_inter_exact"),
+        (col("__na") + col("__nb") -
+          coalesce(col("n_inter_exact"), lit(0L))).as("n_union_exact"),
+        col("n_kept"), col("kth_hash"),
+        when(col("n_kept") < k, col("n_kept").cast("long"))
+          .otherwise(expr(s"${(k - 1).toLong * space}L DIV (kth_hash + 1L)"))
+          .as("est_union"),
+        col("__ik"))
+      .withColumn("est_inter",
+        when(col("n_kept") < k, col("__ik").cast("long"))
+          .otherwise(expr(s"(__ik * est_union) DIV $k")))
+      .withColumn("est_ok",
+        (abs(col("est_inter") - col("n_inter_exact")) <=
+          greatest(lit(8L),
+            expr(s"($tolFp * n_union_exact) DIV ${1L << 20}")))
+          .cast("int"))
+      .drop("__ik")
+  }
+
   def hllAuditedDistinct(
       df: DataFrame,
       keyCol: String,

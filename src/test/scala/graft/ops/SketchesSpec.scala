@@ -82,6 +82,32 @@ class SketchesSpec extends SparkTestBase {
     assert(d._2 === 1L && d._3 === 1 && d._5 === 1L)
   }
 
+  test("kmvIntersect: hash-exact below k, envelope above, sketch-only union") {
+    // Small pair (union 15 < k=16): intersection recovered hash-exactly.
+    val small = ((0 until 10).map(i => ("a", s"v$i")) ++
+      (5 until 15).map(i => ("b", s"v$i"))).toDF("k", "v")
+    val s = Sketches.kmvIntersect(small, "k", "v", k = 16)
+      .as[(String, String, Long, Long, Int, Long, Long, Long, Int)]
+      .collect().head
+    assert(s._1 === "a" && s._2 === "b")
+    assert(s._3 === 5L && s._4 === 15L)            // exact inter/union
+    assert(s._5 === 15 && s._7 === 15L && s._8 === 5L && s._9 === 1)
+    // Large pair (5000 ∪ 5000, 2500 shared): estimator path, n_kept = k,
+    // audit bit holds at 4σ.
+    val big = ((0 until 5000).map(i => ("a", s"x$i")) ++
+      (2500 until 7500).map(i => ("b", s"x$i"))).toDF("k", "v")
+    val g = Sketches.kmvIntersect(big, "k", "v", k = 64)
+      .as[(String, String, Long, Long, Int, Long, Long, Long, Int)]
+      .collect().head
+    assert(g._3 === 2500L && g._4 === 7500L && g._5 === 64)
+    assert(g._9 === 1, s"est_inter ${g._8} outside envelope of 2500")
+    // Partition-invariant (min-k merges associatively).
+    val re = Sketches.kmvIntersect(big.repartition(13), "k", "v", k = 64)
+      .as[(String, String, Long, Long, Int, Long, Long, Long, Int)]
+      .collect().head
+    assert(re === g)
+  }
+
   test("cmsAuditedTopTokens is deterministic across runs (seeded sketch)") {
     val docs = (1 to 50).map(i => s"w${i % 7} w${i % 13} common").toDF("text")
     val a = Sketches.cmsAuditedTopTokens(docs, "text", k = 10)
