@@ -581,6 +581,58 @@ object LogStream {
       ((d(4) & 0xFFL) << 8) | (d(5) & 0xFFL)
   }
 
+  /** Input contract for [[reservoirSampleStream]]. */
+  case class SampleInput(key: String, id: Long)
+  /** Per-key state: up to k (draw, id) pairs, ascending (draw, id). */
+  private[streaming] case class ReservoirState(
+      entries: List[(Long, Long)], nSeen: Long)
+  /** A key's current sample after a micro-batch: ids in ascending
+    * (draw, id) order — rank r of the batch operator's output is
+    * `ids(r-1)`.
+    */
+  case class ReservoirReport(key: String, n_seen: Long, ids: Seq[Long])
+
+  /** Streaming per-key deterministic k-sample — the continuous form of
+    * [[graft.ops.Curation.stratifiedSample]]: each stratum keeps the k
+    * ids with the SMALLEST salted md5 draws (ties to the lower id),
+    * which is a bottom-k ORDER STATISTIC, not RNG state — so after ANY
+    * prefix of the stream the sample equals the batch operator's over
+    * the same rows, batch boundaries and partitioning can't change it,
+    * and kill/resume is pure equality (state is a function of the seen
+    * row multiset). This is how a 100 TB/day pipeline maintains a
+    * standing eval panel per language/domain without re-scanning
+    * history: state per key is ≤ k (draw, id) pairs.
+    */
+  def reservoirSampleStream(
+      rows: Dataset[SampleInput],
+      k: Int,
+      salt: String = "graft"): Dataset[ReservoirReport] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(_.key)
+      .mapGroupsWithState[ReservoirState, ReservoirReport](
+        GroupStateTimeout.NoTimeout()) {
+        case (key, it, state: GroupState[ReservoirState]) =>
+          var e = state.getOption.map(_.entries).getOrElse(Nil)
+          var seen = state.getOption.map(_.nSeen).getOrElse(0L)
+          it.foreach { r =>
+            seen += 1
+            val d = kmvHash48(s"${r.id}-$salt")
+            val pair = (d, r.id)
+            // A repeated id re-derives the identical (draw, id) pair —
+            // one slot, never two (the batch operator sees unique ids).
+            if (!e.contains(pair) &&
+                (e.size < k || implicitly[Ordering[(Long, Long)]]
+                  .lt(pair, e.last))) {
+              e = (pair :: e).sorted.take(k)
+            }
+          }
+          state.update(ReservoirState(e, seen))
+          ReservoirReport(key, seen, e.map(_._2))
+      }
+  }
+
   /** Input contract for [[cmsHeavyHittersStream]]. */
   case class TokenInput(key: String, token: String, eventTimeMs: Long)
   /** Per-key state: the serialized Count–Min sketch + the ≤ k current

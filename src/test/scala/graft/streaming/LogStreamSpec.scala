@@ -530,6 +530,55 @@ class LogStreamSpec extends SparkTestBase {
       s"estimate $streamFinal outside HLL guarantee of 3000")
   }
 
+  test("reservoirSampleStream: final sample equals batch stratifiedSample; kill/resume equality") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ids = (1L to 500L)
+    val ckpt = Files.createTempDirectory("res-ckpt").toString
+    val input = MemoryStream[LogStream.SampleInput]
+    val est = LogStream.reservoirSampleStream(input.toDS(), k = 7)
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Seq[Long])]()
+    def start() = est.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[LogStream.ReservoirReport],
+            _: Long) =>
+          batch.collect().foreach(r => buf.add((r.key, r.n_seen, r.ids)))
+      }.start()
+    // Phase 1: odd ids to stratum a, first 100 evens to b (plus a
+    // repeated id, which must not occupy two slots) — then KILL.
+    val q1 = start()
+    try {
+      input.addData(ids.filter(_ % 2 == 1).map(i =>
+        LogStream.SampleInput("a", i)) ++
+        ids.filter(_ % 2 == 0).take(100).map(i =>
+          LogStream.SampleInput("b", i)) ++
+        Seq(LogStream.SampleInput("a", 1L)): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // Phase 2: resume; the remaining evens.
+    val q2 = start()
+    try {
+      input.addData(ids.filter(_ % 2 == 0).drop(100).map(i =>
+        LogStream.SampleInput("b", i)): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val finals = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(buf).asScala.toList
+      .groupBy(_._1).map { case (k, xs) => k -> xs.last }
+    // Batch truth: stratifiedSample over the SAME logical rows — rank r
+    // is ids(r-1) in the stream report.
+    val batch = graft.ops.Curation.stratifiedSample(
+        ids.map(i => (i, if (i % 2 == 1) "a" else "b")).toDF("id", "s"),
+        "id", "s", nPerStratum = 7)
+      .orderBy("stratum", "rank")
+      .as[(String, Long, Int)].collect().toSeq
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2) }
+    assert(finals("a")._3 === batch("a") && finals("b")._3 === batch("b"))
+    assert(finals("a")._2 === 251L, "n_seen counts rows, including the dup")
+    assert(finals("b")._2 === 250L)
+  }
+
   test("attributionJoin: in-window clicks match; left_outer emits unclicked after watermark") {
     implicit val sqlCtx = spark.sqlContext
     val imps = MemoryStream[LogStream.ImpressionInput]
