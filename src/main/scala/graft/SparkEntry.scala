@@ -1861,6 +1861,16 @@ object SparkEntry {
       TextAnalysis.diversityProfile(t(s, dir, "documents"), "text")
         .presented("n")),
 
+    // Self-BLEU (Zhu et al. 2018): each panel doc's modified 1/2-gram
+    // precision against the rest of the corpus as references — the
+    // mode-collapse probe for synthetic corpora. Exact ppm integer
+    // ratios via the (max1, count-at-max, max2) leave-one-out
+    // decomposition; DuckDB replays clip-by-clip.
+    "q_self_bleu" -> ((s, dir) =>
+      TextAnalysis.selfBleu(t(s, dir, "documents"), "doc_id", "text",
+          panel = col("doc_id") < 20)
+        .presented("doc_id", "n")),
+
     // Per-slice dataset-card profile over docsWithDupes (so n_dup_docs is
     // non-zero) — one aggregation pass, integer-exact columns.
     "q_corpus_profile" -> ((s, dir) =>
@@ -3051,6 +3061,30 @@ object SparkEntry {
          |     FROM (SELECT $tokensSql AS t FROM documents)
          |     WHERE len(t) >= $n))""".stripMargin
     }.mkString("", " UNION ALL ", " ORDER BY n"),
+    // Self-BLEU replay: per-(n, gram, doc) counts, the (max1, n_at_max,
+    // max2) leave-one-out reference max, clip-by-clip.
+    "q_self_bleu" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         | g AS (SELECT doc_id, 1 AS n, unnest(t) AS g FROM tk
+         |   UNION ALL
+         |   SELECT doc_id, 2 AS n,
+         |     unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS g
+         |   FROM tk),
+         | gc AS (SELECT n, g, doc_id, count(*) AS c FROM g GROUP BY 1, 2, 3),
+         | m1 AS (SELECT n, g, max(c) AS max1 FROM gc GROUP BY 1, 2),
+         | st AS (SELECT gc.n, gc.g, m1.max1,
+         |     sum(CASE WHEN c = max1 THEN 1 ELSE 0 END) AS n_at_max,
+         |     max(CASE WHEN c < max1 THEN c END) AS max2
+         |   FROM gc JOIN m1 USING (n, g) GROUP BY 1, 2, 3),
+         | p AS (SELECT gc.doc_id, gc.n, gc.c,
+         |     least(gc.c, CASE WHEN gc.c = st.max1 AND st.n_at_max = 1
+         |       THEN coalesce(st.max2, 0) ELSE st.max1 END) AS clip
+         |   FROM gc JOIN st USING (n, g) WHERE gc.doc_id < 20)
+         | SELECT doc_id, CAST(n AS INT) AS n,
+         |   CAST(sum(c) AS BIGINT) AS total,
+         |   CAST(sum(clip) AS BIGINT) AS clipped,
+         |   CAST((sum(clip) * 1000000) // sum(c) AS BIGINT) AS p_ppm
+         | FROM p GROUP BY 1, 2 ORDER BY doc_id, n""".stripMargin,
     "q_unimax_mix" ->
       s"""WITH RECURSIVE sizes AS (SELECT lang,
          |     CAST(sum(len($tokensSql)) AS BIGINT) AS n

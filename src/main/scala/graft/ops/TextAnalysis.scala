@@ -306,6 +306,69 @@ object TextAnalysis {
           greatest(col("total_grams"), lit(1L))).as("distinct_ratio"))
   }
 
+  /** Self-BLEU diversity probe (Zhu et al. 2018, the Texygen metric):
+    * for each PANEL document, BLEU modified n-gram precision against the
+    * REST of the corpus as references —
+    *
+    *   p_n(d) = Σ_g min(c_d(g), max_{d'≠d} c_{d'}(g)) / Σ_g c_d(g)
+    *
+    * — high self-BLEU = the corpus repeats itself (mode collapse in
+    * synthetic data), invisible to per-document filters because each
+    * document looks fine alone. Precisions are emitted as exact ppm
+    * integer ratios (clipped·10⁶ // total), one row per (doc, n), so any
+    * engine replays them bit-for-bit; the geometric-mean/BP combination
+    * is left to the reader (it needs exp/ln, which is not in the
+    * replayable contract).
+    *
+    * Scale shape: gram counts per (n, gram, doc) aggregate map-side; the
+    * leave-one-out reference max uses the (max1, count-at-max, max2)
+    * decomposition — max_{d'≠d} c_{d'} = max2 iff d is the UNIQUE argmax
+    * — so no per-(panel-doc × gram) re-scan exists, just one stats table
+    * keyed by gram joined to the panel's own gram counts. Gram strings
+    * ride the shuffle once; the panel side is bounded by the panel.
+    */
+  def selfBleu(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      panel: Column,
+      ns: Seq[Int] = Seq(1, 2)): org.apache.spark.sql.DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1) && ns.distinct == ns,
+      s"ns must be distinct and >= 1: $ns")
+    val toks = df.select(col(idCol).cast("long").as("id"), panel.as("__p"),
+      tokens(col(textCol)).as("__t"))
+    val grams = toks.select(col("id"), col("__p"),
+        inline(array(ns.map { n =>
+          struct(lit(n).as("n"),
+            (if (n == 1) col("__t")
+             else when(size(col("__t")) >= n,
+               transform(sequence(lit(0), size(col("__t")) - n),
+                 i => array_join(slice(col("__t"), i + 1, lit(n)), " ")))
+               .otherwise(array().cast("array<string>")))
+              .as("gs"))
+        }: _*)))
+      .where(size(col("gs")) > 0)
+      .select(col("id"), col("__p"), col("n"), explode(col("gs")).as("g"))
+    val gc = grams.groupBy(col("n"), col("g"), col("id"), col("__p"))
+      .agg(count(lit(1)).as("c"))
+    val m1 = gc.groupBy(col("n"), col("g")).agg(max(col("c")).as("max1"))
+    val stats = gc.join(m1, Seq("n", "g"))
+      .groupBy(col("n"), col("g"), col("max1"))
+      .agg(sum((col("c") === col("max1")).cast("long")).as("n_at_max"),
+        max(when(col("c") < col("max1"), col("c"))).as("max2"))
+    gc.where(col("__p"))
+      .join(stats, Seq("n", "g"))
+      .select(col("id"), col("n"), col("c"),
+        least(col("c"),
+          when(col("c") === col("max1") && col("n_at_max") === 1,
+            coalesce(col("max2"), lit(0L)))
+            .otherwise(col("max1"))).as("__clip"))
+      .groupBy(col("id").as("doc_id"), col("n"))
+      .agg(sum(col("c")).as("total"), sum(col("__clip")).as("clipped"))
+      .select(col("doc_id"), col("n"), col("total"), col("clipped"),
+        expr("(clipped * 1000000) DIV total").as("p_ppm"))
+  }
+
   /** Gopher's character-level repetition table (Rae et al. 2021 §A1.1,
     * rows "top n-gram chars" / "duplicated n-gram chars"): for each n in
     * `topNs` the char-mass fraction of the dominant repeated n-gram, for

@@ -928,6 +928,31 @@ class SimilaritySpec extends SparkTestBase {
 class TextAnalysisSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("selfBleu: hand-computed leave-one-out clipped precisions") {
+    val docs = Seq((1L, "a a b"), (2L, "a b c"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.selfBleu(docs, "doc_id", "text", panel = lit(true))
+      .orderBy("doc_id", "n")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      // d1 1-grams: a c=2 (unique argmax → ref = max2 = 1, clip 1),
+      //             b c=1 (tied max → ref 1, clip 1) → 2/3.
+      (1L, 1, 3L, 2L, 666666L),
+      // d1 2-grams: "a a" corpus-unique → 0; "a b" shared with d2 → 1.
+      (1L, 2, 2L, 1L, 500000L),
+      // d2 1-grams: a ref 2 clip 1, b clip 1, c unique → 0 → 2/3.
+      (2L, 1, 3L, 2L, 666666L),
+      (2L, 2, 2L, 1L, 500000L),
+      // d3: everything corpus-unique → precision 0.
+      (3L, 1, 2L, 0L, 0L),
+      (3L, 2, 1L, 0L, 0L)))
+    // Panel restriction drops non-panel rows but keeps them as references.
+    val p1 = TextAnalysis.selfBleu(docs, "doc_id", "text",
+        panel = col("doc_id") === 1)
+      .select("doc_id").distinct().as[Long].collect().toSeq
+    assert(p1 === Seq(1L))
+  }
+
   test("tagKeywords: Aho-Corasick matches nested/overlapping/phrase terms") {
     val dict = Seq("tab", "table", "table value", "fast table", "able",
       "scan slow", "value")
