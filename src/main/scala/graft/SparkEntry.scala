@@ -1861,6 +1861,25 @@ object SparkEntry {
       TextAnalysis.diversityProfile(t(s, dir, "documents"), "text")
         .presented("n")),
 
+    // Unicode script-mix audit: per-doc char mass per script class +
+    // the mixed-script bit (homoglyph spam / wrong-script boilerplate).
+    // Non-Latin traffic is id-synthesized by appending per-script
+    // suffixes (the q_pagerank fixture convention), so every class
+    // carries oracle mass; the classification ranges are explicit
+    // codepoint arithmetic both engines share.
+    "q_script_mix" -> ((s, dir) =>
+      TextAnalysis.scriptProfile(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 7 === 0, lit(" привет мир"))
+              .when(col("doc_id") % 7 === 1, lit(" αβγ δε"))
+              .when(col("doc_id") % 7 === 2, lit(" 中文 テスト"))
+              .when(col("doc_id") % 7 === 3, lit(" مرحبا"))
+              .when(col("doc_id") % 7 === 4, lit(" naïve café"))
+              .otherwise(lit(""))).as("text")),
+        "doc_id", "text")
+        .presented("doc_id")),
+
     // Self-BLEU (Zhu et al. 2018): each panel doc's modified 1/2-gram
     // precision against the rest of the corpus as references — the
     // mode-collapse probe for synthetic corpora. Exact ppm integer
@@ -3061,6 +3080,56 @@ object SparkEntry {
          |     FROM (SELECT $tokensSql AS t FROM documents)
          |     WHERE len(t) >= $n))""".stripMargin
     }.mkString("", " UNION ALL ", " ORDER BY n"),
+    // Script-mix replay: identical suffix injection, per-char codepoint
+    // classification over the same explicit ranges, ASCII whitespace
+    // (9–13, 32) excluded.
+    "q_script_mix" ->
+      """WITH d AS (SELECT doc_id, text ||
+        |     CASE CAST(doc_id % 7 AS INT)
+        |       WHEN 0 THEN ' привет мир' WHEN 1 THEN ' αβγ δε'
+        |       WHEN 2 THEN ' 中文 テスト' WHEN 3 THEN ' مرحبا'
+        |       WHEN 4 THEN ' naïve café' ELSE '' END AS text
+        |   FROM documents),
+        | ch AS (SELECT doc_id, unicode(c) AS cp
+        |   FROM (SELECT doc_id, unnest(regexp_split_to_array(text, ''))
+        |       AS c FROM d)
+        |   WHERE NOT (unicode(c) BETWEEN 9 AND 13 OR unicode(c) = 32)),
+        | cl AS (SELECT doc_id,
+        |     CASE
+        |       WHEN (cp BETWEEN 65 AND 90) OR (cp BETWEEN 97 AND 122)
+        |         OR (cp BETWEEN 192 AND 591 AND cp <> 215 AND cp <> 247)
+        |         THEN 'latin'
+        |       WHEN cp BETWEEN 1024 AND 1279 THEN 'cyrillic'
+        |       WHEN cp BETWEEN 880 AND 1023 THEN 'greek'
+        |       WHEN (cp BETWEEN 19968 AND 40959)
+        |         OR (cp BETWEEN 12352 AND 12543)
+        |         OR (cp BETWEEN 44032 AND 55215) THEN 'cjk'
+        |       WHEN cp BETWEEN 1536 AND 1791 THEN 'arabic'
+        |       WHEN cp BETWEEN 48 AND 57 THEN 'digit'
+        |       ELSE 'other' END AS k
+        |   FROM ch),
+        | agg AS (SELECT d.doc_id,
+        |     count(cl.k) AS n_chars,
+        |     coalesce(sum(CASE WHEN k = 'latin' THEN 1 END), 0) AS latin,
+        |     coalesce(sum(CASE WHEN k = 'cyrillic' THEN 1 END), 0)
+        |       AS cyrillic,
+        |     coalesce(sum(CASE WHEN k = 'greek' THEN 1 END), 0) AS greek,
+        |     coalesce(sum(CASE WHEN k = 'cjk' THEN 1 END), 0) AS cjk,
+        |     coalesce(sum(CASE WHEN k = 'arabic' THEN 1 END), 0) AS arabic,
+        |     coalesce(sum(CASE WHEN k = 'digit' THEN 1 END), 0) AS digit,
+        |     coalesce(sum(CASE WHEN k = 'other' THEN 1 END), 0) AS other
+        |   FROM d LEFT JOIN cl ON cl.doc_id = d.doc_id GROUP BY d.doc_id)
+        | SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |   CAST(latin AS BIGINT) AS latin,
+        |   CAST(cyrillic AS BIGINT) AS cyrillic,
+        |   CAST(greek AS BIGINT) AS greek, CAST(cjk AS BIGINT) AS cjk,
+        |   CAST(arabic AS BIGINT) AS arabic,
+        |   CAST(digit AS BIGINT) AS digit, CAST(other AS BIGINT) AS other,
+        |   CAST((latin > 0)::INT + (cyrillic > 0)::INT + (greek > 0)::INT
+        |     + (cjk > 0)::INT + (arabic > 0)::INT AS INT) AS n_scripts,
+        |   CAST(((latin > 0)::INT + (cyrillic > 0)::INT + (greek > 0)::INT
+        |     + (cjk > 0)::INT + (arabic > 0)::INT >= 2) AS INT) AS mixed
+        | FROM agg ORDER BY doc_id""".stripMargin,
     // Self-BLEU replay: per-(n, gram, doc) counts, the (max1, n_at_max,
     // max2) leave-one-out reference max, clip-by-clip.
     "q_self_bleu" ->

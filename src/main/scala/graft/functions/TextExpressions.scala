@@ -502,6 +502,75 @@ case class PortableSimHash(child: Expression) extends UnaryExpression {
   }
 }
 
+/** Unicode script-mix profile — the mixed-script/homoglyph audit a spam
+  * and quality pass runs (Cyrillic 'о' inside Latin words, zero-width
+  * padding, CJK boilerplate in an "English" crawl): one codepoint walk
+  * classifying characters into EXPLICIT ranges — Latin (ASCII letters +
+  * U+00C0–U+024F minus × ÷), Cyrillic U+0400–U+04FF, Greek
+  * U+0370–U+03FF, CJK (unified ideographs + kana + hangul syllables),
+  * Arabic U+0600–U+06FF, ASCII digits, other — with ASCII whitespace
+  * (9–13, 32) excluded from the mass. The ranges ARE the contract
+  * (deliberately not Character.UnicodeScript, whose tables shift by JDK
+  * version and exist in no SQL engine): any engine replays them from
+  * codepoint arithmetic. mixed = ≥ 2 letter scripts present.
+  */
+object ScriptProfileOps {
+  def profile(text: UTF8String): InternalRow = {
+    val s = text.toString
+    var latin, cyr, greek, cjk, arabic, digit, other, n = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      val ws = (cp >= 0x9 && cp <= 0xD) || cp == 0x20
+      if (!ws) {
+        n += 1
+        if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+            (cp >= 0xC0 && cp <= 0x24F && cp != 0xD7 && cp != 0xF7))
+          latin += 1
+        else if (cp >= 0x400 && cp <= 0x4FF) cyr += 1
+        else if (cp >= 0x370 && cp <= 0x3FF) greek += 1
+        else if ((cp >= 0x4E00 && cp <= 0x9FFF) ||
+            (cp >= 0x3040 && cp <= 0x30FF) ||
+            (cp >= 0xAC00 && cp <= 0xD7AF)) cjk += 1
+        else if (cp >= 0x600 && cp <= 0x6FF) arabic += 1
+        else if (cp >= '0' && cp <= '9') digit += 1
+        else other += 1
+      }
+    }
+    var nScripts = 0
+    Seq(latin, cyr, greek, cjk, arabic).foreach(c => if (c > 0) nScripts += 1)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, latin, cyr, greek, cjk, arabic, digit, other,
+        nScripts, if (nScripts >= 2) 1 else 0))
+  }
+}
+
+case class ScriptProfile(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq("n_chars", "latin", "cyrillic", "greek", "cjk", "arabic", "digit",
+      "other").map(f =>
+      org.apache.spark.sql.types.StructField(f, LongType, nullable = false)) ++
+    Seq("n_scripts", "mixed").map(f =>
+      org.apache.spark.sql.types.StructField(f,
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+  override def prettyName: String = "script_profile"
+
+  override def nullSafeEval(input: Any): Any =
+    ScriptProfileOps.profile(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ScriptProfileOps.profile($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ScriptProfile =
+    copy(child = newChild)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+}
+
 /** Fused md5 pair draw: the 52-bit md5-prefix of "a-b-salt" as a long —
   * EXACTLY `conv(substr(md5(concat(a, '-', b, '-', salt)), 1, 13), 16,
   * 10)` without materializing the concat string, the 32-char hex string,
@@ -1041,6 +1110,10 @@ object TextFunctions {
     */
   def md5_shingle_hashes(tokens: Column, k: Int): Column =
     ColumnBridge.column(Md5ShingleHashes(ColumnBridge.expression(tokens), k))
+
+  /** Unicode script-mix profile struct (see [[ScriptProfileOps]]). */
+  def script_profile(text: Column): Column =
+    ColumnBridge.column(ScriptProfile(ColumnBridge.expression(text)))
 
   /** Fused 52-bit md5 pair draw (see [[Md5PairDrawOps]]). */
   def md5_pair_draw(a: Column, b: Column, salt: String): Column =

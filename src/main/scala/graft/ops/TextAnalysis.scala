@@ -306,6 +306,25 @@ object TextAnalysis {
           greatest(col("total_grams"), lit(1L))).as("distinct_ratio"))
   }
 
+  /** Per-document Unicode script-mix audit (see
+    * [[graft.functions.ScriptProfileOps]] for the range contract): char
+    * mass per script class, the letter-script count, and the mixed bit —
+    * the homoglyph-spam / wrong-language-boilerplate signal langid alone
+    * misses (a Latin document with 40 Cyrillic confusables still scores
+    * "en"). One fused codegen pass, shuffle-free.
+    */
+  def scriptProfile(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val p = graft.functions.TextFunctions.script_profile(col(textCol))
+    df.select(col(idCol), p.as("__s"))
+      .select(col(idCol) +:
+        Seq("n_chars", "latin", "cyrillic", "greek", "cjk", "arabic",
+          "digit", "other", "n_scripts", "mixed")
+          .map(f => col("__s").getField(f).as(f)): _*)
+  }
+
   /** Self-BLEU diversity probe (Zhu et al. 2018, the Texygen metric):
     * for each PANEL document, BLEU modified n-gram precision against the
     * REST of the corpus as references —

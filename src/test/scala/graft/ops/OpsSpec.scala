@@ -953,6 +953,22 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(p1 === Seq(1L))
   }
 
+  test("scriptProfile: explicit ranges, whitespace excluded, mixed bit") {
+    val docs = Seq(
+      (1L, "aб1 中!"),        // latin+cyr+digit+cjk+other, 3 letter scripts
+      (2L, "plain ascii 42"), // latin+digit only
+      (3L, "naïve × café"),   // accented latin; × (U+00D7) is NOT latin
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.scriptProfile(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Int, Int)]
+      .collect().toSeq
+    assert(got(0) === ((1L, 5L, 1L, 1L, 0L, 1L, 0L, 1L, 1L, 3, 1)))
+    assert(got(1) === ((2L, 12L, 10L, 0L, 0L, 0L, 0L, 2L, 0L, 1, 0)))
+    assert(got(2) === ((3L, 10L, 9L, 0L, 0L, 0L, 0L, 0L, 1L, 1, 0)))
+    assert(got(3) === ((4L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0, 0)))
+  }
+
   test("tagKeywords: Aho-Corasick matches nested/overlapping/phrase terms") {
     val dict = Seq("tab", "table", "table value", "fast table", "able",
       "scan slow", "value")
