@@ -548,6 +548,14 @@ object SparkEntry {
         .presented("user_id")
     }),
 
+    // First-order Markov transitions over per-user event sequences
+    // (ordered by (ts_ms, event_id) — total order, pure function of the
+    // multiset); matrix is |types|²-bounded, probabilities exact ppm.
+    "q_event_transitions" -> ((s, dir) =>
+      Reporting.eventTransitions(events(s, dir), "user_id", "ts_ms",
+          "event_type", "event_id")
+        .presented("from_event", "to_event")),
+
     // As-of join: each error event matched to the user's most recent prior
     // signup (the operator Spark lacks; composed as union + running window —
     // see graft.ops.AsofJoin; DuckDB oracles it with native ASOF JOIN)
@@ -2650,6 +2658,18 @@ object SparkEntry {
         |       lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ts
         |     FROM events))
         | GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_event_transitions" ->
+      """WITH sq AS (SELECT user_id, event_type AS et,
+        |     lead(event_type) OVER (PARTITION BY user_id
+        |       ORDER BY epoch_ms(ts), event_id) AS nxt
+        |   FROM events),
+        | p AS (SELECT et AS from_event, nxt AS to_event, count(*) AS n
+        |   FROM sq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        | t AS (SELECT from_event, sum(n) AS tot FROM p GROUP BY 1)
+        | SELECT p.from_event, p.to_event, CAST(p.n AS BIGINT) AS n,
+        |   CAST((p.n * 1000000) // t.tot AS BIGINT) AS p_ppm
+        | FROM p JOIN t USING (from_event)
+        | ORDER BY from_event, to_event""".stripMargin,
     "q_dedup_exact" ->
       s"""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
          | FROM $docsWithDupesSql GROUP BY md5(text) ORDER BY content_hash""".stripMargin,

@@ -4,6 +4,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's metadata/reporting tools (IndexLogs, QueryIndex, LogStats —
@@ -187,6 +188,42 @@ object Reporting {
     counts.reverse.toDF("stage_idx", "stage", "n_users")
       .select(col("stage_idx").cast("long").as("stage_idx"), col("stage"),
         col("n_users"))
+  }
+
+  /** First-order Markov transition matrix over per-user event sequences —
+    * the behavioral complement of [[funnel]] (a funnel asks "did this
+    * exact path happen"; the transition matrix says which paths EXIST
+    * and with what mass, the input to next-event prediction and to
+    * flagging bot-like deterministic loops). Each user's events order by
+    * (ts, tie) — `tieCol` must be unique per user so the order is TOTAL
+    * and the matrix a pure function of the event multiset.
+    *
+    * Scale shape: ONE per-user window (rows are (user, type, ts, tie) —
+    * payload-free; per-user sequences sort inside their own partition,
+    * the sessionize shape) feeds a map-side-combined pair count; the
+    * matrix is |types|²-bounded, so row totals join back broadcast.
+    * Output: (from_event, to_event, n, p_ppm) with p_ppm the exact
+    * integer row-normalized probability.
+    */
+  def eventTransitions(
+      events: DataFrame,
+      userCol: String,
+      tsMsCol: String,
+      eventTypeCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col("u")).orderBy(col("tm"), col("tie"))
+    val pairs = events.select(col(userCol).as("u"),
+        col(eventTypeCol).as("et"), col(tsMsCol).as("tm"),
+        col(tieCol).as("tie"))
+      .withColumn("__next", lead(col("et"), 1).over(w))
+      .where(col("__next").isNotNull)
+      .groupBy(col("et").as("from_event"), col("__next").as("to_event"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_event"))
+      .agg(sum(col("n")).as("__tot"))
+    pairs.join(broadcast(totals), Seq("from_event"))
+      .select(col("from_event"), col("to_event"), col("n"),
+        expr("(n * 1000000) DIV __tot").as("p_ppm"))
   }
 
   /** The reference's byte-size formatter (util/QueryIndex.java:264-283):

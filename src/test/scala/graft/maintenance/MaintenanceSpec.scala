@@ -397,6 +397,24 @@ class EventAnalyticsSpec extends graft.SparkTestBase {
     assert(got === Seq(("signup", 3L), ("click", 2L), ("purchase", 1L)))
   }
 
+  test("eventTransitions: per-user ordered pairs, exact ppm row normalization") {
+    val e = ev.withColumn("event_id",
+      monotonically_increasing_id()) // unique tie within each user
+    val got = Reporting.eventTransitions(e, "user_id", "ts_ms",
+        "event_type", "event_id")
+      .orderBy("from_event", "to_event")
+      .as[(String, String, Long, Long)].collect().toSeq
+    // Per-user sequences: 1: signup→click→purchase; 2: signup→click;
+    // 3: signup→purchase→click; 4: click→purchase.
+    // click→purchase ×2, purchase→click ×1, signup→click ×2,
+    // signup→purchase ×1.
+    assert(got === Seq(
+      ("click", "purchase", 2L, 1000000L),
+      ("purchase", "click", 1L, 1000000L),
+      ("signup", "click", 2L, 666666L),
+      ("signup", "purchase", 1L, 333333L)))
+  }
+
   test("retentionCohorts: first-activity cohort x age cells") {
     val acts = Seq(
       (1L, 0L), (1L, 12L), (1L, 25L),   // cohort 0, active weeks 0,1,2
