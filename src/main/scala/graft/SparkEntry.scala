@@ -885,6 +885,33 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .presented("id_a", "id_b")),
 
+    // Fellegi–Sunter probabilistic record linkage over nation-blocked
+    // customer pairs: originals vs id-arithmetic dirty replicas
+    // (segment replaced / balance shifted / exact copy), integer
+    // log-likelihood weights, match ≥ 40 / possible ≥ 10. Cross pairs
+    // bottom out at score 8 < lower, so output = planted pairs exactly
+    // — fully oracled including verdicts.
+    "q_record_linkage" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      def withBal(df: DataFrame) =
+        df.withColumn("bal_floor", floor(col("c_acctbal")).cast("long"))
+      val dirty = c.select(
+        (col("c_custkey") + 1000000L).as("c_custkey"),
+        col("c_name"), col("c_nationkey"),
+        when(col("c_custkey") % 3 === 0, col("c_acctbal") + 1000.5)
+          .otherwise(col("c_acctbal")).as("c_acctbal"),
+        when(col("c_custkey") % 3 === 1, lit("UNKNOWN"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      Dedup.recordLinkage(
+        withBal(c), "c_custkey", withBal(dirty), "c_custkey",
+        blockCol = "c_nationkey",
+        fields = Seq(Dedup.LinkField("c_name", 24, -12),
+          Dedup.LinkField("c_mktsegment", 6, -3),
+          Dedup.LinkField("bal_floor", 14, -7)),
+        upper = 40L, lower = 10L)
+        .presented("id_a", "id_b")
+    }),
+
     // Why-were-these-linked evidence for each verified near-dup pair:
     // shared-shingle count + the first 5 shared shingles as text — the
     // reviewer-facing audit trail of the dedup decision. Exact oracle
@@ -2658,6 +2685,29 @@ object SparkEntry {
         |       lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ts
         |     FROM events))
         | GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_record_linkage" ->
+      """WITH base AS (SELECT c_custkey AS id, c_name, c_nationkey,
+        |     c_mktsegment, CAST(floor(c_acctbal) AS BIGINT) AS bal
+        |   FROM customer),
+        | dirty AS (SELECT c_custkey + 1000000 AS id, c_name, c_nationkey,
+        |     CASE WHEN c_custkey % 3 = 1 THEN 'UNKNOWN'
+        |          ELSE c_mktsegment END AS c_mktsegment,
+        |     CAST(floor(CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1000.5
+        |          ELSE c_acctbal END) AS BIGINT) AS bal
+        |   FROM customer),
+        | p AS (SELECT a.id AS id_a, b.id AS id_b,
+        |     (CASE WHEN a.c_name = b.c_name THEN 24 ELSE -12 END +
+        |      CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 6
+        |           ELSE -3 END +
+        |      CASE WHEN a.bal = b.bal THEN 14 ELSE -7 END) AS score,
+        |     ((a.c_name = b.c_name)::INT +
+        |      (a.c_mktsegment = b.c_mktsegment)::INT +
+        |      (a.bal = b.bal)::INT) AS n_agree
+        |   FROM base a JOIN dirty b ON a.c_nationkey = b.c_nationkey)
+        | SELECT id_a, id_b, CAST(score AS BIGINT) AS score,
+        |   CAST(n_agree AS BIGINT) AS n_agree,
+        |   CASE WHEN score >= 40 THEN 'match' ELSE 'possible' END AS verdict
+        | FROM p WHERE score >= 10 ORDER BY id_a, id_b""".stripMargin,
     "q_event_transitions" ->
       """WITH sq AS (SELECT user_id, event_type AS et,
         |     lead(event_type) OVER (PARTITION BY user_id

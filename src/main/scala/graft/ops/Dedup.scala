@@ -1304,4 +1304,66 @@ object Dedup {
         greatest(col("ida"), col("idb")).as("id2"), col("dist"))
     intra.unionByName(cross)
   }
+
+  /** One comparison field of [[recordLinkage]]: agreement adds `agreeW`,
+    * disagreement adds `disagreeW` (negative) — the caller supplies the
+    * integerized log-likelihood weights (log2(m/u) and log2((1−m)/(1−u))
+    * in centi-bans or any fixed unit; keeping them integer keeps the
+    * score exact cross-engine, and the m/u ESTIMATION — EM over the
+    * agreement patterns — is a separate concern the caller runs offline).
+    */
+  final case class LinkField(field: String, agreeW: Long, disagreeW: Long)
+
+  /** Fellegi–Sunter record linkage (1969 — THE probabilistic entity-
+    * resolution model): candidate pairs from equality BLOCKING on
+    * `blockCol`, each pair scored by the sum of per-field agreement /
+    * disagreement weights, classified match / possible / non-match by the
+    * two thresholds. Nulls never agree (a missing field is evidence of
+    * nothing — both agree and disagree weights are withheld, the standard
+    * treatment).
+    *
+    * Scale shape: the block join is key-equality (shuffle on the blocking
+    * key, the classic linkage blocking); `maxBlockSize` drops
+    * pathological blocks on BOTH sides (the bucket-cap convention —
+    * an over-full block is a degenerate key, not signal). Only ids +
+    * compared fields ride the join. Output (id_a, id_b, score, n_agree,
+    * verdict) for pairs scoring ≥ `lower`.
+    */
+  def recordLinkage(
+      left: DataFrame, leftId: String,
+      right: DataFrame, rightId: String,
+      blockCol: String,
+      fields: Seq[LinkField],
+      upper: Long,
+      lower: Long,
+      maxBlockSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(fields.nonEmpty, "recordLinkage needs at least one field")
+    require(upper >= lower, s"need upper >= lower, got $upper < $lower")
+    def side(df: DataFrame, id: String, tag: String): DataFrame = {
+      val base = df.select(
+        (col(id).cast("long").as(s"id_$tag") +:
+          col(blockCol).cast("string").as("__b") +:
+          fields.map(f => col(f.field).cast("string").as(s"__${f.field}_$tag"))): _*)
+      val capped = base.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+        .where(col("__n") <= maxBlockSize).select("__b")
+      base.join(capped, "__b")
+    }
+    val l = side(left, leftId, "a")
+    val r = side(right, rightId, "b")
+    val score = fields.map { f =>
+      val a = col(s"__${f.field}_a"); val b = col(s"__${f.field}_b")
+      when(a.isNull || b.isNull, lit(0L))
+        .when(a === b, lit(f.agreeW)).otherwise(lit(f.disagreeW))
+    }.reduce(_ + _)
+    val nAgree = fields.map { f =>
+      val a = col(s"__${f.field}_a"); val b = col(s"__${f.field}_b")
+      (a.isNotNull && b.isNotNull && a === b).cast("long")
+    }.reduce(_ + _)
+    l.join(r, "__b")
+      .select(col("id_a"), col("id_b"), score.as("score"),
+        nAgree.as("n_agree"))
+      .where(col("score") >= lower)
+      .withColumn("verdict",
+        when(col("score") >= upper, "match").otherwise("possible"))
+  }
 }

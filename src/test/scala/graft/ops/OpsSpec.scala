@@ -167,6 +167,33 @@ class DedupSpec extends SparkTestBase {
     assert(one === twice)
   }
 
+  test("recordLinkage: weights, null withholding, thresholds, block cap") {
+    val left = Seq(
+      (1L, "b1", "ann", "x"), (2L, "b1", "bob", "y"),
+      (3L, "b2", "carol", null.asInstanceOf[String]),
+      (10L, "hub", "h", "h"), (11L, "hub", "h", "h"),
+      (12L, "hub", "h", "h")) // 3 members > cap → block dropped
+      .toDF("id", "blk", "name", "seg")
+    val right = Seq(
+      (101L, "b1", "ann", "x"),   // full agree with 1 → 10+4 = 14 match
+      (102L, "b1", "bob", "z"),   // name agree, seg disagree → 10−2 = 8 possible
+      (103L, "b2", "carol", "q"), // left seg NULL → withheld → 10 possible
+      (110L, "hub", "h", "h"))    // left hub block over cap → dropped
+      .toDF("id", "blk", "name", "seg")
+    val got = Dedup.recordLinkage(left, "id", right, "id", "blk",
+        Seq(Dedup.LinkField("name", 10, -5), Dedup.LinkField("seg", 4, -2)),
+        upper = 12L, lower = 5L, maxBlockSize = 2)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 101L, 14L, 2L, "match"),
+      (2L, 102L, 8L, 1L, "possible"),
+      (3L, 103L, 10L, 1L, "possible")))
+    // (1,102)/(2,101) cross pairs score 10−5∓... ann vs bob disagree:
+    // −5 ± seg → max −1 < lower → filtered; hub block capped out.
+    assert(!got.exists(r => r._1 >= 10L))
+  }
+
   test("containment finds a quoted document where jaccard under-scores it") {
     val quoted = (1 to 30).map(i => s"w$i").mkString(" ")
     val host = "intro text before the quote " + quoted + " and a long tail " +
