@@ -2443,6 +2443,24 @@ object SparkEntry {
         .presented("doc_id")
     }),
 
+    // Isotonic calibration (PAV): per-bin empirical label means pooled to
+    // the unique monotone fit — the quality-classifier calibration step.
+    // Bins and labels are id-synthesized with a deliberately NON-monotone
+    // rate pattern so pooling genuinely triggers; cross-multiplied
+    // integer pooling replays bit-for-bit via ≤ |bins|−1 unrolled
+    // leftmost-merge rounds (merge order cannot change the unique fit).
+    "q_pav_calibrate" -> ((s, dir) => {
+      val rates = Seq(10, 40, 30, 35, 80, 70, 75, 90)
+      Stats.pavCalibrate(
+        t(s, dir, "documents").select(
+          (col("doc_id") % 8).as("bin"),
+          (((col("doc_id") * 37) % 100) <
+            element_at(typedLit(rates), (col("doc_id") % 8 + 1).cast("int")))
+            .cast("int").as("y")),
+        "bin", "y")
+        .presented("bin")
+    }),
+
     // DoReMi domain reweighting (Xie et al. 2023): multiplicative-weights
     // rounds over per-domain mean excess loss, int64 fixed-point
     // throughout (Hedge linear update instead of exp — libm exp is not
@@ -3448,6 +3466,7 @@ object SparkEntry {
          |   (SELECT count(*) FROM fl) AS n_exact_flagged,
          |   1 AS no_false_neg""".stripMargin,
     "q_doremi" -> doremiOracleSql(5),
+    "q_pav_calibrate" -> pavOracleSql(7),
     "q_kmv_intersect" -> kmvIntersectOracleSql(64),
     "q_pagerank" -> pageRankOracleSql(3),
     "q_pagerank_scaled" ->
@@ -5534,6 +5553,49 @@ object SparkEntry {
        |     <= greatest(8, ($tolFp * n_union_exact) // ${1L << 20})
        |     AS INT) AS est_ok
        | FROM fin ORDER BY src_a, src_b""".stripMargin
+  }
+
+  /** Unrolled PAV replay: each round merges the LEFTMOST adjacent
+    * mean-violating block pair (cross-multiplied integer comparison —
+    * ns·n < s·nn ⟺ next mean < mean); ≤ bins−1 rounds reach the unique
+    * isotonic fit regardless of merge order. AS MATERIALIZED is
+    * load-bearing (each round references its window CTE three times).
+    */
+  private def pavOracleSql(rounds: Int): String = {
+    def round(t: Int): String =
+      s""" w$t AS MATERIALIZED (SELECT bid, n, s,
+         |     lead(bid) OVER (ORDER BY bid) AS nb,
+         |     lead(n) OVER (ORDER BY bid) AS nn,
+         |     lead(s) OVER (ORDER BY bid) AS ns
+         |   FROM b${t - 1}),
+         | v$t AS MATERIALIZED (SELECT min(bid) AS vb FROM w$t
+         |   WHERE nb IS NOT NULL AND ns * n < s * nn),
+         | b$t AS MATERIALIZED (SELECT w.bid,
+         |     w.n + coalesce(CASE WHEN w.bid = v.vb THEN w.nn END, 0) AS n,
+         |     w.s + coalesce(CASE WHEN w.bid = v.vb THEN w.ns END, 0) AS s
+         |   FROM w$t w, v$t v
+         |   WHERE v.vb IS NULL
+         |     OR w.bid <> (SELECT x.nb FROM w$t x WHERE x.bid = v.vb)),""".stripMargin
+    s"""WITH d AS (SELECT doc_id % 8 AS bin,
+       |     CASE WHEN (doc_id * 37) % 100 < CASE CAST(doc_id % 8 AS INT)
+       |       WHEN 0 THEN 10 WHEN 1 THEN 40 WHEN 2 THEN 30 WHEN 3 THEN 35
+       |       WHEN 4 THEN 80 WHEN 5 THEN 70 WHEN 6 THEN 75 ELSE 90 END
+       |     THEN 1 ELSE 0 END AS y
+       |   FROM documents),
+       | a AS MATERIALIZED (SELECT bin, count(*) AS n, sum(y) AS s
+       |   FROM d GROUP BY bin),
+       | b0 AS (SELECT bin AS bid, n, s FROM a),
+       |${(1 to rounds).map(round).mkString("\n")}
+       | fin AS (SELECT a.bin, a.n, a.s,
+       |     (SELECT max(bid) FROM b$rounds WHERE bid <= a.bin) AS blk
+       |   FROM a)
+       | SELECT fin.bin, CAST(fin.n AS BIGINT) AS n,
+       |   CAST(fin.s AS BIGINT) AS sum_y,
+       |   CAST((fin.s * 1000000) // greatest(fin.n, 1) AS BIGINT)
+       |     AS raw_ppm,
+       |   CAST((b.s * 1000000) // greatest(b.n, 1) AS BIGINT) AS cal_ppm
+       | FROM fin JOIN b$rounds b ON b.bid = fin.blk
+       | ORDER BY bin""".stripMargin
   }
 
   /** Unrolled DoReMi replay: per-domain mean excess with explicit floor

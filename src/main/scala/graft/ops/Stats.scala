@@ -251,6 +251,52 @@ object Stats {
       (abs(z) > 1.959964).cast("int").as("significant"))
   }
 
+  /** Isotonic calibration via Pool-Adjacent-Violators (Ayer et al. 1955;
+    * the standard post-hoc calibrator for quality-classifier scores): per
+    * score BIN, the empirical label mean, pooled with neighbors until the
+    * bin → mean map is monotone non-decreasing — the unique L2 isotonic
+    * fit. Pooling compares means by CROSS-MULTIPLICATION of the exact
+    * (Σy, n) integer pairs, so no division happens until the final ppm
+    * emission and the fit replays bit-for-bit.
+    *
+    * Scale shape: ONE map-side-combined aggregation collapses the corpus
+    * to a (bin, n, Σy) table; `binCol` is caller-binned and BOUNDED, so
+    * the PAV stack runs driver-side on ≤ |bins| rows (the skewProfile /
+    * doremiWeights driver-table precedent). Output per input bin:
+    * (bin, n, sum_y, raw_ppm, cal_ppm) with cal_ppm monotone in bin.
+    */
+  def pavCalibrate(
+      df: DataFrame,
+      binCol: String,
+      labelCol: String): DataFrame = {
+    val agg = df.groupBy(col(binCol).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(agg.nonEmpty, "pavCalibrate: empty input")
+    // PAV stack: blocks of (startBin, n, s); merge while the new block's
+    // mean undercuts the previous block's (s_top/n_top < s_prev/n_prev).
+    val stack = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    agg.foreach { case (bin, n, s) =>
+      var cur = (bin, n, s)
+      while (stack.nonEmpty &&
+          cur._3 * stack.last._2 < stack.last._3 * cur._2) {
+        val p = stack.remove(stack.length - 1)
+        cur = (p._1, p._2 + cur._2, p._3 + cur._3)
+      }
+      stack += cur
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val blocks = stack.toIndexedSeq
+    agg.toIndexedSeq.map { case (bin, n, s) =>
+      val b = blocks.takeWhile(_._1 <= bin).last
+      (bin, n, s, s * 1000000L / math.max(1L, n),
+        b._3 * 1000000L / math.max(1L, b._2))
+    }.toDF("bin", "n", "sum_y", "raw_ppm", "cal_ppm")
+  }
+
   def skewProfile(df: DataFrame, keyCol: String): DataFrame = {
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("x"))
     val hist = counts.groupBy("x").agg(count(lit(1)).as("m"))

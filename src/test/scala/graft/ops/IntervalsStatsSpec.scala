@@ -206,6 +206,34 @@ class IntervalsStatsSpec extends SparkTestBase {
     assert(again.toSeq === ms.toSeq)
   }
 
+  test("pavCalibrate: textbook pooling, monotone output, already-monotone untouched") {
+    // Bins (n, sum): 0:(4,0), 1:(4,3), 2:(4,1), 3:(4,4) — the 1→2
+    // violation (0.75 > 0.25) pools into (8,4)=0.5; still ≥ bin 0's 0 and
+    // ≤ bin 3's 1, so blocks are [0][1,2][3].
+    val rows =
+      Seq.fill(4)((0L, 0)) ++ Seq((1L, 1), (1L, 1), (1L, 1), (1L, 0)) ++
+      Seq((2L, 1), (2L, 0), (2L, 0), (2L, 0)) ++ Seq.fill(4)((3L, 1))
+    val got = Stats.pavCalibrate(rows.toDF("bin", "y"), "bin", "y")
+      .orderBy("bin").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (0L, 4L, 0L, 0L, 0L),
+      (1L, 4L, 3L, 750000L, 500000L),
+      (2L, 4L, 1L, 250000L, 500000L),
+      (3L, 4L, 4L, 1000000L, 1000000L)))
+    // cal_ppm is monotone non-decreasing by construction.
+    assert(got.map(_._5) === got.map(_._5).sorted)
+    // An already-monotone profile calibrates to itself.
+    val mono = Seq((0L, 0), (0L, 0), (1L, 0), (1L, 1), (2L, 1), (2L, 1))
+    val m = Stats.pavCalibrate(mono.toDF("bin", "y"), "bin", "y")
+      .orderBy("bin").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(m.forall(r => r._4 === r._5))
+    // Cascading: means 1.0, 0.0, 0.0 pool ALL THREE into one block.
+    val casc = Seq((0L, 1), (1L, 0), (2L, 0))
+    val c = Stats.pavCalibrate(casc.toDF("bin", "y"), "bin", "y")
+      .orderBy("bin").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(c.map(_._5) === Seq(333333L, 333333L, 333333L))
+  }
+
   test("skewProfile: exact Gini from counts-of-counts, uniform and skewed") {
     // Keys a,b → 1 row each; c → 2; d → 4. Sorted x = [1,1,2,4]:
     // S = 1+2+6+16 = 25, T = 8, n = 4 → G = (50−40)/32 = 0.3125.
