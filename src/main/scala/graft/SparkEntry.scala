@@ -248,6 +248,22 @@ object SparkEntry {
   /** Session-cached negative-sampling vocabulary ladder (the sampler's
     * build-once artifact: one election, many draw passes).
     */
+  /** Session-cached zone-map layout of lineitem sorted by l_orderkey
+    * (build-once/scan-many — the ivfIndexFor contract): the sorted-run
+    * write + manifest build happen once per (session, dir); every
+    * execution measures the PRUNED SCAN.
+    */
+  private val zonemapCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def zonemapFor(s: SparkSession, dir: String): DataFrame =
+    zonemapCache.getOrElseUpdate((s, dir), {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-zonemap").toString
+      ops.Scale.writeWithManifest(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+        path, "l_orderkey", numFiles = 8).cache()
+    })
+
   private val negVocabCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), IndexedSeq[(String, Long)]]
   private def negVocabFor(s: SparkSession, dir: String)
@@ -884,6 +900,23 @@ object SparkEntry {
         shingleK = 3, threshold = 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .presented("id_a", "id_b")),
+
+    // Zone-map file skipping: lineitem written as 8 sorted runs with a
+    // per-file (min,max) manifest (session-cached build — the index
+    // contract); a 1/10th-keyspace range scan consults the manifest and
+    // opens only intersecting files. Row data exactly oracled; the
+    // pruning audit is the `pruned` bit (physical file boundaries depend
+    // on range-sampler internals, so the COUNT of files isn't part of
+    // the cross-engine contract — the zorderStats precedent).
+    "q_zonemap_prune" -> ((s, dir) => {
+      val (rows, total, scanned) = ops.Scale.zoneMapScan(
+        zonemapFor(s, dir), "l_orderkey", 4000L, 5499L)
+      rows.agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .select(col("n_rows"), col("sum_qty"),
+          lit(if (scanned < total) 1 else 0).as("pruned"),
+          lit(if (scanned >= 1) 1 else 0).as("nonempty_scan"))
+    }),
 
     // Fellegi–Sunter probabilistic record linkage over nation-blocked
     // customer pairs: originals vs id-arithmetic dirty replicas
@@ -2703,6 +2736,11 @@ object SparkEntry {
         |       lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ts
         |     FROM events))
         | GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_zonemap_prune" ->
+      """SELECT count(*) AS n_rows,
+        |   CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |   1 AS pruned, 1 AS nonempty_scan
+        | FROM lineitem WHERE l_orderkey BETWEEN 4000 AND 5499""".stripMargin,
     "q_record_linkage" ->
       """WITH base AS (SELECT c_custkey AS id, c_name, c_nationkey,
         |     c_mktsegment, CAST(floor(c_acctbal) AS BIGINT) AS bal

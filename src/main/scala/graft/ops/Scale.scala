@@ -137,6 +137,58 @@ object Scale {
     * bounded rectangle in (a, b) space — the write-side half of
     * multi-dimensional file skipping.
     */
+  /** Sorted-run write + ZONE-MAP manifest — the mini table-format layer
+    * every lakehouse layout relies on: range-partition + sort the data on
+    * the layout key, write parquet, then one metadata pass builds a
+    * per-FILE (min_key, max_key, n_rows) manifest. The manifest is the
+    * file-skipping index: a point/range scan consults it first and never
+    * opens files whose key rectangle misses the predicate ([[zoneMapScan]]),
+    * which at 100 TB is the difference between touching 3 files and
+    * 30,000. Parquet footers carry row-group stats too — the EXPLICIT
+    * manifest is what lets pruning happen without listing/opening any
+    * data file (the Iceberg/Delta manifest role).
+    */
+  def writeWithManifest(
+      df: DataFrame,
+      path: String,
+      sortCol: String,
+      numFiles: Int): DataFrame = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    df.repartitionByRange(numFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(sortCol)).as("min_key"), max(col(sortCol)).as("max_key"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Manifest-pruned range scan: keep only files whose [min_key, max_key]
+    * intersects [lo, hi], read just those, re-apply the predicate (zone
+    * maps admit false positives, never false negatives). Returns the rows
+    * plus (files_total, files_scanned) for the pruning audit. The
+    * manifest is files-sized — bounded driver materialization.
+    */
+  def zoneMapScan(
+      manifest: DataFrame,
+      sortCol: String,
+      lo: Long,
+      hi: Long): (DataFrame, Long, Long) = {
+    val spark = manifest.sparkSession
+    val files = manifest
+      .select(col("file"), col("min_key").cast("long"),
+        col("max_key").cast("long"))
+      .collect()
+    val keep = files.filter(r => !(r.getLong(2) < lo || r.getLong(1) > hi))
+      .map(_.getString(0))
+    val rows =
+      if (keep.isEmpty)
+        spark.read.parquet(files.map(_.getString(0)): _*).limit(0)
+      else spark.read.parquet(keep: _*)
+    (rows.where(col(sortCol).between(lo, hi)),
+      files.length.toLong, keep.length.toLong)
+  }
+
   def zorderLayout(
       df: DataFrame,
       colA: String,

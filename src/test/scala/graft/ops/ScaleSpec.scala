@@ -5,6 +5,24 @@ import graft.SparkTestBase
 import org.apache.spark.sql.functions._
 
 class ScaleSpec extends SparkTestBase {
+
+  test("zone-map manifest: pruned scan equals full scan, skips distant files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("zm-spec").toString
+    val df = (0L until 8000L).map(i => (i, i % 7)).toDF("k", "v")
+    val manifest = Scale.writeWithManifest(df, dir, "k", numFiles = 8)
+    val files = manifest.collect()
+    assert(files.length >= 2, "expected multiple sorted runs")
+    // Key rectangles are disjoint (sorted runs): total row mass preserved.
+    assert(files.map(_.getLong(3)).sum === 8000L)
+    val (rows, total, scanned) = Scale.zoneMapScan(manifest, "k", 100L, 400L)
+    val got = rows.select("k").as[Long].collect().sorted
+    assert(got === (100L to 400L).toArray)
+    assert(scanned < total, s"no pruning: $scanned of $total")
+    // Out-of-range scan prunes everything and returns no rows.
+    val (none, _, s0) = Scale.zoneMapScan(manifest, "k", 100000L, 200000L)
+    assert(s0 === 0L && none.count() === 0L)
+  }
   import spark.implicits._
 
   test("bucketed tables join without exchanges on either side") {
