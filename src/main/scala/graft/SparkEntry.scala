@@ -2476,6 +2476,20 @@ object SparkEntry {
         .presented("doc_id")
     }),
 
+    // F1-optimal threshold election over binned classifier scores — the
+    // filter-tuning curve: per candidate cut, exact ppm
+    // precision/recall/F1 and the elected best row (ppm-rounded argmax,
+    // ties to the lowest threshold — the election IS the contract).
+    "q_f1_threshold" -> ((s, dir) =>
+      Stats.f1Threshold(
+        t(s, dir, "documents").select(
+          ((col("doc_id") * 31) % 20).as("bin"),
+          (((col("doc_id") * 37) % 100) <
+            (lit(20) + lit(3) * ((col("doc_id") * 31) % 20)))
+            .cast("int").as("y")),
+        "bin", "y")
+        .presented("threshold")),
+
     // Isotonic calibration (PAV): per-bin empirical label means pooled to
     // the unique monotone fit — the quality-classifier calibration step.
     // Bins and labels are id-synthesized with a deliberately NON-monotone
@@ -3505,6 +3519,35 @@ object SparkEntry {
          |   1 AS no_false_neg""".stripMargin,
     "q_doremi" -> doremiOracleSql(5),
     "q_pav_calibrate" -> pavOracleSql(7),
+    "q_f1_threshold" ->
+      """WITH d AS (SELECT (doc_id * 31) % 20 AS bin,
+        |     CASE WHEN (doc_id * 37) % 100 < 20 + 3 * ((doc_id * 31) % 20)
+        |       THEN 1 ELSE 0 END AS y
+        |   FROM documents),
+        | a AS (SELECT bin, count(*) AS n, sum(y) AS p FROM d GROUP BY bin),
+        | c AS (SELECT bin,
+        |     sum(p) OVER (ORDER BY bin DESC) AS tp,
+        |     sum(n) OVER (ORDER BY bin DESC) AS kp,
+        |     (SELECT sum(p) FROM a) AS tpos
+        |   FROM a),
+        | e AS (SELECT bin AS threshold, tp, kp - tp AS fp,
+        |     tpos - tp AS fn,
+        |     CASE WHEN kp = 0 THEN 0
+        |          ELSE (tp * 1000000) // kp END AS precision_ppm,
+        |     CASE WHEN tpos = 0 THEN 0
+        |          ELSE (tp * 1000000) // tpos END AS recall_ppm,
+        |     CASE WHEN tp + kp + tpos - tp = 0 THEN 0
+        |          ELSE (2 * tp * 1000000) // (kp + tpos) END AS f1_ppm
+        |   FROM c),
+        | b AS (SELECT threshold AS bt FROM e
+        |   ORDER BY f1_ppm DESC, threshold ASC LIMIT 1)
+        | SELECT threshold, CAST(tp AS BIGINT) AS tp,
+        |   CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+        |   CAST(precision_ppm AS BIGINT) AS precision_ppm,
+        |   CAST(recall_ppm AS BIGINT) AS recall_ppm,
+        |   CAST(f1_ppm AS BIGINT) AS f1_ppm,
+        |   CAST((threshold = (SELECT bt FROM b)) AS INT) AS is_best
+        | FROM e ORDER BY threshold""".stripMargin,
     "q_kmv_intersect" -> kmvIntersectOracleSql(64),
     "q_pagerank" -> pageRankOracleSql(3),
     "q_pagerank_scaled" ->

@@ -297,6 +297,51 @@ object Stats {
     }.toDF("bin", "n", "sum_y", "raw_ppm", "cal_ppm")
   }
 
+  /** Precision/recall curve + F1-optimal threshold over BINNED classifier
+    * scores — how a filter's cut point is actually tuned: for every
+    * candidate threshold t (keep rows with bin ≥ t), the confusion
+    * counts against the labels, exact ppm precision/recall/F1, and the
+    * elected best row (max f1_ppm, ties to the LOWEST threshold — the
+    * ppm-rounded argmax IS the contract, so any engine replays the
+    * election). `binCol` is caller-binned and bounded (the pavCalibrate
+    * convention), so one map-side-combined aggregation collapses the
+    * corpus and the curve builds driver-side over ≤ |bins| rows.
+    * Output per threshold: (threshold, tp, fp, fn, precision_ppm,
+    * recall_ppm, f1_ppm, is_best).
+    */
+  def f1Threshold(
+      df: DataFrame,
+      binCol: String,
+      labelCol: String): DataFrame = {
+    val agg = df.groupBy(col(binCol).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("p"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(-_._1)
+    require(agg.nonEmpty, "f1Threshold: empty input")
+    val totalPos = agg.map(_._3).sum
+    var tp = 0L
+    var keep = 0L
+    val curve = agg.map { case (bin, n, p) =>
+      tp += p; keep += n
+      val fp = keep - tp
+      val fn = totalPos - tp
+      val prec = if (keep == 0) 0L else tp * 1000000L / keep
+      val rec = if (totalPos == 0) 0L else tp * 1000000L / totalPos
+      val f1 =
+        if (2 * tp + fp + fn == 0) 0L
+        else 2 * tp * 1000000L / (2 * tp + fp + fn)
+      (bin, tp, fp, fn, prec, rec, f1)
+    }
+    val best = curve.maxBy(r => (r._7, -r._1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    curve.toIndexedSeq.map(r => (r._1, r._2, r._3, r._4, r._5, r._6, r._7,
+      if (r._1 == best._1) 1 else 0))
+      .toDF("threshold", "tp", "fp", "fn", "precision_ppm", "recall_ppm",
+        "f1_ppm", "is_best")
+  }
+
   def skewProfile(df: DataFrame, keyCol: String): DataFrame = {
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("x"))
     val hist = counts.groupBy("x").agg(count(lit(1)).as("m"))

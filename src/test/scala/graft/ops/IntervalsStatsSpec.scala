@@ -234,6 +234,28 @@ class IntervalsStatsSpec extends SparkTestBase {
     assert(c.map(_._5) === Seq(333333L, 333333L, 333333L))
   }
 
+  test("f1Threshold: textbook confusion counts, argmax election, tie to lowest") {
+    // Bins (n, pos): 0:(4,0), 1:(4,2), 2:(4,4). Thresholds keep bin ≥ t:
+    //  t=2: tp=4 fp=0 fn=2 → P=1, R=2/3, F1=0.8
+    //  t=1: tp=6 fp=2 fn=0 → P=.75, R=1, F1=6/7≈0.857 ← best
+    //  t=0: tp=6 fp=6 fn=0 → F1 = 12/18 = 2/3
+    val rows = Seq.fill(4)((0L, 0)) ++
+      Seq((1L, 1), (1L, 1), (1L, 0), (1L, 0)) ++ Seq.fill(4)((2L, 1))
+    val got = Stats.f1Threshold(rows.toDF("bin", "y"), "bin", "y")
+      .orderBy("threshold")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Int)].collect().toSeq
+    assert(got === Seq(
+      (0L, 6L, 6L, 0L, 500000L, 1000000L, 666666L, 0),
+      (1L, 6L, 2L, 0L, 750000L, 1000000L, 857142L, 1),
+      (2L, 4L, 0L, 2L, 1000000L, 666666L, 800000L, 0)))
+    // A ppm tie elects the LOWEST threshold: two identical bins.
+    val tie = Seq((0L, 1), (0L, 0), (1L, 1), (1L, 0))
+    val t = Stats.f1Threshold(tie.toDF("bin", "y"), "bin", "y")
+      .where(col("is_best") === 1).select("threshold")
+      .as[Long].collect().toSeq
+    assert(t === Seq(0L)) // t=0: tp=2 fp=2 fn=0 F1=2/3; t=1: tp=1 fp=1 fn=1 F1=1/2
+  }
+
   test("skewProfile: exact Gini from counts-of-counts, uniform and skewed") {
     // Keys a,b → 1 row each; c → 2; d → 4. Sorted x = [1,1,2,4]:
     // S = 1+2+6+16 = 25, T = 8, n = 4 → G = (50−40)/32 = 0.3125.
