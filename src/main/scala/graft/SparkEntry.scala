@@ -2,7 +2,7 @@ package graft
 
 import graft.engine.Reporting
 import graft.functions.TextFunctions.simhash64
-import graft.ops.{Bpe, Curation, Dedup, Graph, Intervals, LanguageModel, Multimodal, Scale, Similarity, Sketches, Stats, TextAnalysis, TextSearch, Web}
+import graft.ops.{Align, Bpe, Curation, Dedup, Graph, Intervals, LanguageModel, Multimodal, Scale, Similarity, Sketches, Stats, TextAnalysis, TextSearch, Web}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -972,6 +972,22 @@ object SparkEntry {
         emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding",
         k = 4, threshold = 1.0)
         .presented("left_id")
+    }),
+
+    // Sentence-level bitext alignment (integerized Gale–Church DP) over
+    // id-derived "translation" pairs: B drops every 5th sentence (forcing
+    // 1–0 ops) and pads every other one (length shifts). The DP cost is
+    // exact int64, so DuckDB replays it via wavefront-unrolled CTEs; the
+    // unique ops path is spec-pinned (cost determines it).
+    "q_sentence_align" -> ((s, dir) => {
+      val sa = Dedup.sentences(col("text"))
+      val sb = transform(
+        filter(sa, (_, i) => i % 5 =!= 3),
+        (x, i) => when(i % 2 === 0, concat(lit("pad "), x)).otherwise(x))
+      Align.galeChurchArrays(t(s, dir, "documents"), "doc_id", sa, sb,
+          maxSentences = 10)
+        .select(col("doc_id"), col("n_a"), col("n_b"), col("total_cost"))
+        .presented("doc_id")
     }),
 
     // The PRODUCTION bitext path: LSH-banded candidates (neither side
@@ -3519,6 +3535,7 @@ object SparkEntry {
          |   1 AS no_false_neg""".stripMargin,
     "q_doremi" -> doremiOracleSql(5),
     "q_pav_calibrate" -> pavOracleSql(7),
+    "q_sentence_align" -> sentenceAlignOracleSql(10),
     "q_f1_threshold" ->
       """WITH d AS (SELECT (doc_id * 31) % 20 AS bin,
         |     CASE WHEN (doc_id * 37) % 100 < 20 + 3 * ((doc_id * 31) % 20)
@@ -5634,6 +5651,71 @@ object SparkEntry {
        |     <= greatest(8, ($tolFp * n_union_exact) // ${1L << 20})
        |     AS INT) AS est_ok
        | FROM fin ORDER BY src_a, src_b""".stripMargin
+  }
+
+  /** Wavefront-unrolled Gale–Church replay: cells on diagonal k = i + j
+    * draw from diagonals k−1..k−4 (the six op arities); only COSTS are
+    * replayed (pure min per cell — tie order is path-only), and the
+    * final cell (n_a, n_b) is collected from whichever diagonal holds
+    * it. Sentence lists, the B-side derivation, and the integer length
+    * cost mirror the engine exactly.
+    */
+  private def sentenceAlignOracleSql(maxS: Int): String = {
+    val ops = Seq((1, 1, 0), (1, 0, 450), (0, 1, 450),
+      (2, 1, 230), (1, 2, 230), (2, 2, 440))
+    def seg(list: String, idx: String, d: Int): String = d match {
+      case 0 => "0"
+      case 1 => s"$list[p.$idx + 1]"
+      case _ => s"($list[p.$idx + 1] + $list[p.$idx + 2])"
+    }
+    def branches(k: Int): Seq[String] = ops.flatMap { case (da, db, prior) =>
+      val pk = k - (da + db)
+      if (pk < 0) None
+      else {
+        val sa = seg("la", "i", da)
+        val sb = seg("lb", "j", db)
+        Some(
+          s"""   SELECT p.doc_id, p.i + $da AS i, p.j + $db AS j,
+             |     p.cost + $prior +
+             |       (15 * ($sa - $sb) * ($sa - $sb)) // ($sa + $sb + 1)
+             |       AS cost
+             |   FROM c$pk p JOIN L USING (doc_id)
+             |   WHERE p.i + $da <= len(la) AND p.j + $db <= len(lb)""".stripMargin)
+      }
+    }
+    val sentsSql = """list_filter(list_transform(
+      |       regexp_extract_all(text, '[^.!?]+[.!?]*'), x -> trim(x)),
+      |       x -> x <> '')""".stripMargin
+    val diags = (1 to 2 * maxS).map { k =>
+      s""" c$k AS MATERIALIZED (SELECT doc_id, i, j, min(cost) AS cost FROM (
+         |${branches(k).mkString("\n   UNION ALL\n")}
+         | ) GROUP BY doc_id, i, j)""".stripMargin
+    }
+    val finals = (0 to 2 * maxS).map(k =>
+      s"SELECT doc_id, cost FROM c$k JOIN L USING (doc_id) " +
+        s"WHERE i = len(la) AND j = len(lb)")
+    s"""WITH s0 AS (SELECT doc_id, $sentsSql AS sa FROM documents),
+       | s1 AS (SELECT doc_id, sa,
+       |     [sa[i] for i in range(1, len(sa)+1) if (i-1) % 5 <> 3] AS sb0
+       |   FROM s0),
+       | s2 AS (SELECT doc_id, sa,
+       |     [CASE WHEN (i-1) % 2 = 0 THEN 'pad ' || sb0[i] ELSE sb0[i] END
+       |      for i in range(1, len(sb0)+1)] AS sb
+       |   FROM s1),
+       | L AS MATERIALIZED (SELECT doc_id,
+       |     list_transform(list_slice(sa, 1, $maxS),
+       |       x -> CAST(length(x) AS BIGINT)) AS la,
+       |     list_transform(list_slice(sb, 1, $maxS),
+       |       x -> CAST(length(x) AS BIGINT)) AS lb
+       |   FROM s2),
+       | c0 AS (SELECT doc_id, 0 AS i, 0 AS j, CAST(0 AS BIGINT) AS cost
+       |   FROM L),
+       |${diags.mkString(",\n")},
+       | fin AS (${finals.mkString("\n   UNION ALL ")})
+       | SELECT L.doc_id, CAST(len(la) AS INT) AS n_a,
+       |   CAST(len(lb) AS INT) AS n_b,
+       |   CAST(fin.cost AS BIGINT) AS total_cost
+       | FROM L JOIN fin USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
   /** Unrolled PAV replay: each round merges the LEFTMOST adjacent
