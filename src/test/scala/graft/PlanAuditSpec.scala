@@ -29,7 +29,13 @@ class PlanAuditSpec extends SparkTestBase {
       "q_readability" -> Set("doc_id", "text"),
       "q_dedup_exact" -> Set("doc_id", "text"),
       "q_stratified_sample" -> Set("doc_id", "lang"),
-      "q_lang_stats" -> Set("lang", "n_chars"))
+      "q_lang_stats" -> Set("lang", "n_chars"),
+      "q_script_mix" -> Set("doc_id", "text"),
+      "q_self_bleu" -> Set("doc_id", "text"),
+      "q_sentence_align" -> Set("doc_id", "text"),
+      "q_doremi" -> Set("doc_id", "lang"),
+      "q_pav_calibrate" -> Set("doc_id"),
+      "q_f1_threshold" -> Set("doc_id"))
     val bad = expected.toSeq.sortBy(_._1).flatMap { case (name, cols) =>
       val scans = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.collect {
