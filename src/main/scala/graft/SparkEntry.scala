@@ -2492,6 +2492,16 @@ object SparkEntry {
         .presented("doc_id")
     }),
 
+    // Hill tail-index of the token frequency distribution — the
+    // dataset-card power-law exponent (sizes stopword cutoffs, salting
+    // plans, cache ceilings). k-bounded TakeOrdered selection; each ln
+    // term integerized round(1e6·ln) (the PMI policy).
+    "q_hill_tail" -> ((s, dir) =>
+      Stats.hillTailIndex(
+        t(s, dir, "documents").select(
+          explode(TextAnalysis.tokens(col("text"))).as("w")),
+        "w", k = 20)),
+
     // F1-optimal threshold election over binned classifier scores — the
     // filter-tuning curve: per candidate cut, exact ppm
     // precision/recall/F1 and the elected best row (ppm-rounded argmax,
@@ -3536,6 +3546,20 @@ object SparkEntry {
     "q_doremi" -> doremiOracleSql(5),
     "q_pav_calibrate" -> pavOracleSql(7),
     "q_sentence_align" -> sentenceAlignOracleSql(10),
+    "q_hill_tail" ->
+      s"""WITH c AS (SELECT token AS key, count(*) AS c FROM (
+         |     SELECT unnest($tokensSql) AS token FROM documents)
+         |   GROUP BY 1),
+         | r AS (SELECT c, row_number() OVER (ORDER BY c DESC, key) AS rn
+         |   FROM (SELECT * FROM c ORDER BY c DESC, key LIMIT 21)),
+         | tl AS (SELECT c AS tail FROM r WHERE rn = 21),
+         | s AS (SELECT CAST(sum(CAST(round(1000000 *
+         |       ln(r.c::DOUBLE / tl.tail)) AS BIGINT)) AS BIGINT) AS hs
+         |   FROM r, tl WHERE rn <= 20)
+         | SELECT 20 AS k, (SELECT count(*) FROM c) AS n_keys,
+         |   (SELECT CAST(tail AS BIGINT) FROM tl) AS c_tail,
+         |   s.hs AS hill_sum_scaled, s.hs // 20 AS alpha_inv_scaled
+         | FROM s""".stripMargin,
     "q_f1_threshold" ->
       """WITH d AS (SELECT (doc_id * 31) % 20 AS bin,
         |     CASE WHEN (doc_id * 37) % 100 < 20 + 3 * ((doc_id * 31) % 20)

@@ -342,6 +342,40 @@ object Stats {
         "f1_ppm", "is_best")
   }
 
+  /** Hill tail-index estimate of a frequency distribution (Hill 1975) —
+    * the dataset-card power-law exponent: over the k most frequent keys,
+    *
+    *   1/α ≈ (1/k) · Σ_{i=1..k} ln(c_i / c_{k+1})
+    *
+    * — how heavy the head is (α ≈ 1 for Zipfian text, larger = thinner
+    * tail), the number that sizes stopword cutoffs, salting plans, and
+    * cache hit ceilings. Each ln term is `round(10⁶·ln(ratio))` of an
+    * exact integer ratio — the q_pmi_collocations determinism policy
+    * (one libm ln per term; boundary margins orders of magnitude above
+    * ulp skew). Selection is a k-bounded TakeOrdered on (count desc,
+    * key asc) — no window, no full sort.
+    * Output: (k, n_keys, c_tail, hill_sum_scaled, alpha_inv_scaled).
+    */
+  def hillTailIndex(
+      df: DataFrame,
+      keyCol: String,
+      k: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("c"))
+    val nKeys = counts.count()
+    require(nKeys > k, s"need more than k=$k distinct keys, got $nKeys")
+    val top = counts.orderBy(col("c").desc, col("key"))
+      .limit(k + 1).collect().map(_.getLong(1))
+    val tail = top.last
+    val sum = top.take(k)
+      .map(c => math.round(1e6 * math.log(c.toDouble / tail))).sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((k, nKeys, tail, sum, sum / k))
+      .toDF("k", "n_keys", "c_tail", "hill_sum_scaled", "alpha_inv_scaled")
+  }
+
   def skewProfile(df: DataFrame, keyCol: String): DataFrame = {
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("x"))
     val hist = counts.groupBy("x").agg(count(lit(1)).as("m"))

@@ -256,6 +256,27 @@ class IntervalsStatsSpec extends SparkTestBase {
     assert(t === Seq(0L)) // t=0: tp=2 fp=2 fn=0 F1=2/3; t=1: tp=1 fp=1 fn=1 F1=1/2
   }
 
+  test("hillTailIndex: hand-computed ln terms, uniform floor, Zipf sensitivity") {
+    // Keys with counts 8, 4, 2, 1 (and k = 2): top-3 = (8, 4, 2), tail = 2.
+    // terms: round(1e6·ln 4) + round(1e6·ln 2) = 1386294 + 693147.
+    val rows = Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c") ++
+      Seq("d")
+    val got = Stats.hillTailIndex(rows.toDF("k"), "k", k = 2)
+      .as[(Int, Long, Long, Long, Long)].head()
+    val expSum = math.round(1e6 * math.log(4.0)) + math.round(1e6 * math.log(2.0))
+    assert(got === ((2, 4L, 2L, expSum, expSum / 2)))
+    // A uniform distribution has zero tail index sum (all ratios 1).
+    val unif = (1 to 30).flatMap(i => Seq.fill(3)(s"k$i"))
+    val u = Stats.hillTailIndex(unif.toDF("k"), "k", k = 10)
+      .select("hill_sum_scaled").as[Long].head()
+    assert(u === 0L)
+    // Steeper head → larger estimate than the flat case.
+    val zipf = (1 to 30).flatMap(i => Seq.fill(300 / i)(s"k$i"))
+    val z = Stats.hillTailIndex(zipf.toDF("k"), "k", k = 10)
+      .select("alpha_inv_scaled").as[Long].head()
+    assert(z > 0L)
+  }
+
   test("skewProfile: exact Gini from counts-of-counts, uniform and skewed") {
     // Keys a,b → 1 row each; c → 2; d → 4. Sorted x = [1,1,2,4]:
     // S = 1+2+6+16 = 25, T = 8, n = 4 → G = (50−40)/32 = 0.3125.
