@@ -581,6 +581,78 @@ object LogStream {
       ((d(4) & 0xFFL) << 8) | (d(5) & 0xFFL)
   }
 
+  /** Input contract for [[driftStream]]: one observation of class `cls`
+    * under monitoring key `key`.
+    */
+  case class DriftInput(key: String, cls: String)
+  /** Per-key state: observed class counts. Bounded by the CLASS space
+    * (the reference profile's key set — observations outside it count
+    * into a single "other" bucket), not by stream length.
+    */
+  private[streaming] case class DriftState(counts: Map[String, Long])
+  /** One per-batch drift report: χ²-style statistic in ppm against the
+    * reference profile, over `n_obs` observations so far.
+    */
+  case class DriftReport(key: String, n_obs: Long, chi2_ppm: Long,
+      drifted: Int)
+
+  /** Streaming distribution-drift monitor — the observability op a
+    * production ingest runs continuously (is today's crawl suddenly 40%
+    * one language? did a source's event mix shift?): per key, observed
+    * class counts against a BROADCAST reference profile, emitting the
+    * integer-exact Pearson statistic
+    *
+    *   χ²·10⁶ ≈ Σ_c 10⁶·(o_c·R − O·r_c)² // (O·r_c·R)
+    *
+    * each micro-batch (computed in BigInt so no intermediate overflows;
+    * the RESULT is a bounded ppm long). State per key is one count per
+    * reference class (+ "other") — independent of stream length — and a
+    * pure function of the observed multiset, so kill/resume is equality
+    * and the statistic after any prefix equals the batch computation
+    * over the same rows. Classes never seen in the reference fold into
+    * "other" with a pseudo-reference of `otherRef` (0 disables — then
+    * any unseen class drifts maximally via its own observed mass).
+    */
+  def driftStream(
+      rows: Dataset[DriftInput],
+      reference: Map[String, Long],
+      driftThresholdPpm: Long,
+      otherRef: Long = 1L): Dataset[DriftReport] = {
+    require(reference.nonEmpty && reference.values.forall(_ > 0),
+      "reference profile must be non-empty with positive counts")
+    require(otherRef >= 0, s"otherRef must be >= 0, got $otherRef")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val ref = reference // stable closure copy
+    rows.groupByKey(_.key)
+      .mapGroupsWithState[DriftState, DriftReport](
+        GroupStateTimeout.NoTimeout()) {
+        case (key, it, state: GroupState[DriftState]) =>
+          var counts = state.getOption.map(_.counts).getOrElse(Map.empty)
+          it.foreach { r =>
+            val c = if (ref.contains(r.cls)) r.cls else "__other"
+            counts = counts.updated(c, counts.getOrElse(c, 0L) + 1L)
+          }
+          state.update(DriftState(counts))
+          val o = counts.values.sum
+          val withOther =
+            if (counts.contains("__other") && otherRef > 0)
+              ref.updated("__other", otherRef)
+            else ref
+          val r = withOther.values.sum
+          val chi2 =
+            if (o == 0) 0L
+            else withOther.toSeq.sortBy(_._1).map { case (c, rc) =>
+              val oc = BigInt(counts.getOrElse(c, 0L))
+              val d = oc * r - BigInt(o) * rc
+              (BigInt(1000000) * d * d /
+                (BigInt(o) * rc * r)).toLong
+            }.sum
+          DriftReport(key, o, chi2,
+            if (chi2 > driftThresholdPpm) 1 else 0)
+      }
+  }
+
   /** Input contract for [[reservoirSampleStream]]. */
   case class SampleInput(key: String, id: Long)
   /** Per-key state: up to k (draw, id) pairs, ascending (draw, id). */

@@ -530,6 +530,55 @@ class LogStreamSpec extends SparkTestBase {
       s"estimate $streamFinal outside HLL guarantee of 3000")
   }
 
+  test("driftStream: hand-computed chi2, matching profile near zero; kill/resume equality") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ref = Map("a" -> 50L, "b" -> 50L)
+    val ckpt = Files.createTempDirectory("drift-ckpt").toString
+    val input = MemoryStream[LogStream.DriftInput]
+    val est = LogStream.driftStream(input.toDS(), ref,
+      driftThresholdPpm = 500000L)
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Int)]()
+    def start() = est.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[LogStream.DriftReport],
+            _: Long) =>
+          batch.collect().foreach(r =>
+            buf.add((r.key, r.n_obs, r.chi2_ppm, r.drifted)))
+      }.start()
+    // key "ok": 10 a + 10 b (matches 50/50 → chi2 0). key "skew": first
+    // batch 10 a only — then KILL mid-stream.
+    val q1 = start()
+    try {
+      input.addData(
+        Seq.fill(10)(LogStream.DriftInput("ok", "a")) ++
+        Seq.fill(10)(LogStream.DriftInput("ok", "b")) ++
+        Seq.fill(10)(LogStream.DriftInput("skew", "a")): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // Resume: 2 more a's + an unseen class for "skew".
+    val q2 = start()
+    try {
+      input.addData(Seq.fill(2)(LogStream.DriftInput("skew", "a")) ++
+        Seq(LogStream.DriftInput("skew", "zz")): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val finals = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(buf).asScala.toList
+      .groupBy(_._1).map { case (k, xs) => k -> xs.last }
+    assert(finals("ok")._3 === 0L && finals("ok")._4 === 0)
+    // skew after resume: counts a=12, __other=1, O=13; ref {a:50, b:50,
+    // __other:1}, R=101. Per class: 1e6·(oc·R − O·rc)² // (O·rc·R).
+    val o = 13L; val r = 101L
+    def term(oc: Long, rc: Long): Long =
+      (BigInt(1000000) * BigInt(oc * r - o * rc) * BigInt(oc * r - o * rc) /
+        (BigInt(o) * rc * r)).toLong
+    val exp = term(12, 50) + term(0, 50) + term(1, 1)
+    assert(finals("skew")._2 === 13L && finals("skew")._3 === exp)
+    assert(finals("skew")._4 === 1, "a one-class stream must flag drifted")
+  }
+
   test("reservoirSampleStream: final sample equals batch stratifiedSample; kill/resume equality") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
