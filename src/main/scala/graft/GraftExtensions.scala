@@ -194,5 +194,61 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "topk_by_score(score, id, k[, distinctIds]) — aggregate")
       }))
+    ext.injectFunction((
+      FunctionIdentifier("topk_by_score_payload"),
+      new ExpressionInfo(
+        classOf[graft.functions.TopKByScorePayload].getName,
+        "topk_by_score_payload"),
+      (args: Seq[Expression]) => args match {
+        case Seq(score, id, payload, k) =>
+          graft.functions.TopKByScorePayload(score, id, payload, int(k, "k"))
+        case _ => throw new IllegalArgumentException(
+          "topk_by_score_payload(score, id, payload, k) — aggregate")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("script_profile"),
+      new ExpressionInfo(classOf[graft.functions.ScriptProfile].getName,
+        "script_profile"),
+      (args: Seq[Expression]) => graft.functions.ScriptProfile(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("portable_simhash"),
+      new ExpressionInfo(classOf[graft.functions.PortableSimHash].getName,
+        "portable_simhash"),
+      (args: Seq[Expression]) => graft.functions.PortableSimHash(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("md5_pair_draw"),
+      new ExpressionInfo(classOf[graft.functions.Md5PairDraw].getName,
+        "md5_pair_draw"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b, salt) =>
+          graft.functions.Md5PairDraw(a, b, str(salt, "salt"))
+        case _ => throw new IllegalArgumentException(
+          "md5_pair_draw(a, b, 'salt')")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("augment_tokens"),
+      new ExpressionInfo(classOf[graft.functions.AugmentTokensExpr].getName,
+        "augment_tokens"),
+      (args: Seq[Expression]) => args match {
+        case Seq(id, toks, Literal(pm: Double, _), Literal(pd: Double, _)) =>
+          graft.functions.AugmentTokensExpr(id, toks, pm, pd, "aug")
+        case Seq(id, toks, Literal(pm: Double, _), Literal(pd: Double, _),
+            salt) =>
+          graft.functions.AugmentTokensExpr(id, toks, pm, pd,
+            str(salt, "salt"))
+        case _ => throw new IllegalArgumentException(
+          "augment_tokens(idString, tokens, pMask, pDrop[, 'salt'])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("gale_church_align"),
+      new ExpressionInfo(classOf[graft.functions.GaleChurchAlign].getName,
+        "gale_church_align"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => graft.functions.GaleChurchAlign(a, b, 10)
+        case Seq(a, b, m) =>
+          graft.functions.GaleChurchAlign(a, b, int(m, "maxSentences"))
+        case _ => throw new IllegalArgumentException(
+          "gale_church_align(sentsA, sentsB[, maxSentences])")
+      }))
   }
 }

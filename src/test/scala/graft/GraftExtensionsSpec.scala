@@ -92,5 +92,36 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(agg.length === 2)
     val top1 = agg(0).getSeq[org.apache.spark.sql.Row](1).map(r => r.getLong(1))
     assert(top1 === Seq(11L, 12L))
+
+    // Round-10 additions.
+    val row3 = spark.sql(
+      """SELECT
+        |  script_profile('aб1 中!') AS sp,
+        |  portable_simhash(tokenize('spark')) AS psh,
+        |  md5_pair_draw(3L, 7L, 'graft-ring-cap') AS draw,
+        |  augment_tokens('7', tokenize('a b c d e'), 0.1D, 0.1D) AS aug,
+        |  gale_church_align(array('Hello there.', 'Short.'),
+        |    array('Hello there.', 'Short.')) AS al
+        |""".stripMargin).head()
+    val sp = row3.getAs[org.apache.spark.sql.Row]("sp")
+    assert(sp.getLong(0) === 5L && sp.getInt(9) === 1) // n_chars, mixed
+    val psh = row3.getAs[org.apache.spark.sql.Row]("psh")
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("spark".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(psh.getLong(0) === java.lang.Long.parseLong(hex.take(8), 16))
+    assert(row3.getAs[Long]("draw") ===
+      graft.functions.Md5PairDrawOps.draw(3L, 7L, "graft-ring-cap"))
+    val aug = row3.getAs[org.apache.spark.sql.Row]("aug")
+    assert(aug.getLong(0) === 5L) // n_tokens
+    val al = row3.getAs[org.apache.spark.sql.Row]("al")
+    assert(al.getLong(2) === 0L && al.getString(4) === "1-1,1-1")
+
+    // The payload aggregate: smallest-score-last ordering carries payloads.
+    val agg2 = spark.sql(
+      "SELECT g, topk_by_score_payload(score, id, score * 10, 2) AS top " +
+      "FROM tk GROUP BY g ORDER BY g").collect()
+    val p1 = agg2(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(p1 === Seq((11L, 30.0), (12L, 20.0)))
   }}
 }
