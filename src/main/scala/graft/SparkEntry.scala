@@ -2666,7 +2666,25 @@ object SparkEntry {
     // sort); the oracle may window freely.
     "q_tfidf_top_terms" -> ((s, dir) =>
       TextSearch.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
-        .presented("doc_id", "rank")))
+        .presented("doc_id", "rank")),
+
+    // χ² term–label association (feature selection for a lexical
+    // src0-vs-rest classifier): one vocab-bounded presence aggregation,
+    // χ² in DECIMAL(38,0) integer arithmetic whose truncating DIV matches
+    // DuckDB's HUGEINT `//` bit-for-bit (numerator is a square, so
+    // truncation IS floor); degenerate margins score 0; k-bounded
+    // TakeOrdered, ties term-ascending.
+    "q_chi2_terms" -> ((s, dir) =>
+      TextAnalysis.chiSquareTerms(t(s, dir, "documents"), "doc_id", "text",
+        col("source") === "src0", minDf = 5, topK = 50)),
+
+    // Per-event-type daily OLS volume trend: slope in ppm from the
+    // DECIMAL(38,0) rational with the sign factored out of the truncating
+    // divide — exact cross-engine; single-bucket keys report null slope.
+    "q_trend_slopes" -> ((s, dir) =>
+      Stats.trendSlopes(events(s, dir), "event_type",
+          expr("ts_ms DIV 86400000"))
+        .presented("event_type")))
 
   /** Shared input for the interval queries: points = distinct order dates
     * as epoch days; intervals = a deterministic "in transit" window per
@@ -5146,7 +5164,44 @@ object SparkEntry {
          |   coalesce(per.n_hit, 0)::DOUBLE
          |     / greatest(coalesce(per.n_grams, 0), 1) AS coverage
          | FROM documents d LEFT JOIN per USING (doc_id)
-         | ORDER BY d.doc_id""".stripMargin)
+         | ORDER BY d.doc_id""".stripMargin,
+    "q_chi2_terms" ->
+      s"""WITH d AS (SELECT doc_id,
+         |     CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y,
+         |     $tokensSql AS t FROM documents),
+         | tot AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS np FROM d),
+         | p AS (SELECT DISTINCT doc_id, y, term FROM (
+         |     SELECT doc_id, y, unnest(t) AS term FROM d)),
+         | ct AS (SELECT term, count(*) AS df, CAST(sum(y) AS BIGINT) AS a
+         |   FROM p GROUP BY term HAVING count(*) >= 5),
+         | e AS (SELECT term, df, a, df - a AS b, np - a AS c,
+         |     n - np - df + a AS dd, n FROM ct, tot),
+         | x AS (SELECT term, df, a,
+         |     CASE WHEN (a + c) = 0 OR (b + dd) = 0
+         |            OR (a + b) = 0 OR (c + dd) = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST((1000000::HUGEINT * n * (a*dd - b*c) * (a*dd - b*c))
+         |         // ((a + b)::HUGEINT * (c + dd) * (a + c) * (b + dd))
+         |         AS BIGINT) END AS chi2_ppm
+         |   FROM e)
+         | SELECT term, CAST(df AS BIGINT) AS df, a AS n_label, chi2_ppm
+         | FROM x ORDER BY chi2_ppm DESC, term LIMIT 50""".stripMargin,
+    "q_trend_slopes" ->
+      """WITH c AS (SELECT event_type, epoch_ms(ts) // 86400000 AS b,
+        |     count(*) AS y FROM events GROUP BY 1, 2),
+        | o AS (SELECT min(b) AS b0 FROM c),
+        | p AS (SELECT event_type, (b - b0)::HUGEINT AS x, y::HUGEINT AS y
+        |   FROM c, o),
+        | s AS (SELECT event_type, count(*)::HUGEINT AS n, sum(x) AS sx,
+        |     sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+        |   FROM p GROUP BY 1),
+        | e AS (SELECT event_type, n, sy,
+        |     n*sxy - sx*sy AS num, n*sxx - sx*sx AS den FROM s)
+        | SELECT event_type, CAST(n AS BIGINT) AS n_buckets,
+        |   CAST(sy AS BIGINT) AS total,
+        |   CASE WHEN den = 0 THEN NULL
+        |     ELSE CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+        |       * ((abs(num) * 1000000) // den) AS BIGINT) END AS slope_ppm
+        | FROM e ORDER BY event_type""".stripMargin)
 
   /** DuckDB fragment: the interval queries' shared input — mirrors
     * [[shipmentWindows]] (epoch days via datediff, same key-derived window

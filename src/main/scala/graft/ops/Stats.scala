@@ -376,6 +376,49 @@ object Stats {
       .toDF("k", "n_keys", "c_tail", "hill_sum_scaled", "alpha_inv_scaled")
   }
 
+  /** Per-key OLS volume trend — "is this event type / domain growing or
+    * dying, and how fast": least-squares slope of bucket counts over time,
+    * reported as `slope_ppm` = sign·⌊10⁶·|nΣxy − ΣxΣy| / (nΣx² − (Σx)²)⌋
+    * (events per bucket per bucket, ppm-scaled). The rational is evaluated
+    * in DECIMAL(38,0) integer arithmetic with the sign factored out so the
+    * truncating integral divide is engine-independent (truncation of a
+    * non-negative quotient IS floor; DuckDB replays it with HUGEINT `//`).
+    * Bucket indexes are re-based to the global minimum before squaring —
+    * slope is shift-invariant and small x keeps Σx² tiny. Keys with a
+    * single bucket (den = 0) report null slope.
+    *
+    * Scale shape: the raw stream collapses to one row per (key, bucket) in
+    * the first partial-aggregating shuffle; the origin is a broadcast
+    * 1-row frame; the moment sums are a second map-side-combined
+    * aggregation with key-bounded output. No windows, nothing all-pairs.
+    */
+  def trendSlopes(df: DataFrame, keyCol: String, bucketCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val counts = df.groupBy(col(keyCol), bucketCol.as("__b"))
+      .agg(count(lit(1)).as("__y"))
+    val origin = counts.agg(min(col("__b")).as("__b0"))
+    val pts = counts.crossJoin(broadcast(origin))
+      .select(col(keyCol), (col("__b") - col("__b0")).cast(dec).as("__x"),
+        col("__y").cast(dec).as("__yd"))
+    val sums = pts.groupBy(col(keyCol)).agg(
+      count(lit(1)).cast(dec).as("__n"),
+      sum(col("__x")).as("__sx"),
+      sum(col("__yd")).as("__sy"),
+      sum(col("__x") * col("__yd")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"))
+    sums.select(col(keyCol),
+        col("__n").cast("long").as("n_buckets"),
+        col("__sy").cast("long").as("total"),
+        (col("__n") * col("__sxy") - col("__sx") * col("__sy")).as("__num"),
+        (col("__n") * col("__sxx") - col("__sx") * col("__sx")).as("__den"))
+      .select(col(keyCol), col("n_buckets"), col("total"),
+        when(col("__den") === 0, lit(null).cast("long"))
+          .otherwise(
+            when(col("__num") < 0, lit(-1L)).otherwise(lit(1L)) *
+              expr("(abs(__num) * 1000000) DIV __den"))
+          .as("slope_ppm"))
+  }
+
   def skewProfile(df: DataFrame, keyCol: String): DataFrame = {
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("x"))
     val hist = counts.groupBy("x").agg(count(lit(1)).as("m"))

@@ -724,4 +724,61 @@ object TextAnalysis {
             + lit(11.8) * (col("n_syllables").cast("double") / col("n_words"))
             - lit(15.59)))
   }
+
+  /** χ² term–label association — the classic feature-selection pass for
+    * building a lexical quality/domain classifier (which terms separate
+    * label-positive documents from the rest). For every term with document
+    * frequency ≥ `minDf`, the 2×2 presence contingency
+    *
+    *   a = docs with term, label     b = docs with term, ¬label
+    *   c = docs w/o term, label      d = docs w/o term, ¬label
+    *
+    * scores χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)), reported as
+    * `chi2_ppm` = ⌊10⁶·χ²⌋ computed ENTIRELY in decimal integer
+    * arithmetic (numerator ≈ 10⁶·N⁵ overflows int64 past ~60k docs;
+    * DECIMAL(38,0) carries it to ~10⁷ docs per label shard, and the
+    * truncating integral divide matches DuckDB's HUGEINT `//` exactly —
+    * the numerator is a square, so truncation-toward-zero IS floor).
+    * Degenerate margins (a+c = 0 or b+d = 0) score 0 by convention.
+    *
+    * Scale shape: presence rows are (doc, DISTINCT term) — the label bit
+    * rides the projection, so the contingency is ONE map-side-combined
+    * aggregation with vocab-bounded output; the corpus totals are a
+    * broadcast 1-row frame; `minDf` prunes before the χ² projection; the
+    * final top-`topK` is a k-bounded TakeOrdered, never a window.
+    */
+  def chiSquareTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      label: Column,
+      minDf: Long = 5L,
+      topK: Int = 50): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    val pres = docs
+      .select(col(idCol), label.cast("int").as("__y"),
+        explode(array_distinct(tokens(col(textCol)))).as("term"))
+    val ct = pres.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("__y")).cast("long").as("a"))
+      .where(col("df") >= minDf)
+    val totals = docs.agg(count(lit(1)).as("__n"),
+      sum(label.cast("int")).cast("long").as("__np"))
+    val dec = "decimal(38,0)"
+    val a = col("a").cast(dec)
+    val b = (col("df") - col("a")).cast(dec)
+    val c = (col("__np") - col("a")).cast(dec)
+    val d = (col("__n") - col("__np") - col("df") + col("a")).cast(dec)
+    val diff = a * d - b * c
+    val den = (a + b) * (c + d) * (a + c) * (b + d)
+    ct.crossJoin(broadcast(totals))
+      .select(col("term"), col("df"), col("a").as("n_label"),
+        (lit(1000000L).cast(dec) * col("__n").cast(dec) * diff * diff)
+          .as("__num"),
+        den.as("__den"))
+      .select(col("term"), col("df"), col("n_label"),
+        when(col("__den") === 0, lit(0L))
+          .otherwise(expr("__num DIV __den")).cast("long").as("chi2_ppm"))
+      .orderBy(desc("chi2_ppm"), col("term"))
+      .limit(topK)
+  }
 }

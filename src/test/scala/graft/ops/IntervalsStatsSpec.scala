@@ -307,4 +307,58 @@ class IntervalsStatsSpec extends SparkTestBase {
       .as[(Long, Int)].collect().toMap
     assert(got === Map(10L -> 0, 11L -> 1, 12L -> 0))
   }
+
+  test("trendSlopes: exact ppm slope, truncation toward zero, null on one bucket") {
+    // "up": y = 2x + 3 over buckets 10..14 — slope exactly 2 (2_000_000 ppm),
+    //   total = 23+25+27+29+31 = 135.
+    // "down": y = (13, 12, 12) over consecutive buckets — num = 3·36 − 3·37
+    //   = −3, den = 6 → slope −1/2 → −500_000 ppm (sign-factored truncation).
+    // "frac": y = (1, 2, 4) → num = 3·10 − 3·7 = 9, den = 6 → 3/2 →
+    //   1_500_000 ppm; and with y = (2, 2, 3): num = 3·8 − 3·7 = 3, den = 6
+    //   → 1/2 truncated at 500_000 exactly — use (1, 1, 2): num = 3·5 −
+    //   3·4 = 3, den = 6 → 500_000 ppm.
+    // "solo": single bucket → den = 0 → null slope.
+    val rows =
+      (10 to 14).flatMap(x => Seq.fill(2 * x + 3)(("up", x.toLong))) ++
+      Seq(13, 12, 12).zipWithIndex.flatMap { case (y, x) =>
+        Seq.fill(y)(("down", 100L + x)) } ++
+      Seq(1, 1, 2).zipWithIndex.flatMap { case (y, x) =>
+        Seq.fill(y)(("frac", 1000L + x)) } ++
+      Seq.fill(9)(("solo", 7L))
+    val df = rows.toDF("k", "b")
+    val got = Stats.trendSlopes(df, "k", col("b"))
+      .select("k", "n_buckets", "total", "slope_ppm")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3)))))
+      .toMap
+    assert(got("up") === ((5L, 135L, java.lang.Long.valueOf(2000000L))))
+    assert(got("down") === ((3L, 37L, java.lang.Long.valueOf(-500000L))))
+    assert(got("frac") === ((3L, 4L, java.lang.Long.valueOf(500000L))))
+    assert(got("solo") === ((1L, 9L, null)))
+  }
+
+  test("chiSquareTerms: hand 2x2 tables, degenerate margin, minDf prune") {
+    import org.apache.spark.sql.functions.{col => c}
+    // 6 docs, 3 labeled (ids 0-2). "sep" appears in exactly the 3 labeled
+    // docs: a=3 b=0 c=0 d=3 → χ² = 6·(9)²/(3·3·3·3) = 6 → 6_000_000 ppm.
+    // "univ" appears everywhere: a=3 b=3 c=0 d=0 → margin (c+d)=0 → 0.
+    // "half" in one labeled + one rest doc: a=1 b=1 c=2 d=2 →
+    //   χ² = 6·(2−2)²/… = 0.
+    // "rare" appears in 1 doc — pruned by minDf=2.
+    val docs = Seq(
+      (0L, "sep univ half"), (1L, "sep univ"), (2L, "sep univ rare"),
+      (3L, "univ half"), (4L, "univ"), (5L, "univ")).toDF("doc_id", "text")
+    val got = TextAnalysis.chiSquareTerms(docs, "doc_id", "text",
+        c("doc_id") < 3, minDf = 2, topK = 10)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet === Set("sep", "univ", "half"))
+    val m = got.map(r => r._1 -> r).toMap
+    assert(m("sep") === (("sep", 3L, 3L, 6000000L)))
+    assert(m("univ") === (("univ", 6L, 3L, 0L)))
+    assert(m("half") === (("half", 2L, 1L, 0L)))
+    // ordering: chi2 desc then term asc
+    assert(got.head._1 === "sep")
+    assert(got.drop(1).map(_._1).toSeq === Seq("half", "univ"))
+  }
 }
