@@ -2684,7 +2684,24 @@ object SparkEntry {
     "q_trend_slopes" -> ((s, dir) =>
       Stats.trendSlopes(events(s, dir), "event_type",
           expr("ts_ms DIV 86400000"))
-        .presented("event_type")))
+        .presented("event_type")),
+
+    // Pareto frontier of (token_count, type-token-ratio ppm): the docs
+    // optimally trading length against lexical diversity — the skyline a
+    // budgeted curation selector sweeps. Window runs over distinct token
+    // counts only; membership is a broadcast frontier join.
+    "q_pareto_front" -> ((s, dir) => {
+      val pts = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+          size(array_distinct(TextAnalysis.tokens(col("text"))))
+            .cast("long").as("__u"))
+        .where(col("n_tokens") > 0)
+        .select(col("doc_id"), col("n_tokens"),
+          expr("(__u * 1000000) DIV n_tokens").as("ttr_ppm"))
+      Stats.paretoFront(pts, "doc_id", "n_tokens", "ttr_ppm")
+        .presented("n_tokens", "doc_id")
+    }))
 
   /** Shared input for the interval queries: points = distinct order dates
     * as epoch days; intervals = a deterministic "in transit" window per
@@ -5201,7 +5218,16 @@ object SparkEntry {
         |   CASE WHEN den = 0 THEN NULL
         |     ELSE CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
         |       * ((abs(num) * 1000000) // den) AS BIGINT) END AS slope_ppm
-        | FROM e ORDER BY event_type""".stripMargin)
+        | FROM e ORDER BY event_type""".stripMargin,
+    "q_pareto_front" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS x,
+         |     CAST((len(list_distinct(t)) * 1000000) // len(t) AS BIGINT) AS y
+         |   FROM (SELECT doc_id, $tokensSql AS t FROM documents)
+         |   WHERE len(t) > 0)
+         | SELECT doc_id, x AS n_tokens, y AS ttr_ppm FROM d p
+         | WHERE NOT EXISTS (SELECT 1 FROM d q
+         |   WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))
+         | ORDER BY n_tokens, doc_id""".stripMargin)
 
   /** DuckDB fragment: the interval queries' shared input — mirrors
     * [[shipmentWindows]] (epoch days via datediff, same key-derived window

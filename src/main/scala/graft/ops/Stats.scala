@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus/stream statistics designed for EXACT cross-engine reproducibility:
@@ -374,6 +375,37 @@ object Stats {
     import spark.implicits._
     Seq((k, nKeys, tail, sum, sum / k))
       .toDF("k", "n_keys", "c_tail", "hill_sum_scaled", "alpha_inv_scaled")
+  }
+
+  /** 2-D Pareto frontier (skyline) over integer criteria — "which rows are
+    * not strictly beaten on BOTH axes": row p is dominated iff some q has
+    * x_q ≥ x_p ∧ y_q ≥ y_p with at least one strict; the frontier keeps
+    * every non-dominated row (exact ties in both coordinates all survive —
+    * neither dominates). The curation read: the docs trading off length
+    * against diversity optimally, the candidate set a budgeted selector
+    * sweeps.
+    *
+    * Shape at scale: the corpus collapses to one row per DISTINCT x in a
+    * partial-aggregating max(y) shuffle; the running strict-max-above
+    * window runs over that x-bounded table ONLY (token counts, score
+    * buckets — never corpus rows, the vocabGrowth convention); membership
+    * is a broadcast join of the (x, ymax) frontier — frontier size is
+    * bounded by |distinct x|. A point is non-dominated iff y = max(y | x)
+    * and that max strictly exceeds every max at higher x — the window
+    * proves the second conjunct in one pass.
+    */
+  def paretoFront(df: DataFrame, idCol: String, xCol: String, yCol: String): DataFrame = {
+    val pts = df.select(col(idCol),
+      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    val byX = pts.groupBy(col("__x")).agg(max(col("__y")).as("__ymax"))
+    val w = Window.orderBy(col("__x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = byX.withColumn("__above", max(col("__ymax")).over(w))
+      .where(col("__above").isNull || col("__ymax") > col("__above"))
+      .select(col("__x").as("__fx"), col("__ymax").as("__fy"))
+    pts.join(broadcast(frontier),
+        col("__x") === col("__fx") && col("__y") === col("__fy"))
+      .select(col(idCol), col("__x").as(xCol), col("__y").as(yCol))
   }
 
   /** Per-key OLS volume trend — "is this event type / domain growing or

@@ -338,6 +338,30 @@ class IntervalsStatsSpec extends SparkTestBase {
     assert(got("solo") === ((1L, 9L, null)))
   }
 
+  test("paretoFront matches brute-force dominance; duplicate points both kept") {
+    // Points engineered for every edge: interior dominated points, a
+    // duplicated frontier point (both must survive), same-x dominated-by-y,
+    // same-y dominated-by-x, and a single max corner.
+    val pts = Seq(
+      (1L, 1L, 9L), (2L, 1L, 9L),          // duplicate frontier point
+      (3L, 1L, 5L),                        // same x, lower y → dominated
+      (4L, 3L, 7L), (5L, 5L, 7L),          // same y: x=3 dominated by x=5
+      (6L, 5L, 3L),                        // same x=5, lower y → dominated
+      (7L, 8L, 2L), (8L, 2L, 8L),
+      (9L, 4L, 4L)                         // interior
+    ).toDF("id", "x", "y")
+    val got = Stats.paretoFront(pts, "id", "x", "y")
+      .as[(Long, Long, Long)].collect().toSet
+    val all = Seq((1L, 1L, 9L), (2L, 1L, 9L), (3L, 1L, 5L), (4L, 3L, 7L),
+      (5L, 5L, 7L), (6L, 5L, 3L), (7L, 8L, 2L), (8L, 2L, 8L), (9L, 4L, 4L))
+    val brute = all.filter { case (_, px, py) =>
+      !all.exists { case (_, qx, qy) =>
+        qx >= px && qy >= py && (qx > px || qy > py) }
+    }.toSet
+    assert(got === brute)
+    assert(got.map(_._1) === Set(1L, 2L, 5L, 7L, 8L))
+  }
+
   test("chiSquareTerms: hand 2x2 tables, degenerate margin, minDf prune") {
     import org.apache.spark.sql.functions.{col => c}
     // 6 docs, 3 labeled (ids 0-2). "sep" appears in exactly the 3 labeled
