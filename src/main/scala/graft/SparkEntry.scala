@@ -2701,7 +2701,17 @@ object SparkEntry {
           expr("(__u * 1000000) DIV n_tokens").as("ttr_ppm"))
       Stats.paretoFront(pts, "doc_id", "n_tokens", "ttr_ppm")
         .presented("n_tokens", "doc_id")
-    }))
+    }),
+
+    // Rolling 7-day distinct users per day via MERGED daily KMV sketches —
+    // the windowed member of the sketch triad: per-day k-min-hash state is
+    // built once and reused by every window containing the day; only
+    // k-length hash arrays ride the window fan-out. Exact tier + integer
+    // 4σ audit bit, every output bit SQL-replayable.
+    "q_rolling_distinct" -> ((s, dir) =>
+      Sketches.kmvRollingDistinct(events(s, dir),
+          expr("ts_ms DIV 86400000"), "user_id", window = 7, k = 64)
+        .presented("window_end")))
 
   /** Shared input for the interval queries: points = distinct order dates
     * as epoch days; intervals = a deterministic "in transit" window per
@@ -5227,7 +5237,8 @@ object SparkEntry {
          | SELECT doc_id, x AS n_tokens, y AS ttr_ppm FROM d p
          | WHERE NOT EXISTS (SELECT 1 FROM d q
          |   WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))
-         | ORDER BY n_tokens, doc_id""".stripMargin)
+         | ORDER BY n_tokens, doc_id""".stripMargin,
+    "q_rolling_distinct" -> rollingDistinctOracleSql(7, 64))
 
   /** DuckDB fragment: the interval queries' shared input — mirrors
     * [[shipmentWindows]] (epoch days via datediff, same key-derived window
@@ -5702,6 +5713,49 @@ object SparkEntry {
     * union min-k from the two sketch sets, integer estimators, and the
     * same 2^20-fixed-point tolerance constant the engine computes.
     */
+  /** DuckDB replay of [[graft.ops.Sketches.kmvRollingDistinct]] over the
+    * events stream (trailing `window`-day distinct users): per-day min-k
+    * via row_number, window merge via a range join on observed days, the
+    * same truncating integer estimate and fixed-point tolerance.
+    */
+  private def rollingDistinctOracleSql(window: Int, k: Int): String = {
+    val space = 1L << 48
+    val tolFp = math.floor(4.0 / math.sqrt((k - 2).toDouble) * (1L << 20)).toLong
+    s"""WITH e AS (SELECT DISTINCT epoch_ms(ts) // 86400000 AS d,
+       |     CAST(user_id AS VARCHAR) AS v FROM events
+       |   WHERE user_id IS NOT NULL),
+       | hs AS (SELECT DISTINCT d,
+       |     CAST(('0x' || substr(md5(v), 1, 12)) AS BIGINT) AS h FROM e),
+       | mk AS (SELECT d, h FROM (
+       |     SELECT d, h, row_number() OVER (PARTITION BY d ORDER BY h) AS rn
+       |     FROM hs) WHERE rn <= $k),
+       | days AS (SELECT DISTINCT d AS w FROM e),
+       | uh AS (SELECT DISTINCT days.w, mk.h FROM days JOIN mk
+       |     ON mk.d BETWEEN days.w - ${window - 1} AND days.w),
+       | um AS (SELECT w, h, row_number() OVER (PARTITION BY w ORDER BY h)
+       |     AS rn FROM uh),
+       | uk AS (SELECT w, count(*) AS n_kept, max(h) AS kth_hash
+       |   FROM um WHERE rn <= $k GROUP BY w),
+       | nd AS (SELECT days.w, count(DISTINCT hs.d) AS n_days FROM days
+       |     JOIN hs ON hs.d BETWEEN days.w - ${window - 1} AND days.w
+       |   GROUP BY days.w),
+       | xa AS (SELECT days.w, count(DISTINCT e.v) AS n_exact FROM days
+       |     JOIN e ON e.d BETWEEN days.w - ${window - 1} AND days.w
+       |   GROUP BY days.w),
+       | fin AS (SELECT uk.w, nd.n_days, xa.n_exact, uk.n_kept, uk.kth_hash,
+       |     CASE WHEN uk.n_kept < $k THEN uk.n_kept
+       |          ELSE (${(k - 1).toLong * space} // (uk.kth_hash + 1))
+       |       END AS est
+       |   FROM uk JOIN nd ON nd.w = uk.w JOIN xa ON xa.w = uk.w)
+       | SELECT w AS window_end, CAST(n_days AS BIGINT) AS n_days,
+       |   CAST(n_exact AS BIGINT) AS n_exact, CAST(n_kept AS INT) AS n_kept,
+       |   kth_hash, CAST(est AS BIGINT) AS est,
+       |   CAST(abs(est - n_exact)
+       |     <= greatest(8, ($tolFp * n_exact) // ${1L << 20}) AS INT)
+       |     AS est_ok
+       | FROM fin ORDER BY window_end""".stripMargin
+  }
+
   private def kmvIntersectOracleSql(k: Int): String = {
     val space = 1L << 48
     val tolFp = math.floor(4.0 / math.sqrt((k - 2).toDouble) * (1L << 20)).toLong

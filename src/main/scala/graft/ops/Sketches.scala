@@ -3,7 +3,7 @@ package graft.ops
 import java.io.ByteArrayInputStream
 import java.nio.charset.StandardCharsets
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.CountMinSketch
 
@@ -253,6 +253,74 @@ object Sketches {
             expr(s"($tolFp * n_union_exact) DIV ${1L << 20}")))
           .cast("int"))
       .drop("__ik")
+  }
+
+  /** Rolling distinct-count over trailing day windows via MERGED daily KMV
+    * sketches — "distinct users in the last `window` days, per day" without
+    * ever re-scanning the window: each day keeps a k-min-hash sketch once,
+    * and a trailing window's estimate merges the ≤ `window` sketches
+    * (min-k(∪days) ⊆ ∪ per-day min-k, the Beyer et al. identity
+    * [[kmvIntersect]] also leans on). This is THE shape that survives
+    * 100 TB: the per-day sketch is the only state that outlives the day's
+    * scan, windows reuse it, and re-keying a window fans out k-length hash
+    * arrays only — raw values never ride the window replication.
+    *
+    * Output per observed day `window_end`: `n_days` (observed days in the
+    * window), `n_exact` (the verification tier — its ×window (day, value)
+    * fan-out is affordable at audit scale; drop the column in production
+    * and the sketch path is all that remains), sketch state
+    * (`n_kept`, `kth_hash`), `est`, and the fixed-point 4σ audit bit
+    * `est_ok` (integer tolerance arithmetic, same contract as
+    * [[kmvIntersect]] — a SQL oracle replays every bit).
+    */
+  def kmvRollingDistinct(
+      df: DataFrame,
+      dayCol: Column,
+      valueCol: String,
+      window: Int = 7,
+      k: Int = 64): DataFrame = {
+    require(k >= 3, s"k must be >= 3 for the KMV estimator, got $k")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val space = 1L << 48
+    val tolFp = math.floor(4.0 / math.sqrt((k - 2).toDouble) * (1L << 20)).toLong
+    val pairs = df.where(col(valueCol).isNotNull)
+      .select(dayCol.cast("long").as("d"), col(valueCol).cast("string").as("v"))
+      .distinct()
+    val h = conv(substring(md5(col("v").cast("binary")), 1, 12), 16, 10)
+      .cast("long")
+    val daily = pairs.select(col("d"), h.as("__h"))
+      .groupBy(col("d"))
+      .agg(graft.functions.TopKByScore.topk_by_score(
+        -col("__h").cast("double"), col("__h"), k, distinctIds = true)
+        .as("__mins"))
+      .select(col("d"), transform(col("__mins"), e => e.getField("id")).as("hs"))
+    val days = daily.select(col("d").as("w"))
+    val merged = daily
+      .select(explode(sequence(col("d"), col("d") + (window - 1))).as("w"),
+        col("hs"))
+      .join(days, Seq("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_days"),
+        slice(array_sort(array_distinct(flatten(collect_list(col("hs"))))),
+          1, k).as("__u"))
+      .select(col("w"), col("n_days"), size(col("__u")).as("n_kept"),
+        element_at(col("__u"), size(col("__u"))).as("kth_hash"))
+    val exact = pairs
+      .select(explode(sequence(col("d"), col("d") + (window - 1))).as("w"),
+        col("v"))
+      .join(days, Seq("w"))
+      .groupBy(col("w"))
+      .agg(countDistinct(col("v")).as("n_exact"))
+    merged.join(exact, Seq("w"))
+      .select(col("w").as("window_end"), col("n_days"), col("n_exact"),
+        col("n_kept"), col("kth_hash"),
+        when(col("n_kept") < k, col("n_kept").cast("long"))
+          .otherwise(expr(s"${(k - 1).toLong * space}L DIV (kth_hash + 1L)"))
+          .as("est"))
+      .withColumn("est_ok",
+        (abs(col("est") - col("n_exact")) <=
+          greatest(lit(8L), expr(s"($tolFp * n_exact) DIV ${1L << 20}")))
+          .cast("int"))
   }
 
   def hllAuditedDistinct(

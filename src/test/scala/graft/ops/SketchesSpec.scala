@@ -117,4 +117,42 @@ class SketchesSpec extends SparkTestBase {
     assert(a === b)
     assert(a.head._1 === "common" && a.head._2 === 50L)
   }
+
+  test("kmvRollingDistinct: merged window sketch equals direct union sketch") {
+    // Days 10..16 with overlapping value sets (day d sees v_{3d..3d+20}),
+    // plus a gap day (day 14 absent) to exercise partial windows.
+    def md5h(v: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(6).map(b => f"$b%02x").mkString, 16)
+    }
+    val dayValues: Map[Long, Seq[String]] =
+      (Seq(10L, 11L, 12L, 13L, 15L, 16L)).map { d =>
+        d -> (3 * d to 3 * d + 20).map(i => s"v$i")
+      }.toMap
+    val rows = dayValues.toSeq.flatMap { case (d, vs) =>
+      vs.flatMap(v => Seq((d, v), (d, v))) // duplicates must not matter
+    }
+    val k = 8
+    val got = Sketches.kmvRollingDistinct(rows.toDF("d", "v"), $"d", "v",
+        window = 3, k = k)
+      .as[(Long, Long, Long, Int, Long, Long, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet === dayValues.keySet)
+    for ((w, (_, nDays, nExact, nKept, kth, est, estOk)) <- got) {
+      val daysIn = dayValues.keys.filter(d => d >= w - 2 && d <= w).toSeq
+      val union = daysIn.flatMap(dayValues).distinct
+      assert(nDays === daysIn.size.toLong)
+      assert(nExact === union.size.toLong)
+      // direct sketch over the union must equal the merged-sketch state
+      val hs = union.map(md5h).distinct.sorted.take(k)
+      assert(nKept === hs.size)
+      assert(kth === hs.last)
+      val expEst =
+        if (hs.size < k) hs.size.toLong
+        else (k - 1).toLong * (1L << 48) / (hs.last + 1L)
+      assert(est === expEst)
+      assert(estOk === 1, s"w=$w est=$est exact=$nExact")
+    }
+  }
 }
