@@ -250,5 +250,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "gale_church_align(sentsA, sentsB[, maxSentences])")
       }))
+    ext.injectFunction((
+      FunctionIdentifier("token_lcs"),
+      new ExpressionInfo(classOf[graft.functions.TokenLcs].getName,
+        "token_lcs"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => graft.functions.TokenLcs(a, b, 16)
+        case Seq(a, b, m) =>
+          graft.functions.TokenLcs(a, b, int(m, "maxTokens"))
+        case _ => throw new IllegalArgumentException(
+          "token_lcs(toksA, toksB[, maxTokens])")
+      }))
   }
 }

@@ -2711,7 +2711,17 @@ object SparkEntry {
     "q_rolling_distinct" -> ((s, dir) =>
       Sketches.kmvRollingDistinct(events(s, dir),
           expr("ts_ms DIV 86400000"), "user_id", window = 7, k = 64)
-        .presented("window_end")))
+        .presented("window_end")),
+
+    // ROUGE-L contamination: graded benchmark-overlap scoring — trigram
+    // blocking with a per-side hot-gram cap, token-LCS DP per surviving
+    // (train, benchmark) pair, F-measure in exact ppm. The oracle replays
+    // the DP via the wavefront unroll (the sentence-align precedent).
+    "q_rouge_decontaminate" -> ((s, dir) =>
+      Align.rougeLContamination(t(s, dir, "documents"), "doc_id", "text",
+          col("doc_id") % 25 === 0, shingleK = 3, maxDocsPerGram = 100L,
+          maxTokens = 16)
+        .presented("a_id", "b_id")))
 
   /** Shared input for the interval queries: points = distinct order dates
     * as epoch days; intervals = a deterministic "in transit" window per
@@ -5238,7 +5248,8 @@ object SparkEntry {
          | WHERE NOT EXISTS (SELECT 1 FROM d q
          |   WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))
          | ORDER BY n_tokens, doc_id""".stripMargin,
-    "q_rolling_distinct" -> rollingDistinctOracleSql(7, 64))
+    "q_rolling_distinct" -> rollingDistinctOracleSql(7, 64),
+    "q_rouge_decontaminate" -> rougeOracleSql(3, 100L, 16))
 
   /** DuckDB fragment: the interval queries' shared input — mirrors
     * [[shipmentWindows]] (epoch days via datediff, same key-derived window
@@ -5819,6 +5830,70 @@ object SparkEntry {
     * it. Sentence lists, the B-side derivation, and the integer length
     * cost mirror the engine exactly.
     */
+  /** DuckDB replay of [[graft.ops.Align.rougeLContamination]]: identical
+    * trigram blocking (distinct grams, per-side hot cap), then the LCS DP
+    * unrolled over anti-diagonals (cells on diagonal k = i + j derive from
+    * k−1 by a right/down move and from k−2 by the match move; per-cell max
+    * replaces [[sentenceAlignOracleSql]]'s min — same wavefront shape).
+    */
+  private def rougeOracleSql(shingleK: Int, cap: Long, maxT: Int): String = {
+    def branches(k: Int): Seq[String] = {
+      val step = Seq(
+        s"""   SELECT p.a_id, p.b_id, p.i + 1 AS i, p.j, p.v
+           |   FROM c${k - 1} p JOIN L USING (a_id, b_id)
+           |   WHERE p.i + 1 <= len(la)""".stripMargin,
+        s"""   SELECT p.a_id, p.b_id, p.i, p.j + 1 AS j, p.v
+           |   FROM c${k - 1} p JOIN L USING (a_id, b_id)
+           |   WHERE p.j + 1 <= len(lb)""".stripMargin)
+      val diag =
+        if (k < 2) Nil
+        else Seq(
+          s"""   SELECT p.a_id, p.b_id, p.i + 1 AS i, p.j + 1 AS j,
+             |     p.v + CASE WHEN la[p.i + 1] = lb[p.j + 1]
+             |       THEN 1 ELSE 0 END AS v
+             |   FROM c${k - 2} p JOIN L USING (a_id, b_id)
+             |   WHERE p.i + 1 <= len(la) AND p.j + 1 <= len(lb)""".stripMargin)
+      step ++ diag
+    }
+    val diags = (1 to 2 * maxT).map { k =>
+      s""" c$k AS MATERIALIZED (SELECT a_id, b_id, i, j, max(v) AS v FROM (
+         |${branches(k).mkString("\n   UNION ALL\n")}
+         | ) GROUP BY a_id, b_id, i, j)""".stripMargin
+    }
+    val finals = (0 to 2 * maxT).map(k =>
+      s"SELECT a_id, b_id, v FROM c$k JOIN L USING (a_id, b_id) " +
+        s"WHERE i = len(la) AND j = len(lb)")
+    s"""WITH t AS (SELECT doc_id, (doc_id % 25 = 0) AS bench,
+       |     $tokensSql AS t FROM documents),
+       | sh AS (SELECT DISTINCT doc_id, bench, g FROM (
+       |     SELECT doc_id, bench, unnest(
+       |       CASE WHEN len(t) < $shingleK THEN [array_to_string(t, ' ')]
+       |         ELSE [list_reduce(list_slice(t, i, i + ${shingleK - 1}),
+       |           (x, y) -> x || ' ' || y)
+       |           for i in range(1, len(t) - ${shingleK - 2})] END) AS g
+       |     FROM t)),
+       | hot AS (SELECT DISTINCT g FROM (
+       |     SELECT g, bench, count(*) AS c FROM sh GROUP BY 1, 2)
+       |   WHERE c > $cap),
+       | ok AS (SELECT * FROM sh WHERE g NOT IN (SELECT g FROM hot)),
+       | pr AS (SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
+       |   FROM ok a JOIN ok b2 USING (g) WHERE NOT a.bench AND b2.bench),
+       | L AS MATERIALIZED (SELECT pr.a_id, pr.b_id,
+       |     list_slice(ta.t, 1, $maxT) AS la, list_slice(tb.t, 1, $maxT) AS lb
+       |   FROM pr JOIN t ta ON ta.doc_id = pr.a_id
+       |     JOIN t tb ON tb.doc_id = pr.b_id),
+       | c0 AS (SELECT a_id, b_id, 0 AS i, 0 AS j, 0 AS v FROM L),
+       |${diags.mkString(",\n")},
+       | fin AS (${finals.mkString("\n   UNION ALL ")})
+       | SELECT L.a_id, L.b_id, CAST(len(la) AS INT) AS n_a,
+       |   CAST(len(lb) AS INT) AS n_b, CAST(fin.v AS BIGINT) AS lcs,
+       |   CAST(CASE WHEN len(la) + len(lb) = 0 THEN 0
+       |     ELSE (2 * fin.v * 1000000) // (len(la) + len(lb)) END AS BIGINT)
+       |     AS rouge_l_ppm
+       | FROM L JOIN fin USING (a_id, b_id)
+       | ORDER BY a_id, b_id""".stripMargin
+  }
+
   private def sentenceAlignOracleSql(maxS: Int): String = {
     val ops = Seq((1, 1, 0), (1, 0, 450), (0, 1, 450),
       (2, 1, 230), (1, 2, 230), (2, 2, 440))

@@ -122,10 +122,74 @@ case class GaleChurchAlign(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Token-sequence LCS — the core of ROUGE-L contamination scoring: the
+  * longest common subsequence of two token arrays (each truncated to
+  * `maxTokens`, the [[GaleChurchOps]] capping convention — production
+  * scorers chunk long documents, and the cap bounds the oracle's
+  * wavefront unroll). The classic O(n·m) row-rolling DP, all-int,
+  * deterministic; the classical recurrence (match → diag+1, else
+  * max(up, left)) equals the full three-way max, which is what the
+  * diagonal-unrolled SQL replay computes — both are THE unique LCS
+  * length. Output struct: (n_a, n_b, lcs) with n_a/n_b the TRUNCATED
+  * lengths the score is defined over.
+  */
+object TokenLcsOps {
+  def lcs(a: ArrayData, b: ArrayData, maxTokens: Int): InternalRow = {
+    val na = math.min(a.numElements(), maxTokens)
+    val nb = math.min(b.numElements(), maxTokens)
+    val as = Array.tabulate(na)(i =>
+      if (a.isNullAt(i)) null else a.getUTF8String(i))
+    val bs = Array.tabulate(nb)(i =>
+      if (b.isNullAt(i)) null else b.getUTF8String(i))
+    val dp = new Array[Int](nb + 1)
+    var i = 1
+    while (i <= na) {
+      var prevDiag = 0
+      var j = 1
+      while (j <= nb) {
+        val up = dp(j)
+        val eq = as(i - 1) != null && bs(j - 1) != null &&
+          as(i - 1).equals(bs(j - 1))
+        dp(j) = if (eq) prevDiag + 1 else math.max(up, dp(j - 1))
+        prevDiag = up
+        j += 1
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](na, nb, dp(nb)))
+  }
+}
+
+case class TokenLcs(left: Expression, right: Expression, maxTokens: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_a", IntegerType, nullable = false),
+    StructField("n_b", IntegerType, nullable = false),
+    StructField("lcs", IntegerType, nullable = false)))
+  override def prettyName: String = "token_lcs"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TokenLcsOps.lcs(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      maxTokens)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TokenLcsOps.lcs($a, $b, $maxTokens)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TokenLcs =
+    copy(left = newLeft, right = newRight)
+}
+
 object AlignFunctions {
   /** Gale–Church-style DP alignment struct (see [[GaleChurchOps]]). */
   def gale_church_align(sentsA: Column, sentsB: Column,
       maxSentences: Int = 10): Column =
     ColumnBridge.column(GaleChurchAlign(ColumnBridge.expression(sentsA),
       ColumnBridge.expression(sentsB), maxSentences))
+
+  /** Token-LCS struct (n_a, n_b, lcs) — see [[TokenLcsOps]]. */
+  def token_lcs(toksA: Column, toksB: Column, maxTokens: Int = 16): Column =
+    ColumnBridge.column(TokenLcs(ColumnBridge.expression(toksA),
+      ColumnBridge.expression(toksB), maxTokens))
 }
