@@ -2721,7 +2721,25 @@ object SparkEntry {
       Align.rougeLContamination(t(s, dir, "documents"), "doc_id", "text",
           col("doc_id") % 25 === 0, shingleK = 3, maxDocsPerGram = 100L,
           maxTokens = 16)
-        .presented("a_id", "b_id")))
+        .presented("a_id", "b_id")),
+
+    // Balanced training-shard plan: serpentine-by-size assignment to 8
+    // shards (distributed rank — histogram offsets + per-count windows,
+    // no global window), summarized per shard with the ppm spread audit.
+    "q_shard_plan" -> ((s, dir) => {
+      val asg = Curation.shardPlan(t(s, dir, "documents"), "doc_id", "text",
+        nShards = 8)
+      val per = asg.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      val ext = per.agg(max(col("total_tokens")).as("__mx"),
+        min(col("total_tokens")).as("__mn"))
+      per.crossJoin(broadcast(ext))
+        .select(col("shard"), col("n_docs"), col("total_tokens"),
+          when(col("__mx") === 0, lit(0L))
+            .otherwise(expr("((__mx - __mn) * 1000000) DIV __mx"))
+            .as("spread_ppm"))
+        .presented("shard")
+    }))
 
   /** Shared input for the interval queries: points = distinct order dates
     * as epoch days; intervals = a deterministic "in transit" window per
@@ -5249,7 +5267,25 @@ object SparkEntry {
          |   WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))
          | ORDER BY n_tokens, doc_id""".stripMargin,
     "q_rolling_distinct" -> rollingDistinctOracleSql(7, 64),
-    "q_rouge_decontaminate" -> rougeOracleSql(3, 100L, 16))
+    "q_rouge_decontaminate" -> rougeOracleSql(3, 100L, 16),
+    "q_shard_plan" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS nt
+         |   FROM documents),
+         | r AS (SELECT doc_id, nt,
+         |     row_number() OVER (ORDER BY nt DESC, doc_id) - 1 AS rank
+         |   FROM d),
+         | a AS (SELECT doc_id, nt, rank,
+         |     CASE WHEN (rank // 8) % 2 = 0 THEN rank % 8
+         |          ELSE 7 - rank % 8 END AS shard FROM r),
+         | p AS (SELECT shard, count(*) AS n_docs, sum(nt) AS total_tokens
+         |   FROM a GROUP BY shard),
+         | x AS (SELECT max(total_tokens) AS mx, min(total_tokens) AS mn
+         |   FROM p)
+         | SELECT CAST(shard AS INT) AS shard, CAST(n_docs AS BIGINT) AS n_docs,
+         |   CAST(total_tokens AS BIGINT) AS total_tokens,
+         |   CAST(CASE WHEN mx = 0 THEN 0
+         |     ELSE ((mx - mn) * 1000000) // mx END AS BIGINT) AS spread_ppm
+         | FROM p, x ORDER BY shard""".stripMargin)
 
   /** DuckDB fragment: the interval queries' shared input — mirrors
     * [[shipmentWindows]] (epoch days via datediff, same key-derived window

@@ -1287,4 +1287,51 @@ object Curation {
       .select(col("id").as(trainId), col("n_grams"), col("n_flagged"),
         (col("n_flagged") === 0L).cast("int").as("clean"))
   }
+
+  /** Balanced training-shard planning: assign every document to one of
+    * `nShards` output shards so per-shard token totals stay level — the
+    * writer-planning step before dumping training shards. Deterministic
+    * serpentine-by-size assignment (the parallel-schedulers' LPT shape):
+    * rank documents by (token count DESC, id), deal rank r to shard
+    * r mod n, reversing direction every round — each round hands every
+    * shard one similarly-sized document and the alternation cancels the
+    * within-round bias, so imbalance is bounded by one round's size spread.
+    *
+    * The global rank is computed WITHOUT a global window: per-count
+    * occupancy is a (distinct token-count)-bounded histogram, running
+    * offsets are a window over that histogram table ONLY (the vocabGrowth
+    * convention), and the within-count row_number partitions BY COUNT —
+    * distributed across the count domain, never funneling the corpus
+    * into one task. Output per document: (id, n_tokens, rank, shard);
+    * a pure function of the corpus multiset — stable under retries and
+    * partitionings, SQL-replayable.
+    */
+  def shardPlan(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val staged = df.select(col(idCol),
+      size(graft.functions.TextFunctions.tokenize(col(textCol)))
+        .cast("long").as("n_tokens"))
+    val hist = staged.groupBy(col("n_tokens")).agg(count(lit(1)).as("__c"))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_tokens").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = hist
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .select(col("n_tokens"), col("__off"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n_tokens")).orderBy(col(idCol))
+    staged.join(broadcast(offsets), Seq("n_tokens"))
+      .withColumn("rank",
+        col("__off") + row_number().over(wIn).cast("long") - 1L)
+      .withColumn("shard",
+        when(expr(s"(rank DIV $nShards) % 2 = 0"),
+          col("rank") % nShards)
+          .otherwise(lit((nShards - 1).toLong) - col("rank") % nShards)
+          .cast("int"))
+      .select(col(idCol), col("n_tokens"), col("rank"), col("shard"))
+  }
 }

@@ -743,4 +743,23 @@ class CurationSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(got === again)
   }
+
+  test("shardPlan: serpentine ranks, tie order, perfect balance on 16/4") {
+    // Doc i has 17−i tokens (i = 1..16): ranks are 0..15 in doc order, and
+    // serpentine dealing onto 4 shards balances totals exactly (34 each).
+    val docs = (1 to 16).map(i => (i.toLong, Seq.fill(17 - i)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Curation.shardPlan(docs, "doc_id", "text", nShards = 4)
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._1)
+    assert(got.map(_._3).toSeq === (0L to 15L))
+    val expShard = Seq(0, 1, 2, 3, 3, 2, 1, 0, 0, 1, 2, 3, 3, 2, 1, 0)
+    assert(got.map(_._4).toSeq === expShard)
+    val totals = got.groupBy(_._4).view.mapValues(_.map(_._2).sum).toMap
+    assert(totals.values.toSet === Set(34L))
+    // ties: equal counts rank by ascending id
+    val tied = Seq((5L, "a b"), (3L, "c d"), (9L, "e f"), (1L, "g")).toDF("doc_id", "text")
+    val r2 = Curation.shardPlan(tied, "doc_id", "text", nShards = 2)
+      .as[(Long, Long, Long, Int)].collect().map(r => r._1 -> r._3).toMap
+    assert(r2 === Map(3L -> 0L, 5L -> 1L, 9L -> 2L, 1L -> 3L))
+  }
 }
