@@ -2739,7 +2739,15 @@ object SparkEntry {
             .otherwise(expr("((__mx - __mn) * 1000000) DIV __mx"))
             .as("spread_ppm"))
         .presented("shard")
-    }))
+    }),
+
+    // Dirichlet query-likelihood retrieval (the LM counterpart of BM25):
+    // per-term contributions integerized round(1e6·ln) over all-integer
+    // rationals — the score ITSELF is cross-engine exact, unlike BM25's
+    // rank-only oracle.
+    "q_dirichlet_ql" -> ((s, dir) =>
+      TextSearch.dirichletQlTopK(t(s, dir, "documents"), "doc_id", "text",
+        Bm25Terms, k = 20, mu = 2000L)))
 
   /** Shared input for the interval queries: points = distinct order dates
     * as epoch days; intervals = a deterministic "in transit" window per
@@ -5268,6 +5276,7 @@ object SparkEntry {
          | ORDER BY n_tokens, doc_id""".stripMargin,
     "q_rolling_distinct" -> rollingDistinctOracleSql(7, 64),
     "q_rouge_decontaminate" -> rougeOracleSql(3, 100L, 16),
+    "q_dirichlet_ql" -> dirichletQlOracleSql(Bm25Terms, 20, 2000L),
     "q_shard_plan" ->
       s"""WITH d AS (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS nt
          |   FROM documents),
@@ -5866,6 +5875,28 @@ object SparkEntry {
     * it. Sentence lists, the B-side derivation, and the integer length
     * cost mirror the engine exactly.
     */
+  /** DuckDB replay of [[graft.ops.TextSearch.dirichletQlTopK]]: identical
+    * tokenization, the same all-integer rationals handed to ln, per-term
+    * round(1e6·ln) integerization before the sum.
+    */
+  private def dirichletQlOracleSql(terms: Seq[String], k: Int, mu: Long): String = {
+    val tfSel = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(t, x -> x = '${t.toLowerCase}')) AS tf_$i"
+    }.mkString(", ")
+    val cfSel = terms.indices.map(i => s"sum(tf_$i) AS cf_$i").mkString(", ")
+    val contrib = terms.indices.map(i =>
+      s"CAST(round(1000000 * ln((tf_$i * c_total + $mu * greatest(cf_$i, 1))::DOUBLE / ((dl + $mu) * c_total)::DOUBLE)) AS BIGINT)")
+      .mkString("\n       |     + ")
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents),
+       | d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, $tfSel FROM tk),
+       | s AS (SELECT CAST(sum(dl) AS BIGINT) AS c_total, $cfSel FROM d),
+       | e AS (SELECT doc_id, dl,
+       |     $contrib AS score_scaled
+       |   FROM d, s)
+       | SELECT doc_id, dl, score_scaled FROM e
+       | ORDER BY score_scaled DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** DuckDB replay of [[graft.ops.Align.rougeLContamination]]: identical
     * trigram blocking (distinct grams, per-side hot cap), then the LCS DP
     * unrolled over anti-diagonals (cells on diagonal k = i + j derive from

@@ -31,6 +31,55 @@ import org.apache.spark.sql.functions._
   */
 object TextSearch {
 
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty 2004)
+    * — the language-modeling counterpart of [[bm25TopK]]:
+    *
+    *   score(q, d) = Σ_w ln( (tf_{w,d} + μ·p(w|C)) / (|d| + μ) )
+    *
+    * with p(w|C) = cf_w / |C|, evaluated as the all-integer rational
+    * (tf·|C| + μ·cf') / ((|d| + μ)·|C|), cf' = max(cf, 1) (a query term
+    * absent from the whole corpus would put ln(0) in the sum; the floor
+    * is the standard OOV guard and is engine-replayable). Each term's
+    * contribution is integerized round(10⁶·ln·) BEFORE the sum (the PMI /
+    * docEntropy determinism policy: every product of exact int64 counts is
+    * exact below 2⁵³, both engines hand ln the identical double, and the
+    * summed int64 score is order-independent) — so unlike BM25's
+    * double-sum score, the Dirichlet score itself is hash-comparable
+    * cross-engine.
+    *
+    * Shape: one corpus pass for (dl, per-term tf), a 1-row broadcast of
+    * (|C|, cf), a narrow fused scoring projection, k-bounded TakeOrdered.
+    */
+  def dirichletQlTopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int = 10,
+      mu: Long = 2000L): DataFrame = {
+    require(queryTerms.nonEmpty, "dirichletQlTopK needs at least one query term")
+    require(mu >= 1, s"mu must be >= 1, got $mu")
+    val terms = queryTerms.map(_.toLowerCase)
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(col("__t"), x => x === lit(t))).cast("long").as(s"tf_$i")
+    }
+    val staged = df
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .select(Seq(col("id"), size(col("__t")).cast("long").as("dl")) ++ tfCols: _*)
+    val cfCols = terms.indices.map(i => sum(col(s"tf_$i")).as(s"cf_$i"))
+    val stats = staged.agg(sum(col("dl")).as("c_total"), cfCols: _*)
+    val score = terms.indices.map { i =>
+      val num = (col(s"tf_$i") * col("c_total") +
+        lit(mu) * greatest(col(s"cf_$i"), lit(1L))).cast("double")
+      val den = ((col("dl") + lit(mu)) * col("c_total")).cast("double")
+      round(lit(1e6) * log(num / den)).cast("long")
+    }.reduce(_ + _)
+    staged.crossJoin(broadcast(stats))
+      .select(col("id").as(idCol), col("dl"), score.as("score_scaled"))
+      .orderBy(col("score_scaled").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Top-k documents by BM25 score for `queryTerms` (terms are matched
     * against the engine tokenization — lowercased whitespace words).
     * Output: (idCol, dl, score), score desc, ties by id.

@@ -253,4 +253,28 @@ class TextSearchSpec extends SparkTestBase {
     val got = vals.select(TextSearch.varintBytes($"v")).as[Long].collect().toSeq
     assert(got === Seq(1L, 1L, 1L, 2L, 2L, 3L, 3L, 4L, 9L, 9L))
   }
+
+  test("dirichletQlTopK: hand-computed integerized scores, OOV floor, k cap") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry")).toDF("doc_id", "text")
+    // C = 8, cf(apple) = 2, cf(durian) = 0 → floored to 1, mu = 10.
+    def term(tf: Long, cf: Long, dl: Long): Long =
+      math.round(1e6 * math.log(
+        (tf * 8L + 10L * math.max(cf, 1L)).toDouble / ((dl + 10L) * 8L)))
+    val exp = Map(
+      1L -> (3L, term(2, 2, 3) + term(0, 0, 3)),
+      2L -> (2L, term(0, 2, 2) + term(0, 0, 2)),
+      3L -> (3L, term(0, 2, 3) + term(0, 0, 3)))
+    val got = TextSearch.dirichletQlTopK(docs, "doc_id", "text",
+        Seq("apple", "durian"), k = 10, mu = 10L)
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(r => r._1 -> ((r._2, r._3))).toMap === exp)
+    // ordering: d1 (term hit) first, then d2 (shorter) over d3
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    val capped = TextSearch.dirichletQlTopK(docs, "doc_id", "text",
+      Seq("apple"), k = 2, mu = 10L).count()
+    assert(capped === 2L)
+  }
 }
