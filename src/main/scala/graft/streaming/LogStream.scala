@@ -188,6 +188,82 @@ object LogStream {
       }
   }
 
+  private[streaming] case class EwmaState(
+      open: Map[Long, Long], mFp: Long, vFp: Long, n: Long)
+  case class EwmaOutput(key: String, bucket: Long, cnt: Long,
+      ewmaFp: Long, ewvarFp: Long, isAnomaly: Boolean)
+
+  /** Streaming EWMA rate monitor — the RECENT-REGIME member of the anomaly
+    * pair: where [[bucketAnomalies]] judges each closed bucket against its
+    * key's FULL history (a regime change poisons the baseline forever),
+    * this keeps exponentially-weighted mean/variance with α = 2^-`alphaShift`
+    * so the baseline tracks the last ~2^alphaShift buckets and recovers
+    * after level shifts. All-integer fixed point (values carry 20
+    * fractional bits; the smoothing step is a signed arithmetic shift, the
+    * variance compare runs in BigInt so nothing overflows) — replaying the
+    * same stream is bit-deterministic, kill/resume included.
+    *
+    * Bucket lifecycle is identical to [[bucketAnomalies]] (open buckets
+    * bounded by the watermark horizon, closed in event-time order, judged
+    * ONLINE against only the state before them, no verdict until
+    * `minHistory` buckets closed); state per key is the open-bucket map
+    * plus three longs — bounded by key cardinality, not stream length.
+    */
+  def ewmaAnomaliesStream(
+      events: Dataset[AnomalyInput],
+      bucketMs: Long = 3600000L,
+      alphaShift: Int = 3,
+      z: Int = 3,
+      minHistory: Int = 5,
+      watermark: String = "10 minutes"): Dataset[EwmaOutput] = {
+    require(alphaShift >= 1 && alphaShift <= 16,
+      s"alphaShift must be in [1, 16], got $alphaShift")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val withWm = events.toDF()
+      .withColumn("et", timestamp_millis(col("eventTimeMs")))
+      .withWatermark("et", watermark)
+      .as[AnomalyEvent]
+    withWm
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[EwmaState, EwmaOutput](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state: GroupState[EwmaState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val st0 = state.getOption.getOrElse(EwmaState(Map.empty, 0L, 0L, 0L))
+          val open = rows.foldLeft(st0.open) { (m, e) =>
+            val b = Math.floorDiv(e.eventTimeMs, bucketMs)
+            if ((b + 1) * bucketMs <= wm) m
+            else m.updated(b, m.getOrElse(b, 0L) + 1L)
+          }
+          val (closable, still) = open.partition { case (b, _) =>
+            (b + 1) * bucketMs <= wm
+          }
+          var (mFp, vFp, n) = (st0.mFp, st0.vFp, st0.n)
+          val out = closable.toSeq.sortBy(_._1).map { case (b, cnt) =>
+            val xFp = cnt << 20
+            val anom = if (n == 0L) {
+              mFp = xFp; false
+            } else {
+              val devFp = xFp - mFp
+              val flag = n >= minHistory &&
+                BigInt(devFp) * devFp > BigInt(z.toLong * z) * (BigInt(vFp) << 20)
+              mFp += devFp >> alphaShift
+              val dev2Fp = ((BigInt(devFp) * devFp) >> 20).toLong
+              vFp += (dev2Fp - vFp) >> alphaShift
+              flag
+            }
+            n += 1
+            EwmaOutput(key, b, cnt, mFp, vFp, anom)
+          }
+          state.update(EwmaState(still, mFp, vFp, n))
+          if (still.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              (still.keys.min + 1) * bucketMs, wm + 1))
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup: drop rows whose content hash was already seen
     * within the watermark horizon — the continuous form of
     * [[graft.ops.Dedup.exactDedup]] for ingest-time dedup of a document

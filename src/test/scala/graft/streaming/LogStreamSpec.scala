@@ -321,6 +321,55 @@ class LogStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("ewmaAnomaliesStream: spike flagged once, baseline adapts to a regime shift") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[LogStream.AnomalyInput]
+    val out = LogStream.ewmaAnomaliesStream(input.toDS(),
+      bucketMs = 1000L, alphaShift = 1, z = 3, minHistory = 3,
+      watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("ewma")
+      .outputMode("append").start()
+    def feed(pairs: (String, Long)*): Unit = {
+      input.addData(pairs.map { case (k, t) => LogStream.AnomalyInput(k, t) }: _*)
+      q.processAllAvailable()
+    }
+    try {
+      // Steady 2/bucket (0..4), spike 20 (5), new regime 10/bucket (6..12).
+      for (b <- 0L to 4L) feed(("a", b * 1000 + 10), ("a", b * 1000 + 500))
+      feed((0 until 20).map(i => ("a", 5000L + i)): _*)
+      for (b <- 6L to 12L)
+        feed((0 until 10).map(i => ("a", b * 1000 + i)): _*)
+      feed(("a", 1000000L))
+      val got = spark.table("ewma").as[LogStream.EwmaOutput]
+        .collect().sortBy(_.bucket)
+      val counts = (0L to 12L).map(b => if (b == 5) 20L else if (b >= 6) 10L else 2L)
+      assert(got.map(o => (o.bucket, o.cnt)) === counts.zipWithIndex
+        .map { case (c, b) => (b.toLong, c) })
+      // exact replay of the integer recurrence
+      var (m, v, n) = (0L, 0L, 0L)
+      val exp = counts.map { x =>
+        val xFp = x << 20
+        val flag =
+          if (n == 0L) { m = xFp; false }
+          else {
+            val dev = xFp - m
+            val f = n >= 3 &&
+              BigInt(dev) * dev > BigInt(9L) * (BigInt(v) << 20)
+            m += dev >> 1
+            val dev2 = ((BigInt(dev) * dev) >> 20).toLong
+            v += (dev2 - v) >> 1
+            f
+          }
+        n += 1
+        (m, v, flag)
+      }
+      assert(got.map(o => (o.ewmaFp, o.ewvarFp, o.isAnomaly)).toSeq === exp)
+      // only the spike is flagged — the EWMA baseline absorbs the regime
+      // shift instead of flagging the new level forever
+      assert(got.filter(_.isAnomaly).map(_.bucket).toSeq === Seq(5L))
+    } finally q.stop()
+  }
+
   test("nearDupPairsStream survives a restart: bucket state recovers from checkpoint") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = Files.createTempDirectory("neardup-ckpt").toString
