@@ -116,6 +116,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val al = row3.getAs[org.apache.spark.sql.Row]("al")
     assert(al.getLong(2) === 0L && al.getString(4) === "1-1,1-1")
 
+    // token_lcs: in-order subsequence, truncation arg respected.
+    val lc = spark.sql(
+      """SELECT token_lcs(tokenize('a b x y z c'), tokenize('x y z q r')) AS l,
+        |  token_lcs(tokenize('a b c d'), tokenize('a b c d'), 2) AS lt
+        |""".stripMargin).head()
+    val l = lc.getAs[org.apache.spark.sql.Row]("l")
+    assert((l.getInt(0), l.getInt(1), l.getInt(2)) === ((6, 5, 3)))
+    val lt = lc.getAs[org.apache.spark.sql.Row]("lt")
+    assert((lt.getInt(0), lt.getInt(1), lt.getInt(2)) === ((2, 2, 2)))
+
     // The payload aggregate: smallest-score-last ordering carries payloads.
     val agg2 = spark.sql(
       "SELECT g, topk_by_score_payload(score, id, score * 10, 2) AS top " +

@@ -35,7 +35,12 @@ class PlanAuditSpec extends SparkTestBase {
       "q_sentence_align" -> Set("doc_id", "text"),
       "q_doremi" -> Set("doc_id", "lang"),
       "q_pav_calibrate" -> Set("doc_id"),
-      "q_f1_threshold" -> Set("doc_id"))
+      "q_f1_threshold" -> Set("doc_id"),
+      "q_chi2_terms" -> Set("doc_id", "source", "text"),
+      "q_pareto_front" -> Set("doc_id", "text"),
+      "q_rouge_decontaminate" -> Set("doc_id", "text"),
+      "q_shard_plan" -> Set("doc_id", "text"),
+      "q_dirichlet_ql" -> Set("doc_id", "text"))
     val bad = expected.toSeq.sortBy(_._1).flatMap { case (name, cols) =>
       val scans = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.collect {
