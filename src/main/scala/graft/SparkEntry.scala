@@ -2703,6 +2703,22 @@ object SparkEntry {
         .presented("n_tokens", "doc_id")
     }),
 
+    // Term burstiness (Church & Gale index of dispersion): VMR of
+    // per-doc counts with zeros included via the closed form — the
+    // content-vs-function-word separator. DECIMAL(38,0) keeps (Σc)²
+    // exact; wire mass is (doc, DISTINCT term) triples.
+    "q_burstiness" -> ((s, dir) =>
+      TextAnalysis.burstiness(t(s, dir, "documents"), "doc_id", "text",
+        minDf = 5, topK = 50)),
+
+    // Per-source unigram KL divergence vs the corpus mix — the batch
+    // drift audit behind mixture weights. One token-mass shuffle
+    // (source, term); corpus counts derive from it; round(10⁶·ln) per
+    // term before the DECIMAL sum; sign-factored final divide.
+    "q_kl_sources" -> ((s, dir) =>
+      TextAnalysis.sliceKlDivergence(t(s, dir, "documents"), "source", "text")
+        .withColumnRenamed("slice", "source")),
+
     // Rolling 7-day distinct users per day via MERGED daily KMV sketches —
     // the windowed member of the sketch triad: per-day k-min-hash state is
     // built once and reused by every window containing the day; only
@@ -5248,6 +5264,36 @@ object SparkEntry {
          |   FROM e)
          | SELECT term, CAST(df AS BIGINT) AS df, a AS n_label, chi2_ppm
          | FROM x ORDER BY chi2_ppm DESC, term LIMIT 50""".stripMargin,
+    "q_burstiness" ->
+      s"""WITH d AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         | tot AS (SELECT count(*)::HUGEINT AS n FROM d),
+         | pc AS (SELECT doc_id, term, count(*)::HUGEINT AS c FROM (
+         |     SELECT doc_id, unnest(t) AS term FROM d) GROUP BY 1, 2),
+         | a AS (SELECT term, count(*) AS df, sum(c) AS ct, sum(c*c) AS c2
+         |   FROM pc GROUP BY term HAVING count(*) >= 5)
+         | SELECT term, CAST(df AS BIGINT) AS df, CAST(ct AS BIGINT) AS c_total,
+         |   CAST((1000000::HUGEINT * (n*c2 - ct*ct)) // (n*ct) AS BIGINT)
+         |     AS vmr_ppm
+         | FROM a, tot ORDER BY vmr_ppm DESC, term LIMIT 50""".stripMargin,
+    "q_kl_sources" ->
+      s"""WITH d AS (SELECT source, $tokensSql AS t FROM documents),
+         | sc AS (SELECT source, term, count(*)::BIGINT AS c_sw FROM (
+         |     SELECT source, unnest(t) AS term FROM d) GROUP BY 1, 2),
+         | cw AS (SELECT term, sum(c_sw)::BIGINT AS c_w FROM sc GROUP BY term),
+         | cs AS (SELECT source, sum(c_sw)::BIGINT AS c_s,
+         |     count(*)::BIGINT AS n_terms FROM sc GROUP BY source),
+         | tot AS (SELECT sum(c_w)::BIGINT AS ct FROM cw),
+         | w AS (SELECT sc.source, cs.c_s, cs.n_terms,
+         |     sc.c_sw::HUGEINT * CAST(round(1000000e0 * ln(
+         |       CAST(sc.c_sw * tot.ct AS DOUBLE) /
+         |       CAST(cs.c_s * cw.c_w AS DOUBLE))) AS HUGEINT) AS wl
+         |   FROM sc JOIN cw USING (term) JOIN cs USING (source), tot),
+         | g AS (SELECT source, c_s, n_terms, sum(wl) AS s
+         |   FROM w GROUP BY 1, 2, 3)
+         | SELECT source, c_s AS n_tokens, n_terms,
+         |   CAST(CASE WHEN s < 0 THEN -((-s) // c_s)
+         |     ELSE s // c_s END AS BIGINT) AS kl_ppm
+         | FROM g ORDER BY source""".stripMargin,
     "q_trend_slopes" ->
       """WITH c AS (SELECT event_type, epoch_ms(ts) // 86400000 AS b,
         |     count(*) AS y FROM events GROUP BY 1, 2),

@@ -781,4 +781,107 @@ object TextAnalysis {
       .orderBy(desc("chi2_ppm"), col("term"))
       .limit(topK)
   }
+
+  /** Term burstiness — the Church & Gale (1995) index of dispersion
+    * (variance-to-mean ratio of per-document counts, zeros included):
+    * function words arrive ~Poisson (VMR ≈ 1), content/topical words are
+    * "contagious" (VMR ≫ 1 — when they appear at all, they appear in
+    * bursts). The signal that separates a stopword cutoff from a topic
+    * vocabulary, and the term-level dual of [[repetitionProfile]]'s
+    * document view. With N docs, per-term occurrence sums Σc and Σc²
+    * (zero-count docs contribute nothing to either), reported as
+    *
+    *   `vmr_ppm` = ⌊10⁶ · (N·Σc² − (Σc)²) / (N·Σc)⌋
+    *
+    * in DECIMAL(38,0) integer arithmetic — (Σc)² overflows int64 for
+    * corpus-scale common words; the numerator is non-negative (N·Σc² ≥
+    * (Σc)² by Cauchy–Schwarz over the N-doc vector), so the truncating
+    * DIV is floor and matches DuckDB's HUGEINT `//` exactly.
+    *
+    * Scale shape: per-(doc, term) counts collapse in the FIRST map-side
+    * combine (each doc's tokens live in one row, so the wire carries
+    * (doc, DISTINCT term, c) triples — the chi2Terms presence mass, not
+    * token mass); the per-term moment aggregation is vocab-bounded; N is
+    * a broadcast 1-row frame; `minDf` prunes before the VMR projection;
+    * top-`topK` is a k-bounded TakeOrdered.
+    */
+  def burstiness(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Long = 5L,
+      topK: Int = 50): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    val perDoc = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("__c"))
+    val byTerm = perDoc.groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sum(col("__c")).as("c_total"),
+        sum(col("__c") * col("__c")).as("__c2"))
+      .where(col("df") >= minDf)
+    val totals = docs.agg(count(lit(1)).as("__n"))
+    val dec = "decimal(38,0)"
+    byTerm.crossJoin(broadcast(totals))
+      .select(col("term"), col("df"), col("c_total"),
+        (lit(1000000L).cast(dec) *
+          (col("__n").cast(dec) * col("__c2").cast(dec) -
+            col("c_total").cast(dec) * col("c_total").cast(dec))).as("__num"),
+        (col("__n").cast(dec) * col("c_total").cast(dec)).as("__den"))
+      .select(col("term"), col("df"), col("c_total"),
+        expr("__num DIV __den").cast("long").as("vmr_ppm"))
+      .orderBy(desc("vmr_ppm"), col("term"))
+      .limit(topK)
+  }
+
+  /** Per-slice unigram KL divergence against the whole corpus — "how far
+    * does each source's word distribution sit from the mix": KL(P_s ‖ P)
+    * = (1/c_s)·Σ_w c_sw·ln(c_sw·C / (c_s·c_w)), the drift audit a mixture
+    * designer reads before trusting per-source sampling weights (the
+    * batch counterpart of the streaming drift monitor, and the
+    * distributional summary [[graft.ops.Curation.corpusDiff]]'s id-level
+    * diff can't give). Every ln argument is an exact int64 ratio
+    * (c_sw·C and c_s·c_w both < 2⁵³ through sf10-scale corpora — the
+    * bound is documented, not assumed), integerized round(10⁶·ln·) per
+    * term BEFORE the sum (the PMI / Dirichlet determinism policy), the
+    * weighted sum carried in DECIMAL(38,0), and the final divide
+    * sign-factored (|Σ| DIV c_s, sign restored) because integerization
+    * can leave a near-zero sum slightly negative where true KL ≈ 0 —
+    * truncation of the ABSOLUTE quotient is floor, engine-independent.
+    *
+    * Scale shape: the one token-mass shuffle is the (source, term) count
+    * aggregation, map-side combined to |sources|×vocab output rows;
+    * corpus term counts DERIVE from that table (vocab-bounded input, no
+    * second corpus pass); per-source totals and the corpus grand total
+    * are broadcast; the scoring join is vocab-keyed, never token-keyed.
+    */
+  def sliceKlDivergence(
+      docs: DataFrame,
+      sliceCol: String,
+      textCol: String): DataFrame = {
+    val sc = docs
+      .select(col(sliceCol).as("slice"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("slice", "term")
+      .agg(count(lit(1)).as("c_sw"))
+    val cw = sc.groupBy("term").agg(sum("c_sw").as("c_w"))
+    val cs = sc.groupBy("slice")
+      .agg(sum("c_sw").as("c_s"), count(lit(1)).as("n_terms"))
+    val tot = cw.agg(sum("c_w").as("__ct"))
+    val dec = "decimal(38,0)"
+    val lnTerm = round(lit(1e6) *
+      log((col("c_sw") * col("__ct")).cast("double") /
+        (col("c_s") * col("c_w")).cast("double"))).cast("long")
+    sc.join(cw, Seq("term"))
+      .join(broadcast(cs), Seq("slice"))
+      .crossJoin(broadcast(tot))
+      .select(col("slice"), col("c_s"), col("n_terms"),
+        (col("c_sw").cast(dec) * lnTerm.cast(dec)).as("__wl"))
+      .groupBy(col("slice"), col("c_s").as("n_tokens"), col("n_terms"))
+      .agg(sum(col("__wl")).as("__sum"))
+      .select(col("slice"), col("n_tokens"), col("n_terms"),
+        (when(col("__sum") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("(abs(__sum) DIV n_tokens)").cast("long")).as("kl_ppm"))
+      .orderBy("slice")
+  }
 }

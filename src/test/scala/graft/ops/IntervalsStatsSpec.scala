@@ -385,4 +385,28 @@ class IntervalsStatsSpec extends SparkTestBase {
     assert(got.head._1 === "sep")
     assert(got.drop(1).map(_._1).toSeq === Seq("half", "univ"))
   }
+
+  test("burstiness: hand VMR with zeros, constant term floors at 0, minDf") {
+    // N = 4. "x": c = (3, 1, 0, 0) → Σc = 4, Σc² = 10 →
+    //   VMR = (4·10 − 16)/(4·4) = 1.5 → 1_500_000 ppm.
+    // "y": once per doc → variance 0 → 0 ppm. "z": df = 1 → pruned.
+    val docs = Seq(
+      (0L, "x x x y z"), (1L, "x y"), (2L, "y"), (3L, "y"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.burstiness(docs, "doc_id", "text",
+        minDf = 2, topK = 10)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("x", 2L, 4L, 1500000L), ("y", 4L, 4L, 0L)))
+  }
+
+  test("sliceKlDivergence: hand two-slice KL, exact integer ln terms") {
+    // A = "a a b" (a:2 b:1), B = "b b b"; corpus a:2 b:4, C = 6.
+    // A: 2·round(1e6·ln 2) + 1·round(1e6·ln ½) = 693147 → // 3 = 231049.
+    // B: 3·round(1e6·ln 1.5) = 1216395 → // 3 = 405465.
+    val docs = Seq((0L, "A", "a a b"), (1L, "B", "b b b"))
+      .toDF("doc_id", "src", "text")
+    val got = TextAnalysis.sliceKlDivergence(docs, "src", "text")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("A", 3L, 2L, 231049L), ("B", 3L, 1L, 405465L)))
+  }
 }
