@@ -2624,6 +2624,15 @@ object SparkEntry {
       val e = scaledDomainEdges(s, dir, dense = false).distinct()
       Graph.pageRank(e, "src", "dst", iters = 3).presented("id")
     }),
+    // HITS hubs/authorities on the GROWING dense graph: fixed-point
+    // max-normalized half-steps (DECIMAL normalize multiply — exact past
+    // the int64 degree ceiling), RDD-snapshot per half-step so the plan
+    // stays constant-size. The directory-vs-content curation signal
+    // PageRank's single centrality can't give.
+    "q_hits" -> ((s, dir) =>
+      Graph.hits(scaledDomainEdges(s, dir, dense = true).distinct(),
+        "src", "dst", iters = 3).presented("id")),
+
     "q_kcore_scaled" -> ((s, dir) =>
       Graph.kCore(scaledDomainEdges(s, dir, dense = true), "src", "dst",
         k = 3).presented("vertex")),
@@ -3690,6 +3699,8 @@ object SparkEntry {
     "q_pagerank" -> pageRankOracleSql(3),
     "q_pagerank_scaled" ->
       pageRankOracleSql(3, ScaledVSql, ScaledU0, ScaledV1),
+    "q_hits" ->
+      hitsOracleSql(3, ScaledVSql, ScaledU0, ScaledV1, ScaledV2),
     "q_kcore_scaled" ->
       kCoreOracleSql(3, 8, ScaledVSql, ScaledU0, ScaledV1, ScaledV2),
     "q_label_prop_scaled" ->
@@ -6162,6 +6173,39 @@ object SparkEntry {
        |${(1 to iters).map(iter).mkString("\n")}
        | fin AS (SELECT id, r FROM r$iters)
        | SELECT id, r AS rank FROM fin ORDER BY id""".stripMargin
+  }
+
+  /** Unrolled HITS oracle: `iters` rounds of (authority from previous
+    * hubs, hub from NEW authorities), max-normalized in HUGEINT — the
+    * [[pageRankOracleSql]] convention for [[graft.ops.Graph.hits]].
+    */
+  private def hitsOracleSql(iters: Int, modSql: String, u0: String,
+      v1: String, v2: String): String = {
+    val base = 1L << 20
+    def round(t: Int): String =
+      s""" ra$t AS (SELECT e.dst AS id, sum(h) AS r
+         |   FROM e JOIN h${t - 1} ON h${t - 1}.id = e.src GROUP BY e.dst),
+         | ma$t AS (SELECT max(r) AS mx FROM ra$t),
+         | a$t AS (SELECT n.id, coalesce((ra$t.r * $base) // ma$t.mx, 0) AS a
+         |   FROM nodes n LEFT JOIN ra$t ON ra$t.id = n.id, ma$t),
+         | rh$t AS (SELECT e.src AS id, sum(a) AS r
+         |   FROM e JOIN a$t ON a$t.id = e.dst GROUP BY e.src),
+         | mh$t AS (SELECT max(r) AS mx FROM rh$t),
+         | h$t AS (SELECT n.id, coalesce((rh$t.r * $base) // mh$t.mx, 0) AS h
+         |   FROM nodes n LEFT JOIN rh$t ON rh$t.id = n.id, mh$t),""".stripMargin
+    s"""WITH nv AS MATERIALIZED (SELECT $modSql AS m),
+       | e AS (SELECT DISTINCT src, dst FROM (
+       |     SELECT $u0 AS src, $v1 AS dst FROM documents, nv
+       |     UNION ALL
+       |     SELECT $u0 AS src, $v2 AS dst FROM documents, nv)
+       |   WHERE src <> dst),
+       | nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       | h0 AS (SELECT id, CAST($base AS HUGEINT) AS h FROM nodes),
+       |${(1 to iters).map(round).mkString("\n")}
+       | fin AS (SELECT h$iters.id, h$iters.h AS hub, a$iters.a AS auth
+       |   FROM h$iters JOIN a$iters ON a$iters.id = h$iters.id)
+       | SELECT id, CAST(hub AS BIGINT) AS hub, CAST(auth AS BIGINT) AS auth
+       | FROM fin ORDER BY id""".stripMargin
   }
 
   private def kMeansOracleSql(k: Int, iters: Int): String = {

@@ -296,6 +296,101 @@ object Graph {
     ranks
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) in fixed-point integer
+    * arithmetic — the directed-graph dual of [[pageRank]]: a page is a
+    * good AUTHORITY if good hubs point at it, a good HUB if it points at
+    * good authorities. On a link corpus this separates directory/index
+    * pages (hubs) from canonical content (authorities) — a different
+    * curation signal than PageRank's single centrality, and the classic
+    * one for picking seed lists.
+    *
+    * Per round (Kleinberg's order: authorities from previous hubs, then
+    * hubs from the NEW authorities), with scores in 2^`qBits` scale:
+    *
+    *   rawA(v) = Σ_{u→v} h(u)      a(v) = (rawA(v) · 2^qBits) DIV max rawA
+    *   rawH(u) = Σ_{u→v} a(v)      h(u) = (rawH(u) · 2^qBits) DIV max rawH
+    *
+    * Max-normalization replaces the usual L2 norm so every quantity stays
+    * an exact integer: the argmax lands exactly on 2^qBits each round, the
+    * normalize multiply runs in DECIMAL(38,0) (raw · 2^qBits overflows
+    * int64 once degree exceeds 2^(63−2·qBits); decimal lifts the ceiling
+    * past any real graph), and non-negative truncating division is floor —
+    * engine-independent, so a SQL oracle replays every bit. Nodes with no
+    * in-edges (resp. out-edges) score authority (resp. hub) 0.
+    *
+    * Scale shape: each half-step is one edge-keyed join + one map-side-
+    * combined sum + a 1-row broadcast max — id-and-score rows only, the
+    * [[pageRank]] wire discipline; scores round-trip through a persisted
+    * row RDD per half-step (leaf plan, eager unpersist) so the logical
+    * plan stays constant-size across rounds.
+    *
+    * @return (id, hub, auth) for every node in `edges`, both in 2^qBits
+    *         fixed-point scale.
+    */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int = 3,
+      qBits: Int = 20): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"iters must be in [1, 16], got $iters")
+    require(qBits >= 1 && qBits <= 30, s"qBits must be in [1, 30], got $qBits")
+    val spark = edges.sparkSession
+    val dec = "decimal(38,0)"
+    val base = 1L << qBits
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // One normalized half-step: raw(id) = Σ over `joinKey`-matched edges of
+    // the counterpart score, then (raw · base) DIV max(raw), 0 for absent.
+    def halfStep(scores: DataFrame, scoreName: String,
+        edgeKeyIn: String, edgeKeyOut: String, outName: String): DataFrame = {
+      val raw = e
+        .join(scores.select(col("id").as(edgeKeyIn), col(scoreName)), Seq(edgeKeyIn))
+        .groupBy(col(edgeKeyOut).as("id"))
+        .agg(sum(col(scoreName)).as("__raw"))
+      val mx = raw.agg(max(col("__raw")).as("__mx"))
+      nodes.join(raw, Seq("id"), "left").crossJoin(broadcast(mx))
+        .select(col("id"),
+          (col("__raw").cast(dec) * lit(base).cast(dec)).as("__num"),
+          col("__mx").cast(dec).as("__den"))
+        .select(col("id"),
+          coalesce(expr("__num DIV __den").cast("long"), lit(0L)).as(outName))
+    }
+    var live = List.empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    def snapshot(df: DataFrame): DataFrame = {
+      val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      val out = spark.createDataFrame(rdd, df.schema)
+      out.count()
+      live = rdd :: live
+      out
+    }
+    // Superseded snapshots (everything but the latest hub/auth pair) are
+    // released once the round that replaced them has materialized.
+    def reap(): Unit = {
+      live.drop(2).foreach(_.unpersist(blocking = false))
+      live = live.take(2)
+    }
+
+    var hubs = snapshot(nodes.withColumn("hub", lit(base)))
+    var auths: DataFrame = null
+    var it = 0
+    while (it < iters) {
+      val nextA = snapshot(halfStep(hubs, "hub", "src", "dst", "auth"))
+      val nextH = snapshot(halfStep(nextA, "auth", "dst", "src", "hub"))
+      hubs = nextH
+      auths = nextA
+      reap()
+      it += 1
+    }
+    val out = hubs.join(auths, Seq("id"))
+    e.unpersist(blocking = false)
+    out
+  }
+
   /** Global triangle census — the structural summary (clustering mass) of
     * a similarity/link graph that separates near-clique dup families from
     * sparse organic linkage. Counting is the oriented-wedge-join

@@ -186,4 +186,19 @@ class GraphSpec extends SparkTestBase {
       (2L, 2L, 1), (4L, 2L, 0), (9L, 2L, 0),
       (30L, 30L, 1), (31L, 30L, 0)))
   }
+
+  test("hits: hand-computed two max-normalized rounds") {
+    // E = {1→3, 2→3, 2→4}, B = 2^20.
+    // r1: rawA = (3: 2B, 4: B), max 2B → a = (3: B, 4: B/2);
+    //     rawH = (1: B, 2: 3B/2) → h = (1: 2^40//(3·2^19) = 699050, 2: B).
+    // r2: rawA = (3: 1747626, 4: B) → a = (3: B, 4: 2^40//1747626 = 629145);
+    //     rawH = (1: B, 2: 1677721) → h = (1: 2^40//1677721 = 655360, 2: B).
+    // Sinks/sources score 0 on the side they lack edges for.
+    val e = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val got = Graph.hits(e, "src", "dst", iters = 2)
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 655360L, 0L), (2L, 1048576L, 0L),
+      (3L, 0L, 1048576L), (4L, 0L, 629145L)))
+  }
 }
