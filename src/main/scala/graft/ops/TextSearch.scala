@@ -553,4 +553,80 @@ object TextSearch {
       array_join(slice(col("__t"), col("__p") + 2, lit(window)), " ")
         .as("right_ctx"))
   }
+
+  /** Ranked-retrieval quality evaluation — nDCG@k, MRR, and recall@k per
+    * query, the scorecard every retrieval stack in this file ([[bm25TopK]],
+    * [[dirichletQlTopK]], hybrid/RRF fusion) is tuned against. Inputs are
+    * the standard TREC shapes: `run` = (query, doc_id, rank) with rank
+    * 1-based within query, `qrels` = (query, doc_id, grade) with grades
+    * clamped to 0..3 (0 = non-relevant; relevant means grade > 0).
+    *
+    * All-integer evaluation: rank discounts D(r) = round(10⁹/log₂(r+1))
+    * are k driver-computed literals shared verbatim with any SQL replay,
+    * so DCG = Σ grade·D(rank) is an exact int64 sum. The IDEAL DCG never
+    * sorts the qrels: with grades bounded 0..3, a per-query grade
+    * HISTOGRAM (n₃, n₂, n₁) determines the ideal prefix in closed form
+    * via the prefix-sum literal SD — IDCG = Σ_g g·(SD(min(k, cum_g)) −
+    * SD(min(k, cum_{g+1}))) — one element_at per grade level.
+    * `ndcg_ppm` = (DCG·10⁶) DIV IDCG, `mrr_ppm` = 10⁶ DIV first-relevant
+    * rank, `recall_ppm` = (hits·10⁶) DIV n_rel; queries missing from
+    * either side report the metric their side supports and 0 elsewhere.
+    *
+    * Scale shape: the run side is |Q|·k rows BY CONTRACT (it came out of
+    * a k-bounded top-k); the qrels side can be corpus-sized, but it only
+    * ever feeds two map-side-combined aggregations keyed by query (the
+    * histogram and the run join, which is run-sized after the equi-join).
+    * No windows, no sorts beyond the |Q|-row presentation.
+    */
+  def retrievalEval(run: DataFrame, qrels: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 100, s"k must be in [1, 100], got $k")
+    val ln2 = math.log(2.0)
+    val disc: Seq[Long] = (1 to k).map(r =>
+      math.round(1e9 / (math.log(r + 1.0) / ln2)))
+    val sd: Seq[Long] = disc.scanLeft(0L)(_ + _)
+    val discLit = array(disc.map(lit): _*)
+    val sdLit = array(sd.map(lit): _*)
+    def clamp(c: Column): Column =
+      least(greatest(c.cast("long"), lit(0L)), lit(3L))
+
+    val graded = run.where(col("rank") >= 1 && col("rank") <= k)
+      .select(col("query"), col("doc_id"), col("rank").cast("int").as("__r"))
+      .join(qrels.select(col("query"), col("doc_id"), col("grade")),
+        Seq("query", "doc_id"), "left")
+      .select(col("query"), col("__r"),
+        clamp(coalesce(col("grade"), lit(0L))).as("__g"))
+    val runAgg = graded.groupBy("query").agg(
+      sum(col("__g") * element_at(discLit, col("__r"))).as("dcg_s"),
+      sum((col("__g") > 0).cast("long")).as("hits"),
+      min(when(col("__g") > 0, col("__r"))).as("__fr"))
+
+    val hist = qrels
+      .select(col("query"), clamp(col("grade")).as("__g"))
+      .groupBy("query").agg(
+        sum((col("__g") === 3).cast("long")).as("__n3"),
+        sum((col("__g") >= 2).cast("long")).as("__n32"),
+        sum((col("__g") >= 1).cast("long")).as("n_rel"))
+    def sdAt(c: Column): Column =
+      element_at(sdLit, (least(lit(k.toLong), c) + 1).cast("int"))
+    val ideal = hist.select(col("query"), col("n_rel"),
+      (lit(3L) * sdAt(col("__n3")) +
+        lit(2L) * (sdAt(col("__n32")) - sdAt(col("__n3"))) +
+        (sdAt(col("n_rel")) - sdAt(col("__n32")))).as("idcg_s"))
+
+    ideal.join(runAgg, Seq("query"), "full_outer")
+      .select(col("query"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("dcg_s"), lit(0L)).as("dcg_s"),
+        coalesce(col("idcg_s"), lit(0L)).as("idcg_s"),
+        col("__fr"))
+      .select(col("query"), col("n_rel"), col("hits"), col("dcg_s"),
+        col("idcg_s"),
+        when(col("idcg_s") > 0, expr("(dcg_s * 1000000) DIV idcg_s"))
+          .otherwise(lit(0L)).as("ndcg_ppm"),
+        coalesce(expr("1000000 DIV __fr").cast("long"), lit(0L)).as("mrr_ppm"),
+        when(col("n_rel") > 0, expr("(hits * 1000000) DIV n_rel"))
+          .otherwise(lit(0L)).as("recall_ppm"))
+      .orderBy("query")
+  }
 }

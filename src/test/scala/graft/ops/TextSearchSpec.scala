@@ -277,4 +277,30 @@ class TextSearchSpec extends SparkTestBase {
       Seq("apple"), k = 2, mu = 10L).count()
     assert(capped === 2L)
   }
+
+  test("retrievalEval: hand nDCG/MRR/recall, one-sided queries, rank cap") {
+    // k = 3: D = [1e9, 630929754, 5e8], SD = [0, 1e9, 1630929754, 2130929754].
+    // q1: qrels A=2 B=1 C=0 D=1; run C,A,B (+rank-4 row that must be cut)
+    //   → DCG = 2·D₂ + D₃ = 1761859508; hist (0,1,3) →
+    //     IDCG = 2·1e9 + (2130929754 − 1e9) = 3130929754;
+    //     ndcg = 562727, mrr = 500000 (first hit at rank 2), recall = 2/3.
+    // q2: run-only docs, all grade 0 → everything 0 with idcg 0.
+    // q3: qrels-only (one grade-3 doc) → idcg = 3e9, run metrics 0.
+    val run = Seq(
+      ("q1", 30L, 1), ("q1", 10L, 2), ("q1", 20L, 3), ("q1", 40L, 4),
+      ("q2", 50L, 1), ("q2", 60L, 2))
+      .toDF("query", "doc_id", "rank")
+    val qrels = Seq(
+      ("q1", 10L, 2L), ("q1", 20L, 1L), ("q1", 30L, 0L), ("q1", 40L, 1L),
+      ("q2", 50L, 0L),
+      ("q3", 70L, 3L))
+      .toDF("query", "doc_id", "grade")
+    val got = TextSearch.retrievalEval(run, qrels, k = 3)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got === Seq(
+      ("q1", 3L, 2L, 1761859508L, 3130929754L, 562727L, 500000L, 666666L),
+      ("q2", 0L, 0L, 0L, 0L, 0L, 0L, 0L),
+      ("q3", 1L, 0L, 0L, 3000000000L, 0L, 0L, 0L)))
+  }
 }
