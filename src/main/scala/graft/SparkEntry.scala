@@ -2775,6 +2775,17 @@ object SparkEntry {
       TextSearch.dirichletQlTopK(t(s, dir, "documents"), "doc_id", "text",
         Bm25Terms, k = 20, mu = 2000L)),
 
+    // Cohen's κ inter-rater agreement over a planted disagreement pattern
+    // (rater B mislabels every 7th doc): one |labels|²-bounded confusion
+    // aggregation, chance-corrected in DECIMAL(38,0), sign-factored divide.
+    "q_kappa" -> ((s, dir) =>
+      Stats.cohenKappa(
+        t(s, dir, "documents").select(
+          col("lang").as("rater_a"),
+          when(col("doc_id") % 7 === 0, lit("zz")).otherwise(col("lang"))
+            .as("rater_b")),
+        "rater_a", "rater_b")),
+
     // Ranked-retrieval scorecard: a 5-query length-normalized-tf run
     // (k-bounded via the payload top-k aggregate — no window over corpus
     // rows) evaluated against tf-graded qrels with all-integer nDCG@10 /
@@ -5365,6 +5376,27 @@ object SparkEntry {
     "q_rouge_decontaminate" -> rougeOracleSql(3, 100L, 16),
     "q_dirichlet_ql" -> dirichletQlOracleSql(Bm25Terms, 20, 2000L),
     "q_retrieval_eval" -> retrievalEvalOracleSql(EvalTerms, 10),
+    "q_kappa" ->
+      """WITH d AS (SELECT lang AS a,
+        |     CASE WHEN doc_id % 7 = 0 THEN 'zz' ELSE lang END AS b
+        |   FROM documents),
+        | cm AS (SELECT a, b, count(*)::BIGINT AS c FROM d GROUP BY 1, 2),
+        | rt AS (SELECT a AS l, sum(c) AS r FROM cm GROUP BY 1),
+        | ct AS (SELECT b AS l, sum(c) AS s FROM cm GROUP BY 1),
+        | p AS (SELECT sum(r::HUGEINT * s::HUGEINT) AS p
+        |   FROM rt JOIN ct USING (l)),
+        | base AS (SELECT sum(c)::HUGEINT AS n,
+        |     sum(CASE WHEN a = b THEN c ELSE 0 END)::HUGEINT AS agree
+        |   FROM cm)
+        | SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS n_agree,
+        |   CAST((agree * 1000000) // n AS BIGINT) AS po_ppm,
+        |   CAST((p.p * 1000000) // (n * n) AS BIGINT) AS pe_ppm,
+        |   CAST(CASE WHEN n * n = p.p THEN 0
+        |     WHEN agree * n < p.p
+        |       THEN -(((p.p - agree * n) * 1000000) // (n * n - p.p))
+        |     ELSE ((agree * n - p.p) * 1000000) // (n * n - p.p)
+        |   END AS BIGINT) AS kappa_ppm
+        | FROM base, p""".stripMargin,
     "q_shard_plan" ->
       s"""WITH d AS (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS nt
          |   FROM documents),

@@ -470,4 +470,60 @@ object Stats {
     Seq((t.toLong, n.toLong, mx, gini))
       .toDF("n_rows", "n_keys", "max_count", "gini_scaled")
   }
+
+  /** Cohen's κ inter-rater agreement — the labeled-data audit run before
+    * trusting human (or model-as-judge) annotations: observed agreement
+    * corrected for the agreement two raters would reach by chance given
+    * their marginal label distributions. With N items, A = Σ_c cm(c,c)
+    * agreements and P = Σ_c row_c·col_c the chance-cross mass,
+    *
+    *   κ = (A/N − P/N²) / (1 − P/N²) = (A·N − P) / (N² − P)
+    *
+    * reported with `po_ppm` = ⌊10⁶·A/N⌋, `pe_ppm` = ⌊10⁶·P/N²⌋ and
+    * `kappa_ppm` sign-factored (κ < 0 when raters agree less than
+    * chance; |numerator|·10⁶ DIV denominator, sign restored — the
+    * trendSlopes convention, so the truncating divide is floor both
+    * ways). P·10⁶ and the κ cross-products overflow int64 past ~3M
+    * items; DECIMAL(38,0) carries them exactly. Degenerate N² = P
+    * (both raters constant) reports κ = 0 by convention.
+    *
+    * Scale shape: ONE map-side-combined count keyed by the (a, b) label
+    * pair — output bounded by |labels|², independent of N; everything
+    * after runs on that matrix (row/col marginals are label-keyed
+    * re-aggregations, the combine is a broadcast of 1-row frames).
+    */
+  def cohenKappa(
+      df: DataFrame,
+      raterACol: String,
+      raterBCol: String): DataFrame = {
+    val cm = df
+      .select(col(raterACol).cast("string").as("__a"),
+        col(raterBCol).cast("string").as("__b"))
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__c"))
+    val rowTot = cm.groupBy(col("__a").as("__l")).agg(sum("__c").as("__r"))
+    val colTot = cm.groupBy(col("__b").as("__l")).agg(sum("__c").as("__s"))
+    val dec = "decimal(38,0)"
+    val p = rowTot.join(colTot, Seq("__l"))
+      .agg(sum(col("__r").cast(dec) * col("__s").cast(dec)).as("__p"))
+    val base = cm.agg(sum("__c").as("__n"),
+      sum(when(col("__a") === col("__b"), col("__c")).otherwise(lit(0L)))
+        .as("__agree"))
+    base.crossJoin(broadcast(p))
+      .select(col("__n"), col("__agree"),
+        (col("__agree").cast(dec) * lit(1000000L).cast(dec)).as("__po_num"),
+        (col("__p") * lit(1000000L).cast(dec)).as("__pe_num"),
+        col("__n").cast(dec).as("__nd"),
+        (col("__n").cast(dec) * col("__n").cast(dec)).as("__n2"),
+        (col("__agree").cast(dec) * col("__n").cast(dec) - col("__p"))
+          .as("__knum"),
+        col("__p"))
+      .select(col("__n").as("n"), col("__agree").as("n_agree"),
+        expr("__po_num DIV __nd").cast("long").as("po_ppm"),
+        expr("__pe_num DIV __n2").cast("long").as("pe_ppm"),
+        when(col("__n2") === col("__p"), lit(0L))
+          .otherwise(
+            when(col("__knum") < 0, lit(-1L)).otherwise(lit(1L)) *
+              expr("(abs(__knum) * 1000000) DIV (__n2 - __p)").cast("long"))
+          .as("kappa_ppm"))
+  }
 }

@@ -399,6 +399,27 @@ class IntervalsStatsSpec extends SparkTestBase {
     assert(got === Seq(("x", 2L, 4L, 1500000L), ("y", 4L, 4L, 0L)))
   }
 
+  test("cohenKappa: textbook 2x2, perfect-disagreement negative, constant") {
+    // cm: (x,x)=4 (x,y)=2 (y,y)=3 (y,x)=1 → N=10 A=7, P = 6·5+4·5 = 50 →
+    // po = .7, pe = .5, κ = (70−50)/(100−50) = .4.
+    val d = Seq(
+      ("x","x"),("x","x"),("x","x"),("x","x"),("x","y"),("x","y"),
+      ("y","y"),("y","y"),("y","y"),("y","x")).toDF("a", "b")
+    assert(Stats.cohenKappa(d, "a", "b")
+      .as[(Long, Long, Long, Long, Long)].head() ===
+      ((10L, 7L, 700000L, 500000L, 400000L)))
+    // Perfect disagreement on a symmetric marginal: κ = −1.
+    val neg = Seq(("x","y"),("y","x")).toDF("a", "b")
+    assert(Stats.cohenKappa(neg, "a", "b")
+      .as[(Long, Long, Long, Long, Long)].head() ===
+      ((2L, 0L, 0L, 500000L, -1000000L)))
+    // Both raters constant: N² = P → κ = 0 by convention.
+    val const = Seq(("x","x"),("x","x")).toDF("a", "b")
+    assert(Stats.cohenKappa(const, "a", "b")
+      .as[(Long, Long, Long, Long, Long)].head() ===
+      ((2L, 2L, 1000000L, 1000000L, 0L)))
+  }
+
   test("sliceKlDivergence: hand two-slice KL, exact integer ln terms") {
     // A = "a a b" (a:2 b:1), B = "b b b"; corpus a:2 b:4, C = 6.
     // A: 2·round(1e6·ln 2) + 1·round(1e6·ln ½) = 693147 → // 3 = 231049.
