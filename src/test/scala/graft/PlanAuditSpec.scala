@@ -40,7 +40,12 @@ class PlanAuditSpec extends SparkTestBase {
       "q_pareto_front" -> Set("doc_id", "text"),
       "q_rouge_decontaminate" -> Set("doc_id", "text"),
       "q_shard_plan" -> Set("doc_id", "text"),
-      "q_dirichlet_ql" -> Set("doc_id", "text"))
+      "q_dirichlet_ql" -> Set("doc_id", "text"),
+      "q_burstiness" -> Set("doc_id", "text"),
+      "q_kl_sources" -> Set("source", "text"),
+      "q_retrieval_eval" -> Set("doc_id", "text"),
+      "q_hits" -> Set("doc_id"),
+      "q_kappa" -> Set("doc_id", "lang"))
     val bad = expected.toSeq.sortBy(_._1).flatMap { case (name, cols) =>
       val scans = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.collect {
