@@ -573,6 +573,15 @@ object SparkEntry {
           "event_type", "event_id")
         .presented("from_event", "to_event")),
 
+    // Per-column table profile (data-contract audit): ONE pass, all
+    // per-column null/exact-distinct aggregates as parallel agg columns,
+    // wide row exploded to one row per column. Nulls planted via
+    // nullif(source,'src0') so the null path is exercised.
+    "q_table_profile" -> ((s, dir) =>
+      Reporting.tableProfile(t(s, dir, "documents").select(
+        col("doc_id"), nullif(col("source"), lit("src0")).as("source"),
+        col("lang"), col("n_chars")))),
+
     // As-of join: each error event matched to the user's most recent prior
     // signup (the operator Spark lacks; composed as union + running window —
     // see graft.ops.AsofJoin; DuckDB oracles it with native ASOF JOIN)
@@ -5376,6 +5385,21 @@ object SparkEntry {
     "q_rouge_decontaminate" -> rougeOracleSql(3, 100L, 16),
     "q_dirichlet_ql" -> dirichletQlOracleSql(Bm25Terms, 20, 2000L),
     "q_retrieval_eval" -> retrievalEvalOracleSql(EvalTerms, 10),
+    "q_table_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column",
+           |   (SELECT count(*) FROM d)::BIGINT AS n_rows,
+           |   (SELECT count(*) FROM d WHERE $c IS NULL)::BIGINT AS n_null,
+           |   ((SELECT count(*) FROM d WHERE $c IS NULL) * 1000000
+           |     // (SELECT count(*) FROM d))::BIGINT AS null_ppm,
+           |   (SELECT count(DISTINCT $c) FROM d)::BIGINT AS n_distinct"""
+          .stripMargin
+      s"""WITH d AS (SELECT doc_id, nullif(source, 'src0') AS source,
+         |     lang, n_chars FROM documents)
+         |${Seq("doc_id", "source", "lang", "n_chars").map(one)
+               .mkString("", "\nUNION ALL\n", "")}
+         | ORDER BY "column"""".stripMargin
+    },
     "q_kappa" ->
       """WITH d AS (SELECT lang AS a,
         |     CASE WHEN doc_id % 7 = 0 THEN 'zz' ELSE lang END AS b

@@ -397,4 +397,37 @@ object Reporting {
       .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
         countDistinct(col("user_id")).as("n_users"),
         round(sum(col("value")), 2).as("sum_value"))
+
+  /** Per-column table profile — the data-contract audit an ingestion
+    * pipeline emits before promoting a snapshot (and diffs against the
+    * previous snapshot's profile to catch schema drift the way
+    * [[graft.ops.Curation.corpusDiff]] catches row drift): for every
+    * column, row count, null count, null rate in exact ppm, and EXACT
+    * distinct cardinality. One corpus pass: all per-column aggregates run
+    * as parallel agg columns of a single aggregation (the Poisson-
+    * bootstrap layout); the multi-column exact COUNT(DISTINCT) expands
+    * rows ×|columns| before the partial combine — the honest audit tier,
+    * with the documented production swap being the sketch family
+    * ([[graft.ops.Sketches]] KMV / HLL per column) once |columns|×corpus
+    * expansion outgrows the audit budget. The wide 1-row result reshapes
+    * to one row per column with a literal-struct explode — no extra scan.
+    */
+  def tableProfile(df: DataFrame): DataFrame = {
+    val cols = df.schema.fieldNames.toSeq
+    require(cols.nonEmpty, "tableProfile needs at least one column")
+    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap(c => Seq(
+      sum(col(c).isNull.cast("long")).as(s"__null_$c"),
+      countDistinct(col(c)).as(s"__nd_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val entries = array(cols.map(c => struct(lit(c).as("column"),
+      col(s"__null_$c").as("n_null"),
+      col(s"__nd_$c").as("n_distinct"))): _*)
+    row.select(col("__n"), explode(entries).as("e"))
+      .select(col("e.column").as("column"), col("__n").as("n_rows"),
+        col("e.n_null").as("n_null"),
+        when(col("__n") === 0, lit(0L))
+          .otherwise(expr("(e.n_null * 1000000) DIV __n")).as("null_ppm"),
+        col("e.n_distinct").as("n_distinct"))
+      .orderBy("column")
+  }
 }

@@ -426,4 +426,17 @@ class EventAnalyticsSpec extends graft.SparkTestBase {
       .select("cohort", "age", "n_active").as[(Long, Long, Long)].collect().toSeq
     assert(got === Seq((0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 2L), (1L, 0L, 1L)))
   }
+
+  test("tableProfile: nulls, exact distincts, ppm floor, column order") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("x")), (None, Some("y")), (Some(1L), None))
+      .toDF("a", "b")
+    val got = graft.engine.Reporting.tableProfile(df)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // a: 1 null of 3 → 333333 ppm, 1 distinct non-null value.
+    assert(got === Seq(
+      ("a", 3L, 1L, 333333L, 1L),
+      ("b", 3L, 1L, 333333L, 2L)))
+  }
 }
