@@ -853,6 +853,75 @@ object LogStream {
       }
   }
 
+  /** Per-key SpaceSaving state: exactly ≤ m (token, count, err) counters. */
+  private[streaming] case class SsState(entries: List[(String, Long, Long)])
+  /** One ranked SpaceSaving entry: `est` over-counts the true frequency by
+    * at most `err` (est − err ≤ true ≤ est — a per-token certificate).
+    */
+  case class SpaceSavingReport(key: String, token: String, est: Long,
+      err: Long, rank: Int)
+
+  /** Streaming top-k via SpaceSaving (Metwally et al. 2005) — the
+    * DETERMINISTIC-guarantee complement of [[cmsHeavyHittersStream]]:
+    * where CMS gives probabilistic over-counts and a candidate list that
+    * can transiently admit noise, SpaceSaving maintains EXACTLY m counters
+    * and certifies, per reported token, est − err ≤ true count ≤ est —
+    * and every token with true frequency > N/m is guaranteed tracked
+    * (the summary is deterministic, no seed, no failure probability).
+    * An untracked arrival evicts the minimum-count entry (tie: largest
+    * token) and inherits its count as `err` — the classic
+    * replace-the-minimum step.
+    *
+    * SpaceSaving does NOT commute, so order is pinned two ways: within a
+    * micro-batch rows fold in (eventTimeMs, token) order (the partition
+    * iterator order never reaches the fold — a batch is a deterministic
+    * function of its row multiset), and across batches in arrival order —
+    * replaying the same micro-batch sequence (kill/resume included)
+    * reproduces every counter bit-for-bit. State per key is m entries —
+    * independent of stream length and vocabulary; each batch emits the
+    * key's current top-k by (count desc, token asc).
+    */
+  def spaceSavingStream(
+      rows: Dataset[TokenInput],
+      m: Int = 16,
+      k: Int = 10): Dataset[SpaceSavingReport] = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(k >= 1 && k <= m, s"k must be in [1, m=$m], got $k")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState[SsState, SpaceSavingReport](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (key, it, state: GroupState[SsState]) =>
+          val entries =
+            scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+          state.getOption.foreach(_.entries.foreach {
+            case (t, c, e) => entries(t) = (c, e)
+          })
+          it.toSeq.sortBy(r => (r.eventTimeMs, r.token)).foreach { r =>
+            entries.get(r.token) match {
+              case Some((c, e)) => entries(r.token) = (c + 1, e)
+              case None if entries.size < m => entries(r.token) = (1L, 0L)
+              case None =>
+                val victim = entries.iterator.reduceLeft { (a, b) =>
+                  if (b._2._1 < a._2._1 ||
+                    (b._2._1 == a._2._1 && b._1 > a._1)) b else a
+                }
+                val vc = victim._2._1
+                entries.remove(victim._1)
+                entries(r.token) = (vc + 1, vc)
+            }
+          }
+          state.update(SsState(entries.iterator.map {
+            case (t, (c, e)) => (t, c, e)
+          }.toList))
+          entries.toSeq.sortBy { case (t, (c, _)) => (-c, t) }.take(k)
+            .iterator.zipWithIndex.map { case ((t, (c, e)), i) =>
+              SpaceSavingReport(key, t, c, e, i + 1)
+            }
+      }
+  }
+
   /** One impression event (the left/earlier side of [[attributionJoin]]). */
   case class ImpressionInput(impId: Long, key: String, eventTimeMs: Long)
   /** One click event (the right/later side of [[attributionJoin]]). */

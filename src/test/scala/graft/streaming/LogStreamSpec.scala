@@ -857,4 +857,71 @@ class LogStreamSpec extends SparkTestBase {
       assert(back.select("message").as[String].collect().toSet === Set("hello", "world"))
     } finally q.stop()
   }
+
+  test("spaceSavingStream: hand eviction trace with m = 2") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // a, a, b, c in time order: c evicts b (min count, err inherited) →
+    // entries a(2,0), c(2,1); ranks by (count desc, token asc).
+    val input = MemoryStream[LogStream.TokenInput]
+    val ss = LogStream.spaceSavingStream(input.toDS(), m = 2, k = 2)
+    val q = ss.writeStream.format("memory").queryName("ss_hand")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        LogStream.TokenInput("a", "a", 1L), LogStream.TokenInput("a", "a", 2L),
+        LogStream.TokenInput("a", "b", 3L), LogStream.TokenInput("a", "c", 4L))
+      q.processAllAvailable()
+      val got = spark.table("ss_hand").as[LogStream.SpaceSavingReport]
+        .collect().map(r => (r.rank, r.token, r.est, r.err)).toSet
+      assert(got === Set((1, "a", 2L, 0L), (2, "c", 2L, 1L)))
+    } finally q.stop()
+  }
+
+  test("spaceSavingStream: certificates hold, heavy set tracked, kill/resume equality") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    var t = 0L
+    def rows(spec: Seq[(String, Int)]): Seq[LogStream.TokenInput] =
+      spec.flatMap { case (tok, n) => (1 to n).map { _ =>
+        t += 1; LogStream.TokenInput("a", tok, t)
+      } }
+    val phaseA = rows(Seq("h1" -> 15, "h2" -> 10) ++
+      (1 to 10).map(i => s"s$i" -> 1))
+    val phaseB = rows(Seq("h1" -> 15, "h2" -> 10, "mid" -> 8) ++
+      (11 to 20).map(i => s"s$i" -> 1))
+    val truth = (phaseA ++ phaseB).groupBy(_.token)
+      .view.mapValues(_.size.toLong).toMap
+    def drive(restart: Boolean): Seq[(String, Long, Long, Int)] = {
+      val ckpt = Files.createTempDirectory("ss-ckpt").toString
+      val input = MemoryStream[LogStream.TokenInput]
+      val ss = LogStream.spaceSavingStream(input.toDS(), m = 8, k = 8)
+      @volatile var last: Seq[(String, Long, Long, Int)] = Nil
+      def start() = ss.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[LogStream.SpaceSavingReport],
+              _: Long) =>
+            val rows = b.collect().map(r => (r.token, r.est, r.err, r.rank))
+            if (rows.nonEmpty) last = rows.toSeq.sortBy(_._4)
+        }.start()
+      val q1 = start()
+      input.addData(phaseA: _*); q1.processAllAvailable()
+      val q2 = if (restart) { q1.stop(); start() } else q1
+      try { input.addData(phaseB: _*); q2.processAllAvailable() }
+      finally q2.stop()
+      last
+    }
+    val resumed = drive(restart = true)
+    val straight = drive(restart = false)
+    assert(resumed === straight, "checkpoint restart must not change state")
+    // Per-token certificate: est − err ≤ true ≤ est.
+    resumed.foreach { case (tok, est, err, _) =>
+      val tr = truth(tok)
+      assert(tr <= est && tr >= est - err, s"$tok: true $tr vs ($est, $err)")
+    }
+    // Every token with frequency > N/m is guaranteed tracked, in order.
+    assert(resumed.take(3).map(_._1) === Seq("h1", "h2", "mid"))
+    assert(resumed.head._2 >= 30L)
+  }
 }
