@@ -2722,6 +2722,13 @@ object SparkEntry {
         .presented("n_tokens", "doc_id")
     }),
 
+    // Vocabulary coverage cutoffs: smallest vocab covering 90/95/99% of
+    // token mass — exact within-class interpolation over the COUNT
+    // HISTOGRAM (the window orders ≤ O(√tokens) histogram rows, never the
+    // vocab); thresholds compared in DECIMAL.
+    "q_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(t(s, dir, "documents"), "text")),
+
     // Term burstiness (Church & Gale index of dispersion): VMR of
     // per-doc counts with zeros included via the closed form — the
     // content-vs-function-word separator. DECIMAL(38,0) keeps (Σc)²
@@ -5325,6 +5332,36 @@ object SparkEntry {
          |   FROM e)
          | SELECT term, CAST(df AS BIGINT) AS df, a AS n_label, chi2_ppm
          | FROM x ORDER BY chi2_ppm DESC, term LIMIT 50""".stripMargin,
+    "q_vocab_coverage" ->
+      s"""WITH tk AS (SELECT unnest($tokensSql) AS term FROM documents),
+         | c AS (SELECT term, count(*)::BIGINT AS c FROM tk GROUP BY term),
+         | tot AS (SELECT sum(c)::BIGINT AS total,
+         |     count(*)::BIGINT AS vocab_full FROM c),
+         | h AS (SELECT c, count(*)::BIGINT AS nterms FROM c GROUP BY c),
+         | cum AS (SELECT c, nterms,
+         |     sum(c * nterms) OVER (ORDER BY c DESC) AS cum_mass,
+         |     sum(nterms) OVER (ORDER BY c DESC) AS cum_terms FROM h),
+         | tg AS (SELECT unnest([900000, 950000, 990000]) AS target_ppm),
+         | pick AS (SELECT tg.target_ppm, tot.total, tot.vocab_full, cum.c,
+         |     cum.nterms, cum.cum_mass, cum.cum_terms,
+         |     (tg.target_ppm::HUGEINT * tot.total + 999999) // 1000000 AS t
+         |   FROM cum, tot, tg
+         |   WHERE cum.cum_mass::HUGEINT * 1000000
+         |       >= tg.target_ppm::HUGEINT * tot.total
+         |     AND (cum.cum_mass - cum.c * cum.nterms)::HUGEINT * 1000000
+         |       < tg.target_ppm::HUGEINT * tot.total),
+         | f AS (SELECT target_ppm, total, vocab_full,
+         |     cum_terms - nterms
+         |       + ((t - (cum_mass - c * nterms) + c - 1) // c) AS vs,
+         |     cum_mass - c * nterms
+         |       + ((t - (cum_mass - c * nterms) + c - 1) // c) * c AS cov
+         |   FROM pick)
+         | SELECT CAST(target_ppm AS BIGINT) AS target_ppm,
+         |   total AS total_tokens, vocab_full,
+         |   CAST(vs AS BIGINT) AS vocab_size,
+         |   CAST(cov AS BIGINT) AS covered_tokens,
+         |   CAST((cov::HUGEINT * 1000000) // total AS BIGINT) AS covered_ppm
+         | FROM f ORDER BY target_ppm""".stripMargin,
     "q_burstiness" ->
       s"""WITH d AS (SELECT doc_id, $tokensSql AS t FROM documents),
          | tot AS (SELECT count(*)::HUGEINT AS n FROM d),

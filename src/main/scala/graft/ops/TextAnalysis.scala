@@ -782,6 +782,68 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Vocabulary coverage cutoffs — "how many types cover X% of the token
+    * mass": the tokenizer/stopword-sizing dual of [[vocabGrowth]] (Heaps
+    * growth says how fast types ARRIVE; this says how few you NEED).
+    * For each target in ppm, the smallest vocabulary size V such that the
+    * V most frequent types cover ≥ target of all tokens, with ties inside
+    * a frequency class interpolated exactly: after whole classes of
+    * count c cover mass M with V' types, the cutoff needs
+    * r = ⌈(T − M)/c⌉ more types (T = ⌈target·total/10⁶⌉ the integer
+    * mass threshold), so `vocab_size` = V' + r and `covered_tokens` =
+    * M + r·c — every quantity an exact int64, SQL-replayable.
+    *
+    * Scale shape: the vocab table never sees a window — type counts
+    * collapse to a COUNT HISTOGRAM (one row per distinct frequency,
+    * ≤ O(√tokens) rows by sum bound), the running sums order that
+    * histogram only (the vocabGrowth convention), and targets join it as
+    * a broadcast literal frame. Two map-side-combined aggregations total.
+    */
+  def vocabCoverage(
+      docs: DataFrame,
+      textCol: String,
+      targetsPpm: Seq[Long] = Seq(900000L, 950000L, 990000L)): DataFrame = {
+    require(targetsPpm.nonEmpty && targetsPpm.forall(t => t >= 1 && t <= 1000000),
+      s"targets must be ppm in [1, 1000000], got $targetsPpm")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("__c"))
+    val hist = counts.groupBy("__c").agg(count(lit(1)).as("__nterms"))
+    val w = Window.orderBy(col("__c").desc)
+    val cum = hist.select(col("__c"), col("__nterms"),
+      sum(col("__c") * col("__nterms")).over(w).as("__cum_mass"),
+      sum(col("__nterms")).over(w).as("__cum_terms"))
+    val totals = counts.agg(sum("__c").as("__total"),
+      count(lit(1)).as("__vocab_full"))
+    val targets = targetsPpm.toDF("target_ppm")
+    // Threshold comparisons in DECIMAL(38,0): target_ppm·total and
+    // cum_mass·10⁶ pass 2⁶³ around 10¹³ tokens — decimal removes the cliff.
+    cum.crossJoin(broadcast(totals)).join(broadcast(targets),
+        expr("""CAST(__cum_mass AS DECIMAL(38,0)) * 1000000
+                  >= CAST(target_ppm AS DECIMAL(38,0)) * __total AND
+                CAST(__cum_mass - __c * __nterms AS DECIMAL(38,0)) * 1000000
+                  < CAST(target_ppm AS DECIMAL(38,0)) * __total"""))
+      .select(col("target_ppm"), col("__total").as("total_tokens"),
+        col("__vocab_full").as("vocab_full"),
+        expr("""CAST((CAST(target_ppm AS DECIMAL(38,0)) * __total + 999999)
+                DIV 1000000 AS BIGINT)""").as("__t"),
+        col("__c"), col("__nterms"), col("__cum_mass"), col("__cum_terms"))
+      .select(col("target_ppm"), col("total_tokens"), col("vocab_full"),
+        (col("__cum_terms") - col("__nterms") +
+          expr("(__t - (__cum_mass - __c * __nterms) + __c - 1) DIV __c"))
+          .as("vocab_size"),
+        (col("__cum_mass") - col("__c") * col("__nterms") +
+          expr("(__t - (__cum_mass - __c * __nterms) + __c - 1) DIV __c")
+            * col("__c")).as("covered_tokens"))
+      .select(col("target_ppm"), col("total_tokens"), col("vocab_full"),
+        col("vocab_size"), col("covered_tokens"),
+        expr("""CAST((CAST(covered_tokens AS DECIMAL(38,0)) * 1000000)
+                DIV total_tokens AS BIGINT)""").as("covered_ppm"))
+      .orderBy("target_ppm")
+  }
+
   /** Term burstiness — the Church & Gale (1995) index of dispersion
     * (variance-to-mean ratio of per-document counts, zeros included):
     * function words arrive ~Poisson (VMR ≈ 1), content/topical words are

@@ -399,6 +399,22 @@ class IntervalsStatsSpec extends SparkTestBase {
     assert(got === Seq(("x", 2L, 4L, 1500000L), ("y", 4L, 4L, 0L)))
   }
 
+  test("vocabCoverage: within-class interpolation, ceil thresholds, edges") {
+    // counts a=4 b=2 c=1 (total 7, vocab 3); histogram classes 4, 2, 1.
+    // 50%: T = ceil(3.5) = 4 → one type of the c=4 class (covered 4).
+    // 857142 ppm: T = 6 → finish the c=2 class (vocab 2, covered 6,
+    //   covered_ppm lands exactly back on 857142).
+    // 100%: T = 7 → the whole vocabulary.
+    val docs = Seq((0L, "a a a a b b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(docs, "text",
+        targetsPpm = Seq(500000L, 857142L, 1000000L))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (500000L, 7L, 3L, 1L, 4L, 571428L),
+      (857142L, 7L, 3L, 2L, 6L, 857142L),
+      (1000000L, 7L, 3L, 3L, 7L, 1000000L)))
+  }
+
   test("cohenKappa: textbook 2x2, perfect-disagreement negative, constant") {
     // cm: (x,x)=4 (x,y)=2 (y,y)=3 (y,x)=1 → N=10 A=7, P = 6·5+4·5 = 50 →
     // po = .7, pe = .5, κ = (70−50)/(100−50) = .4.
