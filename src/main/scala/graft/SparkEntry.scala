@@ -2802,6 +2802,13 @@ object SparkEntry {
             .as("rater_b")),
         "rater_a", "rater_b")),
 
+    // RM1 pseudo-relevance-feedback expansion: Dirichlet-QL feedback set
+    // (k-bounded), corpus broadcast-semi-filtered to the ≤ 10 feedback
+    // docs, expansion terms by exact length-normalized feedback mass.
+    "q_prf_expand" -> ((s, dir) =>
+      TextSearch.prfExpansionTerms(t(s, dir, "documents"), "doc_id", "text",
+        Bm25Terms, fbDocs = 10, fbTerms = 15, mu = 2000L)),
+
     // Ranked-retrieval scorecard: a 5-query length-normalized-tf run
     // (k-bounded via the payload top-k aggregate — no window over corpus
     // rows) evaluated against tf-graded qrels with all-integer nDCG@10 /
@@ -5422,6 +5429,7 @@ object SparkEntry {
     "q_rouge_decontaminate" -> rougeOracleSql(3, 100L, 16),
     "q_dirichlet_ql" -> dirichletQlOracleSql(Bm25Terms, 20, 2000L),
     "q_retrieval_eval" -> retrievalEvalOracleSql(EvalTerms, 10),
+    "q_prf_expand" -> prfOracleSql(Bm25Terms, 10, 15, 2000L),
     "q_table_profile" -> {
       def one(c: String) =
         s"""SELECT '$c' AS "column",
@@ -6297,6 +6305,41 @@ object SparkEntry {
        |${(1 to iters).map(iter).mkString("\n")}
        | fin AS (SELECT id, r FROM r$iters)
        | SELECT id, r AS rank FROM fin ORDER BY id""".stripMargin
+  }
+
+  /** Oracle for [[graft.ops.TextSearch.prfExpansionTerms]]: the Dirichlet
+    * feedback ranking replayed via [[dirichletQlOracleSql]]'s CTE body,
+    * then the exact length-normalized expansion mass over the feedback
+    * set with query terms excluded.
+    */
+  private def prfOracleSql(terms: Seq[String], fbDocs: Int, fbTerms: Int,
+      mu: Long): String = {
+    val tfSel = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(t, x -> x = '${t.toLowerCase}')) AS tf_$i"
+    }.mkString(", ")
+    val cfSel = terms.indices.map(i => s"sum(tf_$i) AS cf_$i").mkString(", ")
+    val contrib = terms.indices.map(i =>
+      s"CAST(round(1000000 * ln((tf_$i * c_total + $mu * greatest(cf_$i, 1))::DOUBLE / ((dl + $mu) * c_total)::DOUBLE)) AS BIGINT)")
+      .mkString("\n       |     + ")
+    val termList = terms.map(t => s"'${t.toLowerCase}'").mkString(", ")
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents),
+       | d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, $tfSel FROM tk),
+       | s AS (SELECT CAST(sum(dl) AS BIGINT) AS c_total, $cfSel FROM d),
+       | e AS (SELECT doc_id, dl,
+       |     $contrib AS score_scaled
+       |   FROM d, s),
+       | fb AS (SELECT doc_id FROM e
+       |   ORDER BY score_scaled DESC, doc_id LIMIT $fbDocs),
+       | ft AS (SELECT tk.doc_id, CAST(len(t) AS BIGINT) AS dl,
+       |     unnest(t) AS term
+       |   FROM tk JOIN fb USING (doc_id) WHERE len(t) > 0),
+       | fx AS (SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+       |   FROM ft WHERE term NOT IN ($termList) GROUP BY 1, 2, 3)
+       | SELECT term,
+       |   CAST(sum((tf * 1000000) // dl) AS BIGINT) AS weight_scaled,
+       |   count(*)::BIGINT AS df_fb
+       | FROM fx GROUP BY term
+       | ORDER BY weight_scaled DESC, term LIMIT $fbTerms""".stripMargin
   }
 
   /** Oracle for [[graft.ops.TextSearch.retrievalEval]] over the

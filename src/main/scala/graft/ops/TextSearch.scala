@@ -554,6 +554,53 @@ object TextSearch {
         .as("right_ctx"))
   }
 
+  /** Pseudo-relevance-feedback expansion terms — the RM1 relevance-model
+    * estimator behind RM3 (Lavrenko & Croft 2001): run the query once
+    * ([[dirichletQlTopK]]), treat the top `fbDocs` documents as
+    * pseudo-relevant, and elect the `fbTerms` terms that concentrate in
+    * them, weighted by length-normalized feedback mass
+    *
+    *   w(t) = Σ_{d ∈ FB} (tf_{t,d} · 10⁶) DIV dl_d
+    *
+    * (each addend an exact integer, so the sum is order-free and
+    * SQL-replayable; original query terms are excluded — the output IS
+    * the expansion candidate list an RM3 interpolation would mix back).
+    *
+    * Scale shape: the first stage is the k-bounded QL ranking; the
+    * second touches ONLY the ≤ fbDocs feedback documents — the corpus is
+    * broadcast-semi-filtered on their ids and token arrays derive for
+    * members alone (the dupeEvidence law: never carry heavy payloads to
+    * a small join, bring the small key set to the corpus), then one
+    * (fbDocs-bounded) term aggregation and a k-bounded TakeOrdered.
+    * Output: (term, weight_scaled, df_fb) by (weight desc, term).
+    */
+  def prfExpansionTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      fbDocs: Int = 10,
+      fbTerms: Int = 10,
+      mu: Long = 2000L): DataFrame = {
+    require(fbDocs >= 1, s"fbDocs must be >= 1, got $fbDocs")
+    require(fbTerms >= 1, s"fbTerms must be >= 1, got $fbTerms")
+    val terms = queryTerms.map(_.toLowerCase)
+    val fb = dirichletQlTopK(df, idCol, textCol, terms, k = fbDocs, mu = mu)
+      .select(col(idCol))
+    df.join(broadcast(fb), Seq(idCol))
+      .select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("__t"))
+      .select(col("id"), size(col("__t")).cast("long").as("__dl"),
+        explode(col("__t")).as("term"))
+      .where(col("__dl") > 0 && !col("term").isInCollection(terms))
+      .groupBy("id", "term", "__dl").agg(count(lit(1)).as("__tf"))
+      .groupBy("term").agg(
+        sum(expr("(__tf * 1000000) DIV __dl")).as("weight_scaled"),
+        count(lit(1)).as("df_fb"))
+      .orderBy(desc("weight_scaled"), col("term"))
+      .limit(fbTerms)
+  }
+
   /** Ranked-retrieval quality evaluation — nDCG@k, MRR, and recall@k per
     * query, the scorecard every retrieval stack in this file ([[bm25TopK]],
     * [[dirichletQlTopK]], hybrid/RRF fusion) is tuned against. Inputs are

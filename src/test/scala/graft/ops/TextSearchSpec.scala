@@ -278,6 +278,20 @@ class TextSearchSpec extends SparkTestBase {
     assert(capped === 2L)
   }
 
+  test("prfExpansionTerms: feedback election, query-term exclusion, weights") {
+    // mu = 10, C = 6, cf(apple) = 2: d2 (dl 2) outranks d1 (dl 3) outranks
+    // d3 (no hit) → fbDocs = 2 keeps {d2, d1}. Expansion mass:
+    // banana: (2·10⁶)//3 = 666666 from d1; cherry: 10⁶//2 = 500000 from d2;
+    // "apple" itself excluded; d3's durian never enters.
+    val docs = Seq(
+      (1L, "apple banana banana"), (2L, "apple cherry"), (3L, "durian"))
+      .toDF("doc_id", "text")
+    val got = TextSearch.prfExpansionTerms(docs, "doc_id", "text",
+        Seq("apple"), fbDocs = 2, fbTerms = 5, mu = 10L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("banana", 666666L, 1L), ("cherry", 500000L, 1L)))
+  }
+
   test("retrievalEval: hand nDCG/MRR/recall, one-sided queries, rank cap") {
     // k = 3: D = [1e9, 630929754, 5e8], SD = [0, 1e9, 1630929754, 2130929754].
     // q1: qrels A=2 B=1 C=0 D=1; run C,A,B (+rank-4 row that must be cut)
