@@ -2722,6 +2722,13 @@ object SparkEntry {
         .presented("n_tokens", "doc_id")
     }),
 
+    // Length-bucketed batching plan: bucket histogram in one map-side
+    // combine, exact padding+tail-slack waste ppm per bucket — the audit
+    // that sizes dynamic-batching buckets before burning cluster time.
+    "q_length_buckets" -> ((s, dir) =>
+      Curation.lengthBucketPlan(t(s, dir, "documents"), "doc_id", "text",
+        bucketWidth = 16, batchTokens = 256)),
+
     // Vocabulary coverage cutoffs: smallest vocab covering 90/95/99% of
     // token mass — exact within-class interpolation over the COUNT
     // HISTOGRAM (the window orders ≤ O(√tokens) histogram rows, never the
@@ -5339,6 +5346,26 @@ object SparkEntry {
          |   FROM e)
          | SELECT term, CAST(df AS BIGINT) AS df, a AS n_label, chi2_ppm
          | FROM x ORDER BY chi2_ppm DESC, term LIMIT 50""".stripMargin,
+    "q_length_buckets" ->
+      s"""WITH n AS (SELECT len($tokensSql) AS n FROM documents
+         |   WHERE len($tokensSql) > 0),
+         | b AS (SELECT ((n - 1) // 16 + 1) * 16 AS bucket_ceiling,
+         |     count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS sum_tokens
+         |   FROM n GROUP BY 1),
+         | c AS (SELECT *, 256 // bucket_ceiling AS capacity FROM b),
+         | e AS (SELECT *,
+         |     CASE WHEN capacity = 0 THEN 0
+         |       ELSE (n_docs + capacity - 1) // capacity END AS n_batches,
+         |     CASE WHEN capacity = 0 THEN 1 ELSE 0 END AS oversize FROM c)
+         | SELECT CAST(bucket_ceiling AS BIGINT) AS bucket_ceiling, n_docs,
+         |   sum_tokens, CAST(capacity AS BIGINT) AS capacity,
+         |   CAST(n_batches AS BIGINT) AS n_batches,
+         |   CAST(oversize AS INT) AS oversize,
+         |   CAST(CASE WHEN capacity = 0 THEN 0
+         |     ELSE ((n_batches * capacity * bucket_ceiling - sum_tokens)
+         |       * 1000000) // (n_batches * capacity * bucket_ceiling)
+         |   END AS BIGINT) AS waste_ppm
+         | FROM e ORDER BY bucket_ceiling""".stripMargin,
     "q_vocab_coverage" ->
       s"""WITH tk AS (SELECT unnest($tokensSql) AS term FROM documents),
          | c AS (SELECT term, count(*)::BIGINT AS c FROM tk GROUP BY term),

@@ -1334,4 +1334,66 @@ object Curation {
           .cast("int"))
       .select(col(idCol), col("n_tokens"), col("rank"), col("shard"))
   }
+
+  /** Length-bucketed batching plan with a padding-waste audit — the
+    * dynamic-batching precursor to [[packStream]]: instead of packing
+    * documents into contiguous streams (which destroys example
+    * boundaries), bucket them by length, pad every document in a bucket
+    * to the bucket ceiling, and batch `batchTokens`-token batches per
+    * bucket — the standard variable-length training layout. This op
+    * emits the PLAN and its exact cost: per bucket of width
+    * `bucketWidth` (ceiling = ⌈max_len/width⌉·width),
+    *
+    *   capacity   = batchTokens DIV ceiling        (docs per batch)
+    *   n_batches  = ⌈n_docs / capacity⌉
+    *   waste_ppm  = (n_batches·capacity·ceiling − Σ tokens)·10⁶
+    *                  DIV (n_batches·capacity·ceiling)
+    *
+    * — padding waste plus tail-batch slack in one exact ppm number, the
+    * audit that decides the bucket width before anyone burns cluster
+    * time. Documents longer than `batchTokens` land in buckets with
+    * capacity 0 and are reported with n_batches = 0 and waste_ppm = 0 —
+    * the `oversize` flag routes them to a chunking pass ([[chunkTokens]])
+    * instead of silently dropping them.
+    *
+    * Scale shape: one narrow token-count projection collapses to a
+    * bucket histogram in the first map-side combine (output rows =
+    * distinct buckets); all plan algebra runs on the histogram.
+    */
+  def lengthBucketPlan(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bucketWidth: Int = 64,
+      batchTokens: Int = 4096): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    require(batchTokens >= bucketWidth,
+      s"batchTokens ($batchTokens) must be >= bucketWidth ($bucketWidth)")
+    val staged = df.select(
+      size(graft.functions.TextFunctions.tokenize(col(textCol)))
+        .cast("long").as("__n"))
+      .where(col("__n") > 0)
+    val buckets = staged
+      .select(expr(s"((__n - 1) DIV $bucketWidth + 1) * $bucketWidth")
+        .cast("long").as("bucket_ceiling"), col("__n"))
+      .groupBy("bucket_ceiling")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("sum_tokens"))
+    buckets
+      .select(col("bucket_ceiling"), col("n_docs"), col("sum_tokens"),
+        expr(s"$batchTokens DIV bucket_ceiling").as("capacity"))
+      .select(col("bucket_ceiling"), col("n_docs"), col("sum_tokens"),
+        col("capacity"),
+        when(col("capacity") === 0, lit(0L))
+          .otherwise(expr("(n_docs + capacity - 1) DIV capacity"))
+          .as("n_batches"),
+        (col("capacity") === 0).cast("int").as("oversize"))
+      .select(col("bucket_ceiling"), col("n_docs"), col("sum_tokens"),
+        col("capacity"), col("n_batches"), col("oversize"),
+        when(col("capacity") === 0, lit(0L))
+          .otherwise(expr("""((n_batches * capacity * bucket_ceiling
+                              - sum_tokens) * 1000000)
+                            DIV (n_batches * capacity * bucket_ceiling)"""))
+          .as("waste_ppm"))
+      .orderBy("bucket_ceiling")
+  }
 }

@@ -762,4 +762,20 @@ class CurationSpec extends SparkTestBase {
       .as[(Long, Long, Long, Int)].collect().map(r => r._1 -> r._3).toMap
     assert(r2 === Map(3L -> 0L, 5L -> 1L, 9L -> 2L, 1L -> 3L))
   }
+
+  test("lengthBucketPlan: ceilings, tail slack, oversize routing") {
+    // width 4, batch 8; lengths 3, 4 → ceiling 4 (capacity 2, one batch,
+    // waste (8−7)/8); 5 → ceiling 8 (capacity 1, waste 3/8); 9 → ceiling 12
+    // > batch → oversize, zeroed plan.
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c d"), (3L, "a b c d e"),
+      (4L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val got = Curation.lengthBucketPlan(docs, "doc_id", "text",
+        bucketWidth = 4, batchTokens = 8)
+      .as[(Long, Long, Long, Long, Long, Int, Long)].collect().toSeq
+    assert(got === Seq(
+      (4L, 2L, 7L, 2L, 1L, 0, 125000L),
+      (8L, 1L, 5L, 1L, 1L, 0, 375000L),
+      (12L, 1L, 9L, 0L, 0L, 1, 0L)))
+  }
 }
