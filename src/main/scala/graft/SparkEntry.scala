@@ -2722,6 +2722,30 @@ object SparkEntry {
         .presented("n_tokens", "doc_id")
     }),
 
+    // Luhn-gated card detection: a deterministic 16-digit candidate per
+    // doc (valid checksum on even ids, broken on odd), scanned by the
+    // tokenize+regex+Luhn pipeline — the validated-PII upgrade over bare
+    // regex redaction. All string/int algebra, bit-replayable.
+    "q_luhn_scan" -> ((s, dir) => {
+      val s15 = concat(lit("4"), lpad(
+        ((col("doc_id") % 10000000L) * 987654321L % 100000000000000L)
+          .cast("string"), 14, "0"))
+      val paySum = aggregate(transform(split(reverse(s15), ""), (ch, i) => {
+        val dd = ascii(ch) - lit(48)
+        when(i % 2 === 0,
+          when(dd * 2 > 9, dd * 2 - 9).otherwise(dd * 2)).otherwise(dd)
+      }), lit(0), (a, x) => a + x)
+      val check = pmod(lit(10) - paySum % 10, lit(10))
+      val digit = when(col("doc_id") % 2 === 0, check)
+        .otherwise(pmod(check + 1, lit(10)))
+      val scan = TextAnalysis.cardScan(
+        concat(col("text"), lit(" "), s15, digit.cast("string")))
+      t(s, dir, "documents").select(scan.as("s"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("s.n_candidates")).as("n_candidates"),
+          sum(col("s.n_valid")).as("n_valid"))
+    }),
+
     // Length-bucketed batching plan: bucket histogram in one map-side
     // combine, exact padding+tail-slack waste ppm per bucket — the audit
     // that sizes dynamic-batching buckets before burning cluster time.
@@ -5346,6 +5370,38 @@ object SparkEntry {
          |   FROM e)
          | SELECT term, CAST(df AS BIGINT) AS df, a AS n_label, chi2_ppm
          | FROM x ORDER BY chi2_ppm DESC, term LIMIT 50""".stripMargin,
+    "q_luhn_scan" -> {
+      val luhn = (v: String) =>
+        s"""list_sum(list_transform(range(1, len($v) + 1), i ->
+           |      CASE WHEN (i - 1) % 2 = 0 THEN unicode(reverse($v)[i]) - 48
+           |        ELSE CASE WHEN (unicode(reverse($v)[i]) - 48) * 2 > 9
+           |          THEN (unicode(reverse($v)[i]) - 48) * 2 - 9
+           |          ELSE (unicode(reverse($v)[i]) - 48) * 2 END END))"""
+          .stripMargin
+      s"""WITH d AS (SELECT doc_id, text,
+         |     '4' || lpad(CAST((doc_id % 10000000) * 987654321
+         |       % 100000000000000 AS VARCHAR), 14, '0') AS s15
+         |   FROM documents),
+         | ps AS (SELECT doc_id, text, s15,
+         |     list_sum(list_transform(range(1, 16), i ->
+         |       CASE WHEN (i - 1) % 2 = 0 THEN
+         |         CASE WHEN (unicode(reverse(s15)[i]) - 48) * 2 > 9
+         |           THEN (unicode(reverse(s15)[i]) - 48) * 2 - 9
+         |           ELSE (unicode(reverse(s15)[i]) - 48) * 2 END
+         |       ELSE unicode(reverse(s15)[i]) - 48 END)) AS pay
+         |   FROM d),
+         | wd AS (SELECT doc_id, text || ' ' || s15 || CAST(
+         |     CASE WHEN doc_id % 2 = 0 THEN (10 - pay % 10) % 10
+         |       ELSE ((10 - pay % 10) % 10 + 1) % 10 END AS VARCHAR) AS text
+         |   FROM ps),
+         | tok AS (SELECT doc_id, list_filter($tokensSql,
+         |     x -> regexp_matches(x, '^[0-9]{13,19}$$')) AS cands FROM wd),
+         | v AS (SELECT doc_id, len(cands) AS nc,
+         |     len(list_filter(cands, c -> ${luhn("c")} % 10 = 0)) AS nv
+         |   FROM tok)
+         | SELECT count(*)::BIGINT AS n_docs, sum(nc)::BIGINT AS n_candidates,
+         |   sum(nv)::BIGINT AS n_valid FROM v""".stripMargin
+    },
     "q_length_buckets" ->
       s"""WITH n AS (SELECT len($tokensSql) AS n FROM documents
          |   WHERE len($tokensSql) > 0),

@@ -782,6 +782,36 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Luhn checksum validation (ISO/IEC 7812) of an all-digit string — the
+    * mod-10 double-every-second-digit test every real payment-card number
+    * passes. The discriminator that turns a 13–19-digit REGEX hit into a
+    * credible card detection: phone numbers, timestamps, and ids fail it
+    * 90% of the time, so a PII pipeline that Luhn-gates its card redactions
+    * keeps recall while dropping an order of magnitude of false positives.
+    * Pure Column algebra over the reversed digit string — exact, and
+    * replayable in any engine with per-char codepoints.
+    */
+  def luhnValid(num: Column): Column = {
+    val digits = transform(split(reverse(num), ""), (ch, i) => {
+      val d = ascii(ch) - lit(48)
+      when(i % 2 === 0, d)
+        .otherwise(when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
+    })
+    aggregate(digits, lit(0), (acc, x) => acc + x) % 10 === 0
+  }
+
+  /** Per-document card-number scan: candidate tokens (all-digit, 13–19
+    * chars, via the engine tokenization) and how many pass [[luhnValid]].
+    * Narrow and shuffle-free; the HOF runs over the (few) CANDIDATES per
+    * row, never per token, so the interpreted-projection tax is bounded
+    * by hit count.
+    */
+  def cardScan(text: Column): Column = {
+    val cands = filter(tokens(text), t => t.rlike("^[0-9]{13,19}$"))
+    struct(size(cands).cast("long").as("n_candidates"),
+      size(filter(cands, c => luhnValid(c))).cast("long").as("n_valid"))
+  }
+
   /** Vocabulary coverage cutoffs — "how many types cover X% of the token
     * mass": the tokenizer/stopword-sizing dual of [[vocabGrowth]] (Heaps
     * growth says how fast types ARRIVE; this says how few you NEED).

@@ -399,6 +399,21 @@ class IntervalsStatsSpec extends SparkTestBase {
     assert(got === Seq(("x", 2L, 4L, 1500000L), ("y", 4L, 4L, 0L)))
   }
 
+  test("luhnValid/cardScan: known checksums, regex gate, candidate counts") {
+    // 4532015112830366 is a valid test Visa; +1 on the check digit fails;
+    // 1234567890123 (13 digits) passes the regex but fails Luhn;
+    // 123 is too short for the candidate gate entirely.
+    val df = Seq(
+      (1L, "pay 4532015112830366 now 1234567890123 or 123"),
+      (2L, "bad 4532015112830367 only"))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.cardScan(col("text")).as("s"))
+      .select(col("doc_id"), col("s.n_candidates"), col("s.n_valid"))
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq((1L, 2L, 1L), (2L, 1L, 0L)))
+  }
+
   test("vocabCoverage: within-class interpolation, ceil thresholds, edges") {
     // counts a=4 b=2 c=1 (total 7, vocab 3); histogram classes 4, 2, 1.
     // 50%: T = ceil(3.5) = 4 → one type of the c=4 class (covered 4).
