@@ -45,7 +45,12 @@ class PlanAuditSpec extends SparkTestBase {
       "q_kl_sources" -> Set("source", "text"),
       "q_retrieval_eval" -> Set("doc_id", "text"),
       "q_hits" -> Set("doc_id"),
-      "q_kappa" -> Set("doc_id", "lang"))
+      "q_kappa" -> Set("doc_id", "lang"),
+      "q_table_profile" -> Set("doc_id", "source", "lang", "n_chars"),
+      "q_vocab_coverage" -> Set("text"),
+      "q_prf_expand" -> Set("doc_id", "text"),
+      "q_length_buckets" -> Set("text"),
+      "q_luhn_scan" -> Set("doc_id", "text"))
     val bad = expected.toSeq.sortBy(_._1).flatMap { case (name, cols) =>
       val scans = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.collect {
