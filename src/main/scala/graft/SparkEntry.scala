@@ -911,6 +911,26 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .presented("id_a", "id_b")),
 
+    // Dedup threshold sensitivity curve: ONE banded pair table at τ = 0.7
+    // (banding miss ≈ 4e-10 there) swept by six candidate thresholds —
+    // pairs surviving and documents involved per cutoff, the curve a
+    // curation owner reads before committing a dedup threshold.
+    "q_dup_threshold_curve" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = Dedup.ngramJaccardPairs(docsWithDupes(s, dir), "doc_id",
+        "text", shingleK = 3, threshold = 0.7)
+      val ths = Seq(700000L, 750000L, 800000L, 850000L, 900000L, 950000L)
+        .toDF("threshold_ppm")
+      pairs.crossJoin(broadcast(ths))
+        .where(col("jaccard") * 1e6 >= col("threshold_ppm"))
+        .select(col("threshold_ppm"),
+          explode(array(col("id_a"), col("id_b"))).as("d"))
+        .groupBy("threshold_ppm")
+        .agg(expr("count(1) DIV 2").as("n_pairs"),
+          countDistinct(col("d")).as("n_docs"))
+        .presented("threshold_ppm")
+    }),
+
     // Zone-map file skipping: lineitem written as 8 sorted runs with a
     // per-file (min,max) manifest (session-cached build — the index
     // contract); a 1/10th-keyspace range scan consults the manifest and
@@ -2516,6 +2536,25 @@ object SparkEntry {
     // filter-tuning curve: per candidate cut, exact ppm
     // precision/recall/F1 and the elected best row (ppm-rounded argmax,
     // ties to the lowest threshold — the election IS the contract).
+    // Time-decayed freshness per event type (half-life 7 days against the
+    // corpus max day): integer-shift decay staircase, one keyed agg — the
+    // recency number a crawl scheduler ranks sources by.
+    "q_freshness" -> ((s, dir) =>
+      Stats.decayedFreshness(events(s, dir), "event_type",
+        expr("ts_ms DIV 86400000"), halfLifeDays = 7)),
+
+    // Exact AUC over the same binned-score fixture as q_f1_threshold:
+    // Mann-Whitney rank statistic (ties half) from the bin histogram —
+    // the threshold-free quality number next to the threshold election.
+    "q_auc" -> ((s, dir) =>
+      Stats.aucBinned(
+        t(s, dir, "documents").select(
+          ((col("doc_id") * 31) % 20).as("bin"),
+          (((col("doc_id") * 37) % 100) <
+            (lit(20) + lit(3) * ((col("doc_id") * 31) % 20)))
+            .cast("int").as("y")),
+        col("bin"), col("y"))),
+
     "q_f1_threshold" -> ((s, dir) =>
       Stats.f1Threshold(
         t(s, dir, "documents").select(
@@ -2821,6 +2860,18 @@ object SparkEntry {
     "q_dirichlet_ql" -> ((s, dir) =>
       TextSearch.dirichletQlTopK(t(s, dir, "documents"), "doc_id", "text",
         Bm25Terms, k = 20, mu = 2000L)),
+
+    // Two-sample KS drift test on document length with a planted shift on
+    // slice A (doc_id % 3 = 0 docs get +doc_id%11 chars): exact cross-mult
+    // ECDF gap over the value histogram, squared integer α=0.05 verdict.
+    "q_ks_test" -> ((s, dir) => {
+      val isA = col("doc_id") % 3 === 0
+      Stats.ksTest(
+        t(s, dir, "documents").select(col("doc_id"),
+          (col("n_chars") + when(isA, pmod(col("doc_id"), lit(11L)))
+            .otherwise(lit(0L))).as("v"), isA.as("a")),
+        col("v"), col("a"))
+    }),
 
     // Cohen's κ inter-rater agreement over a planted disagreement pattern
     // (rater B mislabels every 7th doc): one |labels|²-bounded confusion
@@ -3308,6 +3359,26 @@ object SparkEntry {
          |       / len(list_distinct(list_concat(nb.s, o.s))) AS jac
          |   FROM nb, sh o)
          | WHERE jac >= 0.8 ORDER BY new_id, old_id""".stripMargin,
+    "q_dup_threshold_curve" ->
+      s"""WITH sh AS (SELECT doc_id, $shingleSetSql AS s
+         |   FROM (SELECT doc_id, $tokensSql AS t FROM $docsWithDupesSql)),
+         | p AS (SELECT id_a, id_b, jac FROM (
+         |     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       len(list_intersect(a.s, b.s))::DOUBLE
+         |         / len(list_distinct(list_concat(a.s, b.s))) AS jac
+         |     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |       AND 10 * len(a.s) >= 7 * len(b.s)
+         |       AND 10 * len(b.s) >= 7 * len(a.s))
+         |   WHERE jac >= 0.7),
+         | tg AS (SELECT unnest([700000, 750000, 800000, 850000,
+         |     900000, 950000]) AS threshold_ppm),
+         | f AS (SELECT tg.threshold_ppm, p.id_a, p.id_b
+         |   FROM p, tg WHERE p.jac * 1000000 >= tg.threshold_ppm),
+         | e AS (SELECT threshold_ppm, unnest([id_a, id_b]) AS d FROM f)
+         | SELECT CAST(threshold_ppm AS BIGINT) AS threshold_ppm,
+         |   (count(*) // 2)::BIGINT AS n_pairs,
+         |   count(DISTINCT d)::BIGINT AS n_docs
+         | FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH sh AS (SELECT doc_id, $shingleSetSql AS s
          |   FROM (SELECT doc_id, $tokensSql AS t FROM $docsWithDupesSql))
@@ -5528,6 +5599,55 @@ object SparkEntry {
                .mkString("", "\nUNION ALL\n", "")}
          | ORDER BY "column"""".stripMargin
     },
+    "q_freshness" ->
+      """WITH d AS (SELECT event_type,
+        |     epoch_ms(ts) // 86400000 AS day FROM events),
+        | mx AS (SELECT max(day) AS mx FROM d),
+        | w AS (SELECT event_type,
+        |     1000000 >> CAST(least((mx - day) // 7, 62) AS INT) AS w
+        |   FROM d, mx),
+        | g AS (SELECT event_type, count(*)::BIGINT AS n_events,
+        |     sum(w)::BIGINT AS decayed_mass FROM w GROUP BY event_type)
+        | SELECT event_type, n_events, decayed_mass,
+        |   (decayed_mass // n_events)::BIGINT AS freshness_ppm
+        | FROM g ORDER BY event_type""".stripMargin,
+    "q_auc" ->
+      """WITH d AS (SELECT (doc_id * 31) % 20 AS b,
+        |     CASE WHEN (doc_id * 37) % 100 < 20 + 3 * ((doc_id * 31) % 20)
+        |       THEN 1 ELSE 0 END AS y FROM documents),
+        | h AS (SELECT b, sum(y)::BIGINT AS p,
+        |     sum(1 - y)::BIGINT AS n FROM d GROUP BY b),
+        | c AS (SELECT b, p, n, coalesce(sum(n) OVER (ORDER BY b
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+        |   FROM h),
+        | a AS (SELECT sum(p)::HUGEINT AS n_pos, sum(n)::HUGEINT AS n_neg,
+        |     sum(p::HUGEINT * (nb::HUGEINT * 2 + n)) AS u2 FROM c)
+        | SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+        |   CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
+        |     ELSE (u2 * 1000000) // (2 * n_pos * n_neg) END AS BIGINT)
+        |     AS auc_ppm
+        | FROM a""".stripMargin,
+    "q_ks_test" ->
+      """WITH d AS (SELECT n_chars +
+        |     CASE WHEN doc_id % 3 = 0 THEN ((doc_id % 11) + 11) % 11
+        |       ELSE 0 END AS v,
+        |     CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS a
+        |   FROM documents),
+        | h AS (SELECT v, sum(a)::BIGINT AS ca,
+        |     sum(1 - a)::BIGINT AS cb FROM d GROUP BY v),
+        | cum AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cumA,
+        |     sum(cb) OVER (ORDER BY v) AS cumB FROM h),
+        | tot AS (SELECT sum(ca)::HUGEINT AS na, sum(cb)::HUGEINT AS nb
+        |   FROM h),
+        | g AS (SELECT max(abs(cumA::HUGEINT * nb - cumB::HUGEINT * na))
+        |     AS dn, any_value(na) AS na, any_value(nb) AS nb
+        |   FROM cum, tot)
+        | SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |   CAST(dn AS BIGINT) AS d_num,
+        |   CAST((dn * 1000000) // (na * nb) AS BIGINT) AS ks_ppm,
+        |   CAST(dn * dn * 1000000 > 1844164 * (na + nb) * na * nb AS INT)
+        |     AS reject_05
+        | FROM g""".stripMargin,
     "q_kappa" ->
       """WITH d AS (SELECT lang AS a,
         |     CASE WHEN doc_id % 7 = 0 THEN 'zz' ELSE lang END AS b

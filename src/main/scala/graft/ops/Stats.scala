@@ -471,6 +471,123 @@ object Stats {
       .toDF("n_rows", "n_keys", "max_count", "gini_scaled")
   }
 
+  /** Time-decayed freshness mass per key — the batch face of recency
+    * weighting (the streaming EWMA's complement): each event contributes
+    * 10⁶ halved once per `halfLifeDays` of age against the corpus
+    * maximum day, i.e. weight = 10⁶ >> min(age/h, 62) — an INTEGER SHIFT,
+    * so the decay curve is exact in any engine (no pow(), no doubles)
+    * while staying a faithful 2^(−age/h) staircase. `freshness_ppm` =
+    * decayed_mass DIV n_events reads as "what fraction of this key's
+    * mass is recent" (10⁶ = everything arrived in the newest half-life;
+    * → 0 = dead key). The number a crawl scheduler or mixture designer
+    * ranks sources by.
+    *
+    * Scale shape: one narrow day projection, a broadcast 1-row max, one
+    * map-side-combined aggregation per key. Nothing else.
+    */
+  def decayedFreshness(
+      df: DataFrame,
+      keyCol: String,
+      dayCol: Column,
+      halfLifeDays: Int = 7): DataFrame = {
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1, got $halfLifeDays")
+    val staged = df.select(col(keyCol), dayCol.cast("long").as("__day"))
+    val mx = staged.agg(max(col("__day")).as("__mx"))
+    staged.crossJoin(broadcast(mx))
+      .select(col(keyCol),
+        expr(s"""shiftright(1000000L,
+                 CAST(least((__mx - __day) DIV $halfLifeDays, 62) AS INT))""")
+          .as("__w"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__w")).as("decayed_mass"))
+      .select(col(keyCol), col("n_events"), col("decayed_mass"),
+        expr("decayed_mass DIV n_events").as("freshness_ppm"))
+      .orderBy(keyCol)
+  }
+
+  /** Exact AUC (ROC area) over binned classifier scores — the
+    * threshold-free companion of [[f1Threshold]] (same bounded-bin
+    * contract: scores arrive as integer bins, higher = more positive).
+    * AUC is the Mann–Whitney rank statistic — P(random positive outranks
+    * random negative, ties ½) — computed exactly from the bin histogram:
+    *
+    *   2·U = Σ_b pos_b · (2·negBelow_b + neg_b)
+    *   auc_ppm = ⌊10⁶·2U / (2·N₊·N₋)⌋
+    *
+    * (the tie-half stays integral under the ×2; products run in
+    * DECIMAL(38,0) so 10⁶·2U survives any corpus). Running negBelow
+    * orders the BIN table only — bounded by the bin count, never rows.
+    * Degenerate single-class inputs report auc_ppm = 0 with the counts
+    * exposing why.
+    */
+  def aucBinned(df: DataFrame, binCol: Column, labelCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val h = df.select(binCol.cast("long").as("b"),
+        labelCol.cast("int").as("__y"))
+      .groupBy("b").agg(sum(col("__y")).cast("long").as("__p"),
+        sum(lit(1) - col("__y")).cast("long").as("__n"))
+    val w = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = h.select(col("b"), col("__p"), col("__n"),
+      coalesce(sum(col("__n")).over(w), lit(0L)).as("__nb"))
+    cum.agg(sum(col("__p")).as("n_pos"), sum(col("__n")).as("n_neg"),
+        sum(col("__p").cast(dec) *
+          (col("__nb").cast(dec) * 2 + col("__n").cast(dec))).as("__u2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(0L))
+          .otherwise(expr("""CAST((__u2 * 1000000)
+            DIV (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"""))
+          .as("auc_ppm"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift test over an integer-valued
+    * column — the DISTRIBUTIONAL member of the batch drift family (χ²
+    * [[graft.ops.TextAnalysis.chiSquareTerms]] compares categories; KL
+    * compares term mixes; KS compares an ordered quantity like document
+    * length or score between two corpus slices, sensitive to shift and
+    * shape with no binning choices). The statistic is the max ECDF gap,
+    * computed EXACTLY by cross-multiplication:
+    *
+    *   D_num = max_v |cumA(v)·N_b − cumB(v)·N_a|,  D = D_num / (N_a·N_b)
+    *
+    * reported as `ks_ppm` = ⌊10⁶·D⌋, plus `reject_05` — the asymptotic
+    * α = 0.05 verdict D > 1.358·√((N_a+N_b)/(N_a·N_b)) evaluated with
+    * both sides SQUARED so it stays in integer arithmetic
+    * (D_num²·10⁶ > 1844164·(N_a+N_b)·N_a·N_b, 1844164 = ⌊10⁶·1.358²⌋;
+    * all products in DECIMAL(38,0) — exact past any int64 cliff).
+    *
+    * Scale shape: the corpus collapses to a per-VALUE histogram in one
+    * map-side combine; the running sums order that value-bounded
+    * histogram only (the vocabGrowth convention); totals are a broadcast
+    * 1-row frame; output is one row.
+    */
+  def ksTest(df: DataFrame, valueCol: Column, isACol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val h = df.select(valueCol.cast("long").as("v"),
+        isACol.cast("int").as("__a"))
+      .groupBy("v").agg(sum(col("__a")).cast("long").as("__ca"),
+        sum(lit(1) - col("__a")).cast("long").as("__cb"))
+    val w = Window.orderBy("v")
+    val cum = h.select(col("v"),
+      sum(col("__ca")).over(w).as("__cumA"),
+      sum(col("__cb")).over(w).as("__cumB"))
+    val tot = h.agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        abs(col("__cumA").cast(dec) * col("n_b").cast(dec) -
+          col("__cumB").cast(dec) * col("n_a").cast(dec)).as("__d"))
+      .groupBy("n_a", "n_b").agg(max(col("__d")).as("__dn"))
+      .select(col("n_a"), col("n_b"),
+        col("__dn").cast("long").as("d_num"),
+        expr("""CAST((__dn * 1000000)
+                DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)""")
+          .as("ks_ppm"),
+        expr("""CAST(__dn * __dn * 1000000 >
+                1844164 * (CAST(n_a AS DECIMAL(38,0)) + n_b)
+                  * n_a * n_b AS INT)""").as("reject_05"))
+  }
+
   /** Cohen's κ inter-rater agreement — the labeled-data audit run before
     * trusting human (or model-as-judge) annotations: observed agreement
     * corrected for the agreement two raters would reach by chance given

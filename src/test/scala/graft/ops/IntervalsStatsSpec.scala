@@ -399,6 +399,53 @@ class IntervalsStatsSpec extends SparkTestBase {
     assert(got === Seq(("x", 2L, 4L, 1500000L), ("y", 4L, 4L, 0L)))
   }
 
+  test("decayedFreshness: exact shift staircase, cap, per-key means") {
+    // max day 14, half-life 7: ages 0/7/14 → weights 1e6/5e5/25e4.
+    val df = Seq(("a", 14L), ("a", 7L), ("a", 0L), ("b", 14L))
+      .toDF("k", "day")
+    val got = Stats.decayedFreshness(df, "k", col("day"), halfLifeDays = 7)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("a", 3L, 1750000L, 583333L), ("b", 1L, 1000000L, 1000000L)))
+    // Shift cap: age 1000·7 days floors at >> 62 → weight 0, not UB.
+    val old = Seq(("c", 7000L), ("c", 0L)).toDF("k", "day")
+    val g2 = Stats.decayedFreshness(old, "k", col("day"), halfLifeDays = 7)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(g2 === Seq(("c", 2L, 1000000L, 500000L)))
+  }
+
+  test("aucBinned: hand rank-sum with tie halves, degenerate class") {
+    // bins/labels: (0,0) (0,1) (1,1) (2,0) (2,1) — pairwise: 3 of 6
+    // (1 + 1 wins, 2 ties at ½) → AUC .5 exactly.
+    val df = Seq((0L, 0), (0L, 1), (1L, 1), (2L, 0), (2L, 1)).toDF("b", "y")
+    assert(Stats.aucBinned(df, col("b"), col("y") === 1)
+      .as[(Long, Long, Long)].head() === ((3L, 2L, 500000L)))
+    // Perfect separation: all negatives below all positives → 1.0.
+    val sep = Seq((0L, 0), (1L, 0), (2L, 1), (3L, 1)).toDF("b", "y")
+    assert(Stats.aucBinned(sep, col("b"), col("y") === 1)
+      .as[(Long, Long, Long)].head() === ((2L, 2L, 1000000L)))
+    // Single-class input: auc 0 by convention, counts expose why.
+    val one = Seq((0L, 1), (5L, 1)).toDF("b", "y")
+    assert(Stats.aucBinned(one, col("b"), col("y") === 1)
+      .as[(Long, Long, Long)].head() === ((2L, 0L, 0L)))
+  }
+
+  test("ksTest: hand ECDF gap, cross-mult exactness, reject bit") {
+    // A = {1, 2}, B = {2, 3, 4}: gaps at v = 1..4 are |3−0|, |6−2|, |6−4|,
+    // |6−6| → D_num = 4 of Na·Nb = 6 → ks_ppm 666666; far under the
+    // α = .05 bar at these sizes → reject 0.
+    val df = Seq((1L, 1), (2L, 1), (2L, 0), (3L, 0), (4L, 0)).toDF("v", "a")
+    val got = Stats.ksTest(df, col("v"), col("a") === 1)
+      .as[(Long, Long, Long, Long, Int)].head()
+    assert(got === ((2L, 3L, 4L, 666666L, 0)))
+    // Disjoint supports: D = 1 exactly, tiny n still fails the α bar?
+    // D² = 1, threshold 1.844·(4/4) = 1.844 → not rejected (n too small).
+    val dj = Seq((1L, 1), (2L, 1), (5L, 0), (6L, 0)).toDF("v", "a")
+    val g2 = Stats.ksTest(dj, col("v"), col("a") === 1)
+      .as[(Long, Long, Long, Long, Int)].head()
+    assert(g2 === ((2L, 2L, 4L, 1000000L, 0)))
+  }
+
   test("luhnValid/cardScan: known checksums, regex gate, candidate counts") {
     // 4532015112830366 is a valid test Visa; +1 on the check digit fails;
     // 1234567890123 (13 digits) passes the regex but fails Luhn;
