@@ -2543,6 +2543,18 @@ object SparkEntry {
       Stats.decayedFreshness(events(s, dir), "event_type",
         expr("ts_ms DIV 86400000"), halfLifeDays = 7)),
 
+    // Calibration report (ECE + Murphy decomposition) over the same
+    // binned-score fixture: the measurement side of the calibration
+    // family (PAV is the fixer) — one bin-bounded histogram agg.
+    "q_calibration" -> ((s, dir) =>
+      Stats.calibrationReport(
+        t(s, dir, "documents").select(
+          ((col("doc_id") * 31) % 20).as("bin"),
+          (((col("doc_id") * 37) % 100) <
+            (lit(20) + lit(3) * ((col("doc_id") * 31) % 20)))
+            .cast("int").as("y")),
+        col("bin"), col("y"), nBins = 20)),
+
     // Exact AUC over the same binned-score fixture as q_f1_threshold:
     // Mann-Whitney rank statistic (ties half) from the bin histogram —
     // the threshold-free quality number next to the threshold election.
@@ -5599,6 +5611,34 @@ object SparkEntry {
                .mkString("", "\nUNION ALL\n", "")}
          | ORDER BY "column"""".stripMargin
     },
+    "q_calibration" ->
+      """WITH d AS (SELECT (doc_id * 31) % 20 AS b,
+        |     CASE WHEN (doc_id * 37) % 100 < 20 + 3 * ((doc_id * 31) % 20)
+        |       THEN 1 ELSE 0 END AS y FROM documents),
+        | h AS (SELECT b, count(*)::BIGINT AS n, sum(y)::BIGINT AS p
+        |   FROM d GROUP BY b),
+        | t AS (SELECT sum(n)::BIGINT AS nt, sum(p)::BIGINT AS pt FROM h),
+        | s AS (SELECT b, n, p, nt, pt,
+        |     ((2 * b + 1) * 1000000) // 40 AS c,
+        |     (pt * 1000000) // nt AS ybar FROM h, t),
+        | e AS (SELECT n, nt, pt,
+        |     abs(p::HUGEINT * 1000000 - c::HUGEINT * n) AS adc,
+        |     ((p::HUGEINT * 1000000 - c::HUGEINT * n)
+        |      * (p::HUGEINT * 1000000 - c::HUGEINT * n))
+        |       // (n::HUGEINT * 1000000) AS rel,
+        |     ((p::HUGEINT * 1000000 - ybar::HUGEINT * n)
+        |      * (p::HUGEINT * 1000000 - ybar::HUGEINT * n))
+        |       // (n::HUGEINT * 1000000) AS res
+        |   FROM s),
+        | g AS (SELECT any_value(nt) AS nt, any_value(pt) AS pt,
+        |     sum(adc) AS sad, sum(rel) AS srel, sum(res) AS sres FROM e)
+        | SELECT CAST(nt AS BIGINT) AS n, CAST(pt AS BIGINT) AS n_pos,
+        |   CAST(sad // nt AS BIGINT) AS ece_ppm,
+        |   CAST(srel // nt AS BIGINT) AS reliability_ppm,
+        |   CAST(sres // nt AS BIGINT) AS resolution_ppm,
+        |   CAST((pt::HUGEINT * (nt - pt) * 1000000)
+        |     // (nt::HUGEINT * nt) AS BIGINT) AS uncertainty_ppm
+        | FROM g""".stripMargin,
     "q_freshness" ->
       """WITH d AS (SELECT event_type,
         |     epoch_ms(ts) // 86400000 AS day FROM events),

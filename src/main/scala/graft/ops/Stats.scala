@@ -471,6 +471,70 @@ object Stats {
       .toDF("n_rows", "n_keys", "max_count", "gini_scaled")
   }
 
+  /** Calibration report over binned classifier scores — ECE plus the
+    * Murphy (1973) Brier decomposition, the MEASUREMENT side of the
+    * calibration family ([[pavCalibrate]] is the fixer). Bins are score
+    * buckets 0..nBins−1 with midpoint confidence c_b = (2b+1)·10⁶ DIV
+    * (2·nBins); with n_b items and p_b positives per bin, ȳ = P/N:
+    *
+    *   ece_ppm         = (Σ_b |p_b·10⁶ − c_b·n_b|) DIV N
+    *   reliability_ppm = (Σ_b (p_b·10⁶ − c_b·n_b)² DIV (n_b·10⁶)) DIV N
+    *   resolution_ppm  = (Σ_b (p_b·10⁶ − ȳ_ppm·n_b)² DIV (n_b·10⁶)) DIV N
+    *   uncertainty_ppm = (P·(N−P)·10⁶) DIV (N·N)
+    *
+    * Every divide is a documented floor on non-negative integers (squares
+    * in DECIMAL(38,0) — (p·10⁶)² alone passes int64 at ~3000 positives),
+    * so each component is bit-replayable; the real-valued Brier identity
+    * rel − res + unc holds up to those floors (each component is exact to
+    * < 1 ppm of its own definition, which is the point of a ppm report —
+    * the identity is NOT asserted in integers).
+    *
+    * Scale shape: ONE bin-bounded histogram aggregation; everything after
+    * runs on nBins rows plus a broadcast 1-row total.
+    */
+  def calibrationReport(
+      df: DataFrame,
+      binCol: Column,
+      labelCol: Column,
+      nBins: Int = 20): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val dec = "decimal(38,0)"
+    val h = df.select(binCol.cast("long").as("b"),
+        labelCol.cast("int").as("__y"))
+      .groupBy("b").agg(count(lit(1)).as("__n"),
+        sum(col("__y")).cast("long").as("__p"))
+    val tot = h.agg(sum(col("__n")).as("__nt"), sum(col("__p")).as("__pt"))
+    val staged = h.crossJoin(broadcast(tot))
+      .select(col("b"), col("__n"), col("__p"), col("__nt"), col("__pt"),
+        expr(s"((2 * b + 1) * 1000000) DIV ${2L * nBins}").as("__c"),
+        expr("(__pt * 1000000) DIV __nt").as("__ybar"))
+      .select(col("__n"), col("__nt"), col("__pt"),
+        (col("__p").cast(dec) * lit(1000000L).cast(dec) -
+          col("__c").cast(dec) * col("__n").cast(dec)).as("__dc"),
+        (col("__p").cast(dec) * lit(1000000L).cast(dec) -
+          col("__ybar").cast(dec) * col("__n").cast(dec)).as("__dy"))
+    staged
+      .select(col("__n"), col("__nt"), col("__pt"),
+        abs(col("__dc")).as("__adc"),
+        expr("(__dc * __dc) DIV (CAST(__n AS DECIMAL(38,0)) * 1000000)")
+          .as("__rel"),
+        expr("(__dy * __dy) DIV (CAST(__n AS DECIMAL(38,0)) * 1000000)")
+          .as("__res"))
+      .groupBy("__nt", "__pt")
+      .agg(sum(col("__adc")).as("__sad"), sum(col("__rel")).as("__srel"),
+        sum(col("__res")).as("__sres"))
+      .select(col("__nt").as("n"), col("__pt").as("n_pos"),
+        expr("CAST(__sad DIV CAST(__nt AS DECIMAL(38,0)) AS BIGINT)")
+          .as("ece_ppm"),
+        expr("CAST(__srel DIV CAST(__nt AS DECIMAL(38,0)) AS BIGINT)")
+          .as("reliability_ppm"),
+        expr("CAST(__sres DIV CAST(__nt AS DECIMAL(38,0)) AS BIGINT)")
+          .as("resolution_ppm"),
+        expr("""CAST((CAST(__pt AS DECIMAL(38,0)) * (__nt - __pt) * 1000000)
+                DIV (CAST(__nt AS DECIMAL(38,0)) * __nt) AS BIGINT)""")
+          .as("uncertainty_ppm"))
+  }
+
   /** Time-decayed freshness mass per key — the batch face of recency
     * weighting (the streaming EWMA's complement): each event contributes
     * 10⁶ halved once per `halfLifeDays` of age against the corpus

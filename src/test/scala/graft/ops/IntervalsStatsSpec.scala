@@ -399,6 +399,16 @@ class IntervalsStatsSpec extends SparkTestBase {
     assert(got === Seq(("x", 2L, 4L, 1500000L), ("y", 4L, 4L, 0L)))
   }
 
+  test("calibrationReport: hand ECE and Murphy components, 2 bins") {
+    // bin0: n=2 p=1 (acc .5, conf .25); bin1: n=2 p=2 (acc 1, conf .75);
+    // ȳ = .75 → ece .25, rel .0625, res .0625, unc .1875 — all exact ppm.
+    val df = Seq((0L, 0), (0L, 1), (1L, 1), (1L, 1)).toDF("b", "y")
+    val got = Stats.calibrationReport(df, col("b"), col("y") === 1,
+        nBins = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(got === ((4L, 3L, 250000L, 62500L, 62500L, 187500L)))
+  }
+
   test("decayedFreshness: exact shift staircase, cap, per-key means") {
     // max day 14, half-life 7: ages 0/7/14 → weights 1e6/5e5/25e4.
     val df = Seq(("a", 14L), ("a", 7L), ("a", 0L), ("b", 14L))
