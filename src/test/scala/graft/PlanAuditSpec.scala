@@ -50,7 +50,11 @@ class PlanAuditSpec extends SparkTestBase {
       "q_vocab_coverage" -> Set("text"),
       "q_prf_expand" -> Set("doc_id", "text"),
       "q_length_buckets" -> Set("text"),
-      "q_luhn_scan" -> Set("doc_id", "text"))
+      "q_luhn_scan" -> Set("doc_id", "text"),
+      "q_ks_test" -> Set("doc_id", "n_chars"),
+      "q_auc" -> Set("doc_id"),
+      "q_calibration" -> Set("doc_id"),
+      "q_dup_threshold_curve" -> Set("doc_id", "text"))
     val bad = expected.toSeq.sortBy(_._1).flatMap { case (name, cols) =>
       val scans = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.collect {
