@@ -375,14 +375,20 @@ object Graph {
       live = live.take(2)
     }
 
+    // One snapshot per ROUND, not per half-step: within a round the chain
+    // hubs → auth → hub references each stage once, so the lazy plan stays
+    // linear; only the round boundary needs a materialized leaf (the final
+    // round also pins the auth side, which the output joins).
     var hubs = snapshot(nodes.withColumn("hub", lit(base)))
     var auths: DataFrame = null
     var it = 0
     while (it < iters) {
-      val nextA = snapshot(halfStep(hubs, "hub", "src", "dst", "auth"))
-      val nextH = snapshot(halfStep(nextA, "auth", "dst", "src", "hub"))
+      val nextA = halfStep(hubs, "hub", "src", "dst", "auth")
+      val lastRound = it == iters - 1
+      val aSnap = if (lastRound) snapshot(nextA) else nextA
+      val nextH = snapshot(halfStep(aSnap, "auth", "dst", "src", "hub"))
       hubs = nextH
-      auths = nextA
+      auths = aSnap
       reap()
       it += 1
     }
