@@ -2543,6 +2543,15 @@ object SparkEntry {
       Stats.decayedFreshness(events(s, dir), "event_type",
         expr("ts_ms DIV 86400000"), halfLifeDays = 7)),
 
+    // Clustering-vs-label agreement: purity + integer-exact NMI between
+    // an 8-way arithmetic clustering and the language labels — the
+    // external clustering scorecard (one |C|×|L|-bounded contingency).
+    "q_cluster_agreement" -> ((s, dir) =>
+      Stats.clusteringAgreement(
+        t(s, dir, "documents").select(
+          ((col("doc_id") * 31) % 8).as("c"), col("lang")),
+        col("c"), col("lang"))),
+
     // Calibration report (ECE + Murphy decomposition) over the same
     // binned-score fixture: the measurement side of the calibration
     // family (PAV is the fixer) — one bin-bounded histogram agg.
@@ -5611,6 +5620,30 @@ object SparkEntry {
                .mkString("", "\nUNION ALL\n", "")}
          | ORDER BY "column"""".stripMargin
     },
+    "q_cluster_agreement" ->
+      """WITH d AS (SELECT (doc_id * 31) % 8 AS c, lang AS l FROM documents),
+        | cm AS (SELECT c, l, count(*)::BIGINT AS n FROM d GROUP BY 1, 2),
+        | a AS (SELECT c, sum(n)::BIGINT AS a, max(n)::BIGINT AS mx
+        |   FROM cm GROUP BY c),
+        | b AS (SELECT l, sum(n)::BIGINT AS b FROM cm GROUP BY l),
+        | t AS (SELECT sum(n)::BIGINT AS t FROM cm),
+        | iw AS (SELECT sum(cm.n::HUGEINT * CAST(round(1000000e0 * ln(
+        |       CAST(cm.n * t.t AS DOUBLE) / CAST(a.a * b.b AS DOUBLE)))
+        |     AS HUGEINT)) AS inum
+        |   FROM cm JOIN a USING (c) JOIN b USING (l), t),
+        | hc AS (SELECT sum(a::HUGEINT * CAST(round(1000000e0 * ln(
+        |       CAST(t.t AS DOUBLE) / a)) AS HUGEINT)) AS hc FROM a, t),
+        | hl AS (SELECT sum(b::HUGEINT * CAST(round(1000000e0 * ln(
+        |       CAST(t.t AS DOUBLE) / b)) AS HUGEINT)) AS hl FROM b, t),
+        | p AS (SELECT sum(mx)::HUGEINT AS pm FROM a)
+        | SELECT t.t AS n,
+        |   CAST((p.pm * 1000000) // t.t AS BIGINT) AS purity_ppm,
+        |   CAST(CASE WHEN hc.hc + hl.hl = 0 THEN 0
+        |     WHEN iw.inum < 0
+        |       THEN -(((-iw.inum) * 2000000) // (hc.hc + hl.hl))
+        |     ELSE (iw.inum * 2000000) // (hc.hc + hl.hl)
+        |   END AS BIGINT) AS nmi_ppm
+        | FROM t, p, iw, hc, hl""".stripMargin,
     "q_calibration" ->
       """WITH d AS (SELECT (doc_id * 31) % 20 AS b,
         |     CASE WHEN (doc_id * 37) % 100 < 20 + 3 * ((doc_id * 31) % 20)

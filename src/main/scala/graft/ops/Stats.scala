@@ -471,6 +471,63 @@ object Stats {
       .toDF("n_rows", "n_keys", "max_count", "gini_scaled")
   }
 
+  /** Clustering–label agreement: purity and normalized mutual information
+    * between a cluster assignment and a reference labeling — the external
+    * evaluation a k-means/LSH-bucket/topic run is judged by before anyone
+    * trusts its slices. From the (cluster, label) contingency c_ij with
+    * marginals a_i, b_j over n rows:
+    *
+    *   purity_ppm = (Σ_i max_j c_ij)·10⁶ DIV n
+    *   NMI = 2·I/(H_C + H_L) with every ln integerized
+    *         round(10⁶·ln(exact integer ratio)) BEFORE its weighted sum
+    *         (the PMI policy), so nmi_ppm = (2·I_num·10⁶) DIV
+    *         (HC_num + HL_num) is bit-replayable; near-independent
+    *         labelings can integrate to a slightly NEGATIVE I_num, so the
+    *         divide is sign-factored (the trendSlopes convention).
+    *
+    * Scale shape: ONE contingency aggregation bounded by
+    * |clusters|×|labels|; marginals re-aggregate that table; weighted
+    * sums ride DECIMAL(38,0); output is one row.
+    */
+  def clusteringAgreement(
+      df: DataFrame,
+      clusterCol: Column,
+      labelCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cm = df.select(clusterCol.cast("long").as("__c"),
+        labelCol.cast("string").as("__l"))
+      .groupBy("__c", "__l").agg(count(lit(1)).as("__n"))
+    val ac = cm.groupBy("__c")
+      .agg(sum(col("__n")).as("__a"), max(col("__n")).as("__mx"))
+    val bl = cm.groupBy("__l").agg(sum(col("__n")).as("__b"))
+    val tot = cm.agg(sum(col("__n")).as("__t"))
+    def lnw(weight: Column, p: Column, q: Column): Column =
+      (weight.cast(dec) *
+        round(lit(1e6) * log(p.cast("double") / q.cast("double")))
+          .cast("long").cast(dec)).as("__w")
+    val inum = cm.join(ac.select(col("__c"), col("__a")), Seq("__c"))
+      .join(bl, Seq("__l")).crossJoin(broadcast(tot))
+      .select(lnw(col("__n"), col("__n") * col("__t"),
+        col("__a") * col("__b")))
+      .agg(sum(col("__w")).as("__inum"))
+    val hc = ac.crossJoin(broadcast(tot))
+      .select(lnw(col("__a"), col("__t"), col("__a")))
+      .agg(sum(col("__w")).as("__hc"))
+    val hl = bl.crossJoin(broadcast(tot))
+      .select(lnw(col("__b"), col("__t"), col("__b")))
+      .agg(sum(col("__w")).as("__hl"))
+    val pur = ac.agg(sum(col("__mx")).as("__pm"))
+    tot.crossJoin(pur).crossJoin(inum).crossJoin(hc).crossJoin(hl)
+      .select(col("__t").as("n"),
+        expr("CAST((__pm * 1000000) DIV __t AS BIGINT)").as("purity_ppm"),
+        when(col("__hc") + col("__hl") === 0, lit(0L))
+          .otherwise(
+            when(col("__inum") < 0, lit(-1L)).otherwise(lit(1L)) *
+              expr("""CAST((abs(__inum) * 2000000) DIV (__hc + __hl)
+                      AS BIGINT)"""))
+          .as("nmi_ppm"))
+  }
+
   /** Calibration report over binned classifier scores — ECE plus the
     * Murphy (1973) Brier decomposition, the MEASUREMENT side of the
     * calibration family ([[pavCalibrate]] is the fixer). Bins are score

@@ -399,6 +399,22 @@ class IntervalsStatsSpec extends SparkTestBase {
     assert(got === Seq(("x", 2L, 4L, 1500000L), ("y", 4L, 4L, 0L)))
   }
 
+  test("clusteringAgreement: hand contingency, perfect and inverted cases") {
+    // cm (0,a)=2 (0,b)=1 (1,b)=2 → purity 4/5; I/H terms hand-integerized
+    // (python-checked): inum 1455517, hc = hl = 3365060 → nmi 432538.
+    val df = Seq((0L,"a"),(0L,"a"),(0L,"b"),(1L,"b"),(1L,"b")).toDF("c","l")
+    assert(Stats.clusteringAgreement(df, col("c"), col("l"))
+      .as[(Long, Long, Long)].head() === ((5L, 800000L, 432538L)))
+    // Perfect agreement: NMI = 1 exactly (inum = hc = hl).
+    val perf = Seq((0L,"a"),(0L,"a"),(1L,"b")).toDF("c","l")
+    assert(Stats.clusteringAgreement(perf, col("c"), col("l"))
+      .as[(Long, Long, Long)].head() === ((3L, 1000000L, 1000000L)))
+    // Single cluster, single label: H sums are 0 → NMI 0 by convention.
+    val const = Seq((0L,"a"),(0L,"a")).toDF("c","l")
+    assert(Stats.clusteringAgreement(const, col("c"), col("l"))
+      .as[(Long, Long, Long)].head() === ((2L, 1000000L, 0L)))
+  }
+
   test("calibrationReport: hand ECE and Murphy components, 2 bins") {
     // bin0: n=2 p=1 (acc .5, conf .25); bin1: n=2 p=2 (acc 1, conf .75);
     // ȳ = .75 → ece .25, rel .0625, res .0625, unc .1875 — all exact ppm.
