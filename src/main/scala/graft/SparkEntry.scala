@@ -582,6 +582,13 @@ object SparkEntry {
         col("doc_id"), nullif(col("source"), lit("src0")).as("source"),
         col("lang"), col("n_chars")))),
 
+    // Top event trigram paths: the 2nd-order session-flow summary a
+    // 1st-order transition matrix can't reconstruct; |types|³-bounded
+    // counts, k-bounded TakeOrdered.
+    "q_event_paths" -> ((s, dir) =>
+      Reporting.topEventPaths(events(s, dir), "user_id", "ts_ms",
+        "event_type", "event_id", k = 20)),
+
     // As-of join: each error event matched to the user's most recent prior
     // signup (the operator Spark lacks; composed as union + running window —
     // see graft.ops.AsofJoin; DuckDB oracles it with native ASOF JOIN)
@@ -3089,6 +3096,16 @@ object SparkEntry {
         |   CAST((p.n * 1000000) // t.tot AS BIGINT) AS p_ppm
         | FROM p JOIN t USING (from_event)
         | ORDER BY from_event, to_event""".stripMargin,
+    "q_event_paths" ->
+      """WITH sq AS (SELECT event_type AS e1,
+        |     lead(event_type, 1) OVER (PARTITION BY user_id
+        |       ORDER BY epoch_ms(ts), event_id) AS e2,
+        |     lead(event_type, 2) OVER (PARTITION BY user_id
+        |       ORDER BY epoch_ms(ts), event_id) AS e3
+        |   FROM events)
+        | SELECT e1, e2, e3, count(*)::BIGINT AS n
+        | FROM sq WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
+        | ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin,
     "q_dedup_exact" ->
       s"""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
          | FROM $docsWithDupesSql GROUP BY md5(text) ORDER BY content_hash""".stripMargin,

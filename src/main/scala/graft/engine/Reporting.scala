@@ -226,6 +226,37 @@ object Reporting {
         expr("(n * 1000000) DIV __tot").as("p_ppm"))
   }
 
+  /** Top event trigram paths — the second-order extension of
+    * [[eventTransitions]]: the k most frequent (e₁ → e₂ → e₃) sequences
+    * across per-user event streams, ordered by the same total
+    * (timestamp, tie) order so the path set is a pure function of the
+    * event multiset. The session-flow summary ("what do users DO in
+    * three steps") that a first-order transition matrix provably can't
+    * reconstruct. Per-user windows shuffle (user, type, ts, tie) tuples
+    * only; path counts are \|types\|³-bounded before the k-bounded
+    * TakeOrdered.
+    */
+  def topEventPaths(
+      events: DataFrame,
+      userCol: String,
+      tsMsCol: String,
+      eventTypeCol: String,
+      tieCol: String,
+      k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col("u")).orderBy(col("tm"), col("tie"))
+    events.select(col(userCol).as("u"),
+        col(eventTypeCol).as("e1"), col(tsMsCol).as("tm"),
+        col(tieCol).as("tie"))
+      .withColumn("e2", lead(col("e1"), 1).over(w))
+      .withColumn("e3", lead(col("e1"), 2).over(w))
+      .where(col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(k)
+  }
+
   /** The reference's byte-size formatter (util/QueryIndex.java:264-283):
     * integer bytes below 1 KB, two decimals at each 1024 tier above.
     */

@@ -427,6 +427,19 @@ class EventAnalyticsSpec extends graft.SparkTestBase {
     assert(got === Seq((0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 2L), (1L, 0L, 1L)))
   }
 
+  test("topEventPaths: per-user trigram order, global counts, tie order") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, 1L, "a", 10L), (1L, 2L, "b", 11L), (1L, 3L, "a", 12L),
+      (1L, 4L, "b", 13L),
+      (2L, 1L, "a", 20L), (2L, 2L, "b", 21L), (2L, 3L, "a", 22L))
+      .toDF("user_id", "ts_ms", "event_type", "event_id")
+    val got = graft.engine.Reporting.topEventPaths(e, "user_id", "ts_ms",
+        "event_type", "event_id", k = 5)
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(got === Seq(("a", "b", "a", 2L), ("b", "a", "b", 1L)))
+  }
+
   test("tableProfile: nulls, exact distincts, ppm floor, column order") {
     import spark.implicits._
     val df = Seq(
