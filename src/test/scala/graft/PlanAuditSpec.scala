@@ -54,7 +54,8 @@ class PlanAuditSpec extends SparkTestBase {
       "q_ks_test" -> Set("doc_id", "n_chars"),
       "q_auc" -> Set("doc_id"),
       "q_calibration" -> Set("doc_id"),
-      "q_dup_threshold_curve" -> Set("doc_id", "text"))
+      "q_dup_threshold_curve" -> Set("doc_id", "text"),
+      "q_cluster_agreement" -> Set("doc_id", "lang"))
     val bad = expected.toSeq.sortBy(_._1).flatMap { case (name, cols) =>
       val scans = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.collect {
