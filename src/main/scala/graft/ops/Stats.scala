@@ -517,7 +517,8 @@ object Stats {
       .select(lnw(col("__b"), col("__t"), col("__b")))
       .agg(sum(col("__w")).as("__hl"))
     val pur = ac.agg(sum(col("__mx")).as("__pm"))
-    tot.crossJoin(pur).crossJoin(inum).crossJoin(hc).crossJoin(hl)
+    tot.crossJoin(broadcast(pur)).crossJoin(broadcast(inum))
+      .crossJoin(broadcast(hc)).crossJoin(broadcast(hl))
       .select(col("__t").as("n"),
         expr("CAST((__pm * 1000000) DIV __t AS BIGINT)").as("purity_ppm"),
         when(col("__hc") + col("__hl") === 0, lit(0L))
