@@ -128,6 +128,8 @@ object SparkEntry {
   /** BM25 demo query terms (present in the synthetic corpus vocabulary). */
   private val Bm25Terms = Seq("table", "spark", "hash")
   private val EvalTerms = Seq("spark", "join", "vector", "line", "fast")
+  private val RakeStopwords = Seq(
+    "the", "a", "of", "and", "to", "in", "is", "for", "with", "on")
 
   /** Split fractions / mix weights shared by the queries and their generated
     * oracle SQL (single source of truth for the thresholds).
@@ -2820,6 +2822,14 @@ object SparkEntry {
       Curation.lengthBucketPlan(t(s, dir, "documents"), "doc_id", "text",
         bucketWidth = 16, batchTokens = 256)),
 
+    // RAKE keyphrases: stopword-delimited candidate runs scored by
+    // integer degree/frequency sums — model-free corpus keywords; the
+    // phrase-id pass is a per-document running count, word stats
+    // vocab-bounded, output k-bounded.
+    "q_rake" -> ((s, dir) =>
+      TextAnalysis.rakeKeyphrases(t(s, dir, "documents"), "doc_id", "text",
+        RakeStopwords, maxPhraseLen = 4, topK = 30)),
+
     // Vocabulary coverage cutoffs: smallest vocab covering 90/95/99% of
     // token mass — exact within-class interpolation over the COUNT
     // HISTOGRAM (the window orders ≤ O(√tokens) histogram rows, never the
@@ -5479,6 +5489,32 @@ object SparkEntry {
          |   FROM e)
          | SELECT term, CAST(df AS BIGINT) AS df, a AS n_label, chi2_ppm
          | FROM x ORDER BY chi2_ppm DESC, term LIMIT 50""".stripMargin,
+    "q_rake" -> {
+      val stops = RakeStopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+         | tok AS (SELECT doc_id, unnest(ts) AS w,
+         |     unnest(range(1, len(ts) + 1)) AS pos FROM tk),
+         | f AS (SELECT doc_id, pos, w,
+         |     CASE WHEN w IN ($stops) THEN 1 ELSE 0 END AS s FROM tok),
+         | pid AS (SELECT doc_id, pos, w, s,
+         |     sum(s) OVER (PARTITION BY doc_id ORDER BY pos) AS pid FROM f),
+         | m AS (SELECT doc_id, pos, w, pid FROM pid WHERE s = 0),
+         | ph AS (SELECT doc_id, pid,
+         |     string_agg(w, ' ' ORDER BY pos) AS phrase,
+         |     count(*)::BIGINT AS n_words
+         |   FROM m GROUP BY doc_id, pid HAVING count(*) <= 4),
+         | ws AS (SELECT w,
+         |     (sum(n_words)::BIGINT * 1000000) // count(*) AS ws
+         |   FROM m JOIN ph USING (doc_id, pid) GROUP BY w),
+         | sc AS (SELECT m.doc_id, m.pid, ph.phrase, ph.n_words,
+         |     sum(ws.ws)::BIGINT AS score
+         |   FROM m JOIN ph USING (doc_id, pid) JOIN ws USING (w)
+         |   GROUP BY 1, 2, 3, 4)
+         | SELECT phrase, n_words, count(*)::BIGINT AS n_occurrences,
+         |   max(score)::BIGINT AS score_ppm
+         | FROM sc GROUP BY phrase, n_words
+         | ORDER BY score_ppm DESC, phrase LIMIT 30""".stripMargin
+    },
     "q_luhn_scan" -> {
       val luhn = (v: String) =>
         s"""list_sum(list_transform(range(1, len($v) + 1), i ->

@@ -782,6 +782,65 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010) — corpus-level keyword
+    * phrases without any model: candidate phrases are maximal stopword-free
+    * token runs, each scored by the sum of its members' degree/frequency
+    * ratios (degree = Σ length of phrases containing the word — words that
+    * co-occur inside long content phrases outrank isolated frequent words).
+    * Integerized per word as `wscore_ppm = (deg·10⁶) DIV freq` BEFORE the
+    * phrase sum, so phrase scores are order-free int64 and SQL-replayable.
+    * Phrases longer than `maxPhraseLen` are dropped (the boundedness cap a
+    * corpus-scale run needs; RAKE's original corpora rarely exceed 3–4).
+    *
+    * Scale shape: the phrase-id pass is a per-DOCUMENT running count
+    * (windows partition by doc — the sessionize convention, bounded per
+    * row group); phrase assembly is one (doc, phrase-id) aggregation;
+    * word stats are vocab-bounded; the score join keys members to the
+    * vocab-bounded word table; output is a k-bounded TakeOrdered over
+    * distinct phrase strings.
+    */
+  def rakeKeyphrases(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      stopwords: Seq[String],
+      maxPhraseLen: Int = 4,
+      topK: Int = 30): DataFrame = {
+    require(stopwords.nonEmpty, "rake needs a stopword list")
+    require(maxPhraseLen >= 1 && topK >= 1, "maxPhraseLen/topK must be >= 1")
+    val tok = docs
+      .select(col(idCol).as("id"), posexplode(tokens(col(textCol))))
+      .select(col("id"), col("pos"), col("col").as("w"),
+        col("col").isInCollection(stopwords).cast("int").as("__s"))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val members = tok
+      .withColumn("__pid", sum(col("__s")).over(w))
+      .where(col("__s") === 0)
+    val phrases = members.groupBy(col("id"), col("__pid"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("pos"), col("w")))),
+        e => e.getField("w")), " ").as("phrase"),
+        count(lit(1)).as("n_words"))
+      .where(col("n_words") <= maxPhraseLen)
+    val wordStats = members
+      .join(phrases.select(col("id"), col("__pid"), col("n_words")),
+        Seq("id", "__pid"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("__freq"), sum(col("n_words")).as("__deg"))
+      .select(col("w"), expr("(__deg * 1000000) DIV __freq").as("__ws"))
+    members
+      .join(phrases, Seq("id", "__pid"))
+      .join(wordStats, Seq("w"))
+      .groupBy(col("id"), col("__pid"), col("phrase"), col("n_words"))
+      .agg(sum(col("__ws")).as("__score"))
+      .groupBy(col("phrase"), col("n_words"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        max(col("__score")).as("score_ppm"))
+      .orderBy(desc("score_ppm"), col("phrase"))
+      .limit(topK)
+  }
+
   /** Luhn checksum validation (ISO/IEC 7812) of an all-digit string — the
     * mod-10 double-every-second-digit test every real payment-card number
     * passes. The discriminator that turns a 13–19-digit REGEX hit into a

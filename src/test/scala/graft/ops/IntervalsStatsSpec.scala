@@ -472,6 +472,23 @@ class IntervalsStatsSpec extends SparkTestBase {
     assert(g2 === ((2L, 2L, 4L, 1000000L, 0)))
   }
 
+  test("rakeKeyphrases: textbook degree/frequency scoring, phrase runs") {
+    // "deep learning of deep models and learning", stops {of, and}:
+    // phrases [deep learning], [deep models], [learning];
+    // deep: freq 2 deg 4 → 2e6; learning: freq 2 deg 3 → 1.5e6;
+    // models: freq 1 deg 2 → 2e6. Scores: deep models 4e6,
+    // deep learning 3.5e6, learning 1.5e6.
+    val docs = Seq((1L, "deep learning of deep models and learning"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.rakeKeyphrases(docs, "doc_id", "text",
+        Seq("of", "and"), maxPhraseLen = 4, topK = 10)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("deep models", 2L, 1L, 4000000L),
+      ("deep learning", 2L, 1L, 3500000L),
+      ("learning", 1L, 1L, 1500000L)))
+  }
+
   test("luhnValid/cardScan: known checksums, regex gate, candidate counts") {
     // 4532015112830366 is a valid test Visa; +1 on the check digit fails;
     // 1234567890123 (13 digits) passes the regex but fails Luhn;
