@@ -55,7 +55,8 @@ class PlanAuditSpec extends SparkTestBase {
       "q_auc" -> Set("doc_id"),
       "q_calibration" -> Set("doc_id"),
       "q_dup_threshold_curve" -> Set("doc_id", "text"),
-      "q_cluster_agreement" -> Set("doc_id", "lang"))
+      "q_cluster_agreement" -> Set("doc_id", "lang"),
+      "q_rake" -> Set("doc_id", "text"))
     val bad = expected.toSeq.sortBy(_._1).flatMap { case (name, cols) =>
       val scans = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.collect {
