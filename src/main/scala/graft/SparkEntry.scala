@@ -2899,6 +2899,13 @@ object SparkEntry {
       TextSearch.dirichletQlTopK(t(s, dir, "documents"), "doc_id", "text",
         Bm25Terms, k = 20, mu = 2000L)),
 
+    // Exact 10%-trimmed mean of document length per language: per-key
+    // value histograms with overlap-exact tail drops — the robust length
+    // summary outliers can't move. No sort, nothing row-scale shuffles.
+    "q_trimmed_mean" -> ((s, dir) =>
+      Stats.trimmedMean(t(s, dir, "documents"), "lang", col("n_chars"),
+        trimPpm = 100000L)),
+
     // Two-sample KS drift test on document length with a planted shift on
     // slice A (doc_id % 3 = 0 docs get +doc_id%11 chars): exact cross-mult
     // ECDF gap over the value histogram, squared integer α=0.05 verdict.
@@ -5753,6 +5760,31 @@ object SparkEntry {
         |     ELSE (u2 * 1000000) // (2 * n_pos * n_neg) END AS BIGINT)
         |     AS auc_ppm
         | FROM a""".stripMargin,
+    "q_trimmed_mean" ->
+      """WITH h AS (SELECT lang AS k, n_chars AS v, count(*)::BIGINT AS c
+        |   FROM documents GROUP BY 1, 2),
+        | cum AS (SELECT k, v, c,
+        |     coalesce(sum(c) OVER (PARTITION BY k ORDER BY v
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo,
+        |     coalesce(sum(c) OVER (PARTITION BY k ORDER BY v DESC
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS hi
+        |   FROM h),
+        | t AS (SELECT k, sum(c)::BIGINT AS n, sum(v::HUGEINT * c) AS s
+        |   FROM h GROUP BY k),
+        | e AS (SELECT cum.k, t.n, t.s, (t.n * 100000) // 1000000 AS kk,
+        |     least(cum.c, greatest((t.n * 100000) // 1000000 - cum.lo, 0))
+        |       ::HUGEINT * cum.v AS bot,
+        |     least(cum.c, greatest((t.n * 100000) // 1000000 - cum.hi, 0))
+        |       ::HUGEINT * cum.v AS top
+        |   FROM cum JOIN t USING (k)),
+        | g AS (SELECT k, any_value(n) AS n, any_value(kk) AS kk,
+        |     any_value(s) AS s, sum(bot) AS b, sum(top) AS tp
+        |   FROM e GROUP BY k)
+        | SELECT k AS lang, n, kk AS n_trimmed_each,
+        |   CASE WHEN n - 2 * kk <= 0 THEN NULL
+        |     ELSE CAST(((s - b - tp) * 1000000) // (n - 2 * kk) AS BIGINT)
+        |   END AS trimmed_mean_x1e6
+        | FROM g ORDER BY lang""".stripMargin,
     "q_ks_test" ->
       """WITH d AS (SELECT n_chars +
         |     CASE WHEN doc_id % 3 = 0 THEN ((doc_id % 11) + 11) % 11

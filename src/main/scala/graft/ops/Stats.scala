@@ -471,6 +471,64 @@ object Stats {
       .toDF("n_rows", "n_keys", "max_count", "gini_scaled")
   }
 
+  /** Exact trimmed mean per key over an integer column — the robust
+    * location estimate a corpus report quotes when means are outlier-torn
+    * (one 10 MB document shouldn't move a language's "typical length").
+    * Per key with n values and trim fraction t ppm, k = (n·t) DIV 10⁶
+    * values are dropped from EACH tail and the mean of the remainder is
+    * reported as `trimmed_mean_x1e6` = (S_mid·10⁶) DIV (n − 2k).
+    *
+    * No sort: per-key VALUE HISTOGRAMS (the quarterPercentiles bounded-
+    * distinct contract) carry ascending/descending running counts, and
+    * each tail's dropped mass is the exact overlap
+    * min(cnt, max(0, k − cumBefore))·v summed over classes — a value
+    * class straddling the cut contributes exactly its overlap, so the
+    * result equals the sorted definition bit-for-bit. Products ride
+    * DECIMAL(38,0); keys where 2k ≥ n report null (nothing survives the
+    * trim).
+    *
+    * Scale shape: one (key, value) map-side-combined histogram; the
+    * running sums order each key's value classes only; one final per-key
+    * aggregation. Nothing row-scale moves past the first combine.
+    */
+  def trimmedMean(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: Column,
+      trimPpm: Long = 100000L): DataFrame = {
+    require(trimPpm >= 0 && trimPpm < 500000,
+      s"trimPpm must be in [0, 500000), got $trimPpm")
+    val dec = "decimal(38,0)"
+    val h = df.select(col(keyCol).as("k"), valueCol.cast("long").as("v"))
+      .groupBy("k", "v").agg(count(lit(1)).as("__c"))
+    val asc = Window.partitionBy(col("k")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val desc = Window.partitionBy(col("k")).orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = h.select(col("k"), col("v"), col("__c"),
+      coalesce(sum(col("__c")).over(asc), lit(0L)).as("__lo"),
+      coalesce(sum(col("__c")).over(desc), lit(0L)).as("__hi"))
+    val tot = h.groupBy("k").agg(sum(col("__c")).as("__n"),
+      sum(col("v").cast(dec) * col("__c").cast(dec)).as("__s"))
+    cum.join(tot, Seq("k"))
+      .select(col("k"), col("__n"), col("__s"),
+        expr(s"(__n * $trimPpm) DIV 1000000").as("__k"),
+        col("v"), col("__c"), col("__lo"), col("__hi"))
+      .select(col("k"), col("__n"), col("__s"), col("__k"),
+        (least(col("__c"), greatest(col("__k") - col("__lo"), lit(0L)))
+          .cast(dec) * col("v").cast(dec)).as("__bot"),
+        (least(col("__c"), greatest(col("__k") - col("__hi"), lit(0L)))
+          .cast(dec) * col("v").cast(dec)).as("__top"))
+      .groupBy(col("k").as(keyCol), col("__n").as("n"), col("__k"), col("__s"))
+      .agg(sum(col("__bot")).as("__b"), sum(col("__top")).as("__t"))
+      .select(col(keyCol), col("n"), col("__k").as("n_trimmed_each"),
+        when(col("n") - col("__k") * 2 <= 0, lit(null).cast("long"))
+          .otherwise(expr("""CAST(((__s - __b - __t) * 1000000)
+            DIV CAST(n - 2 * __k AS DECIMAL(38,0)) AS BIGINT)"""))
+          .as("trimmed_mean_x1e6"))
+      .orderBy(keyCol)
+  }
+
   /** Clustering–label agreement: purity and normalized mutual information
     * between a cluster assignment and a reference labeling — the external
     * evaluation a k-means/LSH-bucket/topic run is judged by before anyone

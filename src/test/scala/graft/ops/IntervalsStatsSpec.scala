@@ -472,6 +472,23 @@ class IntervalsStatsSpec extends SparkTestBase {
     assert(g2 === ((2L, 2L, 4L, 1000000L, 0)))
   }
 
+  test("trimmedMean: overlap-exact tail drops, straddling classes, k = 0") {
+    // "a": [1, 2, 2, 3, 100] at 20% trim → k = 1, drop one 1 and one 100,
+    // mid = [2, 2, 3] → 7e6 // 3. "b": single value, k = 0 → plain mean.
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("a", 3L), ("a", 100L),
+      ("b", 5L)).toDF("k", "v")
+    val got = Stats.trimmedMean(df, "k", col("v"), trimPpm = 200000L)
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    assert(got === Seq(
+      ("a", 5L, 1L, Some(2333333L)), ("b", 1L, 0L, Some(5000000L))))
+    // Tie mass straddling the cut: [2, 2, 2, 9] at 25% → k = 1 drops ONE
+    // 2 from the bottom and the 9 from the top → mid [2, 2] → 2e6.
+    val tie = Seq(("t", 2L), ("t", 2L), ("t", 2L), ("t", 9L)).toDF("k", "v")
+    val g2 = Stats.trimmedMean(tie, "k", col("v"), trimPpm = 250000L)
+      .as[(String, Long, Long, Option[Long])].head()
+    assert(g2 === (("t", 4L, 1L, Some(2000000L))))
+  }
+
   test("rakeKeyphrases: textbook degree/frequency scoring, phrase runs") {
     // "deep learning of deep models and learning", stops {of, and}:
     // phrases [deep learning], [deep models], [learning];
