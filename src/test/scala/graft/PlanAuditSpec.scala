@@ -56,7 +56,8 @@ class PlanAuditSpec extends SparkTestBase {
       "q_calibration" -> Set("doc_id"),
       "q_dup_threshold_curve" -> Set("doc_id", "text"),
       "q_cluster_agreement" -> Set("doc_id", "lang"),
-      "q_rake" -> Set("doc_id", "text"))
+      "q_rake" -> Set("doc_id", "text"),
+      "q_trimmed_mean" -> Set("lang", "n_chars"))
     val bad = expected.toSeq.sortBy(_._1).flatMap { case (name, cols) =>
       val scans = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.collect {
