@@ -1269,19 +1269,19 @@ object SparkEntry {
         .presented("id_a", "id_b")
     }),
 
-    // Multimodal: binary payload → batched feature extraction. Image rows
-    // carry real PNG/JPEG payloads and the features are real pixel
-    // statistics (javax.imageio decode — MultimodalSpec pins them against
-    // a drawn fixture); audio/video use the deterministic stub (no in-JDK
-    // codec). no_oracle BY DESIGN: DuckDB cannot decode images, so no
-    // independent engine can recompute the features.
-    "q_multimodal" -> ((s, dir) => {
-      val media = Multimodal.syntheticMedia(s, 200)
-      Multimodal.extractFeatures(media)
-        .select(col("media_id"), col("mime"), col("n_bytes"),
-          round(element_at(col("features"), 1), 6).as("f0"))
-        .presented("media_id")
-    }),
+    // Multimodal: binary payload → real in-JDK pixel decode, graded
+    // IN-BAND (the ANN recall-harness convention): every image row's
+    // extracted color/luma means are compared against the re-drawn
+    // fixture's (no codec in the expectation path — PNG must match
+    // bit-for-bit, JPEG within codec tolerance) and the verdict ships as
+    // pixel_ok. FULLY oracled: which rows are images and which must pass
+    // is pure id arithmetic, so DuckDB pins every row; a broken decoder
+    // or drifted feature extraction flips pixel_ok to 0 and hash-fails.
+    // (extractFeatures' raw pixel-statistic vectors stay pinned against
+    // the drawn fixture in MultimodalSpec.)
+    "q_multimodal" -> ((s, dir) =>
+      Multimodal.pixelFidelity(Multimodal.syntheticMedia(s, 200))
+        .presented("media_id")),
 
     // Media inventory from container headers only (MP4 box walk, MP3 frame
     // scan, WAV probe, image-dim header read — zero pixel/sample decode).
@@ -4816,6 +4816,18 @@ object SparkEntry {
          |   FROM facts)
          | SELECT surt, min(doc_id) AS keep_id, count(*) AS n_copies
          | FROM sk GROUP BY surt ORDER BY surt""".stripMargin,
+    // Pixel fidelity: image rows (id%5 < 2) must decode and match the
+    // drawn fixture (pixel_ok = 1); non-image rows carry 0. The pass set
+    // is pure id arithmetic — the pixel comparison itself runs in-job.
+    "q_multimodal" ->
+      """SELECT media_id,
+        |  CASE media_id % 5 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+        |       WHEN 2 THEN 'audio/wav' WHEN 3 THEN 'video/mp4'
+        |       ELSE 'audio/mpeg' END AS mime,
+        |  CAST(CASE WHEN media_id % 5 < 2 THEN 1 ELSE 0 END AS INT) AS is_image,
+        |  CAST(CASE WHEN media_id % 5 < 2 THEN 1 ELSE 0 END AS INT) AS pixel_ok
+        |FROM range(200) t(media_id)
+        |ORDER BY media_id""".stripMargin,
     // Synthetic payloads are pure functions of media_id (timescale-1000
     // mvhd, 16.16 tkhd dims, 128kbps/44.1kHz MP3 frames, 8kHz mono WAV) —
     // DuckDB re-derives every header fact from the id arithmetic.

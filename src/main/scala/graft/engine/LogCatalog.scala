@@ -85,19 +85,37 @@ object LogCatalog {
       service: String,
       component: String,
       startMs: Long,
-      endMs: Long): Seq[Seq[String]] = {
+      endMs: Long): Seq[Seq[String]] =
+    resolveByHourWithSizes(conf, root, dc, service, component, startMs, endMs)
+      .map(_.map(_._1))
+
+  /** [[resolveByHour]] carrying each file's byte length (free — the same
+    * globStatus listing already returns it). The per-hour byte totals are
+    * what lets the ordered-concat reader route OVERSIZED hours to the
+    * range sort instead of a single-task sort
+    * ([[LogQuery.formattedByHour]]).
+    */
+  def resolveByHourWithSizes(
+      conf: Configuration,
+      root: String,
+      dc: String,
+      service: String,
+      component: String,
+      startMs: Long,
+      endMs: Long): Seq[Seq[(String, Long)]] = {
     hoursInRange(startMs, endMs).map { case (date, hour) =>
-      val out = ArrayBuffer[String]()
+      val out = ArrayBuffer[(String, Long)]()
       Branches.foreach { branch =>
         val p = s"$root/service/$dc/$service/logs/$date/$hour/$component/$branch"
         val path = new Path(p)
         val fs = path.getFileSystem(conf)
         Option(fs.globStatus(path)).getOrElse(Array.empty).foreach { s =>
           val n = s.getPath.getName
-          if (!n.startsWith("_") && !n.endsWith(".tmp")) out += s.getPath.toString
+          if (!n.startsWith("_") && !n.endsWith(".tmp"))
+            out += ((s.getPath.toString, s.getLen))
         }
       }
-      out.toSeq.distinct
+      out.toSeq.distinctBy(_._1)
     }.filter(_.nonEmpty)
   }
 }

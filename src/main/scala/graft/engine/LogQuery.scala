@@ -85,43 +85,60 @@ case class LogQuery(
     else LogQuery.formatAndSort(lines(spark).toDF(), dateFormat).as[String]
   }
 
-  /** Ordered logcat output with NO Exchange anywhere: one sorted partition
-    * per catalog hour, concatenated in hour order. Correct global order
-    * relies on the layout invariant that an hour directory only holds lines
-    * of that hour (fs/PathInfo.java:21-86 — the uploaders and the hourly
-    * writer both guarantee it); data violating it would sort within the
-    * wrong bucket. This is [[formatted]]'s default for catalog queries.
-    * Parallelism is one task per hour — the right trade for the bounded
-    * ranges logcat serves (at 100 TB a logcat window is hours-to-days of
-    * one component, and hours sort independently); for huge per-hour
-    * volumes `LogQuery.formatAndSort(q.lines(spark).toDF())` gives the
-    * range sort's intra-hour parallelism.
+  /** Ordered logcat output with NO Exchange for normally-sized hours: one
+    * sorted partition per catalog hour, concatenated in hour order. Correct
+    * global order relies on the layout invariant that an hour directory
+    * only holds lines of that hour (fs/PathInfo.java:21-86 — the uploaders
+    * and the hourly writer both guarantee it); data violating it would sort
+    * within the wrong bucket. This is [[formatted]]'s default for catalog
+    * queries. Parallelism is one task per hour — the right trade for the
+    * bounded ranges logcat serves (at 100 TB a logcat window is
+    * hours-to-days of one component, and hours sort independently).
+    *
+    * OVERSIZED hours route themselves to the range sort automatically: the
+    * catalog listing's file sizes (free — the same globStatus pass) total
+    * per hour, and an hour past `maxHourBytes` becomes a range-partitioned
+    * intra-hour global sort instead of one giant single-task sort. The
+    * concatenation stays a correct global order either way — a range sort's
+    * output partitions are themselves in key order, so unioning them
+    * between the neighbouring hours' single partitions preserves it.
     */
-  def formattedByHour(spark: SparkSession): Dataset[String] = {
+  def formattedByHour(
+      spark: SparkSession,
+      maxHourBytes: Long = LogQuery.DefaultHourSortMaxBytes): Dataset[String] = {
     import spark.implicits._
     val hourGroups = resolveHourGroups(spark)
     if (hourGroups.isEmpty) spark.emptyDataset[String]
-    else hourGroups.map(hourBranch(spark, _)).reduce(_ unionByName _).as[String]
+    else hourGroups.map { files =>
+      hourBranch(spark, files.map(_._1),
+        rangeSort = files.map(_._2).sum > maxHourBytes)
+    }.reduce(_ unionByName _).as[String]
   }
 
-  private def resolveHourGroups(spark: SparkSession): Seq[Seq[String]] = {
+  private def resolveHourGroups(spark: SparkSession): Seq[Seq[(String, Long)]] = {
     require(startMs != Long.MinValue && endMs != Long.MaxValue,
       "catalog-based queries need a bounded time range: call .range(startMs, endMs) " +
         "or read explicit paths with .fromPaths(...)")
-    LogCatalog.resolveByHour(
+    LogCatalog.resolveByHourWithSizes(
       spark.sessionState.newHadoopConf(), root, dc, service, component, startMs, endMs)
   }
 
-  /** One hour bucket → filtered, formatted, sorted, single partition. */
-  private def hourBranch(spark: SparkSession, files: Seq[String]): DataFrame = {
+  /** One hour bucket → filtered, formatted, sorted. Normal hours sort in a
+    * single coalesced partition (exchange-free); an hour flagged oversized
+    * by the catalog byte total takes the range-partitioned sort instead.
+    */
+  private def hourBranch(spark: SparkSession, files: Seq[String],
+      rangeSort: Boolean): DataFrame = {
     var df = spark.read.format("boom").load(files: _*)
     if (startMs != Long.MinValue) df = df.filter(col("timestamp") >= startMs)
     if (endMs != Long.MaxValue) df = df.filter(col("timestamp") < endMs)
     df = df.filter(predicate.toColumn(col("message")))
-    LogQuery.format(df, dateFormat)
-      .coalesce(1)
-      .sortWithinPartitions(LogQuery.SortCols.map(col): _*)
-      .select("formatted")
+    if (rangeSort) LogQuery.formatAndSort(df, dateFormat)
+    else
+      LogQuery.format(df, dateFormat)
+        .coalesce(1)
+        .sortWithinPartitions(LogQuery.SortCols.map(col): _*)
+        .select("formatted")
   }
 
   /** `formatted` with an observed `n_results` metric — the A4 result counter
@@ -157,6 +174,14 @@ case class LogQuery(
 object LogQuery {
   /** The canonical output order (pig/formatAndSort.pg:40). */
   val SortCols: Seq[String] = Seq("timestamp", "createTime", "blockNumber", "lineNumber")
+
+  /** Per-hour byte ceiling for the exchange-free single-task hour sort
+    * (compressed on-disk bytes; boom decompresses ~5-10×, so 1 GiB here
+    * is a several-GiB single-task sort — the edge of comfortable). Hours
+    * past it route to the range-partitioned sort in
+    * [[LogQuery#formattedByHour]].
+    */
+  val DefaultHourSortMaxBytes: Long = 1L << 30
 
   /** Quarantine + format stages, keeping the sort-key columns. */
   private[engine] def format(df: DataFrame, dateFormat: String): DataFrame = {

@@ -615,16 +615,24 @@ object Curation {
           "- reduce etaNum/etaDen")
       f
     }
-    var alpha = Array.fill(d)(scale)
+    // Round arithmetic in BigInt: every operand is non-negative, so BigInt
+    // truncating division == the Long floor division it replaces — values
+    // are bit-identical in the no-overflow regime, and a caller-scaled mean
+    // excess large enough to push alpha·factor past 2^63 (factor ≳ 2^31 at
+    // the 2^20 scale) now computes exactly instead of silently wrapping.
+    // Driver-side over |domains| rows × ≤64 rounds — cost is nil.
+    val bScale = BigInt(scale)
+    var alpha = Array.fill(d)(bScale)
     (1 to rounds).foreach { _ =>
-      val m = alpha.indices.map(i => alpha(i) * factors(i) / scale)
+      val m = alpha.indices.map(i => alpha(i) * factors(i) / bScale)
       val s = m.sum
-      alpha = m.map(x => ((scale - smoothingFp) * (x * scale * d / s) +
-        smoothingFp * scale) / scale).toArray
+      alpha = m.map(x => (BigInt(scale - smoothingFp) * (x * bScale * d / s) +
+        BigInt(smoothingFp) * bScale) / bScale).toArray
     }
     import spark.implicits._
+    // Post-smoothing weights sum to ~scale·d — always back inside int64.
     agg.indices.map { i =>
-      (agg(i)._1, agg(i)._2, agg(i)._3, alpha(i))
+      (agg(i)._1, agg(i)._2, agg(i)._3, alpha(i).toLong)
     }.toDF("domain", "n_docs", "mean_excess", "weight")
   }
 

@@ -12,6 +12,38 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
+  /** Default |V| gate for [[withTinyFrameConf]] / the hits broadcast path:
+    * 16 B/row score tables stay ≤ ~64 MB below it.
+    */
+  val TinyFrameMaxNodes: Long = 4000000L
+
+  /** Small-graph fast path for an EAGER iterative loop: per-round frames
+    * are |V| rows, but every materialization job otherwise runs the
+    * session's shuffle-partition count of reduce tasks plus an AQE replan
+    * per stage — pure scheduling latency at that size (measured ~250 ms
+    * per 1.2k-row round at 32 partitions in [[hits]]; the fixed-latency
+    * jobs dominated the operator, not the data). While `body` runs with
+    * `enabled`, shuffle partitions pin to 2 and AQE is off; the session
+    * conf is RESTORED before any lazy output plan compiles, so callers
+    * and the big-graph path see unchanged settings. Driver-synchronous by
+    * contract (the loops are driver loops); not safe under concurrent
+    * query builds on the SAME session, which this library never does.
+    */
+  private[ops] def withTinyFrameConf[T](
+      spark: org.apache.spark.sql.SparkSession, enabled: Boolean)(body: => T): T =
+    if (!enabled) body
+    else {
+      val sp = spark.conf.getOption("spark.sql.shuffle.partitions")
+      val aqe = spark.conf.getOption("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try body
+      finally {
+        sp.foreach(spark.conf.set("spark.sql.shuffle.partitions", _))
+        aqe.foreach(spark.conf.set("spark.sql.adaptive.enabled", _))
+      }
+    }
+
   /** Connected components by iterative min-label propagation: every node
     * starts as its own component and repeatedly adopts the smallest label
     * among itself and its neighbors, until a fixpoint (checked with a
@@ -22,21 +54,24 @@ object Graph {
     * D + 1. Duplicate clusters are near-cliques (pair generators emit most
     * intra-cluster pairs), so 3–4 rounds close them; `maxIter` bounds
     * adversarial chains. Each round is ONE shuffle (join + min-aggregate
-    * on ids only — no payload). Each round's labels are re-seated on a
-    * persisted row RDD (`createDataFrame` over `df.rdd`): the DataFrame
-    * becomes a LEAF plan, so the logical tree stays constant-size across
-    * rounds (`labels` feeds two branches per round — offers + next — and
-    * an unbroken plan would double every iteration, blowing up planning
-    * around round 10), while the RDD keeps its lineage (an executor loss
-    * recomputes, unlike a localCheckpoint) and the PREVIOUS round is
-    * unpersisted eagerly, so at most two label snapshots are ever
-    * materialized. The fixpoint check is FUSED into the label update: the
-    * update select also emits a per-row `chg` flag (did this node's label
-    * shrink?), so observing convergence is a 1-row sum over the round's
-    * freshly persisted rows — no join against the previous labels, no
-    * second shuffle. For graphs with genuinely large diameters switch to
-    * the O(log n)-round alternating-star algorithm (Kiveris et al.
-    * 2014) — duplicate clustering never needs it.
+    * on ids only — no payload). Each round's labels are re-seated on an
+    * eager `localCheckpoint` (the [[kCore]]/[[hits]] lifecycle): the
+    * DataFrame becomes a LEAF plan, so the logical tree stays
+    * constant-size across rounds (`labels` feeds two branches per round —
+    * offers + next — and an unbroken plan would double every iteration,
+    * blowing up planning around round 10), and superseded rounds become
+    * unreachable for the ContextCleaner to reclaim. The lineage trade is
+    * deliberate: an executor loss mid-loop fails the job and the caller
+    * retries (the kCore contract) — measured, the Row↔InternalRow
+    * round-trip of the `createDataFrame(df.rdd)` alternative cost more
+    * per round than a rare whole-job retry ever amortizes. The fixpoint
+    * check is FUSED into the label update: the update select also emits a
+    * per-row `chg` flag (did this node's label shrink?), so observing
+    * convergence is a trivial scan of the freshly checkpointed |V|-row
+    * leaf — no join against the previous labels, no second shuffle. For
+    * graphs with genuinely large diameters switch to the O(log n)-round
+    * alternating-star algorithm (Kiveris et al. 2014) — duplicate
+    * clustering never needs it.
     *
     * @param edges two id columns (`srcCol`, `dstCol`), undirected.
     * @param strict when true (default), throw if `maxIter` rounds pass
@@ -58,43 +93,39 @@ object Graph {
     val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
     val adj = sym.distinct().persist()
-    val init = adj.select(col("u").as("id")).distinct()
+    var labels = adj.select(col("u").as("id")).distinct()
       .withColumn("comp", col("id"))
       .withColumn("chg", lit(1))
-    val labelSchema = init.schema
-    var labelsRdd = init.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = spark.createDataFrame(labelsRdd, labelSchema)
+      .localCheckpoint(true)
+    val small = labels.count() <= TinyFrameMaxNodes
+    def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var converged = false
-    var it = 0
-    while (!converged && it < maxIter) {
-      // Each neighbor offers its current label; a node keeps the min of its
-      // own and all offers. The same select computes the round's `chg`
-      // flag (label strictly shrank), so convergence is observable from
-      // the new snapshot alone.
-      val offers = adj.join(labels, adj("v") === labels("id"))
-        .select(col("u").as("id"), col("comp").as("offer"))
-        .groupBy("id").agg(min(col("offer")).as("offer"))
-      val nextRdd = labels.join(offers, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("offer"), col("comp"))).as("comp"),
-          (coalesce(col("offer"), col("comp")) < col("comp"))
-            .cast("int").as("chg"))
-        .rdd.persist(StorageLevel.MEMORY_AND_DISK)
-      val next = spark.createDataFrame(nextRdd, labelSchema)
-      // One full-scan job: materializes the persist for the next round AND
-      // totals the changed flags — a 1-row partial-aggregate, no shuffle
-      // join against the previous labels. (A limit(1) early-exit would be
-      // cheaper on non-final rounds but would leave unscanned partitions
-      // uncached, forcing a lineage recompute next round.)
-      // coalesce: sum over zero rows is SQL NULL — an empty edge set (no
-      // duplicate pairs at all) must converge cleanly, not NPE.
-      val changed =
-        next.agg(coalesce(sum(col("chg")), lit(0L))).first().getLong(0)
-      labelsRdd.unpersist(blocking = false)
-      labelsRdd = nextRdd
-      labels = next
-      converged = changed == 0L
-      it += 1
+    withTinyFrameConf(spark, small) {
+      var it = 0
+      while (!converged && it < maxIter) {
+        // Each neighbor offers its current label; a node keeps the min of
+        // its own and all offers. The same select computes the round's
+        // `chg` flag (label strictly shrank), so convergence is observable
+        // from the new snapshot alone. The eager localCheckpoint is the
+        // round's one materialization (leaf plan, constant plan size,
+        // superseded rounds reclaimed by the ContextCleaner); the
+        // convergence total is then a trivial scan of the |V|-row leaf.
+        val offers = adj.join(side(labels), adj("v") === labels("id"))
+          .select(col("u").as("id"), col("comp").as("offer"))
+          .groupBy("id").agg(min(col("offer")).as("offer"))
+        labels = labels.join(side(offers), Seq("id"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("offer"), col("comp"))).as("comp"),
+            (coalesce(col("offer"), col("comp")) < col("comp"))
+              .cast("int").as("chg"))
+          .localCheckpoint(true)
+        // coalesce: sum over zero rows is SQL NULL — an empty edge set (no
+        // duplicate pairs at all) must converge cleanly, not NPE.
+        val changed =
+          labels.agg(coalesce(sum(col("chg")), lit(0L))).first().getLong(0)
+        converged = changed == 0L
+        it += 1
+      }
     }
     adj.unpersist()
     if (!converged) {
@@ -237,12 +268,17 @@ object Graph {
     * — the standard unnormalized simplification; ranks are comparative
     * signals, not probabilities, in this form.
     *
-    * Scale shape: out-degrees are ONE count aggregation; each iteration is
-    * one edge-keyed join (ranks × edges, AQE-broadcast when ranks fit) and
-    * one map-side-combined sum by destination; ranks round-trip through a
-    * persisted row RDD per round (leaf plan, eager unpersist — the
-    * [[connectedComponents]] lifecycle), so the logical plan stays
-    * constant-size across iterations.
+    * Scale shape: out-degrees join the edge set ONCE into a checkpointed
+    * (src, dst, outdeg) table (same storage footprint as caching the raw
+    * edges — it replaces it); each iteration is then one edge-keyed join
+    * plus one map-side-combined sum by destination, whose |V|-row MASS
+    * aggregate is the round's single eager `localCheckpoint` (leaf plan,
+    * constant plan size, superseded rounds reclaimed by the
+    * ContextCleaner — the [[hits]] lifecycle). The rank update itself is
+    * a lazy projection over two leaves; nothing else materializes. Below
+    * [[TinyFrameMaxNodes]] the rank/mass side of every join broadcasts
+    * and the loop runs under [[withTinyFrameConf]] — the fixed job
+    * latency, not the data, is the cost of a small iterative graph.
     *
     * @return (id, rank) for every node appearing in `edges`, rank in
     *         2^qBits fixed-point scale.
@@ -264,36 +300,35 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("__od"))
+      .localCheckpoint(true)
+    val small = nodes.count() <= TinyFrameMaxNodes
+    def score(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val base = 1L << qBits
     val tele = ((dampDen - dampNum) * base) / dampDen
-    var ranks = nodes.withColumn("rank", lit(base))
-    val rankSchema = ranks.schema
-    var ranksRdd = ranks.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    ranks = spark.createDataFrame(ranksRdd, rankSchema)
-    var it = 0
-    while (it < iters) {
-      val mass = e
-        .join(outdeg, Seq("src"))
-        .join(ranks.select(col("id").as("src"), col("rank")), Seq("src"))
-        .select(col("dst").as("id"),
-          expr("rank DIV __od").as("__send"))
-        .groupBy("id").agg(sum(col("__send")).as("__m"))
-      val nextRdd = nodes
-        .join(mass, Seq("id"), "left")
-        .select(col("id"),
-          (lit(tele) + expr(s"($dampNum * coalesce(__m, 0L)) DIV $dampDen"))
-            .as("rank"))
-        .rdd.persist(StorageLevel.MEMORY_AND_DISK)
-      val next = spark.createDataFrame(nextRdd, rankSchema)
-      next.count() // materialize before dropping the parent snapshot
-      ranksRdd.unpersist(blocking = false)
-      ranksRdd = nextRdd
-      ranks = next
-      it += 1
+    withTinyFrameConf(spark, small) {
+      val outdeg = e.groupBy("src").agg(count(lit(1)).as("__od"))
+      val eDeg = e.join(score(outdeg), Seq("src"))
+        .select(col("src"), col("dst"), col("__od"))
+        .localCheckpoint(true)
+      e.unpersist(blocking = false)
+      var ranks = nodes.withColumn("rank", lit(base))
+      var it = 0
+      while (it < iters) {
+        val mass = eDeg
+          .join(score(ranks.select(col("id").as("src"), col("rank"))), Seq("src"))
+          .select(col("dst").as("id"),
+            expr("rank DIV __od").as("__send"))
+          .groupBy("id").agg(sum(col("__send")).as("__m"))
+          .localCheckpoint(true)
+        ranks = nodes
+          .join(score(mass), Seq("id"), "left")
+          .select(col("id"),
+            (lit(tele) + expr(s"($dampNum * coalesce(__m, 0L)) DIV $dampDen"))
+              .as("rank"))
+        it += 1
+      }
+      ranks
     }
-    e.unpersist(blocking = false)
-    ranks
   }
 
   /** HITS hubs & authorities (Kleinberg 1999) in fixed-point integer
@@ -319,11 +354,28 @@ object Graph {
     * in-edges (resp. out-edges) score authority (resp. hub) 0.
     *
     * Scale shape: each half-step is one edge-keyed join + one map-side-
-    * combined sum + a 1-row broadcast max — id-and-score rows only, the
-    * [[pageRank]] wire discipline; scores round-trip through a persisted
-    * row RDD per half-step (leaf plan, eager unpersist) so the logical
-    * plan stays constant-size across rounds.
+    * combined sum — id-and-score rows only, the [[pageRank]] wire
+    * discipline — whose |V|-row aggregate is eagerly `localCheckpoint`ed
+    * (the [[kCore]] lifecycle: leaf plan, constant size across rounds,
+    * superseded snapshots reclaimed by the ContextCleaner). Checkpointing
+    * the AGGREGATE, not the normalized output, is the latency law this
+    * operator taught: the max and the normalize both reference the
+    * aggregate, and a lazy aggregate re-executes its whole upstream chain
+    * per reference — with two half-steps per round that compounded to 4×
+    * recompute of every prior stage (the round-10 shape: 6+ s of pure
+    * replayed DAG at a fixed 100-node graph). The max then reads off the
+    * checkpointed leaf as a driver LITERAL (1-row first() — no crossJoin,
+    * no broadcast subquery, no second execution), and the normalize is a
+    * pure projection. When |V| ≤ `broadcastMaxNodes` the score side of
+    * every join is broadcast — a checkpointed leaf carries no size stats,
+    * so the planner would otherwise shuffle BOTH sides; HITS classically
+    * runs on a focused root-set subgraph (Kleinberg's formulation is
+    * query-time over thousands of pages), so the broadcast path is the
+    * production norm and the shuffle path the billion-node escape hatch.
     *
+    * @param broadcastMaxNodes broadcast the |V|-row score tables into the
+    *        edge joins when |V| is at or below this (16 B/row → default
+    *        caps the broadcast at ~64 MB); above it, shuffle joins.
     * @return (id, hub, auth) for every node in `edges`, both in 2^qBits
     *         fixed-point scale.
     */
@@ -332,7 +384,8 @@ object Graph {
       srcCol: String,
       dstCol: String,
       iters: Int = 3,
-      qBits: Int = 20): DataFrame = {
+      qBits: Int = 20,
+      broadcastMaxNodes: Long = TinyFrameMaxNodes): DataFrame = {
     require(iters >= 1 && iters <= 16, s"iters must be in [1, 16], got $iters")
     require(qBits >= 1 && qBits <= 30, s"qBits must be in [1, 30], got $qBits")
     val spark = edges.sparkSession
@@ -342,57 +395,62 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
+    // The one count also materializes e; |V| picks the join strategy for
+    // every subsequent round (deterministic per dataset — the result is
+    // identical either way, only the physical plan changes).
+    val small = nodes.count() <= broadcastMaxNodes
+    def score(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+
+    def withLoopConf[T](body: => T): T =
+      Graph.withTinyFrameConf(spark, small)(body)
 
     // One normalized half-step: raw(id) = Σ over `joinKey`-matched edges of
     // the counterpart score, then (raw · base) DIV max(raw), 0 for absent.
+    // The aggregate is the ONLY materialization (one checkpoint job per
+    // half-step); max reads off the leaf as a driver literal and the
+    // normalize is a lazy projection over two leaves — referencing the
+    // result twice downstream re-runs a broadcast join, never a shuffle.
+    // Score tables are SPARSE mid-loop: a node absent from `scores` has
+    // score 0 and contributes nothing to any sum, so the zero rows are
+    // never carried — each normalize is a pure projection over the
+    // checkpointed aggregate (no per-half-step node join at all); the
+    // final output restores every node with coalesce-0 once.
     def halfStep(scores: DataFrame, scoreName: String,
         edgeKeyIn: String, edgeKeyOut: String, outName: String): DataFrame = {
       val raw = e
-        .join(scores.select(col("id").as(edgeKeyIn), col(scoreName)), Seq(edgeKeyIn))
+        .join(score(scores.select(col("id").as(edgeKeyIn), col(scoreName))),
+          Seq(edgeKeyIn))
         .groupBy(col(edgeKeyOut).as("id"))
         .agg(sum(col(scoreName)).as("__raw"))
-      val mx = raw.agg(max(col("__raw")).as("__mx"))
-      nodes.join(raw, Seq("id"), "left").crossJoin(broadcast(mx))
-        .select(col("id"),
-          (col("__raw").cast(dec) * lit(base).cast(dec)).as("__num"),
-          col("__mx").cast(dec).as("__den"))
-        .select(col("id"),
-          coalesce(expr("__num DIV __den").cast("long"), lit(0L)).as(outName))
-    }
-    var live = List.empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
-    def snapshot(df: DataFrame): DataFrame = {
-      val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-      val out = spark.createDataFrame(rdd, df.schema)
-      out.count()
-      live = rdd :: live
-      out
-    }
-    // Superseded snapshots (everything but the latest hub/auth pair) are
-    // released once the round that replaced them has materialized.
-    def reap(): Unit = {
-      live.drop(2).foreach(_.unpersist(blocking = false))
-      live = live.take(2)
+        .localCheckpoint(true)
+      // coalesce: an edgeless round (cannot happen for src≠dst input, but
+      // cheap to guard) normalizes by 1 instead of dividing by null.
+      val mx = raw.agg(coalesce(max(col("__raw")), lit(1L))).first().getLong(0)
+      raw.select(col("id"),
+        expr(s"(CAST(__raw AS $dec) * CAST($base AS $dec)) " +
+          s"DIV CAST($mx AS $dec)").cast("long").as(outName))
     }
 
-    // One snapshot per ROUND, not per half-step: within a round the chain
-    // hubs → auth → hub references each stage once, so the lazy plan stays
-    // linear; only the round boundary needs a materialized leaf (the final
-    // round also pins the auth side, which the output joins).
-    var hubs = snapshot(nodes.withColumn("hub", lit(base)))
+    // Initial hubs are uniform — a lazy constant projection over the
+    // checkpointed node leaf; no materialization needed.
+    var hubs = nodes.withColumn("hub", lit(base))
     var auths: DataFrame = null
-    var it = 0
-    while (it < iters) {
-      val nextA = halfStep(hubs, "hub", "src", "dst", "auth")
-      val lastRound = it == iters - 1
-      val aSnap = if (lastRound) snapshot(nextA) else nextA
-      val nextH = snapshot(halfStep(aSnap, "auth", "dst", "src", "hub"))
-      hubs = nextH
-      auths = aSnap
-      reap()
-      it += 1
+    withLoopConf {
+      var it = 0
+      while (it < iters) {
+        val nextA = halfStep(hubs, "hub", "src", "dst", "auth")
+        val nextH = halfStep(nextA, "auth", "dst", "src", "hub")
+        hubs = nextH
+        auths = nextA
+        it += 1
+      }
     }
-    val out = hubs.join(auths, Seq("id"))
+    val out = nodes
+      .join(score(hubs), Seq("id"), "left")
+      .join(score(auths), Seq("id"), "left")
+      .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub"),
+        coalesce(col("auth"), lit(0L)).as("auth"))
     e.unpersist(blocking = false)
     out
   }
@@ -497,10 +555,11 @@ object Graph {
     * nbr-keyed join (message rows are two longs) plus two map-side-
     * combined aggregations — (vertex, label) counts and the per-vertex
     * argmax in its aggregate form max(struct(cnt, −label)) (never a
-    * window over the message table). Each round persists its |V|-row
-    * label table, materializes it, and unpersists the previous one, so
-    * at most two label snapshots exist and the plan stays
-    * constant-size.
+    * window over the message table). Each round's |V|-row label table is
+    * the round's single eager `localCheckpoint` (leaf plan, constant plan
+    * size, superseded rounds reclaimed by the ContextCleaner — the
+    * [[hits]] lifecycle); below [[TinyFrameMaxNodes]] the label side of
+    * the join broadcasts and the loop runs under [[withTinyFrameConf]].
     *
     * @return (vertex, label) for every vertex in `edges`; vertices
     *         sharing a label form one community.
@@ -511,6 +570,7 @@ object Graph {
       dstCol: String,
       rounds: Int = 4): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = edges.sparkSession
     val e = edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
@@ -522,24 +582,24 @@ object Graph {
     var labels = adj.select(col("x"))
       .distinct()
       .select(col("x"), col("x").as("lab"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count()
-    (1 to rounds).foreach { _ =>
-      val msgs = adj
-        .join(labels.select(col("x").as("nbr"), col("lab")), Seq("nbr"))
-        .select(col("x"), col("lab"))
-      val next = msgs
-        .groupBy(col("x"), col("lab")).agg(count(lit(1)).as("cnt"))
-        .groupBy(col("x"))
-        .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("m"))
-        .select(col("x"), (-col("m.nl")).as("lab"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      labels.unpersist(blocking = false)
-      labels = next
+      .localCheckpoint(true)
+    val small = labels.count() <= TinyFrameMaxNodes
+    def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    withTinyFrameConf(spark, small) {
+      (1 to rounds).foreach { _ =>
+        val msgs = adj
+          .join(side(labels.select(col("x").as("nbr"), col("lab"))), Seq("nbr"))
+          .select(col("x"), col("lab"))
+        labels = msgs
+          .groupBy(col("x"), col("lab")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("x"))
+          .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("m"))
+          .select(col("x"), (-col("m.nl")).as("lab"))
+          .localCheckpoint(true)
+      }
     }
     adj.unpersist(blocking = false)
-    // The final persist backs the returned frame; the ContextCleaner
+    // The final checkpoint backs the returned frame; the ContextCleaner
     // reclaims it when the caller's result becomes unreachable (the
     // kCore convention).
     labels.select(col("x").as("vertex"), col("lab").as("label"))

@@ -627,6 +627,52 @@ object Multimodal {
     }(enc)
   }
 
+  /** Per-row pixel-fidelity grade of a media table — the ORACLE-ABLE form
+    * of pixel-statistics extraction: no SQL engine can decode pixels, so
+    * the grade travels in-band as a bit (the ANN recall-harness
+    * convention) and the oracle pins WHICH rows must pass from id
+    * arithmetic alone. For every image row: decode the payload with the
+    * real in-JDK codec, extract [[imageFeatures]], and compare the four
+    * color/luma means against the features of the DRAWN fixture
+    * ([[drawnImage]], re-drawn from media_id — no codec anywhere in the
+    * expectation path). `pixel_ok` = 1 iff every mean matches within the
+    * per-codec tolerance: PNG is lossless so the tolerance is ZERO (same
+    * decode → same doubles, bit-for-bit); JPEG is lossy so `tolJpeg`
+    * bounds the codec error (mean statistics of the 64×48 gradient move
+    * ≲ 1% under libjpeg quantization; 0.03 is 3× margin). Non-image rows
+    * carry pixel_ok = 0 — their features are deterministic stubs with no
+    * pixel ground truth. Same narrow per-partition decode batch as
+    * [[extractFeatures]].
+    */
+  def pixelFidelity(media: DataFrame, tolJpeg: Double = 0.03): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("mime", StringType, nullable = false),
+      StructField("is_image", IntegerType, nullable = false),
+      StructField("pixel_ok", IntegerType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    media.select("media_id", "mime", "bytes").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val mime = r.getString(1)
+        val isImg = mime != null && mime.startsWith("image/")
+        val ok =
+          if (!isImg) 0
+          else decodeImage(if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)) match {
+            case None => 0
+            case Some(img) =>
+              val got = imageFeatures(img)
+              val want = imageFeatures(drawnImage(id))
+              val tol = if (mime == "image/png") 0.0 else tolJpeg
+              if ((0 until 4).forall(i => math.abs(got(i) - want(i)) <= tol)) 1
+              else 0
+          }
+        Row(id, mime, if (isImg) 1 else 0, ok)
+      }
+    }(enc)
+  }
+
   /** 64-bit average hash (aHash) of an image — the standard perceptual
     * near-dup key: grayscale average-pool to an 8×8 grid, threshold each
     * cell against the 64-cell mean; bit (row·8 + col) set when the cell
@@ -1148,6 +1194,17 @@ object Multimodal {
     * in the requested format.
     */
   def syntheticImageBytes(id: Long, fmt: String, w: Int = 64, h: Int = 48): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(drawnImage(id, w, h), fmt, bos)
+    bos.toByteArray
+  }
+
+  /** The drawn (pre-codec) fixture image behind [[syntheticImageBytes]] —
+    * exposed so fidelity checks ([[pixelFidelity]]) can compare a codec
+    * round-trip against the drawn ground truth with no codec in the
+    * expectation path.
+    */
+  def drawnImage(id: Long, w: Int = 64, h: Int = 48): java.awt.image.BufferedImage = {
     import java.awt.image.BufferedImage
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -1162,9 +1219,7 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, fmt, bos)
-    bos.toByteArray
+    img
   }
 
   /** Minimal valid MP4: `ftyp` (isom) + `moov` holding an mvhd

@@ -157,10 +157,14 @@ object Scale {
     df.repartitionByRange(numFiles, col(sortCol))
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(path)
+    // Eagerly materialized (localCheckpoint): the manifest is files-sized,
+    // and a lazy plan here would re-scan the full parquet data on EVERY
+    // evaluation — "one metadata pass" must mean exactly one.
     df.sparkSession.read.parquet(path)
       .groupBy(input_file_name().as("file"))
       .agg(min(col(sortCol)).as("min_key"), max(col(sortCol)).as("max_key"),
         count(lit(1)).as("n_rows"))
+      .localCheckpoint(true)
   }
 
   /** Manifest-pruned range scan: keep only files whose [min_key, max_key]
@@ -179,11 +183,14 @@ object Scale {
       .select(col("file"), col("min_key").cast("long"),
         col("max_key").cast("long"))
       .collect()
+    require(files.nonEmpty,
+      "zoneMapScan: empty manifest - write data with writeWithManifest first")
     val keep = files.filter(r => !(r.getLong(2) < lo || r.getLong(1) > hi))
       .map(_.getString(0))
+    // All files pruned: read ONE file's footer for the schema, keep no rows
+    // (the old all-files limit(0) opened every footer just to say "empty").
     val rows =
-      if (keep.isEmpty)
-        spark.read.parquet(files.map(_.getString(0)): _*).limit(0)
+      if (keep.isEmpty) spark.read.parquet(files.head.getString(0)).limit(0)
       else spark.read.parquet(keep: _*)
     (rows.where(col(sortCol).between(lo, hi)),
       files.length.toLong, keep.length.toLong)

@@ -11,6 +11,41 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Ceiling on driver-side histogram/bin tables ([[pavCalibrate]],
+    * [[f1Threshold]]): the bounded-bins contract says callers pass a
+    * PRE-BINNED column (hundreds of bins, not raw scores); 100k rows ×
+    * ~24 bytes ≈ 2.4 MB is far above any legitimate binning and far
+    * below driver heap, so the guard only ever fires on misuse.
+    */
+  val MaxDriverBins = 100000
+
+  /** Distinct-count knee for the histogram-window statistics
+    * ([[ksTest]], [[aucBinned]]): returns the grouping expression over
+    * `staged`'s long column `name` — the column itself when its distinct
+    * count is at or below `maxBins` (the exact regime, bit-identical to
+    * the unguarded computation), else an equal-width bucketing
+    * `(x − min) DIV width` with width sized so the bucket count stays ≤
+    * `maxBins` (the bounded regime: a near-unique long column — raw
+    * scores, timestamps — coarsens instead of funneling ~N rows into one
+    * single-partition window sort). One deciding aggregation (exact
+    * distinct + min/max) runs at plan-build time; all operands are
+    * non-negative after the shift, so DIV is floor and any engine
+    * replays the bucket ids.
+    */
+  private[ops] def kneeBucketExpr(
+      staged: DataFrame, name: String, maxBins: Int): Column = {
+    val st = staged.agg(
+      countDistinct(col(name)).as("nb"),
+      min(col(name)).as("lo"), max(col(name)).as("hi")).first()
+    val nb = st.getLong(0)
+    if (nb <= maxBins || st.isNullAt(1)) col(name)
+    else {
+      val lo = st.getLong(1)
+      val width = (st.getLong(2) - lo) / maxBins + 1
+      expr(s"($name - ${lo}L) DIV ${width}L")
+    }
+  }
+
   /** Volume-anomaly detection over a keyed event stream: bucket counts per
     * `(key, bucket)`, flagged when the count sits more than `z` standard
     * deviations from the key's mean bucket volume.
@@ -270,12 +305,21 @@ object Stats {
       df: DataFrame,
       binCol: String,
       labelCol: String): DataFrame = {
+    // The bounded-bins contract, ENFORCED: collect fetches at most
+    // MaxDriverBins + 1 rows, so a mis-binned caller (raw scores instead
+    // of bins) fails fast instead of OOMing the driver. The label sum is
+    // coalesced — an all-null-label bin means zero positives, not an NPE.
     val agg = df.groupBy(col(binCol).cast("long").as("bin"))
-      .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("s"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col(labelCol).cast("long")), lit(0L)).as("s"))
+      .limit(MaxDriverBins + 1)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     require(agg.nonEmpty, "pavCalibrate: empty input")
+    require(agg.length <= MaxDriverBins,
+      s"pavCalibrate: more than $MaxDriverBins distinct bins - '$binCol' " +
+        "must be a bounded pre-binned column, not a raw score")
     // PAV stack: blocks of (startBin, n, s); merge while the new block's
     // mean undercuts the previous block's (s_top/n_top < s_prev/n_prev).
     val stack = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
@@ -315,11 +359,16 @@ object Stats {
       binCol: String,
       labelCol: String): DataFrame = {
     val agg = df.groupBy(col(binCol).cast("long").as("bin"))
-      .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("p"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col(labelCol).cast("long")), lit(0L)).as("p"))
+      .limit(MaxDriverBins + 1)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(-_._1)
     require(agg.nonEmpty, "f1Threshold: empty input")
+    require(agg.length <= MaxDriverBins,
+      s"f1Threshold: more than $MaxDriverBins distinct bins - '$binCol' " +
+        "must be a bounded pre-binned column, not a raw score")
     val totalPos = agg.map(_._3).sum
     var tp = 0L
     var keep = 0L
@@ -700,12 +749,27 @@ object Stats {
     * orders the BIN table only — bounded by the bin count, never rows.
     * Degenerate single-class inputs report auc_ppm = 0 with the counts
     * exposing why.
+    *
+    * Distinct-count knee (the [[graft.ops.Dedup]] autoRowsPerBand law —
+    * below the knee bit-identical, above it bounded): at or below
+    * `maxHistBins` distinct bins the histogram is per-bin exact; above it
+    * (an adversarial caller passing raw scores — near-unique longs whose
+    * "histogram" is the corpus) bins auto-coarsen to ≤ maxHistBins
+    * equal-width buckets, which merges adjacent score ties — AUC becomes
+    * the tie-coarsened estimate of the same rank statistic, and the
+    * single-partition running sum stays bounded instead of sorting ~N
+    * rows in one task. One cheap deciding aggregation runs at plan-build
+    * time.
     */
-  def aucBinned(df: DataFrame, binCol: Column, labelCol: Column): DataFrame = {
+  def aucBinned(df: DataFrame, binCol: Column, labelCol: Column,
+      maxHistBins: Int = 1 << 17): DataFrame = {
+    require(maxHistBins >= 2, s"maxHistBins must be >= 2, got $maxHistBins")
     val dec = "decimal(38,0)"
-    val h = df.select(binCol.cast("long").as("b"),
-        labelCol.cast("int").as("__y"))
-      .groupBy("b").agg(sum(col("__y")).cast("long").as("__p"),
+    val staged = df.select(binCol.cast("long").as("b"),
+      labelCol.cast("int").as("__y"))
+    val bEx = kneeBucketExpr(staged, "b", maxHistBins)
+    val h = staged
+      .groupBy(bEx.as("b")).agg(sum(col("__y")).cast("long").as("__p"),
         sum(lit(1) - col("__y")).cast("long").as("__n"))
     val w = Window.orderBy("b")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -741,12 +805,25 @@ object Stats {
     * map-side combine; the running sums order that value-bounded
     * histogram only (the vocabGrowth convention); totals are a broadcast
     * 1-row frame; output is one row.
+    *
+    * Distinct-count knee ([[kneeBucketExpr]]): at or below `maxHistBins`
+    * distinct values the ECDF is evaluated at every value — bit-identical
+    * to the unguarded statistic. Above it (near-unique longs, e.g.
+    * timestamps) values auto-coarsen to ≤ maxHistBins equal-width
+    * buckets; the max gap is then evaluated at bucket boundaries only —
+    * a LOWER bound on the exact D (the ECDF gap at interior points is
+    * unseen), so `reject_05` stays conservative: it fires only when even
+    * the coarsened gap crosses the critical value.
     */
-  def ksTest(df: DataFrame, valueCol: Column, isACol: Column): DataFrame = {
+  def ksTest(df: DataFrame, valueCol: Column, isACol: Column,
+      maxHistBins: Int = 1 << 17): DataFrame = {
+    require(maxHistBins >= 2, s"maxHistBins must be >= 2, got $maxHistBins")
     val dec = "decimal(38,0)"
-    val h = df.select(valueCol.cast("long").as("v"),
-        isACol.cast("int").as("__a"))
-      .groupBy("v").agg(sum(col("__a")).cast("long").as("__ca"),
+    val staged = df.select(valueCol.cast("long").as("v"),
+      isACol.cast("int").as("__a"))
+    val vEx = kneeBucketExpr(staged, "v", maxHistBins)
+    val h = staged
+      .groupBy(vEx.as("v")).agg(sum(col("__a")).cast("long").as("__ca"),
         sum(lit(1) - col("__a")).cast("long").as("__cb"))
     val w = Window.orderBy("v")
     val cum = h.select(col("v"),

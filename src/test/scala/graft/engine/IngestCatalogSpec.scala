@@ -60,6 +60,16 @@ class IngestCatalogSpec extends SparkTestBase {
       s"multi-hour logcat plan must be exchange-free:\n$multiHourPlan")
     assert(q.formatted(spark).collect().toSeq ===
       LogQuery.formatAndSort(q.lines(spark).toDF()).collect().toSeq.map(_.getString(0)))
+
+    // Oversized-hour auto-route: with the byte ceiling forced below any
+    // real hour, every hour takes the range-partitioned sort (Exchange
+    // appears) — and the output stays byte-identical to the
+    // exchange-free route (a range sort's output partitions are in key
+    // order, so the hour concatenation still reads globally ordered).
+    val forced = q.formattedByHour(spark, maxHourBytes = 1L)
+    assert(forced.queryExecution.executedPlan.toString.contains("Exchange"),
+      "an hour past maxHourBytes must take the range sort")
+    assert(forced.collect().toSeq === q.formattedByHour(spark).collect().toSeq)
   }
 
   test("boomToParquet materializes hour-partitioned parquet with pruning") {

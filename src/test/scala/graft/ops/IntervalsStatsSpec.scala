@@ -472,6 +472,40 @@ class IntervalsStatsSpec extends SparkTestBase {
     assert(g2 === ((2L, 2L, 4L, 1000000L, 0)))
   }
 
+  test("ksTest/aucBinned: distinct-count knee — exact below, bounded above") {
+    // 40 distinct values; below the knee the statistic is bit-identical
+    // whatever maxHistBins is set to (as long as it's >= the distinct
+    // count) — the exact regime is not a different code path, it's the
+    // same histogram.
+    val rows = (1 to 40).flatMap(v => Seq((v.toLong, 1), (v.toLong + 5L, 0)))
+    val df = rows.toDF("v", "a")
+    val exact = Stats.ksTest(df, col("v"), col("a") === 1)
+      .as[(Long, Long, Long, Long, Int)].head()
+    val sameKnee = Stats.ksTest(df, col("v"), col("a") === 1, maxHistBins = 64)
+      .as[(Long, Long, Long, Long, Int)].head()
+    assert(exact === sameKnee)
+    // Above the knee (45 distinct > 8 bins): runs bounded, keeps the
+    // totals, and the coarsened D is a LOWER bound on the exact D —
+    // interior gaps are unseen, never invented.
+    val coarse = Stats.ksTest(df, col("v"), col("a") === 1, maxHistBins = 8)
+      .as[(Long, Long, Long, Long, Int)].head()
+    assert(coarse._1 === exact._1 && coarse._2 === exact._2)
+    assert(coarse._4 <= exact._4)
+    // aucBinned: same law. Exact regime identical under a generous knee;
+    // coarsened regime merges adjacent bins (ties), still in [0, 1e6].
+    val sc = (1 to 40).map(v => (v.toLong, if (v > 20) 1 else 0)).toDF("b", "y")
+    val aucExact = Stats.aucBinned(sc, col("b"), col("y") === 1)
+      .as[(Long, Long, Long)].head()
+    val aucKnee = Stats.aucBinned(sc, col("b"), col("y") === 1, maxHistBins = 64)
+      .as[(Long, Long, Long)].head()
+    assert(aucExact === aucKnee)
+    val aucCoarse = Stats.aucBinned(sc, col("b"), col("y") === 1, maxHistBins = 4)
+      .as[(Long, Long, Long)].head()
+    assert(aucCoarse._1 === aucExact._1 && aucCoarse._2 === aucExact._2)
+    assert(aucCoarse._3 >= 0L && aucCoarse._3 <= 1000000L)
+    assert(aucExact._3 === 1000000L) // separable: exact regime is perfect
+  }
+
   test("trimmedMean: overlap-exact tail drops, straddling classes, k = 0") {
     // "a": [1, 2, 2, 3, 100] at 20% trim → k = 1, drop one 1 and one 100,
     // mid = [2, 2, 3] → 7e6 // 3. "b": single value, k = 0 → plain mean.

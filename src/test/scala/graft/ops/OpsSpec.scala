@@ -194,6 +194,32 @@ class DedupSpec extends SparkTestBase {
     assert(!got.exists(r => r._1 >= 10L))
   }
 
+  test("recordLinkage: block cap BINDS the quadratic pair mass") {
+    // One growing block ("big", 6 per side, all fields agreeing so every
+    // candidate pair survives `lower`) next to a small control block
+    // ("sm", 3 per side). Under a cap of 6 the big block emits its full
+    // quadratic 6x6 = 36 pairs; dropping the cap to 5 removes the block
+    // ENTIRELY (0 pairs) while the control block keeps its 3x3 = 9 —
+    // the per-side cap is what bounds the R^2 candidate mass when blocks
+    // grow (the /tmp/linkage{2,5,10} SCALING fixtures are this test at
+    // corpus scale: x5 blocks ~3210/side stay under the 5000 default and
+    // measure real quadratic work; x10 blocks ~6420/side all drop).
+    def side(block: String, n: Int, base: Long) =
+      (0 until n).map(i => (base + i, block, "same", "seg"))
+    val left = (side("big", 6, 0L) ++ side("sm", 3, 100L))
+      .toDF("id", "blk", "name", "seg")
+    val right = (side("big", 6, 1000L) ++ side("sm", 3, 1100L))
+      .toDF("id", "blk", "name", "seg")
+    val fields = Seq(Dedup.LinkField("name", 10, -5),
+      Dedup.LinkField("seg", 4, -2))
+    def nPairs(cap: Int): Long =
+      Dedup.recordLinkage(left, "id", right, "id", "blk", fields,
+        upper = 12L, lower = 5L, maxBlockSize = cap).count()
+    assert(nPairs(6) === 36L + 9L) // both blocks under cap: full quadratic
+    assert(nPairs(5) === 9L)       // big block crosses the cap -> dropped
+    assert(nPairs(2) === 0L)       // every block over cap -> no work at all
+  }
+
   test("containment finds a quoted document where jaccard under-scores it") {
     val quoted = (1 to 30).map(i => s"w$i").mkString(" ")
     val host = "intro text before the quote " + quoted + " and a long tail " +
