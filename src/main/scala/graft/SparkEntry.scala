@@ -2722,6 +2722,28 @@ object SparkEntry {
       Graph.triangleCount(
         scaledDomainEdges(s, dir, dense = false).distinct(), "src", "dst")),
 
+    // Personalized PageRank from a 3-seed trust set on the GROWING
+    // graph: teleport mass returns only to the seeds, so rank = proximity
+    // to the vetted list — the seed-expansion primitive for building
+    // domain allowlists. Same integer fixed-point unroll as q_pagerank;
+    // the oracle's only delta is the CASE-gated teleport/init.
+    "q_pagerank_seeds" -> ((s, dir) => {
+      val e = scaledDomainEdges(s, dir, dense = false).distinct()
+      Graph.personalizedPageRank(e, "src", "dst", seeds = Seq(1L, 2L, 3L),
+        iters = 3).presented("id")
+    }),
+
+    // Modularity audit of the LPA communities on the GROWING dense graph:
+    // intra-community edge fraction minus the degree-preserving random
+    // expectation, exact sign-factored ppm — the "did label propagation
+    // find real blocks" number. Oracle replays the full LPA unroll, then
+    // the same per-community degree/intra algebra.
+    "q_modularity" -> ((s, dir) => {
+      val e = scaledDomainEdges(s, dir, dense = true)
+      val labels = Graph.labelPropagation(e, "src", "dst", rounds = 4)
+      Graph.modularity(e, "src", "dst", labels, "vertex", "label")
+    }),
+
     // Deterministic negative sampling (tempered-unigram draws, 5 per
     // doc): vocabulary ladder from one count agg — session-cached, the
     // build-once artifact — draws pure functions of (id, slot, salt),

@@ -291,6 +291,67 @@ object Graph {
       dampNum: Long = 17L,
       dampDen: Long = 20L,
       qBits: Int = 20): DataFrame = {
+    val base = 1L << qBits
+    val tele = ((dampDen - dampNum) * base) / dampDen
+    prLoop(edges, srcCol, dstCol, iters, dampNum, dampDen, qBits,
+      init = lit(base), teleOf = lit(tele))
+  }
+
+  /** Personalized PageRank (Haveliwala, WWW 2002) — the seed-expansion
+    * primitive for curation: rank every node by proximity to a TRUSTED
+    * seed set ("find pages/documents like these"), the standard way a
+    * small vetted list bootstraps a domain allowlist or a topic slice.
+    * Identical integer fixed-point discipline to [[pageRank]]; the only
+    * change is WHERE teleport mass lands — on the seeds, not uniformly:
+    *
+    *   r₀(v)  = 2^qBits · 1[v ∈ S]
+    *   r'(v)  = tele · 1[v ∈ S] + (dampNum · Σ_{u→v} r(u) DIV od(u)) DIV dampDen
+    *
+    * so rank mass drains everywhere except the seed wells and the
+    * steady state concentrates around them. Seeds are a DRIVER literal
+    * (the classic usage is a handful of trusted ids), so the indicator
+    * compiles to an `isin` predicate inside the rank projection — no
+    * join, no broadcast, nothing new on the wire; the scale shape is
+    * exactly [[pageRank]]'s.
+    *
+    * @return (id, rank) for every node in `edges`; non-seed nodes
+    *         unreachable from any seed rank 0.
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: Seq[Long],
+      iters: Int = 3,
+      dampNum: Long = 17L,
+      dampDen: Long = 20L,
+      qBits: Int = 20): DataFrame = {
+    require(seeds.nonEmpty, "personalizedPageRank needs at least one seed")
+    require(seeds.length <= 10000,
+      s"seeds are a driver-literal set - got ${seeds.length}, cap is 10000")
+    val base = 1L << qBits
+    val tele = ((dampDen - dampNum) * base) / dampDen
+    val isSeed = col("id").isin(seeds: _*)
+    prLoop(edges, srcCol, dstCol, iters, dampNum, dampDen, qBits,
+      init = when(isSeed, lit(base)).otherwise(lit(0L)),
+      teleOf = when(isSeed, lit(tele)).otherwise(lit(0L)))
+  }
+
+  /** Shared fixed-point power-iteration loop behind [[pageRank]] /
+    * [[personalizedPageRank]]: `init` and `teleOf` are expressions over
+    * the node-id column `id` giving the starting rank and the per-node
+    * teleport term.
+    */
+  private def prLoop(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      dampNum: Long,
+      dampDen: Long,
+      qBits: Int,
+      init: Column,
+      teleOf: Column): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
       s"damping must satisfy 0 <= dampNum <= dampDen, got $dampNum/$dampDen")
@@ -303,15 +364,13 @@ object Graph {
       .localCheckpoint(true)
     val small = nodes.count() <= TinyFrameMaxNodes
     def score(df: DataFrame): DataFrame = if (small) broadcast(df) else df
-    val base = 1L << qBits
-    val tele = ((dampDen - dampNum) * base) / dampDen
     withTinyFrameConf(spark, small) {
       val outdeg = e.groupBy("src").agg(count(lit(1)).as("__od"))
       val eDeg = e.join(score(outdeg), Seq("src"))
         .select(col("src"), col("dst"), col("__od"))
         .localCheckpoint(true)
       e.unpersist(blocking = false)
-      var ranks = nodes.withColumn("rank", lit(base))
+      var ranks = nodes.select(col("id"), init.as("rank"))
       var it = 0
       while (it < iters) {
         val mass = eDeg
@@ -323,7 +382,7 @@ object Graph {
         ranks = nodes
           .join(score(mass), Seq("id"), "left")
           .select(col("id"),
-            (lit(tele) + expr(s"($dampNum * coalesce(__m, 0L)) DIV $dampDen"))
+            (teleOf + expr(s"($dampNum * coalesce(__m, 0L)) DIV $dampDen"))
               .as("rank"))
         it += 1
       }
@@ -603,6 +662,84 @@ object Graph {
     // reclaims it when the caller's result becomes unreachable (the
     // kCore convention).
     labels.select(col("x").as("vertex"), col("lab").as("label"))
+  }
+
+  /** Newman modularity (Newman & Girvan 2004) of a community assignment
+    * over an undirected graph — the "did the clustering find real
+    * structure" audit run after [[labelPropagation]] / [[kCore]]: the
+    * fraction of edges falling inside communities minus the fraction
+    * expected if edges were wired at random preserving degrees,
+    *
+    *   Q = Σ_c [ e_c/m − (d_c / 2m)² ]
+    *     = (4m·Σ_c e_c − Σ_c d_c²) / 4m²
+    *
+    * with m canonical undirected edges, e_c intra-community edges and
+    * d_c the community's degree mass. Q ≈ 0 means no better than random
+    * (LPA collapsed or the graph has no blocks); Q ≳ 0.3 is conventional
+    * "real community structure". Reported exactly: `q_ppm` is the
+    * sign-factored integer ⌊10⁶·|num|⌋ DIV den with the sign restored
+    * (the cohenKappa convention — replayable division both ways), all
+    * products in DECIMAL(38,0) (4m·Σe_c passes int64 at ~10⁹ edges).
+    *
+    * Scale shape: canonicalize edges (one distinct), per-vertex degrees
+    * (one map-side-combined count), label both endpoints (two id-keyed
+    * joins shipping (id, label) longs), then everything collapses to
+    * per-LABEL aggregates — bounded by |communities|, never |E| — and a
+    * 1-row combine. Output (one row): n_vertices, n_edges,
+    * n_communities, intra_edges, q_ppm.
+    *
+    * @param labels (vertexCol, labelCol) — one row per vertex. Edges
+    *        with an unlabeled endpoint drop out of the census (inner
+    *        join) and `n_edges` counts only labeled edges, so a partial
+    *        labeling is VISIBLE in the output counts rather than
+    *        silently skewing Q.
+    */
+  def modularity(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      labels: DataFrame,
+      vertexCol: String,
+      labelCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val lab = labels.select(col(vertexCol).cast("long").as("x"),
+      col(labelCol).cast("long").as("lab"))
+    val labeled = e
+      .join(lab.select(col("x").as("u"), col("lab").as("lu")), Seq("u"))
+      .join(lab.select(col("x").as("v"), col("lab").as("lv")), Seq("v"))
+    // Per-community degree mass from the labeled edge list directly:
+    // every canonical edge contributes 1 to each endpoint's community
+    // (loop-free by construction), so d_c = Σ over edge-endpoint rows.
+    val degMass = labeled
+      .select(explode(array(col("lu"), col("lv"))).as("lab"))
+      .groupBy("lab").agg(count(lit(1)).as("d"))
+    val perC = degMass.agg(
+      count(lit(1)).as("n_communities"),
+      sum(col("d").cast(dec) * col("d").cast(dec)).as("__dd"))
+    val totals = labeled.agg(
+      count(lit(1)).as("n_edges"),
+      sum((col("lu") === col("lv")).cast("long")).as("intra_edges"))
+    val nV = lab.join(
+      e.select(col("u").as("x")).unionByName(e.select(col("v").as("x")))
+        .distinct(), Seq("x"), "left_semi")
+      .agg(count(lit(1)).as("n_vertices"))
+    val out = nV.crossJoin(broadcast(totals)).crossJoin(broadcast(perC))
+      .select(col("n_vertices"), col("n_edges"), col("n_communities"),
+        col("intra_edges"),
+        expr(s"""CAST(CASE WHEN n_edges = 0 THEN 0 ELSE
+          (CASE WHEN 4 * CAST(n_edges AS $dec) * intra_edges >= __dd
+                THEN 1 ELSE -1 END) *
+          ((abs(4 * CAST(n_edges AS $dec) * intra_edges - __dd) * 1000000)
+            DIV (4 * CAST(n_edges AS $dec) * n_edges)) END AS BIGINT)""")
+          .as("q_ppm"))
+    e.unpersist(blocking = false)
+    out
   }
 
   def triangleCount(
