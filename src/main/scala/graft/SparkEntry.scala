@@ -3948,6 +3948,10 @@ object SparkEntry {
       kCoreOracleSql(3, 8, ScaledVSql, ScaledU0, ScaledV1, ScaledV2),
     "q_label_prop_scaled" ->
       labelPropOracleSql(4, ScaledVSql, ScaledU0, ScaledV1, ScaledV2),
+    "q_pagerank_seeds" ->
+      pprOracleSql(3, Seq(1L, 2L, 3L), ScaledVSql, ScaledU0, ScaledV1),
+    "q_modularity" ->
+      modularityOracleSql(4, ScaledVSql, ScaledU0, ScaledV1, ScaledV2),
     "q_triangles" -> trianglesOracleSql(),
     "q_triangles_scaled" ->
       trianglesOracleSql(ScaledVSql, ScaledU0, ScaledV1),
@@ -6064,7 +6068,17 @@ object SparkEntry {
     */
   private def labelPropOracleSql(rounds: Int,
       modSql: String = "100", u0: String = PlainU0,
-      v1: String = PlainV1, v2: String = PlainV2): String = {
+      v1: String = PlainV1, v2: String = PlainV2): String =
+    lpaCtesSql(rounds, modSql, u0, v1, v2) +
+      s"""
+         | SELECT x AS vertex, lab AS label FROM l$rounds
+         | ORDER BY vertex""".stripMargin
+
+  /** Shared LPA-unroll CTE chain (e0, l0 … l`rounds`) behind
+    * [[labelPropOracleSql]] and [[modularityOracleSql]].
+    */
+  private def lpaCtesSql(rounds: Int,
+      modSql: String, u0: String, v1: String, v2: String): String = {
     val base =
       s"""WITH nv AS MATERIALIZED (SELECT $modSql AS m),
         | e0 AS MATERIALIZED (
@@ -6089,11 +6103,45 @@ object SparkEntry {
          |     FROM c$i)
          |   WHERE cnt = mc GROUP BY x)""".stripMargin
     }.mkString
-    base + steps +
-      s"""
-         | SELECT x AS vertex, lab AS label FROM l$rounds
-         | ORDER BY vertex""".stripMargin
+    base + steps
   }
+
+  /** Oracle for [[graft.ops.Graph.modularity]] over
+    * [[graft.ops.Graph.labelPropagation]] labels: the full LPA unroll
+    * ([[lpaCtesSql]]), then the exact per-community degree/intra algebra —
+    * d_c from the labeled edge-endpoint census, Q as the sign-factored
+    * integer ⌊10⁶·|4m·Σe_c − Σd_c²|⌋ // 4m² in HUGEINT (the engine runs
+    * the identical algebra in DECIMAL(38,0); numerator abs ≥ 0 so floor
+    * `//` and truncating DIV agree).
+    */
+  private def modularityOracleSql(rounds: Int,
+      modSql: String, u0: String, v1: String, v2: String): String =
+    lpaCtesSql(rounds, modSql, u0, v1, v2) +
+      s""",
+         | le AS MATERIALIZED (SELECT e.u, e.v, lu.lab AS lu, lv.lab AS lv
+         |   FROM e0 e JOIN l$rounds lu ON lu.x = e.u
+         |   JOIN l$rounds lv ON lv.x = e.v),
+         | dm AS (SELECT lab, count(*) AS d FROM (
+         |     SELECT lu AS lab FROM le UNION ALL SELECT lv FROM le)
+         |   GROUP BY lab),
+         | pc AS (SELECT count(*) AS n_communities,
+         |     coalesce(sum(d::HUGEINT * d), 0) AS dd FROM dm),
+         | tt AS (SELECT count(*) AS n_edges,
+         |     coalesce(sum(CASE WHEN lu = lv THEN 1 ELSE 0 END), 0)
+         |       AS intra FROM le),
+         | nvert AS (SELECT count(*) AS n_vertices FROM l$rounds
+         |   WHERE x IN (SELECT u FROM e0 UNION SELECT v FROM e0))
+         | SELECT CAST(nvert.n_vertices AS BIGINT) AS n_vertices,
+         |   CAST(tt.n_edges AS BIGINT) AS n_edges,
+         |   CAST(pc.n_communities AS BIGINT) AS n_communities,
+         |   CAST(tt.intra AS BIGINT) AS intra_edges,
+         |   CAST(CASE WHEN tt.n_edges = 0 THEN 0 ELSE
+         |     (CASE WHEN 4::HUGEINT * tt.n_edges * tt.intra >= pc.dd
+         |           THEN 1 ELSE -1 END) *
+         |     ((abs(4::HUGEINT * tt.n_edges * tt.intra - pc.dd) * 1000000)
+         |       // (4::HUGEINT * tt.n_edges * tt.n_edges)) END AS BIGINT)
+         |     AS q_ppm
+         | FROM nvert, tt, pc""".stripMargin
 
   private def hilbertOracleSql(maxBits: Int, bucketBits: Int): String = {
     val steps = (0 until maxBits).map { i =>
@@ -6697,6 +6745,39 @@ object SparkEntry {
        | nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
        | od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
        | r0 AS (SELECT id, CAST($base AS BIGINT) AS r FROM nodes),
+       |${(1 to iters).map(iter).mkString("\n")}
+       | fin AS (SELECT id, r FROM r$iters)
+       | SELECT id, r AS rank FROM fin ORDER BY id""".stripMargin
+  }
+
+  /** Oracle for [[graft.ops.Graph.personalizedPageRank]]: the
+    * [[pageRankOracleSql]] unroll with the one semantic delta the operator
+    * has — teleport/init mass CASE-gated onto the seed set (r0 = base on
+    * seeds else 0; per-round teleport = tele on seeds else 0). All rank
+    * values stay non-negative, so DuckDB's floor `//` and Spark's
+    * truncating DIV agree bit-for-bit.
+    */
+  private def pprOracleSql(iters: Int, seeds: Seq[Long],
+      modSql: String, u0: String, v1: String): String = {
+    val base = 1L << 20
+    val tele = (3L * base) / 20L
+    val seedList = seeds.mkString(", ")
+    def iter(t: Int): String =
+      s""" m$t AS (SELECT e.dst AS id, CAST(sum(r${t - 1}.r // od.od) AS BIGINT) AS m
+         |   FROM e JOIN od USING (src) JOIN r${t - 1} ON r${t - 1}.id = e.src
+         |   GROUP BY e.dst),
+         | r$t AS (SELECT n.id,
+         |     (CASE WHEN n.id IN ($seedList) THEN $tele ELSE 0 END)
+         |       + (17 * coalesce(m.m, 0)) // 20 AS r
+         |   FROM nodes n LEFT JOIN m$t m USING (id)),""".stripMargin
+    s"""WITH nv AS MATERIALIZED (SELECT $modSql AS m),
+       | e AS (SELECT DISTINCT src, dst FROM
+       |     (SELECT $u0 AS src, $v1 AS dst FROM documents, nv)
+       |   WHERE src <> dst),
+       | nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       | od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+       | r0 AS (SELECT id, CAST(CASE WHEN id IN ($seedList)
+       |     THEN $base ELSE 0 END AS BIGINT) AS r FROM nodes),
        |${(1 to iters).map(iter).mkString("\n")}
        | fin AS (SELECT id, r FROM r$iters)
        | SELECT id, r AS rank FROM fin ORDER BY id""".stripMargin

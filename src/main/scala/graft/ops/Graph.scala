@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -88,7 +88,8 @@ object Graph {
       srcCol: String,
       dstCol: String,
       maxIter: Int = 20,
-      strict: Boolean = true): DataFrame = {
+      strict: Boolean = true,
+      broadcastMaxNodes: Long = TinyFrameMaxNodes / 4): DataFrame = {
     val spark = edges.sparkSession
     val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
@@ -97,7 +98,12 @@ object Graph {
       .withColumn("comp", col("id"))
       .withColumn("chg", lit(1))
       .localCheckpoint(true)
-    val small = labels.count() <= TinyFrameMaxNodes
+    // Gate by ROW WIDTH, not the generic 16 B/row TinyFrameMaxNodes: the
+    // labels side here is 3 columns (id, comp, chg) ≈ 24 B/row plus the
+    // broadcast hash-relation overhead rebuilt every round, so the /4
+    // default keeps the worst-case relation near the same ~64 MB budget
+    // the 2-column operators size against. Callers can override.
+    val small = labels.count() <= broadcastMaxNodes
     def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var converged = false
     withTinyFrameConf(spark, small) {
@@ -722,9 +728,12 @@ object Graph {
     val perC = degMass.agg(
       count(lit(1)).as("n_communities"),
       sum(col("d").cast(dec) * col("d").cast(dec)).as("__dd"))
+    // coalesce: sum over zero labeled edges is SQL NULL — the counts
+    // contract ("the counts expose why") promises 0, not null.
     val totals = labeled.agg(
       count(lit(1)).as("n_edges"),
-      sum((col("lu") === col("lv")).cast("long")).as("intra_edges"))
+      coalesce(sum((col("lu") === col("lv")).cast("long")), lit(0L))
+        .as("intra_edges"))
     val nV = lab.join(
       e.select(col("u").as("x")).unionByName(e.select(col("v").as("x")))
         .distinct(), Seq("x"), "left_semi")

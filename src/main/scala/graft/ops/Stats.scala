@@ -41,8 +41,21 @@ object Stats {
     if (nb <= maxBins || st.isNullAt(1)) col(name)
     else {
       val lo = st.getLong(1)
-      val width = (st.getLong(2) - lo) / maxBins + 1
-      expr(s"($name - ${lo}L) DIV ${width}L")
+      val hi = st.getLong(2)
+      // hi − lo (and x − lo per row) overflow Long when the column spans
+      // more than half the long range — e.g. Long.MinValue sentinels mixed
+      // with epoch-millis — flipping the width negative and scattering
+      // bucket ids. Compute the width exactly in BigInt; if the span fits
+      // a long the hot path stays pure int64, otherwise the shift runs in
+      // DECIMAL(38,0) (bucket ids still fit BIGINT: ≤ maxBins by
+      // construction).
+      val span = BigInt(hi) - BigInt(lo)
+      val width = span / maxBins + 1
+      if (width.isValidLong && (BigInt(hi) - BigInt(lo)).isValidLong)
+        expr(s"($name - ${lo}L) DIV ${width.toLong}L")
+      else
+        expr(s"CAST((CAST($name AS DECIMAL(38,0)) - ${lo}) DIV " +
+          s"CAST($width AS DECIMAL(38,0)) AS BIGINT)")
     }
   }
 
