@@ -20,6 +20,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Belt to PlanInvariantsSpec's keyset-parity suspenders: a dumped
+    // query with no oracle entry becomes an `err` row in the driver's
+    // correctness report — shout it here too, where local iteration sees
+    // it immediately.
+    (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted
+      .foreach(n => System.err.println(
+        s"[verify] WARNING: $n is registered in queries but has NO oracleSql entry"))
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
