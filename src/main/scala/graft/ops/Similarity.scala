@@ -1231,7 +1231,23 @@ object Similarity {
     val vecs = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
       .where(col("__v").isNotNull)
-    nnDescent(sym, vecs, k, refineRounds)
+    nnDescent(sym, vecsSide(vecs, n, if (dim > 0) dim else vectorDim(corpus, vecCol)),
+      k, refineRounds)
+  }
+
+  /** Broadcast-hint the one-row-per-id vector table when it fits the
+    * broadcast budget (~64 MB of row data) — else return it unhinted for
+    * the shuffle join. The hint matters BOTH ways: without it, the
+    * planner's post-aggregate size estimates routinely pick the candidate-
+    * PAIR side as the broadcast build (measured on q_knn_graph_sharded:
+    * the ~400k-row deduped pair table built single-threaded into a hash
+    * relation — 1.5 s of the query's 3.4 s — while the 2000-row vector
+    * table shuffled), and at corpus scale the vector side must NOT be
+    * broadcast at all. `n < 0` (unknown) never hints.
+    */
+  private def vecsSide(vecs: DataFrame, n: Long, dim: Int): DataFrame = {
+    val rowBytes = 4L * math.max(1, dim) + 24L
+    if (n >= 0 && n * rowBytes <= (64L << 20)) broadcast(vecs) else vecs
   }
 
   /** Per-node top-k over symmetric (id, nb, cos) candidate edges.
@@ -1299,13 +1315,15 @@ object Similarity {
     * back per candidate) at nprobe× the band-row volume.
     *
     * `nprobe` is the recall knob (band-row volume scales with it):
-    * measured at k=10 against exact brute force, nprobe=3 (default) gives
-    * 0.91 on the 500-vector sf0.01 embeddings and 0.87-0.88 on the
-    * 5000-vector sf0.1 set vs knnGraph's 0.83/0.79; nprobe=4 reaches 0.97
-    * at sf0.1; nprobe=2 drops to ~0.7 (neighborhoods straddle more than
-    * two cells). The coarse fit needs few Lloyd rounds (`kmeansIter` = 4:
-    * recall −0.01 for half the build time — the spill absorbs quantizer
-    * jitter, the same law as ivfSearch's nprobe routing).
+    * measured at k=10 against exact brute force with the redundancy floor
+    * in place, nprobe=3 (default) gives 0.92 on the sf0.01 embeddings
+    * (cap-safe cells → the exact all-pairs path) and 0.79 on the sf0.1
+    * set vs knnGraph's 0.83/0.79 — recall parity with the global variant
+    * at a fraction of its candidate mass; nprobe=2 drops to ~0.7
+    * (neighborhoods straddle more than two cells). The coarse fit needs
+    * few Lloyd rounds (`kmeansIter` = 4: recall −0.01 for half the build
+    * time — the spill absorbs quantizer jitter, the same law as
+    * ivfSearch's nprobe routing).
     *
     * `maxBucketSize` defaults far TIGHTER than the near-dup pipelines'
     * cap (256 vs 1024): pair volume is quadratic in bucket occupancy and
@@ -1332,12 +1350,17 @@ object Similarity {
       dim: Int = -1,
       targetBucketSize: Int = 64,
       maxTrainRows: Long = 200000L,
-      kmeansIter: Int = 4): DataFrame = {
+      kmeansIter: Int = 4,
+      prebuiltIndex: Option[IvfIndex] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     require(targetBucketSize >= 1, s"targetBucketSize must be >= 1, got $targetBucketSize")
-    val index = buildIvfIndex(corpus, idCol, vecCol, nlist,
-      maxTrainRows = maxTrainRows, maxIter = kmeansIter, seed = seed)
+    // prebuiltIndex: the build-once/search-many split — a session/catalog
+    // caller that already fit the coarse quantizer (IvfIndex.save/load)
+    // skips the k-means jobs entirely; nlist/maxTrainRows/kmeansIter are
+    // then ignored.
+    val index = prebuiltIndex.getOrElse(buildIvfIndex(corpus, idCol, vecCol,
+      nlist, maxTrainRows = maxTrainRows, maxIter = kmeansIter, seed = seed))
     val vecs = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
       .where(col("__v").isNotNull)
@@ -1358,16 +1381,45 @@ object Similarity {
     // rows — the quadratic tail is maxBucketSize's job (below), not the
     // resolution's.
     val n = corpus.count()
+    val d = if (dim > 0) dim else vectorDim(corpus, vecCol)
     val cellSize = math.max(1L, n * nprobe / math.max(1, index.centers.length))
     val needed = math.max(1L, (cellSize + targetBucketSize - 1) / targetBucketSize)
-    val autoPlanes = math.min(20,
-      64 - java.lang.Long.numberOfLeadingZeros(needed - 1))
+    val rawPlanes = math.min(20,
+      64 - java.lang.Long.numberOfLeadingZeros(needed - 1)).toInt
+    // Redundancy floor: with 2^planes ≤ bands, a RANDOM pair collides in
+    // bands/2^planes ≥ 1 bands in expectation — the generator emits MORE
+    // raw rows than per-cell all-pairs would, all of it re-deduped
+    // downstream (measured at sf0.1: planes=3 × 24 bands → ~3× all-pairs
+    // mass, and the dedup/verify of that mass was most of the query).
+    // Two responses, chosen by cell size:
+    //  - a cap-safe cell (≤ maxBucketSize) takes the all-pairs path
+    //    outright (each pair generated ONCE, exact recall — strictly
+    //    better than any banding at the same mass);
+    //  - a bigger cell raises resolution to the LAST redundant level,
+    //    ceil(log2(bands)) — measured the best of the three candidate
+    //    responses at sf0.1 (2000 vecs, 16 cells): planes 3 → 5 cut the
+    //    query 5.5 → 1.25 s at recall 0.87 → 0.79, while one MORE plane
+    //    (the first non-redundant level) lost far more recall for no
+    //    further time (0.67 @ 1.5 s), and trimming bands to 2^planes
+    //    instead was worse on both axes (0.77 @ 1.7 s — coarse 8-bucket
+    //    bands push dense clusters over maxBucketSize, dropping them
+    //    whole). The remaining ≈1 expected redundant collision is what
+    //    keeps the moderate-similarity S-curve tail.
+    // Cells above the target at large n derive planes > log2(bands) on
+    // their own, so the floor is inert exactly where the original law
+    // already worked.
+    val minUseful =
+      (64 - java.lang.Long.numberOfLeadingZeros((bands - 1).toLong)).toInt
+    val autoPlanes =
+      if (rawPlanes <= 0) 0
+      else if ((1L << rawPlanes) > bands) rawPlanes
+      else if (cellSize <= maxBucketSize) 0
+      else math.min(20, minUseful)
     val spilled = vecs.withColumn("cell", explode(probeCells))
     val banded =
       if (autoPlanes <= 0)
         spilled.select(col("id"), col("cell"), lit(0L).as("bucket"))
       else {
-        val d = if (dim > 0) dim else vectorDim(corpus, vecCol)
         val hp = HyperplaneOps.flatPlanes(d, bands * autoPlanes, seed)
         spilled.select(col("id"), col("cell"),
           explode(hyperplane_band_keys(col("__v"), hp, bands, autoPlanes))
@@ -1375,10 +1427,10 @@ object Similarity {
       }
     val pairs = Dedup.bucketPairsIds(banded, Seq("cell", "bucket"), maxBucketSize)
       .dropDuplicates("id_a", "id_b")
-      .join(vecs.select(col("id").as("id_a"), col("__v").as("v_a")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("__v").as("v_b")), "id_b")
+      .join(vecsSide(vecs.select(col("id").as("id_a"), col("__v").as("v_a")), n, d), "id_a")
+      .join(vecsSide(vecs.select(col("id").as("id_b"), col("__v").as("v_b")), n, d), "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
-    nnDescent(symmetrize(pairs), vecs, k, refineRounds)
+    nnDescent(symmetrize(pairs), vecsSide(vecs, n, d), k, refineRounds)
   }
 
   /** (id_a, id_b, cos) → both directed edges in ONE pass over the pair
@@ -1582,8 +1634,8 @@ object Similarity {
       explode(hyperplane_band_keys(col("v"), hp, bands, effPlanes)).as("bucket"))
     Dedup.bucketPairsIds(banded, Seq("bucket"), maxBucketSize)
       .dropDuplicates("id_a", "id_b")
-      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .join(vecsSide(vecs.select(col("id").as("id_a"), col("v").as("v_a")), n, d), "id_a")
+      .join(vecsSide(vecs.select(col("id").as("id_b"), col("v").as("v_b")), n, d), "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
       .where(col("cos") >= threshold)
   }
