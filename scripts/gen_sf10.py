@@ -3,11 +3,14 @@
 (harness tooling, not part of the library; needs driver-side duckdb).
 
 100x the DOCUMENTS table from /root/testdata/sf0.1 with the same replica
-scheme as gen_sf1.py (tag spliced into every 5th token). Only the
-documents-family queries run at sf10 — embeddings/events symlink to the
-sf1 slice and TPC-H tables to sf0.1, so any non-documents query numbers
-from this dir would be meaningless; SCALING.md's sf10 rows are
-documents-family only.
+scheme as gen_sf1.py (tag spliced into every 5th token), and 100x the
+EMBEDDINGS table with gen_sf1.py's per-replica offset scheme (replica r
+shifts dimension 1 by r*10 — distinct vectors, per-replica cluster
+geometry preserved), so documents- and embeddings-family queries both
+have a true second decade here. Events still symlink to the sf1 slice
+and TPC-H tables to sf0.1 — numbers for those families from this dir
+would be meaningless; SCALING.md's sf10 rows are documents- and
+embeddings-family only.
 
 NOTE the title artifact this inherits from the generator (attributed in
 SCALING.md): replica tags differ by 1-2 characters ("rep3_" vs "rep7_"),
@@ -41,7 +44,19 @@ COPY (
 ) TO '{out}/documents.parquet' (FORMAT PARQUET)
 """)
 
-for t, d in [("embeddings", sf1), ("events", sf1), ("region", src),
+con.execute(f"""
+COPY (
+  SELECT e.vec_id + r.r * 1000000000 AS vec_id,
+    CASE WHEN r.r = 0 THEN e.embedding ELSE
+      list_transform(e.embedding, (x, i) ->
+        CASE WHEN i = 1 THEN CAST(x + r.r * 10.0 AS FLOAT) ELSE x END)
+    END AS embedding,
+    e.label
+  FROM read_parquet('{src}/embeddings.parquet') e, range(0,100) r(r)
+) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+""")
+
+for t, d in [("events", sf1), ("region", src),
              ("nation", src), ("customer", src), ("supplier", src),
              ("part", src), ("orders", src), ("lineitem", src),
              ("partsupp", src)]:
