@@ -31,9 +31,19 @@ object Stats {
     * distinct + min/max) runs at plan-build time; all operands are
     * non-negative after the shift, so DIV is floor and any engine
     * replays the bucket ids.
+    *
+    * `knownDistinctAtMost`: a caller that already KNOWS the column's
+    * distinct count is ≤ `maxBins` (an enum code, a bounded bucket id, a
+    * loop re-invoking ksTest over slices of one profiled column) passes
+    * true to skip the deciding aggregation entirely — zero extra jobs,
+    * and the exact regime is the guaranteed outcome. The caller owns the
+    * claim: an underestimate resurrects the single-partition window sort
+    * the knee exists to bound.
     */
   private[ops] def kneeBucketExpr(
-      staged: DataFrame, name: String, maxBins: Int): Column = {
+      staged: DataFrame, name: String, maxBins: Int,
+      knownDistinctAtMost: Boolean = false): Column = {
+    if (knownDistinctAtMost) return col(name)
     val st = staged.agg(
       countDistinct(col(name)).as("nb"),
       min(col(name)).as("lo"), max(col(name)).as("hi")).first()
@@ -775,12 +785,13 @@ object Stats {
     * time.
     */
   def aucBinned(df: DataFrame, binCol: Column, labelCol: Column,
-      maxHistBins: Int = 1 << 17): DataFrame = {
+      maxHistBins: Int = 1 << 17,
+      knownBinsAtMostMax: Boolean = false): DataFrame = {
     require(maxHistBins >= 2, s"maxHistBins must be >= 2, got $maxHistBins")
     val dec = "decimal(38,0)"
     val staged = df.select(binCol.cast("long").as("b"),
       labelCol.cast("int").as("__y"))
-    val bEx = kneeBucketExpr(staged, "b", maxHistBins)
+    val bEx = kneeBucketExpr(staged, "b", maxHistBins, knownBinsAtMostMax)
     val h = staged
       .groupBy(bEx.as("b")).agg(sum(col("__y")).cast("long").as("__p"),
         sum(lit(1) - col("__y")).cast("long").as("__n"))
@@ -829,12 +840,13 @@ object Stats {
     * the coarsened gap crosses the critical value.
     */
   def ksTest(df: DataFrame, valueCol: Column, isACol: Column,
-      maxHistBins: Int = 1 << 17): DataFrame = {
+      maxHistBins: Int = 1 << 17,
+      knownBinsAtMostMax: Boolean = false): DataFrame = {
     require(maxHistBins >= 2, s"maxHistBins must be >= 2, got $maxHistBins")
     val dec = "decimal(38,0)"
     val staged = df.select(valueCol.cast("long").as("v"),
       isACol.cast("int").as("__a"))
-    val vEx = kneeBucketExpr(staged, "v", maxHistBins)
+    val vEx = kneeBucketExpr(staged, "v", maxHistBins, knownBinsAtMostMax)
     val h = staged
       .groupBy(vEx.as("v")).agg(sum(col("__a")).cast("long").as("__ca"),
         sum(lit(1) - col("__a")).cast("long").as("__cb"))

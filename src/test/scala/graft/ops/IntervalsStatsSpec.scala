@@ -506,6 +506,36 @@ class IntervalsStatsSpec extends SparkTestBase {
     assert(aucExact._3 === 1000000L) // separable: exact regime is perfect
   }
 
+  test("ksTest: knee width survives a span wider than the long range; " +
+      "knownBinsAtMostMax skips the deciding agg bit-identically") {
+    // Long.MinValue sentinel mixed with epoch-millis: hi − lo overflows
+    // int64, so the pre-fix equal-width knee derived a NEGATIVE width and
+    // scattered bucket ids. Now the width computes in BigInt and the
+    // shift runs in DECIMAL — the coarsened run must produce sane totals
+    // and a [0, 1e6] statistic.
+    val wide = (Seq((Long.MinValue, 1)) ++
+      (1 to 500).map(k => (k * 1000000L + 1700000000000L, if (k <= 250) 1 else 0)))
+      .toDF("v", "a")
+    val got = Stats.ksTest(wide, col("v"), col("a") === 1, maxHistBins = 64)
+      .as[(Long, Long, Long, Long, Int)].head()
+    assert(got._1 === 251L && got._2 === 250L)
+    assert(got._4 >= 0L && got._4 <= 1000000L)
+    // The escape hatch: for a column the caller KNOWS is bounded, the
+    // result is the exact regime's, with no deciding aggregation run.
+    val bounded = (1 to 40).flatMap(v => Seq((v.toLong, 1), (v.toLong + 5L, 0)))
+      .toDF("v", "a")
+    val exact = Stats.ksTest(bounded, col("v"), col("a") === 1)
+      .as[(Long, Long, Long, Long, Int)].head()
+    val hatch = Stats.ksTest(bounded, col("v"), col("a") === 1,
+      knownBinsAtMostMax = true).as[(Long, Long, Long, Long, Int)].head()
+    assert(hatch === exact)
+    val aucExact = Stats.aucBinned(bounded, col("v"), col("a") === 1)
+      .as[(Long, Long, Long)].head()
+    val aucHatch = Stats.aucBinned(bounded, col("v"), col("a") === 1,
+      knownBinsAtMostMax = true).as[(Long, Long, Long)].head()
+    assert(aucHatch === aucExact)
+  }
+
   test("trimmedMean: overlap-exact tail drops, straddling classes, k = 0") {
     // "a": [1, 2, 2, 3, 100] at 20% trim → k = 1, drop one 1 and one 100,
     // mid = [2, 2, 3] → 7e6 // 3. "b": single value, k = 0 → plain mean.
