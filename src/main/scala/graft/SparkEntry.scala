@@ -2059,6 +2059,20 @@ object SparkEntry {
         .presented("split")
     }),
 
+    // k-anonymity audit over (lang, source, coarse length bucket) — the
+    // re-identification risk report for corpus metadata; exact integer
+    // oracle (one grouped count + a 1-row census).
+    "q_k_anonymity" -> ((s, dir) =>
+      Curation.kAnonymityProfile(t(s, dir, "documents"),
+        Seq(col("lang"), col("source"), expr("n_chars DIV 100")), k = 5)),
+
+    // Per-source exact percentile rank of n_chars (score calibration for
+    // cross-source threshold cuts — the CCNet move): histogram-windowed,
+    // ties share a rank, pure integer ppm. Exact oracle.
+    "q_source_score_rank" -> ((s, dir) =>
+      Curation.perGroupScoreRank(t(s, dir, "documents"), "doc_id", "source",
+        col("n_chars")).presented("id")),
+
     // Context-window chunking (32-token windows, stride 16) — exact oracle:
     // DuckDB re-slices the same token lists.
     "q_chunk" -> ((s, dir) =>
@@ -4101,6 +4115,36 @@ object SparkEntry {
         |       '[ \t]+', ' ', 'g')) AS norm
         |   FROM d)
         | ORDER BY doc_id""".stripMargin,
+    "q_k_anonymity" ->
+      """WITH g AS (SELECT lang, source, n_chars // 100 AS b,
+        |     count(*)::BIGINT AS c
+        |   FROM documents GROUP BY 1, 2, 3)
+        | SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+        |   count(*)::BIGINT AS n_groups,
+        |   CAST(min(c) AS BIGINT) AS min_group_size,
+        |   CAST(coalesce(sum(CASE WHEN c < 5 THEN c END), 0) AS BIGINT)
+        |     AS rows_below_k,
+        |   CAST(coalesce(sum(CASE WHEN c < 5 THEN 1 END), 0) AS BIGINT)
+        |     AS groups_below_k,
+        |   CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 END), 0) AS BIGINT)
+        |     AS singletons,
+        |   CAST(CASE WHEN sum(c) > 0 THEN
+        |     (coalesce(sum(CASE WHEN c < 5 THEN c END), 0) * 1000000)
+        |       // sum(c) ELSE 0 END AS BIGINT) AS risk_ppm
+        | FROM g""".stripMargin,
+    "q_source_score_rank" ->
+      """WITH h AS (SELECT source AS grp, n_chars AS score,
+        |     count(*)::BIGINT AS c FROM documents GROUP BY 1, 2),
+        | r AS (SELECT grp, score,
+        |     coalesce(sum(c) OVER (PARTITION BY grp ORDER BY score
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt,
+        |     sum(c) OVER (PARTITION BY grp) AS n FROM h)
+        | SELECT d.doc_id AS id, d.source AS grp,
+        |   CAST(d.n_chars AS BIGINT) AS score,
+        |   CAST(CASE WHEN r.n > 1 THEN (r.lt * 1000000) // (r.n - 1)
+        |     ELSE 0 END AS BIGINT) AS rank_ppm
+        | FROM documents d JOIN r ON r.grp = d.source AND r.score = d.n_chars
+        | ORDER BY id""".stripMargin,
     "q_pipeline" -> {
       val draw = "substr(md5(doc_id::VARCHAR || '-graft'), 1, 8)"
       val cum = SplitFracs.map(_._2).scanLeft(0.0)(_ + _).tail

@@ -1404,4 +1404,91 @@ object Curation {
           .as("waste_ppm"))
       .orderBy("bucket_ceiling")
   }
+
+  /** k-anonymity audit over a quasi-identifier column set — the re-
+    * identification risk report run before a corpus (or its metadata
+    * table) ships: every row whose quasi-identifier combination is shared
+    * by fewer than k rows is individually distinguishable by those
+    * attributes (Sweeney 2002). One row out:
+    *
+    *   n_rows, n_groups, min_group_size,
+    *   rows_below_k   — rows failing k-anonymity (the exposure mass),
+    *   groups_below_k — distinct failing combinations,
+    *   singletons     — combinations unique to ONE row (worst case),
+    *   risk_ppm       — ⌊10⁶ · rows_below_k / n_rows⌋.
+    *
+    * Pure integer arithmetic end to end. Scale shape: ONE map-side-
+    * combined count per combination (keys + one long on the wire — no
+    * row ids, no payload), then a 1-row aggregate over the group table;
+    * nothing is ever collected. The group table is bounded by the
+    * combination cardinality, which for sane quasi-identifier choices
+    * (demographic-style attributes, coarse buckets) is ≪ n; a caller
+    * auditing a near-unique column set gets the honest answer (most rows
+    * singleton) at one shuffle of (key, count) rows.
+    */
+  def kAnonymityProfile(
+      df: DataFrame,
+      quasiCols: Seq[Column],
+      k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymityProfile needs at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiCols: _*)
+      .agg(count(lit(1)).as("__c"))
+      .agg(
+        sum(col("__c")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        min(col("__c")).as("min_group_size"),
+        coalesce(sum(when(col("__c") < k, col("__c"))), lit(0L))
+          .as("rows_below_k"),
+        coalesce(sum(when(col("__c") < k, 1L)), lit(0L))
+          .as("groups_below_k"),
+        coalesce(sum(when(col("__c") === 1, 1L)), lit(0L))
+          .as("singletons"))
+      .select(col("n_rows"), col("n_groups"), col("min_group_size"),
+        col("rows_below_k"), col("groups_below_k"), col("singletons"),
+        expr("CASE WHEN n_rows > 0 THEN (rows_below_k * 1000000) DIV n_rows ELSE 0 END")
+          .as("risk_ppm"))
+  }
+
+  /** Per-group exact percentile rank of a score column — the score-
+    * calibration step before cross-source threshold cuts: raw quality
+    * scores are not comparable across sources (different length/ratio
+    * distributions), so curation pipelines (CCNet's per-language
+    * perplexity buckets are the canonical case) normalize each score to
+    * its rank WITHIN the source and cut on the rank. Exact integer
+    * definition, tie-stable across engines:
+    *
+    *   rank_ppm = ⌊10⁶ · |{rows in group with score < s}| / (n_g − 1)⌋
+    *
+    * (percent_rank's formula with the float division integerized; ties
+    * share a rank, the group minimum is 0, a unique maximum is 10⁶;
+    * single-row groups report 0 by convention).
+    *
+    * Scale shape — the histogram-window convention: the corpus collapses
+    * to a per-(group, score) count histogram in one map-side combine; the
+    * running sum that turns counts into strictly-less mass windows over
+    * that VALUE-BOUNDED histogram, never the rows; rows then join the
+    * bounded rank table back on (group, score). No row ever enters a
+    * window sort, so a billion-document source costs one combine + one
+    * histogram pass + one key-value join.
+    */
+  def perGroupScoreRank(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      scoreCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val staged = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+      scoreCol.cast("long").as("score"))
+    val hist = staged.groupBy("grp", "score").agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy("grp").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist.select(col("grp"), col("score"),
+      coalesce(sum(col("__c")).over(w), lit(0L)).as("__lt"),
+      sum(col("__c")).over(Window.partitionBy("grp")).as("__n"))
+    staged.join(ranked, Seq("grp", "score"))
+      .select(col("id"), col("grp"), col("score"),
+        expr("CASE WHEN __n > 1 THEN (__lt * 1000000) DIV (__n - 1) ELSE 0 END")
+          .as("rank_ppm"))
+  }
 }

@@ -778,4 +778,34 @@ class CurationSpec extends SparkTestBase {
       (8L, 1L, 5L, 1L, 1L, 0, 375000L),
       (12L, 1L, 9L, 0L, 0L, 1, 0L)))
   }
+
+  test("kAnonymityProfile: hand census, singleton and below-k accounting") {
+    // groups: (a,x)->3 rows, (a,y)->2, (b,x)->1  at k=3:
+    //  below-k rows = 2 + 1 = 3, below-k groups = 2, singletons = 1,
+    //  risk = floor(3e6 / 6) = 500000.
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "x"), ("a", "y"), ("a", "y"),
+      ("b", "x")).toDF("u", "v")
+    val got = Curation.kAnonymityProfile(df, Seq(col("u"), col("v")), k = 3)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(got === ((6L, 3L, 1L, 3L, 2L, 1L, 500000L)))
+    // fully k-anonymous input: zero exposure, risk 0 (not null).
+    val ok = Curation.kAnonymityProfile(
+      Seq("a", "a", "a", "b", "b", "b").toDF("u"), Seq(col("u")), k = 3)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(ok === ((6L, 2L, 3L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("perGroupScoreRank: ties share a rank, min is 0, unique max is 1e6, " +
+      "single-row group is 0") {
+    // group g1 scores: 10, 20, 20, 30 (n=4):
+    //   10 -> lt 0 -> 0; 20 -> lt 1 -> 333333 (both); 30 -> lt 3 -> 1e6.
+    // group g2: one row -> 0.
+    val df = Seq((1L, "g1", 10L), (2L, "g1", 20L), (3L, "g1", 20L),
+      (4L, "g1", 30L), (5L, "g2", 99L)).toDF("doc", "src", "s")
+    val got = Curation.perGroupScoreRank(df, "doc", "src", col("s"))
+      .orderBy("id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "g1", 10L, 0L), (2L, "g1", 20L, 333333L), (3L, "g1", 20L, 333333L),
+      (4L, "g1", 30L, 1000000L), (5L, "g2", 99L, 0L)))
+  }
 }
