@@ -2818,6 +2818,14 @@ object SparkEntry {
       TextAnalysis.chiSquareTerms(t(s, dir, "documents"), "doc_id", "text",
         col("source") === "src0", minDf = 5, topK = 50)),
 
+    // Per-event-type Pearson association between hour-of-day and the
+    // floored value — signed r² in ppm from exact DECIMAL(38,0) moments
+    // (two-stage sign-factored divide, replayable bit-for-bit).
+    "q_pearson_corr" -> ((s, dir) =>
+      Stats.pearsonCorr(events(s, dir), "event_type",
+        expr("(ts_ms DIV 3600000) % 24"), floor(col("value")))
+        .presented("key")),
+
     // Per-event-type daily OLS volume trend: slope in ppm from the
     // DECIMAL(38,0) rational with the sign factored out of the truncating
     // divide — exact cross-engine; single-bucket keys report null slope.
@@ -5732,6 +5740,22 @@ object SparkEntry {
          |   CAST(CASE WHEN s < 0 THEN -((-s) // c_s)
          |     ELSE s // c_s END AS BIGINT) AS kl_ppm
          | FROM g ORDER BY source""".stripMargin,
+    "q_pearson_corr" ->
+      """WITH e AS (SELECT event_type AS key,
+        |     (epoch_ms(ts) // 3600000) % 24 AS x,
+        |     CAST(floor(value) AS BIGINT) AS y FROM events),
+        | m AS (SELECT key, count(*)::HUGEINT AS n,
+        |     sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+        |     sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y) AS syy,
+        |     sum(x::HUGEINT * y) AS sxy
+        |   FROM e GROUP BY key)
+        | SELECT key, CAST(n AS BIGINT) AS n,
+        |   CAST(CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0 THEN 0
+        |     ELSE (CASE WHEN n*sxy - sx*sy >= 0 THEN 1 ELSE -1 END) *
+        |       (((abs(n*sxy - sx*sy) * abs(n*sxy - sx*sy) * 1000000)
+        |         // (n*sxx - sx*sx)) // (n*syy - sy*sy)) END AS BIGINT)
+        |     AS r2_ppm
+        | FROM m ORDER BY key""".stripMargin,
     "q_trend_slopes" ->
       """WITH c AS (SELECT event_type, epoch_ms(ts) // 86400000 AS b,
         |     count(*) AS y FROM events GROUP BY 1, 2),

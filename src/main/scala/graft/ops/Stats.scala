@@ -269,6 +269,56 @@ object Stats {
           .otherwise(lit(0.0)).as("mean"))
   }
 
+  /** Per-key Pearson correlation of two integer-valued columns, reported
+    * as the SIGNED squared coefficient in ppm — the linear-association
+    * audit between two corpus metrics (length vs quality score, hour vs
+    * volume) with zero floating point:
+    *
+    *   cov_n  = n·Σxy − Σx·Σy      varx_n = n·Σx² − (Σx)²   (y alike)
+    *   r2_ppm = sign(cov_n) · ((cov_n² · 10⁶) DIV varx_n DIV vary_n)
+    *
+    * All five moments are exact int64 sums lifted to DECIMAL(38,0) for
+    * the products; Cauchy–Schwarz bounds the result in [−10⁶, 10⁶]. The
+    * two-STAGE divide is the determinism convention (a single divide by
+    * varx·vary can overflow DECIMAL(38,0) at corpus moments; dividing by
+    * each factor in turn is replayable bit-for-bit in any engine with
+    * floor semantics — operands are non-negative once the sign is
+    * factored, so floor and truncation agree). Keys with a constant x or
+    * y report 0 (no linear association is measurable), with the moments
+    * exposed so the caller can tell degenerate from uncorrelated.
+    *
+    * Scale shape: ONE map-side-combined aggregation per key — six longs
+    * on the wire per key, rows never shuffle.
+    */
+  def pearsonCorr(
+      df: DataFrame,
+      keyCol: String,
+      xCol: Column,
+      yCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    df.select(col(keyCol).as("key"),
+        xCol.cast("long").as("__x"), yCol.cast("long").as("__y"))
+      .groupBy("key")
+      // Moments accumulate in DECIMAL(38,0): x·x at timestamp magnitudes
+      // (10¹²)² = 10²⁴ silently wraps an int64 partial sum.
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum(col("__x").cast(dec) * col("__x")).as("__sxx"),
+        sum(col("__y").cast(dec) * col("__y")).as("__syy"),
+        sum(col("__x").cast(dec) * col("__y")).as("__sxy"))
+      .select(col("key"), col("n"),
+        expr(s"""CAST(CASE WHEN (n * CAST(__sxx AS $dec) - CAST(__sx AS $dec) * __sx) = 0
+              OR (n * CAST(__syy AS $dec) - CAST(__sy AS $dec) * __sy) = 0 THEN 0
+          ELSE (CASE WHEN n * CAST(__sxy AS $dec) - CAST(__sx AS $dec) * __sy >= 0
+                THEN 1 ELSE -1 END) *
+            (((abs(n * CAST(__sxy AS $dec) - CAST(__sx AS $dec) * __sy)
+               * abs(n * CAST(__sxy AS $dec) - CAST(__sx AS $dec) * __sy) * 1000000)
+              DIV (n * CAST(__sxx AS $dec) - CAST(__sx AS $dec) * __sx))
+              DIV (n * CAST(__syy AS $dec) - CAST(__sy AS $dec) * __sy))
+          END AS BIGINT)""").as("r2_ppm"))
+  }
+
   /** Two-proportion z-test on a unit-level experiment table — the A/B
     * readout every event pipeline ends in: given one row per unit with
     * its variant (0 = control, 1 = treatment) and converted flag,

@@ -536,6 +536,26 @@ class IntervalsStatsSpec extends SparkTestBase {
     assert(aucHatch === aucExact)
   }
 
+  test("pearsonCorr: hand moments, perfect/anti/degenerate, ties") {
+    // key a: x=(1,2,3), y=(1,2,4) → cov_n=9, varx_n=6, vary_n=14 →
+    //   r2_ppm = (81e6 DIV 6) DIV 14 = 964285 (true r² = .9643).
+    // key b: y = −2x exactly → signed −1e6. key c: constant y → 0.
+    val df = Seq(
+      ("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 4L),
+      ("b", 1L, -2L), ("b", 2L, -4L), ("b", 3L, -6L),
+      ("c", 1L, 7L), ("c", 2L, 7L)).toDF("k", "x", "y")
+    val got = Stats.pearsonCorr(df, "k", col("x"), col("y"))
+      .orderBy("key").as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("a", 3L, 964285L), ("b", 3L, -1000000L), ("c", 2L, 0L)))
+    // timestamp-magnitude inputs: moments must survive in DECIMAL —
+    // an int64 partial sum of x² wraps at (1e12)².
+    val big = Seq(("t", 1700000000000L, 1L), ("t", 1700000003600L, 2L),
+      ("t", 1700000007200L, 3L)).toDF("k", "x", "y")
+    val r = Stats.pearsonCorr(big, "k", col("x"), col("y"))
+      .as[(String, Long, Long)].head()
+    assert(r === (("t", 3L, 1000000L))) // exactly linear
+  }
+
   test("trimmedMean: overlap-exact tail drops, straddling classes, k = 0") {
     // "a": [1, 2, 2, 3, 100] at 20% trim → k = 1, drop one 1 and one 100,
     // mid = [2, 2, 3] → 7e6 // 3. "b": single value, k = 0 → plain mean.
