@@ -2818,6 +2818,25 @@ object SparkEntry {
       TextAnalysis.chiSquareTerms(t(s, dir, "documents"), "doc_id", "text",
         col("source") === "src0", minDf = 5, topK = 50)),
 
+    // Embedding snapshot drift per label: snapshot B shifts dim 2 by +5
+    // for even labels only — those labels' centroid directions rotate
+    // (cos² < 1e6), odd labels stay at exactly 1e6. Exact integer oracle
+    // (floor-quantized sums, the two-stage sign-factored divide).
+    "q_centroid_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val moved = emb.withColumn("embedding",
+        expr("""transform(embedding, (x, i) -> CASE WHEN i = 1
+          AND label % 2 = 0 THEN CAST(x + 5.0 AS FLOAT) ELSE x END)"""))
+      Similarity.centroidDrift(emb, moved, "label", "embedding")
+        .presented("label")
+    }),
+
+    // Corpus-composition independence: lang × source contingency χ² in
+    // the sum-of-floors integer convention (dense margin cross, so empty
+    // cells contribute exactly).
+    "q_crosstab_chi2" -> ((s, dir) =>
+      Stats.crosstabChi2(t(s, dir, "documents"), col("lang"), col("source"))),
+
     // Per-event-type Pearson association between hour-of-day and the
     // floored value — signed r² in ppm from exact DECIMAL(38,0) moments
     // (two-stage sign-factored divide, replayable bit-for-bit).
@@ -5740,6 +5759,54 @@ object SparkEntry {
          |   CAST(CASE WHEN s < 0 THEN -((-s) // c_s)
          |     ELSE s // c_s END AS BIGINT) AS kl_ppm
          | FROM g ORDER BY source""".stripMargin,
+    "q_centroid_drift" ->
+      """WITH mx AS (SELECT max(len(embedding)) AS d FROM embeddings),
+        | ix AS (SELECT unnest(range(1, d + 1)) AS i FROM mx),
+        | bb AS (SELECT label, list_transform(embedding, (x, i) ->
+        |     CASE WHEN i = 2 AND label % 2 = 0
+        |       THEN CAST(x + 5.0 AS FLOAT) ELSE x END) AS emb
+        |   FROM embeddings),
+        | sa AS (SELECT label::BIGINT AS label, i,
+        |     sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 100) AS BIGINT)) AS s,
+        |     count(*)::BIGINT AS n
+        |   FROM embeddings, ix WHERE i <= len(embedding) GROUP BY 1, 2),
+        | sb AS (SELECT label::BIGINT AS label, i,
+        |     sum(CAST(floor(CAST(emb[i] AS DOUBLE) * 100) AS BIGINT)) AS s,
+        |     count(*)::BIGINT AS n
+        |   FROM bb, ix WHERE i <= len(emb) GROUP BY 1, 2),
+        | j AS (SELECT sa.label, max(sa.n) AS n_a, max(sb.n) AS n_b,
+        |     sum(sa.s::HUGEINT * sb.s) AS dot,
+        |     sum(sa.s::HUGEINT * sa.s) AS aa,
+        |     sum(sb.s::HUGEINT * sb.s) AS bsq
+        |   FROM sa JOIN sb ON sa.label = sb.label AND sa.i = sb.i
+        |   GROUP BY sa.label)
+        | SELECT label, n_a, n_b,
+        |   CAST(CASE WHEN aa = 0 OR bsq = 0 THEN 0 ELSE
+        |     (CASE WHEN dot >= 0 THEN 1 ELSE -1 END) *
+        |     (((dot * dot * 1000000) // aa) // bsq) END AS BIGINT)
+        |     AS cos2_ppm
+        | FROM j ORDER BY label""".stripMargin,
+    "q_crosstab_chi2" ->
+      """WITH cells AS (SELECT lang::VARCHAR AS a, source::VARCHAR AS b,
+        |     count(*)::BIGINT AS o FROM documents
+        |   WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+        | rm AS (SELECT a, sum(o) AS r FROM cells GROUP BY a),
+        | cm AS (SELECT b, sum(o) AS c FROM cells GROUP BY b),
+        | t AS (SELECT sum(o)::HUGEINT AS n,
+        |     count(DISTINCT a)::BIGINT AS nr,
+        |     count(DISTINCT b)::BIGINT AS nc FROM cells),
+        | dense AS (SELECT rm.r::HUGEINT AS r, cm.c::HUGEINT AS c,
+        |     coalesce(cells.o, 0)::HUGEINT AS o
+        |   FROM rm CROSS JOIN cm
+        |   LEFT JOIN cells ON cells.a = rm.a AND cells.b = cm.b),
+        | k AS (SELECT CASE WHEN t.n * r * c = 0 THEN 0
+        |     ELSE ((o * t.n - r * c) * (o * t.n - r * c) * 1000000)
+        |       // (t.n * r * c) END AS contrib
+        |   FROM dense, t)
+        | SELECT CAST(t.n AS BIGINT) AS n, t.nr AS n_rows, t.nc AS n_cols,
+        |   (t.nr - 1) * (t.nc - 1) AS dof,
+        |   CAST((SELECT sum(contrib) FROM k) AS BIGINT) AS chi2_scaled
+        | FROM t""".stripMargin,
     "q_pearson_corr" ->
       """WITH e AS (SELECT event_type AS key,
         |     (epoch_ms(ts) // 3600000) % 24 AS x,

@@ -1651,4 +1651,59 @@ object Similarity {
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  /** Per-label centroid drift between two embedding snapshots — the
+    * distribution-shift monitor for a re-embedded or re-crawled corpus
+    * ("did class c's embedding cloud move between model v1 and v2 /
+    * snapshot t and t+1"). Reported as the SIGNED squared cosine between
+    * the two per-label centroid directions, in ppm, with zero floating
+    * point: components quantize to ⌊x·quant⌋ (floor — exact in any
+    * engine, unlike round), per-label component sums are exact int64,
+    * and
+    *
+    *   cos²_ppm = sign(Σ sa·sb) · ((Σ sa·sb)²·10⁶ DIV Σ sa² DIV Σ sb²)
+    *
+    * in DECIMAL(38,0) with the two-stage sign-factored divide (the
+    * [[graft.ops.Stats.pearsonCorr]] convention). 10⁶ = parallel
+    * centroids (no drift), 0 = orthogonal or a degenerate zero centroid,
+    * negative = the direction flipped. The unnormalized sums ARE the
+    * centroid directions (n divides out of cos), so no per-label mean is
+    * ever materialized.
+    *
+    * Scale shape: each snapshot fans (label, dim, quantized x) rows and
+    * collapses map-side to |labels|·dim sums; the join and everything
+    * after are label×dim-bounded. Labels must appear in BOTH snapshots
+    * to report (inner join — a label absent from one side has no drift
+    * to measure).
+    */
+  def centroidDrift(
+      a: DataFrame,
+      b: DataFrame,
+      labelCol: String,
+      vecCol: String,
+      quant: Int = 100): DataFrame = {
+    require(quant >= 1, s"quant must be >= 1, got $quant")
+    val dec = "decimal(38,0)"
+    def sums(df: DataFrame, tag: String): DataFrame = df
+      .select(col(labelCol).cast("long").as("label"),
+        posexplode(col(vecCol)).as(Seq("d", "__x")))
+      .groupBy("label", "d")
+      // explicit float→double BEFORE the multiply: float×int arithmetic
+      // differs across engines near floor boundaries; double is IEEE-
+      // identical everywhere.
+      .agg(sum(expr(s"CAST(floor(CAST(__x AS DOUBLE) * $quant) AS BIGINT)"))
+        .as(s"__s_$tag"),
+        count(lit(1)).as(s"__n_$tag"))
+    sums(a, "a").join(sums(b, "b"), Seq("label", "d"))
+      .groupBy("label")
+      .agg(max(col("__n_a")).as("n_a"), max(col("__n_b")).as("n_b"),
+        sum(col("__s_a").cast(dec) * col("__s_b")).as("__dot"),
+        sum(col("__s_a").cast(dec) * col("__s_a")).as("__aa"),
+        sum(col("__s_b").cast(dec) * col("__s_b")).as("__bb"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        expr("""CAST(CASE WHEN __aa = 0 OR __bb = 0 THEN 0 ELSE
+          (CASE WHEN __dot >= 0 THEN 1 ELSE -1 END) *
+          (((__dot * __dot * 1000000) DIV __aa) DIV __bb) END AS BIGINT)""")
+          .as("cos2_ppm"))
+  }
 }

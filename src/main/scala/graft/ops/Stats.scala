@@ -269,6 +269,60 @@ object Stats {
           .otherwise(lit(0.0)).as("mean"))
   }
 
+  /** Generic two-way categorical independence test — the contingency χ²
+    * between any two discrete columns (source × language, event type ×
+    * user cohort), the corpus-composition audit behind "does attribute A
+    * predict attribute B". With O the observed cell count, R/C the row/
+    * column margins and N the total, the per-cell contribution
+    *
+    *   (O − E)²/E = (O·N − R·C)² / (N·R·C)
+    *
+    * is computed as the integer ⌊10⁶·(O·N − R·C)²  DIV (N·R·C)⌋ in
+    * DECIMAL(38,0) and SUMMED — chi2_scaled is 10⁶ × the χ² statistic up
+    * to the per-cell floors (the sum-of-floors convention: deterministic
+    * and engine-replayable, error < #cells µ-units). Absent cells (O = 0
+    * with nonzero margins) contribute ⌊10⁶·R·C DIV N⌋ via the same
+    * formula, accounted exactly by iterating the DENSE margin cross, not
+    * the observed cells — the margin cross join is |rows|×|cols|, bounded
+    * by the categorical cardinalities, never the corpus.
+    *
+    * Output (one row): n, n_rows, n_cols, dof, chi2_scaled.
+    *
+    * Scale shape: one (a, b) combine for cells, two margin re-aggregates
+    * of the CELL table, a broadcast 1-row total; everything after the
+    * first combine is category-bounded.
+    */
+  def crosstabChi2(
+      df: DataFrame,
+      aCol: Column,
+      bCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.select(aCol.cast("string").as("a"), bCol.cast("string").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rowM = cells.groupBy("a").agg(sum(col("o")).as("r"))
+    val colM = cells.groupBy("b").agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("n_total"),
+      countDistinct(col("a")).as("n_rows"), countDistinct(col("b")).as("n_cols"))
+    val dense = rowM.crossJoin(colM)
+      .join(cells, Seq("a", "b"), "left")
+      .select(col("r"), col("c"), coalesce(col("o"), lit(0L)).as("o"))
+    val out = dense.crossJoin(broadcast(tot))
+      .select(expr(s"CAST(o AS $dec) * n_total - CAST(r AS $dec) * c").as("__d"),
+        col("n_total"), col("n_rows"), col("n_cols"),
+        expr(s"CAST(n_total AS $dec) * r * c").as("__den"))
+      .select(col("n_total"), col("n_rows"), col("n_cols"),
+        expr("CASE WHEN __den = 0 THEN 0L " +
+          "ELSE (__d * __d * 1000000) DIV __den END").as("__contrib"))
+      .groupBy("n_total", "n_rows", "n_cols")
+      .agg(sum(col("__contrib")).cast("long").as("chi2_scaled"))
+      .select(col("n_total").as("n"), col("n_rows"), col("n_cols"),
+        ((col("n_rows") - 1) * (col("n_cols") - 1)).as("dof"),
+        col("chi2_scaled"))
+    out
+  }
+
   /** Per-key Pearson correlation of two integer-valued columns, reported
     * as the SIGNED squared coefficient in ppm — the linear-association
     * audit between two corpus metrics (length vs quality score, hour vs

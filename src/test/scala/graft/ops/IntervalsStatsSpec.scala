@@ -536,6 +536,29 @@ class IntervalsStatsSpec extends SparkTestBase {
     assert(aucHatch === aucExact)
   }
 
+  test("crosstabChi2: hand 2x2, empty-cell accounting, single-category dof 0") {
+    // counts (x,p)=2 (x,q)=1 (y,p)=1 (y,q)=2; N=6, all margins 3 →
+    // per cell (O·N − R·C)²·1e6 DIV (N·R·C) = 9e6 DIV 54 = 166666 ×4.
+    val df = Seq(("x", "p"), ("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"),
+      ("y", "q")).toDF("a", "b")
+    val got = Stats.crosstabChi2(df, col("a"), col("b"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got === ((6L, 2L, 2L, 1L, 666664L)))
+    // an EMPTY cell must contribute its full expectation: (x,q) absent.
+    // counts (x,p)=2 (y,p)=1 (y,q)=1; N=4, Rx=2 Ry=2 Cp=3 Cq=1.
+    //  (x,p): (8−6)²e6/24 = 166666   (x,q): (0−2)²e6/8 = 500000
+    //  (y,p): (4−6)²e6/24 = 166666   (y,q): (4−2)²e6/8 = 500000  Σ=1333332
+    val sparse = Seq(("x", "p"), ("x", "p"), ("y", "p"), ("y", "q")).toDF("a", "b")
+    val g2 = Stats.crosstabChi2(sparse, col("a"), col("b"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(g2 === ((4L, 2L, 2L, 1L, 1333332L)))
+    // one-column table: dof 0, chi2 0 (margins equal cells exactly).
+    val one = Seq(("x", "p"), ("y", "p")).toDF("a", "b")
+    val g3 = Stats.crosstabChi2(one, col("a"), col("b"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(g3 === ((2L, 2L, 1L, 0L, 0L)))
+  }
+
   test("pearsonCorr: hand moments, perfect/anti/degenerate, ties") {
     // key a: x=(1,2,3), y=(1,2,4) → cov_n=9, varx_n=6, vary_n=14 →
     //   r2_ppm = (81e6 DIV 6) DIV 14 = 964285 (true r² = .9643).

@@ -241,4 +241,32 @@ class SemDedupSpec extends SparkTestBase {
       s"within-cluster pairing must not be a cartesian product:\n$plan")
     assert(out.count() === n.toLong)
   }
+
+  test("centroidDrift: identical snapshots 1e6, orthogonal 0, flipped -1e6, " +
+      "inner-join label scope") {
+    import org.apache.spark.sql.functions.col
+    val a = Seq(
+      (1L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f)),
+      (9L, Array(1.0f, 1.0f))). // label 9 absent from b → no row
+      toDF("lab", "v")
+    val b = Seq(
+      (1L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f))).toDF("lab", "v")
+    val got = graft.ops.Similarity.centroidDrift(a, b, "lab", "v")
+      .orderBy("label").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, 2L, 1000000L),
+      (2L, 1L, 1L, 0L),
+      (3L, 1L, 1L, -1000000L)))
+    // a rotated (not flipped) centroid lands strictly between: b = (1, 1)
+    // against a = (1, 0) → cos² = 1/2 → 500000.
+    val rot = graft.ops.Similarity.centroidDrift(
+      Seq((5L, Array(1.0f, 0.0f))).toDF("lab", "v"),
+      Seq((5L, Array(1.0f, 1.0f))).toDF("lab", "v"), "lab", "v")
+      .as[(Long, Long, Long, Long)].head()
+    assert(rot === ((5L, 1L, 1L, 500000L)))
+  }
 }
