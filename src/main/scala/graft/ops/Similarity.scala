@@ -473,17 +473,26 @@ object Similarity {
       k: Int = 4,
       threshold: Double = 1.0): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    // Broadcast the LEFT (the API contract's bounded mining batch) and
-    // stream the corpus side: the cross rows are identical either way,
-    // but replicating the corpus would hit the broadcast/driver memory
-    // ceiling at scale long before cross mass matters.
-    val cross = right.select(col(rightId).as("rid"), col(rightVec).as("__rv"))
+    marginMine(bitextCross(left, leftId, leftVec, right, rightId, rightVec),
+      k, threshold)
+  }
+
+  /** The exact scored cross behind [[bitextMine]], pre-checkpoint —
+    * exposed package-private so the broadcast-side law is assertable on
+    * its plan (the checkpointed leaf in marginMine hides it from the
+    * final plan). Broadcast the LEFT (the API contract's bounded mining
+    * batch) and stream the corpus side: the cross rows are identical
+    * either way, but replicating the corpus would hit the broadcast/
+    * driver memory ceiling at scale long before cross mass matters.
+    */
+  private[ops] def bitextCross(
+      left: DataFrame, leftId: String, leftVec: String,
+      right: DataFrame, rightId: String, rightVec: String): DataFrame =
+    right.select(col(rightId).as("rid"), col(rightVec).as("__rv"))
       .join(broadcast(
         left.select(col(leftId).as("lid"), col(leftVec).as("__lv"))))
       .select(col("lid"), col("rid"),
         cosine(col("__lv"), col("__rv")).as("cos"))
-    marginMine(cross, k, threshold)
-  }
 
   /** The margin algebra shared by [[bitextMine]] (exact cross) and
     * [[bitextMineLsh]] (LSH candidates): both neighborhood averages, the
@@ -493,8 +502,16 @@ object Similarity {
     */
   private def marginMine(
       pairs: DataFrame, k: Int, threshold: Double): DataFrame = {
-    val cross =
-      pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // EAGER leaf, not a lazy persist: the three consumers below plan as
+    // broadcast-exchange jobs that run CONCURRENTLY, and concurrent jobs
+    // race past an unpopulated cache — a stage profile showed the whole
+    // candidate subtree executing three times (3 × ~1.2 s at sf0.1)
+    // behind a persist() that claimed to compute it once. The eager
+    // localCheckpoint materializes the pair table exactly once and every
+    // consumer reads the leaf. Footprint class is unchanged (persist
+    // stored the same partitions); the lineage trade is the documented
+    // Graph-loop convention.
+    val cross = pairs.localCheckpoint(true)
     def avgTopK(df: DataFrame, key: String, other: String): DataFrame =
       df.groupBy(col(key))
         .agg(graft.functions.TopKByScore.topk_by_score(
@@ -567,8 +584,14 @@ object Similarity {
       .select(explode(col("__ls")).as("lid"), col("__rs"))
       .select(col("lid"), explode(col("__rs")).as("rid"))
       .dropDuplicates("lid", "rid")
+    // The LEFT side is the API contract's bounded mining batch — hint it
+    // broadcast so the planner never picks the post-aggregate candidate
+    // table (whose size estimate is garbage) as a single-threaded build
+    // side. The corpus-side join is left unhinted: rv is a plain parquet
+    // projection with RELIABLE stats, so it broadcasts when small and
+    // shuffles at scale on its own.
     marginMine(
-      cand.join(lv, "lid").join(rv, "rid")
+      cand.join(broadcast(lv), "lid").join(rv, "rid")
         .select(col("lid"), col("rid"),
           cosine(col("__lv"), col("__rv")).as("cos")),
       k, threshold)

@@ -515,11 +515,11 @@ class SimilaritySpec extends SparkTestBase {
     val left = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
     val right = Seq((1L, Array(1.0f, 0.0f)), (3L, Array(3.0f, 4.0f)))
       .toDF("vec_id", "embedding")
-    val plan = Similarity.bitextMine(left, "vec_id", "embedding",
-      right, "vec_id", "embedding", k = 2).queryExecution.executedPlan
-    // The pair table is persisted, so the join lives inside an
-    // InMemoryRelation's cached plan (and possibly under AQE) — walk
-    // through both.
+    // Assert on the PRE-CHECKPOINT cross (bitextCross): marginMine
+    // materializes the pair table to an eager leaf, so the final plan no
+    // longer contains the cross join at all.
+    val plan = Similarity.bitextCross(left, "vec_id", "embedding",
+      right, "vec_id", "embedding").queryExecution.executedPlan
     def walk(p: org.apache.spark.sql.execution.SparkPlan)
         : Seq[org.apache.spark.sql.execution.SparkPlan] =
       p.collect { case q => q }.flatMap {
