@@ -708,17 +708,22 @@ object Graph {
       vertexCol: String,
       labelCol: String): DataFrame = {
     val dec = "decimal(38,0)"
+    // EAGER leaves, not lazy persists: totals/perC/nV below are broadcast
+    // builds that run as CONCURRENT jobs and race past an unpopulated
+    // cache, re-executing the whole upstream per consumer (the marginMine
+    // lesson). e and labeled are id/label longs — cheap to snapshot.
     val e = edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
       .where(col("u") =!= col("v") && col("u").isNotNull)
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val lab = labels.select(col(vertexCol).cast("long").as("x"),
       col(labelCol).cast("long").as("lab"))
     val labeled = e
       .join(lab.select(col("x").as("u"), col("lab").as("lu")), Seq("u"))
       .join(lab.select(col("x").as("v"), col("lab").as("lv")), Seq("v"))
+      .localCheckpoint(true)
     // Per-community degree mass from the labeled edge list directly:
     // every canonical edge contributes 1 to each endpoint's community
     // (loop-free by construction), so d_c = Σ over edge-endpoint rows.
@@ -747,7 +752,8 @@ object Graph {
           ((abs(4 * CAST(n_edges AS $dec) * intra_edges - __dd) * 1000000)
             DIV (4 * CAST(n_edges AS $dec) * n_edges)) END AS BIGINT)""")
           .as("q_ppm"))
-    e.unpersist(blocking = false)
+    // checkpointed leaves are reclaimed by the ContextCleaner when `out`
+    // becomes unreachable (the kCore convention) — no unpersist needed.
     out
   }
 
