@@ -297,10 +297,14 @@ object Stats {
       aCol: Column,
       bCol: Column): DataFrame = {
     val dec = "decimal(38,0)"
+    // EAGER leaf: the margin/total consumers below include concurrent
+    // broadcast builds, which race past a lazy cache and re-run the
+    // corpus combine per consumer (the marginMine lesson). The cell table
+    // is category-bounded — snapshotting it is cheap.
     val cells = df.select(aCol.cast("string").as("a"), bCol.cast("string").as("b"))
       .where(col("a").isNotNull && col("b").isNotNull)
       .groupBy("a", "b").agg(count(lit(1)).as("o"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val rowM = cells.groupBy("a").agg(sum(col("o")).as("r"))
     val colM = cells.groupBy("b").agg(sum(col("o")).as("c"))
     val tot = cells.agg(sum(col("o")).as("n_total"),
