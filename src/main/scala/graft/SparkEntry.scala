@@ -2089,6 +2089,13 @@ object SparkEntry {
       Curation.kAnonymityProfile(t(s, dir, "documents"),
         Seq(col("lang"), col("source"), expr("n_chars DIV 100")), k = 5)),
 
+    // Full quantile normalization of n_chars across sources: each row's
+    // score maps to the POOLED value at its within-source quantile
+    // (floor interpolation). Exact oracle via DuckDB's native ASOF JOIN.
+    "q_quantile_normalize" -> ((s, dir) =>
+      Curation.quantileNormalize(t(s, dir, "documents"), "doc_id", "source",
+        col("n_chars")).presented("id")),
+
     // Per-source exact percentile rank of n_chars (score calibration for
     // cross-source threshold cuts — the CCNet move): histogram-windowed,
     // ties share a rank, pure integer ppm. Exact oracle.
@@ -4182,6 +4189,33 @@ object SparkEntry {
         |     (coalesce(sum(CASE WHEN c < 5 THEN c END), 0) * 1000000)
         |       // sum(c) ELSE 0 END AS BIGINT) AS risk_ppm
         | FROM g""".stripMargin,
+    "q_quantile_normalize" ->
+      """WITH st AS (SELECT doc_id AS id, source::VARCHAR AS grp,
+        |     n_chars::BIGINT AS score FROM documents),
+        | h AS (SELECT grp, score, count(*)::BIGINT AS c
+        |   FROM st GROUP BY 1, 2),
+        | rk AS (SELECT grp, score,
+        |     CASE WHEN n > 1 THEN (lt * 1000000) // (n - 1) ELSE 0 END
+        |       AS ppm
+        |   FROM (SELECT grp, score,
+        |       coalesce(sum(c) OVER (PARTITION BY grp ORDER BY score
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         AS lt,
+        |       sum(c) OVER (PARTITION BY grp) AS n FROM h)),
+        | ph AS (SELECT score AS pscore, count(*)::BIGINT AS c
+        |   FROM st GROUP BY 1),
+        | pr AS (SELECT pscore,
+        |     CASE WHEN n > 1 THEN (lt * 1000000) // (n - 1) ELSE 0 END
+        |       AS ppm
+        |   FROM (SELECT pscore,
+        |       coalesce(sum(c) OVER (ORDER BY pscore
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         AS lt,
+        |       sum(c) OVER () AS n FROM ph)),
+        | mp AS (SELECT rk.grp, rk.score, pr.pscore AS norm_score
+        |   FROM rk ASOF JOIN pr ON rk.ppm >= pr.ppm)
+        | SELECT st.id, st.grp, st.score, mp.norm_score
+        | FROM st JOIN mp USING (grp, score) ORDER BY st.id""".stripMargin,
     "q_source_score_rank" ->
       """WITH h AS (SELECT source AS grp, n_chars AS score,
         |     count(*)::BIGINT AS c FROM documents GROUP BY 1, 2),

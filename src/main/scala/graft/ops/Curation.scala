@@ -1450,6 +1450,72 @@ object Curation {
           .as("risk_ppm"))
   }
 
+  /** Cross-source QUANTILE NORMALIZATION of a score column — the full
+    * version of [[perGroupScoreRank]]'s calibration: each row's score is
+    * replaced by the POOLED distribution's value at the row's
+    * within-group quantile, so thresholds and mixtures computed on the
+    * normalized score treat every source identically regardless of its
+    * raw score distribution (the quantile-mapping move from
+    * bioinformatics batch correction, applied to corpus quality scores).
+    * Exact integer semantics: ranks are [[perGroupScoreRank]]'s
+    * ⌊10⁶·lt/(n−1)⌋; the mapped value is the pooled score at the LARGEST
+    * pooled rank ≤ the row's rank (floor interpolation — the pooled
+    * minimum has rank 0, so a match always exists).
+    *
+    * Scale shape: both rank tables live on (group, score) HISTOGRAMS
+    * (value-bounded), the floor-match is one merge-window over the
+    * union of the two bounded tables (single partition BY DESIGN — it
+    * holds distinct scores, never rows; the vocabCoverage convention),
+    * and rows join the finished mapping back on (group, score). Output:
+    * (id, grp, score, norm_score).
+    */
+  def quantileNormalize(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      scoreCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val staged = df.select(col(idCol).as("id"),
+      col(groupCol).cast("string").as("grp"),
+      scoreCol.cast("long").as("score"))
+    val hist = staged.groupBy("grp", "score").agg(count(lit(1)).as("__c"))
+    val wg = Window.partitionBy("grp").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist.select(col("grp"), col("score"),
+      coalesce(sum(col("__c")).over(wg), lit(0L)).as("__lt"),
+      sum(col("__c")).over(Window.partitionBy("grp")).as("__n"))
+      .select(col("grp"), col("score"),
+        expr("CASE WHEN __n > 1 THEN (__lt * 1000000) DIV (__n - 1) ELSE 0 END")
+          .as("__ppm"))
+    val pooledHist = staged.groupBy("score").agg(count(lit(1)).as("__c"))
+    val wp = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pooled = pooledHist.select(col("score").as("__pscore"),
+      coalesce(sum(col("__c")).over(wp), lit(0L)).as("__lt"),
+      sum(col("__c")).over().as("__n"))
+      .select(col("__pscore"),
+        expr("CASE WHEN __n > 1 THEN (__lt * 1000000) DIV (__n - 1) ELSE 0 END")
+          .as("__ppm"))
+    // Floor-match on the union: pooled boundaries sort BEFORE group
+    // entries at equal ppm (side 0 < 1), so last(ignoreNulls) is the
+    // largest pooled rank ≤ the entry's rank.
+    val merged = ranked
+      .select(col("grp"), col("score"), col("__ppm"), lit(1).as("__side"),
+        lit(null).cast("long").as("__pscore"))
+      .unionByName(pooled.select(lit(null).cast("string").as("grp"),
+        lit(null).cast("long").as("score"), col("__ppm"),
+        lit(0).as("__side"), col("__pscore")))
+    val wm = Window.orderBy(col("__ppm"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mapping = merged
+      .select(col("grp"), col("score"), col("__side"),
+        last(col("__pscore"), ignoreNulls = true).over(wm).as("norm_score"))
+      .where(col("__side") === 1)
+      .select(col("grp"), col("score"), col("norm_score"))
+    staged.join(mapping, Seq("grp", "score"))
+      .select(col("id"), col("grp"), col("score"), col("norm_score"))
+  }
+
   /** Per-group exact percentile rank of a score column — the score-
     * calibration step before cross-source threshold cuts: raw quality
     * scores are not comparable across sources (different length/ratio

@@ -795,6 +795,35 @@ class CurationSpec extends SparkTestBase {
     assert(ok === ((6L, 2L, 3L, 0L, 0L, 0L, 0L)))
   }
 
+  test("quantileNormalize: within-group quantiles map onto pooled values, " +
+      "floor interpolation, min always matches") {
+    // pooled scores: 10,20,30,40 each once (n=4): pooled ranks 0, 333333,
+    // 666666, 1000000.
+    // g1 = {10, 20}: ranks 0, 1e6 → norm 10, 40.
+    // g2 = {30, 40}: ranks 0, 1e6 → norm 10, 40 — the point of the op:
+    //   g2's LOW score normalizes to the pooled LOW value.
+    val df = Seq((1L, "g1", 10L), (2L, "g1", 20L), (3L, "g2", 30L),
+      (4L, "g2", 40L)).toDF("doc", "src", "s")
+    val got = Curation.quantileNormalize(df, "doc", "src", col("s"))
+      .orderBy("id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, "g1", 10L, 10L), (2L, "g1", 20L, 40L),
+      (3L, "g2", 30L, 10L), (4L, "g2", 40L, 40L)))
+    // floor interpolation: a 3-row group's middle rank (500000) has no
+    // exact pooled match — it takes the LARGEST pooled rank below it.
+    // pooled = {1,2,3,4,5,6} ranks 0,200000,...,1e6; g's mid rank 500000
+    // → pooled 400000 → value 3.
+    val df2 = ((1L to 6L).map(v => (v, "p", v)) ++
+      Seq((10L, "g", 100L), (11L, "g", 200L), (12L, "g", 300L)))
+      .toDF("doc", "src", "s")
+    val got2 = Curation.quantileNormalize(df2, "doc", "src", col("s"))
+      .where(col("grp") === "g").orderBy("id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // pooled here = {1..6, 100, 200, 300} (9 values, ranks k/8): g's mid
+    // rank 500000 → largest pooled rank ≤ 500000 is 4/8 = 500000 → the
+    // 5th pooled value = 5.
+    assert(got2.map(_._4) === Seq(1L, 5L, 300L))
+  }
+
   test("perGroupScoreRank: ties share a rank, min is 0, unique max is 1e6, " +
       "single-row group is 0") {
     // group g1 scores: 10, 20, 20, 30 (n=4):
