@@ -2089,6 +2089,14 @@ object SparkEntry {
       Curation.kAnonymityProfile(t(s, dir, "documents"),
         Seq(col("lang"), col("source"), expr("n_chars DIV 100")), k = 5)),
 
+    // Shuffle-quality audit: same-source run counts per shard vs the
+    // random-permutation expectation (doc_id order, shard = doc_id % 4) —
+    // exact integer oracle replays runs, key histogram and ratio.
+    "q_shuffle_audit" -> ((s, dir) =>
+      Curation.shuffleQualityAudit(
+        t(s, dir, "documents").withColumn("shard", col("doc_id") % 4),
+        "shard", col("doc_id"), col("source")).presented("shard")),
+
     // Full quantile normalization of n_chars across sources: each row's
     // score maps to the POOLED value at its within-source quantile
     // (floor interpolation). Exact oracle via DuckDB's native ASOF JOIN.
@@ -4189,6 +4197,25 @@ object SparkEntry {
         |     (coalesce(sum(CASE WHEN c < 5 THEN c END), 0) * 1000000)
         |       // sum(c) ELSE 0 END AS BIGINT) AS risk_ppm
         | FROM g""".stripMargin,
+    "q_shuffle_audit" ->
+      """WITH st AS (SELECT doc_id % 4 AS shard, doc_id AS o,
+        |     source::VARCHAR AS k FROM documents),
+        | r AS (SELECT shard, count(*) AS n,
+        |     sum(CASE WHEN pk IS NULL OR pk <> k THEN 1 ELSE 0 END) AS runs
+        |   FROM (SELECT shard, k,
+        |       lag(k) OVER (PARTITION BY shard ORDER BY o) AS pk FROM st)
+        |   GROUP BY shard),
+        | m AS (SELECT shard, sum(c * (c - 1))::HUGEINT AS cc,
+        |     count(*) AS n_keys
+        |   FROM (SELECT shard, k, count(*)::BIGINT AS c FROM st
+        |     GROUP BY 1, 2)
+        |   GROUP BY shard)
+        | SELECT r.shard, r.n::BIGINT AS n, m.n_keys::BIGINT AS n_keys,
+        |   r.runs::BIGINT AS runs,
+        |   CAST(CASE WHEN r.n::HUGEINT * r.n - m.cc <= 0 THEN 1000000
+        |     ELSE (r.runs::HUGEINT * r.n * 1000000)
+        |       // (r.n::HUGEINT * r.n - m.cc) END AS BIGINT) AS ratio_ppm
+        | FROM r JOIN m USING (shard) ORDER BY r.shard""".stripMargin,
     "q_quantile_normalize" ->
       """WITH st AS (SELECT doc_id AS id, source::VARCHAR AS grp,
         |     n_chars::BIGINT AS score FROM documents),

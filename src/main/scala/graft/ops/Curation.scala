@@ -1450,6 +1450,55 @@ object Curation {
           .as("risk_ppm"))
   }
 
+  /** Shuffle-quality audit of a training-data layout — "is this epoch
+    * actually shuffled?": per shard, the number of RUNS of consecutive
+    * same-key rows (key = source/domain/language) in the serving order,
+    * against the expectation under a uniform random permutation of the
+    * same shard. Long same-source runs starve batch diversity; a
+    * run-count far below expectation is the signature of a sort that
+    * leaked into the layout. With per-key counts c_k and n rows,
+    * E[runs] = n − Σc_k(c_k−1)/n, reported exactly as
+    *
+    *   ratio_ppm = ⌊10⁶ · runs · n  DIV  (n² − Σc_k(c_k−1))⌋
+    *
+    * (≈10⁶ = random-quality mixing, « 10⁶ = clumped, single-key shards
+    * report 10⁶ by convention — nothing to mix). Pure integer.
+    *
+    * Scale shape: ONE lag comparison per row windowed BY SHARD — shards
+    * are this library's bounded parallel unit ([[epochShuffle]]/
+    * [[packStream]] size them), so the per-partition sort is bounded by
+    * construction, the same contract those operators already carry. The
+    * run count and the key histogram then collapse map-side; output is
+    * one row per shard.
+    */
+  def shuffleQualityAudit(
+      df: DataFrame,
+      shardCol: String,
+      orderCol: Column,
+      keyCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val staged = df.select(col(shardCol).as("shard"), orderCol.as("__o"),
+      keyCol.cast("string").as("__k"))
+    val w = Window.partitionBy("shard").orderBy("__o")
+    val runs = staged
+      .select(col("shard"),
+        (lag(col("__k"), 1).over(w).isNull ||
+          lag(col("__k"), 1).over(w) =!= col("__k")).cast("long").as("__brk"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n"), sum(col("__brk")).as("runs"))
+    val mass = staged.groupBy("shard", "__k").agg(count(lit(1)).as("__c"))
+      .groupBy("shard")
+      .agg(sum(col("__c") * (col("__c") - 1)).as("__cc"),
+        count(lit(1)).as("n_keys"))
+    runs.join(mass, "shard")
+      .select(col("shard"), col("n"), col("n_keys"), col("runs"),
+        expr(s"""CAST(CASE WHEN n * CAST(n AS $dec) - __cc <= 0 THEN 1000000
+          ELSE (CAST(runs AS $dec) * n * 1000000)
+            DIV (n * CAST(n AS $dec) - __cc) END AS BIGINT)""")
+          .as("ratio_ppm"))
+  }
+
   /** Cross-source QUANTILE NORMALIZATION of a score column — the full
     * version of [[perGroupScoreRank]]'s calibration: each row's score is
     * replaced by the POOLED distribution's value at the row's

@@ -795,6 +795,22 @@ class CurationSpec extends SparkTestBase {
     assert(ok === ((6L, 2L, 3L, 0L, 0L, 0L, 0L)))
   }
 
+  test("shuffleQualityAudit: clumped below 1e6, alternating above, " +
+      "single-key shard reports 1e6") {
+    // shard A ordered keys a,a,b,b: runs 2, cc = 2+2 = 4, denom 16−4=12 →
+    //   ratio = 2·4·1e6 DIV 12 = 666666 (clumped).
+    // shard B ordered a,b,a,b: runs 4 → 1333333 (better than random).
+    // shard C all one key: runs 1, denom n → 1e6 by the algebra itself.
+    val df = Seq(
+      ("A", 1L, "a"), ("A", 2L, "a"), ("A", 3L, "b"), ("A", 4L, "b"),
+      ("B", 1L, "a"), ("B", 2L, "b"), ("B", 3L, "a"), ("B", 4L, "b"),
+      ("C", 1L, "z"), ("C", 2L, "z"), ("C", 3L, "z")).toDF("sh", "o", "k")
+    val got = Curation.shuffleQualityAudit(df, "sh", col("o"), col("k"))
+      .orderBy("shard").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("A", 4L, 2L, 2L, 666666L),
+      ("B", 4L, 2L, 4L, 1333333L), ("C", 3L, 1L, 1L, 1000000L)))
+  }
+
   test("quantileNormalize: within-group quantiles map onto pooled values, " +
       "floor interpolation, min always matches") {
     // pooled scores: 10,20,30,40 each once (n=4): pooled ranks 0, 333333,
