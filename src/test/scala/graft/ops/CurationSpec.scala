@@ -795,6 +795,52 @@ class CurationSpec extends SparkTestBase {
     assert(ok === ((6L, 2L, 3L, 0L, 0L, 0L, 0L)))
   }
 
+  test("quantileNormalize properties on random data: within-group " +
+      "monotone, image inside the pooled value set, min maps to min") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(60, for {
+      g <- Gen.oneOf("s0", "s1", "s2")
+      v <- Gen.choose(-50L, 50L)
+    } yield (g, v))
+    for (i <- 0 until 3) {
+      val rows = gen(Gen.Parameters.default, Seed(11L + i)).get
+        .zipWithIndex.map { case ((g, v), id) => (id.toLong, g, v) }
+      val df = rows.toDF("doc", "src", "s")
+      val out = Curation.quantileNormalize(df, "doc", "src", col("s"))
+        .as[(Long, String, Long, Long)].collect().toSeq
+      val pooledVals = rows.map(_._3).toSet
+      assert(out.forall(r => pooledVals.contains(r._4)),
+        "normalized values must come from the pooled score set")
+      out.groupBy(_._2).foreach { case (_, rs) =>
+        val sorted = rs.sortBy(_._3)
+        assert(sorted.map(_._4) === sorted.map(_._4).sorted,
+          "normalization must be monotone within a group")
+        assert(sorted.head._4 === rows.map(_._3).min,
+          "each group's minimum lands on the pooled minimum (rank 0)")
+      }
+    }
+  }
+
+  test("shuffleQualityAudit: key-sorted order has exactly n_keys runs " +
+      "(property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(40, Gen.oneOf("a", "b", "c", "d"))
+    for (i <- 0 until 3) {
+      val keys = gen(Gen.Parameters.default, Seed(23L + i)).get
+      // serving order = sorted by key: every key is one contiguous run.
+      val rows = keys.sorted.zipWithIndex.map { case (k, o) => ("S", o.toLong, k) }
+      val got = Curation.shuffleQualityAudit(rows.toDF("sh", "o", "k"),
+          "sh", col("o"), col("k"))
+        .as[(String, Long, Long, Long, Long)].head()
+      assert(got._3 === keys.distinct.size.toLong &&
+        got._4 === keys.distinct.size.toLong,
+        s"sorted layout must have runs == n_keys, got $got")
+      assert(got._5 <= 1000000L || keys.distinct.size == keys.size)
+    }
+  }
+
   test("shuffleQualityAudit: clumped below 1e6, alternating above, " +
       "single-key shard reports 1e6") {
     // shard A ordered keys a,a,b,b: runs 2, cc = 2+2 = 4, denom 16−4=12 →

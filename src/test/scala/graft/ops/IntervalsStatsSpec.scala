@@ -536,6 +536,42 @@ class IntervalsStatsSpec extends SparkTestBase {
     assert(aucHatch === aucExact)
   }
 
+  test("pearsonCorr: bounded by 1e6 and exactly invariant under positive " +
+      "affine maps (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(50, for {
+      x <- Gen.choose(-100L, 100L); y <- Gen.choose(-100L, 100L)
+    } yield (x, y))
+    for (i <- 0 until 3) {
+      val rows = gen(Gen.Parameters.default, Seed(31L + i)).get
+        .map { case (x, y) => ("k", x, y) }
+      val df = rows.toDF("k", "x", "y")
+      val base = Stats.pearsonCorr(df, "k", col("x"), col("y"))
+        .as[(String, Long, Long)].head()
+      assert(math.abs(base._3) <= 1000000L, s"|r2_ppm| must be <= 1e6: $base")
+      // x → 3x + 7: cov and var scale by the same a², and floor(a²A/a²B)
+      // = floor(A/B), so the reported integer is IDENTICAL, not merely
+      // close.
+      val aff = Stats.pearsonCorr(df, "k", col("x") * 3 + 7, col("y"))
+        .as[(String, Long, Long)].head()
+      assert(aff._3 === base._3, s"affine invariance: $aff vs $base")
+      // y → −y flips only the sign.
+      val neg = Stats.pearsonCorr(df, "k", col("x"), -col("y"))
+        .as[(String, Long, Long)].head()
+      assert(neg._3 === -base._3, s"sign flip: $neg vs $base")
+    }
+  }
+
+  test("crosstabChi2: perfect association scores exactly 1e6·N·(k−1)") {
+    // a == b bijective with equal cell counts: χ² = N·(k−1) exactly, and
+    // every per-cell floor is exact for these margins.
+    val df = Seq("p", "q").flatMap(v => Seq.fill(3)((v, v))).toDF("a", "b")
+    val got = Stats.crosstabChi2(df, col("a"), col("b"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got === ((6L, 2L, 2L, 1L, 6000000L)))
+  }
+
   test("crosstabChi2: hand 2x2, empty-cell accounting, single-category dof 0") {
     // counts (x,p)=2 (x,q)=1 (y,p)=1 (y,q)=2; N=6, all margins 3 →
     // per cell (O·N − R·C)²·1e6 DIV (N·R·C) = 9e6 DIV 54 = 166666 ×4.
