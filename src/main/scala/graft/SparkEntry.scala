@@ -5867,8 +5867,8 @@ object SparkEntry {
         | SELECT label, n_a, n_b,
         |   CAST(CASE WHEN aa = 0 OR bsq = 0 THEN 0 ELSE
         |     (CASE WHEN dot >= 0 THEN 1 ELSE -1 END) *
-        |     (((dot * dot * 1000000) // aa) // bsq) END AS BIGINT)
-        |     AS cos2_ppm
+        |     (((abs(dot) * 1000000) // aa) * abs(dot) // bsq)
+        |     END AS BIGINT) AS cos2_ppm
         | FROM j ORDER BY label""".stripMargin,
     "q_crosstab_chi2" ->
       """WITH cells AS (SELECT lang::VARCHAR AS a, source::VARCHAR AS b,

@@ -1684,10 +1684,18 @@ object Similarity {
     * engine, unlike round), per-label component sums are exact int64,
     * and
     *
-    *   cos²_ppm = sign(Σ sa·sb) · ((Σ sa·sb)²·10⁶ DIV Σ sa² DIV Σ sb²)
+    *   cos²_ppm = sign(dot) · ⌊⌊|dot|·10⁶ / aa⌋ · |dot| / bb⌋
+    *   (dot = Σ sa·sb, aa = Σ sa², bb = Σ sb²)
     *
-    * in DECIMAL(38,0) with the two-stage sign-factored divide (the
-    * [[graft.ops.Stats.pearsonCorr]] convention). 10⁶ = parallel
+    * in DECIMAL(38,0). The divide-multiply-divide ORDER is load-bearing:
+    * dot² alone overflows DECIMAL(38,0) at second-decade magnitudes
+    * (measured: 9.4e41 at 200k vectors with offset-replica components),
+    * while this form is Cauchy–Schwarz-bounded — every intermediate is
+    * ≤ 10⁶·bb — at any corpus size. It is a floor-of-floor recipe, not
+    * the exact floor of the real quotient (off by at most a few µ), and
+    * both engines replay the identical recipe bit-for-bit (the
+    * [[graft.ops.Stats.pearsonCorr]] sign-factoring convention). 10⁶ =
+    * parallel
     * centroids (no drift), 0 = orthogonal or a degenerate zero centroid,
     * negative = the direction flipped. The unnormalized sums ARE the
     * centroid directions (n divides out of cos), so no per-label mean is
@@ -1726,7 +1734,8 @@ object Similarity {
       .select(col("label"), col("n_a"), col("n_b"),
         expr("""CAST(CASE WHEN __aa = 0 OR __bb = 0 THEN 0 ELSE
           (CASE WHEN __dot >= 0 THEN 1 ELSE -1 END) *
-          (((__dot * __dot * 1000000) DIV __aa) DIV __bb) END AS BIGINT)""")
+          (((abs(__dot) * 1000000) DIV __aa) * abs(__dot) DIV __bb)
+          END AS BIGINT)""")
           .as("cos2_ppm"))
   }
 }
