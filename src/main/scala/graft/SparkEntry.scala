@@ -5903,8 +5903,10 @@ object SparkEntry {
         | SELECT key, CAST(n AS BIGINT) AS n,
         |   CAST(CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0 THEN 0
         |     ELSE (CASE WHEN n*sxy - sx*sy >= 0 THEN 1 ELSE -1 END) *
-        |       (((abs(n*sxy - sx*sy) * abs(n*sxy - sx*sy) * 1000000)
-        |         // (n*sxx - sx*sx)) // (n*syy - sy*sy)) END AS BIGINT)
+        |       CAST(floor(1000000.0 *
+        |         (abs(n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE) *
+        |         (abs(n*sxy - sx*sy)::DOUBLE / (n*syy - sy*sy)::DOUBLE))
+        |         AS BIGINT) END AS BIGINT)
         |     AS r2_ppm
         | FROM m ORDER BY key""".stripMargin,
     "q_trend_slopes" ->

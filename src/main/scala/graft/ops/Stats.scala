@@ -333,20 +333,25 @@ object Stats {
     * volume) with zero floating point:
     *
     *   cov_n  = n·Σxy − Σx·Σy      varx_n = n·Σx² − (Σx)²   (y alike)
-    *   r2_ppm = sign(cov_n) · ((cov_n² · 10⁶) DIV varx_n DIV vary_n)
+    *   r2_ppm = sign(cov_n) · ⌊10⁶ · (|cov_n|/varx_n) · (|cov_n|/vary_n)⌋
     *
-    * All five moments are exact int64 sums lifted to DECIMAL(38,0) for
-    * the products; Cauchy–Schwarz bounds the result in [−10⁶, 10⁶]. The
-    * two-STAGE divide is the determinism convention (a single divide by
-    * varx·vary can overflow DECIMAL(38,0) at corpus moments; dividing by
-    * each factor in turn is replayable bit-for-bit in any engine with
-    * floor semantics — operands are non-negative once the sign is
-    * factored, so floor and truncation agree). Keys with a constant x or
-    * y report 0 (no linear association is measurable), with the moments
-    * exposed so the caller can tell degenerate from uncorrelated.
+    * Inputs are CENTERED per key by their minimum before any product —
+    * translation cancels EXACTLY in the integer moment identities (the
+    * c·d terms vanish algebraically, so the result is bit-identical to
+    * the uncentered algebra whenever both fit), and centering is what
+    * keeps timestamp-magnitude columns inside the DECIMAL(38,0) moment
+    * envelope (n·Σx² needs n·range² ≤ ~10³⁸ — raw epoch-millis break it
+    * at corpus row counts, per-key ranges don't). The five moments are
+    * exact int64-in-DECIMAL sums; the final ratio is ONE fixed IEEE
+    * chain over them (two correctly-rounded divides, two multiplies,
+    * floor — the [[abTest]] double convention: any engine replays the
+    * identical bits), Cauchy–Schwarz-bounded in [−10⁶, 10⁶]. Keys with a
+    * constant x or y report 0 (no linear association is measurable).
     *
-    * Scale shape: ONE map-side-combined aggregation per key — six longs
-    * on the wire per key, rows never shuffle.
+    * Scale shape: one narrow combine for the per-key minima (broadcast
+    * back — the table is key-cardinality-bounded), then ONE map-side-
+    * combined aggregation per key — six longs on the wire per key, rows
+    * never shuffle.
     */
   def pearsonCorr(
       df: DataFrame,
@@ -354,8 +359,13 @@ object Stats {
       xCol: Column,
       yCol: Column): DataFrame = {
     val dec = "decimal(38,0)"
-    df.select(col(keyCol).as("key"),
-        xCol.cast("long").as("__x"), yCol.cast("long").as("__y"))
+    val staged = df.select(col(keyCol).as("key"),
+      xCol.cast("long").as("__x0"), yCol.cast("long").as("__y0"))
+    val mins = staged.groupBy("key")
+      .agg(min(col("__x0")).as("__mx"), min(col("__y0")).as("__my"))
+    staged.join(broadcast(mins), "key")
+      .select(col("key"), (col("__x0") - col("__mx")).as("__x"),
+        (col("__y0") - col("__my")).as("__y"))
       .groupBy("key")
       // Moments accumulate in DECIMAL(38,0): x·x at timestamp magnitudes
       // (10¹²)² = 10²⁴ silently wraps an int64 partial sum.
@@ -366,14 +376,15 @@ object Stats {
         sum(col("__y").cast(dec) * col("__y")).as("__syy"),
         sum(col("__x").cast(dec) * col("__y")).as("__sxy"))
       .select(col("key"), col("n"),
-        expr(s"""CAST(CASE WHEN (n * CAST(__sxx AS $dec) - CAST(__sx AS $dec) * __sx) = 0
-              OR (n * CAST(__syy AS $dec) - CAST(__sy AS $dec) * __sy) = 0 THEN 0
-          ELSE (CASE WHEN n * CAST(__sxy AS $dec) - CAST(__sx AS $dec) * __sy >= 0
-                THEN 1 ELSE -1 END) *
-            (((abs(n * CAST(__sxy AS $dec) - CAST(__sx AS $dec) * __sy)
-               * abs(n * CAST(__sxy AS $dec) - CAST(__sx AS $dec) * __sy) * 1000000)
-              DIV (n * CAST(__sxx AS $dec) - CAST(__sx AS $dec) * __sx))
-              DIV (n * CAST(__syy AS $dec) - CAST(__sy AS $dec) * __sy))
+        expr(s"""n * CAST(__sxy AS $dec) - CAST(__sx AS $dec) * __sy""").as("__cov"),
+        expr(s"""n * CAST(__sxx AS $dec) - CAST(__sx AS $dec) * __sx""").as("__vx"),
+        expr(s"""n * CAST(__syy AS $dec) - CAST(__sy AS $dec) * __sy""").as("__vy"))
+      .select(col("key"), col("n"),
+        expr("""CAST(CASE WHEN __vx = 0 OR __vy = 0 THEN 0
+          ELSE (CASE WHEN __cov >= 0 THEN 1 ELSE -1 END) *
+            CAST(FLOOR(1000000.0D *
+              (CAST(abs(__cov) AS DOUBLE) / CAST(__vx AS DOUBLE)) *
+              (CAST(abs(__cov) AS DOUBLE) / CAST(__vy AS DOUBLE))) AS BIGINT)
           END AS BIGINT)""").as("r2_ppm"))
   }
 
