@@ -5883,9 +5883,9 @@ object SparkEntry {
         |     coalesce(cells.o, 0)::HUGEINT AS o
         |   FROM rm CROSS JOIN cm
         |   LEFT JOIN cells ON cells.a = rm.a AND cells.b = cm.b),
-        | k AS (SELECT CASE WHEN t.n * r * c = 0 THEN 0
-        |     ELSE ((o * t.n - r * c) * (o * t.n - r * c) * 1000000)
-        |       // (t.n * r * c) END AS contrib
+        | k AS (SELECT CASE WHEN t.n * r = 0 OR c = 0 THEN 0
+        |     ELSE ((abs(o * t.n - r * c) * 1000000) // (t.n * r))
+        |       * abs(o * t.n - r * c) // c END AS contrib
         |   FROM dense, t)
         | SELECT CAST(t.n AS BIGINT) AS n, t.nr AS n_rows, t.nc AS n_cols,
         |   (t.nr - 1) * (t.nc - 1) AS dof,

@@ -277,10 +277,14 @@ object Stats {
     *
     *   (O − E)²/E = (O·N − R·C)² / (N·R·C)
     *
-    * is computed as the integer ⌊10⁶·(O·N − R·C)²  DIV (N·R·C)⌋ in
-    * DECIMAL(38,0) and SUMMED — chi2_scaled is 10⁶ × the χ² statistic up
-    * to the per-cell floors (the sum-of-floors convention: deterministic
-    * and engine-replayable, error < #cells µ-units). Absent cells (O = 0
+    * is computed as the integer ⌊⌊|O·N − R·C|·10⁶ DIV (N·R)⌋·|O·N − R·C|
+    * DIV C⌋ in DECIMAL(38,0) and SUMMED — chi2_scaled is 10⁶ × the χ²
+    * statistic up to the per-cell floors (the sum-of-floors convention:
+    * deterministic and engine-replayable). The divide-multiply-divide
+    * ORDER is load-bearing: the single-numerator form squares
+    * |O·N − R·C| ≤ N² first and overflows DECIMAL(38,0) past N ≈ 10⁸
+    * rows, while every intermediate of this form is ≤ 10⁶·N²
+    * (the centroidDrift lesson). Absent cells (O = 0
     * with nonzero margins) contribute ⌊10⁶·R·C DIV N⌋ via the same
     * formula, accounted exactly by iterating the DENSE margin cross, not
     * the observed cells — the margin cross join is |rows|×|cols|, bounded
@@ -313,12 +317,12 @@ object Stats {
       .join(cells, Seq("a", "b"), "left")
       .select(col("r"), col("c"), coalesce(col("o"), lit(0L)).as("o"))
     val out = dense.crossJoin(broadcast(tot))
-      .select(expr(s"CAST(o AS $dec) * n_total - CAST(r AS $dec) * c").as("__d"),
+      .select(expr(s"abs(CAST(o AS $dec) * n_total - CAST(r AS $dec) * c)").as("__d"),
         col("n_total"), col("n_rows"), col("n_cols"),
-        expr(s"CAST(n_total AS $dec) * r * c").as("__den"))
+        expr(s"CAST(n_total AS $dec) * r").as("__nr"), col("c"))
       .select(col("n_total"), col("n_rows"), col("n_cols"),
-        expr("CASE WHEN __den = 0 THEN 0L " +
-          "ELSE (__d * __d * 1000000) DIV __den END").as("__contrib"))
+        expr("CASE WHEN __nr = 0 OR c = 0 THEN 0L " +
+          "ELSE ((__d * 1000000) DIV __nr) * __d DIV c END").as("__contrib"))
       .groupBy("n_total", "n_rows", "n_cols")
       .agg(sum(col("__contrib")).cast("long").as("chi2_scaled"))
       .select(col("n_total").as("n"), col("n_rows"), col("n_cols"),
