@@ -6078,8 +6078,8 @@ object SparkEntry {
         | SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
         |   CAST(dn AS BIGINT) AS d_num,
         |   CAST((dn * 1000000) // (na * nb) AS BIGINT) AS ks_ppm,
-        |   CAST(dn * dn * 1000000 > 1844164 * (na + nb) * na * nb AS INT)
-        |     AS reject_05
+        |   CAST(((dn * 1000000) // (na * nb)) * dn > 1844164 * (na + nb)
+        |     AS INT) AS reject_05
         | FROM g""".stripMargin,
     "q_kappa" ->
       """WITH d AS (SELECT lang AS a,

@@ -944,9 +944,12 @@ object Stats {
     *
     * reported as `ks_ppm` = ⌊10⁶·D⌋, plus `reject_05` — the asymptotic
     * α = 0.05 verdict D > 1.358·√((N_a+N_b)/(N_a·N_b)) evaluated with
-    * both sides SQUARED so it stays in integer arithmetic
-    * (D_num²·10⁶ > 1844164·(N_a+N_b)·N_a·N_b, 1844164 = ⌊10⁶·1.358²⌋;
-    * all products in DECIMAL(38,0) — exact past any int64 cliff).
+    * both sides squared AND pre-divided by N_a·N_b so it stays inside
+    * DECIMAL(38,0) at any corpus size:
+    * ⌊D_num·10⁶ DIV (N_a·N_b)⌋·D_num > 1844164·(N_a+N_b), with
+    * 1844164 = ⌊10⁶·1.358²⌋ (the raw D_num²·10⁶ form overflows past
+    * ~5·10⁷ rows per side; the floored left side only UNDERSTATES, so
+    * the verdict stays conservative — the knee's own attitude).
     *
     * Scale shape: the corpus collapses to a per-VALUE histogram in one
     * map-side combine; the running sums order that value-bounded
@@ -988,9 +991,10 @@ object Stats {
         expr("""CAST((__dn * 1000000)
                 DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)""")
           .as("ks_ppm"),
-        expr("""CAST(__dn * __dn * 1000000 >
+        expr("""CAST(((__dn * 1000000)
+                  DIV (CAST(n_a AS DECIMAL(38,0)) * n_b)) * __dn >
                 1844164 * (CAST(n_a AS DECIMAL(38,0)) + n_b)
-                  * n_a * n_b AS INT)""").as("reject_05"))
+                  AS INT)""").as("reject_05"))
   }
 
   /** Cohen's κ inter-rater agreement — the labeled-data audit run before
