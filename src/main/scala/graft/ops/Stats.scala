@@ -76,12 +76,11 @@ object Stats {
     * The flag is computed in PURE INTEGER arithmetic — |x − μ| > zσ with
     * μ = S/n and σ² = (nQ − S²)/n² is equivalent to
     * `(n·x − S)² > z²·(nQ − S²)` (multiply through by n²) where S = Σx and
-    * Q = Σx² are exact int64 sums — so the verdict is bit-identical across
-    * engines with no floating-point divergence. Longs hold it comfortably:
-    * at 1e6 buckets of 1e6 events, n·x ≈ 1e12 and (n·x − S)² ≈ 1e24
-    * overflows — for that regime scale counts down or use DECIMAL; at log
-    * volumes (thousands of buckets per key) everything fits with ~6 orders
-    * of headroom.
+    * Q = Σx² are exact sums carried in DECIMAL(38,0) — so the verdict is
+    * bit-identical across engines with no floating-point divergence, and
+    * the old int64 cliff ((n·x − S)² wrapped at ~10⁶ buckets of 10⁶
+    * events) is gone: decimal holds the squared deviation exactly to
+    * n·x ≈ 10¹⁹ — beyond any log volume.
     *
     * Shape at scale: the raw stream collapses to one row per (key, bucket)
     * in the first partial-aggregating shuffle; the per-key moments table
@@ -101,12 +100,17 @@ object Stats {
     val counts = df
       .groupBy(col(keyCol), bucketCol.as("bucket"))
       .agg(count(lit(1)).as("cnt"))
+    // Moments and the flag algebra in DECIMAL(38,0): the doc's old int64
+    // envelope ((n·x − S)² wraps at ~10⁶ buckets of 10⁶ events) is gone —
+    // decimal carries every product exactly at any log volume, and the
+    // verdict stays bit-replayable (pure integer comparisons, no divide).
+    val dec = "decimal(38,0)"
     val moments = counts.groupBy(col(keyCol)).agg(
-      sum(col("cnt")).as("__s"),
-      sum(col("cnt") * col("cnt")).as("__q"),
+      sum(col("cnt").cast(dec)).as("__s"),
+      sum(col("cnt").cast(dec) * col("cnt")).as("__q"),
       count(lit(1)).as("__n"))
-    val dev = col("__n") * col("cnt") - col("__s")
-    val nVar = col("__n") * col("__q") - col("__s") * col("__s")
+    val dev = col("__n").cast(dec) * col("cnt") - col("__s")
+    val nVar = col("__n").cast(dec) * col("__q") - col("__s") * col("__s")
     counts.join(if (broadcastMoments) broadcast(moments) else moments, keyCol)
       .select(col(keyCol), col("bucket"), col("cnt"),
         (dev * dev > lit(z.toLong * z) * nVar).cast("int").as("is_anomaly"))
