@@ -5699,8 +5699,9 @@ object SparkEntry {
          | x AS (SELECT term, df, a,
          |     CASE WHEN (a + c) = 0 OR (b + dd) = 0
          |            OR (a + b) = 0 OR (c + dd) = 0 THEN CAST(0 AS BIGINT)
-         |       ELSE CAST((1000000::HUGEINT * n * (a*dd - b*c) * (a*dd - b*c))
-         |         // ((a + b)::HUGEINT * (c + dd) * (a + c) * (b + dd))
+         |       ELSE CAST((((abs(a*dd - b*c)::HUGEINT * 1000000)
+         |           // ((a + b)::HUGEINT * (c + dd)))
+         |         * abs(a*dd - b*c) // ((a + c)::HUGEINT * (b + dd))) * n
          |         AS BIGINT) END AS chi2_ppm
          |   FROM e)
          | SELECT term, CAST(df AS BIGINT) AS df, a AS n_label, chi2_ppm

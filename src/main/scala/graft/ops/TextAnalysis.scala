@@ -734,12 +734,13 @@ object TextAnalysis {
     *   c = docs w/o term, label      d = docs w/o term, ¬label
     *
     * scores χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)), reported as
-    * `chi2_ppm` = ⌊10⁶·χ²⌋ computed ENTIRELY in decimal integer
-    * arithmetic (numerator ≈ 10⁶·N⁵ overflows int64 past ~60k docs;
-    * DECIMAL(38,0) carries it to ~10⁷ docs per label shard, and the
-    * truncating integral divide matches DuckDB's HUGEINT `//` exactly —
-    * the numerator is a square, so truncation-toward-zero IS floor).
-    * Degenerate margins (a+c = 0 or b+d = 0) score 0 by convention.
+    * `chi2_ppm` ≈ ⌊10⁶·χ²⌋ computed ENTIRELY in decimal integer
+    * arithmetic via the φ²-bounded order (see the in-body comment): the
+    * single-numerator form overflowed DECIMAL(38,0) past ~10⁷ docs; the
+    * staged form holds at any corpus, truncating divides stay floor
+    * (operands non-negative), and DuckDB's HUGEINT `//` replays every
+    * stage exactly. Degenerate margins (a+c = 0 or b+d = 0) score 0 by
+    * convention.
     *
     * Scale shape: presence rows are (doc, DISTINCT term) — the label bit
     * rides the projection, so the contingency is ONE map-side-combined
@@ -769,15 +770,26 @@ object TextAnalysis {
     val c = (col("__np") - col("a")).cast(dec)
     val d = (col("__n") - col("__np") - col("df") + col("a")).cast(dec)
     val diff = a * d - b * c
-    val den = (a + b) * (c + d) * (a + c) * (b + d)
+    // φ²-bounded evaluation order (the centroidDrift lesson): χ² =
+    // N·φ²·10⁶ with φ² = diff²/((a+b)(c+d)(a+c)(b+d)) ≤ 1 computed as
+    // ⌊⌊|diff|·10⁶ DIV (a+b)(c+d)⌋·|diff| DIV (a+c)(b+d)⌋ — every
+    // intermediate ≤ 10⁶·N², then one long multiply by N (≤ 10⁶·N). The
+    // old single-numerator 10⁶·N·diff² overflowed DECIMAL(38,0) past
+    // ~10⁷ docs; this form holds to any corpus. Exact 2×2 tables (the
+    // spec fixtures) floor identically; general tables shift by ≤ N
+    // µ-units — relative error ≤ 1 ppm, and the oracle replays the same
+    // recipe bit-for-bit.
     ct.crossJoin(broadcast(totals))
       .select(col("term"), col("df"), col("a").as("n_label"),
-        (lit(1000000L).cast(dec) * col("__n").cast(dec) * diff * diff)
-          .as("__num"),
-        den.as("__den"))
+        abs(diff).as("__ad"),
+        ((a + b) * (c + d)).as("__m1"),
+        ((a + c) * (b + d)).as("__m2"),
+        col("__n"))
       .select(col("term"), col("df"), col("n_label"),
-        when(col("__den") === 0, lit(0L))
-          .otherwise(expr("__num DIV __den")).cast("long").as("chi2_ppm"))
+        when(col("__m1") === 0 || col("__m2") === 0, lit(0L))
+          .otherwise(
+            expr("(((__ad * 1000000) DIV __m1) * __ad DIV __m2) * __n"))
+          .cast("long").as("chi2_ppm"))
       .orderBy(desc("chi2_ppm"), col("term"))
       .limit(topK)
   }
