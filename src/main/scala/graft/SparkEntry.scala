@@ -958,6 +958,16 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .presented("id_a", "id_b")),
 
+    // EXACT prefix-filtered similarity join (PPJoin) — recall 1.0 by
+    // construction, so the oracle is the plain all-pairs replay: DuckDB
+    // rebuilds the string shingle sets and computes the same integer
+    // |∩| / |∪| / ppm algebra over every pair. No banding probability
+    // argument needed, unlike q_ngram_jaccard's e-15 miss bound.
+    "q_prefix_jaccard" -> ((s, dir) =>
+      Dedup.prefixJaccardPairs(docsWithDupes(s, dir), "doc_id", "text",
+        shingleK = 3, threshold = 0.8)
+        .presented("id_a", "id_b")),
+
     // Dedup threshold sensitivity curve: ONE banded pair table at τ = 0.7
     // (banding miss ≈ 4e-10 there) swept by six candidate thresholds —
     // pairs surviving and documents involved per cutoff, the curve a
@@ -3561,6 +3571,18 @@ object SparkEntry {
          |   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |     AND 5 * len(a.s) >= 4 * len(b.s) AND 5 * len(b.s) >= 4 * len(a.s))
          | WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    "q_prefix_jaccard" ->
+      s"""WITH sh AS (SELECT doc_id, $shingleSetSql AS s
+         |   FROM (SELECT doc_id, $tokensSql AS t FROM $docsWithDupesSql))
+         | SELECT id_a, id_b, inter, un, (inter * 1000000) // un AS jaccard_ppm
+         | FROM (
+         |   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |     CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+         |     CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+         |       AS BIGINT) AS un
+         |   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |     AND 5 * len(a.s) >= 4 * len(b.s) AND 5 * len(b.s) >= 4 * len(a.s))
+         | WHERE inter * 1000000 >= 800000 * un ORDER BY id_a, id_b""".stripMargin,
     "q_dupe_evidence" ->
       s"""WITH sh AS (SELECT doc_id, $shingleSetSql AS s
          |   FROM (SELECT doc_id, $tokensSql AS t FROM $docsWithDupesSql)),

@@ -1366,4 +1366,102 @@ object Dedup {
       .withColumn("verdict",
         when(col("score") >= upper, "match").otherwise("possible"))
   }
+
+  /** EXACT set-similarity self-join via prefix filtering (PPJoin — Xiao,
+    * Wang, Lin & Yu 2008; Chaudhuri, Ganti & Kaushik 2006): every pair of
+    * documents whose shingle-set Jaccard reaches `threshold`, with recall
+    * 1.0 BY CONSTRUCTION — the deterministic counterpart to the banded
+    * [[ngramJaccardPairs]] (whose e-15 miss probability is statistical).
+    *
+    * The completeness argument: order every set by ONE global total order
+    * (document frequency ascending, hash ascending — rarest first, the
+    * order that makes prefixes selective). A pair with Jaccard ≥ t has
+    * overlap ≥ ⌈t/(1+t)·(|a|+|b|)⌉; if neither side's prefix of length
+    * |s| − ⌈t·|s|⌉ + 1 contained a shared token, the shared mass would
+    * have to fit entirely in both suffixes, which are too short to hold
+    * the required overlap — so every qualifying pair collides on ≥ 1
+    * prefix token under ANY consistent total order. Three filters run
+    * before any set is touched: prefix collision, length ratio
+    * (t·|a| ≤ |b| ≤ |a|/t), and the PPJoin positional bound
+    * (1 + min(|a|−pa−1, |b|−pb−1) ≥ ⌈t/(1+t)·(|a|+|b|)⌉ for the
+    * collision positions pa, pb — a pair matching only near both TAILS
+    * cannot reach the overlap floor). Survivors verify with exact integer
+    * arithmetic: |∩| from the hashed sets, |∪| = |a| + |b| − |∩| (shingle
+    * hashes are duplicate-free), keep 10⁶·|∩| ≥ thresholdPpm·|∪|.
+    *
+    * Scale shape: the prefix shuffle carries (hash, id, size, pos) longs
+    * only — Σ prefix lengths ≈ (1−t)·Σ|sh| rows, a fifth of the banding
+    * volume at t = 0.8. Prefix tokens are each document's RAREST, so
+    * bucket sizes concentrate near 1; the `maxBucketSize` cap is a
+    * guardrail against adversarial corpora (thousands of near-identical
+    * tiny documents sharing one rare shingle), and is the ONE switch that
+    * trades the exactness contract for boundedness — a capped-out key
+    * drops its bucket's candidates, so set it to 0 (uncapped) when the
+    * recall-1.0 contract matters more than worst-case skew. The ordered
+    * prefix derives from one (hash → df) aggregation plus one per-doc
+    * array_sort — both linear; sets ride to the verify join exactly as in
+    * [[ngramJaccardPairs]] (narrow re-derivation, never through a band
+    * explosion).
+    *
+    * Output: (id_a, id_b, inter, un, jaccard_ppm) with
+    * jaccard_ppm = ⌊10⁶·|∩|/|∪|⌋ — all longs, engine-independent.
+    */
+  def prefixJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val tPpm = math.round(threshold * 1e6)
+    // Sets read three times (prefix derivation + both verify sides) — the
+    // ngramJaccardPairs persistence rationale applies verbatim.
+    val sets = shingleHashSets(df, idCol, textCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tok = sets.select(col("id"), explode(col("sh")).as("h"))
+    val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
+    // Per-doc (df, hash)-sorted array; struct ordering is field order, so
+    // array_sort IS the (df asc, hash asc) global order restricted to the
+    // doc. Prefix length p = s − ⌈t·s⌉ + 1 in pure integer math (DIV —
+    // Column `/` is IEEE double division).
+    val prefix = tok.join(dfreq, "h")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ord"))
+      .select(col("id"), size(col("ord")).cast("long").as("s"), col("ord"))
+      .withColumn("__p",
+        expr(s"CAST(s - (s * $tPpm + 999999) DIV 1000000 + 1 AS INT)"))
+      .select(col("id"), col("s"),
+        posexplode(slice(col("ord"), lit(1), col("__p"))))
+      .select(col("id"), struct(col("s"), col("pos").cast("long").as("p"),
+        col("col.h").as("h")).as("sp"), col("col.h").as("__k"))
+    // Overlap floor o = ⌈t/(1+t)·(sa+sb)⌉; positional upper bound
+    // 1 + min(sa−pa−1, sb−pb−1). Both in longs — sizes are doc-bounded,
+    // tPpm·(sa+sb) tops out near 2e12, far inside int64.
+    val oFloor = expr(s"($tPpm * (sp_a.s + sp_b.s) + ${1000000L + tPpm - 1L})" +
+      s" DIV ${1000000L + tPpm}")
+    val uBound = lit(1L) + least(col("sp_a.s") - col("sp_a.p") - 1L,
+      col("sp_b.s") - col("sp_b.p") - 1L)
+    val candidates = bucketPairs(
+      prefix.select(col("id"), col("__k"), col("sp")), Seq("__k"), "sp",
+      maxBucketSize)
+      .where(lit(tPpm) * col("sp_a.s") <= lit(1000000L) * col("sp_b.s") &&
+        lit(tPpm) * col("sp_b.s") <= lit(1000000L) * col("sp_a.s"))
+      .where(uBound >= oFloor)
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("inter"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("__ss"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("__ss") - col("inter")).as("un"))
+      .where(col("inter") * lit(1000000L) >= lit(tPpm) * col("un"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("un"),
+        expr("(inter * 1000000) DIV un").as("jaccard_ppm"))
+  }
 }
