@@ -2811,6 +2811,17 @@ object SparkEntry {
         iters = 3).presented("id")
     }),
 
+    // Multi-source BFS from the same 3-seed trust set on the GROWING
+    // graph: exact hop distance + nearest-seed attribution (min-id
+    // tie-break) — the hard-count complement to q_pagerank_seeds' soft
+    // proximity. Oracle unrolls the frontier expansion (4 guarded
+    // rounds; rounds past exhaustion are no-ops on both sides).
+    "q_bfs_distances" -> ((s, dir) => {
+      val e = scaledDomainEdges(s, dir, dense = false).distinct()
+      Graph.bfsDistances(e, "src", "dst", seeds = Seq(1L, 2L, 3L),
+        maxHops = 4).presented("id")
+    }),
+
     // Modularity audit of the LPA communities on the GROWING dense graph:
     // intra-community edge fraction minus the degree-preserving random
     // expectation, exact sign-factored ppm — the "did label propagation
@@ -4067,6 +4078,8 @@ object SparkEntry {
       labelPropOracleSql(4, ScaledVSql, ScaledU0, ScaledV1, ScaledV2),
     "q_pagerank_seeds" ->
       pprOracleSql(3, Seq(1L, 2L, 3L), ScaledVSql, ScaledU0, ScaledV1),
+    "q_bfs_distances" ->
+      bfsOracleSql(4, Seq(1L, 2L, 3L), ScaledVSql, ScaledU0, ScaledV1),
     "q_modularity" ->
       modularityOracleSql(4, ScaledVSql, ScaledU0, ScaledV1, ScaledV2),
     "q_triangles" -> trianglesOracleSql(),
@@ -6287,6 +6300,44 @@ object SparkEntry {
       |   (SELECT count(*) FROM e a
       |     JOIN e b ON a.v = b.u
       |     JOIN e c ON c.u = a.u AND c.v = b.v) AS n_triangles""".stripMargin
+
+  /** Unrolled multi-source BFS oracle: the symmetrized edge table, seeds
+    * restricted to graph nodes as round 0, then `hops` guarded frontier
+    * rounds — each joins the PREVIOUS round's additions (dist = i−1) to
+    * the adjacency, takes min(seed) per new node, and excludes anything
+    * already settled. Rounds past frontier exhaustion add zero rows on
+    * both sides, so equality holds for any true eccentricity ≤ hops.
+    * AS MATERIALIZED is load-bearing (each d_i is referenced twice).
+    */
+  private def bfsOracleSql(hops: Int, seeds: Seq[Long],
+      modSql: String, u0: String, v1: String): String = {
+    val base =
+      s"""WITH nv AS MATERIALIZED (SELECT $modSql AS m),
+        | e AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+        |   SELECT u0 AS u, v0 AS v
+        |     FROM (SELECT $u0 AS u0, $v1 AS v0 FROM documents, nv)
+        |     WHERE u0 <> v0
+        |   UNION ALL
+        |   SELECT v0, u0
+        |     FROM (SELECT $u0 AS u0, $v1 AS v0 FROM documents, nv)
+        |     WHERE u0 <> v0)),
+        | d0 AS MATERIALIZED (
+        |   SELECT DISTINCT u AS id, CAST(0 AS BIGINT) AS dist, u AS seed
+        |   FROM e WHERE u IN (${seeds.mkString(", ")}))""".stripMargin
+    val steps = (1 to hops).map { i =>
+      s""",
+         | d$i AS MATERIALIZED (
+         |   SELECT * FROM d${i - 1}
+         |   UNION ALL
+         |   SELECT e.u AS id, CAST($i AS BIGINT) AS dist, min(d.seed) AS seed
+         |   FROM e JOIN d${i - 1} d ON e.v = d.id AND d.dist = ${i - 1}
+         |   WHERE e.u NOT IN (SELECT id FROM d${i - 1})
+         |   GROUP BY e.u)""".stripMargin
+    }.mkString
+    base + steps +
+      s"""
+         | SELECT id, dist, seed FROM d$hops ORDER BY id""".stripMargin
+  }
 
   private def kCoreOracleSql(k: Int, rounds: Int,
       modSql: String = "100", u0: String = PlainU0,

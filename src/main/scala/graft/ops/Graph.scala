@@ -793,4 +793,89 @@ object Graph {
     import spark.implicits._
     Seq((nv, ne, tri)).toDF("n_vertices", "n_edges", "n_triangles")
   }
+
+  /** Multi-source BFS: minimum hop distance from a seed set, plus the
+    * NEAREST SEED under min-id tie-break — the crawl-frontier primitive
+    * (how many hops is each page from the vetted seed list, and which
+    * seed claims it), and the seed-attribution complement to
+    * [[personalizedPageRank]]'s soft proximity score.
+    *
+    * Per round h, only the PREVIOUS round's frontier (rows settled at
+    * h−1) offers; a settled node never re-offers and never improves, so
+    * total offer volume across the whole run is one row per (edge,
+    * settling) — Σ rounds is bounded by |E|, not rounds·|E|. Offers
+    * aggregate to min seed per node, anti-join against settled nodes,
+    * and the union re-seats on an eager `localCheckpoint` (the
+    * [[connectedComponents]] leaf lifecycle: constant plan size,
+    * superseded rounds reclaimed). Termination: the round's addition
+    * count hits zero (a scan of the fresh frontier leaf) or `maxHops`.
+    *
+    * Seed attribution is exact by induction: a node x settling at round h
+    * receives offers exactly from the shortest-path neighbors n, all
+    * settled at h−1 (had any settled earlier, x would have settled
+    * before h); each carries seed(n) = min seed at distance h−1 from n,
+    * so every offer is a seed at distance exactly h from x, and the true
+    * minimum m arrives via x's shortest-path neighbor toward m (whose
+    * own min seed is ≤ m yet at distance h from x, hence = m). The
+    * min-aggregate therefore lands on m — no per-node seed SET ever
+    * needs to ride the shuffle.
+    *
+    * @param directed when false (default), edges are symmetrized.
+    * @return (id, dist, seed) for every node within `maxHops` of a seed —
+    *         unreachable nodes are absent by construction.
+    */
+  def bfsDistances(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: Seq[Long],
+      maxHops: Int = 6,
+      directed: Boolean = false,
+      broadcastMaxNodes: Long = TinyFrameMaxNodes / 4): DataFrame = {
+    require(seeds.nonEmpty, "bfsDistances needs at least one seed")
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val fwd = edges.select(col(srcCol).cast("long").as("v"),
+      col(dstCol).cast("long").as("u"))
+    val adj = (if (directed) fwd
+      else fwd.unionByName(edges.select(col(dstCol).cast("long").as("v"),
+        col(srcCol).cast("long").as("u"))))
+      .where(col("u") =!= col("v"))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // Seeds restricted to nodes that EXIST in the graph: a seed id with no
+    // edges would report dist 0 for a node the edge set never mentions,
+    // diverging from the "nodes appearing in edges" convention the other
+    // operators share. BOTH endpoints — in the directed case a pure-source
+    // seed appears only on the v side of the adjacency.
+    val nodes = adj.select(col("u").as("id"))
+      .unionByName(adj.select(col("v").as("id"))).distinct()
+    var settled = nodes
+      .join(seeds.toDF("id"), Seq("id"), "left_semi")
+      .select(col("id"), lit(0L).as("dist"), col("id").as("seed"))
+      .localCheckpoint(true)
+    var frontier = settled
+    val small = nodes.count() <= broadcastMaxNodes
+    def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    withTinyFrameConf(spark, small) {
+      var h = 0
+      var grew = frontier.limit(1).count() > 0
+      while (grew && h < maxHops) {
+        h += 1
+        val fresh = adj.join(side(frontier.select(col("id").as("v"),
+              col("seed"))), Seq("v"))
+          .groupBy(col("u").as("id")).agg(min(col("seed")).as("seed"))
+          .join(side(settled.select("id")), Seq("id"), "left_anti")
+          .select(col("id"), lit(h.toLong).as("dist"), col("seed"))
+          .localCheckpoint(true)
+        grew = fresh.limit(1).count() > 0
+        if (grew) {
+          settled = settled.unionByName(fresh).localCheckpoint(true)
+          frontier = fresh
+        }
+      }
+    }
+    adj.unpersist(blocking = false)
+    settled
+  }
 }

@@ -201,4 +201,35 @@ class GraphSpec extends SparkTestBase {
       (1L, 655360L, 0L), (2L, 1048576L, 0L),
       (3L, 0L, 1048576L), (4L, 0L, 629145L)))
   }
+
+  test("bfsDistances: hop distances, nearest-seed attribution, tie to min seed") {
+    // Path 1-2-3-4-5 with seeds {1, 5}: node 3 is 2 hops from BOTH seeds
+    // -> seed 1 by min-id tie-break; 2 and 4 attribute to their adjacent
+    // seed. Node 9 is disconnected and must be absent.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (9L, 10L))
+      .toDF("src", "dst")
+    val got = Graph.bfsDistances(e, "src", "dst", seeds = Seq(1L, 5L))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 0L, 1L), (2L, 1L, 1L), (3L, 2L, 1L), (4L, 1L, 5L), (5L, 0L, 5L)))
+  }
+
+  test("bfsDistances: maxHops truncates, directed follows edge direction") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val trunc = Graph.bfsDistances(e, "src", "dst", seeds = Seq(1L),
+      maxHops = 1).as[(Long, Long, Long)].collect().toSet
+    assert(trunc === Set((1L, 0L, 1L), (2L, 1L, 1L)))
+    // Directed: 4 is reachable from 1 but 1 gets nothing back from 4.
+    val fwd = Graph.bfsDistances(e, "src", "dst", seeds = Seq(4L),
+      directed = true).as[(Long, Long, Long)].collect().toSet
+    assert(fwd === Set((4L, 0L, 4L)))
+    val bwd = Graph.bfsDistances(e, "src", "dst", seeds = Seq(1L),
+      directed = true).as[(Long, Long, Long)].collect().toSet
+    assert(bwd === Set((1L, 0L, 1L), (2L, 1L, 1L), (3L, 2L, 1L), (4L, 3L, 1L)))
+  }
+
+  test("bfsDistances: seeds absent from the graph yield an empty result") {
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    assert(Graph.bfsDistances(e, "src", "dst", seeds = Seq(99L)).count() === 0L)
+  }
 }
