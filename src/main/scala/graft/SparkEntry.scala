@@ -3067,6 +3067,25 @@ object SparkEntry {
             .as("rater_b")),
         "rater_a", "rater_b")),
 
+    // Krippendorff's α (nominal) over a synthesized mixed-panel rating
+    // design: panels of 3 (most docs), 2 (doc_id % 5 = 0), and 1
+    // (doc_id % 17 = 0 — unpairable, excluded by the statistic itself);
+    // each rater mislabels every 11th doc on its own phase. Exercises the
+    // variable-panel lcm scaling (denominators {1, 2} → D = 2) that κ
+    // cannot express. Oracle replays the full coincidence algebra.
+    "q_krippendorff" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id")
+      def rater(r: Int, cond: Column): DataFrame =
+        d.where(cond).select(col("doc_id").as("item"), lit(r).as("rater"),
+          when((col("doc_id") + r * 31) % 11 === 0, (col("doc_id") + r) % 4)
+            .otherwise(col("doc_id") % 4).as("label"))
+      val ratings = rater(1, lit(true))
+        .unionByName(rater(2, col("doc_id") % 17 =!= 0))
+        .unionByName(rater(3,
+          col("doc_id") % 5 =!= 0 && col("doc_id") % 17 =!= 0))
+      Stats.krippendorffAlpha(ratings, "item", "rater", "label")
+    }),
+
     // RM1 pseudo-relevance-feedback expansion: Dirichlet-QL feedback set
     // (k-bounded), corpus broadcast-semi-filtered to the ≤ 10 feedback
     // docs, expansion terms by exact length-normalized feedback mass.
@@ -6138,6 +6157,49 @@ object SparkEntry {
         |     ELSE ((agree * n - p.p) * 1000000) // (n * n - p.p)
         |   END AS BIGINT) AS kappa_ppm
         | FROM base, p""".stripMargin,
+    // Full coincidence-matrix replay: Σo scaled by the fixture's lcm
+    // D = 2 (panel sizes {2, 3} → denominators {1, 2}), marginals over
+    // pairable items, sign-factored truncating divide — the engine's
+    // algebra verbatim.
+    "q_krippendorff" ->
+      """WITH r AS (
+        |   SELECT doc_id AS item, 1 AS rater,
+        |     CASE WHEN (doc_id + 31) % 11 = 0 THEN (doc_id + 1) % 4
+        |       ELSE doc_id % 4 END AS label FROM documents
+        |   UNION ALL
+        |   SELECT doc_id, 2,
+        |     CASE WHEN (doc_id + 62) % 11 = 0 THEN (doc_id + 2) % 4
+        |       ELSE doc_id % 4 END FROM documents WHERE doc_id % 17 <> 0
+        |   UNION ALL
+        |   SELECT doc_id, 3,
+        |     CASE WHEN (doc_id + 93) % 11 = 0 THEN (doc_id + 3) % 4
+        |       ELSE doc_id % 4 END FROM documents
+        |   WHERE doc_id % 5 <> 0 AND doc_id % 17 <> 0),
+        | cnt AS (SELECT item, label, count(*)::BIGINT AS c
+        |   FROM r GROUP BY 1, 2),
+        | it AS (SELECT item, sum(c) AS ni, sum(c * c) AS s2
+        |   FROM cnt GROUP BY 1),
+        | p AS (SELECT * FROM it WHERE ni >= 2),
+        | agg AS (SELECT sum((ni * ni - s2)::HUGEINT * (2 // (ni - 1)))
+        |     AS sdo, sum(ni)::HUGEINT AS n, count(*)::BIGINT AS np
+        |   FROM p),
+        | mg AS (SELECT sum(nc::HUGEINT * nc) AS snc2,
+        |     count(*)::BIGINT AS nlab
+        |   FROM (SELECT label, sum(c) AS nc
+        |     FROM cnt JOIN p USING (item) GROUP BY 1)),
+        | f AS (SELECT (SELECT count(*) FROM it) AS n_items, np, n, nlab,
+        |     n * n - snc2 AS m, n - 1 AS n1, sdo
+        |   FROM agg, mg)
+        | SELECT CAST(n_items AS BIGINT) AS n_items,
+        |   CAST(np AS BIGINT) AS n_pairable_items,
+        |   CAST(n AS BIGINT) AS n_values,
+        |   CAST(nlab AS BIGINT) AS n_labels,
+        |   CAST(CASE WHEN m = 0 THEN 0
+        |     WHEN m * 2 - n1 * sdo < 0
+        |       THEN -((abs(m * 2 - n1 * sdo) * 1000000) // (m * 2))
+        |     ELSE (abs(m * 2 - n1 * sdo) * 1000000) // (m * 2)
+        |   END AS BIGINT) AS alpha_ppm
+        | FROM f""".stripMargin,
     "q_shard_plan" ->
       s"""WITH d AS (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS nt
          |   FROM documents),

@@ -1056,4 +1056,113 @@ object Stats {
               expr("(abs(__knum) * 1000000) DIV (__n2 - __p)").cast("long"))
           .as("kappa_ppm"))
   }
+
+  /** Krippendorff's alpha, nominal metric (Krippendorff 2004 §11) — the
+    * inter-rater statistic [[cohenKappa]] cannot give once the panel has
+    * MORE than two raters or raters skip items: any number of raters,
+    * any per-item subset, single-rated items excluded by the pairability
+    * rule rather than by hand.
+    *
+    * Exact integer form. With per-item label counts c_ci and
+    * n_i = Σ_c c_ci over pairable items (n_i ≥ 2):
+    *
+    *   Σ_{c≠k} o_ck = Σ_i (n_i² − Σ_c c_ci²) / (n_i − 1)   (coincidences)
+    *   n_c = Σ_i c_ci,  n = Σ_i n_i,  M = n² − Σ_c n_c²
+    *   α = 1 − (n − 1) · Σo / M
+    *
+    * The only non-integer is the per-item 1/(n_i − 1). The DISTINCT
+    * rater-count profile is tiny by nature (how many different panel
+    * sizes exist — not how many items), so the driver collects it
+    * (bounded, loud `require` past [[MaxDriverBins]]), forms
+    * D = lcm of the observed (n_i − 1) values, and the per-item term
+    * scales by the exact integer D/(n_i − 1) via a chained-when lookup.
+    * From there everything is one DECIMAL(38,0) aggregation over items +
+    * one over the |labels|-bounded marginal table, combined with the
+    * sign-factored truncating divide (α < 0 representable — systematic
+    * disagreement). D is required ≤ 10⁶, which keeps the worst numerator
+    * 10⁶·(n−1)·Σo·D under 10³⁷ for corpora to ~10¹¹ ratings; panels
+    * whose size PROFILE is that irregular (lcm over distinct sizes past
+    * 10⁶) are not a measurement design this statistic supports.
+    *
+    * @return one row: (n_items, n_pairable_items, n_values, n_labels,
+    *         alpha_ppm) — n_values counts ratings on pairable items.
+    */
+  def krippendorffAlpha(
+      df: DataFrame,
+      itemCol: String,
+      raterCol: String,
+      labelCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cnt = df
+      .select(col(itemCol).as("__i"), col(raterCol).as("__r"),
+        col(labelCol).cast("string").as("__l"))
+      .groupBy("__i", "__l").agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val items = cnt.groupBy("__i")
+      .agg(sum("__c").as("__ni"),
+        sum(col("__c") * col("__c")).as("__s2"))
+    val nItemsAll = items.count()
+    val pairable = items.where(col("__ni") >= 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Distinct panel-size profile: bounded by construction (a rating
+    // design has a handful of panel sizes); loud failure, not a silent
+    // spill, if an id-like column was passed as the item by mistake.
+    val sizes = pairable.select(col("__ni")).distinct()
+      .limit(MaxDriverBins + 1).collect().map(_.getLong(0))
+    require(sizes.length <= MaxDriverBins,
+      s"krippendorffAlpha: > $MaxDriverBins distinct panel sizes — " +
+        "is the rater/item mapping right?")
+    if (sizes.isEmpty) {
+      // No pairable items: alpha undefined -> the kappa convention (0).
+      val spark = df.sparkSession
+      import spark.implicits._
+      cnt.unpersist(blocking = false)
+      return Seq((nItemsAll, 0L, 0L, 0L, 0L))
+        .toDF("n_items", "n_pairable_items", "n_values", "n_labels",
+          "alpha_ppm")
+    }
+    val lcmD = sizes.map(ni => BigInt(ni - 1))
+      .reduce((a, b) => a / a.gcd(b) * b)
+    require(lcmD <= BigInt(1000000L),
+      s"krippendorffAlpha: lcm of panel-size denominators $lcmD exceeds " +
+        "1e6 — overflow headroom for the DECIMAL(38,0) algebra is gone")
+    val dL = lcmD.toLong
+    val w = sizes.tail.foldLeft(
+      when(col("__ni") === sizes.head, lit(dL / (sizes.head - 1)))) {
+      (acc, ni) => acc.when(col("__ni") === ni, lit(dL / (ni - 1)))
+    }
+    // Σo scaled by D, plus n and Σn_i² — ONE aggregation over items.
+    val disagg = pairable.agg(
+      sum(((col("__ni") * col("__ni") - col("__s2")).cast(dec) *
+        w.cast(dec))).as("__sdo"),
+      sum(col("__ni")).as("__n"),
+      count(lit(1)).as("__np"))
+    // Marginals over pairable items only; the label table is bounded.
+    val marg = cnt.join(pairable.select("__i"), Seq("__i"), "left_semi")
+      .groupBy("__l").agg(sum("__c").as("__nc"))
+      .agg(sum(col("__nc").cast(dec) * col("__nc").cast(dec)).as("__snc2"),
+        count(lit(1)).as("__nlab"))
+    val row = disagg.crossJoin(broadcast(marg))
+      .select(col("__np"), col("__n"), col("__nlab"),
+        (col("__n").cast(dec) * col("__n").cast(dec) - col("__snc2"))
+          .as("__m"),
+        (col("__n").cast(dec) - lit(1L).cast(dec)).as("__n1"),
+        col("__sdo"))
+      .select(col("__np"), col("__n"), col("__nlab"),
+        when(col("__m") === 0, lit(0L)).otherwise {
+          val num = col("__m") * lit(dL).cast(dec) - col("__n1") * col("__sdo")
+          when(num < 0, lit(-1L)).otherwise(lit(1L)) *
+            expr(s"(abs(__m * ${dL} - __n1 * __sdo) * 1000000) " +
+              s"DIV (__m * ${dL})").cast("long")
+        }.as("alpha_ppm"))
+      .collect().head
+    cnt.unpersist(blocking = false)
+    pairable.unpersist(blocking = false)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((nItemsAll, row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3)))
+      .toDF("n_items", "n_pairable_items", "n_values", "n_labels",
+        "alpha_ppm")
+  }
 }

@@ -701,6 +701,55 @@ class IntervalsStatsSpec extends SparkTestBase {
       ((2L, 2L, 1000000L, 1000000L, 0L)))
   }
 
+  test("krippendorffAlpha: hand coincidence matrix, 2- and 3-rater items") {
+    // Items A(1,1) B(1,0) C(0,0) D(0,0): n = 8, Σo_{c≠k} = 2,
+    // marginals n_1 = 3, n_0 = 5, M = 64 − 34 = 30;
+    // α = 1 − 7·2/30 = 8/15 → 533333 ppm (floor).
+    val two = Seq(
+      ("A","r1",1), ("A","r2",1), ("B","r1",1), ("B","r2",0),
+      ("C","r1",0), ("C","r2",0), ("D","r1",0), ("D","r2",0))
+      .toDF("item", "rater", "label")
+    assert(Stats.krippendorffAlpha(two, "item", "rater", "label")
+      .as[(Long, Long, Long, Long, Long)].head() ===
+      ((4L, 4L, 8L, 2L, 533333L)))
+    // Add a 3-rater item E(1,0,0): per-item terms (n²−Σc²)/(n−1) are
+    // B: 2/1, E: 4/2 → Σo = 4 with lcm(1,2) = 2 scaling; n = 11,
+    // n_1 = 4, n_0 = 7, M = 121 − 65 = 56; α = 1 − 10·4/56 = 16/56
+    // → 285714 ppm.
+    val mixed = two.unionByName(
+      Seq(("E","r1",1), ("E","r2",0), ("E","r3",0))
+        .toDF("item", "rater", "label"))
+    assert(Stats.krippendorffAlpha(mixed, "item", "rater", "label")
+      .as[(Long, Long, Long, Long, Long)].head() ===
+      ((5L, 5L, 11L, 2L, 285714L)))
+  }
+
+  test("krippendorffAlpha: perfect, systematic-negative, single-rated excluded") {
+    val perfect = Seq(("A","r1","x"), ("A","r2","x"), ("B","r1","y"),
+      ("B","r2","y")).toDF("item", "rater", "label")
+    assert(Stats.krippendorffAlpha(perfect, "item", "rater", "label")
+      .as[(Long, Long, Long, Long, Long)].head() ===
+      ((2L, 2L, 4L, 2L, 1000000L)))
+    // Two items, both split (1,0): Σo = 4, n = 4, M = 16 − 8 = 8;
+    // α = 1 − 3·4/8 = −1/2 → −500000 ppm exactly.
+    val neg = Seq(("A","r1",1), ("A","r2",0), ("B","r1",1), ("B","r2",0))
+      .toDF("item", "rater", "label")
+    assert(Stats.krippendorffAlpha(neg, "item", "rater", "label")
+      .as[(Long, Long, Long, Long, Long)].head()._5 === -500000L)
+    // A single-rated item is unpairable: dropped from n/marginals but
+    // still counted in n_items.
+    val lone = perfect.unionByName(Seq(("Z","r1","x"))
+      .toDF("item", "rater", "label"))
+    assert(Stats.krippendorffAlpha(lone, "item", "rater", "label")
+      .as[(Long, Long, Long, Long, Long)].head() ===
+      ((3L, 2L, 4L, 2L, 1000000L)))
+    // NOTHING pairable: alpha undefined -> 0 by the kappa convention.
+    val none = Seq(("Z","r1","x")).toDF("item", "rater", "label")
+    assert(Stats.krippendorffAlpha(none, "item", "rater", "label")
+      .as[(Long, Long, Long, Long, Long)].head() ===
+      ((1L, 0L, 0L, 0L, 0L)))
+  }
+
   test("sliceKlDivergence: hand two-slice KL, exact integer ln terms") {
     // A = "a a b" (a:2 b:1), B = "b b b"; corpus a:2 b:4, C = 6.
     // A: 2·round(1e6·ln 2) + 1·round(1e6·ln ½) = 693147 → // 3 = 231049.
