@@ -2,7 +2,7 @@ package graft
 
 import graft.engine.Reporting
 import graft.functions.TextFunctions.simhash64
-import graft.ops.{Align, Bpe, Curation, Dedup, Graph, Intervals, LanguageModel, Multimodal, Scale, Similarity, Sketches, Stats, TextAnalysis, TextSearch, Web}
+import graft.ops.{Align, Bpe, Curation, Dedup, Graph, Intervals, LanguageModel, Multimodal, Scale, Similarity, Sketches, Stats, TextAnalysis, TextSearch, UnigramLm, Web}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -2348,6 +2348,28 @@ object SparkEntry {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       Bpe.encodeTokenCounts(docs, "text", merges)
         .orderBy(desc("n"), col("token")).limit(200)
+    }),
+
+    // Unigram-LM (SentencePiece) vocabulary: all single chars + top
+    // multi-char substrings by (count desc, piece asc), integer
+    // round(1e6·ln) scores normalized over the kept set. Oracle replays
+    // the substring census and the selection verbatim.
+    "q_unigram_vocab" -> ((s, dir) =>
+      UnigramLm.fitVocab(t(s, dir, "documents"), "text", vocabSize = 300,
+        maxPieceLen = 6).presented("piece")),
+
+    // Viterbi maximum-likelihood segmentation of the top-500 corpus words
+    // under that vocabulary — the DP itself is oracled: DuckDB unrolls 16
+    // position levels with the same (score, fewer-pieces, longest-final)
+    // tie-break and reconstructs the identical piece strings.
+    "q_unigram_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = UnigramLm.fitVocab(docs, "text", vocabSize = 300,
+          maxPieceLen = 6)
+        .select("piece", "score_ppm").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      UnigramLm.encodeWords(docs, "text", vocab)
+        .orderBy(desc("n"), col("word")).limit(500)
     }),
 
     // C4 exact three-sentence-span dedup (first occurrence survives,
@@ -4937,6 +4959,11 @@ object SparkEntry {
          | ORDER BY n DESC, l, r LIMIT 200""".stripMargin,
     "q_bpe_merges" -> bpeMergesOracleSql(5),
     "q_bpe_encode" -> bpeEncodeOracleSql(5),
+    "q_unigram_vocab" ->
+      s"""${unigramVocabCtesSql(300, 6)}
+         | SELECT piece, n, score_ppm FROM vs ORDER BY piece""".stripMargin,
+    "q_unigram_encode" ->
+      unigramEncodeOracleSql(300, 6, 16, -30000000L, 500),
     "q_kcenter_sample" -> kCenterOracleSql(8),
     "q_mmr_select" -> mmrOracleSql(8),
     "q_kmeans" -> kMeansOracleSql(8, 2),
@@ -6286,6 +6313,91 @@ object SparkEntry {
        |SELECT token, CAST(sum(cnt) AS BIGINT) AS n
        |FROM (SELECT unnest(s) AS token, cnt FROM w$n)
        |GROUP BY token ORDER BY n DESC, token LIMIT 200""".stripMargin
+
+  /** The unigram-LM vocabulary CTE chain (shared by the vocab dump and
+    * the encode replay): word counts → substring census (lengths
+    * 1..maxPieceLen, weighted by word count) → all single chars + the
+    * top (vocabSize − #chars) multi-char pieces by (count desc, piece
+    * asc) → round(10⁶·ln(n/total)) scores over the kept mass. Mirrors
+    * [[graft.ops.UnigramLm.fitVocab]] clause for clause.
+    */
+  private def unigramVocabCtesSql(vocabSize: Int, maxPieceLen: Int): String =
+    s"""WITH words AS MATERIALIZED (
+       |   SELECT w, count(*)::BIGINT AS wc
+       |   FROM (SELECT unnest(t) AS w
+       |     FROM (SELECT $tokensSql AS t FROM documents))
+       |   GROUP BY 1),
+       | pc AS MATERIALIZED (
+       |   SELECT substr(w, i, l) AS piece, sum(wc)::BIGINT AS n
+       |   FROM (
+       |     SELECT w, wc, i, unnest(generate_series(1,
+       |         least($maxPieceLen, len(w) - i + 1))) AS l
+       |     FROM (SELECT w, wc, unnest(generate_series(1, len(w))) AS i
+       |       FROM words))
+       |   GROUP BY 1),
+       | ch AS MATERIALIZED (SELECT piece, n FROM pc WHERE len(piece) = 1),
+       | mu AS MATERIALIZED (SELECT piece, n FROM (
+       |     SELECT piece, n,
+       |       row_number() OVER (ORDER BY n DESC, piece) AS rn
+       |     FROM pc WHERE len(piece) > 1)
+       |   WHERE rn <= greatest($vocabSize - (SELECT count(*) FROM ch), 0)),
+       | v AS MATERIALIZED (SELECT * FROM ch UNION ALL SELECT * FROM mu),
+       | tot AS MATERIALIZED (SELECT sum(n)::BIGINT AS t FROM v),
+       | vs AS MATERIALIZED (SELECT piece, n,
+       |     CAST(round(1000000 * ln(n::DOUBLE / t)) AS BIGINT) AS score_ppm
+       |   FROM v, tot)""".stripMargin
+
+  /** Viterbi replay: `maxWordLen` unrolled position levels. Level j picks,
+    * per word of length ≥ j, the best candidate over split points
+    * i ∈ [j − maxPieceLen, j) — a LEFT JOIN of level i against the
+    * vocabulary on substr(w, i+1, j−i), unknown single chars at the unk
+    * score, longer unknown substrings excluded. The argmax is one struct
+    * max with key (score, −np, −i): score first, then fewer pieces, then
+    * the longest final piece — the engine's tie-break exactly; the piece
+    * string rides in the struct tail and never decides (i alone is
+    * unique). Words past maxWordLen route whole at the unk score.
+    */
+  private def unigramEncodeOracleSql(vocabSize: Int, maxPieceLen: Int,
+      maxWordLen: Int, unk: Long, limit: Int): String = {
+    val levels = (1 to maxWordLen).map { j =>
+      val cands = (math.max(0, j - maxPieceLen) until j).map { i =>
+        s"""SELECT a.w AS w,
+           |  a.score + CASE WHEN v.score_ppm IS NOT NULL THEN v.score_ppm
+           |    ELSE $unk END AS score,
+           |  a.np + 1 AS np, $i AS i,
+           |  a.pieces || '|' || substr(a.w, ${i + 1}, ${j - i}) AS pieces
+           |FROM l$i a LEFT JOIN vs v
+           |  ON v.piece = substr(a.w, ${i + 1}, ${j - i})
+           |WHERE len(a.w) >= $j
+           |  AND (v.piece IS NOT NULL OR ${j - i} = 1)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s""",
+         | l$j AS MATERIALIZED (
+         |   SELECT w, struct_extract(b, 'score') AS score,
+         |     -struct_extract(b, 'negnp') AS np,
+         |     struct_extract(b, 'pieces') AS pieces
+         |   FROM (SELECT w, max(struct_pack(score := score, negnp := -np,
+         |       negi := -i, pieces := pieces)) AS b
+         |     FROM ($cands) GROUP BY w))""".stripMargin
+    }.mkString
+    val finals = (1 to maxWordLen).map { j =>
+      s"""SELECT b.w AS word, b.wc AS n, substr(l.pieces, 2) AS pieces,
+         |  CAST(l.np AS BIGINT) AS n_pieces, l.score AS score_ppm
+         |FROM l$j l JOIN w16 b ON b.w = l.w AND len(b.w) = $j""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""${unigramVocabCtesSql(vocabSize, maxPieceLen)},
+       | w16 AS MATERIALIZED (
+       |   SELECT w, wc FROM words WHERE len(w) <= $maxWordLen),
+       | l0 AS MATERIALIZED (
+       |   SELECT w, CAST(0 AS BIGINT) AS score, 0 AS np, '' AS pieces
+       |   FROM w16)$levels
+       | SELECT word, n, pieces, n_pieces, score_ppm FROM (
+       |   $finals
+       |   UNION ALL
+       |   SELECT w, wc, w, 1, CAST($unk AS BIGINT)
+       |   FROM words WHERE len(w) > $maxWordLen)
+       | ORDER BY n DESC, word LIMIT $limit""".stripMargin
+  }
 
   /** Greedy k-center unrolled: d_i holds each point's min ROUNDED distance
     * to centers 0..i; c_{i+1} is the (d desc, id) argmax excluding prior
