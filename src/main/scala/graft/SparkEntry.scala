@@ -2833,6 +2833,17 @@ object SparkEntry {
         iters = 3).presented("id")
     }),
 
+    // Deterministic random-walk corpus (DeepWalk sentences) on the
+    // GROWING graph: md5("start-walk-step-salt") mod degree picks each
+    // transition over id-ordered adjacency — zero RNG state, every row a
+    // pure function of its coordinates. Oracle unrolls all 4 steps with
+    // the identical draw chain.
+    "q_random_walks" -> ((s, dir) => {
+      val e = scaledDomainEdges(s, dir, dense = false).distinct()
+      Graph.randomWalks(e, "src", "dst", walksPerNode = 2, walkLen = 4)
+        .presented("start", "walk", "step")
+    }),
+
     // Multi-source BFS from the same 3-seed trust set on the GROWING
     // graph: exact hop distance + nearest-seed attribution (min-id
     // tie-break) — the hard-count complement to q_pagerank_seeds' soft
@@ -3088,6 +3099,17 @@ object SparkEntry {
           when(col("doc_id") % 7 === 0, lit("zz")).otherwise(col("lang"))
             .as("rater_b")),
         "rater_a", "rater_b")),
+
+    // Benford first-digit audit of floored order totals per priority
+    // class — the fabricated-data detector: observed digit counts vs the
+    // shared round(1e6·log10(1+1/d)) literals, exact integer
+    // total-variation distance per key.
+    "q_benford" -> ((s, dir) =>
+      Stats.benfordAudit(
+        t(s, dir, "orders").select(col("o_orderpriority"),
+          floor(col("o_totalprice")).cast("long").as("v")),
+        "o_orderpriority", "v")
+        .presented("key", "digit")),
 
     // Krippendorff's α (nominal) over a synthesized mixed-panel rating
     // design: panels of 3 (most docs), 2 (doc_id % 5 = 0), and 1
@@ -4121,6 +4143,35 @@ object SparkEntry {
       pprOracleSql(3, Seq(1L, 2L, 3L), ScaledVSql, ScaledU0, ScaledV1),
     "q_bfs_distances" ->
       bfsOracleSql(4, Seq(1L, 2L, 3L), ScaledVSql, ScaledU0, ScaledV1),
+    "q_random_walks" ->
+      randomWalksOracleSql(2, 4, "walk", ScaledVSql, ScaledU0, ScaledV1),
+    // Benford replay: the engine's ppm literals interpolated verbatim, the
+    // same floor/positivity gate, first decimal character, zero-filled
+    // digit rows, HUGEINT tvd numerator.
+    "q_benford" -> {
+      val lits = graft.ops.Stats.BenfordPpm
+        .map { case (d, e) => s"($d, ${e}::BIGINT)" }.mkString(", ")
+      s"""WITH e AS (SELECT * FROM (VALUES $lits) AS t(digit, e_ppm)),
+         | src AS (SELECT o_orderpriority AS key,
+         |     CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders),
+         | obs AS (SELECT key,
+         |     CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+         |     count(*)::BIGINT AS o
+         |   FROM src WHERE v > 0 GROUP BY 1, 2),
+         | k AS (SELECT key, sum(o)::BIGINT AS n FROM obs GROUP BY 1),
+         | f AS (SELECT k.key, k.n, e.digit,
+         |     COALESCE(obs.o, 0)::BIGINT AS observed, e.e_ppm
+         |   FROM k CROSS JOIN e
+         |   LEFT JOIN obs ON obs.key = k.key AND obs.digit = e.digit),
+         | tvd AS (SELECT key,
+         |     CAST(sum(abs(observed::HUGEINT * 1000000
+         |         - n::HUGEINT * e_ppm))
+         |       // (2 * any_value(n)) AS BIGINT) AS tvd_ppm
+         |   FROM f GROUP BY key)
+         | SELECT f.key, f.n, f.digit, f.observed,
+         |   f.e_ppm AS expected_ppm, tvd.tvd_ppm
+         | FROM f JOIN tvd USING (key) ORDER BY key, digit""".stripMargin
+    },
     "q_modularity" ->
       modularityOracleSql(4, ScaledVSql, ScaledU0, ScaledV1, ScaledV2),
     "q_triangles" -> trianglesOracleSql(),
@@ -6474,6 +6525,51 @@ object SparkEntry {
       |   (SELECT count(*) FROM e a
       |     JOIN e b ON a.v = b.u
       |     JOIN e c ON c.u = a.u AND c.v = b.v) AS n_triangles""".stripMargin
+
+  /** Unrolled random-walk oracle: ranked symmetrized adjacency + degree
+    * table, then `walkLen` chained steps — each joins the previous front
+    * to the adjacency at rank md5("start-walk-step-salt")[13 hex] mod
+    * degree, the engine's draw verbatim (the q_feature_hash '0x'-cast
+    * convention).
+    */
+  private def randomWalksOracleSql(walksPerNode: Int, walkLen: Int,
+      salt: String, modSql: String, u0: String, v1: String): String = {
+    val steps = (1 to walkLen).map { t =>
+      s""",
+         | w$t AS MATERIALIZED (
+         |   SELECT w.start, w.walk, rk.ru AS cur
+         |   FROM w${t - 1} w
+         |   JOIN dg ON dg.dv = w.cur
+         |   JOIN rk ON rk.rv = w.cur AND rk.rk =
+         |     CAST(('0x' || substr(md5(w.start || '-' || w.walk ||
+         |       '-' || $t || '-$salt'), 1, 13)) AS BIGINT) % dg.deg)"""
+        .stripMargin
+    }.mkString
+    val unions = (0 to walkLen).map { t =>
+      s"SELECT start, walk, CAST($t AS BIGINT) AS step, cur AS node FROM w$t"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH nv AS MATERIALIZED (SELECT $modSql AS m),
+       | e AS MATERIALIZED (SELECT DISTINCT v, u FROM (
+       |   SELECT u0 AS v, v0 AS u
+       |     FROM (SELECT $u0 AS u0, $v1 AS v0 FROM documents, nv)
+       |     WHERE u0 <> v0
+       |   UNION ALL
+       |   SELECT v0, u0
+       |     FROM (SELECT $u0 AS u0, $v1 AS v0 FROM documents, nv)
+       |     WHERE u0 <> v0)),
+       | rk AS MATERIALIZED (SELECT v AS rv, u AS ru,
+       |     row_number() OVER (PARTITION BY v ORDER BY u) - 1 AS rk
+       |   FROM e),
+       | dg AS MATERIALIZED (SELECT v AS dv, count(*)::BIGINT AS deg
+       |   FROM e GROUP BY 1),
+       | w0 AS MATERIALIZED (SELECT id AS start, r AS walk, id AS cur
+       |   FROM (SELECT DISTINCT v AS id FROM e),
+       |     (SELECT unnest(generate_series(0,
+       |       ${walksPerNode - 1})) AS r))$steps
+       | SELECT start, CAST(walk AS BIGINT) AS walk, step, node FROM (
+       |   $unions)
+       | ORDER BY start, walk, step""".stripMargin
+  }
 
   /** Unrolled multi-source BFS oracle: the symmetrized edge table, seeds
     * restricted to graph nodes as round 0, then `hops` guarded frontier

@@ -878,4 +878,86 @@ object Graph {
     adj.unpersist(blocking = false)
     settled
   }
+
+  /** Deterministic random-walk corpus (the DeepWalk / node2vec p=q=1
+    * sentence generator — Perozzi et al. 2014): `walksPerNode` walks of
+    * `walkLen` steps from every node, each step moving to the neighbor at
+    * rank md5("start-walk-step-salt") mod degree(current) of the CURRENT
+    * node's id-ordered adjacency list. Every transition is a pure
+    * function of (start, walk, step, salt) — the [[Curation.hashUniform]]
+    * policy: no RNG state, retries and independent engines reproduce the
+    * walk table row for row, and a fresh salt gives a fresh epoch.
+    *
+    * NOTE the draw is indexed by the walk identity and step, NOT by the
+    * current node — two walks meeting at a node diverge again (the usual
+    * corpus-diversity requirement), while one (start, walk) pair replays
+    * identically forever.
+    *
+    * Scale shape: the adjacency ranks once (one row_number window over
+    * per-node neighbor lists — partition-bounded by max degree); each
+    * step is ONE join of the walk-front (|V|·walksPerNode rows of four
+    * longs) against the ranked adjacency, re-seated on an eager
+    * `localCheckpoint` leaf (the [[connectedComponents]] lifecycle).
+    * Directed walks stop early at sinks (the inner join drops them);
+    * undirected walks always continue.
+    *
+    * @return (start, walk, step, node) — step 0 is the start node; a walk
+    *         reaching a sink has no rows past its last reachable step.
+    */
+  def randomWalks(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      walksPerNode: Int = 1,
+      walkLen: Int = 4,
+      directed: Boolean = false,
+      salt: String = "walk"): DataFrame = {
+    require(walksPerNode >= 1, s"walksPerNode must be >= 1, got $walksPerNode")
+    require(walkLen >= 0, s"walkLen must be >= 0, got $walkLen")
+    val fwd = edges.select(col(srcCol).cast("long").as("v"),
+      col(dstCol).cast("long").as("u"))
+    val adj = (if (directed) fwd
+      else fwd.unionByName(edges.select(col(dstCol).cast("long").as("v"),
+        col(srcCol).cast("long").as("u"))))
+      .where(col("u") =!= col("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // toDF: fresh attribute ids — front/ranked/deg all descend from adj
+    // (and the checkpointed front keeps its ids), so shared names would
+    // trip the ambiguous-self-join detector on the per-step joins.
+    val ranked = adj.select(col("v"), col("u"),
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("v").orderBy("u")) - 1).cast("long").as("rk"))
+      .toDF("rv", "ru", "rk")
+    val deg = adj.groupBy("v").agg(count(lit(1)).as("deg"))
+      .toDF("dv", "deg")
+    val nodes = (if (directed)
+        adj.select(col("v").as("id"))
+          .unionByName(adj.select(col("u").as("id")))
+      else adj.select(col("v").as("id"))).distinct()
+    var front = nodes
+      .select(col("id").as("start"),
+        explode(sequence(lit(0L), lit(walksPerNode - 1L))).as("walk"),
+        col("id").as("cur"))
+      .localCheckpoint(true)
+    val out = Seq.newBuilder[DataFrame]
+    out += front.select(col("start"), col("walk"),
+      lit(0L).as("step"), col("cur").as("node"))
+    var t = 1
+    while (t <= walkLen) {
+      val draw = conv(substring(md5(concat_ws("-",
+          col("start"), col("walk"), lit(t), lit(salt)).cast("binary")),
+        1, 13), 16, 10).cast("long") % col("deg")
+      front = front
+        .join(deg, col("cur") === col("dv"))
+        .withColumn("__d", draw)
+        .join(ranked, col("cur") === col("rv") && col("__d") === col("rk"))
+        .select(col("start"), col("walk"), col("ru").as("cur"))
+        .localCheckpoint(true)
+      out += front.select(col("start"), col("walk"),
+        lit(t.toLong).as("step"), col("cur").as("node"))
+      t += 1
+    }
+    adj.unpersist(blocking = false)
+    out.result().reduce(_.unionByName(_))
+  }
 }

@@ -1165,4 +1165,63 @@ object Stats {
       .toDF("n_items", "n_pairable_items", "n_values", "n_labels",
         "alpha_ppm")
   }
+
+  /** First-digit Benford expectations, ppm of round(10⁶·log₁₀(1 + 1/d))
+    * — DRIVER LITERALS shared verbatim with any replaying engine (the
+    * retrievalEval log₂-discount policy), so no cross-engine log10 call
+    * ever participates.
+    */
+  val BenfordPpm: Seq[(Int, Long)] =
+    (1 to 9).map(d => d -> math.round(1e6 * math.log10(1.0 + 1.0 / d)))
+
+  /** Benford first-significant-digit audit per key — the fabricated-data
+    * / synthetic-spill detector: naturally occurring magnitudes follow
+    * P(d) = log₁₀(1+1/d), hand-typed or generated values rarely do. Each
+    * key gets all nine digit rows (zero-filled) with observed counts and
+    * the Benford expectation, plus the key's total-variation distance in
+    * EXACT integer form: tvd_ppm = (Σ_d |10⁶·o_d − n·e_d|) DIV (2n) —
+    * counts and the ppm literals only, no floating point anywhere.
+    *
+    * Only strictly positive values participate (first digit of |x| is a
+    * different statistic — sign conventions poison it); the digit is the
+    * first character of the long's decimal rendering, exactly replayable
+    * in SQL. One map-side-combined aggregation over (key, digit) + one
+    * |keys|·9-bounded reshape — nothing heavier than the input scan.
+    *
+    * @return (key, n, digit, observed, expected_ppm, tvd_ppm) — tvd_ppm
+    *         repeated on each of the key's nine rows.
+    */
+  def benfordAudit(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val exp = BenfordPpm.toDF("digit", "e_ppm")
+    val obs = df
+      .where(col(valueCol).cast("long") > 0L)
+      .select(col(keyCol).as("key"),
+        substring(col(valueCol).cast("long").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+      .groupBy("key", "digit").agg(count(lit(1)).as("o"))
+    val keys = obs.groupBy("key").agg(sum("o").as("n"))
+    val full = keys.crossJoin(broadcast(exp))
+      .join(obs, Seq("key", "digit"), "left")
+      .select(col("key"), col("n"), col("digit"),
+        coalesce(col("o"), lit(0L)).as("observed"), col("e_ppm"))
+    // DECIMAL(38,0): the per-digit gap is ≤ 10⁶·n and nine of them sum,
+    // so the numerator passes int64 near n ≈ 10¹² — inside the corpus
+    // sizes this engine budgets for.
+    val dec = "decimal(38,0)"
+    val tvd = full.groupBy("key")
+      .agg(sum(abs(col("observed").cast(dec) * lit(1000000L).cast(dec) -
+          col("n").cast(dec) * col("e_ppm").cast(dec))).as("__s"),
+        first(col("n")).as("__n"))
+      .select(col("key"),
+        expr(s"CAST(__s DIV (2 * CAST(__n AS $dec)) AS BIGINT)")
+          .as("__tvd"))
+    full.join(tvd, Seq("key"))
+      .select(col("key"), col("n"), col("digit"), col("observed"),
+        col("e_ppm").as("expected_ppm"), col("__tvd").as("tvd_ppm"))
+  }
 }
