@@ -911,9 +911,11 @@ object Graph {
       walksPerNode: Int = 1,
       walkLen: Int = 4,
       directed: Boolean = false,
-      salt: String = "walk"): DataFrame = {
+      salt: String = "walk",
+      broadcastMaxNodes: Long = TinyFrameMaxNodes / 4): DataFrame = {
     require(walksPerNode >= 1, s"walksPerNode must be >= 1, got $walksPerNode")
     require(walkLen >= 0, s"walkLen must be >= 0, got $walkLen")
+    val spark = edges.sparkSession
     val fwd = edges.select(col(srcCol).cast("long").as("v"),
       col(dstCol).cast("long").as("u"))
     val adj = (if (directed) fwd
@@ -939,23 +941,33 @@ object Graph {
         explode(sequence(lit(0L), lit(walksPerNode - 1L))).as("walk"),
         col("id").as("cur"))
       .localCheckpoint(true)
+    // Small-graph fast path (the hits/bfsDistances convention): broadcast
+    // the adjacency sides and pin tiny-frame conf inside the step loop —
+    // each step is otherwise two fixed-latency exchanges on a |V|·wpn-row
+    // frame. The gate sizes the BROADCAST side: ranked is |E| rows of
+    // 3 longs, so it reuses the /4 row-width budget.
+    val small = adj.count() <= broadcastMaxNodes
+    def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val out = Seq.newBuilder[DataFrame]
     out += front.select(col("start"), col("walk"),
       lit(0L).as("step"), col("cur").as("node"))
-    var t = 1
-    while (t <= walkLen) {
-      val draw = conv(substring(md5(concat_ws("-",
-          col("start"), col("walk"), lit(t), lit(salt)).cast("binary")),
-        1, 13), 16, 10).cast("long") % col("deg")
-      front = front
-        .join(deg, col("cur") === col("dv"))
-        .withColumn("__d", draw)
-        .join(ranked, col("cur") === col("rv") && col("__d") === col("rk"))
-        .select(col("start"), col("walk"), col("ru").as("cur"))
-        .localCheckpoint(true)
-      out += front.select(col("start"), col("walk"),
-        lit(t.toLong).as("step"), col("cur").as("node"))
-      t += 1
+    withTinyFrameConf(spark, small) {
+      var t = 1
+      while (t <= walkLen) {
+        val draw = conv(substring(md5(concat_ws("-",
+            col("start"), col("walk"), lit(t), lit(salt)).cast("binary")),
+          1, 13), 16, 10).cast("long") % col("deg")
+        front = front
+          .join(side(deg), col("cur") === col("dv"))
+          .withColumn("__d", draw)
+          .join(side(ranked),
+            col("cur") === col("rv") && col("__d") === col("rk"))
+          .select(col("start"), col("walk"), col("ru").as("cur"))
+          .localCheckpoint(true)
+        out += front.select(col("start"), col("walk"),
+          lit(t.toLong).as("step"), col("cur").as("node"))
+        t += 1
+      }
     }
     adj.unpersist(blocking = false)
     out.result().reduce(_.unionByName(_))

@@ -1101,17 +1101,20 @@ object Stats {
     val items = cnt.groupBy("__i")
       .agg(sum("__c").as("__ni"),
         sum(col("__c") * col("__c")).as("__s2"))
-    val nItemsAll = items.count()
-    val pairable = items.where(col("__ni") >= 2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Distinct panel-size profile: bounded by construction (a rating
-    // design has a handful of panel sizes); loud failure, not a silent
-    // spill, if an id-like column was passed as the item by mistake.
-    val sizes = pairable.select(col("__ni")).distinct()
-      .limit(MaxDriverBins + 1).collect().map(_.getLong(0))
-    require(sizes.length <= MaxDriverBins,
+    // Panel-size PROFILE in one job: (n_i → item count) is bounded by
+    // construction (a rating design has a handful of panel sizes); loud
+    // failure, not a silent spill, if an id-like column was passed as the
+    // item by mistake. The total item count and the pairable size set both
+    // fall out of the same collected histogram — no separate count job.
+    val profile = items.groupBy("__ni").agg(count(lit(1)).as("__k"))
+      .limit(MaxDriverBins + 1).collect()
+    require(profile.length <= MaxDriverBins,
       s"krippendorffAlpha: > $MaxDriverBins distinct panel sizes — " +
         "is the rater/item mapping right?")
+    val nItemsAll = profile.map(_.getLong(1)).sum
+    val pairable = items.where(col("__ni") >= 2)
+    val sizes = profile.map(_.getLong(0)).filter(_ >= 2L)
     if (sizes.isEmpty) {
       // No pairable items: alpha undefined -> the kappa convention (0).
       val spark = df.sparkSession
@@ -1157,7 +1160,7 @@ object Stats {
         }.as("alpha_ppm"))
       .collect().head
     cnt.unpersist(blocking = false)
-    pairable.unpersist(blocking = false)
+    items.unpersist(blocking = false)
     val spark = df.sparkSession
     import spark.implicits._
     Seq((nItemsAll, row.getLong(0), row.getLong(1), row.getLong(2),
