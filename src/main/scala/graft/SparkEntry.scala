@@ -2833,6 +2833,17 @@ object SparkEntry {
         iters = 3).presented("id")
     }),
 
+    // Strongly connected components of the DIRECTED growing graph (the
+    // coloring / forward-backward algorithm) — the directed complement to
+    // q_dedup_clusters' symmetric components: mutual reachability only.
+    // Oracle: path-doubled transitive closure (6 doublings cover diameter
+    // 64 — far past the fixture's) → mutual pairs → min per node.
+    "q_scc" -> ((s, dir) => {
+      val e = scaledDomainEdges(s, dir, dense = false).distinct()
+      Graph.stronglyConnectedComponents(e, "src", "dst", maxPhases = 100)
+        .presented("id")
+    }),
+
     // Deterministic random-walk corpus (DeepWalk sentences) on the
     // GROWING graph: md5("start-walk-step-salt") mod degree picks each
     // transition over id-ordered adjacency — zero RNG state, every row a
@@ -4145,6 +4156,7 @@ object SparkEntry {
       bfsOracleSql(4, Seq(1L, 2L, 3L), ScaledVSql, ScaledU0, ScaledV1),
     "q_random_walks" ->
       randomWalksOracleSql(2, 4, "walk", ScaledVSql, ScaledU0, ScaledV1),
+    "q_scc" -> sccOracleSql(6, ScaledVSql, ScaledU0, ScaledV1),
     // Benford replay: the engine's ppm literals interpolated verbatim, the
     // same floor/positivity gate, first decimal character, zero-filled
     // digit rows, HUGEINT tvd numerator.
@@ -6525,6 +6537,37 @@ object SparkEntry {
       |   (SELECT count(*) FROM e a
       |     JOIN e b ON a.v = b.u
       |     JOIN e c ON c.u = a.u AND c.v = b.v) AS n_triangles""".stripMargin
+
+  /** SCC oracle by path doubling: r_k holds every (u, v) with a directed
+    * path of length ≤ 2^k, so `doublings` rounds cover diameter
+    * 2^doublings; mutual pairs (u→*v ∧ v→*u) are symmetric by
+    * construction, and each node's component is the min over itself and
+    * its mutual partners — definitionally the min SCC id, independent of
+    * the engine's phase schedule. |V|² worst-case pair mass is fine at
+    * oracle scale (the growing fixture's V).
+    */
+  private def sccOracleSql(doublings: Int,
+      modSql: String, u0: String, v1: String): String = {
+    val steps = (1 to doublings).map { k =>
+      s""",
+         | r$k AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+         |   SELECT u, v FROM r${k - 1}
+         |   UNION ALL
+         |   SELECT a.u, b.v FROM r${k - 1} a JOIN r${k - 1} b
+         |     ON a.v = b.u))""".stripMargin
+    }.mkString
+    s"""WITH nv AS MATERIALIZED (SELECT $modSql AS m),
+       | r0 AS MATERIALIZED (SELECT DISTINCT u0 AS u, v0 AS v
+       |   FROM (SELECT $u0 AS u0, $v1 AS v0 FROM documents, nv)
+       |   WHERE u0 <> v0)$steps,
+       | mutual AS (SELECT a.u, a.v FROM r$doublings a
+       |   JOIN r$doublings b ON a.u = b.v AND a.v = b.u),
+       | n AS (SELECT DISTINCT u AS id FROM r0
+       |   UNION SELECT DISTINCT v FROM r0)
+       | SELECT n.id, least(n.id, coalesce(min(m.v), n.id)) AS component
+       | FROM n LEFT JOIN mutual m ON m.u = n.id
+       | GROUP BY n.id ORDER BY n.id""".stripMargin
+  }
 
   /** Unrolled random-walk oracle: ranked symmetrized adjacency + degree
     * table, then `walkLen` chained steps — each joins the previous front

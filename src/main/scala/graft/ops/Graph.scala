@@ -870,7 +870,8 @@ object Graph {
           .localCheckpoint(true)
         grew = fresh.limit(1).count() > 0
         if (grew) {
-          settled = settled.unionByName(fresh).localCheckpoint(true)
+          // Union of checkpoint LEAVES — depth-1 lineage, no re-seat needed.
+          settled = settled.unionByName(fresh)
           frontier = fresh
         }
       }
@@ -971,5 +972,166 @@ object Graph {
     }
     adj.unpersist(blocking = false)
     out.result().reduce(_.unionByName(_))
+  }
+
+  /** Strongly connected components of a DIRECTED graph — the coloring /
+    * forward-backward algorithm (Orzan 2004; Hong et al. 2013): the
+    * directed complement to [[connectedComponents]] (which symmetrizes).
+    *
+    * Each phase over the still-active subgraph:
+    *   1. FORWARD min-label fixpoint: F(v) = min id that REACHES v
+    *      (labels flow along edge direction, the CC loop without the
+    *      symmetrize) — F partitions active nodes into color classes,
+    *      and every SCC lies wholly inside one class (mutual
+    *      reachability forces equal F).
+    *   2. BACKWARD containment flag: within each class, mark the nodes
+    *      that REACH their color's root c (F(c) = c): start from the
+    *      roots, propagate along REVERSE edges that stay inside the
+    *      class. Marked nodes are exactly SCC(c) — they reach c, and c
+    *      reaches them by the definition of F.
+    *   3. Settle the marked nodes with label c; drop them (and their
+    *      edges) from the active subgraph; repeat.
+    *
+    * Both inner fixpoints are one id-only shuffle per round on eager
+    * `localCheckpoint` leaves (the CC lifecycle), and every phase
+    * removes at least each class's root. DAG-like regions settle one
+    * root per class per phase, so a pathological single-chain graph
+    * needs O(|V|) phases — `maxPhases` bounds that loudly (the CC
+    * `strict` convention); web-shaped graphs with real cycle structure
+    * settle in a handful of phases (the fixture converges in 2).
+    *
+    * @return (id, component) for every node appearing in `edges`;
+    *         component = min id of the node's SCC.
+    */
+  def stronglyConnectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxPhases: Int = 20,
+      maxIter: Int = 40,
+      strict: Boolean = true): DataFrame = {
+    val spark = edges.sparkSession
+    var active = edges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .where(col("s") =!= col("d")).distinct()
+      .localCheckpoint(true)
+    var nodes = active.select(col("s").as("id"))
+      .unionByName(active.select(col("d").as("id"))).distinct()
+      .localCheckpoint(true)
+    val settled = Seq.newBuilder[DataFrame]
+    val small = nodes.count() <= TinyFrameMaxNodes / 4
+    def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    withTinyFrameConf(spark, small) {
+      var phase = 0
+      var remaining = nodes.limit(1).count() > 0
+      while (remaining && phase < maxPhases) {
+        phase += 1
+        // 0. TRIM (the FW-BW-Trim refinement, Hong et al. 2013): a node
+        // with no in-edges or no out-edges in the ACTIVE subgraph can
+        // belong to no cycle — it is a singleton SCC. Iterating the trim
+        // peels whole DAG tails for the cost of two anti-joins per round,
+        // which is what keeps the phase count governed by the CYCLE
+        // structure instead of the DAG depth (a pure DAG settles entirely
+        // in trim, phase count 1).
+        var trimming = true
+        while (trimming) {
+          val trimmed = nodes
+            .join(side(active.select(col("s").as("id"))), Seq("id"),
+              "left_anti")
+            .unionByName(nodes.join(
+              side(active.select(col("d").as("id"))), Seq("id"),
+              "left_anti"))
+            .distinct()
+            .localCheckpoint(true)
+          trimming = trimmed.limit(1).count() > 0
+          if (trimming) {
+            settled += trimmed.select(col("id"), col("id").as("component"))
+            nodes = nodes.join(side(trimmed.select("id")), Seq("id"),
+              "left_anti").localCheckpoint(true)
+            active = active
+              .join(side(trimmed.select(col("id").as("s"))), Seq("s"),
+                "left_anti")
+              .join(side(trimmed.select(col("id").as("d"))), Seq("d"),
+                "left_anti")
+              .select("s", "d")
+              .localCheckpoint(true)
+          }
+        }
+        remaining = nodes.limit(1).count() > 0
+        if (remaining) {
+        // 1. Forward min-label fixpoint on the active subgraph.
+        var labels = nodes.select(col("id"), col("id").as("f"), lit(1).as("chg"))
+          .localCheckpoint(true)
+        var it = 0
+        var moving = true
+        while (moving && it < maxIter) {
+          it += 1
+          val offers = active.join(side(labels), active("s") === labels("id"))
+            .select(col("d").as("id"), col("f").as("offer"))
+          val next = labels.select(col("id"), col("f"))
+            .join(offers.groupBy("id").agg(min("offer").as("o")), Seq("id"), "left")
+            .select(col("id"),
+              least(col("f"), coalesce(col("o"), col("f"))).as("f"),
+              (coalesce(col("o"), col("f")) < col("f")).cast("int").as("chg"))
+            .localCheckpoint(true)
+          labels = next
+          moving = labels.agg(coalesce(sum(col("chg")), lit(0L)))
+            .first().getLong(0) > 0L
+        }
+        require(!moving || !strict,
+          s"stronglyConnectedComponents: forward fixpoint not reached in $maxIter rounds")
+        // 2. Backward flag fixpoint within color classes, seeded at roots.
+        // Edges restricted to same-color endpoints, REVERSED.
+        val colored = labels.select(col("id"), col("f"))
+          .localCheckpoint(true)
+        val ce = active
+          .join(side(colored.toDF("id1", "f1")), col("s") === col("id1"))
+          .join(side(colored.toDF("id2", "f2")), col("d") === col("id2"))
+          .where(col("f1") === col("f2"))
+          .select(col("d").as("from"), col("s").as("to"))
+          .localCheckpoint(true)
+        var marked = colored.where(col("id") === col("f"))
+          .select(col("id"), col("f"))
+          .localCheckpoint(true)
+        var frontier = marked
+        var grew = true
+        var bit = 0
+        while (grew && bit < maxIter) {
+          bit += 1
+          val fresh = ce.join(side(frontier.select(col("id").as("from"),
+                col("f"))), Seq("from"))
+            .select(col("to").as("id"), col("f")).distinct()
+            .join(side(marked.select("id")), Seq("id"), "left_anti")
+            .localCheckpoint(true)
+          grew = fresh.limit(1).count() > 0
+          if (grew) {
+            // Union of checkpoint LEAVES — depth-1 lineage, no re-seat.
+            marked = marked.unionByName(fresh)
+            frontier = fresh
+          }
+        }
+        require(!grew || !strict,
+          s"stronglyConnectedComponents: backward fixpoint not reached in $maxIter rounds")
+        settled += marked.select(col("id"), col("f").as("component"))
+        // 3. Shrink the active subgraph.
+        nodes = nodes.join(side(marked.select("id")), Seq("id"), "left_anti")
+          .localCheckpoint(true)
+        active = active
+          .join(side(marked.select(col("id").as("s"))), Seq("s"), "left_anti")
+          .join(side(marked.select(col("id").as("d"))), Seq("d"), "left_anti")
+          .select("s", "d")
+          .localCheckpoint(true)
+        remaining = nodes.limit(1).count() > 0
+        }
+      }
+      require(!remaining || !strict,
+        s"stronglyConnectedComponents: $maxPhases phases exhausted with nodes remaining " +
+          "(pathological chain structure — raise maxPhases or pass strict = false)")
+      if (remaining) System.err.println(
+        "[graft] stronglyConnectedComponents: phase budget exhausted; remaining nodes " +
+          "labeled as singletons")
+      settled += nodes.select(col("id"), col("id").as("component"))
+    }
+    settled.result().reduce(_.unionByName(_))
   }
 }

@@ -232,4 +232,61 @@ class GraphSpec extends SparkTestBase {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     assert(Graph.bfsDistances(e, "src", "dst", seeds = Seq(99L)).count() === 0L)
   }
+
+  test("scc: two cycles joined by a one-way bridge stay separate components") {
+    // 1→2→3→1 and 4→5→6→4 with bridge 3→4: the bridge is not mutual, so
+    // the SCCs are {1,2,3} and {4,5,6}. The SYMMETRIC cc would merge them.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L),
+      (3L, 4L)).toDF("src", "dst")
+    val got = Graph.stronglyConnectedComponents(e, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L))
+    val cc = Graph.connectedComponents(e, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet === Set(1L)) // the undirected view merges
+  }
+
+  test("scc: DAG nodes are singletons; figure-8 through a shared node is one") {
+    val dag = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(Graph.stronglyConnectedComponents(dag, "src", "dst")
+      .as[(Long, Long)].collect().toMap ===
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    val fig8 = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    assert(Graph.stronglyConnectedComponents(fig8, "src", "dst")
+      .as[(Long, Long)].collect().toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("scc: trim settles pure DAGs in one phase") {
+    // A 5-chain is all singleton SCCs: the trim step peels it without any
+    // coloring phase exhausting — maxPhases = 1 suffices where the
+    // untrimmed coloring would need 5.
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = Graph.stronglyConnectedComponents(chain, "src", "dst",
+        maxPhases = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+  }
+
+  test("scc: phase exhaustion is loud under strict, fallback warns otherwise") {
+    // A chain of 2-cycles resists trim (every node sits on a cycle) and
+    // the coloring settles ONE cycle per phase: 3 cycles need 3 phases.
+    val cycles = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L), (5L, 6L),
+      (6L, 5L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      Graph.stronglyConnectedComponents(cycles, "src", "dst", maxPhases = 1)
+    }
+    val full = Graph.stronglyConnectedComponents(cycles, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(full === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L,
+      5L -> 5L, 6L -> 5L))
+    // Non-strict exhaustion: the settled prefix is right, the remainder
+    // falls back to singleton labels (documented approximation).
+    val part = Graph.stronglyConnectedComponents(cycles, "src", "dst",
+        maxPhases = 1, strict = false)
+      .as[(Long, Long)].collect().toMap
+    assert(part(1L) === 1L && part(2L) === 1L)
+    assert(part.keySet === full.keySet)
+  }
 }
