@@ -958,6 +958,15 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .presented("id_a", "id_b")),
 
+    // EXACT containment join: |∩|/min ≥ 0.8 pairs via the containment
+    // form of prefix filtering (smaller side's prefix vs the full index)
+    // — the deterministic complement to q_containment's winnowing blocks.
+    // Oracle is the plain all-pairs |∩|/min replay.
+    "q_prefix_containment" -> ((s, dir) =>
+      Dedup.prefixContainmentPairs(docsWithDupes(s, dir), "doc_id", "text",
+        shingleK = 3, threshold = 0.8)
+        .presented("id_a", "id_b")),
+
     // EXACT prefix-filtered similarity join (PPJoin) — recall 1.0 by
     // construction, so the oracle is the plain all-pairs replay: DuckDB
     // rebuilds the string shingle sets and computes the same integer
@@ -3656,6 +3665,18 @@ object SparkEntry {
          |   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |     AND 5 * len(a.s) >= 4 * len(b.s) AND 5 * len(b.s) >= 4 * len(a.s))
          | WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    "q_prefix_containment" ->
+      s"""WITH sh AS (SELECT doc_id, $shingleSetSql AS s
+         |   FROM (SELECT doc_id, $tokensSql AS t FROM $docsWithDupesSql))
+         | SELECT id_a, id_b, inter, n_small,
+         |   (inter * 1000000) // n_small AS containment_ppm
+         | FROM (
+         |   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |     CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+         |     CAST(least(len(a.s), len(b.s)) AS BIGINT) AS n_small
+         |   FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         | WHERE inter * 1000000 >= 800000 * n_small
+         | ORDER BY id_a, id_b""".stripMargin,
     "q_prefix_jaccard" ->
       s"""WITH sh AS (SELECT doc_id, $shingleSetSql AS s
          |   FROM (SELECT doc_id, $tokensSql AS t FROM $docsWithDupesSql))

@@ -1464,4 +1464,77 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("un"),
         expr("(inter * 1000000) DIV un").as("jaccard_ppm"))
   }
+
+  /** EXACT containment join: pairs where |∩| / min(|a|, |b|) ≥ threshold
+    * — the deterministic complement to the winnowing-blocked
+    * [[containmentPairs]] (whose fingerprint sampling is a locality
+    * heuristic), for the asymmetric quoted-document case symmetric
+    * Jaccard under-scores by design.
+    *
+    * Prefix filter, containment form: overlap ≥ ⌈t·min⌉ forces the
+    * SMALLER set's rarest-first prefix of length min − ⌈t·min⌉ + 1 to
+    * intersect the larger set SOMEWHERE (not merely its prefix — so the
+    * index side is the full token table, and candidate mass is
+    * Σ_prefix-token df(token) instead of PPJoin's prefix×prefix).
+    * The one exactness trade is `maxTokenDf`: blocking tokens with
+    * global document frequency above it are excluded from the join
+    * (BOTH sides) — a pair whose every shared prefix token is
+    * corpus-common boilerplate can slip through, which is the
+    * [[containmentPairs]] MOSS rationale made explicit; recall is 1.0
+    * whenever any shared prefix token stays under the cap, and the cap
+    * is what bounds the hot-token candidate blowup at corpus scale.
+    *
+    * Output: (id_a, id_b, inter, n_small, containment_ppm) with
+    * id_a < id_b and containment_ppm = ⌊10⁶·|∩|/min⌋.
+    */
+  def prefixContainmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      threshold: Double = 0.8,
+      maxTokenDf: Int = DefaultMaxBucketSize): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val tPpm = math.round(threshold * 1e6)
+    val sets = shingleHashSets(df, idCol, textCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tok = sets.select(col("id"), explode(col("sh")).as("h"))
+    val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
+    // Blocking token universe: under the df cap. Prefixes are still
+    // measured against the FULL set size (the containment bound needs
+    // the true min), ordered by the same (df asc, hash asc) total order.
+    val prefix = tok.join(dfreq, "h")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ord"))
+      .select(col("id"), size(col("ord")).cast("long").as("s"), col("ord"))
+      .withColumn("__p",
+        expr(s"CAST(s - (s * $tPpm + 999999) DIV 1000000 + 1 AS INT)"))
+      .select(col("id").as("pid"), col("s").as("ps"),
+        explode(slice(col("ord"), lit(1), col("__p"))).as("pe"))
+      .where(col("pe.df") <= maxTokenDf)
+      .select(col("pid"), col("ps"), col("pe.h").as("h"))
+    val full = tok.join(dfreq.where(col("df") <= maxTokenDf), "h")
+      .join(sets.select(col("id"), size(col("sh")).cast("long").as("fs")),
+        Seq("id"))
+      .select(col("h"), col("id").as("fid"), col("fs"))
+    val candidates = prefix.join(full, Seq("h"))
+      .where(col("pid") =!= col("fid") &&
+        (col("ps") < col("fs") ||
+          (col("ps") === col("fs") && col("pid") < col("fid"))))
+      .select(least(col("pid"), col("fid")).as("id_a"),
+        greatest(col("pid"), col("fid")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("inter"),
+        least(size(col("sh_a")), size(col("sh_b"))).cast("long")
+          .as("n_small"))
+      .where(col("inter") * lit(1000000L) >= lit(tPpm) * col("n_small"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_small"),
+        expr("(inter * 1000000) DIV n_small").as("containment_ppm"))
+  }
 }

@@ -67,6 +67,53 @@ class PrefixJoinSpec extends SparkTestBase {
     assert(got.head._5 === 1000000L)
   }
 
+  test("prefixContainmentPairs equals exhaustive |∩|/min on a randomized corpus") {
+    val rnd = new scala.util.Random(7)
+    val pool = (1 to 50).map(i => s"w$i")
+    // Hosts, embedded quotes (prefix/suffix context), and unrelated docs.
+    val docs = (0 until 8).flatMap { i =>
+      val host = rnd.shuffle(pool).take(20)
+      Seq((i.toLong, host.mkString(" ")),
+        (i + 100L, host.slice(3, 15).mkString(" ")), // quoted slice
+        // Partial containment: a 10-token run of the host plus three
+        // foreign tokens -> 8 of 11 shingles shared (ppm 727272).
+        (i + 300L, (host.slice(0, 10) ++
+          Seq(s"x$i", s"y$i", s"z$i")).mkString(" ")),
+        (i + 200L, rnd.shuffle(pool).take(12).mkString(" ")))
+    }
+    val got = Dedup.prefixContainmentPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", threshold = 0.7)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val sets = docs.map { case (id, tx) => id -> shingleSet(tx) }
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa & sb).size.toLong
+      mn = math.min(sa.size, sb.size).toLong
+      if inter * 1000000L >= 700000L * mn
+    } yield (ia, ib, inter, mn, inter * 1000000L / mn)).toSet
+    assert(want.nonEmpty && want.exists(_._5 < 1000000L))
+    assert(got === want)
+    // The quoted slices themselves must all be caught (containment 1.0
+    // where symmetric jaccard scores ~12/28 and misses).
+    (0 until 8).foreach(i => assert(got.exists(p =>
+      p._1 == i.toLong && p._2 == i + 100L && p._5 == 1000000L)))
+  }
+
+  test("prefixContainmentPairs: the df cap is the documented boilerplate trade") {
+    val phrase = (1 to 12).map(i => s"c$i").mkString(" ")
+    val docs = (1 to 8).map(i =>
+      (i.toLong, s"$phrase filler${i}a filler${i}b filler${i}c"))
+      .toDF("doc_id", "text")
+    // Every cross-host shared shingle is the phrase's (df = 8): a cap of 5
+    // blocks them all; the generous default finds the full clique.
+    val capped = Dedup.prefixContainmentPairs(docs, "doc_id", "text",
+      threshold = 0.7, maxTokenDf = 5).count()
+    assert(capped === 0L)
+    val full = Dedup.prefixContainmentPairs(docs, "doc_id", "text",
+      threshold = 0.7).count()
+    assert(full === 28L)
+  }
+
   test("bucket cap is the one exactness trade: capped hot key drops its pairs") {
     // 8 identical docs share every (rare) prefix token; cap 3 drops the
     // whole bucket -> zero pairs, exactly the documented behavior. Cap 0
