@@ -2367,6 +2367,19 @@ object SparkEntry {
       UnigramLm.fitVocab(t(s, dir, "documents"), "text", vocabSize = 300,
         maxPieceLen = 6).presented("piece")),
 
+    // One hard-EM refit of that vocabulary: Viterbi usage counts → prune
+    // unused multi-pieces, floor chars at 1, fresh ln scores — the
+    // SentencePiece training round with deterministic hard assignments.
+    // Oracle chains the full encode replay into the usage/rescore SQL.
+    "q_unigram_refit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = UnigramLm.fitVocab(docs, "text", vocabSize = 300,
+          maxPieceLen = 6)
+        .select("piece", "score_ppm").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      UnigramLm.refitVocab(docs, "text", vocab).presented("piece")
+    }),
+
     // Viterbi maximum-likelihood segmentation of the top-500 corpus words
     // under that vocabulary — the DP itself is oracled: DuckDB unrolls 16
     // position levels with the same (score, fewer-pieces, longest-final)
@@ -5048,6 +5061,8 @@ object SparkEntry {
          | SELECT piece, n, score_ppm FROM vs ORDER BY piece""".stripMargin,
     "q_unigram_encode" ->
       unigramEncodeOracleSql(300, 6, 16, -30000000L, 500),
+    "q_unigram_refit" ->
+      unigramRefitOracleSql(300, 6, 16, -30000000L),
     "q_kcenter_sample" -> kCenterOracleSql(8),
     "q_mmr_select" -> mmrOracleSql(8),
     "q_kmeans" -> kMeansOracleSql(8, 2),
@@ -6441,8 +6456,8 @@ object SparkEntry {
     * string rides in the struct tail and never decides (i alone is
     * unique). Words past maxWordLen route whole at the unk score.
     */
-  private def unigramEncodeOracleSql(vocabSize: Int, maxPieceLen: Int,
-      maxWordLen: Int, unk: Long, limit: Int): String = {
+  private def unigramEncodeCtesSql(vocabSize: Int, maxPieceLen: Int,
+      maxWordLen: Int, unk: Long): String = {
     val levels = (1 to maxWordLen).map { j =>
       val cands = (math.max(0, j - maxPieceLen) until j).map { i =>
         s"""SELECT a.w AS w,
@@ -6474,14 +6489,43 @@ object SparkEntry {
        |   SELECT w, wc FROM words WHERE len(w) <= $maxWordLen),
        | l0 AS MATERIALIZED (
        |   SELECT w, CAST(0 AS BIGINT) AS score, 0 AS np, '' AS pieces
-       |   FROM w16)$levels
-       | SELECT word, n, pieces, n_pieces, score_ppm FROM (
+       |   FROM w16)$levels,
+       | enc AS MATERIALIZED (
        |   $finals
        |   UNION ALL
        |   SELECT w, wc, w, 1, CAST($unk AS BIGINT)
-       |   FROM words WHERE len(w) > $maxWordLen)
-       | ORDER BY n DESC, word LIMIT $limit""".stripMargin
+       |   FROM words WHERE len(w) > $maxWordLen)""".stripMargin
   }
+
+  private def unigramEncodeOracleSql(vocabSize: Int, maxPieceLen: Int,
+      maxWordLen: Int, unk: Long, limit: Int): String =
+    s"""${unigramEncodeCtesSql(vocabSize, maxPieceLen, maxWordLen, unk)}
+       | SELECT word, n, pieces, n_pieces, score_ppm FROM enc
+       | ORDER BY n DESC, word LIMIT $limit""".stripMargin
+
+  /** One hard-EM refit round replayed: Viterbi usage counts (pieces of
+    * the `enc` chain, weighted by word count, restricted to the
+    * vocabulary), single-char pieces floored to usage 1 (coverage), and
+    * fresh round(10⁶·ln) scores over the kept usage mass.
+    */
+  private def unigramRefitOracleSql(vocabSize: Int, maxPieceLen: Int,
+      maxWordLen: Int, unk: Long): String =
+    s"""${unigramEncodeCtesSql(vocabSize, maxPieceLen, maxWordLen, unk)},
+       | use0 AS MATERIALIZED (
+       |   SELECT piece, sum(n)::BIGINT AS u FROM (
+       |     SELECT unnest(string_split(pieces, '|')) AS piece, n FROM enc)
+       |   GROUP BY 1),
+       | kept AS MATERIALIZED (
+       |   SELECT v.piece,
+       |     CASE WHEN len(v.piece) = 1
+       |          THEN greatest(COALESCE(u.u, 0), 1)
+       |          ELSE COALESCE(u.u, 0) END AS n
+       |   FROM vs v LEFT JOIN use0 u ON u.piece = v.piece),
+       | k2 AS MATERIALIZED (SELECT piece, n FROM kept WHERE n >= 1),
+       | t2 AS (SELECT sum(n)::BIGINT AS t FROM k2)
+       | SELECT piece, n,
+       |   CAST(round(1000000 * ln(n::DOUBLE / t)) AS BIGINT) AS score_ppm
+       | FROM k2, t2 ORDER BY piece""".stripMargin
 
   /** Greedy k-center unrolled: d_i holds each point's min ROUNDED distance
     * to centers 0..i; c_{i+1} is the (d desc, id) argmax excluding prior

@@ -124,6 +124,51 @@ object UnigramLm {
     * @return (word, n, pieces, n_pieces, score_ppm) — `pieces` is the
     *         '|'-joined Viterbi path, `n` the word's occurrence count.
     */
+  /** One HARD-EM refit round (the SentencePiece training loop's E+M with
+    * Viterbi hard assignments instead of lattice expectations — fully
+    * deterministic): E-step = Viterbi-encode every distinct word under
+    * the current vocabulary ([[encodeWords]]); M-step = piece usage
+    * counts weighted by word frequency, single-character pieces floored
+    * to usage 1 (the coverage guarantee survives the round), unused
+    * multi-char pieces pruned, fresh round(10⁶·ln(n/total)) scores over
+    * the kept usage mass. Usage is restricted to the CURRENT vocabulary
+    * (unknown fallback pieces — unseen chars, over-long words routed
+    * whole — never enter).
+    *
+    * @return (piece, n, score_ppm) — the next round's vocabulary, same
+    *         shape as [[fitVocab]].
+    */
+  def refitVocab(
+      df: DataFrame,
+      textCol: String,
+      vocab: Seq[(String, Long)],
+      maxPieceLen: Int = 6,
+      maxWordLen: Int = 16,
+      unkScorePpm: Long = -30000000L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val use = encodeWords(df, textCol, vocab, maxPieceLen, maxWordLen,
+        unkScorePpm)
+      .select(explode(split(col("pieces"), "\\|")).as("piece"), col("n"))
+      .groupBy("piece").agg(sum("n").as("u"))
+    val kept = vocab.map(_._1).toDF("piece")
+      .join(use, Seq("piece"), "left")
+      .select(col("piece"),
+        when(length(col("piece")) === 1,
+          greatest(coalesce(col("u"), lit(0L)), lit(1L)))
+          .otherwise(coalesce(col("u"), lit(0L))).as("n"))
+      .where(col("n") >= 1L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = kept.agg(sum("n")).first().getLong(0)
+    val out = kept.select(col("piece"), col("n"),
+      round(lit(1e6) * log(col("n").cast("double") / total))
+        .cast("long").as("score_ppm"))
+    out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .count()
+    kept.unpersist(blocking = false)
+    out
+  }
+
   def encodeWords(
       df: DataFrame,
       textCol: String,

@@ -61,6 +61,26 @@ class UnigramLmSpec extends SparkTestBase {
     assert(charsOnly === Set("a", "b"))
   }
 
+  test("refitVocab: hard-EM round prunes unused pieces, floors chars, rescores") {
+    // Corpus "abab ab": fit at vocabSize 8, maxPieceLen 2 keeps chars
+    // {a, b} and multi {ab, ba} (and "abab" is too long at k=2). Viterbi
+    // then segments both words purely as "ab" pieces: usage ab = 2·1 + 1·1
+    // = 3 (word "abab" count 1 -> 2 pieces... weighted by word count),
+    // chars a, b unused -> floored to 1; "ba" unused -> pruned.
+    val docs = Seq((1L, "abab ab")).toDF("doc_id", "text")
+    val vocab = UnigramLm.fitVocab(docs, "text", vocabSize = 8,
+        maxPieceLen = 2)
+      .select("piece", "score_ppm").as[(String, Long)].collect().toSeq
+    assert(vocab.map(_._1).toSet === Set("a", "b", "ab", "ba"))
+    val got = UnigramLm.refitVocab(docs, "text", vocab, maxPieceLen = 2)
+      .orderBy("piece").as[(String, Long, Long)].collect().toSeq
+    // usage: abab -> ab|ab (2 per occurrence, count 1), ab -> ab (1).
+    val total = 1L + 1L + 3L
+    def sc(n: Long) = math.round(1e6 * math.log(n.toDouble / total))
+    assert(got === Seq(("a", 1L, sc(1)), ("ab", 3L, sc(3)),
+      ("b", 1L, sc(1))))
+  }
+
   test("encodeWords segments the distinct-word table under a fitted vocab") {
     val docs = Seq((1L, "abab ab cc"), (2L, "abab cc cc")).toDF("doc_id", "text")
     val vocab = UnigramLm.fitVocab(docs, "text", vocabSize = 10,
