@@ -3133,6 +3133,13 @@ object SparkEntry {
             .as("rater_b")),
         "rater_a", "rater_b")),
 
+    // Robust MAD outlier census of document lengths per language — the
+    // heavy-tail-safe z-score: exact ×2/×4 integer median/MAD algebra
+    // (the quarterPercentiles midpoint convention), ppm flag threshold.
+    "q_mad_outliers" -> ((s, dir) =>
+      Stats.madOutliers(t(s, dir, "documents"), "lang", "n_chars")
+        .presented("key")),
+
     // Benford first-digit audit of floored order totals per priority
     // class — the fabricated-data detector: observed digit counts vs the
     // shared round(1e6·log10(1+1/d)) literals, exact integer
@@ -4191,6 +4198,22 @@ object SparkEntry {
     "q_random_walks" ->
       randomWalksOracleSql(2, 4, "walk", ScaledVSql, ScaledU0, ScaledV1),
     "q_scc" -> sccOracleSql(6, ScaledVSql, ScaledU0, ScaledV1),
+    "q_mad_outliers" ->
+      """WITH b AS (SELECT lang AS key, n_chars AS v FROM documents
+        |   WHERE n_chars IS NOT NULL),
+        | m AS (SELECT key, CAST(quantile_cont(v, 0.5) * 2 AS BIGINT)
+        |     AS med2, count(*)::BIGINT AS n FROM b GROUP BY 1),
+        | d AS (SELECT b.key, abs(2 * v - med2)::BIGINT AS dev2
+        |   FROM b JOIN m USING (key)),
+        | md AS (SELECT key, CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT)
+        |     AS mad4, max(dev2)::BIGINT AS max_dev2 FROM d GROUP BY 1),
+        | o AS (SELECT d.key, CAST(count(*) FILTER (
+        |       WHERE dev2 * 2000000 > 3500000 * mad4) AS BIGINT)
+        |     AS n_outliers
+        |   FROM d JOIN md USING (key) GROUP BY 1)
+        | SELECT m.key, m.n, m.med2, md.mad4, o.n_outliers, md.max_dev2
+        | FROM m JOIN md USING (key) JOIN o USING (key)
+        | ORDER BY m.key""".stripMargin,
     // Benford replay: the engine's ppm literals interpolated verbatim, the
     // same floor/positivity gate, first decimal character, zero-filled
     // digit rows, HUGEINT tvd numerator.

@@ -199,6 +199,60 @@ object Stats {
         ok.cast("int").as("est_ok"): _*)
   }
 
+  /** Robust per-key outlier census via MAD (median absolute deviation) —
+    * the z-score family member that survives heavy tails: mean/stddev
+    * flags explode when the outliers themselves inflate the scale, the
+    * median/MAD pair does not (50% breakdown point).
+    *
+    * Exact integer algebra: Spark's `percentile(·, 0.5)` interpolates the
+    * midpoint, so 2·median of longs is an integer (the
+    * [[quarterPercentiles]] cross-engine convention); deviations live in
+    * the ×2 domain (dev2 = |2v − med2|, a long), the MAD in ×4
+    * (mad4 = 2·median(dev2)), and the flag dev > k·MAD cross-multiplies
+    * (by 4·10⁶) to 2·dev2·10⁶ > kPpm·mad4 —
+    * pure int64 for |v| to ~2·10¹². Same per-key distinct-value caveat
+    * as [[quartilesAudited]]'s exact side (Spark's exact percentile
+    * holds a per-group value-count map); lengths, scores, and latencies
+    * — MAD's natural inputs — are exactly the bounded-distinct columns.
+    *
+    * @param kPpm flag threshold in ppm of the MAD (3 500 000 ≈ the
+    *        classic 3.5σ-equivalent consistency cut).
+    * @return one row per key: (key, n, med2, mad4, n_outliers, max_dev2)
+    *         — med2 = 2·median, mad4 = 4·MAD, max_dev2 = 2·max|v−med|.
+    */
+  def madOutliers(
+      df: DataFrame,
+      keyCol: String,
+      valCol: String,
+      kPpm: Long = 3500000L): DataFrame = {
+    val base = df
+      .select(col(keyCol).cast("string").as("key"),
+        col(valCol).cast("long").as("v"))
+      .where(col("v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val med = base.groupBy("key").agg(
+      (expr("percentile(v, 0.5D)") * 2).cast("long").as("med2"),
+      count(lit(1)).as("n"))
+    val dev = base.join(med, Seq("key"))
+      .select(col("key"), abs(lit(2L) * col("v") - col("med2")).as("dev2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mad = dev.groupBy("key").agg(
+      (expr("percentile(dev2, 0.5D)") * 2).cast("long").as("mad4"),
+      max(col("dev2")).as("max_dev2"))
+    val outliers = dev.join(mad.select("key", "mad4"), Seq("key"))
+      .groupBy("key").agg(
+        sum((col("dev2") * lit(2000000L) > lit(kPpm) * col("mad4"))
+          .cast("long")).as("n_outliers"))
+    val out = med.join(mad, Seq("key")).join(outliers, Seq("key"))
+      .select(col("key"), col("n"), col("med2"), col("mad4"),
+        col("n_outliers"), col("max_dev2"))
+    out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .count()
+    base.unpersist(blocking = false)
+    dev.unpersist(blocking = false)
+    out
+  }
+
   /** Key-skew profile — the diagnostic a 100 TB job reads BEFORE choosing a
     * partitioning (salt or not, AQE skew thresholds, broadcast vs shuffle):
     * row/key totals, the heaviest key's count, and the EXACT Gini

@@ -750,6 +750,31 @@ class IntervalsStatsSpec extends SparkTestBase {
       ((1L, 0L, 0L, 0L, 0L)))
   }
 
+  test("madOutliers: hand median/MAD, outlier flag, robustness to the outlier") {
+    // key a: values 1,2,3,4,100 -> median 3 (med2 6), devs 2,1,0,1,97
+    //   -> dev2 {4,2,0,2,194}, MAD = median(dev) = 1 (mad4 4).
+    //   flag: dev > 3.5 * MAD = 3.5 -> only 97 -> n_outliers 1.
+    //   (mean/std would be dragged to ~22 +/- 43 — MAD isn't.)
+    val d = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 100L),
+      ("b", 10L), ("b", 10L))
+      .toDF("k", "v")
+    val got = Stats.madOutliers(d, "k", "v")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") === (("a", 5L, 6L, 4L, 1L, 194L)))
+    // Constant key: MAD 0 -> nothing can exceed k*0 strictly unless dev>0;
+    // here all devs are 0 -> no outliers.
+    assert(got("b") === (("b", 2L, 20L, 0L, 0L, 0L)))
+    // Even-n interpolation: 1,2,3,10 -> median 2.5 (med2 5), dev2
+    // {3,1,1,15}, sorted {1,1,3,15} -> MAD = (1+3)/2/2... mad4 = 4.
+    val e = Seq(("c", 1L), ("c", 2L), ("c", 3L), ("c", 10L)).toDF("k", "v")
+    val r = Stats.madOutliers(e, "k", "v")
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    assert((r._3, r._4) === ((5L, 4L)))
+    // dev(10) = 7.5 > 3.5 * MAD(1.0)... mad4=4 -> MAD=1: 2*15e5*... flag.
+    assert(r._5 === 1L)
+  }
+
   test("sliceKlDivergence: hand two-slice KL, exact integer ln terms") {
     // A = "a a b" (a:2 b:1), B = "b b b"; corpus a:2 b:4, C = 6.
     // A: 2·round(1e6·ln 2) + 1·round(1e6·ln ½) = 693147 → // 3 = 231049.
