@@ -2855,6 +2855,17 @@ object SparkEntry {
         iters = 3).presented("id")
     }),
 
+    // Edge-weighted PageRank on the growing graph with deterministic
+    // weights w = (src+dst) % 5 + 1: mass splits ∝ w/Σw in exact
+    // integer/decimal floor arithmetic — link-strength voting. Oracle is
+    // the pageRank unroll with the weighted send.
+    "q_weighted_pagerank" -> ((s, dir) => {
+      val e = scaledDomainEdges(s, dir, dense = false).distinct()
+        .withColumn("w", (col("src") + col("dst")) % 5 + 1)
+      Graph.weightedPageRank(e, "src", "dst", "w", iters = 3)
+        .presented("id")
+    }),
+
     // Strongly connected components of the DIRECTED growing graph (the
     // coloring / forward-backward algorithm) — the directed complement to
     // q_dedup_clusters' symmetric components: mutual reachability only.
@@ -4198,6 +4209,8 @@ object SparkEntry {
     "q_random_walks" ->
       randomWalksOracleSql(2, 4, "walk", ScaledVSql, ScaledU0, ScaledV1),
     "q_scc" -> sccOracleSql(6, ScaledVSql, ScaledU0, ScaledV1),
+    "q_weighted_pagerank" ->
+      weightedPageRankOracleSql(3, ScaledVSql, ScaledU0, ScaledV1),
     "q_mad_outliers" ->
       """WITH b AS (SELECT lang AS key, n_chars AS v FROM documents
         |   WHERE n_chars IS NOT NULL),
@@ -6625,6 +6638,35 @@ object SparkEntry {
       |   (SELECT count(*) FROM e a
       |     JOIN e b ON a.v = b.u
       |     JOIN e c ON c.u = a.u AND c.v = b.v) AS n_triangles""".stripMargin
+
+  /** Weighted-PageRank oracle: the [[pageRankOracleSql]] unroll with the
+    * weighted send — per edge ⌊r·w / Σw(src)⌋ in HUGEINT (the engine
+    * lifts the same product to DECIMAL(38,0)); weights derive
+    * deterministically from the endpoints on both sides.
+    */
+  private def weightedPageRankOracleSql(iters: Int,
+      modSql: String, u0: String, v1: String): String = {
+    val base = 1L << 20
+    val tele = (3L * base) / 20L
+    def iter(t: Int): String =
+      s""" m$t AS (SELECT e.dst AS id,
+         |     CAST(sum(r${t - 1}.r::HUGEINT * e.w // od.od) AS BIGINT) AS m
+         |   FROM e JOIN od USING (src) JOIN r${t - 1} ON r${t - 1}.id = e.src
+         |   GROUP BY e.dst),
+         | r$t AS (SELECT n.id, $tele + (17 * coalesce(m.m, 0)) // 20 AS r
+         |   FROM nodes n LEFT JOIN m$t m USING (id)),""".stripMargin
+    s"""WITH nv AS MATERIALIZED (SELECT $modSql AS m),
+       | e AS (SELECT src, dst, (src + dst) % 5 + 1 AS w FROM (
+       |     SELECT DISTINCT src, dst FROM
+       |       (SELECT $u0 AS src, $v1 AS dst FROM documents, nv)
+       |     WHERE src <> dst)),
+       | nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       | od AS (SELECT src, sum(w)::BIGINT AS od FROM e GROUP BY src),
+       | r0 AS (SELECT id, CAST($base AS BIGINT) AS r FROM nodes),
+       |${(1 to iters).map(iter).mkString("\n")}
+       | fin AS (SELECT id, r FROM r$iters)
+       | SELECT id, r AS rank FROM fin ORDER BY id""".stripMargin
+  }
 
   /** SCC oracle by path doubling: r_k holds every (u, v) with a directed
     * path of length ≤ 2^k, so `doublings` rounds cover diameter

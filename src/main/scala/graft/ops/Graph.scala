@@ -357,13 +357,23 @@ object Graph {
       dampDen: Long,
       qBits: Int,
       init: Column,
-      teleOf: Column): DataFrame = {
+      teleOf: Column,
+      weightCol: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
       s"damping must satisfy 0 <= dampNum <= dampDen, got $dampNum/$dampDen")
     require(qBits >= 1 && qBits <= 30, s"qBits must be in [1, 30], got $qBits")
     val spark = edges.sparkSession
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // Weighted variant: mass from u splits ∝ w(u→v) / Σw(u→·) — the
+    // integer send lifts rank·w to DECIMAL(38,0) before the floor divide
+    // (rank ≤ |V|·2^qBits already flirts with int64 when multiplied by a
+    // user weight; decimal removes the cliff, and the cost exists only on
+    // the weighted path). Non-positive weights are dropped: a zero edge
+    // carries no mass and a negative one has no PageRank semantics.
+    val e = edges
+      .select(Seq(col(srcCol).as("src"), col(dstCol).as("dst")) ++
+        weightCol.map(c => col(c).cast("long").as("__w")): _*)
+      .where(weightCol.map(_ => col("__w") > 0L).getOrElse(lit(true)))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
@@ -371,18 +381,25 @@ object Graph {
     val small = nodes.count() <= TinyFrameMaxNodes
     def score(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     withTinyFrameConf(spark, small) {
-      val outdeg = e.groupBy("src").agg(count(lit(1)).as("__od"))
+      val outdeg = weightCol match {
+        case Some(_) => e.groupBy("src").agg(sum(col("__w")).as("__od"))
+        case None => e.groupBy("src").agg(count(lit(1)).as("__od"))
+      }
       val eDeg = e.join(score(outdeg), Seq("src"))
-        .select(col("src"), col("dst"), col("__od"))
+        .select(Seq(col("src"), col("dst"), col("__od")) ++
+          weightCol.map(_ => col("__w")): _*)
         .localCheckpoint(true)
       e.unpersist(blocking = false)
+      val sendExpr =
+        if (weightCol.isDefined)
+          expr("CAST((CAST(rank AS DECIMAL(38,0)) * __w) DIV __od AS BIGINT)")
+        else expr("rank DIV __od")
       var ranks = nodes.select(col("id"), init.as("rank"))
       var it = 0
       while (it < iters) {
         val mass = eDeg
           .join(score(ranks.select(col("id").as("src"), col("rank"))), Seq("src"))
-          .select(col("dst").as("id"),
-            expr("rank DIV __od").as("__send"))
+          .select(col("dst").as("id"), sendExpr.as("__send"))
           .groupBy("id").agg(sum(col("__send")).as("__m"))
           .localCheckpoint(true)
         ranks = nodes
@@ -394,6 +411,28 @@ object Graph {
       }
       ranks
     }
+  }
+
+  /** Edge-weighted PageRank: mass from a node splits across its
+    * out-edges proportionally to the edge weight (⌊rank·w / Σw⌋ in
+    * exact integer/decimal arithmetic) instead of uniformly — link
+    * strength, click counts, or citation multiplicity as the vote. The
+    * [[pageRank]] fixed-point discipline otherwise verbatim; weights
+    * must be positive integers (non-positive edges are dropped).
+    */
+  def weightedPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      iters: Int = 3,
+      dampNum: Long = 17L,
+      dampDen: Long = 20L,
+      qBits: Int = 20): DataFrame = {
+    val base = 1L << qBits
+    val tele = ((dampDen - dampNum) * base) / dampDen
+    prLoop(edges, srcCol, dstCol, iters, dampNum, dampDen, qBits,
+      init = lit(base), teleOf = lit(tele), weightCol = Some(weightCol))
   }
 
   /** HITS hubs & authorities (Kleinberg 1999) in fixed-point integer

@@ -233,6 +233,38 @@ class GraphSpec extends SparkTestBase {
     assert(Graph.bfsDistances(e, "src", "dst", seeds = Seq(99L)).count() === 0L)
   }
 
+  test("weightedPageRank: hand one-iteration fixed point; constant weights = uniform") {
+    // Edges 1→2 (w1), 1→3 (w3), 2→1 (w1), 3→1 (w1); qBits 4 (base 16,
+    // tele (3·16)/20 = 2), 1 iter:
+    //   sends: 1→2 ⌊16·1/4⌋=4, 1→3 ⌊16·3/4⌋=12, 2→1 16, 3→1 16
+    //   r1 = tele + ⌊17·m/20⌋: 1→ 2+27=29, 2→ 2+3=5, 3→ 2+10=12.
+    val e = Seq((1L, 2L, 1L), (1L, 3L, 3L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val got = Graph.weightedPageRank(e, "src", "dst", "w", iters = 1,
+        qBits = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 29L, 2L -> 5L, 3L -> 12L))
+    // Constant weights are EXACTLY the uniform split: ⌊r·c/(c·od)⌋ = ⌊r/od⌋.
+    val e7 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val uni = Graph.pageRank(e7, "src", "dst", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val cst = Graph.weightedPageRank(
+        e7.withColumn("w", org.apache.spark.sql.functions.lit(7L)),
+        "src", "dst", "w", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(cst === uni)
+    // Non-positive edges drop: w=0 edge behaves as absent.
+    val withZero = Seq((1L, 2L, 1L), (1L, 3L, 0L), (2L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val noZero = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val a = Graph.weightedPageRank(withZero, "src", "dst", "w", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.weightedPageRank(noZero, "src", "dst", "w", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    // node 3 only appeared via the zero edge -> absent entirely.
+    assert(a === b)
+  }
+
   test("scc: two cycles joined by a one-way bridge stay separate components") {
     // 1→2→3→1 and 4→5→6→4 with bridge 3→4: the bridge is not mutual, so
     // the SCCs are {1,2,3} and {4,5,6}. The SYMMETRIC cc would merge them.
