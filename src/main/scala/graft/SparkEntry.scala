@@ -2888,6 +2888,18 @@ object SparkEntry {
         .presented("start", "walk", "step")
     }),
 
+    // Skip-gram PMI over the walk corpus — the DeepWalk embedding
+    // context statistics as a node-affinity table: pairs co-riding walks
+    // above frequency expectation. Fully deterministic on top of
+    // q_random_walks' draws; oracle chains the walk replay into the
+    // windowed self-join + the pmiCollocations ln convention.
+    "q_walk_pmi" -> ((s, dir) => {
+      val e = scaledDomainEdges(s, dir, dense = false).distinct()
+      Graph.walkCooccurrence(e, "src", "dst", walksPerNode = 2,
+        walkLen = 4, window = 2, minCount = 2L, topK = 200)
+        .presented(col("pmi_ppm").desc, col("a"), col("b"))
+    }),
+
     // Multi-source BFS from the same 3-seed trust set on the GROWING
     // graph: exact hop distance + nearest-seed attribution (min-id
     // tie-break) — the hard-count complement to q_pagerank_seeds' soft
@@ -4209,6 +4221,8 @@ object SparkEntry {
     "q_random_walks" ->
       randomWalksOracleSql(2, 4, "walk", ScaledVSql, ScaledU0, ScaledV1),
     "q_scc" -> sccOracleSql(6, ScaledVSql, ScaledU0, ScaledV1),
+    "q_walk_pmi" -> walkCooccurrenceOracleSql(2, 4, 2, 2L, 200, "walk",
+      ScaledVSql, ScaledU0, ScaledV1),
     "q_weighted_pagerank" ->
       weightedPageRankOracleSql(3, ScaledVSql, ScaledU0, ScaledV1),
     "q_mad_outliers" ->
@@ -6705,7 +6719,7 @@ object SparkEntry {
     * degree, the engine's draw verbatim (the q_feature_hash '0x'-cast
     * convention).
     */
-  private def randomWalksOracleSql(walksPerNode: Int, walkLen: Int,
+  private def randomWalksCtesSql(walksPerNode: Int, walkLen: Int,
       salt: String, modSql: String, u0: String, v1: String): String = {
     val steps = (1 to walkLen).map { t =>
       s""",
@@ -6738,11 +6752,38 @@ object SparkEntry {
        | w0 AS MATERIALIZED (SELECT id AS start, r AS walk, id AS cur
        |   FROM (SELECT DISTINCT v AS id FROM e),
        |     (SELECT unnest(generate_series(0,
-       |       ${walksPerNode - 1})) AS r))$steps
-       | SELECT start, CAST(walk AS BIGINT) AS walk, step, node FROM (
-       |   $unions)
-       | ORDER BY start, walk, step""".stripMargin
+       |       ${walksPerNode - 1})) AS r))$steps,
+       | wk AS MATERIALIZED (
+       |   SELECT start, CAST(walk AS BIGINT) AS walk, step, node FROM (
+       |     $unions))""".stripMargin
   }
+
+  private def randomWalksOracleSql(walksPerNode: Int, walkLen: Int,
+      salt: String, modSql: String, u0: String, v1: String): String =
+    s"""${randomWalksCtesSql(walksPerNode, walkLen, salt, modSql, u0, v1)}
+       | SELECT start, walk, step, node FROM wk
+       | ORDER BY start, walk, step""".stripMargin
+
+  /** Walk-PMI oracle: the walk chain, the windowed position self-join,
+    * three counts, and the pmiCollocations ln convention.
+    */
+  private def walkCooccurrenceOracleSql(walksPerNode: Int, walkLen: Int,
+      window: Int, minCount: Long, topK: Int, salt: String,
+      modSql: String, u0: String, v1: String): String =
+    s"""${randomWalksCtesSql(walksPerNode, walkLen, salt, modSql, u0, v1)},
+       | p AS MATERIALIZED (SELECT a.node AS a, b.node AS b
+       |   FROM wk a JOIN wk b ON a.start = b.start AND a.walk = b.walk
+       |     AND b.step > a.step AND b.step <= a.step + $window),
+       | nn AS (SELECT count(*)::BIGINT AS n FROM p),
+       | c AS (SELECT a, b, count(*)::BIGINT AS n_ab FROM p GROUP BY 1, 2),
+       | l AS (SELECT a, count(*)::BIGINT AS la FROM p GROUP BY 1),
+       | r AS (SELECT b, count(*)::BIGINT AS rb FROM p GROUP BY 1)
+       | SELECT a, b, n_ab,
+       |   CAST(round(1000000 * ln((n_ab::DOUBLE * nn.n)
+       |     / (la::DOUBLE * rb))) AS BIGINT) AS pmi_ppm
+       | FROM c JOIN l USING (a) JOIN r USING (b), nn
+       | WHERE n_ab >= $minCount
+       | ORDER BY pmi_ppm DESC, a, b LIMIT $topK""".stripMargin
 
   /** Unrolled multi-source BFS oracle: the symmetrized edge table, seeds
     * restricted to graph nodes as round 0, then `hops` guarded frontier

@@ -1013,6 +1013,66 @@ object Graph {
     out.result().reduce(_.unionByName(_))
   }
 
+  /** Skip-gram co-occurrence statistics over the [[randomWalks]] corpus —
+    * the counts a DeepWalk/node2vec embedding trains on, usable directly
+    * as a node-affinity signal: for every ordered position pair within
+    * `window` steps of the same walk, count (earlier, later) node pairs
+    * and report the PMI against the pair-table marginals,
+    *
+    *   PMI(a, b) = ln( n_ab · N / (l_a · r_b) )
+    *
+    * integerized as round(10⁶·PMI) — the [[LanguageModel.pmiCollocations]]
+    * determinism policy verbatim (exact int64 counts, factors exact as
+    * doubles below 2⁵³, same ln on both engines). High-PMI pairs are
+    * nodes that co-ride walks far above what their frequencies predict —
+    * the random-walk notion of "same neighborhood".
+    *
+    * Scale shape: the pair table is walks·walkLen·window rows of two
+    * longs (the self-join keys on (start, walk) — walk-bounded
+    * partitions); three map-side-combined counts; the output is a
+    * k-bounded TakeOrdered. Everything inherits [[randomWalks]]'
+    * determinism — same salt, same pairs, same PMI, bit for bit.
+    *
+    * @return top-`topK` (a, b, n_ab, pmi_ppm) by (pmi desc, a, b) among
+    *         pairs with n_ab ≥ `minCount`.
+    */
+  def walkCooccurrence(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      walksPerNode: Int = 2,
+      walkLen: Int = 4,
+      window: Int = 2,
+      minCount: Long = 2L,
+      topK: Int = 200,
+      salt: String = "walk"): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val w = randomWalks(edges, srcCol, dstCol, walksPerNode, walkLen,
+      directed = false, salt = salt)
+    val a = w.toDF("s", "k", "i", "a")
+    val b = w.toDF("s", "k", "j", "b")
+    val pairs = a.join(b, Seq("s", "k"))
+      .where(col("j") > col("i") && col("j") <= col("i") + window)
+      .select(col("a"), col("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = pairs.count()
+    val cnt = pairs.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    val la = pairs.groupBy("a").agg(count(lit(1)).as("__la"))
+    val rb = pairs.groupBy("b").agg(count(lit(1)).as("__rb"))
+    val out = cnt.where(col("n_ab") >= minCount)
+      .join(la, "a").join(rb, "b")
+      .select(col("a"), col("b"), col("n_ab"),
+        round(lit(1e6) * log((col("n_ab").cast("double") * n) /
+          (col("__la").cast("double") * col("__rb"))))
+          .cast("long").as("pmi_ppm"))
+      .orderBy(desc("pmi_ppm"), col("a"), col("b"))
+      .limit(topK)
+    out.persist(StorageLevel.MEMORY_AND_DISK).count()
+    pairs.unpersist(blocking = false)
+    out
+  }
+
   /** Strongly connected components of a DIRECTED graph — the coloring /
     * forward-backward algorithm (Orzan 2004; Hong et al. 2013): the
     * directed complement to [[connectedComponents]] (which symmetrizes).

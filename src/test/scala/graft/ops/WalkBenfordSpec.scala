@@ -59,6 +59,32 @@ class WalkBenfordSpec extends SparkTestBase {
     assert(a === expectedWalks(edges, 1, 4, "epoch1"))
   }
 
+  test("walkCooccurrence: pairs/marginals/PMI replay from the walk table") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (4L, 5L))
+    val walks = expectedWalks(edges, 2, 4, "walk").toSeq
+    // Independent replay: windowed ordered pairs, marginals, ln PMI.
+    val pairs = for {
+      ((s, k), steps) <- walks.groupBy(w => (w._1, w._2)).toSeq
+      sorted = steps.sortBy(_._3)
+      i <- sorted.indices; j <- sorted.indices
+      if sorted(j)._3 > sorted(i)._3 && sorted(j)._3 <= sorted(i)._3 + 2
+    } yield (sorted(i)._4, sorted(j)._4)
+    val n = pairs.length.toLong
+    val cAB = pairs.groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val cL = pairs.groupBy(_._1).map { case (x, xs) => x -> xs.length.toLong }
+    val cR = pairs.groupBy(_._2).map { case (x, xs) => x -> xs.length.toLong }
+    val want = cAB.collect { case ((a, b), nab) if nab >= 2 =>
+      (a, b, nab, math.round(1e6 * math.log(
+        nab.toDouble * n / (cL(a).toDouble * cR(b)))))
+    }.toSet
+    val got = Graph.walkCooccurrence(edges.toDF("src", "dst"), "src", "dst",
+        walksPerNode = 2, walkLen = 4, window = 2, minCount = 2L,
+        topK = 1000)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("benfordAudit: hand counts, zero-filled digits, positives only") {
     val d = Seq(("a", 1L), ("a", 1L), ("a", 19L), ("a", 2L), ("a", 300L),
       ("a", 9L), ("a", 0L), ("a", -5L), ("b", 4L))
