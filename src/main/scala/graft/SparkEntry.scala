@@ -961,20 +961,25 @@ object SparkEntry {
     // EXACT containment join: |∩|/min ≥ 0.8 pairs via the containment
     // form of prefix filtering (smaller side's prefix vs the full index)
     // — the deterministic complement to q_containment's winnowing blocks.
-    // Oracle is the plain all-pairs |∩|/min replay.
+    // Oracle is the plain all-pairs |∩|/min replay, so the registered
+    // entry runs UNCAPPED (maxTokenDf = 0): the contract the oracle
+    // verifies is the exact one, never a silently-capped approximation.
     "q_prefix_containment" -> ((s, dir) =>
       Dedup.prefixContainmentPairs(docsWithDupes(s, dir), "doc_id", "text",
-        shingleK = 3, threshold = 0.8)
+        shingleK = 3, threshold = 0.8, maxTokenDf = 0)
         .presented("id_a", "id_b")),
 
     // EXACT prefix-filtered similarity join (PPJoin) — recall 1.0 by
     // construction, so the oracle is the plain all-pairs replay: DuckDB
     // rebuilds the string shingle sets and computes the same integer
     // |∩| / |∪| / ppm algebra over every pair. No banding probability
-    // argument needed, unlike q_ngram_jaccard's e-15 miss bound.
+    // argument needed, unlike q_ngram_jaccard's e-15 miss bound. Runs
+    // UNCAPPED (maxBucketSize = 0) so the recall-1.0 contract the oracle
+    // checks is the one actually executed — the default cap is a skew
+    // guardrail for corpus-scale callers, not part of the exact contract.
     "q_prefix_jaccard" -> ((s, dir) =>
       Dedup.prefixJaccardPairs(docsWithDupes(s, dir), "doc_id", "text",
-        shingleK = 3, threshold = 0.8)
+        shingleK = 3, threshold = 0.8, maxBucketSize = 0)
         .presented("id_a", "id_b")),
 
     // Dedup threshold sensitivity curve: ONE banded pair table at τ = 0.7

@@ -1483,6 +1483,10 @@ object Dedup {
     * [[containmentPairs]] MOSS rationale made explicit; recall is 1.0
     * whenever any shared prefix token stays under the cap, and the cap
     * is what bounds the hot-token candidate blowup at corpus scale.
+    * Pass `maxTokenDf <= 0` for a fully uncapped (recall-1.0) join —
+    * the mode the oracled `q_prefix_containment` entry runs, so the
+    * exactness contract the oracle verifies is the uncapped one and a
+    * capped run can never silently masquerade as exact.
     *
     * Output: (id_a, id_b, inter, n_small, containment_ppm) with
     * id_a < id_b and containment_ppm = ⌊10⁶·|∩|/min⌋.
@@ -1512,9 +1516,11 @@ object Dedup {
         expr(s"CAST(s - (s * $tPpm + 999999) DIV 1000000 + 1 AS INT)"))
       .select(col("id").as("pid"), col("s").as("ps"),
         explode(slice(col("ord"), lit(1), col("__p"))).as("pe"))
-      .where(col("pe.df") <= maxTokenDf)
+      .where(if (maxTokenDf > 0) col("pe.df") <= maxTokenDf else lit(true))
       .select(col("pid"), col("ps"), col("pe.h").as("h"))
-    val full = tok.join(dfreq.where(col("df") <= maxTokenDf), "h")
+    val full = tok.join(
+      if (maxTokenDf > 0) dfreq.where(col("df") <= maxTokenDf) else dfreq,
+      "h")
       .join(sets.select(col("id"), size(col("sh")).cast("long").as("fs")),
         Seq("id"))
       .select(col("h"), col("id").as("fid"), col("fs"))

@@ -1174,6 +1174,7 @@ object Stats {
       val spark = df.sparkSession
       import spark.implicits._
       cnt.unpersist(blocking = false)
+      items.unpersist(blocking = false)
       return Seq((nItemsAll, 0L, 0L, 0L, 0L))
         .toDF("n_items", "n_pairable_items", "n_values", "n_labels",
           "alpha_ppm")

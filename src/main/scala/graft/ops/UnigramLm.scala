@@ -118,12 +118,6 @@ object UnigramLm {
     (stack.reverse.toSeq, score(n))
   }
 
-  /** Segment every distinct word of the corpus under a fitted vocabulary
-    * (piece → score_ppm, the driver-bounded [[fitVocab]] artifact).
-    *
-    * @return (word, n, pieces, n_pieces, score_ppm) — `pieces` is the
-    *         '|'-joined Viterbi path, `n` the word's occurrence count.
-    */
   /** One HARD-EM refit round (the SentencePiece training loop's E+M with
     * Viterbi hard assignments instead of lattice expectations — fully
     * deterministic): E-step = Viterbi-encode every distinct word under
@@ -147,9 +141,13 @@ object UnigramLm {
       unkScorePpm: Long = -30000000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val use = encodeWords(df, textCol, vocab, maxPieceLen, maxWordLen,
+    // Piece usage from the ARRAY-typed Viterbi path — never the '|'-joined
+    // presentation string, whose separator a pathological token in an
+    // arbitrary text column could contain (the encode is over tokens()
+    // output today, but this op must not depend on that invariant).
+    val use = encodeWordPieces(df, textCol, vocab, maxPieceLen, maxWordLen,
         unkScorePpm)
-      .select(explode(split(col("pieces"), "\\|")).as("piece"), col("n"))
+      .select(explode(col("piece_arr")).as("piece"), col("n"))
       .groupBy("piece").agg(sum("n").as("u"))
     val kept = vocab.map(_._1).toDF("piece")
       .join(use, Seq("piece"), "left")
@@ -169,13 +167,39 @@ object UnigramLm {
     out
   }
 
+  /** Segment every distinct word of the corpus under a fitted vocabulary
+    * (piece → score_ppm, the driver-bounded [[fitVocab]] artifact).
+    *
+    * @return (word, n, pieces, n_pieces, score_ppm) — `pieces` is the
+    *         '|'-joined Viterbi path (presentation form; [[refitVocab]]
+    *         consumes the array-typed path instead), `n` the word's
+    *         occurrence count.
+    */
   def encodeWords(
       df: DataFrame,
       textCol: String,
       vocab: Seq[(String, Long)],
       maxPieceLen: Int = 6,
       maxWordLen: Int = 16,
-      unkScorePpm: Long = -30000000L): DataFrame = {
+      unkScorePpm: Long = -30000000L): DataFrame =
+    encodeWordPieces(df, textCol, vocab, maxPieceLen, maxWordLen,
+      unkScorePpm)
+      .select(col("word"), col("n"),
+        array_join(col("piece_arr"), "|").as("pieces"),
+        col("n_pieces"), col("score_ppm"))
+
+  /** [[encodeWords]] with the Viterbi path as an ARRAY column
+    * (word, n, piece_arr, n_pieces, score_ppm) — the form downstream
+    * aggregation should consume: no separator convention to collide with
+    * piece contents.
+    */
+  private[ops] def encodeWordPieces(
+      df: DataFrame,
+      textCol: String,
+      vocab: Seq[(String, Long)],
+      maxPieceLen: Int,
+      maxWordLen: Int,
+      unkScorePpm: Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(vocab.toMap)
@@ -185,8 +209,8 @@ object UnigramLm {
       .map { case (w, wc) =>
         val (pieces, s) = viterbi(w, bc.value, maxPieceLen, maxWordLen,
           unkScorePpm)
-        (w, wc, pieces.mkString("|"), pieces.length.toLong, s)
+        (w, wc, pieces, pieces.length.toLong, s)
       }
-      .toDF("word", "n", "pieces", "n_pieces", "score_ppm")
+      .toDF("word", "n", "piece_arr", "n_pieces", "score_ppm")
   }
 }
