@@ -969,6 +969,17 @@ object SparkEntry {
         shingleK = 3, threshold = 0.8, maxTokenDf = 0)
         .presented("id_a", "id_b")),
 
+    // Pre-flight maxTokenDf telemetry for the containment join: the
+    // boilerplate-token census (count + total df mass over the cap) a
+    // 100 TB operator reads before paying for the join. Cap = 25 so the
+    // cap BINDS on this fixture (common shingles clear it) — the oracled
+    // columns are the engine-independent df census; the candidate count
+    // (hash-order-dependent) stays API-only for SCALING evidence.
+    "q_containment_cap_audit" -> ((s, dir) =>
+      Dedup.prefixContainmentAudit(docsWithDupes(s, dir), "doc_id", "text",
+        shingleK = 3, threshold = 0.8, maxTokenDf = 25)
+        .select("n_docs", "n_tokens", "n_hot_tokens", "hot_df_mass")),
+
     // EXACT prefix-filtered similarity join (PPJoin) — recall 1.0 by
     // construction, so the oracle is the plain all-pairs replay: DuckDB
     // rebuilds the string shingle sets and computes the same integer
@@ -3725,6 +3736,17 @@ object SparkEntry {
          |   FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          | WHERE inter * 1000000 >= 800000 * n_small
          | ORDER BY id_a, id_b""".stripMargin,
+    "q_containment_cap_audit" ->
+      s"""WITH sh AS (SELECT doc_id, $shingleSetSql AS s
+         |   FROM (SELECT doc_id, $tokensSql AS t FROM $docsWithDupesSql)),
+         | tok AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         | dfreq AS (SELECT g, count(*)::BIGINT AS df FROM tok GROUP BY 1)
+         | SELECT (SELECT count(*) FROM sh)::BIGINT AS n_docs,
+         |   (SELECT count(*) FROM dfreq)::BIGINT AS n_tokens,
+         |   (SELECT count(*) FROM dfreq WHERE df > 25)::BIGINT
+         |     AS n_hot_tokens,
+         |   (SELECT coalesce(sum(df), 0) FROM dfreq WHERE df > 25)::BIGINT
+         |     AS hot_df_mass""".stripMargin,
     "q_prefix_jaccard" ->
       s"""WITH sh AS (SELECT doc_id, $shingleSetSql AS s
          |   FROM (SELECT doc_id, $tokensSql AS t FROM $docsWithDupesSql))
@@ -4916,12 +4938,24 @@ object SparkEntry {
          | FROM documents d LEFT JOIN sig USING (doc_id)
          | ORDER BY doc_id""".stripMargin,
     "q_langid" ->
-      s"""SELECT doc_id, labeled_lang,
-         |   CASE WHEN g.s > 0 THEN g.c ELSE 'und' END AS guessed_lang, n_tokens
-         | FROM (SELECT doc_id, lang AS labeled_lang, len(t) AS n_tokens,
-         |     list_sort([$langScoreStructsSql])[-1] AS g
-         |   FROM (SELECT doc_id, lang, $tokensSql AS t FROM documents))
-         | ORDER BY doc_id""".stripMargin,
+      s"""WITH prof(g, c, w) AS (VALUES $ngramProfileValuesSql),
+         | norm AS (SELECT doc_id, lang,
+         |     '_' || regexp_replace(lower(text), '\\s+', '_', 'g') || '_'
+         |       AS ns,
+         |     CAST(len($tokensSql) AS BIGINT) AS n_tokens
+         |   FROM documents),
+         | grams AS (SELECT doc_id,
+         |     unnest([substr(ns, i, 3) for i in range(1, len(ns) - 1)]) AS g
+         |   FROM norm),
+         | sc AS (SELECT doc_id, p.c AS lang, CAST(sum(p.w) AS BIGINT) AS s
+         |   FROM grams JOIN prof p USING (g) GROUP BY 1, 2),
+         | best AS (SELECT doc_id, list_sort(list({'s': s, 'c': lang}))[-1]
+         |     AS b
+         |   FROM sc GROUP BY doc_id)
+         | SELECT n.doc_id, n.lang AS labeled_lang,
+         |   coalesce(b.b.c, 'und') AS guessed_lang, n_tokens
+         | FROM norm n LEFT JOIN best b USING (doc_id)
+         | ORDER BY n.doc_id""".stripMargin,
     "q_wordpiece" -> wordPieceOracleSql(24),
     // Negative-sampling replay: same vocab election, sqrt-tempered
     // integer ladder, 52-bit md5 uniforms, and ladder lookup.
@@ -4946,16 +4980,25 @@ object SparkEntry {
          | FROM pick JOIN cv USING (i)
          | ORDER BY doc_id, neg_idx""".stripMargin,
     "q_sentence_langmix" ->
-      s"""WITH sen AS (SELECT doc_id, trim(x) AS s FROM
-         |     (SELECT doc_id, unnest(regexp_extract_all(text,
+      s"""WITH prof(g, c, w) AS (VALUES $ngramProfileValuesSql),
+         | sen AS (SELECT doc_id, row_number() OVER () AS sid, trim(x) AS s
+         |   FROM (SELECT doc_id, unnest(regexp_extract_all(text,
          |        '[^.!?]+[.!?]*')) AS x FROM documents)
          |   WHERE trim(x) <> ''),
-         | lg AS (SELECT doc_id,
-         |     CASE WHEN g.s > 0 THEN g.c ELSE 'und' END AS sl
-         |   FROM (SELECT doc_id, list_sort([$langScoreStructsSql])[-1] AS g
-         |     FROM (SELECT doc_id, list_filter(
-         |         regexp_split_to_array(lower(s), '\\s+'), x -> x <> '') AS t
-         |       FROM sen))),
+         | norm AS (SELECT doc_id, sid,
+         |     '_' || regexp_replace(lower(s), '\\s+', '_', 'g') || '_' AS ns
+         |   FROM sen),
+         | grams AS (SELECT doc_id, sid,
+         |     unnest([substr(ns, i, 3) for i in range(1, len(ns) - 1)]) AS g
+         |   FROM norm),
+         | scs AS (SELECT doc_id, sid, p.c AS lang,
+         |     CAST(sum(p.w) AS BIGINT) AS s
+         |   FROM grams JOIN prof p USING (g) GROUP BY 1, 2, 3),
+         | bests AS (SELECT doc_id, sid,
+         |     list_sort(list({'s': s, 'c': lang}))[-1] AS b
+         |   FROM scs GROUP BY doc_id, sid),
+         | lg AS (SELECT n.doc_id, coalesce(b.b.c, 'und') AS sl
+         |   FROM norm n LEFT JOIN bests b USING (doc_id, sid)),
          | c AS (SELECT doc_id, sl, count(*) AS c FROM lg GROUP BY doc_id, sl),
          | top AS (SELECT doc_id, sl AS dominant_lang, c AS n_dominant FROM
          |     (SELECT doc_id, sl, c, row_number() OVER (PARTITION BY doc_id
@@ -7817,4 +7860,14 @@ object SparkEntry {
     .map { case (lang, words) =>
       s"{'s': len(list_intersect(t, ${sqlList(words)})), 'c': '$lang'}"
     }.mkString(",\n         |     ")
+
+  /** DuckDB VALUES rows of the shared character-trigram language model —
+    * interpolated verbatim from [[TextAnalysis.NgramProfiles]] so both
+    * engines score from the identical (gram, lang, weight) literals; the
+    * langId scaladoc's oracle-parity contract.
+    */
+  private val ngramProfileValuesSql: String =
+    TextAnalysis.NgramProfiles.toSeq.sortBy(_._1).flatMap { case (lang, grams) =>
+      grams.map { case (g, w) => s"('${g.replace("'", "''")}', '$lang', $w)" }
+    }.mkString(", ")
 }

@@ -134,13 +134,31 @@ class BoomTable(paths: Seq[String]) extends Table with SupportsRead with Support
   *     (util/FastSearch.java:233-249); the term tests against the uppercased
   *     line/block.
   *
-  * Everything is also returned as residual, so Spark re-evaluates: a
-  * pushdown bug can cost performance but never correctness.
+  * Accepted predicates are ABSORBED (not returned as residual): the reader
+  * enforces them exactly — per-LINE `base+ms` range test and per-line
+  * clause test with the same `UTF8String.contains`/`toUpperCase` Spark's
+  * own Contains/Upper use — and GoldenQuerySpec pins the semantics against
+  * the reference goldens. Absorption is what unlocks the two wins a
+  * residual-everything policy forfeits: `message` can be PRUNED while
+  * pushed clauses still filter (no string copy per surviving line), and
+  * Spark's aggregate pushdown rule fires (it requires no post-scan
+  * Filter), enabling the COUNT(*) fast path below. Unparsed predicates
+  * stay residual as before.
+  *
+  * COUNT(*) pushdown (`SupportsPushDownAggregates`): a global, ungrouped
+  * COUNT(*) under time-only predicates (the reference's A4 "result count"
+  * counter, IndexLogs-style totals) becomes a header-walk scan — per-line
+  * varint/length skips, no BoomLine, no message bytes, ONE row per task —
+  * with Spark summing the per-partition partials. Gated off when term
+  * clauses are pushed (a term test must decode messages anyway) and by the
+  * `countPushdown=false` read option (the apples-to-apples bench switch).
   */
 class BoomScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownV2Filters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownV2Filters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   import org.apache.spark.sql.connector.expressions.{Expression => VExpr, GeneralScalarExpression, NamedReference}
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
   import org.apache.spark.sql.connector.expressions.filter.Predicate
   import org.apache.spark.sql.graft.V2ExprBridge
   import org.apache.spark.sql.types.{LongType, StringType}
@@ -218,17 +236,33 @@ class BoomScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap)
 
   override def pushPredicates(predicates: Array[Predicate]): Array[Predicate] = {
     val accepted = ArrayBuffer[Predicate]()
+    val residual = ArrayBuffer[Predicate]()
     predicates.foreach { p =>
       if (acceptTsBound(p)) accepted += p
-      else parseClause(p).foreach { cl => clauses :+= cl; accepted += p }
+      else parseClause(p) match {
+        case Some(cl) => clauses :+= cl; accepted += p
+        case None => residual += p
+      }
     }
     pushed = accepted.toArray
-    predicates // all residual — see class doc
+    residual.toArray // accepted predicates are absorbed — see class doc
   }
 
   override def pushedPredicates(): Array[Predicate] = pushed
 
   override def pruneColumns(required: StructType): Unit = requiredSchema = required
+
+  private var countPushed = false
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val enabled = options.getBoolean("countPushdown", true)
+    if (!enabled || clauses.nonEmpty) return false
+    if (aggregation.groupByExpressions().nonEmpty) return false
+    aggregation.aggregateExpressions() match {
+      case Array(_: CountStar) => countPushed = true; true
+      case _ => false
+    }
+  }
 
   override def build(): Scan = {
     val spark = SparkSession.active
@@ -237,9 +271,10 @@ class BoomScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap)
       minTs = minTs,
       maxTsExcl = maxTsExcl,
       clauses = clauses,
-      needMessage = requiredSchema.fieldNames.contains("message"))
+      needMessage = !countPushed && requiredSchema.fieldNames.contains("message"))
     new BoomScan(paths, files, requiredSchema, pushdown, options,
-      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()),
+      countOnly = countPushed)
   }
 }
 
@@ -257,16 +292,21 @@ class BoomScan(
     requiredSchema: StructType,
     pushdown: BoomPushdown,
     options: CaseInsensitiveStringMap,
-    hconf: SerializableConfiguration) extends Scan with Batch with SupportsReportStatistics {
+    hconf: SerializableConfiguration,
+    countOnly: Boolean = false) extends Scan with Batch with SupportsReportStatistics {
 
-  override def readSchema(): StructType = requiredSchema
+  override def readSchema(): StructType =
+    if (countOnly)
+      new StructType().add("count(*)", org.apache.spark.sql.types.LongType,
+        nullable = false)
+    else requiredSchema
   override def toBatch: Batch = this
 
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new BoomMicroBatchStream(paths, requiredSchema, options)
   override def description(): String =
-    s"boom [${files.size} files, pushdown=$pushdown]"
+    s"boom [${files.size} files, pushdown=$pushdown, countOnly=$countOnly]"
 
   /** Slice large files at (future) Avro sync boundaries and bin-pack the
     * slices, mirroring Spark's own `FilePartition.maxSplitBytes` sizing: many
@@ -314,7 +354,11 @@ class BoomScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BoomReaderFactory(requiredSchema, pushdown, hconf)
+    if (countOnly) new BoomCountReaderFactory(pushdown, hconf)
+    else new BoomReaderFactory(requiredSchema, pushdown, hconf)
+
+  /** Public surface for plan assertions: is this a count-only scan? */
+  def isCountOnly: Boolean = countOnly
 
   override def estimateStatistics(): Statistics = new Statistics {
     // Deflate-6 log text inflates ~8x; rows ≈ bytes / ~150 B/line. Rough but
@@ -333,6 +377,51 @@ class BoomReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new BoomPartitionReader(
       partition.asInstanceOf[BoomInputPartition], requiredSchema, pushdown, hconf)
+}
+
+class BoomCountReaderFactory(
+    pushdown: BoomPushdown,
+    hconf: SerializableConfiguration) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new BoomCountPartitionReader(
+      partition.asInstanceOf[BoomInputPartition], pushdown, hconf)
+}
+
+/** Pushed COUNT(*) task: drain each slice in count mode
+  * ([[BoomFileRangeIterator.countRemaining]] — header/varint walks, zero
+  * row materialization) and emit ONE partial-count row; Spark's final
+  * aggregation sums the partials. The distributed form of the reference's
+  * A4 result counter.
+  */
+class BoomCountPartitionReader(
+    partition: BoomInputPartition,
+    pushdown: BoomPushdown,
+    hconf: SerializableConfiguration) extends PartitionReader[InternalRow] {
+
+  private var emitted = false
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (emitted) return false
+    var total = 0L
+    partition.slices.foreach { slice =>
+      val end = if (slice.length == Long.MaxValue) Long.MaxValue else slice.start + slice.length
+      val it = new BoomFileRangeIterator(
+        new org.apache.avro.mapred.FsInput(new Path(slice.path), hconf.value),
+        pushdown, slice.start, end)
+      try total += it.countRemaining() finally it.close()
+    }
+    val r = new GenericInternalRow(1)
+    r.setLong(0, total)
+    row = r
+    emitted = true
+    true
+  }
+
+  override def get(): InternalRow = row
+
+  override def close(): Unit = ()
 }
 
 class BoomPartitionReader(

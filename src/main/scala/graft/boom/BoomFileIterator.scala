@@ -204,6 +204,97 @@ final class BoomBlockDatumReader(pushdown: BoomPushdown)
     }
   }
 
+  /** Count-only decode of one logBlock record: the number of lines whose
+    * timestamp falls in the pushed range, WITHOUT materializing a single
+    * BoomLine or message string (the A4 count-under-time-range fast path —
+    * the reference burned a full scan-and-spool job on it). Three regimes
+    * per block, decided by the block `second`:
+    *
+    *   - wholly inside the range → the array ITEM COUNTS are the answer:
+    *     items are skipped (varint/length walks, no copies) and every
+    *     array-block count is credited;
+    *   - wholly outside → [[skipLines]];
+    *   - boundary second → per-line `ms` test, everything else skipped.
+    *
+    * Only valid when no term clauses are pushed (the scan builder gates
+    * count pushdown on exactly that).
+    */
+  def countLines(in: Decoder): Long = {
+    var second = 0L
+    var cnt = 0L
+    val fields = writerSchema.getFields
+    val nFields = fields.size()
+    var f = 0
+    while (f < nFields) {
+      val field = fields.get(f)
+      field.name() match {
+        case "second" => second = in.readLong()
+        case "logLines" =>
+          val base = second * 1000L
+          val itemSchema = field.schema().getElementType
+          if (!pushdown.hasTimeFilter ||
+            (base >= pushdown.minTs && base + 999L < pushdown.maxTsExcl)) {
+            cnt += countAllLines(in, itemSchema)
+          } else if (base + 999L < pushdown.minTs || base >= pushdown.maxTsExcl) {
+            skipLines(in, itemSchema)
+          } else {
+            cnt += countLinesInRange(in, itemSchema, base)
+          }
+        case _ => skipByType(in, field.schema())
+      }
+      f += 1
+    }
+    cnt
+  }
+
+  /** Item counts from the array headers; items skipped, never decoded.
+    * `readArrayStart`/`arrayNext` (not `skipArray`) so byte-sized array
+    * blocks from foreign writers still report their counts.
+    */
+  private def countAllLines(in: Decoder, itemSchema: Schema): Long = {
+    val itemFields = itemSchema.getFields
+    val nItemFields = itemFields.size()
+    var total = 0L
+    var n = in.readArrayStart()
+    while (n != 0) {
+      var i = 0L
+      while (i < n) {
+        var f = 0
+        while (f < nItemFields) { skipByType(in, itemFields.get(f).schema()); f += 1 }
+        i += 1
+      }
+      total += n
+      n = in.arrayNext()
+    }
+    total
+  }
+
+  /** Boundary-second block: only `ms` is read; all else skipped. */
+  private def countLinesInRange(in: Decoder, itemSchema: Schema, base: Long): Long = {
+    val itemFields = itemSchema.getFields
+    val nItemFields = itemFields.size()
+    var cnt = 0L
+    var n = in.readArrayStart()
+    while (n != 0) {
+      var i = 0L
+      while (i < n) {
+        var ms = 0L
+        var f = 0
+        while (f < nItemFields) {
+          val fld = itemFields.get(f)
+          if (fld.name() == "ms") ms = in.readLong()
+          else skipByType(in, fld.schema())
+          f += 1
+        }
+        val ts = base + ms
+        if (ts >= pushdown.minTs && ts < pushdown.maxTsExcl) cnt += 1
+        i += 1
+      }
+      n = in.arrayNext()
+    }
+    cnt
+  }
+
   private def skipLines(in: Decoder, itemSchema: Schema): Unit = {
     val itemFields = itemSchema.getFields
     val nItemFields = itemFields.size()
@@ -495,11 +586,17 @@ final class BoomFileRangeIterator(
     true
   }
 
-  /** Read the next owned container block into `buffer`; false at slice end. */
-  private def readBlock(): Boolean = {
+  // Inflated payload of the frame `nextRawBlock` just produced.
+  private var blockData: Array[Byte] = _
+  private var blockLen: Int = 0
+
+  /** Read + inflate the next owned container frame into `blockData`
+    * / `blockLen`; returns its RECORD count, or -1 at slice end.
+    */
+  private def nextRawBlock(): Int = {
     // Ownership: the sync preceding the block at `pos` started at pos-16.
-    if (pos - SyncSize >= end || pos >= fileLen) return false
-    val count = try readVarLong().toInt catch { case _: EOFException => return false }
+    if (pos - SyncSize >= end || pos >= fileLen) return -1
+    val count = try readVarLong().toInt catch { case _: EOFException => return -1 }
     val size = readVarLong().toInt
     if (packed.length < size) packed = new Array[Byte](math.max(size, packed.length * 2))
     if (!readFully(packed, 0, size)) throw new EOFException("EOF in block payload")
@@ -527,12 +624,20 @@ final class BoomFileRangeIterator(
       data = inflated
       len = outLen
     }
+    blockData = data
+    blockLen = len
+    count
+  }
 
+  /** Read the next owned container block into `buffer`; false at slice end. */
+  private def readBlock(): Boolean = {
+    val count = nextRawBlock()
+    if (count < 0) return false
     buffer.clear()
     bufPos = 0
-    if (!blockMayMatch(data, len)) { blocksSkipped += 1; return true } // no decode
+    if (!blockMayMatch(blockData, blockLen)) { blocksSkipped += 1; return true } // no decode
     blocksDecoded += 1
-    binDecoder = DecoderFactory.get().binaryDecoder(data, 0, len, binDecoder)
+    binDecoder = DecoderFactory.get().binaryDecoder(blockData, 0, blockLen, binDecoder)
     var i = 0
     while (i < count) {
       recordBuf = datumReader.read(recordBuf, binDecoder)
@@ -540,6 +645,31 @@ final class BoomFileRangeIterator(
       i += 1
     }
     true
+  }
+
+  /** Drain the slice in COUNT mode: lines in the pushed time range, no
+    * BoomLine / message materialization anywhere
+    * ([[BoomBlockDatumReader.countLines]] per record). The backing store
+    * for pushed-down COUNT(*) — one long per slice instead of one row per
+    * line. Terminal: the iterator is `done` afterwards.
+    */
+  def countRemaining(): Long = {
+    require(pushdown.clauses.isEmpty,
+      "count-only scan requires no pushed term clauses")
+    require(bufPos >= buffer.length,
+      "countRemaining must run on a fresh iterator")
+    if (done) return 0L // slice owned no blocks
+    var total = 0L
+    var count = nextRawBlock()
+    while (count >= 0) {
+      blocksDecoded += 1
+      binDecoder = DecoderFactory.get().binaryDecoder(blockData, 0, blockLen, binDecoder)
+      var i = 0
+      while (i < count) { total += datumReader.countLines(binDecoder); i += 1 }
+      count = nextRawBlock()
+    }
+    done = true
+    total
   }
 
   override def hasNext: Boolean = {

@@ -103,4 +103,138 @@ object LangIdFunctions {
   /** Fused language guess over a token-array column. */
   def lang_id(tokens: Column, profiles: Map[String, Seq[String]]): Column =
     ColumnBridge.column(LangIdExpression(ColumnBridge.expression(tokens), profiles))
+
+  /** Character-trigram language guess over a raw text column. */
+  def ngram_lang_id(text: Column, profiles: Map[String, Seq[(String, Int)]]): Column =
+    ColumnBridge.column(NgramLangIdExpression(ColumnBridge.expression(text), profiles))
+}
+
+/** Character n-gram language-ID (the cld2/fastText-style public technique,
+  * trigram order): normalize the text (lowercase, ASCII-whitespace runs →
+  * '_', '_'-padded ends — the [[TokenizeOps.isWs]] whitespace set), slide a
+  * 3-CODEPOINT window, and accumulate each matching profile trigram's
+  * integer weight into its language's score; the guess is argmax of
+  * (score, language code) with `und` on zero score — the same argmax/
+  * tie-break convention as [[LangIdExpression]], so the SQL oracle shape
+  * is unchanged (score via a profile VALUES join, argmax via
+  * list_sort(struct)[-1]).
+  *
+  * Why trigrams beat whole-token stopword matching: function-word
+  * character patterns survive inflection ("einem"/"einer" carry "_ei"/
+  * "ein"), punctuation attachment ("les," still yields "_le"/"les"), and
+  * short texts that contain no complete stopword token — the three
+  * failure modes the stopword method's spec fixtures demonstrate.
+  *
+  * Determinism/oracle parity: windows slide over CODEPOINTS (DuckDB
+  * `substr` semantics), normalization is exactly
+  * `'_' || regexp_replace(lower(text), '\s+', '_', 'g') || '_'`, and
+  * weights are integer counts — no floating point anywhere.
+  */
+object NgramLangIdOps {
+  final class NProfiles(profileMap: Map[String, Seq[(String, Int)]])
+      extends Serializable {
+    val langs: Array[UTF8String] =
+      profileMap.keys.toArray.sorted.map(UTF8String.fromString)
+    private val langIdx = profileMap.keys.toArray.sorted.zipWithIndex.toMap
+    /** packed 3-codepoint key → packed (langIdx << 20 | weight) entries. */
+    val weights: java.util.HashMap[java.lang.Long, Array[Int]] = {
+      val m = new java.util.HashMap[java.lang.Long,
+        scala.collection.mutable.ArrayBuffer[Int]]()
+      profileMap.foreach { case (lang, grams) =>
+        val li = langIdx(lang)
+        grams.foreach { case (g, w) =>
+          val cps = g.codePoints().toArray
+          require(cps.length == 3, s"profile gram '$g' is not 3 codepoints")
+          require(w > 0 && w < (1 << 20), s"weight $w out of range")
+          val key = (cps(0).toLong << 42) | (cps(1).toLong << 21) | cps(2).toLong
+          m.computeIfAbsent(key,
+            _ => scala.collection.mutable.ArrayBuffer[Int]()) += ((li << 20) | w)
+        }
+      }
+      val out = new java.util.HashMap[java.lang.Long, Array[Int]](m.size() * 2)
+      m.forEach((k, v) => out.put(k, v.toArray))
+      out
+    }
+    val und: UTF8String = UTF8String.fromString("und")
+  }
+
+  @inline private def isWs(c: Int): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+
+  /** Normalized codepoint sequence: '_' + ws-runs→'_' + '_'. */
+  private def normalize(lower: String): Array[Int] = {
+    val out = new Array[Int](lower.length + 2)
+    var n = 0
+    out(n) = '_'; n += 1
+    var i = 0
+    var lastWs = false
+    while (i < lower.length) {
+      val cp = lower.codePointAt(i)
+      if (isWs(cp)) {
+        if (!lastWs) { out(n) = '_'; n += 1 }
+        lastWs = true
+      } else {
+        out(n) = cp; n += 1
+        lastWs = false
+      }
+      i += Character.charCount(cp)
+    }
+    out(n) = '_'; n += 1
+    java.util.Arrays.copyOf(out, n)
+  }
+
+  def ngramLangId(text: UTF8String, p: NProfiles): UTF8String = {
+    val cps = normalize(text.toLowerCase.toString)
+    val scores = new Array[Long](p.langs.length)
+    var i = 0
+    while (i + 2 < cps.length) {
+      val key = (cps(i).toLong << 42) | (cps(i + 1).toLong << 21) | cps(i + 2).toLong
+      val entries = p.weights.get(key)
+      if (entries != null) {
+        var j = 0
+        while (j < entries.length) {
+          scores(entries(j) >>> 20) += entries(j) & 0xFFFFF
+          j += 1
+        }
+      }
+      i += 1
+    }
+    // argmax(score, lang): langs ascend, >= on equal score keeps the later
+    // code — identical to greatest(struct(score, lang)) / list_sort [-1].
+    var best = -1
+    var bestScore = 0L
+    var l = 0
+    while (l < scores.length) {
+      if (scores(l) > 0 && scores(l) >= bestScore) { best = l; bestScore = scores(l) }
+      l += 1
+    }
+    if (best < 0) p.und else p.langs(best)
+  }
+}
+
+case class NgramLangIdExpression(
+    child: Expression, profiles: Map[String, Seq[(String, Int)]])
+  extends UnaryExpression {
+
+  @transient private lazy val compiled = new NgramLangIdOps.NProfiles(profiles)
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "ngram_lang_id"
+
+  override def nullSafeEval(input: Any): Any =
+    NgramLangIdOps.ngramLangId(input.asInstanceOf[UTF8String], compiled)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ngramLangProfiles", compiled,
+      classOf[NgramLangIdOps.NProfiles].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.NgramLangIdOps.ngramLangId($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NgramLangIdExpression =
+    copy(child = newChild)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
 }

@@ -1503,11 +1503,33 @@ object Dedup {
     val tPpm = math.round(threshold * 1e6)
     val sets = shingleHashSets(df, idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = prefixContainmentCandidates(sets, tPpm, maxTokenDf)
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("inter"),
+        least(size(col("sh_a")), size(col("sh_b"))).cast("long")
+          .as("n_small"))
+      .where(col("inter") * lit(1000000L) >= lit(tPpm) * col("n_small"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_small"),
+        expr("(inter * 1000000) DIV n_small").as("containment_ppm"))
+  }
+
+  /** Candidate stage of [[prefixContainmentPairs]] — shared verbatim with
+    * [[prefixContainmentAudit]] so the audit measures the EXACT candidate
+    * mass the join would move, never a reimplementation's approximation.
+    * Blocking token universe: under the df cap. Prefixes are still
+    * measured against the FULL set size (the containment bound needs the
+    * true min), ordered by the (df asc, hash asc) total order.
+    */
+  private[ops] def prefixContainmentCandidates(
+      sets: DataFrame,
+      tPpm: Long,
+      maxTokenDf: Int): DataFrame = {
     val tok = sets.select(col("id"), explode(col("sh")).as("h"))
     val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
-    // Blocking token universe: under the df cap. Prefixes are still
-    // measured against the FULL set size (the containment bound needs
-    // the true min), ordered by the same (df asc, hash asc) total order.
     val prefix = tok.join(dfreq, "h")
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ord"))
@@ -1524,23 +1546,59 @@ object Dedup {
       .join(sets.select(col("id"), size(col("sh")).cast("long").as("fs")),
         Seq("id"))
       .select(col("h"), col("id").as("fid"), col("fs"))
-    val candidates = prefix.join(full, Seq("h"))
+    prefix.join(full, Seq("h"))
       .where(col("pid") =!= col("fid") &&
         (col("ps") < col("fs") ||
           (col("ps") === col("fs") && col("pid") < col("fid"))))
       .select(least(col("pid"), col("fid")).as("id_a"),
         greatest(col("pid"), col("fid")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    candidates
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
-          .as("inter"),
-        least(size(col("sh_a")), size(col("sh_b"))).cast("long")
-          .as("n_small"))
-      .where(col("inter") * lit(1000000L) >= lit(tPpm) * col("n_small"))
-      .select(col("id_a"), col("id_b"), col("inter"), col("n_small"),
-        expr("(inter * 1000000) DIV n_small").as("containment_ppm"))
+  }
+
+  /** Pre-flight cap telemetry for [[prefixContainmentPairs]] — the "will
+    * `maxTokenDf` bind on MY corpus, and what would it drop" question a
+    * 100 TB operator must answer BEFORE paying for the join (the
+    * recall-telemetry convention: degradation must be measurable through
+    * the API, not discovered in a post-mortem). One row:
+    *
+    *  - `n_docs`, `n_tokens` — corpus size and distinct-shingle census;
+    *  - `n_hot_tokens`, `hot_df_mass` — blocking tokens OVER the cap and
+    *    their total document frequency: the boilerplate universe the cap
+    *    excises (0 / 0 ⇒ the cap does not bind; the capped join IS the
+    *    exact join);
+    *  - `n_candidates` — the deduped candidate-pair count the verify join
+    *    would process UNDER the cap, measured from the exact candidate
+    *    stage the join itself runs (shared code, not a model).
+    *
+    * The first four columns are engine-independent (pure df census —
+    * `q_containment_cap_audit` replays them in SQL); `n_candidates`
+    * depends on the (df, hash) prefix order's hash tie-break and is for
+    * scale telemetry (SCALING.md's candidate-mass evidence), not oracle
+    * comparison.
+    */
+  def prefixContainmentAudit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      threshold: Double = 0.8,
+      maxTokenDf: Int = DefaultMaxBucketSize): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val tPpm = math.round(threshold * 1e6)
+    val sets = shingleHashSets(df, idCol, textCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tok = sets.select(col("id"), explode(col("sh")).as("h"))
+    val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
+    val hot = if (maxTokenDf > 0) dfreq.where(col("df") > maxTokenDf)
+      else dfreq.limit(0)
+    val docs1 = sets.agg(count(lit(1)).as("n_docs"))
+    val tok1 = dfreq.agg(count(lit(1)).as("n_tokens"))
+    val hot1 = hot.agg(count(lit(1)).as("n_hot_tokens"),
+      coalesce(sum("df"), lit(0L)).as("hot_df_mass"))
+    val cand1 = prefixContainmentCandidates(sets, tPpm, maxTokenDf)
+      .agg(count(lit(1)).as("n_candidates"))
+    docs1.crossJoin(broadcast(tok1)).crossJoin(broadcast(hot1))
+      .crossJoin(broadcast(cand1))
   }
 }

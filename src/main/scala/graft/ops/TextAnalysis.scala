@@ -90,17 +90,73 @@ object TextAnalysis {
     }
   }
 
-  /** Heuristic language guess: argmax stopword hits, `und` (undetermined) when
-    * nothing matches. Ties break deterministically by (score, language-code).
-    * Fused native expression ([[graft.functions.LangIdExpression]]): one token
-    * pass updates every profile's seen-mask, where the composed
-    * `greatest(struct(size(array_intersect(...)), lang))` form re-walks the
-    * token array and rebuilds an intersection set once per language —
-    * measured ~1.2× on these short documents at sf0.1; the per-language
-    * re-walk it removes grows linearly with document length and profile
-    * count.
+  /** Function-word seed lists for the character-trigram language profiles —
+    * the most frequent function words of each language (public knowledge;
+    * supersets of [[StopwordProfiles]]). The TRIGRAMS of these words are
+    * the model: trigram weight = its occurrence count across the padded
+    * word list, so morphology ("einer" carries "ein"), clitics, and
+    * punctuation-attached forms still score where whole-token matching
+    * misses. Lists are data, not code — extend per deployment.
+    */
+  val NgramProfileWords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "that", "for",
+      "was", "on", "are", "as", "with", "they", "this", "have", "from",
+      "not", "what", "all", "were", "when", "your", "which", "their",
+      "there", "said"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+      "einer", "einem", "mit", "für", "auf", "sie", "wir", "ich", "sind",
+      "von", "dem", "den", "des", "zu", "aber", "auch", "nach", "bei",
+      "über", "wenn", "durch", "werden"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "un", "une", "pour",
+      "dans", "que", "qui", "sur", "avec", "ne", "se", "ce", "il", "elle",
+      "nous", "vous", "ils", "sont", "aux", "du", "des", "plus", "mais",
+      "comme", "tout"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "no", "un", "una",
+      "para", "en", "de", "que", "se", "por", "con", "su", "al", "lo",
+      "como", "pero", "sus", "esta", "entre", "cuando", "hasta", "sobre",
+      "desde", "porque"),
+    "ru" -> Seq("и", "в", "не", "на", "что", "это", "с", "по", "как", "из",
+      "у", "за", "от", "так", "же", "он", "она", "мы", "вы", "они", "был",
+      "была", "для", "или", "при", "его", "чтобы", "только", "есть",
+      "вот"))
+
+  /** Character-trigram profiles derived deterministically from
+    * [[NgramProfileWords]]: each word padded as `_word_`, all its
+    * 3-codepoint windows collected, weight = occurrence count within the
+    * language's list. Sorted for a stable literal order — the oracle SQL
+    * interpolates exactly these (gram, lang, weight) rows as a VALUES
+    * table, so both engines score from the identical model.
+    */
+  val NgramProfiles: Map[String, Seq[(String, Int)]] =
+    NgramProfileWords.map { case (lang, words) =>
+      val grams = words.flatMap { w =>
+        val p = s"_${w}_"
+        val cps = p.codePoints().toArray
+        (0 to cps.length - 3).map(i => new String(cps, i, 3))
+      }
+      lang -> grams.groupBy(identity).view
+        .map { case (g, gs) => (g, gs.size) }.toSeq.sortBy(_._1)
+    }
+
+  /** Heuristic language guess, character-trigram model (the cld2/fastText
+    * public technique): argmax over integer trigram-weight dot products,
+    * `und` (undetermined) on zero score, ties to the lexicographically
+    * LARGER language code — the same argmax convention the stopword
+    * variant used, so oracles keep their shape. One fused native pass
+    * ([[graft.functions.NgramLangIdExpression]]): normalize (lowercase,
+    * whitespace→'_', padded), slide a 3-codepoint window, accumulate
+    * matched weights. Beats [[langIdStopwords]] on short texts, inflected
+    * function words, and punctuation-attached tokens (specced deltas).
     */
   def langId(text: Column): Column =
+    graft.functions.LangIdFunctions.ngram_lang_id(text, NgramProfiles)
+
+  /** The legacy whole-token stopword-argmax guess (round ≤ 12 semantics):
+    * one token pass updates per-profile seen-masks, argmax distinct hits.
+    * Kept for callers whose pipelines calibrated against it; [[langId]]
+    * (trigram model) supersedes it everywhere else.
+    */
+  def langIdStopwords(text: Column): Column =
     graft.functions.LangIdFunctions.lang_id(tokens(text), StopwordProfiles)
 
   /** Dictionary tags occurring in `text` (distinct, sorted) — one-pass

@@ -63,10 +63,83 @@ class BoomPushdownSpec extends SparkTestBase {
     assert(p2.contains("BoomPushdown(1000010,1000020"))
   }
 
-  test("pushed filters stay residual: results identical with pushdown engaged") {
+  test("absorbed filters are enforced exactly by the reader: results identical") {
     val got = bm.where(upper(col("message")).contains("MSG 1 ") ||
       col("message").contains("msg 2 "))
       .select("message").as[String].collect().toSet
     assert(got === Set("msg 1 alpha", "msg 2 alpha"))
+  }
+
+  test("accepted predicates are absorbed: no post-scan Filter in the plan") {
+    val q = bm.where(col("timestamp") >= 1000010L &&
+      col("message").contains("alpha"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Filter ("),
+      s"absorbed predicates must not reappear as a post-scan Filter:\n$plan")
+    // And the absorbed evaluation is still exact at ms granularity.
+    assert(q.count() === 90L)
+  }
+
+  private def boomScanOf(df: DataFrame): BoomScan = {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    // sparkPlan, not executedPlan: AQE wraps the latter in an adaptive root
+    // whose collect() does not descend into the live plan.
+    val scans = df.queryExecution.sparkPlan.collect {
+      case b: BatchScanExec => b.scan
+    }
+    assert(scans.nonEmpty, "no BatchScan in plan")
+    scans.head.asInstanceOf[BoomScan]
+  }
+
+  test("COUNT(*) under a time-only predicate plans a count-only scan") {
+    val q = bm.where(col("timestamp") >= 1000010L && col("timestamp") < 1000060L)
+      .groupBy().count()
+    val scan = boomScanOf(q)
+    assert(scan.isCountOnly,
+      "COUNT over a time range must push into the scan (headers only)")
+    assert(scan.readSchema().length === 1 &&
+      scan.readSchema().head.dataType ===
+        org.apache.spark.sql.types.LongType)
+    assert(!q.queryExecution.executedPlan.toString.contains("Filter ("))
+    // The pushed count matches the row-level scan bit for bit (the range
+    // is intra-second, so this exercises the per-line ms boundary path).
+    val expected = spark.read.format("boom").option("countPushdown", "false")
+      .load(dir)
+      .where(col("timestamp") >= 1000010L && col("timestamp") < 1000060L)
+      .count()
+    assert(expected === 50L)
+    assert(q.head().getLong(0) === expected)
+  }
+
+  test("COUNT(*) with a term clause does NOT push (messages must decode)") {
+    val q = bm.where(col("message").contains("msg 1 ")).groupBy().count()
+    assert(!boomScanOf(q).isCountOnly)
+    assert(q.head().getLong(0) === 1L)
+  }
+
+  test("countPushdown=false read option disables the fast path") {
+    val q = spark.read.format("boom").option("countPushdown", "false")
+      .load(dir).groupBy().count()
+    assert(!boomScanOf(q).isCountOnly)
+    assert(q.head().getLong(0) === 100L)
+  }
+
+  test("count-only scan is exact across whole-second and boundary blocks") {
+    // Multi-second fixture: 10 lines per second over 20 seconds, so a
+    // range cutting mid-second exercises all three count regimes (skip,
+    // whole-block credit, boundary per-line ms test) in one query.
+    val d = Files.createTempDirectory("countms").toString
+    val lines = for (s <- 0 until 20; i <- 0 until 10) yield
+      graft.core.LogLine(2000000L + s * 1000L + i * 100L, s"line $s $i", 0, 0L, 0L, 1L)
+    Ingest.reboom(lines.toDF().coalesce(1), d)
+    val b = spark.read.format("boom").load(d)
+    // [2000500, 2015300): tail of second 0 (5 lines), seconds 1..14 whole
+    // (140), head of second 15 (3 lines) = 148.
+    val q = b.where(col("timestamp") >= 2000500L && col("timestamp") < 2015300L)
+      .groupBy().count()
+    assert(boomScanOf(q).isCountOnly)
+    assert(q.head().getLong(0) === 148L)
+    // Unfiltered count() pushes too.
+    assert(b.count() === 200L)
   }
 }

@@ -1164,17 +1164,40 @@ class TextAnalysisSpec extends SparkTestBase {
     fr.foreach { case (n, nb, f) => assert(f === nb.toDouble / math.max(1L, n)) }
   }
 
-  test("langId picks the stopword-matching language") {
+  test("langId (trigram model) picks the language; und when nothing scores") {
     val df = Seq(
       (1L, "the cat and the dog in a house"),
       (2L, "der Hund und die Katze ist nicht hier"),
       (3L, "le chat et la fenêtre est dans un jardin"),
-      (4L, "xyzzy qwerty asdf")).toDF("id", "text")
+      (4L, "zzz qqq kkk")).toDF("id", "text")
     val got = df.select($"id", TextAnalysis.langId($"text")).as[(Long, String)].collect().toMap
     assert(got(1L) === "en")
     assert(got(2L) === "de")
     assert(got(3L) === "fr")
     assert(got(4L) === "und")
+  }
+
+  test("trigram langId beats stopword matching on short/inflected/punctuated text") {
+    // Each row is a REAL failure mode of whole-token stopword matching:
+    // inflected function words (einem), punctuation-attached tokens, a
+    // derived form (чтобы vs что), and a clitic (that's). The stopword
+    // variant must get them wrong (und) and the trigram model right —
+    // the measured delta that motivated the upgrade.
+    val df = Seq(
+      (1L, "einem schönen Hause", "de"),
+      (2L, "(les chats) (les chiens)", "fr"),
+      (3L, "чтобы узнать больше", "ru"),
+      (4L, "that's all, folks!", "en"),
+      (5L, "привет мир", "ru")).toDF("id", "text", "want")
+    val got = df.select($"id", $"want",
+        TextAnalysis.langId($"text").as("ng"),
+        TextAnalysis.langIdStopwords($"text").as("sw"))
+      .as[(Long, String, String, String)].collect()
+    got.foreach { case (id, want, ng, sw) =>
+      assert(ng === want, s"trigram model wrong on row $id")
+      assert(sw === "und", s"row $id no longer demonstrates the delta " +
+        s"(stopword method now answers $sw)")
+    }
   }
 
   test("fused tokenizer ≡ filter(split(lower, \\s+)) on arbitrary content") {

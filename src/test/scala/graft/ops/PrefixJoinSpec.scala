@@ -114,6 +114,32 @@ class PrefixJoinSpec extends SparkTestBase {
     assert(full === 28L)
   }
 
+  test("prefixContainmentAudit: df census is exact and candidates shrink under the cap") {
+    val phrase = (1 to 12).map(i => s"c$i").mkString(" ")
+    val docs = (1 to 8).map(i =>
+      (i.toLong, s"$phrase filler${i}a filler${i}b filler${i}c"))
+      .toDF("doc_id", "text")
+    // Boilerplate phrase shingles have df = 8; per-doc filler shingles df=1.
+    // Each doc: 12 phrase tokens + 3 fillers = 15 tokens -> 13 shingles,
+    // 10 of them the shared phrase's, 3 involving fillers (unique per doc).
+    val uncapped = Dedup.prefixContainmentAudit(docs, "doc_id", "text",
+      threshold = 0.7, maxTokenDf = 0).collect().head
+    assert(uncapped.getAs[Long]("n_docs") === 8L)
+    assert(uncapped.getAs[Long]("n_hot_tokens") === 0L)
+    assert(uncapped.getAs[Long]("hot_df_mass") === 0L)
+    assert(uncapped.getAs[Long]("n_tokens") === 10L + 8L * 3L)
+    val capped = Dedup.prefixContainmentAudit(docs, "doc_id", "text",
+      threshold = 0.7, maxTokenDf = 5).collect().head
+    // The 10 shared-phrase shingles are the hot universe: df 8 each.
+    assert(capped.getAs[Long]("n_hot_tokens") === 10L)
+    assert(capped.getAs[Long]("hot_df_mass") === 80L)
+    // Candidate mass: the cap excises every cross-doc collision (the spec
+    // above shows the join finds 0 pairs); uncapped the clique candidates
+    // survive. The audit's candidate column is the join's own stage.
+    assert(capped.getAs[Long]("n_candidates") === 0L)
+    assert(uncapped.getAs[Long]("n_candidates") === 28L)
+  }
+
   test("bucket cap is the one exactness trade: capped hot key drops its pairs") {
     // 8 identical docs share every (rare) prefix token; cap 3 drops the
     // whole bucket -> zero pairs, exactly the documented behavior. Cap 0
