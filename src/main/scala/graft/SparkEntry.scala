@@ -1214,6 +1214,22 @@ object SparkEntry {
         Seq("query_id", "neighbor_id"), minRecall = 0.3, nName = "n_exact")
     }),
 
+    // Recall telemetry AS API (the round-12 fixed-nlist lesson made law):
+    // measured recall of the IVF search on a deterministic query sample
+    // vs exact brute force — the number a 100 TB operator reads off every
+    // index build instead of discovering degradation in a post-mortem.
+    // Oracle is the ANN-family convention (counts + threshold bit).
+    "q_ann_recall_audit" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+      val approx = Similarity.ivfSearch(ivfIndexFor(s, dir), q, "vec_id",
+        "embedding", k = 5, nprobe = 3)
+      Similarity.auditRecall(approx, "query_id", "neighbor_id",
+        emb, "vec_id", "embedding", k = 5, sample = 10)
+        .select(col("n_queries"), col("k"),
+          (col("mean_recall_ppm") >= 300000L).cast("int").as("recall_pass"))
+    }),
+
     // IVF APPEND: quantizer fit on vec_id >= 100 only, the rest appended
     // by nearest-existing-cell routing (no refit) — recall vs brute force
     // over the FULL corpus proves appended vectors are searchable (the
@@ -3657,6 +3673,10 @@ object SparkEntry {
         | FROM embeddings WHERE vec_id < 10""".stripMargin,
     "q_ivf_append" ->
       """SELECT 5 * count(*) AS n_exact, 1 AS recall_pass
+        | FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "q_ann_recall_audit" ->
+      """SELECT count(*) AS n_queries, CAST(5 AS BIGINT) AS k,
+        |   1 AS recall_pass
         | FROM embeddings WHERE vec_id < 10""".stripMargin,
     "q_embed_outliers" ->
       """WITH v AS (SELECT vec_id,

@@ -613,6 +613,71 @@ object Similarity {
     topKPerQuery(scored, k, distinctIds = false)
   }
 
+  /** Measured recall@k telemetry for ANY approximate-neighbor table — the
+    * round-12 sf10 lesson made law: a fixed-`nlist` IVF silently fell to
+    * recall 0.27 at one decade's growth, and the only place that number
+    * existed was a SCALING.md investigation. A 100 TB operator must be
+    * able to read degradation off the API instead: this audit takes the
+    * approximate result as produced ([[lshTopK]], [[ivfSearch]],
+    * [[hammingTopK]], [[knnGraph]] edges, a loaded index — anything with
+    * (query id, neighbor id) columns), draws a DETERMINISTIC sample of its
+    * query ids (xxhash64(id, seed) order — reproducible across runs and
+    * engines), recomputes exact brute-force top-k for just that sample,
+    * and reports integer-ppm recall.
+    *
+    * Cost model: brute force over `sample` queries only — one broadcast
+    * of ≤ sample vectors against a corpus scan ([[bruteForceTopK]]), so
+    * the audit prices at ~one corpus pass regardless of corpus size;
+    * run it on every index build/append the way `q_ivf_append` does in
+    * miniature.
+    *
+    * Semantics: recall per query = |approx ∩ exact-top-k| / k against the
+    * tie-BROKEN exact list ((cos desc, neighbor id) — [[topKPerQuery]]'s
+    * order), so an approx method returning the OTHER member of a cosine
+    * tie counts as a miss: conservative, never flattering. Queries with
+    * fewer than k approx rows are penalized, not excused (missing rows
+    * are misses — that is the degradation being measured).
+    *
+    * @return one row: (n_queries, k, mean_recall_ppm, min_recall_ppm) —
+    *         mean = ⌊10⁶·Σhits/(n·k)⌋, min = per-query ⌊10⁶·hits/k⌋
+    *         minimum; all longs.
+    */
+  def auditRecall(
+      approx: DataFrame,
+      queryIdCol: String,
+      neighborIdCol: String,
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      k: Int,
+      sample: Int = 100,
+      seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(sample >= 1, s"sample must be >= 1, got $sample")
+    val qids = approx.select(col(queryIdCol).as("query_id")).distinct()
+      .orderBy(xxhash64(col("query_id"), lit(seed)), col("query_id"))
+      .limit(sample)
+    val queries = corpus
+      .join(broadcast(qids), col(corpusId) === col("query_id"))
+      .select(col("query_id"), col(corpusVec).as("__qv"))
+    val exact = bruteForceTopK(corpus, corpusId, corpusVec,
+      queries, "query_id", "__qv", k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact
+      .join(approx.select(col(queryIdCol).as("query_id"),
+          col(neighborIdCol).as("neighbor_id"))
+          .withColumn("__hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(coalesce(sum("__hit"), lit(0L)).as("__h"))
+    hits.agg(
+      count(lit(1)).as("n_queries"),
+      lit(k.toLong).as("k"),
+      expr(s"(sum(__h) * 1000000) DIV (count(1) * $k)")
+        .as("mean_recall_ppm"),
+      min(expr(s"(__h * 1000000) DIV $k")).as("min_recall_ppm"))
+  }
+
   /** Fitted PCA basis: feature means, row-major principal components
     * (descending eigenvalue), and the eigenvalues of the SAMPLE covariance
     * (n−1 denominator).

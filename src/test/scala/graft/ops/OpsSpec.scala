@@ -620,6 +620,39 @@ class SimilaritySpec extends SparkTestBase {
     assert(top.head === 1L) // most similar first
   }
 
+  test("auditRecall: exact table scores 1.0; dropped rows priced exactly; sample deterministic") {
+    val emb = (0 until 30).map(i =>
+      (i.toLong, Array.tabulate(4)(d => math.sin(i * (d + 1) * 0.7).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.where($"vec_id" < 6)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3)
+      .persist()
+    // A perfect approximate table audits at exactly 10^6 ppm.
+    val full = Similarity.auditRecall(exact, "query_id", "neighbor_id",
+      emb, "vec_id", "embedding", k = 3, sample = 6).collect().head
+    assert(full.getAs[Long]("n_queries") === 6L)
+    assert(full.getAs[Long]("k") === 3L)
+    assert(full.getAs[Long]("mean_recall_ppm") === 1000000L)
+    assert(full.getAs[Long]("min_recall_ppm") === 1000000L)
+    // Dropping one query's rank-3 neighbor prices exactly: that query is
+    // 2/3 (666666 ppm floored), the mean is 17/18 (944444 ppm floored).
+    val crippled = exact.where(!($"query_id" === 0L && $"rank" === 3))
+    val c = Similarity.auditRecall(crippled, "query_id", "neighbor_id",
+      emb, "vec_id", "embedding", k = 3, sample = 6).collect().head
+    assert(c.getAs[Long]("mean_recall_ppm") === 944444L)
+    assert(c.getAs[Long]("min_recall_ppm") === 666666L)
+    // Sub-sampling is deterministic: same seed, same subset, same number —
+    // twice.
+    val s1 = Similarity.auditRecall(crippled, "query_id", "neighbor_id",
+      emb, "vec_id", "embedding", k = 3, sample = 3).collect().head
+    val s2 = Similarity.auditRecall(crippled, "query_id", "neighbor_id",
+      emb, "vec_id", "embedding", k = 3, sample = 3).collect().head
+    assert(s1.getAs[Long]("n_queries") === 3L)
+    assert(s1 === s2)
+    exact.unpersist()
+  }
+
   test("pca: recovers planted directions, whitening normalizes variance, audit bits hold") {
     // Planted covariance: x = a·u + b·w in 4D with Var(a)=16, Var(b)=1,
     // u = (1,0,0,0), w = (0,1,0,0) — eigenvectors are the axes.
