@@ -2,7 +2,7 @@ package graft
 
 import graft.engine.Reporting
 import graft.functions.TextFunctions.simhash64
-import graft.ops.{Align, Bpe, Curation, Dedup, Graph, Intervals, LanguageModel, Multimodal, Scale, Similarity, Sketches, Stats, TextAnalysis, TextSearch, UnigramLm, Web}
+import graft.ops.{Align, Bpe, Curation, Dedup, Graph, Intervals, LanguageModel, Multimodal, NaiveBayes, Scale, Similarity, Sketches, Stats, TextAnalysis, TextSearch, UnigramLm, Web}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -780,6 +780,23 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
         .presented("doc_id")),
 
+    // Multinomial Naive Bayes text classifier (train + classify in one
+    // query; self-demonstrating task: predict lang from text with lang as
+    // the training label). Deterministic end to end: elected vocabulary,
+    // add-one-smoothed round(1e6·ln) likelihoods over the dense
+    // label×vocab cross, prior + occurrence-sum scores, max-struct argmax.
+    // Oracle replays the full train+score chain in SQL.
+    "q_naive_bayes" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = LanguageModel.electVocab(docs, "text", 60).map(_._1)
+      val model = NaiveBayes.train(docs, "lang", "text", vocab)
+      NaiveBayes.classify(docs, "doc_id", "text", model)
+        .join(docs.select(col("doc_id"), col("lang").as("labeled_lang")),
+          "doc_id")
+        .select("doc_id", "labeled_lang", "predicted", "score_ppm")
+        .presented("doc_id")
+    }),
+
     // One-pass Aho-Corasick dictionary tagging (taxonomy/badword/topic
     // tags incl. multi-word phrases and nested terms) — REAL oracle:
     // semantics are exactly per-term `contains`, which DuckDB replays with
@@ -968,6 +985,14 @@ object SparkEntry {
       Dedup.prefixContainmentPairs(docsWithDupes(s, dir), "doc_id", "text",
         shingleK = 3, threshold = 0.8, maxTokenDf = 0)
         .presented("id_a", "id_b")),
+
+    // Cross-document duplicated-shingle fraction per doc (the FineWeb
+    // dedup-health diagnostic): share of each doc's distinct shingles
+    // occurring in >= 2 documents. Exact oracle over shingle strings.
+    "q_dup_gram_fraction" -> ((s, dir) =>
+      Dedup.dupGramFraction(docsWithDupes(s, dir), "doc_id", "text",
+        shingleK = 3, minDf = 2L)
+        .presented("doc_id")),
 
     // Pre-flight maxTokenDf telemetry for the containment join: the
     // boilerplate-token census (count + total df mass over the cap) a
@@ -3756,6 +3781,18 @@ object SparkEntry {
          |   FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          | WHERE inter * 1000000 >= 800000 * n_small
          | ORDER BY id_a, id_b""".stripMargin,
+    "q_dup_gram_fraction" ->
+      s"""WITH sh AS (SELECT doc_id, $shingleSetSql AS s
+         |   FROM (SELECT doc_id, $tokensSql AS t FROM $docsWithDupesSql)),
+         | tok AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         | dfr AS (SELECT g, count(*)::BIGINT AS df FROM tok GROUP BY 1)
+         | SELECT doc_id, count(*)::BIGINT AS n_grams,
+         |   sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT
+         |     AS n_dup_grams,
+         |   CAST((sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000000)
+         |     // count(*) AS BIGINT) AS dup_frac_ppm
+         | FROM tok JOIN dfr USING (g) GROUP BY doc_id
+         | ORDER BY doc_id""".stripMargin,
     "q_containment_cap_audit" ->
       s"""WITH sh AS (SELECT doc_id, $shingleSetSql AS s
          |   FROM (SELECT doc_id, $tokensSql AS t FROM $docsWithDupesSql)),
@@ -4976,6 +5013,42 @@ object SparkEntry {
          |   coalesce(b.b.c, 'und') AS guessed_lang, n_tokens
          | FROM norm n LEFT JOIN best b USING (doc_id)
          | ORDER BY n.doc_id""".stripMargin,
+    "q_naive_bayes" ->
+      s"""WITH voc AS (SELECT tok FROM (SELECT t AS tok, count(*) AS c
+         |     FROM (SELECT unnest($tokensSql) AS t FROM documents)
+         |     GROUP BY t ORDER BY c DESC, t LIMIT 60)),
+         | lab AS (SELECT lang AS label, count(*)::BIGINT AS nd
+         |   FROM documents GROUP BY 1),
+         | nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+         | occ AS (SELECT doc_id, lang, t AS tok FROM
+         |     (SELECT doc_id, lang, unnest($tokensSql) AS t FROM documents)
+         |   WHERE t IN (SELECT tok FROM voc)),
+         | cnt AS (SELECT lang AS label, tok, count(*)::BIGINT AS c
+         |   FROM occ GROUP BY 1, 2),
+         | dense AS (SELECT l.label, v.tok, coalesce(c.c, 0) AS c
+         |   FROM lab l CROSS JOIN voc v
+         |   LEFT JOIN cnt c ON c.label = l.label AND c.tok = v.tok),
+         | tot AS (SELECT label, sum(c)::BIGINT AS tc FROM dense GROUP BY 1),
+         | vn AS (SELECT count(*)::BIGINT AS v FROM voc),
+         | lik AS (SELECT d.label, d.tok,
+         |     CAST(round(1e6 * ln((d.c + 1) /
+         |       CAST(t.tc + (SELECT v FROM vn) AS DOUBLE))) AS BIGINT)
+         |       AS lp
+         |   FROM dense d JOIN tot t USING (label)),
+         | pri AS (SELECT label, CAST(round(1e6 *
+         |       ln(nd / CAST((SELECT n FROM nn) AS DOUBLE))) AS BIGINT)
+         |     AS pp FROM lab),
+         | ds AS (SELECT o.doc_id, k.label, sum(k.lp)::BIGINT AS s
+         |   FROM occ o JOIN lik k ON k.tok = o.tok GROUP BY 1, 2),
+         | sc AS (SELECT d.doc_id, p.label, p.pp + coalesce(ds.s, 0) AS s
+         |   FROM documents d CROSS JOIN pri p
+         |   LEFT JOIN ds ON ds.doc_id = d.doc_id AND ds.label = p.label),
+         | best AS (SELECT doc_id, list_sort(list({'s': s, 'c': label}))[-1]
+         |     AS b FROM sc GROUP BY doc_id)
+         | SELECT d.doc_id, d.lang AS labeled_lang, b.b.c AS predicted,
+         |   CAST(b.b.s AS BIGINT) AS score_ppm
+         | FROM documents d JOIN best b USING (doc_id)
+         | ORDER BY d.doc_id""".stripMargin,
     "q_wordpiece" -> wordPieceOracleSql(24),
     // Negative-sampling replay: same vocab election, sqrt-tempered
     // integer ladder, 52-bit md5 uniforms, and ladder lookup.

@@ -1555,6 +1555,41 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Cross-document duplication diagnostic (the RefinedWeb/FineWeb-style
+    * dedup health signal): per document, the fraction of its DISTINCT
+    * shingles that occur in ≥ `minDf` documents — the number curation
+    * owners read per source/snapshot to decide whether dedup is keeping
+    * up (a rising corpus-wide dup fraction means near-dup mass is
+    * outgrowing the pipeline) and to flag individual documents that are
+    * mostly recycled boilerplate even when no single pair crosses a
+    * near-dup threshold.
+    *
+    * Scale shape: one shingle-df aggregation + one join back — the same
+    * two linear exchanges as the dedup candidate stages, nothing
+    * quadratic; shingle hashes only on the wire. Exact integer output:
+    * dup_frac_ppm = ⌊10⁶·n_dup/n⌋, engine-replayable over shingle
+    * STRINGS (the standing 64-bit-hash-collision convention).
+    *
+    * @return (idCol, n_grams, n_dup_grams, dup_frac_ppm)
+    */
+  def dupGramFraction(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      minDf: Long = 2L): DataFrame = {
+    require(minDf >= 1L, s"minDf must be >= 1, got $minDf")
+    val sets = shingleHashSets(df, idCol, textCol, shingleK)
+    val tok = sets.select(col("id"), explode(col("sh")).as("h"))
+    val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
+    tok.join(dfreq, "h")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("df") >= minDf).cast("long")).as("n_dup_grams"))
+      .select(col("id").as(idCol), col("n_grams"), col("n_dup_grams"),
+        expr("(n_dup_grams * 1000000) DIV n_grams").as("dup_frac_ppm"))
+  }
+
   /** Pre-flight cap telemetry for [[prefixContainmentPairs]] — the "will
     * `maxTokenDf` bind on MY corpus, and what would it drop" question a
     * 100 TB operator must answer BEFORE paying for the join (the
