@@ -1239,6 +1239,20 @@ object SparkEntry {
         Seq("query_id", "neighbor_id"), minRecall = 0.3, nName = "n_exact")
     }),
 
+    // Embedding-level decontamination: train rows within cosine 0.95 of
+    // any eval row (semantic leaks n-gram decontamination misses). Leaks
+    // planted by construction (eval copies under offset ids); exact
+    // oracle replays the cross cosine + threshold + (cos desc, id) argmax.
+    "q_semantic_decontaminate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ev = emb.where(col("vec_id") < 10)
+      val train = emb.where(col("vec_id") >= 10)
+        .unionByName(ev.withColumn("vec_id", col("vec_id") + 1000000L))
+      Similarity.semanticDecontaminate(train, "vec_id", "embedding",
+        ev, "vec_id", "embedding", threshold = 0.95)
+        .presented("train_id")
+    }),
+
     // Recall telemetry AS API (the round-12 fixed-nlist lesson made law):
     // measured recall of the IVF search on a deterministic query sample
     // vs exact brute force — the number a 100 TB operator reads off every
@@ -3703,6 +3717,28 @@ object SparkEntry {
       """SELECT count(*) AS n_queries, CAST(5 AS BIGINT) AS k,
         |   1 AS recall_pass
         | FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "q_semantic_decontaminate" ->
+      """WITH ev AS (SELECT vec_id AS eval_id, embedding FROM embeddings
+         |   WHERE vec_id < 10),
+         | tr AS (SELECT vec_id AS train_id, embedding FROM embeddings
+         |     WHERE vec_id >= 10
+         |   UNION ALL
+         |   SELECT vec_id + 1000000 AS train_id, embedding FROM embeddings
+         |     WHERE vec_id < 10),
+         | hit AS (SELECT train_id, eval_id,
+         |     list_cosine_similarity(CAST(tr.embedding AS DOUBLE[]),
+         |       CAST(ev.embedding AS DOUBLE[])) AS cos
+         |   FROM tr CROSS JOIN ev
+         |   WHERE list_cosine_similarity(CAST(tr.embedding AS DOUBLE[]),
+         |     CAST(ev.embedding AS DOUBLE[])) >= 0.95),
+         | best AS (SELECT train_id, eval_id, row_number() OVER (
+         |     PARTITION BY train_id ORDER BY cos DESC, eval_id) AS rn
+         |   FROM hit),
+         | cnt AS (SELECT train_id, count(*)::BIGINT AS n_eval_hits
+         |   FROM hit GROUP BY 1)
+         | SELECT c.train_id, c.n_eval_hits, b.eval_id AS nearest_eval_id
+         | FROM cnt c JOIN best b ON b.train_id = c.train_id AND b.rn = 1
+         | ORDER BY c.train_id""".stripMargin,
     "q_embed_outliers" ->
       """WITH v AS (SELECT vec_id,
         |     list_transform(embedding,

@@ -613,6 +613,49 @@ object Similarity {
     topKPerQuery(scored, k, distinctIds = false)
   }
 
+  /** Embedding-level decontamination: the TRAIN-side removal list against
+    * a benchmark/eval set — train rows whose embedding cosine against ANY
+    * eval row reaches `threshold` (the semantic complement to the n-gram
+    * [[Curation]] decontamination: paraphrases and near-verbatim leaks
+    * that shared-n-gram tests miss, the SemDeDup-era published technique).
+    *
+    * Scale shape: eval sets are SMALL by construction (the benchmark
+    * contract — same bounded-side rationale as [[bruteForceTopK]]'s query
+    * side), so the eval frame broadcasts and the train corpus is scanned
+    * ONCE with an |eval|-wide fan-out collapsed map-side per train row;
+    * no shuffle of train rows, no index build. For eval sets too large to
+    * broadcast, block both sides through [[cosinePairsLsh]] instead —
+    * this is deliberately the exact small-eval tool.
+    *
+    * @return (train_id, n_eval_hits, nearest_eval_id) — one row per
+    *         CONTAMINATED train doc; nearest = argmax (cos desc, eval id
+    *         asc), the [[bruteForceTopK]] tie order.
+    */
+  def semanticDecontaminate(
+      train: DataFrame,
+      trainId: String,
+      trainVec: String,
+      eval: DataFrame,
+      evalId: String,
+      evalVec: String,
+      threshold: Double = 0.95): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val scored = train
+      .select(col(trainId).as("train_id"), col(trainVec).as("__tv"))
+      .join(broadcast(
+        eval.select(col(evalId).as("eval_id"), col(evalVec).as("__ev"))))
+      .select(col("train_id"), col("eval_id"),
+        cosine(col("__tv"), col("__ev")).as("cos"))
+      .where(col("cos") >= threshold)
+    scored.groupBy("train_id")
+      .agg(count(lit(1)).as("n_eval_hits"),
+        min(struct((-col("cos")).as("nc"), col("eval_id").as("eid")))
+          .as("__top"))
+      .select(col("train_id"), col("n_eval_hits"),
+        col("__top.eid").as("nearest_eval_id"))
+  }
+
   /** Measured recall@k telemetry for ANY approximate-neighbor table — the
     * round-12 sf10 lesson made law: a fixed-`nlist` IVF silently fell to
     * recall 0.27 at one decade's growth, and the only place that number

@@ -620,6 +620,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(top.head === 1L) // most similar first
   }
 
+  test("semanticDecontaminate flags planted leaks, and only them") {
+    val ev = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (100L, Array(0f, 0f, 1f, 0f)),       // unrelated
+      (101L, Array(0f, 0f, 0f, 1f)),       // unrelated
+      (102L, Array(1f, 0f, 0f, 0f)),       // exact leak of eval 0
+      (103L, Array(0.99f, 0.1f, 0f, 0f)),  // near leak of eval 0 (cos ≈ .995)
+      (104L, Array(0.6f, 0.6f, 0f, 0f)))   // equidistant, cos ≈ .707 — clean
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontaminate(train, "vec_id", "embedding",
+        ev, "vec_id", "embedding", threshold = 0.95)
+      .orderBy("train_id")
+      .as[(Long, Long, Long)].collect()
+    assert(got === Array((102L, 1L, 0L), (103L, 1L, 0L)))
+  }
+
   test("auditRecall: exact table scores 1.0; dropped rows priced exactly; sample deterministic") {
     val emb = (0 until 30).map(i =>
       (i.toLong, Array.tabulate(4)(d => math.sin(i * (d + 1) * 0.7).toFloat)))
