@@ -3064,6 +3064,27 @@ object SparkEntry {
         expr("(ts_ms DIV 3600000) % 24"), floor(col("value")))
         .presented("key")),
 
+    // Spearman rank correlation per event type over the same axes as
+    // q_pearson_corr — monotone association where Pearson sees only
+    // linear; ×2 midranks from per-key value histograms feed the same
+    // DECIMAL moment algebra. Oracle replays ranks + the pearson recipe.
+    "q_spearman_corr" -> ((s, dir) =>
+      Stats.spearmanCorr(events(s, dir), "event_type",
+        expr("(ts_ms DIV 3600000) % 24"), floor(col("value")))
+        .presented("key")),
+
+    // McNemar paired-verdict test: does the Gopher filter pass a
+    // DIFFERENT set of docs than a plain length rule, beyond symmetric
+    // churn? Discordant counts + exact integer chi2_ppm + ppm-literal
+    // 95% verdict — no floating point on either engine.
+    "q_mcnemar" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Stats.mcnemarTest(
+        d.select((col("n_chars") >= 200).as("a"),
+          ((col("n_chars") % 97) >= 30).as("b")),
+        col("a"), col("b"))
+    }),
+
     // Per-event-type daily OLS volume trend: slope in ppm from the
     // DECIMAL(38,0) rational with the sign factored out of the truncating
     // divide — exact cross-engine; single-bucket keys report null slope.
@@ -6317,6 +6338,56 @@ object SparkEntry {
         |         AS BIGINT) END AS BIGINT)
         |     AS r2_ppm
         | FROM m ORDER BY key""".stripMargin,
+    "q_spearman_corr" ->
+      """WITH e AS (SELECT event_type AS key,
+        |     (epoch_ms(ts) // 3600000) % 24 AS x,
+        |     CAST(floor(value) AS BIGINT) AS y FROM events),
+        | hx AS (SELECT key, x, count(*)::BIGINT AS c FROM e GROUP BY 1, 2),
+        | rx AS (SELECT key, x, 2 * coalesce(sum(c) OVER (PARTITION BY key
+        |       ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |       0) + c + 1 AS r FROM hx),
+        | hy AS (SELECT key, y, count(*)::BIGINT AS c FROM e GROUP BY 1, 2),
+        | ry AS (SELECT key, y, 2 * coalesce(sum(c) OVER (PARTITION BY key
+        |       ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |       0) + c + 1 AS r FROM hy),
+        | p AS (SELECT e.key, rx.r::HUGEINT AS x, ry.r::HUGEINT AS y
+        |   FROM e JOIN rx ON rx.key = e.key AND rx.x = e.x
+        |     JOIN ry ON ry.key = e.key AND ry.y = e.y),
+        | m AS (SELECT key, count(*)::HUGEINT AS n,
+        |     sum(x) AS sx, sum(y) AS sy,
+        |     sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        |   FROM p GROUP BY key)
+        | SELECT key, CAST(n AS BIGINT) AS n,
+        |   CAST(CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0 THEN 0
+        |     ELSE (CASE WHEN n*sxy - sx*sy >= 0 THEN 1 ELSE -1 END) *
+        |       CAST(floor(1000000.0 *
+        |         (abs(n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE) *
+        |         (abs(n*sxy - sx*sy)::DOUBLE / (n*syy - sy*sy)::DOUBLE))
+        |         AS BIGINT) END AS BIGINT)
+        |     AS rho2_ppm
+        | FROM m ORDER BY key""".stripMargin,
+    "q_mcnemar" ->
+      """WITH f AS (SELECT (n_chars >= 200) AS a, ((n_chars % 97) >= 30) AS b
+        |     FROM documents),
+        | c AS (SELECT count(*)::BIGINT AS n,
+        |     sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS n_both,
+        |     sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT
+        |       AS n_a_only,
+        |     sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT
+        |       AS n_b_only,
+        |     sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT
+        |       AS n_neither
+        |   FROM f)
+        | SELECT n, n_both, n_a_only, n_b_only, n_neither,
+        |   CAST(CASE WHEN n_a_only + n_b_only = 0 THEN 0
+        |     ELSE ((n_a_only - n_b_only)::HUGEINT * (n_a_only - n_b_only)
+        |       * 1000000) // (n_a_only + n_b_only) END AS BIGINT)
+        |     AS chi2_ppm,
+        |   CAST(CASE WHEN n_a_only + n_b_only = 0 THEN 0
+        |     WHEN (n_a_only - n_b_only)::HUGEINT * (n_a_only - n_b_only)
+        |       * 1000000 > 3841459::HUGEINT * (n_a_only + n_b_only)
+        |     THEN 1 ELSE 0 END AS INT) AS significant_95
+        | FROM c""".stripMargin,
     "q_trend_slopes" ->
       """WITH c AS (SELECT event_type, epoch_ms(ts) // 86400000 AS b,
         |     count(*) AS y FROM events GROUP BY 1, 2),

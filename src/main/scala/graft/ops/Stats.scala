@@ -450,6 +450,94 @@ object Stats {
           END AS BIGINT)""").as("r2_ppm"))
   }
 
+  /** Spearman rank correlation per key — the monotone-association
+    * complement to [[pearsonCorr]] (which sees only LINEAR association):
+    * ρ = Pearson over the per-key average ranks of x and y, the standard
+    * robust choice when either axis is heavy-tailed or ordinal (quality
+    * scores vs engagement, length vs loss, any curation metric pair).
+    *
+    * Exactness: average ranks are kept integer via the ×2 trick —
+    * rank2(v) = 2·|{v' < v}| + count(v) + 1 (ties share the midrank
+    * exactly) — computed over per-key VALUE HISTOGRAMS (the
+    * histogram-window convention: the window orders distinct values per
+    * key, never rows), then the doubled ranks feed [[pearsonCorr]]'s
+    * DECIMAL(38,0) moment algebra verbatim. The common 6Σd²/(n(n²−1))
+    * short form is WRONG under ties; the rank-Pearson form is the
+    * tie-correct published definition, and reusing the Pearson kernel
+    * means one audited numeric path instead of two.
+    *
+    * @return (key, n, rho2_ppm) — SIGNED ρ² in ppm (sign of ρ, magnitude
+    *         ρ²·10⁶ floored), the [[pearsonCorr]] output convention.
+    */
+  def spearmanCorr(
+      df: DataFrame,
+      keyCol: String,
+      xCol: Column,
+      yCol: Column): DataFrame = {
+    val base = df.select(col(keyCol).as("key"),
+        xCol.cast("long").as("__x"), yCol.cast("long").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def rank2(vc: String): DataFrame = {
+      val w = Window.partitionBy("key").orderBy(col(vc))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      base.groupBy("key", vc).agg(count(lit(1)).as("__c"))
+        .select(col("key"), col(vc),
+          (lit(2L) * coalesce(sum("__c").over(w), lit(0L)) +
+            col("__c") + 1L).as(s"__r$vc"))
+    }
+    val ranked = base
+      .join(rank2("__x"), Seq("key", "__x"))
+      .join(rank2("__y"), Seq("key", "__y"))
+    val out = pearsonCorr(ranked, "key", col("__r__x"), col("__r__y"))
+      .withColumnRenamed("r2_ppm", "rho2_ppm")
+    out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .count()
+    base.unpersist(blocking = false)
+    out
+  }
+
+  /** McNemar's test on paired binary outcomes — "did changing the filter /
+    * model actually change what passes, beyond symmetric churn?": given
+    * one row per item with two binary verdicts a and b (old vs new
+    * classifier, two quality filters), only the DISCORDANT counts matter:
+    * b₁₀ = a-only, b₀₁ = b-only, statistic χ² = (b₁₀−b₀₁)²/(b₁₀+b₀₁).
+    * Exact integer emission: chi2_ppm = ⌊10⁶·(b₁₀−b₀₁)²/(b₁₀+b₀₁)⌋ in
+    * DECIMAL(38,0) (the squared-numerator class law: (10⁸)²·10⁶ = 10²²
+    * needs the lift), and the 95% verdict compares integer products
+    * against the χ²₁ critical value as a ppm literal
+    * (10⁶·(b₁₀−b₀₁)² > 3841459·(b₁₀+b₀₁)) — no floating point anywhere.
+    * Zero discordance ⇒ chi2 0, not-significant (the degenerate-case
+    * convention). ONE map-side-combined aggregation; single-row output.
+    *
+    * @return (n, n_both, n_a_only, n_b_only, n_neither, chi2_ppm,
+    *         significant_95)
+    */
+  def mcnemarTest(
+      df: DataFrame,
+      aCol: Column,
+      bCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val a = aCol.cast("boolean")
+    val b = bCol.cast("boolean")
+    df.agg(
+      count(lit(1)).as("n"),
+      sum((a && b).cast("long")).as("n_both"),
+      sum((a && !b).cast("long")).as("n_a_only"),
+      sum((!a && b).cast("long")).as("n_b_only"),
+      sum((!a && !b).cast("long")).as("n_neither"))
+      .select(col("n"), col("n_both"), col("n_a_only"), col("n_b_only"),
+        col("n_neither"),
+        expr(s"""CAST(CASE WHEN n_a_only + n_b_only = 0 THEN 0
+          ELSE (CAST(n_a_only - n_b_only AS $dec) * (n_a_only - n_b_only)
+            * 1000000) DIV (n_a_only + n_b_only) END AS BIGINT)""")
+          .as("chi2_ppm"),
+        expr(s"""CAST(CASE WHEN n_a_only + n_b_only = 0 THEN 0
+          WHEN CAST(n_a_only - n_b_only AS $dec) * (n_a_only - n_b_only)
+            * 1000000 > CAST(3841459 AS $dec) * (n_a_only + n_b_only)
+          THEN 1 ELSE 0 END AS INT)""").as("significant_95"))
+  }
+
   /** Two-proportion z-test on a unit-level experiment table — the A/B
     * readout every event pipeline ends in: given one row per unit with
     * its variant (0 = control, 1 = treatment) and converted flag,

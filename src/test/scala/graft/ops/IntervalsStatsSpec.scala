@@ -785,4 +785,52 @@ class IntervalsStatsSpec extends SparkTestBase {
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(got === Seq(("A", 3L, 2L, 231049L), ("B", 3L, 1L, 405465L)))
   }
+
+  test("spearmanCorr: tie midranks exact; monotone-nonlinear beats pearson; constant axis is 0") {
+    import org.apache.spark.sql.functions.col
+    // Hand-ranked tie case: x ranks ×2 = (2,5,5,8), y = (2,4,6,8) →
+    // signed ρ² = 72²/(72·80) = 0.9 exactly.
+    val ties = Seq(("k", 1L, 10L), ("k", 2L, 20L), ("k", 2L, 30L),
+      ("k", 3L, 40L)).toDF("g", "x", "y")
+    val t = Stats.spearmanCorr(ties, "g", col("x"), col("y")).collect().head
+    assert(t.getAs[Long]("n") === 4L)
+    assert(t.getAs[Long]("rho2_ppm") === 900000L)
+    // Perfect monotone but nonlinear: Spearman saturates at 10^6 where
+    // Pearson stays below (the reason the operator exists).
+    val cube = Seq(("k", 1L, 1L), ("k", 2L, 8L), ("k", 3L, 27L),
+      ("k", 4L, 64L)).toDF("g", "x", "y")
+    val s = Stats.spearmanCorr(cube, "g", col("x"), col("y")).collect().head
+    assert(s.getAs[Long]("rho2_ppm") === 1000000L)
+    val p = Stats.pearsonCorr(cube, "g", col("x"), col("y")).collect().head
+    assert(p.getAs[Long]("r2_ppm") < 1000000L)
+    // Constant axis → 0 (no monotone association measurable).
+    val const = Seq(("k", 1L, 7L), ("k", 2L, 7L), ("k", 3L, 7L))
+      .toDF("g", "x", "y")
+    assert(Stats.spearmanCorr(const, "g", col("x"), col("y"))
+      .collect().head.getAs[Long]("rho2_ppm") === 0L)
+  }
+
+  test("mcnemarTest: discordant algebra, ppm verdict, zero-discordance convention") {
+    import org.apache.spark.sql.functions.col
+    def run(rows: Seq[(Boolean, Boolean)]) =
+      Stats.mcnemarTest(rows.toDF("a", "b"), col("a"), col("b"))
+        .collect().head
+    // both=5, a_only=4, b_only=1, neither=2: chi2 = 9/5 = 1.8 — below the
+    // 3.841459 critical value.
+    val r = run(Seq.fill(5)((true, true)) ++ Seq.fill(4)((true, false)) ++
+      Seq((false, true)) ++ Seq.fill(2)((false, false)))
+    assert((r.getAs[Long]("n"), r.getAs[Long]("n_both"),
+      r.getAs[Long]("n_a_only"), r.getAs[Long]("n_b_only"),
+      r.getAs[Long]("n_neither")) === ((12L, 5L, 4L, 1L, 2L)))
+    assert(r.getAs[Long]("chi2_ppm") === 1800000L)
+    assert(r.getAs[Int]("significant_95") === 0)
+    // One-sided churn: 9 vs 0 discordant → chi2 = 9 > 3.84 → significant.
+    val sig = run(Seq.fill(9)((true, false)) ++ Seq.fill(3)((true, true)))
+    assert(sig.getAs[Long]("chi2_ppm") === 9000000L)
+    assert(sig.getAs[Int]("significant_95") === 1)
+    // Zero discordance: chi2 0, not significant (never a 0/0).
+    val z = run(Seq.fill(4)((true, true)) ++ Seq.fill(2)((false, false)))
+    assert(z.getAs[Long]("chi2_ppm") === 0L)
+    assert(z.getAs[Int]("significant_95") === 0)
+  }
 }
