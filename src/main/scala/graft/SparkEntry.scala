@@ -2179,6 +2179,14 @@ object SparkEntry {
       Curation.kAnonymityProfile(t(s, dir, "documents"),
         Seq(col("lang"), col("source"), expr("n_chars DIV 100")), k = 5)),
 
+    // l-diversity audit over the same metadata: quasi = (lang, coarse
+    // length bucket), sensitive = source — the attribute-disclosure
+    // complement to q_k_anonymity (a k-anonymous group whose members all
+    // share one source still leaks it). Exact integer census.
+    "q_l_diversity" -> ((s, dir) =>
+      Curation.lDiversityProfile(t(s, dir, "documents"),
+        Seq(col("lang"), expr("n_chars DIV 200")), col("source"), l = 3)),
+
     // Shuffle-quality audit: same-source run counts per shard vs the
     // random-permutation expectation (doc_id order, shard = doc_id % 4) —
     // exact integer oracle replays runs, key histogram and ratio.
@@ -4544,6 +4552,23 @@ object SparkEntry {
         |       '[ \t]+', ' ', 'g')) AS norm
         |   FROM d)
         | ORDER BY doc_id""".stripMargin,
+    "q_l_diversity" ->
+      """WITH cell AS (SELECT lang, n_chars // 200 AS b, source,
+        |     count(*)::BIGINT AS c
+        |   FROM documents GROUP BY 1, 2, 3),
+        | g AS (SELECT lang, b, sum(c)::BIGINT AS n, count(*)::BIGINT AS d
+        |   FROM cell GROUP BY 1, 2)
+        | SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |   count(*)::BIGINT AS n_groups,
+        |   CAST(min(d) AS BIGINT) AS min_distinct_sensitive,
+        |   CAST(coalesce(sum(CASE WHEN d < 3 THEN 1 END), 0) AS BIGINT)
+        |     AS groups_below_l,
+        |   CAST(coalesce(sum(CASE WHEN d < 3 THEN n END), 0) AS BIGINT)
+        |     AS rows_below_l,
+        |   CAST(CASE WHEN sum(n) > 0 THEN
+        |     (coalesce(sum(CASE WHEN d < 3 THEN n END), 0) * 1000000)
+        |       // sum(n) ELSE 0 END AS BIGINT) AS risk_ppm
+        | FROM g""".stripMargin,
     "q_k_anonymity" ->
       """WITH g AS (SELECT lang, source, n_chars // 100 AS b,
         |     count(*)::BIGINT AS c

@@ -1450,6 +1450,54 @@ object Curation {
           .as("risk_ppm"))
   }
 
+  /** l-diversity audit — [[kAnonymityProfile]]'s attribute-disclosure
+    * sibling (Machanavajjhala et al. 2007): a group can be k-anonymous
+    * yet leak an attribute completely if every member SHARES the
+    * sensitive value, so the risk unit is the number of DISTINCT
+    * sensitive values per quasi-identifier group. Reports the census a
+    * release decision reads: group count, worst-group diversity, rows in
+    * groups below `l`, and the exact ppm row-risk.
+    *
+    * Pure integer arithmetic. Scale shape: one map-side-combined count
+    * per (quasi..., sensitive) cell, one regroup to quasi groups (both
+    * tables bounded by combination cardinality, never row-scale), one
+    * 1-row census — the kAnonymityProfile shape with one extra bounded
+    * exchange.
+    *
+    * @return one row: (n_rows, n_groups, min_distinct_sensitive,
+    *         groups_below_l, rows_below_l, risk_ppm).
+    */
+  def lDiversityProfile(
+      df: DataFrame,
+      quasiCols: Seq[Column],
+      sensitiveCol: Column,
+      l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversityProfile needs at least one quasi-identifier column")
+    require(l >= 2, s"l must be >= 2, got $l")
+    val qNames = quasiCols.indices.map(i => s"__q$i")
+    val named = df.select(
+      quasiCols.zip(qNames).map { case (c, n) => c.as(n) } :+
+        sensitiveCol.as("__sv"): _*)
+    val cells = named
+      .groupBy(qNames.map(col) :+ col("__sv"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val groups = cells.groupBy(qNames.map(col): _*)
+      .agg(sum(col("__c")).as("__n"), count(lit(1)).as("__d"))
+    groups.agg(
+      sum(col("__n")).as("n_rows"),
+      count(lit(1)).as("n_groups"),
+      min(col("__d")).as("min_distinct_sensitive"),
+      coalesce(sum(when(col("__d") < l, 1L)), lit(0L))
+        .as("groups_below_l"),
+      coalesce(sum(when(col("__d") < l, col("__n"))), lit(0L))
+        .as("rows_below_l"))
+      .select(col("n_rows"), col("n_groups"),
+        col("min_distinct_sensitive"), col("groups_below_l"),
+        col("rows_below_l"),
+        expr("CASE WHEN n_rows > 0 THEN (rows_below_l * 1000000) DIV n_rows ELSE 0 END")
+          .as("risk_ppm"))
+  }
+
   /** Shuffle-quality audit of a training-data layout — "is this epoch
     * actually shuffled?": per shard, the number of RUNS of consecutive
     * same-key rows (key = source/domain/language) in the serving order,

@@ -795,6 +795,25 @@ class CurationSpec extends SparkTestBase {
     assert(ok === ((6L, 2L, 3L, 0L, 0L, 0L, 0L)))
   }
 
+  test("lDiversityProfile: distinct-sensitive census, below-l accounting") {
+    // quasi groups (by u): a -> sensitive {x, y, z} (3 distinct, 4 rows),
+    // b -> {x, x} (1 distinct, 2 rows), c -> {x, y} (2 distinct, 2 rows).
+    // At l = 3: below-l groups = {b, c} = 2, rows = 4,
+    // risk = floor(4e6 / 8) = 500000; min distinct = 1.
+    val df = Seq(("a", "x"), ("a", "y"), ("a", "z"), ("a", "x"),
+      ("b", "x"), ("b", "x"), ("c", "x"), ("c", "y")).toDF("u", "s")
+    val got = Curation.lDiversityProfile(df, Seq(col("u")), col("s"), l = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(got === ((8L, 3L, 1L, 2L, 4L, 500000L)))
+    // Fully l-diverse: zero exposure. A k-anonymous-but-uniform group is
+    // exactly what this catches that kAnonymityProfile cannot.
+    val ok = Curation.lDiversityProfile(
+      Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")).toDF("u", "s"),
+      Seq(col("u")), col("s"), l = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(ok === ((4L, 2L, 2L, 0L, 0L, 0L)))
+  }
+
   test("quantileNormalize properties on random data: within-group " +
       "monotone, image inside the pooled value set, min maps to min") {
     import org.scalacheck.Gen
