@@ -1253,6 +1253,23 @@ object SparkEntry {
         .presented("train_id")
     }),
 
+    // Graph-index ANN search (single-layer HNSW-style beam over the
+    // prebuilt kNN graph): fixed entry set, 3 expansion hops, top-k —
+    // completes the search family (brute/LSH/IVF/PQ/OPQ/Hamming/graph).
+    // ANN-family oracle convention: exact-truth counts + recall bit.
+    "q_graph_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id") < 10)
+      val g = Similarity.knnGraph(emb, "vec_id", "embedding", k = 10)
+      val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        qs, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      recallReport(truth,
+        Similarity.graphSearch(g, emb, "vec_id", "embedding", qs,
+          "vec_id", "embedding", k = 5),
+        Seq("query_id", "neighbor_id"), minRecall = 0.5, nName = "n_exact")
+    }),
+
     // Recall telemetry AS API (the round-12 fixed-nlist lesson made law):
     // measured recall of the IVF search on a deterministic query sample
     // vs exact brute force — the number a 100 TB operator reads off every
@@ -3745,6 +3762,9 @@ object SparkEntry {
     "q_ann_recall_audit" ->
       """SELECT count(*) AS n_queries, CAST(5 AS BIGINT) AS k,
         |   1 AS recall_pass
+        | FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "q_graph_search" ->
+      """SELECT 5 * count(*) AS n_exact, 1 AS recall_pass
         | FROM embeddings WHERE vec_id < 10""".stripMargin,
     "q_semantic_decontaminate" ->
       """WITH ev AS (SELECT vec_id AS eval_id, embedding FROM embeddings

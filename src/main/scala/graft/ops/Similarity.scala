@@ -613,6 +613,80 @@ object Similarity {
     topKPerQuery(scored, k, distinctIds = false)
   }
 
+  /** Greedy beam search over a prebuilt k-NN graph — the graph-index
+    * SEARCH path (the HNSW/NSG-family public technique, single-layer):
+    * [[knnGraph]] built the index; this serves NEW queries against it.
+    * From a fixed entry set, repeatedly expand the current beam's graph
+    * neighbors, score candidates against the query, and keep the best
+    * `beamWidth` — `hops` rounds, then top-k. Complements the IVF/PQ/LSH
+    * search paths with the index family whose recall/latency frontier is
+    * best-published at high recall.
+    *
+    * Determinism: entry set = the `entryPoints` corpus ids of minimal
+    * (xxhash64(id), id) — pseudo-uniform spread, engine-replayable; all
+    * expansion and top-k tie-breaks are (cos desc, neighbor id)
+    * ([[topKPerQuery]]).
+    *
+    * Scale shape: queries are the bounded side (broadcast — the
+    * [[bruteForceTopK]] contract); per hop the candidate frontier is
+    * ≤ |queries|·beamWidth·k rows of (query, id) longs, which joins the
+    * graph (id-keyed) and the corpus vectors (id-keyed) with the tiny
+    * side broadcast by AQE — never a corpus-wide pass after the entry
+    * hop. `hops` is a hard round bound (the plan is hops-unrolled, no
+    * iterative checkpointing needed at ≤ 5); measure recall with
+    * [[auditRecall]] per deployment, as with every ANN entry point.
+    *
+    * @param graph (id, neighbor_id) adjacency — [[knnGraph]] output or
+    *              any edge table; extra columns ignored.
+    * @return (query_id, neighbor_id, cos, rank 1..k).
+    */
+  def graphSearch(
+      graph: DataFrame,
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int = 10,
+      beamWidth: Int = 32,
+      hops: Int = 3,
+      entryPoints: Int = 8): DataFrame = {
+    require(k >= 1 && beamWidth >= k,
+      s"need beamWidth >= k >= 1, got k=$k beamWidth=$beamWidth")
+    require(hops >= 1 && hops <= 8, s"hops must be in [1, 8], got $hops")
+    val vecs = corpus.select(col(corpusId).cast("long").as("neighbor_id"),
+      col(corpusVec).as("__cv"))
+    val edges = graph.select(col("id").cast("long").as("__src"),
+      col("neighbor_id").cast("long").as("__dst"))
+    val q = queries.select(col(queryId).cast("long").as("query_id"),
+      col(queryVec).as("__qv"))
+    val entry = vecs.select(col("neighbor_id"))
+      .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
+      .limit(entryPoints)
+    def score(cand: DataFrame): DataFrame =
+      cand.join(vecs, "neighbor_id")
+        .join(broadcast(q), "query_id")
+        .where(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("__cv"), col("__qv")).as("cos"))
+    var beam = topKPerQuery(
+      score(q.select("query_id").crossJoin(broadcast(entry))),
+      beamWidth, distinctIds = false)
+    var h = 0
+    while (h < hops) {
+      val cand = beam
+        .select(col("query_id"), col("neighbor_id").as("__src"))
+        .join(edges, "__src")
+        .select(col("query_id"), col("__dst").as("neighbor_id"))
+        .unionByName(beam.select("query_id", "neighbor_id"))
+        .dropDuplicates("query_id", "neighbor_id")
+      beam = topKPerQuery(score(cand), beamWidth, distinctIds = false)
+      h += 1
+    }
+    beam.where(col("rank") <= k)
+  }
+
   /** Embedding-level decontamination: the TRAIN-side removal list against
     * a benchmark/eval set — train rows whose embedding cosine against ANY
     * eval row reaches `threshold` (the semantic complement to the n-gram

@@ -620,6 +620,41 @@ class SimilaritySpec extends SparkTestBase {
     assert(top.head === 1L) // most similar first
   }
 
+  test("graphSearch: beam over the knn graph recovers cluster structure, deterministic") {
+    // Four tight clusters of 10 vectors each; within-cluster cosine ≈ 1,
+    // cross-cluster ≈ 0 (axis-aligned), so exact top-3 of any member is
+    // same-cluster and beam search must recover it through the graph.
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 40).map { i =>
+      val c = i / 10
+      val base = Array.fill(8)(0f)
+      base(c * 2) = 1f
+      base(c * 2 + 1) = 0.2f + rnd.nextFloat() * 0.1f
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 5)
+    val qs = vecs.where($"vec_id" % 10 === 0) // one query per cluster
+    val got = Similarity.graphSearch(g, vecs, "vec_id", "embedding",
+      qs, "vec_id", "embedding", k = 3, beamWidth = 12, hops = 3)
+    val rows = got.as[(Long, Long, Double, Long)].collect()
+    assert(rows.length === 4 * 3)
+    // Every returned neighbor is same-cluster and never the query itself.
+    rows.foreach { case (q, n, _, _) =>
+      assert(n / 10 === q / 10, s"cross-cluster neighbor $n for query $q")
+      assert(n !== q)
+    }
+    // Deterministic end to end.
+    val again = Similarity.graphSearch(g, vecs, "vec_id", "embedding",
+      qs, "vec_id", "embedding", k = 3, beamWidth = 12, hops = 3)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(rows.sortBy(r => (r._1, r._4)) === again.sortBy(r => (r._1, r._4)))
+    // And the measured-recall API prices it: same-cluster exact truth
+    // means recall 1.0 here.
+    val audit = Similarity.auditRecall(got, "query_id", "neighbor_id",
+      vecs, "vec_id", "embedding", k = 3, sample = 4).collect().head
+    assert(audit.getAs[Long]("mean_recall_ppm") === 1000000L)
+  }
+
   test("semanticDecontaminate flags planted leaks, and only them") {
     val ev = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),
