@@ -2956,6 +2956,20 @@ object SparkEntry {
       Graph.triangleCount(
         scaledDomainEdges(s, dir, dense = false).distinct(), "src", "dst")),
 
+    // Adamic–Adar link prediction on the GROWING dense graph: top-100
+    // non-edges by Σ round(1e6/ln(deg)) over common neighbors — integer
+    // weights, hub-capped wedge mass, (score desc, u, v) total order.
+    "q_adamic_adar" -> ((s, dir) =>
+      Graph.adamicAdar(scaledDomainEdges(s, dir, dense = true),
+        "src", "dst", topK = 100)),
+
+    // Degree assortativity (Newman r) on the GROWING dense graph: do hubs
+    // link to hubs? pearsonCorr's DECIMAL moment kernel over endpoint
+    // degrees of every directed edge instance; signed ppm r².
+    "q_assortativity" -> ((s, dir) =>
+      Graph.degreeAssortativity(scaledDomainEdges(s, dir, dense = true),
+        "src", "dst")),
+
     // Personalized PageRank from a 3-seed trust set on the GROWING
     // graph: teleport mass returns only to the seeds, so rank = proximity
     // to the vetted list — the seed-expansion primitive for building
@@ -3274,6 +3288,19 @@ object SparkEntry {
       Stats.ksTest(
         t(s, dir, "documents").select(col("doc_id"),
           (col("n_chars") + when(isA, pmod(col("doc_id"), lit(11L)))
+            .otherwise(lit(0L))).as("v"), isA.as("a")),
+        col("v"), col("a"))
+    }),
+
+    // Tie-corrected Mann–Whitney U over the same slice axis as q_ks_test
+    // but a smaller planted shift (+doc_id%7 chars on slice A) so the
+    // tie-mass term does real work on the discrete n_chars histogram:
+    // exact ×2 rank-sum + DECIMAL tie mass, one fixed IEEE chain for z².
+    "q_mann_whitney" -> ((s, dir) => {
+      val isA = col("doc_id") % 3 === 0
+      Stats.mannWhitneyU(
+        t(s, dir, "documents").select(col("doc_id"),
+          (col("n_chars") + when(isA, pmod(col("doc_id"), lit(7L)))
             .otherwise(lit(0L))).as("v"), isA.as("a")),
         col("v"), col("a"))
     }),
@@ -4458,6 +4485,52 @@ object SparkEntry {
     "q_triangles" -> trianglesOracleSql(),
     "q_triangles_scaled" ->
       trianglesOracleSql(ScaledVSql, ScaledU0, ScaledV1),
+    "q_adamic_adar" ->
+      s"""WITH nv AS MATERIALIZED (SELECT $ScaledVSql AS m),
+         | e AS (SELECT DISTINCT least(u0, v0) AS u, greatest(u0, v0) AS v
+         |   FROM (SELECT $ScaledU0 AS u0, $ScaledV1 AS v0
+         |       FROM documents, nv
+         |     UNION ALL SELECT $ScaledU0, $ScaledV2 FROM documents, nv)
+         |   WHERE u0 <> v0),
+         | adj AS (SELECT u AS w, v AS nb FROM e
+         |   UNION ALL SELECT v, u FROM e),
+         | ctr AS (SELECT w, CAST(round(1000000.0 /
+         |       ln(CAST(count(*) AS DOUBLE))) AS BIGINT) AS aaw
+         |   FROM adj GROUP BY w
+         |   HAVING count(*) >= 2 AND count(*) <= 10000),
+         | wed AS (SELECT a.nb AS u, b.nb AS v, ctr.aaw
+         |   FROM adj a JOIN adj b ON a.w = b.w AND a.nb < b.nb
+         |   JOIN ctr ON ctr.w = a.w),
+         | sc AS (SELECT u, v, count(*)::BIGINT AS n_common,
+         |     CAST(sum(aaw) AS BIGINT) AS aa_ppm FROM wed GROUP BY u, v)
+         | SELECT sc.u, sc.v, sc.n_common, sc.aa_ppm
+         | FROM sc LEFT JOIN e ON e.u = sc.u AND e.v = sc.v
+         | WHERE e.u IS NULL
+         | ORDER BY sc.aa_ppm DESC, sc.u, sc.v LIMIT 100""".stripMargin,
+    "q_assortativity" ->
+      s"""WITH nv AS MATERIALIZED (SELECT $ScaledVSql AS m),
+         | e AS (SELECT DISTINCT least(u0, v0) AS u, greatest(u0, v0) AS v
+         |   FROM (SELECT $ScaledU0 AS u0, $ScaledV1 AS v0
+         |       FROM documents, nv
+         |     UNION ALL SELECT $ScaledU0, $ScaledV2 FROM documents, nv)
+         |   WHERE u0 <> v0),
+         | adj AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e),
+         | deg AS (SELECT x AS id, count(*)::BIGINT AS d FROM adj GROUP BY x),
+         | p AS (SELECT dx.d AS x, dy.d AS y FROM adj
+         |   JOIN deg dx ON dx.id = adj.x JOIN deg dy ON dy.id = adj.y),
+         | m AS (SELECT count(*)::HUGEINT AS n, sum(x::HUGEINT) AS sx,
+         |     sum(y::HUGEINT) AS sy, sum(x::HUGEINT * x) AS sxx,
+         |     sum(y::HUGEINT * y) AS syy, sum(x::HUGEINT * y) AS sxy
+         |   FROM p)
+         | SELECT CAST(n AS BIGINT) AS n_endpoints,
+         |   CAST(CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0 THEN 0
+         |     ELSE (CASE WHEN n*sxy - sx*sy >= 0 THEN 1 ELSE -1 END) *
+         |       CAST(floor(1000000.0 *
+         |         (abs(n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE) *
+         |         (abs(n*sxy - sx*sy)::DOUBLE / (n*syy - sy*sy)::DOUBLE))
+         |         AS BIGINT) END AS BIGINT)
+         |     AS assort_r2_ppm
+         | FROM m""".stripMargin,
     "q_pmi_collocations" ->
       s"""WITH tk AS (SELECT $tokensSql AS t FROM documents),
          | uc AS (SELECT w, count(*) AS c1
@@ -6621,6 +6694,40 @@ object SparkEntry {
         |   CAST(((dn * 1000000) // (na * nb)) * dn > 1844164 * (na + nb)
         |     AS INT) AS reject_05
         | FROM g""".stripMargin,
+    "q_mann_whitney" ->
+      """WITH d AS (SELECT n_chars +
+        |     CASE WHEN doc_id % 3 = 0 THEN ((doc_id % 7) + 7) % 7
+        |       ELSE 0 END AS v,
+        |     CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS a
+        |   FROM documents),
+        | h AS (SELECT v, sum(a)::BIGINT AS ca,
+        |     sum(1 - a)::BIGINT AS cb FROM d GROUP BY v),
+        | cum AS (SELECT ca, cb, coalesce(sum(cb) OVER (ORDER BY v
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |     AS nbb FROM h),
+        | g AS (SELECT sum(ca)::HUGEINT AS na, sum(cb)::HUGEINT AS nb,
+        |     sum(ca::HUGEINT * (2 * nbb::HUGEINT + cb)) AS u2a,
+        |     sum((ca + cb)::HUGEINT * (ca + cb) * (ca + cb) - (ca + cb))
+        |       AS t FROM cum),
+        | z AS (SELECT na, nb, u2a,
+        |     CASE WHEN u2a > na * nb THEN 1
+        |       WHEN u2a < na * nb THEN -1 ELSE 0 END AS direction,
+        |     CASE WHEN na = 0 OR nb = 0 OR
+        |         (na + nb) * ((na + nb) * (na + nb) - 1) - t = 0 THEN 0
+        |       ELSE CAST(FLOOR(1000000.0 *
+        |         ((CAST(abs(u2a - na * nb) AS DOUBLE) /
+        |             CAST(na * nb AS DOUBLE)) *
+        |           CAST(abs(u2a - na * nb) AS DOUBLE)) *
+        |         (CAST(3 * (na + nb) * (na + nb - 1) AS DOUBLE) /
+        |           CAST((na + nb) * ((na + nb) * (na + nb) - 1) - t
+        |             AS DOUBLE))) AS BIGINT) END AS z2
+        |   FROM g)
+        | SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |   CAST(u2a AS BIGINT) AS u_a_x2,
+        |   CAST(direction AS INT) AS direction,
+        |   CAST(z2 AS BIGINT) AS z2_ppm,
+        |   CAST(z2 > 3841459 AS INT) AS significant_95
+        | FROM z""".stripMargin,
     "q_kappa" ->
       """WITH d AS (SELECT lang AS a,
         |     CASE WHEN doc_id % 7 = 0 THEN 'zz' ELSE lang END AS b

@@ -833,6 +833,102 @@ object Graph {
     Seq((nv, ne, tri)).toDF("n_vertices", "n_edges", "n_triangles")
   }
 
+  /** Adamic–Adar link prediction — "which NON-edges look most like edges":
+    * for every non-adjacent pair (u, v), score Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w)
+    * (Adamic & Adar 2003), the standard common-neighbor predictor where a
+    * shared RARE neighbor counts more than a shared hub. In the curation
+    * graph family this ranks candidate merges between near-dup clusters
+    * and suggests crawl frontier links the co-citation pattern implies.
+    *
+    * Determinism: per-center weight is the integer
+    * round(10⁶ / ln(deg_w)) (the [[walkCooccurrence]] round(1e6·ln)
+    * convention — any engine replays the IEEE ln + half-up round), summed
+    * exactly in int64; ordering is (aa_ppm desc, u, v). Degree-1 centers
+    * produce no wedge by construction (they have no neighbor PAIR).
+    *
+    * Scale shape: wedge mass is Σ_w deg(w)·(deg(w)−1)/2 — super-linear in
+    * hubs, so centers with deg > `maxDegree` are dropped (the published
+    * hub cap: their per-pair weight 1/ln(deg) is the SMALLEST in the
+    * graph, so the cap removes the most mass at the least score — same
+    * attitude as the triangle family's degree orientation). All joins are
+    * id-keyed, two longs wide; existing edges leave via one anti-join;
+    * output is k-bounded TakeOrdered.
+    *
+    * @return (u, v, n_common, aa_ppm) — top-K predicted links.
+    */
+  def adamicAdar(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      topK: Int = 100,
+      maxDegree: Int = 10000): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    val e0 = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = e0.select(col("u").as("w"), col("v").as("nb"))
+      .unionByName(e0.select(col("v").as("w"), col("u").as("nb")))
+    val ctr = adj.groupBy("w").agg(count(lit(1)).as("d"))
+      .where(col("d") >= 2 && col("d") <= maxDegree)
+      .select(col("w"),
+        round(lit(1e6) / log(col("d").cast("double")))
+          .cast("long").as("__aaw"))
+    val wedges = adj.toDF("w", "a")
+      .join(adj.toDF("w", "b"), Seq("w"))
+      .where(col("a") < col("b"))
+      .join(ctr, Seq("w"))
+    val out = wedges.groupBy(col("a").as("u"), col("b").as("v"))
+      .agg(count(lit(1)).as("n_common"), sum("__aaw").as("aa_ppm"))
+      .join(e0, Seq("u", "v"), "left_anti")
+      .orderBy(desc("aa_ppm"), col("u"), col("v"))
+      .limit(topK)
+    out.persist(StorageLevel.MEMORY_AND_DISK).count()
+    e0.unpersist(blocking = false)
+    out
+  }
+
+  /** Degree assortativity — "do hubs link to hubs?": the Pearson
+    * correlation of endpoint degrees over every directed edge instance
+    * (each undirected edge counted both ways — Newman 2002's r). Positive
+    * on social-style graphs, negative on web/crawl graphs; in curation it
+    * is the one-number diagnostic that a synthetic or scraped link graph
+    * has the wrong mixing pattern before PageRank-family scores are
+    * trusted.
+    *
+    * Numerics are [[Stats.pearsonCorr]] verbatim (exact DECIMAL(38,0)
+    * moments, min-centered, one fixed IEEE final chain) over the
+    * (deg u, deg v) pairs, so the output convention is the signed ppm r²
+    * that family already ships. Scale shape: one degree census, two
+    * id-keyed joins to decorate endpoints (2|E| rows of two longs), one
+    * map-side-combined moment aggregation; single-row output.
+    *
+    * @return (n_endpoints, assort_r2_ppm) — n_endpoints = 2·|E|.
+    */
+  def degreeAssortativity(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val e0 = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+    val adj = e0.select(col("u").as("x"), col("v").as("y"))
+      .unionByName(e0.select(col("v").as("x"), col("u").as("y")))
+    val deg = adj.groupBy(col("x").as("id")).agg(count(lit(1)).as("d"))
+    val pairs = adj
+      .join(deg.select(col("id").as("x"), col("d").as("__dx")), Seq("x"))
+      .join(deg.select(col("id").as("y"), col("d").as("__dy")), Seq("y"))
+      .withColumn("__g", lit(0L))
+    Stats.pearsonCorr(pairs, "__g", col("__dx"), col("__dy"))
+      .select(col("n").as("n_endpoints"),
+        col("r2_ppm").as("assort_r2_ppm"))
+  }
+
   /** Multi-source BFS: minimum hop distance from a seed set, plus the
     * NEAREST SEED under min-id tie-break — the crawl-frontier primitive
     * (how many hops is each page from the vetted seed list, and which

@@ -1143,6 +1143,92 @@ object Stats {
                   AS INT)""").as("reject_05"))
   }
 
+  /** Tie-corrected Mann–Whitney U test — the LOCATION member of the
+    * two-sample drift family next to [[ksTest]] (KS asks "did the
+    * distribution change anywhere"; MWU asks "does one slice
+    * stochastically dominate the other", the question behind every
+    * before/after quality-score or length comparison). [[aucRoc]] is the
+    * same rank-sum as an EFFECT SIZE (U/(n_a·n_b)); this op adds the
+    * significance machinery: the tie-corrected normal approximation
+    *
+    *   z² = (U_a − n_a·n_b/2)² / σ²,
+    *   σ² = n_a·n_b·( n(n²−1) − Σ_v(t_v³−t_v) ) / (12·n(n−1))
+    *
+    * with t_v the combined tie count at value v — the published
+    * tie-correct variance; the uncorrected form over-rejects on the
+    * discrete columns this engine feeds it (lengths, scores, buckets).
+    *
+    * Exactness: U is kept integer via the ×2 trick — u_a_x2 = 2·U_a =
+    * Σ_v ca·(2·cb_below + cb_at) (half-credit ties, the [[aucRoc]]
+    * identity) — and the tie mass Σ(t³−t) accumulates in DECIMAL(38,0)
+    * over the per-VALUE histogram (the histogram-window convention: the
+    * running sum orders distinct values, never rows). z² then needs
+    * (2U_a−n_a·n_b)², which breaks the DECIMAL envelope past ~10⁹ rows
+    * (the squared-numerator class law), so the final ratio is ONE fixed
+    * IEEE chain over the exact integer moments (the [[abTest]] double
+    * convention — each cast/divide/multiply correctly rounded, any
+    * engine replays the identical bits):
+    * 10⁶·((|d|/n_a·n_b)·|d|)·(3n(n−1)/(n(n²−1)−T)), floored.
+    * `significant_95` is z2_ppm > 3841459 (⌊10⁶·1.959964²⌋ — the same
+    * critical literal as [[mcnemarTest]]'s χ²₁). Degenerate inputs (an
+    * empty side, or every row tied ⇒ zero variance) report z² = 0,
+    * not-significant, direction 0.
+    *
+    * Scale shape: the corpus collapses to a per-value histogram in one
+    * map-side combine; one window over the value-bounded histogram; one
+    * 1-row aggregate. Distinct-count knee ([[kneeBucketExpr]]): above
+    * `maxHistBins` distinct values, values coarsen to equal-width
+    * buckets — coarsening only MERGES ranks into ties, and the statistic
+    * is tie-correct, so the coarsened z² is a valid (separation-
+    * understating ⇒ conservative) MWU on the bucketed variable.
+    *
+    * @return (n_a, n_b, u_a_x2, direction, z2_ppm, significant_95) —
+    *         direction +1 when slice A stochastically dominates.
+    */
+  def mannWhitneyU(df: DataFrame, valueCol: Column, isACol: Column,
+      maxHistBins: Int = 1 << 17,
+      knownBinsAtMostMax: Boolean = false): DataFrame = {
+    require(maxHistBins >= 2, s"maxHistBins must be >= 2, got $maxHistBins")
+    val dec = "decimal(38,0)"
+    val staged = df.select(valueCol.cast("long").as("v"),
+      isACol.cast("int").as("__a"))
+    val vEx = kneeBucketExpr(staged, "v", maxHistBins, knownBinsAtMostMax)
+    val h = staged
+      .groupBy(vEx.as("v")).agg(sum(col("__a")).cast("long").as("__ca"),
+        sum(lit(1) - col("__a")).cast("long").as("__cb"))
+    val wBelow = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = h.select(col("__ca"), col("__cb"),
+      coalesce(sum(col("__cb")).over(wBelow), lit(0L)).as("__nbb"))
+    cum.agg(
+        sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
+        sum(col("__ca").cast(dec) *
+          (col("__nbb").cast(dec) * 2 + col("__cb"))).as("__u2a"),
+        sum((col("__ca") + col("__cb")).cast(dec) *
+          (col("__ca") + col("__cb")) * (col("__ca") + col("__cb")) -
+          (col("__ca") + col("__cb"))).as("__t"))
+      .select(col("n_a"), col("n_b"),
+        col("__u2a").cast("long").as("u_a_x2"),
+        expr(s"""CASE WHEN __u2a > CAST(n_a AS $dec) * n_b THEN 1
+          WHEN __u2a < CAST(n_a AS $dec) * n_b THEN -1 ELSE 0 END""")
+          .cast("int").as("direction"),
+        expr(s"""CAST(CASE WHEN n_a = 0 OR n_b = 0 OR
+            CAST(n_a + n_b AS $dec) *
+              (CAST(n_a + n_b AS $dec) * (n_a + n_b) - 1) - __t = 0 THEN 0
+          ELSE FLOOR(1000000.0D *
+            ((CAST(abs(__u2a - CAST(n_a AS $dec) * n_b) AS DOUBLE) /
+              CAST(CAST(n_a AS $dec) * n_b AS DOUBLE)) *
+             CAST(abs(__u2a - CAST(n_a AS $dec) * n_b) AS DOUBLE)) *
+            (CAST(CAST(3 AS $dec) * (n_a + n_b) * (n_a + n_b - 1)
+                AS DOUBLE) /
+             CAST(CAST(n_a + n_b AS $dec) *
+               (CAST(n_a + n_b AS $dec) * (n_a + n_b) - 1) - __t
+               AS DOUBLE)))
+          END AS BIGINT)""").as("z2_ppm"))
+      .withColumn("significant_95",
+        (col("z2_ppm") > 3841459L).cast("int"))
+  }
+
   /** Cohen's κ inter-rater agreement — the labeled-data audit run before
     * trusting human (or model-as-judge) annotations: observed agreement
     * corrected for the agreement two raters would reach by chance given

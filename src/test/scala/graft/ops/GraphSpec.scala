@@ -321,4 +321,39 @@ class GraphSpec extends SparkTestBase {
     assert(part(1L) === 1L && part(2L) === 1L)
     assert(part.keySet === full.keySet)
   }
+
+  test("adamicAdar: hand weights, edge exclusion, hub cap") {
+    // Path 1-2-3: only non-edge pair is (1,3) through center 2 (deg 2)
+    // → aa = round(1e6/ln 2) = 1442695.
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val p = Graph.adamicAdar(path, "a", "b").collect()
+    assert(p.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq === Seq((1L, 3L, 1L, 1442695L)))
+    // Star 0-{1,2,3}: three leaf pairs through the deg-3 center,
+    // each round(1e6/ln 3) = 910239; ordered (score desc, u, v).
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val s = Graph.adamicAdar(star, "a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(s === Seq((1L, 2L, 910239L), (1L, 3L, 910239L),
+      (2L, 3L, 910239L)))
+    // Hub cap: maxDegree = 2 drops the deg-3 center → no candidates.
+    assert(Graph.adamicAdar(star, "a", "b", maxDegree = 2).count() === 0L)
+    // Triangle: every common-neighbor pair is already an edge → empty.
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    assert(Graph.adamicAdar(tri, "a", "b").count() === 0L)
+  }
+
+  test("degreeAssortativity: hand anti-correlated star, degenerate constant") {
+    // Star 0-{1,2,3}: every edge instance pairs deg 3 with deg 1 →
+    // perfect anti-correlation, signed r² = −10⁶ over 2|E| = 6 endpoints.
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val r = Graph.degreeAssortativity(star, "a", "b").collect().head
+    assert((r.getAs[Long]("n_endpoints"),
+      r.getAs[Long]("assort_r2_ppm")) === ((6L, -1000000L)))
+    // Regular graph (two disjoint edges): constant degree → 0 by the
+    // pearsonCorr zero-variance convention.
+    val reg = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    assert(Graph.degreeAssortativity(reg, "a", "b")
+      .collect().head.getAs[Long]("assort_r2_ppm") === 0L)
+  }
 }

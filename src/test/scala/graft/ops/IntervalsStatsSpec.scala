@@ -833,4 +833,59 @@ class IntervalsStatsSpec extends SparkTestBase {
     assert(z.getAs[Long]("chi2_ppm") === 0L)
     assert(z.getAs[Int]("significant_95") === 0)
   }
+
+  test("mannWhitneyU: hand rank-sum, tie correction, degenerate conventions") {
+    import org.apache.spark.sql.functions.col
+    def run(rows: Seq[(Long, Int)]) =
+      Stats.mannWhitneyU(rows.toDF("v", "a"), col("v"), col("a") === 1)
+        .collect().head
+    // Fully separated, no ties: A={1,2,3} all below B={4,5,6} → U_A = 0,
+    // z² = 20.25/5.25 = 3.857142… (the classic hand value) → significant.
+    val sep = run(Seq((1L, 1), (2L, 1), (3L, 1), (4L, 0), (5L, 0), (6L, 0)))
+    assert((sep.getAs[Long]("n_a"), sep.getAs[Long]("n_b"),
+      sep.getAs[Long]("u_a_x2")) === ((3L, 3L, 0L)))
+    assert(sep.getAs[Int]("direction") === -1)
+    assert(sep.getAs[Long]("z2_ppm") === 3857142L)
+    assert(sep.getAs[Int]("significant_95") === 1)
+    // Tie case: A={1,2}, B={2,3} → U_A = 0.5 (u_a_x2 = 1), T = 2³−2 = 6,
+    // σ² = (4/12)·(5 − 6/12) = 1.5 → z² = 2.25/1.5 = 1.5 exactly.
+    val tie = run(Seq((1L, 1), (2L, 1), (2L, 0), (3L, 0)))
+    assert(tie.getAs[Long]("u_a_x2") === 1L)
+    assert(tie.getAs[Long]("z2_ppm") === 1500000L)
+    assert(tie.getAs[Int]("significant_95") === 0)
+    // All rows tied: zero variance → z² = 0, direction 0 (U_A hits its
+    // mean exactly), never a divide-by-zero.
+    val flat = run(Seq((7L, 1), (7L, 1), (7L, 0), (7L, 0)))
+    assert((flat.getAs[Int]("direction"), flat.getAs[Long]("z2_ppm"),
+      flat.getAs[Int]("significant_95")) === ((0, 0L, 0)))
+    // One side empty → degenerate-zero convention.
+    val empt = run(Seq((1L, 1), (2L, 1)))
+    assert((empt.getAs[Long]("n_b"), empt.getAs[Long]("z2_ppm")) ===
+      ((0L, 0L)))
+    // Independent replay on a pseudo-random tie-heavy fixture: midrank
+    // U and the tie-corrected z² recomputed from first principles must
+    // match the engine bit-for-bit (same IEEE chain).
+    val rows = (0 until 240).map(i => (((i * 37) % 50).toLong, i % 3 min 1))
+    val got = run(rows.map { case (v, a) => (v, 1 - a) }) // a when i%3==0
+    val as = rows.filter(_._2 == 0).map(_._1)
+    val bs = rows.filter(_._2 == 1).map(_._1)
+    val na = as.size.toLong; val nb = bs.size.toLong; val n = na + nb
+    val u2a = as.map(v => 2L * bs.count(_ < v) + bs.count(_ == v)).sum
+    val t = (as ++ bs).groupBy(identity).values
+      .map(g => g.size.toLong).map(c => c * c * c - c).sum
+    assert(got.getAs[Long]("u_a_x2") === u2a)
+    val z2 = 1000000.0d *
+      ((math.abs(u2a - na * nb).toDouble / (na * nb).toDouble) *
+        math.abs(u2a - na * nb).toDouble) *
+      ((3L * n * (n - 1)).toDouble / (n * (n * n - 1) - t).toDouble)
+    assert(got.getAs[Long]("z2_ppm") === math.floor(z2).toLong)
+    // Knee path: coarsening merges values into ties, the statistic stays
+    // defined and the dominance direction on a separated corpus survives.
+    val knee = Stats.mannWhitneyU(
+      (0 until 100).map(i => (i.toLong, if (i < 50) 1 else 0))
+        .toDF("v", "a"), col("v"), col("a") === 1, maxHistBins = 4)
+      .collect().head
+    assert(knee.getAs[Int]("direction") === -1)
+    assert(knee.getAs[Long]("z2_ppm") > 0L)
+  }
 }
