@@ -2819,6 +2819,33 @@ object SparkEntry {
             .cast("int").as("y")),
         col("bin"), col("y"))),
 
+    // Average precision (step-interpolated PR-AUC) over the q_auc score
+    // family but a TIE-HEAVY correlated score: ROC-AUC is prevalence-
+    // blind, AP weights precision at the positive mass — the published
+    // metric for the tiny-positive-rate regime curation filters live in.
+    // Exact integer: per-score-group ΔTP·TP·10¹² DIV (TP+FP) rationals
+    // summed in DECIMAL(38,0); no floating point on either engine.
+    "q_pr_auc" -> ((s, dir) =>
+      Stats.averagePrecision(
+        t(s, dir, "documents").select(
+          (col("n_chars") - pmod(col("doc_id") * 7, lit(50L))).as("s"),
+          (col("n_chars") >= 200).cast("int").as("y")),
+        col("s"), col("y"))),
+
+    // Matryoshka truncation-recall audit: exact brute-force top-5 under
+    // PREFIX-truncated cosine (4/8/16 of 64 dims) vs full-dim truth on
+    // the deterministic xxhash64 query sample — pricing the dimension-
+    // slashing scale path before a fleet adopts it. This corpus is NOT
+    // MRL-trained, so truncated recall is LOW (the audit's honest
+    // finding; SCALING.md); the oracle pins the structural rows and the
+    // full-dim self-check (recall ≡ 1.0 by construction at dim = 64).
+    "q_matryoshka_recall" -> ((s, dir) =>
+      Similarity.truncationRecallAudit(t(s, dir, "embeddings"), "vec_id",
+          "embedding", Seq(4, 8, 16), k = 5, sample = 10)
+        .select(col("dim"), col("n_queries"), col("k"),
+          (col("mean_recall_ppm") === 1000000L).cast("int")
+            .as("exact_at_dim"))),
+
     "q_f1_threshold" -> ((s, dir) =>
       Stats.f1Threshold(
         t(s, dir, "documents").select(
@@ -6648,6 +6675,30 @@ object SparkEntry {
         |     ELSE (u2 * 1000000) // (2 * n_pos * n_neg) END AS BIGINT)
         |     AS auc_ppm
         | FROM a""".stripMargin,
+    "q_pr_auc" ->
+      """WITH d AS (SELECT n_chars - ((doc_id * 7 % 50) + 50) % 50 AS s,
+        |     CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS y
+        |   FROM documents),
+        | h AS (SELECT s, sum(y)::BIGINT AS p,
+        |     sum(1 - y)::BIGINT AS n FROM d GROUP BY s),
+        | cum AS (SELECT p, n,
+        |     sum(p) OVER (ORDER BY s DESC
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        |     sum(n) OVER (ORDER BY s DESC
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+        |   FROM h),
+        | g AS (SELECT sum(p + n)::BIGINT AS n, sum(p)::BIGINT AS n_pos,
+        |     sum((p::HUGEINT * tp * 1000000000000) // (tp + fp)) AS ap
+        |   FROM cum)
+        | SELECT n, n_pos,
+        |   CAST(CASE WHEN n_pos = 0 THEN 0
+        |     ELSE ap // (n_pos::HUGEINT * 1000000) END AS BIGINT) AS ap_ppm
+        | FROM g""".stripMargin,
+    "q_matryoshka_recall" ->
+      """SELECT CAST(d AS INT) AS dim, CAST(10 AS BIGINT) AS n_queries,
+        |   CAST(5 AS BIGINT) AS k,
+        |   CAST(CASE WHEN d = 64 THEN 1 ELSE 0 END AS INT) AS exact_at_dim
+        | FROM (SELECT unnest([4, 8, 16, 64]) AS d) ORDER BY d""".stripMargin,
     "q_trimmed_mean" ->
       """WITH h AS (SELECT lang AS k, n_chars AS v, count(*)::BIGINT AS c
         |   FROM documents GROUP BY 1, 2),

@@ -795,6 +795,83 @@ object Similarity {
       min(expr(s"(__h * 1000000) DIV $k")).as("min_recall_ppm"))
   }
 
+  /** Matryoshka truncation recall audit — "how many leading dimensions
+    * does THIS corpus actually need?": recall@k of exact top-k under
+    * PREFIX-truncated cosine (first d dims only) against full-dimension
+    * exact top-k, per candidate d, on a deterministic query sample. The
+    * published scale path for 100 TB embedding columns (Kusupati et al.
+    * 2022's Matryoshka representations; dimension-slashed first-stage
+    * retrieval + full-dim rerank): searching d of D dims cuts scan bytes
+    * and FLOPs by D/d, and this audit prices the recall that purchase
+    * costs BEFORE the fleet-wide change — the [[auditRecall]] telemetry
+    * law applied to the truncation knob.
+    *
+    * Determinism: the sample is the `sample` smallest (xxhash64(id, seed),
+    * id) corpus ids ([[auditRecall]]'s convention); both top-k sides are
+    * exact brute force with the (cos desc, id) tie-break; recalls are
+    * integer ppm. The full-dimension row (d = D) is a built-in
+    * self-check: it compares the metric with itself, so its recall is
+    * 10⁶ BY CONSTRUCTION and any other value is a harness bug.
+    *
+    * Scale shape: one broadcast-sample corpus pass per audited dimension
+    * (|dims|+1 passes total — audit cost, paid once per corpus, not per
+    * query); exchanges carry (query, neighbor, cos) triples bounded by
+    * sample·k after the per-partition top-k combine.
+    *
+    * @return one row per audited d: (dim, n_queries, k, mean_recall_ppm,
+    *         min_recall_ppm), ordered by dim.
+    */
+  def truncationRecallAudit(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Seq[Int],
+      k: Int = 10,
+      sample: Int = 100,
+      seed: Long = 42L): DataFrame = {
+    require(dims.nonEmpty, "dims must be non-empty")
+    require(dims.forall(_ >= 1), s"dims must be >= 1, got $dims")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val fullDim = vectorDim(corpus, vecCol)
+    val qids = corpus.select(col(idCol).as("query_id")).distinct()
+      .orderBy(xxhash64(col("query_id"), lit(seed)), col("query_id"))
+      .limit(sample)
+    val queries = corpus
+      .join(broadcast(qids), col(idCol) === col("query_id"))
+      .select(col("query_id"), col(vecCol).as("__qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    queries.count()
+    val exact = bruteForceTopK(corpus, idCol, vecCol,
+        queries, "query_id", "__qv", k)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    exact.count()
+    val rows = (dims.filter(_ < fullDim).distinct.sorted :+ fullDim)
+      .map { d =>
+        val trunc = bruteForceTopK(
+          corpus.select(col(idCol), slice(col(vecCol), 1, d).as(vecCol)),
+          idCol, vecCol,
+          queries.select(col("query_id"),
+            slice(col("__qv"), 1, d).as("__qv")),
+          "query_id", "__qv", k)
+          .select(col("query_id"), col("neighbor_id"))
+          .withColumn("__hit", lit(1L))
+        exact.join(trunc, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(coalesce(sum("__hit"), lit(0L)).as("__h"))
+          .agg(lit(d).as("dim"),
+            count(lit(1)).as("n_queries"), lit(k.toLong).as("k"),
+            expr(s"(sum(__h) * 1000000) DIV (count(1) * $k)")
+              .as("mean_recall_ppm"),
+            min(expr(s"(__h * 1000000) DIV $k")).as("min_recall_ppm"))
+      }
+    val out = rows.reduce(_ unionByName _).orderBy("dim")
+    out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    queries.unpersist(blocking = false)
+    exact.unpersist(blocking = false)
+    out
+  }
+
   /** Fitted PCA basis: feature means, row-major principal components
     * (descending eigenvalue), and the eigenvalues of the SAMPLE covariance
     * (n−1 denominator).

@@ -1229,6 +1229,61 @@ object Stats {
         (col("z2_ppm") > 3841459L).cast("int"))
   }
 
+  /** Average precision (area under the precision–recall curve, step
+    * interpolation) — the ranking-quality member of the eval family next
+    * to [[aucRoc]]: ROC-AUC is prevalence-blind, so on the imbalanced
+    * labels every curation filter faces (tiny positive rates) it reads
+    * deceptively high; AP weights precision AT the positive mass and is
+    * the published metric for that regime. Computed at score-GROUP
+    * granularity (one threshold per distinct score — the tie-correct
+    * step form; scikit-learn's average_precision_score identity):
+    *
+    *   AP = Σ_groups (ΔTP_g / P) · ( TP_g / (TP_g + FP_g) )
+    *
+    * with TP/FP cumulative from the best score down and P = total
+    * positives. Exactness: per-group terms are the integer rational
+    * ΔTP·TP·10¹² DIV (TP+FP) in DECIMAL(38,0) (one floor per group —
+    * deterministic, order-free, understating < |groups|·10⁻¹² each),
+    * summed exactly, then ap_ppm = Σ DIV (P·10⁶). No floating point on
+    * either engine. P = 0 reports 0 by the degenerate convention.
+    *
+    * Scale shape: one map-side-combined per-SCORE histogram; the
+    * cumulative window orders that score-bounded histogram only (the
+    * [[ksTest]] convention); single-row output. Distinct-score knee
+    * ([[kneeBucketExpr]]): near-unique scores coarsen to ≤ maxHistBins
+    * buckets — the result is then the exact AP of the BUCKETED scorer
+    * (thresholds only at bucket edges), the same contract the histogram
+    * family documents everywhere.
+    *
+    * @return (n, n_pos, ap_ppm).
+    */
+  def averagePrecision(df: DataFrame, scoreCol: Column, labelCol: Column,
+      maxHistBins: Int = 1 << 17,
+      knownBinsAtMostMax: Boolean = false): DataFrame = {
+    require(maxHistBins >= 2, s"maxHistBins must be >= 2, got $maxHistBins")
+    val dec = "decimal(38,0)"
+    val staged = df.select(scoreCol.cast("long").as("s"),
+      labelCol.cast("int").as("__y"))
+    val sEx = kneeBucketExpr(staged, "s", maxHistBins, knownBinsAtMostMax)
+    val h = staged.groupBy(sEx.as("s"))
+      .agg(sum(col("__y")).cast("long").as("__p"),
+        sum(lit(1) - col("__y")).cast("long").as("__n"))
+    val w = Window.orderBy(desc("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.select(col("__p"), col("__n"),
+      sum(col("__p")).over(w).as("__tp"),
+      sum(col("__n")).over(w).as("__fp"))
+    cum.agg(
+        sum(col("__p") + col("__n")).as("n"),
+        sum(col("__p")).as("n_pos"),
+        sum(expr(s"""(CAST(__p AS $dec) * __tp * 1000000000000)
+          DIV (__tp + __fp)""")).as("__ap"))
+      .select(col("n"), col("n_pos"),
+        expr(s"""CAST(CASE WHEN n_pos = 0 THEN 0
+          ELSE __ap DIV (CAST(n_pos AS $dec) * 1000000)
+          END AS BIGINT)""").as("ap_ppm"))
+  }
+
   /** Cohen's κ inter-rater agreement — the labeled-data audit run before
     * trusting human (or model-as-judge) annotations: observed agreement
     * corrected for the agreement two raters would reach by chance given

@@ -888,4 +888,33 @@ class IntervalsStatsSpec extends SparkTestBase {
     assert(knee.getAs[Int]("direction") === -1)
     assert(knee.getAs[Long]("z2_ppm") > 0L)
   }
+
+  test("averagePrecision: perfect/reversed/tied hand values, degenerate zero") {
+    import org.apache.spark.sql.functions.col
+    def run(rows: Seq[(Long, Int)]) =
+      Stats.averagePrecision(rows.toDF("s", "y"), col("s"), col("y"))
+        .collect().head
+    // Perfect ranking: both positives above all negatives → AP = 1.
+    val perf = run(Seq((4L, 1), (3L, 1), (2L, 0), (1L, 0)))
+    assert((perf.getAs[Long]("n"), perf.getAs[Long]("n_pos"),
+      perf.getAs[Long]("ap_ppm")) === ((4L, 2L, 1000000L)))
+    // Worst ranking: positives below both negatives →
+    // AP = (1/2)(1/3) + (1/2)(2/4) = 5/12 (416666 floored).
+    val rev = run(Seq((4L, 0), (3L, 0), (2L, 1), (1L, 1)))
+    assert(rev.getAs[Long]("ap_ppm") === 416666L)
+    // One score group (all tied): AP = prevalence exactly.
+    val tied = run(Seq((5L, 1), (5L, 1), (5L, 0), (5L, 0)))
+    assert(tied.getAs[Long]("ap_ppm") === 500000L)
+    // No positives → 0 by the degenerate convention.
+    val none = run(Seq((2L, 0), (1L, 0)))
+    assert((none.getAs[Long]("n_pos"), none.getAs[Long]("ap_ppm")) ===
+      ((0L, 0L)))
+    // Knee path: bucketed scores report the exact AP of the bucketed
+    // scorer — still 10^6 when bucketing preserves the separation.
+    val knee = Stats.averagePrecision(
+      (0 until 100).map(i => ((100 - i).toLong, if (i < 50) 1 else 0))
+        .toDF("s", "y"), col("s"), col("y"), maxHistBins = 2)
+      .collect().head
+    assert(knee.getAs[Long]("ap_ppm") === 1000000L)
+  }
 }

@@ -706,6 +706,37 @@ class SimilaritySpec extends SparkTestBase {
     exact.unpersist()
   }
 
+  test("truncationRecallAudit: signal-in-prefix recalls 1.0, constant prefix degrades, full dim self-checks") {
+    // Signal lives entirely in the first 2 dims (tail dims are zero):
+    // truncated cosine at d = 2 equals full cosine exactly → recall 10^6.
+    val prefixed = (0 until 20).map(i =>
+      (i.toLong, Array(math.sin(i * 0.7).toFloat,
+        math.cos(i * 1.3).toFloat, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.truncationRecallAudit(prefixed, "vec_id",
+      "embedding", Seq(2), k = 3, sample = 5).collect()
+    assert(a.map(_.getAs[Int]("dim")).toSeq === Seq(2, 4))
+    assert(a.forall(_.getAs[Long]("mean_recall_ppm") === 1000000L))
+    assert(a.forall(_.getAs[Long]("n_queries") === 5L))
+    // Constant first dim: at d = 1 every cosine ties at 1, the top-k
+    // collapses to smallest ids — real neighborhoods are lost.
+    val hidden = (0 until 20).map(i =>
+      (i.toLong, Array(1f, math.sin(i * 0.7).toFloat,
+        math.cos(i * 1.3).toFloat, math.sin(i * 2.1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val b = Similarity.truncationRecallAudit(hidden, "vec_id",
+      "embedding", Seq(1), k = 3, sample = 5).collect()
+    val byDim = b.map(r => r.getAs[Int]("dim") ->
+      r.getAs[Long]("mean_recall_ppm")).toMap
+    assert(byDim(1) < 1000000L)
+    // The full-dimension row is the built-in self-check: 10^6 always.
+    assert(byDim(4) === 1000000L)
+    // dims ≥ fullDim dedupe into the single full-dim row.
+    val c = Similarity.truncationRecallAudit(prefixed, "vec_id",
+      "embedding", Seq(4, 9), k = 3, sample = 5).collect()
+    assert(c.map(_.getAs[Int]("dim")).toSeq === Seq(4))
+  }
+
   test("pca: recovers planted directions, whitening normalizes variance, audit bits hold") {
     // Planted covariance: x = a·u + b·w in 4D with Var(a)=16, Var(b)=1,
     // u = (1,0,0,0), w = (0,1,0,0) — eigenvectors are the axes.
