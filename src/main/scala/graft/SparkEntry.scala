@@ -3254,6 +3254,23 @@ object SparkEntry {
       TextAnalysis.sliceKlDivergence(t(s, dir, "documents"), "source", "text")
         .withColumnRenamed("slice", "source")),
 
+    // Per-source Jensen–Shannon divergence vs the REST of the corpus —
+    // the symmetric, [0, ln2]-bounded drift score mixture tuning
+    // publishes against (KL is unbounded on slice-only mass). Closed-form
+    // absent-term mass keeps the scan on each slice's own vocab rows;
+    // per-term round(1e6·ln) integerization, two sign-factored halves.
+    "q_jsd_slices" -> ((s, dir) =>
+      TextAnalysis.sliceJsDivergence(t(s, dir, "documents"), "source",
+        "text").withColumnRenamed("slice", "source")),
+
+    // Vocabulary richness + Good–Turing coverage: is the type inventory
+    // still growing (F1 mass) and what richness floor does Chao1 put on
+    // the unseen vocabulary — the "pay for the next decade of crawl?"
+    // number. One token-mass shuffle, then the O(√N)-bounded
+    // frequency-of-frequencies histogram carries everything.
+    "q_vocab_richness" -> ((s, dir) =>
+      TextAnalysis.vocabRichness(t(s, dir, "documents"), col("text"))),
+
     // Rolling 7-day distinct users per day via MERGED daily KMV sketches —
     // the windowed member of the sketch triad: per-day k-min-hash state is
     // built once and reused by every window containing the day; only
@@ -6433,6 +6450,56 @@ object SparkEntry {
          |   CAST(CASE WHEN s < 0 THEN -((-s) // c_s)
          |     ELSE s // c_s END AS BIGINT) AS kl_ppm
          | FROM g ORDER BY source""".stripMargin,
+    "q_jsd_slices" ->
+      s"""WITH d AS (SELECT source, $tokensSql AS t FROM documents),
+         | sc AS (SELECT source, term, count(*)::BIGINT AS c_sw FROM (
+         |     SELECT source, unnest(t) AS term FROM d) GROUP BY 1, 2),
+         | cw AS (SELECT term, sum(c_sw)::BIGINT AS c_w FROM sc GROUP BY term),
+         | cs AS (SELECT source, sum(c_sw)::BIGINT AS c_s FROM sc GROUP BY source),
+         | tot AS (SELECT sum(c_w)::BIGINT AS ct FROM cw),
+         | j AS (SELECT sc.source, cs.c_s, tot.ct - cs.c_s AS c_r,
+         |     sc.c_sw, cw.c_w - sc.c_sw AS c_rw
+         |   FROM sc JOIN cw USING (term) JOIN cs USING (source), tot),
+         | w AS (SELECT source, c_s, c_r, c_rw,
+         |     CASE WHEN c_r > 0 THEN c_sw::HUGEINT *
+         |       CAST(round(1000000e0 * ln(
+         |         CAST(2 * c_sw * c_r AS DOUBLE) /
+         |         CAST(c_sw * c_r + c_rw * c_s AS DOUBLE))) AS HUGEINT)
+         |       ELSE 0 END AS p,
+         |     CASE WHEN c_r > 0 AND c_rw > 0 THEN c_rw::HUGEINT *
+         |       CAST(round(1000000e0 * ln(
+         |         CAST(2 * c_rw * c_s AS DOUBLE) /
+         |         CAST(c_sw * c_r + c_rw * c_s AS DOUBLE))) AS HUGEINT)
+         |       ELSE 0 END AS q
+         |   FROM j),
+         | g AS (SELECT source, c_s, c_r, sum(p) AS sp,
+         |     sum(q) + (c_r::HUGEINT - sum(c_rw)) * 693147 AS sq
+         |   FROM w GROUP BY source, c_s, c_r)
+         | SELECT source, c_s AS n_tokens, c_r AS n_rest_tokens,
+         |   CAST(CASE WHEN c_r = 0 THEN 0 ELSE
+         |     (CASE WHEN sp < 0 THEN -1 ELSE 1 END) *
+         |       (abs(sp) // (2 * c_s::HUGEINT)) +
+         |     (CASE WHEN sq < 0 THEN -1 ELSE 1 END) *
+         |       (abs(sq) // (2 * c_r::HUGEINT))
+         |     END AS BIGINT) AS jsd_ppm
+         | FROM g ORDER BY source""".stripMargin,
+    "q_vocab_richness" ->
+      s"""WITH d AS (SELECT $tokensSql AS t FROM documents),
+         | tc AS (SELECT term, count(*)::BIGINT AS c FROM (
+         |     SELECT unnest(t) AS term FROM d) GROUP BY term),
+         | ff AS (SELECT c, count(*)::BIGINT AS f FROM tc GROUP BY c),
+         | g AS (SELECT coalesce(sum(c::HUGEINT * f), 0) AS n,
+         |     coalesce(sum(f), 0)::BIGINT AS v,
+         |     coalesce(sum(CASE WHEN c = 1 THEN f END), 0)::BIGINT AS f1,
+         |     coalesce(sum(CASE WHEN c = 2 THEN f END), 0)::BIGINT AS f2
+         |   FROM ff)
+         | SELECT CAST(n AS BIGINT) AS n_tokens, v AS v_observed, f1, f2,
+         |   CAST(v + (f1::HUGEINT * (f1 - 1)) // (2 * (f2 + 1)) AS BIGINT)
+         |     AS chao1_est,
+         |   CAST(CASE WHEN n = 0 THEN 0
+         |     ELSE 1000000 - (f1::HUGEINT * 1000000) // n END AS BIGINT)
+         |     AS coverage_ppm
+         | FROM g""".stripMargin,
     "q_centroid_drift" ->
       """WITH mx AS (SELECT max(len(embedding)) AS d FROM embeddings),
         | ix AS (SELECT unnest(range(1, d + 1)) AS i FROM mx),

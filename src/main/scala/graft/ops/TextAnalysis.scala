@@ -1103,4 +1103,115 @@ object TextAnalysis {
           expr("(abs(__sum) DIV n_tokens)").cast("long")).as("kl_ppm"))
       .orderBy("slice")
   }
+
+  /** Per-slice Jensen–Shannon divergence against the REST of the corpus —
+    * the symmetric, √-metrizable, [0, ln 2]-bounded member of the
+    * distributional drift family next to [[sliceKlDivergence]] (KL is
+    * asymmetric and unbounded when the slice has mass the mix lacks; JSD
+    * is the score DoReMi-style mixture tuning and domain-similarity
+    * weighting publish against). JSD(P_s ‖ P_rest) with M = ½(P+Q).
+    *
+    * Exactness: every ln argument is an exact int64 ratio — p/m =
+    * 2·c_sw·c_r / (c_sw·c_r + c_rw·c_s) (same documented < 2⁵³ envelope
+    * as KL's c_sw·C through sf10-scale corpora) — integerized
+    * round(10⁶·ln·) per term BEFORE the sum (the PMI determinism
+    * policy), weighted sums carried in DECIMAL(38,0), each of the two
+    * KL halves floor-divided by its own 2·mass with the sign factored
+    * out. The CLOSED-FORM absent-term mass: every term the slice lacks
+    * has q/m = 2 exactly, so Σ_{w∉s} c_rw·ln(q/m) = (c_r − Σ_{w∈s}
+    * c_rw)·ln 2 — no |slices|×|vocab| cross materializes, the scan
+    * stays on the slice's own vocab rows. A slice owning the whole
+    * corpus (c_r = 0) reports 0 (P = M).
+    *
+    * Scale shape: identical to [[sliceKlDivergence]] — one map-side-
+    * combined (slice, term) count shuffle, everything after is
+    * vocab-bounded; per-slice totals broadcast; output |slices| rows.
+    */
+  def sliceJsDivergence(
+      docs: DataFrame,
+      sliceCol: String,
+      textCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ln2Ppm = 693147L // round(1e6·ln 2), the absent-term constant
+    val sc = docs
+      .select(col(sliceCol).as("slice"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("slice", "term")
+      .agg(count(lit(1)).as("c_sw"))
+    val cw = sc.groupBy("term").agg(sum("c_sw").as("c_w"))
+    val cs = sc.groupBy("slice").agg(sum("c_sw").as("c_s"))
+    val tot = cw.agg(sum("c_w").as("__ct"))
+    val j = sc.join(cw, Seq("term"))
+      .join(broadcast(cs), Seq("slice"))
+      .crossJoin(broadcast(tot))
+      .select(col("slice"), col("c_s"), (col("__ct") - col("c_s")).as("c_r"),
+        col("c_sw"), (col("c_w") - col("c_sw")).as("c_rw"))
+      .withColumn("__den",
+        col("c_sw") * col("c_r") + col("c_rw") * col("c_s"))
+    val pTerm = round(lit(1e6) *
+      log((lit(2L) * col("c_sw") * col("c_r")).cast("double") /
+        col("__den").cast("double"))).cast("long")
+    val qTerm = round(lit(1e6) *
+      log((lit(2L) * col("c_rw") * col("c_s")).cast("double") /
+        col("__den").cast("double"))).cast("long")
+    j.select(col("slice"), col("c_s"), col("c_r"),
+        when(col("c_r") > 0, col("c_sw").cast(dec) * pTerm.cast(dec))
+          .otherwise(lit(0L).cast(dec)).as("__p"),
+        when(col("c_r") > 0 && col("c_rw") > 0,
+          col("c_rw").cast(dec) * qTerm.cast(dec))
+          .otherwise(lit(0L).cast(dec)).as("__q"),
+        col("c_rw").cast(dec).as("__crw"))
+      .groupBy(col("slice"), col("c_s").as("n_tokens"),
+        col("c_r").as("n_rest_tokens"))
+      .agg(sum("__p").as("__sp"),
+        (sum("__q") +
+          (col("c_r").cast(dec) - sum("__crw")) * ln2Ppm)
+          .as("__sq"))
+      .select(col("slice"), col("n_tokens"), col("n_rest_tokens"),
+        expr(s"""CAST(CASE WHEN n_rest_tokens = 0 THEN 0 ELSE
+          (CASE WHEN __sp < 0 THEN -1 ELSE 1 END) *
+            (abs(__sp) DIV (2 * CAST(n_tokens AS $dec))) +
+          (CASE WHEN __sq < 0 THEN -1 ELSE 1 END) *
+            (abs(__sq) DIV (2 * CAST(n_rest_tokens AS $dec)))
+          END AS BIGINT)""").as("jsd_ppm"))
+      .orderBy("slice")
+  }
+
+  /** Vocabulary richness and sample-coverage estimate — "will more data
+    * still add vocabulary?", the question a 100 TB ingest answers BEFORE
+    * paying for the next decade of crawl: Good–Turing coverage
+    * C = 1 − F₁/N (Good 1953 — the probability the next token is an
+    * already-seen type) and the bias-corrected Chao1 richness floor
+    * V + F₁(F₁−1)/(2(F₂+1)) (Chao 1984; Colwell & Coddington 1994 form,
+    * defined even at F₂ = 0), both from the frequency-of-frequencies
+    * histogram. F₁ high / coverage low ⇒ the type inventory is still
+    * growing and dedup/vocab builds sized to V will under-provision.
+    *
+    * Exactness: all five outputs are exact integers — token mass N in
+    * DECIMAL(38,0), the Chao1 correction a single floor divide, coverage
+    * 10⁶ − F₁·10⁶ DIV N. Degenerate empty corpus reports zeros.
+    *
+    * Scale shape: ONE token-mass shuffle (term counts, map-side
+    * combined), then the count-of-counts table — bounded by the number
+    * of DISTINCT frequencies ≤ O(√N) — carries everything; single-row
+    * output.
+    */
+  def vocabRichness(docs: DataFrame, textCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val tc = docs.select(explode(tokens(textCol)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("__c"))
+    val ff = tc.groupBy("__c").agg(count(lit(1)).as("__f"))
+    ff.agg(
+        coalesce(sum(col("__c").cast(dec) * col("__f")), lit(0L).cast(dec))
+          .as("__n"),
+        coalesce(sum("__f"), lit(0L)).as("v_observed"),
+        coalesce(sum(when(col("__c") === 1, col("__f"))), lit(0L)).as("f1"),
+        coalesce(sum(when(col("__c") === 2, col("__f"))), lit(0L)).as("f2"))
+      .select(col("__n").cast("long").as("n_tokens"), col("v_observed"),
+        col("f1"), col("f2"),
+        expr(s"""v_observed + CAST(f1 AS $dec) * (f1 - 1)
+          DIV (2 * (f2 + 1))""").cast("long").as("chao1_est"),
+        expr(s"""CAST(CASE WHEN __n = 0 THEN 0
+          ELSE 1000000 - (CAST(f1 AS $dec) * 1000000) DIV __n
+          END AS BIGINT)""").as("coverage_ppm"))
+  }
 }

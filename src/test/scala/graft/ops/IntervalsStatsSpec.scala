@@ -786,6 +786,47 @@ class IntervalsStatsSpec extends SparkTestBase {
     assert(got === Seq(("A", 3L, 2L, 231049L), ("B", 3L, 1L, 405465L)))
   }
 
+  test("sliceJsDivergence: hand two-slice JSD is symmetric; single slice is 0") {
+    // Same corpus as the KL spec: A = "a a b", B = "b b b".
+    // A: sp = 2·ln2 − ln2 = 693147; sq = 3·round(1e6·ln1.5) = 1216395,
+    //    absent mass 0 → 693147//6 + 1216395//6 = 115524 + 202732.
+    // B mirrors A exactly (two slices ⇒ rest-of-corpus symmetry).
+    val docs = Seq((0L, "A", "a a b"), (1L, "B", "b b b"))
+      .toDF("doc_id", "src", "text")
+    val got = TextAnalysis.sliceJsDivergence(docs, "src", "text")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("A", 3L, 3L, 318256L), ("B", 3L, 3L, 318256L)))
+    // One slice owns the corpus: P = M → 0 by convention.
+    val solo = Seq((0L, "A", "a a b"), (1L, "A", "b b"))
+      .toDF("doc_id", "src", "text")
+    assert(TextAnalysis.sliceJsDivergence(solo, "src", "text")
+      .collect().head.getAs[Long]("jsd_ppm") === 0L)
+  }
+
+  test("vocabRichness: hand Chao1 and Good-Turing coverage, empty corpus zeros") {
+    import org.apache.spark.sql.functions.col
+    // "a a b c d": N=5, V=4, F1=3 (b,c,d), F2=1 (a) →
+    // chao1 = 4 + 3·2 DIV 4 = 5; coverage = 1e6 − 3e6 DIV 5 = 400000.
+    val docs = Seq((0L, "a a b c d")).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabRichness(docs, col("text")).collect().head
+    assert((r.getAs[Long]("n_tokens"), r.getAs[Long]("v_observed"),
+      r.getAs[Long]("f1"), r.getAs[Long]("f2"),
+      r.getAs[Long]("chao1_est"), r.getAs[Long]("coverage_ppm")) ===
+      ((5L, 4L, 3L, 1L, 5L, 400000L)))
+    // F2 > 0 engages the bias-corrected denominator:
+    // "a a a b b c d": F1=2, F2=1 → chao1 = 4 + 2·1 DIV 4 = 4.
+    val d2 = Seq((0L, "a a a b b c d")).toDF("doc_id", "text")
+    val r2 = TextAnalysis.vocabRichness(d2, col("text")).collect().head
+    assert((r2.getAs[Long]("f1"), r2.getAs[Long]("f2"),
+      r2.getAs[Long]("chao1_est")) === ((2L, 1L, 4L)))
+    // Empty corpus: all zeros, never a divide-by-zero.
+    val e = TextAnalysis.vocabRichness(
+      Seq((0L, "")).toDF("doc_id", "text"), col("text")).collect().head
+    assert((e.getAs[Long]("n_tokens"), e.getAs[Long]("v_observed"),
+      e.getAs[Long]("chao1_est"), e.getAs[Long]("coverage_ppm")) ===
+      ((0L, 0L, 0L, 0L)))
+  }
+
   test("spearmanCorr: tie midranks exact; monotone-nonlinear beats pearson; constant axis is 0") {
     import org.apache.spark.sql.functions.col
     // Hand-ranked tie case: x ranks ×2 = (2,5,5,8), y = (2,4,6,8) →
