@@ -3175,6 +3175,23 @@ object SparkEntry {
           expr("ts_ms DIV 86400000"))
         .presented("event_type")),
 
+    // Robust per-type trend over the same daily buckets as
+    // q_trend_slopes: Mann–Kendall S with tie-corrected variance +
+    // continuity-corrected integer z², and the Theil–Sen median slope
+    // (29% breakdown vs OLS's 0) — pair table bounded by the CALENDAR
+    // squared per key, never by corpus rows.
+    "q_robust_trend" -> ((s, dir) =>
+      Stats.robustTrend(events(s, dir), "event_type",
+          expr("ts_ms DIV 86400000"))
+        .withColumnRenamed("key", "event_type")),
+
+    // Concentration profile of corpus mass across sources: exact Gini,
+    // HHI, and top-1 share over the per-source counts — the "do a
+    // handful of domains own the corpus" audit read before per-domain
+    // caps are sized. Rank window over the source-bounded count table.
+    "q_concentration" -> ((s, dir) =>
+      Stats.concentrationProfile(t(s, dir, "documents"), "source")),
+
     // Pareto frontier of (token_count, type-token-ratio ppm): the docs
     // optimally trading length against lexical diversity — the skyline a
     // budgeted curation selector sweeps. Window runs over distinct token
@@ -6633,6 +6650,70 @@ object SparkEntry {
         |     ELSE CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
         |       * ((abs(num) * 1000000) // den) AS BIGINT) END AS slope_ppm
         | FROM e ORDER BY event_type""".stripMargin,
+    "q_robust_trend" ->
+      """WITH c AS (SELECT event_type AS key, epoch_ms(ts) // 86400000 AS b,
+        |     count(*)::BIGINT AS y FROM events GROUP BY 1, 2),
+        | p AS (SELECT a.key,
+        |     CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+        |       ELSE 0 END AS sgn,
+        |     (CASE WHEN b.y >= a.y THEN 1 ELSE -1 END)::HUGEINT *
+        |       ((abs(b.y - a.y)::HUGEINT * 1000000) // (b.b - a.b))
+        |       AS slope
+        |   FROM c a JOIN c b ON a.key = b.key AND b.b > a.b),
+        | sa AS (SELECT key, sum(sgn)::BIGINT AS s, count(*)::BIGINT AS np
+        |   FROM p GROUP BY key),
+        | sh AS (SELECT key, slope, count(*)::BIGINT AS cc
+        |   FROM p GROUP BY 1, 2),
+        | cum AS (SELECT key, slope,
+        |     sum(cc) OVER (PARTITION BY key ORDER BY slope
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+        |     sum(cc) OVER (PARTITION BY key ORDER BY slope
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cc
+        |       AS lo
+        |   FROM sh),
+        | med AS (SELECT cum.key, slope AS ts FROM cum JOIN sa USING (key)
+        |   WHERE lo < (np + 1) // 2 AND (np + 1) // 2 <= hi),
+        | tt AS (SELECT key, sum(t::HUGEINT * (t - 1) * (2 * t + 5)) AS tt
+        |   FROM (SELECT key, y, count(*)::BIGINT AS t FROM c GROUP BY 1, 2)
+        |   GROUP BY key),
+        | nb AS (SELECT key, count(*)::BIGINT AS n FROM c GROUP BY key),
+        | z AS (SELECT nb.key, nb.n AS n_buckets,
+        |     coalesce(sa.s, 0) AS s_stat,
+        |     CASE WHEN nb.n < 2 OR sa.s IS NULL OR sa.s = 0 THEN 0
+        |       WHEN nb.n::HUGEINT * (nb.n - 1) * (2 * nb.n + 5) - tt.tt
+        |         <= 0 THEN 0
+        |       ELSE ((abs(sa.s) - 1)::HUGEINT * (abs(sa.s) - 1)
+        |           * 18 * 1000000)
+        |         // (nb.n::HUGEINT * (nb.n - 1) * (2 * nb.n + 5) - tt.tt)
+        |       END AS z2,
+        |     med.ts AS tsen
+        |   FROM nb LEFT JOIN sa USING (key) JOIN tt USING (key)
+        |   LEFT JOIN med ON med.key = nb.key)
+        | SELECT key AS event_type, n_buckets,
+        |   CAST(s_stat AS BIGINT) AS s_stat,
+        |   CAST(z2 AS BIGINT) AS z2_ppm,
+        |   CAST(tsen AS BIGINT) AS theil_sen_ppm,
+        |   CAST(z2 > 3841459 AS INT) AS significant_95
+        | FROM z ORDER BY key""".stripMargin,
+    "q_concentration" ->
+      """WITH c AS (SELECT source AS key, count(*)::BIGINT AS c
+        |   FROM documents GROUP BY 1),
+        | r AS (SELECT c, row_number() OVER (ORDER BY c, key) AS i FROM c),
+        | g AS (SELECT count(*)::HUGEINT AS n,
+        |     coalesce(sum(c), 0)::HUGEINT AS tot,
+        |     coalesce(max(c), 0)::HUGEINT AS mx,
+        |     coalesce(sum(c::HUGEINT * c), 0) AS ss,
+        |     coalesce(sum(i::HUGEINT * c), 0) AS ic FROM r)
+        | SELECT CAST(n AS BIGINT) AS n_keys, CAST(tot AS BIGINT) AS total,
+        |   CAST(CASE WHEN tot = 0 THEN 0 ELSE
+        |     (CASE WHEN 2 * ic >= (n + 1) * tot THEN 1 ELSE -1 END) *
+        |       ((abs(2 * ic - (n + 1) * tot) * 1000000) // (n * tot))
+        |     END AS BIGINT) AS gini_ppm,
+        |   CAST(CASE WHEN tot = 0 THEN 0
+        |     ELSE (ss * 1000000) // (tot * tot) END AS BIGINT) AS hhi_ppm,
+        |   CAST(CASE WHEN tot = 0 THEN 0
+        |     ELSE (mx * 1000000) // tot END AS BIGINT) AS top_share_ppm
+        | FROM g""".stripMargin,
     "q_pareto_front" ->
       s"""WITH d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS x,
          |     CAST((len(list_distinct(t)) * 1000000) // len(t) AS BIGINT) AS y

@@ -792,6 +792,141 @@ object Stats {
           .as("slope_ppm"))
   }
 
+  /** Robust per-key trend — the NONPARAMETRIC member of the trend family
+    * next to [[trendSlopes]]'s OLS (one spike day wrecks a least-squares
+    * slope; monitoring literature's standard robust pair is): the
+    * Mann–Kendall test S = Σ_{i<j} sgn(y_j − y_i) with the tie-corrected
+    * variance Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18 and the
+    * continuity-corrected z² = 18·(|S|−1)²/denom, plus the Theil–Sen
+    * slope (median of pairwise slopes — 29% breakdown point vs OLS's 0).
+    *
+    * Exactness: S and the variance polynomial are exact integers in
+    * DECIMAL(38,0); z² is the integer rational (|S|−1)²·18·10⁶ DIV denom
+    * (inside the envelope to ~10⁷ buckets per key — bucket counts are
+    * CALENDAR-bounded, not corpus-bounded, so the squared-numerator law
+    * is satisfied by construction); `significant_95` vs the shared
+    * 3841459 literal. Theil–Sen: each pairwise slope is integerized
+    * sign·(|Δy|·10⁶ DIV Δb) FIRST, the key's slope is the LOWER MEDIAN
+    * of those integers (both floors documented — engine-independent,
+    * the per-term-integerize-then-aggregate PMI policy).
+    *
+    * Scale shape: the corpus collapses to one (key, bucket) count row in
+    * a map-side-combined shuffle; the PAIR table is per-key
+    * C(buckets, 2) — bounded by the time-bucket calendar squared (366
+    * daily buckets = 67k pairs/key), never by corpus rows; the median
+    * runs on the per-key slope histogram (window over distinct slope
+    * values, the histogram-window convention).
+    *
+    * @return (key, n_buckets, s_stat, z2_ppm, significant_95,
+    *         theil_sen_ppm); keys with one bucket report null slope and
+    *         zero z² (no trend measurable).
+    */
+  def robustTrend(df: DataFrame, keyCol: String, bucketCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val counts = df.groupBy(col(keyCol).as("key"), bucketCol.as("__b"))
+      .agg(count(lit(1)).as("__y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = counts.toDF("key", "b1", "y1")
+      .join(counts.toDF("key", "b2", "y2"), Seq("key"))
+      .where(col("b2") > col("b1"))
+      .select(col("key"),
+        signum(col("y2") - col("y1")).cast("long").as("__sgn"),
+        (when(col("y2") >= col("y1"), lit(1L)).otherwise(lit(-1L)).cast(dec) *
+          expr(s"(abs(y2 - y1) * CAST(1000000 AS $dec)) DIV (b2 - b1)"))
+          .cast("long").as("__slope"))
+    val sAgg = pairs.groupBy("key")
+      .agg(sum("__sgn").as("s_stat"), count(lit(1)).as("__npairs"))
+    // Lower median of the per-key slope histogram.
+    val sh = pairs.groupBy("key", "__slope").agg(count(lit(1)).as("__c"))
+    val wcum = Window.partitionBy("key").orderBy("__slope")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = sh
+      .select(col("key"), col("__slope"),
+        (sum(col("__c")).over(wcum) - col("__c")).as("__lo"),
+        sum(col("__c")).over(wcum).as("__hi"))
+      .join(sAgg.select(col("key"), col("__npairs")), Seq("key"))
+      .where(col("__lo") < expr("(__npairs + 1) DIV 2") &&
+        expr("(__npairs + 1) DIV 2") <= col("__hi"))
+      .select(col("key"), col("__slope").as("theil_sen_ppm"))
+    // Tie polynomial over the per-key VALUE histogram.
+    val ties = counts.groupBy("key", "__y").agg(count(lit(1)).as("__t"))
+      .groupBy("key")
+      .agg(sum(col("__t").cast(dec) * (col("__t") - 1) *
+        (lit(2L) * col("__t") + 5)).as("__tt"))
+    val nb = counts.groupBy("key").agg(count(lit(1)).as("n_buckets"))
+    val out = nb.join(sAgg.select(col("key"), col("s_stat")), Seq("key"), "left")
+      .join(ties, Seq("key"))
+      .join(med, Seq("key"), "left")
+      .select(col("key"), col("n_buckets"),
+        coalesce(col("s_stat"), lit(0L)).as("s_stat"),
+        expr(s"""CAST(CASE WHEN n_buckets < 2 OR s_stat IS NULL
+            OR s_stat = 0 THEN 0
+          WHEN CAST(n_buckets AS $dec) * (n_buckets - 1)
+            * (2 * n_buckets + 5) - __tt <= 0 THEN 0
+          ELSE ((abs(s_stat) - 1) * CAST(abs(s_stat) - 1 AS $dec)
+              * 18 * 1000000)
+            DIV (CAST(n_buckets AS $dec) * (n_buckets - 1)
+              * (2 * n_buckets + 5) - __tt)
+          END AS BIGINT)""").as("z2_ppm"),
+        col("theil_sen_ppm"))
+      .withColumn("significant_95", (col("z2_ppm") > 3841459L).cast("int"))
+      .orderBy("key")
+    out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .count()
+    counts.unpersist(blocking = false)
+    out
+  }
+
+  /** Corpus concentration profile — "how unequal is the mass across
+    * sources / domains / shards": the Gini coefficient (the inequality
+    * number mixture audits publish), the Herfindahl–Hirschman index
+    * (Σ share² — the antitrust concentration measure, = expected share
+    * of a random token's source), and the top-1 share, all over the
+    * per-key row counts. High Gini/HHI on a crawl = a handful of
+    * domains own the corpus and per-domain caps ([[Curation]] family)
+    * are overdue.
+    *
+    * Exactness: with c_(1) ≤ … ≤ c_(n) (ties broken by key — total
+    * order), Gini = (2Σ i·c_(i) − (n+1)·C) / (n·C), evaluated as exact
+    * DECIMAL(38,0) integers with one sign-factored floor divide (the
+    * near-uniform case can integerize slightly negative); HHI =
+    * Σc²·10⁶ DIV C²; top share = max(c)·10⁶ DIV C. Empty input reports
+    * a single all-zero row (the degenerate convention).
+    *
+    * Scale shape: one map-side-combined per-key count; the rank window
+    * orders the KEY-bounded count table (sources/domains — never corpus
+    * rows); single-row output.
+    */
+  def concentrationProfile(df: DataFrame, keyCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(col("__c"), col("key"))
+    val ranked = counts.select(col("__c"),
+      row_number().over(w).cast("long").as("__i"))
+    ranked.agg(
+        count(lit(1)).as("n_keys"),
+        coalesce(sum(col("__c")), lit(0L)).as("total"),
+        coalesce(max(col("__c")), lit(0L)).as("__mx"),
+        coalesce(sum(col("__c").cast(dec) * col("__c")),
+          lit(0L).cast(dec)).as("__ss"),
+        coalesce(sum(col("__i").cast(dec) * col("__c")),
+          lit(0L).cast(dec)).as("__ic"))
+      .select(col("n_keys"), col("total"),
+        expr(s"""CAST(CASE WHEN total = 0 THEN 0 ELSE
+          (CASE WHEN 2 * __ic >= (CAST(n_keys AS $dec) + 1) * total
+            THEN 1 ELSE -1 END) *
+          (abs(2 * __ic - (CAST(n_keys AS $dec) + 1) * total) * 1000000)
+            DIV (CAST(n_keys AS $dec) * total)
+          END AS BIGINT)""").as("gini_ppm"),
+        expr(s"""CAST(CASE WHEN total = 0 THEN 0 ELSE
+          (__ss * 1000000) DIV (CAST(total AS $dec) * total)
+          END AS BIGINT)""").as("hhi_ppm"),
+        expr(s"""CAST(CASE WHEN total = 0 THEN 0 ELSE
+          (CAST(__mx AS $dec) * 1000000) DIV total
+          END AS BIGINT)""").as("top_share_ppm"))
+  }
+
   def skewProfile(df: DataFrame, keyCol: String): DataFrame = {
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("x"))
     val hist = counts.groupBy("x").agg(count(lit(1)).as("m"))

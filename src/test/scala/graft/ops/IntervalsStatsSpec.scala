@@ -827,6 +827,60 @@ class IntervalsStatsSpec extends SparkTestBase {
       ((0L, 0L, 0L, 0L)))
   }
 
+  test("robustTrend: hand Mann-Kendall + Theil-Sen, ties, degenerate buckets") {
+    import org.apache.spark.sql.functions.col
+    def rows(ys: Seq[Int]): Seq[(String, Long)] =
+      ys.zipWithIndex.flatMap { case (y, b) =>
+        Seq.fill(y)(("k", b.toLong)) }
+    def run(ys: Seq[Int]) =
+      Stats.robustTrend(rows(ys).toDF("g", "b"), "g", col("b"))
+        .collect().head
+    // Monotone 1,2,3,4: S = 6, no ties → z² = 25·18e6/156 = 2884615;
+    // every pairwise slope is exactly 1 → Theil–Sen 10⁶.
+    val up = run(Seq(1, 2, 3, 4))
+    assert((up.getAs[Long]("n_buckets"), up.getAs[Long]("s_stat"),
+      up.getAs[Long]("z2_ppm"), up.getAs[Long]("theil_sen_ppm"),
+      up.getAs[Int]("significant_95")) === ((4L, 6L, 2884615L, 1000000L, 0)))
+    // Mirror: S flips sign, z² identical, slope −10⁶.
+    val dn = run(Seq(4, 3, 2, 1))
+    assert((dn.getAs[Long]("s_stat"), dn.getAs[Long]("z2_ppm"),
+      dn.getAs[Long]("theil_sen_ppm")) === ((-6L, 2884615L, -1000000L)))
+    // Flat counts: all pairs tie → S = 0, z² = 0, slope 0.
+    val flat = run(Seq(2, 2, 2))
+    assert((flat.getAs[Long]("s_stat"), flat.getAs[Long]("z2_ppm"),
+      flat.getAs[Long]("theil_sen_ppm")) === ((0L, 0L, 0L)))
+    // Ten monotone buckets: z² = 44²·18e6/2250 = 15488000 → significant.
+    val ten = run((1 to 10))
+    assert(ten.getAs[Long]("z2_ppm") === 15488000L)
+    assert(ten.getAs[Int]("significant_95") === 1)
+    // Single bucket: nothing measurable — zero z², null slope.
+    val one = run(Seq(5))
+    assert((one.getAs[Long]("n_buckets"), one.getAs[Long]("s_stat"),
+      one.getAs[Long]("z2_ppm")) === ((1L, 0L, 0L)))
+    assert(one.isNullAt(one.fieldIndex("theil_sen_ppm")))
+  }
+
+  test("concentrationProfile: hand Gini/HHI/top-share, uniform zero, single key") {
+    def run(rows: Seq[String]) =
+      Stats.concentrationProfile(rows.map(Tuple1(_)).toDF("k"), "k")
+        .collect().head
+    // Counts a:1 b:1 c:2 → Gini = 2/12 = 166666 ppm, HHI = 6/16,
+    // top share = 2/4.
+    val r = run(Seq("a", "b", "c", "c"))
+    assert((r.getAs[Long]("n_keys"), r.getAs[Long]("total"),
+      r.getAs[Long]("gini_ppm"), r.getAs[Long]("hhi_ppm"),
+      r.getAs[Long]("top_share_ppm")) ===
+      ((3L, 4L, 166666L, 375000L, 500000L)))
+    // Uniform mass → Gini exactly 0.
+    val u = run(Seq("a", "a", "b", "b"))
+    assert((u.getAs[Long]("gini_ppm"), u.getAs[Long]("hhi_ppm")) ===
+      ((0L, 500000L)))
+    // Single key owns everything: Gini 0 (n = 1), HHI and top share 10⁶.
+    val s = run(Seq("a", "a", "a"))
+    assert((s.getAs[Long]("gini_ppm"), s.getAs[Long]("hhi_ppm"),
+      s.getAs[Long]("top_share_ppm")) === ((0L, 1000000L, 1000000L)))
+  }
+
   test("spearmanCorr: tie midranks exact; monotone-nonlinear beats pearson; constant axis is 0") {
     import org.apache.spark.sql.functions.col
     // Hand-ranked tie case: x ranks ×2 = (2,5,5,8), y = (2,4,6,8) →
