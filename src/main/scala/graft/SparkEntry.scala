@@ -3185,6 +3185,26 @@ object SparkEntry {
           expr("ts_ms DIV 86400000"))
         .withColumnRenamed("key", "event_type")),
 
+    // Kruskal–Wallis across the 5 languages over a lang-shifted n_chars
+    // (k-sample MWU: "is ANY slice shifted"): ×2 midranks over the
+    // combined value histogram, bounded nested-floor group terms, one
+    // IEEE tie-correction multiply, χ²_{k−1} verdict literal.
+    "q_kruskal_wallis" -> ((s, dir) =>
+      Stats.kruskalWallis(
+        t(s, dir, "documents").select(
+          (col("n_chars") + ascii(substring(col("lang"), 1, 1)) % 7)
+            .as("v"), col("lang").as("g")),
+        col("v"), col("g"))),
+
+    // Pettitt rank change-point per event type over daily volumes: the
+    // difference-array collapse of U_t (pair mass → two per-bucket
+    // reductions + one window), argmax |U| with min-bucket tie-break,
+    // integer ln(40) significance literal.
+    "q_changepoint" -> ((s, dir) =>
+      Stats.pettittChangePoint(events(s, dir), "event_type",
+          expr("ts_ms DIV 86400000"))
+        .withColumnRenamed("key", "event_type")),
+
     // Concentration profile of corpus mass across sources: exact Gini,
     // HHI, and top-1 share over the per-source counts — the "do a
     // handful of domains own the corpus" audit read before per-domain
@@ -6695,6 +6715,71 @@ object SparkEntry {
         |   CAST(tsen AS BIGINT) AS theil_sen_ppm,
         |   CAST(z2 > 3841459 AS INT) AS significant_95
         | FROM z ORDER BY key""".stripMargin,
+    "q_kruskal_wallis" ->
+      """WITH d AS (SELECT n_chars + ascii(substr(lang, 1, 1)) % 7 AS v,
+        |     lang AS g FROM documents),
+        | h AS (SELECT v, g, count(*)::BIGINT AS c FROM d GROUP BY 1, 2),
+        | hv AS (SELECT v, sum(c)::BIGINT AS cv FROM h GROUP BY v),
+        | rk AS (SELECT v, 2 * coalesce(sum(cv) OVER (ORDER BY v
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |     + cv + 1 AS r2 FROM hv),
+        | grp AS (SELECT g, sum(c)::HUGEINT AS ng,
+        |     sum(c::HUGEINT * r2) AS r2s
+        |   FROM h JOIN rk USING (v) GROUP BY g),
+        | tot AS (SELECT sum(cv)::HUGEINT AS n,
+        |     sum(cv::HUGEINT * cv * cv - cv) AS t FROM hv),
+        | tm AS (SELECT ng, n, t,
+        |     ((r2s * 1000000) // (n + 1)) * r2s // (4 * ng * n) AS bg
+        |   FROM grp, tot),
+        | ag AS (SELECT any_value(n) AS n, any_value(t) AS t,
+        |     count(*)::BIGINT AS k, sum(bg) AS sb FROM tm),
+        | hh AS (SELECT CAST(n AS BIGINT) AS nn, k AS n_groups,
+        |     CASE WHEN n < 2 OR n * n * n - n - t <= 0 THEN 0
+        |       ELSE CAST(FLOOR(
+        |         CAST(12 * sb - 3 * (n + 1) * 1000000 AS DOUBLE) *
+        |         (CAST(n * n * n - n AS DOUBLE) /
+        |          CAST(n * n * n - n - t AS DOUBLE))) AS BIGINT)
+        |       END AS h0
+        |   FROM ag)
+        | SELECT nn AS n, n_groups,
+        |   CAST(greatest(h0, 0) AS BIGINT) AS h_ppm,
+        |   CAST(CASE WHEN n_groups BETWEEN 2 AND 11 THEN
+        |     CAST(greatest(h0, 0) > CASE n_groups
+        |       WHEN 2 THEN 3841459 WHEN 3 THEN 5991465
+        |       WHEN 4 THEN 7814728 WHEN 5 THEN 9487729
+        |       WHEN 6 THEN 11070498 WHEN 7 THEN 12591587
+        |       WHEN 8 THEN 14067140 WHEN 9 THEN 15507313
+        |       WHEN 10 THEN 16918978 WHEN 11 THEN 18307038 END AS INT)
+        |     ELSE NULL END AS INT) AS significant_95
+        | FROM hh""".stripMargin,
+    "q_changepoint" ->
+      """WITH c AS (SELECT event_type AS key, epoch_ms(ts) // 86400000 AS b,
+        |     count(*)::BIGINT AS y FROM events GROUP BY 1, 2),
+        | p AS (SELECT a.key, a.b AS b1, b.b AS b2,
+        |     CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+        |       ELSE 0 END AS sgn
+        |   FROM c a JOIN c b ON a.key = b.key AND b.b > a.b),
+        | o AS (SELECT key, b1 AS b, sum(sgn)::BIGINT AS d
+        |   FROM p GROUP BY 1, 2),
+        | cl AS (SELECT key, b2 AS b, -sum(sgn)::BIGINT AS d
+        |   FROM p GROUP BY 1, 2),
+        | dd AS (SELECT key, b, sum(d)::BIGINT AS d FROM (
+        |     SELECT * FROM o UNION ALL SELECT * FROM cl) GROUP BY 1, 2),
+        | u AS (SELECT key, b, sum(d) OVER (PARTITION BY key ORDER BY b
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS u
+        |   FROM dd),
+        | mx AS (SELECT key, max(abs(u))::BIGINT AS k FROM u GROUP BY key),
+        | pk AS (SELECT u.key, min(b) AS cb, any_value(k) AS k FROM u
+        |   JOIN mx ON mx.key = u.key AND abs(u.u) = mx.k GROUP BY u.key),
+        | nb AS (SELECT key, count(*)::BIGINT AS n FROM c GROUP BY key)
+        | SELECT nb.key AS event_type, nb.n AS n_buckets,
+        |   coalesce(pk.k, 0) AS k_stat,
+        |   CASE WHEN nb.n < 2 THEN NULL ELSE pk.cb END AS change_bucket,
+        |   CAST(6 * coalesce(pk.k, 0)::HUGEINT * coalesce(pk.k, 0)
+        |       * 1000000 >
+        |     3688879 * (nb.n::HUGEINT * nb.n * nb.n
+        |       + nb.n::HUGEINT * nb.n) AS INT) AS sig_05
+        | FROM nb LEFT JOIN pk ON pk.key = nb.key ORDER BY nb.key""".stripMargin,
     "q_concentration" ->
       """WITH c AS (SELECT source AS key, count(*)::BIGINT AS c
         |   FROM documents GROUP BY 1),

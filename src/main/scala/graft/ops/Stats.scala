@@ -1364,6 +1364,150 @@ object Stats {
         (col("z2_ppm") > 3841459L).cast("int"))
   }
 
+  /** Kruskal–Wallis H — the k-SAMPLE generalization of [[mannWhitneyU]]
+    * (two slices → MWU; "is ANY of these k sources/shards/variants
+    * shifted" → KW, the nonparametric one-way ANOVA): with midranks R_g
+    * summed per group, H = (12/(N(N+1)))·Σ R_g²/n_g − 3(N+1), divided by
+    * the tie correction 1 − ΣT/(N³−N), T = Σ_v(t_v³−t_v), and compared
+    * against the χ²_{k−1} critical value.
+    *
+    * Exactness: midrank sums use the ×2 trick over the per-(group,
+    * value) histogram (rank2 sums are exact integers in DECIMAL(38,0));
+    * each group's H contribution is evaluated in the BOUNDED nested
+    * order a_g = R2_g·10⁶ DIV (N+1), b_g = a_g·R2_g DIV (4·n_g·N)
+    * (the squared-numerator class law: a·R2 ≤ 8·10⁶·N³ stays inside
+    * DECIMAL(38,0) to N ≈ 2·10¹⁰ rows, where the naive R2² form dies at
+    * ~10⁸; two floors per group, each understating < 1 h-ppm — the
+    * conservative attitude), summed exactly; the tie correction is ONE
+    * fixed IEEE multiply over the exact integer moments (the
+    * [[mannWhitneyU]] precedent). `significant_95` compares against the
+    * χ² critical literal for df = k−1 (df ≤ 10 supported — more groups
+    * than 11 report the statistic with verdict NULL rather than a wrong
+    * literal).
+    *
+    * Scale shape: one map-side-combined (group, value) histogram; rank
+    * windows order the VALUE-bounded combined histogram; per-group
+    * reduction is |groups| rows; single-row output per test. The
+    * [[kneeBucketExpr]] knee coarsens near-unique values into ties —
+    * tie-correct, hence a valid conservative KW on the bucketed column.
+    *
+    * @return (n, n_groups, h_ppm, significant_95).
+    */
+  def kruskalWallis(df: DataFrame, valueCol: Column, groupCol: Column,
+      maxHistBins: Int = 1 << 17,
+      knownBinsAtMostMax: Boolean = false): DataFrame = {
+    require(maxHistBins >= 2, s"maxHistBins must be >= 2, got $maxHistBins")
+    val dec = "decimal(38,0)"
+    // χ²_df 0.05 critical values ×10⁶, df = 1..10.
+    val chi2Crit = Seq(3841459L, 5991465L, 7814728L, 9487729L, 11070498L,
+      12591587L, 14067140L, 15507313L, 16918978L, 18307038L)
+    val staged = df.select(valueCol.cast("long").as("v"),
+      groupCol.cast("string").as("g"))
+    val vEx = kneeBucketExpr(staged, "v", maxHistBins, knownBinsAtMostMax)
+    val h = staged.groupBy(vEx.as("v"), col("g"))
+      .agg(count(lit(1)).as("__c"))
+    val hv = h.groupBy("v").agg(sum("__c").as("__cv"))
+    val wBelow = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // rank2(v) = 2·(count below) + (count at) + 1, shared by the group's
+    // occupants of v; R2_g = Σ_v c_gv · rank2(v).
+    val ranked = hv.select(col("v"), col("__cv"),
+      (lit(2L) * coalesce(sum(col("__cv")).over(wBelow), lit(0L)) +
+        col("__cv") + 1L).as("__r2"))
+    val grp = h.join(ranked, Seq("v"))
+      .groupBy("g")
+      .agg(sum(col("__c")).as("__ng"),
+        sum(col("__c").cast(dec) * col("__r2")).as("__R2"))
+    val tot = hv.agg(sum(col("__cv")).as("__N"),
+      sum(col("__cv").cast(dec) * col("__cv") * col("__cv") -
+        col("__cv")).as("__T"))
+    val terms = grp.crossJoin(broadcast(tot))
+      .select(col("__ng"), col("__N"), col("__T"),
+        expr(s"""((__R2 * 1000000) DIV (__N + 1)) * __R2
+          DIV (4 * CAST(__ng AS $dec) * __N)""").as("__bg"))
+    val agg = terms.groupBy("__N", "__T")
+      .agg(count(lit(1)).as("n_groups"), sum(col("__bg")).as("__sb"))
+      .select(col("__N").cast("long").as("n"), col("n_groups"),
+        expr(s"""CAST(CASE WHEN __N < 2 OR
+            CAST(__N AS $dec) * __N * __N - __N - __T <= 0 THEN 0
+          ELSE FLOOR(CAST(12 * __sb -
+              3 * (CAST(__N AS $dec) + 1) * 1000000 AS DOUBLE) *
+            (CAST(CAST(__N AS $dec) * __N * __N - __N AS DOUBLE) /
+             CAST(CAST(__N AS $dec) * __N * __N - __N - __T AS DOUBLE)))
+          END AS BIGINT)""").as("h_ppm"))
+    val critExpr = chi2Crit.zipWithIndex
+      .foldLeft(lit(null).cast("long")) { case (acc, (c, i)) =>
+        when(col("n_groups") === (i + 2), lit(c)).otherwise(acc) }
+    agg.select(col("n"), col("n_groups"),
+      greatest(col("h_ppm"), lit(0L)).as("h_ppm"),
+      when(critExpr.isNull, lit(null).cast("int"))
+        .otherwise((greatest(col("h_ppm"), lit(0L)) > critExpr).cast("int"))
+        .as("significant_95"))
+  }
+
+  /** Pettitt change-point test — "WHEN did this series shift": the
+    * rank-based single change-point detector (Pettitt 1979, the standard
+    * nonparametric monitoring tool next to [[robustTrend]]'s monotone
+    * question): U_t = Σ_{i≤t<j} sgn(x_j − x_i); the candidate point is
+    * argmax |U_t| and the approximate significance is
+    * p ≈ 2·exp(−6K²/(n³+n²)), rejected at 0.05 exactly when
+    * 6·K²·10⁶ > ln(40)·10⁶·(n³+n²) with ln40 as the ppm literal 3688879
+    * — fully integer on both engines.
+    *
+    * The pair mass collapses by the DIFFERENCE-ARRAY identity: a pair
+    * (i < j) contributes sgn to EVERY boundary t ∈ [i, j), so
+    * U_t = prefix-sum of (Σ_j sgn at opens − Σ_i sgn at closes) — one
+    * C(buckets, 2) pair table (calendar-bounded, the [[robustTrend]]
+    * shape), two per-bucket reductions, one window — never a
+    * buckets³ boundary × pair join.
+    *
+    * @return per key: (key, n_buckets, k_stat, change_bucket,
+    *         sig_05) — change_bucket is the LAST bucket of the first
+    *         segment (min bucket on |U| ties), null when n < 2.
+    */
+  def pettittChangePoint(df: DataFrame, keyCol: String,
+      bucketCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val counts = df.groupBy(col(keyCol).as("key"), bucketCol.as("__b"))
+      .agg(count(lit(1)).as("__y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = counts.toDF("key", "b1", "y1")
+      .join(counts.toDF("key", "b2", "y2"), Seq("key"))
+      .where(col("b2") > col("b1"))
+      .select(col("key"), col("b1"), col("b2"),
+        signum(col("y2") - col("y1")).cast("long").as("__sgn"))
+    val opens = pairs.groupBy(col("key"), col("b1").as("__b"))
+      .agg(sum("__sgn").as("__d"))
+    val closes = pairs.groupBy(col("key"), col("b2").as("__b"))
+      .agg((-sum("__sgn")).as("__d"))
+    val wCum = Window.partitionBy("key").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u = opens.unionByName(closes)
+      .groupBy("key", "__b").agg(sum("__d").as("__d"))
+      .select(col("key"), col("__b"),
+        sum(col("__d")).over(wCum).as("__u"))
+    val best = u.groupBy("key").agg(max(abs(col("__u"))).as("k_stat"))
+    val pick = u.join(best, Seq("key"))
+      .where(abs(col("__u")) === col("k_stat"))
+      .groupBy("key").agg(min("__b").as("change_bucket"),
+        first("k_stat").as("__k"))
+    val nb = counts.groupBy("key").agg(count(lit(1)).as("n_buckets"))
+    val out = nb.join(pick, Seq("key"), "left")
+      .select(col("key"), col("n_buckets"),
+        coalesce(col("__k"), lit(0L)).as("k_stat"),
+        when(col("n_buckets") < 2, lit(null).cast("long"))
+          .otherwise(col("change_bucket")).as("change_bucket"))
+      .withColumn("sig_05",
+        expr(s"""CAST(6 * CAST(k_stat AS $dec) * k_stat * 1000000 >
+          3688879 * (CAST(n_buckets AS $dec) * n_buckets * n_buckets +
+            CAST(n_buckets AS $dec) * n_buckets) AS INT)"""))
+      .orderBy("key")
+    out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .count()
+    counts.unpersist(blocking = false)
+    out
+  }
+
   /** Average precision (area under the precision–recall curve, step
     * interpolation) — the ranking-quality member of the eval family next
     * to [[aucRoc]]: ROC-AUC is prevalence-blind, so on the imbalanced

@@ -860,6 +860,63 @@ class IntervalsStatsSpec extends SparkTestBase {
     assert(one.isNullAt(one.fieldIndex("theil_sen_ppm")))
   }
 
+  test("kruskalWallis: matches the MWU hand cases at k=2, ties, degenerate") {
+    import org.apache.spark.sql.functions.col
+    def run(rows: Seq[(Long, String)]) =
+      Stats.kruskalWallis(rows.toDF("v", "g"), col("v"), col("g"))
+        .collect().head
+    // Separated two-group case: H = z²_MWU = 3.857… minus two
+    // documented group floors (3857136 vs the exact 3857142) —
+    // conservative, still over the df=1 critical value.
+    val sep = run(Seq((1L, "a"), (2L, "a"), (3L, "a"),
+      (4L, "b"), (5L, "b"), (6L, "b")))
+    assert((sep.getAs[Long]("n"), sep.getAs[Long]("n_groups")) === ((6L, 2L)))
+    assert(sep.getAs[Long]("h_ppm") === 3857136L)
+    assert(sep.getAs[Int]("significant_95") === 1)
+    // Tie case (the MWU z² = 1.5 fixture): group terms are exact here,
+    // the tie multiply is the documented IEEE chain.
+    val tie = run(Seq((1L, "a"), (2L, "a"), (2L, "b"), (3L, "b")))
+    val expected = math.floor(1350000.0 *
+      (60.0 / 54.0)).toLong // chain replayed from first principles
+    assert(tie.getAs[Long]("h_ppm") === expected)
+    // Single group: df = 0 → statistic 0 (up to greatest-0 clamp),
+    // verdict NULL (no critical literal exists).
+    val solo = run(Seq((1L, "a"), (2L, "a"), (3L, "a")))
+    assert(solo.getAs[Long]("h_ppm") === 0L)
+    assert(solo.isNullAt(solo.fieldIndex("significant_95")))
+    // Everything tied: zero variance → 0, not significant.
+    val flat = run(Seq((7L, "a"), (7L, "b"), (7L, "c")))
+    assert(flat.getAs[Long]("h_ppm") === 0L)
+  }
+
+  test("pettittChangePoint: hand step series, tie-break, degenerate single bucket") {
+    import org.apache.spark.sql.functions.col
+    def rows(ys: Seq[Int]): Seq[(String, Long)] =
+      ys.zipWithIndex.flatMap { case (y, b) => Seq.fill(y)(("k", b.toLong)) }
+    def run(ys: Seq[Int]) =
+      Stats.pettittChangePoint(rows(ys).toDF("g", "b"), "g", col("b"))
+        .collect().head
+    // Step 1,1,1,5,5: six crossing pairs, U = [2,4,6,3,0] → K = 6 at
+    // t = 2 (the last bucket of the first segment); tiny n → not sig.
+    val s = run(Seq(1, 1, 1, 5, 5))
+    assert((s.getAs[Long]("n_buckets"), s.getAs[Long]("k_stat"),
+      s.getAs[Long]("change_bucket"), s.getAs[Int]("sig_05")) ===
+      ((5L, 6L, 2L, 0)))
+    // 10 low days then 10 high days: K = 100 at t = 9, significant
+    // (6·100²·1e6 > ln40·(20³+20²)·1e6).
+    val big = run(Seq.fill(10)(1) ++ Seq.fill(10)(9))
+    assert((big.getAs[Long]("k_stat"), big.getAs[Long]("change_bucket"),
+      big.getAs[Int]("sig_05")) === ((100L, 9L, 1)))
+    // Flat series: K = 0, change point is the min bucket by tie-break.
+    val flat = run(Seq(3, 3, 3))
+    assert((flat.getAs[Long]("k_stat"), flat.getAs[Long]("change_bucket"))
+      === ((0L, 0L)))
+    // Single bucket: nothing to split.
+    val one = run(Seq(4))
+    assert(one.getAs[Long]("k_stat") === 0L)
+    assert(one.isNullAt(one.fieldIndex("change_bucket")))
+  }
+
   test("concentrationProfile: hand Gini/HHI/top-share, uniform zero, single key") {
     def run(rows: Seq[String]) =
       Stats.concentrationProfile(rows.map(Tuple1(_)).toDF("k"), "k")
