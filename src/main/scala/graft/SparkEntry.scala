@@ -2220,6 +2220,16 @@ object SparkEntry {
       Curation.lDiversityProfile(t(s, dir, "documents"),
         Seq(col("lang"), expr("n_chars DIV 200")), col("source"), l = 3)),
 
+    // t-closeness audit over (lang, source) groups vs the corpus n_chars
+    // distribution — the third disclosure rung after k-anonymity and
+    // l-diversity: cross-multiplied integer EMD per group (the ksTest
+    // trick), group×value frame bounded by combo cardinality × the
+    // knee-capped value domain.
+    "q_t_closeness" -> ((s, dir) =>
+      Curation.tClosenessProfile(t(s, dir, "documents"),
+        Seq(col("lang"), col("source")), col("n_chars"),
+        tPpm = 100000L)),
+
     // Shuffle-quality audit: same-source run counts per shard vs the
     // random-permutation expectation (doc_id order, shard = doc_id % 4) —
     // exact integer oracle replays runs, key histogram and ratio.
@@ -4742,6 +4752,45 @@ object SparkEntry {
         |       '[ \t]+', ' ', 'g')) AS norm
         |   FROM d)
         | ORDER BY doc_id""".stripMargin,
+    "q_t_closeness" ->
+      """WITH cells AS (SELECT lang AS q0, source AS q1, n_chars AS sv,
+        |     count(*)::BIGINT AS c FROM documents GROUP BY 1, 2, 3),
+        | gvals AS (SELECT sv, sum(cv) OVER (ORDER BY sv
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumq
+        |   FROM (SELECT sv, sum(c)::BIGINT AS cv FROM cells GROUP BY sv)),
+        | grp AS (SELECT q0, q1, sum(c)::BIGINT AS ng
+        |   FROM cells GROUP BY 1, 2),
+        | tot AS (SELECT sum(c)::BIGINT AS nn FROM cells),
+        | crossed AS (SELECT g.q0, g.q1, g.ng, gl.sv, gl.cumq,
+        |     coalesce(c.c, 0) AS c
+        |   FROM grp g CROSS JOIN gvals gl
+        |   LEFT JOIN cells c ON c.q0 = g.q0 AND c.q1 = g.q1
+        |     AND c.sv = gl.sv),
+        | pg AS (SELECT q0, q1, any_value(ng) AS ng, any_value(nn) AS nn,
+        |     count(*)::BIGINT AS m,
+        |     sum(abs(cumg::HUGEINT * nn - cumq::HUGEINT * ng)) AS emd
+        |   FROM (SELECT q0, q1, ng, cumq,
+        |       sum(c) OVER (PARTITION BY q0, q1 ORDER BY sv
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumg
+        |     FROM crossed), tot GROUP BY q0, q1),
+        | tg AS (SELECT ng, CASE WHEN m < 2 THEN 0
+        |     ELSE (emd * 1000000) // ((m - 1) * ng::HUGEINT * nn)
+        |     END AS t FROM pg),
+        | res AS (SELECT sum(ng)::BIGINT AS n_rows,
+        |     count(*)::BIGINT AS n_groups,
+        |     CAST(max(t) AS BIGINT) AS max_t_ppm,
+        |     coalesce(sum(CASE WHEN t > 100000 THEN 1 END), 0)::BIGINT
+        |       AS groups_above_t,
+        |     coalesce(sum(CASE WHEN t > 100000 THEN ng END), 0)::BIGINT
+        |       AS rows_above_t
+        |   FROM tg),
+        | nv AS (SELECT count(*)::BIGINT AS n_values FROM gvals)
+        | SELECT n_rows, n_groups, n_values, max_t_ppm, groups_above_t,
+        |   rows_above_t,
+        |   CAST(CASE WHEN n_rows > 0
+        |     THEN (rows_above_t::HUGEINT * 1000000) // n_rows
+        |     ELSE 0 END AS BIGINT) AS risk_ppm
+        | FROM res, nv""".stripMargin,
     "q_l_diversity" ->
       """WITH cell AS (SELECT lang, n_chars // 200 AS b, source,
         |     count(*)::BIGINT AS c

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators for training-data pipelines: benchmark
@@ -1496,6 +1497,106 @@ object Curation {
         col("rows_below_l"),
         expr("CASE WHEN n_rows > 0 THEN (rows_below_l * 1000000) DIV n_rows ELSE 0 END")
           .as("risk_ppm"))
+  }
+
+  /** t-closeness audit (Li et al. 2007) — the third rung of the
+    * disclosure ladder after [[kAnonymityProfile]] (group size) and
+    * [[lDiversityProfile]] (distinct sensitive values): a group can be
+    * k-anonymous AND l-diverse yet still leak when its sensitive
+    * DISTRIBUTION skews far from the corpus (90% of one group in the top
+    * salary decile). For an ORDERED sensitive attribute the published
+    * distance is the equal-ground-distance EMD
+    *
+    *   t_g = (1/(m−1)) · Σ_v |cumP_g(v) − cumQ(v)|
+    *
+    * (m = distinct sensitive values); a group violates at t_g > t.
+    *
+    * Exactness: each per-value term is the cross-multiplied integer
+    * |cum_g(v)·N − cumQ(v)·n_g| (the [[Stats.ksTest]] trick — no
+    * rationals ever materialize), summed in DECIMAL(38,0), reported as
+    * t_ppm = Σ·10⁶ DIV ((m−1)·n_g·N). m = 1 reports 0 (one value ⇒
+    * nothing to skew). Distinct-value knee ([[Stats.kneeBucketExpr]]):
+    * near-unique sensitive values coarsen to ≤ maxHistBins buckets —
+    * the result is the exact t-closeness of the BUCKETED attribute
+    * (EMD between coarsened distributions), the histogram family's
+    * standing contract.
+    *
+    * Scale shape: one (quasi…, value) cell count (map-side combined);
+    * the scan frame is |groups|·m rows — the group×distribution table
+    * the published algorithm inherently reads, BOUNDED by quasi-combo
+    * cardinality × the (knee-capped) value domain, never by corpus
+    * rows; per-group cums are windows over that bounded frame; output
+    * is one audit row.
+    *
+    * @return (n_rows, n_groups, n_values, max_t_ppm, groups_above_t,
+    *         rows_above_t, risk_ppm) — risk = share of rows in violating
+    *         groups.
+    */
+  def tClosenessProfile(
+      df: DataFrame,
+      quasiCols: Seq[Column],
+      sensitiveCol: Column,
+      tPpm: Long = 200000L,
+      maxHistBins: Int = 1 << 12,
+      knownBinsAtMostMax: Boolean = false): DataFrame = {
+    require(quasiCols.nonEmpty, "tClosenessProfile needs at least one quasi-identifier column")
+    require(tPpm >= 0, s"tPpm must be >= 0, got $tPpm")
+    val dec = "decimal(38,0)"
+    val qNames = quasiCols.indices.map(i => s"__q$i")
+    val named = df.select(
+      quasiCols.zip(qNames).map { case (c, n) => c.as(n) } :+
+        sensitiveCol.cast("long").as("__sv"): _*)
+    val svEx = Stats.kneeBucketExpr(named, "__sv", maxHistBins,
+      knownBinsAtMostMax)
+    val cells = named
+      .groupBy(qNames.map(col) :+ svEx.as("__sv"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wGlob = Window.orderBy("__sv")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val glob = cells.groupBy("__sv").agg(sum("__c").as("__cv"))
+      .select(col("__sv"), sum(col("__cv")).over(wGlob).as("__cumq"))
+    val groups = cells.groupBy(qNames.map(col): _*)
+      .agg(sum(col("__c")).as("__ng"))
+    val tot = cells.agg(sum(col("__c")).as("__nn"),
+      count(lit(1)).as("__ignored"))
+      .select(col("__nn"))
+    val nValues = glob.select(col("__sv"))
+    val crossed = groups.crossJoin(glob)
+      .join(cells, qNames :+ "__sv", "left")
+      .na.fill(0L, Seq("__c"))
+    val wGrp = Window.partitionBy(qNames.map(col): _*).orderBy("__sv")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perGroup = crossed
+      .select(qNames.map(col) :+ col("__ng") :+ col("__cumq") :+
+        sum(col("__c")).over(wGrp).as("__cumg"): _*)
+      .crossJoin(broadcast(tot))
+      .groupBy((qNames.map(col) :+ col("__ng")): _*)
+      .agg(count(lit(1)).as("__m"), first(col("__nn")).as("__n"),
+        sum(abs(col("__cumg").cast(dec) * col("__nn") -
+          col("__cumq").cast(dec) * col("__ng"))).as("__emd"))
+      .select(col("__ng"),
+        expr(s"""CAST(CASE WHEN __m < 2 THEN 0 ELSE
+          (__emd * 1000000) DIV ((__m - 1) * CAST(__ng AS $dec) * __n)
+          END AS BIGINT)""").as("__t"))
+    val out = perGroup.agg(
+        sum(col("__ng")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        max(col("__t")).as("max_t_ppm"),
+        coalesce(sum(when(col("__t") > tPpm, 1L)), lit(0L))
+          .as("groups_above_t"),
+        coalesce(sum(when(col("__t") > tPpm, col("__ng"))), lit(0L))
+          .as("rows_above_t"))
+      .crossJoin(broadcast(nValues.agg(count(lit(1)).as("n_values"))))
+      .select(col("n_rows"), col("n_groups"), col("n_values"),
+        col("max_t_ppm"), col("groups_above_t"), col("rows_above_t"),
+        expr("""CASE WHEN n_rows > 0
+          THEN (rows_above_t * 1000000) DIV n_rows ELSE 0 END""")
+          .as("risk_ppm"))
+    out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .count()
+    cells.unpersist(blocking = false)
+    out
   }
 
   /** Shuffle-quality audit of a training-data layout — "is this epoch

@@ -814,6 +814,34 @@ class CurationSpec extends SparkTestBase {
     assert(ok === ((4L, 2L, 2L, 0L, 0L, 0L)))
   }
 
+  test("tClosenessProfile: hand EMD, balanced groups pass, single value degenerate") {
+    // Perfectly polarized: group a owns value 1, b owns value 2.
+    // Each group's EMD vs the 50/50 corpus = 0.5 → t = 500000 ppm,
+    // both violate the default 200000 threshold.
+    val df = Seq(("a", 1L), ("a", 1L), ("b", 2L), ("b", 2L)).toDF("u", "s")
+    val got = Curation.tClosenessProfile(df, Seq(col("u")), col("s"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(got === ((4L, 2L, 2L, 500000L, 2L, 4L, 1000000L)))
+    // Every group mirrors the corpus distribution exactly: t = 0.
+    val bal = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L)).toDF("u", "s")
+    val ok = Curation.tClosenessProfile(bal, Seq(col("u")), col("s"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(ok === ((4L, 2L, 2L, 0L, 0L, 0L, 0L)))
+    // One sensitive value in the whole corpus: nothing can skew — 0.
+    val one = Curation.tClosenessProfile(
+      Seq(("a", 5L), ("b", 5L)).toDF("u", "s"), Seq(col("u")), col("s"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(one === ((2L, 2L, 1L, 0L, 0L, 0L, 0L)))
+    // Knee path: coarsened sensitive values — the EMD of the bucketed
+    // attribute still flags the polarized pair.
+    val knee = Curation.tClosenessProfile(
+      (0 until 40).map(i => (if (i < 20) "a" else "b",
+        if (i < 20) i.toLong else (1000 + i).toLong)).toDF("u", "s"),
+      Seq(col("u")), col("s"), maxHistBins = 4)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(knee._4 > 200000L && knee._5 === 2L)
+  }
+
   test("quantileNormalize properties on random data: within-group " +
       "monotone, image inside the pooled value set, min maps to min") {
     import org.scalacheck.Gen
