@@ -3185,6 +3185,17 @@ object SparkEntry {
           expr("ts_ms DIV 86400000"))
         .presented("event_type")),
 
+    // Cochran–Mantel–Haenszel across event-type strata (variant =
+    // user_id parity, converted = a value/user hash bit): does the
+    // treatment shift conversion WITHIN strata — the Simpson's-paradox
+    // guard over abTest's pooled z. Per-stratum 10⁶-integerized E/V/ad/bc
+    // terms (bounded nested floors), integer χ² + MH odds ratio.
+    "q_cmh_test" -> ((s, dir) =>
+      Stats.cmhTest(events(s, dir), col("event_type"),
+        pmod(col("user_id"), lit(2L)),
+        pmod(floor(col("value")).cast("long") + col("user_id"), lit(3L))
+          === 0)),
+
     // Robust per-type trend over the same daily buckets as
     // q_trend_slopes: Mann–Kendall S with tie-corrected variance +
     // continuity-corrected integer z², and the Theil–Sen median slope
@@ -6719,6 +6730,44 @@ object SparkEntry {
         |     ELSE CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
         |       * ((abs(num) * 1000000) // den) AS BIGINT) END AS slope_ppm
         | FROM e ORDER BY event_type""".stripMargin,
+    "q_cmh_test" ->
+      """WITH d AS (SELECT event_type AS s,
+        |     ((user_id % 2) + 2) % 2 AS v,
+        |     CASE WHEN ((CAST(floor(value) AS BIGINT) + user_id) % 3 + 3)
+        |       % 3 = 0 THEN 1 ELSE 0 END AS c
+        |   FROM events),
+        | st AS (SELECT s,
+        |     sum(CASE WHEN v = 1 AND c = 1 THEN 1 ELSE 0 END)::BIGINT AS a,
+        |     sum(CASE WHEN v = 1 AND c = 0 THEN 1 ELSE 0 END)::BIGINT AS b,
+        |     sum(CASE WHEN v = 0 AND c = 1 THEN 1 ELSE 0 END)::BIGINT AS c,
+        |     sum(CASE WHEN v = 0 AND c = 0 THEN 1 ELSE 0 END)::BIGINT AS d
+        |   FROM d GROUP BY s),
+        | t AS (SELECT a + b + c + d AS n, a, b, c, d FROM st
+        |   WHERE a + b + c + d >= 2),
+        | tm AS (SELECT n, a,
+        |     ((a + b)::HUGEINT * (a + c) * 1000000) // n AS e6,
+        |     (((((a + b)::HUGEINT * (c + d) * 1000000) // n) * (a + c))
+        |       // n) * (b + d) // (n - 1) AS v6,
+        |     (a::HUGEINT * d * 1000000) // n AS ad6,
+        |     (b::HUGEINT * c * 1000000) // n AS bc6
+        |   FROM t),
+        | g AS (SELECT count(*)::BIGINT AS n_strata,
+        |     coalesce(sum(n), 0)::BIGINT AS n,
+        |     coalesce(sum(a::HUGEINT * 1000000), 0) AS sa6,
+        |     coalesce(sum(e6), 0) AS se6, coalesce(sum(v6), 0) AS sv6,
+        |     coalesce(sum(ad6), 0) AS sad, coalesce(sum(bc6), 0) AS sbc
+        |   FROM tm),
+        | z AS (SELECT n_strata, n, sad, sbc,
+        |     CASE WHEN sv6 <= 0 THEN 0
+        |       WHEN abs(sa6 - se6) <= 500000 THEN 0
+        |       ELSE ((abs(sa6 - se6) - 500000)
+        |         * (abs(sa6 - se6) - 500000)) // sv6 END AS chi2
+        |   FROM g)
+        | SELECT n_strata, n, CAST(chi2 AS BIGINT) AS chi2_ppm,
+        |   CAST(chi2 > 3841459 AS INT) AS significant_95,
+        |   CAST(CASE WHEN sbc = 0 THEN NULL
+        |     ELSE (sad * 1000000) // sbc END AS BIGINT) AS or_mh_ppm
+        | FROM z""".stripMargin,
     "q_robust_trend" ->
       """WITH c AS (SELECT event_type AS key, epoch_ms(ts) // 86400000 AS b,
         |     count(*)::BIGINT AS y FROM events GROUP BY 1, 2),

@@ -579,6 +579,81 @@ object Stats {
       (abs(z) > 1.959964).cast("int").as("significant"))
   }
 
+  /** Cochran–Mantel–Haenszel test + Mantel–Haenszel odds ratio — the
+    * STRATIFIED member of the experiment family next to [[abTest]]
+    * (pooling strata with different base rates manufactures or hides an
+    * effect — Simpson's paradox; CMH asks "does the treatment shift
+    * conversion WITHIN strata, combined across them"). Per stratum s the
+    * 2×2 table (a = treated-converted, b = treated-not, c =
+    * control-converted, d = control-not, n = a+b+c+d):
+    *
+    *   χ²_CMH = (|Σa − ΣE| − ½)² / ΣV,  E = (a+b)(a+c)/n,
+    *   V = (a+b)(c+d)(a+c)(b+d) / (n²(n−1));  OR_MH = Σ(ad/n) / Σ(bc/n).
+    *
+    * Exactness: every per-stratum rational is integerized at 10⁶ BEFORE
+    * the cross-strata sum (the PMI policy): e6 = (a+b)(a+c)·10⁶ DIV n,
+    * v6 in the BOUNDED nested order ((((a+b)(c+d)·10⁶) DIV n)·(a+c)
+    * DIV n)·(b+d) DIV (n−1) (naive V·10⁶ needs n⁴·10⁶ — dead at ~10⁸
+    * rows per stratum; nested floors hold to ~10¹² — the class law),
+    * ad6/bc6 likewise. χ² and OR are then single integer divides over
+    * exact DECIMAL(38,0) sums; `significant_95` vs the shared df=1
+    * literal. Degenerate ΣV = 0 (a constant arm everywhere) reports
+    * χ² = 0; Σbc6 = 0 reports OR null (infinite association).
+    *
+    * Scale shape: ONE map-side-combined aggregation keyed by stratum
+    * collapses the corpus to |strata| rows of four longs; everything
+    * after is stratum-bounded; single-row output.
+    *
+    * @return (n_strata, n, chi2_ppm, significant_95, or_mh_ppm).
+    */
+  def cmhTest(
+      df: DataFrame,
+      stratumCol: Column,
+      variantCol: Column,
+      convertedCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = variantCol.cast("int")
+    val c = convertedCol.cast("boolean")
+    val strata = df.groupBy(stratumCol.as("__s"))
+      .agg(sum(when(v === 1 && c, 1L).otherwise(0L)).as("a"),
+        sum(when(v === 1 && !c, 1L).otherwise(0L)).as("b"),
+        sum(when(v === 0 && c, 1L).otherwise(0L)).as("c"),
+        sum(when(v === 0 && !c, 1L).otherwise(0L)).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .where(col("n") >= 2)
+    val terms = strata.select(
+      col("n"),
+      col("a").cast(dec).as("__a6x"),
+      expr(s"""(CAST(a + b AS $dec) * (a + c) * 1000000) DIV n""")
+        .as("__e6"),
+      expr(s"""((((CAST(a + b AS $dec) * (c + d) * 1000000) DIV n)
+        * (a + c)) DIV n) * (b + d) DIV (n - 1)""").as("__v6"),
+      expr(s"""(CAST(a AS $dec) * d * 1000000) DIV n""").as("__ad6"),
+      expr(s"""(CAST(b AS $dec) * c * 1000000) DIV n""").as("__bc6"))
+    terms.agg(
+        count(lit(1)).as("n_strata"),
+        coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(sum(col("__a6x") * 1000000), lit(0L).cast(dec))
+          .as("__sa6"),
+        coalesce(sum(col("__e6")), lit(0L).cast(dec)).as("__se6"),
+        coalesce(sum(col("__v6")), lit(0L).cast(dec)).as("__sv6"),
+        coalesce(sum(col("__ad6")), lit(0L).cast(dec)).as("__sad"),
+        coalesce(sum(col("__bc6")), lit(0L).cast(dec)).as("__sbc"))
+      .select(col("n_strata"), col("n"),
+        expr(s"""CAST(CASE WHEN __sv6 <= 0 THEN 0
+          WHEN abs(__sa6 - __se6) <= 500000 THEN 0
+          ELSE ((abs(__sa6 - __se6) - 500000)
+            * (abs(__sa6 - __se6) - 500000)) DIV __sv6
+          END AS BIGINT)""").as("chi2_ppm"),
+        expr(s"""CAST(CASE WHEN __sbc = 0 THEN NULL
+          ELSE (__sad * 1000000) DIV __sbc END AS BIGINT)""")
+          .as("or_mh_ppm"))
+      .withColumn("significant_95",
+        (col("chi2_ppm") > 3841459L).cast("int"))
+      .select(col("n_strata"), col("n"), col("chi2_ppm"),
+        col("significant_95"), col("or_mh_ppm"))
+  }
+
   /** Isotonic calibration via Pool-Adjacent-Violators (Ayer et al. 1955;
     * the standard post-hoc calibrator for quality-classifier scores): per
     * score BIN, the empirical label mean, pooled with neighbors until the

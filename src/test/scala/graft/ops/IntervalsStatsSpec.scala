@@ -860,6 +860,42 @@ class IntervalsStatsSpec extends SparkTestBase {
     assert(one.isNullAt(one.fieldIndex("theil_sen_ppm")))
   }
 
+  test("cmhTest: hand single-stratum chi2 and MH odds ratio, Simpson guard, degenerates") {
+    import org.apache.spark.sql.functions.col
+    def run(rows: Seq[(String, Int, Boolean)]) =
+      Stats.cmhTest(rows.toDF("s", "v", "c"), col("s"), col("v"), col("c"))
+        .collect().head
+    def cell(s: String, v: Int, c: Boolean, n: Int) =
+      Seq.fill(n)((s, v, c))
+    // Single stratum a=9 b=1 c=1 d=9: E = 5, V = 10⁴/7600 → χ² =
+    // 3.5²/V = 9.310…; OR_MH = 81.
+    val one = run(cell("s", 1, true, 9) ++ cell("s", 1, false, 1) ++
+      cell("s", 0, true, 1) ++ cell("s", 0, false, 9))
+    assert((one.getAs[Long]("n_strata"), one.getAs[Long]("n")) === ((1L, 20L)))
+    assert(one.getAs[Long]("chi2_ppm") === 9310003L)
+    assert(one.getAs[Int]("significant_95") === 1)
+    assert(one.getAs[Long]("or_mh_ppm") === 81000000L)
+    // Simpson guard: two strata, each with NO within-stratum effect but
+    // wildly different base rates and arm sizes — pooled 2×2 shows an
+    // effect, CMH correctly reports χ² ≈ 0, OR = 1.
+    val simpson = run(
+      cell("lo", 1, true, 1) ++ cell("lo", 1, false, 9) ++
+        cell("lo", 0, true, 4) ++ cell("lo", 0, false, 36) ++
+        cell("hi", 1, true, 36) ++ cell("hi", 1, false, 4) ++
+        cell("hi", 0, true, 9) ++ cell("hi", 0, false, 1))
+    assert(simpson.getAs[Long]("chi2_ppm") === 0L)
+    assert(simpson.getAs[Long]("or_mh_ppm") === 1000000L)
+    // Fully-converted treatment arm (b = 0): bc mass 0 → OR null
+    // (infinite association), never a divide-by-zero.
+    val inf = run(cell("s", 1, true, 3) ++
+      cell("s", 0, true, 2) ++ cell("s", 0, false, 2))
+    assert(inf.isNullAt(inf.fieldIndex("or_mh_ppm")))
+    // Constant outcome: V = 0 everywhere → χ² 0, not significant.
+    val const = run(cell("s", 1, true, 5) ++ cell("s", 0, true, 5))
+    assert((const.getAs[Long]("chi2_ppm"),
+      const.getAs[Int]("significant_95")) === ((0L, 0)))
+  }
+
   test("kruskalWallis: matches the MWU hand cases at k=2, ties, degenerate") {
     import org.apache.spark.sql.functions.col
     def run(rows: Seq[(Long, String)]) =
