@@ -3394,6 +3394,17 @@ object SparkEntry {
         col("v"), col("a"))
     }),
 
+    // Wilcoxon signed-rank over planted paired differences (x = n_chars
+    // + (3·doc_id)%7 − 2, y = n_chars — an ASYMMETRIC diff mix so the
+    // z² IEEE chain engages): zeros dropped, ×2 midranks over the |d|
+    // histogram, one IEEE chain for the tie-corrected z².
+    "q_wilcoxon" -> ((s, dir) =>
+      Stats.wilcoxonSignedRank(
+        t(s, dir, "documents").select(
+          (col("n_chars") + pmod(col("doc_id") * 3, lit(7L)) - 2).as("x"),
+          col("n_chars").as("y")),
+        col("x"), col("y"))),
+
     // Tie-corrected Mann–Whitney U over the same slice axis as q_ks_test
     // but a smaller planted shift (+doc_id%7 chars on slice A) so the
     // tie-mass term does real work on the discrete n_chars histogram:
@@ -7076,6 +7087,37 @@ object SparkEntry {
         |   CAST(((dn * 1000000) // (na * nb)) * dn > 1844164 * (na + nb)
         |     AS INT) AS reject_05
         | FROM g""".stripMargin,
+    "q_wilcoxon" ->
+      """WITH d0 AS (SELECT ((doc_id * 3 % 7) + 7) % 7 - 2 AS d
+        |   FROM documents),
+        | d AS (SELECT abs(d)::BIGINT AS v,
+        |     CASE WHEN d > 0 THEN 1 ELSE 0 END AS p
+        |   FROM d0 WHERE d <> 0),
+        | h AS (SELECT v, sum(p)::BIGINT AS cp, count(*)::BIGINT AS ct
+        |   FROM d GROUP BY v),
+        | rk AS (SELECT cp, ct, 2 * coalesce(sum(ct) OVER (ORDER BY v
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |     + ct + 1 AS r2 FROM h),
+        | g AS (SELECT coalesce(sum(ct), 0)::HUGEINT AS n,
+        |     coalesce(sum(cp::HUGEINT * r2), 0) AS w2,
+        |     coalesce(sum(ct::HUGEINT * ct * ct - ct), 0) AS t FROM rk),
+        | z AS (SELECT n, w2,
+        |     CASE WHEN w2 * 2 > n * (n + 1) THEN 1
+        |       WHEN w2 * 2 < n * (n + 1) THEN -1 ELSE 0 END AS direction,
+        |     CASE WHEN n = 0 OR
+        |         2 * n * (n + 1) * (2 * n + 1) - t <= 0 THEN 0
+        |       ELSE CAST(FLOOR(1000000.0 *
+        |         ((CAST(abs(w2 * 2 - n * (n + 1)) AS DOUBLE) /
+        |           CAST(2 * n * (n + 1) * (2 * n + 1) - t AS DOUBLE)) *
+        |          CAST(abs(w2 * 2 - n * (n + 1)) AS DOUBLE)) * 3.0)
+        |         AS BIGINT) END AS z2
+        |   FROM g)
+        | SELECT CAST(n AS BIGINT) AS n_nonzero,
+        |   CAST(w2 AS BIGINT) AS w_plus_x2,
+        |   CAST(direction AS INT) AS direction,
+        |   CAST(z2 AS BIGINT) AS z2_ppm,
+        |   CAST(z2 > 3841459 AS INT) AS significant_95
+        | FROM z""".stripMargin,
     "q_mann_whitney" ->
       """WITH d AS (SELECT n_chars +
         |     CASE WHEN doc_id % 3 = 0 THEN ((doc_id % 7) + 7) % 7

@@ -579,6 +579,77 @@ object Stats {
       (abs(z) > 1.959964).cast("int").as("significant"))
   }
 
+  /** Wilcoxon signed-rank test — the PAIRED member of the rank family
+    * ([[mannWhitneyU]] compares two independent slices; [[mcnemarTest]]
+    * compares paired BINARY verdicts; this compares paired CONTINUOUS
+    * scores — the same docs before/after a filter, two models' losses on
+    * the same eval set): differences d = x − y, zeros dropped (the
+    * standard treatment), |d| midranked, W⁺ = Σ ranks of positive d,
+    * tie-corrected normal approximation
+    *
+    *   z² = 12·(2W⁺ − n(n+1)/2)² / (2n(n+1)(2n+1) − Σ_t(t³−t)).
+    *
+    * Exactness: 2W⁺ is the exact integer Σ rank2 over the per-|d|
+    * histogram (the ×2 trick — midranks never materialize as
+    * fractions); the variance polynomial and tie mass are exact
+    * DECIMAL(38,0); z² is ONE fixed IEEE chain over the integer moments
+    * (the [[mannWhitneyU]] precedent — the squared numerator leaves the
+    * DECIMAL envelope past ~10⁹ pairs); `significant_95` vs the shared
+    * 3841459 literal. All-zero differences (n = 0) report z² 0,
+    * direction 0.
+    *
+    * Scale shape: pairs collapse to the per-|d| histogram in one
+    * map-side combine; one window over that value-bounded histogram;
+    * 1-row output. The [[kneeBucketExpr]] knee coarsens near-unique
+    * |d| values into ties — tie-correct, hence valid and conservative.
+    *
+    * @return (n_nonzero, w_plus_x2, direction, z2_ppm, significant_95)
+    *         — direction +1 when x stochastically exceeds y.
+    */
+  def wilcoxonSignedRank(df: DataFrame, xCol: Column, yCol: Column,
+      maxHistBins: Int = 1 << 17,
+      knownBinsAtMostMax: Boolean = false): DataFrame = {
+    require(maxHistBins >= 2, s"maxHistBins must be >= 2, got $maxHistBins")
+    val dec = "decimal(38,0)"
+    val staged = df
+      .select((xCol.cast("long") - yCol.cast("long")).as("__d"))
+      .where(col("__d") =!= 0)
+      .select(abs(col("__d")).as("v"), (col("__d") > 0).cast("int").as("__p"))
+    val vEx = kneeBucketExpr(staged, "v", maxHistBins, knownBinsAtMostMax)
+    val h = staged.groupBy(vEx.as("v"))
+      .agg(sum(col("__p")).cast("long").as("__cp"),
+        count(lit(1)).as("__ct"))
+    val wBelow = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = h.select(col("__cp"), col("__ct"),
+      (lit(2L) * coalesce(sum(col("__ct")).over(wBelow), lit(0L)) +
+        col("__ct") + 1L).as("__r2"))
+    ranked.agg(
+        coalesce(sum(col("__ct")), lit(0L)).as("n_nonzero"),
+        coalesce(sum(col("__cp").cast(dec) * col("__r2")),
+          lit(0L).cast(dec)).as("__w2"),
+        coalesce(sum(col("__ct").cast(dec) * col("__ct") * col("__ct") -
+          col("__ct")), lit(0L).cast(dec)).as("__t"))
+      .select(col("n_nonzero"),
+        col("__w2").cast("long").as("w_plus_x2"),
+        expr(s"""CAST(CASE
+          WHEN __w2 * 2 > CAST(n_nonzero AS $dec) * (n_nonzero + 1) THEN 1
+          WHEN __w2 * 2 < CAST(n_nonzero AS $dec) * (n_nonzero + 1) THEN -1
+          ELSE 0 END AS INT)""").as("direction"),
+        expr(s"""CAST(CASE WHEN n_nonzero = 0 OR
+            2 * CAST(n_nonzero AS $dec) * (n_nonzero + 1)
+              * (2 * n_nonzero + 1) - __t <= 0 THEN 0
+          ELSE FLOOR(1000000.0D *
+            ((CAST(abs(__w2 * 2 - CAST(n_nonzero AS $dec)
+                * (n_nonzero + 1)) AS DOUBLE) /
+              CAST(2 * CAST(n_nonzero AS $dec) * (n_nonzero + 1)
+                * (2 * n_nonzero + 1) - __t AS DOUBLE)) *
+             CAST(abs(__w2 * 2 - CAST(n_nonzero AS $dec)
+                * (n_nonzero + 1)) AS DOUBLE)) * 3.0D)
+          END AS BIGINT)""").as("z2_ppm"))
+      .withColumn("significant_95", (col("z2_ppm") > 3841459L).cast("int"))
+  }
+
   /** Cochran–Mantel–Haenszel test + Mantel–Haenszel odds ratio — the
     * STRATIFIED member of the experiment family next to [[abTest]]
     * (pooling strata with different base rates manufactures or hides an

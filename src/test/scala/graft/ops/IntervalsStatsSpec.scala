@@ -860,6 +860,33 @@ class IntervalsStatsSpec extends SparkTestBase {
     assert(one.isNullAt(one.fieldIndex("theil_sen_ppm")))
   }
 
+  test("wilcoxonSignedRank: hand rank sums, ties, zero-drop, degenerate") {
+    import org.apache.spark.sql.functions.col
+    def run(pairs: Seq[(Long, Long)]) =
+      Stats.wilcoxonSignedRank(pairs.toDF("x", "y"), col("x"), col("y"))
+        .collect().head
+    // All-positive distinct diffs (1,2,3): 2W⁺ = 12, z² = 3·144/168 =
+    // 2.571428… — n = 3 can never reach 0.05, as published.
+    val up = run(Seq((11L, 10L), (12L, 10L), (13L, 10L)))
+    assert((up.getAs[Long]("n_nonzero"), up.getAs[Long]("w_plus_x2"),
+      up.getAs[Int]("direction"), up.getAs[Long]("z2_ppm"),
+      up.getAs[Int]("significant_95")) === ((3L, 12L, 1, 2571428L, 0)))
+    // Mixed with a tie at |d| = 1 and a zero pair dropped:
+    // diffs (+1, −1, +2, 0) → 2W⁺ = 3 + 6 = 9, T = 6, z² = 2/3.
+    val mix = run(Seq((11L, 10L), (9L, 10L), (12L, 10L), (10L, 10L)))
+    assert((mix.getAs[Long]("n_nonzero"), mix.getAs[Long]("w_plus_x2"),
+      mix.getAs[Long]("z2_ppm")) === ((3L, 9L, 666666L)))
+    // Twenty positive distinct diffs: z² = 3·420²/34440 = 15.365853…
+    // → significant.
+    val big = run((1 to 20).map(i => (10L + i, 10L)))
+    assert(big.getAs[Long]("z2_ppm") === 15365853L)
+    assert(big.getAs[Int]("significant_95") === 1)
+    // Identical columns: every diff is zero → nothing to test.
+    val none = run(Seq((5L, 5L), (7L, 7L)))
+    assert((none.getAs[Long]("n_nonzero"), none.getAs[Int]("direction"),
+      none.getAs[Long]("z2_ppm")) === ((0L, 0, 0L)))
+  }
+
   test("cmhTest: hand single-stratum chi2 and MH odds ratio, Simpson guard, degenerates") {
     import org.apache.spark.sql.functions.col
     def run(rows: Seq[(String, Int, Boolean)]) =
