@@ -3217,6 +3217,20 @@ object SparkEntry {
             .as("v"), col("lang").as("g")),
         col("v"), col("g"))),
 
+    // Rank-based scale-shift test (rank-transform Brown–Forsythe) across
+    // languages over a lang-width planted jitter (widths 7/14/21 by
+    // lang): KW on |v − median_g| — catches the variance blow-up the
+    // location tests can't see. Everything histogram-bounded.
+    "q_rank_levene" -> ((s, dir) =>
+      Stats.rankLeveneTest(
+        t(s, dir, "documents").select(
+          (col("n_chars") + pmod(col("doc_id"),
+            lit(7L) * (lit(1L) +
+              (ascii(substring(col("lang"), 1, 1)) % 3).cast("long"))))
+            .as("v"),
+          col("lang").as("g")),
+        col("v"), col("g"))),
+
     // Pettitt rank change-point per event type over daily volumes: the
     // difference-array collapse of U_t (pair mass → two per-bucket
     // reductions + one window), argmax |U| with min-bucket tie-break,
@@ -6828,6 +6842,53 @@ object SparkEntry {
       """WITH d AS (SELECT n_chars + ascii(substr(lang, 1, 1)) % 7 AS v,
         |     lang AS g FROM documents),
         | h AS (SELECT v, g, count(*)::BIGINT AS c FROM d GROUP BY 1, 2),
+        | hv AS (SELECT v, sum(c)::BIGINT AS cv FROM h GROUP BY v),
+        | rk AS (SELECT v, 2 * coalesce(sum(cv) OVER (ORDER BY v
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |     + cv + 1 AS r2 FROM hv),
+        | grp AS (SELECT g, sum(c)::HUGEINT AS ng,
+        |     sum(c::HUGEINT * r2) AS r2s
+        |   FROM h JOIN rk USING (v) GROUP BY g),
+        | tot AS (SELECT sum(cv)::HUGEINT AS n,
+        |     sum(cv::HUGEINT * cv * cv - cv) AS t FROM hv),
+        | tm AS (SELECT ng, n, t,
+        |     ((r2s * 1000000) // (n + 1)) * r2s // (4 * ng * n) AS bg
+        |   FROM grp, tot),
+        | ag AS (SELECT any_value(n) AS n, any_value(t) AS t,
+        |     count(*)::BIGINT AS k, sum(bg) AS sb FROM tm),
+        | hh AS (SELECT CAST(n AS BIGINT) AS nn, k AS n_groups,
+        |     CASE WHEN n < 2 OR n * n * n - n - t <= 0 THEN 0
+        |       ELSE CAST(FLOOR(
+        |         CAST(12 * sb - 3 * (n + 1) * 1000000 AS DOUBLE) *
+        |         (CAST(n * n * n - n AS DOUBLE) /
+        |          CAST(n * n * n - n - t AS DOUBLE))) AS BIGINT)
+        |       END AS h0
+        |   FROM ag)
+        | SELECT nn AS n, n_groups,
+        |   CAST(greatest(h0, 0) AS BIGINT) AS h_ppm,
+        |   CAST(CASE WHEN n_groups BETWEEN 2 AND 11 THEN
+        |     CAST(greatest(h0, 0) > CASE n_groups
+        |       WHEN 2 THEN 3841459 WHEN 3 THEN 5991465
+        |       WHEN 4 THEN 7814728 WHEN 5 THEN 9487729
+        |       WHEN 6 THEN 11070498 WHEN 7 THEN 12591587
+        |       WHEN 8 THEN 14067140 WHEN 9 THEN 15507313
+        |       WHEN 10 THEN 16918978 WHEN 11 THEN 18307038 END AS INT)
+        |     ELSE NULL END AS INT) AS significant_95
+        | FROM hh""".stripMargin,
+    "q_rank_levene" ->
+      """WITH d AS (SELECT n_chars + ((doc_id % w) + w) % w AS v, lang AS g
+        |   FROM (SELECT doc_id, n_chars, lang,
+        |       7 * (1 + ascii(substr(lang, 1, 1)) % 3) AS w
+        |     FROM documents)),
+        | h0 AS (SELECT v, g, count(*)::BIGINT AS c FROM d GROUP BY 1, 2),
+        | cum AS (SELECT g, v, c, sum(c) OVER (PARTITION BY g ORDER BY v
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+        |   FROM h0),
+        | ngt AS (SELECT g, sum(c)::BIGINT AS ng FROM h0 GROUP BY g),
+        | med AS (SELECT cum.g, v AS m FROM cum JOIN ngt USING (g)
+        |   WHERE hi - c < (ng + 1) // 2 AND (ng + 1) // 2 <= hi),
+        | h AS (SELECT abs(h0.v - med.m) AS v, h0.g, sum(c)::BIGINT AS c
+        |   FROM h0 JOIN med ON med.g = h0.g GROUP BY 1, 2),
         | hv AS (SELECT v, sum(c)::BIGINT AS cv FROM h GROUP BY v),
         | rk AS (SELECT v, 2 * coalesce(sum(cv) OVER (ORDER BY v
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)

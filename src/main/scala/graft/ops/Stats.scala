@@ -1543,15 +1543,22 @@ object Stats {
       maxHistBins: Int = 1 << 17,
       knownBinsAtMostMax: Boolean = false): DataFrame = {
     require(maxHistBins >= 2, s"maxHistBins must be >= 2, got $maxHistBins")
-    val dec = "decimal(38,0)"
-    // χ²_df 0.05 critical values ×10⁶, df = 1..10.
-    val chi2Crit = Seq(3841459L, 5991465L, 7814728L, 9487729L, 11070498L,
-      12591587L, 14067140L, 15507313L, 16918978L, 18307038L)
     val staged = df.select(valueCol.cast("long").as("v"),
       groupCol.cast("string").as("g"))
     val vEx = kneeBucketExpr(staged, "v", maxHistBins, knownBinsAtMostMax)
     val h = staged.groupBy(vEx.as("v"), col("g"))
       .agg(count(lit(1)).as("__c"))
+    kruskalWallisFromHist(h)
+  }
+
+  /** [[kruskalWallis]] core over a pre-aggregated (v, g, __c) histogram —
+    * shared with [[rankLeveneTest]], whose input is already histogram-
+    * shaped (deviation values carry counts).
+    */
+  private[ops] def kruskalWallisFromHist(h: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val chi2Crit = Seq(3841459L, 5991465L, 7814728L, 9487729L, 11070498L,
+      12591587L, 14067140L, 15507313L, 16918978L, 18307038L)
     val hv = h.groupBy("v").agg(sum("__c").as("__cv"))
     val wBelow = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -1589,6 +1596,56 @@ object Stats {
       when(critExpr.isNull, lit(null).cast("int"))
         .otherwise((greatest(col("h_ppm"), lit(0L)) > critExpr).cast("int"))
         .as("significant_95"))
+  }
+
+  /** Rank-based scale-shift test — "did the SPREAD change across slices"
+    * (the missing axis after location ([[mannWhitneyU]]/[[kruskalWallis]]),
+    * shape ([[ksTest]]), paired ([[wilcoxonSignedRank]]/[[mcnemarTest]])
+    * and stratified ([[cmhTest]]) members: two corpora can share medians
+    * while one's tail explodes — a length or score variance blow-up is a
+    * pipeline defect none of the location tests see). The statistic is
+    * the rank-transform Brown–Forsythe of the Conover family:
+    * [[kruskalWallis]] applied to |x − median_g| with each group's own
+    * LOWER MEDIAN (the robust center; means would re-import the very
+    * outliers the test hunts). Same χ²_{k−1} verdict machinery.
+    *
+    * Everything is exact integers end-to-end: lower medians come off the
+    * per-group value histogram (smallest v with cum ≥ ⌈n_g/2⌉),
+    * deviations re-histogram WITHOUT touching corpus rows (the (g, v)
+    * histogram maps to the (g, |v−med_g|) histogram by key algebra,
+    * counts carried), and the KW core inherits its documented bounded
+    * evaluation orders.
+    *
+    * Scale shape: identical to [[kruskalWallis]] plus one histogram-
+    * bounded median window and one histogram re-key — nothing touches
+    * corpus rows after the first map-side combine.
+    *
+    * @return (n, n_groups, h_ppm, significant_95) — H of the deviation
+    *         ranks in ppm.
+    */
+  def rankLeveneTest(df: DataFrame, valueCol: Column, groupCol: Column,
+      maxHistBins: Int = 1 << 17,
+      knownBinsAtMostMax: Boolean = false): DataFrame = {
+    require(maxHistBins >= 2, s"maxHistBins must be >= 2, got $maxHistBins")
+    val staged = df.select(valueCol.cast("long").as("v"),
+      groupCol.cast("string").as("g"))
+    val vEx = kneeBucketExpr(staged, "v", maxHistBins, knownBinsAtMostMax)
+    val h = staged.groupBy(vEx.as("v"), col("g"))
+      .agg(count(lit(1)).as("__c"))
+    val wg = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.select(col("g"), col("v"), col("__c"),
+      sum(col("__c")).over(wg).as("__hi"))
+      .withColumn("__lo", col("__hi") - col("__c"))
+    val ng = h.groupBy("g").agg(sum("__c").as("__ng"))
+    val med = cum.join(ng, Seq("g"))
+      .where(col("__lo") < expr("(__ng + 1) DIV 2") &&
+        expr("(__ng + 1) DIV 2") <= col("__hi"))
+      .select(col("g"), col("v").as("__med"))
+    val dev = h.join(med, Seq("g"))
+      .groupBy(abs(col("v") - col("__med")).as("v"), col("g"))
+      .agg(sum(col("__c")).as("__c"))
+    kruskalWallisFromHist(dev)
   }
 
   /** Pettitt change-point test — "WHEN did this series shift": the

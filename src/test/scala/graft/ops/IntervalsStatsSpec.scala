@@ -860,6 +860,30 @@ class IntervalsStatsSpec extends SparkTestBase {
     assert(one.isNullAt(one.fieldIndex("theil_sen_ppm")))
   }
 
+  test("rankLeveneTest: hand deviation ranks, equal spreads exactly 0, planted blow-up") {
+    import org.apache.spark.sql.functions.col
+    def run(rows: Seq[(Long, String)]) =
+      Stats.rankLeveneTest(rows.toDF("v", "g"), col("v"), col("g"))
+        .collect().head
+    // a = {0, 10} (lower median 0 → devs {0, 10}), b = {5, 5, 5}
+    // (devs all 0): hand KW on devs = 0.75, tie ratio ×2 → 1500000.
+    val hand = run(Seq((0L, "a"), (10L, "a"), (5L, "b"), (5L, "b"),
+      (5L, "b")))
+    assert((hand.getAs[Long]("n"), hand.getAs[Long]("n_groups"),
+      hand.getAs[Long]("h_ppm"), hand.getAs[Int]("significant_95")) ===
+      ((5L, 2L, 1500000L, 0)))
+    // Identical spreads at different locations: deviation distributions
+    // coincide → H exactly 0 (location shifts are invisible here —
+    // that's kruskalWallis's job).
+    val same = run(Seq((1L, "a"), (2L, "a"), (3L, "a"),
+      (101L, "b"), (102L, "b"), (103L, "b")))
+    assert(same.getAs[Long]("h_ppm") === 0L)
+    // Planted variance blow-up at matched medians: wide a vs constant b.
+    val blow = run((0 until 50).map(i => (i.toLong, "a")) ++
+      Seq.fill(50)((24L, "b")))
+    assert(blow.getAs[Int]("significant_95") === 1)
+  }
+
   test("wilcoxonSignedRank: hand rank sums, ties, zero-drop, degenerate") {
     import org.apache.spark.sql.functions.col
     def run(pairs: Seq[(Long, Long)]) =
