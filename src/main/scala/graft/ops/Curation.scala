@@ -1562,7 +1562,10 @@ object Curation {
       count(lit(1)).as("__ignored"))
       .select(col("__nn"))
     val nValues = glob.select(col("__sv"))
-    val crossed = groups.crossJoin(glob)
+    // glob is ≤ maxHistBins rows by the knee — pin the broadcast so the
+    // group×value expansion plans BroadcastNestedLoopJoin at ANY scale
+    // (never a CartesianProduct exchange).
+    val crossed = groups.crossJoin(broadcast(glob))
       .join(cells, qNames :+ "__sv", "left")
       .na.fill(0L, Seq("__c"))
     val wGrp = Window.partitionBy(qNames.map(col): _*).orderBy("__sv")
