@@ -3419,6 +3419,30 @@ object SparkEntry {
           col("n_chars").as("y")),
         col("x"), col("y"))),
 
+    // Wasserstein-1 over the exact q_ks_test fixture: the INTEGRATED
+    // ECDF gap in value units (KS prices the worst point, W1 prices how
+    // much mass moved how far) — gap-weighted cross-multiplied integers.
+    "q_wasserstein" -> ((s, dir) => {
+      val isA = col("doc_id") % 3 === 0
+      Stats.wassersteinShift(
+        t(s, dir, "documents").select(col("doc_id"),
+          (col("n_chars") + when(isA, pmod(col("doc_id"), lit(11L)))
+            .otherwise(lit(0L))).as("v"), isA.as("a")),
+        col("v"), col("a"))
+    }),
+
+    // Population Stability Index over the same fixture at 32 equal-width
+    // bins (the knee engages deliberately): add-one smoothed shares,
+    // per-bin round(1e6·ln) integerization, industry 0.10/0.25 bits.
+    "q_psi_drift" -> ((s, dir) => {
+      val isA = col("doc_id") % 3 === 0
+      Stats.psiDrift(
+        t(s, dir, "documents").select(col("doc_id"),
+          (col("n_chars") + when(isA, pmod(col("doc_id"), lit(11L)))
+            .otherwise(lit(0L))).as("v"), isA.as("a")),
+        col("v"), col("a"), maxHistBins = 32)
+    }),
+
     // Tie-corrected Mann–Whitney U over the same slice axis as q_ks_test
     // but a smaller planted shift (+doc_id%7 chars on slice A) so the
     // tie-mass term does real work on the discrete n_chars histogram:
@@ -7148,6 +7172,59 @@ object SparkEntry {
         |   CAST(((dn * 1000000) // (na * nb)) * dn > 1844164 * (na + nb)
         |     AS INT) AS reject_05
         | FROM g""".stripMargin,
+    "q_wasserstein" ->
+      """WITH d AS (SELECT n_chars +
+        |     CASE WHEN doc_id % 3 = 0 THEN ((doc_id % 11) + 11) % 11
+        |       ELSE 0 END AS v,
+        |     CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS a
+        |   FROM documents),
+        | h AS (SELECT v, sum(a)::BIGINT AS ca,
+        |     sum(1 - a)::BIGINT AS cb FROM d GROUP BY v),
+        | cum AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cumA,
+        |     sum(cb) OVER (ORDER BY v) AS cumB,
+        |     lead(v) OVER (ORDER BY v) - v AS gap FROM h),
+        | tot AS (SELECT sum(ca)::HUGEINT AS na, sum(cb)::HUGEINT AS nb
+        |   FROM h),
+        | g AS (SELECT coalesce(sum(gap::HUGEINT *
+        |       abs(cumA::HUGEINT * nb - cumB::HUGEINT * na)), 0) AS s,
+        |     any_value(na) AS na, any_value(nb) AS nb
+        |   FROM cum, tot WHERE gap IS NOT NULL)
+        | SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |   CAST(CASE WHEN na = 0 OR nb = 0 THEN 0
+        |     ELSE (s * 1000000) // (na * nb) END AS BIGINT) AS w1_x1e6
+        | FROM g""".stripMargin,
+    "q_psi_drift" ->
+      """WITH d AS (SELECT n_chars +
+        |     CASE WHEN doc_id % 3 = 0 THEN ((doc_id % 11) + 11) % 11
+        |       ELSE 0 END AS v,
+        |     CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS a
+        |   FROM documents),
+        | st AS (SELECT count(DISTINCT v)::BIGINT AS nd,
+        |     min(v)::BIGINT AS lo, (max(v) - min(v)) // 32 + 1 AS w
+        |   FROM d),
+        | b AS (SELECT CASE WHEN st.nd <= 32 THEN v
+        |     ELSE (v - st.lo) // st.w END AS v, a FROM d, st),
+        | h AS (SELECT v, sum(a)::BIGINT AS ca,
+        |     sum(1 - a)::BIGINT AS cb FROM b GROUP BY v),
+        | tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb,
+        |     count(*)::BIGINT AS m FROM h),
+        | t AS (SELECT na, nb, m,
+        |     ((ca + 1)::HUGEINT * (nb + m) - (cb + 1)::HUGEINT * (na + m))
+        |       * CAST(round(1000000e0 * ln(
+        |         ((ca + 1)::DOUBLE * (nb + m)) /
+        |         ((cb + 1)::DOUBLE * (na + m)))) AS HUGEINT) AS tt
+        |   FROM h, tot),
+        | g AS (SELECT any_value(na) AS na, any_value(nb) AS nb,
+        |     any_value(m) AS m, sum(tt) AS s FROM t),
+        | z AS (SELECT na, nb, m,
+        |     CASE WHEN na = 0 OR nb = 0 THEN 0
+        |       ELSE greatest(s // ((na::HUGEINT + m) * (nb::HUGEINT + m)),
+        |         0) END AS psi FROM g)
+        | SELECT na AS n_a, nb AS n_b, m AS n_bins,
+        |   CAST(psi AS BIGINT) AS psi_ppm,
+        |   CAST(psi > 100000 AS INT) AS watch_01,
+        |   CAST(psi > 250000 AS INT) AS act_025
+        | FROM z""".stripMargin,
     "q_wilcoxon" ->
       """WITH d0 AS (SELECT ((doc_id * 3 % 7) + 7) % 7 - 2 AS d
         |   FROM documents),

@@ -1424,6 +1424,116 @@ object Stats {
                   AS INT)""").as("reject_05"))
   }
 
+  /** Wasserstein-1 (earth mover's) distance between two slices of an
+    * integer-valued column — the INTEGRATED member of the two-sample
+    * drift family ([[ksTest]] reports the worst single ECDF gap; W₁
+    * integrates the gap over the value line, so a broad small shift and
+    * a narrow large one are priced by how much mass moved how FAR — the
+    * metric distribution-shift monitoring publishes when magnitude
+    * matters, e.g. "mean doc length drifted 40 chars"):
+    *
+    *   W₁ = Σ_i (v_{i+1} − v_i) · |cumA_i/N_a − cumB_i/N_b|
+    *
+    * in VALUE UNITS. Exactness: the per-value term is the cross-
+    * multiplied integer gap·|cumA·N_b − cumB·N_a| (the [[ksTest]]
+    * trick), summed in DECIMAL(38,0), emitted as
+    * w1_x1e6 = ⌊Σ·10⁶ DIV (N_a·N_b)⌋ — ×10⁶ of the value-unit
+    * distance. A one-sided input reports 0; a single-distinct-value
+    * input yields no row (no gap exists — nothing can move).
+    *
+    * Scale shape: identical to [[ksTest]] — one map-side-combined
+    * per-value histogram, one window over the value-bounded histogram
+    * (a `lead` for the gap), single-row output; the [[kneeBucketExpr]]
+    * knee coarsens near-unique columns (W₁ of the bucketed variable —
+    * a LOWER bound, mass inside one bucket moves for free).
+    */
+  def wassersteinShift(df: DataFrame, valueCol: Column, isACol: Column,
+      maxHistBins: Int = 1 << 17,
+      knownBinsAtMostMax: Boolean = false): DataFrame = {
+    require(maxHistBins >= 2, s"maxHistBins must be >= 2, got $maxHistBins")
+    val dec = "decimal(38,0)"
+    val staged = df.select(valueCol.cast("long").as("v"),
+      isACol.cast("int").as("__a"))
+    val vEx = kneeBucketExpr(staged, "v", maxHistBins, knownBinsAtMostMax)
+    val h = staged
+      .groupBy(vEx.as("v")).agg(sum(col("__a")).cast("long").as("__ca"),
+        sum(lit(1) - col("__a")).cast("long").as("__cb"))
+    val w = Window.orderBy("v")
+    val cum = h.select(col("v"),
+      sum(col("__ca")).over(w).as("__cumA"),
+      sum(col("__cb")).over(w).as("__cumB"),
+      (lead(col("v"), 1).over(w) - col("v")).as("__gap"))
+    val tot = h.agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"))
+    cum.where(col("__gap").isNotNull)
+      .crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        (col("__gap").cast(dec) *
+          abs(col("__cumA").cast(dec) * col("n_b") -
+            col("__cumB").cast(dec) * col("n_a"))).as("__t"))
+      .groupBy("n_a", "n_b").agg(coalesce(sum(col("__t")),
+        lit(0L).cast(dec)).as("__s"))
+      .select(col("n_a"), col("n_b"),
+        expr(s"""CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+          ELSE (__s * 1000000) DIV (CAST(n_a AS $dec) * n_b)
+          END AS BIGINT)""").as("w1_x1e6"))
+  }
+
+  /** Population Stability Index between two slices — the INDUSTRY drift
+    * number (model monitoring's standard "has the population my filter
+    * was tuned on moved" metric, with the published 0.10 / 0.25
+    * watch/act thresholds): over value bins i,
+    *
+    *   PSI = Σ_i (p_i − q_i) · ln(p_i / q_i)
+    *
+    * with add-one smoothing on the BIN COUNTS (the standard zero-bin
+    * treatment — PSI is undefined on empty bins; smoothing keeps every
+    * bin finite and the statistic deterministic). Each bin's ln ratio is
+    * an exact integer-ratio argument ((ca+1)·(N_b+m) / ((cb+1)·(N_a+m)))
+    * integerized round(10⁶·ln·) BEFORE the weighted sum (the PMI
+    * policy); the mass weights are the exact smoothed-share difference
+    * cross-multiplied to integers; one final floor divide. Output
+    * psi_ppm ≥ 0 up to integerization (clamped), with `watch_01` /
+    * `act_025` threshold bits.
+    *
+    * Scale shape: the [[ksTest]] histogram shape — one map-side combine
+    * to the (knee-capped) per-bin table, one bounded reduction, one row.
+    */
+  def psiDrift(df: DataFrame, valueCol: Column, isACol: Column,
+      maxHistBins: Int = 32,
+      knownBinsAtMostMax: Boolean = false): DataFrame = {
+    require(maxHistBins >= 2, s"maxHistBins must be >= 2, got $maxHistBins")
+    val dec = "decimal(38,0)"
+    val staged = df.select(valueCol.cast("long").as("v"),
+      isACol.cast("int").as("__a"))
+    val vEx = kneeBucketExpr(staged, "v", maxHistBins, knownBinsAtMostMax)
+    val h = staged
+      .groupBy(vEx.as("v")).agg(sum(col("__a")).cast("long").as("__ca"),
+        sum(lit(1) - col("__a")).cast("long").as("__cb"))
+    val tot = h.agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
+      count(lit(1)).as("__m"))
+    // Smoothed shares: p = (ca+1)/(N_a+m), q = (cb+1)/(N_b+m); the
+    // ln argument cross-multiplies to exact int64s (documented < 2⁵³
+    // envelope, the sliceKlDivergence bound).
+    val lnTerm = round(lit(1e6) *
+      log(((col("__ca") + 1).cast("double") * (col("n_b") + col("__m"))) /
+        ((col("__cb") + 1).cast("double") * (col("n_a") + col("__m")))))
+      .cast("long")
+    h.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"), col("__m"),
+        (((col("__ca") + 1).cast(dec) * (col("n_b") + col("__m")) -
+          (col("__cb") + 1).cast(dec) * (col("n_a") + col("__m"))) *
+          lnTerm).as("__t"))
+      .groupBy("n_a", "n_b", "__m")
+      .agg(sum(col("__t")).as("__s"))
+      .select(col("n_a"), col("n_b"), col("__m").as("n_bins"),
+        expr(s"""CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+          ELSE greatest(__s DIV ((CAST(n_a AS $dec) + n_bins)
+            * (CAST(n_b AS $dec) + n_bins)), 0) END AS BIGINT)""")
+          .as("psi_ppm"))
+      .withColumn("watch_01", (col("psi_ppm") > 100000L).cast("int"))
+      .withColumn("act_025", (col("psi_ppm") > 250000L).cast("int"))
+  }
+
   /** Tie-corrected Mann–Whitney U test — the LOCATION member of the
     * two-sample drift family next to [[ksTest]] (KS asks "did the
     * distribution change anywhere"; MWU asks "does one slice

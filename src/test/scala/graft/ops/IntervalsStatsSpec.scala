@@ -860,6 +860,51 @@ class IntervalsStatsSpec extends SparkTestBase {
     assert(one.isNullAt(one.fieldIndex("theil_sen_ppm")))
   }
 
+  test("wassersteinShift: hand transport distances, identical zero, one-sided") {
+    import org.apache.spark.sql.functions.col
+    def run(rows: Seq[(Long, Int)]) =
+      Stats.wassersteinShift(rows.toDF("v", "a"), col("v"), col("a") === 1)
+        .collect()
+    // All A-mass at 0, all B-mass at 10: every unit moves 10 → W1 = 10.
+    val far = run(Seq((0L, 1), (0L, 1), (10L, 0), (10L, 0))).head
+    assert((far.getAs[Long]("n_a"), far.getAs[Long]("n_b"),
+      far.getAs[Long]("w1_x1e6")) === ((2L, 2L, 10000000L)))
+    // Unit shift: {1,3} vs {2,4} → W1 exactly 1.
+    assert(run(Seq((1L, 1), (3L, 1), (2L, 0), (4L, 0))).head
+      .getAs[Long]("w1_x1e6") === 1000000L)
+    // Identical distributions → 0; one-sided input → 0.
+    assert(run(Seq((1L, 1), (2L, 1), (1L, 0), (2L, 0))).head
+      .getAs[Long]("w1_x1e6") === 0L)
+    assert(run(Seq((1L, 1), (5L, 1))).head.getAs[Long]("w1_x1e6") === 0L)
+    // Single distinct value: no gap exists → no row (documented).
+    assert(run(Seq((7L, 1), (7L, 0))).isEmpty)
+  }
+
+  test("psiDrift: hand smoothed PSI, identical zero, threshold bits, knee") {
+    import org.apache.spark.sql.functions.col
+    def run(rows: Seq[(Long, Int)], bins: Int = 32) =
+      Stats.psiDrift(rows.toDF("v", "a"), col("v"), col("a") === 1,
+        maxHistBins = bins).collect().head
+    // Polarized two-bin case: smoothed shares 3/4 vs 1/4 both bins →
+    // PSI = 2·(1/2)·ln3 = 1.098612… → act bit fires.
+    val pol = run(Seq((0L, 1), (0L, 1), (10L, 0), (10L, 0)))
+    assert((pol.getAs[Long]("n_a"), pol.getAs[Long]("n_b"),
+      pol.getAs[Long]("n_bins")) === ((2L, 2L, 2L)))
+    assert(pol.getAs[Long]("psi_ppm") === 1098612L)
+    assert((pol.getAs[Int]("watch_01"), pol.getAs[Int]("act_025")) ===
+      ((1, 1)))
+    // Identical distributions: every ratio is exactly 1 → PSI 0.
+    val same = run(Seq((1L, 1), (2L, 1), (1L, 0), (2L, 0)))
+    assert((same.getAs[Long]("psi_ppm"), same.getAs[Int]("watch_01")) ===
+      ((0L, 0)))
+    // Knee: near-unique values coarsen to 2 equal-width bins — the PSI
+    // of the bucketed variable still separates a gross shift.
+    val knee = run((0 until 50).map(i => (i.toLong, 1)) ++
+      (0 until 50).map(i => ((1000 + i).toLong, 0)), bins = 2)
+    assert(knee.getAs[Long]("n_bins") === 2L)
+    assert(knee.getAs[Int]("act_025") === 1)
+  }
+
   test("rankLeveneTest: hand deviation ranks, equal spreads exactly 0, planted blow-up") {
     import org.apache.spark.sql.functions.col
     def run(rows: Seq[(Long, String)]) =
