@@ -629,6 +629,14 @@ object SparkEntry {
           "event_type", "event_id")
         .presented("from_event", "to_event")),
 
+    // Stationary distribution of the session Markov chain: 4 exact
+    // integer power steps over the |types|²-bounded transition matrix
+    // (driver-side BigInt under the bounded contract) — where attention
+    // settles long-run; dangling types shed mass, documented.
+    "q_markov_stationary" -> ((s, dir) =>
+      Reporting.markovStationary(events(s, dir), "user_id", "ts_ms",
+        "event_type", "event_id", iters = 4)),
+
     // Per-column table profile (data-contract audit): ONE pass, all
     // per-column null/exact-distinct aggregates as parallel agg columns,
     // wide row exploded to one row per column. Nulls planted via
@@ -3676,6 +3684,7 @@ object SparkEntry {
         |   CAST(n_agree AS BIGINT) AS n_agree,
         |   CASE WHEN score >= 40 THEN 'match' ELSE 'possible' END AS verdict
         | FROM p WHERE score >= 10 ORDER BY id_a, id_b""".stripMargin,
+    "q_markov_stationary" -> markovOracleSql(4),
     "q_event_transitions" ->
       """WITH sq AS (SELECT user_id, event_type AS et,
         |     lead(event_type) OVER (PARTITION BY user_id
@@ -7616,6 +7625,35 @@ object SparkEntry {
   private val PlainU0 = "doc_id % nv.m"
   private val PlainV1 = "(doc_id*31+7) % nv.m"
   private val PlainV2 = "(doc_id*17+3) % nv.m"
+
+  /** [[graft.engine.Reporting.markovStationary]] oracle: the transition
+    * matrix from the windowed lead, then `iters` unrolled integer power
+    * steps — per-edge floor sends over HUGEINT, uniform ⌊base/k⌋ start,
+    * dangling types shed mass — exactly the driver-side BigInt loop.
+    */
+  private def markovOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""p$i AS (SELECT ty.et, coalesce(s.v, 0) AS v FROM ty LEFT JOIN (
+         |     SELECT tr.t AS et, sum((p${i - 1}.v * tr.n) // tt.tot) AS v
+         |     FROM tr JOIN tt USING (f) JOIN p${i - 1} ON p${i - 1}.et = tr.f
+         |     GROUP BY 1) s USING (et))""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH e AS (SELECT user_id AS u, event_type AS et, epoch_ms(ts) AS tm,
+       |     event_id AS tie FROM events),
+       | p AS (SELECT et, lead(et) OVER (PARTITION BY u ORDER BY tm, tie)
+       |     AS nx FROM e),
+       | tr AS (SELECT et AS f, nx AS t, count(*)::BIGINT AS n FROM p
+       |   WHERE nx IS NOT NULL GROUP BY 1, 2),
+       | tt AS (SELECT f, sum(n)::BIGINT AS tot FROM tr GROUP BY f),
+       | ty AS (SELECT DISTINCT et FROM (SELECT f AS et FROM tr
+       |   UNION ALL SELECT t FROM tr)),
+       | kk AS (SELECT count(*)::HUGEINT AS k FROM ty),
+       | p0 AS (SELECT et, 1048576::HUGEINT // kk.k AS v FROM ty, kk),
+       | $steps
+       | SELECT et AS event_type,
+       |   CAST(v * 1000000 // 1048576 AS BIGINT) AS pi_x1e6
+       | FROM p$iters ORDER BY et""".stripMargin
+  }
 
   private def trianglesOracleSql(modSql: String = "100",
       u0: String = PlainU0, v1: String = PlainV1): String =

@@ -226,6 +226,68 @@ object Reporting {
         expr("(n * 1000000) DIV __tot").as("p_ppm"))
   }
 
+  /** Stationary distribution of the [[eventTransitions]] Markov chain —
+    * "where does user attention SETTLE": fixed-count power iteration of
+    * the row-normalized transition matrix, the long-run visit share
+    * next-event prediction and load forecasting read off the session
+    * flow (PageRank's idea applied to the behavioral chain — no teleport,
+    * the chain is the observed matrix itself).
+    *
+    * Determinism: the matrix is |types|²-bounded, so iteration runs
+    * DRIVER-SIDE in exact BigInt (the [[graft.ops.Stats.pavCalibrate]] /
+    * skewProfile bounded-driver contract, enforced by a require):
+    * π starts uniform at ⌊base/k⌋ (base = 2²⁰) and each step floors
+    * per-edge sends π'_j = Σ_i ⌊π_i·n_ij / tot_i⌋ — the weighted-
+    * PageRank integer-send convention, bit-replayable by any engine.
+    * Types with no OUTGOING transitions shed their mass (the observed
+    * chain simply stops there — documented, not hidden by a self-loop).
+    *
+    * Scale shape: one [[eventTransitions]] pass (per-user windows, pair
+    * counts map-side combined); the collected matrix is |types|² rows —
+    * event-type cardinality, never corpus rows.
+    *
+    * @return (event_type, pi_x1e6) — long-run visit share ×10⁶ after
+    *         `iters` steps, ordered by type.
+    */
+  def markovStationary(
+      events: DataFrame,
+      userCol: String,
+      tsMsCol: String,
+      eventTypeCol: String,
+      tieCol: String,
+      iters: Int = 4,
+      maxTypes: Int = 10000): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val tm = eventTransitions(events, userCol, tsMsCol, eventTypeCol, tieCol)
+      .select(col("from_event"), col("to_event"), col("n"))
+      .collect()
+    val types = (tm.map(_.getString(0)) ++ tm.map(_.getString(1)))
+      .distinct.sorted
+    require(types.length <= maxTypes,
+      s"markovStationary: ${types.length} event types exceed the " +
+        s"bounded-driver contract ($maxTypes) — this is a TYPE chain, " +
+        "not an id chain; key explosion means the wrong column was passed")
+    val idx = types.zipWithIndex.toMap
+    val n = Array.ofDim[Long](types.length, types.length)
+    tm.foreach(r => n(idx(r.getString(0)))(idx(r.getString(1))) = r.getLong(2))
+    val tot = n.map(_.sum)
+    val base = BigInt(1L << 20)
+    var pi = Array.fill(types.length)(
+      if (types.nonEmpty) base / types.length else BigInt(0))
+    (0 until iters).foreach { _ =>
+      val next = Array.fill(types.length)(BigInt(0))
+      for (i <- types.indices if tot(i) > 0; j <- types.indices
+           if n(i)(j) > 0)
+        next(j) += pi(i) * n(i)(j) / tot(i)
+      pi = next
+    }
+    val spark = events.sparkSession
+    import spark.implicits._
+    types.zip(pi).map { case (t, p) =>
+      (t, (p * 1000000 / base).toLong) }.toSeq
+      .toDF("event_type", "pi_x1e6")
+  }
+
   /** Top event trigram paths — the second-order extension of
     * [[eventTransitions]]: the k most frequent (e₁ → e₂ → e₃) sequences
     * across per-user event streams, ordered by the same total

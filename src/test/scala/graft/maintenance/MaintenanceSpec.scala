@@ -415,6 +415,33 @@ class EventAnalyticsSpec extends graft.SparkTestBase {
       ("signup", "purchase", 1L, 333333L)))
   }
 
+  test("markovStationary: cycle settles uniform, dangling types shed mass, deterministic") {
+    // One user alternating a,b,a,b,a: the chain is the 2-cycle — doubly
+    // stochastic, so the uniform start is ALREADY stationary: exactly
+    // 500000 each after any number of steps.
+    val cyc = Seq(
+      (1L, 0L, "a", 10L), (1L, 1L, "b", 11L), (1L, 2L, "a", 12L),
+      (1L, 3L, "b", 13L), (1L, 4L, "a", 14L))
+      .toDF("user_id", "ts_ms", "event_type", "event_id")
+    val got = Reporting.markovStationary(cyc, "user_id", "ts_ms",
+        "event_type", "event_id")
+      .as[(String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq(("a", 500000L), ("b", 500000L)))
+    // Absorbing tail: a→b only; b has no outgoing transitions, so its
+    // mass sheds each step (documented) — after 4 iterations all zero.
+    val path = Seq((1L, 0L, "a", 10L), (1L, 1L, "b", 11L))
+      .toDF("user_id", "ts_ms", "event_type", "event_id")
+    val shed = Reporting.markovStationary(path, "user_id", "ts_ms",
+        "event_type", "event_id")
+      .as[(String, Long)].collect().toMap
+    assert(shed === Map("a" -> 0L, "b" -> 0L))
+    // Determinism: identical reruns, bit-equal.
+    val again = Reporting.markovStationary(cyc, "user_id", "ts_ms",
+        "event_type", "event_id")
+      .as[(String, Long)].collect().toSeq.sortBy(_._1)
+    assert(again === got)
+  }
+
   test("retentionCohorts: first-activity cohort x age cells") {
     val acts = Seq(
       (1L, 0L), (1L, 12L), (1L, 25L),   // cohort 0, active weeks 0,1,2
