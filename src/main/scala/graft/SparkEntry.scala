@@ -3427,6 +3427,13 @@ object SparkEntry {
           col("n_chars").as("y")),
         col("x"), col("y"))),
 
+    // Hodges–Lehmann robust center of n_chars: lower median of all
+    // pairwise Walsh averages, collapsed onto the value histogram
+    // (bins²-bounded cell cross, never row pairs); emitted ×2 so halves
+    // never materialize.
+    "q_hodges_lehmann" -> ((s, dir) =>
+      Stats.hodgesLehmann(t(s, dir, "documents"), col("n_chars"))),
+
     // Wasserstein-1 over the exact q_ks_test fixture: the INTEGRATED
     // ECDF gap in value units (KS prices the worst point, W1 prices how
     // much mass moved how far) — gap-weighted cross-multiplied integers.
@@ -7181,6 +7188,23 @@ object SparkEntry {
         |   CAST(((dn * 1000000) // (na * nb)) * dn > 1844164 * (na + nb)
         |     AS INT) AS reject_05
         | FROM g""".stripMargin,
+    "q_hodges_lehmann" ->
+      """WITH h AS (SELECT n_chars AS v, count(*)::BIGINT AS c
+        |   FROM documents GROUP BY 1),
+        | cells AS (SELECT a.v + b.v AS w,
+        |     sum(CASE WHEN a.v = b.v THEN (a.c::HUGEINT * (a.c + 1)) // 2
+        |       ELSE a.c::HUGEINT * b.c END) AS m
+        |   FROM h a JOIN h b ON a.v <= b.v GROUP BY 1),
+        | cum AS (SELECT w,
+        |     sum(m) OVER (ORDER BY w ROWS BETWEEN UNBOUNDED PRECEDING
+        |       AND CURRENT ROW) AS hi,
+        |     sum(m) OVER (ORDER BY w ROWS BETWEEN UNBOUNDED PRECEDING
+        |       AND CURRENT ROW) - m AS lo FROM cells),
+        | tot AS (SELECT sum(c)::BIGINT AS n,
+        |     (sum(c)::HUGEINT * (sum(c) + 1)) // 2 AS np FROM h)
+        | SELECT tot.n, CAST(tot.np AS BIGINT) AS n_pairs, w AS hl_x2
+        | FROM cum, tot
+        | WHERE lo < (np + 1) // 2 AND (np + 1) // 2 <= hi""".stripMargin,
     "q_wasserstein" ->
       """WITH d AS (SELECT n_chars +
         |     CASE WHEN doc_id % 3 = 0 THEN ((doc_id % 11) + 11) % 11

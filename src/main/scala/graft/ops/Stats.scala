@@ -650,6 +650,59 @@ object Stats {
       .withColumn("significant_95", (col("z2_ppm") > 3841459L).cast("int"))
   }
 
+  /** Hodges–Lehmann location estimate — the ROBUST "where is this
+    * distribution centered" number that pairs with [[wilcoxonSignedRank]]
+    * (it is that test's associated estimator): the median of all
+    * pairwise Walsh averages (x_i + x_j)/2 over i ≤ j. 29% breakdown
+    * like the median, but ~96% Gaussian efficiency (the median's is
+    * 64%) — the published default for "central doc length / score"
+    * when tails are dirty but precision still matters.
+    *
+    * The n² pair mass collapses onto the VALUE HISTOGRAM: with distinct
+    * values v_i (count c_i), Walsh-average mass is c_i·c_j for i < j and
+    * c_i·(c_i+1)/2 for i = j — a |V|² cell cross of the knee-capped
+    * histogram ([[kneeBucketExpr]] bounds |V|, so the cross is
+    * bins²-bounded, never row-bounded). The estimate is the LOWER
+    * median over that weighted cell table, emitted ×2 (hl_x2 = v_i+v_j
+    * — integer exactly; halves never materialize). Empty input yields
+    * no row.
+    *
+    * Scale shape: one map-side-combined histogram, a broadcast
+    * histogram self-join (≤ maxHistBins rows per side), one window over
+    * the cell table, 1-row output.
+    *
+    * @return (n, n_pairs, hl_x2) — the estimate is hl_x2 / 2.
+    */
+  def hodgesLehmann(df: DataFrame, valueCol: Column,
+      maxHistBins: Int = 1 << 11,
+      knownBinsAtMostMax: Boolean = false): DataFrame = {
+    require(maxHistBins >= 2, s"maxHistBins must be >= 2, got $maxHistBins")
+    val dec = "decimal(38,0)"
+    val staged = df.select(valueCol.cast("long").as("v"))
+      .where(col("v").isNotNull)
+    val vEx = kneeBucketExpr(staged, "v", maxHistBins, knownBinsAtMostMax)
+    val h = staged.groupBy(vEx.as("v")).agg(count(lit(1)).as("__c"))
+    val cells = h.toDF("v1", "c1")
+      .join(broadcast(h.toDF("v2", "c2")), col("v1") <= col("v2"))
+      .select((col("v1") + col("v2")).as("__w"),
+        when(col("v1") === col("v2"),
+          expr(s"(CAST(c1 AS $dec) * (c1 + 1)) DIV 2"))
+          .otherwise(col("c1").cast(dec) * col("c2")).cast(dec).as("__m"))
+      .groupBy("__w").agg(sum("__m").as("__m"))
+    val wCum = Window.orderBy("__w")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells.select(col("__w"),
+      (sum(col("__m")).over(wCum) - col("__m")).as("__lo"),
+      sum(col("__m")).over(wCum).as("__hi"))
+    val tot = h.agg(sum(col("__c")).as("n"),
+      expr(s"(CAST(sum(__c) AS $dec) * (sum(__c) + 1)) DIV 2").as("__np"))
+    cum.crossJoin(broadcast(tot))
+      .where(col("__lo") < expr(s"(__np + 1) DIV 2") &&
+        expr(s"(__np + 1) DIV 2") <= col("__hi"))
+      .select(col("n"), col("__np").cast("long").as("n_pairs"),
+        col("__w").as("hl_x2"))
+  }
+
   /** Cochran–Mantel–Haenszel test + Mantel–Haenszel odds ratio — the
     * STRATIFIED member of the experiment family next to [[abTest]]
     * (pooling strata with different base rates manufactures or hides an

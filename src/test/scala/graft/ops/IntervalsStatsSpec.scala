@@ -860,6 +860,26 @@ class IntervalsStatsSpec extends SparkTestBase {
     assert(one.isNullAt(one.fieldIndex("theil_sen_ppm")))
   }
 
+  test("hodgesLehmann: hand Walsh medians, outlier robustness, ties") {
+    import org.apache.spark.sql.functions.col
+    def run(vs: Seq[Long]) =
+      Stats.hodgesLehmann(vs.map(Tuple1(_)).toDF("v"), col("v"))
+        .collect().head
+    // {1,2,3}: Walsh ×2 sorted = 2,3,4,4,5,6 → lower median 4 → HL = 2.
+    val sym = run(Seq(1L, 2L, 3L))
+    assert((sym.getAs[Long]("n"), sym.getAs[Long]("n_pairs"),
+      sym.getAs[Long]("hl_x2")) === ((3L, 6L, 4L)))
+    // One wild outlier barely moves it: {1,2,3,1000} → HL = 2.5
+    // (hl_x2 = 5) where the mean is 251.5 — the 29% breakdown at work.
+    val rob = run(Seq(1L, 2L, 3L, 1000L))
+    assert((rob.getAs[Long]("n_pairs"), rob.getAs[Long]("hl_x2")) ===
+      ((10L, 5L)))
+    // All tied: the estimate is the value itself.
+    val tie = run(Seq(5L, 5L))
+    assert((tie.getAs[Long]("n_pairs"), tie.getAs[Long]("hl_x2")) ===
+      ((3L, 10L)))
+  }
+
   test("wassersteinShift: hand transport distances, identical zero, one-sided") {
     import org.apache.spark.sql.functions.col
     def run(rows: Seq[(Long, Int)]) =
