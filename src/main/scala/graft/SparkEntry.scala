@@ -3193,6 +3193,14 @@ object SparkEntry {
           expr("ts_ms DIV 86400000"))
         .presented("event_type")),
 
+    // Lag-1/lag-7 autocorrelation of per-type daily volumes: does the
+    // series REPEAT (weekly sampling leaves a lag-7 fingerprint) —
+    // pearsonCorr verbatim on the calendar-bounded lag self-join.
+    "q_autocorrelation" -> ((s, dir) =>
+      Stats.autocorrelation(events(s, dir), "event_type",
+          expr("ts_ms DIV 86400000"), lags = Seq(1, 7))
+        .withColumnRenamed("key", "event_type")),
+
     // Cochran–Mantel–Haenszel across event-type strata (variant =
     // user_id parity, converted = a value/user hash bit): does the
     // treatment shift conversion WITHIN strata — the Simpson's-paradox
@@ -6795,6 +6803,28 @@ object SparkEntry {
         |     ELSE CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
         |       * ((abs(num) * 1000000) // den) AS BIGINT) END AS slope_ppm
         | FROM e ORDER BY event_type""".stripMargin,
+    "q_autocorrelation" ->
+      """WITH c AS (SELECT event_type AS key, epoch_ms(ts) // 86400000 AS b,
+        |     count(*)::BIGINT AS y FROM events GROUP BY 1, 2),
+        | p AS (SELECT a.key, 1 AS lag, a.y AS x, b.y AS y FROM c a
+        |     JOIN c b ON a.key = b.key AND b.b = a.b + 1
+        |   UNION ALL SELECT a.key, 7, a.y, b.y FROM c a
+        |     JOIN c b ON a.key = b.key AND b.b = a.b + 7),
+        | m AS (SELECT key, lag, count(*)::HUGEINT AS n,
+        |     sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+        |     sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y) AS syy,
+        |     sum(x::HUGEINT * y) AS sxy
+        |   FROM p GROUP BY 1, 2)
+        | SELECT key AS event_type, lag, CAST(n AS BIGINT) AS n,
+        |   CAST(CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0
+        |     THEN 0
+        |     ELSE (CASE WHEN n*sxy - sx*sy >= 0 THEN 1 ELSE -1 END) *
+        |       CAST(floor(1000000.0 *
+        |         (abs(n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE) *
+        |         (abs(n*sxy - sx*sy)::DOUBLE / (n*syy - sy*sy)::DOUBLE))
+        |         AS BIGINT) END AS BIGINT)
+        |     AS r2_ppm
+        | FROM m ORDER BY key, lag""".stripMargin,
     "q_cmh_test" ->
       """WITH d AS (SELECT event_type AS s,
         |     ((user_id % 2) + 2) % 2 AS v,

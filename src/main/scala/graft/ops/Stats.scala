@@ -1761,6 +1761,53 @@ object Stats {
         .as("significant_95"))
   }
 
+  /** Lag-k autocorrelation of per-key bucket volumes — the SEASONALITY
+    * member of the monitoring family ([[trendSlopes]]/[[robustTrend]]
+    * ask "is it drifting", [[pettittChangePoint]] asks "when did it
+    * jump"; this asks "does it REPEAT" — a weekly cycle shows as a
+    * lag-7 spike, and a pipeline that samples by day-of-week leaves
+    * exactly this fingerprint): per key and lag ℓ, the Pearson
+    * correlation of (y_t, y_{t+ℓ}) over the bucket series.
+    *
+    * Numerics are [[pearsonCorr]] VERBATIM (exact DECIMAL(38,0)
+    * moments, min-centering, one fixed IEEE final chain, signed ppm
+    * r²) on the lag-joined pairs — one audited numeric path, the
+    * [[spearmanCorr]] reuse precedent. A key with NO overlapping
+    * buckets at a lag reports no row for that lag; a single overlap
+    * reports 0 (the zero-variance convention).
+    *
+    * Scale shape: the corpus collapses to (key, bucket) counts once
+    * (map-side combined, calendar-bounded); each lag is one id-keyed
+    * self-join of that bounded table plus the Pearson combine —
+    * |lags|·|buckets| work total, independent of corpus rows.
+    *
+    * @return (key, lag, n, r2_ppm) ordered by (key, lag) — n = number
+    *         of overlapping bucket pairs.
+    */
+  def autocorrelation(df: DataFrame, keyCol: String, bucketCol: Column,
+      lags: Seq[Int] = Seq(1, 7)): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1),
+      s"lags must be non-empty positive, got $lags")
+    val counts = df.groupBy(col(keyCol).as("key"), bucketCol.as("__b"))
+      .agg(count(lit(1)).as("__y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    counts.count()
+    val perLag = lags.distinct.sorted.map { lag =>
+      val pairs = counts.toDF("key", "b1", "y1")
+        .join(counts.toDF("key", "b2", "y2"),
+          Seq("key")).where(col("b2") === col("b1") + lag)
+      pearsonCorr(pairs, "key", col("y1"), col("y2"))
+        .withColumn("lag", lit(lag))
+    }
+    val out = perLag.reduce(_ unionByName _)
+      .select(col("key"), col("lag"), col("n"), col("r2_ppm"))
+      .orderBy("key", "lag")
+    out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .count()
+    counts.unpersist(blocking = false)
+    out
+  }
+
   /** Rank-based scale-shift test — "did the SPREAD change across slices"
     * (the missing axis after location ([[mannWhitneyU]]/[[kruskalWallis]]),
     * shape ([[ksTest]]), paired ([[wilcoxonSignedRank]]/[[mcnemarTest]])

@@ -860,6 +860,26 @@ class IntervalsStatsSpec extends SparkTestBase {
     assert(one.isNullAt(one.fieldIndex("theil_sen_ppm")))
   }
 
+  test("autocorrelation: period-2 series, constant zero, missing-lag rows absent") {
+    import org.apache.spark.sql.functions.col
+    def rows(ys: Seq[Int]): Seq[(String, Long)] =
+      ys.zipWithIndex.flatMap { case (y, b) => Seq.fill(y)(("k", b.toLong)) }
+    // Alternating 1,3,1,3,1,3: lag-1 perfectly anti-correlated (−10⁶),
+    // lag-2 perfectly correlated (+10⁶).
+    val got = Stats.autocorrelation(rows(Seq(1, 3, 1, 3, 1, 3))
+        .toDF("g", "b"), "g", col("b"), lags = Seq(1, 2))
+      .as[(String, Int, Long, Long)].collect().toSeq
+    assert(got === Seq(("k", 1, 5L, -1000000L), ("k", 2, 4L, 1000000L)))
+    // Constant series: zero variance → 0 by the pearson convention.
+    val const = Stats.autocorrelation(rows(Seq(2, 2, 2)).toDF("g", "b"),
+        "g", col("b"), lags = Seq(1))
+      .collect().head
+    assert(const.getAs[Long]("r2_ppm") === 0L)
+    // A lag longer than the series yields no row at all.
+    assert(Stats.autocorrelation(rows(Seq(1, 2)).toDF("g", "b"), "g",
+      col("b"), lags = Seq(5)).count() === 0L)
+  }
+
   test("hodgesLehmann: hand Walsh medians, outlier robustness, ties") {
     import org.apache.spark.sql.functions.col
     def run(vs: Seq[Long]) =
