@@ -1310,6 +1310,51 @@ object SparkEntry {
           (col("mean_recall_ppm") >= 300000L).cast("int").as("recall_pass"))
     }),
 
+    // nprobe TUNING CURVE: measured recall@5 of the session IVF index at
+    // nprobe ∈ {1, 2, 4, 8} against one exact truth — the knob a 100 TB
+    // deployment fixes empirically, exposed as a query (the auditRecall
+    // telemetry law applied to the tuning sweep). Recall is monotone
+    // non-decreasing in nprobe BY CONSTRUCTION (probing more cells only
+    // adds candidates against a fixed exact truth); the oracle pins the
+    // structural rows, the full-probe endpoint (nprobe = nlist = 8 scans
+    // every cell ⇒ recall 1.0) and the monotonicity bit.
+    "q_nprobe_sweep" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 10)
+      val idx = ivfIndexFor(s, dir)
+      // ONE exact truth for the whole sweep (auditRecall per point would
+      // re-run the brute pass 4×); every query has exactly k truth rows,
+      // so Σhit·10⁶ DIV (nq·k) is auditRecall's mean_recall_ppm exactly.
+      val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      truth.count()
+      val rows = Seq(1, 2, 4, 8).map { np =>
+        truth.join(
+            Similarity.ivfSearch(idx, q, "vec_id", "embedding", k = 5,
+                nprobe = np)
+              .select(col("query_id"), col("neighbor_id"))
+              .withColumn("__hit", lit(1L)),
+            Seq("query_id", "neighbor_id"), "left")
+          .agg(coalesce(sum("__hit"), lit(0L)).as("__h"),
+            count(lit(1)).as("__n"))
+          .select(lit(np).as("nprobe"),
+            expr("(__h * 1000000) DIV __n").as("mean_recall_ppm"))
+      }.reduce(_ unionByName _)
+      val w = org.apache.spark.sql.expressions.Window.orderBy("nprobe")
+      rows
+        .withColumn("__prev",
+          lag(col("mean_recall_ppm"), 1).over(w))
+        .select(col("nprobe"),
+          (col("mean_recall_ppm") === 1000000L).cast("int")
+            .as("exact_recall"),
+          (col("__prev").isNull ||
+            col("mean_recall_ppm") >= col("__prev")).cast("int")
+            .as("monotone_ok"))
+        .orderBy("nprobe")
+    }),
+
     // IVF APPEND: quantizer fit on vec_id >= 100 only, the rest appended
     // by nearest-existing-cell routing (no refit) — recall vs brute force
     // over the FULL corpus proves appended vectors are searchable (the
@@ -3977,6 +4022,12 @@ object SparkEntry {
     "q_ivf_append" ->
       """SELECT 5 * count(*) AS n_exact, 1 AS recall_pass
         | FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "q_nprobe_sweep" ->
+      """SELECT CAST(np AS INT) AS nprobe,
+        |   CAST(CASE WHEN np = 8 THEN 1 ELSE 0 END AS INT)
+        |     AS exact_recall,
+        |   CAST(1 AS INT) AS monotone_ok
+        | FROM (SELECT unnest([1, 2, 4, 8]) AS np) ORDER BY np""".stripMargin,
     "q_ann_recall_audit" ->
       """SELECT count(*) AS n_queries, CAST(5 AS BIGINT) AS k,
         |   1 AS recall_pass
