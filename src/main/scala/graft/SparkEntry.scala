@@ -2281,7 +2281,7 @@ object SparkEntry {
     "q_t_closeness" -> ((s, dir) =>
       Curation.tClosenessProfile(t(s, dir, "documents"),
         Seq(col("lang"), col("source")), col("n_chars"),
-        tPpm = 100000L)),
+        tPpm = 100000L, knownBinsAtMostMax = true)),
 
     // Shuffle-quality audit: same-source run counts per shard vs the
     // random-permutation expectation (doc_id order, shard = doc_id % 4) —
@@ -2893,7 +2893,7 @@ object SparkEntry {
         t(s, dir, "documents").select(
           (col("n_chars") - pmod(col("doc_id") * 7, lit(50L))).as("s"),
           (col("n_chars") >= 200).cast("int").as("y")),
-        col("s"), col("y"))),
+        col("s"), col("y"), knownBinsAtMostMax = true)),
 
     // Matryoshka truncation-recall audit: exact brute-force top-5 under
     // PREFIX-truncated cosine (4/8/16 of 64 dims) vs full-dim truth on
@@ -3276,7 +3276,7 @@ object SparkEntry {
         t(s, dir, "documents").select(
           (col("n_chars") + ascii(substring(col("lang"), 1, 1)) % 7)
             .as("v"), col("lang").as("g")),
-        col("v"), col("g"))),
+        col("v"), col("g"), knownBinsAtMostMax = true)),
 
     // Rank-based scale-shift test (rank-transform Brown–Forsythe) across
     // languages over a lang-width planted jitter (widths 7/14/21 by
@@ -3290,7 +3290,7 @@ object SparkEntry {
               (ascii(substring(col("lang"), 1, 1)) % 3).cast("long"))))
             .as("v"),
           col("lang").as("g")),
-        col("v"), col("g"))),
+        col("v"), col("g"), knownBinsAtMostMax = true)),
 
     // Pettitt rank change-point per event type over daily volumes: the
     // difference-array collapse of U_t (pair mass → two per-bucket
@@ -3478,14 +3478,15 @@ object SparkEntry {
         t(s, dir, "documents").select(
           (col("n_chars") + pmod(col("doc_id") * 3, lit(7L)) - 2).as("x"),
           col("n_chars").as("y")),
-        col("x"), col("y"))),
+        col("x"), col("y"), knownBinsAtMostMax = true)),
 
     // Hodges–Lehmann robust center of n_chars: lower median of all
     // pairwise Walsh averages, collapsed onto the value histogram
     // (bins²-bounded cell cross, never row pairs); emitted ×2 so halves
     // never materialize.
     "q_hodges_lehmann" -> ((s, dir) =>
-      Stats.hodgesLehmann(t(s, dir, "documents"), col("n_chars"))),
+      Stats.hodgesLehmann(t(s, dir, "documents"), col("n_chars"),
+        knownBinsAtMostMax = true)),
 
     // Wasserstein-1 over the exact q_ks_test fixture: the INTEGRATED
     // ECDF gap in value units (KS prices the worst point, W1 prices how
@@ -3496,7 +3497,7 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"),
           (col("n_chars") + when(isA, pmod(col("doc_id"), lit(11L)))
             .otherwise(lit(0L))).as("v"), isA.as("a")),
-        col("v"), col("a"))
+        col("v"), col("a"), knownBinsAtMostMax = true)
     }),
 
     // Population Stability Index over the same fixture at 32 equal-width
@@ -3521,7 +3522,7 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"),
           (col("n_chars") + when(isA, pmod(col("doc_id"), lit(7L)))
             .otherwise(lit(0L))).as("v"), isA.as("a")),
-        col("v"), col("a"))
+        col("v"), col("a"), knownBinsAtMostMax = true)
     }),
 
     // Cohen's κ inter-rater agreement over a planted disagreement pattern
