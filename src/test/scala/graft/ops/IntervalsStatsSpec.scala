@@ -1032,6 +1032,32 @@ class IntervalsStatsSpec extends SparkTestBase {
       const.getAs[Int]("significant_95")) === ((0L, 0)))
   }
 
+  test("consistency law: kruskalWallis at k=2 equals the MWU z² across random tie-heavy fixtures") {
+    import org.apache.spark.sql.functions.col
+    // Two independent audited numeric paths compute the SAME statistic
+    // at k = 2 (tie-corrected H ≡ tie-corrected z²); they may differ
+    // only by the documented floors: each KW group's nested pair
+    // (a_g, b_g) understates b_g by < 2 units, the final ×12 scales
+    // that to < 24 ppm per group, 2 groups → < 48 ppm, plus the two
+    // IEEE chains' last-bit wobble — a bounded-slop identity that
+    // catches a regression in either path.
+    for (seed <- Seq(11, 37, 101)) {
+      def h(i: Int): Long = {
+        var x = (i + seed * 1000003).toLong * 0x9E3779B97F4A7C15L
+        x ^= (x >>> 33); x * 0xFF51AFD7ED558CCDL >>> 40
+      }
+      val rows = (0 until 300).map(i => (h(i) % 37, (h(i + 7919) % 2).toInt))
+      val mwu = Stats.mannWhitneyU(rows.toDF("v", "a"), col("v"),
+        col("a") === 1).collect().head.getAs[Long]("z2_ppm")
+      val kw = Stats.kruskalWallis(rows.toDF("v", "a"), col("v"),
+        col("a")).collect().head.getAs[Long]("h_ppm")
+      assert(math.abs(mwu - kw) <= 50L,
+        s"seed $seed: MWU z2 $mwu vs KW h $kw diverged beyond floor slop")
+      assert(kw <= mwu + 2, // KW's floors UNDERSTATE (±2: IEEE last-bit)
+        s"seed $seed: KW h $kw exceeds MWU z2 $mwu")
+    }
+  }
+
   test("kruskalWallis: matches the MWU hand cases at k=2, ties, degenerate") {
     import org.apache.spark.sql.functions.col
     def run(rows: Seq[(Long, String)]) =
