@@ -3201,6 +3201,12 @@ object SparkEntry {
     "q_crosstab_chi2" -> ((s, dir) =>
       Stats.crosstabChi2(t(s, dir, "documents"), col("lang"), col("source"))),
 
+    // Cramér's V on the same lang×source table: the [0,1] contingency
+    // EFFECT SIZE next to q_crosstab_chi2's N-growing significance
+    // number — one integer divide over the exact chi2_scaled.
+    "q_cramers_v" -> ((s, dir) =>
+      Stats.cramersV(t(s, dir, "documents"), col("lang"), col("source"))),
+
     // Per-event-type Pearson association between hour-of-day and the
     // floored value — signed r² in ppm from exact DECIMAL(38,0) moments
     // (two-stage sign-factored divide, replayable bit-for-bit).
@@ -6769,6 +6775,29 @@ object SparkEntry {
         | SELECT CAST(t.n AS BIGINT) AS n, t.nr AS n_rows, t.nc AS n_cols,
         |   (t.nr - 1) * (t.nc - 1) AS dof,
         |   CAST((SELECT sum(contrib) FROM k) AS BIGINT) AS chi2_scaled
+        | FROM t""".stripMargin,
+    "q_cramers_v" ->
+      """WITH cells AS (SELECT lang::VARCHAR AS a, source::VARCHAR AS b,
+        |     count(*)::BIGINT AS o FROM documents
+        |   WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+        | rm AS (SELECT a, sum(o) AS r FROM cells GROUP BY a),
+        | cm AS (SELECT b, sum(o) AS c FROM cells GROUP BY b),
+        | t AS (SELECT sum(o)::HUGEINT AS n,
+        |     count(DISTINCT a)::BIGINT AS nr,
+        |     count(DISTINCT b)::BIGINT AS nc FROM cells),
+        | dense AS (SELECT rm.r::HUGEINT AS r, cm.c::HUGEINT AS c,
+        |     coalesce(cells.o, 0)::HUGEINT AS o
+        |   FROM rm CROSS JOIN cm
+        |   LEFT JOIN cells ON cells.a = rm.a AND cells.b = cm.b),
+        | k AS (SELECT CASE WHEN t.n * r = 0 OR c = 0 THEN 0
+        |     ELSE ((abs(o * t.n - r * c) * 1000000) // (t.n * r))
+        |       * abs(o * t.n - r * c) // c END AS contrib
+        |   FROM dense, t)
+        | SELECT CAST(t.n AS BIGINT) AS n, t.nr AS n_rows, t.nc AS n_cols,
+        |   CAST(CASE WHEN t.n = 0 OR least(t.nr - 1, t.nc - 1) <= 0 THEN 0
+        |     ELSE (SELECT sum(contrib) FROM k)
+        |       // (t.n * least(t.nr - 1, t.nc - 1)) END AS BIGINT)
+        |     AS v2_ppm
         | FROM t""".stripMargin,
     "q_pearson_corr" ->
       """WITH e AS (SELECT event_type AS key,

@@ -389,6 +389,24 @@ object Stats {
     out
   }
 
+  /** Cramér's V — [[crosstabChi2]]'s χ² normalized to the [0, 1] EFFECT
+    * SIZE (χ² grows with N, so "is the association big" needs
+    * V² = χ² / (N·min(r−1, c−1)); the standard contingency effect size
+    * read next to the significance number): one integer divide over the
+    * exact chi2_scaled, reported as signed-free v2_ppm = ⌊10⁶·V²⌋.
+    * Degenerate tables (one row or one column — nothing to associate)
+    * report 0. Scale shape: [[crosstabChi2]] verbatim plus one select.
+    *
+    * @return (n, n_rows, n_cols, v2_ppm).
+    */
+  def cramersV(df: DataFrame, aCol: Column, bCol: Column): DataFrame =
+    crosstabChi2(df, aCol, bCol)
+      .select(col("n"), col("n_rows"), col("n_cols"),
+        expr("""CAST(CASE WHEN n = 0 OR least(n_rows - 1, n_cols - 1) <= 0
+          THEN 0
+          ELSE chi2_scaled DIV (n * least(n_rows - 1, n_cols - 1))
+          END AS BIGINT)""").as("v2_ppm"))
+
   /** Per-key Pearson correlation of two integer-valued columns, reported
     * as the SIGNED squared coefficient in ppm — the linear-association
     * audit between two corpus metrics (length vs quality score, hour vs

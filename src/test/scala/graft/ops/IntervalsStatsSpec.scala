@@ -996,6 +996,23 @@ class IntervalsStatsSpec extends SparkTestBase {
       none.getAs[Long]("z2_ppm")) === ((0L, 0, 0L)))
   }
 
+  test("cramersV: perfect association is 1, independence 0, degenerate single column") {
+    import org.apache.spark.sql.functions.col
+    def run(rows: Seq[(String, String)]) =
+      Stats.cramersV(rows.toDF("a", "b"), col("a"), col("b"))
+        .collect().head
+    // Diagonal 2×2: V² = 1 exactly.
+    val perf = run(Seq(("x", "u"), ("x", "u"), ("y", "v"), ("y", "v")))
+    assert((perf.getAs[Long]("n"), perf.getAs[Long]("v2_ppm")) ===
+      ((4L, 1000000L)))
+    // Uniform 2×2: every cell matches expectation → 0.
+    val ind = run(Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")))
+    assert(ind.getAs[Long]("v2_ppm") === 0L)
+    // One column: min(r−1, c−1) = 0 → 0 by convention.
+    val deg = run(Seq(("x", "u"), ("y", "u")))
+    assert(deg.getAs[Long]("v2_ppm") === 0L)
+  }
+
   test("cmhTest: hand single-stratum chi2 and MH odds ratio, Simpson guard, degenerates") {
     import org.apache.spark.sql.functions.col
     def run(rows: Seq[(String, Int, Boolean)]) =
