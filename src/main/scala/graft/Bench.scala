@@ -127,12 +127,20 @@ object Bench {
     }
     // Binding calibration gate: re-run the timed phase while the sentinel
     // says the host is contended; ship the least-contended attempt.
-    // The 0.12 s default IS the standing pinned idle floor for this host:
-    // BENCH_r10 measured 0.074-0.120 s on an idle first attempt, so the
-    // gate trips at 1.5 x 0.12 = 0.18 s — comfortably above idle jitter,
-    // far below the ~0.5-1 s sentinel readings seen under contention.
+    // The floor is the pinned IDLE sentinel for this host. History: 0.12
+    // (from BENCH_r10's 0.074-0.120 idle range) let round 13 ship a
+    // capture whose sentinel median was 0.115 s — DOUBLE round 12's
+    // 0.057 s idle reading — under the 1.5x trip-wire, and every
+    // untouched query read 1.3-1.8x slower (pure host contention). So:
+    // (a) the floor now pins to the MEASURED idle median of the r12
+    // capture (0.06 s; trip-wire 1.5x = 0.09 s), and (b) the JSON also
+    // carries cal_median plus value_normalized = value / max(1,
+    // cal_median/floor) — a sentinel-deflated total that stays
+    // cross-round comparable even when every retry is contended and the
+    // gate has no clean attempt to choose. Raw value remains the
+    // headline; the normalized one is the contention-corrected reading.
     // Override via SPARK_GRAFT_CAL_FLOOR only if the HOST changes.
-    val calFloor = sys.env.getOrElse("SPARK_GRAFT_CAL_FLOOR", "0.12").toDouble
+    val calFloor = sys.env.getOrElse("SPARK_GRAFT_CAL_FLOOR", "0.06").toDouble
     val maxAttempts =
       1 + sys.env.getOrElse("SPARK_GRAFT_CAL_RETRIES", "2").toInt
     var attempts = 0
@@ -171,12 +179,21 @@ object Bench {
       results.map { case (k, v) => s"\"" + k + "\":" + f(sel(v)) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2._1).filter(_ >= 0).sum else 0.0
     val calJson = calibration.map(fmt).mkString("[", ",", "]")
+    // Contention-corrected total: deflate by how far the shipped
+    // attempt's sentinel median sits above the pinned idle floor (never
+    // inflate — a sub-floor sentinel is just a fast host). Division is
+    // the right model because the sentinel is pure CPU, like the queries.
+    val calMedian = median(calibration)
+    val normalized =
+      if (calMedian > 0) total / math.max(1.0, calMedian / calFloor)
+      else total
     val failJson =
       if (failed.isEmpty) ""
       else failed.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
         .mkString(""","failed":{""", ",", "}")
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calibration_sec":$calJson,"cal_attempts":$attempts$failJson,"queries":${toJson(_._1, fmt)},"sf":"$sfDir"}"""
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","calibration_sec":$calJson,"cal_attempts":$attempts$failJson,"queries":${toJson(_._1, _.toString)},"queries_min":${toJson(_._2, _.toString)},"sf":"$sfDir"}"""
+    val normJson = s""""value_normalized":${fmt(normalized)},"cal_median":${fmt(calMedian)},"cal_floor":${fmt(calFloor)}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$normJson,"calibration_sec":$calJson,"cal_attempts":$attempts$failJson,"queries":${toJson(_._1, fmt)},"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec",$normJson,"calibration_sec":$calJson,"cal_attempts":$attempts$failJson,"queries":${toJson(_._1, _.toString)},"queries_min":${toJson(_._2, _.toString)},"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "bench_result.json")
     Files.writeString(Paths.get(outPath), fullJson + "\n")
     val slowest = results.sortBy(-_._2._1)
@@ -188,7 +205,7 @@ object Bench {
     }
     def mapJson(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calibration_sec":$calJson,"cal_attempts":$attempts$failJson,"queries":${mapJson(topK.map(t => t._1 -> t._2._1))},"queries_min":${mapJson(topK.map(t => t._1 -> t._2._2))},"queries_omitted":${results.size - topK.size},"full":"$outPath","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$normJson,"n_queries":${results.size},"calibration_sec":$calJson,"cal_attempts":$attempts$failJson,"queries":${mapJson(topK.map(t => t._1 -> t._2._1))},"queries_min":${mapJson(topK.map(t => t._1 -> t._2._2))},"queries_omitted":${results.size - topK.size},"full":"$outPath","sf":"$sfDir"}"""
     println(json)
     println(compact)
     spark.stop()

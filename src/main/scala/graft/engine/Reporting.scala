@@ -258,15 +258,27 @@ object Reporting {
       iters: Int = 4,
       maxTypes: Int = 10000): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val tm = eventTransitions(events, userCol, tsMsCol, eventTypeCol, tieCol)
+    val tmDf = eventTransitions(events, userCol, tsMsCol, eventTypeCol,
+        tieCol)
       .select(col("from_event"), col("to_event"), col("n"))
-      .collect()
-    val types = (tm.map(_.getString(0)) ++ tm.map(_.getString(1)))
-      .distinct.sorted
-    require(types.length <= maxTypes,
-      s"markovStationary: ${types.length} event types exceed the " +
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Enforce the bounded-driver contract BEFORE the collect: a
+    // high-cardinality-column misuse (id chain, not type chain) would
+    // otherwise flood the driver with up to |types|² rows before the
+    // guard fires. One aggregate row — the cardinality census — is the
+    // only thing collected until the contract holds.
+    val nTypes = tmDf
+      .select(explode(array(col("from_event"), col("to_event"))).as("t"))
+      .agg(countDistinct(col("t")))
+      .head().getLong(0)
+    require(nTypes <= maxTypes,
+      s"markovStationary: $nTypes event types exceed the " +
         s"bounded-driver contract ($maxTypes) — this is a TYPE chain, " +
         "not an id chain; key explosion means the wrong column was passed")
+    val tm = tmDf.collect()
+    tmDf.unpersist()
+    val types = (tm.map(_.getString(0)) ++ tm.map(_.getString(1)))
+      .distinct.sorted
     val idx = types.zipWithIndex.toMap
     val n = Array.ofDim[Long](types.length, types.length)
     tm.foreach(r => n(idx(r.getString(0)))(idx(r.getString(1))) = r.getLong(2))

@@ -181,6 +181,32 @@ object Dedup {
     */
   val DefaultMaxBucketSize = 5000
 
+  /** Sentinel default for [[prefixContainmentPairs]]/
+    * [[prefixContainmentAudit]]'s `maxTokenDf`: derive the cap from the
+    * corpus ([[derivedTokenDfCap]]) instead of trusting an absolute that
+    * a 10× corpus silently outgrows. Any negative value selects this
+    * mode; 0 is fully uncapped; positive is an absolute cap.
+    */
+  val DfCapDerived: Int = -1
+
+  /** Corpus-derived blocking-token df cap: `max(50, n_docs / 5000)`.
+    *
+    * Why this band: SCALING.md's sf10 measurement (n_docs = 500,020)
+    * found cap 100 = n_docs/5000 restores ~LINEAR candidate growth
+    * (1.69M candidates ≈ 2.2× sf1's uncapped 766k for 10× the corpus,
+    * vs 6.57M uncapped = 8.6×/decade), at a measured recall cost of
+    * 2 / 25,622 pairs — both all-boilerplate, the documented MOSS
+    * trade. Because max shingle df itself grows ~linearly with n_docs
+    * on natural corpora (25 → 168 → 1,608 across three decades here), a
+    * FRACTIONAL cap keeps excising the same "corpus-common boilerplate"
+    * band at every decade, which is exactly what an absolute cap fails
+    * to do. The floor of 50 keeps small corpora honest: below ~250k
+    * docs the derived cap sits at 50, above the df band tiny fixtures
+    * reach, so unit-scale joins stay effectively exact.
+    */
+  def derivedTokenDfCap(nDocs: Long): Int =
+    math.max(50L, nDocs / 5000L).toInt
+
   /** Candidate pairs from banded rows via ONE shuffle: group each bucket,
     * cap its size (the skew guard, free here — it's just a filter on the
     * grouped list), and expand pairs intra-row with a double explode. The
@@ -1483,10 +1509,19 @@ object Dedup {
     * [[containmentPairs]] MOSS rationale made explicit; recall is 1.0
     * whenever any shared prefix token stays under the cap, and the cap
     * is what bounds the hot-token candidate blowup at corpus scale.
-    * Pass `maxTokenDf <= 0` for a fully uncapped (recall-1.0) join —
-    * the mode the oracled `q_prefix_containment` entry runs, so the
-    * exactness contract the oracle verifies is the uncapped one and a
-    * capped run can never silently masquerade as exact.
+    *
+    * Cap contract: `maxTokenDf > 0` is an absolute df cap;
+    * `maxTokenDf = 0` is fully uncapped (recall 1.0) — the mode the
+    * oracled `q_prefix_containment` entry runs, so the exactness
+    * contract the oracle verifies is the uncapped one and a capped run
+    * can never silently masquerade as exact; any negative value (the
+    * DEFAULT, [[DfCapDerived]]) derives the cap from the corpus via
+    * [[derivedTokenDfCap]] — a df BAND that scales with n_docs, so the
+    * valve binds by default at ANY decade instead of going inert the
+    * way an absolute default does (max shingle df grows ~linearly with
+    * the corpus: 25 at sf0.1 → 1,608 at sf10, so a fixed 5000 could
+    * not bind before ~sf30 — SCALING.md "the maxTokenDf valve,
+    * measured").
     *
     * Output: (id_a, id_b, inter, n_small, containment_ppm) with
     * id_a < id_b and containment_ppm = ⌊10⁶·|∩|/min⌋.
@@ -1497,13 +1532,15 @@ object Dedup {
       textCol: String,
       shingleK: Int = 3,
       threshold: Double = 0.8,
-      maxTokenDf: Int = DefaultMaxBucketSize): DataFrame = {
+      maxTokenDf: Int = DfCapDerived): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
     val tPpm = math.round(threshold * 1e6)
     val sets = shingleHashSets(df, idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = prefixContainmentCandidates(sets, tPpm, maxTokenDf)
+    val cap =
+      if (maxTokenDf < 0) derivedTokenDfCap(sets.count()) else maxTokenDf
+    val candidates = prefixContainmentCandidates(sets, tPpm, cap)
     candidates
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -1617,21 +1654,23 @@ object Dedup {
       textCol: String,
       shingleK: Int = 3,
       threshold: Double = 0.8,
-      maxTokenDf: Int = DefaultMaxBucketSize): DataFrame = {
+      maxTokenDf: Int = DfCapDerived): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
     val tPpm = math.round(threshold * 1e6)
     val sets = shingleHashSets(df, idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cap =
+      if (maxTokenDf < 0) derivedTokenDfCap(sets.count()) else maxTokenDf
     val tok = sets.select(col("id"), explode(col("sh")).as("h"))
     val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
-    val hot = if (maxTokenDf > 0) dfreq.where(col("df") > maxTokenDf)
+    val hot = if (cap > 0) dfreq.where(col("df") > cap)
       else dfreq.limit(0)
     val docs1 = sets.agg(count(lit(1)).as("n_docs"))
     val tok1 = dfreq.agg(count(lit(1)).as("n_tokens"))
     val hot1 = hot.agg(count(lit(1)).as("n_hot_tokens"),
       coalesce(sum("df"), lit(0L)).as("hot_df_mass"))
-    val cand1 = prefixContainmentCandidates(sets, tPpm, maxTokenDf)
+    val cand1 = prefixContainmentCandidates(sets, tPpm, cap)
       .agg(count(lit(1)).as("n_candidates"))
     docs1.crossJoin(broadcast(tok1)).crossJoin(broadcast(hot1))
       .crossJoin(broadcast(cand1))

@@ -689,7 +689,14 @@ object Stats {
     * histogram self-join (≤ maxHistBins rows per side), one window over
     * the cell table, 1-row output.
     *
-    * @return (n, n_pairs, hl_x2) — the estimate is hl_x2 / 2.
+    * @return (n, n_pairs, hl_x2) — the estimate is hl_x2 / 2. UNIT
+    *         caveat (mirrors [[wassersteinShift]]): when the knee cap
+    *         ENGAGES (distinct values > maxHistBins and
+    *         `knownBinsAtMostMax = false`), `v` is a BUCKET ID, so hl_x2
+    *         is in bucket-id units — value ≈ bucket·width + lo, not the
+    *         raw value scale. With `knownBinsAtMostMax = true` (the
+    *         production call sites) or a sub-knee domain, hl_x2 is exact
+    *         in value units.
     */
   def hodgesLehmann(df: DataFrame, valueCol: Column,
       maxHistBins: Int = 1 << 11,
@@ -1034,8 +1041,8 @@ object Stats {
     * runs on the per-key slope histogram (window over distinct slope
     * values, the histogram-window convention).
     *
-    * @return (key, n_buckets, s_stat, z2_ppm, significant_95,
-    *         theil_sen_ppm); keys with one bucket report null slope and
+    * @return (key, n_buckets, s_stat, z2_ppm, theil_sen_ppm,
+    *         significant_95); keys with one bucket report null slope and
     *         zero z² (no trend measurable).
     */
   def robustTrend(df: DataFrame, keyCol: String, bucketCol: Column): DataFrame = {

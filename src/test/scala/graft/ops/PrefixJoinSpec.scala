@@ -140,6 +140,43 @@ class PrefixJoinSpec extends SparkTestBase {
     assert(uncapped.getAs[Long]("n_candidates") === 28L)
   }
 
+  test("derivedTokenDfCap: the df band scales with the corpus, floored at 50") {
+    // The sf10 measurement's linear point: 500,020 docs -> cap 100
+    // (= n_docs / 5000); below 250k docs the floor of 50 holds so tiny
+    // corpora never over-cap (SCALING.md "the maxTokenDf valve, measured").
+    assert(Dedup.derivedTokenDfCap(8L) === 50)
+    assert(Dedup.derivedTokenDfCap(249999L) === 50)
+    assert(Dedup.derivedTokenDfCap(500020L) === 100)
+    assert(Dedup.derivedTokenDfCap(5000000L) === 1000)
+    assert(Dedup.derivedTokenDfCap(50000000L) === 10000)
+  }
+
+  test("prefixContainmentPairs DEFAULT cap binds: boilerplate over the derived band is excised") {
+    // 60 docs all sharing one 12-token boilerplate phrase: phrase-shingle
+    // df = 60 > derivedTokenDfCap(60) = 50, so the DEFAULT (no cap
+    // argument) excises the boilerplate blocking tokens and the
+    // all-boilerplate clique disappears — the valve binding with no
+    // operator action, which is the point of deriving it. maxTokenDf = 0
+    // (the oracle's exact mode) still finds the full C(60,2) clique.
+    val phrase = (1 to 12).map(i => s"c$i").mkString(" ")
+    val docs = (1 to 60).map(i =>
+      (i.toLong, s"$phrase filler${i}a filler${i}b filler${i}c"))
+      .toDF("doc_id", "text")
+    val derived = Dedup.prefixContainmentPairs(docs, "doc_id", "text",
+      threshold = 0.7).count()
+    assert(derived === 0L)
+    val exact = Dedup.prefixContainmentPairs(docs, "doc_id", "text",
+      threshold = 0.7, maxTokenDf = 0).count()
+    assert(exact === 60L * 59L / 2L)
+    // The audit prices the same default: 10 phrase shingles, df 60 each.
+    val audit = Dedup.prefixContainmentAudit(docs, "doc_id", "text",
+      threshold = 0.7).collect().head
+    assert(audit.getAs[Long]("n_docs") === 60L)
+    assert(audit.getAs[Long]("n_hot_tokens") === 10L)
+    assert(audit.getAs[Long]("hot_df_mass") === 600L)
+    assert(audit.getAs[Long]("n_candidates") === 0L)
+  }
+
   test("bucket cap is the one exactness trade: capped hot key drops its pairs") {
     // 8 identical docs share every (rare) prefix token; cap 3 drops the
     // whole bucket -> zero pairs, exactly the documented behavior. Cap 0
