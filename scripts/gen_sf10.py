@@ -7,10 +7,11 @@ scheme as gen_sf1.py (tag spliced into every 5th token), and 100x the
 EMBEDDINGS table with gen_sf1.py's per-replica offset scheme (replica r
 shifts dimension 1 by r*10 — distinct vectors, per-replica cluster
 geometry preserved), so documents- and embeddings-family queries both
-have a true second decade here. Events still symlink to the sf1 slice
-and TPC-H tables to sf0.1 — numbers for those families from this dir
-would be meaningless; SCALING.md's sf10 rows are documents- and
-embeddings-family only.
+have a true second decade here. Events are 100x'd with gen_sf1.py's
+time-shift scheme (replica r shifts by r full spans: the timeline grows
+100x, per-hour volume and key skew stay constant) so the events-family
+queries get a true second decade too. TPC-H tables symlink to sf0.1 —
+numbers for those from this dir would be meaningless.
 
 NOTE the title artifact this inherits from the generator (attributed in
 SCALING.md): replica tags differ by 1-2 characters ("rep3_" vs "rep7_"),
@@ -56,7 +57,17 @@ COPY (
 ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
 """)
 
-for t, d in [("events", sf1), ("region", src),
+con.execute(f"""
+COPY (
+  SELECT e.event_id + r.r * 1000000000 AS event_id,
+    e.ts + r.r * (SELECT max(ts) - min(ts) + INTERVAL 1 SECOND
+                  FROM read_parquet('{src}/events.parquet')) AS ts,
+    e.user_id, e.event_type, e.value, e.props
+  FROM read_parquet('{src}/events.parquet') e, range(0,100) r(r)
+) TO '{out}/events.parquet' (FORMAT PARQUET)
+""")
+
+for t, d in [("region", src),
              ("nation", src), ("customer", src), ("supplier", src),
              ("part", src), ("orders", src), ("lineitem", src),
              ("partsupp", src)]:

@@ -664,15 +664,31 @@ object Similarity {
     val entry = vecs.select(col("neighbor_id"))
       .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
       .limit(entryPoints)
+    beamLoop(edges, vecs, q,
+      q.select("query_id").crossJoin(broadcast(entry)),
+      k, beamWidth, hops)
+  }
+
+  /** The shared greedy-beam core of [[graphSearch]] /
+    * [[graphSearchLayered]]: seed candidates → score → keep best
+    * `beamWidth` per query → expand graph neighbors, `hops` rounds.
+    * `seed` is (query_id, neighbor_id) — the entry frontier.
+    */
+  private[ops] def beamLoop(
+      edges: DataFrame,
+      vecs: DataFrame,
+      q: DataFrame,
+      seed: DataFrame,
+      k: Int,
+      beamWidth: Int,
+      hops: Int): DataFrame = {
     def score(cand: DataFrame): DataFrame =
       cand.join(vecs, "neighbor_id")
         .join(broadcast(q), "query_id")
         .where(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
           cosine(col("__cv"), col("__qv")).as("cos"))
-    var beam = topKPerQuery(
-      score(q.select("query_id").crossJoin(broadcast(entry))),
-      beamWidth, distinctIds = false)
+    var beam = topKPerQuery(score(seed), beamWidth, distinctIds = false)
     var h = 0
     while (h < hops) {
       val cand = beam
@@ -685,6 +701,100 @@ object Similarity {
       h += 1
     }
     beam.where(col("rank") <= k)
+  }
+
+  /** Coarse routing layer for [[graphSearchLayered]]: a deterministic
+    * ~√n node sample, minimal (xxhash64(id), id) order — the
+    * [[graphSearch]] entry convention, engine-replayable.
+    *
+    * Design note (the HNSW hierarchy's public idea, adapted to batch):
+    * HNSW walks its top layer with a greedy beam because it serves one
+    * query at a time; at Spark batch scale the right physical move is to
+    * score the √n layer EXHAUSTIVELY per query — one broadcast-join
+    * stage of |q|·√n cosines, cheaper than a single base-layer hop
+    * (beam·(k+1) candidates per query joined against corpus-scale
+    * tables) and immune to subgraph-connectivity traps. That trap is
+    * measured, not hypothetical: on the sf1 replica geometry a
+    * degree-8 beam-searched coarse SUBGRAPH stranded the 7 non-replica
+    * sample nodes in their own component and routed every query into
+    * the near-parallel replica blob (recall 0); exhaustive coarse
+    * scoring finds the true region in one stage (SCALING.md round 14).
+    *
+    * @param coarseSize sample node count; ≤ 0 derives ⌈√n⌉ (floor 64)
+    *                   from a corpus count — the derived-parameter
+    *                   convention ([[Dedup.derivedTokenDfCap]]). For
+    *                   corpora where √n is too large to score per query
+    *                   (n ≳ 10¹⁰), cap it and accept coarser routing.
+    * @return (id) — the sampled node ids.
+    */
+  def coarseLayer(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      coarseSize: Int = 0): DataFrame = {
+    val m =
+      if (coarseSize > 0) coarseSize
+      else math.max(64L, math.ceil(math.sqrt(
+        corpus.count().toDouble)).toLong).toInt
+    corpus
+      .select(col(corpusId).cast("long").as("id"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(m)
+  }
+
+  /** Two-layer graph search: score the [[coarseLayer]] sample
+    * exhaustively per query to get query-LOCAL entry points, then run
+    * the base-layer beam from there — [[graphSearch]] with the
+    * fixed-global-entry weakness removed. Single-layer search from
+    * `entryPoints` FIXED nodes needs hops proportional to the base
+    * graph's diameter (and can be trapped outright by disconnected or
+    * near-degenerate regions — measured at recall 0 on the sf1 replica
+    * geometry), so the hard `hops ≤ 8` bound costs recall as n grows;
+    * entering at the query's own coarse cell leaves the base hops only
+    * the last coarse-cell-sized gap to close. Recall per scored
+    * candidate is equal or better (measured — SCALING.md round 14);
+    * audit per deployment with [[auditRecall]] like every ANN path.
+    *
+    * Scale shape: phase 1 is one broadcast join stage — |q|·|coarse|
+    * cosines against a √n-row id-semi-join of the corpus; phase 2 is
+    * the same [[beamLoop]] as [[graphSearch]], seeded per-query.
+    * Nothing scans the full corpus per hop.
+    *
+    * @param coarse (id) node sample — [[coarseLayer]] output or any
+    *               corpus-id subset.
+    */
+  def graphSearchLayered(
+      graph: DataFrame,
+      coarse: DataFrame,
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int = 10,
+      beamWidth: Int = 32,
+      hops: Int = 2,
+      entryPoints: Int = 8): DataFrame = {
+    require(k >= 1 && beamWidth >= k,
+      s"need beamWidth >= k >= 1, got k=$k beamWidth=$beamWidth")
+    require(hops >= 1 && hops <= 8, s"hops must be in [1, 8], got $hops")
+    require(entryPoints >= 1,
+      s"entryPoints must be >= 1, got $entryPoints")
+    val vecs = corpus.select(col(corpusId).cast("long").as("neighbor_id"),
+      col(corpusVec).as("__cv"))
+    val coarseCorpus = vecs
+      .join(coarse.select(col("id").cast("long").as("neighbor_id")),
+        "neighbor_id")
+      .select(col("neighbor_id").as("cid"), col("__cv").as("cv"))
+    val entries = bruteForceTopK(coarseCorpus, "cid", "cv",
+      queries, queryId, queryVec, k = entryPoints)
+    val edges = graph.select(col("id").cast("long").as("__src"),
+      col("neighbor_id").cast("long").as("__dst"))
+    val q = queries.select(col(queryId).cast("long").as("query_id"),
+      col(queryVec).as("__qv"))
+    beamLoop(edges, vecs, q, entries.select("query_id", "neighbor_id"),
+      k, beamWidth, hops)
   }
 
   /** Embedding-level decontamination: the TRAIN-side removal list against
