@@ -295,7 +295,29 @@ object Similarity {
       vecCol: String,
       k: Int,
       iters: Int,
-      qBits: Int = 20): DataFrame = {
+      qBits: Int = 20): DataFrame =
+    kMeansQuantizedIvf(corpus, idCol, vecCol, k, iters, qBits)._1
+      .select(col(idCol), col("cluster"), col("d2"))
+
+  /** [[kMeansQuantized]] exposing what an integer-exact IVF index needs:
+    * the final assignment WITH the quantized vectors, plus the post-loop
+    * centroid codebook the assignment was computed against (k × dim
+    * longs) — so a query side can replay cell probing (centroid d2,
+    * ties to the lowest cid) with the same engine-independent integer
+    * arithmetic, and a DuckDB oracle can hash-match the whole
+    * probe-search-recall chain, not just the assignment
+    * (`q_nprobe_sweep`'s value oracle).
+    *
+    * @return (assignment (idCol, q array<long>, cluster, d2), centers
+    *         indexed by cid).
+    */
+  def kMeansQuantizedIvf(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      qBits: Int = 20): (DataFrame, IndexedSeq[Seq[Long]]) = {
     require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0: got $k, $iters")
     val scale = (1L << qBits).toDouble
     val vecs = corpus
@@ -336,7 +358,8 @@ object Similarity {
       cents = cents.indices.map(j => means.getOrElse(j, cents(j)))
       it += 1
     }
-    assigned().select(col("id").as(idCol), col("cluster"), col("d2"))
+    (assigned().select(col("id").as(idCol), col("q"), col("cluster"),
+      col("d2")), cents)
   }
 
   /** Assign every corpus vector to its nearest centroid by cosine
