@@ -120,23 +120,75 @@ object TextAnalysis {
       "была", "для", "или", "при", "его", "чтобы", "только", "есть",
       "вот"))
 
-  /** Character-trigram profiles derived deterministically from
-    * [[NgramProfileWords]]: each word padded as `_word_`, all its
-    * 3-codepoint windows collected, weight = occurrence count within the
-    * language's list. Sorted for a stable literal order — the oracle SQL
-    * interpolates exactly these (gram, lang, weight) rows as a VALUES
-    * table, so both engines score from the identical model.
+  /** Trigram derivation shared by the profile tables: each word padded
+    * as `_word_`, every 3-codepoint window collected, weight = window
+    * occurrence count within the list.
     */
-  val NgramProfiles: Map[String, Seq[(String, Int)]] =
-    NgramProfileWords.map { case (lang, words) =>
-      val grams = words.flatMap { w =>
-        val p = s"_${w}_"
-        val cps = p.codePoints().toArray
-        (0 to cps.length - 3).map(i => new String(cps, i, 3))
-      }
-      lang -> grams.groupBy(identity).view
-        .map { case (g, gs) => (g, gs.size) }.toSeq.sortBy(_._1)
+  def trigramProfileFromWords(words: Seq[String]): Seq[(String, Int)] = {
+    val grams = words.flatMap { w =>
+      val p = s"_${w}_"
+      val cps = p.codePoints().toArray
+      (0 to cps.length - 3).map(i => new String(cps, i, 3))
     }
+    grams.groupBy(identity).view
+      .map { case (g, gs) => (g, gs.size) }.toSeq.sortBy(_._1)
+  }
+
+  /** Corpus-level trigram extensions (r14): the most-frequent character
+    * trigrams of each language's GENERAL text — inflectional suffixes,
+    * characteristic clusters, orthographic signatures — the public
+    * knowledge a Wikipedia-scale frequency table encodes, beyond the
+    * function words [[NgramProfileWords]] covers. This is what carries
+    * short or content-word-only texts ("programming languages",
+    * "schönen Häusern") that contain no function word at all; it also
+    * adds the `zh` profile the function-word approach structurally
+    * cannot express (no spaces, no inflected function words — the
+    * signal is frequent character SEQUENCES). Weights are rank-coded
+    * small ints with per-language totals balanced (≈ 23–24) so no
+    * language buys argmax mass from sheer list size; '_' is the
+    * normalized-whitespace marker, as everywhere in this model.
+    */
+  val NgramProfileExtras: Map[String, Seq[(String, Int)]] = Map(
+    "en" -> Seq("ing" -> 3, "ion" -> 2, "tio" -> 2, "ati" -> 2,
+      "ed_" -> 2, "ly_" -> 2, "th_" -> 2, "ere" -> 2, "her" -> 2,
+      "igh" -> 1, "ght" -> 1, "ous" -> 1, "sh_" -> 1, "ck_" -> 1),
+    "de" -> Seq("sch" -> 3, "ich" -> 3, "cht" -> 2, "ung" -> 2,
+      "eit" -> 2, "gen" -> 2, "ern" -> 2, "den" -> 2, "ben" -> 1,
+      "ver" -> 1, "äch" -> 1, "üch" -> 1, "ße_" -> 1),
+    "fr" -> Seq("ent" -> 2, "ait" -> 2, "ais" -> 2, "eur" -> 2,
+      "oir" -> 2, "eau" -> 2, "aux" -> 2, "eux" -> 2, "ée_" -> 2,
+      "té_" -> 2, "çon" -> 1, "ça_" -> 1, "été" -> 1, "és_" -> 1,
+      "ouv" -> 1),
+    "es" -> Seq("ció" -> 3, "ión" -> 3, "ado" -> 2, "ida" -> 2,
+      "aci" -> 2, "nte" -> 2, "est" -> 2, "ien" -> 2, "mos" -> 2,
+      "ña_" -> 1, "ño_" -> 1, "eña" -> 1, "año" -> 1),
+    "ru" -> Seq("ого" -> 3, "ние" -> 3, "его" -> 2, "ать" -> 2,
+      "ств" -> 2, "ост" -> 2, "ть_" -> 2, "ый_" -> 2, "ова" -> 2,
+      "ция" -> 1, "ая_" -> 1, "про" -> 1, "ени" -> 1),
+    "zh" -> Seq("的时候" -> 3, "我们的" -> 3, "是一个" -> 2, "这样的" -> 2,
+      "有一个" -> 2, "在这里" -> 2, "不知道" -> 2, "的一个" -> 2,
+      "一个人" -> 2, "中国人" -> 2, "也不会" -> 1, "就是说" -> 1))
+
+  /** Character-trigram profiles: the function-word derivation
+    * ([[trigramProfileFromWords]] over [[NgramProfileWords]]) MERGED
+    * with the corpus-frequency extensions ([[NgramProfileExtras]]) —
+    * weights sum where a gram appears in both. Sorted for a stable
+    * literal order — the oracle SQL interpolates exactly these
+    * (gram, lang, weight) rows as a VALUES table, so both engines score
+    * from the identical model and a profile change can never desync
+    * them.
+    */
+  val NgramProfiles: Map[String, Seq[(String, Int)]] = {
+    val base = NgramProfileWords.view
+      .mapValues(trigramProfileFromWords).toMap
+    (base.keySet ++ NgramProfileExtras.keySet).map { lang =>
+      val merged = (base.getOrElse(lang, Nil) ++
+        NgramProfileExtras.getOrElse(lang, Nil))
+        .groupBy(_._1).view
+        .map { case (g, ws) => (g, ws.map(_._2).sum) }.toSeq.sortBy(_._1)
+      lang -> merged
+    }.toMap
+  }
 
   /** Heuristic language guess, character-trigram model (the cld2/fastText
     * public technique): argmax over integer trigram-weight dot products,

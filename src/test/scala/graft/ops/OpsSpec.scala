@@ -1437,6 +1437,35 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(4L) === "und")
   }
 
+  test("corpus-trigram extras (r14) carry content-word-only and zh texts the word-derived model missed") {
+    // Each row contains NO function word of its own language, and the
+    // word-derived base model answers WRONG (a cross-language gram
+    // collision) or und; the merged model (base + corpus-frequency
+    // extras) classifies it. One delta row per language — including zh,
+    // which the function-word approach structurally cannot express. The
+    // base model is rebuilt here from the SAME public derivation, so
+    // this test IS the measured delta of the r14 extension.
+    val df = Seq(
+      (1L, "sightseeing highlights", "en"), // base: de (ich/igh collide)
+      (2L, "forschung leistung", "de"), // base: fr
+      (3L, "liberté égalité fraternité", "fr"), // base: de
+      (4L, "habitación canciones", "es"), // base: fr
+      (5L, "государство образование", "ru"), // base: und
+      (6L, "我们的朋友是一个好人", "zh")).toDF("id", "text", "want") // base: und
+    val base = TextAnalysis.NgramProfileWords.view
+      .mapValues(TextAnalysis.trigramProfileFromWords).toMap
+    val got = df.select($"id", $"want",
+        TextAnalysis.langId($"text").as("merged"),
+        graft.functions.LangIdFunctions.ngram_lang_id($"text", base)
+          .as("baseOnly"))
+      .as[(Long, String, String, String)].collect()
+    got.foreach { case (id, want, merged, baseOnly) =>
+      assert(merged === want, s"merged model wrong on row $id")
+      assert(baseOnly !== want, s"row $id no longer demonstrates the " +
+        s"delta (word-derived model already answers $baseOnly)")
+    }
+  }
+
   test("trigram langId beats stopword matching on short/inflected/punctuated text") {
     // Each row is a REAL failure mode of whole-token stopword matching:
     // inflected function words (einem), punctuation-attached tokens, a
