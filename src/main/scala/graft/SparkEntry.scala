@@ -265,6 +265,21 @@ object SparkEntry {
     scala.jdk.CollectionConverters.CollectionHasAsScala(buf).asScala.toList
   }
 
+  /** Session-cached INTEGER-exact IVF (assignment + codebook) for
+    * q_nprobe_sweep — the build-once contract, like every other index.
+    */
+  private val intIvfCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, IndexedSeq[Seq[Long]])]
+  private def intIvfFor(
+      s: SparkSession, dir: String): (DataFrame, IndexedSeq[Seq[Long]]) =
+    intIvfCache.getOrElseUpdate((s, dir), {
+      val (asg, cents) = Similarity.kMeansQuantizedIvf(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
+      asg.persist()
+      asg.count()
+      (asg, cents)
+    })
+
   private val ivfIndexCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Similarity.IvfIndex]
   private def ivfIndexFor(s: SparkSession, dir: String): Similarity.IvfIndex =
@@ -1445,11 +1460,7 @@ object SparkEntry {
     // float-index tuning curve on the session MLlib IVF stays available
     // through Similarity.auditRecall (the telemetry API).
     "q_nprobe_sweep" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val (asg0, cents) = Similarity.kMeansQuantizedIvf(emb, "vec_id",
-        "embedding", k = 8, iters = 2)
-      val asg = asg0
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (asg, cents) = intIvfFor(s, dir)
       def d2(a: Column, b: Column): Column =
         aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
           lit(0L), (acc, x) => acc + x)
