@@ -2555,6 +2555,30 @@ object SparkEntry {
           sum(col("blockNumber")).as("sum_event_id"))
     }),
 
+    // Pushed MIN/MAX(timestamp) + COUNT under a time-range predicate on
+    // the Boom source (r14: the COUNT(*) header-walk generalized — the
+    // stats walk reads per-line ms varints, never a message byte, one
+    // partial row per task). Value oracle replays the range aggregate
+    // over the same events rows in DuckDB; BoomPushdownSpec pins the
+    // plan shape (aggsPushed) and ms-exactness at block boundaries.
+    "q_boom_agg_pushdown" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("boom-agg").toString
+      events(s, dir)
+        .select(col("ts_ms").as("timestamp"),
+          concat(col("event_type"), lit(" "), col("props")).as("message"),
+          lit(0).as("eventId"),
+          col("user_id").as("createTime"),
+          col("event_id").as("blockNumber"),
+          lit(1L).as("lineNumber"))
+        .write.format("boom").mode("append").save(out)
+      s.read.format("boom").load(out)
+        .where(col("timestamp") >= rangeStartMs &&
+          col("timestamp") < rangeEndMs)
+        .agg(count(lit(1)).as("n"),
+          min(col("timestamp")).as("min_ts_ms"),
+          max(col("timestamp")).as("max_ts_ms"))
+    }),
+
     // Z-order (Morton) layout audit on lineitem's (orderkey, partkey):
     // bucket by the top 6 interleaved bits and report each bucket's count +
     // bounding rectangle — the deterministic, engine-replayable half of
@@ -4072,6 +4096,11 @@ object SparkEntry {
         |   CAST(sum(length(event_type || ' ' || props)) AS BIGINT) AS sum_msg_len,
         |   CAST(sum(event_id) AS BIGINT) AS sum_event_id
         | FROM events""".stripMargin,
+    "q_boom_agg_pushdown" ->
+      """SELECT count(*) AS n, min(epoch_ms(ts)) AS min_ts_ms,
+        |   max(epoch_ms(ts)) AS max_ts_ms
+        | FROM events
+        | WHERE epoch_ms(ts) >= 1704153600000 AND epoch_ms(ts) < 1704412800000""".stripMargin,
     "q_maxsim" ->
       """WITH mv AS (SELECT vec_id // 4 AS did, vec_id AS tid,
         |     CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

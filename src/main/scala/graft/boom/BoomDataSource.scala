@@ -158,7 +158,7 @@ class BoomScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap)
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   import org.apache.spark.sql.connector.expressions.{Expression => VExpr, GeneralScalarExpression, NamedReference}
-  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
   import org.apache.spark.sql.connector.expressions.filter.Predicate
   import org.apache.spark.sql.graft.V2ExprBridge
   import org.apache.spark.sql.types.{LongType, StringType}
@@ -252,16 +252,30 @@ class BoomScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap)
 
   override def pruneColumns(required: StructType): Unit = requiredSchema = required
 
-  private var countPushed = false
+  private var aggsPushed: Seq[String] = Nil
 
+  /** Global (ungrouped) COUNT(*) / MIN(timestamp) / MAX(timestamp), in
+    * any combination, under time-only predicates. COUNT alone keeps the
+    * zero-ms-read header-credit walk; any MIN/MAX switches the task to
+    * the stats walk (per-line `ms` varint, still no message decode, ONE
+    * row per task; Spark merges the partials with sum/min/max). Gated
+    * off when term clauses are pushed — a term test must decode
+    * messages — and by the `countPushdown=false` read option (the
+    * apples-to-apples bench switch, shared by all pushed aggregates).
+    */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     val enabled = options.getBoolean("countPushdown", true)
     if (!enabled || clauses.nonEmpty) return false
     if (aggregation.groupByExpressions().nonEmpty) return false
-    aggregation.aggregateExpressions() match {
-      case Array(_: CountStar) => countPushed = true; true
-      case _ => false
+    val parsed = aggregation.aggregateExpressions().map {
+      case _: CountStar => "count"
+      case m: Min if isCol(m.column, "timestamp") => "min"
+      case m: Max if isCol(m.column, "timestamp") => "max"
+      case _ => return false
     }
+    if (parsed.isEmpty) return false
+    aggsPushed = parsed.toSeq
+    true
   }
 
   override def build(): Scan = {
@@ -271,10 +285,11 @@ class BoomScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap)
       minTs = minTs,
       maxTsExcl = maxTsExcl,
       clauses = clauses,
-      needMessage = !countPushed && requiredSchema.fieldNames.contains("message"))
+      needMessage = aggsPushed.isEmpty &&
+        requiredSchema.fieldNames.contains("message"))
     new BoomScan(paths, files, requiredSchema, pushdown, options,
       new SerializableConfiguration(spark.sessionState.newHadoopConf()),
-      countOnly = countPushed)
+      pushedAggs = aggsPushed)
   }
 }
 
@@ -293,20 +308,29 @@ class BoomScan(
     pushdown: BoomPushdown,
     options: CaseInsensitiveStringMap,
     hconf: SerializableConfiguration,
-    countOnly: Boolean = false) extends Scan with Batch with SupportsReportStatistics {
+    pushedAggs: Seq[String] = Nil) extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType =
-    if (countOnly)
-      new StructType().add("count(*)", org.apache.spark.sql.types.LongType,
-        nullable = false)
-    else requiredSchema
+    if (pushedAggs.nonEmpty) {
+      pushedAggs.foldLeft(new StructType()) { (st, a) =>
+        a match {
+          case "count" => st.add("count(*)",
+            org.apache.spark.sql.types.LongType, nullable = false)
+          case "min" => st.add("min(timestamp)",
+            org.apache.spark.sql.types.LongType, nullable = true)
+          case "max" => st.add("max(timestamp)",
+            org.apache.spark.sql.types.LongType, nullable = true)
+        }
+      }
+    } else requiredSchema
   override def toBatch: Batch = this
 
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new BoomMicroBatchStream(paths, requiredSchema, options)
   override def description(): String =
-    s"boom [${files.size} files, pushdown=$pushdown, countOnly=$countOnly]"
+    s"boom [${files.size} files, pushdown=$pushdown, " +
+      s"pushedAggs=[${pushedAggs.mkString(",")}]]"
 
   /** Slice large files at (future) Avro sync boundaries and bin-pack the
     * slices, mirroring Spark's own `FilePartition.maxSplitBytes` sizing: many
@@ -354,11 +378,16 @@ class BoomScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    if (countOnly) new BoomCountReaderFactory(pushdown, hconf)
+    if (pushedAggs == Seq("count")) new BoomCountReaderFactory(pushdown, hconf)
+    else if (pushedAggs.nonEmpty)
+      new BoomAggReaderFactory(pushdown, pushedAggs, hconf)
     else new BoomReaderFactory(requiredSchema, pushdown, hconf)
 
   /** Public surface for plan assertions: is this a count-only scan? */
-  def isCountOnly: Boolean = countOnly
+  def isCountOnly: Boolean = pushedAggs == Seq("count")
+
+  /** Public surface for plan assertions: which aggregates were pushed? */
+  def aggsPushed: Seq[String] = pushedAggs
 
   override def estimateStatistics(): Statistics = new Statistics {
     // Deflate-6 log text inflates ~8x; rows ≈ bytes / ~150 B/line. Rough but
@@ -377,6 +406,62 @@ class BoomReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new BoomPartitionReader(
       partition.asInstanceOf[BoomInputPartition], requiredSchema, pushdown, hconf)
+}
+
+class BoomAggReaderFactory(
+    pushdown: BoomPushdown,
+    aggs: Seq[String],
+    hconf: SerializableConfiguration) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new BoomAggPartitionReader(
+      partition.asInstanceOf[BoomInputPartition], pushdown, aggs, hconf)
+}
+
+/** Pushed MIN/MAX(timestamp) ± COUNT(*) task: drain each slice in
+  * aggregate mode ([[BoomFileRangeIterator.statsRemaining]] — per-line
+  * `ms` varints, zero row/message materialization) and emit ONE partial
+  * row in the pushed-aggregate order; Spark's final aggregation merges the
+  * partials (sum / min / max). MIN/MAX are null when the task saw no
+  * surviving line — Spark's Min/Max ignore null partials.
+  */
+class BoomAggPartitionReader(
+    partition: BoomInputPartition,
+    pushdown: BoomPushdown,
+    aggs: Seq[String],
+    hconf: SerializableConfiguration) extends PartitionReader[InternalRow] {
+
+  private var emitted = false
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (emitted) return false
+    val stats = new BoomAggStats
+    partition.slices.foreach { slice =>
+      val end = if (slice.length == Long.MaxValue) Long.MaxValue else slice.start + slice.length
+      val it = new BoomFileRangeIterator(
+        new org.apache.avro.mapred.FsInput(new Path(slice.path), hconf.value),
+        pushdown, slice.start, end)
+      try it.statsRemaining(stats) finally it.close()
+    }
+    val r = new GenericInternalRow(aggs.length)
+    aggs.zipWithIndex.foreach { case (a, i) =>
+      a match {
+        case "count" => r.setLong(i, stats.cnt)
+        case "min" =>
+          if (stats.cnt == 0L) r.setNullAt(i) else r.setLong(i, stats.minTs)
+        case "max" =>
+          if (stats.cnt == 0L) r.setNullAt(i) else r.setLong(i, stats.maxTs)
+      }
+    }
+    row = r
+    emitted = true
+    true
+  }
+
+  override def get(): InternalRow = row
+
+  override def close(): Unit = ()
 }
 
 class BoomCountReaderFactory(

@@ -53,6 +53,16 @@ final case class BoomTerm(term: UTF8String, onUpper: Boolean) extends Serializab
   *                   clauses of one term — util/MultiSearch.java:165-198)
   * @param needMessage whether the message column must be decoded
   */
+/** Mutable per-task accumulator for the pushed-aggregate walk: exact
+  * surviving-line count and min/max timestamps (epoch ms). `minTs`/`maxTs`
+  * are meaningful only when `cnt > 0`.
+  */
+final class BoomAggStats {
+  var cnt: Long = 0L
+  var minTs: Long = Long.MaxValue
+  var maxTs: Long = Long.MinValue
+}
+
 final case class BoomPushdown(
     minTs: Long = Long.MinValue,
     maxTsExcl: Long = Long.MaxValue,
@@ -245,6 +255,68 @@ final class BoomBlockDatumReader(pushdown: BoomPushdown)
       f += 1
     }
     cnt
+  }
+
+  /** Aggregate walk for pushed MIN/MAX(timestamp) (± COUNT): like
+    * [[countLines]] but reads each surviving line's `ms` varint (all
+    * other item fields still length-skipped, messages never decoded) and
+    * folds exact per-line timestamps into `stats`. The count-only path
+    * keeps its zero-ms-read header credit; this one pays one varint per
+    * in-range line — the price of EXACT extremes (a whole-second block
+    * bounds its lines' timestamps only to [base, base+999]).
+    */
+  def statLines(in: Decoder, stats: BoomAggStats): Unit = {
+    var second = 0L
+    val fields = writerSchema.getFields
+    val nFields = fields.size()
+    var f = 0
+    while (f < nFields) {
+      val field = fields.get(f)
+      field.name() match {
+        case "second" => second = in.readLong()
+        case "logLines" =>
+          val base = second * 1000L
+          val itemSchema = field.schema().getElementType
+          if (base + 999L < pushdown.minTs || base >= pushdown.maxTsExcl) {
+            skipLines(in, itemSchema)
+          } else {
+            val boundary = pushdown.hasTimeFilter &&
+              !(base >= pushdown.minTs && base + 999L < pushdown.maxTsExcl)
+            statLinesInBlock(in, itemSchema, base, boundary, stats)
+          }
+        case _ => skipByType(in, field.schema())
+      }
+      f += 1
+    }
+  }
+
+  private def statLinesInBlock(
+      in: Decoder, itemSchema: Schema, base: Long, boundary: Boolean,
+      stats: BoomAggStats): Unit = {
+    val itemFields = itemSchema.getFields
+    val nItemFields = itemFields.size()
+    var n = in.readArrayStart()
+    while (n != 0) {
+      var i = 0L
+      while (i < n) {
+        var ms = 0L
+        var f = 0
+        while (f < nItemFields) {
+          val fld = itemFields.get(f)
+          if (fld.name() == "ms") ms = in.readLong()
+          else skipByType(in, fld.schema())
+          f += 1
+        }
+        val ts = base + ms
+        if (!boundary || (ts >= pushdown.minTs && ts < pushdown.maxTsExcl)) {
+          stats.cnt += 1
+          if (ts < stats.minTs) stats.minTs = ts
+          if (ts > stats.maxTs) stats.maxTs = ts
+        }
+        i += 1
+      }
+      n = in.arrayNext()
+    }
   }
 
   /** Item counts from the array headers; items skipped, never decoded.
@@ -670,6 +742,29 @@ final class BoomFileRangeIterator(
     }
     done = true
     total
+  }
+
+  /** Drain the slice in AGGREGATE mode (pushed MIN/MAX(timestamp) ±
+    * COUNT): per-line `ms` varints are read, everything else is skipped,
+    * no BoomLine/message ever materializes
+    * ([[BoomBlockDatumReader.statLines]] per record). Terminal, like
+    * [[countRemaining]].
+    */
+  def statsRemaining(stats: BoomAggStats): Unit = {
+    require(pushdown.clauses.isEmpty,
+      "aggregate-only scan requires no pushed term clauses")
+    require(bufPos >= buffer.length,
+      "statsRemaining must run on a fresh iterator")
+    if (done) return
+    var count = nextRawBlock()
+    while (count >= 0) {
+      blocksDecoded += 1
+      binDecoder = DecoderFactory.get().binaryDecoder(blockData, 0, blockLen, binDecoder)
+      var i = 0
+      while (i < count) { datumReader.statLines(binDecoder, stats); i += 1 }
+      count = nextRawBlock()
+    }
+    done = true
   }
 
   override def hasNext: Boolean = {

@@ -124,6 +124,43 @@ class BoomPushdownSpec extends SparkTestBase {
     assert(q.head().getLong(0) === 100L)
   }
 
+  test("MIN/MAX(timestamp) push into the scan and stay ms-exact at block boundaries") {
+    // Same three-regime fixture as the count test: skip, whole-block,
+    // and boundary seconds all contribute candidates, and the exact
+    // extremes land strictly INSIDE boundary seconds (2000500 head-of-
+    // range, 2015200 tail) so a header-only [base, base+999] bound would
+    // get both wrong — the per-line ms walk is what's being pinned.
+    val d = Files.createTempDirectory("aggms").toString
+    val lines = for (s <- 0 until 20; i <- 0 until 10) yield
+      graft.core.LogLine(2000000L + s * 1000L + i * 100L, s"line $s $i", 0, 0L, 0L, 1L)
+    Ingest.reboom(lines.toDF().coalesce(1), d)
+    val b = spark.read.format("boom").load(d)
+    val q = b.where(col("timestamp") >= 2000500L && col("timestamp") < 2015300L)
+      .agg(min("timestamp"), max("timestamp"), count(lit(1)))
+    val scan = boomScanOf(q)
+    assert(scan.aggsPushed.toSet === Set("min", "max", "count"),
+      s"expected min/max/count pushed, got ${scan.aggsPushed}")
+    val r = q.head()
+    assert(r.getLong(0) === 2000500L)
+    assert(r.getLong(1) === 2015200L)
+    assert(r.getLong(2) === 148L)
+    // Bit-equality against the unpushed row-level scan.
+    val e = spark.read.format("boom").option("countPushdown", "false").load(d)
+      .where(col("timestamp") >= 2000500L && col("timestamp") < 2015300L)
+      .agg(min("timestamp"), max("timestamp"), count(lit(1))).head()
+    assert(r === e)
+    // Empty range: pushed MIN/MAX must come back null, count 0.
+    val z = b.where(col("timestamp") >= 9000000L)
+      .agg(min("timestamp"), max("timestamp"), count(lit(1))).head()
+    assert(z.isNullAt(0) && z.isNullAt(1) && z.getLong(2) === 0L)
+  }
+
+  test("MIN(timestamp) with a term clause does NOT push (messages must decode)") {
+    val q = bm.where(col("message").contains("msg 1 ")).agg(min("timestamp"))
+    assert(boomScanOf(q).aggsPushed.isEmpty)
+    assert(q.head().getLong(0) === 1000001L)
+  }
+
   test("count-only scan is exact across whole-second and boundary blocks") {
     // Multi-second fixture: 10 lines per second over 20 seconds, so a
     // range cutting mid-second exercises all three count regimes (skip,
