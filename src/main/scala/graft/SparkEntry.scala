@@ -1404,6 +1404,33 @@ object SparkEntry {
         .presented("key", "rank")
     }),
 
+    // kmvDistinctStream's final per-key sketch replayed exactly: KMV
+    // state (the ≤ k smallest distinct 48-bit md5 hashes) is a pure
+    // function of the seen value multiset, so after any batch split the
+    // final (n_kept, kth_hash, est) equals the batch sketch — DuckDB
+    // rebuilds the bottom-k per key over the same subset. k = 16 so the
+    // estimator path (not just the exact-below-k tier) is on the oracle.
+    "q_stream_kmv" -> ((s, dir) => {
+      import s.implicits._
+      val rows = t(s, dir, "events")
+        .select(col("event_type").cast("string"),
+          col("user_id").cast("long"), col("event_id").cast("long"))
+        .where(col("event_id") % 100 < 5)
+        .as[(String, Long, Long)].collect().toSeq
+      val batches = Seq(0L, 1L).map(p =>
+        rows.filter(_._3 % 2 == p).map { case (k, u, _) =>
+          graft.streaming.LogStream.DistinctInput(k, u.toString, 0L) })
+      val reports = runStreamFinal(s, batches)(ds =>
+        graft.streaming.LogStream.kmvDistinctStream(ds, k = 16))
+      // n_kept saturates at k, so "latest report" is positional: the
+      // harness drains batches sequentially, so per key the last element
+      // IS the final state (unlike n_seen/n_obs, which grow strictly).
+      reports.groupBy(_.key).values.map(_.last).toSeq
+        .map(r => (r.key, r.n_kept, r.kth_hash, r.est))
+        .toDF("key", "n_kept", "kth_hash", "est")
+        .presented("key")
+    }),
+
     // driftStream's final per-key report replayed exactly: state is the
     // observed class-count map (pure function of the row multiset), and
     // the χ² is the integer rational Σ ⌊10⁶·(o·R − O·r)² / (O·r·R)⌋ —
@@ -4239,6 +4266,21 @@ object SparkEntry {
         |   FROM sub)
         | SELECT key, n_seen, CAST(rank AS INT) AS rank, id
         | FROM r WHERE rank <= 5 ORDER BY key, rank""".stripMargin,
+    "q_stream_kmv" ->
+      """WITH sub AS (SELECT DISTINCT event_type AS key,
+        |     CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+        |       AS BIGINT) AS h
+        |   FROM events WHERE event_id % 100 < 5),
+        | r AS (SELECT key, h,
+        |     row_number() OVER (PARTITION BY key ORDER BY h) AS rn
+        |   FROM sub),
+        | s AS (SELECT key, CAST(least(count(*), 16) AS INT) AS n_kept,
+        |     coalesce(max(CASE WHEN rn <= 16 THEN h END), 0) AS kth_hash
+        |   FROM r GROUP BY key)
+        | SELECT key, n_kept, kth_hash,
+        |   CASE WHEN n_kept < 16 THEN CAST(n_kept AS BIGINT)
+        |        ELSE (15 * 281474976710656) // (kth_hash + 1) END AS est
+        | FROM s ORDER BY key""".stripMargin,
     "q_stream_drift" ->
       """WITH sub AS (SELECT source AS key, lang AS cls FROM documents
         |     WHERE doc_id % 10 < 2),
