@@ -820,6 +820,43 @@ object Similarity {
       k, beamWidth, hops)
   }
 
+  /** A built graph index: the kNN edge table and the coarse routing node
+    * sample — the two artifacts [[graphSearchLayered]] serves from, made
+    * durable together (the FAISS build-once/search-many split, across
+    * SESSIONS: at 100 TB nobody rebuilds a corpus kNN graph per job).
+    */
+  final case class GraphIndex(graph: DataFrame, coarse: DataFrame) {
+    /** Write edges + coarse nodes; reload with [[loadGraphIndex]]. */
+    def save(path: String): Unit = {
+      graph.select(col("id"), col("neighbor_id"))
+        .write.mode("overwrite").parquet(s"$path/edges")
+      coarse.select("id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/_coarse")
+    }
+  }
+
+  /** Build the durable pair [[graphSearchLayered]] needs: the kNN edge
+    * table ([[knnGraph]]) and the coarse routing sample ([[coarseLayer]],
+    * derived ⌈√n⌉ by default). Both are deterministic, so a rebuilt index
+    * equals a loaded one — but the build pays the banded kNN construction,
+    * which is exactly what [[GraphIndex.save]] amortizes away.
+    */
+  def buildGraphIndex(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      k: Int = 10,
+      coarseSize: Int = 0): GraphIndex =
+    GraphIndex(
+      knnGraph(corpus, corpusId, corpusVec, k),
+      coarseLayer(corpus, corpusId, corpusVec, coarseSize))
+
+  def loadGraphIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): GraphIndex =
+    GraphIndex(
+      spark.read.parquet(s"$path/edges"),
+      spark.read.parquet(s"$path/_coarse"))
+
   /** Embedding-level decontamination: the TRAIN-side removal list against
     * a benchmark/eval set — train rows whose embedding cosine against ANY
     * eval row reaches `threshold` (the semantic complement to the n-gram

@@ -107,6 +107,32 @@ class IndexPersistenceSpec extends SparkTestBase {
     assert(a.nonEmpty)
   }
 
+  test("graph index: a new session loads edges+coarse nodes and searches identically") {
+    val corpus = spark.read.parquet(corpusPath)
+    val idx = Similarity.buildGraphIndex(corpus, "vec_id", "embedding",
+      k = 6, coarseSize = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graph-idx").toString
+    idx.save(dir)
+    def search(s: org.apache.spark.sql.SparkSession,
+        i: Similarity.GraphIndex): Set[(Long, Long)] = {
+      val c = s.read.parquet(corpusPath)
+      val q = c.where(col("vec_id") < 4)
+      Similarity.graphSearchLayered(i.graph, i.coarse, c, "vec_id",
+          "embedding", q, "vec_id", "embedding", k = 3, beamWidth = 8,
+          hops = 2)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val a = search(spark, idx)
+    val sB = spark.newSession()
+    val idxB = Similarity.loadGraphIndex(sB, dir)
+    assert(search(sB, idxB) === a)
+    assert(a.nonEmpty)
+    // The loaded coarse sample IS the deterministic ⌈√n⌉-rule sample.
+    assert(idxB.coarse.select("id").collect().map(_.getLong(0)).toSet ===
+      idx.coarse.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("IVF-PQ: a new session loads the full composite index and searches identically") {
     val corpus = spark.read.parquet(corpusPath)
     val idx = ProductQuantizer.buildIvfPq(corpus, "vec_id", "embedding",
