@@ -3204,6 +3204,21 @@ object SparkEntry {
       Graph.kCore(e, "src", "dst", k = 3).presented("vertex")
     }),
 
+    // k-truss of the same synthetic domain graph (r14): every surviving
+    // edge closes >= k-2 triangles INSIDE the subgraph — the cohesion
+    // tier above q_kcore's degree peel (trusses drop well-connected
+    // BRIDGE edges a degree test keeps). Synchronous peel to fixpoint;
+    // the oracle unrolls 8 guarded rounds (no-ops past the fixpoint,
+    // engine asserts convergence) and re-derives the fixpoint support.
+    // The PLAIN 100-vertex functional graph is triangle-free at every sf
+    // (measured), so the truss runs on the GROWING dense domain graph
+    // (the q_kcore_scaled fixture), where k = 5 actually peels (29 → 19
+    // edges at sf0.01) and fixpoint lands well inside the oracle's 8
+    // unrolled rounds at all three SFs.
+    "q_ktruss" -> ((s, dir) =>
+      Graph.kTruss(scaledDomainEdges(s, dir, dense = true), "src", "dst",
+        k = 5).presented("u", "v")),
+
     // Label-propagation communities over the same dense synthetic
     // domain graph as q_kcore: 4 fixed synchronous sweeps, neighbor-
     // frequency argmax with min-label tie-break — fully deterministic,
@@ -5876,6 +5891,8 @@ object SparkEntry {
          | ORDER BY doc_id""".stripMargin,
     "q_hilbert" -> hilbertOracleSql(21, 6),
     "q_kcore" -> kCoreOracleSql(3, 8),
+    "q_ktruss" -> kTrussOracleSql(5, 8, ScaledVSql, ScaledU0, ScaledV1,
+      ScaledV2),
     "q_label_prop" -> labelPropOracleSql(4),
     "q_zorder" ->
       """WITH mx AS (SELECT max(greatest(CAST(l_orderkey AS BIGINT),
@@ -8266,6 +8283,51 @@ object SparkEntry {
          | SELECT x AS vertex, count(*) AS degree
          | FROM (SELECT u AS x FROM e$rounds UNION ALL SELECT v FROM e$rounds)
          | GROUP BY x ORDER BY vertex""".stripMargin
+  }
+
+  /** Unrolled k-truss oracle: same synthesized graph as
+    * [[kCoreOracleSql]]; each round recounts per-edge triangle support
+    * via the id-ordered canonical 3-way join (orientation-invariant, so
+    * it equals the engine's degree-oriented count) and keeps edges with
+    * support ≥ k−2; the final SELECT re-derives the fixpoint support.
+    * AS MATERIALIZED is load-bearing (each round referenced 4×).
+    */
+  private def kTrussOracleSql(k: Int, rounds: Int,
+      modSql: String = "100", u0: String = PlainU0,
+      v1: String = PlainV1, v2: String = PlainV2): String = {
+    val base =
+      s"""WITH nv AS MATERIALIZED (SELECT $modSql AS m),
+        | e0 AS MATERIALIZED (
+        |   SELECT DISTINCT least(u0, v0) AS u, greatest(u0, v0) AS v
+        |   FROM (SELECT $u0 AS u0, $v1 AS v0
+        |       FROM documents, nv
+        |     UNION ALL
+        |     SELECT $u0, $v2
+        |       FROM documents, nv)
+        |   WHERE u0 <> v0)""".stripMargin
+    def supBlock(i: Int, src: String): String =
+      s""" t$i AS MATERIALIZED (SELECT a.u AS x, a.v AS y, b.v AS z
+         |   FROM $src a JOIN $src b ON b.u = a.v
+         |   JOIN $src c ON c.u = a.u AND c.v = b.v),
+         | s$i AS MATERIALIZED (SELECT u, v, count(*) AS sup FROM (
+         |     SELECT x AS u, y AS v FROM t$i
+         |     UNION ALL SELECT y, z FROM t$i
+         |     UNION ALL SELECT x, z FROM t$i)
+         |   GROUP BY u, v)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s""",
+         |${supBlock(i, s"e${i - 1}")},
+         | e$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e
+         |   JOIN s$i s ON s.u = e.u AND s.v = e.v
+         |   WHERE s.sup >= ${k - 2})""".stripMargin
+    }.mkString
+    base + steps +
+      s""",
+         |${supBlock(rounds + 1, s"e$rounds")}
+         | SELECT e.u, e.v, coalesce(s.sup, 0) AS support
+         | FROM e$rounds e LEFT JOIN s${rounds + 1} s
+         |   ON s.u = e.u AND s.v = e.v
+         | ORDER BY e.u, e.v""".stripMargin
   }
 
   /** Unrolled deterministic-LPA oracle: same synthesized graph as

@@ -796,6 +796,89 @@ object Graph {
     out
   }
 
+  /** k-truss (Cohen 2008): the maximal subgraph whose every edge closes
+    * at least k−2 triangles WITHIN the subgraph — the cohesion notion one
+    * tier above [[kCore]] (every k-truss lives inside a (k−1)-core, but
+    * the truss also drops "bridge" edges whose endpoints are individually
+    * well-connected). Synchronous peeling: each round recomputes every
+    * edge's triangle support via the degree-oriented wedge join (each
+    * triangle exactly one (low, mid, high) realization — the
+    * [[triangleCount]] DAG, O(m^1.5) wedge mass) and drops ALL
+    * under-supported edges together, so the result is a pure function of
+    * the edge set (sequential lowest-support-first peeling is
+    * order-dependent and not replayable).
+    *
+    * Scale shape: per round, one degree census + the id-only wedge join +
+    * a map-side-combined per-edge support count; rounds are eagerly
+    * localCheckpoint'd (the [[kCore]] lineage rationale). Returns the
+    * surviving undirected edges with their fixpoint support:
+    * (u, v, support), u < v.
+    */
+  def kTruss(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      maxRounds: Int = 64): DataFrame = {
+    require(k >= 3, s"k must be >= 3 for a non-trivial truss, got $k")
+    var e = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    def support(ed: DataFrame): DataFrame = {
+      val deg = ed.select(col("u").as("x"))
+        .unionByName(ed.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("d"))
+      val oriented = ed
+        .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+        .select(
+          when(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")),
+            struct(col("u").as("a"), col("v").as("b")))
+            .otherwise(struct(col("v").as("a"), col("u").as("b")))
+            .as("o"))
+        .select(col("o.a").as("a"), col("o.b").as("b"))
+      val tri = oriented.as("ab")
+        .join(oriented.as("bc"), col("ab.b") === col("bc.a"))
+        .join(oriented.as("ac"),
+          col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
+        .select(col("ab.a").as("x"), col("ab.b").as("y"),
+          col("bc.b").as("z"))
+      tri.select(explode(array(
+          struct(least(col("x"), col("y")).as("u"),
+            greatest(col("x"), col("y")).as("v")),
+          struct(least(col("y"), col("z")).as("u"),
+            greatest(col("y"), col("z")).as("v")),
+          struct(least(col("x"), col("z")).as("u"),
+            greatest(col("x"), col("z")).as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("support"))
+    }
+    var converged = false
+    var round = 0
+    var prevCount = e.count()
+    while (!converged && round < maxRounds) {
+      val next = e
+        .join(support(e).where(col("support") >= k - 2),
+          Seq("u", "v"), "left_semi")
+        .localCheckpoint(true)
+      val nextCount = next.count()
+      converged = nextCount == prevCount
+      e = next
+      prevCount = nextCount
+      round += 1
+    }
+    require(converged, s"kTruss did not converge in $maxRounds rounds")
+    // Fixpoint support: recomputed on the final edge set (all ≥ k−2 by
+    // the convergence condition).
+    e.join(support(e), Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   def triangleCount(
       edges: DataFrame,
       srcCol: String,

@@ -159,6 +159,39 @@ class GraphSpec extends SparkTestBase {
     assert(Graph.kCore(edges, "src", "dst", k = 1).count() === 9L)
   }
 
+  test("kTruss peels bridges a degree test keeps; cascade and supports exact") {
+    // K5 {1..5} + a bridge edge (1,10) into a triangle pair
+    // {10,11,12},{10,12,13} sharing edge (10,12).
+    // 4-truss (support >= 2): K5 edges each close 3 triangles -> all 10
+    // survive. The shared edge (10,12) has support 2 BUT its supporting
+    // triangles' OTHER edges have support 1 and drop in round 1 — the
+    // cascade must then drop (10,12) too: final 4-truss = K5 exactly.
+    // Contrast with kCore: every vertex in the triangle blob has degree
+    // >= 2, so the 3-core keeps... (hand: 3-core drops 11,13 (deg 2),
+    // then 10,12 fall below 3) — the case where the two DO agree; the
+    // discriminating case is the 3-truss below, which keeps the blob the
+    // 4-truss dropped, proving truss grading is support-, not
+    // degree-based.
+    val k5 = for { a <- 1L to 5L; b <- 1L to 5L if a < b } yield (a, b)
+    val blob = Seq((1L, 10L), (10L, 11L), (11L, 12L), (10L, 12L),
+      (12L, 13L), (10L, 13L))
+    val edges = (k5 ++ blob).toDF("src", "dst")
+    val got4 = Graph.kTruss(edges, "src", "dst", k = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got4.map(e => (e._1, e._2)) === k5.toSet)
+    assert(got4.forall(_._3 === 3L), "every K5 edge closes 3 triangles")
+    // 3-truss (support >= 1): the triangle blob survives (each blob
+    // triangle edge closes >= 1), the bridge (1,10) closes none -> drops.
+    val got3 = Graph.kTruss(edges, "src", "dst", k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got3.map(e => (e._1, e._2)) ===
+      k5.toSet ++ Set((10L, 11L), (11L, 12L), (10L, 12L), (12L, 13L),
+        (10L, 13L)))
+    assert(got3.find(e => (e._1, e._2) == (10L, 12L)).get._3 === 2L)
+    // Above the densest truss: empty, still converges.
+    assert(Graph.kTruss(edges, "src", "dst", k = 6).count() === 0L)
+  }
+
   test("labelPropagation: two bridged triangles separate; deterministic") {
     // Triangles {1,2,3} and {4,5,6} with bridge 3–4. Hand-unrolled
     // 4 synchronous min-tie-break rounds: left community converges to
