@@ -3658,6 +3658,15 @@ object SparkEntry {
     // Balanced training-shard plan: serpentine-by-size assignment to 8
     // shards (distributed rank — histogram offsets + per-count windows,
     // no global window), summarized per shard with the ppm spread audit.
+    // Rendezvous (HRW) re-shard audit (r14): per-doc assignment at n = 8
+    // and n = 9 plus the moved bit, one narrow pass — the stable
+    // doc→shard map whose re-scale move fraction is ~1/(n+1) instead of
+    // hash-mod's n/(n+1). FULLY oracled: the md5-48 argmax (weight DESC,
+    // shard ASC ties) replays per row in SQL.
+    "q_rendezvous_shard" -> ((s, dir) =>
+      Scale.rendezvousMoveAudit(t(s, dir, "documents"), "doc_id", 8, 9)
+        .presented("doc_id")),
+
     "q_shard_plan" -> ((s, dir) => {
       val asg = Curation.shardPlan(t(s, dir, "documents"), "doc_id", "text",
         nShards = 8)
@@ -7777,6 +7786,22 @@ object SparkEntry {
         |     ELSE (abs(m * 2 - n1 * sdo) * 1000000) // (m * 2)
         |   END AS BIGINT) AS alpha_ppm
         | FROM f""".stripMargin,
+    "q_rendezvous_shard" ->
+      """WITH w AS (SELECT doc_id, r.s,
+        |     CAST(('0x' || substr(md5(doc_id::VARCHAR || '#' || r.s
+        |       || '-graft'), 1, 12)) AS BIGINT) AS wt
+        |   FROM documents, range(0, 9) r(s)),
+        | a AS (SELECT doc_id, CAST(s AS INT) AS shard_a FROM (
+        |     SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+        |       ORDER BY wt DESC, s) AS rn FROM w WHERE s < 8)
+        |   WHERE rn = 1),
+        | b AS (SELECT doc_id, CAST(s AS INT) AS shard_b FROM (
+        |     SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+        |       ORDER BY wt DESC, s) AS rn FROM w)
+        |   WHERE rn = 1)
+        | SELECT a.doc_id, a.shard_a, b.shard_b,
+        |   CAST(a.shard_a <> b.shard_b AS INT) AS moved
+        | FROM a JOIN b USING (doc_id) ORDER BY a.doc_id""".stripMargin,
     "q_shard_plan" ->
       s"""WITH d AS (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS nt
          |   FROM documents),

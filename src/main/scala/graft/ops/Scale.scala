@@ -9,6 +9,71 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Per-row rendezvous weight for shard `s`: the first 48 bits of
+    * md5(id + "#" + s + "-" + salt) — the kmv md5 convention, so any
+    * engine replays the exact argmax.
+    */
+  private def hrwWeight(idCol: String, s: Int, salt: String): Column =
+    conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(s"#$s-$salt")).cast("binary")), 1, 12), 16, 10).cast("long")
+
+  private def hrwShardExpr(idCol: String, nShards: Int,
+      salt: String): Column = {
+    val arr = array((0 until nShards).map(hrwWeight(idCol, _, salt)): _*)
+    // array_position returns the FIRST maximum — ties (vanishing at 48
+    // bits) break to the lowest shard id, replayable as
+    // ORDER BY weight DESC, shard.
+    (array_position(arr, array_max(arr)) - 1).cast("int")
+  }
+
+  /** Rendezvous (highest-random-weight) sharding — Thaler & Ravishankar
+    * 1998: shard(id) = argmax over s ∈ [0, nShards) of an id+shard hash.
+    * THE property a 100 TB corpus layout wants from its doc → shard map:
+    * growing n → n+1 reassigns ONLY the keys whose new shard wins the
+    * argmax — expected moved fraction 1/(n+1) — where `hash(id) % n`
+    * reassigns n/(n+1) of the corpus (a full rewrite on every re-scale).
+    * One narrow codegen'd pass: the weight array is nShards md5 columns
+    * per row, no shuffle, no state; a pure function of (id, n, salt), so
+    * assignments are stable across runs, engines, and partitionings.
+    *
+    * For nShards beyond a few thousand the per-row expression fan-out
+    * dominates — re-shard in two rendezvous tiers (shard groups, then
+    * within-group) rather than widening the array; the require below is
+    * that design boundary made explicit.
+    *
+    * @return (idCol, shard ∈ [0, nShards)).
+    */
+  def rendezvousShard(
+      df: DataFrame,
+      idCol: String,
+      nShards: Int,
+      salt: String = "graft"): DataFrame = {
+    require(nShards >= 1 && nShards <= 4096,
+      s"nShards must be in [1, 4096], got $nShards — tier the hash for more")
+    df.select(col(idCol),
+      hrwShardExpr(idCol, nShards, salt).as("shard"))
+  }
+
+  /** Re-shard stability audit: both assignments in ONE pass plus the
+    * moved bit — the number an operator reads before a shard-count
+    * change (rendezvous ⇒ moved_ppm ≈ 10⁶·(1 − min/max); hash-mod would
+    * read ≈ 10⁶·(1 − 1/max)). Output per id:
+    * (idCol, shard_a, shard_b, moved).
+    */
+  def rendezvousMoveAudit(
+      df: DataFrame,
+      idCol: String,
+      nFrom: Int,
+      nTo: Int,
+      salt: String = "graft"): DataFrame = {
+    require(nFrom >= 1 && nFrom <= 4096 && nTo >= 1 && nTo <= 4096,
+      s"shard counts must be in [1, 4096], got $nFrom, $nTo")
+    df.select(col(idCol),
+      hrwShardExpr(idCol, nFrom, salt).as("shard_a"),
+      hrwShardExpr(idCol, nTo, salt).as("shard_b"))
+      .withColumn("moved", (col("shard_a") =!= col("shard_b")).cast("int"))
+  }
+
   /** Persist as a bucketed+sorted table: repeated equi-joins/aggregations on
     * `bucketCols` then read the table back and join WITHOUT a shuffle on
     * either side (Catalyst recognizes compatible bucketing and drops the

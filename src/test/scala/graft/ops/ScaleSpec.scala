@@ -201,6 +201,34 @@ class ScaleSpec extends SparkTestBase {
       (r.getLong(5) - r.getLong(4) + 1) === 256L))
   }
 
+  test("rendezvousShard: stable re-scale — moved fraction ~1/(n+1), not hash-mod's n/(n+1)") {
+    val ids = (0L until 2000L).toDF("id")
+    val audit = Scale.rendezvousMoveAudit(ids, "id", 8, 9)
+    val rows = audit.as[(Long, Int, Int, Int)].collect()
+    assert(rows.length === 2000)
+    rows.foreach { case (_, a, b, m) =>
+      assert(a >= 0 && a < 8 && b >= 0 && b < 9)
+      assert(m === (if (a != b) 1 else 0))
+    }
+    // The HRW stability law: expected moved fraction at 8 → 9 is 1/9
+    // (~222 of 2000). Deterministic fixture, generous band.
+    val moved = rows.count(_._4 == 1)
+    assert(moved > 2000 / 20 && moved < 2000 / 4,
+      s"moved $moved of 2000 — outside the ~1/9 HRW band")
+    // Contrast: hash-mod re-sharding moves ~8/9 of keys on the same step.
+    val modMoved = ids
+      .select((xxhash64($"id") % 8 =!= xxhash64($"id") % 9).cast("int").as("m"))
+      .agg(sum("m")).as[Long].head()
+    assert(modMoved > 2000 / 2, s"hash-mod moved only $modMoved — fixture degenerate")
+    // Balance: every shard of the 9 receives a reasonable share.
+    val byShard = rows.groupBy(_._3).view.mapValues(_.size)
+    assert(byShard.size === 9 && byShard.values.min > 2000 / 9 / 3)
+    // Pure function: a second computation is identical.
+    val again = Scale.rendezvousMoveAudit(ids, "id", 8, 9)
+      .as[(Long, Int, Int, Int)].collect()
+    assert(rows.sortBy(_._1) === again.sortBy(_._1))
+  }
+
   test("zorderLayout preserves rows and drops the helper column") {
     val grid = (for (a <- 0 until 32; b <- 0 until 32) yield (a.toLong, b.toLong))
       .toDF("a", "b")
