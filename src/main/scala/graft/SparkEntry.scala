@@ -3103,21 +3103,18 @@ object SparkEntry {
     // MRL-trained, so truncated recall is LOW (the audit's honest
     // finding; SCALING.md); the oracle pins the structural rows and the
     // full-dim self-check (recall ≡ 1.0 by construction at dim = 64).
-    // r14 oracle fix (ADVICE): pin only what is GUARANTEED — structural
-    // rows and the full-dim endpoint law (slice(v, 1, 64) ≡ v ⇒ recall
-    // 1.0 by construction). Sub-endpoint recall is a measurement; the
-    // old oracle hardcoded it 0 and would have failed spuriously had a
-    // fixture change made truncation legitimately lossless. The
-    // endpoint_law column is 1 for every row: sub-endpoint rows
-    // trivially (no law to check), the 64-dim row iff measured recall
-    // is exactly 10⁶ — so an endpoint regression still fails the hash.
+    // r14 FULL VALUE oracle (upgraded twice this round): the audit's
+    // sample draw moved to the md5-48 kmv convention, so DuckDB replays
+    // the ENTIRE chain — sample election, exact full-dim f64 cosine
+    // top-5, prefix-truncated top-5 per dim, per-query hits — and every
+    // mean/min recall VALUE hash-matches (verified bit-equal: both
+    // engines upcast float→double and fold sequentially, so the cosine
+    // doubles are identical). No pinned bits anywhere.
     "q_matryoshka_recall" -> ((s, dir) =>
       Similarity.truncationRecallAudit(t(s, dir, "embeddings"), "vec_id",
           "embedding", Seq(4, 8, 16), k = 5, sample = 10)
         .select(col("dim"), col("n_queries"), col("k"),
-          (col("dim") =!= 64 ||
-            col("mean_recall_ppm") === 1000000L).cast("int")
-            .as("endpoint_law"))),
+          col("mean_recall_ppm"), col("min_recall_ppm"))),
 
     "q_f1_threshold" -> ((s, dir) =>
       Stats.f1Threshold(
@@ -7537,10 +7534,8 @@ object SparkEntry {
         |   CAST(CASE WHEN n_pos = 0 THEN 0
         |     ELSE ap // (n_pos::HUGEINT * 1000000) END AS BIGINT) AS ap_ppm
         | FROM g""".stripMargin,
-    "q_matryoshka_recall" ->
-      """SELECT CAST(d AS INT) AS dim, CAST(10 AS BIGINT) AS n_queries,
-        |   CAST(5 AS BIGINT) AS k, CAST(1 AS INT) AS endpoint_law
-        | FROM (SELECT unnest([4, 8, 16, 64]) AS d) ORDER BY d""".stripMargin,
+    "q_matryoshka_recall" -> matryoshkaOracleSql(Seq(4, 8, 16, 64),
+      k = 5, sample = 10, seed = 42L),
     "q_trimmed_mean" ->
       """WITH h AS (SELECT lang AS k, n_chars AS v, count(*)::BIGINT AS c
         |   FROM documents GROUP BY 1, 2),
@@ -8308,6 +8303,60 @@ object SparkEntry {
          | SELECT x AS vertex, count(*) AS degree
          | FROM (SELECT u AS x FROM e$rounds UNION ALL SELECT v FROM e$rounds)
          | GROUP BY x ORDER BY vertex""".stripMargin
+  }
+
+  /** `q_matryoshka_recall`'s full value replay: md5-48 sample election,
+    * exact f64 cosine rankings at the full dim and at each truncation
+    * prefix (both engines upcast float→double and fold sequentially, so
+    * the doubles are bit-identical — verified), per-query hit counts,
+    * integer-ppm recall. One pairs CTE carries every prefix's partial
+    * sums; dims ≥ the 64 full dim collapse into the full row like the
+    * engine's `dims.filter(_ < fullDim) :+ fullDim`.
+    */
+  private def matryoshkaOracleSql(dims: Seq[Int], k: Int, sample: Int,
+      seed: Long): String = {
+    def fold(a: String, b: String, d: Int): String =
+      s"""list_sum(list_transform(range(1, ${d + 1}),
+         |       i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"""
+        .stripMargin
+    def cosCols(tag: String, d: Int): String =
+      s"""${fold("q.qe", "e.embedding", d)} AS dot_$tag,
+         |     ${fold("q.qe", "q.qe", d)} AS ns_$tag,
+         |     ${fold("e.embedding", "e.embedding", d)} AS nc_$tag"""
+        .stripMargin
+    val full = 64
+    val sub = dims.filter(_ < full).distinct.sorted
+    val allTags = sub.map(d => s"d$d" -> d) :+ ("full" -> full)
+    val pairCols = allTags.map { case (t, d) => cosCols(t, d) }
+      .mkString(",\n     ")
+    def rank(t: String): String =
+      s"""(SELECT qid, nid FROM (SELECT qid, nid, row_number() OVER (
+         |     PARTITION BY qid ORDER BY (CASE WHEN ns_$t = 0 OR nc_$t = 0
+         |       THEN 0.0 ELSE dot_$t / sqrt(ns_$t * nc_$t) END) DESC, nid)
+         |     AS rn FROM pairs) WHERE rn <= $k)""".stripMargin
+    val perDim = allTags.map { case (t, d) =>
+      s"""SELECT $d AS dim, count(*)::BIGINT AS nq,
+         |   CAST((sum(hits) * 1000000) // (count(*) * $k) AS BIGINT)
+         |     AS mean_ppm,
+         |   CAST(min((hits * 1000000) // $k) AS BIGINT) AS min_ppm
+         | FROM (SELECT f.qid, count(t.nid)::BIGINT AS hits
+         |   FROM full5 f LEFT JOIN ${rank(t)} t
+         |     ON t.qid = f.qid AND t.nid = f.nid GROUP BY f.qid)"""
+        .stripMargin
+    }.mkString("\n UNION ALL\n")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM (
+       |     SELECT vec_id, embedding, row_number() OVER (ORDER BY
+       |       CAST(('0x' || substr(md5(vec_id::VARCHAR || '-$seed'), 1, 12))
+       |         AS BIGINT), vec_id) AS rn
+       |     FROM embeddings) WHERE rn <= $sample),
+       | pairs AS (SELECT q.qid, e.vec_id AS nid,
+       |     $pairCols
+       |   FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+       | full5 AS ${rank("full")}
+       | SELECT CAST(dim AS INT) AS dim, nq AS n_queries,
+       |   CAST($k AS BIGINT) AS k, mean_ppm AS mean_recall_ppm,
+       |   min_ppm AS min_recall_ppm
+       | FROM ($perDim) ORDER BY dim""".stripMargin
   }
 
   /** Unrolled k-truss oracle: same synthesized graph as

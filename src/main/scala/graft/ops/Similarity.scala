@@ -1003,8 +1003,15 @@ object Similarity {
     require(dims.forall(_ >= 1), s"dims must be >= 1, got $dims")
     require(k >= 1, s"k must be >= 1, got $k")
     val fullDim = vectorDim(corpus, vecCol)
+    // Sample draw = the md5-48 kmv convention (not xxhash64): this audit
+    // is VALUE-oracled (q_matryoshka_recall hash-matches the whole
+    // sample → exact-truth → truncated-rank → recall chain), and md5 is
+    // the draw any engine replays — the reason the sampling convention
+    // differs from auditRecall's cheaper xxhash64.
+    val draw = conv(substring(md5(concat(col("query_id").cast("string"),
+      lit(s"-$seed")).cast("binary")), 1, 12), 16, 10).cast("long")
     val qids = corpus.select(col(idCol).as("query_id")).distinct()
-      .orderBy(xxhash64(col("query_id"), lit(seed)), col("query_id"))
+      .orderBy(draw, col("query_id"))
       .limit(sample)
     val queries = corpus
       .join(broadcast(qids), col(idCol) === col("query_id"))
