@@ -248,14 +248,14 @@ object SparkEntry {
     * source, not here.
     */
   private def runStreamFinal[I: Encoder, O: Encoder](
-      s: SparkSession, batches: Seq[Seq[I]])(
+      s: SparkSession, batches: Seq[Seq[I]], mode: String = "update")(
       build: Dataset[I] => Dataset[O]): Seq[O] = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[I]
     val out = build(input.toDS())
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[O]()
-    val q = out.writeStream.outputMode("update")
+    val q = out.writeStream.outputMode(mode)
       .foreachBatch { (b: Dataset[O], _: Long) =>
         b.collect().foreach(buf.add); ()
       }.start()
@@ -1402,6 +1402,39 @@ object SparkEntry {
           (r.key, r.n_seen, i + 1, id) })
         .toDF("key", "n_seen", "rank", "id")
         .presented("key", "rank")
+    }),
+
+    // sessionize's FINAL session set replayed exactly (the fourth
+    // streaming law on the oracle): with batches split by TIME, the
+    // per-key fold sees events in global time order, so closed + timed-
+    // out sessions over a bounded feed equal the batch gaps-and-islands
+    // — which is plain SQL. Two flush batches advance the watermark past
+    // every open session's last + gap (the first moves the watermark,
+    // the second's trigger fires the event-time timeouts).
+    "q_stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val rows = events(s, dir)
+        .select((col("user_id") % 50).cast("string"), col("ts_ms"),
+          col("event_id").cast("long"))
+        .where(col("event_id") % 100 < 5)
+        .as[(String, Long, Long)].collect().toSeq
+      val split = 1705350000000L
+      def in(r: (String, Long, Long)) =
+        graft.streaming.LogStream.SessionInput(r._1, r._2)
+      val flushTs = rows.map(_._2).max + 10L * 24 * 3600 * 1000
+      val batches = Seq(
+        rows.filter(_._2 < split).map(in),
+        rows.filter(_._2 >= split).map(in),
+        Seq(graft.streaming.LogStream.SessionInput("__flush", flushTs)),
+        Seq(graft.streaming.LogStream.SessionInput("__flush",
+          flushTs + 3600000L)))
+      val out = runStreamFinal(s, batches, mode = "append")(ds =>
+        graft.streaming.LogStream.sessionize(ds, gapMs = 86400000L,
+          watermark = "10 minutes"))
+      out.filter(_.key != "__flush")
+        .map(r => (r.key, r.startMs, r.endMs, r.n))
+        .toDF("key", "start_ms", "end_ms", "n")
+        .presented("key", "start_ms")
     }),
 
     // kmvDistinctStream's final per-key sketch replayed exactly: KMV
@@ -4287,6 +4320,20 @@ object SparkEntry {
         |   FROM sub)
         | SELECT key, n_seen, CAST(rank AS INT) AS rank, id
         | FROM r WHERE rank <= 5 ORDER BY key, rank""".stripMargin,
+    "q_stream_sessionize" ->
+      """WITH sub AS (SELECT CAST(user_id % 50 AS VARCHAR) AS key,
+        |     epoch_ms(ts) AS t
+        |   FROM events WHERE event_id % 100 < 5),
+        | g AS (SELECT key, t,
+        |     CASE WHEN lag(t) OVER (PARTITION BY key ORDER BY t) IS NULL
+        |       OR t - lag(t) OVER (PARTITION BY key ORDER BY t) > 86400000
+        |       THEN 1 ELSE 0 END AS brk
+        |   FROM sub),
+        | i AS (SELECT key, t, sum(brk) OVER (PARTITION BY key ORDER BY t
+        |     ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+        | SELECT key, min(t) AS start_ms, max(t) AS end_ms,
+        |   count(*)::BIGINT AS n
+        | FROM i GROUP BY key, sid ORDER BY key, start_ms""".stripMargin,
     "q_stream_kmv" ->
       """WITH sub AS (SELECT DISTINCT event_type AS key,
         |     CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
