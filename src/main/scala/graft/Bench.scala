@@ -180,12 +180,16 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2._1).filter(_ >= 0).sum else 0.0
     val calJson = calibration.map(fmt).mkString("[", ",", "]")
     // Contention-corrected total: deflate by how far the shipped
-    // attempt's sentinel median sits above the pinned idle floor (never
-    // inflate — a sub-floor sentinel is just a fast host). Division is
-    // the right model because the sentinel is pure CPU, like the queries.
+    // attempt's sentinel median sits above the TRIP-WIRE (1.5 × floor),
+    // not the floor itself — honest idle jitter inside the wire (the
+    // floor-to-wire band is exactly the tolerated idle variance) must
+    // not deflate the reading; only captures the gate itself would call
+    // contended get corrected. Never inflates. Division is the right
+    // model because the sentinel is pure CPU, like the queries.
     val calMedian = median(calibration)
     val normalized =
-      if (calMedian > 0) total / math.max(1.0, calMedian / calFloor)
+      if (calMedian > 0)
+        total / math.max(1.0, calMedian / (1.5 * calFloor))
       else total
     val failJson =
       if (failed.isEmpty) ""

@@ -227,8 +227,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def coarseLayerFor(s: SparkSession, dir: String): DataFrame =
     coarseLayerCache.getOrElseUpdate((s, dir), {
-      val c = Similarity.coarseLayer(t(s, dir, "embeddings"), "vec_id",
-        "embedding")
+      val c = Similarity.coarseLayer(t(s, dir, "embeddings"), "vec_id")
       c.persist()
       c.count()
       c
@@ -1521,42 +1520,24 @@ object SparkEntry {
     // through Similarity.auditRecall (the telemetry API).
     "q_nprobe_sweep" -> ((s, dir) => {
       val (asg, cents) = intIvfFor(s, dir)
-      def d2(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, x) => acc + x)
       val qv = asg.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("q").as("qq"))
-      val cdArr = array(cents.map(c =>
-        d2(col("qq"), typedLit(c))): _*)
-      val wProbe = Window.partitionBy("qid")
-        .orderBy(col("__cd"), col("cid"))
-      val probes = qv
-        .select(col("qid"), col("qq"), posexplode(cdArr).as(Seq("cid", "__cd")))
-        .withColumn("pr", row_number().over(wProbe))
-        .select(col("qid"), col("qq"), col("cid").cast("int").as("cid"),
-          col("pr"))
-      val wRank = Window.partitionBy("qid")
-        .orderBy(col("__d"), col("vec_id"))
-      val truth = broadcast(qv)
-        .join(asg.select(col("vec_id"), col("q")),
-          col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"), d2(col("qq"), col("q")).as("__d"))
-        .withColumn("__rn", row_number().over(wRank))
-        .where(col("__rn") <= 5)
-        .select(col("qid"), col("vec_id"))
+      // Full probe (nprobe = nlist) scans every cell = the exact
+      // quantized-L2 truth; the sweep's other points search the SAME
+      // library path (Similarity.ivfSearchQuantized — the API users
+      // call, so the oracle certifies library behavior, not harness
+      // plumbing).
+      val truth = Similarity.ivfSearchQuantized(asg, cents, qv, "qid",
+          "qq", k = 5, nprobe = cents.length)
+        .select(col("query_id"), col("neighbor_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       truth.count()
       Seq(1, 2, 4, 8).map { np =>
-        val cand = broadcast(probes.where(col("pr") <= np))
-          .join(asg.select(col("vec_id"), col("q"),
-            col("cluster").cast("int").as("cid")), Seq("cid"))
-          .where(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id"),
-            d2(col("qq"), col("q")).as("__d"))
-          .withColumn("__rn", row_number().over(wRank))
-          .where(col("__rn") <= 5)
-          .select(col("qid"), col("vec_id"), lit(1L).as("__hit"))
-        truth.join(cand, Seq("qid", "vec_id"), "left")
+        val cand = Similarity.ivfSearchQuantized(asg, cents, qv, "qid",
+            "qq", k = 5, nprobe = np)
+          .select(col("query_id"), col("neighbor_id"),
+            lit(1L).as("__hit"))
+        truth.join(cand, Seq("query_id", "neighbor_id"), "left")
           .agg(coalesce(sum("__hit"), lit(0L)).as("__h"),
             count(lit(1)).as("__n"))
           .select(lit(np).as("nprobe"),
@@ -4178,10 +4159,11 @@ object SparkEntry {
         |   CAST(sum(event_id) AS BIGINT) AS sum_event_id
         | FROM events""".stripMargin,
     "q_boom_agg_pushdown" ->
-      """SELECT count(*) AS n, min(epoch_ms(ts)) AS min_ts_ms,
-        |   max(epoch_ms(ts)) AS max_ts_ms
-        | FROM events
-        | WHERE epoch_ms(ts) >= 1704153600000 AND epoch_ms(ts) < 1704412800000""".stripMargin,
+      s"""SELECT count(*) AS n, min(epoch_ms(ts)) AS min_ts_ms,
+         |   max(epoch_ms(ts)) AS max_ts_ms
+         | FROM events
+         | WHERE epoch_ms(ts) >= $rangeStartMs
+         |   AND epoch_ms(ts) < $rangeEndMs""".stripMargin,
     "q_maxsim" ->
       """WITH mv AS (SELECT vec_id // 4 AS did, vec_id AS tid,
         |     CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -267,16 +267,20 @@ object Reporting {
     // otherwise flood the driver with up to |types|² rows before the
     // guard fires. One aggregate row — the cardinality census — is the
     // only thing collected until the contract holds.
-    val nTypes = tmDf
-      .select(explode(array(col("from_event"), col("to_event"))).as("t"))
-      .agg(countDistinct(col("t")))
-      .head().getLong(0)
-    require(nTypes <= maxTypes,
-      s"markovStationary: $nTypes event types exceed the " +
-        s"bounded-driver contract ($maxTypes) — this is a TYPE chain, " +
-        "not an id chain; key explosion means the wrong column was passed")
-    val tm = tmDf.collect()
-    tmDf.unpersist()
+    val tm =
+      try {
+        val nTypes = tmDf
+          .select(explode(array(col("from_event"), col("to_event"))).as("t"))
+          .agg(countDistinct(col("t")))
+          .head().getLong(0)
+        require(nTypes <= maxTypes,
+          s"markovStationary: $nTypes event types exceed the " +
+            s"bounded-driver contract ($maxTypes) — this is a TYPE " +
+            "chain, not an id chain; key explosion means the wrong " +
+            "column was passed")
+        tmDf.collect()
+      } finally tmDf.unpersist() // incl. the guard-throw path — the very
+                                 // case whose table is the big one
     val types = (tm.map(_.getString(0)) ++ tm.map(_.getString(1)))
       .distinct.sorted
     val idx = types.zipWithIndex.toMap

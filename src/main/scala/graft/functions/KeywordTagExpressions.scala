@@ -42,13 +42,28 @@ object AhoCorasickOps {
   private val compileCache =
     new java.util.concurrent.ConcurrentHashMap[Seq[String], Automaton]()
   def compiled(terms: Seq[String]): Automaton =
-    compileCache.computeIfAbsent(terms, t => new Automaton(t))
+    // Normalized key (the Automaton's own canonical term order) so the
+    // driver-side lookup and the deserialization-time readResolve below
+    // land on ONE entry per dictionary.
+    compileCache.computeIfAbsent(terms.distinct.sorted.toVector,
+      t => new Automaton(t))
 
   final class Automaton(termsIn: Seq[String]) extends Serializable {
     require(termsIn.nonEmpty, "keyword dictionary must not be empty")
     require(termsIn.forall(_.nonEmpty), "keyword terms must be non-empty")
     /** Sorted distinct terms — output order and the tag bit indices. */
     val terms: Array[String] = termsIn.distinct.sorted.toArray
+
+    /** Deserialization canonicalizes into the executor-global cache: the
+      * codegen path ships THIS object as a plan reference, and plan
+      * references deserialize once per TASK — without this hook every
+      * task got a fresh instance whose @transient trie rebuilt from
+      * scratch (the ~0.9 s × tasks cost the cache exists to kill; the
+      * driver-side memo alone only deduplicated within the driver JVM).
+      */
+    private def readResolve(): Object =
+      AhoCorasickOps.compiled(scala.collection.immutable.ArraySeq
+        .unsafeWrapArray(terms))
 
     @transient lazy val termsU8: Array[UTF8String] =
       terms.map(UTF8String.fromString)

@@ -362,6 +362,62 @@ object Similarity {
       col("d2")), cents)
   }
 
+  /** Integer-exact IVF search over a [[kMeansQuantizedIvf]] index: probe
+    * the `nprobe` cells nearest the query by integer centroid d²
+    * (ties to the low cid), rank in-cell candidates by integer
+    * quantized-L2 (ties to the low id), top-k. Every step is 64-bit
+    * integer arithmetic on the quantized coordinates, so the whole
+    * probe→search chain is engine-replayable — `q_nprobe_sweep`'s value
+    * oracle hash-matches it in DuckDB, and `nprobe = nlist` IS the exact
+    * quantized-L2 truth (full probe covers every cell). The float-index
+    * twin is [[ivfSearch]]; this one trades cosine-on-floats for
+    * bit-exact determinism at the same candidate-pruning shape.
+    *
+    * @param asg     (id, q array<long>, cluster) — [[kMeansQuantizedIvf]]'s
+    *                assignment (extra columns ignored).
+    * @param centers the codebook, indexed by cid.
+    * @param queries quantized query vectors (query id, q) — e.g. rows of
+    *                `asg` itself for self-search; the id/vector column
+    *                names are `queryId`/`queryVec`.
+    * @return (query_id, neighbor_id, d2, rank 1..k), self excluded.
+    */
+  def ivfSearchQuantized(
+      asg: DataFrame,
+      centers: IndexedSeq[Seq[Long]],
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int = 10,
+      nprobe: Int = 1): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1 && nprobe <= centers.length,
+      s"nprobe must be in [1, ${centers.length}], got $nprobe")
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+    val qv = queries.select(col(queryId).cast("long").as("qid"),
+      col(queryVec).as("qq"))
+    val cdArr = array(centers.map(c => d2(col("qq"), typedLit(c))): _*)
+    val wProbe = Window.partitionBy("qid").orderBy(col("__cd"), col("cid"))
+    val probes = qv
+      .select(col("qid"), col("qq"),
+        posexplode(cdArr).as(Seq("cid", "__cd")))
+      .withColumn("__pr", row_number().over(wProbe))
+      .where(col("__pr") <= nprobe)
+      .select(col("qid"), col("qq"), col("cid").cast("int").as("cid"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("d2"), col("neighbor_id"))
+    broadcast(probes)
+      .join(asg.select(col(asg.columns.head).cast("long")
+          .as("neighbor_id"), col("q"),
+        col("cluster").cast("int").as("cid")), Seq("cid"))
+      .where(col("neighbor_id") =!= col("qid"))
+      .select(col("qid").as("query_id"), col("neighbor_id"),
+        d2(col("qq"), col("q")).as("d2"))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= k)
+  }
+
   /** Assign every corpus vector to its nearest centroid by cosine
     * similarity — the E-step of k-means / the coarse-assignment pass of an
     * IVF build, exposed directly so a pipeline can bucket a corpus by a
@@ -753,7 +809,6 @@ object Similarity {
   def coarseLayer(
       corpus: DataFrame,
       corpusId: String,
-      corpusVec: String,
       coarseSize: Int = 0): DataFrame = {
     val m =
       if (coarseSize > 0) coarseSize
@@ -849,7 +904,7 @@ object Similarity {
       coarseSize: Int = 0): GraphIndex =
     GraphIndex(
       knnGraph(corpus, corpusId, corpusVec, k),
-      coarseLayer(corpus, corpusId, corpusVec, coarseSize))
+      coarseLayer(corpus, corpusId, coarseSize))
 
   def loadGraphIndex(
       spark: org.apache.spark.sql.SparkSession, path: String): GraphIndex =

@@ -664,8 +664,7 @@ class SimilaritySpec extends SparkTestBase {
       base(c * 2 + 1) = 0.2f + rnd.nextFloat() * 0.1f
       (i.toLong, base)
     }.toDF("vec_id", "embedding")
-    val got = Similarity.coarseLayer(vecs, "vec_id", "embedding",
-      coarseSize = 16).as[Long].collect().toSet
+    val got = Similarity.coarseLayer(vecs, "vec_id", coarseSize = 16).as[Long].collect().toSet
     // The sample is the 16 minimal (xxhash64(id), id) ids — replay the
     // sampling rule exactly.
     val want = (0L until 40L)
@@ -675,7 +674,7 @@ class SimilaritySpec extends SparkTestBase {
     assert(got === want)
     // Derived size: ≤ 0 takes max(64, ceil(sqrt(n))) — the whole corpus
     // at unit scale.
-    val derived = Similarity.coarseLayer(vecs, "vec_id", "embedding")
+    val derived = Similarity.coarseLayer(vecs, "vec_id")
       .distinct().count()
     assert(derived === 40L)
   }
@@ -690,8 +689,7 @@ class SimilaritySpec extends SparkTestBase {
       (i.toLong, base)
     }.toDF("vec_id", "embedding")
     val g = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 5)
-    val coarse = Similarity.coarseLayer(vecs, "vec_id", "embedding",
-      coarseSize = 16)
+    val coarse = Similarity.coarseLayer(vecs, "vec_id", coarseSize = 16)
     val qs = vecs.where($"vec_id" % 10 === 0)
     // hops = 1 on the base layer: the per-query coarse entries must land
     // close enough that ONE local expansion recovers the cluster — the
@@ -734,8 +732,7 @@ class SimilaritySpec extends SparkTestBase {
     vecs.persist()
     val g = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 8)
     g.persist()
-    val coarse = Similarity.coarseLayer(vecs, "vec_id", "embedding",
-      coarseSize = 32)
+    val coarse = Similarity.coarseLayer(vecs, "vec_id", coarseSize = 32)
     coarse.persist()
     val qs = vecs.where($"vec_id" % 40 === 0) // 10 queries
     val qFrame = qs.select($"vec_id".as("query_id"), $"embedding".as("__qv"))
