@@ -3395,6 +3395,16 @@ object SparkEntry {
     // contributions integerize BEFORE the sum (round(1e6·c·ln c) int64),
     // so the result is order-independent; the final expression is exact
     // integer arithmetic. One fused narrow pass, zero shuffles.
+    // Slice-level conditional entropy rate H(w_n | w_n-1) (r14): the
+    // compressibility proxy unigram entropy misses — templated slices
+    // read low here at high unigram entropy. Exact integer-ln policy
+    // (per-term round-then-sum, the q_doc_entropy convention); bigram
+    // and context sums replay in SQL verbatim.
+    "q_cond_entropy" -> ((s, dir) =>
+      TextAnalysis.conditionalEntropyRate(t(s, dir, "documents"),
+          col("lang"), col("text"))
+        .presented("slice")),
+
     "q_doc_entropy" -> ((s, dir) =>
       TextAnalysis.docEntropy(t(s, dir, "documents"), "doc_id", "text")
         .presented("doc_id")),
@@ -5094,6 +5104,27 @@ object SparkEntry {
          | FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w, tot
          | WHERE bc.c2 >= 5
          | ORDER BY pmi_scaled DESC, bc.w1, bc.w2 LIMIT 100""".stripMargin,
+    "q_cond_entropy" ->
+      s"""WITH tk AS (SELECT lang AS slice, $tokensSql AS t FROM documents
+         |     WHERE len($tokensSql) >= 2),
+         | bi AS (SELECT slice, t[i] AS w1, t[i + 1] AS w2,
+         |     count(*)::BIGINT AS c
+         |   FROM (SELECT slice, t, unnest(range(1, len(t))) AS i FROM tk)
+         |   GROUP BY slice, w1, w2),
+         | s1 AS (SELECT slice, sum(c)::BIGINT AS n_bigrams,
+         |     count(*)::BIGINT AS n_bigram_types,
+         |     sum(CAST(round(1000000.0 * c * ln(c)) AS BIGINT))::BIGINT
+         |       AS s1
+         |   FROM bi GROUP BY slice),
+         | s0 AS (SELECT slice, count(*)::BIGINT AS n_contexts,
+         |     sum(CAST(round(1000000.0 * cx * ln(cx)) AS BIGINT))::BIGINT
+         |       AS s0
+         |   FROM (SELECT slice, w1, sum(c)::BIGINT AS cx FROM bi
+         |     GROUP BY slice, w1)
+         |   GROUP BY slice)
+         | SELECT s1.slice, s1.n_bigrams, s1.n_bigram_types, s0.n_contexts,
+         |   (s0.s0 - s1.s1) // s1.n_bigrams AS cond_entropy_scaled
+         | FROM s1 JOIN s0 USING (slice) ORDER BY s1.slice""".stripMargin,
     "q_doc_entropy" ->
       s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents),
          | tc AS (SELECT doc_id, term, count(*) AS c

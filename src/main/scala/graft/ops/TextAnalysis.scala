@@ -759,6 +759,58 @@ object TextAnalysis {
         coalesce(col("__e.n_distinct"), lit(0L)).as("n_distinct"),
         coalesce(col("__e.entropy_scaled"), lit(0L)).as("entropy_scaled"))
 
+  /** Per-slice CONDITIONAL entropy rate H(wₙ | wₙ₋₁) — the compressibility
+    * proxy [[docEntropy]]'s unigram view structurally misses: alternating
+    * boilerplate ("a b a b …") has MAXIMAL unigram entropy but zero
+    * conditional entropy (every context determines its successor), which
+    * is exactly the templated-text signal a curation pipeline wants
+    * (low H(Y|X) at high H(Y) ⇒ machine-generated / boilerplate slices).
+    * Identity used: H(Y|X) = (Σ_x c_x ln c_x − Σ_xy c_xy ln c_xy) / N
+    * over bigram counts c_xy and context totals c_x = Σ_y c_xy, N = Σ c_xy.
+    *
+    * Integerization per the [[docEntropy]] policy: each ln term rounds to
+    * ⌊10⁶·c·ln c⌉ BEFORE summation, so the sums are order-independent
+    * integers and any engine replays them; the output is
+    * `cond_entropy_scaled = (S₀ − S₁) DIV N` — 10⁶ × nats (floored).
+    *
+    * Scale shape: one token pass explodes (slice, w1, w2) bigrams into a
+    * map-side-combined count shuffle; the context table derives from the
+    * BIGRAM-TYPE table (never a second corpus pass); both aggregates are
+    * bigram-type-bounded. Slices with < 1 bigram emit nothing.
+    *
+    * @return (slice, n_bigrams, n_bigram_types, n_contexts,
+    *         cond_entropy_scaled).
+    */
+  def conditionalEntropyRate(
+      df: DataFrame,
+      sliceCol: Column,
+      textCol: Column): DataFrame = {
+    val staged = df.select(sliceCol.as("slice"), tokens(textCol).as("__t"))
+      .where(size(col("__t")) >= 2)
+    val bi = staged.select(col("slice"),
+        explode(transform(sequence(lit(1), size(col("__t")) - 1),
+          i => struct(element_at(col("__t"), i).as("w1"),
+            element_at(col("__t"), i + 1).as("w2")))).as("__b"))
+      .groupBy(col("slice"), col("__b.w1").as("w1"),
+        col("__b.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val s1 = bi.groupBy("slice")
+      .agg(sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_bigram_types"),
+        sum(expr("CAST(round(1000000.0 * c * ln(c)) AS BIGINT)")).as("__s1"))
+    val s0 = bi.groupBy(col("slice"), col("w1"))
+      .agg(sum(col("c")).as("cx"))
+      .groupBy("slice")
+      .agg(count(lit(1)).as("n_contexts"),
+        sum(expr("CAST(round(1000000.0 * cx * ln(cx)) AS BIGINT)"))
+          .as("__s0"))
+    s1.join(s0, Seq("slice"))
+      .select(col("slice"), col("n_bigrams"), col("n_bigram_types"),
+        col("n_contexts"),
+        expr("(__s0 - __s1) DIV n_bigrams").as("cond_entropy_scaled"))
+  }
+
   /** Sentence-level language mix (code-switching profile): run [[langId]]
     * per SENTENCE and report, per document, the sentence count, the
     * dominant language (most sentences; ties to the lexicographically

@@ -1709,6 +1709,33 @@ class DocEntropySpec extends SparkTestBase {
   }
 }
 
+class CondEntropySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("conditionalEntropyRate: alternating boilerplate reads 0 where unigram entropy is max") {
+    // Slice "alt": "a b a b a b a b" — unigram entropy ln 2 (maximal for
+    // two symbols) but every context determines its successor (a→b, b→a)
+    // exactly; conditional entropy must be 0. Slice "mix": "a b a c" —
+    // bigrams ab, ba, ac; context a has c_a = 2 split 1/1 → H(Y|X) =
+    // (2·ln2 − 0) / 3 nats = 462098 scaled (hand: round(1e6·2·ln2) =
+    // 1386294, DIV 3 = 462098).
+    val df = Seq(
+      ("alt", "a b a b a b a b"),
+      ("mix", "a b a c")).toDF("slice", "text")
+    val got = TextAnalysis.conditionalEntropyRate(df, $"slice", $"text")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // alt: 7 bigrams (ab×4, ba×3), 2 types, 2 contexts.
+    assert(got("alt") === (("alt", 7L, 2L, 2L, 0L)))
+    // mix: 3 bigrams (ab, ba, ac), 3 types, 2 contexts (a, b).
+    assert(got("mix") === (("mix", 3L, 3L, 2L, 462098L)))
+    // Sub-bigram rows emit nothing.
+    val none = TextAnalysis.conditionalEntropyRate(
+      Seq(("s", "one")).toDF("slice", "text"), $"slice", $"text").count()
+    assert(none === 0L)
+  }
+}
+
 class MultimodalSpec extends SparkTestBase {
   import spark.implicits._
 
