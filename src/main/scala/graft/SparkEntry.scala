@@ -3395,6 +3395,23 @@ object SparkEntry {
     // contributions integerize BEFORE the sum (round(1e6·c·ln c) int64),
     // so the result is order-independent; the final expression is exact
     // integer arithmetic. One fused narrow pass, zero shuffles.
+    // Exact sign test + Benjamini-Hochberg FDR across slices (r14): the
+    // multiple-testing closer for per-slice paired comparisons, on a
+    // BOUNDED eval window (event_id < 250 — absolute, the eval-set
+    // contract; per-slice n <= 62 is the exact-tail regime, larger n is
+    // mcNemar's chi-square path). Everything integer: Pascal-row tail
+    // sums for the two-sided binomial p (ppm), BH step-up by pure
+    // cross-multiplication. The oracle replays the SAME Pascal
+    // recurrence in HUGEINT via a recursive CTE.
+    "q_sign_test_fdr" -> ((s, dir) =>
+      Stats.signTestFdr(
+        events(s, dir).where(col("event_id") < 250)
+          .groupBy(col("event_type"))
+          .agg(sum((col("value") > 50).cast("long")).as("pos"),
+            sum((col("value") < 50).cast("long")).as("neg")),
+        col("event_type"), col("pos"), col("neg"), qPpm = 50000L)
+        .presented("p_rank")),
+
     // Slice-level conditional entropy rate H(w_n | w_n-1) (r14): the
     // compressibility proxy unigram entropy misses — templated slices
     // read low here at high unigram entropy. Exact integer-ln policy
@@ -5104,6 +5121,38 @@ object SparkEntry {
          | FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w, tot
          | WHERE bc.c2 >= 5
          | ORDER BY pmi_scaled DESC, bc.w1, bc.w2 LIMIT 100""".stripMargin,
+    "q_sign_test_fdr" ->
+      """WITH RECURSIVE cnt AS (SELECT event_type AS slice,
+        |     sum(CASE WHEN value > 50 THEN 1 ELSE 0 END)::BIGINT AS pos,
+        |     sum(CASE WHEN value < 50 THEN 1 ELSE 0 END)::BIGINT AS neg
+        |   FROM events WHERE event_id < 250 GROUP BY 1),
+        | pas(n, row) AS (
+        |   SELECT 0, [1::HUGEINT]
+        |   UNION ALL
+        |   SELECT n + 1, list_transform(range(1, n + 3), j ->
+        |     (CASE WHEN j >= 2 THEN row[CAST(j - 1 AS INT)]
+        |        ELSE 0::HUGEINT END)
+        |     + (CASE WHEN j <= n + 1 THEN row[CAST(j AS INT)]
+        |        ELSE 0::HUGEINT END))
+        |   FROM pas WHERE n < 62),
+        | p AS (SELECT c.slice, c.pos + c.neg AS n, c.pos, c.neg,
+        |     CASE WHEN c.pos + c.neg = 0 THEN 1000000
+        |       ELSE CAST((least(
+        |           2 * list_sum(list_transform(
+        |             range(1, CAST(least(c.pos, c.neg) AS INT) + 2),
+        |             j -> pa.row[CAST(j AS INT)])),
+        |           list_sum(pa.row)) * 1000000)
+        |         // list_sum(pa.row) AS BIGINT) END AS p_ppm
+        |   FROM cnt c JOIN pas pa ON pa.n = c.pos + c.neg),
+        | r AS (SELECT *, row_number() OVER (ORDER BY p_ppm, slice)
+        |       AS p_rank,
+        |     count(*) OVER () AS m FROM p),
+        | cut AS (SELECT coalesce(max(CASE WHEN p_ppm * m <= 50000 * p_rank
+        |       THEN p_rank ELSE NULL END), 0) AS cr FROM r)
+        | SELECT r.slice, r.n, r.pos, r.neg, r.p_ppm, r.p_rank,
+        |   CAST(CASE WHEN r.p_rank <= cut.cr THEN 1 ELSE 0 END AS INT)
+        |     AS significant
+        | FROM r, cut ORDER BY r.p_rank""".stripMargin,
     "q_cond_entropy" ->
       s"""WITH tk AS (SELECT lang AS slice, $tokensSql AS t FROM documents
          |     WHERE len($tokensSql) >= 2),

@@ -2228,4 +2228,85 @@ object Stats {
       .select(col("key"), col("n"), col("digit"), col("observed"),
         col("e_ppm").as("expected_ppm"), col("__tvd").as("tvd_ppm"))
   }
+
+  /** EXACT paired sign test per slice + Benjamini–Hochberg FDR step-up
+    * across slices — the multiple-testing closer for the fleet's
+    * per-slice comparisons: run m paired A-vs-B evaluations, get m
+    * p-values, and BH bounds the expected false-discovery rate at `q`
+    * where per-test α would not. Everything is integer-exact:
+    *
+    *   - per slice with pos + neg = n paired non-ties, the two-sided
+    *     exact binomial p is min(2·Σ_{k ≤ min(pos,neg)} C(n,k), 2ⁿ) / 2ⁿ
+    *     — Pascal-row BigInt arithmetic, emitted as
+    *     `p_ppm = ⌊10⁶·p_num / 2ⁿ⌋` (an oracle replays the same Pascal
+    *     recurrence in HUGEINT);
+    *   - BH step-up on (p_ppm asc, slice asc) ranks: discovery ⇔
+    *     rank ≤ max{ i : p_ppm(i)·m ≤ qPpm·i } — pure integer
+    *     cross-multiplication, no division.
+    *
+    * Bounded-driver contract (the [[graft.engine.Reporting]] markov
+    * convention): inputs are PRE-AGGREGATED per-slice counts — slice
+    * cardinality rows, never observations — collected under `maxSlices`;
+    * per-slice n must be ≤ 62 (the exact-tail regime where every
+    * intermediate fits the replaying engine's 128-bit integers; larger n
+    * belongs to [[mcNemar]]'s χ² normal-approximation path, which is the
+    * documented escape).
+    *
+    * @param counts one row per slice: (sliceCol, posCol, negCol).
+    * @return (slice, n, pos, neg, p_ppm, p_rank, significant) ordered by
+    *         (p_ppm, slice); n = 0 slices report p = 1.
+    */
+  def signTestFdr(
+      counts: DataFrame,
+      sliceCol: Column,
+      posCol: Column,
+      negCol: Column,
+      qPpm: Long = 50000L,
+      maxSlices: Int = 100000): DataFrame = {
+    require(qPpm > 0 && qPpm <= 1000000L,
+      s"qPpm must be in (0, 10^6], got $qPpm")
+    val rows = counts
+      .select(sliceCol.cast("string").as("slice"),
+        posCol.cast("long").as("pos"), negCol.cast("long").as("neg"))
+      .limit(maxSlices + 1).collect()
+    require(rows.length <= maxSlices,
+      s"signTestFdr: more than $maxSlices slices — this is a SLICE " +
+        "table, not an observation table; aggregate first")
+    val scored = rows.map { r =>
+      val (slice, pos, neg) =
+        (r.getString(0), r.getLong(1), r.getLong(2))
+      require(pos >= 0 && neg >= 0, s"negative counts for slice $slice")
+      val n = pos + neg
+      require(n <= 62,
+        s"signTestFdr: slice $slice has n = $n non-ties > 62 — the " +
+          "exact-tail regime ends here; use mcNemar's chi-square path")
+      val pPpm =
+        if (n == 0) 1000000L
+        else {
+          // Pascal row n via the additive recurrence (BigInt, exact).
+          var row = Array(BigInt(1))
+          (1 to n.toInt).foreach { _ =>
+            row = Array.tabulate(row.length + 1)(j =>
+              (if (j > 0) row(j - 1) else BigInt(0)) +
+                (if (j < row.length) row(j) else BigInt(0)))
+          }
+          val x = math.min(pos, neg).toInt
+          val tail = row.take(x + 1).sum
+          val tot = BigInt(1) << n.toInt
+          ((BigInt(2) * tail).min(tot) * 1000000 / tot).toLong
+        }
+      (slice, n, pos, neg, pPpm)
+    }.sortBy(t => (t._5, t._1))
+    val m = scored.length.toLong
+    val cutoff = scored.zipWithIndex
+      .filter { case (t, i) => t._5 * m <= qPpm * (i + 1) }
+      .map(_._2 + 1).lastOption.getOrElse(0)
+    val spark = counts.sparkSession
+    import spark.implicits._
+    scored.zipWithIndex.map { case ((slice, n, pos, neg, p), i) =>
+      (slice, n, pos, neg, p, (i + 1).toLong,
+        if (i + 1 <= cutoff) 1 else 0)
+    }.toSeq
+      .toDF("slice", "n", "pos", "neg", "p_ppm", "p_rank", "significant")
+  }
 }

@@ -1709,6 +1709,47 @@ class DocEntropySpec extends SparkTestBase {
   }
 }
 
+class SignTestFdrSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("signTestFdr: hand-exact binomial tails, caps, and BH step-up") {
+    // Hand p-values: (0,8) → 2·C(8,0)/2⁸ = 7812 ppm (floor); (2,8) →
+    // 2·(1+10+45)/2¹⁰ = 109375 ppm; (5,5) → 2·tail ≥ 1 capped → 10⁶;
+    // (0,0) → p ≡ 1.
+    val df = Seq(("a", 0L, 8L), ("b", 2L, 8L), ("c", 5L, 5L),
+      ("d", 0L, 0L)).toDF("s", "p", "n")
+    val got = Stats.signTestFdr(df, $"s", $"p", $"n", qPpm = 120000L)
+      .as[(String, Long, Long, Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") === (("a", 8L, 0L, 8L, 7812L, 1L, 1)))
+    assert(got("b") === (("b", 10L, 2L, 8L, 109375L, 2L, 0)))
+    assert(got("c")._5 === 1000000L && got("c")._7 === 0)
+    assert(got("d")._5 === 1000000L)
+    // q = 0.25: rank 2 now passes (109375·4 ≤ 250000·2) → a AND b.
+    val relaxed = Stats.signTestFdr(df, $"s", $"p", $"n", qPpm = 250000L)
+      .as[(String, Long, Long, Long, Long, Long, Int)].collect()
+      .filter(_._7 == 1).map(_._1).toSet
+    assert(relaxed === Set("a", "b"))
+  }
+
+  test("signTestFdr: the step-up rescues earlier ranks (the BH signature)") {
+    // p₁ = 70312 ppm (1,7), p₂ = 109375 ppm (2,8); q = 0.11, m = 2:
+    // rank 1 alone FAILS (70312·2 > 110000·1) but rank 2 passes
+    // (109375·2 ≤ 110000·2), so step-up marks BOTH significant — the
+    // exact behavior per-rank thresholding (Bonferroni-style) misses.
+    val df = Seq(("x", 1L, 7L), ("y", 2L, 8L)).toDF("s", "p", "n")
+    val got = Stats.signTestFdr(df, $"s", $"p", $"n", qPpm = 110000L)
+      .as[(String, Long, Long, Long, Long, Long, Int)].collect()
+    assert(got.map(r => (r._1, r._5, r._7)).toSet ===
+      Set(("x", 70312L, 1), ("y", 109375L, 1)))
+    // n > 62 is the documented boundary to the chi-square path.
+    intercept[IllegalArgumentException] {
+      Stats.signTestFdr(Seq(("z", 40L, 40L)).toDF("s", "p", "n"),
+        $"s", $"p", $"n")
+    }
+  }
+}
+
 class CondEntropySpec extends SparkTestBase {
   import spark.implicits._
 
