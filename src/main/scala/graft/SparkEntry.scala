@@ -1436,6 +1436,39 @@ object SparkEntry {
         .presented("key", "start_ms")
     }),
 
+    // bucketAnomalies' full verdict stream replayed exactly (the fifth
+    // streaming law): buckets close in event-time order and each verdict
+    // is the pure-int64 inequality against the moments of strictly
+    // EARLIER buckets — which is a plain window in SQL (running n/S/Q
+    // over PRECEDING buckets). Time-split batches + two watermark
+    // flushes, as q_stream_sessionize.
+    "q_stream_anomalies" -> ((s, dir) => {
+      import s.implicits._
+      val rows = events(s, dir)
+        .select(col("event_type"), col("ts_ms"),
+          col("event_id").cast("long"))
+        .where(col("event_id") % 100 < 5)
+        .as[(String, Long, Long)].collect().toSeq
+      val split = 1705350000000L
+      def in(r: (String, Long, Long)) =
+        graft.streaming.LogStream.AnomalyInput(r._1, r._2)
+      val flushTs = rows.map(_._2).max + 10L * 24 * 3600 * 1000
+      val batches = Seq(
+        rows.filter(_._2 < split).map(in),
+        rows.filter(_._2 >= split).map(in),
+        Seq(graft.streaming.LogStream.AnomalyInput("__flush", flushTs)),
+        Seq(graft.streaming.LogStream.AnomalyInput("__flush",
+          flushTs + 3600000L)))
+      val out = runStreamFinal(s, batches, mode = "append")(ds =>
+        graft.streaming.LogStream.bucketAnomalies(ds,
+          bucketMs = 21600000L, z = 2, minHistory = 5,
+          watermark = "10 minutes"))
+      out.filter(_.key != "__flush")
+        .map(r => (r.key, r.bucket, r.cnt, if (r.isAnomaly) 1 else 0))
+        .toDF("key", "bucket", "cnt", "is_anomaly")
+        .presented("key", "bucket")
+    }),
+
     // kmvDistinctStream's final per-key sketch replayed exactly: KMV
     // state (the ≤ k smallest distinct 48-bit md5 hashes) is a pure
     // function of the seen value multiset, so after any batch split the
@@ -4343,6 +4376,22 @@ object SparkEntry {
         | SELECT key, min(t) AS start_ms, max(t) AS end_ms,
         |   count(*)::BIGINT AS n
         | FROM i GROUP BY key, sid ORDER BY key, start_ms""".stripMargin,
+    "q_stream_anomalies" ->
+      """WITH sub AS (SELECT event_type AS key, epoch_ms(ts) AS t
+        |     FROM events WHERE event_id % 100 < 5),
+        |   bk AS (SELECT key, t // 21600000 AS bucket,
+        |     count(*)::BIGINT AS cnt FROM sub GROUP BY 1, 2),
+        |   w AS (SELECT key, bucket, cnt,
+        |       count(*) OVER pre AS n,
+        |       coalesce(sum(cnt) OVER pre, 0)::BIGINT AS s,
+        |       coalesce(sum(cnt * cnt) OVER pre, 0)::BIGINT AS q
+        |     FROM bk WINDOW pre AS (PARTITION BY key ORDER BY bucket
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        | SELECT key, bucket, cnt,
+        |   CAST(CASE WHEN n >= 5
+        |       AND (n * cnt - s) * (n * cnt - s) > 4 * (n * q - s * s)
+        |     THEN 1 ELSE 0 END AS INT) AS is_anomaly
+        | FROM w ORDER BY key, bucket""".stripMargin,
     "q_stream_kmv" ->
       """WITH sub AS (SELECT DISTINCT event_type AS key,
         |     CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
