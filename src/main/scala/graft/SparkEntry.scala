@@ -1436,6 +1436,68 @@ object SparkEntry {
         .presented("key", "start_ms")
     }),
 
+    // Stream-stream attribution join replayed exactly (the sixth
+    // streaming law, and the only TWO-stream one): every in-window
+    // (impression, click) pair plus each watermark-proven unclicked
+    // impression equals the batch interval LEFT JOIN over the same
+    // bounded feed. Time-split batches on BOTH streams + flush events
+    // on both (the join's effective watermark is the min across inputs).
+    "q_stream_attribution" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import graft.streaming.LogStream.{ClickInput, ImpressionInput}
+      val ev = events(s, dir)
+        .select(col("event_type"),
+          (col("user_id") % 20).cast("string").as("k"),
+          col("event_id").cast("long"), col("ts_ms"))
+        .where(col("event_id") % 100 < 5 &&
+          col("event_type").isin("view", "click"))
+        .as[(String, String, Long, Long)].collect().toSeq
+      val split = 1705350000000L
+      val flushTs = ev.map(_._4).max + 10L * 24 * 3600 * 1000
+      val imps = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[ImpressionInput]
+      val clks = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[ClickInput]
+      val joined = graft.streaming.LogStream.attributionJoin(
+        imps.toDS(), clks.toDS(), windowMs = 86400000L,
+        watermark = "10 seconds", joinType = "left_outer")
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.sql.Row]()
+      val q = joined.writeStream.outputMode("append")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.collect().foreach(buf.add); ()
+        }.start()
+      try {
+        Seq(true, false).foreach { first =>
+          val part = ev.filter(r => (r._4 < split) == first)
+          val iv = part.filter(_._1 == "view")
+            .map(r => ImpressionInput(r._3, r._2, r._4))
+          val cv = part.filter(_._1 == "click")
+            .map(r => ClickInput(r._3, r._2, r._4))
+          if (iv.nonEmpty) imps.addData(iv: _*)
+          if (cv.nonEmpty) clks.addData(cv: _*)
+          q.processAllAvailable()
+        }
+        Seq(flushTs, flushTs + 3600000L).zipWithIndex.foreach {
+          case (ts, i) =>
+            imps.addData(ImpressionInput(-1L - i, "__flush", ts))
+            clks.addData(ClickInput(-1L - i, "__flush", ts))
+            q.processAllAvailable()
+        }
+      } finally q.stop()
+      scala.jdk.CollectionConverters.CollectionHasAsScala(buf).asScala
+        .toSeq
+        .filter(_.getString(0) != "__flush")
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getLong(5))))
+        .toDF("key", "imp_id", "imp_ms", "click_id", "click_ms",
+          "lag_ms")
+        .presented("imp_id", "click_id")
+    }),
+
     // bucketAnomalies' full verdict stream replayed exactly (the fifth
     // streaming law): buckets close in event-time order and each verdict
     // is the pure-int64 inequality against the moments of strictly
@@ -4376,6 +4438,21 @@ object SparkEntry {
         | SELECT key, min(t) AS start_ms, max(t) AS end_ms,
         |   count(*)::BIGINT AS n
         | FROM i GROUP BY key, sid ORDER BY key, start_ms""".stripMargin,
+    "q_stream_attribution" ->
+      """WITH imp AS (SELECT CAST(user_id % 20 AS VARCHAR) AS key,
+        |     event_id AS imp_id, epoch_ms(ts) AS imp_ms
+        |   FROM events
+        |   WHERE event_id % 100 < 5 AND event_type = 'view'),
+        |   clk AS (SELECT CAST(user_id % 20 AS VARCHAR) AS key,
+        |     event_id AS click_id, epoch_ms(ts) AS click_ms
+        |   FROM events
+        |   WHERE event_id % 100 < 5 AND event_type = 'click')
+        | SELECT i.key, i.imp_id, i.imp_ms, c.click_id, c.click_ms,
+        |   c.click_ms - i.imp_ms AS lag_ms
+        | FROM imp i LEFT JOIN clk c ON c.key = i.key
+        |   AND c.click_ms >= i.imp_ms
+        |   AND c.click_ms < i.imp_ms + 86400000
+        | ORDER BY i.imp_id, c.click_id NULLS FIRST""".stripMargin,
     "q_stream_anomalies" ->
       """WITH sub AS (SELECT event_type AS key, epoch_ms(ts) AS t
         |     FROM events WHERE event_id % 100 < 5),
