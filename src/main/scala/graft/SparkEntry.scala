@@ -246,6 +246,26 @@ object SparkEntry {
     * scale evidence for streaming lives with the Boom micro-batch
     * source, not here.
     */
+  /** Scoped harness tuning for the streaming-law queries: the number of
+    * state-store partitions is pinned per query from
+    * `spark.sql.shuffle.partitions` at FIRST batch (AQE does not apply to
+    * streams), and every micro-batch commits one delta file per partition
+    * per stateful operator — at 32 partitions the bounded harness feeds
+    * pay ~16× the state-commit I/O their few hundred rows need (the r14
+    * 28 s q_stream_attribution envelope). 2 partitions changes NOTHING
+    * semantically (final reports are a pure function of the row multiset;
+    * the harness re-sorts collected output) — it only right-sizes the
+    * per-batch overhead to the feed. The conf is restored on exit; the
+    * query handle itself captures the partition count at `start()`, so
+    * restoring immediately after start is safe.
+    */
+  private def withStreamConf[T](s: SparkSession)(start: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "2")
+    try start finally s.conf.set(key, prev)
+  }
+
   private def runStreamFinal[I: Encoder, O: Encoder](
       s: SparkSession, batches: Seq[Seq[I]], mode: String = "update")(
       build: Dataset[I] => Dataset[O]): Seq[O] = {
@@ -254,10 +274,12 @@ object SparkEntry {
       .MemoryStream[I]
     val out = build(input.toDS())
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[O]()
-    val q = out.writeStream.outputMode(mode)
-      .foreachBatch { (b: Dataset[O], _: Long) =>
-        b.collect().foreach(buf.add); ()
-      }.start()
+    val q = withStreamConf(s) {
+      out.writeStream.outputMode(mode)
+        .foreachBatch { (b: Dataset[O], _: Long) =>
+          b.collect().foreach(buf.add); ()
+        }.start()
+    }
     try batches.foreach { rows =>
       if (rows.nonEmpty) { input.addData(rows: _*); q.processAllAvailable() }
     } finally q.stop()
@@ -1464,10 +1486,12 @@ object SparkEntry {
         watermark = "10 seconds", joinType = "left_outer")
       val buf = new java.util.concurrent.ConcurrentLinkedQueue[
         org.apache.spark.sql.Row]()
-      val q = joined.writeStream.outputMode("append")
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          b.collect().foreach(buf.add); ()
-        }.start()
+      val q = withStreamConf(s) {
+        joined.writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.collect().foreach(buf.add); ()
+          }.start()
+      }
       try {
         Seq(true, false).foreach { first =>
           val part = ev.filter(r => (r._4 < split) == first)
@@ -1553,6 +1577,58 @@ object SparkEntry {
       // harness drains batches sequentially, so per key the last element
       // IS the final state (unlike n_seen/n_obs, which grow strictly).
       reports.groupBy(_.key).values.map(_.last).toSeq
+        .map(r => (r.key, r.n_kept, r.kth_hash, r.est))
+        .toDF("key", "n_kept", "kth_hash", "est")
+        .presented("key")
+    }),
+
+    // The PRODUCTION streaming read path on the oracle (not MemoryStream):
+    // the same 5% events subset is written as Boom files in two waves,
+    // streamed back through the Boom micro-batch source
+    // ([[graft.boom.BoomMicroBatchStream]], maxFilesPerTrigger = 1 → one
+    // batch per file, exercising offset tracking + multi-batch planning)
+    // into kmvDistinctStream. The KMV law (state = pure function of the
+    // seen value multiset) makes the final per-key sketch independent of
+    // the file/batch split, so the SAME DuckDB bottom-k as q_stream_kmv
+    // grades the whole chain: boom write → streaming source → stateful
+    // operator. A regression anywhere in that path (offset dedup, reader
+    // flatten, message round-trip, state merge) fails the hash.
+    "q_stream_boom" -> ((s, dir) => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("boom-stream")
+        .toString
+      val base = events(s, dir)
+        .where(col("event_id") % 100 < 5)
+        .select(col("ts_ms").as("timestamp"),
+          concat(col("event_type"), lit(" "), col("user_id"))
+            .as("message"),
+          lit(0).as("eventId"),
+          col("user_id").as("createTime"),
+          col("event_id").as("blockNumber"),
+          lit(1L).as("lineNumber"))
+      Seq(0, 1).foreach(p =>
+        base.where(col("blockNumber") % 2 === p).coalesce(1)
+          .write.format("boom").mode("append").save(out))
+      val in = s.readStream.format("boom")
+        .option("maxFilesPerTrigger", "1").load(out)
+        .select(split(col("message"), " ").getItem(0).as("key"),
+          split(col("message"), " ").getItem(1).as("value"),
+          lit(0L).as("eventTimeMs"))
+        .as[graft.streaming.LogStream.DistinctInput]
+      val est = graft.streaming.LogStream.kmvDistinctStream(in, k = 16)
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+        (Long, graft.streaming.LogStream.DistinctEstimate)]()
+      val q = withStreamConf(s) {
+        est.writeStream.outputMode("update")
+          .foreachBatch {
+            (b: Dataset[graft.streaming.LogStream.DistinctEstimate],
+             id: Long) => b.collect().foreach(r => buf.add((id, r))); ()
+          }.start()
+      }
+      try q.processAllAvailable() finally q.stop()
+      scala.jdk.CollectionConverters.CollectionHasAsScala(buf).asScala
+        .toSeq.groupBy(_._2.key).values
+        .map(_.maxBy(_._1)._2).toSeq
         .map(r => (r.key, r.n_kept, r.kth_hash, r.est))
         .toDF("key", "n_kept", "kth_hash", "est")
         .presented("key")
@@ -4470,6 +4546,26 @@ object SparkEntry {
         |     THEN 1 ELSE 0 END AS INT) AS is_anomaly
         | FROM w ORDER BY key, bucket""".stripMargin,
     "q_stream_kmv" ->
+      """WITH sub AS (SELECT DISTINCT event_type AS key,
+        |     CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+        |       AS BIGINT) AS h
+        |   FROM events WHERE event_id % 100 < 5),
+        | r AS (SELECT key, h,
+        |     row_number() OVER (PARTITION BY key ORDER BY h) AS rn
+        |   FROM sub),
+        | s AS (SELECT key, CAST(least(count(*), 16) AS INT) AS n_kept,
+        |     coalesce(max(CASE WHEN rn <= 16 THEN h END), 0) AS kth_hash
+        |   FROM r GROUP BY key)
+        | SELECT key, n_kept, kth_hash,
+        |   CASE WHEN n_kept < 16 THEN CAST(n_kept AS BIGINT)
+        |        ELSE (15 * 281474976710656) // (kth_hash + 1) END AS est
+        | FROM s ORDER BY key""".stripMargin,
+    // Same KMV bottom-k law as q_stream_kmv BY DESIGN: the engine side
+    // routes the identical value multiset through the production Boom
+    // write → micro-batch source → stateful operator chain instead of
+    // MemoryStream, so equality of the two final sketches is exactly the
+    // claim under test.
+    "q_stream_boom" ->
       """WITH sub AS (SELECT DISTINCT event_type AS key,
         |     CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
         |       AS BIGINT) AS h
@@ -8241,10 +8337,10 @@ object SparkEntry {
   private def kCenterOracleSql(k: Int): String = {
     val steps = (1 until k).map { i =>
       val excl = (0 until i).map(j => s"SELECT vec_id FROM c$j").mkString(" UNION ALL ")
-      s""" c$i AS (SELECT vec_id, e, d FROM d${i - 1}
+      s""" c$i AS MATERIALIZED (SELECT vec_id, e, d FROM d${i - 1}
          |   WHERE vec_id NOT IN ($excl)
          |   ORDER BY d DESC, vec_id LIMIT 1),
-         | d$i AS (SELECT d${i - 1}.vec_id, d${i - 1}.e,
+         | d$i AS MATERIALIZED (SELECT d${i - 1}.vec_id, d${i - 1}.e,
          |     least(d${i - 1}.d,
          |       round(1 - list_cosine_similarity(d${i - 1}.e, c$i.e), 6)) AS d
          |   FROM d${i - 1}, c$i)""".stripMargin
@@ -8252,10 +8348,13 @@ object SparkEntry {
     val finals = (s"""SELECT 0 AS "rank", vec_id, CAST(NULL AS DOUBLE) AS dist FROM c0""" +:
       (1 until k).map(i => s"""SELECT $i, vec_id, d FROM c$i"""))
       .mkString("\n UNION ALL ")
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+    // Every d$i is referenced twice (by c${i+1} and d${i+1}); DuckDB
+    // inlines plain CTEs, so without MATERIALIZED the chain re-evaluates
+    // the base scan 2^(k-1) times — the r14 driver-compare blow-up.
+    s"""WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
        |     FROM embeddings WHERE embedding IS NOT NULL),
-       | c0 AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 1),
-       | d0 AS (SELECT v.vec_id, v.e,
+       | c0 AS MATERIALIZED (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 1),
+       | d0 AS MATERIALIZED (SELECT v.vec_id, v.e,
        |     round(1 - list_cosine_similarity(v.e, c0.e), 6) AS d
        |   FROM v, c0),
        |$steps
@@ -8813,23 +8912,25 @@ object SparkEntry {
     val steps = (1 until k).map { i =>
       val excl = (0 until i).map(j => s"SELECT vec_id FROM c$j").mkString(" UNION ALL ")
       val p = s"m${i - 1}"
-      s""" c$i AS (SELECT vec_id, e, r, m FROM $p
+      s""" c$i AS MATERIALIZED (SELECT vec_id, e, r, m FROM $p
          |   WHERE vec_id NOT IN ($excl)
          |   ORDER BY (0.5*r - 0.5*m) DESC, vec_id LIMIT 1),
-         | m$i AS (SELECT $p.vec_id, $p.e, $p.r,
+         | m$i AS MATERIALIZED (SELECT $p.vec_id, $p.e, $p.r,
          |     greatest($p.m, round(list_cosine_similarity($p.e, c$i.e), 6)) AS m
          |   FROM $p, c$i)""".stripMargin
     }.mkString(",\n")
     val finals = (s"""SELECT 0 AS "rank", vec_id, r AS rel, CAST(NULL AS DOUBLE) AS max_sim FROM c0""" +:
       (1 until k).map(i => s"""SELECT $i, vec_id, r, m FROM c$i"""))
       .mkString("\n UNION ALL ")
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+    // MATERIALIZED for the same reason as kCenterOracleSql: each m$i is
+    // referenced twice downstream and plain-CTE inlining is exponential.
+    s"""WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
        |     FROM embeddings WHERE embedding IS NOT NULL),
        | qv AS (SELECT e FROM v WHERE vec_id = 0),
-       | rl AS (SELECT v.vec_id, v.e,
+       | rl AS MATERIALIZED (SELECT v.vec_id, v.e,
        |     round(list_cosine_similarity(v.e, qv.e), 6) AS r FROM v, qv),
-       | c0 AS (SELECT vec_id, e, r FROM rl ORDER BY r DESC, vec_id LIMIT 1),
-       | m0 AS (SELECT rl.vec_id, rl.e, rl.r,
+       | c0 AS MATERIALIZED (SELECT vec_id, e, r FROM rl ORDER BY r DESC, vec_id LIMIT 1),
+       | m0 AS MATERIALIZED (SELECT rl.vec_id, rl.e, rl.r,
        |     round(list_cosine_similarity(rl.e, c0.e), 6) AS m FROM rl, c0),
        |$steps
        |$finals
