@@ -103,14 +103,38 @@ object Bench {
       spark.range(4000000L).selectExpr("bit_xor(xxhash64(id))").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // Streaming sentinel: a trivial 2-batch MemoryStream no-op. The CPU
+    // sentinel is blind to the contention mode that actually inflated the
+    // r14 official capture — the streaming-law queries are micro-batch-
+    // MACHINERY-bound (per-batch planning, offset/commit log writes, task
+    // round-trips), which degrades under scheduler latency while pure CPU
+    // work stays flat. This measures exactly that machinery and nothing
+    // else (no state, no shuffle), so its round-over-round variance is
+    // host scheduling, not data.
+    def calibrateStream(): Double = {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Long]
+      val t0 = System.nanoTime()
+      val q = in.toDS().writeStream.format("noop").start()
+      try {
+        in.addData(1L, 2L); q.processAllAvailable()
+        in.addData(3L); q.processAllAvailable()
+      } finally q.stop()
+      (System.nanoTime() - t0) / 1e9
+    }
     calibrate() // untimed: absorb sentinel JIT so recorded rows measure host load only
-    def timedPhase(): (Map[String, List[Double]], List[Double], Map[String, Int]) = {
+    calibrateStream()
+    def timedPhase(): (Map[String, List[Double]], List[Double], List[Double], Map[String, Int]) = {
       val s = scala.collection.mutable.Map.empty[String, List[Double]]
         .withDefaultValue(Nil)
       val fails = newFailMap()
       val cal = scala.collection.mutable.ListBuffer.empty[Double]
+      val scal = scala.collection.mutable.ListBuffer.empty[Double]
       for (sweep <- 1 to maxReps) {
         cal += calibrate()
+        scal += calibrateStream()
         queries.foreach { case (name, fn) =>
           if (sweep <= repsFor(name)) {
             val t0 = System.nanoTime()
@@ -120,7 +144,7 @@ object Bench {
           }
         }
       }
-      (s.toMap.withDefaultValue(Nil), cal.toList, fails.toMap)
+      (s.toMap.withDefaultValue(Nil), cal.toList, scal.toList, fails.toMap)
     }
     def median(xs: List[Double]): Double = {
       val s = xs.sorted; if (s.isEmpty) -1.0 else s(s.length / 2)
@@ -141,22 +165,39 @@ object Bench {
     // headline; the normalized one is the contention-corrected reading.
     // Override via SPARK_GRAFT_CAL_FLOOR only if the HOST changes.
     val calFloor = sys.env.getOrElse("SPARK_GRAFT_CAL_FLOOR", "0.06").toDouble
+    // The streaming sentinel's own idle floor (measured on this host:
+    // ~0.25-0.35 s for start + 2 no-op batches + stop). Its trip-wire is
+    // the same 1.5x convention; the two sentinels gate INDEPENDENTLY —
+    // the r14 blind spot was a capture whose CPU sentinel passed while
+    // the micro-batch machinery ran far above replay numbers.
+    val streamCalFloor =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_CAL_FLOOR", "0.35").toDouble
     val maxAttempts =
       1 + sys.env.getOrElse("SPARK_GRAFT_CAL_RETRIES", "2").toInt
     var attempts = 0
     var samplesChosen: Map[String, List[Double]] = Map.empty.withDefaultValue(Nil)
     var calibration: List[Double] = Nil
+    var streamCalibration: List[Double] = Nil
     var failed: Map[String, Int] = Map.empty
     var bestCalMed = Double.MaxValue
-    while (attempts < maxAttempts &&
-        (attempts == 0 || bestCalMed > 1.5 * calFloor)) {
-      val (s, cal, f) = timedPhase()
+    var bestScore = Double.MaxValue
+    def contended = bestScore > 1.0
+    while (attempts < maxAttempts && (attempts == 0 || contended)) {
+      val (s, cal, scal, f) = timedPhase()
       val m = median(cal)
-      if (m < bestCalMed) { bestCalMed = m; samplesChosen = s; calibration = cal; failed = f }
+      val sm = median(scal)
+      // Attempt score: the worse of the two sentinels' trip-wire ratios —
+      // an attempt is clean only when BOTH families were idle-class.
+      val score = math.max(m / (1.5 * calFloor), sm / (1.5 * streamCalFloor))
+      if (score < bestScore) {
+        bestScore = score; bestCalMed = m; samplesChosen = s
+        calibration = cal; streamCalibration = scal; failed = f
+      }
       attempts += 1
-      if (bestCalMed > 1.5 * calFloor && attempts < maxAttempts)
-        System.err.println(f"[bench] calibration median $bestCalMed%.3f s > " +
-          f"1.5 x $calFloor%.3f s idle floor - host contended, re-running")
+      if (contended && attempts < maxAttempts)
+        System.err.println(f"[bench] sentinel trip: cpu ${m}%.3f s " +
+          f"(floor $calFloor%.3f) / stream ${sm}%.3f s " +
+          f"(floor $streamCalFloor%.3f) - host contended, re-running")
     }
     val samples = samplesChosen
     val results: Seq[(String, (Double, Double))] = queries.map { case (name, _) =>
@@ -179,6 +220,8 @@ object Bench {
       results.map { case (k, v) => s"\"" + k + "\":" + f(sel(v)) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2._1).filter(_ >= 0).sum else 0.0
     val calJson = calibration.map(fmt).mkString("[", ",", "]")
+    val streamCalJson = streamCalibration.map(fmt).mkString("[", ",", "]")
+    val streamCalMedian = median(streamCalibration)
     // Contention-corrected total: deflate by how far the shipped
     // attempt's sentinel median sits above the TRIP-WIRE (1.5 × floor),
     // not the floor itself — honest idle jitter inside the wire (the
@@ -195,7 +238,7 @@ object Bench {
       if (failed.isEmpty) ""
       else failed.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
         .mkString(""","failed":{""", ",", "}")
-    val normJson = s""""value_normalized":${fmt(normalized)},"cal_median":${fmt(calMedian)},"cal_floor":${fmt(calFloor)}"""
+    val normJson = s""""value_normalized":${fmt(normalized)},"cal_median":${fmt(calMedian)},"cal_floor":${fmt(calFloor)},"stream_cal_median":${fmt(streamCalMedian)},"stream_cal_floor":${fmt(streamCalFloor)},"stream_calibration_sec":$streamCalJson"""
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$normJson,"calibration_sec":$calJson,"cal_attempts":$attempts$failJson,"queries":${toJson(_._1, fmt)},"sf":"$sfDir"}"""
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec",$normJson,"calibration_sec":$calJson,"cal_attempts":$attempts$failJson,"queries":${toJson(_._1, _.toString)},"queries_min":${toJson(_._2, _.toString)},"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "bench_result.json")
