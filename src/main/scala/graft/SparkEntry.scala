@@ -1615,6 +1615,45 @@ object SparkEntry {
         .presented("key")
     }),
 
+    // kmvDistinctStreamTtl's EVICTION path on the oracle (the seventh
+    // streaming law): with ttl longer than the feed's event-time span, no
+    // key can time out mid-stream, so every key lives in exactly ONE
+    // window and the watermark flushes emit exactly one expired=true
+    // final report per key whose sketch equals the batch bottom-k over
+    // the full multiset. What this grades that q_stream_kmv cannot: the
+    // flatMapGroupsWithState + EventTimeTimeout machinery — timeout
+    // registration (lastMs + ttl), state.remove() on fire, and the
+    // append-mode final emission. Mid-stream window SPLITTING is
+    // batch-split-dependent by construction (global watermark vs per-key
+    // gaps) and stays spec territory.
+    "q_stream_kmv_ttl" -> ((s, dir) => {
+      import s.implicits._
+      val rows = events(s, dir)
+        .select(col("event_type").cast("string"),
+          col("user_id").cast("long"), col("event_id").cast("long"),
+          col("ts_ms"))
+        .where(col("event_id") % 100 < 5)
+        .as[(String, Long, Long, Long)].collect().toSeq
+      val split = 1705350000000L
+      def in(r: (String, Long, Long, Long)) =
+        graft.streaming.LogStream.DistinctInput(r._1, r._2.toString, r._4)
+      val flushTs = rows.map(_._4).max + 40L * 24 * 3600 * 1000
+      val batches = Seq(
+        rows.filter(_._4 < split).map(in),
+        rows.filter(_._4 >= split).map(in),
+        Seq(graft.streaming.LogStream.DistinctInput("__flush", "x",
+          flushTs)),
+        Seq(graft.streaming.LogStream.DistinctInput("__flush", "x",
+          flushTs + 3600000L)))
+      val reports = runStreamFinal(s, batches, mode = "append")(ds =>
+        graft.streaming.LogStream.kmvDistinctStreamTtl(ds, k = 16,
+          ttlMs = 30L * 24 * 3600 * 1000, watermark = "10 minutes"))
+      reports.filter(r => r.expired && r.key != "__flush")
+        .map(r => (r.key, r.n_kept, r.kth_hash, r.est, 1))
+        .toDF("key", "n_kept", "kth_hash", "est", "expired")
+        .presented("key")
+    }),
+
     // The PRODUCTION streaming read path on the oracle (not MemoryStream):
     // the same 5% events subset is written as Boom files in two waves,
     // streamed back through the Boom micro-batch source
@@ -4592,6 +4631,25 @@ object SparkEntry {
         | SELECT key, n_kept, kth_hash,
         |   CASE WHEN n_kept < 16 THEN CAST(n_kept AS BIGINT)
         |        ELSE (15 * 281474976710656) // (kth_hash + 1) END AS est
+        | FROM s ORDER BY key""".stripMargin,
+    // Same bottom-k as q_stream_kmv plus the expired=1 bit: single-window
+    // ttl (> feed span) means the evicted final report per key IS the
+    // full-multiset sketch.
+    "q_stream_kmv_ttl" ->
+      """WITH sub AS (SELECT DISTINCT event_type AS key,
+        |     CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+        |       AS BIGINT) AS h
+        |   FROM events WHERE event_id % 100 < 5),
+        | r AS (SELECT key, h,
+        |     row_number() OVER (PARTITION BY key ORDER BY h) AS rn
+        |   FROM sub),
+        | s AS (SELECT key, CAST(least(count(*), 16) AS INT) AS n_kept,
+        |     coalesce(max(CASE WHEN rn <= 16 THEN h END), 0) AS kth_hash
+        |   FROM r GROUP BY key)
+        | SELECT key, n_kept, kth_hash,
+        |   CASE WHEN n_kept < 16 THEN CAST(n_kept AS BIGINT)
+        |        ELSE (15 * 281474976710656) // (kth_hash + 1) END AS est,
+        |   1 AS expired
         | FROM s ORDER BY key""".stripMargin,
     // Same KMV bottom-k law as q_stream_kmv BY DESIGN: the engine side
     // routes the identical value multiset through the production Boom

@@ -190,9 +190,33 @@ object LogToolCli {
       }
     } catch {
       case e: Exception =>
-        System.err.println(s";$tool failed: ${e.getMessage}")
+        System.err.println(s";$tool failed: ${translateError(e)}")
         sys.exit(1)
     } finally spark.stop()
+  }
+
+  /** User-facing translation of infrastructure failures — the reference's
+    * operator-UX shim (logtools/LogTools.java:219-236 classifies the
+    * MapReduce job's IOException by message text into Kerberos / permission
+    * / quota buckets before the general fallback). Same classification,
+    * over the whole cause chain (Spark wraps FS exceptions several levels
+    * deep), minus the reference's internal ticket-form URL.
+    */
+  def translateError(e: Throwable): String = {
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .take(10).map(t => s"${t.getClass.getName}: ${t.getMessage}")
+      .mkString("\n")
+    if (chain.contains("Failed to find any Kerberos"))
+      "No/bad Kerberos ticket - please authenticate."
+    else if (chain.contains("Permission denied") ||
+        chain.contains("AccessControlException") ||
+        chain.contains("AccessDeniedException"))
+      "Permission denied. Please request access to the data and include " +
+        s"this error with the request:\n$chain"
+    else if (chain.toLowerCase.contains("quota") &&
+        chain.toLowerCase.contains("exceeded"))
+      "Disk quota Exceeded."
+    else Option(e.getMessage).getOrElse(e.toString)
   }
 
   /** Multisearch terms: inline string, file, or directory of files, CRLF

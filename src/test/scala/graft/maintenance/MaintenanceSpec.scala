@@ -371,6 +371,21 @@ class CliParseSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("loadTerms from inline string with CRLF") {
     assert(LogToolCli.loadTerms("a\r\nb\nc") === Seq("a", "b", "c"))
   }
+
+  test("translateError buckets infra failures (LogTools.java:219-236)") {
+    assert(LogToolCli.translateError(new java.io.IOException(
+      "Failed to find any Kerberos tgt")) ===
+      "No/bad Kerberos ticket - please authenticate.")
+    // Spark wraps FS errors several levels deep: match the cause chain.
+    val denied = new RuntimeException("job aborted",
+      new java.nio.file.AccessDeniedException("/data/x"))
+    assert(LogToolCli.translateError(denied).startsWith("Permission denied."))
+    assert(LogToolCli.translateError(new java.io.IOException(
+      "The DiskSpace quota of /user/x is exceeded")) ===
+      "Disk quota Exceeded.")
+    assert(LogToolCli.translateError(new IllegalStateException("boom")) ===
+      "boom")
+  }
 }
 
 class EventAnalyticsSpec extends graft.SparkTestBase {
