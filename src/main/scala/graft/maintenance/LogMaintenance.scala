@@ -70,6 +70,125 @@ object LogMaintenance {
     }
   }
 
+  /** Raw block-level compaction (M2): merge `incoming/` into `data/` by
+    * COPYING compressed Avro blocks verbatim — no record decode, no
+    * deflate round-trip — the reference's AvroBlockWriterMapper trick
+    * (mapreduce/avro/AvroBlockWriterMapper.java:38-90, which streams raw
+    * block bytes into a container under the writer's own sync marker).
+    * Avro's public `DataFileWriter.appendAllFrom(in, recompress = false)`
+    * is exactly that operation when input and output codecs match (Boom
+    * is always deflate); a foreign-codec file degrades to block-level
+    * recompression, still never deserializing records.
+    *
+    * vs [[merge]]: ~zero CPU per byte (the 100 TB compaction-pass win)
+    * and block metadata byte-identical, but under-filled blocks are NOT
+    * re-packed and files are bin-packed whole (no splitting), so output
+    * sizes are approximate. Same staging/commit protocol as [[merge]]:
+    * stage incoming → working, write `.tmp`, atomic-rename into `data/`,
+    * `_READY`, orphan recovery on failure.
+    *
+    * Distribution: one Spark task per output bin (first-fit by compressed
+    * size) — compaction parallelism is bin count, the same shape as the
+    * reference's one-mapper-per-output MR stage.
+    */
+  def rawMerge(
+      spark: SparkSession,
+      partitionDir: String,
+      targetFileSize: Long = 512L * 1024 * 1024): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(partitionDir)
+    val fs = dir.getFileSystem(conf)
+    val incoming = new Path(dir, "incoming")
+    if (!fs.exists(incoming)) return
+
+    val working = new Path(dir, s"working/rawmerge-${System.nanoTime()}")
+    val staged = new Path(working, "incoming")
+    fs.mkdirs(working.getParent)
+    if (!fs.rename(incoming, staged)) {
+      throw new java.io.IOException(s"cannot stage $incoming")
+    }
+    try {
+      val files = listBoomFiles(fs, staged)
+      if (files.nonEmpty) {
+        // First-fit-decreasing by compressed size: raw copy means output
+        // bytes ≈ Σ input bytes, so the bin sum IS the output file size.
+        val bins = scala.collection.mutable.ArrayBuffer
+          .empty[(scala.collection.mutable.ArrayBuffer[String], Long)]
+        files.sortBy(-_._2).foreach { case (p, sz) =>
+          bins.indexWhere(_._2 + sz <= targetFileSize) match {
+            case -1 =>
+              bins += ((scala.collection.mutable.ArrayBuffer(p), sz))
+            case i =>
+              bins(i)._1 += p
+              bins(i) = (bins(i)._1, bins(i)._2 + sz)
+          }
+        }
+        val dataDir = new Path(dir, "data")
+        fs.mkdirs(dataDir)
+        val hconf = new org.apache.spark.util.SerializableConfiguration(conf)
+        val out = dataDir.toString
+        spark.sparkContext
+          .parallelize(bins.map(_._1.toSeq).toSeq, bins.size)
+          .foreach(bin => rawMergeBin(bin, out, hconf.value))
+      }
+      fs.create(new Path(dir, "data/_READY"), true).close()
+      fs.delete(working, true)
+    } catch {
+      case e: Throwable =>
+        fs.mkdirs(incoming.getParent)
+        fs.rename(staged, incoming)
+        fs.delete(working, true)
+        throw e
+    }
+  }
+
+  private def listBoomFiles(fs: FileSystem, root: Path): Seq[(String, Long)] = {
+    val it = fs.listFiles(root, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(".bm"))
+        buf += ((s.getPath.toString, s.getLen))
+    }
+    buf.sortBy(_._1).toSeq
+  }
+
+  /** Executor side: one output container per bin, blocks copied verbatim. */
+  private def rawMergeBin(paths: Seq[String], outDir: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    import org.apache.avro.file.{CodecFactory, DataFileStream, DataFileWriter}
+    import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+    val schema = graft.boom.BoomSchemas.logBlockSchema
+    val fs = new Path(outDir).getFileSystem(conf)
+    val name =
+      s"raw-${java.util.UUID.randomUUID().toString.take(16)}.bm"
+    val tmp = new Path(outDir, name + ".tmp")
+    val fin = new Path(outDir, name)
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.setCodec(CodecFactory.deflateCodec(graft.boom.BoomSchemas.DeflateLevel))
+    w.create(schema, fs.create(tmp, true))
+    try {
+      paths.foreach { p =>
+        val in = new DataFileStream[GenericRecord](fs.open(new Path(p)),
+          new GenericDatumReader[GenericRecord]())
+        try {
+          require(in.getSchema == schema,
+            s"$p is not a Boom container (schema mismatch)")
+          val codec = Option(in.getMetaString("avro.codec")).getOrElse("null")
+          w.appendAllFrom(in, /* recompress = */ codec != "deflate")
+        } finally in.close()
+      }
+      w.close()
+      if (!fs.rename(tmp, fin))
+        throw new java.io.IOException(s"cannot promote $tmp")
+    } catch {
+      case e: Throwable =>
+        try fs.delete(tmp, false) catch { case _: Exception => () }
+        throw e
+    }
+  }
+
   /** Filter/archive (M3): apply the component's YAML filter chain to `data/`
     * and write survivors to `archive/`, then delete `data/`.
     *

@@ -77,6 +77,64 @@ class LogMaintenanceSpec extends SparkTestBase {
     assert(spark.read.format("boom").load(s"$dir/data").count() === 300)
   }
 
+  test("rawMerge compacts by verbatim block copy (M2): rows, metadata, and compressed block bytes survive") {
+    val dir = newPartitionDir()
+    // Capture each input's compressed block payload sequence BEFORE the
+    // merge (the staging rename moves the files).
+    def blockPayloads(p: Path, fs: org.apache.hadoop.fs.FileSystem): Seq[(Long, Int)] = {
+      import org.apache.avro.file.DataFileStream
+      import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+      val in = new DataFileStream[GenericRecord](fs.open(p),
+        new GenericDatumReader[GenericRecord]())
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+      try while (in.hasNext) {
+        // getBlockCount is valid once a block is loaded; consume the
+        // block's records to advance. Records per block + a content
+        // checksum of the decoded messages pins the block STRUCTURE.
+        val n = in.getBlockCount
+        var h = 0
+        (0L until n).foreach { _ =>
+          h = 31 * h + in.next().toString.hashCode
+        }
+        out += ((n, h))
+      } finally in.close()
+      out.toSeq
+    }
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val inputs = {
+      val it = fs.listFiles(new Path(dir, "incoming"), true)
+      val b = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) { val s = it.next(); if (s.getPath.getName.endsWith(".bm")) b += s.getPath }
+      b.sortBy(_.toString).toSeq
+    }
+    val wantBlocks = inputs.flatMap(p => blockPayloads(p, fs))
+    val wantRows = spark.read.format("boom").load(s"$dir/incoming")
+      .collect().map(_.toString).sorted.toSeq
+
+    LogMaintenance.rawMerge(spark, dir)
+    assert(fs.exists(new Path(dir, "data/_READY")))
+    assert(!fs.exists(new Path(dir, "incoming")))
+    // Full row multiset identical — including block metadata columns
+    // (createTime, blockNumber), which a decode+re-encode merge would
+    // also preserve but a re-PACKING one would not keep per-block.
+    val got = spark.read.format("boom").load(s"$dir/data")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === wantRows)
+    // Block structure: the merged container's (count, content-hash) block
+    // sequence is a concatenation-permutation of the inputs' — blocks
+    // were copied whole, never re-packed.
+    val merged = {
+      val it = fs.listFiles(new Path(dir, "data"), true)
+      val b = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) { val s = it.next(); if (s.getPath.getName.endsWith(".bm")) b += s.getPath }
+      b.sortBy(_.toString).toSeq
+    }
+    val gotBlocks = merged.flatMap(p => blockPayloads(p, fs))
+    assert(gotBlocks.sorted === wantBlocks.sorted)
+    // One output bin at default target size → one file.
+    assert(merged.size === 1)
+  }
+
   test("filterArchive keeps only matching lines") {
     val dir = newPartitionDir()
     LogMaintenance.merge(spark, dir)
