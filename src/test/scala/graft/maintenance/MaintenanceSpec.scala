@@ -135,6 +135,57 @@ class LogMaintenanceSpec extends SparkTestBase {
     assert(merged.size === 1)
   }
 
+  test("rawMerge: foreign-codec input degrades to block recompression; non-Boom schema refuses") {
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val dir = Files.createTempDirectory("rawmerge-codec").toString
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    Ingest.write(mkLines(50, 1700000000000L).toDF().coalesce(1),
+      s"$dir/incoming/deflate-drop")
+    // A NULL-codec Boom container (same schema, no compression) — the
+    // appendAllFrom(recompress=false) fast path is codec-gated, so this
+    // file must take the recompress branch and still merge cleanly.
+    val schema = graft.boom.BoomSchemas.logBlockSchema
+    val lineSchema = graft.boom.BoomSchemas.messageWithMillisSchema
+    locally {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema)) // no setCodec → null
+      val p = new Path(dir, "incoming/null-codec/a.bm")
+      fs.mkdirs(p.getParent)
+      w.create(schema, fs.create(p, true))
+      val line = new GenericData.Record(lineSchema)
+      line.put("ms", 5L); line.put("eventId", 0); line.put("message", "plain")
+      val blk = new GenericData.Record(schema)
+      blk.put("second", 1700000100L); blk.put("createTime", 1700000100000L)
+      blk.put("blockNumber", 9L)
+      blk.put("logLines", java.util.List.of(line))
+      w.append(blk); w.close()
+    }
+    LogMaintenance.rawMerge(spark, dir)
+    val merged = spark.read.format("boom").load(s"$dir/data")
+    assert(merged.count() === 51)
+    assert(merged.where(col("message") === "plain").count() === 1)
+
+    // A non-Boom schema in incoming/ must refuse (reference checks
+    // AvroBlockWriterMapper.java:71-76) and leave the data recoverable.
+    val dir2 = Files.createTempDirectory("rawmerge-badschema").toString
+    val fs2 = new Path(dir2).getFileSystem(spark.sessionState.newHadoopConf())
+    locally {
+      val other = org.apache.avro.SchemaBuilder.record("x").fields()
+        .requiredLong("v").endRecord()
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](other))
+      val p = new Path(dir2, "incoming/bad/a.bm")
+      fs2.mkdirs(p.getParent)
+      w.create(other, fs2.create(p, true))
+      val r = new GenericData.Record(other); r.put("v", 1L)
+      w.append(r); w.close()
+    }
+    intercept[Exception] { LogMaintenance.rawMerge(spark, dir2) }
+    // Orphan recovery put the staged input back.
+    assert(fs2.exists(new Path(dir2, "incoming/bad/a.bm")))
+  }
+
   test("filterArchive keeps only matching lines") {
     val dir = newPartitionDir()
     LogMaintenance.merge(spark, dir)
