@@ -179,7 +179,6 @@ object Bench {
     var calibration: List[Double] = Nil
     var streamCalibration: List[Double] = Nil
     var failed: Map[String, Int] = Map.empty
-    var bestCalMed = Double.MaxValue
     var bestScore = Double.MaxValue
     def contended = bestScore > 1.0
     while (attempts < maxAttempts && (attempts == 0 || contended)) {
@@ -190,7 +189,7 @@ object Bench {
       // an attempt is clean only when BOTH families were idle-class.
       val score = math.max(m / (1.5 * calFloor), sm / (1.5 * streamCalFloor))
       if (score < bestScore) {
-        bestScore = score; bestCalMed = m; samplesChosen = s
+        bestScore = score; samplesChosen = s
         calibration = cal; streamCalibration = scal; failed = f
       }
       attempts += 1
@@ -227,13 +226,23 @@ object Bench {
     // not the floor itself — honest idle jitter inside the wire (the
     // floor-to-wire band is exactly the tolerated idle variance) must
     // not deflate the reading; only captures the gate itself would call
-    // contended get corrected. Never inflates. Division is the right
-    // model because the sentinel is pure CPU, like the queries.
+    // contended get corrected. Never inflates. PER-FAMILY: streaming
+    // queries deflate by the STREAMING sentinel's ratio and everything
+    // else by the CPU sentinel's — the r14 blind spot was precisely a
+    // capture where the CPU sentinel was clean while the micro-batch
+    // machinery ran 3-6× replay numbers, and a CPU-only normalization
+    // would have shipped the inflated streaming family uncorrected.
     val calMedian = median(calibration)
-    val normalized =
-      if (calMedian > 0)
-        total / math.max(1.0, calMedian / (1.5 * calFloor))
-      else total
+    val cpuDeflate =
+      if (calMedian > 0) math.max(1.0, calMedian / (1.5 * calFloor)) else 1.0
+    val streamDeflate =
+      if (streamCalMedian > 0)
+        math.max(1.0, streamCalMedian / (1.5 * streamCalFloor))
+      else 1.0
+    val normalized = results.map { case (name, (med, _)) =>
+      if (med < 0) 0.0
+      else med / (if (name.startsWith("q_stream")) streamDeflate else cpuDeflate)
+    }.sum
     val failJson =
       if (failed.isEmpty) ""
       else failed.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }

@@ -299,6 +299,20 @@ object SparkEntry {
     }
   }
 
+  /** Harness scratch dir that does not leak across bench/verify runs:
+    * created under [[streamCkptBase]]'s shutdown-hook-cleaned tmpfs base
+    * when present (a bench executes each query warmup + reps times, so a
+    * per-execution temp dir under /tmp accumulates), else a plain temp
+    * dir as before.
+    */
+  private def harnessScratchDir(prefix: String): String =
+    streamCkptBase match {
+      case Some(base) => java.nio.file.Files
+        .createTempDirectory(java.nio.file.Paths.get(base), prefix).toString
+      case None =>
+        java.nio.file.Files.createTempDirectory(prefix).toString
+    }
+
   private def runStreamFinal[I: Encoder, O: Encoder](
       s: SparkSession, batches: Seq[Seq[I]], mode: String = "update")(
       build: Dataset[I] => Dataset[O]): Seq[O] = {
@@ -1667,8 +1681,7 @@ object SparkEntry {
     // flatten, message round-trip, state merge) fails the hash.
     "q_stream_boom" -> ((s, dir) => {
       import s.implicits._
-      val out = java.nio.file.Files.createTempDirectory("boom-stream")
-        .toString
+      val out = harnessScratchDir("boom-stream")
       val base = events(s, dir)
         .where(col("event_id") % 100 < 5)
         .select(col("ts_ms").as("timestamp"),

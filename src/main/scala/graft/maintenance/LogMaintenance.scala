@@ -101,14 +101,27 @@ object LogMaintenance {
     val incoming = new Path(dir, "incoming")
     if (!fs.exists(incoming)) return
 
-    val working = new Path(dir, s"working/rawmerge-${System.nanoTime()}")
+    val runId = System.nanoTime()
+    val working = new Path(dir, s"working/rawmerge-$runId")
     val staged = new Path(working, "incoming")
+    val outStage = new Path(working, "out")
     fs.mkdirs(working.getParent)
     if (!fs.rename(incoming, staged)) {
       throw new java.io.IOException(s"cannot stage $incoming")
     }
     try {
-      val files = listBoomFiles(fs, staged)
+      // Same listing semantics as the read path and merge()
+      // (BoomDataSource.listFiles): hidden/_-prefixed/tmp entries and
+      // zero-length files excluded — a crashed ingest's _temporary task
+      // attempts must not leak blocks into data/, and a 0-byte leftover
+      // must not abort compaction. No .bm-suffix requirement, also like
+      // the read path: every visible file is treated as a Boom container
+      // and the per-file schema check refuses impostors (nothing is
+      // silently skipped and then deleted with the working dir).
+      val files = graft.boom.BoomDataSource
+        .listFiles(spark, Seq(staged.toString))
+        .map(s => (s.getPath.toString, s.getLen))
+        .sortBy(_._1)
       if (files.nonEmpty) {
         // First-fit-decreasing by compressed size: raw copy means output
         // bytes ≈ Σ input bytes, so the bin sum IS the output file size.
@@ -123,13 +136,41 @@ object LogMaintenance {
               bins(i) = (bins(i)._1, bins(i)._2 + sz)
           }
         }
+        fs.mkdirs(outStage)
+        val hconf = new org.apache.spark.util.SerializableConfiguration(conf)
+        val outDir = outStage.toString
+        // Two-phase commit: tasks write DETERMINISTIC names into the
+        // working dir (a retried/speculated attempt overwrites its own
+        // bin — idempotent), and NOTHING touches data/ until the whole
+        // job has succeeded; only then does the driver promote every
+        // output with renames. A failure in any bin therefore leaves
+        // data/ untouched and the staged inputs restored — re-running
+        // after removing a bad file cannot duplicate the good bins'
+        // blocks (the record-level merge() gets the same guarantee from
+        // Spark's job commit protocol).
+        spark.sparkContext
+          .parallelize(bins.map(_._1.toSeq).toSeq.zipWithIndex, bins.size)
+          .foreach { case (bin, idx) =>
+            rawMergeBin(bin, s"raw-$runId-$idx.bm", outDir, hconf.value)
+          }
         val dataDir = new Path(dir, "data")
         fs.mkdirs(dataDir)
-        val hconf = new org.apache.spark.util.SerializableConfiguration(conf)
-        val out = dataDir.toString
-        spark.sparkContext
-          .parallelize(bins.map(_._1.toSeq).toSeq, bins.size)
-          .foreach(bin => rawMergeBin(bin, out, hconf.value))
+        val outs = fs.listStatus(outStage).map(_.getPath)
+          .filterNot(_.getName.endsWith(".tmp"))
+        val promoted = scala.collection.mutable.ArrayBuffer.empty[Path]
+        try outs.foreach { o =>
+          val t = new Path(dataDir, o.getName)
+          if (!fs.rename(o, t))
+            throw new java.io.IOException(s"cannot promote $o")
+          promoted += t
+        } catch {
+          case e: Throwable =>
+            // Metadata-only window: undo the renames so the re-run after
+            // orphan recovery starts from zero promoted bins.
+            promoted.foreach(p =>
+              try fs.delete(p, false) catch { case _: Exception => () })
+            throw e
+        }
       }
       fs.create(new Path(dir, "data/_READY"), true).close()
       fs.delete(working, true)
@@ -142,27 +183,19 @@ object LogMaintenance {
     }
   }
 
-  private def listBoomFiles(fs: FileSystem, root: Path): Seq[(String, Long)] = {
-    val it = fs.listFiles(root, true)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    while (it.hasNext) {
-      val s = it.next()
-      if (s.isFile && s.getPath.getName.endsWith(".bm"))
-        buf += ((s.getPath.toString, s.getLen))
-    }
-    buf.sortBy(_._1).toSeq
-  }
-
-  /** Executor side: one output container per bin, blocks copied verbatim. */
-  private def rawMergeBin(paths: Seq[String], outDir: String,
+  /** Executor side: one output container per bin, blocks copied verbatim.
+    * Writes `name` into the job's staging dir, overwriting any earlier
+    * attempt's output — task retries and speculation converge on the
+    * same deterministic file.
+    */
+  private def rawMergeBin(paths: Seq[String], name: String, outDir: String,
       conf: org.apache.hadoop.conf.Configuration): Unit = {
     import org.apache.avro.file.{CodecFactory, DataFileStream, DataFileWriter}
     import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
     val schema = graft.boom.BoomSchemas.logBlockSchema
     val fs = new Path(outDir).getFileSystem(conf)
-    val name =
-      s"raw-${java.util.UUID.randomUUID().toString.take(16)}.bm"
-    val tmp = new Path(outDir, name + ".tmp")
+    val tmp = new Path(outDir,
+      name + s".${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val fin = new Path(outDir, name)
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](schema))
@@ -180,8 +213,9 @@ object LogMaintenance {
         } finally in.close()
       }
       w.close()
+      fs.delete(fin, false) // a lost earlier attempt's output, if any
       if (!fs.rename(tmp, fin))
-        throw new java.io.IOException(s"cannot promote $tmp")
+        throw new java.io.IOException(s"cannot finalize $tmp")
     } catch {
       case e: Throwable =>
         try fs.delete(tmp, false) catch { case _: Exception => () }
