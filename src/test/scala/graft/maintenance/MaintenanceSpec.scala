@@ -181,9 +181,24 @@ class LogMaintenanceSpec extends SparkTestBase {
       val r = new GenericData.Record(other); r.put("v", 1L)
       w.append(r); w.close()
     }
+    // A GOOD boom drop shares the incoming tree with the bad file — the
+    // two-phase commit must keep its bin OUT of data/ when the job fails,
+    // or a post-cleanup re-run would duplicate its blocks.
+    Ingest.write(mkLines(10, 1700000000000L).toDF().coalesce(1),
+      s"$dir2/incoming/good-drop")
     intercept[Exception] { LogMaintenance.rawMerge(spark, dir2) }
-    // Orphan recovery put the staged input back.
+    // Orphan recovery put the staged inputs back...
     assert(fs2.exists(new Path(dir2, "incoming/bad/a.bm")))
+    // ...and NO bin was promoted (data/ absent or empty of raw-* files).
+    val dataDir2 = new Path(dir2, "data")
+    if (fs2.exists(dataDir2)) {
+      assert(fs2.listStatus(dataDir2)
+        .forall(!_.getPath.getName.startsWith("raw-")))
+    }
+    // After removing the bad file, the re-run merges exactly once.
+    fs2.delete(new Path(dir2, "incoming/bad"), true)
+    LogMaintenance.rawMerge(spark, dir2)
+    assert(spark.read.format("boom").load(s"$dir2/data").count() === 10)
   }
 
   test("filterArchive keeps only matching lines") {
