@@ -135,6 +135,20 @@ class LogMaintenanceSpec extends SparkTestBase {
     assert(merged.size === 1)
   }
 
+  test("rawMerge: multi-bin packing promotes every bin and splits at the size target") {
+    val dir = newPartitionDir() // 3 drops, each a few KB compressed
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val inBytes = fs.getContentSummary(new Path(dir, "incoming")).getLength
+    // Target below any single pair-sum forces one bin per input file.
+    LogMaintenance.rawMerge(spark, dir, targetFileSize = inBytes / 3)
+    val outs = fs.listStatus(new Path(dir, "data"))
+      .filter(_.getPath.getName.endsWith(".bm"))
+    assert(outs.length === 3)
+    assert(spark.read.format("boom").load(s"$dir/data").count() === 300)
+    // Deterministic bin names from the two-phase commit.
+    assert(outs.forall(_.getPath.getName.matches("raw-\\d+-\\d+\\.bm")))
+  }
+
   test("rawMerge: foreign-codec input degrades to block recompression; non-Boom schema refuses") {
     import org.apache.avro.file.DataFileWriter
     import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
