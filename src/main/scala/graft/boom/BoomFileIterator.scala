@@ -103,7 +103,27 @@ final class BoomBlockDatumReader(pushdown: BoomPushdown)
   private var utf8 = new Utf8
   private val clauses: Array[Array[BoomTerm]] = pushdown.clauses.map(_.toArray).toArray
 
-  override def setSchema(schema: Schema): Unit = writerSchema = schema
+  override def setSchema(schema: Schema): Unit = {
+    // The streaming decode below computes base = second·1000 the moment
+    // the logLines field is dispatched, so the per-line math is only
+    // correct when the writer schema puts the metadata longs BEFORE the
+    // array (the hardcoded logBlock layout every known writer uses —
+    // Schemas.java:96-107). A reordered-but-legal Avro evolution would
+    // silently misdecode (second read as 0 → every timestamp ms-only and
+    // time pushdown skipping all blocks), so refuse loudly instead.
+    val names = schema.getFields
+    val linesIdx = (0 until names.size()).find(i =>
+      names.get(i).name() == "logLines")
+    linesIdx.foreach { li =>
+      Seq("second", "createTime", "blockNumber").foreach { n =>
+        val idx = (0 until names.size()).find(i => names.get(i).name() == n)
+        require(idx.forall(_ < li),
+          s"unsupported Boom writer schema: field '$n' appears after " +
+            "'logLines' — streaming decode needs block metadata first")
+      }
+    }
+    writerSchema = schema
+  }
 
   override def read(reuse: ArrayBuffer[BoomLine], in: Decoder): ArrayBuffer[BoomLine] = {
     val out = if (reuse == null) new ArrayBuffer[BoomLine] else { reuse.clear(); reuse }

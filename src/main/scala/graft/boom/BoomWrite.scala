@@ -155,7 +155,7 @@ class BoomHourlyDataWriter(
   private var rows = 0L
 
   override def write(row: InternalRow): Unit = {
-    val hour = row.getLong(0) / 3600000L
+    val hour = Math.floorDiv(row.getLong(0), 3600000L)
     if (hour != currentHour) {
       roll(row.getLong(0))
       currentHour = hour
@@ -246,8 +246,12 @@ class BoomDataWriter(
     val timestamp = row.getLong(0)
     val message = if (row.isNullAt(1)) "" else row.getUTF8String(1).toString
     val eventId = row.getInt(2)
-    val second = timestamp / 1000L
-    val ms = timestamp % 1000L
+    // Floor math, not truncation: a pre-epoch timestamp (misparsed year,
+    // genuinely old archive) must still satisfy ms ∈ [0, 999] — the
+    // read side's block-skip and header-count fast paths assume every
+    // line of a block lies in [second·1000, second·1000 + 999].
+    val second = Math.floorDiv(timestamp, 1000L)
+    val ms = Math.floorMod(timestamp, 1000L)
 
     if (ingest && ingestCreateTime < 0) {
       ingestCreateTime = timestamp

@@ -50,7 +50,11 @@ object LogMaintenance {
 
     val working = new Path(dir, s"working/merge-${System.nanoTime()}")
     val staged = new Path(working, "incoming")
-    fs.mkdirs(working.getParent)
+    // HDFS rename requires the DESTINATION PARENT to exist and returns
+    // false otherwise (RawLocalFileSystem masks this by falling back to a
+    // copy that mkdirs for you) — the parent of `staged` is `working`,
+    // not working/.
+    fs.mkdirs(working)
     if (!fs.rename(incoming, staged)) {
       throw new java.io.IOException(s"cannot stage $incoming")
     }
@@ -105,7 +109,11 @@ object LogMaintenance {
     val working = new Path(dir, s"working/rawmerge-$runId")
     val staged = new Path(working, "incoming")
     val outStage = new Path(working, "out")
-    fs.mkdirs(working.getParent)
+    // HDFS rename requires the DESTINATION PARENT to exist and returns
+    // false otherwise (RawLocalFileSystem masks this by falling back to a
+    // copy that mkdirs for you) — the parent of `staged` is `working`,
+    // not working/.
+    fs.mkdirs(working)
     if (!fs.rename(incoming, staged)) {
       throw new java.io.IOException(s"cannot stage $incoming")
     }
@@ -252,7 +260,14 @@ object LogMaintenance {
       fs.mkdirs(archive)
       fs.listStatus(data).foreach { s =>
         if (!s.getPath.getName.startsWith("_")) {
-          fs.rename(s.getPath, new Path(archive, s.getPath.getName))
+          val t = new Path(archive, s.getPath.getName)
+          // A false return (target exists from a crashed run, quota,
+          // archive-is-a-file) followed by the recursive delete below
+          // would be silent data loss — refuse instead; data/ is intact
+          // and the next maintenance pass retries.
+          if (!fs.rename(s.getPath, t))
+            throw new java.io.IOException(
+              s"cannot archive ${s.getPath} -> " + t)
         }
       }
       fs.delete(data, true)
@@ -294,20 +309,32 @@ object LogMaintenance {
 
   /** Orphan recovery (M5): move `working/<id>/incoming` of dead runs back to
     * the partition's `incoming/` (LogMaintenance.java:580-632).
+    *
+    * "Dead" is decided by AGE: only working dirs untouched for
+    * `minAgeMs` are reclaimed — without the threshold a cron-driven
+    * recovery racing a long live merge would steal its staged inputs
+    * (restoring them to incoming/ while the live job also promotes its
+    * output → every line duplicated on the next merge). The default is
+    * far past any sane compaction wall time; the reference leaned on its
+    * ZK write lock for the same exclusion.
     */
-  def resetOrphanedJobs(fs: FileSystem, partitionDir: String): Unit = {
+  def resetOrphanedJobs(fs: FileSystem, partitionDir: String,
+      minAgeMs: Long = 24L * 3600 * 1000,
+      nowMs: Long = System.currentTimeMillis()): Unit = {
     val working = new Path(partitionDir, "working")
     if (!fs.exists(working)) return
     fs.listStatus(working).foreach { job =>
-      val staged = new Path(job.getPath, "incoming")
-      if (fs.exists(staged)) {
-        val incoming = new Path(partitionDir, "incoming")
-        fs.mkdirs(incoming)
-        fs.listStatus(staged).foreach { f =>
-          fs.rename(f.getPath, new Path(incoming, f.getPath.getName))
+      if (nowMs - job.getModificationTime >= minAgeMs) {
+        val staged = new Path(job.getPath, "incoming")
+        if (fs.exists(staged)) {
+          val incoming = new Path(partitionDir, "incoming")
+          fs.mkdirs(incoming)
+          fs.listStatus(staged).foreach { f =>
+            fs.rename(f.getPath, new Path(incoming, f.getPath.getName))
+          }
         }
+        fs.delete(job.getPath, true)
       }
-      fs.delete(job.getPath, true)
     }
   }
 }

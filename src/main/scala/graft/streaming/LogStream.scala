@@ -88,7 +88,14 @@ object LogStream {
             sorted.foreach { e =>
               current match {
                 case Some(s) if e.eventTimeMs - s.lastMs <= gapMs =>
-                  current = Some(s.copy(lastMs = e.eventTimeMs, n = s.n + 1))
+                  // max/min, not assignment: an out-of-order event that is
+                  // inside the watermark still reaches this fold from a
+                  // LATER batch (Spark only filters rows older than the
+                  // watermark), and a bare lastMs = e would regress the
+                  // session end below its start and shrink the timeout.
+                  current = Some(SessionState(
+                    math.min(s.startMs, e.eventTimeMs),
+                    math.max(s.lastMs, e.eventTimeMs), s.n + 1))
                 case Some(s) =>
                   closed += SessionOutput(key, s.startMs, s.lastMs, s.n)
                   current = Some(SessionState(e.eventTimeMs, e.eventTimeMs, 1))
@@ -721,9 +728,16 @@ object LogStream {
             else withOther.toSeq.sortBy(_._1).map { case (c, rc) =>
               val oc = BigInt(counts.getOrElse(c, 0L))
               val d = oc * r - BigInt(o) * rc
-              (BigInt(1000000) * d * d /
-                (BigInt(o) * rc * r)).toLong
-            }.sum
+              // Terms grow ~linearly with n_obs and can pass Long range
+              // under extreme drift (all-unseen classes at 10^7+ obs);
+              // BigInt.toLong would WRAP NEGATIVE and report drifted=0 at
+              // maximal drift. Saturate instead — past Long.MaxValue ppm
+              // the only honest verdict is "drifted".
+              (BigInt(1000000) * d * d / (BigInt(o) * rc * r))
+                .min(BigInt(Long.MaxValue)).toLong
+            }.reduceOption((a, b) =>
+              if (a > Long.MaxValue - b) Long.MaxValue else a + b)
+              .getOrElse(0L)
           DriftReport(key, o, chi2,
             if (chi2 > driftThresholdPpm) 1 else 0)
       }
@@ -985,6 +999,17 @@ object LogStream {
   /** Continuous ingest: text file stream → parsed log lines → Boom files.
     * (`foreachBatch` + the batch writer — the standard file-sink pattern for
     * a custom format.)
+    *
+    * EXACTLY-ONCE on replay: foreachBatch is at-least-once (a crash after
+    * the batch write's job commit but before the streaming commit log
+    * records the batch re-executes it on restart), and the batch writer
+    * mints fresh UUID file names — so a naive write would duplicate the
+    * whole replayed batch. Output is therefore keyed by batchId: each
+    * batch writes to a hidden staging dir, any previous attempt's
+    * `batch-<id>-*` files are removed, and the staged files promote under
+    * batch-prefixed names — a replay converges on the same file set.
+    * (Readers never see staging: `.`-prefixed dirs are filtered by
+    * BoomDataSource.listFiles.)
     */
   def textToBoomStream(
       spark: SparkSession,
@@ -996,8 +1021,28 @@ object LogStream {
     graft.engine.Ingest.parse(lines)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[graft.core.LogLine], _: Long) =>
-        graft.engine.Ingest.write(batch.toDF(), outputDir)
+      .foreachBatch { (batch: Dataset[graft.core.LogLine], id: Long) =>
+        val out = new org.apache.hadoop.fs.Path(outputDir)
+        val fs = out.getFileSystem(
+          batch.sparkSession.sessionState.newHadoopConf())
+        val stage = new org.apache.hadoop.fs.Path(out, s".batch-$id.stage")
+        fs.delete(stage, true)
+        graft.engine.Ingest.write(batch.toDF(), stage.toString)
+        fs.mkdirs(out)
+        // Remove a lost earlier attempt's promoted files, then promote.
+        Option(fs.globStatus(new org.apache.hadoop.fs.Path(out,
+          s"batch-$id-*"))).foreach(_.foreach(s =>
+          fs.delete(s.getPath, false)))
+        fs.listStatus(stage).foreach { s =>
+          val n = s.getPath.getName
+          if (!n.startsWith("_") && !n.startsWith(".")) {
+            if (!fs.rename(s.getPath, new org.apache.hadoop.fs.Path(out,
+                s"batch-$id-$n")))
+              throw new java.io.IOException(s"cannot promote ${s.getPath}")
+          }
+        }
+        fs.delete(stage, true)
+        ()
       }
       .start()
   }

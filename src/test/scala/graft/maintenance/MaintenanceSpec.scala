@@ -256,7 +256,13 @@ class LogMaintenanceSpec extends SparkTestBase {
     // Simulate a dead run: stage incoming under working/ then recover.
     fs.rename(new Path(dir, "incoming"), new Path(dir, "working/dead-run/incoming"))
     assert(!fs.exists(new Path(dir, "incoming")))
+    // A FRESH working dir is presumed live and must not be reclaimed...
     LogMaintenance.resetOrphanedJobs(fs, dir)
+    assert(!fs.exists(new Path(dir, "incoming")))
+    assert(fs.exists(new Path(dir, "working/dead-run")))
+    // ...and one past the age threshold is dead and reclaimed.
+    LogMaintenance.resetOrphanedJobs(fs, dir,
+      nowMs = System.currentTimeMillis() + 25L * 3600 * 1000)
     assert(fs.exists(new Path(dir, "incoming")))
     assert(!fs.exists(new Path(dir, "working/dead-run")))
     LogMaintenance.merge(spark, dir)

@@ -858,6 +858,27 @@ class LogStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming text-to-boom ingest: batch replay converges (exactly-once)") {
+    val in = Files.createTempDirectory("replay-in").toString
+    val out = Files.createTempDirectory("replay-out").toString
+    Files.writeString(java.nio.file.Paths.get(s"$in/batch1.log"),
+      "2024-01-01T00:00:01Z hello\n2024-01-01T00:00:02Z world\n")
+    val q1 = LogStream.textToBoomStream(spark, in, out,
+      Files.createTempDirectory("replay-ckpt1").toString)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.format("boom").load(out).count() === 2)
+    // A FRESH checkpoint re-delivers the same input as batch 0 — the
+    // crash-before-streaming-commit replay shape. The batchId-keyed
+    // promotion must replace batch 0's files, not append next to them.
+    val q2 = LogStream.textToBoomStream(spark, in, out,
+      Files.createTempDirectory("replay-ckpt2").toString)
+    try q2.processAllAvailable() finally q2.stop()
+    val back = spark.read.format("boom").load(out)
+    assert(back.count() === 2)
+    assert(back.select("message").as[String].collect().toSet ===
+      Set("hello", "world"))
+  }
+
   test("spaceSavingStream: hand eviction trace with m = 2") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
