@@ -53,9 +53,16 @@ class Rfc5424TimestampParser extends TimestampParser {
       var i = 19
       var c = ts.charAt(i)
       if (c == '.') {
-        // Up to 3 fractional digits count; the rest are skipped.
+        // Up to 3 fractional digits count; the rest are skipped. The
+        // FIRST fractional char must be a digit like the other two —
+        // getNumericValue('a') is 10, so an unguarded read would credit a
+        // letter with a whole second AND make detect() lock a malformed
+        // first line in as valid RFC5424 for the whole partition.
         i += 1
         c = ts.charAt(i)
+        if (!Character.isDigit(c))
+          throw new IllegalArgumentException(
+            s"bad fractional seconds in: $ts")
         time += 100L * Character.getNumericValue(c)
         i += 1
         c = ts.charAt(i)

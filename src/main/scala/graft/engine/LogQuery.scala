@@ -44,11 +44,11 @@ case class LogQuery(
 
   def resolvePaths(spark: SparkSession): Seq[String] = {
     if (paths.nonEmpty) return paths
-    require(startMs != Long.MinValue && endMs != Long.MaxValue,
-      "catalog-based queries need a bounded time range: call .range(startMs, endMs) " +
-        "or read explicit paths with .fromPaths(...)")
-    LogCatalog.resolve(
-      spark.sessionState.newHadoopConf(), root, dc, service, component, startMs, endMs)
+    // Derived from the memoized hour groups: the CLI drivers print a file
+    // count and then run the query on the SAME instance — two independent
+    // listings would glob every hour directory twice against the
+    // filesystem/namenode (hundreds of calls on a multi-day range).
+    resolveHourGroups(spark).flatten.map(_._1)
   }
 
   /** The filtered log-line table (time range + content predicate applied). */
@@ -115,12 +115,20 @@ case class LogQuery(
     }.reduce(_ unionByName _).as[String]
   }
 
+  // Memoized per query instance (the CLI count + the query itself share
+  // one catalog pass). The cache assumes the catalog doesn't change
+  // between the two calls of one run — the same assumption the two-pass
+  // version silently made, minus the second listing.
+  @transient private var hourGroupsCache: Seq[Seq[(String, Long)]] = _
+
   private def resolveHourGroups(spark: SparkSession): Seq[Seq[(String, Long)]] = {
+    if (hourGroupsCache != null) return hourGroupsCache
     require(startMs != Long.MinValue && endMs != Long.MaxValue,
       "catalog-based queries need a bounded time range: call .range(startMs, endMs) " +
         "or read explicit paths with .fromPaths(...)")
-    LogCatalog.resolveByHourWithSizes(
+    hourGroupsCache = LogCatalog.resolveByHourWithSizes(
       spark.sessionState.newHadoopConf(), root, dc, service, component, startMs, endMs)
+    hourGroupsCache
   }
 
   /** One hour bucket → filtered, formatted, sorted. Normal hours sort in a

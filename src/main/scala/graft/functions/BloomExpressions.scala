@@ -49,10 +49,6 @@ case class BloomHitCount(child: Expression, bloomBytes: Array[Byte])
   override protected def withNewChildInternal(newChild: Expression): BloomHitCount =
     copy(child = newChild)
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
-  }
 }
 
 object BloomFunctions {

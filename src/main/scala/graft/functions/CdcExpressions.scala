@@ -25,8 +25,16 @@ import org.apache.spark.unsafe.types.UTF8String
 object CdcOps {
   private val hexDigits = "0123456789abcdef".toCharArray
 
+  // One digest per thread, like every other md5 kernel in this package
+  // (Md5ShingleOps/AugmentOps/Md5PairDrawOps): getInstance per call is a
+  // synchronized JCA lookup and this kernel runs once per token position.
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
   private def md5Hex(bytes: Array[Byte]): String = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val m = md5.get()
+    m.reset()
+    val d = m.digest(bytes)
     val out = new Array[Char](32)
     var i = 0
     while (i < 16) {
@@ -115,10 +123,6 @@ case class CdcChunkStructs(child: Expression, k: Int, modulus: Int)
   override protected def withNewChildInternal(newChild: Expression): CdcChunkStructs =
     copy(child = newChild)
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
-  }
 }
 
 object CdcFunctions {
@@ -181,10 +185,6 @@ case class TokenEntropy(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): TokenEntropy =
     copy(child = newChild)
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
-  }
 }
 
 object EntropyFunctions {

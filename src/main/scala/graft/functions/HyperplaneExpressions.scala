@@ -104,10 +104,6 @@ case class HyperplaneBits(child: Expression, planes: Array[Float], nPlanes: Int)
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBits =
     copy(child = newChild)
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
-  }
 }
 
 /** Banded LSH bucket keys (array<long>) of an array<float> vector column. */
@@ -130,10 +126,6 @@ case class HyperplaneBandKeys(child: Expression, planes: Array[Float],
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBandKeys =
     copy(child = newChild)
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
-  }
 }
 
 object HyperplaneFunctions {

@@ -174,10 +174,6 @@ case class KeywordTags(child: Expression, terms: Seq[String])
   override protected def withNewChildInternal(newChild: Expression): KeywordTags =
     copy(child = newChild)
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
-  }
 }
 
 object KeywordTagFunctions {

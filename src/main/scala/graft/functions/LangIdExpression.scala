@@ -20,8 +20,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * entries (a stopword may belong to several languages).
   */
 object LangIdOps {
+  // Executor-global compile caches + readResolve canonicalization (the
+  // AhoCorasickOps pattern): both profile objects ship as plan reference
+  // objects and deserialize once per TASK — without the memo every task
+  // rebuilt the token/gram hash maps from scratch.
+  private val profilesCache = new java.util.concurrent.ConcurrentHashMap[
+    Map[String, Seq[String]], Profiles]()
+  def compiledProfiles(m: Map[String, Seq[String]]): Profiles =
+    profilesCache.computeIfAbsent(m, mm => new Profiles(mm))
   /** langs sorted ascending (the tie-break order) + per-token membership. */
-  final class Profiles(profileMap: Map[String, Seq[String]]) extends Serializable {
+  final class Profiles(val profileMap: Map[String, Seq[String]]) extends Serializable {
+    private def readResolve(): Object = LangIdOps.compiledProfiles(profileMap)
     val langs: Array[UTF8String] =
       profileMap.keys.toArray.sorted.map(UTF8String.fromString)
     private val langIdx = profileMap.keys.toArray.sorted.zipWithIndex.toMap
@@ -30,7 +39,15 @@ object LangIdOps {
       val m = new java.util.HashMap[UTF8String, scala.collection.mutable.ArrayBuffer[Int]]()
       profileMap.foreach { case (lang, words) =>
         val li = langIdx(lang)
-        words.zipWithIndex.foreach { case (w, wi) =>
+        // Dedup first (a repeated profile word must not earn two bits —
+        // the contract is size(array_intersect)), then bound by the mask
+        // width: `1L << wi` is a Long shift, so anything past 64 would
+        // silently alias word 0's bit and miscount.
+        val distinctWords = words.distinct
+        require(distinctWords.size <= 64,
+          s"language profile '$lang' has ${distinctWords.size} distinct " +
+            "words; lang_id packs word hits into a 64-bit mask")
+        distinctWords.zipWithIndex.foreach { case (w, wi) =>
           m.computeIfAbsent(UTF8String.fromString(w),
             _ => scala.collection.mutable.ArrayBuffer[Int]()) += ((li << 8) | wi)
         }
@@ -43,7 +60,7 @@ object LangIdOps {
   }
 
   def langId(tokens: ArrayData, p: Profiles): UTF8String = {
-    val masks = new Array[Int](p.langs.length)
+    val masks = new Array[Long](p.langs.length)
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
@@ -52,7 +69,7 @@ object LangIdOps {
         if (entries != null) {
           var j = 0
           while (j < entries.length) {
-            masks(entries(j) >> 8) |= 1 << (entries(j) & 0xFF)
+            masks(entries(j) >> 8) |= 1L << (entries(j) & 0xFF)
             j += 1
           }
         }
@@ -65,7 +82,7 @@ object LangIdOps {
     var bestScore = 0
     var l = 0
     while (l < masks.length) {
-      val s = Integer.bitCount(masks(l))
+      val s = java.lang.Long.bitCount(masks(l))
       if (s > 0 && s >= bestScore) { best = l; bestScore = s }
       l += 1
     }
@@ -76,7 +93,7 @@ object LangIdOps {
 case class LangIdExpression(child: Expression, profiles: Map[String, Seq[String]])
   extends UnaryExpression {
 
-  @transient private lazy val compiled = new LangIdOps.Profiles(profiles)
+  @transient private lazy val compiled = LangIdOps.compiledProfiles(profiles)
 
   override def dataType: DataType = StringType
   override def prettyName: String = "lang_id"
@@ -93,10 +110,6 @@ case class LangIdExpression(child: Expression, profiles: Map[String, Seq[String]
   override protected def withNewChildInternal(newChild: Expression): LangIdExpression =
     copy(child = newChild)
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
-  }
 }
 
 object LangIdFunctions {
@@ -131,8 +144,15 @@ object LangIdFunctions {
   * weights are integer counts — no floating point anywhere.
   */
 object NgramLangIdOps {
-  final class NProfiles(profileMap: Map[String, Seq[(String, Int)]])
+  // Executor-global compile cache (see LangIdOps above for why).
+  private val nProfilesCache = new java.util.concurrent.ConcurrentHashMap[
+    Map[String, Seq[(String, Int)]], NProfiles]()
+  def compiledNProfiles(m: Map[String, Seq[(String, Int)]]): NProfiles =
+    nProfilesCache.computeIfAbsent(m, mm => new NProfiles(mm))
+
+  final class NProfiles(val profileMap: Map[String, Seq[(String, Int)]])
       extends Serializable {
+    private def readResolve(): Object = NgramLangIdOps.compiledNProfiles(profileMap)
     val langs: Array[UTF8String] =
       profileMap.keys.toArray.sorted.map(UTF8String.fromString)
     private val langIdx = profileMap.keys.toArray.sorted.zipWithIndex.toMap
@@ -216,7 +236,7 @@ case class NgramLangIdExpression(
     child: Expression, profiles: Map[String, Seq[(String, Int)]])
   extends UnaryExpression {
 
-  @transient private lazy val compiled = new NgramLangIdOps.NProfiles(profiles)
+  @transient private lazy val compiled = NgramLangIdOps.compiledNProfiles(profiles)
 
   override def dataType: DataType = StringType
   override def prettyName: String = "ngram_lang_id"
@@ -233,8 +253,4 @@ case class NgramLangIdExpression(
   override protected def withNewChildInternal(newChild: Expression): NgramLangIdExpression =
     copy(child = newChild)
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
-  }
 }

@@ -73,10 +73,6 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
-  }
 }
 
 /** Distinct k-shingle hashes straight from the token array — combines the
@@ -193,10 +189,6 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends UnaryEx
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
     copy(child = newChild)
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
-  }
 }
 
 /** Non-distinct variant of [[ShingleOps.shingleHashes]] for repetition
@@ -245,10 +237,6 @@ case class NgramHashes(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): NgramHashes =
     copy(child = newChild)
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
-  }
 }
 
 case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
@@ -265,10 +253,6 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
-  }
 }
 
 /** MinHash signature as ONE fused pass: for each shingle hash, all
@@ -375,10 +359,6 @@ case class Md5ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Md5ShingleHashes =
     copy(child = newChild)
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
-  }
 }
 
 /** Fused deterministic token corruption (the mask/drop augmentation draw):
@@ -496,10 +476,6 @@ case class PortableSimHash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): PortableSimHash =
     copy(child = newChild)
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
-  }
 }
 
 /** Unicode script-mix profile — the mixed-script/homoglyph audit a spam
@@ -565,10 +541,6 @@ case class ScriptProfile(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): ScriptProfile =
     copy(child = newChild)
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
-  }
 }
 
 /** Fused md5 pair draw: the 52-bit md5-prefix of "a-b-salt" as a long —
@@ -711,10 +683,6 @@ case class PortableMinHashSignature(child: Expression, numHashes: Int) extends U
   override protected def withNewChildInternal(newChild: Expression): PortableMinHashSignature =
     copy(child = newChild)
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
-  }
 }
 
 case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpression {
@@ -731,10 +699,6 @@ case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpr
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
-  }
 }
 
 /** Fused tokenizer: lowercase once, then one byte-scan splitting on runs of
@@ -810,10 +774,6 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
-  }
 }
 
 case class Tokenize(child: Expression) extends UnaryExpression {
@@ -831,10 +791,6 @@ case class Tokenize(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Tokenize =
     copy(child = newChild)
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
-  }
 }
 
 /** Exact Jaccard of two distinct-element long arrays (shingle-hash sets):
@@ -1070,10 +1026,6 @@ case class RepetitionProfile(child: Expression, n: Int) extends UnaryExpression 
   override protected def withNewChildInternal(newChild: Expression): RepetitionProfile =
     copy(child = newChild)
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
-  }
 }
 
 object RepetitionProfile {

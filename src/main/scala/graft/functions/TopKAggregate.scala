@@ -49,7 +49,17 @@ final class TopKBuffer(val k: Int, val distinctIds: Boolean) {
 
   def insert(s: Double, id: Long): Unit = {
     if (k == 0) return
+    // NaN scores never qualify: better() is false in BOTH directions for
+    // NaN, which makes the result() comparator intransitive (TimSort
+    // throws for arrays >= 32) and would let a meaningless entry squat in
+    // a top-k slot while the buffer fills.
+    if (java.lang.Double.isNaN(s)) return
     if (distinctIds) {
+      // Full buffer + candidate not better than the worst entry: the id
+      // cannot be present with a lower score (worst IS the minimum), so
+      // the O(count) id scan below is pure waste for the common
+      // non-qualifying candidate — reject in O(1) first.
+      if (count == k && !better(s, id, scores(worst), ids(worst))) return
       var i = 0
       while (i < count) {
         if (ids(i) == id) {
@@ -214,6 +224,7 @@ final class TopKPayloadBuffer(val k: Int) {
 
   def insert(s: Double, id: Long, p: Double): Unit = {
     if (k == 0) return
+    if (java.lang.Double.isNaN(s)) return // see TopKBuffer.insert
     if (count < k) {
       scores(count) = s; ids(count) = id; payloads(count) = p; count += 1
       if (count == k) recomputeWorst()

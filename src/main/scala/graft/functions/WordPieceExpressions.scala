@@ -29,12 +29,29 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object MaxMatchOps {
 
+  /** Executor-global compile cache + readResolve canonicalization — the
+    * full [[AhoCorasickOps]] pattern, not just its lazy-trie half: plan
+    * reference objects deserialize once per TASK, so without the cache a
+    * 30k-piece vocab re-sorted and re-built its trie in every task (the
+    * same ~17×-build pathology AhoCorasickOps measured and fixed).
+    */
+  private val compileCache = new java.util.concurrent.ConcurrentHashMap[
+    (Seq[String], String, Int), Segmenter]()
+  def compiled(vocab: Seq[String], unk: String, maxPieces: Int): Segmenter =
+    compileCache.computeIfAbsent(
+      (vocab.distinct.sorted.toVector, unk, maxPieces),
+      { case (v, u, m) => new Segmenter(v, u, m) })
+
   final class Segmenter(vocabIn: Seq[String], val unk: String,
       val maxPieces: Int) extends Serializable {
     require(vocabIn.nonEmpty, "vocabulary must not be empty")
     require(vocabIn.forall(_.nonEmpty), "vocabulary pieces must be non-empty")
     require(maxPieces >= 1, "maxPieces must be >= 1")
     val vocab: Array[String] = vocabIn.distinct.sorted.toArray
+
+    private def readResolve(): Object =
+      MaxMatchOps.compiled(scala.collection.immutable.ArraySeq
+        .unsafeWrapArray(vocab), unk, maxPieces)
 
     // Child-map trie with a terminal flag per node.
     @transient private lazy val trie: (Array[java.util.HashMap[Character, Integer]], Array[Boolean]) = {
@@ -115,7 +132,7 @@ case class MaxMatchPieces(child: Expression, vocab: Seq[String],
   extends UnaryExpression {
 
   @transient private lazy val compiled =
-    new MaxMatchOps.Segmenter(vocab, unk, maxPieces)
+    MaxMatchOps.compiled(vocab, unk, maxPieces)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "maxmatch_pieces"
@@ -132,10 +149,6 @@ case class MaxMatchPieces(child: Expression, vocab: Seq[String],
   override protected def withNewChildInternal(newChild: Expression): MaxMatchPieces =
     copy(child = newChild)
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
-  }
 }
 
 object WordPieceFunctions {

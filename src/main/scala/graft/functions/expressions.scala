@@ -36,10 +36,6 @@ case class FormatLogDate(child: Expression, formatName: String, zoneId: String)
   override protected def withNewChildInternal(newChild: Expression): FormatLogDate =
     copy(child = newChild)
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
-  }
 }
 
 /** Σ weights(bks(i)) over a long-array bucket column — the per-document
@@ -79,10 +75,6 @@ case class BucketWeightSum(child: Expression, weights: Array[Long])
   override protected def withNewChildInternal(newChild: Expression): BucketWeightSum =
     copy(child = newChild)
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
-  }
 }
 
 object functions {
