@@ -2056,8 +2056,12 @@ object SparkEntry {
         .presented("domain")),
 
     "q_url_blocklist" -> ((s, dir) =>
-      Web.blocklistFilter(withUrls(s, dir), "doc_id", "url",
-          BlockedDomains)
+      // blocklistFilter returns the CALLER'S rows (r15 fix: it used to
+      // return the urlFacts projection, silently dropping every non-URL
+      // column); the facts the oracle grades are derived after the filter.
+      Web.urlFacts(
+          Web.blocklistFilter(withUrls(s, dir), "doc_id", "url",
+            BlockedDomains), "doc_id", "url")
         .select(col("doc_id"), col("domain"), col("url_norm"))
         .presented("doc_id")),
 
@@ -4302,9 +4306,15 @@ object SparkEntry {
         | SELECT e1, e2, e3, count(*)::BIGINT AS n
         | FROM sq WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
         | ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin,
+    // Null-text rows key by their own id (each is its own group, never a
+    // "duplicate" of the other nulls) — the engine's contentKey policy;
+    // this fixture has no null text, so the CASE arm never fires here.
     "q_dedup_exact" ->
-      s"""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
-         | FROM $docsWithDupesSql GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+      s"""SELECT CASE WHEN text IS NULL
+         |     THEN '__null__' || CAST(doc_id AS VARCHAR)
+         |     ELSE md5(text) END AS content_hash,
+         |   min(doc_id) AS keep_id, count(*) AS n_copies
+         | FROM $docsWithDupesSql GROUP BY 1 ORDER BY content_hash""".stripMargin,
     "q_dupe_pairs_exact" ->
       s"""WITH d AS (SELECT doc_id, md5(text) AS h FROM $docsWithDupesSql)
          | SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -4314,8 +4324,8 @@ object SparkEntry {
     // arithmetic so DuckDB evaluates the identical IEEE expression tree.
     "q_readability" ->
       """WITH c AS (SELECT doc_id,
-        |     CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
-        |       AS BIGINT) AS n_words,
+        |     CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |       x -> x <> '')) AS BIGINT) AS n_words,
         |     CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS sr,
         |     CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
         |       AS BIGINT) AS n_syllables

@@ -68,8 +68,12 @@ object Align {
       maxTokens: Int = 16): DataFrame = {
     require(maxTokens >= 1 && maxTokens <= 64,
       s"maxTokens must be in [1, 64], got $maxTokens")
+    // base is consumed by grams (both hot-gram sides) AND both token-slice
+    // joins — without persist each consumer re-tokenizes the whole corpus
+    // (the same multi-read Dedup.ngramJaccardPairs documents and fixes).
     val base = docs.select(col(idCol).as("__id"), benchCol.as("__bench"),
       TextAnalysis.tokens(col(textCol)).as("__t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grams = base.select(col("__id"), col("__bench"),
       explode(array_distinct(
         TextAnalysis.shinglesFromTokens(col("__t"), shingleK))).as("__g"))

@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   * each left row. Equivalent plan shape to a custom sort-merge as-of operator
   * — same single exchange + sort — without leaving Catalyst's optimizer.
   *
-  * @param tolerance  max allowed `leftTime - rightTime` in the same units
+  * @param tolerance  max allowed `leftTime - rightTime` in the time
+  *                    columns' units (MICROSECONDS when they are
+  *                    timestamp-typed — sub-second precision is kept)
   *                   (0 = unlimited)
   * @return left rows (original columns) + the matched right row's columns
   *         prefixed with `rightPrefix`; inner semantics (unmatched left rows
@@ -35,15 +37,28 @@ object AsofJoin {
       leftOuter: Boolean = false): DataFrame = {
     require(by.nonEmpty, "as-of join needs at least one key column")
 
+    // Time normalization: TimestampType must keep SUB-SECOND precision —
+    // cast("long") truncates to whole seconds, and a right row 800 ms
+    // AFTER the left event in the same second would then tie-break into
+    // being its "as-of" match, violating rightTime <= leftTime. Micros
+    // for timestamps, plain long cast for numeric columns (unchanged).
+    def timeKey(df: DataFrame, c: String): Column =
+      df.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          unix_micros(col(c).cast("timestamp"))
+        case _ => col(c).cast("long")
+      }
+
     val rightPayload = right.columns.toSeq
     val l = left
-      .withColumn("__t", col(leftTime).cast("long"))
+      .withColumn("__t", timeKey(left, leftTime))
       .withColumn("__side", lit(1))
       .withColumn("__r", lit(null).cast(
         org.apache.spark.sql.types.StructType(
           right.select(rightPayload.map(col): _*).schema.fields)))
     val r = right
-      .withColumn("__t", col(rightTime).cast("long"))
+      .withColumn("__t", timeKey(right, rightTime))
       .withColumn("__side", lit(0))
       .withColumn("__r", struct(rightPayload.map(col): _*))
       .select(by.map(col) ++ Seq(col("__t"), col("__side"), col("__r")): _*)
@@ -66,10 +81,21 @@ object AsofJoin {
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
 
+    // The tolerance probe must use the SAME normalization as __t: the
+    // carried struct holds the original right column, and a bare long
+    // cast of a timestamp is seconds while __t is micros.
+    def carriedTimeKey(f: Column): Column =
+      right.schema(rightTime).dataType match {
+        case _: org.apache.spark.sql.types.TimestampType => unix_micros(f)
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          unix_micros(f.cast("timestamp"))
+        case _ => f.cast("long")
+      }
     val withinTolerance =
       if (tolerance > 0L)
         matched.withColumn("__m",
-          when(col("__t") - col("__m").getField(rightTime).cast("long") <= tolerance,
+          when(col("__t") - carriedTimeKey(col("__m").getField(rightTime))
+              <= tolerance,
             col("__m")))
       else matched
 

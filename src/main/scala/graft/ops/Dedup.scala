@@ -19,14 +19,26 @@ object Dedup {
     * text (hashing first keeps the shuffle narrow — 16 bytes/row instead of
     * the document body).
     */
+  /** Dedup key: md5 of the text, with NULL text rows each keyed by their
+    * own id — md5(null) is null, and both the window partition and the
+    * groupBy treat null as ONE key, so without the guard every
+    * fetch-failed/missing-body document except one would silently vanish
+    * as a "duplicate" of nothing (the same trap [[Web.surtDedup]]
+    * documents for null SURT keys).
+    */
+  private def contentKey(idCol: String, textCol: String): Column =
+    when(col(textCol).isNull,
+      concat(lit("__null__"), col(idCol).cast("string")))
+      .otherwise(md5(col(textCol).cast("binary")))
+
   def exactByText(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.withColumn("__h", md5(col(textCol).cast("binary")))
+    df.withColumn("__h", contentKey(idCol, textCol))
       .groupBy(col("__h").as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Surviving rows after exact text dedup (keep-first-by-id). */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol).cast("binary"))).orderBy(col(idCol))
+    val w = Window.partitionBy(contentKey(idCol, textCol)).orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 

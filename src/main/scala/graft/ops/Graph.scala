@@ -963,8 +963,13 @@ object Graph {
       .select(col("w"),
         round(lit(1e6) / log(col("d").cast("double")))
           .cast("long").as("__aaw"))
-    val wedges = adj.toDF("w", "a")
-      .join(adj.toDF("w", "b"), Seq("w"))
+    // The hub cap must bind BEFORE the self-join: joining ctr afterwards
+    // materializes the hub's deg² wedge rows first and only then drops
+    // them — the exact blow-up the cap exists to prevent. Restricting the
+    // adjacency to capped centers keeps wedge mass ≤ Σ_capped d(w)².
+    val cappedAdj = adj.join(ctr.select("w"), Seq("w"), "left_semi")
+    val wedges = cappedAdj.toDF("w", "a")
+      .join(cappedAdj.toDF("w", "b"), Seq("w"))
       .where(col("a") < col("b"))
       .join(ctr, Seq("w"))
     val out = wedges.groupBy(col("a").as("u"), col("b").as("v"))

@@ -101,8 +101,11 @@ object Sketches {
     require(probabilities.nonEmpty && probabilities.forall(p => p > 0 && p < 1),
       s"probabilities must be in (0,1): $probabilities")
     val probsSql = probabilities.mkString("array(", ", ", ")")
+    // n counts NON-NULL values: approx_percentile and the rank recount
+    // both skip nulls, so a count(*) target would fail the rank audit on
+    // any null-bearing column even when the sketch met its guarantee.
     val apx = df.groupBy(col(keyCol))
-      .agg(count(lit(1)).as("n"),
+      .agg(count(col(valueCol)).as("n"),
         expr(s"approx_percentile(`$valueCol`, $probsSql, $accuracy)").as("__vs"))
       .select(col(keyCol), col("n"),
         posexplode(col("__vs")).as(Seq("__pi", "__v")))

@@ -864,7 +864,10 @@ object TextAnalysis {
     */
   def readabilityScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    val words = size(filter(split(t, " "), x => x =!= "")).cast("long")
+    // Whitespace words, as documented: a single-space split undercounted
+    // every multi-line document ("sat.\nThe" was one word), skewing both
+    // ratios. \s+ matches the oracle's regexp split.
+    val words = size(filter(split(t, "\\s+"), x => x =!= "")).cast("long")
     val sentRuns = regexp_count(t, lit("[.!?]+")).cast("long")
     val syl = regexp_count(lower(t), lit("[aeiouy]+")).cast("long")
     df.select(col(idCol), words.as("n_words"), sentRuns.as("__sr"),

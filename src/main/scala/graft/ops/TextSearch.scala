@@ -541,15 +541,19 @@ object TextSearch {
     require(term.nonEmpty, "term must be non-empty")
     val staged = df.select(col(idCol),
       graft.functions.TextFunctions.tokenize(col(textCol)).as("__t"))
+    // tokenize() lowercases, so the probe must too — a verbatim compare
+    // returned zero rows for any query with an uppercase letter, silently
+    // diverging from bm25TopK/postings (which lowercase their terms).
+    val probe = term.toLowerCase
     val hits = staged.select(col(idCol), col("__t"),
       explode(filter(
-        transform(col("__t"), (tk, i) => when(tk === term, i).otherwise(-1)),
+        transform(col("__t"), (tk, i) => when(tk === probe, i).otherwise(-1)),
         p => p >= 0)).as("__p"))
     hits.select(col(idCol), col("__p").cast("long").as("pos"),
       array_join(slice(col("__t"),
         greatest(col("__p") - window + 1, lit(1)),
         least(col("__p"), lit(window))), " ").as("left_ctx"),
-      lit(term).as("hit"),
+      lit(probe).as("hit"),
       array_join(slice(col("__t"), col("__p") + 2, lit(window)), " ")
         .as("right_ctx"))
   }

@@ -248,11 +248,14 @@ object Web {
 
   /** Drop rows whose registered domain is blocklisted (the broadcast-set
     * filter every web pipeline runs first). The blocklist is a literal —
-    * no join, no shuffle.
+    * no join, no shuffle. Returns the CALLER'S rows (all columns intact):
+    * the domain is derived inline from the url column, never by replacing
+    * the row with the urlFacts projection — a pipeline running this first
+    * must not lose its text/metadata columns.
     */
   def blocklistFilter(df: DataFrame, idCol: String, urlCol: String,
       blockedDomains: Seq[String]): DataFrame = {
-    val facts = urlFacts(df, idCol, urlCol)
-    facts.where(!coalesce(col("domain").isin(blockedDomains: _*), lit(false)))
+    val domain = registeredDomain(hostOf(col(urlCol)))
+    df.where(!coalesce(domain.isin(blockedDomains: _*), lit(false)))
   }
 }
