@@ -28,6 +28,55 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 
+  /** Fractional literal: plain SQL `0.1` parses as DecimalType, not
+    * DOUBLE — the builder must accept both (and integer literals), or the
+    * registration's own usage string is rejected.
+    */
+  private def dbl(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: Float, _) => v.toDouble
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case Literal(v: Int, _) => v.toDouble
+    case Literal(v: Long, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
+  /** String-array literal (array('a', ...) or a folded array literal). */
+  private def strArrayLit(e: Expression, what: String): Seq[String] = e match {
+    case ca: org.apache.spark.sql.catalyst.expressions.CreateArray =>
+      ca.children.map(c => str(c, what))
+    case Literal(data: org.apache.spark.sql.catalyst.util.ArrayData,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, _)) =>
+      data.toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string-array literal, got $other")
+  }
+
+  /** Exact-arity guards: `args.head`/`args(1)` would silently IGNORE
+    * extra arguments and surface missing ones as raw index exceptions
+    * instead of the usage message every other registration gives.
+    */
+  private def arity1(args: Seq[Expression], usage: String): Expression =
+    args match {
+      case Seq(a) => a
+      case _ => throw new IllegalArgumentException(usage)
+    }
+  private def arity2(args: Seq[Expression], usage: String): (Expression, Expression) =
+    args match {
+      case Seq(a, b) => (a, b)
+      case _ => throw new IllegalArgumentException(usage)
+    }
+
+  private def asLongCast(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.LongType)
+  private def asDoubleCast(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.DoubleType)
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("format_log_date"),
@@ -41,7 +90,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (args: Seq[Expression]) => SimHash64(args.head)))
+      (args: Seq[Expression]) => SimHash64(arity1(args, "simhash64(arg)"))))
     ext.injectFunction((
       FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
@@ -53,11 +102,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        val (a, b) = arity2(args, "cosine_similarity(a, b)")
+        CosineSimilarity(a, b)
+      }))
     ext.injectFunction((
       FunctionIdentifier("jaccard_sets"),
       new ExpressionInfo(classOf[JaccardSets].getName, "jaccard_sets"),
-      (args: Seq[Expression]) => JaccardSets(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        val (a, b) = arity2(args, "jaccard_sets(a, b)")
+        JaccardSets(a, b)
+      }))
     ext.injectFunction((
       FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
@@ -77,16 +132,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
-      (args: Seq[Expression]) => NfcNormalize(args.head)))
+      (args: Seq[Expression]) => NfcNormalize(arity1(args, "nfc_normalize(arg)"))))
     ext.injectFunction((
       FunctionIdentifier("tokenize"),
       new ExpressionInfo(classOf[Tokenize].getName, "tokenize"),
-      (args: Seq[Expression]) => Tokenize(args.head)))
+      (args: Seq[Expression]) => Tokenize(arity1(args, "tokenize(arg)"))))
     ext.injectFunction((
       FunctionIdentifier("lang_id"),
       new ExpressionInfo(classOf[LangIdExpression].getName, "lang_id"),
+      // NOTE the SQL surface takes RAW TEXT (tokenized here), while the
+      // Scala LangIdFunctions.lang_id takes a token array — the SQL form
+      // exists for ad-hoc queries over text columns.
       (args: Seq[Expression]) =>
-        LangIdExpression(Tokenize(args.head), graft.ops.TextAnalysis.StopwordProfiles)))
+        LangIdExpression(Tokenize(arity1(args, "lang_id(text)")),
+          graft.ops.TextAnalysis.StopwordProfiles)))
     ext.injectFunction((
       FunctionIdentifier("winnow_fingerprints"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
@@ -106,7 +165,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("token_entropy"),
       new ExpressionInfo(classOf[TokenEntropy].getName, "token_entropy"),
-      (args: Seq[Expression]) => TokenEntropy(args.head)))
+      (args: Seq[Expression]) => TokenEntropy(arity1(args, "token_entropy(arg)"))))
     ext.injectFunction((
       FunctionIdentifier("cdc_chunk_structs"),
       new ExpressionInfo(classOf[CdcChunkStructs].getName, "cdc_chunk_structs"),
@@ -130,18 +189,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KeywordTags].getName, "keyword_tags"),
       (args: Seq[Expression]) => args match {
         case Seq(text, terms) =>
-          val dict = terms match {
-            case ca: org.apache.spark.sql.catalyst.expressions.CreateArray =>
-              ca.children.map(c => str(c, "keyword term"))
-            case Literal(data: org.apache.spark.sql.catalyst.util.ArrayData,
-                org.apache.spark.sql.types.ArrayType(
-                  org.apache.spark.sql.types.StringType, _)) =>
-              data.toObjectArray(org.apache.spark.sql.types.StringType)
-                .map(_.toString).toSeq
-            case other => throw new IllegalArgumentException(
-              s"keyword_tags dictionary must be a string-array literal, got $other")
-          }
-          KeywordTags(text, dict)
+          KeywordTags(text, strArrayLit(terms, "keyword_tags dictionary"))
         case _ => throw new IllegalArgumentException(
           "keyword_tags(text, array('term', ...))")
       }))
@@ -169,18 +217,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "maxmatch_pieces"),
       (args: Seq[Expression]) => args match {
         case Seq(toks, vocab) =>
-          val pieces = vocab match {
-            case ca: org.apache.spark.sql.catalyst.expressions.CreateArray =>
-              ca.children.map(c => str(c, "vocabulary piece"))
-            case Literal(data: org.apache.spark.sql.catalyst.util.ArrayData,
-                org.apache.spark.sql.types.ArrayType(
-                  org.apache.spark.sql.types.StringType, _)) =>
-              data.toObjectArray(org.apache.spark.sql.types.StringType)
-                .map(_.toString).toSeq
-            case other => throw new IllegalArgumentException(
-              s"maxmatch_pieces vocabulary must be a string-array literal, got $other")
-          }
-          graft.functions.MaxMatchPieces(toks, pieces)
+          graft.functions.MaxMatchPieces(toks,
+            strArrayLit(vocab, "maxmatch_pieces vocabulary"))
         case _ => throw new IllegalArgumentException(
           "maxmatch_pieces(tokens, array('piece', ...))")
       }))
@@ -188,9 +226,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("topk_by_score"),
       new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
       (args: Seq[Expression]) => args match {
-        case Seq(score, id, k) => TopKByScore(score, id, int(k, "k"))
+        // Cast to the aggregate's (DOUBLE, BIGINT) contract — without it
+        // an INT score/id passes analysis and then ClassCastExceptions
+        // mid-task (the hilbert_index lesson).
+        case Seq(score, id, k) =>
+          TopKByScore(asDoubleCast(score), asLongCast(id), int(k, "k"))
         case Seq(score, id, k, Literal(d: Boolean, _)) =>
-          TopKByScore(score, id, int(k, "k"), d)
+          TopKByScore(asDoubleCast(score), asLongCast(id), int(k, "k"), d)
         case _ => throw new IllegalArgumentException(
           "topk_by_score(score, id, k[, distinctIds]) — aggregate")
       }))
@@ -201,7 +243,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "topk_by_score_payload"),
       (args: Seq[Expression]) => args match {
         case Seq(score, id, payload, k) =>
-          graft.functions.TopKByScorePayload(score, id, payload, int(k, "k"))
+          graft.functions.TopKByScorePayload(asDoubleCast(score),
+            asLongCast(id), asDoubleCast(payload), int(k, "k"))
         case _ => throw new IllegalArgumentException(
           "topk_by_score_payload(score, id, payload, k) — aggregate")
       }))
@@ -209,19 +252,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("script_profile"),
       new ExpressionInfo(classOf[graft.functions.ScriptProfile].getName,
         "script_profile"),
-      (args: Seq[Expression]) => graft.functions.ScriptProfile(args.head)))
+      (args: Seq[Expression]) => graft.functions.ScriptProfile(arity1(args, "script_profile(arg)"))))
     ext.injectFunction((
       FunctionIdentifier("portable_simhash"),
       new ExpressionInfo(classOf[graft.functions.PortableSimHash].getName,
         "portable_simhash"),
-      (args: Seq[Expression]) => graft.functions.PortableSimHash(args.head)))
+      (args: Seq[Expression]) => graft.functions.PortableSimHash(arity1(args, "portable_simhash(arg)"))))
     ext.injectFunction((
       FunctionIdentifier("md5_pair_draw"),
       new ExpressionInfo(classOf[graft.functions.Md5PairDraw].getName,
         "md5_pair_draw"),
       (args: Seq[Expression]) => args match {
         case Seq(a, b, salt) =>
-          graft.functions.Md5PairDraw(a, b, str(salt, "salt"))
+          graft.functions.Md5PairDraw(asLongCast(a), asLongCast(b),
+            str(salt, "salt"))
         case _ => throw new IllegalArgumentException(
           "md5_pair_draw(a, b, 'salt')")
       }))
@@ -230,12 +274,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.AugmentTokensExpr].getName,
         "augment_tokens"),
       (args: Seq[Expression]) => args match {
-        case Seq(id, toks, Literal(pm: Double, _), Literal(pd: Double, _)) =>
-          graft.functions.AugmentTokensExpr(id, toks, pm, pd, "aug")
-        case Seq(id, toks, Literal(pm: Double, _), Literal(pd: Double, _),
-            salt) =>
-          graft.functions.AugmentTokensExpr(id, toks, pm, pd,
-            str(salt, "salt"))
+        case Seq(id, toks, pm, pd) =>
+          graft.functions.AugmentTokensExpr(id, toks, dbl(pm, "pMask"),
+            dbl(pd, "pDrop"), "aug")
+        case Seq(id, toks, pm, pd, salt) =>
+          graft.functions.AugmentTokensExpr(id, toks, dbl(pm, "pMask"),
+            dbl(pd, "pDrop"), str(salt, "salt"))
         case _ => throw new IllegalArgumentException(
           "augment_tokens(idString, tokens, pMask, pDrop[, 'salt'])")
       }))

@@ -7,8 +7,9 @@ import org.apache.spark.sql.SparkSession
   * the empirical check behind every "only (id, hash) rides the wire" claim
   * in the operator docs. For each named query it runs the plan once and
   * reports total shuffle bytes written/read across its stages (captured by
-  * a SparkListener; a short drain pause lets the async bus flush before
-  * the snapshot is read). Emits ONE JSON line:
+  * a SparkListener; the async bus is drained via waitUntilEmpty — with a
+  * sleep fallback — before each snapshot is read, so late stage events
+  * cannot leak into the next query's delta). Emits ONE JSON line:
   * `{"sf":..., "queries":{"name":{"write_mb":..,"read_mb":..},...}}`.
   *
   * Usage: `SPARK_GRAFT_CPUS=8 runMain graft.ShuffleAudit <sfDir> q_a q_b …`
@@ -21,6 +22,11 @@ object ShuffleAudit {
     require(args.length >= 2, "usage: ShuffleAudit <sfDir> <query> [query ...]")
     val sfDir = args.head
     val names = args.tail
+    // Fail loudly on a typo'd name — flatMap-over-get would print a
+    // successful-looking JSON that silently measured nothing.
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -35,8 +41,10 @@ object ShuffleAudit {
       @volatile var write = 0L
       @volatile var read = 0L
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        // Skip FAILED attempts: a retried stage would otherwise sum its
+        // bytes twice.
         val m = s.stageInfo.taskMetrics
-        if (m != null) {
+        if (m != null && s.stageInfo.failureReason.isEmpty) {
           write += m.shuffleWriteMetrics.bytesWritten
           read += m.shuffleReadMetrics.totalBytesRead
         }
@@ -44,24 +52,50 @@ object ShuffleAudit {
     }
     spark.sparkContext.addSparkListener(L)
 
+    // listenerBus.waitUntilEmpty is private[spark]; reflection with a
+    // bounded-sleep fallback keeps the snapshot boundaries exact without
+    // depending on a fixed 500 ms being enough under GC/backlog.
+    def drainBus(): Unit = {
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        val waited =
+          try { bus.getClass.getMethod("waitUntilEmpty").invoke(bus); true }
+          catch {
+            case _: NoSuchMethodException =>
+              try {
+                bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+                  .invoke(bus, java.lang.Long.valueOf(30000L))
+                true
+              } catch { case _: NoSuchMethodException => false }
+          }
+        if (!waited) Thread.sleep(500)
+      } catch { case _: Throwable => Thread.sleep(500) }
+    }
+
     def drained[T](body: => T): (Long, Long) = {
-      Thread.sleep(300) // drain any prior async events
+      drainBus()
       val (w0, r0) = (L.write, L.read)
       body
-      Thread.sleep(500) // listener bus is async; let the last stages land
+      drainBus()
       (L.write - w0, L.read - r0)
     }
 
-    val rows = names.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val (w, r) = drained {
-          val df = fn(spark, sfDir)
-          df.write.format("noop").mode("overwrite").save()
-        }
-        f"""\"$name\":{\"write_mb\":${w / 1e6}%.1f,\"read_mb\":${r / 1e6}%.1f}"""
+    def mb(v: Long): String =
+      String.format(java.util.Locale.ROOT, "%.1f",
+        java.lang.Double.valueOf(v / 1e6))
+    def q(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+    val rows = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      val (w, r) = drained {
+        val df = fn(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
       }
+      s"""${q(name)}:{"write_mb":${mb(w)},"read_mb":${mb(r)}}"""
     }
-    println(s"""{"sf":"$sfDir","queries":{${rows.mkString(",")}}}""")
+    println(s"""{"sf":${q(sfDir)},"queries":{${rows.mkString(",")}}}""")
     spark.stop()
   }
 }

@@ -113,6 +113,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
       graft.functions.Md5PairDrawOps.draw(3L, 7L, "graft-ring-cap"))
     val aug = row3.getAs[org.apache.spark.sql.Row]("aug")
     assert(aug.getLong(0) === 5L) // n_tokens
+
+    // r15: plain SQL decimal literals (0.1 parses as DecimalType, not
+    // DOUBLE) must be accepted and agree with the 0.1D form; INT
+    // score/id columns must cast cleanly into topk_by_score; and
+    // md5_pair_draw accepts INT args.
+    val decAug = spark.sql(
+      "SELECT augment_tokens('7', tokenize('a b c d e'), 0.1, 0.1) AS a")
+      .head().getAs[org.apache.spark.sql.Row]("a")
+    assert(decAug === aug)
+    val intTop = spark.sql(
+      """SELECT topk_by_score(s, i, 1) AS t FROM
+        |  (SELECT 5 AS s, 7 AS i UNION ALL SELECT 3, 9)""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(intTop.map(_.getLong(1)) === Seq(7L))
+    assert(spark.sql("SELECT md5_pair_draw(3, 7, 'graft-ring-cap') AS d")
+      .head().getAs[Long]("d") ===
+      graft.functions.Md5PairDrawOps.draw(3L, 7L, "graft-ring-cap"))
+    // Wrong arity surfaces as the usage message, not an index error.
+    val err = intercept[Exception] {
+      spark.sql("SELECT cosine_similarity(array(1.0))").collect()
+    }
+    assert(err.getMessage.contains("cosine_similarity(a, b)"))
     val al = row3.getAs[org.apache.spark.sql.Row]("al")
     assert(al.getLong(2) === 0L && al.getString(4) === "1-1,1-1")
 
