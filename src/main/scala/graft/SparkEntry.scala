@@ -2880,6 +2880,49 @@ object SparkEntry {
           max(col("timestamp")).as("max_ts_ms"))
     }),
 
+    // Compaction under the oracle (r16): the SAME events fixture dropped as
+    // 8 small incoming/ files into two sibling partition trees, one
+    // compacted by rawMerge (raw Avro-block copy, multi-bin forced via a
+    // third-of-input target) and one by merge (decode + re-encode), then
+    // both data/ trees scanned back through the boom source. Every line AND
+    // the per-line block-metadata runs (createTime, blockNumber — reboom
+    // preserves them) must survive both paths bit-for-bit: the rollups must
+    // equal each other and DuckDB's direct replay over the original events.
+    "q_rawmerge_roundtrip" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("rawmerge-oracle")
+      def dropIncoming(name: String): String = {
+        val part = base.resolve(name).toString
+        events(s, dir)
+          .select(col("ts_ms").as("timestamp"),
+            concat(col("event_type"), lit(" "), col("props")).as("message"),
+            lit(0).as("eventId"),
+            col("user_id").as("createTime"),
+            col("event_id").as("blockNumber"),
+            lit(1L).as("lineNumber"))
+          .repartition(8)
+          .write.format("boom").mode("append").save(part + "/incoming")
+        part
+      }
+      val rawTree = dropIncoming("raw")
+      val recTree = dropIncoming("rec")
+      val inPath = new org.apache.hadoop.fs.Path(rawTree, "incoming")
+      val inBytes = inPath.getFileSystem(s.sessionState.newHadoopConf())
+        .getContentSummary(inPath).getLength
+      graft.maintenance.LogMaintenance.rawMerge(s, rawTree,
+        targetFileSize = inBytes / 3 + 1)
+      graft.maintenance.LogMaintenance.merge(s, recTree)
+      def rollup(df: DataFrame, p: String): DataFrame = df.agg(
+        count(lit(1)).as(s"${p}_n"),
+        min(col("timestamp")).as(s"${p}_min_ts_ms"),
+        max(col("timestamp")).as(s"${p}_max_ts_ms"),
+        sum(length(col("message"))).cast("long").as(s"${p}_sum_msg_len"),
+        sum(col("blockNumber")).as(s"${p}_sum_event_id"),
+        sum(col("createTime")).as(s"${p}_sum_user_id"))
+      rollup(s.read.format("boom").load(rawTree + "/data"), "raw")
+        .crossJoin(broadcast(
+          rollup(s.read.format("boom").load(recTree + "/data"), "rec")))
+    }),
+
     // Z-order (Morton) layout audit on lineitem's (orderkey, partkey):
     // bucket by the top 6 interleaved bits and report each bucket's count +
     // bounding rectangle — the deterministic, engine-replayable half of
@@ -4457,6 +4500,20 @@ object SparkEntry {
          | FROM events
          | WHERE epoch_ms(ts) >= $rangeStartMs
          |   AND epoch_ms(ts) < $rangeEndMs""".stripMargin,
+    "q_rawmerge_roundtrip" ->
+      """WITH r AS (SELECT count(*) AS n,
+        |     min(epoch_ms(ts)) AS mn, max(epoch_ms(ts)) AS mx,
+        |     CAST(sum(length(event_type || ' ' || props)) AS BIGINT) AS sl,
+        |     CAST(sum(event_id) AS BIGINT) AS se,
+        |     CAST(sum(user_id) AS BIGINT) AS su
+        |   FROM events)
+        | SELECT n AS raw_n, mn AS raw_min_ts_ms, mx AS raw_max_ts_ms,
+        |   sl AS raw_sum_msg_len, se AS raw_sum_event_id,
+        |   su AS raw_sum_user_id,
+        |   n AS rec_n, mn AS rec_min_ts_ms, mx AS rec_max_ts_ms,
+        |   sl AS rec_sum_msg_len, se AS rec_sum_event_id,
+        |   su AS rec_sum_user_id
+        | FROM r""".stripMargin,
     "q_maxsim" ->
       """WITH mv AS (SELECT vec_id // 4 AS did, vec_id AS tid,
         |     CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -29,7 +29,7 @@ object ReportingCli {
 
 object logindex {
   def main(argv: Array[String]): Unit = {
-    val root = ReportingCli.opt(argv, "--root", sys.env.getOrElse("GRAFT_LOG_ROOT", "/"))
+    val root = ReportingCli.opt(argv, "--root", sys.env.getOrElse("GRAFT_LOG_ROOT", "/service"))
     val spark = LogToolCli.session()
     try {
       val listing = Reporting.fileListing(spark, root)
@@ -41,7 +41,7 @@ object logindex {
 
 object queryindex {
   def main(argv: Array[String]): Unit = {
-    val root = ReportingCli.opt(argv, "--root", sys.env.getOrElse("GRAFT_LOG_ROOT", "/"))
+    val root = ReportingCli.opt(argv, "--root", sys.env.getOrElse("GRAFT_LOG_ROOT", "/service"))
     val spark = LogToolCli.session()
     try {
       val idx = Reporting.indexLogs(Reporting.fileListing(spark, root))
@@ -58,7 +58,7 @@ object queryindex {
 
 object logstats {
   def main(argv: Array[String]): Unit = {
-    val root = ReportingCli.opt(argv, "--root", sys.env.getOrElse("GRAFT_LOG_ROOT", "/"))
+    val root = ReportingCli.opt(argv, "--root", sys.env.getOrElse("GRAFT_LOG_ROOT", "/service"))
     val dc = ReportingCli.opt(argv, "-dc")
     val svc = ReportingCli.opt(argv, "-svc")
     val comp = ReportingCli.opt(argv, "-comp")

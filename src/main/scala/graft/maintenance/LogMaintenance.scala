@@ -165,6 +165,18 @@ object LogMaintenance {
         fs.mkdirs(dataDir)
         val outs = fs.listStatus(outStage).map(_.getPath)
           .filterNot(_.getName.endsWith(".tmp"))
+        // A zombie/speculated attempt finalizes with delete-then-rename on
+        // a deterministic name: it can delete a sibling attempt's committed
+        // bin and die before its own rename, and the JOB still reports
+        // success. Promoting whatever is present would then silently drop
+        // that bin's blocks. Assert the full census before touching data/ —
+        // on mismatch the catch below restores the staged inputs and the
+        // next maintenance pass redoes the whole (idempotent) compaction.
+        if (outs.length != bins.size)
+          throw new java.io.IOException(
+            s"expected ${bins.size} merged bins in $outStage, found " +
+              s"${outs.length} — lost to a concurrent attempt; aborting " +
+              "before promotion (staged inputs will be restored)")
         val promoted = scala.collection.mutable.ArrayBuffer.empty[Path]
         try outs.foreach { o =>
           val t = new Path(dataDir, o.getName)
@@ -174,15 +186,32 @@ object LogMaintenance {
         } catch {
           case e: Throwable =>
             // Metadata-only window: undo the renames so the re-run after
-            // orphan recovery starts from zero promoted bins.
-            promoted.foreach(p =>
-              try fs.delete(p, false) catch { case _: Exception => () })
+            // orphan recovery starts from zero promoted bins. If an undo
+            // delete FAILS, restoring the staged inputs would make the
+            // next merge duplicate the still-promoted bin's blocks — so
+            // surface the stuck state instead and leave the staging dir
+            // for the operator (the outer catch skips restore on this
+            // exception type).
+            val stuck = promoted.filter { p =>
+              try !fs.delete(p, false) catch { case _: Exception => true }
+            }
+            if (stuck.nonEmpty)
+              throw new PromotionInconsistentException(
+                s"promotion failed AND rollback could not remove " +
+                  s"${stuck.mkString(", ")} from data/ — staged inputs " +
+                  s"kept at $staged; remove the stuck bins (their blocks " +
+                  "are duplicated in staging) before re-running", e)
             throw e
         }
       }
       fs.create(new Path(dir, "data/_READY"), true).close()
       fs.delete(working, true)
     } catch {
+      case e: PromotionInconsistentException =>
+        // data/ holds bins whose blocks are ALSO still staged; restoring
+        // staging to incoming/ would double those blocks on the next run.
+        // Leave everything where it is for the operator.
+        throw e
       case e: Throwable =>
         fs.mkdirs(incoming.getParent)
         fs.rename(staged, incoming)
@@ -190,6 +219,13 @@ object LogMaintenance {
         throw e
     }
   }
+
+  /** Promotion rollback left `data/` and staging overlapping (a rollback
+    * delete failed). Orphan recovery must NOT auto-restore this run's
+    * staged inputs — the operator resolves which copy wins first.
+    */
+  final class PromotionInconsistentException(msg: String, cause: Throwable)
+      extends java.io.IOException(msg, cause)
 
   /** Executor side: one output container per bin, blocks copied verbatim.
     * Writes `name` into the job's staging dir, overwriting any earlier

@@ -19,7 +19,15 @@ import org.apache.spark.sql.functions._
   * @param tolerance  max allowed `leftTime - rightTime` in the time
   *                    columns' units (MICROSECONDS when they are
   *                    timestamp-typed — sub-second precision is kept)
-  *                   (0 = unlimited)
+  *                   (0 = unlimited).
+  *                   UNIT CHANGE NOTE: before the sub-second fix,
+  *                   timestamp-typed columns were normalized with
+  *                   `cast("long")`, i.e. SECONDS — a caller carrying a
+  *                   seconds-scale tolerance over from that era gets
+  *                   effectively zero tolerance now. Pass the scale the
+  *                   normalized key actually uses, or use
+  *                   [[asofJoinWithin]] with an explicit
+  *                   `java.time.Duration` to make the unit unambiguous.
   * @return left rows (original columns) + the matched right row's columns
   *         prefixed with `rightPrefix`; inner semantics (unmatched left rows
   *         are dropped; use `leftOuter = true` to keep them with nulls)
@@ -107,5 +115,38 @@ object AsofJoin {
       col("__m").getField(c).as(rightPrefix + c))
     filtered.select(by.map(col) ++
       leftCols.filterNot(by.contains).map(col) ++ rightOut: _*)
+  }
+
+  /** [[asofJoin]] with the tolerance as an explicit wall-clock
+    * `java.time.Duration` — immune to the native-unit ambiguity (the Long
+    * form is microseconds for timestamp-typed columns, raw column units
+    * otherwise). Only valid when BOTH time columns are timestamp-typed;
+    * a bare numeric time column's unit is caller-defined, so a Duration
+    * cannot be converted for it — use the Long form in native units there.
+    */
+  def asofJoinWithin(
+      left: DataFrame,
+      right: DataFrame,
+      leftTime: String,
+      rightTime: String,
+      by: Seq[String],
+      tolerance: java.time.Duration,
+      rightPrefix: String = "asof_",
+      leftOuter: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    def isTs(df: DataFrame, c: String): Boolean = df.schema(c).dataType match {
+      case _: TimestampType => true
+      case TimestampNTZType => true
+      case _ => false
+    }
+    require(isTs(left, leftTime) && isTs(right, rightTime),
+      "asofJoinWithin needs timestamp-typed time columns on both sides; " +
+        "for numeric time columns pass the Long tolerance in the columns' " +
+        "own units")
+    val micros = math.multiplyExact(tolerance.getSeconds, 1000000L) +
+      tolerance.getNano / 1000L
+    require(micros >= 0, "tolerance must be non-negative")
+    asofJoin(left, right, leftTime, rightTime, by, rightPrefix,
+      tolerance = micros, leftOuter = leftOuter)
   }
 }

@@ -34,4 +34,29 @@ class AsofJoinSpec extends SparkTestBase {
     // t1: 100-90=10 ✓; t2: 200-150=50 ✗; t3: 0 ✓
     assert(out === Set("t1", "t3"))
   }
+
+  test("asofJoinWithin: Duration tolerance on timestamp columns, " +
+      "sub-second precision kept") {
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    val lt = trades.withColumn("ts", timestamp_millis(col("t") * 1000L))
+    val rt = quotes.withColumn("ts", timestamp_millis(col("t") * 1000L))
+    val out = AsofJoin.asofJoinWithin(lt, rt, "ts", "ts", Seq("sym"),
+        tolerance = java.time.Duration.ofSeconds(20))
+      .select($"trade").as[String].collect().toSet
+    // Same gaps as the Long test, now in wall-clock: 10 s ✓, 50 s ✗, 0 s ✓
+    assert(out === Set("t1", "t3"))
+    // 10.5 s cuts t1 off only if micros were collapsed to seconds; it
+    // must still pass (10 s ≤ 10.5 s) — guards the micro conversion.
+    val out2 = AsofJoin.asofJoinWithin(lt, rt, "ts", "ts", Seq("sym"),
+        tolerance = java.time.Duration.ofMillis(10500))
+      .select($"trade").as[String].collect().toSet
+    assert(out2 === Set("t1", "t3"))
+  }
+
+  test("asofJoinWithin refuses numeric time columns") {
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofJoinWithin(trades, quotes, "t", "t", Seq("sym"),
+        tolerance = java.time.Duration.ofSeconds(1))
+    }
+  }
 }
