@@ -63,15 +63,28 @@ object LogMaintenance {
         .repartition(parts)
       Ingest.reboom(df, new Path(dir, "data").toString, SaveMode.Append)
       fs.create(new Path(dir, "data/_READY"), true).close()
-      fs.delete(working, true)
+      removeWorking(fs, working)
     } catch {
       case e: Throwable =>
         // Orphan recovery (M5): put staged data back for the next run.
         fs.mkdirs(incoming.getParent)
         fs.rename(staged, incoming)
-        fs.delete(working, true)
+        removeWorking(fs, working)
         throw e
     }
+  }
+
+  /** Drop this run's `working/<id>/` and, if that leaves `working/` empty,
+    * the parent too — a lingering empty `working/` would read as an
+    * in-flight job to the orchestrator's lifecycle checks.
+    */
+  private def removeWorking(fs: FileSystem, runDir: Path): Unit = {
+    fs.delete(runDir, true)
+    val parent = runDir.getParent
+    try {
+      if (fs.exists(parent) && fs.listStatus(parent).isEmpty)
+        fs.delete(parent, false)
+    } catch { case _: Exception => () } // best-effort; next pass retries
   }
 
   /** Raw block-level compaction (M2): merge `incoming/` into `data/` by
@@ -205,7 +218,7 @@ object LogMaintenance {
         }
       }
       fs.create(new Path(dir, "data/_READY"), true).close()
-      fs.delete(working, true)
+      removeWorking(fs, working)
     } catch {
       case e: PromotionInconsistentException =>
         // data/ holds bins whose blocks are ALSO still staged; restoring
@@ -215,7 +228,7 @@ object LogMaintenance {
       case e: Throwable =>
         fs.mkdirs(incoming.getParent)
         fs.rename(staged, incoming)
-        fs.delete(working, true)
+        removeWorking(fs, working)
         throw e
     }
   }
