@@ -26,13 +26,21 @@ import org.apache.spark.sql.functions._
 object LogMaintenance {
 
   /** Compaction (M1): read all incoming branches of a partition dir, rewrite
-    * into `data/` as `.bm` files of roughly `targetFileSize` raw bytes,
-    * preserving block metadata, then remove the merged inputs.
+    * into `data/` as `.bm` files of roughly `targetFileSize` COMPRESSED
+    * bytes (same convention as [[rawMerge]]), preserving block metadata,
+    * then remove the merged inputs.
     *
     * Reference: LogMaintenance.java:968-1186 (move → MR merge → promote →
     * `_READY`). The reference merged raw Avro blocks without decoding
     * (AvroBlockWriterMapper); Spark decodes + re-encodes, which additionally
     * re-packs under-filled blocks.
+    *
+    * Output sizing is MEASURED, not guessed: expected output bytes =
+    * Σ input bytes × a re-encode ratio probed by decoding the smallest
+    * input file (≤ [[MaxProbeBytes]]) and re-compressing it the way the
+    * writer will. For deflate Boom inputs the ratio is ≈1; a foreign
+    * (e.g. null-codec) container probes its true compression so a
+    * compressible corpus is not split into far-undersized files.
     */
   def merge(
       spark: SparkSession,
@@ -46,7 +54,6 @@ object LogMaintenance {
 
     val inputBytes = fs.getContentSummary(incoming).getLength
     if (inputBytes == 0) return
-    val parts = math.max(1, (inputBytes * 8 / targetFileSize).toInt) // ~deflate inflation
 
     val working = new Path(dir, s"working/merge-${System.nanoTime()}")
     val staged = new Path(working, "incoming")
@@ -59,8 +66,21 @@ object LogMaintenance {
       throw new java.io.IOException(s"cannot stage $incoming")
     }
     try {
+      val files = graft.boom.BoomDataSource
+        .listFiles(spark, Seq(staged.toString))
+        .map(s => (s.getPath, s.getLen))
+      val totalBytes = files.map(_._2).sum
+      val ratio =
+        if (files.isEmpty) 1.0 else reencodeRatio(fs, files.minBy(_._2))
+      val parts = math.max(1,
+        math.round(totalBytes * ratio / targetFileSize.toDouble).toInt)
       val df = spark.read.format("boom").load(staged.toString)
         .repartition(parts)
+        // Local sort restores (createTime, blockNumber) runs that the
+        // round-robin shuffle scattered — fuller blocks, better deflate,
+        // and the probe's per-run compression model stays representative.
+        // No extra exchange: sortWithinPartitions is map-side only.
+        .sortWithinPartitions("createTime", "blockNumber", "timestamp")
       Ingest.reboom(df, new Path(dir, "data").toString, SaveMode.Append)
       fs.create(new Path(dir, "data/_READY"), true).close()
       removeWorking(fs, working)
@@ -71,6 +91,63 @@ object LogMaintenance {
         fs.rename(staged, incoming)
         removeWorking(fs, working)
         throw e
+    }
+  }
+
+  /** Probe budget for [[reencodeRatio]]: enough input to cover many Avro
+    * blocks, small enough that the driver-side decode is negligible next
+    * to the merge job itself.
+    */
+  private val MaxProbeBytes = 8L * 1024 * 1024
+
+  private final class CountingIn(in: java.io.InputStream)
+      extends java.io.FilterInputStream(in) {
+    var count = 0L
+    override def read(): Int = {
+      val r = super.read(); if (r >= 0) count += 1; r
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      val r = super.read(b, off, len); if (r > 0) count += r; r
+    }
+    override def skip(n: Long): Long = {
+      val r = super.skip(n); count += r; r
+    }
+  }
+
+  /** Measured compressed-out / compressed-in ratio for [[merge]]'s output
+    * sizing: decode the given (smallest) input container and re-encode its
+    * blocks with the writer's own codec/level, counting consumed input
+    * bytes so an early stop at [[MaxProbeBytes]] still yields a like-for-
+    * like ratio. Clamped to [0.05, 8] — a pathological probe (one tiny
+    * block, exotic content) must not produce an absurd partition count.
+    */
+  private def reencodeRatio(fs: FileSystem, file: (Path, Long)): Double = {
+    import org.apache.avro.file.{CodecFactory, DataFileStream, DataFileWriter}
+    import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+    val (path, len) = file
+    try {
+      val counting = new CountingIn(fs.open(path))
+      val in = new DataFileStream[GenericRecord](counting,
+        new GenericDatumReader[GenericRecord]())
+      try {
+        val baos = new java.io.ByteArrayOutputStream()
+        val w = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](in.getSchema))
+        w.setCodec(
+          CodecFactory.deflateCodec(graft.boom.BoomSchemas.DeflateLevel))
+        w.create(in.getSchema, baos)
+        var blocks = 0
+        while (in.hasNext && counting.count < MaxProbeBytes) {
+          w.append(in.next()); blocks += 1
+        }
+        w.close()
+        val consumed = math.min(counting.count, len)
+        if (blocks == 0 || consumed <= 0) 1.0
+        else math.max(0.05, math.min(baos.size().toDouble / consumed, 8.0))
+      } finally in.close()
+    } catch {
+      case _: Exception => 1.0 // unreadable probe: neutral sizing; the
+      // merge job itself surfaces the real error with full context
     }
   }
 
