@@ -18,6 +18,56 @@ import org.apache.spark.sql.SparkSession
   * (time conflates scan, CPU, and exchange; bytes isolate the exchange).
   */
 object ShuffleAudit {
+
+  /** Run `body` once and return the (shuffle bytes written, read) its
+    * stages produced on this session — the engine behind both the CLI
+    * audit and PlanAuditSpec's shuffle-budget regression net. A listener
+    * is attached for the duration and the async bus is drained before
+    * each snapshot so earlier jobs' late events don't pollute the delta.
+    */
+  def measure(spark: SparkSession)(body: => Unit): (Long, Long) = {
+    object L extends SparkListener {
+      @volatile var write = 0L
+      @volatile var read = 0L
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        val m = s.stageInfo.taskMetrics
+        if (m != null && s.stageInfo.failureReason.isEmpty) {
+          write += m.shuffleWriteMetrics.bytesWritten
+          read += m.shuffleReadMetrics.totalBytesRead
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(L)
+    try {
+      drainBus(spark)
+      val (w0, r0) = (L.write, L.read)
+      body
+      drainBus(spark)
+      (L.write - w0, L.read - r0)
+    } finally spark.sparkContext.removeSparkListener(L)
+  }
+
+  // listenerBus.waitUntilEmpty is private[spark]; reflection with a
+  // bounded-sleep fallback keeps the snapshot boundaries exact without
+  // depending on a fixed 500 ms being enough under GC/backlog.
+  private def drainBus(spark: SparkSession): Unit = {
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      val waited =
+        try { bus.getClass.getMethod("waitUntilEmpty").invoke(bus); true }
+        catch {
+          case _: NoSuchMethodException =>
+            try {
+              bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+                .invoke(bus, java.lang.Long.valueOf(30000L))
+              true
+            } catch { case _: NoSuchMethodException => false }
+        }
+      if (!waited) Thread.sleep(500)
+    } catch { case _: Throwable => Thread.sleep(500) }
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ShuffleAudit <sfDir> <query> [query ...]")
     val sfDir = args.head
@@ -37,50 +87,6 @@ object ShuffleAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    object L extends SparkListener {
-      @volatile var write = 0L
-      @volatile var read = 0L
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
-        // Skip FAILED attempts: a retried stage would otherwise sum its
-        // bytes twice.
-        val m = s.stageInfo.taskMetrics
-        if (m != null && s.stageInfo.failureReason.isEmpty) {
-          write += m.shuffleWriteMetrics.bytesWritten
-          read += m.shuffleReadMetrics.totalBytesRead
-        }
-      }
-    }
-    spark.sparkContext.addSparkListener(L)
-
-    // listenerBus.waitUntilEmpty is private[spark]; reflection with a
-    // bounded-sleep fallback keeps the snapshot boundaries exact without
-    // depending on a fixed 500 ms being enough under GC/backlog.
-    def drainBus(): Unit = {
-      try {
-        val sc = spark.sparkContext
-        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
-        val waited =
-          try { bus.getClass.getMethod("waitUntilEmpty").invoke(bus); true }
-          catch {
-            case _: NoSuchMethodException =>
-              try {
-                bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
-                  .invoke(bus, java.lang.Long.valueOf(30000L))
-                true
-              } catch { case _: NoSuchMethodException => false }
-          }
-        if (!waited) Thread.sleep(500)
-      } catch { case _: Throwable => Thread.sleep(500) }
-    }
-
-    def drained[T](body: => T): (Long, Long) = {
-      drainBus()
-      val (w0, r0) = (L.write, L.read)
-      body
-      drainBus()
-      (L.write - w0, L.read - r0)
-    }
-
     def mb(v: Long): String =
       String.format(java.util.Locale.ROOT, "%.1f",
         java.lang.Double.valueOf(v / 1e6))
@@ -89,7 +95,7 @@ object ShuffleAudit {
 
     val rows = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val (w, r) = drained {
+      val (w, r) = measure(spark) {
         val df = fn(spark, sfDir)
         df.write.format("noop").mode("overwrite").save()
       }

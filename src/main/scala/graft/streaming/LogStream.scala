@@ -16,6 +16,93 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object LogStream {
 
+  /** One micro-batch's state telemetry for one streaming query — the
+    * digest behind [[StateAudit]]. `stateRows`/`rowsRemoved`/`rowsUpdated`
+    * sum across the query's state operators; `batchDurationMs` is the
+    * trigger-execution wall time.
+    */
+  final case class StateBatch(
+      queryName: String,
+      batchId: Long,
+      inputRows: Long,
+      batchDurationMs: Long,
+      stateRows: Long,
+      rowsRemoved: Long,
+      rowsUpdated: Long,
+      stateMemoryBytes: Long)
+
+  /** Streaming state telemetry as an API (the r15 eviction-decade
+    * measurement, made first-class the way `auditRecall` did for ANN
+    * recall): attach one of these to a session, run streaming queries,
+    * and read per-batch state-operator digests — state rows held,
+    * removed, updated, memory, batch wall time. The plateau law every
+    * watermarked operator must obey (state flat at the window bound
+    * while cumulative input grows; removals ≈ one batch's mass) becomes
+    * a direct assertion over [[batchesFor]] instead of ad-hoc listener
+    * scripts.
+    *
+    * Listener delivery is async; [[awaitBatches]] bounds the wait for a
+    * known number of progress events. Always [[close]] (removes the
+    * listener) — instances are cheap and session-scoped.
+    */
+  final class StateAudit private[LogStream] (spark: SparkSession)
+      extends AutoCloseable {
+    private val buf =
+      new java.util.concurrent.ConcurrentLinkedQueue[StateBatch]()
+    private val listener =
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val p = e.progress
+          val ops = p.stateOperators
+          buf.add(StateBatch(
+            Option(p.name).getOrElse(""),
+            p.batchId,
+            p.numInputRows,
+            Option(p.durationMs.get("triggerExecution"))
+              .map(_.longValue).getOrElse(-1L),
+            ops.map(_.numRowsTotal).sum,
+            ops.map(_.numRowsRemoved).sum,
+            ops.map(_.numRowsUpdated).sum,
+            ops.map(_.memoryUsedBytes).sum))
+        }
+      }
+    spark.streams.addListener(listener)
+
+    /** All batches observed so far, oldest first. */
+    def batches: Seq[StateBatch] = {
+      val it = buf.iterator()
+      val out = scala.collection.mutable.ArrayBuffer.empty[StateBatch]
+      while (it.hasNext) out += it.next()
+      out.sortBy(b => (b.queryName, b.batchId)).toSeq
+    }
+
+    /** Batches of the query started with `.queryName(name)`. */
+    def batchesFor(name: String): Seq[StateBatch] =
+      batches.filter(_.queryName == name)
+
+    /** Wait (bounded) until `n` progress events for `name` have been
+      * DELIVERED — processAllAvailable() returns when data is processed,
+      * not when the async listener bus has drained.
+      */
+    def awaitBatches(name: String, n: Int, timeoutMs: Long = 30000L): Seq[StateBatch] = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (batchesFor(name).size < n && System.nanoTime() < deadline)
+        Thread.sleep(20L)
+      val got = batchesFor(name)
+      require(got.size >= n,
+        s"saw ${got.size}/$n progress events for '$name' in ${timeoutMs}ms")
+      got
+    }
+
+    override def close(): Unit = spark.streams.removeListener(listener)
+  }
+
+  /** Attach a [[StateAudit]] to the session. Caller closes. */
+  def stateAudit(spark: SparkSession): StateAudit = new StateAudit(spark)
+
   /** Streaming log-line source over append-only Boom directories. */
   def readBoom(spark: SparkSession, path: String, maxFilesPerTrigger: Int = 0): DataFrame = {
     val r = spark.readStream.format("boom")

@@ -717,6 +717,58 @@ class LogStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateAudit: attributionJoin state plateaus at the window bound while input grows") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[LogStream.ImpressionInput]
+    val clks = MemoryStream[LogStream.ClickInput]
+    val joined = LogStream.attributionJoin(imps.toDS(), clks.toDS(),
+      windowMs = 60000L, watermark = "10 seconds", joinType = "inner")
+    val audit = LogStream.stateAudit(spark)
+    val q = joined.writeStream.format("memory").queryName("attr_audit")
+      .outputMode("append").start()
+    try {
+      val keys = (0 until 16).map(k => s"k$k")
+      val rounds = 8
+      val perKey = 10
+      (0 until rounds).foreach { b =>
+        val base = 1000000L + b * 30000L
+        imps.addData(keys.flatMap(k => (0 until perKey).map(i =>
+          LogStream.ImpressionInput(b * 100000L + i, k,
+            base + i * 1000L))): _*)
+        clks.addData(keys.flatMap(k => (0 until perKey).map(i =>
+          LogStream.ClickInput(b * 100000L + i, k,
+            base + i * 1000L + 500L))): _*)
+        q.processAllAvailable()
+      }
+      // Each feed round yields ≥1 progress event; wait for the async
+      // listener bus to deliver them all.
+      val all = audit.awaitBatches("attr_audit", rounds)
+      val data = all.filter(_.inputRows > 0)
+      assert(data.size >= rounds - 1, s"data batches: ${data.size}")
+      // Plateau law: once the window fills (~2 rounds = 60 s span), state
+      // rows go FLAT while cumulative input keeps growing, and evictions
+      // run at a constant per-round mass — the watermark, not the feed,
+      // bounds the checkpoint.
+      val tail = data.takeRight(3)
+      assert(tail.map(_.stateRows).distinct.size === 1,
+        s"state not flat: ${data.map(b => b.batchId -> b.stateRows)}")
+      // Evictions happen in the NO-DATA batches Spark runs after a data
+      // batch advances the watermark — find them there, and require the
+      // per-round eviction mass to settle to a constant.
+      val evicting = all.filter(_.rowsRemoved > 0)
+      assert(evicting.size >= 3,
+        s"too few eviction batches: ${all.map(b =>
+          (b.batchId, b.inputRows, b.rowsRemoved))}")
+      assert(evicting.takeRight(3).map(_.rowsRemoved).distinct.size === 1,
+        s"evictions not constant: ${evicting.map(_.rowsRemoved)}")
+      val cumulative = data.map(_.inputRows).sum
+      assert(tail.last.stateRows < cumulative,
+        "state must be bounded below cumulative input")
+      assert(tail.forall(_.batchDurationMs >= 0))
+      assert(tail.forall(_.stateMemoryBytes > 0))
+    } finally { q.stop(); audit.close() }
+  }
+
   test("quantilesStream: GK rank guarantee holds; kill/resume equals uninterrupted") {
     implicit val sqlCtx = spark.sqlContext
     // Deterministic value stream: a scrambled permutation of 1..2000.
