@@ -171,28 +171,35 @@ object LogToolCli {
   }
 
   def run(tool: String, argv: Array[String], predicate: Args => LogPredicate): Unit = {
-    val a = parseArgs(argv, tool)
     val spark = session()
-    try {
-      val q = LogQuery(root = a.root, dc = a.dc, service = a.svc, component = a.comp,
-        dateFormat = a.dateFormat)
-        .range(a.startMs, a.endMs)
-        .where(predicate(a))
-      if (!a.silent) System.err.println(s";Running $tool against ${q.resolvePaths(spark).size} files")
-      if (a.out != null) {
-        q.formatted(spark).write.mode("overwrite").text(a.out)
-        if (!a.silent) System.err.println(s";Results written to ${a.out}")
-      } else {
-        println(";#### DATA RESULTS ####")
-        val n = q.printTo(spark, println)
-        println(";#### DATA RESULTS ####")
-        if (!a.silent) System.err.println(s";$n results")
-      }
-    } catch {
+    try runWith(spark, tool, argv, predicate)
+    catch {
       case e: Exception =>
         System.err.println(s";$tool failed: ${translateError(e)}")
         sys.exit(1)
     } finally spark.stop()
+  }
+
+  /** [[run]] minus session lifecycle and exit-code handling — callable on
+    * an existing session (tests, embedding); errors propagate.
+    */
+  def runWith(spark: SparkSession, tool: String, argv: Array[String],
+      predicate: Args => LogPredicate): Unit = {
+    val a = parseArgs(argv, tool)
+    val q = LogQuery(root = a.root, dc = a.dc, service = a.svc, component = a.comp,
+      dateFormat = a.dateFormat)
+      .range(a.startMs, a.endMs)
+      .where(predicate(a))
+    if (!a.silent) System.err.println(s";Running $tool against ${q.resolvePaths(spark).size} files")
+    if (a.out != null) {
+      q.formatted(spark).write.mode("overwrite").text(a.out)
+      if (!a.silent) System.err.println(s";Results written to ${a.out}")
+    } else {
+      println(";#### DATA RESULTS ####")
+      val n = q.printTo(spark, println)
+      println(";#### DATA RESULTS ####")
+      if (!a.silent) System.err.println(s";$n results")
+    }
   }
 
   /** User-facing translation of infrastructure failures — the reference's

@@ -69,4 +69,37 @@ class PlanAuditSpec extends SparkTestBase {
     }
     assert(bad.isEmpty, s"unpruned scans: ${bad.mkString("; ")}")
   }
+
+  test("shuffle-byte budgets: the heaviest queries stay within 3x recorded bytes (sf0.01)") {
+    // ShuffleAudit measures; this asserts. The map records each query's
+    // shuffle WRITE megabytes from the r16 full-surface audit at sf0.01
+    // (the 10 heaviest of 284) — the ceiling is a generous 3×, so a plan
+    // regression (lost pushdown, new exchange, broadcast fallen back to
+    // shuffle) fails the build here instead of surfacing as a mystery in
+    // the next decade measurement. Re-record deliberately when a query's
+    // plan changes on purpose.
+    val recordedWriteMb = Map(
+      "q_containment_cap_audit" -> 1.2,
+      "q_knn_graph_sharded" -> 0.9,
+      "q_quality_probe" -> 0.9,
+      "q_range_join" -> 0.9,
+      "q_slice_overlap" -> 0.9,
+      "q_prefix_containment" -> 0.8,
+      "q_prefix_jaccard" -> 0.8,
+      "q_rawmerge_roundtrip" -> 0.8,
+      "q_self_bleu" -> 0.8,
+      "q_bitext_mine_lsh" -> 0.6)
+    val dir = "/root/testdata/sf0.01"
+    val over = recordedWriteMb.toSeq.sortBy(_._1).flatMap { case (name, mb) =>
+      val (w, _) = ShuffleAudit.measure(spark) {
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val capBytes = mb * 3 * 1e6
+      if (w > capBytes)
+        Some(f"$name: ${w / 1e6}%.1f MB shuffled vs cap ${mb * 3}%.1f MB")
+      else None
+    }
+    assert(over.isEmpty, s"shuffle budgets exceeded: ${over.mkString("; ")}")
+  }
 }

@@ -103,6 +103,70 @@ class GoldenQuerySpec extends SparkTestBase {
     assert(out === golden("loggrep-reference.txt"))
   }
 
+  test("CLI matrix byte-identical under local vs remote-sort flags " +
+      "(logsearch.test.script.sh:139-228 runs its matrix twice)") {
+    // The reference proves local-sort and remote-sort (`--r`) output
+    // identical by running its whole matrix both ways. Our sort-mode
+    // flags are accepted no-ops by design (SURVEY §2.5 O2/O3 — one
+    // engine, one sort), so the parity obligation inverts: prove the
+    // flag PLUMBING is inert by driving representative invocations of
+    // every tool through the real CLI path under each flag set and
+    // byte-comparing the written output. (Content-vs-golden is covered
+    // per-predicate by the engine tests above.)
+    import graft.cli.LogToolCli
+    val base = Seq(s"--root=$fixtureRoot", "-dc=99",
+      "-svc=logsearch-testservice", "-comp=logsearch-test",
+      s"-start=$startMs", s"-end=$endMs", "--silent")
+    val matrix: Seq[(String, Seq[String], LogToolCli.Args => LogPredicate)] =
+      Seq(
+        ("logcat", Seq(), _ => MatchAll),
+        ("logsearch", Seq("-string=test"),
+          a => Search(a.string, a.caseInsensitive)),
+        ("logsearch", Seq("-string=feNêtRe", "--i"),
+          a => Search(a.string, a.caseInsensitive)),
+        ("logsearch", Seq("-string=ЧЕЛовЕК", "--i"),
+          a => Search(a.string, a.caseInsensitive)),
+        ("loggrep", Seq("-regex=^This"),
+          a => Grep(a.regex, a.caseInsensitive)),
+        ("loggrep", Seq("-regex=αβγδε|человек|fenêtre|ä|رجل"),
+          a => Grep(a.regex, a.caseInsensitive)),
+        ("logmultisearch",
+          Seq(s"-strings=$refBase/logmultisearch-strings-OR.txt"),
+          a => MultiSearch(LogToolCli.loadTerms(a.strings), a.matchAll,
+            a.caseInsensitive)),
+        ("logmultisearch",
+          Seq(s"-strings=$refBase/logmultisearch-strings-AND.txt", "--a",
+            "--i"),
+          a => MultiSearch(LogToolCli.loadTerms(a.strings), a.matchAll,
+            a.caseInsensitive)))
+    val flagPasses = Seq(
+      Seq.empty[String],             // default (local-sort side)
+      Seq("--r"),                    // the reference's remote-sort pass
+      Seq("--l", "--v", "--log"))    // the rest of the accepted no-ops
+    def readOut(dir: java.nio.file.Path): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      Files.list(dir).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .sortBy(_.getFileName.toString)
+        .flatMap(p => new String(Files.readAllBytes(p), "UTF-8")
+          .split("\n", -1).toSeq.dropRight(1))
+    }
+    matrix.zipWithIndex.foreach { case ((tool, args, pred), i) =>
+      val outs = flagPasses.zipWithIndex.map { case (flags, j) =>
+        val out = Files.createTempDirectory(s"cli-matrix-$i-$j")
+        LogToolCli.runWith(spark, tool,
+          (base ++ args ++ flags :+ s"--out=$out").toArray, pred)
+        readOut(out)
+      }
+      assert(outs(0).nonEmpty || tool != "logcat",
+        s"$tool $args produced no output")
+      assert(outs(1) === outs(0),
+        s"$tool $args: --r pass differs from local pass")
+      assert(outs(2) === outs(0),
+        s"$tool $args: --l/--v/--log pass differs from local pass")
+    }
+  }
+
   test("logmultisearch golden (OR/AND × case, logsearch.test.script.sh:116-119)") {
     def terms(f: String): Seq[String] =
       LogPredicate.termsFromText(Files.readString(Paths.get(s"$refBase/$f")))
