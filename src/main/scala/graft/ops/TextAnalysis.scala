@@ -774,9 +774,15 @@ object TextAnalysis {
     * `cond_entropy_scaled = (S₀ − S₁) DIV N` — 10⁶ × nats (floored).
     *
     * Scale shape: one token pass explodes (slice, w1, w2) bigrams into a
-    * map-side-combined count shuffle; the context table derives from the
-    * BIGRAM-TYPE table (never a second corpus pass); both aggregates are
-    * bigram-type-bounded. Slices with < 1 bigram emit nothing.
+    * map-side-combined count shuffle, then the aggregates CHAIN as three
+    * strictly narrowing groupBys — (slice,w1,w2) → (slice,w1) → slice —
+    * because every bigram term of S₁ belongs to exactly one context, so
+    * its partial sum folds into the context row. One lineage, no
+    * persist(), no join, no second scan of the bigram-type table: the r15
+    * formulation cached the full bigram table (corpus-scale at sf100) and
+    * scanned it twice for s1/s0, and that cache's fit-or-thrash behavior
+    * was exactly the 40-77 s run-to-run band in SCALING's fourth-decade
+    * row. Slices with < 1 bigram emit nothing.
     *
     * @return (slice, n_bigrams, n_bigram_types, n_contexts,
     *         cond_entropy_scaled).
@@ -794,18 +800,17 @@ object TextAnalysis {
       .groupBy(col("slice"), col("__b.w1").as("w1"),
         col("__b.w2").as("w2"))
       .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val s1 = bi.groupBy("slice")
-      .agg(sum(col("c")).as("n_bigrams"),
-        count(lit(1)).as("n_bigram_types"),
-        sum(expr("CAST(round(1000000.0 * c * ln(c)) AS BIGINT)")).as("__s1"))
-    val s0 = bi.groupBy(col("slice"), col("w1"))
-      .agg(sum(col("c")).as("cx"))
-      .groupBy("slice")
-      .agg(count(lit(1)).as("n_contexts"),
+    val ctx = bi.groupBy(col("slice"), col("w1"))
+      .agg(sum(col("c")).as("cx"),
+        count(lit(1)).as("n_types"),
+        sum(expr("CAST(round(1000000.0 * c * ln(c)) AS BIGINT)")).as("__s1p"))
+    ctx.groupBy("slice")
+      .agg(sum(col("cx")).as("n_bigrams"),
+        sum(col("n_types")).as("n_bigram_types"),
+        count(lit(1)).as("n_contexts"),
+        sum(col("__s1p")).as("__s1"),
         sum(expr("CAST(round(1000000.0 * cx * ln(cx)) AS BIGINT)"))
           .as("__s0"))
-    s1.join(s0, Seq("slice"))
       .select(col("slice"), col("n_bigrams"), col("n_bigram_types"),
         col("n_contexts"),
         expr("(__s0 - __s1) DIV n_bigrams").as("cond_entropy_scaled"))
