@@ -28,6 +28,34 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Per-JVM memoized temp trees for oracle queries with WRITE-side
+    * fixtures (boom writers, maintenance jobs): repeated constructions —
+    * plan audits iterate every registered query, Verify + budgets re-run
+    * them — reuse one materialized tree per (tag, sfDir) instead of
+    * re-paying the fixture write + jobs, and a shutdown hook removes the
+    * dirs so CI runs don't accumulate /tmp garbage. getOrElseUpdate on
+    * TrieMap may race two builders; both register cleanup hooks, one
+    * result wins — correct either way.
+    */
+  private val fixtureDirs =
+    new scala.collection.concurrent.TrieMap[(String, String), String]
+  private def fixtureDir(tag: String, sfDir: String)(
+      build: String => Unit): String =
+    fixtureDirs.getOrElseUpdate((tag, sfDir), {
+      val d = java.nio.file.Files.createTempDirectory(tag)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.Files
+        try {
+          val s = Files.walk(d)
+          try s.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { Files.deleteIfExists(p); () })
+          finally s.close()
+        } catch { case _: Exception => () }
+      }))
+      build(d.toString)
+      d.toString
+    })
+
   /** Deterministic presentation order for a bounded final result WITHOUT the
     * range sort's boundary-sampling pass: `orderBy` atop an expensive
     * projection executes the child TWICE — once through the range
@@ -2839,15 +2867,16 @@ object SparkEntry {
     // boom scan → rollup must equal DuckDB's direct computation over the
     // original parquet (validates writer+reader byte fidelity end-to-end).
     "q_boom_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("boom-oracle").toString
-      events(s, dir)
-        .select(col("ts_ms").as("timestamp"),
-          concat(col("event_type"), lit(" "), col("props")).as("message"),
-          lit(0).as("eventId"),
-          col("user_id").as("createTime"),
-          col("event_id").as("blockNumber"),
-          lit(1L).as("lineNumber"))
-        .write.format("boom").mode("append").save(out)
+      val out = fixtureDir("boom-oracle", dir) { d =>
+        events(s, dir)
+          .select(col("ts_ms").as("timestamp"),
+            concat(col("event_type"), lit(" "), col("props")).as("message"),
+            lit(0).as("eventId"),
+            col("user_id").as("createTime"),
+            col("event_id").as("blockNumber"),
+            lit(1L).as("lineNumber"))
+          .write.format("boom").mode("append").save(d)
+      }
       s.read.format("boom").load(out)
         .agg(count(lit(1)).as("n"),
           min(col("timestamp")).as("min_ts_ms"),
@@ -2863,15 +2892,16 @@ object SparkEntry {
     // over the same events rows in DuckDB; BoomPushdownSpec pins the
     // plan shape (aggsPushed) and ms-exactness at block boundaries.
     "q_boom_agg_pushdown" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("boom-agg").toString
-      events(s, dir)
-        .select(col("ts_ms").as("timestamp"),
-          concat(col("event_type"), lit(" "), col("props")).as("message"),
-          lit(0).as("eventId"),
-          col("user_id").as("createTime"),
-          col("event_id").as("blockNumber"),
-          lit(1L).as("lineNumber"))
-        .write.format("boom").mode("append").save(out)
+      val out = fixtureDir("boom-agg", dir) { d =>
+        events(s, dir)
+          .select(col("ts_ms").as("timestamp"),
+            concat(col("event_type"), lit(" "), col("props")).as("message"),
+            lit(0).as("eventId"),
+            col("user_id").as("createTime"),
+            col("event_id").as("blockNumber"),
+            lit(1L).as("lineNumber"))
+          .write.format("boom").mode("append").save(d)
+      }
       s.read.format("boom").load(out)
         .where(col("timestamp") >= rangeStartMs &&
           col("timestamp") < rangeEndMs)
@@ -2889,28 +2919,31 @@ object SparkEntry {
     // preserves them) must survive both paths bit-for-bit: the rollups must
     // equal each other and DuckDB's direct replay over the original events.
     "q_rawmerge_roundtrip" -> ((s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("rawmerge-oracle")
-      def dropIncoming(name: String): String = {
-        val part = base.resolve(name).toString
-        events(s, dir)
-          .select(col("ts_ms").as("timestamp"),
-            concat(col("event_type"), lit(" "), col("props")).as("message"),
-            lit(0).as("eventId"),
-            col("user_id").as("createTime"),
-            col("event_id").as("blockNumber"),
-            lit(1L).as("lineNumber"))
-          .repartition(8)
-          .write.format("boom").mode("append").save(part + "/incoming")
-        part
+      val base = fixtureDir("rawmerge-oracle", dir) { d =>
+        def dropIncoming(name: String): String = {
+          val part = s"$d/$name"
+          events(s, dir)
+            .select(col("ts_ms").as("timestamp"),
+              concat(col("event_type"), lit(" "), col("props")).as("message"),
+              lit(0).as("eventId"),
+              col("user_id").as("createTime"),
+              col("event_id").as("blockNumber"),
+              lit(1L).as("lineNumber"))
+            .repartition(8)
+            .write.format("boom").mode("append").save(part + "/incoming")
+          part
+        }
+        val rawTree = dropIncoming("raw")
+        val recTree = dropIncoming("rec")
+        val inPath = new org.apache.hadoop.fs.Path(rawTree, "incoming")
+        val inBytes = inPath.getFileSystem(s.sessionState.newHadoopConf())
+          .getContentSummary(inPath).getLength
+        graft.maintenance.LogMaintenance.rawMerge(s, rawTree,
+          targetFileSize = inBytes / 3 + 1)
+        graft.maintenance.LogMaintenance.merge(s, recTree)
       }
-      val rawTree = dropIncoming("raw")
-      val recTree = dropIncoming("rec")
-      val inPath = new org.apache.hadoop.fs.Path(rawTree, "incoming")
-      val inBytes = inPath.getFileSystem(s.sessionState.newHadoopConf())
-        .getContentSummary(inPath).getLength
-      graft.maintenance.LogMaintenance.rawMerge(s, rawTree,
-        targetFileSize = inBytes / 3 + 1)
-      graft.maintenance.LogMaintenance.merge(s, recTree)
+      val rawTree = s"$base/raw"
+      val recTree = s"$base/rec"
       def rollup(df: DataFrame, p: String): DataFrame = df.agg(
         count(lit(1)).as(s"${p}_n"),
         min(col("timestamp")).as(s"${p}_min_ts_ms"),
@@ -2921,6 +2954,37 @@ object SparkEntry {
       rollup(s.read.format("boom").load(rawTree + "/data"), "raw")
         .crossJoin(broadcast(
           rollup(s.read.format("boom").load(recTree + "/data"), "rec")))
+    }),
+
+    // Filter/archive (M3) under the oracle (r16): events → boom data/
+    // tree → filterArchive with a regex-OR-stringmatch YAML chain →
+    // archive/ scanned back; the surviving-line rollup must equal DuckDB's
+    // replay of the same predicate over the original events rows.
+    "q_filter_archive" -> ((s, dir) => {
+      val part = fixtureDir("filterarch-oracle", dir) { d =>
+        events(s, dir)
+          .select(col("ts_ms").as("timestamp"),
+            concat(col("event_type"), lit(" "), col("props")).as("message"),
+            lit(0).as("eventId"),
+            col("user_id").as("createTime"),
+            col("event_id").as("blockNumber"),
+            lit(1L).as("lineNumber"))
+          .repartition(4)
+          .write.format("boom").mode("append").save(d + "/data")
+        val yaml =
+          """filters:
+            |  - ".*":
+            |    - { type: regex,       pattern: "^error " }
+            |    - { type: stringmatch, pattern: '"k": 3' }
+            |""".stripMargin
+        graft.maintenance.LogMaintenance.filterArchive(s, d, "comp", yaml)
+      }
+      s.read.format("boom").load(part + "/archive")
+        .agg(count(lit(1)).as("n"),
+          min(col("timestamp")).as("min_ts_ms"),
+          max(col("timestamp")).as("max_ts_ms"),
+          sum(length(col("message"))).cast("long").as("sum_msg_len"),
+          sum(col("blockNumber")).as("sum_event_id"))
     }),
 
     // Z-order (Morton) layout audit on lineitem's (orderkey, partkey):
@@ -4500,6 +4564,15 @@ object SparkEntry {
          | FROM events
          | WHERE epoch_ms(ts) >= $rangeStartMs
          |   AND epoch_ms(ts) < $rangeEndMs""".stripMargin,
+    "q_filter_archive" ->
+      """SELECT count(*) AS n,
+        |   min(epoch_ms(ts)) AS min_ts_ms, max(epoch_ms(ts)) AS max_ts_ms,
+        |   CAST(sum(length(event_type || ' ' || props)) AS BIGINT)
+        |     AS sum_msg_len,
+        |   CAST(sum(event_id) AS BIGINT) AS sum_event_id
+        | FROM events
+        | WHERE regexp_matches(event_type || ' ' || props, '^error ')
+        |   OR contains(event_type || ' ' || props, '"k": 3')""".stripMargin,
     "q_rawmerge_roundtrip" ->
       """WITH r AS (SELECT count(*) AS n,
         |     min(epoch_ms(ts)) AS mn, max(epoch_ms(ts)) AS mx,

@@ -171,6 +171,13 @@ object LogToolCli {
   }
 
   def run(tool: String, argv: Array[String], predicate: Args => LogPredicate): Unit = {
+    // Fail fast on argv problems BEFORE paying SparkSession startup.
+    try { predicate(parseArgs(argv, tool)); () }
+    catch {
+      case e: Exception =>
+        System.err.println(s";$tool failed: ${translateError(e)}")
+        sys.exit(1)
+    }
     val spark = session()
     try runWith(spark, tool, argv, predicate)
     catch {

@@ -68,27 +68,34 @@ object logmaintenance {
       argv: Array[String]): Int = {
     val confFile = opt(argv, "--conf")
     if (confFile != null) {
-      val lines = scala.io.Source.fromFile(confFile, "UTF-8")
-        .getLines().map(_.trim)
-        .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
-      val par = math.max(1,
-        opt(argv, "--max-concurrent-services", "1").toInt)
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
-      val results = lines.map { line =>
+      val lines = scala.util.Using.resource(
+        scala.io.Source.fromFile(confFile, "UTF-8"))(
+        _.getLines().map(_.trim)
+          .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq)
+      // Validate EVERY line before submitting anything: a require()
+      // thrown mid-submission would skip pool.shutdown() and leave
+      // non-daemon workers pinning the JVM open forever.
+      val serviceArgvs = lines.map { line =>
         val parts = line.split("\\s+")
         require(parts.length >= 2,
           s"conf line needs '<dc> <service> [options]': $line")
         // Line-level values FIRST so they win over any stray -dc/-svc
         // in the shared argv (opt() takes the first match).
-        val serviceArgv = Array(s"-dc=${parts(0)}",
-          s"-svc=${parts(1)}") ++ parts.drop(2) ++ argv
-        pool.submit(new java.util.concurrent.Callable[Int] {
-          def call(): Int = runService(spark, serviceArgv)
-        })
+        Array(s"-dc=${parts(0)}", s"-svc=${parts(1)}") ++
+          parts.drop(2) ++ argv
       }
-      pool.shutdown()
-      val codes = results.map(_.get())
-      if (codes.forall(_ == 0)) 0 else 1
+      val par = math.max(1,
+        opt(argv, "--max-concurrent-services", "1").toInt)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+      try {
+        val results = serviceArgvs.map { serviceArgv =>
+          pool.submit(new java.util.concurrent.Callable[Int] {
+            def call(): Int = runService(spark, serviceArgv)
+          })
+        }
+        val codes = results.map(_.get())
+        if (codes.forall(_ == 0)) 0 else 1
+      } finally pool.shutdownNow()
     } else {
       runService(spark, argv)
     }

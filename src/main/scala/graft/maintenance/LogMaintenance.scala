@@ -125,8 +125,9 @@ object LogMaintenance {
     import org.apache.avro.file.{CodecFactory, DataFileStream, DataFileWriter}
     import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
     val (path, len) = file
+    var counting: CountingIn = null
     try {
-      val counting = new CountingIn(fs.open(path))
+      counting = new CountingIn(fs.open(path))
       val in = new DataFileStream[GenericRecord](counting,
         new GenericDatumReader[GenericRecord]())
       try {
@@ -148,6 +149,11 @@ object LogMaintenance {
     } catch {
       case _: Exception => 1.0 // unreadable probe: neutral sizing; the
       // merge job itself surfaces the real error with full context
+    } finally {
+      // A DataFileStream-constructor failure (non-Avro probe file) leaves
+      // the raw stream open; double-close after the normal path is a no-op.
+      if (counting != null)
+        try counting.close() catch { case _: Exception => () }
     }
   }
 

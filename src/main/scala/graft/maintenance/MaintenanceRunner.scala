@@ -170,6 +170,7 @@ object MaintenanceRunner {
       }
 
       val incoming = new Path(comp, "incoming")
+      var wantMerge = false
       if (fs.exists(incoming)) {
         if (olderThan(ts, deleteCutoff)) deleteDir(incoming)
         else if (config.doMerge) {
@@ -184,22 +185,38 @@ object MaintenanceRunner {
           val hasValid = validIn(children.toSeq) ||
             children.filter(_.isDirectory).exists(c =>
               validIn(fs.listStatus(c.getPath).toSeq))
-          if (!tooYoung && hasValid) submit(s"merge $comp") {
-            if (config.rawBlockMerge)
-              LogMaintenance.rawMerge(spark, comp.toString,
-                config.targetFileSize)
-            else
-              LogMaintenance.merge(spark, comp.toString,
-                config.targetFileSize)
-            merged.synchronized { merged += comp.toString }
-          }
+          wantMerge = !tooYoung && hasValid
         }
       }
 
       val data = new Path(comp, "data")
-      if (fs.exists(data)) {
-        if (olderThan(ts, deleteCutoff)) deleteDir(data)
-        else if (olderThan(ts, archiveCutoff)) submit(s"filter $comp") {
+      var wantFilter = false
+      if (fs.exists(data) || wantMerge) {
+        if (fs.exists(data) && olderThan(ts, deleteCutoff)) deleteDir(data)
+        // An aged partition with BOTH late incoming and existing data
+        // archives AFTER the merge lands (ordered inside one task below)
+        // so merged lines are never archived-around.
+        else wantFilter = olderThan(ts, archiveCutoff)
+      }
+
+      // ONE task per component, steps ordered: running merge and
+      // filterArchive concurrently on the same partition would let
+      // filterArchive's final delete of data/ race the merge's promotion
+      // into it — merged-but-never-archived lines would be lost. The
+      // reference serialized the same pair with its ZK write lock.
+      if (wantMerge || wantFilter) submit(
+        s"${if (wantMerge) "merge" else ""}${if (wantMerge && wantFilter) "+"
+          else ""}${if (wantFilter) "filter" else ""} $comp") {
+        if (wantMerge) {
+          if (config.rawBlockMerge)
+            LogMaintenance.rawMerge(spark, comp.toString,
+              config.targetFileSize)
+          else
+            LogMaintenance.merge(spark, comp.toString,
+              config.targetFileSize)
+          merged.synchronized { merged += comp.toString }
+        }
+        if (wantFilter && fs.exists(data)) {
           LogMaintenance.filterArchive(spark, comp.toString,
             comp.getName, config.filterYaml.get)
           filtered.synchronized { filtered += comp.toString }

@@ -145,7 +145,11 @@ object AsofJoin {
         "own units")
     val micros = math.multiplyExact(tolerance.getSeconds, 1000000L) +
       tolerance.getNano / 1000L
-    require(micros >= 0, "tolerance must be non-negative")
+    // A duration that floors to 0 µs would silently become the Long API's
+    // `0 = unlimited` — the opposite of a tiny/exact tolerance. Refuse.
+    require(micros >= 1,
+      s"tolerance must be >= 1 microsecond, got $tolerance (for unlimited " +
+        "lookback use asofJoin with tolerance = 0)")
     asofJoin(left, right, leftTime, rightTime, by, rightPrefix,
       tolerance = micros, leftOuter = leftOuter)
   }

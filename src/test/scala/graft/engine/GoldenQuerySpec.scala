@@ -145,11 +145,13 @@ class GoldenQuerySpec extends SparkTestBase {
       Seq("--l", "--v", "--log"))    // the rest of the accepted no-ops
     def readOut(dir: java.nio.file.Path): Seq[String] = {
       import scala.jdk.CollectionConverters._
-      Files.list(dir).iterator().asScala.toSeq
-        .filter(_.getFileName.toString.startsWith("part-"))
-        .sortBy(_.getFileName.toString)
-        .flatMap(p => new String(Files.readAllBytes(p), "UTF-8")
-          .split("\n", -1).toSeq.dropRight(1))
+      Using.resource(Files.list(dir)) { stream =>
+        stream.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.startsWith("part-"))
+          .sortBy(_.getFileName.toString)
+          .flatMap(p => new String(Files.readAllBytes(p), "UTF-8")
+            .split("\n", -1).toSeq.dropRight(1))
+      }
     }
     matrix.zipWithIndex.foreach { case ((tool, args, pred), i) =>
       val outs = flagPasses.zipWithIndex.map { case (flags, j) =>
@@ -158,8 +160,10 @@ class GoldenQuerySpec extends SparkTestBase {
           (base ++ args ++ flags :+ s"--out=$out").toArray, pred)
         readOut(out)
       }
-      assert(outs(0).nonEmpty || tool != "logcat",
-        s"$tool $args produced no output")
+      // Every matrix row's terms hit the fixture — empty output would be
+      // an arg-plumbing regression the byte-compare alone can't catch
+      // (empty == empty passes vacuously).
+      assert(outs(0).nonEmpty, s"$tool $args produced no output")
       assert(outs(1) === outs(0),
         s"$tool $args: --r pass differs from local pass")
       assert(outs(2) === outs(0),
