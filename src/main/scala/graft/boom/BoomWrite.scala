@@ -238,7 +238,11 @@ class BoomDataWriter(
   private var blockCreateTime = -1L
   private var blockNumber = -1L
   private var rows = 0L
-  // ingest-mode state
+  // ingest-mode state; an explicit "unset" flag, not a <0 sentinel — the
+  // first timestamp may legitimately be pre-epoch (negative), and a
+  // sentinel would re-mint createTime on every negative row until the
+  // first non-negative one (one block per line, wrong createTime).
+  private var ingestStarted = false
   private var ingestCreateTime = -1L
   private var ingestBlockNumber = -1L
 
@@ -253,7 +257,8 @@ class BoomDataWriter(
     val second = Math.floorDiv(timestamp, 1000L)
     val ms = Math.floorMod(timestamp, 1000L)
 
-    if (ingest && ingestCreateTime < 0) {
+    if (ingest && !ingestStarted) {
+      ingestStarted = true
       ingestCreateTime = timestamp
       ingestBlockNumber = 0
     }

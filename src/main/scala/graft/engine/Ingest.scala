@@ -32,6 +32,12 @@ object Ingest {
       var parser: TimestampParser =
         parserName.map(TimestampParsers.forName(_, nowMs)).orNull
       var lastTs = 0L
+      // Explicit first-row flag, not <0 sentinels: the first timestamp may
+      // be pre-epoch (negative), where a sentinel would re-mint createTime
+      // per row and a `lastSecond >= 0` guard would skip block-number
+      // increments (two blocks sharing a number). floorDiv matches the
+      // writer's second computation for negative timestamps.
+      var started = false
       var createTime = -1L
       var blockNumber = 0L
       var lastSecond = -1L
@@ -45,10 +51,13 @@ object Ingest {
         val (tsStr, rest) = parser.splitLine(raw)
         val ts = Option(tsStr).flatMap(parser.tryParse).getOrElse(lastTs)
         lastTs = ts
-        if (createTime < 0) createTime = ts
-        val second = ts / 1000L
-        if (second != lastSecond || linesInBlock >= 1000) {
-          if (lastSecond >= 0) blockNumber += 1
+        val second = Math.floorDiv(ts, 1000L)
+        if (!started) {
+          started = true
+          createTime = ts
+          lastSecond = second
+        } else if (second != lastSecond || linesInBlock >= 1000) {
+          blockNumber += 1
           lastSecond = second
           linesInBlock = 0
           lineNo = 0L

@@ -34,12 +34,16 @@ object LogCatalog {
     * directories (an unbounded query must use explicit paths).
     */
   def hoursInRange(startMs: Long, endMs: Long): Seq[(String, String)] = {
-    val hours = endMs / 3600000L - startMs / 3600000L
+    // floorDiv, not truncation: a pre-epoch startMs must floor DOWN to the
+    // hour directory containing it (truncation rounds toward zero and
+    // would skip the partial pre-epoch hour entirely).
+    val hours =
+      Math.floorDiv(endMs, 3600000L) - Math.floorDiv(startMs, 3600000L)
     require(hours >= 0 && hours <= 24L * 366 * 50,
       s"time range [$startMs, $endMs) spans $hours hours — too wide for " +
         "directory-based partition resolution; narrow the range or query explicit paths")
     val out = ArrayBuffer[(String, String)]()
-    var t = (startMs / 3600000L) * 3600000L
+    var t = Math.floorDiv(startMs, 3600000L) * 3600000L
     while (t < endMs) {
       val i = Instant.ofEpochMilli(t)
       out += ((dateFmt.format(i), hourFmt.format(i)))
@@ -105,14 +109,27 @@ object LogCatalog {
       endMs: Long): Seq[Seq[(String, Long)]] = {
     hoursInRange(startMs, endMs).map { case (date, hour) =>
       val out = ArrayBuffer[(String, Long)]()
+      // Entry rules MUST match what the reader will actually ingest
+      // (BoomDataSource.listFiles: skip _*/.*/ *.tmp and empty files,
+      // recurse into directories) — a glob-matched SUBDIRECTORY counted at
+      // its directory length (~0) would let a multi-GB hour slip under
+      // maxHourBytes and defeat the oversized-hour sort routing, and
+      // dot-files would inflate byte totals the scan never reads.
+      def keep(n: String): Boolean =
+        !n.startsWith("_") && !n.startsWith(".") && !n.endsWith(".tmp")
+      def add(s: org.apache.hadoop.fs.FileStatus,
+          fs: org.apache.hadoop.fs.FileSystem): Unit = {
+        if (s.isDirectory) {
+          fs.listStatus(s.getPath).foreach(c =>
+            if (keep(c.getPath.getName)) add(c, fs))
+        } else if (s.getLen > 0) out += ((s.getPath.toString, s.getLen))
+      }
       Branches.foreach { branch =>
         val p = s"$root/service/$dc/$service/logs/$date/$hour/$component/$branch"
         val path = new Path(p)
         val fs = path.getFileSystem(conf)
         Option(fs.globStatus(path)).getOrElse(Array.empty).foreach { s =>
-          val n = s.getPath.getName
-          if (!n.startsWith("_") && !n.endsWith(".tmp"))
-            out += ((s.getPath.toString, s.getLen))
+          if (keep(s.getPath.getName)) add(s, fs)
         }
       }
       out.toSeq.distinctBy(_._1)

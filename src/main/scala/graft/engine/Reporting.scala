@@ -37,7 +37,10 @@ object Reporting {
       }
     }
     if (fs.exists(serviceRoot)) walk(serviceRoot)
-    val re = ".*/service/([^/]+)/([^/]+)/([^/]+)/(\\d{8})/(\\d{2})/([^/]+)/(data|incoming|archive|working)(?:/.*)?/[^/]*$"
+    // Branch set matches the reference exactly (IndexLogs.java:46:
+    // data|incoming|archive) — in-flight working/ files are NOT indexed,
+    // so total_size always equals the per-branch column sum.
+    val re = ".*/service/([^/]+)/([^/]+)/([^/]+)/(\\d{8})/(\\d{2})/([^/]+)/(data|incoming|archive)(?:/.*)?/[^/]*$"
     rows.toSeq.toDF("path", "size", "mtime")
       .withColumn("dc", regexp_extract(col("path"), re, 1))
       .withColumn("service", regexp_extract(col("path"), re, 2))
@@ -149,6 +152,13 @@ object Reporting {
     * one row per surviving user, so only user-keyed rows ever shuffle and
     * depth is the (small, fixed) stage count, not the data. Output:
     * (stage_idx, stage, n_users) — monotone non-increasing.
+    *
+    * ANCHORING CONTRACT: the window opens at each user's GLOBALLY EARLIEST
+    * stage-1 event — deliberately. A user whose first attempt expires and
+    * who re-enters the funnel later is NOT re-anchored (that variant is a
+    * per-attempt sessionized funnel, a different operator: compose
+    * [[sessionize]]-style attempt splitting upstream if re-entry counting
+    * is wanted). The DuckDB oracle replays this same earliest-event rule.
     */
   def funnel(
       events: DataFrame,
@@ -339,12 +349,17 @@ object Reporting {
     * integer bytes below 1 KB, two decimals at each 1024 tier above.
     */
   def formatByteSize(byteSize: Double): String = {
+    // Locale.ROOT pinned (like Bench/ShuffleAudit/LogDateFormat): the
+    // f-interpolator uses the JVM default locale, and a decimal-comma or
+    // non-ASCII-digit locale would silently change rendered reports.
+    def f2(v: Double, unit: String): String =
+      String.format(java.util.Locale.ROOT, "%.2f %s", Double.box(v), unit)
     val K = 1024d; val M = K * 1024; val G = M * 1024; val T = G * 1024
-    if (byteSize < K) f"${byteSize.toInt}%d B"
-    else if (byteSize < M) f"${byteSize / K}%.2f KB"
-    else if (byteSize < G) f"${byteSize / M}%.2f MB"
-    else if (byteSize < T) f"${byteSize / G}%.2f GB"
-    else f"${byteSize / T}%.2f TB"
+    if (byteSize < K) s"${byteSize.toInt} B"
+    else if (byteSize < M) f2(byteSize / K, "KB")
+    else if (byteSize < G) f2(byteSize / M, "MB")
+    else if (byteSize < T) f2(byteSize / G, "GB")
+    else f2(byteSize / T, "TB")
   }
 
   /** Dense per-hour byte volumes over [startMs, endMs) from [[logStats]]
@@ -354,16 +369,22 @@ object Reporting {
     */
   def hourlyVolumes(stats: DataFrame, startMs: Long, endMs: Long): Array[Double] = {
     val oneHour = 3600000L
-    val totalHours = ((endMs - startMs) / oneHour).toInt
-    if (totalHours <= 0) return Array.empty
+    // Slots anchor at the FLOOR of startMs: an unaligned window still owns
+    // the partial hour containing startMs (a `t >= startMs` comparison
+    // would silently drop that whole hour's bytes from total/avg/peak).
+    // Hour-aligned callers — the reference's CLI passes yyyyMMddHH — see
+    // identical behavior.
+    val startHour = Math.floorDiv(startMs, oneHour) * oneHour
+    val totalHours = ((endMs - startHour + oneHour - 1) / oneHour).toInt
+    if (endMs <= startMs) return Array.empty
     val vols = Array.fill(totalHours)(0d)
     val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
     stats.collect().foreach { r =>
       val t = java.time.LocalDate.parse(r.getAs[String]("date"), fmt)
         .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli +
         r.getAs[String]("hour").toInt * oneHour
-      val idx = ((t - startMs) / oneHour).toInt
-      if (t >= startMs && idx < totalHours)
+      val idx = ((t - startHour) / oneHour).toInt
+      if (t >= startHour && idx < totalHours)
         vols(idx) += r.getAs[Long]("bytes").toDouble
     }
     vols
@@ -469,7 +490,8 @@ object Reporting {
       timePosition += oneHour * hoursPerColumn
     }
     sb.append("\n                               Time (GMT), " +
-      f"$hoursPerColumn%.02f hours per column\n")
+      String.format(java.util.Locale.ROOT, "%.02f hours per column%n",
+        Double.box(hoursPerColumn)))
     sb.toString
   }
 
@@ -485,7 +507,9 @@ object Reporting {
     rows.foreach { r =>
       val bytes = r.getAs[Long]("bytes")
       val bar = "#" * math.max(1, (bytes / maxBytes * width).toInt)
-      sb.append(f"${r.getAs[String]("date")}/${r.getAs[String]("hour")} $bytes%12d $bar%n")
+      sb.append(String.format(java.util.Locale.ROOT, "%s/%s %12d %s%n",
+        r.getAs[String]("date"), r.getAs[String]("hour"),
+        Long.box(bytes), bar))
     }
     sb.toString
   }

@@ -14,6 +14,27 @@ class IngestCatalogSpec extends SparkTestBase {
     f.toString
   }
 
+  test("pre-epoch ingest: one createTime, floored seconds, distinct block numbers") {
+    // The <0 sentinel family: negative first timestamps must NOT re-mint
+    // createTime per row, truncate seconds toward zero, or skip the
+    // block-number increment when rolling out of a negative second.
+    val parsed = Ingest.parse(Seq(
+      "1969-12-31T23:59:59Z before epoch a",
+      "1969-12-31T23:59:59Z before epoch b",
+      "1970-01-01T00:00:01Z after epoch").toDS().coalesce(1), // one ingest unit: createTime/block state is per partition, like one reference mapper
+      Some("RFC5424"))
+      .collect().sortBy(_.timestamp)
+    assert(parsed.map(_.timestamp).toSeq === Seq(-1000L, -1000L, 1000L))
+    // createTime = FIRST line's timestamp, for every line.
+    assert(parsed.map(_.createTime).distinct.toSeq === Seq(-1000L))
+    // Two distinct seconds → two distinct block numbers (0 then 1).
+    assert(parsed.map(_.blockNumber).distinct.sorted.toSeq === Seq(0L, 1L))
+    // The catalog's hour arithmetic floors the same way: the pre-epoch
+    // half hour resolves the 19691231/23 hour directory.
+    val hours = LogCatalog.hoursInRange(-1800000L, 3600000L)
+    assert(hours === Seq(("19691231", "23"), ("19700101", "00")))
+  }
+
   private val twoHoursOfLines = Seq(
     "2024-03-01T10:59:58Z almost end of hour ten",
     "2024-03-01T10:59:59Z end of hour ten",
