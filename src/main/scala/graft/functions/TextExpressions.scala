@@ -90,6 +90,11 @@ object ShingleOps {
       tokenHashes(i) = if (tokens.isNullAt(i)) 0L else SimHash.hashToken(tokens.getUTF8String(i))
       i += 1
     }
+    // 0 tokens -> 0 shingles: a shared phantom gram for every EMPTY doc
+    // would cross-match all of them (and poison Bloom decontamination /
+    // novelty scoring). Short NON-empty docs (< k tokens) still hash the
+    // whole sequence as one shingle, per the contract above.
+    if (n == 0) return ArrayData.toArrayData(Array.emptyLongArray)
     val count = math.max(1, n - k + 1)
     val seen = new java.util.HashSet[java.lang.Long](count * 2)
     val out = new ArrayBuffer(count)
@@ -326,6 +331,8 @@ object Md5ShingleOps {
                  else tokens.getUTF8String(i).getBytes
       i += 1
     }
+    // Same 0-tokens -> 0-shingles rule as ShingleOps.shingleHashes.
+    if (n == 0) return ArrayData.toArrayData(Array.emptyLongArray)
     val count = math.max(1, n - k + 1)
     val out = new Array[Long](count)
     var s = 0

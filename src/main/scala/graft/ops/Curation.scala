@@ -14,6 +14,24 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Guard for operators that `cast("long")` their id internally: a
+    * string/UUID id would cast to NULL and rows would silently VANISH
+    * from samples (TopK aggregates skip null ids) or misjoin — fail
+    * loudly instead. Callers with non-numeric ids should first mint a
+    * distinct long (e.g. `xxhash64(id)` + collision check, or
+    * `monotonically_increasing_id`).
+    */
+  private[ops] def requireIntegralId(df: DataFrame, idCol: String,
+      op: String): Unit = {
+    import org.apache.spark.sql.types._
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"$op needs an integral id column; '$idCol' is $dt — cast or hash " +
+          "the id to a distinct long first")
+    }
+  }
+
   /** Benchmark decontamination: count distinct word k-grams each training
     * document shares with each benchmark/eval document, keeping pairs with
     * at least `minShared` overlaps (the n-gram-collision test-set filter of
@@ -252,17 +270,29 @@ object Curation {
       textCol: String,
       maxTurns: Int = 1000): DataFrame = {
     require(maxTurns >= 1, s"maxTurns must be >= 1, got $maxTurns")
-    df.groupBy(col(convCol))
-      .agg(count(lit(1)).as("n_events"),
-        // Null role/text coalesce to '' BEFORE aggregation: array_join
-        // silently skips null elements, which would drop turns from the
-        // transcript while n_turns still counted them.
-        slice(sort_array(collect_list(struct(
-          col(tsCol).as("ts"), col(tieCol).as("tie"),
-          coalesce(col(roleCol).cast("string"), lit("")).as("role"),
-          coalesce(col(textCol).cast("string"), lit("")).as("txt")))),
-          1, maxTurns)
-          .as("__t"))
+    // The cap is applied BEFORE the collect (rank over the full sort key,
+    // so the cut is deterministic even with duplicate timestamps): a
+    // slice-after-collect_list would still buffer a runaway key's every
+    // event in one aggregation buffer before trimming — the window
+    // operator is sort-based and streams, so memory stays O(maxTurns)
+    // per key. Both windows share the conv partitioning: one exchange.
+    import org.apache.spark.sql.expressions.Window
+    val turn = struct(
+      col(tsCol).as("ts"), col(tieCol).as("tie"),
+      // Null role/text coalesce to '' BEFORE aggregation: array_join
+      // silently skips null elements, which would drop turns from the
+      // transcript while n_turns still counted them.
+      coalesce(col(roleCol).cast("string"), lit("")).as("role"),
+      coalesce(col(textCol).cast("string"), lit("")).as("txt"))
+    df.select(col(convCol), turn.as("__turn"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(convCol)).orderBy(col("__turn"))))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col(convCol))))
+      .where(col("__rn") <= maxTurns)
+      .groupBy(col(convCol))
+      .agg(max(col("__n")).as("n_events"),
+        sort_array(collect_list(col("__turn"))).as("__t"))
       .select(col(convCol), col("n_events"),
         size(col("__t")).cast("long").as("n_turns"),
         array_join(transform(col("__t"),
@@ -293,7 +323,10 @@ object Curation {
     val staged = df.select(col(idCol) +:
       stages.zipWithIndex.map { case ((_, c), i) => c.as(s"__s$i") }: _*)
     val firstFail = stages.indices.reverse.foldLeft(lit(0)) { (rest, i) =>
-      when(!col(s"__s$i"), lit(i + 1)).otherwise(rest)
+      // NULL predicate = FAIL at this stage, matching what df.where(pred)
+      // does in the real pipeline (null-valued predicates drop the row);
+      // a bare !col would pass null through to the survivor branch.
+      when(!coalesce(col(s"__s$i"), lit(false)), lit(i + 1)).otherwise(rest)
     }
     val counts = staged.select(firstFail.as("__ff"))
       .groupBy(col("__ff")).agg(count(lit(1)).as("n"))
@@ -317,7 +350,11 @@ object Curation {
       k: Int,
       salt: String = "graft-ws"): DataFrame =
     df.withColumn("__wsk",
-        pow(hashUniform(col(idCol), salt), lit(1.0) / weight))
+        when(weight > 0,
+          pow(hashUniform(col(idCol), salt), lit(1.0) / weight))
+          .otherwise(raise_error(concat(
+            lit("A-ES sampling: weight must be > 0 (got null/<=0) for id "),
+            col(idCol).cast("string")))))
       .orderBy(col("__wsk").desc, col(idCol))
       .limit(k)
       .drop("__wsk")
@@ -336,14 +373,20 @@ object Curation {
       idCol: String,
       weight: Column,
       k: Int,
-      salt: String = "graft-ws"): DataFrame =
+      salt: String = "graft-ws"): DataFrame = {
+    requireIntegralId(df, idCol, "weightedSamplePerGroup")
     df.select(col(groupCol), col(idCol).cast("long").as(idCol),
-        pow(hashUniform(col(idCol), salt), lit(1.0) / weight).as("__wsk"))
+        when(weight > 0,
+          pow(hashUniform(col(idCol), salt), lit(1.0) / weight))
+          .otherwise(raise_error(concat(
+            lit("A-ES sampling: weight must be > 0 (got null/<=0) for id "),
+            col(idCol).cast("string")))).as("__wsk"))
       .groupBy(col(groupCol))
       .agg(graft.functions.TopKByScore.topk_by_score(
         col("__wsk"), col(idCol), k).as("__top"))
       .select(col(groupCol), explode(col("__top")).as("__e"))
       .select(col(groupCol), col("__e.id").as(idCol))
+  }
 
   /** Reproducible train/valid/test split: `splits` are (label, fraction)
     * with fractions summing to ≤ 1 (remainder → last label). Assignment is
@@ -418,24 +461,35 @@ object Curation {
     * Returns one row per unordered split pair (split_a ≤ split_b) with
     * the duplicate-pair count; off-diagonal rows are the leak.
     *
-    * Scale shape: one groupBy on the 128-bit content hash (ids only ride
-    * the shuffle), pairs expand WITHIN duplicate groups only, then a tiny
-    * split-pair aggregation.
+    * Scale shape: pair counts are computed COMBINATORIALLY from per-
+    * (hash, split) group sizes — n_a·n_b across splits, C(n,2) within —
+    * never by materializing id pairs: an id-level self-join would emit a
+    * quadratic row count for one large duplicate group (10⁶ identical
+    * boilerplate docs ⇒ ~5·10¹¹ join rows in a single task). One groupBy
+    * on the 128-bit content hash, a bounded |splits|²-fan-out join on the
+    * hash, then a tiny split-pair aggregation — identical counts.
     */
   def splitLeakage(df: DataFrame, idCol: String, textCol: String,
       splits: Seq[(String, Double)], salt: String = "graft"): DataFrame = {
     val assigned = splitCorpus(df, idCol, splits, salt)
       .select(col(idCol).as("id"), col("split"))
-    val hashed = df.select(col(idCol).as("id"),
+    val perSplit = df.select(col(idCol).as("id"),
         md5(col(textCol).cast("binary")).as("h"))
       .join(assigned, Seq("id"))
-    val pairs = hashed.as("a").join(hashed.as("b"),
-      col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-    pairs.select(
-        least(col("a.split"), col("b.split")).as("split_a"),
-        greatest(col("a.split"), col("b.split")).as("split_b"))
+      .groupBy(col("h"), col("split"))
+      .agg(count(lit(1)).as("n"))
+    perSplit.as("a")
+      .join(perSplit.as("b"),
+        col("a.h") === col("b.h") && col("a.split") <= col("b.split"))
+      .select(col("a.split").as("split_a"), col("b.split").as("split_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      // Integer DIV, not Column `/` (double): group counts stay exact.
+      .select(col("split_a"), col("split_b"),
+        when(col("split_a") === col("split_b"),
+          expr("na * (na - 1) DIV 2")).otherwise(expr("na * nb")).as("__p"))
       .groupBy("split_a", "split_b")
-      .agg(count(lit(1)).as("n_dup_pairs"))
+      .agg(sum(col("__p")).cast("long").as("n_dup_pairs"))
+      .where(col("n_dup_pairs") > 0)
   }
 
   /** Leakage-FREE split: assign every document the split of its exact-dup
@@ -553,7 +607,12 @@ object Curation {
     }
     val sw = ws.map(_._3).sum
     val rates = ws.map { case (sh, c, w) =>
-      sh -> math.min(1.0, (budget * w).toDouble / (sw * c).toDouble)
+      // BigInt products: budget·w and sw·c overflow int64 past ~2.7e9
+      // docs/shard at the default weightScale — driver-side on a
+      // shard-count-sized table, so exactness costs nothing.
+      sh -> math.min(1.0,
+        (BigDecimal(BigInt(budget) * BigInt(w)) /
+          BigDecimal(BigInt(sw) * BigInt(c))).toDouble)
     }.sortBy(_._1)
     val draw = hashDraw(col(idCol), salt)
     val thresh = rates.foldRight(lit(hexThreshold(0.0)): Column) {
@@ -652,6 +711,8 @@ object Curation {
       newDf: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
+    requireIntegralId(oldDf, idCol, "corpusDiff")
+    requireIntegralId(newDf, idCol, "corpusDiff")
     def hashed(df: DataFrame, side: String) =
       df.select(col(idCol).cast("long").as("id"),
         md5(col(textCol).cast("binary")).as(s"__h_$side"))
@@ -689,6 +750,7 @@ object Curation {
       nPerStratum: Int,
       salt: String = "graft"): DataFrame = {
     require(nPerStratum >= 1, s"nPerStratum must be >= 1, got $nPerStratum")
+    requireIntegralId(df, idCol, "stratifiedSample")
     val draw = conv(substring(md5(concat(col(idCol).cast("string"),
       lit("-" + salt)).cast("binary")), 1, 12), 16, 10).cast("long")
     df.select(col(stratumCol).as("stratum"),
@@ -842,7 +904,11 @@ object Curation {
     val staged = df.select(col(groupCol), col(idCol),
       size(graft.functions.TextFunctions.tokenize(col(textCol)))
         .cast("long").as("n_tokens"),
-      pow(hashUniform(col(idCol), salt), lit(1.0) / weight).as("__wsk"))
+      when(weight > 0,
+          pow(hashUniform(col(idCol), salt), lit(1.0) / weight))
+          .otherwise(raise_error(concat(
+            lit("A-ES sampling: weight must be > 0 (got null/<=0) for id "),
+            col(idCol).cast("string")))).as("__wsk"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(col("__wsk").desc, col(idCol))
@@ -1258,15 +1324,36 @@ object Curation {
       math.max(1L, benchSh.count()))
     val numBits = math.max(64L,
       math.ceil(-nItems.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // Spark SILENTLY clamps both sizing literals against session confs
+    // (BloomFilterAggregate.numBits = min(requested, runtime.bloomFilter.
+    // maxNumBits, default 64M bits; items likewise at 4M)) — a large
+    // benchmark would get a sketch with a far higher FP rate than the
+    // requested fpp and flag nearly every training doc. Raise the caps to
+    // the computed sizes for the build, restore after.
+    val spark = train.sparkSession
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val prevBits = spark.conf.getOption(bitsKey)
+    val prevItems = spark.conf.getOption(itemsKey)
     // A benchmark with zero grams (empty/null texts, empty table) makes
     // the aggregate return SQL NULL — the sketch must then flag nothing,
     // not NPE on deserialization (the empty-edge-set CC lesson).
-    val bloomBytes = benchSh
-      .select(ColumnBridge.column(
-        new BloomFilterAggregate(
-          ColumnBridge.expression(col("__sh")),
-          Literal(nItems), Literal(numBits)).toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]](0)
+    val bloomBytes = try {
+      spark.conf.set(bitsKey, math.max(numBits, 67108864L).toString)
+      spark.conf.set(itemsKey, math.max(nItems, 4000000L).toString)
+      benchSh
+        .select(ColumnBridge.column(
+          new BloomFilterAggregate(
+            ColumnBridge.expression(col("__sh")),
+            Literal(nItems), Literal(numBits)).toAggregateExpression()).as("bf"))
+        .head().getAs[Array[Byte]](0)
+    } finally {
+      def restore(k: String, v: Option[String]): Unit =
+        v match { case Some(x) => spark.conf.set(k, x)
+                  case None => spark.conf.unset(k) }
+      restore(bitsKey, prevBits)
+      restore(itemsKey, prevItems)
+    }
     if (bloomBytes == null) {
       return train
         .select(col(trainId).as("id"),

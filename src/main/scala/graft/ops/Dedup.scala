@@ -1179,6 +1179,7 @@ object Dedup {
       shingleK: Int = 3,
       threshold: Double = 0.8,
       nSamples: Int = 5): DataFrame = {
+    graft.ops.Curation.requireIntegralId(df, idCol, "dupeEvidence")
     // Shingle-string ARRAYS are the heavy payload here, so derive them
     // ONLY for pair members: the pair ids (small by construction)
     // broadcast-filter the corpus — one narrow probe scan, no corpus
@@ -1257,6 +1258,7 @@ object Dedup {
       idCol: String,
       strCol: String,
       maxDist: Int = 2): DataFrame = {
+    graft.ops.Curation.requireIntegralId(df, idCol, "editDistancePairs")
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     val d = maxDist
     val dp1 = d + 1
@@ -1377,6 +1379,8 @@ object Dedup {
       maxBlockSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(fields.nonEmpty, "recordLinkage needs at least one field")
     require(upper >= lower, s"need upper >= lower, got $upper < $lower")
+    graft.ops.Curation.requireIntegralId(left, leftId, "recordLinkage")
+    graft.ops.Curation.requireIntegralId(right, rightId, "recordLinkage")
     def side(df: DataFrame, id: String, tag: String): DataFrame = {
       val base = df.select(
         (col(id).cast("long").as(s"id_$tag") +:

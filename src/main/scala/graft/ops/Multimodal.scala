@@ -400,13 +400,28 @@ object Multimodal {
     * bitrates are honored; the reported `bitrateKbps` is the first
     * frame's). Stops cleanly at truncation or trailing garbage.
     */
-  /** First MP3 frame body offset: 0 or past the ID3v2 tag (syncsafe size). */
-  private def mp3DataStart(bytes: Array[Byte]): Int =
-    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
-        bytes(2) == '3') {
-      10 + (((bytes(6) & 0x7F) << 21) | ((bytes(7) & 0x7F) << 14) |
-        ((bytes(8) & 0x7F) << 7) | (bytes(9) & 0x7F))
-    } else 0
+  /** First MP3 frame body offset: past the ID3v2 tag (syncsafe size,
+    * +10 more when the header's footer flag — byte 5 bit 4 — is set), then
+    * a BOUNDED forward scan to the first sync word: real-world taggers
+    * leave padding/garbage between the tag and the first frame, and
+    * refusing to scan made such files silently unparseable (all-null
+    * container facts). The scan is capped at 64 KiB so a non-MP3 blob
+    * still fails fast instead of walking the whole payload.
+    */
+  private def mp3DataStart(bytes: Array[Byte]): Int = {
+    val afterTag =
+      if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+          bytes(2) == '3') {
+        val footer = if ((bytes(5) & 0x10) != 0) 10 else 0
+        10 + footer + (((bytes(6) & 0x7F) << 21) | ((bytes(7) & 0x7F) << 14) |
+          ((bytes(8) & 0x7F) << 7) | (bytes(9) & 0x7F))
+      } else 0
+    val limit = math.min(bytes.length - 1, afterTag + 65536)
+    var o = afterTag
+    while (o < limit && !((bytes(o) & 0xFF) == 0xFF &&
+        (bytes(o + 1) & 0xE0) == 0xE0)) o += 1
+    o
+  }
 
   /** One frame header at `o`:
     * (versionIdx, layer, bitrateKbps, sampleRate, channels, frameLen,
@@ -895,7 +910,10 @@ object Multimodal {
                     else
                       pcm16(data(off) & 0xFF, data(off + 1), unsigned)
                   }
-                val w = math.min(63, i * 64 / n)
+                // Long arithmetic: i * 64 wraps Int past ~2^25 frames
+                // (a ~13-minute 44.1 kHz file) — the negative index threw
+                // and the catch silently dropped the file from dedup.
+                val w = math.min(63L, i.toLong * 64L / n).toInt
                 sums(w) += math.abs(s)
                 cnts(w) += 1
                 i += 1

@@ -704,7 +704,11 @@ object TextAnalysis {
     * lambdas). See [[Dedup.minhashDupePairs]] for the staged pattern.
     */
   def shinglesFromTokens(toks: Column, k: Int = 3): Column =
-    when(size(toks) < k, array(concat_ws(" ", toks)))
+    // 0 tokens → 0 shingles (mirrors ShingleOps.shingleHashes: empty docs
+    // must not share a phantom gram); 1..k-1 tokens → the whole sequence
+    // as one shingle.
+    when(size(toks) === 0, array().cast("array<string>"))
+      .when(size(toks) < k, array(concat_ws(" ", toks)))
       .otherwise(transform(
         sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
