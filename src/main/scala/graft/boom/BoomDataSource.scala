@@ -194,13 +194,24 @@ class BoomScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap)
       else None
     litOpt match {
       case Some(v) =>
+        // `v + 1` wraps at Long.MaxValue: `timestamp <= Long.MaxValue`
+        // would absorb as maxTsExcl = Long.MinValue and skip EVERY block
+        // (and `> MaxValue` would keep every row). Leave such bounds as a
+        // residual filter — Spark evaluates them post-scan, correctly.
+        def incExact(x: Long): Option[Long] =
+          if (x == Long.MaxValue) None else Some(x + 1)
         (p.name(), refFirst) match {
           case (">=", true) | ("<=", false) => minTs = math.max(minTs, v); true
-          case (">", true) | ("<", false) => minTs = math.max(minTs, v + 1); true
+          case (">", true) | ("<", false) =>
+            incExact(v).exists { b => minTs = math.max(minTs, b); true }
           case ("<", true) | (">", false) => maxTsExcl = math.min(maxTsExcl, v); true
-          case ("<=", true) | (">=", false) => maxTsExcl = math.min(maxTsExcl, v + 1); true
+          case ("<=", true) | (">=", false) =>
+            incExact(v).exists { b => maxTsExcl = math.min(maxTsExcl, b); true }
           case ("=", _) =>
-            minTs = math.max(minTs, v); maxTsExcl = math.min(maxTsExcl, v + 1); true
+            incExact(v).exists { b =>
+              minTs = math.max(minTs, v); maxTsExcl = math.min(maxTsExcl, b)
+              true
+            }
           case _ => false
         }
       case None => false
@@ -374,6 +385,13 @@ class BoomScan(
       currentBytes += cost
     }
     if (current.nonEmpty) partitions += BoomInputPartition(current.toArray, currentBytes)
+    // Pushed-aggregate scans must emit at least one partial row: Spark's
+    // partial rewrite turns COUNT into Sum-over-partials with NO zero
+    // coalesce, so zero partitions would make COUNT(*) return NULL
+    // instead of 0 on an empty/none-visible directory. One empty slice
+    // set produces the (0, null, null) partial.
+    if (partitions.isEmpty && pushedAggs.nonEmpty)
+      partitions += BoomInputPartition(Array.empty, 0L)
     partitions.toArray
   }
 

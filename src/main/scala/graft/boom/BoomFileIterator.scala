@@ -121,6 +121,19 @@ final class BoomBlockDatumReader(pushdown: BoomPushdown)
           s"unsupported Boom writer schema: field '$n' appears after " +
             "'logLines' — streaming decode needs block metadata first")
       }
+      // The ITEM schema carries the same constraint one level down: the
+      // per-line range/term enforcement lives in the 'message' branch and
+      // uses the 'ms' value read EARLIER in the same item — a writer
+      // schema with message before ms would range-test with ms=0, and one
+      // without message would never run the pushed tests at all. Refuse.
+      val itemFields = names.get(li).schema().getElementType.getFields
+      val msIdx = (0 until itemFields.size()).find(i =>
+        itemFields.get(i).name() == "ms")
+      val msgIdx = (0 until itemFields.size()).find(i =>
+        itemFields.get(i).name() == "message")
+      require(msIdx.nonEmpty && msgIdx.nonEmpty && msIdx.get < msgIdx.get,
+        "unsupported Boom writer schema: logLines items need 'ms' before " +
+          "'message' — per-line pushdown enforcement reads ms first")
     }
     writerSchema = schema
   }
@@ -142,9 +155,15 @@ final class BoomBlockDatumReader(pushdown: BoomPushdown)
         case "blockNumber" => blockNumber = in.readLong()
         case "logLines" =>
           val base = second * 1000L
-          // Block-level skip: the block covers [base, base+999].
+          // Block-level skip: the block covers [base, base+999] — except
+          // blocks with second <= 0: the REFERENCE writer derives
+          // (second, ms) with truncating / and % (BoomWriter.java:73-74),
+          // so its pre-epoch lines carry ms in [-999, 999] and the block
+          // covers [base-999, base+999]. Widen the lower bound for those
+          // blocks; the per-line test uses the true ts either way.
+          val coverLo = if (second <= 0L) base - 999L else base
           val skipAll = pushdown.hasTimeFilter &&
-            (base + 999L < pushdown.minTs || base >= pushdown.maxTsExcl)
+            (base + 999L < pushdown.minTs || coverLo >= pushdown.maxTsExcl)
           val itemSchema = field.schema().getElementType
           if (skipAll) skipLines(in, itemSchema)
           else readLines(in, itemSchema, base, createTime, blockNumber, out)
@@ -261,11 +280,15 @@ final class BoomBlockDatumReader(pushdown: BoomPushdown)
         case "second" => second = in.readLong()
         case "logLines" =>
           val base = second * 1000L
+          // second <= 0 blocks may carry reference-written ms in
+          // [-999, 999] (truncating Java % — see read()) → coverage
+          // widens to [base-999, base+999] for both fast regimes.
+          val coverLo = if (second <= 0L) base - 999L else base
           val itemSchema = field.schema().getElementType
           if (!pushdown.hasTimeFilter ||
-            (base >= pushdown.minTs && base + 999L < pushdown.maxTsExcl)) {
+            (coverLo >= pushdown.minTs && base + 999L < pushdown.maxTsExcl)) {
             cnt += countAllLines(in, itemSchema)
-          } else if (base + 999L < pushdown.minTs || base >= pushdown.maxTsExcl) {
+          } else if (base + 999L < pushdown.minTs || coverLo >= pushdown.maxTsExcl) {
             skipLines(in, itemSchema)
           } else {
             cnt += countLinesInRange(in, itemSchema, base)
@@ -296,12 +319,14 @@ final class BoomBlockDatumReader(pushdown: BoomPushdown)
         case "second" => second = in.readLong()
         case "logLines" =>
           val base = second * 1000L
+          // Same second <= 0 coverage widening as countLines.
+          val coverLo = if (second <= 0L) base - 999L else base
           val itemSchema = field.schema().getElementType
-          if (base + 999L < pushdown.minTs || base >= pushdown.maxTsExcl) {
+          if (base + 999L < pushdown.minTs || coverLo >= pushdown.maxTsExcl) {
             skipLines(in, itemSchema)
           } else {
             val boundary = pushdown.hasTimeFilter &&
-              !(base >= pushdown.minTs && base + 999L < pushdown.maxTsExcl)
+              !(coverLo >= pushdown.minTs && base + 999L < pushdown.maxTsExcl)
             statLinesInBlock(in, itemSchema, base, boundary, stats)
           }
         case _ => skipByType(in, field.schema())
@@ -647,17 +672,51 @@ final class BoomFileRangeIterator(
 
   /** Pre-decode scan: false → no line in the block can satisfy the pushed
     * clauses (term bytes appear nowhere in the inflated buffer).
+    *
+    * Case-insensitive clauses may not SKIP a block containing any of the
+    * few Unicode characters whose FULL uppercase maps into ASCII (ß→SS,
+    * ı→I, ſ→S, ŉ→ʼN, ẖ/ẗ/ẘ/ẙ/ẚ→H̱/T̈/W̊/Y̊/Aʾ, ﬀ-ﬆ→FF…ST): the per-line
+    * test uppercases with the full mapping and could match where the
+    * byte-level ASCII-upper scan cannot — those (rare) blocks decode.
+    * (A plain any-high-byte test would disable the prescan everywhere:
+    * Avro varint length bytes set the high bit on every real block.)
     */
   private def blockMayMatch(data: Array[Byte], len: Int): Boolean = {
     if (scanClauses.isEmpty) return true
     var upperLen = -1
+    var hazard = -1 // -1 unknown, 0 none, 1 present (computed lazily)
+    def hasUppercaseHazard: Boolean = {
+      if (hazard < 0) {
+        hazard = 0
+        var i = 0
+        while (hazard == 0 && i + 1 < len) {
+          val b0 = data(i) & 0xFF
+          val b1 = data(i + 1) & 0xFF
+          val hit =
+            (b0 == 0xC3 && b1 == 0x9F) ||                      // ß
+            (b0 == 0xC4 && b1 == 0xB1) ||                      // ı
+            (b0 == 0xC5 && (b1 == 0x89 || b1 == 0xBF)) ||      // ŉ ſ
+            (b0 == 0xE1 && b1 == 0xBA && i + 2 < len &&
+              (data(i + 2) & 0xFF) >= 0x96 &&
+              (data(i + 2) & 0xFF) <= 0x9A) ||                 // ẖ-ẚ
+            (b0 == 0xEF && b1 == 0xAC && i + 2 < len &&
+              (data(i + 2) & 0xFF) >= 0x80 &&
+              (data(i + 2) & 0xFF) <= 0x86)                    // ﬀ-ﬆ
+          if (hit) hazard = 1
+          i += 1
+        }
+      }
+      hazard == 1
+    }
     var c = 0
     while (c < scanClauses.length) {
       val cl = scanClauses(c)
       var hit = false
+      var anyUpper = false
       var t = 0
       while (!hit && t < cl.length) {
         if (cl(t).onUpper) {
+          anyUpper = true
           if (upperLen < 0) {
             if (upperBuf.length < len) upperBuf = new Array[Byte](len)
             var i = 0
@@ -672,7 +731,7 @@ final class BoomFileRangeIterator(
         } else if (indexOf(data, len, scanTermBytes(c)(t))) hit = true
         t += 1
       }
-      if (!hit) return false
+      if (!hit && !(anyUpper && hasUppercaseHazard)) return false
       c += 1
     }
     true
