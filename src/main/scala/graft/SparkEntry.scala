@@ -8471,6 +8471,7 @@ object SparkEntry {
        |   SELECT w, count(*)::BIGINT AS wc
        |   FROM (SELECT unnest(t) AS w
        |     FROM (SELECT $tokensSql AS t FROM documents))
+       |   WHERE len(w) <= 256
        |   GROUP BY 1),
        | pc AS MATERIALIZED (
        |   SELECT substr(w, i, l) AS piece, sum(wc)::BIGINT AS n

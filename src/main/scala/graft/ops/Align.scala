@@ -71,7 +71,12 @@ object Align {
     // base is consumed by grams (both hot-gram sides) AND both token-slice
     // joins — without persist each consumer re-tokenizes the whole corpus
     // (the same multi-read Dedup.ngramJaccardPairs documents and fixes).
-    val base = docs.select(col(idCol).as("__id"), benchCol.as("__bench"),
+    // benchCol coalesces to FALSE (train side): a null flag would fall out
+    // of BOTH where() sides of the pair join while still inflating the
+    // hot-gram census as its own null group — rows would silently vanish
+    // from contamination scoring and could knock real grams over the cap.
+    val base = docs.select(col(idCol).as("__id"),
+      coalesce(benchCol.cast("boolean"), lit(false)).as("__bench"),
       TextAnalysis.tokens(col(textCol)).as("__t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grams = base.select(col("__id"), col("__bench"),

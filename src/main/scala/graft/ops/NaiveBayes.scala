@@ -49,11 +49,21 @@ object NaiveBayes {
     import spark.implicits._
     val v = vocab.size
     val vocDf = vocab.toDF("token")
+    // Null labels are REJECTED from training, loudly documented: a
+    // null-label row would otherwise mint a phantom class whose
+    // occurrence partials never join back (SQL null ≠ null in the USING
+    // join), so its score stays prior-only and wins the argmax for
+    // nearly every document — silent predicted = null across the corpus.
     val base = df.select(col(labelCol).cast("string").as("label"),
       TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .where(col("label").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lab = base.groupBy("label").agg(count(lit(1)).as("n_docs"))
-    val n = df.count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // n from the cached label table (not a second raw-corpus count), and
+    // labeled rows only — the prior denominator must tile the numerators.
+    val n = lab.agg(sum("n_docs")).head().getLong(0)
+    require(n > 0, "train: no labeled rows")
     val priors = lab.select(col("label"), col("n_docs"),
       round(lit(1e6) * log(col("n_docs").cast("double") / n))
         .cast("long").as("prior_ppm"))
@@ -70,6 +80,11 @@ object NaiveBayes {
       .select(col("label"), col("token"), col("n"),
         round(lit(1e6) * log((col("n") + 1L).cast("double") /
           (col("__t") + v.toLong))).cast("long").as("logp_ppm"))
+      // Materialize the bounded model table BEFORE dropping the corpus
+      // cache — unpersisting first deregistered the plan and every later
+      // model evaluation re-tokenized the corpus 3+ times.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    likelihood.count()
     base.unpersist(blocking = false)
     NbModel(priors, likelihood)
   }

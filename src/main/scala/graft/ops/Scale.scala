@@ -250,7 +250,11 @@ object Scale {
       .collect()
     require(files.nonEmpty,
       "zoneMapScan: empty manifest - write data with writeWithManifest first")
-    val keep = files.filter(r => !(r.getLong(2) < lo || r.getLong(1) > hi))
+    // Null stats (a file whose rows all carry null sortCol) prune away:
+    // null keys can't satisfy between(lo, hi), and getLong on the null
+    // stat would NPE the whole scan.
+    val keep = files.filter(r => !r.isNullAt(1) && !r.isNullAt(2) &&
+        !(r.getLong(2) < lo || r.getLong(1) > hi))
       .map(_.getString(0))
     // All files pruned: read ONE file's footer for the schema, keep no rows
     // (the old all-files limit(0) opened every footer just to say "empty").

@@ -39,8 +39,11 @@ object Sketches {
       eps: Double = 0.0005,
       confidence: Double = 0.999,
       seed: Int = 42): DataFrame = {
+    // toks feeds the sketch job AND the exact top-k job (two actions):
+    // persist so the corpus tokenizes once, not once per job.
     val toks = df.select(
       explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sketchBytes = toks
       .agg(expr(s"count_min_sketch(token, ${eps}d, ${confidence}d, $seed)"))
       .first().getAs[Array[Byte]](0)
@@ -56,6 +59,7 @@ object Sketches {
       val est = cms.estimateCount(token.getBytes(StandardCharsets.UTF_8))
       (token, n, if (est >= n && est - n <= slack) 1 else 0)
     }
+    toks.unpersist(blocking = false) // both actions done
     val spark = df.sparkSession
     import spark.implicits._
     audited.toDF("token", "n", "est_ok")
@@ -115,10 +119,19 @@ object Sketches {
     df.select(col(keyCol), col(valueCol).as("__x"))
       .join(broadcast(apx), Seq(keyCol))
       .groupBy(col(keyCol), col("n"), col("__pi"))
-      .agg(sum(when(col("__x") <= col("__v"), 1L).otherwise(0L)).as("__rank"))
-      .select(col(keyCol), probOf.as("probability"), col("n"),
-        (abs(col("__rank") - ceil(probOf * col("n"))) <=
-          col("n").cast("double") / accuracy + 1).cast("int").as("rank_ok"))
+      .agg(sum(when(col("__x") <= col("__v"), 1L).otherwise(0L)).as("__hi"),
+        sum(when(col("__x") < col("__v"), 1L).otherwise(0L)).as("__lo0"))
+      .select(col(keyCol), probOf.as("probability"), col("n"), {
+        // The returned value OCCUPIES the whole rank run
+        // [count(<v)+1, count(<=v)] — on duplicate-heavy columns the run
+        // is wide, and testing only its top end flips the audit to 0
+        // even when the sketch met its guarantee. Pass iff the target
+        // rank comes within tolerance of ANY rank in the run.
+        val target = ceil(probOf * col("n"))
+        val tol = col("n").cast("double") / accuracy + 1
+        (target <= col("__hi") + tol &&
+          target >= col("__lo0") + 1 - tol).cast("int").as("rank_ok")
+      })
   }
 
   /** KMV (k-minimum-values) distinct sketch per key (Bar-Yossef et al.
@@ -204,10 +217,14 @@ object Sketches {
     require(k >= 3, s"k must be >= 3 for the KMV estimator, got $k")
     val space = 1L << 48
     val tolFp = math.floor(4.0 / math.sqrt((k - 2).toDouble) * (1L << 20)).toLong
+    // vals feeds BOTH the sketch aggregation and the exact-intersection
+    // verification join: persist, or the scan + distinct shuffle run
+    // once per consumer (the audit op would double its own corpus cost).
     val vals = df.where(col(valueCol).isNotNull)
       .select(col(keyCol).cast("string").as("key"),
         col(valueCol).cast("string").as("v"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val h = conv(substring(md5(col("v").cast("binary")), 1, 12), 16, 10)
       .cast("long")
     val sk = vals.select(col("key"), col("v"), h.as("__h"))
@@ -286,9 +303,12 @@ object Sketches {
     require(window >= 1, s"window must be >= 1, got $window")
     val space = 1L << 48
     val tolFp = math.floor(4.0 / math.sqrt((k - 2).toDouble) * (1L << 20)).toLong
+    // pairs feeds both the per-day sketch and the exact verification
+    // side: persist, or the scan + distinct shuffle run per consumer.
     val pairs = df.where(col(valueCol).isNotNull)
       .select(dayCol.cast("long").as("d"), col(valueCol).cast("string").as("v"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val h = conv(substring(md5(col("v").cast("binary")), 1, 12), 16, 10)
       .cast("long")
     val daily = pairs.select(col("d"), h.as("__h"))

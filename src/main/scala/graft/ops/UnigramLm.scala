@@ -27,11 +27,21 @@ object UnigramLm {
 
   /** Candidate piece counts: every substring of length 1..maxPieceLen of
     * every distinct word, weighted by the word's corpus occurrence count.
+    *
+    * `maxFitWordLen` is a junk-token cutoff, not a linguistic knob: the
+    * substring census is |w|·maxPieceLen candidates per DISTINCT word, so
+    * one unbroken megabyte token (minified JS, base64 — whitespace
+    * tokenization keeps it whole) would materialize millions of strings
+    * in a single row's array before the explode. No natural-language word
+    * approaches 256 code points; the encoder routes over-long words whole
+    * at the unknown score anyway.
     */
   def pieceCounts(
-      df: DataFrame, textCol: String, maxPieceLen: Int): DataFrame = {
+      df: DataFrame, textCol: String, maxPieceLen: Int,
+      maxFitWordLen: Int = 256): DataFrame = {
     val words = df
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .where(length(col("w")) <= maxFitWordLen)
       .groupBy("w").agg(count(lit(1)).as("wc"))
     words
       .select(col("wc"), explode(flatten(transform(
@@ -89,8 +99,15 @@ object UnigramLm {
       maxPieceLen: Int,
       maxWordLen: Int,
       unkScorePpm: Long): (Seq[String], Long) = {
-    if (w.length > maxWordLen) return (Seq(w), unkScorePpm)
-    val n = w.length
+    // Code POINTS, not UTF-16 units: fitVocab's SQL substr enumerates
+    // pieces by code point, so the DP must window the same way — a
+    // unit-based walk would test broken half-surrogate substrings on
+    // non-BMP text (emoji, rare CJK) and could never match a
+    // supplementary-character vocab piece longer than maxPieceLen units.
+    val cps = w.codePoints().toArray
+    val n = cps.length
+    if (n > maxWordLen) return (Seq(w), unkScorePpm)
+    def piece(i: Int, j: Int): String = new String(cps, i, j - i)
     val score = Array.fill(n + 1)(Long.MinValue)
     val np = new Array[Int](n + 1)
     val back = new Array[Int](n + 1)
@@ -99,7 +116,7 @@ object UnigramLm {
     while (j <= n) {
       var i = math.max(0, j - maxPieceLen)
       while (i < j) {
-        val s = vocab.getOrElse(w.substring(i, j),
+        val s = vocab.getOrElse(piece(i, j),
           if (j - i == 1) unkScorePpm else Long.MinValue)
         if (s != Long.MinValue && score(i) != Long.MinValue) {
           val cs = score(i) + s
@@ -114,7 +131,7 @@ object UnigramLm {
     }
     val stack = new scala.collection.mutable.ArrayBuffer[String](np(n))
     var k = n
-    while (k > 0) { stack += w.substring(back(k), k); k = back(k) }
+    while (k > 0) { stack += piece(back(k), k); k = back(k) }
     (stack.reverse.toSeq, score(n))
   }
 

@@ -55,6 +55,14 @@ object Web {
     * normalized URL (scheme://host path ?query — fragment dropped).
     * Malformed URLs (no scheme/host) degrade to null facts, not errors.
     */
+  /** Explicit port of the URL ("" when absent): parse_url HOST silently
+    * drops it, and a canonical key without the port would collapse
+    * port-distinct resources (dev servers, mirrors) into one document.
+    */
+  private def portOf(url: Column): Column =
+    regexp_extract(
+      coalesce(try_parse_url(url, lit("AUTHORITY")), lit("")), ":(\\d+)$", 1)
+
   def urlFacts(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
     val u = col(urlCol)
     val scheme = lower(try_parse_url(u, lit("PROTOCOL")))
@@ -63,8 +71,8 @@ object Web {
     val path = regexp_replace(rawPath, "/$", "")
     val query = cleanQuery(coalesce(try_parse_url(u, lit("QUERY")), lit("")))
     df.select(col(idCol), u.as("url"),
-        scheme.as("scheme"), host.as("host"), path.as("path"),
-        query.as("query"))
+        scheme.as("scheme"), host.as("host"), portOf(u).as("__port"),
+        path.as("path"), query.as("query"))
       .select(col(idCol), col("url"), col("scheme"), col("host"),
         registeredDomain(col("host")).as("domain"),
         col("path"),
@@ -73,6 +81,8 @@ object Web {
         col("query"),
         when(col("scheme").isNull || col("host").isNull, lit(null))
           .otherwise(concat(col("scheme"), lit("://"), col("host"),
+            when(col("__port") === "", "")
+              .otherwise(concat(lit(":"), col("__port"))),
             col("path"),
             when(col("query") === "", "").otherwise(concat(lit("?"), col("query")))))
           .as("url_norm"))
@@ -107,9 +117,13 @@ object Web {
     val facts = urlFacts(df, idCol, urlCol)
     val sortedQuery = array_join(
       sort_array(filter(split(col("query"), "&"), p => p =!= "")), "&")
+    // `host:port)` like the canonical SURT form — port-distinct resources
+    // must not collapse into one dedup group.
+    val port = portOf(col("url"))
     facts.select(col(idCol), col("url"),
       when(col("host").isNull, lit(null)).otherwise(
         concat(array_join(reverse(split(col("host"), "\\.")), ","),
+          when(port === "", "").otherwise(concat(lit(":"), port)),
           lit(")"), col("path"),
           when(col("query") === "", "")
             .otherwise(concat(lit("?"), sortedQuery))))
@@ -128,12 +142,15 @@ object Web {
     */
   def surtDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
     val keyed = surtKey(df, idCol, urlCol)
+    // min over the id's own type (the Dedup.exactByText convention) —
+    // cast("long") turned string/UUID ids into NULL keep_ids and a
+    // downstream keep-join dropped the whole corpus.
     keyed.where(col("surt").isNotNull)
       .groupBy(col("surt"))
-      .agg(min(col(idCol).cast("long")).as("keep_id"),
+      .agg(min(col(idCol)).as("keep_id"),
         count(lit(1)).as("n_copies"))
       .unionByName(keyed.where(col("surt").isNull)
-        .select(col("surt"), col(idCol).cast("long").as("keep_id"),
+        .select(col("surt"), col(idCol).as("keep_id"),
           lit(1L).as("n_copies")))
   }
 
