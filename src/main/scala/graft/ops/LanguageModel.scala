@@ -284,11 +284,15 @@ object LanguageModel {
     require(steps >= 1 && steps <= 32,
       s"steps must be in [1, 32] (plan depth is linear in steps), got $steps")
     val lm = trainBigram(corpus, textCol)
+    // No persist: the N step-joins reference this IDENTICAL subtree inside
+    // one action, so Spark's ReusedExchange computes the aggregation once
+    // and replays the exchange for every join — a persist() here would
+    // leak a cached vocab-sized table per call with no handle to
+    // unpersist (the returned frame is lazy).
     val best = lm.bigrams
       .groupBy(col("w1"))
       .agg(min(struct((-col("c2")).as("nc"), col("w2").as("w"))).as("m"))
       .select(col("w1").as("w"), col("m.w").as("__next"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var st = docs
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
       .where(size(col("__t")) > 0)

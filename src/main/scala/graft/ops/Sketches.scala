@@ -167,7 +167,8 @@ object Sketches {
       keyCol: String,
       valueCol: String,
       k: Int = 64): DataFrame = {
-    require(k >= 3, s"k must be >= 3 for the KMV estimator, got $k")
+    require(k >= 3 && k <= 32768,
+      s"k must be in [3, 32768] (the estimator's (k-1)<<48 must fit int64), got $k")
     val space = 1L << 48
     val h = conv(substring(md5(col(valueCol).cast("string").cast("binary")),
       1, 12), 16, 10).cast("long")
@@ -214,7 +215,8 @@ object Sketches {
       keyCol: String,
       valueCol: String,
       k: Int = 64): DataFrame = {
-    require(k >= 3, s"k must be >= 3 for the KMV estimator, got $k")
+    require(k >= 3 && k <= 32768,
+      s"k must be in [3, 32768] (the estimator's (k-1)<<48 must fit int64), got $k")
     val space = 1L << 48
     val tolFp = math.floor(4.0 / math.sqrt((k - 2).toDouble) * (1L << 20)).toLong
     // vals feeds BOTH the sketch aggregation and the exact-intersection
@@ -299,7 +301,8 @@ object Sketches {
       valueCol: String,
       window: Int = 7,
       k: Int = 64): DataFrame = {
-    require(k >= 3, s"k must be >= 3 for the KMV estimator, got $k")
+    require(k >= 3 && k <= 32768,
+      s"k must be in [3, 32768] (the estimator's (k-1)<<48 must fit int64), got $k")
     require(window >= 1, s"window must be >= 1, got $window")
     val space = 1L << 48
     val tolFp = math.floor(4.0 / math.sqrt((k - 2).toDouble) * (1L << 20)).toLong

@@ -69,9 +69,15 @@ object TextSearch {
     val cfCols = terms.indices.map(i => sum(col(s"tf_$i")).as(s"cf_$i"))
     val stats = staged.agg(sum(col("dl")).as("c_total"), cfCols: _*)
     val score = terms.indices.map { i =>
-      val num = (col(s"tf_$i") * col("c_total") +
-        lit(mu) * greatest(col(s"cf_$i"), lit(1L))).cast("double")
-      val den = ((col("dl") + lit(mu)) * col("c_total")).cast("double")
+      // Operands to double BEFORE multiplying: tf*c_total in int64
+      // overflows at corpus scale (c_total ~ 1e13 x a long doc's dl) —
+      // ANSI mode would kill the job on one big document, non-ANSI would
+      // corrupt the ranking. Doubles are exact for products < 2^53 (every
+      // test SF), and round-once beyond that instead of wrapping.
+      val num = col(s"tf_$i").cast("double") * col("c_total").cast("double") +
+        lit(mu.toDouble) * greatest(col(s"cf_$i"), lit(1L)).cast("double")
+      val den = (col("dl") + lit(mu)).cast("double") *
+        col("c_total").cast("double")
       round(lit(1e6) * log(num / den)).cast("long")
     }.reduce(_ + _)
     staged.crossJoin(broadcast(stats))
@@ -440,11 +446,16 @@ object TextSearch {
       pattern: String): DataFrame = {
     val body = docs.select(col(idCol).cast("long").as("id"),
       col(textCol).as("__t"))
-    if (pattern.length < 3) {
+    // Pattern grams by code POINT (matching the index's Spark substring
+    // semantics) — String.sliding walks UTF-16 units and would mint
+    // surrogate-split grams for astral characters that can never equal an
+    // indexed gram (silent false negatives on emoji/rare-CJK patterns).
+    val cps = pattern.codePoints().toArray
+    if (cps.length < 3) {
       return body.where(col("__t").contains(pattern))
         .select(col("id").as(idCol), lit(1).as("is_match"))
     }
-    val grams = pattern.sliding(3).toSeq.distinct
+    val grams = (0 to cps.length - 3).map(i => new String(cps, i, 3)).distinct
     val cand = index.where(col("gram").isin(grams: _*))
       .groupBy("id").agg(countDistinct(col("gram")).as("__g"))
       .where(col("__g") === grams.size)

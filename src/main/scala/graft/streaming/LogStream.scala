@@ -144,7 +144,11 @@ object LogStream {
     * in the plan for EventTimeTimeout to be allowed).
     */
   case class SessionEvent(key: String, eventTimeMs: Long, et: Timestamp)
-  case class SessionState(startMs: Long, lastMs: Long, n: Long)
+  /** All of a key's TENTATIVE sessions (disjoint, gap-separated, sorted by
+    * start) — a session is only final once the watermark passes
+    * `last + gap`, so every one inside the horizon must stay amendable.
+    */
+  case class SessionState(sessions: Seq[(Long, Long, Long)])
   case class SessionOutput(key: String, startMs: Long, endMs: Long, n: Long)
 
   def sessionize(
@@ -164,38 +168,36 @@ object LogStream {
       .flatMapGroupsWithState[SessionState, SessionOutput](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (key, rows, state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val out = state.getOption.map(s => SessionOutput(key, s.startMs, s.lastMs, s.n))
-            state.remove()
-            out.iterator
-          } else {
-            val sorted = rows.toSeq.sortBy(_.eventTimeMs)
-            var current = state.getOption
-            val closed = Seq.newBuilder[SessionOutput]
-            sorted.foreach { e =>
-              current match {
-                case Some(s) if e.eventTimeMs - s.lastMs <= gapMs =>
-                  // max/min, not assignment: an out-of-order event that is
-                  // inside the watermark still reaches this fold from a
-                  // LATER batch (Spark only filters rows older than the
-                  // watermark), and a bare lastMs = e would regress the
-                  // session end below its start and shrink the timeout.
-                  current = Some(SessionState(
-                    math.min(s.startMs, e.eventTimeMs),
-                    math.max(s.lastMs, e.eventTimeMs), s.n + 1))
-                case Some(s) =>
-                  closed += SessionOutput(key, s.startMs, s.lastMs, s.n)
-                  current = Some(SessionState(e.eventTimeMs, e.eventTimeMs, 1))
-                case None =>
-                  current = Some(SessionState(e.eventTimeMs, e.eventTimeMs, 1))
+          // WATERMARK-FINAL emission (the session_window contract): a
+          // gap-closed session is only a CANDIDATE until the watermark
+          // passes last + gap — emitting it the moment a later event
+          // opens the next session would lose out-of-order events that
+          // are still inside the watermark (they belong to the emitted
+          // session, but it's gone; worse, a negative-gap compare against
+          // the newest session would merge them across the real gap).
+          // State therefore holds EVERY in-horizon candidate session;
+          // each batch folds new events in by sort-and-merge and flushes
+          // exactly the sessions the watermark has made immutable.
+          val existing = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+          val incoming =
+            if (state.hasTimedOut) Seq.empty
+            else rows.map(e => (e.eventTimeMs, e.eventTimeMs, 1L)).toSeq
+          val merged = (existing ++ incoming).sortBy(_._1)
+            .foldLeft(List.empty[(Long, Long, Long)]) { (acc, s) =>
+              acc match {
+                case h :: tl if s._1 - h._2 <= gapMs =>
+                  (h._1, math.max(h._2, s._2), h._3 + s._3) :: tl
+                case _ => s :: acc
               }
-            }
-            current.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.lastMs + gapMs)
-            }
-            closed.result().iterator
-          }
+            }.reverse
+          val wm = state.getCurrentWatermarkMs()
+          val (done, pending) = merged.partition(_._2 + gapMs <= wm)
+          if (pending.nonEmpty) {
+            state.update(SessionState(pending))
+            // Earliest candidate's finality instant; > wm by construction.
+            state.setTimeoutTimestamp(pending.map(_._2).min + gapMs)
+          } else state.remove()
+          done.iterator.map(d => SessionOutput(key, d._1, d._2, d._3))
       }
   }
 
@@ -267,8 +269,15 @@ object LogStream {
           }
           var (n, s, q) = (st0.n, st0.s, st0.q)
           val out = closable.toSeq.sortBy(_._1).map { case (b, cnt) =>
-            val dev = n * cnt - s
-            val anom = n >= minHistory && dev * dev > z.toLong * z * (n * q - s * s)
+            // BigInt verdict: unlike the batch operator, whose moments are
+            // bounded by the dataset, this state accumulates for the key's
+            // LIFETIME — on a long-running high-rate stream dev², s² and
+            // n·q exceed int64 (s ≈ 3e9 after months at 1e6/bucket) and
+            // plain Long verdicts would silently invert. Per closed
+            // bucket, so the cost is noise.
+            val dev = BigInt(n) * cnt - s
+            val anom = n >= minHistory &&
+              dev * dev > BigInt(z.toLong * z) * (BigInt(n) * q - BigInt(s) * s)
             n += 1; s += cnt; q += cnt * cnt
             AnomalyOutput(key, b, cnt, anom)
           }
@@ -343,7 +352,14 @@ object LogStream {
               val flag = n >= minHistory &&
                 BigInt(devFp) * devFp > BigInt(z.toLong * z) * (BigInt(vFp) << 20)
               mFp += devFp >> alphaShift
-              val dev2Fp = ((BigInt(devFp) * devFp) >> 20).toLong
+              // SATURATE the squared deviation: .toLong would wrap
+              // negative once |dev| exceeds ~3e6 buckets-worth (one big
+              // spike), driving vFp negative and flagging every later
+              // bucket forever. A capped dev² keeps the EWMA variance
+              // huge-but-sane and the state self-heals as it decays.
+              val dev2Big = (BigInt(devFp) * devFp) >> 20
+              val dev2Fp =
+                if (dev2Big > Long.MaxValue) Long.MaxValue else dev2Big.toLong
               vFp += (dev2Fp - vFp) >> alphaShift
               flag
             }
@@ -420,7 +436,9 @@ object LogStream {
       watermark: String = "10 minutes"): Dataset[NearDupPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val events = docs.toDF()
+    // Null text guard: simhash64(null) is null and fails the non-null
+    // Long decode in NearDupEvent — poison pill, see kmvDistinctStream.
+    val events = docs.filter((d: NearDupInput) => d.text != null).toDF()
       .withColumn("sim",
         graft.functions.TextFunctions.simhash64(
           graft.functions.TextFunctions.tokenize(col("text"))))
@@ -535,10 +553,15 @@ object LogStream {
   def kmvDistinctStream(
       rows: Dataset[DistinctInput],
       k: Int = 64): Dataset[DistinctEstimate] = {
-    require(k >= 3, s"k must be >= 3 for the KMV estimator, got $k")
+    require(k >= 3 && k <= 32768,
+      s"k must be in [3, 32768] (the estimator's (k-1)<<48 must fit int64), got $k")
     val spark = rows.sparkSession
     import spark.implicits._
-    rows.groupByKey(_.key)
+    // Null values are dropped like the batch op (Sketches.kmvDistinct's
+    // isNotNull): a null reaching kmvHash48 would NPE inside the state
+    // function — an UNRECOVERABLE poison pill, since restart replays the
+    // same checkpointed batch and dies again.
+    rows.filter((r: DistinctInput) => r.value != null).groupByKey(_.key)
       .mapGroupsWithState[KmvState, DistinctEstimate](
         GroupStateTimeout.NoTimeout()) {
         case (key, it, state: GroupState[KmvState]) =>
@@ -586,11 +609,13 @@ object LogStream {
       k: Int = 64,
       ttlMs: Long = 3600000L,
       watermark: String = "10 minutes"): Dataset[DistinctWindowReport] = {
-    require(k >= 3, s"k must be >= 3 for the KMV estimator, got $k")
+    require(k >= 3 && k <= 32768,
+      s"k must be in [3, 32768] (the estimator's (k-1)<<48 must fit int64), got $k")
     require(ttlMs > 0, s"ttlMs must be > 0, got $ttlMs")
     val spark = rows.sparkSession
     import spark.implicits._
-    val withWm = rows.toDF()
+    // Null guard: same poison-pill rationale as kmvDistinctStream.
+    val withWm = rows.filter((r: DistinctInput) => r.value != null).toDF()
       .withColumn("et", timestamp_millis(col("eventTimeMs")))
       .withWatermark("et", watermark)
       .as[DistinctEvent]
@@ -839,6 +864,12 @@ object LogStream {
     * (draw, id) order — rank r of the batch operator's output is
     * `ids(r-1)`.
     */
+  /** `n_seen` counts physical ROWS (duplicates/replays included — the
+    * at-least-once delivery tally); the `ids` slate itself is
+    * duplicate-proof via the (draw, id) pair dedup, so the SAMPLE matches
+    * the batch operator while n_seen deliberately reports delivered rows,
+    * not distinct ids.
+    */
   case class ReservoirReport(key: String, n_seen: Long, ids: Seq[Long])
 
   /** Streaming per-key deterministic k-sample — the continuous form of
@@ -923,7 +954,9 @@ object LogStream {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = rows.sparkSession
     import spark.implicits._
-    rows.groupByKey(_.key)
+    // Null token guard: token.getBytes in the state fn would NPE (poison
+    // pill); the batch op's tokenizer never emits null tokens.
+    rows.filter((r: TokenInput) => r.token != null).groupByKey(_.key)
       .flatMapGroupsWithState[CmsHhState, HeavyHitterReport](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         case (key, it, state: GroupState[CmsHhState]) =>
@@ -990,7 +1023,9 @@ object LogStream {
     require(k >= 1 && k <= m, s"k must be in [1, m=$m], got $k")
     val spark = rows.sparkSession
     import spark.implicits._
-    rows.groupByKey(_.key)
+    // Null token guard: the in-batch sortBy on token would NPE (poison
+    // pill) — same rationale as cmsHeavyHittersStream.
+    rows.filter((r: TokenInput) => r.token != null).groupByKey(_.key)
       .flatMapGroupsWithState[SsState, SpaceSavingReport](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         case (key, it, state: GroupState[SsState]) =>

@@ -268,24 +268,41 @@ class LogStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
-  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+  test("flatMapGroupsWithState sessionization closes sessions on gap, " +
+      "watermark-final, out-of-order safe") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[LogStream.SessionInput]
     val sessions = LogStream.sessionize(input.toDS(), gapMs = 60000L)
     val q = sessions.writeStream.format("memory").queryName("sessions")
       .outputMode("append").start()
     try {
-      // user A: two events close together, then a 5-minute gap, then one more
+      // user A: two events close together, then a 5-minute gap, then one
+      // more — but the first session must NOT emit before the watermark
+      // (default 10 min) proves no late event can still join it.
       input.addData(
         LogStream.SessionInput("a", 1000L),
         LogStream.SessionInput("a", 30000L))
       q.processAllAvailable()
-      input.addData(LogStream.SessionInput("a", 330000L)) // gap > 60s closes first session
+      input.addData(LogStream.SessionInput("a", 330000L))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() === 0,
+        "a candidate session is not final until the watermark passes")
+      // A LATE out-of-order event (inside the watermark) extends the
+      // FIRST session — the pre-fix code had already emitted it and
+      // would have merged this event across the 5-minute silent gap.
+      input.addData(LogStream.SessionInput("a", 45000L))
+      q.processAllAvailable()
+      // Advance the watermark far past everything: both sessions final.
+      input.addData(LogStream.SessionInput("z", 10000000L))
+      q.processAllAvailable()
+      input.addData(LogStream.SessionInput("z", 20000000L))
       q.processAllAvailable()
       val out = spark.table("sessions")
-        .as[LogStream.SessionOutput].collect()
-      assert(out.length === 1)
-      assert(out.head === LogStream.SessionOutput("a", 1000L, 30000L, 2))
+        .as[LogStream.SessionOutput].collect().filter(_.key == "a")
+        .sortBy(_.startMs)
+      assert(out.toSeq === Seq(
+        LogStream.SessionOutput("a", 1000L, 45000L, 3),
+        LogStream.SessionOutput("a", 330000L, 330000L, 1)))
     } finally q.stop()
   }
 
