@@ -382,7 +382,12 @@ object Graph {
     def score(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     withTinyFrameConf(spark, small) {
       val outdeg = weightCol match {
-        case Some(_) => e.groupBy("src").agg(sum(col("__w")).as("__od"))
+        // DECIMAL sum: a hub with 1e7 weighted out-edges (byte counts as
+        // weights) overflows a plain long Σw silently; the rank·w
+        // numerator one line below was already DECIMAL-lifted for the
+        // same class, and DECIMAL DIV DECIMAL stays exact integer math.
+        case Some(_) => e.groupBy("src")
+          .agg(sum(col("__w").cast("decimal(38,0)")).as("__od"))
         case None => e.groupBy("src").agg(count(lit(1)).as("__od"))
       }
       val eDeg = e.join(score(outdeg), Seq("src"))

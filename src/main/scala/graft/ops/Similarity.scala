@@ -249,6 +249,15 @@ object Similarity {
       .withColumn("m", expr("(s - pmod(s, n)) DIV n"))
       .orderBy("i").collect().map(_.getAs[Long]("m"))
     require(cent.nonEmpty, "embeddingOutliers: empty corpus")
+    // Exactness envelope, enforced loudly: d2 rides the k-bounded
+    // aggregate as a DOUBLE, so the ranking and the emitted d2 are
+    // bit-exact only while the max possible d2 (≈ dim · 2^(2qBits+2) for
+    // unit-range coords) stays under 2^53 — beyond it, near-ties collapse
+    // and the hash-matchable-oracle promise silently breaks (dim 3072 at
+    // qBits 20 is already over). Lower qBits for high-dim embeddings.
+    require(cent.length.toLong <= ((1L << 53) >> (2 * (qBits + 1))),
+      s"embeddingOutliers: dim=${cent.length} at qBits=$qBits exceeds the " +
+        "2^53 double-exact ranking window; lower qBits")
     val mLit = typedLit(cent.toIndexedSeq)
     val d2 = aggregate(zip_with(col("q"), mLit, (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, x) => acc + x)
@@ -405,17 +414,24 @@ object Similarity {
       .withColumn("__pr", row_number().over(wProbe))
       .where(col("__pr") <= nprobe)
       .select(col("qid"), col("qq"), col("cid").cast("int").as("cid"))
-    val wRank = Window.partitionBy("query_id")
-      .orderBy(col("d2"), col("neighbor_id"))
-    broadcast(probes)
+    // k-bounded aggregate, NOT a row_number window: the window form ships
+    // EVERY scored candidate (≈ n·nprobe/nlist per query) through the
+    // exchange and sorts each query's candidates in one task — the
+    // corpus-sized-exchange shape the float twin ivfSearch already avoids
+    // with topKPerQuery. Scores ride as −d2 (top-k keeps highest score,
+    // ties to the lower id — exactly the (d2 ASC, neighbor ASC) order the
+    // oracle replays). No forced broadcast of probes either: for
+    // self-search probes is corpus-sized and the cid join plans fine.
+    val scored = probes
       .join(asg.select(col(asg.columns.head).cast("long")
           .as("neighbor_id"), col("q"),
         col("cluster").cast("int").as("cid")), Seq("cid"))
       .where(col("neighbor_id") =!= col("qid"))
       .select(col("qid").as("query_id"), col("neighbor_id"),
-        d2(col("qq"), col("q")).as("d2"))
-      .withColumn("rank", row_number().over(wRank))
-      .where(col("rank") <= k)
+        (-d2(col("qq"), col("q")).cast("double")).as("cos"))
+    topKPerQuery(scored, k, distinctIds = false)
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("cos")).cast("long").as("d2"), col("rank"))
   }
 
   /** Assign every corpus vector to its nearest centroid by cosine
@@ -1006,8 +1022,14 @@ object Similarity {
       queries, "query_id", "__qv", k)
       .select(col("query_id"), col("neighbor_id"))
     val hits = exact
+      // distinct BEFORE the join: the doc accepts "anything with (query
+      // id, neighbor id) columns", and a pre-dedup candidate table (one
+      // row per colliding LSH band) would otherwise multiply hits and
+      // inflate recall past 10^6 ppm — the one direction this telemetry
+      // must never err.
       .join(approx.select(col(queryIdCol).as("query_id"),
           col(neighborIdCol).as("neighbor_id"))
+          .distinct()
           .withColumn("__hit", lit(1L)),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")

@@ -382,7 +382,12 @@ object Stats {
         expr("CASE WHEN __nr = 0 OR c = 0 THEN 0L " +
           "ELSE ((__d * 1000000) DIV __nr) * __d DIV c END").as("__contrib"))
       .groupBy("n_total", "n_rows", "n_cols")
-      .agg(sum(col("__contrib")).cast("long").as("chi2_scaled"))
+      // SATURATE instead of the silent null a non-ANSI decimal-to-long
+      // cast produces when 1e6*chi2 tops int64 (strongest associations
+      // at 1e12+ rows are exactly where the audit must not go blank).
+      .agg(least(sum(col("__contrib")),
+        lit(Long.MaxValue).cast("decimal(38,0)")).cast("long")
+        .as("chi2_scaled"))
       .select(col("n_total").as("n"), col("n_rows"), col("n_cols"),
         ((col("n_rows") - 1) * (col("n_cols") - 1)).as("dof"),
         col("chi2_scaled"))
@@ -491,10 +496,24 @@ object Stats {
       df: DataFrame,
       keyCol: String,
       xCol: Column,
-      yCol: Column): DataFrame = {
-    val base = df.select(col(keyCol).as("key"),
-        xCol.cast("long").as("__x"), yCol.cast("long").as("__y"))
-      .where(col("__x").isNotNull && col("__y").isNotNull)
+      yCol: Column,
+      maxHistBins: Int = 1 << 17,
+      knownBinsAtMostMax: Boolean = false): DataFrame = {
+    require(maxHistBins >= 2, s"maxHistBins must be >= 2, got $maxHistBins")
+    val staged0 = df.select(col(keyCol).as("key"),
+        xCol.cast("long").as("__x0"), yCol.cast("long").as("__y0"))
+      .where(col("__x0").isNotNull && col("__y0").isNotNull)
+    // The same [[kneeBucketExpr]] coarsening every sibling rank op runs:
+    // near-unique value columns (raw scores — Spearman's natural input)
+    // would otherwise funnel a key's full distinct set into ONE
+    // partition's window sort below. Transparent while distinct ≤
+    // maxHistBins (every test SF); beyond it, ranks coarsen to the
+    // documented histogram regime.
+    val base = staged0.select(col("key"),
+        kneeBucketExpr(staged0, "__x0", maxHistBins, knownBinsAtMostMax)
+          .as("__x"),
+        kneeBucketExpr(staged0, "__y0", maxHistBins, knownBinsAtMostMax)
+          .as("__y"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def rank2(vc: String): DataFrame = {
       val w = Window.partitionBy("key").orderBy(col(vc))
@@ -1265,8 +1284,12 @@ object Stats {
           .cast("long").cast(dec)).as("__w")
     val inum = cm.join(ac.select(col("__c"), col("__a")), Seq("__c"))
       .join(bl, Seq("__l")).crossJoin(broadcast(tot))
-      .select(lnw(col("__n"), col("__n") * col("__t"),
-        col("__a") * col("__b")))
+      // Products in DOUBLE: n*t and a*b wrap int64 past ~3e9-row
+      // marginals (every sibling op lifts before multiplying); doubles
+      // are exact below 2^53 so the ppm rounding is unchanged there.
+      .select(lnw(col("__n"),
+        col("__n").cast("double") * col("__t").cast("double"),
+        col("__a").cast("double") * col("__b").cast("double")))
       .agg(sum(col("__w")).as("__inum"))
     val hc = ac.crossJoin(broadcast(tot))
       .select(lnw(col("__a"), col("__t"), col("__a")))
