@@ -42,12 +42,28 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // AQE partition coalescing SIZES post-shuffle partitions instead of
+    // maximizing parallelism (guide §2.2: partitions in the 100MB-1GB
+    // range, not one per core): parallelismFirst=true (the default) stops
+    // coalescing at minPartitionSize=1MB to keep `defaultParallelism`
+    // tasks alive, which at any scale leaves reduce tasks far below the
+    // advisory size — pure scheduling overhead here, quadratic shuffle
+    // block growth at cluster scale. Both knobs are env-overridable; the
+    // advisory default is size-derived (scale-adaptive), not a core-count
+    // constant.
+    val parallelismFirst =
+      sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false")
+    val advisory =
+      sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY_BYTES", "64m")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        parallelismFirst)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -25,8 +25,19 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  /** Resolved scan handles, memoized per (session, dir, table). This is
+    * PLAN memoization, not result caching: `spark.read.parquet` re-reads
+    * the footer and re-resolves the relation on every call, which at one
+    * bench sweep × 286 queries × 1-4 tables each is ~50-100 ms of pure
+    * driver analysis per query (measured, PhaseAudit r16) — a catalog
+    * table would be resolved once. Every execution still scans the
+    * parquet from disk; nothing is persisted or collected here.
+    */
+  private val tableHandles =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    tableHandles.getOrElseUpdate((s, dir, name),
+      s.read.parquet(s"$dir/$name.parquet"))
 
   /** Per-JVM memoized temp trees for oracle queries with WRITE-side
     * fixtures (boom writers, maintenance jobs): repeated constructions —
@@ -93,15 +104,18 @@ object SparkEntry {
     * schema read with Spark's illegal-Parquet-type error, which names the
     * flag to set.
     */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    val raw = t(s, dir, "events")
-    val e = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => raw
-      case _ => raw.withColumn("ts",
-        unix_micros(col("ts").cast("timestamp_ltz")) * 1000L)
-    }
-    e.withColumn("ts_ms", expr("ts DIV 1000000"))
-  }
+  private val eventsHandles =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
+  private def events(s: SparkSession, dir: String): DataFrame =
+    eventsHandles.getOrElseUpdate((s, dir), {
+      val raw = t(s, dir, "events")
+      val e = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => raw
+        case _ => raw.withColumn("ts",
+          unix_micros(col("ts").cast("timestamp_ltz")) * 1000L)
+      }
+      e.withColumn("ts_ms", expr("ts DIV 1000000"))
+    })
 
   /** Time-range filter on the RAW scan column, not the derived ts_ms: a
     * predicate on a conversion expression can never reach the scan. On the
