@@ -479,20 +479,29 @@ object LanguageModel {
       concat(col(idCol).cast("string"), lit(":"), col("neg_idx").cast("string")),
       salt)
     // The ladder lookup stays PURE CODEGEN — vocabSize inline comparisons
-    // for the rank, a when-chain for the term — so whole-stage codegen's
-    // common-subexpression elimination evaluates the md5 draw ONCE per
-    // row despite its many references. Any higher-order-function form
-    // (`element_at(terms, size(filter(cum, ...)))`) drops the projection
-    // to interpreted mode, which has NO subexpression elimination: every
-    // reference re-derives the draw — measured 12 s vs 1.6 s on the sf1
-    // stress for identical semantics.
-    val r = floor(draw * total).cast("long")
-    val idx = cum.map(c => (lit(c) <= r).cast("int")).reduce(_ + _) + 1
+    // for the rank, a when-chain for the term — and the draw (`__r`) and
+    // rank (`__idx`) are STAGED as their own projection columns instead
+    // of being re-inlined at every reference site. Inlined, the tree is
+    // O(vocabSize²) nodes (the `idx` subtree — itself vocabSize copies of
+    // the md5 draw — repeats inside every when-branch): ~1 s of
+    // construction + 0.5 s of analysis per run at vocabSize = 50
+    // (PhaseAudit, r16). Staged, each subtree appears once and
+    // CollapseProject keeps the projections separate (non-cheap exprs
+    // with >1 consumer are never inlined back), so codegen evaluates the
+    // draw and the rank once per row into local variables. Any
+    // higher-order-function form (`element_at(terms, size(filter(cum,
+    // ...)))`) is worse still: it drops the projection to interpreted
+    // mode, which has NO subexpression elimination — measured 12 s vs
+    // 1.6 s on the sf1 stress for identical semantics.
+    val idx = cum.map(c => (lit(c) <= col("__r")).cast("int"))
+      .reduce(_ + _) + 1
     val term = terms.zipWithIndex.tail
-      .foldLeft(when(idx === 1, terms.head)) { case (acc, (t, i)) =>
-        acc.when(idx === (i + 1), t)
+      .foldLeft(when(col("__idx") === 1, terms.head)) { case (acc, (t, i)) =>
+        acc.when(col("__idx") === (i + 1), t)
       }
     df.select(col(idCol), explode(sequence(lit(1), lit(k))).as("neg_idx"))
+      .withColumn("__r", floor(draw * total).cast("long"))
+      .withColumn("__idx", idx)
       .select(col(idCol), col("neg_idx").cast("int").as("neg_idx"),
         term.as("term"))
   }

@@ -305,15 +305,28 @@ object Stats {
       replicates: Int = 32,
       salt: String = "boot"): DataFrame = {
     require(replicates >= 2, s"replicates must be >= 2, got $replicates")
-    def weight(r: Int): Column = {
-      val u = conv(substring(md5(concat(col(idCol).cast("string"),
+    // The per-replicate draw (`__u`) and ladder weight (`__w`) are STAGED
+    // as projection columns rather than inlined into the aggregate
+    // expressions: inlined, every `sum(w)`/`sum(w·v)` pair re-embeds the
+    // 9-step CDF ladder and its md5 draw, an O(replicates × ladder ×
+    // draw)-node tree (~6K nodes at 32 replicates) that cost ~1.3 s of
+    // planning+codegen per run (PhaseAudit, r16). Staged, each draw and
+    // ladder appears once, CollapseProject keeps the projections separate
+    // (non-cheap exprs with >1 consumer), and the aggregate sums plain
+    // attributes — map-side partial aggregation unchanged.
+    def uCol(r: Int): Column =
+      conv(substring(md5(concat(col(idCol).cast("string"),
         lit(s"-$r-$salt")).cast("binary")), 1, 13), 16, 10)
         .cast("double") / lit(4503599627370496.0)
-      PoissonCdf.map(c => (u >= c).cast("long")).reduce(_ + _)
-    }
+    def wCol(r: Int): Column =
+      PoissonCdf.map(c => (col(s"__u$r") >= c).cast("long")).reduce(_ + _)
     val staged = df.select(col(idCol), col(valueCol).cast("long").as("__v"))
+      .select(col(idCol) +: col("__v") +:
+        (0 until replicates).map(r => uCol(r).as(s"__u$r")): _*)
+      .select(col(idCol) +: col("__v") +:
+        (0 until replicates).map(r => wCol(r).as(s"__w$r")): _*)
     val aggs = (0 until replicates).flatMap { r =>
-      val w = weight(r)
+      val w = col(s"__w$r")
       Seq(sum(w).as(s"__w$r"), sum(w * col("__v")).as(s"__t$r"))
     }
     staged.agg(aggs.head, aggs.tail: _*)
