@@ -43,18 +43,22 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // AQE partition coalescing SIZES post-shuffle partitions instead of
-    // maximizing parallelism (guide §2.2: partitions in the 100MB-1GB
-    // range, not one per core): parallelismFirst=true (the default) stops
-    // coalescing at minPartitionSize=1MB to keep `defaultParallelism`
-    // tasks alive, which at any scale leaves reduce tasks far below the
-    // advisory size — pure scheduling overhead here, quadratic shuffle
-    // block growth at cluster scale. Both knobs are env-overridable; the
-    // advisory default is size-derived (scale-adaptive), not a core-count
-    // constant.
+    // maximizing parallelism (guide §2.2): parallelismFirst=true (the
+    // Spark default) stops coalescing at minPartitionSize=1MB to keep
+    // `defaultParallelism` tasks alive, which leaves reduce tasks far
+    // below the advisory size — pure scheduling overhead at sf0.1 (graph
+    // queries ran 300-1000 near-empty tasks), quadratic shuffle block
+    // growth at cluster scale. The advisory DEFAULT here is the measured
+    // local optimum (sweep 2025-r16: 1m total 19.8 s vs 256k 21.6 s vs
+    // 4m 22.7 s vs 64m 23.5 s on the 17-query probe set — larger values
+    // serialize tiny-byte/CPU-heavy stages like range_join's final range
+    // sort and knn's distance passes onto one task); production clusters
+    // should set SPARK_GRAFT_AQE_ADVISORY_BYTES to the guide's 100MB-1GB
+    // band. Both knobs are env-overridable.
     val parallelismFirst =
       sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false")
     val advisory =
-      sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY_BYTES", "64m")
+      sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY_BYTES", "1m")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -99,7 +103,10 @@ object Bench {
 
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         failures: scala.collection.mutable.Map[String, Int]): Boolean =
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      try {
+        spark.sparkContext.setJobDescription(name) // guide §1.5: label jobs
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+      }
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: $e")

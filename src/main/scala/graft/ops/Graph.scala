@@ -910,6 +910,12 @@ object Graph {
           .otherwise(struct(col("v").as("a"), col("u").as("b")))
           .as("o"))
       .select(col("o.a").as("a"), col("o.b").as("b"))
+      // The wedge join reads `oriented` THREE times (ab/bc/ac); without a
+      // materialization each alias re-runs the two degree joins and the
+      // degree aggregation from scratch — 3× the setup work before a
+      // single wedge is probed. One persist makes the triple self-join
+      // read the oriented edge list back from block storage.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tri = oriented.as("ab")
       .join(oriented.as("bc"), col("ab.b") === col("bc.a"))
       .join(oriented.as("ac"),
@@ -918,6 +924,7 @@ object Graph {
     val Array(nv, ne) = Array(
       deg.count(),
       e0.count())
+    oriented.unpersist(blocking = false)
     e0.unpersist(blocking = false)
     val spark = edges.sparkSession
     import spark.implicits._
@@ -1158,12 +1165,22 @@ object Graph {
     // toDF: fresh attribute ids — front/ranked/deg all descend from adj
     // (and the checkpointed front keeps its ids), so shared names would
     // trip the ambiguous-self-join detector on the per-step joins.
+    // Persisted: every walk STEP joins against both `ranked` and `deg`
+    // (and broadcast rebuilds read them again), so without
+    // materialization each of the walkLen steps re-runs the ranked-
+    // adjacency window sort and the degree aggregation from the raw
+    // edges — walkLen× the one-time indexing cost. Both are id-only
+    // frames (3 and 2 longs wide); the ContextCleaner reclaims them when
+    // the returned walks become unreachable (the [[connectedComponents]]
+    // lifecycle).
     val ranked = adj.select(col("v"), col("u"),
       (row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy("v").orderBy("u")) - 1).cast("long").as("rk"))
       .toDF("rv", "ru", "rk")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = adj.groupBy("v").agg(count(lit(1)).as("deg"))
       .toDF("dv", "deg")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = (if (directed)
         adj.select(col("v").as("id"))
           .unionByName(adj.select(col("u").as("id")))
