@@ -68,6 +68,12 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         parallelismFirst)
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
+      // Let AQE coalesce the materialization of persisted frames too
+      // (default false keeps cached output partitioning fixed for reuse;
+      // nothing here relies on cached partitioning, and without it every
+      // persist site materializes at the raw shuffle-partition count).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_CACHED_PLAN", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

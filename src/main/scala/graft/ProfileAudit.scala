@@ -30,6 +30,12 @@ object ProfileAudit {
         sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY_BYTES", "1m"))
+      // Let AQE coalesce the materialization of persisted frames too
+      // (default false keeps cached output partitioning fixed for reuse;
+      // nothing here relies on cached partitioning, and without it every
+      // persist site materializes at the raw shuffle-partition count).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_CACHED_PLAN", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -29,13 +29,17 @@ object Graph {
     * contract (the loops are driver loops); not safe under concurrent
     * query builds on the SAME session, which this library never does.
     */
+  /** Loop width used by [[withTinyFrameConf]] and [[rightSized]]. */
+  private[ops] val TinyFramePartitions = 2
+
   private[ops] def withTinyFrameConf[T](
       spark: org.apache.spark.sql.SparkSession, enabled: Boolean)(body: => T): T =
     if (!enabled) body
     else {
       val sp = spark.conf.getOption("spark.sql.shuffle.partitions")
       val aqe = spark.conf.getOption("spark.sql.adaptive.enabled")
-      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        TinyFramePartitions.toString)
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       try body
       finally {
@@ -43,6 +47,21 @@ object Graph {
         aqe.foreach(spark.conf.set("spark.sql.adaptive.enabled", _))
       }
     }
+
+  /** Narrow a small-graph SETUP frame to the loop width. `persist` and
+    * `localCheckpoint` materialize at the partitioning of the moment —
+    * AQE partition coalescing applies to NEITHER — so a frame built
+    * before the scoped conf (typically through the caller's `.distinct()`
+    * at the session's raw shuffle-partition count) pins that many
+    * near-empty partitions, and every loop stage over it schedules that
+    * many tasks per round (measured: q_hits ran 374 tasks for a |V|=100
+    * graph, 32 of them per half-step map stage). The coalesce is narrow
+    * (no shuffle) and applies ONLY when the tiny-frame gate fired — big
+    * graphs keep their natural partitioning, so the scale path is
+    * untouched.
+    */
+  private[ops] def rightSized(df: DataFrame, small: Boolean): DataFrame =
+    if (small) df.coalesce(TinyFramePartitions) else df
 
   /** Connected components by iterative min-label propagation: every node
     * starts as its own component and repeatedly adopts the smallest label
@@ -105,6 +124,8 @@ object Graph {
     // the 2-column operators size against. Callers can override.
     val small = labels.count() <= broadcastMaxNodes
     def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val adjW = rightSized(adj, small)
+    labels = rightSized(labels, small)
     var converged = false
     withTinyFrameConf(spark, small) {
       var it = 0
@@ -116,7 +137,7 @@ object Graph {
         // round's one materialization (leaf plan, constant plan size,
         // superseded rounds reclaimed by the ContextCleaner); the
         // convergence total is then a trivial scan of the |V|-row leaf.
-        val offers = adj.join(side(labels), adj("v") === labels("id"))
+        val offers = adjW.join(side(labels), adjW("v") === labels("id"))
           .select(col("u").as("id"), col("comp").as("offer"))
           .groupBy("id").agg(min(col("offer")).as("offer"))
         labels = labels.join(side(offers), Seq("id"), "left")
@@ -188,8 +209,15 @@ object Graph {
     val edgeSchema = init.schema
     var curRdd = init.rdd.persist(StorageLevel.MEMORY_AND_DISK)
     var cur = spark.createDataFrame(curRdd, edgeSchema)
-    var curCnt = -1L // lazily counted on the first round
+    // The first-round fixpoint test needed this count anyway (see below);
+    // paying it up front additionally gates the tiny-frame loop conf, so
+    // a small graph's alternation rounds run at the loop width instead of
+    // the session's raw shuffle-partition count (the [[connectedComponents]]
+    // machinery rationale — `.rdd` materialization bypasses AQE).
+    var curCnt = curRdd.count()
+    val small = curCnt <= TinyFrameMaxNodes / 4
     var converged = false
+    withTinyFrameConf(spark, small) {
     var it = 0
     while (!converged && it < maxIter) {
       // Large-star over the symmetric view: m(u) = min(Γ(u) ∪ {u});
@@ -216,7 +244,6 @@ object Graph {
       // sets are distinct, so different sizes can't be equal), and only on
       // a size match the real symmetric difference. Non-final rounds almost
       // always change the edge count, so the expensive diff runs ~once.
-      if (curCnt < 0) curCnt = curRdd.count()
       val nextCnt = nextRdd.count()
       val changed = if (nextCnt != curCnt) 1L
         else next.unionByName(cur).groupBy("a", "b")
@@ -228,6 +255,7 @@ object Graph {
       curCnt = nextCnt
       converged = changed == 0L
       it += 1
+    }
     }
     if (!converged)
       throw new IllegalStateException(
@@ -380,17 +408,19 @@ object Graph {
       .localCheckpoint(true)
     val small = nodes.count() <= TinyFrameMaxNodes
     def score(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val eW = rightSized(e, small)
+    val nodesW = rightSized(nodes, small)
     withTinyFrameConf(spark, small) {
       val outdeg = weightCol match {
         // DECIMAL sum: a hub with 1e7 weighted out-edges (byte counts as
         // weights) overflows a plain long Σw silently; the rank·w
         // numerator one line below was already DECIMAL-lifted for the
         // same class, and DECIMAL DIV DECIMAL stays exact integer math.
-        case Some(_) => e.groupBy("src")
+        case Some(_) => eW.groupBy("src")
           .agg(sum(col("__w").cast("decimal(38,0)")).as("__od"))
-        case None => e.groupBy("src").agg(count(lit(1)).as("__od"))
+        case None => eW.groupBy("src").agg(count(lit(1)).as("__od"))
       }
-      val eDeg = e.join(score(outdeg), Seq("src"))
+      val eDeg = eW.join(score(outdeg), Seq("src"))
         .select(Seq(col("src"), col("dst"), col("__od")) ++
           weightCol.map(_ => col("__w")): _*)
         .localCheckpoint(true)
@@ -399,7 +429,7 @@ object Graph {
         if (weightCol.isDefined)
           expr("CAST((CAST(rank AS DECIMAL(38,0)) * __w) DIV __od AS BIGINT)")
         else expr("rank DIV __od")
-      var ranks = nodes.select(col("id"), init.as("rank"))
+      var ranks = nodesW.select(col("id"), init.as("rank"))
       var it = 0
       while (it < iters) {
         val mass = eDeg
@@ -407,7 +437,7 @@ object Graph {
           .select(col("dst").as("id"), sendExpr.as("__send"))
           .groupBy("id").agg(sum(col("__send")).as("__m"))
           .localCheckpoint(true)
-        ranks = nodes
+        ranks = nodesW
           .join(score(mass), Seq("id"), "left")
           .select(col("id"),
             (teleOf + expr(s"($dampNum * coalesce(__m, 0L)) DIV $dampDen"))
@@ -510,6 +540,8 @@ object Graph {
     // identical either way, only the physical plan changes).
     val small = nodes.count() <= broadcastMaxNodes
     def score(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val eW = rightSized(e, small)
+    val nodesW = rightSized(nodes, small)
 
     def withLoopConf[T](body: => T): T =
       Graph.withTinyFrameConf(spark, small)(body)
@@ -527,7 +559,7 @@ object Graph {
     // final output restores every node with coalesce-0 once.
     def halfStep(scores: DataFrame, scoreName: String,
         edgeKeyIn: String, edgeKeyOut: String, outName: String): DataFrame = {
-      val raw = e
+      val raw = eW
         .join(score(scores.select(col("id").as(edgeKeyIn), col(scoreName))),
           Seq(edgeKeyIn))
         .groupBy(col(edgeKeyOut).as("id"))
@@ -543,7 +575,7 @@ object Graph {
 
     // Initial hubs are uniform — a lazy constant projection over the
     // checkpointed node leaf; no materialization needed.
-    var hubs = nodes.withColumn("hub", lit(base))
+    var hubs = nodesW.withColumn("hub", lit(base))
     var auths: DataFrame = null
     withLoopConf {
       var it = 0
@@ -555,7 +587,7 @@ object Graph {
         it += 1
       }
     }
-    val out = nodes
+    val out = nodesW
       .join(score(hubs), Seq("id"), "left")
       .join(score(auths), Seq("id"), "left")
       .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub"),
@@ -630,18 +662,26 @@ object Graph {
     var converged = false
     var round = 0
     var prevCount = e.count()
-    while (!converged && round < maxRounds) {
-      val keep = degrees(e).where(col("d") >= k).select("x")
-      val next = e
-        .join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
-        .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
-        .select("u", "v")
-        .localCheckpoint(true)
-      val nextCount = next.count()
-      converged = nextCount == prevCount
-      e = next
-      prevCount = nextCount
-      round += 1
+    // The count that seeds the fixpoint test also gates the tiny-frame
+    // loop machinery (the [[connectedComponents]] rationale — checkpoint
+    // materialization bypasses AQE, so without the gate every peel round
+    // schedules the session's raw shuffle-partition count of tasks).
+    val small = prevCount <= TinyFrameMaxNodes
+    e = rightSized(e, small)
+    withTinyFrameConf(edges.sparkSession, small) {
+      while (!converged && round < maxRounds) {
+        val keep = degrees(e).where(col("d") >= k).select("x")
+        val next = e
+          .join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
+          .select("u", "v")
+          .localCheckpoint(true)
+        val nextCount = next.count()
+        converged = nextCount == prevCount
+        e = next
+        prevCount = nextCount
+        round += 1
+      }
     }
     require(converged, s"kCore did not converge in $maxRounds rounds")
     // The final checkpoint backs the returned frame. The core itself
@@ -694,9 +734,11 @@ object Graph {
       .localCheckpoint(true)
     val small = labels.count() <= TinyFrameMaxNodes
     def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val adjW = rightSized(adj, small)
+    labels = rightSized(labels, small)
     withTinyFrameConf(spark, small) {
       (1 to rounds).foreach { _ =>
-        val msgs = adj
+        val msgs = adjW
           .join(side(labels.select(col("x").as("nbr"), col("lab"))), Seq("nbr"))
           .select(col("x"), col("lab"))
         labels = msgs
@@ -1095,12 +1137,14 @@ object Graph {
     var frontier = settled
     val small = nodes.count() <= broadcastMaxNodes
     def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val adjW = rightSized(adj, small)
+    settled = rightSized(settled, small)
     withTinyFrameConf(spark, small) {
       var h = 0
       var grew = frontier.limit(1).count() > 0
       while (grew && h < maxHops) {
         h += 1
-        val fresh = adj.join(side(frontier.select(col("id").as("v"),
+        val fresh = adjW.join(side(frontier.select(col("id").as("v"),
               col("seed"))), Seq("v"))
           .groupBy(col("u").as("id")).agg(min(col("seed")).as("seed"))
           .join(side(settled.select("id")), Seq("id"), "left_anti")
@@ -1197,6 +1241,7 @@ object Graph {
     // 3 longs, so it reuses the /4 row-width budget.
     val small = adj.count() <= broadcastMaxNodes
     def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    front = rightSized(front, small)
     val out = Seq.newBuilder[DataFrame]
     out += front.select(col("start"), col("walk"),
       lit(0L).as("step"), col("cur").as("node"))
@@ -1329,6 +1374,8 @@ object Graph {
     val settled = Seq.newBuilder[DataFrame]
     val small = nodes.count() <= TinyFrameMaxNodes / 4
     def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    active = rightSized(active, small)
+    nodes = rightSized(nodes, small)
     withTinyFrameConf(spark, small) {
       var phase = 0
       var remaining = nodes.limit(1).count() > 0
