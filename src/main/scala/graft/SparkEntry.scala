@@ -1243,11 +1243,21 @@ object SparkEntry {
     "q_zonemap_prune" -> ((s, dir) => {
       val (rows, total, scanned) = ops.Scale.zoneMapScan(
         zonemapFor(s, dir), "l_orderkey", 4000L, 5499L)
+      // nonempty_scan is derived from the ROW count, not the file count:
+      // zone maps admit no false negatives, so "the pruned scan still
+      // found the range's rows" ⟺ n_rows ≥ 1 — a definition every engine
+      // can replay at every SF. The previous `scanned >= 1` literal was
+      // layout-dependent: on a fixture whose keys never reach the probe
+      // range (sf0.001 after the r16 data regen tops out at 1499 < 4000)
+      // the engine honestly prunes ALL files while the oracle's hardcoded
+      // 1 assumed a populated range — an inherited red row, not an
+      // optimization change. Values are identical wherever the range is
+      // populated (every SF the row was previously green on).
       rows.agg(count(lit(1)).as("n_rows"),
           sum(col("l_quantity")).cast("long").as("sum_qty"))
         .select(col("n_rows"), col("sum_qty"),
           lit(if (scanned < total) 1 else 0).as("pruned"),
-          lit(if (scanned >= 1) 1 else 0).as("nonempty_scan"))
+          when(col("n_rows") >= 1, 1).otherwise(0).as("nonempty_scan"))
     }),
 
     // Fellegi–Sunter probabilistic record linkage over nation-blocked
@@ -4379,7 +4389,8 @@ object SparkEntry {
     "q_zonemap_prune" ->
       """SELECT count(*) AS n_rows,
         |   CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-        |   1 AS pruned, 1 AS nonempty_scan
+        |   1 AS pruned,
+        |   CASE WHEN count(*) >= 1 THEN 1 ELSE 0 END AS nonempty_scan
         | FROM lineitem WHERE l_orderkey BETWEEN 4000 AND 5499""".stripMargin,
     "q_record_linkage" ->
       """WITH base AS (SELECT c_custkey AS id, c_name, c_nationkey,
